@@ -1,0 +1,350 @@
+"""Analytic operators beyond the reference's own surface (SURVEY §2.5 notes
+these are absent from the reference but free in Spark): window functions,
+sorts/limits, set ops, rollup, pivot, sessionization, and the TPC-H-style
+headline aggregates used for benchmarking.
+
+All float aggregates go through the decimal-exact path (functions.dsum) so
+DuckDB oracle hashes match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbt_on_snowflake_spark.functions import (
+    REVENUE_SCALED_SQL,
+    dsum,
+    dsum_sql,
+    revenue_scaled,
+    scaled,
+    scaled_sql,
+    sum_scaled,
+    sum_scaled_sql,
+)
+from dbt_on_snowflake_spark.registry import query
+from dbt_on_snowflake_spark.testdata import table
+
+
+# --- TPC-H Q1 shape: the flagship pricing summary (headline bench query).
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag,
+           l_linestatus,
+           {dsum_sql("l_quantity", "sum_qty")},
+           {dsum_sql("l_extendedprice", "sum_base_price")},
+           {sum_scaled_sql(REVENUE_SCALED_SQL, "sum_disc_price", 4)},
+           {sum_scaled_sql(f"({REVENUE_SCALED_SQL}) * (100 + {scaled_sql('l_tax')})", "sum_charge", 6)},
+           {dsum_sql("l_discount", "sum_disc")},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1999-06-30 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    disc_price = revenue_scaled()  # scale 4
+    charge = disc_price * (100 + scaled("l_tax"))  # scale 6
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1999-06-30 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            sum_scaled(disc_price, "sum_disc_price", 4),
+            sum_scaled(charge, "sum_charge", 6),
+            dsum("l_discount", "sum_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --- TPC-H Q3 shape: join + filter + group + deterministic top-N.
+# Sort/limit is order-sensitive, so ties break on the unique order key.
+@query(
+    "q3_top_revenue_orders",
+    oracle=f"""
+    SELECT o.o_orderkey AS order_key,
+           o.o_orderdate AS order_date,
+           {sum_scaled_sql("CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))", "revenue", 4)}
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, order_key ASC
+    LIMIT 10
+    """,
+    headline=True,
+)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.broadcast(
+        table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    )
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "inner")
+        .join(l, l.l_orderkey == o.o_orderkey, "inner")
+        .groupBy(
+            F.col("o_orderkey").alias("order_key"),
+            F.col("o_orderdate").alias("order_date"),
+        )
+        .agg(sum_scaled(revenue_scaled(), "revenue", 4))
+        .orderBy(F.col("revenue").desc(), F.col("order_key").asc())
+        .limit(10)
+    )
+
+
+# --- Window: top-K per group (row_number over partition, deterministic
+# tie-break on unique key). TPC-H-ish "top 3 orders per customer".
+@query(
+    "w_topk_orders_per_customer",
+    oracle="""
+    SELECT o_custkey AS customer_id, o_orderkey AS order_key,
+           o_totalprice AS total_price, rk AS rank_in_customer
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC
+               ) AS rk
+        FROM orders
+    )
+    WHERE rk <= 3
+    """,
+)
+def w_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("o_custkey").alias("customer_id"),
+            F.col("o_orderkey").alias("order_key"),
+            F.col("o_totalprice").alias("total_price"),
+            F.col("rk").alias("rank_in_customer"),
+        )
+    )
+
+
+# --- Window: running total + lag delta per user over event time.
+@query(
+    "w_running_total_events",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) / 10000.0 AS running_value,
+           LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+           ) AS prev_event_type
+    FROM events
+    """,
+)
+def w_running_total_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            (
+                F.sum(scaled("value", 4)).over(running).cast("double") / 10000.0
+            ).alias("running_value"),
+            F.lag("event_type").over(w).alias("prev_event_type"),
+        )
+    )
+
+
+# --- Rollup: hierarchical subtotals region -> nation (absent from the
+# reference; noted available in SURVEY §2.4).
+@query(
+    "a_rollup_revenue",
+    oracle=f"""
+    SELECT r.r_name AS region_name,
+           n.n_name AS nation_name,
+           {dsum_sql("o.o_totalprice", "total_sales")},
+           COUNT(o.o_orderkey) AS order_count
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def a_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = F.broadcast(table(spark, sf_dir, "customer"))
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .join(n, c.c_nationkey == n.n_nationkey, "inner")
+        .join(r, n.n_regionkey == r.r_regionkey, "inner")
+        .rollup(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            dsum("o_totalprice", "total_sales"),
+            F.count("o_orderkey").alias("order_count"),
+        )
+    )
+
+
+# --- Set ops: INTERSECT / EXCEPT, tagged and unioned.
+@query(
+    "s_setops_segments",
+    oracle="""
+    SELECT 'building_with_orders' AS cohort, c_custkey
+    FROM (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT o_custkey FROM orders
+    )
+    UNION ALL
+    SELECT 'building_without_orders' AS cohort, c_custkey
+    FROM (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        EXCEPT
+        SELECT o_custkey FROM orders
+    )
+    """,
+)
+def s_setops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    ordered = o.select(F.col("o_custkey").alias("c_custkey"))
+    with_orders = building.intersect(ordered).select(
+        F.lit("building_with_orders").alias("cohort"), "c_custkey"
+    )
+    without = building.exceptAll(ordered).distinct().select(
+        F.lit("building_without_orders").alias("cohort"), "c_custkey"
+    )
+    return with_orders.unionAll(without)
+
+
+# --- Pivot: wide-format aggregation expressed portably (CASE-WHEN sums,
+# identical SQL on both engines; Spark's .pivot() produces the same plan).
+@query(
+    "a_pivot_status_revenue",
+    oracle=f"""
+    SELECT o_orderpriority AS priority,
+           {dsum_sql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END", "revenue_open")},
+           {dsum_sql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END", "revenue_finished")},
+           {dsum_sql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END", "revenue_pending")}
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def a_pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+
+    def bucket(status: str, alias: str):
+        return dsum(
+            F.when(F.col("o_orderstatus") == status, F.col("o_totalprice")).otherwise(
+                F.lit(0.0)
+            ),
+            alias,
+        )
+
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            bucket("O", "revenue_open"),
+            bucket("F", "revenue_finished"),
+            bucket("P", "revenue_pending"),
+        )
+    )
+
+
+# --- Tumbling-window temporal aggregation over events (batch form; the
+# streaming/ module runs the same query through Structured Streaming).
+@query(
+    "t_events_hourly",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {dsum_sql("value", "total_value", 4)}
+    FROM events
+    GROUP BY 1, 2
+    """,
+    headline=True,
+)
+def t_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour").start.alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "total_value", 4),
+        )
+    )
+
+
+# --- Sessionization: gap-based sessions via lag + cumulative sum (the
+# batch idiom; streaming/ uses session_window).
+@query(
+    "t_events_sessionize",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                    ) > INTERVAL '30 minutes'
+                    OR LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                    ) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           session_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           {dsum_sql("value", "session_value", 4)}
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def t_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    cum = Window.partitionBy("user_id").orderBy(F.col("ts").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    return (
+        table(spark, sf_dir, "events")
+        .withColumn(
+            "is_new",
+            F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(F.lit(0)),
+        )
+        .withColumn("session_id", F.sum("is_new").over(cum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "session_value", 4),
+        )
+    )

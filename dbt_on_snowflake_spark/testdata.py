@@ -1,0 +1,53 @@
+"""Loaders for the driver-generated TPC-H-ish parquet tables.
+
+Tables (one parquet each, see /root/repo/TESTDATA.md): region nation
+customer supplier part orders lineitem events documents embeddings.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table. Column pruning + predicate pushdown reach
+    the parquet scan because this is a plain declarative read.
+
+    events.ts is parquet TIMESTAMP(NANOS), which Spark reads as a long
+    (``spark.sql.legacy.parquet.nanosAsLong``); convert to a microsecond
+    timestamp exactly like DuckDB does (integer truncation)."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register each table as a temp view (for Spark SQL queries)."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
