@@ -22,3 +22,6 @@ try:
     from dbt_on_snowflake_spark.operators import multimodal  # noqa: F401
 except ImportError:
     pass
+
+# streaming queries register here too (module lives outside operators/)
+from dbt_on_snowflake_spark import streaming  # noqa: F401

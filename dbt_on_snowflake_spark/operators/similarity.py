@@ -1,0 +1,111 @@
+"""Similarity search over the ``embeddings`` table (SURVEY §7.5).
+
+- ``ann_topk_bruteforce`` — exact cosine top-k for a query subset; the
+  correctness baseline. Query side is broadcast, so the big side streams:
+  cost O(|Q| * N) with no shuffle of the corpus.
+- ``ann_ivf_topk``       — IVF-style approximate path: probe only the
+  query's own coarse partition (``label`` = centroid id). At 100 TB this
+  is the standard sqrt(N)-partition inverted-file layout; the corpus is
+  pre-partitioned by label so a probe touches one partition.
+
+Cosines are rounded to 4 decimals and ranked with a vec_id tie-break so
+the top-k row set is deterministic and engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbt_on_snowflake_spark.operators.dedup import COSINE_SQL, _cosine
+from dbt_on_snowflake_spark.registry import query
+from dbt_on_snowflake_spark.testdata import table
+
+TOP_K = 5
+QUERY_STRIDE = 50  # vec_id % 50 == 0 -> query set
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+
+def _topk(joined: DataFrame) -> DataFrame:
+    cos = F.round(_cosine("q.v", "c.v"), 4)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            cos.alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+_ORACLE_TOPK = """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id % {stride} = 0),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND({cosine}, 4) AS cosine
+        FROM q JOIN e c ON q.vec_id <> c.vec_id {block}
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+        ) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+@query(
+    "ann_topk_bruteforce",
+    oracle=_ORACLE_TOPK.format(
+        stride=QUERY_STRIDE,
+        cosine=COSINE_SQL.format(a="q.v", b="c.v"),
+        block="",
+        k=TOP_K,
+    ),
+    headline=True,
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for every 50th vector. The query set
+    is broadcast; the corpus is scanned once, never shuffled — the only
+    shuffle is the final per-query top-k (tiny)."""
+    e = _vectors(spark, sf_dir)
+    q = F.broadcast(e.filter(F.col("vec_id") % QUERY_STRIDE == 0)).alias("q")
+    c = e.alias("c")
+    joined = q.join(c, F.col("q.vec_id") != F.col("c.vec_id"))
+    return _topk(joined)
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=_ORACLE_TOPK.format(
+        stride=QUERY_STRIDE,
+        cosine=COSINE_SQL.format(a="q.v", b="c.v"),
+        block="AND q.label = c.label",
+        k=TOP_K,
+    ),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: probe only the query's own coarse cluster (label).
+    Recall < 1 by design; cost drops from O(N) to O(N / n_clusters) per
+    query. At scale: corpus Parquet is partitioned by label, so partition
+    pruning turns each probe into a single-partition scan."""
+    e = _vectors(spark, sf_dir)
+    q = F.broadcast(e.filter(F.col("vec_id") % QUERY_STRIDE == 0)).alias("q")
+    c = e.alias("c")
+    joined = q.join(
+        c,
+        (F.col("q.vec_id") != F.col("c.vec_id"))
+        & (F.col("q.label") == F.col("c.label")),
+    )
+    return _topk(joined)

@@ -1,0 +1,256 @@
+"""Text-analysis operators over the ``documents`` table (SURVEY §7.5):
+language-ID (marker-ngram heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and rolling-hash document fingerprinting.
+
+Everything is built-in string/regexp functions — JVM-side, inside
+whole-stage codegen; no Python UDFs. All ratios are computed with the
+same operation order in the DuckDB oracle so doubles match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_on_snowflake_spark.registry import query
+from dbt_on_snowflake_spark.testdata import table
+
+# ------------------------------------------------------------- text stats
+
+
+@query(
+    "text_stats",
+    oracle="""
+    SELECT doc_id,
+           lang,
+           length(text) AS n_chars,
+           len(string_split(text, ' ')) AS n_tokens,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / len(string_split(text, ' ')) AS avg_token_len,
+           len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS type_token_ratio
+    FROM documents
+    """,
+    headline=True,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_unique = F.size(F.array_distinct(toks))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / n_tokens
+        ).alias("avg_token_len"),
+        n_unique.cast("long").alias("n_unique_tokens"),
+        (n_unique.cast("double") / n_tokens).alias("type_token_ratio"),
+    )
+
+
+# ---------------------------------------------------------- quality score
+
+_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+_SW_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               len(list_filter(toks, x -> list_contains({_SW_LIST_SQL}, x)))
+                   AS n_stopwords,
+               len(list_filter(toks, x -> length(x) >= 3 AND length(x) <= 12))
+                   AS n_well_sized
+        FROM t
+    )
+    SELECT doc_id, n_tokens, n_stopwords,
+           CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
+           CAST(n_well_sized AS DOUBLE) / n_tokens AS well_sized_ratio,
+           ROUND(0.5 * (CAST(n_well_sized AS DOUBLE) / n_tokens)
+                 + 0.5 * least(CAST(n_stopwords AS DOUBLE) / n_tokens * 5.0, 1.0),
+                 4) AS quality_score
+    FROM m
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: mix of well-sized-token ratio and
+    (capped) stopword density — the shape of a real LLM-corpus quality
+    filter (Gopher/C4-style rules), exactly reproducible in SQL."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    n_sized = F.size(F.filter(toks, lambda x: (F.length(x) >= 3) & (F.length(x) <= 12)))
+    stop_ratio = n_stop.cast("double") / n_tokens
+    sized_ratio = n_sized.cast("double") / n_tokens
+    score = F.round(
+        0.5 * sized_ratio + 0.5 * F.least(stop_ratio * 5.0, F.lit(1.0)), 4
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        n_stop.cast("long").alias("n_stopwords"),
+        stop_ratio.alias("stopword_ratio"),
+        sized_ratio.alias("well_sized_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+# ------------------------------------------------------------ language id
+
+_LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "die"),
+    "fr": ("le", "et", "les"),
+    "es": ("el", "y", "los"),
+}
+
+
+def _marker_count_sql(words: tuple[str, ...]) -> str:
+    lst = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return f"len(list_filter(toks, x -> list_contains({lst}, x)))"
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+               FROM documents),
+    scores AS (
+        SELECT doc_id, lang AS labeled_lang,
+               {", ".join(f"{_marker_count_sql(w)} AS c_{lang}" for lang, w in _LANG_MARKERS.items())}
+        FROM t
+    )
+    SELECT doc_id, labeled_lang,
+           CASE
+               WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es AND c_en > 0 THEN 'en'
+               WHEN c_de >= c_fr AND c_de >= c_es AND c_de > 0 THEN 'de'
+               WHEN c_fr >= c_es AND c_fr > 0 THEN 'fr'
+               WHEN c_es > 0 THEN 'es'
+               ELSE 'unknown'
+           END AS detected_lang,
+           c_en, c_de, c_fr, c_es
+    FROM scores
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic (stopword-ngram counting — the
+    classic cheap LID). Deterministic argmax with a fixed priority order
+    (en > de > fr > es) on ties."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    def marker_count(words):
+        arr = F.array(*[F.lit(w) for w in words])
+        # single-arg lambda: a 2-arg lambda would be read as (elem, index)
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+    counts = {lang: marker_count(words) for lang, words in _LANG_MARKERS.items()}
+    c_en, c_de, c_fr, c_es = (counts[k] for k in ("en", "de", "fr", "es"))
+    detected = (
+        F.when((c_en >= c_de) & (c_en >= c_fr) & (c_en >= c_es) & (c_en > 0), "en")
+        .when((c_de >= c_fr) & (c_de >= c_es) & (c_de > 0), "de")
+        .when((c_fr >= c_es) & (c_fr > 0), "fr")
+        .when(c_es > 0, "es")
+        .otherwise("unknown")
+    )
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        detected.alias("detected_lang"),
+        c_en.cast("long").alias("c_en"),
+        c_de.cast("long").alias("c_de"),
+        c_fr.cast("long").alias("c_fr"),
+        c_es.cast("long").alias("c_es"),
+    )
+
+
+# ----------------------------------------------------------- token counts
+
+_BPE_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@query(
+    "text_token_count",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(len(string_split(text, ' '))) AS whitespace_tokens,
+           SUM(len(regexp_extract_all(text, '{_BPE_REGEX}')))
+               AS bpe_ish_tokens,
+           SUM(length(text)) AS total_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per source: whitespace tokens and a
+    BPE-ish regex token count (letters runs / digit runs / other) — the
+    pre-tokenization pass every training-data pipeline runs."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).alias("whitespace_tokens"),
+            F.sum(F.regexp_count("text", F.lit(_BPE_REGEX))).alias("bpe_ish_tokens"),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+    )
+
+
+# ------------------------------------------------------ doc fingerprinting
+
+FP_K = 4  # k smallest shingle hashes form the fingerprint
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, greatest(len(ts) - 3, 1)),
+                      g -> array_to_string(ts[g:g+4], ' '))) AS sh
+        FROM tok
+    ),
+    hashed AS (SELECT doc_id, md5(sh) AS h FROM sh),
+    ranked AS (
+        SELECT doc_id, h,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h) AS rk
+        FROM hashed
+    )
+    SELECT doc_id,
+           string_agg(h, '' ORDER BY h) AS fingerprint
+    FROM ranked WHERE rk <= {FP_K}
+    GROUP BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprint: md5 over rolling word 5-gram windows,
+    keep the k smallest hashes, concatenated in order. Equal fingerprints
+    => near-identical docs; the fingerprint join is an exact-match dedup
+    key robust to small edits (k-min sketch)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    seq = F.sequence(F.lit(1), n - 4)
+    grams = F.transform(seq, lambda g: F.md5(F.array_join(F.slice(toks, g, 5), " ")))
+    fp = F.array_join(
+        F.slice(F.array_sort(F.array_distinct(grams)), 1, FP_K), ""
+    )
+    return d.select(
+        "doc_id",
+        F.when(n >= 5, fp).otherwise(F.lit("")).alias("fingerprint"),
+    ).filter(F.col("fingerprint") != "")

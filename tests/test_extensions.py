@@ -1,0 +1,65 @@
+"""Unit tests for the extension operators beyond the oracle harness:
+multimodal decode exactness, streaming/batch session equivalence, and
+LSH recall against exact Jaccard."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_on_snowflake_spark.operators.dedup import (
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard,
+)
+from dbt_on_snowflake_spark.operators.multimodal import (
+    fake_decode_rgb,
+    multimodal_decode,
+)
+from dbt_on_snowflake_spark.operators.analytics import t_events_sessionize
+from dbt_on_snowflake_spark.streaming import t_events_sessions_streaming
+from dbt_on_snowflake_spark.testdata import table
+from tests.conftest import SF_SMOKE
+
+
+def test_multimodal_decode_matches_python(spark):
+    """mapInPandas decode must equal the pure-Python decoder per doc."""
+    out = {r["doc_id"]: r for r in multimodal_decode(spark, SF_SMOKE).collect()}
+    docs = table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    assert len(out) == len(docs)
+    for d in docs[:50]:
+        payload = d["text"].encode("utf-8")
+        w, h, c, mi = fake_decode_rgb(payload)
+        row = out[d["doc_id"]]
+        assert (row["width"], row["height"], row["n_channels"]) == (w, h, c)
+        assert abs(row["mean_intensity"] - mi) < 1e-12
+        assert row["n_bytes"] == len(payload)
+
+
+def test_streaming_sessions_match_batch(spark):
+    """session_window streaming sessions == batch lag+cumsum sessions."""
+    stream = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["session_value"])
+        for r in t_events_sessions_streaming(spark, SF_SMOKE).collect()
+    }
+    batch = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["session_value"])
+        for r in t_events_sessionize(spark, SF_SMOKE).collect()
+    }
+    assert stream == batch
+
+
+def test_minhash_recall_of_high_jaccard_pairs(spark):
+    """LSH candidates must contain every pair with jaccard >= 0.9
+    (8 hashes / 4 bands of 2: P(miss | j=0.9) = (1-0.81)^4 ~ 0.1%; the
+    planted near-dups are ~0.99 where P(miss) ~ 1e-7)."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_ngram_jaccard(spark, SF_SMOKE)
+        .filter(F.col("jaccard") >= 0.9)
+        .collect()
+    }
+    candidates = {
+        (r["doc_a"], r["doc_b"]) for r in dedup_minhash_lsh(spark, SF_SMOKE).collect()
+    }
+    assert exact, "expected planted near-duplicates in testdata"
+    missed = exact - candidates
+    assert not missed, f"LSH missed {len(missed)} high-similarity pairs"
