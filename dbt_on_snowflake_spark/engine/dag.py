@@ -1,0 +1,81 @@
+"""Model DAG: edges from ref()/source(), topological execution order,
+and dbt-style node selection (reference §2.9 O1/O4; selection syntax from
+setup/task.sql:5 ``run --select customer_loyalty_metrics``).
+"""
+
+from __future__ import annotations
+
+from graphlib import TopologicalSorter
+
+from dbt_on_snowflake_spark.engine.project import Project
+
+
+def build_graph(project: Project) -> dict[str, set[str]]:
+    """model -> set of upstream models (sources are roots, not nodes)."""
+    graph: dict[str, set[str]] = {}
+    for name, node in project.models.items():
+        missing = [r for r in node.refs if r not in project.models]
+        if missing:
+            raise ValueError(f"model '{name}' refs unknown model(s): {missing}")
+        graph[name] = set(node.refs)
+    return graph
+
+
+def toposort(project: Project) -> list[str]:
+    return list(TopologicalSorter(build_graph(project)).static_order())
+
+
+def ancestors(graph: dict[str, set[str]], name: str) -> set[str]:
+    seen: set[str] = set()
+    stack = [name]
+    while stack:
+        cur = stack.pop()
+        for up in graph.get(cur, ()):  # parents
+            if up not in seen:
+                seen.add(up)
+                stack.append(up)
+    return seen
+
+
+def descendants(graph: dict[str, set[str]], name: str) -> set[str]:
+    children: dict[str, set[str]] = {}
+    for m, ups in graph.items():
+        for u in ups:
+            children.setdefault(u, set()).add(m)
+    seen: set[str] = set()
+    stack = [name]
+    while stack:
+        cur = stack.pop()
+        for down in children.get(cur, ()):
+            if down not in seen:
+                seen.add(down)
+                stack.append(down)
+    return seen
+
+
+def select(project: Project, selector: str | None) -> list[str]:
+    """Resolve a dbt-style selector to an ordered execution list.
+
+    Supported: ``name`` (node + required ancestors, like dbt's default for
+    a build), ``+name`` (ancestors + node), ``name+`` (node + descendants),
+    ``+name+``, comma-separated union; None = all models.
+    """
+    order = toposort(project)
+    if not selector:
+        return order
+    graph = build_graph(project)
+    wanted: set[str] = set()
+    for part in selector.split(","):
+        part = part.strip()
+        lead = part.startswith("+")
+        trail = part.endswith("+")
+        name = part.strip("+")
+        if name not in project.models:
+            raise ValueError(f"unknown model in selector: {name!r}")
+        wanted.add(name)
+        # a selected node always needs its ancestors materialized to run
+        wanted |= ancestors(graph, name)
+        if trail:
+            wanted |= descendants(graph, name)
+        del lead  # '+name' == default ancestor behavior
+    return [m for m in order if m in wanted]

@@ -50,6 +50,18 @@ def get_spark(
         # The testdata events table stores TIMESTAMP(NANOS) which the Spark
         # reader rejects; read as long and convert in testdata.table().
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # keep saveAsTable warehouse + derby metastore out of the repo cwd,
+        # and per-process so stale dirs from prior runs never collide
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_WAREHOUSE_DIR", f"/tmp/spark_warehouse_{os.getpid()}"
+            ),
+        )
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Dderby.system.home=/tmp/derby_{os.getpid()}",
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -1,0 +1,206 @@
+"""End-to-end tests for the engine layer (SURVEY §2.9) against the ported
+Tasty Bytes project with generated fixtures: DAG + selection, view/table
+materializations, SQL + Python models, targets, the declarative test
+runner, typed CSV ingest, and run-results artifacts."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from dbt_on_snowflake_spark.engine.dag import select, toposort
+from dbt_on_snowflake_spark.engine.project import Project
+from dbt_on_snowflake_spark.engine.runner import Runner
+from dbt_on_snowflake_spark.engine.testing import TestRunner
+from dbt_on_snowflake_spark.tastybytes import fixtures
+
+PROJ_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "dbt_on_snowflake_spark",
+    "tastybytes",
+)
+
+
+@pytest.fixture(scope="module")
+def tasty(spark, tmp_path_factory):
+    data_dir = str(tmp_path_factory.mktemp("tasty_data"))
+    tables = fixtures.generate(data_dir)
+    os.environ["TASTY_DATA_DIR"] = data_dir
+    project = Project(PROJ_ROOT, target="dev")
+    runner = Runner(spark, project)
+    runner.run()
+    return project, runner, tables
+
+
+def test_dag_shape(tasty):
+    project, _runner, _t = tasty
+    order = toposort(project)
+    assert len(order) == 11  # 8 staging + 3 marts
+    # marts run after their staged inputs
+    assert order.index("orders") > order.index("raw_pos_order_detail")
+    assert order.index("customer_loyalty_metrics") > order.index(
+        "raw_pos_order_header"
+    )
+
+
+def test_run_statuses_and_materializations(tasty):
+    _p, runner, _t = tasty
+    by_name = {r.name: r for r in runner.results}
+    assert len(by_name) == 11
+    assert all(r.status == "success" for r in runner.results)
+    assert by_name["raw_pos_menu"].materialization == "view"
+    assert by_name["orders"].materialization == "table"
+    assert by_name["sales_metrics_by_location"].materialization == "table"
+
+
+def test_orders_mart_semantics(tasty, spark):
+    """The wide mart keeps every order line (FK closure on all inner
+    joins) and null-extends anonymous orders through the left join
+    (reference orders.sql:35-47)."""
+    _p, runner, tables = tasty
+    orders = spark.table(runner.resolve_ref("orders"))
+    assert orders.count() == len(tables["order_detail"])
+    anon = orders.filter("customer_id IS NULL").count()
+    merged = tables["order_detail"].merge(
+        tables["order_header"][["order_id", "customer_id"]], on="order_id"
+    )
+    cust = merged["customer_id"].astype("Float64")
+    expected_anon = int(
+        (cust.isna() | (cust > len(tables["customer_loyalty"]))).sum()
+    )
+    assert anon == expected_anon
+    assert "order_failed" in orders.columns  # SURVEY §1.4 fixture decision
+
+
+def test_customer_loyalty_metrics_values(tasty, spark):
+    """total_sales and the distinct visited-location array match a pandas
+    recomputation (reference customer_loyalty_metrics.sql:9-15)."""
+    _p, runner, tables = tasty
+    got = {
+        r["customer_id"]: r
+        for r in spark.table(runner.resolve_ref("customer_loyalty_metrics")).collect()
+    }
+    oh = tables["order_header"]
+    known = oh[oh["customer_id"].notna() & (oh["customer_id"] <= 500)]
+    exp = known.groupby("customer_id").agg(
+        total=("order_total", "sum"),
+        locs=("location_id", lambda s: sorted(set(int(x) for x in s))),
+    )
+    assert len(got) == len(exp)
+    for cid, row in list(exp.iterrows())[:25]:
+        g = got[int(cid)]
+        assert abs(g["total_sales"] - row["total"]) < 1e-6
+        assert [int(x) for x in g["visited_location_ids_array"]] == row["locs"]
+
+
+def test_sales_metrics_by_location_python_model(tasty, spark):
+    """Locations with trucks (by city) but no orders coalesce to zero
+    (reference sales_metrics_by_location.py:46-59)."""
+    _p, runner, tables = tasty
+    df = spark.table(runner.resolve_ref("sales_metrics_by_location"))
+    rows = {r["LOCATION_ID"]: r for r in df.collect()}
+    truck_cities = set(tables["truck"]["primary_city"])
+    loc = tables["location"]
+    no_order_locs = loc[(loc["location_id"] > 60) & loc["city"].isin(truck_cities)]
+    assert len(no_order_locs) > 0
+    for lid in no_order_locs["location_id"][:10]:
+        r = rows[int(lid)]
+        assert r["TOTAL_SALES"] == 0 and r["TOTAL_TAX"] == 0
+        assert r["LOCATION_DESCRIPTION"].endswith(f"(Trucks: {r['TRUCK_COUNT']})")
+
+
+def test_node_selection(tasty, spark):
+    """--select model runs the model plus required ancestors only
+    (reference setup/task.sql:5)."""
+    project, _r, _t = tasty
+    sel = select(project, "customer_loyalty_metrics")
+    assert set(sel) == {
+        "raw_customer_customer_loyalty",
+        "raw_pos_order_header",
+        "customer_loyalty_metrics",
+    }
+    assert sel[-1] == "customer_loyalty_metrics"
+    sel_desc = select(project, "raw_pos_menu+")
+    assert "orders" in sel_desc and "customer_loyalty_metrics" not in sel_desc
+
+
+def test_targets_namespace(tasty, spark):
+    """dev/prod targets resolve to distinct relation namespaces
+    (reference profiles.yml:4-19 + generate_schema_name.sql)."""
+    project, runner, _t = tasty
+    assert runner.resolve_ref("orders") == "dev_orders"
+    prod = Project(PROJ_ROOT, target="prod")
+    assert Runner(spark, prod).resolve_ref("orders") == "prod_orders"
+
+
+def test_source_data_tests_pass(tasty, spark):
+    """All ~45 declared source tests pass on the generated fixtures
+    (reference __sources.yml test surface)."""
+    project, runner, _t = tasty
+    tr = TestRunner(spark)
+    results = tr.run_source_tests(project, runner)
+    assert len(results) >= 40
+    bad = [r for r in results if r.status != "pass"]
+    assert not bad, [(r.relation, r.column, r.name, r.failures) for r in bad]
+
+
+def test_data_tests_catch_violations(tasty, spark, tmp_path):
+    """Corrupted data fails the right tests (the failing-rows convention,
+    reference test_is_positive_amount.sql:3-5)."""
+    from dbt_on_snowflake_spark.engine.testing import (
+        is_positive_amount,
+        not_null,
+        relationships,
+        unique,
+    )
+
+    bad = spark.createDataFrame(
+        pd.DataFrame(
+            {"id": [1, 1, None], "amount": [-1.0, 2.0, 0.0], "fk": [9, 9, 9]}
+        )
+    )
+    parent = spark.createDataFrame(pd.DataFrame({"pid": [1, 2, 3]}))
+    assert not_null(bad, "id").count() == 1
+    assert unique(bad, "id").count() == 1
+    assert is_positive_amount(bad, "amount").count() == 2  # -1 and 0
+    assert relationships(bad, "fk", parent, "pid").count() == 3
+
+
+def test_csv_copy_into_roundtrip(spark, tmp_path):
+    """Typed CSV load replicates COPY INTO semantics (reference
+    setup/setup_data.sql:144-173)."""
+    from pyspark.sql import types as T
+
+    from dbt_on_snowflake_spark.sources.csv_loader import copy_into
+
+    csv = tmp_path / "c.csv"
+    csv.write_text("1,Norway,NOK,NO,101,Oslo,634293\n2,,SEK,SE,102,Stockholm,975904\n")
+    schema = T.StructType(
+        [
+            T.StructField("country_id", T.LongType()),
+            T.StructField("country", T.StringType()),
+            T.StructField("iso_currency", T.StringType()),
+            T.StructField("iso_country", T.StringType()),
+            T.StructField("city_id", T.LongType()),
+            T.StructField("city", T.StringType()),
+            T.StructField("city_population", T.StringType()),
+        ]
+    )
+    n = copy_into(spark, "t_csv_country", str(csv), schema)
+    assert n == 2
+    df = spark.table("t_csv_country")
+    assert dict(df.dtypes)["country_id"] == "bigint"
+    assert df.filter("country IS NULL").count() == 1  # empty field -> NULL
+
+
+def test_run_results_artifact(tasty, tmp_path):
+    _p, runner, _t = tasty
+    path = str(tmp_path / "run_results.json")
+    runner.write_run_results(path)
+    doc = json.loads(open(path).read())
+    assert doc["target"] == "dev"
+    assert len(doc["results"]) == 11
+    assert all(r["status"] == "success" for r in doc["results"])
