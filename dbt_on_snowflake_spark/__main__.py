@@ -1,0 +1,107 @@
+"""CLI — the engine's equivalent of the dbt command surface the reference
+exercises (README.md:108-136 and setup/task.sql:5: ``dbt deps / compile /
+run --select <model> --target <t> / test``). Idempotent and cron-able
+(reference §2.9 O8: the hourly task just re-invokes `run --select ...`).
+
+    python -m dbt_on_snowflake_spark run       --project <dir> [--select S] [--target T]
+    python -m dbt_on_snowflake_spark test      --project <dir> [--target T]
+    python -m dbt_on_snowflake_spark compile   --project <dir> [--select S]
+    python -m dbt_on_snowflake_spark ls        --project <dir>
+    python -m dbt_on_snowflake_spark freshness --project <dir>
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from dataclasses import asdict
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="dbt_on_snowflake_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name in ("run", "test", "compile", "ls", "freshness"):
+        sp = sub.add_parser(name)
+        sp.add_argument("--project", required=True)
+        sp.add_argument("--target", default="dev")
+        sp.add_argument("--select", default=None)
+        sp.add_argument("--out", default=None, help="run_results.json path")
+    args = p.parse_args(argv)
+
+    from dbt_on_snowflake_spark.engine.dag import select, toposort
+    from dbt_on_snowflake_spark.engine.project import Project
+    from dbt_on_snowflake_spark.session import get_spark
+
+    project = Project(args.project, target=args.target)
+
+    if args.cmd == "ls":
+        for name in toposort(project):
+            node = project.models[name]
+            print(f"{project.materialization_for(node):5s}  {name}")
+        return 0
+
+    if args.cmd == "compile":
+        from dbt_on_snowflake_spark.engine.compile import render
+
+        for name in select(project, args.select):
+            node = project.models[name]
+            print(f"-- model: {name} [{node.kind}]")
+            if node.kind == "sql":
+                print(
+                    render(
+                        node.body,
+                        lambda n: project.relation_for(
+                            n, project.models[n].config.get("schema")
+                        ),
+                        lambda g, t: f"src_{g}_{t}",
+                    )
+                )
+            print()
+        return 0
+
+    spark = get_spark("cli")
+    from dbt_on_snowflake_spark.engine.runner import Runner
+
+    runner = Runner(spark, project)
+
+    if args.cmd == "run":
+        results = runner.run(args.select)
+        for r in results:
+            print(f"{r.status:8s} {r.materialization:5s} {r.relation} "
+                  f"({r.rows if r.rows is not None else '-'} rows, {r.seconds}s)")
+        if args.out:
+            runner.write_run_results(args.out)
+        return 0 if all(r.status == "success" for r in results) else 1
+
+    if args.cmd == "test":
+        from dbt_on_snowflake_spark.engine.testing import TestRunner
+
+        runner.run()  # tests need sources + models materialized
+        tr = TestRunner(spark)
+        results = tr.run_source_tests(project, runner)
+        for r in results:
+            col = f".{r.column}" if r.column else ""
+            print(f"{r.status:5s} {r.name} on {r.relation}{col} "
+                  f"(failures={r.failures})")
+        n_bad = sum(1 for r in results if r.status != "pass")
+        print(f"{len(results) - n_bad}/{len(results)} tests passed")
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump([asdict(r) for r in results], f, indent=2)
+        return 0 if n_bad == 0 else 1
+
+    if args.cmd == "freshness":
+        from dbt_on_snowflake_spark.engine.freshness import check_freshness
+
+        runner.load_sources()
+        for fr in check_freshness(spark, project, runner):
+            print(f"{fr.status:5s} {fr.source}.{fr.table} "
+                  f"max({fr.loaded_at_field})={fr.max_loaded_at}")
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -384,6 +384,29 @@ def a6_unique_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Semi-structured: JSON extraction from the events.props VARIANT
+# stand-in (reference carries menu_item_health_metrics_obj VARIANT,
+# setup_data.sql:57; never queried there — we demonstrate the query path).
+@query(
+    "f_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+           CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+                THEN 'high' ELSE 'low' END AS k_band
+    FROM events
+    """,
+)
+def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.select(
+        "event_id",
+        k.alias("k_value"),
+        F.when(k >= 50, "high").otherwise("low").alias("k_band"),
+    )
+
+
 # --- F2-F5: scalar function suite (concat/cast/coalesce/case/date parts) ---
 @query(
     "f_scalar_suite",

@@ -204,3 +204,40 @@ def test_run_results_artifact(tasty, tmp_path):
     assert doc["target"] == "dev"
     assert len(doc["results"]) == 11
     assert all(r["status"] == "success" for r in doc["results"])
+
+
+def test_source_freshness(tasty, spark):
+    """loaded_at_field freshness (reference __sources.yml:168) with an
+    injectable clock."""
+    from datetime import datetime, timedelta, timezone
+
+    from dbt_on_snowflake_spark.engine.freshness import check_freshness
+
+    project, runner, tables = tasty
+    max_ts = tables["order_header"]["order_ts"].max().to_pydatetime()
+    now_fresh = max_ts.replace(tzinfo=timezone.utc) + timedelta(hours=1)
+    res = check_freshness(spark, project, runner, now=now_fresh)
+    assert [(r.table, r.status) for r in res] == [("order_header", "pass")]
+    now_stale = max_ts.replace(tzinfo=timezone.utc) + timedelta(days=30)
+    res2 = check_freshness(spark, project, runner, now=now_stale)
+    assert res2[0].status == "error"
+
+
+def test_cli_ls_compile_run(tasty, capsys):
+    """The CLI command surface (reference dbt CLI usage, README.md:108-136)."""
+    from dbt_on_snowflake_spark.__main__ import main
+
+    rc = main(["ls", "--project", PROJ_ROOT])
+    out = capsys.readouterr().out
+    assert rc == 0 and "table  orders" in out and "view " in out
+
+    rc = main(["compile", "--project", PROJ_ROOT, "--select", "orders"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "{{ ref(" not in out  # fully rendered
+    assert "dev_raw_pos_order_detail" in out
+
+    rc = main(["run", "--project", PROJ_ROOT,
+               "--select", "customer_loyalty_metrics"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "dev_customer_loyalty_metrics" in out

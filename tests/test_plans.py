@@ -1,0 +1,80 @@
+"""Plan-shape regression tests: the properties that make these queries
+survive a 100x scale-up are pinned here — pushdown, pruning, broadcast
+joins, shuffle counts, codegen."""
+
+from __future__ import annotations
+
+import pytest
+
+from dbt_on_snowflake_spark.plans import (
+    assert_pushed_filter,
+    assert_read_columns,
+    codegen_subtrees,
+    count_broadcast_joins,
+    count_shuffles,
+    explain_str,
+    scan_for,
+)
+from dbt_on_snowflake_spark.registry import all_queries
+from tests.conftest import SF_SMOKE
+
+Q = all_queries()
+
+
+def plan_of(spark, name: str) -> str:
+    return explain_str(Q[name].fn(spark, SF_SMOKE))
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """p6: the BETWEEN predicate lands in the parquet scan's
+    PushedFilters, and the scan reads only the 3 projected columns."""
+    plan = plan_of(spark, "p6_range_filter")
+    assert_pushed_filter(plan, "orders", "GreaterThanOrEqual(o_totalprice,500.0")
+    assert_pushed_filter(plan, "orders", "LessThanOrEqual(o_totalprice,2000.0")
+    assert_read_columns(plan, "orders", 3)
+
+
+def test_q1_scan_prunes_columns_and_pushes_date(spark):
+    """q1 reads 7 of 11 lineitem columns and pushes the shipdate filter."""
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert_read_columns(plan, "lineitem", 7)
+    s = scan_for(plan, "lineitem")
+    assert "l_shipdate" in s.get("pushedfilters", "")
+
+
+def test_denorm_broadcasts_all_dims(spark):
+    """j1: 5 dim joins broadcast; only lineitem<->orders may shuffle.
+    A plan where a dim join went to sort-merge would shuffle the fact
+    table once per dim at 100 TB."""
+    plan = plan_of(spark, "j1_orders_denorm")
+    assert count_broadcast_joins(plan) >= 5
+    assert count_shuffles(plan) <= 2  # at most the fact-fact join's two sides
+
+
+def test_loyalty_single_shuffle_aggregation(spark):
+    """a1: customer is broadcast; shuffles are only the fact-fact join +
+    the final groupBy — no Expand (the distinct-agg trap)."""
+    plan = plan_of(spark, "a1_loyalty_metrics")
+    assert "Expand" not in plan
+    assert count_broadcast_joins(plan) >= 1
+
+
+def test_topk_is_partial_per_partition(spark):
+    """q3's deterministic top-10 uses TakeOrderedAndProject (per-partition
+    partial top-k, no global sort of all groups)."""
+    plan = plan_of(spark, "q3_top_revenue_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ann_broadcast_query_side(spark):
+    """ANN brute force: the query subset broadcasts; the corpus scan has
+    no shuffle exchange before the join."""
+    plan = plan_of(spark, "ann_topk_bruteforce")
+    assert count_broadcast_joins(plan) >= 1 or "BroadcastNestedLoopJoin" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["q1_pricing_summary", "a1_loyalty_metrics", "dedup_minhash_lsh"]
+)
+def test_headlines_have_codegen(spark, name):
+    assert codegen_subtrees(spark, lambda: Q[name].fn(spark, SF_SMOKE)) > 0
