@@ -129,7 +129,8 @@ def w_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").alias("customer_id"),
             F.col("o_orderkey").alias("order_key"),
             F.col("o_totalprice").alias("total_price"),
-            F.col("rk").alias("rank_in_customer"),
+            # row_number is int in Spark, BIGINT in DuckDB — align schema
+            F.col("rk").cast("long").alias("rank_in_customer"),
         )
     )
 
@@ -195,6 +196,44 @@ def a_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum("o_totalprice", "total_sales"),
             F.count("o_orderkey").alias("order_count"),
+        )
+    )
+
+
+# --- Cube: all grouping-set combinations over two dimensions (the
+# grouping-sets family noted available in SURVEY §2.4; GROUPING() ids
+# disambiguate NULL-as-total from NULL-as-value).
+@query(
+    "a_cube_status_priority",
+    oracle=f"""
+    SELECT o_orderstatus AS status,
+           o_orderpriority AS priority,
+           GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority)
+               AS grouping_id,
+           COUNT(*) AS n_orders,
+           {dsum_sql("o_totalprice", "total_sales")}
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def a_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            # grouping() must reference the grouping expression, not an alias
+            (
+                F.grouping("o_orderstatus") + 2 * F.grouping("o_orderpriority")
+            ).cast("long").alias("grouping_id"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "total_sales"),
+        )
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            "grouping_id",
+            "n_orders",
+            "total_sales",
         )
     )
 

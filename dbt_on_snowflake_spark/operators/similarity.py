@@ -32,7 +32,7 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _topk(joined: DataFrame) -> DataFrame:
-    cos = F.round(_cosine("q.v", "c.v"), 4)
+    cos = F.round(_cosine("q.v", "c.v"), 4) + 0.0  # collapse -0.0
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -42,7 +42,7 @@ def _topk(joined: DataFrame) -> DataFrame:
             F.col("c.vec_id").alias("neighbor_id"),
             cos.alias("cosine"),
         )
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
     )
 
@@ -52,7 +52,7 @@ _ORACLE_TOPK = """
     q AS (SELECT * FROM e WHERE vec_id % {stride} = 0),
     scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               ROUND({cosine}, 4) AS cosine
+               ROUND({cosine}, 4) + 0.0 AS cosine
         FROM q JOIN e c ON q.vec_id <> c.vec_id {block}
     ),
     ranked AS (
@@ -84,6 +84,44 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = e.alias("c")
     joined = q.join(c, F.col("q.vec_id") != F.col("c.vec_id"))
     return _topk(joined)
+
+
+# Centroid computation — the IVF "training" step: per-label per-dimension
+# mean. posexplode/generate_subscripts align the two engines; means are
+# rounded to 4 decimals (float sums are order-dependent; at 4 decimals
+# the residual is far below the rounding grain for 64-dim sums).
+@query(
+    "ann_centroids",
+    oracle="""
+    SELECT label,
+           CAST(dim - 1 AS BIGINT) AS dim,
+           ROUND(SUM(val) / COUNT(*), 4) + 0.0 AS centroid_val,
+           COUNT(*) AS n_vectors
+    FROM (
+        SELECT label,
+               unnest(embedding::DOUBLE[]) AS val,
+               generate_subscripts(embedding, 1) AS dim
+        FROM embeddings
+    )
+    GROUP BY label, dim
+    """,
+)
+def ann_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return (
+        e.select("label", F.posexplode("v").alias("dim", "val"))
+        .groupBy("label", F.col("dim").cast("long").alias("dim"))
+        .agg(
+            # +0.0 collapses IEEE -0.0 to +0.0 (engines disagree on the
+            # sign of zero after rounding; value-hashes then diverge)
+            (F.round(F.sum("val") / F.count(F.lit(1)), 4) + 0.0).alias(
+                "centroid_val"
+            ),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )
 
 
 @query(

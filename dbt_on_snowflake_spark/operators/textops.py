@@ -210,6 +210,44 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------- edit distance dedup
+
+
+@query(
+    "text_levenshtein_pairs",
+    oracle="""
+    WITH p AS (SELECT doc_id, substring(text, 1, 64) AS prefix
+               FROM documents WHERE doc_id < 350)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS edit_distance
+    FROM p a JOIN p b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.prefix, b.prefix) <= 16
+    """,
+)
+def text_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs over 64-char prefixes of a bounded
+    doc subset. Levenshtein is O(len^2) per pair and all-pairs is
+    quadratic — this exact operator is a *verifier* for candidate pairs
+    (LSH/fingerprint output), never a corpus-wide pass; the doc_id<100
+    block models that bounded candidate set."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 350)
+        .select("doc_id", F.substring("text", 1, 64).alias("prefix"))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(dist <= 16)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.cast("long").alias("edit_distance"),
+        )
+    )
+
+
 # ------------------------------------------------------ doc fingerprinting
 
 FP_K = 4  # k smallest shingle hashes form the fingerprint

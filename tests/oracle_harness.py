@@ -30,6 +30,8 @@ def _norm(v: Any) -> Any:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0.0:
+            return 0.0  # collapse -0.0/+0.0: equal values, different reprs
         return v
     if hasattr(v, "isoformat"):  # datetime/date; strip sub-second repr noise
         return v.isoformat()

@@ -1,0 +1,58 @@
+"""Property-based checks (hypothesis) for the custom operators whose
+semantics aren't pinned by a DuckDB oracle alone."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from dbt_on_snowflake_spark.operators.asof import asof_join
+
+
+@st.composite
+def asof_case(draw):
+    n_keys = draw(st.integers(1, 4))
+    left = []
+    right = []
+    for k in range(n_keys):
+        lts = draw(st.lists(st.integers(0, 1000), min_size=0, max_size=8))
+        rts = draw(st.lists(st.integers(0, 1000), min_size=0, max_size=8))
+        left += [(k, t) for t in lts]
+        right += [(k, t, k * 10_000 + i) for i, t in enumerate(sorted(set(rts)))]
+    return left, right
+
+
+@settings(max_examples=12, deadline=None)
+@given(asof_case())
+def test_asof_join_matches_merge_asof(spark, case):
+    left_rows, right_rows = case
+    lpdf = pd.DataFrame(left_rows, columns=["k", "lts"]).assign(
+        row_id=lambda d: range(len(d))
+    )
+    rpdf = pd.DataFrame(right_rows, columns=["k", "rts", "val"])
+    if lpdf.empty:
+        return
+    left = spark.createDataFrame(lpdf.astype({"k": "int64", "lts": "int64"}))
+    got_pdf_cols = ["row_id", "val"]
+    if rpdf.empty:
+        expected = lpdf.assign(val=pd.NA)[got_pdf_cols]
+        right = spark.createDataFrame([], "k long, rts long, val long")
+    else:
+        right = spark.createDataFrame(
+            rpdf.astype({"k": "int64", "rts": "int64", "val": "int64"})
+        )
+        expected = pd.merge_asof(
+            lpdf.sort_values("lts", kind="stable"),
+            rpdf.sort_values("rts", kind="stable"),
+            left_on="lts",
+            right_on="rts",
+            by="k",
+            direction="backward",
+        )[got_pdf_cols]
+    got = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts", right_values=["val"]
+    ).toPandas()[got_pdf_cols]
+    g = {r.row_id: r.val for r in got.itertuples()}
+    e = {r.row_id: r.val for r in expected.itertuples()}
+    norm = lambda v: None if pd.isna(v) else int(v)  # noqa: E731
+    assert {k: norm(v) for k, v in g.items()} == {k: norm(v) for k, v in e.items()}
