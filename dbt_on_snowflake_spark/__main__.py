@@ -44,17 +44,30 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "compile":
         from dbt_on_snowflake_spark.engine.compile import render
 
+        def resolve_source(g, t):
+            return f"src_{g}_{t}"
+
+        def resolve_ref(n):
+            # mirror Runner.resolve_ref incl. ephemeral inlining
+            node = project.models[n]
+            if project.materialization_for(node) == "ephemeral":
+                body = render(node.body, resolve_ref, resolve_source)
+                return f"({body}) AS _eph_{n}"
+            return project.relation_for(n, node.config.get("schema"))
+
         for name in select(project, args.select):
             node = project.models[name]
-            print(f"-- model: {name} [{node.kind}]")
-            if node.kind == "sql":
+            mat = project.materialization_for(node)
+            print(f"-- model: {name} [{node.kind}, {mat}]")
+            if node.kind == "sql" and mat != "ephemeral":
                 print(
                     render(
                         node.body,
-                        lambda n: project.relation_for(
-                            n, project.models[n].config.get("schema")
+                        resolve_ref,
+                        resolve_source,
+                        this=project.relation_for(
+                            name, node.config.get("schema")
                         ),
-                        lambda g, t: f"src_{g}_{t}",
                     )
                 )
             print()

@@ -18,6 +18,10 @@ _SOURCE_RE = re.compile(
 )
 _CONFIG_RE = re.compile(r"\{\{\s*config\((.*?)\)\s*\}\}", re.DOTALL)
 _CONFIG_KV_RE = re.compile(r"(\w+)\s*=\s*['\"]?([\w.]+)['\"]?")
+_THIS_RE = re.compile(r"\{\{\s*this\s*\}\}")
+_INCR_BLOCK_RE = re.compile(
+    r"\{%\s*if\s+is_incremental\(\)\s*%\}(.*?)\{%\s*endif\s*%\}", re.DOTALL
+)
 
 
 def extract_deps(sql: str) -> tuple[list[str], list[tuple[str, str]]]:
@@ -39,6 +43,8 @@ def render(
     sql: str,
     resolve_ref,
     resolve_source,
+    this: str | None = None,
+    is_incremental: bool = False,
 ) -> str:
     """Render a model body to executable Spark SQL.
 
@@ -46,8 +52,16 @@ def render(
     return the physical relation identifier (view/table name) — the
     equivalent of dbt's ref/source resolution through
     generate_schema_name (reference dbt/macros/generate_schema_name.sql).
+
+    Incremental constructs (dbt core surface beyond the reference):
+    ``{% if is_incremental() %}...{% endif %}`` blocks are kept on
+    incremental runs and dropped on first/full-refresh runs; ``{{ this }}``
+    resolves to the model's own target relation.
     """
     out = _CONFIG_RE.sub("", sql)
+    out = _INCR_BLOCK_RE.sub(lambda m: m.group(1) if is_incremental else "", out)
+    if this is not None:
+        out = _THIS_RE.sub(this, out)
     out = _REF_RE.sub(lambda m: resolve_ref(m.group(1)), out)
     out = _SOURCE_RE.sub(lambda m: resolve_source(m.group(1), m.group(2)), out)
     return out.strip().rstrip(";")

@@ -17,6 +17,7 @@ from __future__ import annotations
 import importlib.util
 import json
 import os
+import shutil
 import time
 from dataclasses import asdict, dataclass
 
@@ -54,14 +55,46 @@ class ModelContext:
 
 
 class Runner:
+    """Managed tables are plain parquet directories under the warehouse
+    dir, registered as temp views — NOT metastore tables: Spark's default
+    catalog is in-memory, so saveAsTable metadata dies with the process
+    while its files persist, breaking any cross-invocation workflow
+    (incremental models, cron re-runs) with LOCATION_ALREADY_EXISTS.
+    Path-based tables make the CLI idempotent across processes; swapping
+    to a real catalog (Hive metastore / Delta / Iceberg) changes only
+    ``_table_path``/``_materialize``."""
+
     def __init__(self, spark: SparkSession, project: Project):
         self.spark = spark
         self.project = project
         self.results: list[NodeResult] = []
+        wh = spark.conf.get("spark.sql.warehouse.dir", "/tmp/spark_warehouse")
+        self.warehouse = wh.removeprefix("file:")
+
+    def _table_path(self, relation: str) -> str:
+        return os.path.join(self.warehouse, relation)
+
+    def _register_table(self, relation: str) -> None:
+        self.spark.read.parquet(self._table_path(relation)).createOrReplaceTempView(
+            relation
+        )
+
+    def table_exists(self, relation: str) -> bool:
+        return os.path.isdir(self._table_path(relation))
 
     # -- resolution -------------------------------------------------------
     def resolve_ref(self, name: str) -> str:
         node = self.project.models[name]
+        if self.project.materialization_for(node) == "ephemeral":
+            # ephemeral models inline as a subquery — no relation exists
+            # (dbt's CTE injection; Catalyst flattens the subquery anyway)
+            if node.kind != "sql":
+                raise ValueError(f"python model {name!r} cannot be ephemeral")
+            body = render(
+                node.body, self.resolve_ref, self.resolve_source,
+                this=None, is_incremental=False,
+            )
+            return f"({body}) AS _eph_{name}"
         return self.project.relation_for(name, node.config.get("schema"))
 
     def resolve_source(self, group: str, name: str) -> str:
@@ -90,11 +123,13 @@ class Runner:
 
     def _run_node(self, node: ModelNode) -> None:
         mat = self.project.materialization_for(node)
-        relation = self.resolve_ref(node.name)
+        if mat == "ephemeral":
+            return  # inlined at ref() sites; nothing to execute
+        relation = self.project.relation_for(node.name, node.config.get("schema"))
         t0 = time.perf_counter()
         try:
             df = self._build_df(node)
-            rows = self._materialize(df, relation, mat)
+            rows = self._materialize(df, relation, mat, node)
             self.results.append(
                 NodeResult(
                     node.name, "success", mat, relation, rows,
@@ -112,7 +147,22 @@ class Runner:
 
     def _build_df(self, node: ModelNode) -> DataFrame:
         if node.kind == "sql":
-            sql = render(node.body, self.resolve_ref, self.resolve_source)
+            relation = self.project.relation_for(
+                node.name, node.config.get("schema")
+            )
+            incremental = (
+                self.project.materialization_for(node) == "incremental"
+                and self.table_exists(relation)
+            )
+            if incremental:
+                self._register_table(relation)  # {{ this }} must resolve
+            sql = render(
+                node.body,
+                self.resolve_ref,
+                self.resolve_source,
+                this=relation,
+                is_incremental=incremental,
+            )
             return self.spark.sql(sql)
         spec = importlib.util.spec_from_file_location(
             f"model_{node.name}", node.path
@@ -121,15 +171,55 @@ class Runner:
         spec.loader.exec_module(mod)
         return mod.model(ModelContext(self), self.spark)
 
-    def _materialize(self, df: DataFrame, relation: str, mat: str) -> int | None:
+    def _materialize(
+        self, df: DataFrame, relation: str, mat: str, node: ModelNode | None = None
+    ) -> int | None:
         if mat == "view":
             df.createOrReplaceTempView(relation)
             return None  # views are lazy; no action (dbt also reports 0)
         if mat == "table":
-            df.write.mode("overwrite").saveAsTable(relation)
-            t = self.spark.table(relation)
-            return t.count()
+            df.write.mode("overwrite").parquet(self._table_path(relation))
+            self._register_table(relation)
+            return self.spark.table(relation).count()
+        if mat == "incremental":
+            return self._materialize_incremental(df, relation, node)
         raise ValueError(f"unknown materialization: {mat}")
+
+    def _materialize_incremental(
+        self, df: DataFrame, relation: str, node: ModelNode | None
+    ) -> int:
+        """dbt-style incremental: first run = full table; later runs append
+        the model's (usually filtered-by-{{ this }}) output. With a
+        unique_key config, existing rows with matching keys are replaced
+        (delete+insert semantics) via a left-anti join — the non-Delta
+        equivalent of MERGE. The combined result is staged to a side
+        directory before the swap because the new data reads from the
+        target's own files; the stage write is a completed action before
+        anything is deleted.
+
+        At scale: the anti-join shuffles on the unique key once; with the
+        target bucketed by that key it's shuffle-free, and the
+        delete-and-rename swap becomes a metadata commit on a real table
+        format (Delta/Iceberg) — see SCALING.md."""
+        path = self._table_path(relation)
+        if not self.table_exists(relation):
+            df.write.mode("overwrite").parquet(path)
+            self._register_table(relation)
+            return self.spark.table(relation).count()
+        unique_key = node.config.get("unique_key") if node else None
+        existing = self.spark.read.parquet(path)
+        if unique_key:
+            new_keys = df.select(unique_key).distinct()
+            kept = existing.join(new_keys, unique_key, "left_anti")
+            combined = kept.unionByName(df)
+        else:
+            combined = existing.unionByName(df)
+        stage = path + "__incr_stage"
+        combined.write.mode("overwrite").parquet(stage)
+        shutil.rmtree(path)
+        os.rename(stage, path)
+        self._register_table(relation)
+        return self.spark.table(relation).count()
 
     # -- artifacts --------------------------------------------------------
     def write_run_results(self, path: str) -> None:

@@ -50,17 +50,23 @@ def get_spark(
         # The testdata events table stores TIMESTAMP(NANOS) which the Spark
         # reader rejects; read as long and convert in testdata.table().
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # keep saveAsTable warehouse + derby metastore out of the repo cwd,
-        # and per-process so stale dirs from prior runs never collide
+        # warehouse + derby metastore live OUT of the repo cwd and as a
+        # CONSISTENT pair (a warehouse without its metastore causes
+        # LOCATION_ALREADY_EXISTS on overwrite). Stable default so managed
+        # tables persist across CLI invocations (incremental models);
+        # tests point SPARK_WAREHOUSE_DIR at per-session temp dirs because
+        # derby allows only one process at a time.
         .config(
             "spark.sql.warehouse.dir",
-            os.environ.get(
-                "SPARK_WAREHOUSE_DIR", f"/tmp/spark_warehouse_{os.getpid()}"
-            ),
+            os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/spark_warehouse"),
         )
         .config(
             "spark.driver.extraJavaOptions",
-            f"-Dderby.system.home=/tmp/derby_{os.getpid()}",
+            "-Dderby.system.home="
+            + os.environ.get(
+                "SPARK_DERBY_DIR",
+                os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/spark_warehouse"),
+            ),
         )
     )
     if extra_conf:
