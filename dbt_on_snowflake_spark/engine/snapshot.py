@@ -1,0 +1,101 @@
+"""Snapshots — dbt's SCD2 change tracking (core dbt surface; the
+reference project doesn't use snapshots, but a user switching from dbt
+expects them). Each run compares the source against the current snapshot
+and writes history rows:
+
+    key cols..., tracked cols..., dbt_valid_from, dbt_valid_to (NULL =
+    current), dbt_scd_id (md5 of key + change hash)
+
+Strategy = "check": a row changed when the md5 over its tracked columns
+changed (dbt's check_cols strategy; the timestamp strategy is the same
+plumbing keyed on an updated_at column instead of the hash).
+
+Spark shape: one full-outer join between the current slice and the new
+source on the key — a single key-partitioned shuffle; history rows are
+untouched (append/close-only), so at scale the snapshot table is
+partitioned by dbt_valid_from date and each run rewrites only the
+current partition slice.
+
+``now`` is injectable for deterministic tests (SURVEY §7.4 frozen clock).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _hash_cols(cols: list[str]):
+    return F.md5(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]))
+
+
+def snapshot_apply(
+    spark: SparkSession,
+    source: DataFrame,
+    existing: DataFrame | None,
+    key: str,
+    check_cols: list[str],
+    now: datetime,
+) -> DataFrame:
+    """Return the new full snapshot table (history + updated current)."""
+    ts = F.lit(now).cast("timestamp")
+    src = source.select(
+        key,
+        *check_cols,
+        _hash_cols(check_cols).alias("_chash"),
+    )
+    if existing is None:
+        return src.select(
+            key,
+            *check_cols,
+            ts.alias("dbt_valid_from"),
+            F.lit(None).cast("timestamp").alias("dbt_valid_to"),
+            F.md5(
+                F.concat_ws("|", F.col(key).cast("string"), F.col("_chash"),
+                            ts.cast("string"))
+            ).alias("dbt_scd_id"),
+        )
+
+    history = existing.filter(F.col("dbt_valid_to").isNotNull())
+    current = existing.filter(F.col("dbt_valid_to").isNull())
+    cur = current.withColumn("_chash", _hash_cols(check_cols))
+
+    j = cur.alias("c").join(
+        src.alias("s"), F.col(f"c.{key}") == F.col(f"s.{key}"), "full_outer"
+    )
+    unchanged = j.filter(
+        F.col(f"s.{key}").isNotNull()
+        & F.col(f"c.{key}").isNotNull()
+        & (F.col("c._chash") == F.col("s._chash"))
+    ).select("c.*").drop("_chash")
+    closed = (
+        j.filter(
+            F.col(f"c.{key}").isNotNull()
+            & (F.col(f"s.{key}").isNull() | (F.col("c._chash") != F.col("s._chash")))
+        )
+        .select("c.*")
+        .drop("_chash")
+        .withColumn("dbt_valid_to", ts)
+    )
+    opened = (
+        j.filter(
+            F.col(f"s.{key}").isNotNull()
+            & (F.col(f"c.{key}").isNull() | (F.col("c._chash") != F.col("s._chash")))
+        )
+        .select("s.*")
+        .select(
+            key,
+            *check_cols,
+            ts.alias("dbt_valid_from"),
+            F.lit(None).cast("timestamp").alias("dbt_valid_to"),
+            F.md5(
+                # ts in the id: a key reverting to a prior value must not
+                # collide with its earlier version's id
+                F.concat_ws("|", F.col(key).cast("string"), F.col("_chash"),
+                            ts.cast("string"))
+            ).alias("dbt_scd_id"),
+        )
+    )
+    return history.unionByName(unchanged).unionByName(closed).unionByName(opened)

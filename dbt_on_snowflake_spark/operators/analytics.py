@@ -305,6 +305,26 @@ def a_pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Approximate sketches (HLL distinct, quantile sketch) — the
+# cardinality/quantile path for 100 TB where exact distinct is a full
+# shuffle of the key set. No SQL oracle: HLL/KLL implementations differ
+# across engines by design; error bounds are pytest-asserted instead
+# (tests/test_extensions.py::test_approx_sketches_within_bounds).
+@query("a_approx_sketches")
+def a_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+            F.size(F.collect_set("l_orderkey")).cast("long").alias("exact_orders"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
 # --- Tumbling-window temporal aggregation over events (batch form; the
 # streaming/ module runs the same query through Structured Streaming).
 @query(

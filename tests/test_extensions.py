@@ -63,3 +63,16 @@ def test_minhash_recall_of_high_jaccard_pairs(spark):
     assert exact, "expected planted near-duplicates in testdata"
     missed = exact - candidates
     assert not missed, f"LSH missed {len(missed)} high-similarity pairs"
+
+
+def test_approx_sketches_within_bounds(spark):
+    """HLL distinct (rsd=0.02) within 6% (3 sigma) of exact; approx median within 1% of exact
+    (the approximate path exact distinct can't afford at 100 TB)."""
+    from dbt_on_snowflake_spark.operators.analytics import a_approx_sketches
+
+    for r in a_approx_sketches(spark, SF_SMOKE).collect():
+        assert abs(r.approx_orders - r.exact_orders) <= 0.06 * r.exact_orders
+        assert (
+            abs(r.approx_median_price - r.exact_median_price)
+            <= 0.01 * r.exact_median_price
+        )
