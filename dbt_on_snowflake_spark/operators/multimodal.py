@@ -120,3 +120,69 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure-Python decoder."""
     d = table(spark, sf_dir, "documents")
     return decode_media(_with_payload(d))
+
+
+# ------------------------------------------- resize / frame-sample stubs
+
+RESIZE_SCHEMA = "doc_id long, width int, height int, thumb_width int, thumb_height int"
+FRAMES_SCHEMA = "doc_id long, frame_idx int, frame_offset_bytes long"
+
+
+def resize_media(df: DataFrame, max_side: int = 32) -> DataFrame:
+    """Deterministic fake resize: scales the fake-decoded dims to fit
+    ``max_side`` preserving aspect ratio (a real impl calls the codec lib
+    inside the same batch loop — the Spark plumbing is identical)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [fake_decode_rgb(p)[:2] for p in pdf["payload"]]
+            scale = [max(1.0, max(w, h) / max_side) for w, h in dims]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "thumb_width": [int(d[0] / s) for d, s in zip(dims, scale)],
+                    "thumb_height": [int(d[1] / s) for d, s in zip(dims, scale)],
+                }
+            )
+
+    return df.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n_bytes: int = 128) -> DataFrame:
+    """Deterministic fake frame sampling: one 'frame' per N payload bytes
+    (a video impl samples by timestamp; same one-row-in/many-rows-out
+    batch shape — mapInPandas yields more rows than it consumes)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_offset_bytes": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = max(1, len(payload) // every_n_bytes)
+                for i in range(n):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_offset_bytes"].append(i * every_n_bytes)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(unnest(range(0, greatest(octet_length(encode(text)) // 128, 1)))
+               AS INTEGER) AS frame_idx,
+           unnest(range(0, greatest(octet_length(encode(text)) // 128, 1))) * 128
+               AS frame_offset_bytes
+    FROM documents
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling through mapInPandas, oracle-checked: the
+    deterministic fake (one frame per 128 bytes) is exactly expressible
+    in SQL, so even the Python-batch path gets a hash-compared oracle."""
+    d = table(spark, sf_dir, "documents")
+    return sample_frames(_with_payload(d))
