@@ -99,6 +99,120 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- TPC-H Q5 shape: 6-way join filtered by region, revenue per nation.
+# Dims broadcast; the only shuffle is lineitem<->orders plus the final
+# low-cardinality group-by.
+@query(
+    "q5_nation_volume",
+    oracle=f"""
+    SELECT n.n_name AS nation_name,
+           {sum_scaled_sql("CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))", "revenue", 4)},
+           COUNT(*) AS n_lineitems
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n.n_name
+    """,
+)
+def q5_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = F.broadcast(
+        table(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    )
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    c = F.broadcast(table(spark, sf_dir, "customer"))
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        r.join(n, n.n_regionkey == r.r_regionkey, "inner")
+        .join(c, c.c_nationkey == n.n_nationkey, "inner")
+        .join(o, o.o_custkey == c.c_custkey, "inner")
+        .join(l, l.l_orderkey == o.o_orderkey, "inner")
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            sum_scaled(revenue_scaled(), "revenue", 4),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# --- TPC-H Q17 shape: correlated scalar subquery (per-part average
+# quantity threshold), decorrelated by both engines into a join against
+# a pre-aggregated subquery. The avg threshold itself goes through the
+# exact scaled-integer path so the filter boundary is engine-identical.
+@query(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    WITH part_avg AS (
+        SELECT l_partkey,
+               CAST(SUM({scaled_sql("l_quantity")}) AS DOUBLE) / 100.0
+                   / COUNT(*) AS avg_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l.l_partkey AS part_key,
+           COUNT(*) AS n_small_orders,
+           {dsum_sql("l.l_extendedprice", "small_order_revenue")}
+    FROM lineitem l
+    JOIN part_avg pa ON pa.l_partkey = l.l_partkey
+    WHERE l.l_quantity < 0.5 * pa.avg_qty
+    GROUP BY l.l_partkey
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    part_avg = (
+        l.groupBy("l_partkey")
+        .agg(
+            (
+                F.sum(scaled("l_quantity")).cast("double") / 100.0
+                / F.count(F.lit(1))
+            ).alias("avg_qty")
+        )
+    )
+    pa = part_avg.alias("pa")
+    return (
+        l.alias("l")
+        .join(pa, F.col("l.l_partkey") == F.col("pa.l_partkey"), "inner")
+        .filter(F.col("l.l_quantity") < 0.5 * F.col("avg_qty"))
+        .groupBy(F.col("l.l_partkey").alias("part_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_small_orders"),
+            dsum("l.l_extendedprice", "small_order_revenue"),
+        )
+    )
+
+
+# --- Calendar rollup: monthly revenue via date_trunc (temporal grouping
+# beyond the hourly event windows).
+@query(
+    "t_monthly_revenue",
+    oracle=f"""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           o_orderstatus AS status,
+           COUNT(*) AS n_orders,
+           {dsum_sql("o_totalprice", "total_sales")}
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def t_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            # date_trunc returns TIMESTAMP in Spark but DATE-like in
+            # DuckDB — pin both to DATE
+            F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "total_sales"),
+        )
+    )
+
+
 # --- Window: top-K per group (row_number over partition, deterministic
 # tie-break on unique key). TPC-H-ish "top 3 orders per customer".
 @query(

@@ -241,3 +241,37 @@ def test_cli_ls_compile_run(tasty, capsys):
                "--select", "customer_loyalty_metrics"])
     out = capsys.readouterr().out
     assert rc == 0 and "dev_customer_loyalty_metrics" in out
+
+
+def test_dag_cycle_detection(spark, tmp_path):
+    """A ref cycle fails fast with a CycleError, not a hang or a Spark
+    resolution error."""
+    import graphlib
+
+    from dbt_on_snowflake_spark.engine.dag import toposort
+
+    root = str(tmp_path / "cyc")
+    os.makedirs(f"{root}/models/m")
+    with open(f"{root}/project.yml", "w") as f:
+        f.write("name: cyc\n")
+    with open(f"{root}/models/m/a.sql", "w") as f:
+        f.write("SELECT * FROM {{ ref('b') }}")
+    with open(f"{root}/models/m/b.sql", "w") as f:
+        f.write("SELECT * FROM {{ ref('a') }}")
+    import pytest as _pytest
+
+    with _pytest.raises(graphlib.CycleError):
+        toposort(Project(root))
+
+
+def test_unknown_ref_fails_fast(spark, tmp_path):
+    root = str(tmp_path / "badref")
+    os.makedirs(f"{root}/models/m")
+    with open(f"{root}/project.yml", "w") as f:
+        f.write("name: badref\n")
+    with open(f"{root}/models/m/a.sql", "w") as f:
+        f.write("SELECT * FROM {{ ref('nope') }}")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="refs unknown model"):
+        toposort(Project(root))
