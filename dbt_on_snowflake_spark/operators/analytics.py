@@ -81,9 +81,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
 )
 def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = F.broadcast(
-        table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    )
+    # No broadcast hint: even segment-filtered customer is ~SF*30k rows
+    # and grows with scale; AQE converts to broadcast at runtime when the
+    # filtered build actually fits.
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = table(spark, sf_dir, "orders")
     l = table(spark, sf_dir, "lineitem")
     return (
@@ -122,7 +123,8 @@ def q5_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
     )
     n = F.broadcast(table(spark, sf_dir, "nation"))
-    c = F.broadcast(table(spark, sf_dir, "customer"))
+    # customer: no hint (SF-growing); AQE broadcasts at runtime if it fits.
+    c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     l = table(spark, sf_dir, "lineitem")
     return (
@@ -299,7 +301,8 @@ def w_running_total_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
-    c = F.broadcast(table(spark, sf_dir, "customer"))
+    # customer: no hint (SF-growing); nation/region stay hinted (fixed 25/5).
+    c = table(spark, sf_dir, "customer")
     n = F.broadcast(table(spark, sf_dir, "nation"))
     r = F.broadcast(table(spark, sf_dir, "region"))
     return (
@@ -484,10 +487,10 @@ def t_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ), sessions AS (
         SELECT user_id, ts, value,
-               SUM(is_new) OVER (
+               CAST(SUM(is_new) OVER (
                    PARTITION BY user_id ORDER BY ts ASC
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS session_id
+               ) AS BIGINT) AS session_id
         FROM flagged
     )
     SELECT user_id,

@@ -12,13 +12,22 @@ Cost: one shuffle (partition by key), one per-key sort. State per key is
 O(1) during the scan (last_value ignoring nulls). This is exactly the
 merge phase of `pd.merge_asof`, expressed relationally so it distributes.
 
-Oracle: DuckDB's native ASOF JOIN.
+Tie contract: among right rows sharing (key, ts), the row with the
+GREATEST right-value tuple wins (lexicographic over `right_values`, or
+over an explicit `right_tiebreak` column when given). This makes the
+output deterministic under any partitioning/parallelism — `pd.merge_asof`
+and DuckDB's native ASOF both pick an arbitrary tied row, which is not a
+contract an engine should ship.
+
+Oracle: explicit ROW_NUMBER over the candidate set with the same
+tie-break, so both engines are pinned to the same row.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from dbt_on_snowflake_spark.registry import query
 from dbt_on_snowflake_spark.testdata import table
@@ -31,33 +40,45 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_values: list[str],
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """Left as-of join: latest right row with right_ts <= left_ts per key.
 
     Both inputs are unioned with a side tag; right rows sort before left
-    rows at equal timestamps (inclusive semantics). last_value(...,
-    ignorenulls) over (key ORDER BY ts, side) carries the most recent
-    right values onto each left row."""
+    rows at equal timestamps (inclusive semantics). The right values are
+    carried as ONE struct (row-atomic: a left row never sees fields mixed
+    from different right rows) via last(..., ignorenulls) over
+    (key ORDER BY ts, side, tiebreak). Ties on (key, ts) resolve to the
+    greatest tie-break value — the greatest `right_values` tuple unless
+    `right_tiebreak` names a column (make it unique per key for a total
+    order)."""
     lcols = left.columns
+    rv_type = StructType([right.schema[c] for c in right_values])
+    tb = (
+        F.col(f"_rv.{right_tiebreak}")
+        if right_tiebreak is not None
+        else F.col("_rv")
+    )
     l = left.select(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         F.struct(*lcols).alias("_lrow"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_rv_{c}") for c in right_values],
+        F.lit(None).cast(rv_type).alias("_rv"),
     )
     r = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        F.lit(None).cast(
-            l.schema["_lrow"].dataType
-        ).alias("_lrow"),
-        *[F.col(c).alias(f"_rv_{c}") for c in right_values],
+        F.lit(None).cast(l.schema["_lrow"].dataType).alias("_lrow"),
+        F.struct(*[F.col(c) for c in right_values]).alias("_rv"),
     )
+    # Left rows carry a NULL _rv; asc ordering puts NULL first, and _side
+    # already places every right row before the left rows at the same ts,
+    # so the tie-break column only ever orders right rows among themselves.
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), tb.asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l.unionByName(r).select(
@@ -65,14 +86,11 @@ def asof_join(
         "_ts",
         "_side",
         "_lrow",
-        *[
-            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_rv_{c}")
-            for c in right_values
-        ],
+        F.last("_rv", ignorenulls=True).over(w).alias("_rv"),
     )
     out = carried.filter(F.col("_side") == 1).select(
         *[F.col(f"_lrow.{c}").alias(c) for c in lcols],
-        *[F.col(f"_rv_{c}").alias(c) for c in right_values],
+        *[F.col(f"_rv.{c}").alias(c) for c in right_values],
     )
     return out
 
@@ -80,19 +98,36 @@ def asof_join(
 @query(
     "asof_last_order_before_event",
     oracle="""
-    SELECT e.event_id,
-           e.user_id,
-           e.ts AS event_ts,
-           o.o_orderkey AS last_order_key,
-           o.o_totalprice AS last_order_price
-    FROM events e
-    ASOF LEFT JOIN orders o
-        ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    WITH ranked AS (
+        SELECT e.event_id,
+               e.user_id,
+               e.ts AS event_ts,
+               o.o_orderkey,
+               o.o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+               ) AS rn
+        FROM events e
+        LEFT JOIN orders o
+          ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    )
+    SELECT event_id,
+           user_id,
+           event_ts,
+           o_orderkey AS last_order_key,
+           o_totalprice AS last_order_price
+    FROM ranked
+    WHERE rn = 1
     """,
+    headline=True,
 )
 def asof_last_order_before_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For every event, the user's most recent order at event time —
-    the canonical as-of enrichment (feature lookup at example time)."""
+    the canonical as-of enrichment (feature lookup at example time).
+    Orders sharing (custkey, orderdate) tie-break to the greatest
+    o_orderkey; the oracle's ROW_NUMBER pins the identical row, unlike
+    DuckDB's native ASOF JOIN whose tied pick is arbitrary."""
     e = table(spark, sf_dir, "events")
     o = table(spark, sf_dir, "orders")
     left = e.select("event_id", "user_id", F.col("ts").alias("event_ts"))
@@ -109,6 +144,7 @@ def asof_last_order_before_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="event_ts",
         right_ts="o_orderdate",
         right_values=["o_orderkey", "o_totalprice"],
+        right_tiebreak="o_orderkey",
     )
     return out.select(
         "event_id",

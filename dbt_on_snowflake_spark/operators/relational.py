@@ -176,11 +176,16 @@ def dq_failing_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j1_orders_denorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
-    c = F.broadcast(table(spark, sf_dir, "customer"))
+    # Broadcast hints ONLY on fixed-cardinality dims (nation=25, region=5).
+    # customer/part/supplier grow with scale factor: a hint would override
+    # AQE's size check and OOM the executors at 100x. AQE's runtime
+    # broadcast-conversion still broadcasts them when they actually fit
+    # (it does at sf0.1 — pinned by tests/test_plans.py).
+    c = table(spark, sf_dir, "customer")
     n = F.broadcast(table(spark, sf_dir, "nation"))
     r = F.broadcast(table(spark, sf_dir, "region"))
-    p = F.broadcast(table(spark, sf_dir, "part"))
-    s = F.broadcast(table(spark, sf_dir, "supplier"))
+    p = table(spark, sf_dir, "part")
+    s = table(spark, sf_dir, "supplier")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey, "inner")
         .join(c, o.o_custkey == c.c_custkey, "inner")
@@ -222,7 +227,9 @@ def j1_orders_denorm(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def j2_left_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
-    c = F.broadcast(table(spark, sf_dir, "customer"))
+    # No broadcast hint: customer grows with SF; AQE broadcasts at runtime
+    # when it fits (see j1_orders_denorm).
+    c = table(spark, sf_dir, "customer")
     return e.join(c, e.user_id == c.c_custkey, "left").select(
         F.col("event_id"),
         F.col("event_type"),
@@ -287,7 +294,8 @@ def j_semi_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
 )
 def a1_loyalty_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = F.broadcast(table(spark, sf_dir, "customer"))
+    # No broadcast hint on customer (SF-growing; AQE decides at runtime).
+    c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     l = table(spark, sf_dir, "lineitem")
     return (

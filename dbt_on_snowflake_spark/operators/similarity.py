@@ -23,6 +23,14 @@ from dbt_on_snowflake_spark.testdata import table
 
 TOP_K = 5
 QUERY_STRIDE = 50  # vec_id % 50 == 0 -> query set
+# Hard cap on the broadcast query set: without it the stride filter keeps
+# O(corpus/50) vectors — fine at sf0.1, but the broadcast build would grow
+# with the corpus and eventually exceed executor memory. vec_id < 50*512
+# bounds it at 512 query vectors regardless of corpus size, is a plain
+# pushed-down predicate (no LIMIT nondeterminism), and is a no-op at the
+# test scale factors (all vec_ids are below the cap there).
+MAX_QUERIES = 512
+_QUERY_PRED = f"vec_id % {QUERY_STRIDE} = 0 AND vec_id < {QUERY_STRIDE * MAX_QUERIES}"
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -49,7 +57,7 @@ def _topk(joined: DataFrame) -> DataFrame:
 
 _ORACLE_TOPK = """
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-    q AS (SELECT * FROM e WHERE vec_id % {stride} = 0),
+    q AS (SELECT * FROM e WHERE {query_pred}),
     scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                ROUND({cosine}, 4) + 0.0 AS cosine
@@ -68,7 +76,7 @@ _ORACLE_TOPK = """
 @query(
     "ann_topk_bruteforce",
     oracle=_ORACLE_TOPK.format(
-        stride=QUERY_STRIDE,
+        query_pred=_QUERY_PRED,
         cosine=COSINE_SQL.format(a="q.v", b="c.v"),
         block="",
         k=TOP_K,
@@ -76,11 +84,12 @@ _ORACLE_TOPK = """
     headline=True,
 )
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-5 cosine neighbors for every 50th vector. The query set
-    is broadcast; the corpus is scanned once, never shuffled — the only
-    shuffle is the final per-query top-k (tiny)."""
+    """Exact top-5 cosine neighbors for every 50th vector (bounded at
+    MAX_QUERIES). The query set is broadcast — and hard-bounded, so the
+    build side is O(1) in corpus size; the corpus is scanned once, never
+    shuffled — the only shuffle is the final per-query top-k (tiny)."""
     e = _vectors(spark, sf_dir)
-    q = F.broadcast(e.filter(F.col("vec_id") % QUERY_STRIDE == 0)).alias("q")
+    q = F.broadcast(e.filter(F.expr(_QUERY_PRED))).alias("q")
     c = e.alias("c")
     joined = q.join(c, F.col("q.vec_id") != F.col("c.vec_id"))
     return _topk(joined)
@@ -127,7 +136,7 @@ def ann_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ann_ivf_topk",
     oracle=_ORACLE_TOPK.format(
-        stride=QUERY_STRIDE,
+        query_pred=_QUERY_PRED,
         cosine=COSINE_SQL.format(a="q.v", b="c.v"),
         block="AND q.label = c.label",
         k=TOP_K,
@@ -137,9 +146,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: probe only the query's own coarse cluster (label).
     Recall < 1 by design; cost drops from O(N) to O(N / n_clusters) per
     query. At scale: corpus Parquet is partitioned by label, so partition
-    pruning turns each probe into a single-partition scan."""
+    pruning turns each probe into a single-partition scan. Query set
+    hard-bounded at MAX_QUERIES (see ann_topk_bruteforce)."""
     e = _vectors(spark, sf_dir)
-    q = F.broadcast(e.filter(F.col("vec_id") % QUERY_STRIDE == 0)).alias("q")
+    q = F.broadcast(e.filter(F.expr(_QUERY_PRED))).alias("q")
     c = e.alias("c")
     joined = q.join(
         c,

@@ -186,10 +186,11 @@ _BPE_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
     oracle=f"""
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(len(string_split(text, ' '))) AS whitespace_tokens,
-           SUM(len(regexp_extract_all(text, '{_BPE_REGEX}')))
-               AS bpe_ish_tokens,
-           SUM(length(text)) AS total_chars
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+               AS whitespace_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{_BPE_REGEX}')))
+               AS BIGINT) AS bpe_ish_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY source
     """,

@@ -64,6 +64,29 @@ def assert_read_columns(plan: str, table: str, max_columns: int) -> None:
     )
 
 
+def final_plan(df: DataFrame) -> str:
+    """Execute the query and return the post-execution plan — with AQE on,
+    the pre-execution explain shows only `AdaptiveSparkPlan isFinalPlan=
+    false`; runtime decisions (broadcast conversion, coalesced shuffles)
+    are only visible after the plan is finalized by running it."""
+    df.collect()
+    return explain_str(df)
+
+
+def broadcast_hints(df: DataFrame) -> int:
+    """Number of explicit broadcast HINTS in the analyzed logical plan.
+
+    A hint overrides the size threshold and AQE — fine for fixed-
+    cardinality dims, a 100x-scale OOM for tables that grow with the
+    data. Tests pin the hint count so an unconditional broadcast of an
+    SF-growing table can't sneak back in."""
+    s = explain_str(df, "extended")
+    analyzed = s.split("== Analyzed Logical Plan ==")[1].split(
+        "== Optimized Logical Plan =="
+    )[0]
+    return len(re.findall(r"ResolvedHint.*(?:broadcast|BROADCAST)", analyzed))
+
+
 def count_broadcast_joins(plan: str) -> int:
     return len(re.findall(r"BroadcastHashJoin", plan))
 

@@ -26,13 +26,23 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm(v: Any) -> Any:
-    """Normalize a cell for cross-engine comparison."""
+    """Normalize a cell for cross-engine comparison.
+
+    Numeric values are TYPE-TAGGED: the driver hash-compares
+    representations, so a DuckDB HUGEINT coerced to float64 must NOT
+    compare equal to Spark's int (Python's int==float leniency hid
+    exactly this in round 1 — three oracle SUMs missing a BIGINT cast
+    passed locally and hash-failed at the driver)."""
+    if isinstance(v, bool):
+        return ("b", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            return ("f", "NaN")
         if v == 0.0:
-            return 0.0  # collapse -0.0/+0.0: equal values, different reprs
-        return v
+            return ("f", 0.0)  # collapse -0.0/+0.0: equal values, different reprs
+        return ("f", v)
+    if isinstance(v, int):
+        return ("i", v)
     if hasattr(v, "isoformat"):  # datetime/date; strip sub-second repr noise
         return v.isoformat()
     if isinstance(v, list):

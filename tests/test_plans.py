@@ -9,10 +9,12 @@ import pytest
 from dbt_on_snowflake_spark.plans import (
     assert_pushed_filter,
     assert_read_columns,
+    broadcast_hints,
     codegen_subtrees,
     count_broadcast_joins,
     count_shuffles,
     explain_str,
+    final_plan,
     scan_for,
 )
 from dbt_on_snowflake_spark.registry import all_queries
@@ -43,18 +45,26 @@ def test_q1_scan_prunes_columns_and_pushes_date(spark):
 
 
 def test_denorm_broadcasts_all_dims(spark):
-    """j1: 5 dim joins broadcast; only lineitem<->orders may shuffle.
-    A plan where a dim join went to sort-merge would shuffle the fact
-    table once per dim at 100 TB."""
-    plan = plan_of(spark, "j1_orders_denorm")
+    """j1: only the fixed-cardinality dims (nation=25, region=5) carry
+    broadcast HINTS — a hint on SF-growing customer/part/supplier would
+    override the size check and OOM at 100x. Yet the EXECUTED plan still
+    broadcasts all 5 dim joins at this scale: the size-gated decision
+    (static threshold / AQE runtime conversion) picks broadcast exactly
+    when the build actually fits."""
+    df = Q["j1_orders_denorm"].fn(spark, SF_SMOKE)
+    assert broadcast_hints(df) == 2  # nation + region only
+    plan = final_plan(df)
+    assert "isFinalPlan=true" in plan
     assert count_broadcast_joins(plan) >= 5
     assert count_shuffles(plan) <= 2  # at most the fact-fact join's two sides
 
 
 def test_loyalty_single_shuffle_aggregation(spark):
-    """a1: customer is broadcast; shuffles are only the fact-fact join +
-    the final groupBy — no Expand (the distinct-agg trap)."""
-    plan = plan_of(spark, "a1_loyalty_metrics")
+    """a1: customer joins broadcast WITHOUT a hint (size-gated, scale-safe)
+    and there's no Expand (the distinct-agg trap)."""
+    df = Q["a1_loyalty_metrics"].fn(spark, SF_SMOKE)
+    assert broadcast_hints(df) == 0
+    plan = final_plan(df)
     assert "Expand" not in plan
     assert count_broadcast_joins(plan) >= 1
 

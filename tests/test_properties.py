@@ -56,3 +56,38 @@ def test_asof_join_matches_merge_asof(spark, case):
     e = {r.row_id: r.val for r in expected.itertuples()}
     norm = lambda v: None if pd.isna(v) else int(v)  # noqa: E731
     assert {k: norm(v) for k, v in g.items()} == {k: norm(v) for k, v in e.items()}
+
+
+def test_asof_join_ties_are_deterministic(spark):
+    """Right rows sharing (key, ts) resolve to the GREATEST tie-break
+    value by contract (pd.merge_asof / DuckDB ASOF pick arbitrarily; we
+    don't). Three tied right rows at ts=10 → val 3 wins; the later
+    untied row at ts=20 wins past it; a left row before any right row
+    gets NULL."""
+    left = spark.createDataFrame(
+        [(1, 5), (1, 10), (1, 15), (1, 25)], "k long, lts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 1, "a"), (1, 10, 3, "c"), (1, 10, 2, "b"), (1, 20, 0, "z")],
+        "k long, rts long, val long, tag string",
+    )
+    for tiebreak in (None, "val"):
+        got = (
+            asof_join(
+                left,
+                right,
+                on="k",
+                left_ts="lts",
+                right_ts="rts",
+                right_values=["val", "tag"],
+                right_tiebreak=tiebreak,
+            )
+            .orderBy("lts")
+            .collect()
+        )
+        assert [(r.lts, r.val, r.tag) for r in got] == [
+            (5, None, None),   # before any right row
+            (10, 3, "c"),      # tied at ts=10 → greatest val, row-atomic tag
+            (15, 3, "c"),      # carried forward
+            (25, 0, "z"),      # later right row supersedes regardless of val
+        ]
