@@ -5,9 +5,14 @@ run --select <model> --target <t> / test``). Idempotent and cron-able
 
     python -m dbt_on_snowflake_spark run       --project <dir> [--select S] [--target T]
     python -m dbt_on_snowflake_spark test      --project <dir> [--target T]
-    python -m dbt_on_snowflake_spark compile   --project <dir> [--select S]
+    python -m dbt_on_snowflake_spark compile   --project <dir> [--select S] [--out manifest.json]
     python -m dbt_on_snowflake_spark ls        --project <dir>
     python -m dbt_on_snowflake_spark freshness --project <dir>
+
+Artifacts (consumed by a UI/CI, reference README.md:115-127, 163-187):
+``compile --out`` writes manifest.json (nodes/edges/relations); every
+``run`` appends one line to <project>/target/run_history.jsonl and
+``run --out`` additionally writes run_results.json.
 """
 
 from __future__ import annotations
@@ -71,6 +76,10 @@ def main(argv: list[str] | None = None) -> int:
                     )
                 )
             print()
+        if args.out:
+            from dbt_on_snowflake_spark.engine.artifacts import write_manifest
+
+            write_manifest(project, args.out)
         return 0
 
     spark = get_spark("cli")
@@ -85,6 +94,11 @@ def main(argv: list[str] | None = None) -> int:
                   f"({r.rows if r.rows is not None else '-'} rows, {r.seconds}s)")
         if args.out:
             runner.write_run_results(args.out)
+        import os as _os
+
+        runner.append_run_history(
+            _os.path.join(args.project, "target", "run_history.jsonl")
+        )
         return 0 if all(r.status == "success" for r in results) else 1
 
     if args.cmd == "test":

@@ -1,0 +1,77 @@
+"""Build artifacts — the machine-readable project state a UI or CI
+consumes (reference README.md:115-127 compile/DAG view, 163-187 per-run
+monitoring/history):
+
+- ``manifest.json``     — nodes, edges, materializations, relations,
+  sources; written by ``compile`` (dbt's manifest.json equivalent).
+- ``run_history.jsonl`` — one line appended per ``run`` invocation, so
+  run monitoring has cross-invocation history, not only the latest
+  run_results.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime, timezone
+from typing import Any
+
+from dbt_on_snowflake_spark.engine.dag import build_graph, toposort
+from dbt_on_snowflake_spark.engine.project import Project
+
+
+def build_manifest(project: Project) -> dict[str, Any]:
+    graph = build_graph(project)
+    nodes = {}
+    for name in toposort(project):
+        node = project.models[name]
+        nodes[name] = {
+            "name": name,
+            "kind": node.kind,
+            "path": os.path.relpath(node.path, project.root),
+            "materialized": project.materialization_for(node),
+            "relation": project.relation_for(name, node.config.get("schema")),
+            "refs": sorted(node.refs),
+            "sources": [list(s) for s in sorted(node.sources)],
+            "config": dict(node.config),
+        }
+    edges = sorted(
+        [up, down] for down, ups in graph.items() for up in ups
+    )
+    sources = {
+        f"{g}.{t}": {
+            "group": g,
+            "table": t,
+            "path": src.path,
+            "format": src.format,
+            "loaded_at_field": src.loaded_at_field,
+        }
+        for (g, t), src in project.sources.items()
+    }
+    return {
+        "project": project.config.get("name"),
+        "target": project.target,
+        "schema": project.schema,
+        "nodes": nodes,
+        "edges": edges,
+        "sources": sources,
+    }
+
+
+def write_manifest(project: Project, path: str) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(build_manifest(project), f, indent=2)
+
+
+def append_run_history(path: str, payload: dict[str, Any]) -> None:
+    """Append one invocation record as a JSON line (append-mode: history
+    survives across invocations, unlike run_results.json which is
+    overwritten each run)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    record = {
+        "invoked_at": datetime.now(timezone.utc).isoformat(timespec="seconds"),
+        **payload,
+    }
+    with open(path, "a") as f:
+        f.write(json.dumps(record) + "\n")

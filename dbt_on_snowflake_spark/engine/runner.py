@@ -21,7 +21,8 @@ import shutil
 import time
 from dataclasses import asdict, dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 from dbt_on_snowflake_spark.engine.compile import render
 from dbt_on_snowflake_spark.engine.dag import select
@@ -116,15 +117,39 @@ class Runner:
 
     # -- execution --------------------------------------------------------
     def run(self, selector: str | None = None) -> list[NodeResult]:
+        """Execute the selected models in topological order with dbt-style
+        per-node isolation: a failing model marks its descendants skipped
+        (recorded as such), while independent branches keep running. The
+        CLI maps any non-success result to a non-zero exit AFTER printing
+        and writing run_results.json."""
         self.load_sources()
+        dead: set[str] = set()  # failed or skipped; propagates via refs
         for name in select(self.project, selector):
-            self._run_node(self.project.models[name])
+            node = self.project.models[name]
+            mat = self.project.materialization_for(node)
+            bad_upstream = sorted(r for r in node.refs if r in dead)
+            if bad_upstream:
+                dead.add(name)
+                if mat != "ephemeral":  # ephemeral nodes never report
+                    self.results.append(
+                        NodeResult(
+                            name, "skipped", mat,
+                            self.project.relation_for(
+                                name, node.config.get("schema")
+                            ),
+                            None, 0.0,
+                            "upstream failed: " + ", ".join(bad_upstream),
+                        )
+                    )
+                continue
+            if not self._run_node(node):
+                dead.add(name)
         return self.results
 
-    def _run_node(self, node: ModelNode) -> None:
+    def _run_node(self, node: ModelNode) -> bool:
         mat = self.project.materialization_for(node)
         if mat == "ephemeral":
-            return  # inlined at ref() sites; nothing to execute
+            return True  # inlined at ref() sites; nothing to execute
         relation = self.project.relation_for(node.name, node.config.get("schema"))
         t0 = time.perf_counter()
         try:
@@ -136,6 +161,7 @@ class Runner:
                     round(time.perf_counter() - t0, 3),
                 )
             )
+            return True
         except Exception as e:  # noqa: BLE001 — per-node isolation is the point
             self.results.append(
                 NodeResult(
@@ -143,7 +169,7 @@ class Runner:
                     round(time.perf_counter() - t0, 3), str(e)[:500],
                 )
             )
-            raise
+            return False
 
     def _build_df(self, node: ModelNode) -> DataFrame:
         if node.kind == "sql":
@@ -178,12 +204,23 @@ class Runner:
             df.createOrReplaceTempView(relation)
             return None  # views are lazy; no action (dbt also reports 0)
         if mat == "table":
-            df.write.mode("overwrite").parquet(self._table_path(relation))
+            rows = self._write_counted(df, self._table_path(relation))
             self._register_table(relation)
-            return self.spark.table(relation).count()
+            return rows
         if mat == "incremental":
             return self._materialize_incremental(df, relation, node)
         raise ValueError(f"unknown materialization: {mat}")
+
+    def _write_counted(self, df: DataFrame, path: str) -> int:
+        """Overwrite-write df to parquet and return its row count from the
+        WRITE action itself (Observation metrics) — not a post-write
+        re-read: at 100 TB a `spark.table(t).count()` after every mart
+        materialization is a second pass over each mart's files."""
+        obs = Observation()
+        df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+            "overwrite"
+        ).parquet(path)
+        return int(obs.get["rows"])
 
     def _materialize_incremental(
         self, df: DataFrame, relation: str, node: ModelNode | None
@@ -199,13 +236,31 @@ class Runner:
 
         At scale: the anti-join shuffles on the unique key once; with the
         target bucketed by that key it's shuffle-free, and the
-        delete-and-rename swap becomes a metadata commit on a real table
-        format (Delta/Iceberg) — see SCALING.md."""
+        rename-swap becomes a metadata commit on a real table format
+        (Delta/Iceberg) — see SCALING.md.
+
+        Swap protocol (crash-safe: the target directory is never in a
+        deleted state without a recoverable copy):
+          1. write stage            (complete before anything moves)
+          2. rename path -> path__old
+          3. rename stage -> path
+          4. delete path__old
+        On entry we recover from any prior interruption: a missing target
+        with a leftover __old is restored; stale __old/stage dirs are
+        discarded."""
         path = self._table_path(relation)
+        old = path + "__old"
+        stage = path + "__incr_stage"
+        if not os.path.isdir(path) and os.path.isdir(old):
+            os.rename(old, path)  # prior crash between steps 2 and 3
+        if os.path.isdir(old):
+            shutil.rmtree(old)  # prior crash between steps 3 and 4
+        if os.path.isdir(stage):
+            shutil.rmtree(stage)  # stale stage from an interrupted write
         if not self.table_exists(relation):
-            df.write.mode("overwrite").parquet(path)
+            rows = self._write_counted(df, path)
             self._register_table(relation)
-            return self.spark.table(relation).count()
+            return rows
         unique_key = node.config.get("unique_key") if node else None
         existing = self.spark.read.parquet(path)
         if unique_key:
@@ -214,20 +269,30 @@ class Runner:
             combined = kept.unionByName(df)
         else:
             combined = existing.unionByName(df)
-        stage = path + "__incr_stage"
-        combined.write.mode("overwrite").parquet(stage)
-        shutil.rmtree(path)
+        rows = self._write_counted(combined, stage)
+        os.rename(path, old)
         os.rename(stage, path)
+        shutil.rmtree(old)
         self._register_table(relation)
-        return self.spark.table(relation).count()
+        return rows
 
     # -- artifacts --------------------------------------------------------
-    def write_run_results(self, path: str) -> None:
-        payload = {
+    def _results_payload(self) -> dict:
+        return {
             "elapsed": round(sum(r.seconds for r in self.results), 3),
             "target": self.project.target,
             "results": [asdict(r) for r in self.results],
         }
+
+    def write_run_results(self, path: str) -> None:
+        payload = self._results_payload()
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         with open(path, "w") as f:
             json.dump(payload, f, indent=2)
+
+    def append_run_history(self, path: str) -> None:
+        """One JSON line per invocation (run monitoring across runs, not
+        just the latest run_results)."""
+        from dbt_on_snowflake_spark.engine.artifacts import append_run_history
+
+        append_run_history(path, self._results_payload())

@@ -39,7 +39,16 @@ def snapshot_apply(
     check_cols: list[str],
     now: datetime,
 ) -> DataFrame:
-    """Return the new full snapshot table (history + updated current)."""
+    """Return the new full snapshot table (history + updated current).
+
+    Rejects NULL unique keys (dbt errors on them too): a NULL key matches
+    nothing in the full-outer join, so the row would silently pass none of
+    the unchanged/closed/opened filters and vanish from the snapshot."""
+    if source.filter(F.col(key).isNull()).limit(1).count() > 0:
+        raise ValueError(
+            f"snapshot source has NULL values in unique key {key!r}; "
+            "dbt snapshots require a non-null unique key"
+        )
     ts = F.lit(now).cast("timestamp")
     src = source.select(
         key,
@@ -52,12 +61,19 @@ def snapshot_apply(
             *check_cols,
             ts.alias("dbt_valid_from"),
             F.lit(None).cast("timestamp").alias("dbt_valid_to"),
+            # dbt's snapshot format: when this row VERSION was created
+            # (= run time under the check strategy)
+            ts.alias("dbt_updated_at"),
             F.md5(
                 F.concat_ws("|", F.col(key).cast("string"), F.col("_chash"),
                             ts.cast("string"))
             ).alias("dbt_scd_id"),
         )
 
+    if "dbt_updated_at" not in existing.columns:
+        # snapshots written before the column existed: backfill from
+        # dbt_valid_from (the version-creation time under check strategy)
+        existing = existing.withColumn("dbt_updated_at", F.col("dbt_valid_from"))
     history = existing.filter(F.col("dbt_valid_to").isNotNull())
     current = existing.filter(F.col("dbt_valid_to").isNull())
     cur = current.withColumn("_chash", _hash_cols(check_cols))
@@ -90,6 +106,7 @@ def snapshot_apply(
             *check_cols,
             ts.alias("dbt_valid_from"),
             F.lit(None).cast("timestamp").alias("dbt_valid_to"),
+            ts.alias("dbt_updated_at"),
             F.md5(
                 # ts in the id: a key reverting to a prior value must not
                 # collide with its earlier version's id

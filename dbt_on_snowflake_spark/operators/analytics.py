@@ -117,6 +117,7 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE r.r_name IN ('ASIA', 'EUROPE')
     GROUP BY n.n_name
     """,
+    headline=True,
 )
 def q5_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = F.broadcast(
@@ -161,6 +162,7 @@ def q5_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE l.l_quantity < 0.5 * pa.avg_qty
     GROUP BY l.l_partkey
     """,
+    headline=True,
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem")
@@ -424,8 +426,9 @@ def a_pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Approximate sketches (HLL distinct, quantile sketch) — the
 # cardinality/quantile path for 100 TB where exact distinct is a full
-# shuffle of the key set. No SQL oracle: HLL/KLL implementations differ
-# across engines by design; error bounds are pytest-asserted instead
+# shuffle of the key set. No SQL oracle for the sketch columns: HLL/KLL
+# implementations differ across engines by design; error bounds are
+# pytest-asserted against the oracle-checked exact twin below
 # (tests/test_extensions.py::test_approx_sketches_within_bounds).
 @query("a_approx_sketches")
 def a_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -434,8 +437,32 @@ def a_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-            F.size(F.collect_set("l_orderkey")).cast("long").alias("exact_orders"),
             F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+        )
+    )
+
+
+# --- The exact twin of a_approx_sketches: deterministic and DuckDB-
+# expressible, so it IS oracle-checked. percentile() interpolates the
+# midpoint exactly like DuckDB's quantile_cont — same two doubles, same
+# arithmetic, bit-identical.
+@query(
+    "a_exact_distinct_median",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           quantile_cont(l_extendedprice, 0.5) AS exact_median_price,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a_exact_distinct_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.size(F.collect_set("l_orderkey")).cast("long").alias("exact_orders"),
             F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median_price"),
             F.count(F.lit(1)).alias("n_rows"),
         )

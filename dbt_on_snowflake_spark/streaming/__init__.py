@@ -85,15 +85,53 @@ def t_events_hourly_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_table(agg, spark, "complete")
 
 
-@query("t_events_sessions_streaming")  # stateful session_window: rows-only
+# session_window's merge condition is `event_ts < window_end` (end-
+# exclusive), i.e. it SPLITS at gap >= G; the batch lag+cumsum sessionizer
+# splits at gap > 30min. A gap of 30min + 1us makes the two bit-identical
+# at the data's microsecond granularity: split iff gap >= 1800.000001s
+# iff gap > 1800s.
+_SESSION_GAP = "30 minutes 1 microsecond"
+
+
+@query(
+    "t_events_sessions_streaming",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                    ) > INTERVAL '30 minutes'
+                    OR LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                    ) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               CAST(SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           {dsum_sql("value", "session_value", 4)}
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
 def t_events_sessions_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization via the native session_window operator
-    (30-minute gap), run through streaming in complete mode. Session
-    boundaries equal the batch lag+cumsum sessionizer
-    (t_events_sessionize); pytest cross-checks them."""
+    """Gap-based sessionization via the native session_window operator,
+    run through streaming in complete mode. Session boundaries equal the
+    batch lag+cumsum sessionizer (t_events_sessionize) by construction
+    (see _SESSION_GAP), so it shares that query's oracle: session_start =
+    MIN(ts), session_end = window.end - gap = MAX(ts) per session."""
     s = events_stream(spark, sf_dir)
     agg = s.groupBy(
-        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        F.session_window("ts", _SESSION_GAP).alias("w"), "user_id"
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         dsum("value", "session_value", 4),
@@ -101,6 +139,9 @@ def t_events_sessions_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = agg.select(
         "user_id",
         F.col("w.start").alias("session_start"),
+        F.expr(
+            "w.end - interval 30 minutes - interval 1 microsecond"
+        ).alias("session_end"),
         "n_events",
         "session_value",
     )

@@ -275,3 +275,33 @@ def test_unknown_ref_fails_fast(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="refs unknown model"):
         toposort(Project(root))
+
+
+def test_manifest_and_run_history_artifacts(tasty, tmp_path, capsys):
+    """compile --out emits a manifest.json a UI/CI can consume; every run
+    appends one line to <project>/target/run_history.jsonl."""
+    from dbt_on_snowflake_spark.__main__ import main
+
+    manifest_path = str(tmp_path / "manifest.json")
+    rc = main(["compile", "--project", PROJ_ROOT, "--out", manifest_path])
+    capsys.readouterr()
+    assert rc == 0
+    doc = json.loads(open(manifest_path).read())
+    assert doc["project"] and doc["target"] == "dev"
+    orders = doc["nodes"]["orders"]
+    assert orders["materialized"] == "table"
+    assert orders["relation"] == "dev_orders"
+    assert orders["refs"]  # staging deps present
+    assert ["raw_pos_order_detail", "orders"] in doc["edges"]
+    assert any(s["format"] for s in doc["sources"].values())
+
+    history = os.path.join(PROJ_ROOT, "target", "run_history.jsonl")
+    before = sum(1 for _ in open(history)) if os.path.exists(history) else 0
+    rc = main(["run", "--project", PROJ_ROOT, "--select", "raw_pos_truck"])
+    capsys.readouterr()
+    assert rc == 0
+    lines = [json.loads(l) for l in open(history)]
+    assert len(lines) == before + 1
+    last = lines[-1]
+    assert last["invoked_at"] and last["target"] == "dev"
+    assert any(r["name"] == "raw_pos_truck" for r in last["results"])

@@ -67,12 +67,22 @@ def test_minhash_recall_of_high_jaccard_pairs(spark):
 
 def test_approx_sketches_within_bounds(spark):
     """HLL distinct (rsd=0.02) within 6% (3 sigma) of exact; approx median within 1% of exact
-    (the approximate path exact distinct can't afford at 100 TB)."""
-    from dbt_on_snowflake_spark.operators.analytics import a_approx_sketches
+    (the approximate path exact distinct can't afford at 100 TB). The
+    exact side comes from the oracle-checked twin query."""
+    from dbt_on_snowflake_spark.operators.analytics import (
+        a_approx_sketches,
+        a_exact_distinct_median,
+    )
 
-    for r in a_approx_sketches(spark, SF_SMOKE).collect():
-        assert abs(r.approx_orders - r.exact_orders) <= 0.06 * r.exact_orders
+    approx = {r.l_returnflag: r for r in a_approx_sketches(spark, SF_SMOKE).collect()}
+    exact = {
+        r.l_returnflag: r for r in a_exact_distinct_median(spark, SF_SMOKE).collect()
+    }
+    assert set(approx) == set(exact) and approx
+    for flag, a in approx.items():
+        e = exact[flag]
+        assert abs(a.approx_orders - e.exact_orders) <= 0.06 * e.exact_orders
         assert (
-            abs(r.approx_median_price - r.exact_median_price)
-            <= 0.01 * r.exact_median_price
+            abs(a.approx_median_price - e.exact_median_price)
+            <= 0.01 * e.exact_median_price
         )

@@ -104,3 +104,103 @@ def test_ephemeral_is_inlined_not_materialized(spark, incr_project):
     sql = render(node.body, runner.resolve_ref, runner.resolve_source,
                  this="dev_fact_events", is_incremental=False)
     assert "_eph_clean_events" in sql and "{{" not in sql
+
+
+def test_incremental_swap_recovers_from_crash(spark, incr_project):
+    """A crash between the swap renames must not lose the table: simulate
+    the interrupted state (target renamed aside, no new dir yet) and check
+    the next run restores and proceeds."""
+    import shutil
+
+    root, data = incr_project
+    _load_batch(data, [(1, 10, 1.0), (2, 11, 2.0)])
+    project = Project(root, target="dev")
+    runner = Runner(spark, project)
+    path = runner._table_path("dev_fact_events")
+    if os.path.isdir(path):  # leftover from sibling tests (shared warehouse)
+        import shutil as _sh
+
+        _sh.rmtree(path)
+    runner.run()
+    # simulate: crashed after `rename path -> path__old`, before swap-in
+    os.rename(path, path + "__old")
+    shutil.copytree(path + "__old", path + "__incr_stage")  # stale stage too
+
+    _load_batch(data, [(3, 12, 3.0)])
+    runner2 = Runner(spark, project)
+    res = runner2.run()
+    assert res[0].status == "success"
+    rows = sorted(r.event_id for r in spark.table("dev_fact_events").collect())
+    assert rows == [1, 2, 3]
+    assert not os.path.isdir(path + "__old")
+    assert not os.path.isdir(path + "__incr_stage")
+
+
+def test_failing_model_skips_descendants_not_siblings(spark, tmp_path):
+    """Per-node isolation: a failing model records an error, descendants
+    record 'skipped', independent branches still run, and run_results.json
+    is written with all three statuses."""
+    import json
+
+    root = str(tmp_path / "proj")
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    pd.DataFrame({"id": [1, 2]}).to_parquet(os.path.join(data, "t.parquet"), index=False)
+    _write(f"{root}/project.yml",
+           "name: iso\nmodels:\n  models:\n    materialized: table\n")
+    _write(f"{root}/sources.yml",
+           f"sources:\n  - name: raw\n    base_path: \"{data}\"\n    tables:\n      - name: t\n")
+    _write(f"{root}/models/models/bad.sql",
+           "SELECT no_such_column FROM {{ source('raw', 't') }}")
+    _write(f"{root}/models/models/child_of_bad.sql",
+           "SELECT * FROM {{ ref('bad') }}")
+    _write(f"{root}/models/models/grandchild.sql",
+           "SELECT * FROM {{ ref('child_of_bad') }}")
+    _write(f"{root}/models/models/independent.sql",
+           "SELECT id FROM {{ source('raw', 't') }}")
+
+    project = Project(root, target="dev")
+    runner = Runner(spark, project)
+    results = runner.run()
+    status = {r.name: r.status for r in results}
+    assert status == {
+        "bad": "error",
+        "child_of_bad": "skipped",
+        "grandchild": "skipped",
+        "independent": "success",
+    }
+    skip = next(r for r in results if r.name == "child_of_bad")
+    assert "bad" in (skip.error or "")
+    out = str(tmp_path / "rr.json")
+    runner.write_run_results(out)
+    payload = json.load(open(out))
+    assert {r["status"] for r in payload["results"]} == {"error", "skipped", "success"}
+
+
+def test_cli_run_reports_failure_and_writes_results(tmp_path, capsys):
+    """CLI 'run' with a failing model: prints all node lines, writes
+    run_results.json, exits non-zero (no exception escapes)."""
+    import json
+
+    from dbt_on_snowflake_spark.__main__ import main
+
+    root = str(tmp_path / "proj")
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    pd.DataFrame({"id": [1]}).to_parquet(os.path.join(data, "t.parquet"), index=False)
+    _write(f"{root}/project.yml",
+           "name: clifail\nmodels:\n  models:\n    materialized: table\n")
+    _write(f"{root}/sources.yml",
+           f"sources:\n  - name: raw\n    base_path: \"{data}\"\n    tables:\n      - name: t\n")
+    _write(f"{root}/models/models/boom.sql",
+           "SELECT missing_col FROM {{ source('raw', 't') }}")
+    _write(f"{root}/models/models/fine.sql",
+           "SELECT id FROM {{ source('raw', 't') }}")
+
+    out = str(tmp_path / "rr.json")
+    rc = main(["run", "--project", root, "--out", out])
+    assert rc == 1
+    printed = capsys.readouterr().out
+    assert "error" in printed and "success" in printed
+    payload = json.load(open(out))
+    assert len(payload["results"]) == 2

@@ -62,3 +62,33 @@ def test_scd2_lifecycle(spark):
     # scd ids are unique per (key, version)
     ids = [r.dbt_scd_id for r in s3.collect()]
     assert len(ids) == len(set(ids))
+
+
+def test_snapshot_rejects_null_keys(spark):
+    import pytest
+
+    src = spark.createDataFrame(
+        pd.DataFrame([(1, "Oslo", "A"), (None, "Bergen", "B")],
+                     columns=["cust_id", "city", "segment"])
+    )
+    with pytest.raises(ValueError, match="NULL.*unique key"):
+        snapshot_apply(spark, src, None, "cust_id", ["city", "segment"], T1)
+
+
+def test_snapshot_dbt_updated_at(spark):
+    """dbt snapshot format parity: every row version carries
+    dbt_updated_at = the run time that CREATED the version; closing a row
+    later does not touch it."""
+    s1 = snapshot_apply(
+        spark, _src(spark, [(1, "Oslo", "A")]), None,
+        "cust_id", ["city", "segment"], T1,
+    )
+    s2 = snapshot_apply(
+        spark, _src(spark, [(1, "Tromso", "A")]), s1,
+        "cust_id", ["city", "segment"], T2,
+    )
+    rows = {(r.city): (r.dbt_updated_at, r.dbt_valid_to) for r in s2.collect()}
+    assert rows == {
+        "Oslo": (T1, T2),    # closed at T2 but created (updated_at) at T1
+        "Tromso": (T2, None),
+    }
