@@ -105,7 +105,7 @@ def main(argv: list[str] | None = None) -> int:
         from dbt_on_snowflake_spark.engine.testing import TestRunner
 
         runner.run()  # tests need sources + models materialized
-        tr = TestRunner(spark)
+        tr = TestRunner(spark, custom=project.package_tests)
         results = tr.run_source_tests(project, runner)
         for r in results:
             col = f".{r.column}" if r.column else ""

@@ -6,11 +6,23 @@ dbt/models/, e.g. dbt/models/marts/orders.sql:35-47). We implement the
 three constructs the reference exercises with a small regex renderer —
 no template engine needed, and the dependency graph falls out of the same
 scan.
+
+Macros (the package surface, reference dbt/packages.yml:2-3): ``{% macro
+name(a, b='x') %}...{% endmacro %}`` definitions from a project's or
+package's ``macros/*.sql``, called as ``{{ name(expr, b='y') }}``.
+Expansion is textual and happens BEFORE ref/source resolution, so macro
+bodies may use ``{{ ref(...) }}``/``{{ source(...) }}`` and the model DAG
+still falls out of the expanded text. Argument values are raw SQL
+fragments; one level of surrounding quotes is stripped so ``'col_name'``
+arrives as ``col_name`` (dbt string-arg convention). Nested parentheses
+inside call arguments are supported; nested macro calls expand
+iteratively (depth-capped).
 """
 
 from __future__ import annotations
 
 import re
+from dataclasses import dataclass
 
 _REF_RE = re.compile(r"\{\{\s*ref\(\s*['\"]([\w.]+)['\"]\s*\)\s*\}\}")
 _SOURCE_RE = re.compile(
@@ -22,6 +34,128 @@ _THIS_RE = re.compile(r"\{\{\s*this\s*\}\}")
 _INCR_BLOCK_RE = re.compile(
     r"\{%\s*if\s+is_incremental\(\)\s*%\}(.*?)\{%\s*endif\s*%\}", re.DOTALL
 )
+
+
+_MACRO_DEF_RE = re.compile(
+    r"\{%-?\s*macro\s+(\w+)\s*\(([^)]*)\)\s*-?%\}(.*?)\{%-?\s*endmacro\s*-?%\}",
+    re.DOTALL,
+)
+
+
+@dataclass
+class Macro:
+    name: str
+    params: list[tuple[str, str | None]]  # (name, default or None)
+    body: str
+
+
+def extract_macros(text: str) -> dict[str, Macro]:
+    """Parse ``{% macro ... %}`` definitions from a macros/*.sql file."""
+    out: dict[str, Macro] = {}
+    for name, params_src, body in _MACRO_DEF_RE.findall(text):
+        params: list[tuple[str, str | None]] = []
+        for p in _split_args(params_src):
+            if "=" in p:
+                pname, default = p.split("=", 1)
+                params.append((pname.strip(), _unquote(default.strip())))
+            elif p.strip():
+                params.append((p.strip(), None))
+        out[name] = Macro(name, params, body.strip())
+    return out
+
+
+def _split_args(src: str) -> list[str]:
+    """Split a call-argument list on top-level commas (quotes and nested
+    parens respected)."""
+    args, depth, buf, quote = [], 0, [], None
+    for ch in src:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif ch == "," and depth == 0:
+            args.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    if "".join(buf).strip():
+        args.append("".join(buf))
+    return [a.strip() for a in args]
+
+
+def _unquote(v: str) -> str:
+    if len(v) >= 2 and v[0] == v[-1] and v[0] in "'\"":
+        return v[1:-1]
+    return v
+
+
+def expand_macros(sql: str, macros: dict[str, Macro], max_depth: int = 10) -> str:
+    """Expand ``{{ macro_name(args) }}`` calls textually; iterates so
+    macros may call other macros (depth-capped against recursion)."""
+    if not macros:
+        return sql
+    names = "|".join(re.escape(n) for n in macros)
+    call_re = re.compile(r"\{\{\s*(" + names + r")\s*\(((?:[^{}])*?)\)\s*\}\}")
+
+    def repl(m: re.Match) -> str:
+        macro = macros[m.group(1)]
+        given = _split_args(m.group(2))
+        bound: dict[str, str] = {
+            p: d for p, d in macro.params if d is not None
+        }
+        pos = 0
+        for a in given:
+            kv = re.match(r"^(\w+)\s*=\s*(.+)$", a, re.DOTALL)
+            if kv and any(p == kv.group(1) for p, _ in macro.params):
+                bound[kv.group(1)] = _unquote(kv.group(2).strip())
+            else:
+                if pos >= len(macro.params):
+                    raise ValueError(
+                        f"macro {macro.name!r}: too many positional args"
+                    )
+                bound[macro.params[pos][0]] = _unquote(a)
+                pos += 1
+        missing = [p for p, _ in macro.params if p not in bound]
+        if missing:
+            raise ValueError(f"macro {macro.name!r}: missing args {missing}")
+        body = macro.body
+        # 1. plain `{{ param }}` regions become the raw bound text
+        for p, _ in macro.params:
+            body = re.sub(
+                r"\{\{\s*" + re.escape(p) + r"\s*\}\}", lambda _m, p=p: bound[p], body
+            )
+        # 2. params used as bare identifiers inside OTHER `{{ ... }}`
+        # expressions (e.g. a nested macro call `{{ other(param) }}`) bind
+        # too — Jinja evaluates them as variables there; raw SQL text
+        # outside braces is never touched, also matching Jinja
+        def _sub_region(m2: re.Match) -> str:
+            expr = m2.group(1)
+            for p, _ in macro.params:
+                expr = re.sub(
+                    r"\b" + re.escape(p) + r"\b", lambda _m, p=p: bound[p], expr
+                )
+            return "{{" + expr + "}}"
+
+        return re.sub(r"\{\{(.*?)\}\}", _sub_region, body, flags=re.DOTALL)
+
+    for _ in range(max_depth):
+        new = call_re.sub(repl, sql)
+        if new == sql:
+            if call_re.search(new):  # self-reproducing call: m() -> m()
+                break
+            return new
+        sql = new
+    raise ValueError("macro expansion did not converge (recursive macros?)")
 
 
 def extract_deps(sql: str) -> tuple[list[str], list[tuple[str, str]]]:

@@ -3,13 +3,23 @@
 
 A project directory looks like:
 
-    project.yml          # name, model config (per-directory materialization)
+    project.yml          # name, model config, packages: [paths]
     profiles.yml         # targets: dev/prod -> database/schema namespace
     sources.yml          # source groups -> tables (+ tests, freshness)
+    macros/*.sql         # {% macro %} definitions (optional)
     models/
       staging/*.sql      # SQL models ({{ ref }}/{{ source }} Jinja-lite)
       marts/*.sql
       marts/*.py         # Python models: def model(ctx, spark) -> DataFrame
+
+Packages (reference dbt/packages.yml:2-3 — dbt_utils): ``project.yml``
+lists ``packages: [<path>, ...]`` (relative to the project root). A
+package directory may contribute:
+
+    macros/*.sql         # macros callable from any model
+    tests/*.py           # generic tests: public fns (df, column, ...) ->
+                         #   failing-rows DataFrame, registered by name
+    models/**/*.sql|.py  # extra models merged into the project DAG
 
 Namespaces: models materialize into ``<schema>_<name>`` relation names in
 the Spark session catalog (the reference's custom generate_schema_name
@@ -20,13 +30,20 @@ logic, different catalog shape).
 
 from __future__ import annotations
 
+import importlib.util
+import inspect
 import os
 from dataclasses import dataclass, field
-from typing import Any
+from typing import Any, Callable
 
 import yaml
 
-from dbt_on_snowflake_spark.engine.compile import extract_config, extract_deps
+from dbt_on_snowflake_spark.engine.compile import (
+    expand_macros,
+    extract_config,
+    extract_deps,
+    extract_macros,
+)
 
 
 @dataclass
@@ -63,8 +80,44 @@ class Project:
         if os.path.exists(prof_path):
             with open(prof_path) as f:
                 self.profiles = yaml.safe_load(f) or {}
+        self.macros = {}
+        self.package_tests: dict[str, Callable] = {}
+        self._package_model_dirs: list[str] = []
+        self._load_packages()
         self.models = self._discover_models()
         self.sources = self._load_sources()
+
+    # -- packages ----------------------------------------------------------
+    def _load_packages(self) -> None:
+        """Load macros/tests/models from the project itself and every
+        listed package (deterministic order; later packages and the
+        project's own macros win name clashes — dbt dispatch order)."""
+        roots = []
+        for entry in self.config.get("packages", []) or []:
+            p = entry.get("path") if isinstance(entry, dict) else entry
+            pkg_root = p if os.path.isabs(p) else os.path.join(self.root, p)
+            if not os.path.isdir(pkg_root):
+                raise ValueError(f"package path does not exist: {pkg_root}")
+            roots.append(pkg_root)
+        roots.append(self.root)  # project-level macros/ override packages
+        for pkg_root in roots:
+            mdir = os.path.join(pkg_root, "macros")
+            if os.path.isdir(mdir):
+                for fn in sorted(os.listdir(mdir)):
+                    if fn.endswith(".sql"):
+                        with open(os.path.join(mdir, fn)) as f:
+                            self.macros.update(extract_macros(f.read()))
+            tdir = os.path.join(pkg_root, "tests")
+            if os.path.isdir(tdir) and pkg_root != self.root:
+                for fn in sorted(os.listdir(tdir)):
+                    if fn.endswith(".py") and not fn.startswith("_"):
+                        self.package_tests.update(
+                            _load_test_module(os.path.join(tdir, fn))
+                        )
+            if pkg_root != self.root and os.path.isdir(
+                os.path.join(pkg_root, "models")
+            ):
+                self._package_model_dirs.append(os.path.join(pkg_root, "models"))
 
     # -- namespace resolution (reference generate_schema_name.sql:1-14:
     # a literal custom schema wins; else the target's schema) -------------
@@ -80,15 +133,27 @@ class Project:
     # -- discovery --------------------------------------------------------
     def _discover_models(self) -> dict[str, ModelNode]:
         models: dict[str, ModelNode] = {}
-        mdir = os.path.join(self.root, "models")
+        for mdir in [os.path.join(self.root, "models"), *self._package_model_dirs]:
+            self._scan_model_dir(mdir, models)
+        return models
+
+    def _scan_model_dir(self, mdir: str, models: dict[str, ModelNode]) -> None:
         for dirpath, _dirs, files in os.walk(mdir):
             subdir = os.path.relpath(dirpath, mdir).split(os.sep)[0]
             for fn in sorted(files):
                 path = os.path.join(dirpath, fn)
                 name, ext = os.path.splitext(fn)
+                if ext in (".sql", ".py") and name in models:
+                    raise ValueError(
+                        f"duplicate model name {name!r}: {path} vs "
+                        f"{models[name].path}"
+                    )
                 if ext == ".sql":
                     with open(path) as f:
                         body = f.read()
+                    # macros expand BEFORE dependency extraction so refs/
+                    # sources inside macro bodies join the DAG
+                    body = expand_macros(body, self.macros)
                     refs, sources = extract_deps(body)
                     cfg = extract_config(body)
                     models[name] = ModelNode(
@@ -108,7 +173,6 @@ class Project:
                     models[name] = ModelNode(
                         name, path, "python", subdir, None, refs, list(srcs), {}
                     )
-        return models
 
     def materialization_for(self, node: ModelNode) -> str:
         if "materialized" in node.config:
@@ -142,3 +206,22 @@ class Project:
                     loaded_at_field=tbl.get("loaded_at_field"),
                 )
         return out
+
+
+def _load_test_module(path: str) -> dict[str, Callable]:
+    """Import a package's tests/*.py and return its public functions as
+    generic tests keyed by function name. Test contract = the builtin one
+    (engine/testing.py): fn(df, column?, **kwargs) -> failing-rows
+    DataFrame."""
+    name = os.path.splitext(os.path.basename(path))[0]
+    spec = importlib.util.spec_from_file_location(f"pkg_tests_{name}", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return {
+        n: fn
+        for n, fn in vars(mod).items()
+        if not n.startswith("_")
+        and inspect.isfunction(fn)
+        # defined IN the module (not imported into it, e.g. F helpers)
+        and getattr(fn, "__module__", None) == mod.__name__
+    }
