@@ -204,22 +204,41 @@ class Runner:
             df.createOrReplaceTempView(relation)
             return None  # views are lazy; no action (dbt also reports 0)
         if mat == "table":
-            rows = self._write_counted(df, self._table_path(relation))
+            rows = self._write_counted(
+                df, self._table_path(relation), self._partition_cols(node)
+            )
             self._register_table(relation)
             return rows
         if mat == "incremental":
             return self._materialize_incremental(df, relation, node)
         raise ValueError(f"unknown materialization: {mat}")
 
-    def _write_counted(self, df: DataFrame, path: str) -> int:
+    @staticmethod
+    def _partition_cols(node: ModelNode | None) -> list[str]:
+        """dbt-style ``partition_by`` model config ('col' or 'a,b'):
+        the mart is laid out as parquet partition directories, so
+        downstream reads with a filter on the partition column scan only
+        the matching directories (partition pruning) — the single
+        biggest read-cost lever for a date-partitioned 100 TB mart."""
+        if node is None:
+            return []
+        raw = node.config.get("partition_by", "")
+        return [c.strip() for c in raw.split(",") if c.strip()]
+
+    def _write_counted(
+        self, df: DataFrame, path: str, partition_by: list[str] | None = None
+    ) -> int:
         """Overwrite-write df to parquet and return its row count from the
         WRITE action itself (Observation metrics) — not a post-write
         re-read: at 100 TB a `spark.table(t).count()` after every mart
         materialization is a second pass over each mart's files."""
         obs = Observation()
-        df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+        writer = df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
             "overwrite"
-        ).parquet(path)
+        )
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
         return int(obs.get["rows"])
 
     def _materialize_incremental(
@@ -257,8 +276,9 @@ class Runner:
             shutil.rmtree(old)  # prior crash between steps 3 and 4
         if os.path.isdir(stage):
             shutil.rmtree(stage)  # stale stage from an interrupted write
+        parts = self._partition_cols(node)
         if not self.table_exists(relation):
-            rows = self._write_counted(df, path)
+            rows = self._write_counted(df, path, parts)
             self._register_table(relation)
             return rows
         unique_key = node.config.get("unique_key") if node else None
@@ -269,7 +289,7 @@ class Runner:
             combined = kept.unionByName(df)
         else:
             combined = existing.unionByName(df)
-        rows = self._write_counted(combined, stage)
+        rows = self._write_counted(combined, stage, parts)
         os.rename(path, old)
         os.rename(stage, path)
         shutil.rmtree(old)

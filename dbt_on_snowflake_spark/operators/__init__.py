@@ -7,6 +7,7 @@ DuckDB oracle, where SQL-expressible) into ``registry.QUERIES``."""
 from dbt_on_snowflake_spark.operators import (  # noqa: F401
     analytics,
     asof,
+    corpus,
     dedup,
     multimodal,
     relational,

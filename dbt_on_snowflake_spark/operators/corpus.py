@@ -1,0 +1,253 @@
+"""Corpus-preparation pipeline operators over ``documents`` (SURVEY §7.5
+— the end-to-end shapes a training-data pipeline runs on top of the
+primitive dedup/quality/lang operators):
+
+- ``corpus_clean_pipeline``    — the canonical C4/Gopher-style cleaning
+  funnel: language filter + length filter + quality threshold + exact
+  dedup canonicalization, composed into one pass with per-rule flags.
+- ``corpus_sample_stratified`` — deterministic hash-based stratified
+  sampling (upsample English, downsample the tail) — the data-mixing
+  primitive; a pure narrow map, no shuffle at any scale.
+- ``text_contamination``       — benchmark-contamination check: shingle
+  overlap between corpus documents and a held-out set via an inverted-
+  index join (never all-pairs).
+
+All three are built-in JVM expressions with bit-identical DuckDB oracles.
+
+Scale posture: the funnel is one window shuffle keyed by a uniform
+128-bit content hash (skew-free); sampling is shuffle-free; contamination
+joins on shingle keys (hot stop-phrases are AQE skew-split territory) and
+in production the benchmark side is a small fixed set — broadcastable,
+but left unhinted here because the synthetic stand-in grows with SF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbt_on_snowflake_spark.operators.dedup import SHINGLES_CTE, shingle_df
+from dbt_on_snowflake_spark.operators.textops import _SW_LIST_SQL, _STOPWORDS
+from dbt_on_snowflake_spark.registry import query
+from dbt_on_snowflake_spark.testdata import table
+
+ALLOWED_LANGS = ("en", "de", "fr", "es")
+MIN_TOKENS = 30
+MIN_QUALITY = 0.5
+
+_LANGS_SQL = ", ".join(f"'{l}'" for l in ALLOWED_LANGS)
+
+
+@query(
+    "corpus_clean_pipeline",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source, lang, text,
+               string_split(text, ' ') AS toks,
+               MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, source, lang, canonical_id,
+               len(toks) AS n_tokens,
+               len(list_filter(toks, x -> list_contains({_SW_LIST_SQL}, x)))
+                   AS n_stopwords,
+               len(list_filter(toks, x -> length(x) >= 3 AND length(x) <= 12))
+                   AS n_well_sized
+        FROM t
+    ),
+    q AS (
+        SELECT doc_id, source, lang, canonical_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               ROUND(0.5 * (CAST(n_well_sized AS DOUBLE) / n_tokens)
+                     + 0.5 * least(CAST(n_stopwords AS DOUBLE) / n_tokens * 5.0,
+                                   1.0), 4) AS quality_score
+        FROM m
+    )
+    SELECT doc_id, source, lang, n_tokens, quality_score,
+           lang IN ({_LANGS_SQL}) AS pass_lang,
+           n_tokens >= {MIN_TOKENS} AS pass_length,
+           quality_score >= {MIN_QUALITY} AS pass_quality,
+           doc_id = canonical_id AS is_canonical,
+           (lang IN ({_LANGS_SQL}) AND n_tokens >= {MIN_TOKENS}
+            AND quality_score >= {MIN_QUALITY} AND doc_id = canonical_id)
+               AS kept
+    FROM q
+    """,
+    headline=True,
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaning funnel every LLM corpus goes through, as ONE Spark
+    pass: per-document rule flags (language allowlist, minimum length,
+    quality threshold — same score expression as ``text_quality`` — and
+    exact-dedup canonical representative) plus the combined ``kept`` bit.
+
+    One shuffle total: the canonicalization window partitions by
+    md5(text) — a uniform 128-bit key, skew-free even with hot documents.
+    Everything else is narrow, codegen'd column work."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    n_sized = F.size(
+        F.filter(toks, lambda x: (F.length(x) >= 3) & (F.length(x) <= 12))
+    )
+    score = F.round(
+        0.5 * (n_sized.cast("double") / n_tokens)
+        + 0.5 * F.least(n_stop.cast("double") / n_tokens * 5.0, F.lit(1.0)),
+        4,
+    )
+    w = Window.partitionBy(F.md5("text"))
+    pass_lang = F.col("lang").isin(*ALLOWED_LANGS)
+    pass_length = F.col("n_tokens") >= MIN_TOKENS
+    pass_quality = F.col("quality_score") >= MIN_QUALITY
+    is_canonical = F.col("doc_id") == F.col("canonical_id")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            "lang",
+            n_tokens.cast("long").alias("n_tokens"),
+            score.alias("quality_score"),
+            F.min("doc_id").over(w).alias("canonical_id"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_tokens",
+            "quality_score",
+            pass_lang.alias("pass_lang"),
+            pass_length.alias("pass_length"),
+            pass_quality.alias("pass_quality"),
+            is_canonical.alias("is_canonical"),
+            (pass_lang & pass_length & pass_quality & is_canonical).alias(
+                "kept"
+            ),
+        )
+    )
+
+
+# Per-language sampling rates (percent): the "data mixing" knob — keep
+# most English, half the other allowed languages, a fifth of the tail.
+SAMPLE_RATES = {"en": 75, "de": 50, "fr": 50, "es": 50}
+DEFAULT_RATE = 20
+
+_RATE_CASE_SQL = (
+    "CASE lang "
+    + " ".join(f"WHEN '{l}' THEN {r}" for l, r in SAMPLE_RATES.items())
+    + f" ELSE {DEFAULT_RATE} END"
+)
+
+
+@query(
+    "corpus_sample_stratified",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, source, lang,
+               CAST(('0x' || substring(md5(source || '#' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 AS BIGINT)
+                   AS bucket,
+               CAST({_RATE_CASE_SQL} AS BIGINT) AS rate_pct
+        FROM documents
+    )
+    SELECT doc_id, source, lang, bucket, rate_pct
+    FROM b
+    WHERE bucket < rate_pct
+    """,
+)
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: md5(source#doc_id) maps each doc
+    to a uniform bucket in [0,100); a doc is kept iff bucket < its
+    language's rate. Reproducible across runs/engines (no RNG state), and
+    a pure narrow map — zero shuffle at any scale, which is why hash
+    sampling (not ``df.sample``) is the production idiom for corpus
+    mixing."""
+    d = table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", F.col("source"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(100),
+    ).cast("long")
+    rate = F.lit(DEFAULT_RATE)
+    for lang, r in reversed(SAMPLE_RATES.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            "lang",
+            bucket.alias("bucket"),
+            rate.cast("long").alias("rate_pct"),
+        )
+        .filter(F.col("bucket") < F.col("rate_pct"))
+    )
+
+
+BENCHMARK_MOD = 97  # doc_id % 97 == 3 -> stand-in "benchmark" docs
+CONTAMINATION_MIN_SHARED = 1
+
+
+@query(
+    "text_contamination",
+    oracle=f"""
+    WITH {SHINGLES_CTE},
+    bench AS (
+        SELECT DISTINCT sh FROM sh WHERE doc_id % {BENCHMARK_MOD} = 3
+    ),
+    corpus AS (
+        SELECT doc_id, sh FROM sh WHERE doc_id % {BENCHMARK_MOD} <> 3
+    ),
+    totals AS (
+        SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY doc_id
+    ),
+    shared AS (
+        SELECT c.doc_id, COUNT(*) AS n_shared
+        FROM corpus c JOIN bench b ON c.sh = b.sh
+        GROUP BY c.doc_id
+    )
+    SELECT s.doc_id,
+           s.n_shared,
+           t.n_shingles,
+           ROUND(CAST(s.n_shared AS DOUBLE) / t.n_shingles, 4)
+               AS contamination_ratio
+    FROM shared s JOIN totals t ON s.doc_id = t.doc_id
+    WHERE s.n_shared >= {CONTAMINATION_MIN_SHARED}
+    """,
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: which corpus documents share word-
+    trigram shingles with a held-out benchmark set (stand-in: doc_id %
+    97 == 3), and what fraction of their shingles is contaminated.
+
+    Inverted-index shape: corpus shingles JOIN benchmark shingle set on
+    the shingle key — cost is (shingle rows) + (matches), never
+    |corpus| x |benchmark|. In production the benchmark set is a small
+    FIXED corpus (broadcastable); here it grows with SF, so no hint —
+    AQE broadcasts it when it fits."""
+    sh = shingle_df(spark, sf_dir)
+    is_bench = F.col("doc_id") % BENCHMARK_MOD == 3
+    bench = sh.filter(is_bench).select("sh").distinct()
+    corpus = sh.filter(~is_bench)
+    totals = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    shared = (
+        corpus.join(bench, "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= CONTAMINATION_MIN_SHARED)
+    )
+    return shared.join(totals, "doc_id").select(
+        "doc_id",
+        "n_shared",
+        "n_shingles",
+        F.round(F.col("n_shared").cast("double") / F.col("n_shingles"), 4).alias(
+            "contamination_ratio"
+        ),
+    )

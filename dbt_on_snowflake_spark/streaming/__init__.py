@@ -146,3 +146,32 @@ def t_events_sessions_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_value",
     )
     return run_to_table(out, spark, "complete")
+
+
+@query(
+    "t_events_dedup_streaming",
+    oracle="""
+    SELECT DISTINCT user_id,
+           event_type,
+           time_bucket(INTERVAL '1 hour', ts) AS hour_start
+    FROM events
+    """,
+)
+def t_events_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: the at-least-once-delivery dedup every
+    ingestion pipeline runs — stateful ``dropDuplicates`` on a derived
+    key (user, type, hour bucket), append mode. Deterministic because the
+    key IS the whole projected row (a full-row dropDuplicates keeps an
+    arbitrary physical row; the key-projected form keeps a well-defined
+    set), so it is oracle-checkable against batch DISTINCT.
+
+    At scale: state is one entry per distinct key; with event-time keys
+    a watermark bounds it (dropDuplicatesWithinWatermark) — demonstrated
+    in tests/test_streaming_watermark.py for the windowed agg."""
+    s = events_stream(spark, sf_dir)
+    dedup = s.select(
+        "user_id",
+        "event_type",
+        F.window("ts", "1 hour").start.alias("hour_start"),
+    ).dropDuplicates(["user_id", "event_type", "hour_start"])
+    return run_to_table(dedup, spark, "append")

@@ -8,6 +8,7 @@ import os
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from dbt_on_snowflake_spark.engine.project import Project
 from dbt_on_snowflake_spark.engine.runner import Runner
@@ -204,3 +205,40 @@ def test_cli_run_reports_failure_and_writes_results(tmp_path, capsys):
     assert "error" in printed and "success" in printed
     payload = json.load(open(out))
     assert len(payload["results"]) == 2
+
+
+def test_partition_by_table_materialization(spark, tmp_path):
+    """partition_by config lays the mart out as parquet partition dirs;
+    a partition-filtered read plans only the matching directory
+    (partition pruning — the read-cost lever for date-partitioned
+    marts)."""
+    root = str(tmp_path / "proj")
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    pd.DataFrame(
+        {"id": range(8), "status": ["open", "closed"] * 4, "v": range(8)}
+    ).to_parquet(os.path.join(data, "t.parquet"), index=False)
+    _write(f"{root}/project.yml",
+           "name: parts\nmodels:\n  models:\n    materialized: table\n")
+    _write(f"{root}/sources.yml",
+           f"sources:\n  - name: raw\n    base_path: \"{data}\"\n    tables:\n      - name: t\n")
+    _write(
+        f"{root}/models/models/by_status.sql",
+        "{{ config(materialized='table', partition_by='status') }}\n"
+        "SELECT id, status, v FROM {{ source('raw', 't') }}",
+    )
+    project = Project(root, target="dev")
+    runner = Runner(spark, project)
+    results = runner.run()
+    assert results[0].status == "success" and results[0].rows == 8
+    path = runner._table_path("dev_by_status")
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("status=")
+    ) == ["status=closed", "status=open"]
+    filtered = spark.table("dev_by_status").filter("status = 'open'")
+    assert filtered.count() == 4
+    # pruning: only the matching partition directory is read
+    files = filtered.select(
+        F.input_file_name().alias("f")
+    ).distinct().collect()
+    assert files and all("status=open" in r.f for r in files)
