@@ -32,6 +32,10 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument("--target", default="dev")
         sp.add_argument("--select", default=None)
         sp.add_argument("--out", default=None, help="run_results.json path")
+        sp.add_argument(
+            "--trace", action="store_true",
+            help="write each node's physical plan to <project>/target/traces/",
+        )
     args = p.parse_args(argv)
 
     from dbt_on_snowflake_spark.engine.dag import select, toposort
@@ -83,9 +87,16 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     spark = get_spark("cli")
+    import os as _os
+
     from dbt_on_snowflake_spark.engine.runner import Runner
 
-    runner = Runner(spark, project)
+    trace_dir = (
+        _os.path.join(args.project, "target", "traces")
+        if getattr(args, "trace", False)
+        else None
+    )
+    runner = Runner(spark, project, trace_dir=trace_dir)
 
     if args.cmd == "run":
         results = runner.run(args.select)
@@ -94,8 +105,6 @@ def main(argv: list[str] | None = None) -> int:
                   f"({r.rows if r.rows is not None else '-'} rows, {r.seconds}s)")
         if args.out:
             runner.write_run_results(args.out)
-        import os as _os
-
         runner.append_run_history(
             _os.path.join(args.project, "target", "run_history.jsonl")
         )

@@ -38,6 +38,7 @@ class NodeResult:
     rows: int | None
     seconds: float
     error: str | None = None
+    trace: str | None = None  # path to the node's physical-plan trace
 
 
 class ModelContext:
@@ -65,10 +66,19 @@ class Runner:
     to a real catalog (Hive metastore / Delta / Iceberg) changes only
     ``_table_path``/``_materialize``."""
 
-    def __init__(self, spark: SparkSession, project: Project):
+    def __init__(
+        self,
+        spark: SparkSession,
+        project: Project,
+        trace_dir: str | None = None,
+    ):
         self.spark = spark
         self.project = project
         self.results: list[NodeResult] = []
+        # when set, each executed node's formatted physical plan is written
+        # to <trace_dir>/<node>.txt — the per-query trace a user debugs a
+        # slow mart with (reference README.md:163-187 monitoring surface)
+        self.trace_dir = trace_dir
         wh = spark.conf.get("spark.sql.warehouse.dir", "/tmp/spark_warehouse")
         self.warehouse = wh.removeprefix("file:")
 
@@ -154,11 +164,12 @@ class Runner:
         t0 = time.perf_counter()
         try:
             df = self._build_df(node)
+            trace = self._write_trace(node.name, df)
             rows = self._materialize(df, relation, mat, node)
             self.results.append(
                 NodeResult(
                     node.name, "success", mat, relation, rows,
-                    round(time.perf_counter() - t0, 3),
+                    round(time.perf_counter() - t0, 3), trace=trace,
                 )
             )
             return True
@@ -170,6 +181,17 @@ class Runner:
                 )
             )
             return False
+
+    def _write_trace(self, name: str, df: DataFrame) -> str | None:
+        if self.trace_dir is None:
+            return None
+        from dbt_on_snowflake_spark.plans import explain_str
+
+        os.makedirs(self.trace_dir, exist_ok=True)
+        path = os.path.join(self.trace_dir, f"{name}.txt")
+        with open(path, "w") as f:
+            f.write(explain_str(df))
+        return path
 
     def _build_df(self, node: ModelNode) -> DataFrame:
         if node.kind == "sql":

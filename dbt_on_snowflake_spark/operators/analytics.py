@@ -188,6 +188,57 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- TPC-H Q18 shape: HAVING-filtered aggregate (large-volume orders)
+# joined back to the fact and dims. Quantities are integral doubles, so
+# plain SUM is exact (< 2^53) and engine-identical without scaling.
+@query(
+    "q18_large_volume_orders",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey, SUM(l_quantity) AS total_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(l_quantity) > 150
+    )
+    SELECT c.c_name AS customer_name,
+           c.c_custkey AS customer_id,
+           o.o_orderkey AS order_key,
+           o.o_orderdate AS order_date,
+           o.o_totalprice AS order_total,
+           b.total_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders: per-order quantity aggregate, HAVING filter,
+    then join back to orders and customer. The aggregate runs BEFORE the
+    joins (the decorrelated Q18 plan): the join input is the filtered
+    ~order-cardinality set, not the lineitem fact. No broadcast hints —
+    customer grows with SF; AQE decides at runtime."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey, "inner")
+        .join(c, o.o_custkey == c.c_custkey, "inner")
+        .select(
+            F.col("c_name").alias("customer_name"),
+            F.col("c_custkey").alias("customer_id"),
+            F.col("o_orderkey").alias("order_key"),
+            F.col("o_orderdate").alias("order_date"),
+            F.col("o_totalprice").alias("order_total"),
+            "total_qty",
+        )
+    )
+
+
 # --- Calendar rollup: monthly revenue via date_trunc (temporal grouping
 # beyond the hourly event windows).
 @query(

@@ -92,8 +92,20 @@ def count_broadcast_joins(plan: str) -> int:
 
 
 def count_shuffles(plan: str) -> int:
-    """Shuffle exchanges (excluding broadcast exchanges)."""
-    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning", plan))
+    """Shuffle exchanges (excluding broadcast exchanges).
+
+    Formatted mode names each shuffle exchange as a `(n) Exchange` detail
+    block (broadcast ones are `(n) BroadcastExchange`, so they never
+    match); simple/extended modes inline `Exchange hashpartitioning`.
+    Counting only the simple-mode spelling silently returned 0 on
+    formatted plans — and made every `<= N` shuffle assertion pass
+    vacuously."""
+    n = len(re.findall(r"^\(\d+\) Exchange$", plan, re.MULTILINE))
+    if n:
+        return n
+    return len(
+        re.findall(r"\bExchange (?:hash|range)partitioning", plan)
+    )
 
 
 def codegen_subtrees(spark, build_df) -> int:

@@ -305,3 +305,19 @@ def test_manifest_and_run_history_artifacts(tasty, tmp_path, capsys):
     last = lines[-1]
     assert last["invoked_at"] and last["target"] == "dev"
     assert any(r["name"] == "raw_pos_truck" for r in last["results"])
+
+
+def test_run_trace_artifact(tasty, capsys):
+    """run --trace writes each node's formatted physical plan under
+    target/traces/ and records the path in the node result."""
+    import shutil
+
+    from dbt_on_snowflake_spark.__main__ import main
+
+    traces = os.path.join(PROJ_ROOT, "target", "traces")
+    shutil.rmtree(traces, ignore_errors=True)
+    rc = main(["run", "--project", PROJ_ROOT, "--select", "orders", "--trace"])
+    capsys.readouterr()
+    assert rc == 0
+    plan = open(os.path.join(traces, "orders.txt")).read()
+    assert "Scan parquet" in plan  # a real physical plan, not a stub

@@ -88,3 +88,32 @@ def test_ann_broadcast_query_side(spark):
 )
 def test_headlines_have_codegen(spark, name):
     assert codegen_subtrees(spark, lambda: Q[name].fn(spark, SF_SMOKE)) > 0
+
+
+def test_sampling_is_shuffle_free(spark):
+    """corpus_sample_stratified is a pure narrow map: scan + filter +
+    project, zero exchanges at ANY scale — the whole point of hash
+    sampling over df.sample. The scan also prunes to the 3 needed
+    columns (text is never read)."""
+    df = Q["corpus_sample_stratified"].fn(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert count_shuffles(plan) == 0
+    assert_read_columns(plan, "documents", 3)
+
+
+def test_clean_funnel_single_shuffle(spark):
+    """corpus_clean_pipeline: exactly ONE shuffle (the md5-keyed
+    canonicalization window); every rule flag is computed in the same
+    narrow pass."""
+    df = Q["corpus_clean_pipeline"].fn(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert count_shuffles(plan) == 1
+    assert "Window" in plan
+
+
+def test_contamination_no_cartesian(spark):
+    """text_contamination joins on the shingle key (inverted index) —
+    no nested-loop/cartesian product anywhere in the plan."""
+    plan = explain_str(Q["text_contamination"].fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
