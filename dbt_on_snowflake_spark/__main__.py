@@ -26,7 +26,7 @@ from dataclasses import asdict
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="dbt_on_snowflake_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
-    for name in ("run", "test", "compile", "ls", "freshness"):
+    for name in ("run", "test", "compile", "ls", "freshness", "seed"):
         sp = sub.add_parser(name)
         sp.add_argument("--project", required=True)
         sp.add_argument("--target", default="dev")
@@ -57,7 +57,9 @@ def main(argv: list[str] | None = None) -> int:
             return f"src_{g}_{t}"
 
         def resolve_ref(n):
-            # mirror Runner.resolve_ref incl. ephemeral inlining
+            # mirror Runner.resolve_ref incl. seeds + ephemeral inlining
+            if n in project.seeds:
+                return project.relation_for(n)
             node = project.models[n]
             if project.materialization_for(node) == "ephemeral":
                 body = render(node.body, resolve_ref, resolve_source)
@@ -126,6 +128,12 @@ def main(argv: list[str] | None = None) -> int:
             with open(args.out, "w") as f:
                 json.dump([asdict(r) for r in results], f, indent=2)
         return 0 if n_bad == 0 else 1
+
+    if args.cmd == "seed":
+        runner.load_seeds()
+        for r in runner.results:
+            print(f"{r.status:8s} seed  {r.relation} ({r.rows} rows)")
+        return 0 if all(r.status == "success" for r in runner.results) else 1
 
     if args.cmd == "freshness":
         from dbt_on_snowflake_spark.engine.freshness import check_freshness

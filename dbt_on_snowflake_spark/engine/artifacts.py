@@ -55,6 +55,10 @@ def build_manifest(project: Project) -> dict[str, Any]:
         "nodes": nodes,
         "edges": edges,
         "sources": sources,
+        "seeds": {
+            name: {"path": path, "relation": project.relation_for(name)}
+            for name, path in getattr(project, "seeds", {}).items()
+        },
     }
 
 

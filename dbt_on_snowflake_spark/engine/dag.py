@@ -11,13 +11,17 @@ from dbt_on_snowflake_spark.engine.project import Project
 
 
 def build_graph(project: Project) -> dict[str, set[str]]:
-    """model -> set of upstream models (sources are roots, not nodes)."""
+    """model -> set of upstream models (sources and seeds are roots, not
+    nodes — seeds are always materialized before any model runs)."""
+    seeds = getattr(project, "seeds", {})
     graph: dict[str, set[str]] = {}
     for name, node in project.models.items():
-        missing = [r for r in node.refs if r not in project.models]
+        missing = [
+            r for r in node.refs if r not in project.models and r not in seeds
+        ]
         if missing:
             raise ValueError(f"model '{name}' refs unknown model(s): {missing}")
-        graph[name] = set(node.refs)
+        graph[name] = {r for r in node.refs if r in project.models}
     return graph
 
 

@@ -86,6 +86,20 @@ class Project:
         self._load_packages()
         self.models = self._discover_models()
         self.sources = self._load_sources()
+        self.seeds = self._discover_seeds()
+
+    def _discover_seeds(self) -> dict[str, str]:
+        """dbt seeds: <root>/seeds/*.csv, loaded as tables and valid
+        ``ref()`` targets (they are DAG roots — always materialized before
+        any model runs)."""
+        sdir = os.path.join(self.root, "seeds")
+        if not os.path.isdir(sdir):
+            return {}
+        return {
+            os.path.splitext(fn)[0]: os.path.join(sdir, fn)
+            for fn in sorted(os.listdir(sdir))
+            if fn.endswith(".csv")
+        }
 
     # -- packages ----------------------------------------------------------
     def _load_packages(self) -> None:

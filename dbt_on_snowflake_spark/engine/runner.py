@@ -95,6 +95,8 @@ class Runner:
 
     # -- resolution -------------------------------------------------------
     def resolve_ref(self, name: str) -> str:
+        if name in self.project.seeds:
+            return self.project.relation_for(name)
         node = self.project.models[name]
         if self.project.materialization_for(node) == "ephemeral":
             # ephemeral models inline as a subquery — no relation exists
@@ -121,9 +123,37 @@ class Runner:
                 from dbt_on_snowflake_spark.sources.csv_loader import read_csv_typed
 
                 df = read_csv_typed(self.spark, src.path)
+            elif src.format == "json":
+                # newline-delimited JSON (the log/export interchange format);
+                # schema inference here is a second scan — acceptable for
+                # raw landing zones, declared schemas for anything hot
+                df = reader.json(src.path)
             else:
                 df = reader.parquet(src.path)
             df.createOrReplaceTempView(self.resolve_source(group, name))
+
+    # -- seeds -------------------------------------------------------------
+    def load_seeds(self) -> None:
+        """dbt seeds: version-controlled CSVs under <project>/seeds/,
+        materialized as tables and referenceable via {{ ref('<seed>') }}
+        (small lookup/dimension data a 100 TB pipeline still needs —
+        mapping tables, allowlists)."""
+        for name, path in self.project.seeds.items():
+            relation = self.project.relation_for(name)
+            t0 = time.perf_counter()
+            df = (
+                self.spark.read.option("header", True)
+                .option("inferSchema", True)
+                .csv(path)
+            )
+            rows = self._write_counted(df, self._table_path(relation))
+            self._register_table(relation)
+            self.results.append(
+                NodeResult(
+                    name, "success", "seed", relation, rows,
+                    round(time.perf_counter() - t0, 3),
+                )
+            )
 
     # -- execution --------------------------------------------------------
     def run(self, selector: str | None = None) -> list[NodeResult]:
@@ -133,6 +163,7 @@ class Runner:
         CLI maps any non-success result to a non-zero exit AFTER printing
         and writing run_results.json."""
         self.load_sources()
+        self.load_seeds()
         dead: set[str] = set()  # failed or skipped; propagates via refs
         for name in select(self.project, selector):
             node = self.project.models[name]
@@ -299,10 +330,35 @@ class Runner:
         if os.path.isdir(stage):
             shutil.rmtree(stage)  # stale stage from an interrupted write
         parts = self._partition_cols(node)
+        strategy = (node.config.get("incremental_strategy") if node else None) or (
+            "merge"
+        )
         if not self.table_exists(relation):
             rows = self._write_counted(df, path, parts)
             self._register_table(relation)
             return rows
+        if strategy == "insert_overwrite":
+            # Dynamic partition overwrite: ONLY the partitions present in
+            # this increment are replaced — the 100 TB incremental path
+            # (the merge strategy below rewrites the whole table; this
+            # rewrites one day of a date-partitioned mart). Requires
+            # partition_by; Spark stages and commits per-partition, so no
+            # rename protocol is needed here.
+            if not parts:
+                raise ValueError(
+                    "incremental_strategy='insert_overwrite' requires "
+                    "partition_by"
+                )
+            obs = Observation()
+            (
+                df.observe(obs, F.count(F.lit(1)).alias("rows"))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(*parts)
+                .parquet(path)
+            )
+            self._register_table(relation)
+            return int(obs.get["rows"])
         unique_key = node.config.get("unique_key") if node else None
         existing = self.spark.read.parquet(path)
         if unique_key:

@@ -321,3 +321,56 @@ def test_run_trace_artifact(tasty, capsys):
     assert rc == 0
     plan = open(os.path.join(traces, "orders.txt")).read()
     assert "Scan parquet" in plan  # a real physical plan, not a stub
+
+
+def test_seeds_load_and_are_ref_targets(spark, tmp_path, capsys):
+    """dbt seeds: CSVs under seeds/ materialize as tables before models
+    run and resolve through {{ ref('<seed>') }}."""
+    from dbt_on_snowflake_spark.__main__ import main
+
+    root = str(tmp_path / "proj")
+    os.makedirs(f"{root}/seeds")
+    with open(f"{root}/seeds/country_codes.csv", "w") as f:
+        f.write("code,name\nNO,Norway\nSE,Sweden\n")
+    with open(f"{root}/project.yml", "w") as f:
+        f.write("name: seeded\nmodels:\n  models:\n    materialized: table\n")
+    os.makedirs(f"{root}/models/models")
+    with open(f"{root}/models/models/countries.sql", "w") as f:
+        f.write("SELECT code, upper(name) AS name_uc "
+                "FROM {{ ref('country_codes') }}")
+
+    rc = main(["seed", "--project", root])
+    out = capsys.readouterr().out
+    assert rc == 0 and "dev_country_codes" in out
+
+    rc = main(["run", "--project", root])
+    capsys.readouterr()
+    assert rc == 0
+    rows = {r.code: r.name_uc for r in spark.table("dev_countries").collect()}
+    assert rows == {"NO": "NORWAY", "SE": "SWEDEN"}
+
+
+def test_json_source_format(spark, tmp_path):
+    """sources.yml format: json reads newline-delimited JSON."""
+    root = str(tmp_path / "proj")
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    with open(os.path.join(data, "logs.json"), "w") as f:
+        f.write('{"id": 1, "msg": "a"}\n{"id": 2, "msg": "b"}\n')
+    os.makedirs(root)
+    with open(f"{root}/project.yml", "w") as f:
+        f.write("name: jsrc\nmodels:\n  models:\n    materialized: table\n")
+    with open(f"{root}/sources.yml", "w") as f:
+        f.write(
+            f"sources:\n  - name: raw\n    base_path: \"{data}\"\n"
+            "    tables:\n      - name: logs\n"
+            f"        path: \"{data}/logs.json\"\n        format: json\n"
+        )
+    os.makedirs(f"{root}/models/models")
+    with open(f"{root}/models/models/msgs.sql", "w") as f:
+        f.write("SELECT id, msg FROM {{ source('raw', 'logs') }}")
+    project = Project(root, target="dev")
+    runner = Runner(spark, project)
+    res = runner.run()
+    assert all(r.status == "success" for r in res)
+    assert spark.table("dev_msgs").count() == 2

@@ -242,3 +242,73 @@ def test_partition_by_table_materialization(spark, tmp_path):
         F.input_file_name().alias("f")
     ).distinct().collect()
     assert files and all("status=open" in r.f for r in files)
+
+
+def test_insert_overwrite_replaces_only_touched_partitions(spark, tmp_path):
+    """incremental_strategy='insert_overwrite' + partition_by: a later run
+    rewrites ONLY the partitions present in the increment (dynamic
+    partition overwrite) — untouched partitions keep their files."""
+    root = str(tmp_path / "proj")
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+
+    def load(rows):
+        pd.DataFrame(rows, columns=["id", "day", "v"]).to_parquet(
+            os.path.join(data, "t.parquet"), index=False
+        )
+
+    load([(1, "d1", 10), (2, "d2", 20)])
+    _write(f"{root}/project.yml",
+           "name: iow\nmodels:\n  models:\n    materialized: view\n")
+    _write(f"{root}/sources.yml",
+           f"sources:\n  - name: raw\n    base_path: \"{data}\"\n    tables:\n      - name: t\n")
+    _write(
+        f"{root}/models/models/daily.sql",
+        "{{ config(materialized='incremental', "
+        "incremental_strategy='insert_overwrite', partition_by='day') }}\n"
+        "SELECT id, day, v FROM {{ source('raw', 't') }}",
+    )
+    project = Project(root, target="dev")
+    runner = Runner(spark, project)
+    path = runner._table_path("dev_daily")
+    if os.path.isdir(path):
+        import shutil as _sh
+
+        _sh.rmtree(path)
+    res1 = runner.run()
+    assert res1[0].status == "success" and res1[0].rows == 2
+    d1_files_before = set(os.listdir(os.path.join(path, "day=d1")))
+
+    # increment touches only d2 (restated) and d3 (new); d1 untouched
+    load([(2, "d2", 99), (3, "d3", 30)])
+    runner2 = Runner(spark, Project(root, target="dev"))
+    res2 = runner2.run()
+    assert res2[0].status == "success" and res2[0].rows == 2
+    rows = {
+        (r.id, r.day): r.v for r in spark.table("dev_daily").collect()
+    }
+    assert rows == {(1, "d1"): 10, (2, "d2"): 99, (3, "d3"): 30}
+    assert set(os.listdir(os.path.join(path, "day=d1"))) == d1_files_before
+
+
+def test_insert_overwrite_requires_partition_by(spark, tmp_path):
+    root = str(tmp_path / "proj")
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    pd.DataFrame({"id": [1]}).to_parquet(os.path.join(data, "t.parquet"), index=False)
+    _write(f"{root}/project.yml",
+           "name: iow2\nmodels:\n  models:\n    materialized: view\n")
+    _write(f"{root}/sources.yml",
+           f"sources:\n  - name: raw\n    base_path: \"{data}\"\n    tables:\n      - name: t\n")
+    _write(
+        f"{root}/models/models/nopart.sql",
+        "{{ config(materialized='incremental', "
+        "incremental_strategy='insert_overwrite') }}\n"
+        "SELECT id FROM {{ source('raw', 't') }}",
+    )
+    project = Project(root, target="dev")
+    runner = Runner(spark, project)
+    runner.run()  # first run: plain full load, fine
+    res = Runner(spark, Project(root, target="dev")).run()
+    assert res[0].status == "error"
+    assert "partition_by" in res[0].error
