@@ -133,6 +133,110 @@ def ann_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_PROBE = 2  # multiprobe: the 2 nearest centroids per query
+
+
+@query(
+    "ann_ivf_multiprobe",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT * FROM e WHERE {{query_pred}}),
+    cent AS (
+        SELECT label, dim, ROUND(SUM(val) / COUNT(*), 4) + 0.0 AS cv
+        FROM (
+            SELECT label,
+                   unnest(embedding::DOUBLE[]) AS val,
+                   generate_subscripts(embedding, 1) AS dim
+            FROM embeddings
+        )
+        GROUP BY label, dim
+    ),
+    cvec AS (SELECT label, list(cv ORDER BY dim) AS v FROM cent GROUP BY label),
+    qc AS (
+        SELECT q.vec_id AS query_id, c.label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND({{cos_qc}}, 4) DESC, c.label ASC
+               ) AS crank
+        FROM q CROSS JOIN cvec c
+    ),
+    probes AS (SELECT query_id, label FROM qc WHERE crank <= {{nprobe}}),
+    scored AS (
+        SELECT p.query_id, c.vec_id AS neighbor_id,
+               ROUND({{cos_qe}}, 4) + 0.0 AS cosine
+        FROM probes p
+        JOIN e c ON c.label = p.label
+        JOIN q ON q.vec_id = p.query_id AND q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+        ) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {{k}}
+    """.format(
+        query_pred=_QUERY_PRED,
+        cos_qc=COSINE_SQL.format(a="q.v", b="c.v"),
+        cos_qe=COSINE_SQL.format(a="q.v", b="c.v"),
+        nprobe=N_PROBE,
+        k=TOP_K,
+    ),
+)
+def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe=2: rank centroids per query by cosine (on the
+    ROUNDED centroid values — exactly the `ann_centroids` output, so the
+    probe choice is engine-identical) and scan the 2 nearest inverted
+    lists instead of only the home cluster. Recovers most of the recall
+    single-probe loses on queries near a cluster boundary, at 2x probe
+    cost — still O(nprobe * N / n_clusters) per query, never O(N).
+
+    At scale the centroid table is tiny (n_clusters rows) and broadcast;
+    the probe join prunes to nprobe partitions of the label-partitioned
+    corpus."""
+    e = _vectors(spark, sf_dir)
+    q = F.broadcast(e.filter(F.expr(_QUERY_PRED))).alias("q")
+    cent = (
+        e.select("label", F.posexplode("v").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg((F.round(F.sum("val") / F.count(F.lit(1)), 4) + 0.0).alias("cv"))
+    )
+    cvec = (
+        cent.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                lambda s: s.cv,
+            ).alias("v")
+        )
+        .alias("c")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("label").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cvec))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.label").alias("label"),
+            F.round(_cosine("q.v", "c.v"), 4).alias("ccos"),
+        )
+        .withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= N_PROBE)
+        .select("query_id", "label")
+    )
+    c = e.alias("c")
+    joined = (
+        probes.join(c, F.col("c.label") == probes.label)
+        .join(
+            q,
+            (F.col("q.vec_id") == probes.query_id)
+            & (F.col("q.vec_id") != F.col("c.vec_id")),
+        )
+    )
+    return _topk(joined)
+
+
 @query(
     "ann_ivf_topk",
     oracle=_ORACLE_TOPK.format(
