@@ -26,7 +26,7 @@ from dataclasses import asdict
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="dbt_on_snowflake_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
-    for name in ("run", "test", "compile", "ls", "freshness", "seed"):
+    for name in ("run", "test", "compile", "ls", "freshness", "seed", "docs"):
         sp = sub.add_parser(name)
         sp.add_argument("--project", required=True)
         sp.add_argument("--target", default="dev")
@@ -128,6 +128,19 @@ def main(argv: list[str] | None = None) -> int:
             with open(args.out, "w") as f:
                 json.dump([asdict(r) for r in results], f, indent=2)
         return 0 if n_bad == 0 else 1
+
+    if args.cmd == "docs":
+        from dbt_on_snowflake_spark.engine.artifacts import (
+            write_catalog,
+            write_manifest,
+        )
+
+        runner.run(args.select)
+        tdir = _os.path.join(args.project, "target")
+        write_manifest(project, _os.path.join(tdir, "manifest.json"))
+        write_catalog(spark, runner, _os.path.join(tdir, "catalog.json"))
+        print(f"wrote {tdir}/manifest.json and {tdir}/catalog.json")
+        return 0
 
     if args.cmd == "seed":
         runner.load_seeds()

@@ -79,3 +79,33 @@ def append_run_history(path: str, payload: dict[str, Any]) -> None:
     }
     with open(path, "a") as f:
         f.write(json.dumps(record) + "\n")
+
+
+def build_catalog(spark, runner) -> dict[str, Any]:
+    """dbt `docs generate` equivalent: per-relation column schemas (from
+    the session catalog — no data scan) + row counts as recorded by the
+    run's write metrics."""
+    out: dict[str, Any] = {}
+    for r in runner.results:
+        if r.status != "success":
+            continue
+        try:
+            fields = spark.table(r.relation).schema.fields
+        except Exception:  # noqa: BLE001 — e.g. seed/view dropped meanwhile
+            continue
+        out[r.relation] = {
+            "model": r.name,
+            "materialized": r.materialization,
+            "rows": r.rows,
+            "columns": [
+                {"name": f.name, "type": f.dataType.simpleString()}
+                for f in fields
+            ],
+        }
+    return {"relations": out}
+
+
+def write_catalog(spark, runner, path: str) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(build_catalog(spark, runner), f, indent=2)

@@ -602,3 +602,44 @@ def t_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value", "session_value", 4),
         )
     )
+
+
+# --- Cohort retention over events: classic product-analytics rollup
+# (cohort = first activity day; how many users return k days later).
+@query(
+    "t_user_retention",
+    oracle="""
+    WITH activity AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        FROM events
+    ),
+    cohort AS (
+        SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id
+    )
+    SELECT c.cohort_day,
+           CAST(a.day - c.cohort_day AS BIGINT) AS days_since,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM activity a
+    JOIN cohort c ON c.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def t_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-activity day, counted on
+    each later activity day. Two shuffles (per-user min, then the cohort
+    rollup); the self-join is on user_id — co-partitioned with the
+    aggregate, so AQE reuses the exchange. The distinct day projection
+    collapses the fact table before anything joins."""
+    e = table(spark, sf_dir, "events")
+    activity = e.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("long").alias("days_since"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

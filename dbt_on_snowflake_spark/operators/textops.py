@@ -293,3 +293,57 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.when(n >= 5, fp).otherwise(F.lit("")).alias("fingerprint"),
     ).filter(F.col("fingerprint") != "")
+
+
+# ------------------------------------------------------- repetition ratio
+
+
+@query(
+    "text_repetition",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               greatest(len(ts) - 2, 0) AS n_grams,
+               CASE WHEN len(ts) >= 3 THEN len(list_distinct(
+                   list_transform(range(1, len(ts) - 1),
+                                  i -> array_to_string(ts[i:i+2], ' '))))
+                    ELSE 0 END AS n_distinct
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_distinct AS BIGINT) AS n_distinct_grams,
+           CASE WHEN n_grams > 0
+                THEN ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 4) + 0.0
+                ELSE 0.0 END AS repetition_ratio
+    FROM g
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition ratio (Gopher-style quality rule):
+    fraction of word-trigram occurrences that are repeats of an earlier
+    trigram in the same document. High values flag boilerplate/looping
+    text that quality filters drop before training. Pure per-row column
+    work — narrow, codegen'd, shuffle-free."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    seq = F.sequence(F.lit(1), n - 2)
+    grams = F.transform(seq, lambda g: F.array_join(F.slice(toks, g, 3), " "))
+    n_grams = F.greatest(n - 2, F.lit(0))
+    n_distinct = F.when(n >= 3, F.size(F.array_distinct(grams))).otherwise(
+        F.lit(0)
+    )
+    ratio = F.when(
+        n_grams > 0,
+        F.round(1.0 - n_distinct.cast("double") / n_grams, 4) + 0.0,
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        n_grams.cast("long").alias("n_grams"),
+        n_distinct.cast("long").alias("n_distinct_grams"),
+        ratio.alias("repetition_ratio"),
+    )

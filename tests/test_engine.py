@@ -374,3 +374,18 @@ def test_json_source_format(spark, tmp_path):
     res = runner.run()
     assert all(r.status == "success" for r in res)
     assert spark.table("dev_msgs").count() == 2
+
+
+def test_docs_catalog_artifact(tasty, capsys):
+    """docs: manifest.json + catalog.json (relation schemas + write-metric
+    row counts — dbt docs generate equivalent)."""
+    from dbt_on_snowflake_spark.__main__ import main
+
+    rc = main(["docs", "--project", PROJ_ROOT])
+    capsys.readouterr()
+    assert rc == 0
+    cat = json.load(open(os.path.join(PROJ_ROOT, "target", "catalog.json")))
+    orders = cat["relations"]["dev_orders"]
+    assert orders["materialized"] == "table" and orders["rows"] > 0
+    cols = {c["name"]: c["type"] for c in orders["columns"]}
+    assert "order_id" in cols or "order_detail_id" in cols
