@@ -12,6 +12,7 @@ from dbt_on_snowflake_spark.operators import (  # noqa: F401
     multimodal,
     relational,
     similarity,
+    skew,
     textops,
 )
 

@@ -117,3 +117,61 @@ def test_contamination_no_cartesian(spark):
     plan = explain_str(Q["text_contamination"].fn(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed by the same key into the same bucket count
+    join with ZERO exchanges — the co-located fact-fact join that removes
+    the dominant shuffle at 100 TB."""
+    import pandas as pd
+
+    from dbt_on_snowflake_spark.sources.bucketing import write_bucketed
+
+    a = spark.createDataFrame(
+        pd.DataFrame({"k": range(1000), "va": range(1000)})
+    )
+    b = spark.createDataFrame(
+        pd.DataFrame({"k": range(0, 2000, 2), "vb": range(1000)})
+    )
+    write_bucketed(a, "bkt_a", "k", 4)
+    write_bucketed(b, "bkt_b", "k", 4)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        plan = explain_str(joined)
+        assert count_shuffles(plan) == 0
+        assert "SortMergeJoin" in plan
+        assert joined.count() == 500
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_salted_join_matches_plain_join_under_skew(spark):
+    """Salting is a pure physical rewrite: on data with one massive hot
+    key, the salted join returns exactly the plain join's rows, and the
+    physical join key includes the salt."""
+    import pandas as pd
+
+    from dbt_on_snowflake_spark.operators.skew import salted_join
+
+    # one hot key (90% of rows) + a long tail
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [7] * 9000 + list(range(1000)),
+                "row_id": range(10000),
+            }
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": range(0, 1000, 3), "label": range(334)})
+    )
+    got = salted_join(left, right, on=["k"], how="left")
+    plain = left.join(right, ["k"], "left")
+    assert "_salt" not in got.columns
+    got_set = {(r.row_id, r.label) for r in got.collect()}
+    plain_set = {(r.row_id, r.label) for r in plain.collect()}
+    assert got_set == plain_set
+    plan = explain_str(salted_join(left, right, on=["k"]))
+    assert "_salt" in plan  # the join key actually carries the salt
