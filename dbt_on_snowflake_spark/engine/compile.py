@@ -29,7 +29,6 @@ _SOURCE_RE = re.compile(
     r"\{\{\s*source\(\s*['\"]([\w.]+)['\"]\s*,\s*['\"]([\w.]+)['\"]\s*\)\s*\}\}"
 )
 _CONFIG_RE = re.compile(r"\{\{\s*config\((.*?)\)\s*\}\}", re.DOTALL)
-_CONFIG_KV_RE = re.compile(r"(\w+)\s*=\s*['\"]?([\w.]+)['\"]?")
 _THIS_RE = re.compile(r"\{\{\s*this\s*\}\}")
 _INCR_BLOCK_RE = re.compile(
     r"\{%\s*if\s+is_incremental\(\)\s*%\}(.*?)\{%\s*endif\s*%\}", re.DOTALL
@@ -166,11 +165,19 @@ def extract_deps(sql: str) -> tuple[list[str], list[tuple[str, str]]]:
 
 
 def extract_config(sql: str) -> dict[str, str]:
-    """In-model ``{{ config(materialized='table') }}`` overrides."""
+    """In-model ``{{ config(materialized='table') }}`` overrides. Values
+    may be quoted strings containing commas/colons/parens (contracts,
+    hook SQL) — parsed with the same quote/paren-aware tokenizer as
+    macro arguments."""
     m = _CONFIG_RE.search(sql)
     if not m:
         return {}
-    return dict(_CONFIG_KV_RE.findall(m.group(1)))
+    out: dict[str, str] = {}
+    for part in _split_args(m.group(1)):
+        if "=" in part:
+            k, v = part.split("=", 1)
+            out[k.strip()] = _unquote(v.strip())
+    return out
 
 
 def render(

@@ -194,9 +194,12 @@ class Runner:
         relation = self.project.relation_for(node.name, node.config.get("schema"))
         t0 = time.perf_counter()
         try:
+            self._run_hook(node, "pre_hook", relation)
             df = self._build_df(node)
+            self._enforce_contract(node, df)
             trace = self._write_trace(node.name, df)
             rows = self._materialize(df, relation, mat, node)
+            self._run_hook(node, "post_hook", relation)
             self.results.append(
                 NodeResult(
                     node.name, "success", mat, relation, rows,
@@ -212,6 +215,36 @@ class Runner:
                 )
             )
             return False
+
+    def _run_hook(self, node: ModelNode, which: str, relation: str) -> None:
+        """dbt pre/post hooks: arbitrary SQL around a materialization
+        (audit rows, grants, OPTIMIZE on a real table format). Rendered
+        with the same ref/source/this resolution as model bodies."""
+        hook = node.config.get(which)
+        if hook:
+            self.spark.sql(
+                render(hook, self.resolve_ref, self.resolve_source, this=relation)
+            )
+
+    def _enforce_contract(self, node: ModelNode, df: DataFrame) -> None:
+        """dbt model contracts: config(contract='col:type,...') pins the
+        exact output schema (names, Spark simpleString types, order);
+        materialization fails BEFORE writing anything on a mismatch, so a
+        widened column or silent type drift can't reach downstream
+        consumers."""
+        spec = node.config.get("contract")
+        if not spec:
+            return
+        want = []
+        for part in spec.split(","):
+            name, _, typ = part.strip().partition(":")
+            want.append((name.strip(), typ.strip()))
+        got = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+        if want != got:
+            raise ValueError(
+                f"contract violation in {node.name!r}: declared {want}, "
+                f"model produces {got}"
+            )
 
     def _write_trace(self, name: str, df: DataFrame) -> str | None:
         if self.trace_dir is None:

@@ -389,3 +389,66 @@ def test_docs_catalog_artifact(tasty, capsys):
     assert orders["materialized"] == "table" and orders["rows"] > 0
     cols = {c["name"]: c["type"] for c in orders["columns"]}
     assert "order_id" in cols or "order_detail_id" in cols
+
+
+def test_model_contract_enforced(spark, tmp_path):
+    """config(contract=...): a model whose output schema drifts from the
+    declared contract errors BEFORE materializing; a matching one runs."""
+    root = str(tmp_path / "proj")
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    pd.DataFrame({"id": [1, 2], "v": [1.5, 2.5]}).to_parquet(
+        os.path.join(data, "t.parquet"), index=False
+    )
+    def write(p, c):
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        open(p, "w").write(c)
+    write(f"{root}/project.yml",
+          "name: contracts\nmodels:\n  models:\n    materialized: table\n")
+    write(f"{root}/sources.yml",
+          f"sources:\n  - name: raw\n    base_path: \"{data}\"\n    tables:\n      - name: t\n")
+    write(f"{root}/models/models/good.sql",
+          "{{ config(contract='id:bigint,v:double') }}\n"
+          "SELECT id, v FROM {{ source('raw', 't') }}")
+    write(f"{root}/models/models/drifted.sql",
+          "{{ config(contract='id:bigint,v:double') }}\n"
+          "SELECT id, CAST(v AS STRING) AS v FROM {{ source('raw', 't') }}")
+    results = Runner(spark, Project(root, target="dev")).run()
+    status = {r.name: r for r in results}
+    assert status["good"].status == "success"
+    assert status["drifted"].status == "error"
+    assert "contract violation" in status["drifted"].error
+    # nothing was written for the violating model
+    assert not os.path.isdir(
+        Runner(spark, Project(root, target="dev"))._table_path("dev_drifted")
+    )
+
+
+def test_pre_post_hooks_run_with_this_resolution(spark, tmp_path):
+    """pre/post hooks execute around the materialization with {{ this }}
+    resolved; the post hook sees the freshly materialized relation."""
+    root = str(tmp_path / "proj")
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    pd.DataFrame({"id": [1, 2, 3]}).to_parquet(
+        os.path.join(data, "t.parquet"), index=False
+    )
+    def write(p, c):
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        open(p, "w").write(c)
+    write(f"{root}/project.yml",
+          "name: hooks\nmodels:\n  models:\n    materialized: table\n")
+    write(f"{root}/sources.yml",
+          f"sources:\n  - name: raw\n    base_path: \"{data}\"\n    tables:\n      - name: t\n")
+    write(
+        f"{root}/models/models/hooked.sql",
+        "{{ config(pre_hook='CREATE OR REPLACE TEMPORARY VIEW hook_pre AS "
+        "SELECT COUNT(*) AS n FROM src_raw_t', "
+        "post_hook='CREATE OR REPLACE TEMPORARY VIEW hook_audit AS "
+        "SELECT COUNT(*) AS n FROM {{ this }}') }}\n"
+        "SELECT id FROM {{ source('raw', 't') }} WHERE id > 1",
+    )
+    results = Runner(spark, Project(root, target="dev")).run()
+    assert results[0].status == "success"
+    assert spark.table("hook_pre").collect()[0].n == 3
+    assert spark.table("hook_audit").collect()[0].n == 2
