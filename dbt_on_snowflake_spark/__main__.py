@@ -36,6 +36,10 @@ def main(argv: list[str] | None = None) -> int:
             "--trace", action="store_true",
             help="write each node's physical plan to <project>/target/traces/",
         )
+        sp.add_argument(
+            "--state", default=None,
+            help="prior manifest.json for state:modified selection",
+        )
     args = p.parse_args(argv)
 
     from dbt_on_snowflake_spark.engine.dag import select, toposort
@@ -101,7 +105,11 @@ def main(argv: list[str] | None = None) -> int:
     runner = Runner(spark, project, trace_dir=trace_dir)
 
     if args.cmd == "run":
-        results = runner.run(args.select)
+        state = None
+        if getattr(args, "state", None):
+            with open(args.state) as f:
+                state = json.load(f)
+        results = runner.run(args.select, state=state)
         for r in results:
             print(f"{r.status:8s} {r.materialization:5s} {r.relation} "
                   f"({r.rows if r.rows is not None else '-'} rows, {r.seconds}s)")

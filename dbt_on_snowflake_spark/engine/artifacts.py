@@ -11,10 +11,16 @@ monitoring/history):
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 from datetime import datetime, timezone
 from typing import Any
+
+
+def _file_checksum(path: str) -> str:
+    with open(path, "rb") as f:
+        return hashlib.md5(f.read()).hexdigest()
 
 from dbt_on_snowflake_spark.engine.dag import build_graph, toposort
 from dbt_on_snowflake_spark.engine.project import Project
@@ -34,6 +40,9 @@ def build_manifest(project: Project) -> dict[str, Any]:
             "refs": sorted(node.refs),
             "sources": [list(s) for s in sorted(node.sources)],
             "config": dict(node.config),
+            # file-content checksum: the state:modified selector diffs
+            # these against a prior manifest to build only changed models
+            "checksum": _file_checksum(node.path),
         }
     edges = sorted(
         [up, down] for down, ups in graph.items() for up in ups

@@ -57,12 +57,33 @@ def descendants(graph: dict[str, set[str]], name: str) -> set[str]:
     return seen
 
 
-def select(project: Project, selector: str | None) -> list[str]:
+def modified_models(project: Project, state: dict) -> set[str]:
+    """Models whose file checksum differs from a prior manifest (or that
+    are new) — dbt's state:modified comparison, powering CI builds that
+    rebuild only what changed."""
+    from dbt_on_snowflake_spark.engine.artifacts import _file_checksum
+
+    prior = {
+        name: node.get("checksum")
+        for name, node in state.get("nodes", {}).items()
+    }
+    return {
+        name
+        for name, node in project.models.items()
+        if prior.get(name) != _file_checksum(node.path)
+    }
+
+
+def select(
+    project: Project, selector: str | None, state: dict | None = None
+) -> list[str]:
     """Resolve a dbt-style selector to an ordered execution list.
 
     Supported: ``name`` (node + required ancestors, like dbt's default for
     a build), ``+name`` (ancestors + node), ``name+`` (node + descendants),
-    ``+name+``, comma-separated union; None = all models.
+    ``+name+``, comma-separated union; ``state:modified`` /
+    ``state:modified+`` (models changed vs the ``state`` manifest,
+    optionally with descendants — requires ``state``); None = all models.
     """
     order = toposort(project)
     if not selector:
@@ -71,9 +92,19 @@ def select(project: Project, selector: str | None) -> list[str]:
     wanted: set[str] = set()
     for part in selector.split(","):
         part = part.strip()
-        lead = part.startswith("+")
         trail = part.endswith("+")
         name = part.strip("+")
+        if name == "state:modified":
+            if state is None:
+                raise ValueError(
+                    "state:modified requires --state <manifest.json>"
+                )
+            for m in modified_models(project, state):
+                wanted.add(m)
+                wanted |= ancestors(graph, m)
+                if trail:
+                    wanted |= descendants(graph, m)
+            continue
         if name not in project.models:
             raise ValueError(f"unknown model in selector: {name!r}")
         wanted.add(name)
@@ -81,5 +112,4 @@ def select(project: Project, selector: str | None) -> list[str]:
         wanted |= ancestors(graph, name)
         if trail:
             wanted |= descendants(graph, name)
-        del lead  # '+name' == default ancestor behavior
     return [m for m in order if m in wanted]

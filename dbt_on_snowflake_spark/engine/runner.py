@@ -156,16 +156,19 @@ class Runner:
             )
 
     # -- execution --------------------------------------------------------
-    def run(self, selector: str | None = None) -> list[NodeResult]:
+    def run(
+        self, selector: str | None = None, state: dict | None = None
+    ) -> list[NodeResult]:
         """Execute the selected models in topological order with dbt-style
         per-node isolation: a failing model marks its descendants skipped
         (recorded as such), while independent branches keep running. The
         CLI maps any non-success result to a non-zero exit AFTER printing
-        and writing run_results.json."""
+        and writing run_results.json. ``state`` is a prior manifest dict
+        for ``state:modified`` selection."""
         self.load_sources()
         self.load_seeds()
         dead: set[str] = set()  # failed or skipped; propagates via refs
-        for name in select(self.project, selector):
+        for name in select(self.project, selector, state=state):
             node = self.project.models[name]
             mat = self.project.materialization_for(node)
             bad_upstream = sorted(r for r in node.refs if r in dead)

@@ -452,3 +452,53 @@ def test_pre_post_hooks_run_with_this_resolution(spark, tmp_path):
     assert results[0].status == "success"
     assert spark.table("hook_pre").collect()[0].n == 3
     assert spark.table("hook_audit").collect()[0].n == 2
+
+
+def test_state_modified_selection(spark, tmp_path, capsys):
+    """state:modified vs a stored manifest selects only changed models
+    (+ descendants with a trailing +) — the CI rebuild-what-changed
+    workflow."""
+    from dbt_on_snowflake_spark.__main__ import main
+    from dbt_on_snowflake_spark.engine.dag import select as dag_select
+
+    root = str(tmp_path / "proj")
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    pd.DataFrame({"id": [1, 2]}).to_parquet(os.path.join(data, "t.parquet"), index=False)
+    def write(p, c):
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        open(p, "w").write(c)
+    write(f"{root}/project.yml",
+          "name: statesel\nmodels:\n  models:\n    materialized: table\n")
+    write(f"{root}/sources.yml",
+          f"sources:\n  - name: raw\n    base_path: \"{data}\"\n    tables:\n      - name: t\n")
+    write(f"{root}/models/models/base.sql",
+          "SELECT id FROM {{ source('raw', 't') }}")
+    write(f"{root}/models/models/child.sql",
+          "SELECT id FROM {{ ref('base') }}")
+    write(f"{root}/models/models/unrelated.sql",
+          "SELECT id, id * 2 AS twice FROM {{ source('raw', 't') }}")
+
+    manifest = str(tmp_path / "manifest.json")
+    rc = main(["compile", "--project", root, "--out", manifest])
+    capsys.readouterr()
+    assert rc == 0
+
+    project = Project(root, target="dev")
+    state = json.load(open(manifest))
+    # nothing changed yet
+    assert dag_select(project, "state:modified", state=state) == []
+
+    # edit base -> state:modified selects base; + adds child; unrelated out
+    write(f"{root}/models/models/base.sql",
+          "SELECT id FROM {{ source('raw', 't') }} WHERE id > 0")
+    project2 = Project(root, target="dev")
+    assert dag_select(project2, "state:modified", state=state) == ["base"]
+    assert dag_select(project2, "state:modified+", state=state) == ["base", "child"]
+
+    # end-to-end through the CLI
+    rc = main(["run", "--project", root, "--select", "state:modified+",
+               "--state", manifest])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "dev_base" in out and "dev_child" in out and "dev_unrelated" not in out
