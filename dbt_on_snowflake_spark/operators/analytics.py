@@ -475,6 +475,37 @@ def a_pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Unpivot (melt): the wide pivot output back to long form — the
+# inverse pair of a_pivot_status_revenue (SURVEY §2.4 pivot family).
+# Spark's native stack() melts inside whole-stage codegen (no shuffle
+# beyond the upstream aggregate); DuckDB mirrors with UNPIVOT.
+@query(
+    "a_unpivot_status_revenue",
+    oracle=f"""
+    WITH wide AS (
+        SELECT o_orderpriority AS priority,
+               {dsum_sql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END", "revenue_open")},
+               {dsum_sql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END", "revenue_finished")},
+               {dsum_sql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END", "revenue_pending")}
+        FROM orders
+        GROUP BY o_orderpriority
+    )
+    SELECT priority, status, revenue
+    FROM wide
+    UNPIVOT (revenue FOR status IN (revenue_open, revenue_finished,
+                                    revenue_pending))
+    """,
+)
+def a_unpivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = a_pivot_status_revenue(spark, sf_dir)
+    return wide.unpivot(
+        "priority",
+        ["revenue_open", "revenue_finished", "revenue_pending"],
+        "status",
+        "revenue",
+    )
+
+
 # --- Approximate sketches (HLL distinct, quantile sketch) — the
 # cardinality/quantile path for 100 TB where exact distinct is a full
 # shuffle of the key set. No SQL oracle for the sketch columns: HLL/KLL
