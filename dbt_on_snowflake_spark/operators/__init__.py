@@ -10,6 +10,7 @@ from dbt_on_snowflake_spark.operators import (  # noqa: F401
     corpus,
     dedup,
     multimodal,
+    rangejoin,
     relational,
     similarity,
     skew,

@@ -175,3 +175,12 @@ def test_salted_join_matches_plain_join_under_skew(spark):
     assert got_set == plain_set
     plan = explain_str(salted_join(left, right, on=["k"]))
     assert "_salt" in plan  # the join key actually carries the salt
+
+
+def test_range_join_is_binned_not_nested_loop(spark):
+    """The binned range join compiles to a hash join on the day bin —
+    never BroadcastNestedLoopJoin/CartesianProduct (the naive range-join
+    fallback that dies at scale)."""
+    plan = explain_str(Q["t_events_range_join_windows"].fn(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
