@@ -40,6 +40,10 @@ def main(argv: list[str] | None = None) -> int:
             "--state", default=None,
             help="prior manifest.json for state:modified selection",
         )
+        sp.add_argument(
+            "--full-refresh", action="store_true",
+            help="rebuild incremental models from scratch",
+        )
     args = p.parse_args(argv)
 
     from dbt_on_snowflake_spark.engine.dag import select, toposort
@@ -102,7 +106,12 @@ def main(argv: list[str] | None = None) -> int:
         if getattr(args, "trace", False)
         else None
     )
-    runner = Runner(spark, project, trace_dir=trace_dir)
+    runner = Runner(
+        spark,
+        project,
+        trace_dir=trace_dir,
+        full_refresh=getattr(args, "full_refresh", False),
+    )
 
     if args.cmd == "run":
         state = None

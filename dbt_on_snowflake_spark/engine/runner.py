@@ -71,10 +71,14 @@ class Runner:
         spark: SparkSession,
         project: Project,
         trace_dir: str | None = None,
+        full_refresh: bool = False,
     ):
         self.spark = spark
         self.project = project
         self.results: list[NodeResult] = []
+        # dbt --full-refresh: incremental models rebuild from scratch
+        # (is_incremental() renders false; existing state is replaced)
+        self.full_refresh = full_refresh
         # when set, each executed node's formatted physical plan is written
         # to <trace_dir>/<node>.txt — the per-query trace a user debugs a
         # slow mart with (reference README.md:163-187 monitoring surface)
@@ -268,6 +272,7 @@ class Runner:
             incremental = (
                 self.project.materialization_for(node) == "incremental"
                 and self.table_exists(relation)
+                and not self.full_refresh
             )
             if incremental:
                 self._register_table(relation)  # {{ this }} must resolve
@@ -369,7 +374,10 @@ class Runner:
         strategy = (node.config.get("incremental_strategy") if node else None) or (
             "merge"
         )
-        if not self.table_exists(relation):
+        if self.full_refresh or not self.table_exists(relation):
+            # full refresh: the model read only sources (is_incremental()
+            # was false, {{ this }} never resolved), so a direct overwrite
+            # is safe — no self-read to protect with the swap protocol
             rows = self._write_counted(df, path, parts)
             self._register_table(relation)
             return rows

@@ -312,3 +312,32 @@ def test_insert_overwrite_requires_partition_by(spark, tmp_path):
     res = Runner(spark, Project(root, target="dev")).run()
     assert res[0].status == "error"
     assert "partition_by" in res[0].error
+
+
+def test_full_refresh_rebuilds_incremental(spark, incr_project):
+    """--full-refresh: is_incremental() renders false and the table is
+    rebuilt from the sources alone — restated history replaces the
+    accumulated state instead of merging into it."""
+    root, data = incr_project
+    _load_batch(data, [(1, 10, 1.0), (2, 11, 2.0)])
+    project = Project(root, target="dev")
+    runner = Runner(spark, project)
+    path = runner._table_path("dev_fact_events")
+    if os.path.isdir(path):
+        import shutil as _sh
+
+        _sh.rmtree(path)
+    runner.run()
+    # incremental run accumulates 1,2,3
+    _load_batch(data, [(3, 12, 3.0)])
+    Runner(spark, project).run()
+    assert sorted(
+        r.event_id for r in spark.table("dev_fact_events").collect()
+    ) == [1, 2, 3]
+    # full refresh with only event 9 in the source -> table is JUST event 9
+    _load_batch(data, [(9, 15, 9.0)])
+    res = Runner(spark, project, full_refresh=True).run()
+    assert res[0].status == "success" and res[0].rows == 1
+    assert sorted(
+        r.event_id for r in spark.table("dev_fact_events").collect()
+    ) == [9]
