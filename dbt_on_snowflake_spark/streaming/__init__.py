@@ -175,3 +175,36 @@ def t_events_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.window("ts", "1 hour").start.alias("hour_start"),
     ).dropDuplicates(["user_id", "event_type", "hour_start"])
     return run_to_table(dedup, spark, "append")
+
+
+@query(
+    "t_events_sliding_streaming",
+    oracle=f"""
+    SELECT ws AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {dsum_sql("value", "total_value", 4)}
+    FROM (
+        SELECT event_type, value,
+               unnest([time_bucket(INTERVAL '30 minutes', ts),
+                       time_bucket(INTERVAL '30 minutes', ts)
+                           - INTERVAL '30 minutes']) AS ws
+        FROM events
+    )
+    GROUP BY 1, 2
+    """,
+)
+def t_events_sliding_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (1h windows every 30min — each event
+    lands in exactly two overlapping windows) through Structured
+    Streaming in complete mode. The oracle replicates each event into
+    its two covering window starts: floor30(ts) and floor30(ts) - 30min."""
+    s = events_stream(spark, sf_dir)
+    agg = s.groupBy(
+        F.window("ts", "1 hour", "30 minutes").start.alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "total_value", 4),
+    )
+    return run_to_table(agg, spark, "complete")
