@@ -44,6 +44,10 @@ def main(argv: list[str] | None = None) -> int:
             "--full-refresh", action="store_true",
             help="rebuild incremental models from scratch",
         )
+        sp.add_argument(
+            "--threads", type=int, default=1,
+            help="materialize independent DAG branches concurrently",
+        )
     args = p.parse_args(argv)
 
     from dbt_on_snowflake_spark.engine.dag import select, toposort
@@ -111,6 +115,7 @@ def main(argv: list[str] | None = None) -> int:
         project,
         trace_dir=trace_dir,
         full_refresh=getattr(args, "full_refresh", False),
+        threads=getattr(args, "threads", 1) or 1,
     )
 
     if args.cmd == "run":

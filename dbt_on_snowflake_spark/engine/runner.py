@@ -72,6 +72,7 @@ class Runner:
         project: Project,
         trace_dir: str | None = None,
         full_refresh: bool = False,
+        threads: int = 1,
     ):
         self.spark = spark
         self.project = project
@@ -79,6 +80,11 @@ class Runner:
         # dbt --full-refresh: incremental models rebuild from scratch
         # (is_incremental() renders false; existing state is replaced)
         self.full_refresh = full_refresh
+        # dbt's `threads`: independent DAG branches materialize
+        # concurrently. Spark's scheduler interleaves the jobs, so a wide
+        # generation of small models overlaps planning/IO instead of
+        # serializing; each node still runs as its own Spark job
+        self.threads = max(1, threads)
         # when set, each executed node's formatted physical plan is written
         # to <trace_dir>/<node>.txt — the per-query trace a user debugs a
         # slow mart with (reference README.md:163-187 monitoring surface)
@@ -171,8 +177,12 @@ class Runner:
         for ``state:modified`` selection."""
         self.load_sources()
         self.load_seeds()
+        order = select(self.project, selector, state=state)
         dead: set[str] = set()  # failed or skipped; propagates via refs
-        for name in select(self.project, selector, state=state):
+
+        def dispatch(name: str) -> bool:
+            """Returns True if the node was handled (skipped/ephemeral)
+            without needing execution."""
             node = self.project.models[name]
             mat = self.project.materialization_for(node)
             bad_upstream = sorted(r for r in node.refs if r in dead)
@@ -189,15 +199,59 @@ class Runner:
                             "upstream failed: " + ", ".join(bad_upstream),
                         )
                     )
-                continue
-            if not self._run_node(node):
-                dead.add(name)
+                return True
+            return mat == "ephemeral"
+
+        if self.threads == 1:
+            for name in order:
+                if dispatch(name):
+                    continue
+                if not self._run_node(self.project.models[name]):
+                    dead.add(name)
+            return self.results
+
+        # threaded: run each topological generation's runnable nodes
+        # concurrently (barrier between generations keeps ref() ordering);
+        # results append in a deterministic per-generation order
+        from concurrent.futures import ThreadPoolExecutor
+        from graphlib import TopologicalSorter
+
+        selected = set(order)
+        graph = {
+            n: {r for r in self.project.models[n].refs if r in selected}
+            for n in order
+        }
+        ts = TopologicalSorter(graph)
+        ts.prepare()
+        while ts.is_active():
+            batch = set(ts.get_ready())
+            ready = [n for n in order if n in batch]
+            runnable = [n for n in ready if not dispatch(n)]
+            if runnable:
+                with ThreadPoolExecutor(max_workers=self.threads) as pool:
+                    oks = list(
+                        pool.map(
+                            lambda n: (n, self._exec_node(self.project.models[n])),
+                            runnable,
+                        )
+                    )
+                for name, result in oks:
+                    self.results.append(result)
+                    if result.status != "success":
+                        dead.add(name)
+            for n in ready:
+                ts.done(n)
         return self.results
 
     def _run_node(self, node: ModelNode) -> bool:
+        result = self._exec_node(node)
+        self.results.append(result)
+        return result.status == "success"
+
+    def _exec_node(self, node: ModelNode) -> NodeResult:
+        """Execute one non-ephemeral node and return its result WITHOUT
+        touching shared state — safe to call from worker threads."""
         mat = self.project.materialization_for(node)
-        if mat == "ephemeral":
-            return True  # inlined at ref() sites; nothing to execute
         relation = self.project.relation_for(node.name, node.config.get("schema"))
         t0 = time.perf_counter()
         try:
@@ -207,21 +261,15 @@ class Runner:
             trace = self._write_trace(node.name, df)
             rows = self._materialize(df, relation, mat, node)
             self._run_hook(node, "post_hook", relation)
-            self.results.append(
-                NodeResult(
-                    node.name, "success", mat, relation, rows,
-                    round(time.perf_counter() - t0, 3), trace=trace,
-                )
+            return NodeResult(
+                node.name, "success", mat, relation, rows,
+                round(time.perf_counter() - t0, 3), trace=trace,
             )
-            return True
         except Exception as e:  # noqa: BLE001 — per-node isolation is the point
-            self.results.append(
-                NodeResult(
-                    node.name, "error", mat, relation, None,
-                    round(time.perf_counter() - t0, 3), str(e)[:500],
-                )
+            return NodeResult(
+                node.name, "error", mat, relation, None,
+                round(time.perf_counter() - t0, 3), str(e)[:500],
             )
-            return False
 
     def _run_hook(self, node: ModelNode, which: str, relation: str) -> None:
         """dbt pre/post hooks: arbitrary SQL around a materialization

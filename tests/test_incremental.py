@@ -341,3 +341,41 @@ def test_full_refresh_rebuilds_incremental(spark, incr_project):
     assert sorted(
         r.event_id for r in spark.table("dev_fact_events").collect()
     ) == [9]
+
+
+def test_threaded_run_matches_serial(spark, tmp_path):
+    """threads>1 materializes independent branches concurrently with the
+    same results, statuses, and failure isolation as the serial path."""
+    root = str(tmp_path / "proj")
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    pd.DataFrame({"id": [1, 2, 3]}).to_parquet(
+        os.path.join(data, "t.parquet"), index=False
+    )
+    _write(f"{root}/project.yml",
+           "name: thr\nmodels:\n  models:\n    materialized: table\n")
+    _write(f"{root}/sources.yml",
+           f"sources:\n  - name: raw\n    base_path: \"{data}\"\n    tables:\n      - name: t\n")
+    for i in range(4):  # four independent branches
+        _write(f"{root}/models/models/branch{i}.sql",
+               f"SELECT id, id * {i + 1} AS v FROM {{{{ source('raw', 't') }}}}")
+    _write(f"{root}/models/models/joined.sql",
+           "SELECT a.id, a.v + b.v AS s FROM {{ ref('branch0') }} a "
+           "JOIN {{ ref('branch1') }} b ON a.id = b.id")
+    _write(f"{root}/models/models/bad.sql",
+           "SELECT nope FROM {{ source('raw', 't') }}")
+    _write(f"{root}/models/models/child_of_bad.sql",
+           "SELECT * FROM {{ ref('bad') }}")
+
+    results = Runner(spark, Project(root, target="dev"), threads=4).run()
+    status = {r.name: r.status for r in results}
+    assert status == {
+        "branch0": "success", "branch1": "success", "branch2": "success",
+        "branch3": "success", "joined": "success",
+        "bad": "error", "child_of_bad": "skipped",
+    }
+    assert sorted(r.s for r in spark.table("dev_joined").collect()) == [3, 6, 9]
+    # dependents appear after their upstreams in the results order
+    names = [r.name for r in results]
+    assert names.index("joined") > names.index("branch0")
+    assert names.index("joined") > names.index("branch1")
