@@ -674,3 +674,103 @@ def t_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+# --- TPC-H Q4 shape: EXISTS semi-join with a date-range filter (late
+# shipments by order priority; the trimmed schema has no commit/receipt
+# dates, so "late" = any line shipped >60 days after the order date).
+@query(
+    "q4_late_shipments_by_priority",
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate < DATE '1996-04-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY 1
+    """,
+)
+def q4_late_shipments_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarter's orders with at least one line shipped >60 days out,
+    counted per priority. The correlated EXISTS becomes a left-semi join;
+    the date filter pushes into the orders scan BEFORE the join, so the
+    semi-join probe side is one quarter of orders, not the full table."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("date"))
+    )
+    l = table(spark, sf_dir, "lineitem")
+    late = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > F.expr("o_orderdate + INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return late.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+# --- Conversion funnel over events: view -> click-after-view ->
+# purchase-after-click, per user, rolled up to stage counts. The staged
+# MIN(CASE ...) cascade is the relational form of funnel analysis; each
+# level is a user-keyed aggregate, co-partitioned with the previous one.
+@query(
+    "t_event_funnel",
+    oracle="""
+    WITH u1 AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS v
+        FROM events GROUP BY user_id
+    ),
+    u2 AS (
+        SELECT e.user_id, u1.v,
+               MIN(CASE WHEN e.event_type = 'click' AND e.ts > u1.v
+                        THEN e.ts END) AS c
+        FROM events e JOIN u1 ON e.user_id = u1.user_id
+        GROUP BY e.user_id, u1.v
+    ),
+    u3 AS (
+        SELECT e.user_id, u2.v, u2.c,
+               MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > u2.c
+                        THEN e.ts END) AS p
+        FROM events e JOIN u2 ON e.user_id = u2.user_id
+        GROUP BY e.user_id, u2.v, u2.c
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(v) AS n_viewed,
+           COUNT(c) AS n_clicked_after_view,
+           COUNT(p) AS n_purchased_after_click
+    FROM u3
+    """,
+)
+def t_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+
+    def first_after(df, etype: str, after_col, alias: str):
+        cond = F.col("event_type") == etype
+        if after_col is not None:
+            cond = cond & (F.col("ts") > F.col(after_col))
+        keys = [c for c in df.columns if c != "_e"]
+        return (
+            e.join(df, "user_id")
+            .groupBy(*[df[c] for c in keys])
+            .agg(F.min(F.when(cond, F.col("ts"))).alias(alias))
+        )
+
+    u1 = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("v")
+    )
+    u2 = first_after(u1, "click", "v", "c")
+    u3 = first_after(u2, "purchase", "c", "p")
+    return u3.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("v").alias("n_viewed"),
+        F.count("c").alias("n_clicked_after_view"),
+        F.count("p").alias("n_purchased_after_click"),
+    )
