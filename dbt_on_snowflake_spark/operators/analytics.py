@@ -540,14 +540,29 @@ def a_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def a_exact_distinct_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct via two-level aggregation: ``distinct(flag,
+    orderkey)`` (shuffle HashAggregate, fixed-size rows) then a count per
+    flag — never an in-memory set of ~N/4 orderkeys per group (the
+    previous ``size(collect_set)`` buffer). The exact median still
+    buffers per-group value frequencies (inherent to exactness — Spark's
+    ``percentile`` keeps a value->count map); ``a_approx_sketches`` above
+    is the documented 100 TB path for both columns."""
     l = table(spark, sf_dir, "lineitem")
-    return (
+    distinct_orders = (
+        l.select("l_returnflag", "l_orderkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("exact_orders"))
+    )
+    medians = (
         l.groupBy("l_returnflag")
         .agg(
-            F.size(F.collect_set("l_orderkey")).cast("long").alias("exact_orders"),
             F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median_price"),
             F.count(F.lit(1)).alias("n_rows"),
         )
+    )
+    return distinct_orders.join(medians, "l_returnflag").select(
+        "l_returnflag", "exact_orders", "exact_median_price", "n_rows"
     )
 
 

@@ -343,21 +343,49 @@ def a1_loyalty_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def a4_sales_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) via two-level aggregation, not an in-memory set.
+
+    The distinct customer count per nation is computed as
+    ``distinct(nation, custkey) -> count per nation``: the first level is
+    a shuffle-based HashAggregate whose per-row state is fixed-size, so
+    it scales to any customers-per-nation cardinality. The previous
+    ``size(collect_set(c_custkey))`` held ~N/25 custkeys per aggregation
+    buffer — an ObjectHashAggregate spill/OOM at 100x SF. The order-side
+    aggregates run in a separate branch over orders joined to a
+    two-column customer projection, then the two tiny per-nation results
+    (25 rows) join back. Nations whose customers placed no orders keep
+    order_count = 0 and NULL money aggregates, matching the LEFT JOIN
+    semantics of the oracle."""
     n = F.broadcast(table(spark, sf_dir, "nation"))
     r = F.broadcast(table(spark, sf_dir, "region"))
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
-    return (
-        n.join(r, n.n_regionkey == r.r_regionkey, "inner")
-        .join(c, c.c_nationkey == n.n_nationkey, "inner")
-        .join(o, o.o_custkey == c.c_custkey, "left")
+    nr = n.join(r, n.n_regionkey == r.r_regionkey, "inner")
+    # Level 1: distinct (nation, custkey) — fixed-size rows, HashAggregate.
+    # Level 2: count per nation — map-side partial, 25-row result.
+    cust = (
+        c.join(nr, c.c_nationkey == n.n_nationkey, "inner")
+        .select("n_nationkey", "n_name", "r_name", "c_custkey")
+        .distinct()
         .groupBy("n_nationkey", "n_name", "r_name")
+        .agg(F.count(F.lit(1)).alias("customer_count"))
+    )
+    order_agg = (
+        o.join(
+            c.select("c_custkey", "c_nationkey"),
+            o.o_custkey == F.col("c_custkey"),
+            "inner",
+        )
+        .groupBy("c_nationkey")
         .agg(
-            # see a1: avoid distinct-agg Expand alongside other aggregates
-            F.size(F.collect_set("c_custkey")).cast("long").alias("customer_count"),
             F.count("o_orderkey").alias("order_count"),
             dsum("o_totalprice", "total_sales"),
             davg("o_totalprice", "avg_order_value"),
+        )
+    )
+    return (
+        cust.join(
+            order_agg, cust.n_nationkey == order_agg.c_nationkey, "left"
         )
         .select(
             F.col("n_nationkey").alias("nation_id"),
@@ -365,7 +393,7 @@ def a4_sales_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_name"), F.lit(" ("), F.col("r_name"), F.lit(")")
             ).alias("nation_display"),
             "customer_count",
-            "order_count",
+            F.coalesce(F.col("order_count"), F.lit(0)).alias("order_count"),
             "total_sales",
             "avg_order_value",
         )

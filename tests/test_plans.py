@@ -177,6 +177,23 @@ def test_salted_join_matches_plain_join_under_skew(spark):
     assert "_salt" in plan  # the join key actually carries the salt
 
 
+@pytest.mark.parametrize(
+    "name", ["a4_sales_by_nation", "a_exact_distinct_median"]
+)
+def test_distinct_counts_are_two_level_not_set_buffers(spark, name):
+    """Distinct counts over SF-growing domains (custkeys per nation,
+    orderkeys per returnflag) must never sit in a per-group collect_set
+    buffer — that state grows linearly with scale factor and OOMs an
+    ObjectHashAggregate at 100x. Both queries compute them as two-level
+    aggregations (distinct -> count), whose per-row state is fixed-size:
+    no collect_set and no Expand (the distinct-agg row-duplication trap)
+    anywhere in the plan. (a1's per-customer set is exempt: its group
+    cardinality — orders per customer — is bounded.)"""
+    plan = plan_of(spark, name)
+    assert "collect_set" not in plan
+    assert "Expand" not in plan
+
+
 def test_range_join_is_binned_not_nested_loop(spark):
     """The binned range join compiles to a hash join on the day bin —
     never BroadcastNestedLoopJoin/CartesianProduct (the naive range-join
