@@ -28,10 +28,12 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dbt_on_snowflake_spark.registry import query
-from dbt_on_snowflake_spark.testdata import table
+from dbt_on_snowflake_spark.testdata import fan_out_scan, table
 
 N_HASHES = 8  # minhash signature length
 N_BANDS = 4  # bands of 2 rows each: P(candidate) = 1-(1-j^2)^4
+N_SEEDS = 2  # md5 digests per shingle; each yields 4 independent 32-bit slices
+SLICE_HEX = 8  # hex chars per slice (32 bits)
 
 # ---------------------------------------------------------------- shingles
 
@@ -62,8 +64,12 @@ sh AS (
 
 
 def shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sh) exploded distinct shingles — shared by jaccard/minhash."""
-    d = table(spark, sf_dir, "documents")
+    """(doc_id, sh) exploded distinct shingles — shared by jaccard/minhash.
+
+    fan_out_scan: shingling + hashing is the CPU-dense stage; on the
+    single-row-group local files the scan is 1 partition and would
+    serialize it onto one core (identity on a real cluster scan)."""
+    d = fan_out_scan(spark, table(spark, sf_dir, "documents"))
     return d.select("doc_id", F.explode(word_shingles(F.col("text"))).alias("sh"))
 
 
@@ -158,42 +164,57 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sig(sh: DataFrame) -> DataFrame:
-    """(doc_id, mh0..mh7): minhash signature via min of the 48-bit
-    numeric prefix of md5(seed:shingle) — one groupBy, no per-seed
-    explode. Numeric order on the fixed-width hex prefix equals
-    lexicographic order on the hex, so this is the same permutation
-    family as a string min — but a LONG agg buffer keeps the heaviest
-    stage (the signature aggregation over the shingle explosion) in
-    HashAggregate; min(string) forces a SortAggregate fallback that
-    sorts the whole shingle stream.
+    """(doc_id, mh0..mh7): minhash signature — per shingle row, a
+    projection computes TWO md5 digests, and the groupBy takes 8 LONG
+    mins over 32-bit slices of them.
 
-    The 8 md5 calls per shingle are deliberate: a Kirsch-Mitzenmacher
-    double-hash family (h1 + i*h2 from one md5) was measured to
-    CORRELATE the bands — the same low-hash shingle wins several
-    permutations at once, the 4 bands stop being independent, and the
-    LSH screen missed planted j≈0.99 pairs. Independent seeds are the
-    price of the recall guarantee."""
+    Hash family: hash_k = 32-bit slice k%4 of md5("k//4:" || s) — 2 md5
+    digests per shingle instead of 8 (md5 dominates per-row cost; the
+    projection feeding the aggregate is NOT collapsed into the agg
+    expressions, since Catalyst refuses to duplicate the non-cheap
+    multi-referenced digest — verified in the plan: 2 md5 per row).
+    Disjoint bit-ranges of a cryptographic digest are independent
+    uniform values, so the 8 argmins are independent permutations. This
+    is NOT the rejected Kirsch-Mitzenmacher family (h1 + i*h2 from one
+    digest): there the orderings across i are affine-related, the same
+    low-hash shingle wins several permutations at once, and the bands
+    stop being independent (planted j~0.99 pairs were missed). Slices
+    share no bits and have no algebraic relation; the recall test
+    (test_minhash_recall_of_high_jaccard_pairs) pins it.
+
+    LONG mins keep the aggregation in whole-stage-codegen HashAggregate
+    (min(string) falls back to SortAggregate — the r1->r2 lesson, commit
+    e1dcfaf). A fully narrow array_min(transform(...)) variant with NO
+    aggregation was tried and REJECTED: higher-order functions evaluate
+    interpreted (outside codegen) and measured ~1.7x slower than this
+    explode + codegen'd hash-agg pipeline at sf0.1."""
+    proj = sh.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{i}:"), F.col("sh"))).alias(f"h{i}")
+            for i in range(N_SEEDS)
+        ],
+    )
     aggs = [
         F.min(
             F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{i}:"), F.col("sh"))), 1, 12
-                ),
+                F.substring(F.col(f"h{k // 4}"), 1 + SLICE_HEX * (k % 4), SLICE_HEX),
                 16,
                 10,
             ).cast("long")
-        ).alias(f"mh{i}")
-        for i in range(N_HASHES)
+        ).alias(f"mh{k}")
+        for k in range(N_HASHES)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return proj.groupBy("doc_id").agg(*aggs)
 
 
 # Shared signature/bands CTE (requires the sh CTE in scope) — both
-# minhash oracles build on it so candidates provably match.
+# minhash oracles build on it so candidates provably match (same
+# exploded-shingle GROUP BY MIN shape as the Spark side).
 _MINHASH_BANDS_CTE = f"""
     mh AS (
         SELECT doc_id,
-               {", ".join(f"MIN(('0x' || substring(md5('{i}:' || sh), 1, 12))::UBIGINT::BIGINT) AS mh{i}" for i in range(N_HASHES))}
+               {", ".join(f"MIN(('0x' || substring(md5('{k // 4}:' || sh), {1 + SLICE_HEX * (k % 4)}, {SLICE_HEX}))::UBIGINT::BIGINT) AS mh{k}" for k in range(N_HASHES))}
         FROM sh GROUP BY doc_id
     ),
     bands AS (
@@ -222,8 +243,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     of 2 → docs sharing any band bucket.
 
     This is the 100 TB dedup path: cost is linear in corpus size plus the
-    (tiny) within-bucket joins; the signature groupBy is the only global
-    shuffle. Band keys are md5 of signature pairs, so bucket-join keys are
+    (tiny) within-bucket joins; the signature groupBy (partial mins
+    map-side, 8 longs per doc shuffled) is the only full-data shuffle.
+    Band keys are md5 of signature pairs, so bucket-join keys are
     uniform."""
     sig = _minhash_sig(shingle_df(spark, sf_dir))
     band_cols = ", ".join(

@@ -43,6 +43,21 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin repartition a scan ONLY when it has fewer splits than
+    cores. The local testdata parquet files are single-row-group, so the
+    scan yields one partition and every narrow transform downstream
+    (shingling, hashing) serializes onto one core. On a cluster reading
+    100 TB the scan has thousands of splits, this predicate is false,
+    and the function is an identity — the scale-optimal plan (no extra
+    shuffle of raw rows) is untouched. Used by CPU-dense per-row
+    operators (minhash/jaccard shingling) where map-side work dominates
+    the row volume."""
+    n = df.rdd.getNumPartitions()
+    p = spark.sparkContext.defaultParallelism
+    return df.repartition(p) if n < p else df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
 
