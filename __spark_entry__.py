@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, "/root/repo")
 
-from dbt_on_snowflake_spark.registry import all_queries  # noqa: E402
+from dbt_on_snowflake_spark.registry import all_queries, driver_queries  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -30,7 +30,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2 / §7.5."""
+    """One entry per implemented operator from SURVEY.md §2 / §7.5.
+
+    Exports the curated driver set (<= 50 — the per-round check budget) so
+    every exported query gets a CORRECTNESS row every round; near-duplicate
+    shapes register with driver=False and are verified by the local parity
+    replica (tests/test_oracle_parity.py) over the full registry instead.
+    """
 
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -40,11 +46,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
-    return {name: wrap(q.fn) for name, q in all_queries().items()}
+    return {name: wrap(q.fn) for name, q in driver_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL per query; omitted => rows-only check."""
     return {
-        name: q.oracle for name, q in all_queries().items() if q.oracle is not None
+        name: q.oracle for name, q in driver_queries().items() if q.oracle is not None
     }

@@ -193,6 +193,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plain SUM is exact (< 2^53) and engine-identical without scaling.
 @query(
     "q18_large_volume_orders",
+    driver=False,  # local-parity only: join+having shape covered by q3/q17
     oracle="""
     WITH big AS (
         SELECT l_orderkey, SUM(l_quantity) AS total_qty
@@ -243,6 +244,7 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # beyond the hourly event windows).
 @query(
     "t_monthly_revenue",
+    driver=False,  # local-parity only: time-bucket agg covered by t_events_hourly
     oracle=f"""
     SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
            o_orderstatus AS status,
@@ -307,6 +309,7 @@ def w_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Window: running total + lag delta per user over event time.
 @query(
     "w_running_total_events",
+    driver=False,  # local-parity only: window family covered by w_topk/t_user_retention
     oracle="""
     SELECT event_id,
            user_id,
@@ -375,6 +378,7 @@ def a_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # disambiguate NULL-as-total from NULL-as-value).
 @query(
     "a_cube_status_priority",
+    driver=False,  # local-parity only: grouping-sets family covered by a_rollup_revenue
     oracle=f"""
     SELECT o_orderstatus AS status,
            o_orderpriority AS priority,
@@ -481,6 +485,7 @@ def a_pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # beyond the upstream aggregate); DuckDB mirrors with UNPIVOT.
 @query(
     "a_unpivot_status_revenue",
+    driver=False,  # local-parity only: inverse of checked a_pivot_status_revenue
     oracle=f"""
     WITH wide AS (
         SELECT o_orderpriority AS priority,
@@ -512,7 +517,7 @@ def a_unpivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # implementations differ across engines by design; error bounds are
 # pytest-asserted against the oracle-checked exact twin below
 # (tests/test_extensions.py::test_approx_sketches_within_bounds).
-@query("a_approx_sketches")
+@query("a_approx_sketches", driver=False)
 def a_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem")
     return (
@@ -696,6 +701,7 @@ def t_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dates, so "late" = any line shipped >60 days after the order date).
 @query(
     "q4_late_shipments_by_priority",
+    driver=False,  # local-parity only: EXISTS shape; TPC-H family has 4 driver rows
     oracle="""
     SELECT o.o_orderpriority AS priority,
            COUNT(*) AS order_count
@@ -737,6 +743,7 @@ def q4_late_shipments_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame
 # level is a user-keyed aggregate, co-partitioned with the previous one.
 @query(
     "t_event_funnel",
+    driver=False,  # local-parity only: event analytics covered by retention/sessionize
     oracle="""
     WITH u1 AS (
         SELECT user_id,

@@ -361,6 +361,7 @@ _SIMHASH_FP_CTE = f"""
 
 @query(
     "dedup_simhash",
+    driver=False,  # local-parity only: subsumed by dedup_simhash_pairs
     oracle=f"WITH {_SIMHASH_FP_CTE} SELECT doc_id, simhash FROM fp",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

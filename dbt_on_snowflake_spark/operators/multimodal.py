@@ -113,7 +113,7 @@ def decode_media(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=DECODE_SCHEMA)
 
 
-@query("multimodal_decode")  # no SQL oracle: mapInPandas pipeline
+@query("multimodal_decode", driver=False)  # no SQL oracle: mapInPandas pipeline
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload -> fake-decode -> typed features via mapInPandas.
     Rows-only driver check; exact values are pytest-verified against the

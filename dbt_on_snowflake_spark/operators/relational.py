@@ -34,7 +34,7 @@ from dbt_on_snowflake_spark.testdata import table
 
 # --- S4/P1: source read + identity projection (staging-view passthrough) ---
 # Reference: dbt/models/staging/raw_pos_menu.sql:1-2 (SELECT * FROM source).
-@query("s4_source_passthrough", oracle="SELECT * FROM region")
+@query("s4_source_passthrough", oracle="SELECT * FROM region", driver=False)
 def s4_source_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "region")
 
@@ -81,6 +81,7 @@ def p6_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # __sources.yml:204-205; frozen clock for determinism, SURVEY §7.4) ---
 @query(
     "p7_ts_filter",
+    driver=False,  # local-parity only: predicate family covered by p6/dq_failing_rows
     oracle="""
     SELECT event_id, user_id, event_type
     FROM events
@@ -259,6 +260,7 @@ def j7_anti_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Semi join (EXISTS) — complements J7.
 @query(
     "j_semi_active_customers",
+    driver=False,  # local-parity only: mirror of j7_anti_orphans
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment
     FROM customer c
@@ -425,6 +427,7 @@ def a6_unique_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # setup_data.sql:57; never queried there — we demonstrate the query path).
 @query(
     "f_json_extract",
+    driver=False,  # local-parity only: scalar family covered by f_scalar_suite
     oracle="""
     SELECT event_id,
            CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,

@@ -101,6 +101,7 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the residual is far below the rounding grain for 64-dim sums).
 @query(
     "ann_centroids",
+    driver=False,  # local-parity only: building block of checked ann_ivf_topk
     oracle="""
     SELECT label,
            CAST(dim - 1 AS BIGINT) AS dim,

@@ -216,6 +216,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_levenshtein_pairs",
+    driver=False,  # local-parity only: bounded verifier; screened family has driver rows
     oracle="""
     WITH p AS (SELECT doc_id, substring(text, 1, 64) AS prefix
                FROM documents WHERE doc_id < 350)

@@ -25,16 +25,31 @@ class RegisteredQuery:
     fn: SparkQuery
     oracle: str | None  # DuckDB SQL; None => driver does a rows-only check
     headline: bool = False  # include in bench.py
+    driver: bool = True  # export through __spark_entry__ (driver budget: 50)
 
 
 QUERIES: dict[str, RegisteredQuery] = {}
 
+# The per-round driver gate checks the first 50 exported queries; the
+# registry therefore exports a curated set of <= 50 (driver=True) so every
+# exported query gets a CORRECTNESS row every round. Near-duplicate shapes
+# (a mirrored semi/anti join, the unpivot inverse of a checked pivot, ...)
+# register with driver=False: they stay in all_queries() and are verified
+# by the local DuckDB parity replica (tests/test_oracle_parity.py runs the
+# SAME compare over every registered query, demoted ones included).
+DRIVER_BUDGET = 50
 
-def query(name: str, oracle: str | None = None, headline: bool = False):
+
+def query(
+    name: str,
+    oracle: str | None = None,
+    headline: bool = False,
+    driver: bool = True,
+):
     """Decorator registering a query (and optional DuckDB oracle)."""
 
     def deco(fn: SparkQuery) -> SparkQuery:
-        QUERIES[name] = RegisteredQuery(name, fn, oracle, headline)
+        QUERIES[name] = RegisteredQuery(name, fn, oracle, headline, driver)
         return fn
 
     return deco
@@ -45,3 +60,8 @@ def all_queries() -> dict[str, RegisteredQuery]:
     from dbt_on_snowflake_spark import operators  # noqa: F401
 
     return QUERIES
+
+
+def driver_queries() -> dict[str, RegisteredQuery]:
+    """The curated <= DRIVER_BUDGET set exported to the driver gate."""
+    return {n: q for n, q in all_queries().items() if q.driver}

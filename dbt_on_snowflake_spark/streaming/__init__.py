@@ -47,7 +47,16 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def run_to_table(sdf: DataFrame, spark: SparkSession, mode: str = "complete") -> DataFrame:
     """Drive a streaming frame to completion into a memory sink; return
-    the materialized result as a batch DataFrame."""
+    the materialized result as a batch DataFrame.
+
+    CONTRACT: this is the local VERIFICATION harness, not the production
+    sink. Complete mode keeps the entire aggregate in the state store and
+    the memory sink collects the result into the driver — exactly what a
+    finite oracle-checked replay needs, and exactly what an unbounded
+    production stream must not do. The production shape (append mode +
+    watermark + durable file sink, bounded state) is
+    ``t_events_hourly_append`` below and tests/test_streaming_watermark.py.
+    """
     name = f"stream_{uuid.uuid4().hex[:12]}"
     q = (
         sdf.writeStream.outputMode(mode)
@@ -208,3 +217,101 @@ def t_events_sliding_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("value", "total_value", 4),
     )
     return run_to_table(agg, spark, "complete")
+
+
+_WM_DELAY = "2 hours"  # watermark delay for the append-mode twin
+
+
+@query(
+    "t_events_hourly_append",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(ts) AS max_ts FROM events)
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {dsum_sql("value", "total_value", 4)}
+    FROM events, mx
+    WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+          <= max_ts - INTERVAL '2 hours'
+    GROUP BY 1, 2
+    """,
+)
+def t_events_hourly_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hourly aggregation in its PRODUCTION streaming shape: watermark
+    + append output mode + durable parquet sink. Unlike the complete-mode
+    twin (t_events_hourly_streaming), state is bounded — closed windows
+    (window end <= watermark = max event time - 2h) are emitted once to
+    the sink and evicted from the state store, which is what an unbounded
+    24/7 stream requires.
+
+    Append mode emits a window in the micro-batch AFTER the watermark
+    passes it, so a finite replay needs two batches: run 1 streams the
+    events file (advancing the watermark to max_ts - 2h at batch end);
+    then a sentinel file — a duplicate of one existing event row, written
+    behind the watermark so the late-data filter DROPS it (or it lands in
+    a still-open window that is never emitted; either way the emitted
+    result is unaffected) — forces run 2, which flushes every closed
+    window to the sink. Restarting from the same checkpoint is also the
+    state-store recovery path a production pipeline exercises on every
+    deploy. The oracle is the batch aggregation restricted to closed
+    windows: hour_start + 1h <= max(ts) - 2h.
+    """
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "events.parquet")
+    work = tempfile.mkdtemp(prefix="hourly_append_")
+    staging = os.path.join(work, "in")
+    out = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(staging)
+    shutil.copy(src, os.path.join(staging, "events_batch0.parquet"))
+
+    schema = spark.read.parquet(src).schema
+
+    def run_once() -> None:
+        s = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .load(staging)
+        )
+        if dict(s.dtypes).get("ts") == "bigint":
+            s = s.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        agg = (
+            s.withWatermark("ts", _WM_DELAY)
+            # group on the window struct itself: projecting .start inside
+            # groupBy severs event-time lineage and append mode rejects
+            # the aggregation as un-watermarked
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                dsum("value", "total_value", 4),
+            )
+            .select(
+                F.col("w.start").alias("hour_start"),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    # sentinel: first physical row of the file (exact schema round-trip via
+    # arrow, preserving TIMESTAMP(NANOS)); its ts <= max_ts so the
+    # watermark does not advance further
+    t = pq.read_table(src)
+    pq.write_table(t.slice(0, 1), os.path.join(staging, "events_sentinel.parquet"))
+    run_once()
+
+    return spark.read.parquet(out)

@@ -22,3 +22,20 @@ def test_oracle_parity(spark, name):
         df.count()
     else:
         compare(spark, name, q.fn, q.oracle, SF_SMOKE)
+
+
+def test_driver_export_within_budget():
+    """The driver checks only the first DRIVER_BUDGET exported queries per
+    round; exporting more silently drops CORRECTNESS rows (round-2 verdict
+    "What's wrong" #4). Demoted (driver=False) queries are still covered by
+    test_oracle_parity above."""
+    from dbt_on_snowflake_spark.registry import DRIVER_BUDGET, driver_queries
+
+    exported = driver_queries()
+    assert len(exported) <= DRIVER_BUDGET
+    # every query family that has driver=False members keeps >= 1 exported row
+    families = {
+        "dedup_", "text_", "ann_", "q", "w_", "a_", "t_events_", "multimodal_"
+    }
+    for fam in families:
+        assert any(n.startswith(fam) for n in exported), fam
