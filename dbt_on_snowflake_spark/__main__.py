@@ -31,6 +31,10 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument("--project", required=True)
         sp.add_argument("--target", default="dev")
         sp.add_argument("--select", default=None)
+        sp.add_argument(
+            "--exclude", default=None,
+            help="selector atoms to subtract from the selection",
+        )
         sp.add_argument("--out", default=None, help="run_results.json path")
         sp.add_argument(
             "--trace", action="store_true",
@@ -78,7 +82,7 @@ def main(argv: list[str] | None = None) -> int:
                 return f"({body}) AS _eph_{n}"
             return project.relation_for(n, node.config.get("schema"))
 
-        for name in select(project, args.select):
+        for name in select(project, args.select, exclude=args.exclude):
             node = project.models[name]
             mat = project.materialization_for(node)
             print(f"-- model: {name} [{node.kind}, {mat}]")
@@ -123,7 +127,7 @@ def main(argv: list[str] | None = None) -> int:
         if getattr(args, "state", None):
             with open(args.state) as f:
                 state = json.load(f)
-        results = runner.run(args.select, state=state)
+        results = runner.run(args.select, state=state, exclude=args.exclude)
         for r in results:
             print(f"{r.status:8s} {r.materialization:5s} {r.relation} "
                   f"({r.rows if r.rows is not None else '-'} rows, {r.seconds}s)")
@@ -142,13 +146,19 @@ def main(argv: list[str] | None = None) -> int:
         results = tr.run_source_tests(project, runner)
         for r in results:
             col = f".{r.column}" if r.column else ""
+            stored = f" -> {r.stored_relation}" if r.stored_relation else ""
             print(f"{r.status:5s} {r.name} on {r.relation}{col} "
-                  f"(failures={r.failures})")
-        n_bad = sum(1 for r in results if r.status != "pass")
-        print(f"{len(results) - n_bad}/{len(results)} tests passed")
+                  f"(failures={r.failures}){stored}")
+        n_bad = sum(1 for r in results if r.status in ("fail", "error"))
+        n_warn = sum(1 for r in results if r.status == "warn")
+        print(
+            f"{len(results) - n_bad - n_warn}/{len(results)} tests passed"
+            + (f", {n_warn} warned" if n_warn else "")
+        )
         if args.out:
             with open(args.out, "w") as f:
                 json.dump([asdict(r) for r in results], f, indent=2)
+        # dbt semantics: warn-level failures do not fail the invocation
         return 0 if n_bad == 0 else 1
 
     if args.cmd == "docs":

@@ -60,56 +60,113 @@ def descendants(graph: dict[str, set[str]], name: str) -> set[str]:
 def modified_models(project: Project, state: dict) -> set[str]:
     """Models whose file checksum differs from a prior manifest (or that
     are new) — dbt's state:modified comparison, powering CI builds that
-    rebuild only what changed."""
+    rebuild only what changed. A model ref'ing a seed whose CSV checksum
+    changed is modified too: its input data changed even though its own
+    file didn't."""
     from dbt_on_snowflake_spark.engine.artifacts import _file_checksum
 
     prior = {
         name: node.get("checksum")
         for name, node in state.get("nodes", {}).items()
     }
+    prior_seeds = {
+        name: s.get("checksum") for name, s in state.get("seeds", {}).items()
+    }
+    seeds = getattr(project, "seeds", {})
+    changed_seeds = {
+        name
+        for name, path in seeds.items()
+        if prior_seeds.get(name) != _file_checksum(path)
+    }
     return {
         name
         for name, node in project.models.items()
         if prior.get(name) != _file_checksum(node.path)
+        or any(r in changed_seeds for r in node.refs)
     }
 
 
+def model_tags(project: Project, name: str) -> set[str]:
+    """Tags on a model: in-model ``{{ config(tags='a,b') }}`` plus the
+    per-directory ``tags:`` block in project.yml (dbt's two tag sources)."""
+    node = project.models[name]
+    tags: set[str] = set()
+    raw = node.config.get("tags")
+    if raw:
+        cleaned = str(raw).strip("[]").replace("'", "").replace('"', "")
+        tags |= {t.strip() for t in cleaned.split(",") if t.strip()}
+    per_dir = project.config.get("models", {}).get(node.subdir, {}) or {}
+    dir_tags = per_dir.get("tags")
+    if isinstance(dir_tags, str):
+        tags |= {t.strip() for t in dir_tags.split(",") if t.strip()}
+    elif isinstance(dir_tags, list):
+        tags |= {str(t).strip() for t in dir_tags}
+    return tags
+
+
+def _expand_part(
+    project: Project,
+    graph: dict[str, set[str]],
+    part: str,
+    state: dict | None,
+    implicit_ancestors: bool,
+) -> set[str]:
+    """Resolve one selector atom (``[+]name|tag:t|state:modified[+]``) to a
+    node set. Selection implicitly adds ancestors (a selected node needs
+    them materialized to run); exclusion (dbt --exclude) resolves the atom
+    literally — only an explicit leading ``+`` pulls in ancestors."""
+    part = part.strip()
+    lead = part.startswith("+")
+    trail = part.endswith("+")
+    name = part.strip("+")
+    if name == "state:modified":
+        if state is None:
+            raise ValueError("state:modified requires --state <manifest.json>")
+        base = modified_models(project, state)
+    elif name.startswith("tag:"):
+        tag = name[4:]
+        base = {m for m in project.models if tag in model_tags(project, m)}
+    else:
+        if name not in project.models:
+            raise ValueError(f"unknown model in selector: {name!r}")
+        base = {name}
+    out = set(base)
+    for m in base:
+        if lead or implicit_ancestors:
+            out |= ancestors(graph, m)
+        if trail:
+            out |= descendants(graph, m)
+    return out
+
+
 def select(
-    project: Project, selector: str | None, state: dict | None = None
+    project: Project,
+    selector: str | None,
+    state: dict | None = None,
+    exclude: str | None = None,
 ) -> list[str]:
     """Resolve a dbt-style selector to an ordered execution list.
 
-    Supported: ``name`` (node + required ancestors, like dbt's default for
-    a build), ``+name`` (ancestors + node), ``name+`` (node + descendants),
-    ``+name+``, comma-separated union; ``state:modified`` /
-    ``state:modified+`` (models changed vs the ``state`` manifest,
-    optionally with descendants — requires ``state``); None = all models.
+    Supported atoms (comma-separated union): ``name`` (node + required
+    ancestors, like dbt's default for a build), ``+name`` (ancestors +
+    node), ``name+`` (node + descendants), ``+name+``, ``tag:nightly``
+    (every model carrying the tag), ``state:modified`` /
+    ``state:modified+`` (models changed vs the ``state`` manifest —
+    requires ``state``); None = all models. ``exclude`` takes the same
+    grammar and subtracts its resolved set AFTER selection (dbt
+    --exclude); excluded atoms resolve literally (no implicit ancestors),
+    so ``--select tag:staging --exclude stg_orders`` drops exactly that
+    model.
     """
     order = toposort(project)
-    if not selector:
-        return order
     graph = build_graph(project)
-    wanted: set[str] = set()
-    for part in selector.split(","):
-        part = part.strip()
-        trail = part.endswith("+")
-        name = part.strip("+")
-        if name == "state:modified":
-            if state is None:
-                raise ValueError(
-                    "state:modified requires --state <manifest.json>"
-                )
-            for m in modified_models(project, state):
-                wanted.add(m)
-                wanted |= ancestors(graph, m)
-                if trail:
-                    wanted |= descendants(graph, m)
-            continue
-        if name not in project.models:
-            raise ValueError(f"unknown model in selector: {name!r}")
-        wanted.add(name)
-        # a selected node always needs its ancestors materialized to run
-        wanted |= ancestors(graph, name)
-        if trail:
-            wanted |= descendants(graph, name)
+    if not selector:
+        wanted = set(order)
+    else:
+        wanted = set()
+        for part in selector.split(","):
+            wanted |= _expand_part(project, graph, part, state, True)
+    if exclude:
+        for part in exclude.split(","):
+            wanted -= _expand_part(project, graph, part, state, False)
     return [m for m in order if m in wanted]

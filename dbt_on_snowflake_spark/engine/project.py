@@ -87,6 +87,15 @@ class Project:
         self.models = self._discover_models()
         self.sources = self._load_sources()
         self.seeds = self._discover_seeds()
+        # ref() resolves seeds before models, so a shared name would
+        # silently shadow the model — reject at discovery, mirroring the
+        # duplicate-model guard
+        clash = sorted(set(self.seeds) & set(self.models))
+        if clash:
+            raise ValueError(
+                f"seed/model name collision: {clash} (a seed would shadow "
+                f"the model at ref() sites); rename one of them"
+            )
 
     def _discover_seeds(self) -> dict[str, str]:
         """dbt seeds: <root>/seeds/*.csv, loaded as tables and valid
@@ -102,6 +111,84 @@ class Project:
         }
 
     # -- packages ----------------------------------------------------------
+    @staticmethod
+    def _package_identity(pkg_root: str) -> tuple[str, str | None]:
+        """(name, version) from the package's own project.yml, falling back
+        to the directory name (unversioned path package)."""
+        name = os.path.basename(os.path.normpath(pkg_root))
+        version = None
+        py = os.path.join(pkg_root, "project.yml")
+        if os.path.isfile(py):
+            with open(py) as f:
+                cfg = yaml.safe_load(f) or {}
+            name = cfg.get("name", name)
+            if cfg.get("version") is not None:
+                version = str(cfg["version"])
+        return name, version
+
+    @staticmethod
+    def _package_sha(pkg_root: str) -> str:
+        """Deterministic content hash over the package's contributed files
+        (macros/tests/models) — the lockfile's integrity field."""
+        import hashlib
+
+        h = hashlib.sha256()
+        for sub in ("macros", "tests", "models"):
+            d = os.path.join(pkg_root, sub)
+            if not os.path.isdir(d):
+                continue
+            for dirpath, dirnames, filenames in sorted(os.walk(d)):
+                dirnames.sort()
+                for fn in sorted(filenames):
+                    if fn.endswith((".sql", ".py", ".yml")):
+                        p = os.path.join(dirpath, fn)
+                        h.update(os.path.relpath(p, pkg_root).encode())
+                        with open(p, "rb") as f:
+                            h.update(f.read())
+        return h.hexdigest()[:16]
+
+    def _check_and_write_lock(self, pkgs: list[tuple[str, str | None, str, str]]) -> None:
+        """Validate resolved packages against target/package-lock.yml and
+        (re)write it — the engine's equivalent of the reference's pinned
+        dbt/package-lock.yml:1-4 (name + version + content sha). A version
+        or content mismatch against the lock is an error: CI must not
+        silently run different package code than what was locked."""
+        lock_path = os.path.join(self.root, "target", "package-lock.yml")
+        locked: dict[str, dict] = {}
+        if os.path.isfile(lock_path):
+            with open(lock_path) as f:
+                doc = yaml.safe_load(f) or {}
+            locked = {p["name"]: p for p in doc.get("packages", [])}
+        for name, version, sha, _root in pkgs:
+            prev = locked.get(name)
+            if not prev:
+                continue
+            if prev.get("version") != version:
+                raise ValueError(
+                    f"package {name!r} version {version!r} does not match "
+                    f"lock {prev.get('version')!r}; delete "
+                    f"target/package-lock.yml to re-resolve"
+                )
+            if prev.get("sha") != sha:
+                raise ValueError(
+                    f"package {name!r} content changed without a version "
+                    f"bump (lock sha {prev.get('sha')}, found {sha}); bump "
+                    f"the package version or delete target/package-lock.yml"
+                )
+        if pkgs:
+            os.makedirs(os.path.dirname(lock_path), exist_ok=True)
+            with open(lock_path, "w") as f:
+                yaml.safe_dump(
+                    {
+                        "packages": [
+                            {"name": n, "version": v, "sha": s, "path": r}
+                            for n, v, s, r in pkgs
+                        ]
+                    },
+                    f,
+                    sort_keys=False,
+                )
+
     def _load_packages(self) -> None:
         """Load macros/tests/models from the project itself and every
         listed package (deterministic order; later packages and the
@@ -113,6 +200,9 @@ class Project:
             if not os.path.isdir(pkg_root):
                 raise ValueError(f"package path does not exist: {pkg_root}")
             roots.append(pkg_root)
+        self._check_and_write_lock(
+            [(*self._package_identity(r), self._package_sha(r), r) for r in roots]
+        )
         roots.append(self.root)  # project-level macros/ override packages
         for pkg_root in roots:
             mdir = os.path.join(pkg_root, "macros")

@@ -143,31 +143,69 @@ class Runner:
             df.createOrReplaceTempView(self.resolve_source(group, name))
 
     # -- seeds -------------------------------------------------------------
-    def load_seeds(self) -> None:
+    def load_seeds(self, only: set[str] | None = None) -> set[str]:
         """dbt seeds: version-controlled CSVs under <project>/seeds/,
         materialized as tables and referenceable via {{ ref('<seed>') }}
         (small lookup/dimension data a 100 TB pipeline still needs —
-        mapping tables, allowlists)."""
+        mapping tables, allowlists).
+
+        ``only`` restricts loading to the given seed names (run() passes
+        the seeds the selection actually refs, so ``--select one_model``
+        doesn't re-materialize every seed). Each seed loads with the same
+        per-node isolation as models — a malformed CSV records an error
+        NodeResult and is returned in the failed set (models ref'ing it
+        get skipped) instead of crashing the run before artifacts are
+        written. Declared ``seeds: <name>: column_types:`` in project.yml
+        pin column types with explicit casts (dbt column_types), so data
+        drift — an all-int column gaining a decimal — can't flip the
+        seed's schema between runs; inference covers undeclared columns.
+        """
+        failed: set[str] = set()
+        seed_cfg = self.project.config.get("seeds", {}) or {}
         for name, path in self.project.seeds.items():
+            if only is not None and name not in only:
+                continue
             relation = self.project.relation_for(name)
             t0 = time.perf_counter()
-            df = (
-                self.spark.read.option("header", True)
-                .option("inferSchema", True)
-                .csv(path)
-            )
-            rows = self._write_counted(df, self._table_path(relation))
-            self._register_table(relation)
-            self.results.append(
-                NodeResult(
-                    name, "success", "seed", relation, rows,
-                    round(time.perf_counter() - t0, 3),
+            try:
+                df = (
+                    self.spark.read.option("header", True)
+                    .option("inferSchema", True)
+                    .csv(path)
                 )
-            )
+                ctypes = (seed_cfg.get(name, {}) or {}).get("column_types", {}) or {}
+                unknown = sorted(set(ctypes) - set(df.columns))
+                if unknown:
+                    raise ValueError(
+                        f"seed {name!r}: column_types for unknown columns "
+                        f"{unknown}"
+                    )
+                for col, typ in ctypes.items():
+                    df = df.withColumn(col, F.col(col).cast(typ))
+                rows = self._write_counted(df, self._table_path(relation))
+                self._register_table(relation)
+                self.results.append(
+                    NodeResult(
+                        name, "success", "seed", relation, rows,
+                        round(time.perf_counter() - t0, 3),
+                    )
+                )
+            except Exception as e:  # noqa: BLE001 — same isolation as models
+                failed.add(name)
+                self.results.append(
+                    NodeResult(
+                        name, "error", "seed", relation, None,
+                        round(time.perf_counter() - t0, 3), str(e)[:500],
+                    )
+                )
+        return failed
 
     # -- execution --------------------------------------------------------
     def run(
-        self, selector: str | None = None, state: dict | None = None
+        self,
+        selector: str | None = None,
+        state: dict | None = None,
+        exclude: str | None = None,
     ) -> list[NodeResult]:
         """Execute the selected models in topological order with dbt-style
         per-node isolation: a failing model marks its descendants skipped
@@ -176,9 +214,21 @@ class Runner:
         and writing run_results.json. ``state`` is a prior manifest dict
         for ``state:modified`` selection."""
         self.load_sources()
-        self.load_seeds()
-        order = select(self.project, selector, state=state)
-        dead: set[str] = set()  # failed or skipped; propagates via refs
+        order = select(self.project, selector, state=state, exclude=exclude)
+        # only the seeds the selection refs (all of them on a full run);
+        # a failed seed propagates exactly like a failed model: its
+        # dependents skip, siblings keep running
+        needed = (
+            None
+            if selector is None
+            else {
+                r
+                for m in order
+                for r in self.project.models[m].refs
+                if r in self.project.seeds
+            }
+        )
+        dead: set[str] = set(self.load_seeds(needed))
 
         def dispatch(name: str) -> bool:
             """Returns True if the node was handled (skipped/ephemeral)

@@ -20,6 +20,7 @@ one column).
 
 from __future__ import annotations
 
+import re
 import time
 from dataclasses import dataclass
 from typing import Any, Callable
@@ -99,15 +100,71 @@ BUILTIN_TESTS: dict[str, TestFn] = {
 }
 
 
+def _threshold(expr: str) -> Callable[[int], bool]:
+    """Parse a dbt-style count threshold (``">0"``, ``">=10"``, ``"!=0"``,
+    ``"=0"``) into a predicate over the failure count."""
+    m = re.fullmatch(r"\s*(>=|<=|!=|==|>|<|=)\s*(\d+)\s*", expr)
+    if not m:
+        raise ValueError(f"bad threshold expression: {expr!r}")
+    op, n = m.group(1), int(m.group(2))
+    return {
+        ">": lambda c: c > n,
+        ">=": lambda c: c >= n,
+        "<": lambda c: c < n,
+        "<=": lambda c: c <= n,
+        "=": lambda c: c == n,
+        "==": lambda c: c == n,
+        "!=": lambda c: c != n,
+    }[op]
+
+
+@dataclass
+class TestConfig:
+    """dbt test config block: severity + thresholds + failure storage
+    (dbt-core semantics: with severity=error, error_if is evaluated first,
+    then warn_if; with severity=warn, failures can only ever warn)."""
+
+    severity: str = "error"  # error | warn
+    error_if: str = "!=0"
+    warn_if: str = "!=0"
+    store_failures: bool = False
+    limit: int | None = None
+
+    @classmethod
+    def from_kwargs(cls, kwargs: dict) -> "TestConfig":
+        raw = dict(kwargs.pop("config", None) or {})
+        cfg = cls(
+            severity=str(raw.pop("severity", "error")).lower(),
+            error_if=str(raw.pop("error_if", "!=0")),
+            warn_if=str(raw.pop("warn_if", "!=0")),
+            store_failures=bool(raw.pop("store_failures", False)),
+            limit=raw.pop("limit", None),
+        )
+        if raw:
+            raise ValueError(f"unknown test config keys: {sorted(raw)}")
+        if cfg.severity not in ("error", "warn"):
+            raise ValueError(f"severity must be error|warn, got {cfg.severity!r}")
+        return cfg
+
+    def status_for(self, failures: int) -> str:
+        if self.severity == "error" and _threshold(self.error_if)(failures):
+            return "fail"
+        if _threshold(self.warn_if)(failures):
+            return "warn"
+        return "pass"
+
+
 @dataclass
 class TestResult:
     name: str
     relation: str
     column: str | None
-    status: str  # pass | fail | error
+    status: str  # pass | warn | fail | error
     failures: int | None
     seconds: float
     error: str | None = None
+    severity: str = "error"
+    stored_relation: str | None = None  # where failing rows were persisted
 
 
 class TestRunner:
@@ -122,19 +179,41 @@ class TestRunner:
         self.results: list[TestResult] = []
 
     def _run_one(
-        self, name: str, relation: str, column: str | None, fn_call
+        self,
+        name: str,
+        relation: str,
+        column: str | None,
+        fn_call,
+        config: TestConfig | None = None,
+        runner=None,
     ) -> TestResult:
+        cfg = config or TestConfig()
         t0 = time.perf_counter()
         try:
-            n = fn_call().count()
+            df = fn_call()
+            if cfg.limit is not None:
+                df = df.limit(int(cfg.limit))
+            stored = None
+            if cfg.store_failures and runner is not None:
+                # persist failing rows AND count them from the write action
+                # itself (Observation) — one pass, no post-write re-read
+                stored = f"{relation}__failures__{name}" + (
+                    f"__{column}" if column else ""
+                )
+                n = runner._write_counted(df, runner._table_path(stored))
+                runner._register_table(stored)
+            else:
+                n = df.count()
             res = TestResult(
-                name, relation, column, "pass" if n == 0 else "fail", n,
+                name, relation, column, cfg.status_for(n), n,
                 round(time.perf_counter() - t0, 3),
+                severity=cfg.severity, stored_relation=stored,
             )
         except Exception as e:  # noqa: BLE001
             res = TestResult(
                 name, relation, column, "error", None,
                 round(time.perf_counter() - t0, 3), str(e)[:500],
+                severity=cfg.severity,
             )
         self.results.append(res)
         return res
@@ -157,6 +236,7 @@ class TestRunner:
             t = {t: {}}
         (test_name, kwargs), = t.items()
         kwargs = dict(kwargs or {})
+        config = TestConfig.from_kwargs(kwargs)  # pops the `config:` block
         fn = self.tests[test_name]
         import inspect
 
@@ -172,4 +252,4 @@ class TestRunner:
             # expression-style tests declared under a column still only
             # take the expression (dbt_utils.expression_is_true shape)
             call = lambda: fn(df, **kwargs)  # noqa: E731
-        self._run_one(test_name, relation, column, call)
+        self._run_one(test_name, relation, column, call, config, runner)

@@ -502,3 +502,176 @@ def test_state_modified_selection(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "dev_base" in out and "dev_child" in out and "dev_unrelated" not in out
+
+
+def test_severity_warn_and_store_failures(tasty, spark):
+    """dbt test config: severity/warn_if/error_if thresholds + persisting
+    failing rows (dbt-core semantics: error_if first, then warn_if; a
+    warn-level test never fails the invocation)."""
+    project, runner, _t = tasty
+    tr = TestRunner(spark)
+    df = spark.createDataFrame([(1,), (None,), (None,)], "x int")
+
+    tr._dispatch(df, "rel_x", "x",
+                 {"not_null": {"config": {"severity": "warn"}}},
+                 project, runner)
+    assert (tr.results[-1].status, tr.results[-1].failures) == ("warn", 2)
+
+    tr._dispatch(df, "rel_x", "x",
+                 {"not_null": {"config": {"severity": "warn", "warn_if": ">5"}}},
+                 project, runner)
+    assert tr.results[-1].status == "pass"
+
+    tr._dispatch(df, "rel_x", "x",
+                 {"not_null": {"config": {"error_if": ">1"}}},
+                 project, runner)
+    assert tr.results[-1].status == "fail"
+
+    # severity=error but error_if not met -> falls through to warn_if
+    tr._dispatch(df, "rel_x", "x",
+                 {"not_null": {"config": {"error_if": ">5"}}},
+                 project, runner)
+    assert tr.results[-1].status == "warn"
+
+    tr._dispatch(df, "rel_x", "x",
+                 {"not_null": {"config": {"store_failures": True}}},
+                 project, runner)
+    r = tr.results[-1]
+    assert r.status == "fail"
+    assert r.stored_relation == "rel_x__failures__not_null__x"
+    stored = spark.table(r.stored_relation)
+    assert stored.count() == 2 and stored.columns == ["x"]
+
+
+def test_tag_and_exclude_selection(spark, tmp_path, capsys):
+    """tag: selection + --exclude subtraction (dbt selection grammar; the
+    reference cadence setup/task.sql:5 uses --select, dbt's full flow adds
+    exclusion and tags)."""
+    from dbt_on_snowflake_spark.__main__ import main
+    from dbt_on_snowflake_spark.engine.dag import model_tags
+    from dbt_on_snowflake_spark.engine.dag import select as dag_select
+
+    root = str(tmp_path / "proj")
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    pd.DataFrame({"id": [1, 2]}).to_parquet(
+        os.path.join(data, "t.parquet"), index=False
+    )
+
+    def write(p, c):
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        open(p, "w").write(c)
+
+    write(f"{root}/project.yml",
+          "name: tagsel\nmodels:\n  staging:\n    materialized: view\n"
+          "    tags: [staging]\n  marts:\n    materialized: table\n")
+    write(f"{root}/sources.yml",
+          f"sources:\n  - name: raw\n    base_path: \"{data}\"\n"
+          "    tables:\n      - name: t\n")
+    write(f"{root}/models/staging/stg_a.sql",
+          "SELECT id FROM {{ source('raw', 't') }}")
+    write(f"{root}/models/staging/stg_b.sql",
+          "{{ config(tags='nightly') }}\nSELECT id FROM {{ source('raw', 't') }}")
+    write(f"{root}/models/marts/mart.sql",
+          "{{ config(tags='nightly,gold') }}\nSELECT a.id FROM {{ ref('stg_a') }} a "
+          "JOIN {{ ref('stg_b') }} b ON a.id = b.id")
+
+    project = Project(root, target="dev")
+    assert model_tags(project, "stg_b") == {"staging", "nightly"}
+    assert model_tags(project, "mart") == {"nightly", "gold"}
+
+    # per-dir tag selects both staging models
+    assert set(dag_select(project, "tag:staging")) == {"stg_a", "stg_b"}
+    # tag selection pulls required ancestors of tagged models
+    assert set(dag_select(project, "tag:gold")) == {"stg_a", "stg_b", "mart"}
+    # exclusion resolves literally (no implicit ancestors) and subtracts
+    assert set(dag_select(project, "tag:staging", exclude="stg_b")) == {"stg_a"}
+    assert set(dag_select(project, None, exclude="stg_a+")) == {"stg_b"}
+    # unknown tag -> empty selection, unknown model in exclude -> error
+    assert dag_select(project, "tag:nope") == []
+    with pytest.raises(ValueError, match="unknown model"):
+        dag_select(project, "tag:staging", exclude="ghost")
+
+    rc = main(["run", "--project", root, "--select", "tag:staging",
+               "--exclude", "stg_b"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "stg_a" in out and "stg_b" not in out
+
+
+def _mini_project(tmp_path, with_bad_seed=False):
+    root = str(tmp_path / "seedproj")
+
+    def write(p, c):
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        open(p, "w").write(c)
+
+    write(f"{root}/project.yml",
+          "name: seedproj\nmodels:\n  models:\n    materialized: table\n"
+          "seeds:\n  rates:\n    column_types:\n      rate: double\n"
+          + ("  broken:\n    column_types:\n      nope: int\n" if with_bad_seed else ""))
+    write(f"{root}/seeds/rates.csv", "code,rate\nUS,1\nEU,2\n")
+    if with_bad_seed:
+        write(f"{root}/seeds/broken.csv", "a,b\n1,2\n")
+        write(f"{root}/models/models/on_broken.sql",
+              "SELECT * FROM {{ ref('broken') }}")
+    write(f"{root}/models/models/on_rates.sql",
+          "SELECT code, rate * 2 AS dbl FROM {{ ref('rates') }}")
+    return root
+
+
+def test_seed_column_types_pinned(spark, tmp_path):
+    """Declared seeds.column_types cast explicitly (ADVICE: inferSchema
+    drift); 'rate' infers int but is pinned double."""
+    root = _mini_project(tmp_path)
+    runner = Runner(spark, Project(root, target="dev"))
+    assert runner.load_seeds() == set()
+    assert dict(spark.table("dev_rates").dtypes)["rate"] == "double"
+
+
+def test_seed_failure_isolated_and_selection_scoped(spark, tmp_path):
+    """A bad seed records an error NodeResult; its dependents skip while
+    siblings run (same isolation as models, ADVICE runner.py:179) — and a
+    selection only loads the seeds it refs."""
+    root = _mini_project(tmp_path, with_bad_seed=True)
+    runner = Runner(spark, Project(root, target="dev"))
+    results = runner.run()
+    by = {r.name: r.status for r in results}
+    assert by["broken"] == "error"        # isolated, not a crash
+    assert by["on_broken"] == "skipped"   # dependent skipped
+    assert by["rates"] == "success"       # sibling seed unaffected
+    assert by["on_rates"] == "success"    # sibling model unaffected
+
+    runner2 = Runner(spark, Project(root, target="dev"))
+    results2 = runner2.run("on_rates")
+    names = {r.name for r in results2}
+    assert names == {"rates", "on_rates"}  # broken seed never loaded
+
+
+def test_seed_model_name_collision_raises(spark, tmp_path):
+    """A seed sharing a model's name would silently shadow it at ref()
+    sites (resolve_ref checks seeds first) — rejected at discovery."""
+    root = _mini_project(tmp_path)
+    os.makedirs(f"{root}/models/models", exist_ok=True)
+    open(f"{root}/models/models/rates.sql", "w").write("SELECT 1 AS x")
+    with pytest.raises(ValueError, match="seed/model name collision"):
+        Project(root, target="dev")
+
+
+def test_state_modified_detects_seed_edits(spark, tmp_path):
+    """Editing a seed CSV marks models ref'ing it as modified (per-seed
+    manifest checksums, ADVICE artifacts.py:71)."""
+    from dbt_on_snowflake_spark.engine.artifacts import build_manifest
+    from dbt_on_snowflake_spark.engine.dag import select as dag_select
+
+    root = _mini_project(tmp_path)
+    manifest = build_manifest(Project(root, target="dev"))
+    assert manifest["seeds"]["rates"]["checksum"]
+
+    # unchanged -> nothing selected
+    p2 = Project(root, target="dev")
+    assert dag_select(p2, "state:modified", state=manifest) == []
+
+    with open(f"{root}/seeds/rates.csv", "a") as f:
+        f.write("JP,3\n")
+    assert dag_select(p2, "state:modified", state=manifest) == ["on_rates"]

@@ -160,3 +160,57 @@ def test_duplicate_model_name_across_package_fails(spark, pkg_project):
     )
     with pytest.raises(ValueError, match="duplicate model name"):
         Project(root, target="dev")
+
+
+def test_package_lockfile_write_and_mismatch(spark, pkg_project):
+    """Resolved packages are pinned into target/package-lock.yml (the
+    reference pins dbt_utils via dbt/package-lock.yml:1-4); a version or
+    content change against the lock is a hard error, not a silent drift."""
+    import yaml
+
+    root, pkg = pkg_project
+    _write(f"{pkg}/project.yml", "name: moneypkg\nversion: 1.3.0\n")
+
+    Project(root, target="dev")
+    lock_path = os.path.join(root, "target", "package-lock.yml")
+    with open(lock_path) as f:
+        lock = yaml.safe_load(f)
+    (entry,) = lock["packages"]
+    assert entry["name"] == "moneypkg" and entry["version"] == "1.3.0"
+    sha = entry["sha"]
+    assert sha and entry["path"] == pkg
+
+    # same content re-resolves cleanly
+    Project(root, target="dev")
+
+    # content edit without a version bump -> locked out
+    _write(f"{pkg}/macros/extra.sql", "{% macro one() %}1{% endmacro %}")
+    with pytest.raises(ValueError, match="without a version bump"):
+        Project(root, target="dev")
+
+    # version bump alone doesn't bypass the lock either
+    _write(f"{pkg}/project.yml", "name: moneypkg\nversion: 1.4.0\n")
+    with pytest.raises(ValueError, match="does not match lock"):
+        Project(root, target="dev")
+
+    # explicit re-resolve: drop the lock, then both changes are accepted
+    os.remove(lock_path)
+    Project(root, target="dev")
+    with open(lock_path) as f:
+        relock = yaml.safe_load(f)
+    assert relock["packages"][0]["version"] == "1.4.0"
+    assert relock["packages"][0]["sha"] != sha
+
+
+def test_macro_param_not_substituted_in_string_literals():
+    """A param named like a string literal inside a nested call must not
+    rewrite the literal — Jinja never substitutes inside quotes (ADVICE
+    compile.py:140)."""
+    macros = extract_macros(
+        """
+{% macro q(x) %}QUOTED_{{ x }}{% endmacro %}
+{% macro wrap(col) %}{{ col }} AND {{ q('col') }} AND {{ q(col) }}{% endmacro %}
+"""
+    )
+    out = expand_macros("{{ wrap('amt') }}", macros)
+    assert out == "amt AND QUOTED_col AND QUOTED_amt"
