@@ -65,7 +65,14 @@ def build_manifest(project: Project) -> dict[str, Any]:
         "edges": edges,
         "sources": sources,
         "seeds": {
-            name: {"path": path, "relation": project.relation_for(name)}
+            name: {
+                "path": path,
+                "relation": project.relation_for(name),
+                # checksum of the seed CSV itself: state:modified treats
+                # models ref'ing an edited seed as modified (a CI
+                # rebuild-what-changed run must not skip them)
+                "checksum": _file_checksum(path),
+            }
             for name, path in getattr(project, "seeds", {}).items()
         },
     }

@@ -136,14 +136,20 @@ def expand_macros(sql: str, macros: dict[str, Macro], max_depth: int = 10) -> st
         # 2. params used as bare identifiers inside OTHER `{{ ... }}`
         # expressions (e.g. a nested macro call `{{ other(param) }}`) bind
         # too — Jinja evaluates them as variables there; raw SQL text
-        # outside braces is never touched, also matching Jinja
+        # outside braces is never touched, and neither are quoted string
+        # literals inside the braces ({{ other('col') }} stays literal even
+        # for a param named col) — both matching Jinja
         def _sub_region(m2: re.Match) -> str:
-            expr = m2.group(1)
-            for p, _ in macro.params:
-                expr = re.sub(
-                    r"\b" + re.escape(p) + r"\b", lambda _m, p=p: bound[p], expr
-                )
-            return "{{" + expr + "}}"
+            # odd split indices are quoted spans — left untouched
+            segs = re.split(r"('[^']*'|\"[^\"]*\")", m2.group(1))
+            for i in range(0, len(segs), 2):
+                for p, _ in macro.params:
+                    segs[i] = re.sub(
+                        r"\b" + re.escape(p) + r"\b",
+                        lambda _m, p=p: bound[p],
+                        segs[i],
+                    )
+            return "{{" + "".join(segs) + "}}"
 
         return re.sub(r"\{\{(.*?)\}\}", _sub_region, body, flags=re.DOTALL)
 
