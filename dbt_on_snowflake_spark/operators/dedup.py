@@ -540,3 +540,123 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cos, 4).alias("cosine"),
         )
     )
+
+
+# ------------------------------------------------- duplicate clustering
+
+# Verified-pair CTEs shared with dedup_minhash_verified so the cluster
+# oracle provably runs on the same edge set.
+_VERIFIED_PAIRS_CTE = f"""
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
+    )
+"""
+
+_CC_MAX_ITERS = 25
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {SHINGLES_CTE},
+    {_MINHASH_BANDS_CTE},
+    {_VERIFIED_PAIRS_CTE},
+    nodes AS (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION SELECT doc_b FROM pairs
+    ),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT r.src, e.d FROM reach r JOIN edges e ON e.s = r.dst
+    )
+    SELECT src AS doc_id, MIN(dst) AS cluster_id
+    FROM reach GROUP BY src
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERING — the step a real dedup pipeline runs after
+    pair generation: verified near-dup pairs (LSH candidates -> exact
+    Jaccard >= 0.8, same edge set as dedup_minhash_verified) are closed
+    into connected components, labeling every document with its cluster's
+    minimum doc_id. Keep-one-per-cluster is then `doc_id == cluster_id`
+    (the canonical survivor); singleton documents (no duplicate) are out
+    of scope by construction — the pair graph only contains duplicates.
+
+    Distributed shape: iterative min-label propagation. Each round is one
+    join + one aggregation (label(n) <- min(label(n), min over neighbors));
+    rounds needed = duplicate-cluster DIAMETER, which for near-dup graphs
+    is tiny (clusters are cliques-ish: a band bucket links most members
+    directly), not corpus size. The expensive upstream (shingle/minhash/
+    verify) is localCheckpoint-ed ONCE before iterating, so each round
+    shuffles only (doc_id, label) pairs for documents that have a
+    duplicate — a vanishing fraction of the corpus at 100 TB. The O(log n)
+    large-star/small-star alternation is the published fallback if cluster
+    diameters were ever large; plain propagation is the cheaper fit here.
+
+    The DuckDB oracle computes the same components by recursive transitive
+    closure — tractable at oracle scale, impossible at 100 TB, which is
+    exactly why the engine side iterates instead.
+    """
+    pairs = (
+        dedup_minhash_verified(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()  # materialize the verified edge set once
+    )
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    labels = (
+        edges.select("doc_a")
+        .distinct()
+        .select(F.col("doc_a").alias("doc_id"), F.col("doc_a").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(_CC_MAX_ITERS):
+        nbr_min = (
+            edges.join(labels, edges["doc_b"] == labels["doc_id"])
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        stepped = (
+            labels.join(nbr_min, labels["doc_id"] == nbr_min["doc_a"], "left")
+            .select(
+                labels["doc_id"],
+                labels["label"].alias("old_label"),
+                F.least(
+                    labels["label"], F.coalesce("nbr_min", labels["label"])
+                ).alias("label"),
+            )
+            .localCheckpoint()  # cut lineage: keeps round N's plan flat
+        )
+        changed = stepped.filter(F.col("label") < F.col("old_label")).count()
+        labels = stepped.select("doc_id", "label")
+        if changed == 0:
+            return labels.select(
+                "doc_id", F.col("label").alias("cluster_id")
+            )
+    raise RuntimeError(
+        f"connected components did not converge in {_CC_MAX_ITERS} rounds"
+    )

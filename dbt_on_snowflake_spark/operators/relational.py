@@ -62,6 +62,8 @@ def p2_projection_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- P6: range predicate (dbt_utils.accepted_range, __sources.yml:217-220) ---
 @query(
     "p6_range_filter",
+    driver=False,  # local-parity only: predicate family covered by dq_failing_rows
+
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders
