@@ -251,3 +251,100 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             "contamination_ratio"
         ),
     )
+
+
+# ------------------------------------------------- token-budget selection
+
+BUDGET_FRACTION = 0.5  # fraction of each language's token mass to keep
+
+
+@query(
+    "corpus_token_budget",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    ),
+    m AS (
+        SELECT doc_id, lang, len(toks) AS n_tokens,
+               len(list_filter(toks, x -> list_contains({_SW_LIST_SQL}, x)))
+                   AS n_stopwords,
+               len(list_filter(toks, x -> length(x) >= 3 AND length(x) <= 12))
+                   AS n_well_sized
+        FROM t
+    ),
+    q AS (
+        SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+               ROUND(0.5 * (CAST(n_well_sized AS DOUBLE) / n_tokens)
+                     + 0.5 * least(CAST(n_stopwords AS DOUBLE) / n_tokens * 5.0,
+                                   1.0), 4) AS quality_score
+        FROM m
+    ),
+    w AS (
+        SELECT doc_id, lang, n_tokens, quality_score,
+               CAST(SUM(n_tokens) OVER (
+                   PARTITION BY lang
+                   ORDER BY quality_score DESC, doc_id ASC
+                   ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS cum_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY lang) AS BIGINT)
+                   AS lang_tokens
+        FROM q
+    )
+    SELECT doc_id, lang, n_tokens, quality_score, cum_tokens
+    FROM w
+    WHERE cum_tokens - n_tokens < {BUDGET_FRACTION} * lang_tokens
+    """,
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection — the training-mix curation step:
+    per language, take documents in quality order (same score expression
+    as ``text_quality``; doc_id tie-break for determinism) until the
+    running token count reaches BUDGET_FRACTION (50%) of that language's
+    token mass. A document is kept if the budget was not yet exhausted
+    when it was reached (the crossing document is included), so every
+    language contributes at least its best document.
+
+    Distributed shape: one shuffle, keyed by lang — the quality ordering
+    and both running/total sums ride the same window partitioning. At
+    100 TB a per-language full sort is real but unavoidable for exact
+    top-quality-first selection; the approximate production variant
+    (quality-histogram -> threshold, then a narrow filter) drops the sort
+    and is a two-pass derivation of the same cutoff — documented here as
+    the scale fallback, exact form kept because it is oracle-checkable.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    n_sized = F.size(
+        F.filter(toks, lambda x: (F.length(x) >= 3) & (F.length(x) <= 12))
+    )
+    score = F.round(
+        0.5 * (n_sized.cast("double") / n_tokens)
+        + 0.5 * F.least(n_stop.cast("double") / n_tokens * 5.0, F.lit(1.0)),
+        4,
+    )
+    q = d.select(
+        "doc_id",
+        "lang",
+        n_tokens.cast("long").alias("n_tokens"),
+        score.alias("quality_score"),
+    )
+    order = Window.partitionBy("lang").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    w = q.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "quality_score",
+        F.sum("n_tokens")
+        .over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_tokens"),
+        F.sum("n_tokens").over(Window.partitionBy("lang")).alias("lang_tokens"),
+    )
+    return w.filter(
+        F.col("cum_tokens") - F.col("n_tokens")
+        < BUDGET_FRACTION * F.col("lang_tokens")
+    ).select("doc_id", "lang", "n_tokens", "quality_score", "cum_tokens")

@@ -219,6 +219,8 @@ def j1_orders_denorm(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (orders.sql:46-47 anonymous orders; sales_metrics_by_location.py:57-59).
 @query(
     "j2_left_join_enrich",
+    driver=False,  # local-parity only: join family covered by j1/j7/asof/range/salted
+
     oracle="""
     SELECT e.event_id AS event_id,
            e.event_type AS event_type,
