@@ -4,6 +4,7 @@ run --select <model> --target <t> / test``). Idempotent and cron-able
 (reference §2.9 O8: the hourly task just re-invokes `run --select ...`).
 
     python -m dbt_on_snowflake_spark run       --project <dir> [--select S] [--target T]
+    python -m dbt_on_snowflake_spark build     --project <dir> [--select S] [--target T]
     python -m dbt_on_snowflake_spark test      --project <dir> [--target T]
     python -m dbt_on_snowflake_spark compile   --project <dir> [--select S] [--out manifest.json]
     python -m dbt_on_snowflake_spark ls        --project <dir>
@@ -26,7 +27,7 @@ from dataclasses import asdict
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="dbt_on_snowflake_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
-    for name in ("run", "test", "compile", "ls", "freshness", "seed", "docs"):
+    for name in ("run", "build", "test", "compile", "ls", "freshness", "seed", "docs"):
         sp = sub.add_parser(name)
         sp.add_argument("--project", required=True)
         sp.add_argument("--target", default="dev")
@@ -52,6 +53,11 @@ def main(argv: list[str] | None = None) -> int:
             "--threads", type=int, default=1,
             help="materialize independent DAG branches concurrently",
         )
+        sp.add_argument(
+            "--vars", default=None,
+            help="YAML dict overriding project.yml vars, e.g. "
+                 "--vars 'cutoff: 2026-01-01'",
+        )
     args = p.parse_args(argv)
 
     from dbt_on_snowflake_spark.engine.dag import select, toposort
@@ -59,6 +65,16 @@ def main(argv: list[str] | None = None) -> int:
     from dbt_on_snowflake_spark.session import get_spark
 
     project = Project(args.project, target=args.target)
+
+    cli_vars = None
+    if getattr(args, "vars", None):
+        import yaml as _yaml
+
+        cli_vars = _yaml.safe_load(args.vars)
+        if not isinstance(cli_vars, dict):
+            print("--vars must be a YAML mapping", file=sys.stderr)
+            return 2
+    resolved_vars = {**(project.config.get("vars") or {}), **(cli_vars or {})}
 
     if args.cmd == "ls":
         for name in toposort(project):
@@ -78,7 +94,8 @@ def main(argv: list[str] | None = None) -> int:
                 return project.relation_for(n)
             node = project.models[n]
             if project.materialization_for(node) == "ephemeral":
-                body = render(node.body, resolve_ref, resolve_source)
+                body = render(node.body, resolve_ref, resolve_source,
+                              variables=resolved_vars)
                 return f"({body}) AS _eph_{n}"
             return project.relation_for(n, node.config.get("schema"))
 
@@ -95,6 +112,7 @@ def main(argv: list[str] | None = None) -> int:
                         this=project.relation_for(
                             name, node.config.get("schema")
                         ),
+                        variables=resolved_vars,
                     )
                 )
             print()
@@ -120,6 +138,7 @@ def main(argv: list[str] | None = None) -> int:
         trace_dir=trace_dir,
         full_refresh=getattr(args, "full_refresh", False),
         threads=getattr(args, "threads", 1) or 1,
+        cli_vars=cli_vars,
     )
 
     if args.cmd == "run":
@@ -138,12 +157,49 @@ def main(argv: list[str] | None = None) -> int:
         )
         return 0 if all(r.status == "success" for r in results) else 1
 
+    if args.cmd == "build":
+        # dbt build: materialize in DAG order, testing each model as soon
+        # as it lands; a failed (error-severity) test poisons the node —
+        # descendants skip rather than build on bad data
+        from dbt_on_snowflake_spark.engine.testing import TestRunner
+
+        state = None
+        if getattr(args, "state", None):
+            with open(args.state) as f:
+                state = json.load(f)
+        tr = TestRunner(spark, custom=project.package_tests)
+
+        def gate(name: str) -> bool:
+            res = tr.run_model_tests(project, runner, only={name})
+            return all(r.status in ("pass", "warn") for r in res)
+
+        results = runner.run(
+            args.select, state=state, exclude=args.exclude, test_hook=gate
+        )
+        for r in results:
+            print(f"{r.status:8s} {r.materialization:5s} {r.relation} "
+                  f"({r.rows if r.rows is not None else '-'} rows, {r.seconds}s)")
+        for t in tr.results:
+            col = f".{t.column}" if t.column else ""
+            print(f"{t.status:5s} test {t.name} on {t.relation}{col} "
+                  f"(failures={t.failures})")
+        if args.out:
+            runner.write_run_results(args.out)
+        runner.append_run_history(
+            _os.path.join(args.project, "target", "run_history.jsonl")
+        )
+        bad_models = any(r.status != "success" for r in results)
+        bad_tests = any(t.status in ("fail", "error") for t in tr.results)
+        return 0 if not bad_models and not bad_tests else 1
+
     if args.cmd == "test":
         from dbt_on_snowflake_spark.engine.testing import TestRunner
 
         runner.run()  # tests need sources + models materialized
         tr = TestRunner(spark, custom=project.package_tests)
         results = tr.run_source_tests(project, runner)
+        tr.run_model_tests(project, runner)
+        results = tr.results
         for r in results:
             col = f".{r.column}" if r.column else ""
             stored = f" -> {r.stored_relation}" if r.stored_relation else ""

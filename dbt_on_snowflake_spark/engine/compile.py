@@ -186,12 +186,41 @@ def extract_config(sql: str) -> dict[str, str]:
     return out
 
 
+_VAR_RE = re.compile(
+    r"\{\{\s*var\(\s*(['\"])(\w+)\1\s*(?:,\s*(.+?))?\)\s*\}\}", re.DOTALL
+)
+
+
+def _var_text(v) -> str:
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return "true" if v else "false"
+    return str(v)
+
+
+def substitute_vars(sql: str, variables: dict) -> str:
+    """Resolve ``{{ var('name') }}`` / ``{{ var('name', default) }}``
+    (dbt vars: project.yml ``vars:`` block overridden by CLI ``--vars``).
+    The raw value is inserted — templates quote string vars themselves,
+    matching dbt."""
+
+    def repl(m: re.Match) -> str:
+        name, default = m.group(2), m.group(3)
+        if name in variables:
+            return _var_text(variables[name])
+        if default is not None:
+            return _unquote(default.strip())
+        raise ValueError(f"var {name!r} is not defined and has no default")
+
+    return _VAR_RE.sub(repl, sql)
+
+
 def render(
     sql: str,
     resolve_ref,
     resolve_source,
     this: str | None = None,
     is_incremental: bool = False,
+    variables: dict | None = None,
 ) -> str:
     """Render a model body to executable Spark SQL.
 
@@ -205,7 +234,8 @@ def render(
     incremental runs and dropped on first/full-refresh runs; ``{{ this }}``
     resolves to the model's own target relation.
     """
-    out = _CONFIG_RE.sub("", sql)
+    out = substitute_vars(sql, variables or {})
+    out = _CONFIG_RE.sub("", out)
     out = _INCR_BLOCK_RE.sub(lambda m: m.group(1) if is_incremental else "", out)
     if this is not None:
         out = _THIS_RE.sub(this, out)

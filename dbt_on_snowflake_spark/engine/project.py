@@ -59,6 +59,16 @@ class ModelNode:
 
 
 @dataclass
+class ModelTests:
+    """YAML-declared tests on a MODEL (dbt schema.yml under models/) —
+    same test taxonomy as sources, applied to the materialized relation."""
+
+    name: str
+    columns: dict[str, list] = field(default_factory=dict)
+    tests: list = field(default_factory=list)
+
+
+@dataclass
 class SourceTable:
     group: str
     name: str
@@ -86,6 +96,7 @@ class Project:
         self._load_packages()
         self.models = self._discover_models()
         self.sources = self._load_sources()
+        self.model_tests = self._load_model_tests()
         self.seeds = self._discover_seeds()
         # ref() resolves seeds before models, so a shared name would
         # silently shadow the model — reject at discovery, mirroring the
@@ -285,6 +296,42 @@ class Project:
         return per_dir.get("materialized", "view")
 
     # -- sources ----------------------------------------------------------
+    def _load_model_tests(self) -> dict[str, ModelTests]:
+        """dbt schema.yml files under models/: any ``*.yml`` with a
+        ``models:`` key declares column- and table-level tests on models
+        (same taxonomy as source tests; run by ``test``/``build``)."""
+        out: dict[str, ModelTests] = {}
+        mdir = os.path.join(self.root, "models")
+        if not os.path.isdir(mdir):
+            return out
+        for dirpath, dirnames, filenames in sorted(os.walk(mdir)):
+            dirnames.sort()
+            for fn in sorted(filenames):
+                if not fn.endswith((".yml", ".yaml")):
+                    continue
+                with open(os.path.join(dirpath, fn)) as f:
+                    doc = yaml.safe_load(f) or {}
+                for m in doc.get("models", []) or []:
+                    name = m["name"]
+                    if name not in self.models:
+                        raise ValueError(
+                            f"{fn}: tests declared for unknown model {name!r}"
+                        )
+                    if name in out:
+                        raise ValueError(
+                            f"{fn}: duplicate test declaration for model "
+                            f"{name!r}"
+                        )
+                    out[name] = ModelTests(
+                        name=name,
+                        columns={
+                            c["name"]: c.get("tests", [])
+                            for c in m.get("columns", [])
+                        },
+                        tests=m.get("tests", []),
+                    )
+        return out
+
     def _load_sources(self) -> dict[tuple[str, str], SourceTable]:
         path = os.path.join(self.root, "sources.yml")
         out: dict[tuple[str, str], SourceTable] = {}

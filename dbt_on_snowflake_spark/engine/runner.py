@@ -55,6 +55,14 @@ class ModelContext:
     def source(self, group: str, name: str) -> DataFrame:
         return self._runner.spark.table(self._runner.resolve_source(group, name))
 
+    def var(self, name: str, default=None):
+        """dbt var() for Python models (project.yml vars + CLI --vars)."""
+        if name in self._runner.vars:
+            return self._runner.vars[name]
+        if default is not None:
+            return default
+        raise ValueError(f"var {name!r} is not defined and has no default")
+
 
 class Runner:
     """Managed tables are plain parquet directories under the warehouse
@@ -73,10 +81,16 @@ class Runner:
         trace_dir: str | None = None,
         full_refresh: bool = False,
         threads: int = 1,
+        cli_vars: dict | None = None,
     ):
         self.spark = spark
         self.project = project
         self.results: list[NodeResult] = []
+        # dbt vars: project.yml `vars:` defaults, CLI --vars overrides
+        self.vars = {
+            **(project.config.get("vars") or {}),
+            **(cli_vars or {}),
+        }
         # dbt --full-refresh: incremental models rebuild from scratch
         # (is_incremental() renders false; existing state is replaced)
         self.full_refresh = full_refresh
@@ -115,7 +129,7 @@ class Runner:
                 raise ValueError(f"python model {name!r} cannot be ephemeral")
             body = render(
                 node.body, self.resolve_ref, self.resolve_source,
-                this=None, is_incremental=False,
+                this=None, is_incremental=False, variables=self.vars,
             )
             return f"({body}) AS _eph_{name}"
         return self.project.relation_for(name, node.config.get("schema"))
@@ -206,13 +220,17 @@ class Runner:
         selector: str | None = None,
         state: dict | None = None,
         exclude: str | None = None,
+        test_hook: "Callable[[str], bool] | None" = None,
     ) -> list[NodeResult]:
         """Execute the selected models in topological order with dbt-style
         per-node isolation: a failing model marks its descendants skipped
         (recorded as such), while independent branches keep running. The
         CLI maps any non-success result to a non-zero exit AFTER printing
         and writing run_results.json. ``state`` is a prior manifest dict
-        for ``state:modified`` selection."""
+        for ``state:modified`` selection. ``test_hook(name) -> bool``, when
+        given, runs after each successful materialization (dbt build):
+        returning False marks the node's data untrusted — its descendants
+        skip, exactly like a model failure."""
         self.load_sources()
         order = select(self.project, selector, state=state, exclude=exclude)
         # only the seeds the selection refs (all of them on a full run);
@@ -258,6 +276,8 @@ class Runner:
                     continue
                 if not self._run_node(self.project.models[name]):
                     dead.add(name)
+                elif test_hook is not None and not test_hook(name):
+                    dead.add(name)
             return self.results
 
         # threaded: run each topological generation's runnable nodes
@@ -288,6 +308,8 @@ class Runner:
                 for name, result in oks:
                     self.results.append(result)
                     if result.status != "success":
+                        dead.add(name)
+                    elif test_hook is not None and not test_hook(name):
                         dead.add(name)
             for n in ready:
                 ts.done(n)
@@ -328,7 +350,8 @@ class Runner:
         hook = node.config.get(which)
         if hook:
             self.spark.sql(
-                render(hook, self.resolve_ref, self.resolve_source, this=relation)
+                render(hook, self.resolve_ref, self.resolve_source, this=relation,
+                       variables=self.vars)
             )
 
     def _enforce_contract(self, node: ModelNode, df: DataFrame) -> None:
@@ -380,6 +403,7 @@ class Runner:
                 self.resolve_source,
                 this=relation,
                 is_incremental=incremental,
+                variables=self.vars,
             )
             return self.spark.sql(sql)
         spec = importlib.util.spec_from_file_location(

@@ -231,6 +231,34 @@ class TestRunner:
                 self._dispatch(df, relation, None, t, project, runner)
         return self.results
 
+    def run_model_tests(
+        self, project, runner, only: set[str] | None = None
+    ) -> list[TestResult]:
+        """Execute tests declared on MODELS (schema.yml under models/)
+        against their materialized relations. ``only`` restricts to the
+        given model names — ``build`` uses this to test each model right
+        after it materializes, gating its descendants. Returns only the
+        results produced by THIS call (also appended to self.results).
+
+        Ordering contract for build: a ``relationships`` test whose
+        ``to:`` is a model requires that model to be an ANCESTOR of the
+        tested model (sources and seeds are always loaded first) — build
+        tests fire the moment the owning model lands, so a sibling target
+        may not exist yet and records a test error rather than silently
+        passing."""
+        before = len(self.results)
+        for name, spec in project.model_tests.items():
+            if only is not None and name not in only:
+                continue
+            relation = runner.resolve_ref(name)
+            df = self.spark.table(relation)
+            for column, tests in spec.columns.items():
+                for t in tests:
+                    self._dispatch(df, relation, column, t, project, runner)
+            for t in spec.tests:
+                self._dispatch(df, relation, None, t, project, runner)
+        return self.results[before:]
+
     def _dispatch(self, df, relation, column, t, project, runner) -> None:
         if isinstance(t, str):
             t = {t: {}}
@@ -242,9 +270,14 @@ class TestRunner:
 
         takes_column = "column" in inspect.signature(fn).parameters
         if test_name == "relationships":
+            # `to:` accepts `group.table` (a source) or a bare model/seed
+            # name (dbt's ref() target)
             to_rel = kwargs.pop("to")
-            group, tname = to_rel.split(".", 1)
-            parent = self.spark.table(runner.resolve_source(group, tname))
+            if "." in to_rel:
+                group, tname = to_rel.split(".", 1)
+                parent = self.spark.table(runner.resolve_source(group, tname))
+            else:
+                parent = self.spark.table(runner.resolve_ref(to_rel))
             call = lambda: fn(df, column, parent, kwargs["field"])  # noqa: E731
         elif column is not None and takes_column:
             call = lambda: fn(df, column, **kwargs)  # noqa: E731

@@ -675,3 +675,139 @@ def test_state_modified_detects_seed_edits(spark, tmp_path):
     with open(f"{root}/seeds/rates.csv", "a") as f:
         f.write("JP,3\n")
     assert dag_select(p2, "state:modified", state=manifest) == ["on_rates"]
+
+
+def _schema_yml_project(tmp_path, severity="error"):
+    root = str(tmp_path / "buildproj")
+    data = str(tmp_path / "builddata")
+    os.makedirs(data)
+    pd.DataFrame({"id": [1, 2, 2], "ref_id": [1, 1, 9]}).to_parquet(
+        os.path.join(data, "t.parquet"), index=False
+    )
+
+    def write(p, c):
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        open(p, "w").write(c)
+
+    write(f"{root}/project.yml",
+          "name: buildproj\nmodels:\n  models:\n    materialized: table\n")
+    write(f"{root}/sources.yml",
+          f"sources:\n  - name: raw\n    base_path: \"{data}\"\n"
+          "    tables:\n      - name: t\n")
+    # dims is an ancestor of base (the relationships `to:` target must
+    # precede the tested model for build-time gating; see run_model_tests)
+    write(f"{root}/models/models/base.sql",
+          "SELECT t.id, t.ref_id FROM {{ source('raw', 't') }} t\n"
+          "LEFT JOIN {{ ref('dims') }} d ON t.id = d.id")
+    write(f"{root}/models/models/dims.sql",
+          "SELECT DISTINCT id FROM {{ source('raw', 't') }}")
+    write(f"{root}/models/models/child.sql",
+          "SELECT id FROM {{ ref('base') }}")
+    write(f"{root}/models/models/schema.yml", f"""
+models:
+  - name: base
+    columns:
+      - name: id
+        tests:
+          - unique:
+              config:
+                severity: {severity}
+      - name: ref_id
+        tests:
+          - relationships:
+              to: dims
+              field: id
+              config:
+                severity: {severity}
+""")
+    return root
+
+
+def test_model_yaml_tests_and_build_gating(spark, tmp_path, capsys):
+    """schema.yml under models/ declares tests on MODELS; `build` tests
+    each model as it lands and a failed test poisons descendants (dbt
+    build semantics). relationships `to:` accepts a bare model name."""
+    from dbt_on_snowflake_spark.__main__ import main
+    from dbt_on_snowflake_spark.engine.testing import TestRunner
+
+    root = _schema_yml_project(tmp_path)
+    project = Project(root, target="dev")
+    assert set(project.model_tests) == {"base"}
+
+    # plain test command surface: model tests run and catch the dup + FK
+    runner = Runner(spark, project)
+    runner.run()
+    tr = TestRunner(spark)
+    res = tr.run_model_tests(project, runner)
+    by = {(r.name, r.column): r for r in res}
+    assert by[("unique", "id")].status == "fail"
+    assert by[("unique", "id")].failures == 1  # one duplicated value
+    assert by[("relationships", "ref_id")].status == "fail"  # ref_id 9
+
+    rc = main(["build", "--project", root])
+    out = capsys.readouterr().out
+    assert rc == 1
+    by_line = {l.split()[1] if l.startswith("skipped") else None
+               for l in out.splitlines()}
+    assert "error" not in out.split()  # models themselves all materialized
+    # base built but failed its test -> child skipped, sibling dims built
+    assert "skipped" in out and "dev_child" in out
+    skipped_lines = [l for l in out.splitlines() if l.startswith("skipped")]
+    assert len(skipped_lines) == 1 and "dev_child" in skipped_lines[0]
+
+    # warn severity: same data, but the failure only warns -> child builds
+    root2 = _schema_yml_project(tmp_path.joinpath("w"), severity="warn")
+    rc2 = main(["build", "--project", root2])
+    out2 = capsys.readouterr().out
+    assert rc2 == 0
+    assert "skipped" not in out2 and "warn " in out2
+
+
+def test_unknown_model_in_schema_yml_raises(spark, tmp_path):
+    root = _schema_yml_project(tmp_path)
+    with open(f"{root}/models/models/schema.yml", "a") as f:
+        f.write("  - name: ghost\n    tests: [unique]\n")
+    with pytest.raises(ValueError, match="unknown model 'ghost'"):
+        Project(root, target="dev")
+
+
+def test_vars_project_cli_and_default(spark, tmp_path, capsys):
+    """dbt vars: project.yml `vars:` defaults, CLI --vars override,
+    in-template defaults via var('name', default); undefined var with no
+    default is an error isolated to the node."""
+    from dbt_on_snowflake_spark.__main__ import main
+
+    root = str(tmp_path / "varproj")
+    data = str(tmp_path / "vardata")
+    os.makedirs(data)
+    pd.DataFrame({"id": [1, 2, 3]}).to_parquet(
+        os.path.join(data, "t.parquet"), index=False
+    )
+
+    def write(p, c):
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        open(p, "w").write(c)
+
+    write(f"{root}/project.yml",
+          "name: varproj\nvars:\n  cutoff: 2\n"
+          "models:\n  models:\n    materialized: table\n")
+    write(f"{root}/sources.yml",
+          f"sources:\n  - name: raw\n    base_path: \"{data}\"\n"
+          "    tables:\n      - name: t\n")
+    write(f"{root}/models/models/kept.sql",
+          "SELECT id FROM {{ source('raw', 't') }} "
+          "WHERE id > {{ var('cutoff') }} AND id <= {{ var('top', 99) }}")
+    write(f"{root}/models/models/undefined.sql",
+          "SELECT {{ var('missing') }} AS x")
+
+    rc = main(["run", "--project", root])
+    out = capsys.readouterr().out
+    assert rc == 1  # `undefined` errors, isolated
+    assert "error" in out and "dev_undefined" in out
+    assert [r.id for r in spark.table("dev_kept").collect()] == [3]
+
+    rc = main(["run", "--project", root, "--select", "kept",
+               "--vars", "{cutoff: 0, top: 2}"])
+    capsys.readouterr()
+    assert rc == 0
+    assert sorted(r.id for r in spark.table("dev_kept").collect()) == [1, 2]
