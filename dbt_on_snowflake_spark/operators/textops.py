@@ -348,3 +348,63 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_distinct.cast("long").alias("n_distinct_grams"),
         ratio.alias("repetition_ratio"),
     )
+
+
+# ------------------------------------------------- unigram-model scoring
+
+RARE_COUNT = 200  # corpus count below which a token counts as rare
+
+
+@query(
+    "text_unigram_rarity",
+    driver=False,  # local-parity only: text family has 6 driver rows
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    vocab AS (
+        SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(v.cnt) AS BIGINT) AS token_mass,
+           ROUND(CAST(SUM(v.cnt) AS DOUBLE) / COUNT(*), 4) AS avg_token_freq,
+           ROUND(CAST(SUM(CASE WHEN v.cnt < {RARE_COUNT} THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 4) AS rare_ratio
+    FROM tok t JOIN vocab v ON t.token = v.token
+    GROUP BY t.doc_id
+    """,
+)
+def text_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-model document scoring — the shape of CCNet/KenLM-style
+    perplexity filtering: build a corpus vocabulary (token -> count), join
+    it back to each document's tokens, and score documents by how common
+    their tokens are (token_mass = sum of corpus counts; rare_ratio =
+    fraction of tokens rarer than RARE_COUNT). Kept in exact-integer
+    domain (counts, one final division) instead of sum-of-logs so the
+    score is bit-reproducible across engines — transcendental per-token
+    logs sum in engine-dependent order and drift by ulps.
+
+    Distributed shape: token explode -> vocab aggregation (one shuffle,
+    uniform token keys with partial map-side counts) -> token-vocab join
+    -> per-doc aggregation. At 100 TB the vocabulary is truncated to
+    top-V + an OOV bucket and BROADCAST, collapsing the join shuffle;
+    stop-token skew in the join is AQE skew-split territory (same posture
+    as text_contamination)."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    joined = tok.join(vocab, "token")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("cnt").alias("token_mass"),
+        F.round(F.sum("cnt").cast("double") / F.count(F.lit(1)), 4).alias(
+            "avg_token_freq"
+        ),
+        F.round(
+            F.sum((F.col("cnt") < RARE_COUNT).cast("int")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("rare_ratio"),
+    )
