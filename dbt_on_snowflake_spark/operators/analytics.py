@@ -66,6 +66,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Sort/limit is order-sensitive, so ties break on the unique order key.
 @query(
     "q3_top_revenue_orders",
+    driver=False,  # r4 rotation: r1-r3 driver-green veteran, parity-checked locally
     oracle=f"""
     SELECT o.o_orderkey AS order_key,
            o.o_orderdate AS order_date,
@@ -193,7 +194,6 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plain SUM is exact (< 2^53) and engine-identical without scaling.
 @query(
     "q18_large_volume_orders",
-    driver=False,  # local-parity only: join+having shape covered by q3/q17
     oracle="""
     WITH big AS (
         SELECT l_orderkey, SUM(l_quantity) AS total_qty
@@ -244,7 +244,6 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # beyond the hourly event windows).
 @query(
     "t_monthly_revenue",
-    driver=False,  # local-parity only: time-bucket agg covered by t_events_hourly
     oracle=f"""
     SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
            o_orderstatus AS status,
@@ -274,6 +273,7 @@ def t_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tie-break on unique key). TPC-H-ish "top 3 orders per customer".
 @query(
     "w_topk_orders_per_customer",
+    driver=False,  # r4 rotation: r1-r3 driver-green veteran, parity-checked locally
     oracle="""
     SELECT o_custkey AS customer_id, o_orderkey AS order_key,
            o_totalprice AS total_price, rk AS rank_in_customer
@@ -309,7 +309,6 @@ def w_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Window: running total + lag delta per user over event time.
 @query(
     "w_running_total_events",
-    driver=False,  # local-parity only: window family covered by w_topk/t_user_retention
     oracle="""
     SELECT event_id,
            user_id,
@@ -378,7 +377,6 @@ def a_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # disambiguate NULL-as-total from NULL-as-value).
 @query(
     "a_cube_status_priority",
-    driver=False,  # local-parity only: grouping-sets family covered by a_rollup_revenue
     oracle=f"""
     SELECT o_orderstatus AS status,
            o_orderpriority AS priority,
@@ -415,6 +413,7 @@ def a_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Set ops: INTERSECT / EXCEPT, tagged and unioned.
 @query(
     "s_setops_segments",
+    driver=False,  # r4 rotation: r1-r3 driver-green veteran, parity-checked locally
     oracle="""
     SELECT 'building_with_orders' AS cohort, c_custkey
     FROM (
@@ -449,6 +448,7 @@ def s_setops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # identical SQL on both engines; Spark's .pivot() produces the same plan).
 @query(
     "a_pivot_status_revenue",
+    driver=False,  # r4 rotation: r1-r3 driver-green veteran, parity-checked locally
     oracle=f"""
     SELECT o_orderpriority AS priority,
            {dsum_sql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END", "revenue_open")},
@@ -603,6 +603,7 @@ def t_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # batch idiom; streaming/ uses session_window).
 @query(
     "t_events_sessionize",
+    driver=False,  # r4 rotation: r1-r3 driver-green veteran, parity-checked locally
     oracle=f"""
     WITH flagged AS (
         SELECT user_id, ts, value,
@@ -701,7 +702,6 @@ def t_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dates, so "late" = any line shipped >60 days after the order date).
 @query(
     "q4_late_shipments_by_priority",
-    driver=False,  # local-parity only: EXISTS shape; TPC-H family has 4 driver rows
     oracle="""
     SELECT o.o_orderpriority AS priority,
            COUNT(*) AS order_count

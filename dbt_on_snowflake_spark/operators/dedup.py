@@ -111,6 +111,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_ngram_jaccard",
+    driver=False,  # r4 rotation: r1-r3 driver-green veteran, parity-checked locally
     oracle=f"""
     WITH {SHINGLES_CTE},
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),

@@ -171,6 +171,7 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 128) -> DataFrame:
 
 @query(
     "multimodal_frame_sample",
+    driver=False,  # r4 rotation: r1-r3 driver-green veteran, parity-checked locally
     oracle="""
     SELECT doc_id,
            CAST(unnest(range(0, greatest(octet_length(encode(text)) // 128, 1)))

@@ -42,6 +42,7 @@ def s4_source_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- P2: column projection + rename (orders.sql:1-34 aliases) ---
 @query(
     "p2_projection_rename",
+    driver=False,  # r4 rotation: r1-r3 driver-green veteran, parity-checked locally
     oracle="""
     SELECT c_custkey AS customer_id,
            c_name AS customer_name,
@@ -62,8 +63,6 @@ def p2_projection_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- P6: range predicate (dbt_utils.accepted_range, __sources.yml:217-220) ---
 @query(
     "p6_range_filter",
-    driver=False,  # local-parity only: predicate family covered by dq_failing_rows
-
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders
@@ -83,7 +82,6 @@ def p6_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # __sources.yml:204-205; frozen clock for determinism, SURVEY §7.4) ---
 @query(
     "p7_ts_filter",
-    driver=False,  # local-parity only: predicate family covered by p6/dq_failing_rows
     oracle="""
     SELECT event_id, user_id, event_type
     FROM events
@@ -219,8 +217,6 @@ def j1_orders_denorm(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (orders.sql:46-47 anonymous orders; sales_metrics_by_location.py:57-59).
 @query(
     "j2_left_join_enrich",
-    driver=False,  # local-parity only: join family covered by j1/j7/asof/range/salted
-
     oracle="""
     SELECT e.event_id AS event_id,
            e.event_type AS event_type,
@@ -264,7 +260,6 @@ def j7_anti_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Semi join (EXISTS) — complements J7.
 @query(
     "j_semi_active_customers",
-    driver=False,  # local-parity only: mirror of j7_anti_orphans
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment
     FROM customer c

@@ -125,6 +125,7 @@ def _marker_count_sql(words: tuple[str, ...]) -> str:
 
 @query(
     "text_lang_id",
+    driver=False,  # r4 rotation: r1-r3 driver-green veteran, parity-checked locally
     oracle=f"""
     WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
                FROM documents),
@@ -257,6 +258,7 @@ FP_K = 4  # k smallest shingle hashes form the fingerprint
 
 @query(
     "text_fingerprint",
+    driver=False,  # r4 rotation: r1-r3 driver-green veteran, parity-checked locally
     oracle=f"""
     WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
     sh AS (
@@ -357,7 +359,6 @@ RARE_COUNT = 200  # corpus count below which a token counts as rare
 
 @query(
     "text_unigram_rarity",
-    driver=False,  # local-parity only: text family has 6 driver rows
     oracle=f"""
     WITH tok AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS token
