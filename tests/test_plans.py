@@ -206,6 +206,17 @@ def test_exact_median_has_no_percentile_buffer(spark):
     assert "Window" in plan
 
 
+def test_unigram_bcast_vocab_is_broadcast_topv(spark):
+    """text_unigram_rarity_bcast: the score join consumes the vocabulary
+    via a broadcast hash join (no second shuffle of the exploded token
+    stream) and the top-V cut is TakeOrderedAndProject (partial per-
+    partition top-V, never a full vocab sort)."""
+    plan = explain_str(Q["text_unigram_rarity_bcast"].fn(spark, SF_SMOKE))
+    assert count_broadcast_joins(plan) >= 1
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_range_join_is_binned_not_nested_loop(spark):
     """The binned range join compiles to a hash join on the day bin —
     never BroadcastNestedLoopJoin/CartesianProduct (the naive range-join
