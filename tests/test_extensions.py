@@ -111,3 +111,40 @@ def test_ivf_multiprobe_recall_dominates_single_probe(spark):
     # that widening the probe set never loses recall and finds something
     assert recall_multi >= recall_single
     assert recall_multi > 0
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A planted 60-node chain (diameter 59 — the template-drift shape
+    real web corpora produce) must converge well inside _CC_MAX_ITERS:
+    pointer jumping makes rounds O(log diameter), where round-3's plain
+    propagation would have needed 59 rounds and raised at 25."""
+    import pandas as pd
+
+    from dbt_on_snowflake_spark.operators.dedup import connected_components
+
+    chain = pd.DataFrame(
+        {"doc_a": list(range(100, 159)), "doc_b": list(range(101, 160))}
+    )
+    got = connected_components(spark.createDataFrame(chain), max_iters=10)
+    rows = got.collect()
+    assert len(rows) == 60
+    assert {r["cluster_id"] for r in rows} == {100}
+
+
+def test_connected_components_durable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches lineage cuts to durable checkpoint():
+    labels are written under the given dir and the result is unchanged."""
+    import os
+
+    import pandas as pd
+
+    from dbt_on_snowflake_spark.operators.dedup import connected_components
+
+    edges = pd.DataFrame({"doc_a": [1, 2, 10], "doc_b": [2, 3, 11]})
+    ckpt = str(tmp_path / "cc_ckpt")
+    got = connected_components(
+        spark.createDataFrame(edges), checkpoint_dir=ckpt
+    )
+    labels = {r["doc_id"]: r["cluster_id"] for r in got.collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert any(os.scandir(ckpt))  # durable checkpoint data actually landed
