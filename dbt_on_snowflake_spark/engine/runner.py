@@ -109,8 +109,16 @@ class Runner:
     def _table_path(self, relation: str) -> str:
         return os.path.join(self.warehouse, relation)
 
-    def _register_table(self, relation: str) -> None:
-        self.spark.read.parquet(self._table_path(relation)).createOrReplaceTempView(
+    def _register_table(self, relation: str, merge_schema: bool = False) -> None:
+        """``merge_schema`` is for insert_overwrite targets, whose
+        partitions can carry heterogeneous footers after an
+        append_new_columns run — the merged (superset) schema must be the
+        view schema. Costs a footer read per file, so it stays off for
+        homogeneous tables."""
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        reader.parquet(self._table_path(relation)).createOrReplaceTempView(
             relation
         )
 
@@ -396,7 +404,13 @@ class Runner:
                 and not self.full_refresh
             )
             if incremental:
-                self._register_table(relation)  # {{ this }} must resolve
+                # {{ this }} must resolve; insert_overwrite targets may
+                # hold heterogeneous footers after append_new_columns
+                self._register_table(
+                    relation,
+                    merge_schema=node.config.get("incremental_strategy")
+                    == "insert_overwrite",
+                )
             sql = render(
                 node.body,
                 self.resolve_ref,
@@ -457,6 +471,86 @@ class Runner:
         writer.parquet(path)
         return int(obs.get["rows"])
 
+    def _apply_on_schema_change(
+        self,
+        df: DataFrame,
+        existing: DataFrame,
+        node: ModelNode | None,
+        relation: str,
+        *,
+        rewrite: bool,
+    ) -> tuple[DataFrame, DataFrame]:
+        """dbt ``on_schema_change`` for incremental models — the policy for
+        column drift between the model's output and the existing target:
+
+        - ``ignore`` (default): the target schema wins — columns the model
+          newly produces are dropped from the increment; a column the
+          target has but the increment lost is an ERROR (the engine never
+          silently invents values for existing columns).
+        - ``fail``: any drift (added or removed columns) errors before
+          anything is written.
+        - ``append_new_columns``: new columns extend the target (historic
+          rows read as NULL); columns missing from the increment stay in
+          the target and are NULL-filled in the new rows.
+        - ``sync_all_columns``: the target schema becomes the model schema
+          — new columns appear, removed columns are dropped. Merge path
+          only (``rewrite=True``): insert_overwrite leaves untouched
+          partitions' files in place, so a column cannot be dropped
+          without the full rewrite the strategy exists to avoid.
+
+        Drift is detected by column NAME; a same-named column changing
+        type surfaces through unionByName/parquet-merge type resolution.
+        Returns the (increment, existing) pair aligned to a common schema;
+        on the insert_overwrite path the returned ``existing`` is unused.
+        """
+        policy = (
+            node.config.get("on_schema_change") if node else None
+        ) or "ignore"
+        tgt = existing.columns
+        new = df.columns
+        added = [c for c in new if c not in tgt]
+        removed = [c for c in tgt if c not in new]
+        if policy == "fail":
+            if added or removed:
+                raise ValueError(
+                    f"on_schema_change='fail': {relation} schema drifted "
+                    f"(added {added}, removed {removed})"
+                )
+            return df, existing
+        if policy == "ignore":
+            if removed:
+                raise ValueError(
+                    f"on_schema_change='ignore': increment for {relation} "
+                    f"is missing existing columns {removed}; use "
+                    "append_new_columns/sync_all_columns or --full-refresh"
+                )
+            return (df.select(*tgt) if added else df), existing
+        if policy == "append_new_columns":
+            for c in removed:
+                df = df.withColumn(
+                    c, F.lit(None).cast(existing.schema[c].dataType)
+                )
+            if rewrite:
+                for c in added:
+                    existing = existing.withColumn(
+                        c, F.lit(None).cast(df.schema[c].dataType)
+                    )
+            return df.select(*tgt, *added), existing
+        if policy == "sync_all_columns":
+            if not rewrite:
+                raise ValueError(
+                    "on_schema_change='sync_all_columns' is not supported "
+                    "with insert_overwrite: untouched partitions keep "
+                    "their files, so removed columns would survive there"
+                )
+            existing = existing.select(*[c for c in tgt if c in new])
+            for c in added:
+                existing = existing.withColumn(
+                    c, F.lit(None).cast(df.schema[c].dataType)
+                )
+            return df, existing.select(*new)
+        raise ValueError(f"unknown on_schema_change: {policy!r}")
+
     def _materialize_incremental(
         self, df: DataFrame, relation: str, node: ModelNode | None
     ) -> int:
@@ -515,6 +609,15 @@ class Runner:
                     "incremental_strategy='insert_overwrite' requires "
                     "partition_by"
                 )
+            # schema-drift policy against the merged on-disk schema (a
+            # prior append_new_columns run leaves partitions with
+            # different footers; mergeSchema sees the superset)
+            existing = self.spark.read.option("mergeSchema", "true").parquet(
+                path
+            )
+            df, _ = self._apply_on_schema_change(
+                df, existing, node, relation, rewrite=False
+            )
             obs = Observation()
             (
                 df.observe(obs, F.count(F.lit(1)).alias("rows"))
@@ -523,10 +626,13 @@ class Runner:
                 .partitionBy(*parts)
                 .parquet(path)
             )
-            self._register_table(relation)
+            self._register_table(relation, merge_schema=True)
             return int(obs.get["rows"])
         unique_key = node.config.get("unique_key") if node else None
         existing = self.spark.read.parquet(path)
+        df, existing = self._apply_on_schema_change(
+            df, existing, node, relation, rewrite=True
+        )
         if unique_key:
             new_keys = df.select(unique_key).distinct()
             kept = existing.join(new_keys, unique_key, "left_anti")

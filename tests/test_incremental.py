@@ -379,3 +379,188 @@ def test_threaded_run_matches_serial(spark, tmp_path):
     names = [r.name for r in results]
     assert names.index("joined") > names.index("branch0")
     assert names.index("joined") > names.index("branch1")
+
+
+# ---------------------------------------------------------------- on_schema_change
+
+
+def _drift_project(tmp_path, policy: str, extra_cfg: str = "") -> tuple[str, str]:
+    """Incremental model `SELECT * FROM source` — schema drift is driven
+    by changing the source parquet's columns between runs. The model (and
+    so the relation) is named per-policy: the warehouse dir is shared by
+    the whole Spark session, so a shared relation would leak state across
+    tests."""
+    root = str(tmp_path / "proj")
+    data = str(tmp_path / "data")
+    os.makedirs(data, exist_ok=True)
+    _write(f"{root}/project.yml",
+           "name: drift\nmodels:\n  models:\n    materialized: view\n")
+    _write(f"{root}/sources.yml",
+           f"sources:\n  - name: raw\n    base_path: \"{data}\"\n    tables:\n      - name: t\n")
+    _write(
+        f"{root}/models/models/acc_{policy}.sql",
+        "{{ config(materialized='incremental', unique_key='id', "
+        "on_schema_change='" + policy + "'" + extra_cfg + ") }}\n"
+        "SELECT * FROM {{ source('raw', 't') }}",
+    )
+    return root, data
+
+
+def _run_drift(spark, root: str, policy: str) -> list:
+    runner = Runner(spark, Project(root, target="dev"))
+    path = runner._table_path(f"dev_acc_{policy}")
+    return runner.run(), path
+
+
+def test_on_schema_change_ignore_drops_added_column(spark, tmp_path):
+    root, data = _drift_project(tmp_path, "ignore")
+    pd.DataFrame({"id": [1], "v": [10]}).to_parquet(f"{data}/t.parquet", index=False)
+    res, path = _run_drift(spark, root, "ignore")
+    if os.path.isdir(path):  # stale warehouse from an earlier session run
+        import shutil; shutil.rmtree(path)
+        res, path = _run_drift(spark, root, "ignore")
+    assert res[0].status == "success"
+    pd.DataFrame({"id": [2], "v": [20], "extra": [99]}).to_parquet(
+        f"{data}/t.parquet", index=False
+    )
+    res2, _ = _run_drift(spark, root, "ignore")
+    assert res2[0].status == "success"
+    t = spark.table("dev_acc_ignore")
+    assert t.columns == ["id", "v"]  # target schema wins; extra dropped
+    assert sorted((r.id, r.v) for r in t.collect()) == [(1, 10), (2, 20)]
+
+
+def test_on_schema_change_ignore_errors_on_removed_column(spark, tmp_path):
+    root, data = _drift_project(tmp_path, "ignore")
+    pd.DataFrame({"id": [1], "v": [10]}).to_parquet(f"{data}/t.parquet", index=False)
+    res, path = _run_drift(spark, root, "ignore")
+    pd.DataFrame({"id": [2]}).to_parquet(f"{data}/t.parquet", index=False)
+    res2, _ = _run_drift(spark, root, "ignore")
+    assert res2[0].status == "error"
+    assert "missing existing columns" in res2[0].error
+
+
+def test_on_schema_change_fail_errors_on_any_drift(spark, tmp_path):
+    root, data = _drift_project(tmp_path, "fail")
+    pd.DataFrame({"id": [1], "v": [10]}).to_parquet(f"{data}/t.parquet", index=False)
+    res, path = _run_drift(spark, root, "fail")
+    if os.path.isdir(path) and res[0].rows != 1:  # stale warehouse
+        import shutil; shutil.rmtree(path)
+        _run_drift(spark, root, "fail")
+    pd.DataFrame({"id": [2], "v": [20], "extra": [1]}).to_parquet(
+        f"{data}/t.parquet", index=False
+    )
+    res2, _ = _run_drift(spark, root, "fail")
+    assert res2[0].status == "error"
+    assert "on_schema_change='fail'" in res2[0].error
+    # nothing was written: the table still has only row 1
+    assert [r.id for r in spark.table("dev_acc_fail").collect()] == [1]
+
+
+def test_on_schema_change_append_new_columns_merge(spark, tmp_path):
+    """Drifted-column merge: the new column extends the target, historic
+    rows read NULL, and the unique_key merge still replaces keys."""
+    root, data = _drift_project(tmp_path, "append_new_columns")
+    pd.DataFrame({"id": [1, 2], "v": [10, 20]}).to_parquet(
+        f"{data}/t.parquet", index=False
+    )
+    res, path = _run_drift(spark, root, "append_new_columns")
+    if os.path.isdir(path) and res[0].rows != 2:  # stale warehouse
+        import shutil; shutil.rmtree(path)
+        _run_drift(spark, root, "append_new_columns")
+    pd.DataFrame({"id": [2, 3], "v": [99, 30], "extra": [7, 8]}).to_parquet(
+        f"{data}/t.parquet", index=False
+    )
+    res2, _ = _run_drift(spark, root, "append_new_columns")
+    assert res2[0].status == "success"
+    t = spark.table("dev_acc_append_new_columns")
+    assert t.columns == ["id", "v", "extra"]
+    rows = {r.id: (r.v, r.extra) for r in t.collect()}
+    assert rows == {1: (10, None), 2: (99, 7), 3: (30, 8)}
+
+
+def test_on_schema_change_sync_all_columns_drops_removed(spark, tmp_path):
+    root, data = _drift_project(tmp_path, "sync_all_columns")
+    pd.DataFrame({"id": [1], "v": [10], "old": [5]}).to_parquet(
+        f"{data}/t.parquet", index=False
+    )
+    res, path = _run_drift(spark, root, "sync_all_columns")
+    if os.path.isdir(path) and res[0].rows != 1:  # stale warehouse
+        import shutil; shutil.rmtree(path)
+        _run_drift(spark, root, "sync_all_columns")
+    pd.DataFrame({"id": [2], "v": [20], "fresh": [6]}).to_parquet(
+        f"{data}/t.parquet", index=False
+    )
+    res2, _ = _run_drift(spark, root, "sync_all_columns")
+    assert res2[0].status == "success"
+    t = spark.table("dev_acc_sync_all_columns")
+    assert t.columns == ["id", "v", "fresh"]  # old dropped, fresh added
+    rows = {r.id: (r.v, r.fresh) for r in t.collect()}
+    assert rows == {1: (10, None), 2: (20, 6)}
+
+
+def test_on_schema_change_append_with_insert_overwrite(spark, tmp_path):
+    """insert_overwrite + append_new_columns: untouched partitions keep
+    their (narrower) files; the merged view reads their missing column as
+    NULL."""
+    root = str(tmp_path / "proj")
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    _write(f"{root}/project.yml",
+           "name: iodrift\nmodels:\n  models:\n    materialized: view\n")
+    _write(f"{root}/sources.yml",
+           f"sources:\n  - name: raw\n    base_path: \"{data}\"\n    tables:\n      - name: t\n")
+    _write(
+        f"{root}/models/models/daily.sql",
+        "{{ config(materialized='incremental', "
+        "incremental_strategy='insert_overwrite', partition_by='day', "
+        "on_schema_change='append_new_columns') }}\n"
+        "SELECT * FROM {{ source('raw', 't') }}",
+    )
+    pd.DataFrame({"id": [1, 2], "day": ["d1", "d2"], "v": [10, 20]}).to_parquet(
+        f"{data}/t.parquet", index=False
+    )
+    runner = Runner(spark, Project(root, target="dev"))
+    path = runner._table_path("dev_daily")
+    if os.path.isdir(path):
+        import shutil; shutil.rmtree(path)
+    assert runner.run()[0].status == "success"
+    # increment restates d2 with an extra column; d1 untouched
+    pd.DataFrame(
+        {"id": [3], "day": ["d2"], "v": [99], "extra": [7]}
+    ).to_parquet(f"{data}/t.parquet", index=False)
+    res2 = Runner(spark, Project(root, target="dev")).run()
+    assert res2[0].status == "success"
+    rows = {r.id: (r.day, r.v, r.extra) for r in spark.table("dev_daily").collect()}
+    assert rows == {1: ("d1", 10, None), 3: ("d2", 99, 7)}
+
+
+def test_on_schema_change_sync_rejected_on_insert_overwrite(spark, tmp_path):
+    root = str(tmp_path / "proj")
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    _write(f"{root}/project.yml",
+           "name: iosync\nmodels:\n  models:\n    materialized: view\n")
+    _write(f"{root}/sources.yml",
+           f"sources:\n  - name: raw\n    base_path: \"{data}\"\n    tables:\n      - name: t\n")
+    _write(
+        f"{root}/models/models/daily.sql",
+        "{{ config(materialized='incremental', "
+        "incremental_strategy='insert_overwrite', partition_by='day', "
+        "on_schema_change='sync_all_columns') }}\n"
+        "SELECT * FROM {{ source('raw', 't') }}",
+    )
+    pd.DataFrame({"id": [1], "day": ["d1"], "v": [10]}).to_parquet(
+        f"{data}/t.parquet", index=False
+    )
+    runner = Runner(spark, Project(root, target="dev"))
+    path = runner._table_path("dev_daily")
+    if os.path.isdir(path):
+        import shutil; shutil.rmtree(path)
+    assert runner.run()[0].status == "success"
+    pd.DataFrame({"id": [2], "day": ["d1"]}).to_parquet(
+        f"{data}/t.parquet", index=False
+    )
+    res2 = Runner(spark, Project(root, target="dev")).run()
+    assert res2[0].status == "error"
+    assert "sync_all_columns" in res2[0].error
