@@ -46,6 +46,12 @@ def main(argv: list[str] | None = None) -> int:
             help="prior manifest.json for state:modified selection",
         )
         sp.add_argument(
+            "--defer", action="store_true", dest="defer_",
+            help="resolve refs to unselected models from the --state "
+                 "manifest's recorded relations (build modified nodes in "
+                 "this target, read unmodified parents from prod)",
+        )
+        sp.add_argument(
             "--full-refresh", action="store_true",
             help="rebuild incremental models from scratch",
         )
@@ -132,6 +138,14 @@ def main(argv: list[str] | None = None) -> int:
         if getattr(args, "trace", False)
         else None
     )
+    defer_state = None
+    if getattr(args, "defer_", False):
+        if not getattr(args, "state", None):
+            print("--defer requires --state <manifest.json>", file=sys.stderr)
+            return 2
+        with open(args.state) as f:
+            defer_state = json.load(f)
+
     runner = Runner(
         spark,
         project,
@@ -139,6 +153,7 @@ def main(argv: list[str] | None = None) -> int:
         full_refresh=getattr(args, "full_refresh", False),
         threads=getattr(args, "threads", 1) or 1,
         cli_vars=cli_vars,
+        defer_state=defer_state,
     )
 
     if args.cmd == "run":

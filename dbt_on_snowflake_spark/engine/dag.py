@@ -144,6 +144,7 @@ def select(
     selector: str | None,
     state: dict | None = None,
     exclude: str | None = None,
+    implicit_ancestors: bool = True,
 ) -> list[str]:
     """Resolve a dbt-style selector to an ordered execution list.
 
@@ -157,6 +158,11 @@ def select(
     --exclude); excluded atoms resolve literally (no implicit ancestors),
     so ``--select tag:staging --exclude stg_orders`` drops exactly that
     model.
+
+    ``implicit_ancestors=False`` resolves selection atoms literally (only
+    an explicit ``+`` pulls ancestors) — the ``--defer`` mode, where
+    unselected parents are read from the deferred namespace instead of
+    being rebuilt.
     """
     order = toposort(project)
     graph = build_graph(project)
@@ -165,7 +171,9 @@ def select(
     else:
         wanted = set()
         for part in selector.split(","):
-            wanted |= _expand_part(project, graph, part, state, True)
+            wanted |= _expand_part(
+                project, graph, part, state, implicit_ancestors
+            )
     if exclude:
         for part in exclude.split(","):
             wanted -= _expand_part(project, graph, part, state, False)

@@ -82,6 +82,7 @@ class Runner:
         full_refresh: bool = False,
         threads: int = 1,
         cli_vars: dict | None = None,
+        defer_state: dict | None = None,
     ):
         self.spark = spark
         self.project = project
@@ -103,6 +104,12 @@ class Runner:
         # to <trace_dir>/<node>.txt — the per-query trace a user debugs a
         # slow mart with (reference README.md:163-187 monitoring surface)
         self.trace_dir = trace_dir
+        # dbt --defer: a prior (prod) manifest dict. ref()s to models NOT
+        # in the current selection resolve to the manifest's recorded
+        # relation — the CI pattern where modified nodes build in dev
+        # while unmodified parents are read from prod
+        self.defer_state = defer_state
+        self._selected: set[str] | None = None
         wh = spark.conf.get("spark.sql.warehouse.dir", "/tmp/spark_warehouse")
         self.warehouse = wh.removeprefix("file:")
 
@@ -129,6 +136,9 @@ class Runner:
     def resolve_ref(self, name: str) -> str:
         if name in self.project.seeds:
             return self.project.relation_for(name)
+        deferred = self._resolve_deferred(name)
+        if deferred is not None:
+            return deferred
         node = self.project.models[name]
         if self.project.materialization_for(node) == "ephemeral":
             # ephemeral models inline as a subquery — no relation exists
@@ -141,6 +151,40 @@ class Runner:
             )
             return f"({body}) AS _eph_{name}"
         return self.project.relation_for(name, node.config.get("schema"))
+
+    def _resolve_deferred(self, name: str) -> str | None:
+        """dbt --defer resolution: an unselected model resolves to the
+        state manifest's recorded relation, UNLESS it already exists in
+        the current target namespace (dbt's default dev-wins preference;
+        --favor-state would flip it). The deferred relation is registered
+        from its warehouse directory on first touch — prod tables persist
+        as parquet paths, so a fresh dev process can read them; a prod
+        VIEW has no on-disk state and falls through to normal resolution
+        (same failure a dbt dev run sees when prod holds only a view)."""
+        if self.defer_state is None or self._selected is None:
+            return None
+        if name in self._selected:
+            return None
+        node = self.project.models.get(name)
+        if node is not None:
+            dev_relation = self.project.relation_for(
+                name, node.config.get("schema")
+            )
+            if self.table_exists(dev_relation) or self.spark.catalog.tableExists(
+                dev_relation
+            ):
+                return None  # already built in this namespace: dev wins
+        rec = (self.defer_state.get("nodes") or {}).get(name)
+        relation = (rec or {}).get("relation")
+        if not relation:
+            return None
+        if not self.spark.catalog.tableExists(relation) and self.table_exists(
+            relation
+        ):
+            self._register_table(relation)
+        if self.spark.catalog.tableExists(relation):
+            return relation
+        return None
 
     def resolve_source(self, group: str, name: str) -> str:
         return f"src_{group}_{name}"
@@ -240,7 +284,16 @@ class Runner:
         returning False marks the node's data untrusted — its descendants
         skip, exactly like a model failure."""
         self.load_sources()
-        order = select(self.project, selector, state=state, exclude=exclude)
+        # with --defer, selection atoms resolve literally: unselected
+        # ancestors are read from the deferred namespace, not rebuilt
+        order = select(
+            self.project,
+            selector,
+            state=state,
+            exclude=exclude,
+            implicit_ancestors=self.defer_state is None,
+        )
+        self._selected = set(order)
         # only the seeds the selection refs (all of them on a full run);
         # a failed seed propagates exactly like a failed model: its
         # dependents skip, siblings keep running

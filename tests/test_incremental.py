@@ -564,3 +564,104 @@ def test_on_schema_change_sync_rejected_on_insert_overwrite(spark, tmp_path):
     res2 = Runner(spark, Project(root, target="dev")).run()
     assert res2[0].status == "error"
     assert "sync_all_columns" in res2[0].error
+
+
+# ----------------------------------------------------------------- --defer
+
+
+def test_defer_reads_unmodified_parents_from_state_namespace(spark, tmp_path):
+    """CI defer pattern: prod built parent+child; child's SQL changes; a
+    dev run with --select state:modified --defer --state builds ONLY the
+    child in dev, reading the unmodified parent from prod's relation."""
+    import shutil
+
+    from dbt_on_snowflake_spark.__main__ import main
+    from dbt_on_snowflake_spark.engine.artifacts import write_manifest
+
+    root = str(tmp_path / "proj")
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    pd.DataFrame({"id": [1, 2, 3], "v": [10, 20, 30]}).to_parquet(
+        os.path.join(data, "t.parquet"), index=False
+    )
+    _write(f"{root}/project.yml",
+           "name: deferdemo\nmodels:\n  models:\n    materialized: table\n")
+    _write(f"{root}/sources.yml",
+           f"sources:\n  - name: raw\n    base_path: \"{data}\"\n    tables:\n      - name: t\n")
+    _write(f"{root}/models/models/parent.sql",
+           "SELECT id, v FROM {{ source('raw', 't') }}")
+    _write(f"{root}/models/models/child.sql",
+           "SELECT id, v * 2 AS v2 FROM {{ ref('parent') }}")
+
+    # stale-warehouse hygiene: the session warehouse is shared
+    runner_probe = Runner(spark, Project(root, target="dev"))
+    for rel in ("prod_parent", "prod_child", "dev_parent", "dev_child"):
+        if os.path.isdir(runner_probe._table_path(rel)):
+            shutil.rmtree(runner_probe._table_path(rel))
+
+    # 1. prod builds everything; manifest records prod relations
+    assert main(["run", "--project", root, "--target", "prod"]) == 0
+    manifest = str(tmp_path / "prod_manifest.json")
+    write_manifest(Project(root, target="prod"), manifest)
+
+    # 2. child changes; prod's source data is then restated so a dev
+    # rebuild of parent would differ from prod's stored parent
+    _write(f"{root}/models/models/child.sql",
+           "SELECT id, v * 10 AS v10 FROM {{ ref('parent') }}")
+    pd.DataFrame({"id": [9], "v": [999]}).to_parquet(
+        os.path.join(data, "t.parquet"), index=False
+    )
+
+    # 3. dev run: only the modified child builds, against PROD's parent
+    rc = main([
+        "run", "--project", root, "--target", "dev",
+        "--select", "state:modified", "--defer", "--state", manifest,
+    ])
+    assert rc == 0
+    assert not os.path.isdir(runner_probe._table_path("dev_parent"))
+    rows = {r.id: r.v10 for r in spark.table("dev_child").collect()}
+    # values derive from prod's parent (ids 1-3), NOT the restated source
+    assert rows == {1: 100, 2: 200, 3: 300}
+
+
+def test_defer_prefers_already_built_dev_relation(spark, tmp_path):
+    """dbt's dev-wins default: if the unselected parent ALREADY exists in
+    the dev namespace, defer leaves it alone and uses it."""
+    import shutil
+
+    from dbt_on_snowflake_spark.engine.artifacts import build_manifest
+
+    root = str(tmp_path / "proj")
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    pd.DataFrame({"id": [1], "v": [10]}).to_parquet(
+        os.path.join(data, "t.parquet"), index=False
+    )
+    _write(f"{root}/project.yml",
+           "name: deferdev\nmodels:\n  models:\n    materialized: table\n")
+    _write(f"{root}/sources.yml",
+           f"sources:\n  - name: raw\n    base_path: \"{data}\"\n    tables:\n      - name: t\n")
+    _write(f"{root}/models/models/parent.sql",
+           "SELECT id, v FROM {{ source('raw', 't') }}")
+    _write(f"{root}/models/models/child.sql",
+           "SELECT id, v + 1 AS v1 FROM {{ ref('parent') }}")
+
+    probe = Runner(spark, Project(root, target="dev"))
+    for rel in ("prod_parent", "prod_child", "dev_parent", "dev_child"):
+        if os.path.isdir(probe._table_path(rel)):
+            shutil.rmtree(probe._table_path(rel))
+
+    # prod parent has OLD data; dev parent is then built with NEW data
+    Runner(spark, Project(root, target="prod")).run("parent")
+    manifest = build_manifest(Project(root, target="prod"))
+    pd.DataFrame({"id": [1], "v": [70]}).to_parquet(
+        os.path.join(data, "t.parquet"), index=False
+    )
+    Runner(spark, Project(root, target="dev")).run("parent")
+
+    res = Runner(
+        spark, Project(root, target="dev"), defer_state=manifest
+    ).run("child")
+    assert [r.name for r in res] == ["child"] and res[0].status == "success"
+    # dev parent (v=70) won over prod parent (v=10)
+    assert [r.v1 for r in spark.table("dev_child").collect()] == [71]
