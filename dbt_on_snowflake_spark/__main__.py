@@ -36,6 +36,11 @@ def main(argv: list[str] | None = None) -> int:
             "--exclude", default=None,
             help="selector atoms to subtract from the selection",
         )
+        sp.add_argument(
+            "--selector", default=None, dest="selector_name",
+            help="named selection from selectors.yml (mutually exclusive "
+                 "with --select)",
+        )
         sp.add_argument("--out", default=None, help="run_results.json path")
         sp.add_argument(
             "--trace", action="store_true",
@@ -71,6 +76,18 @@ def main(argv: list[str] | None = None) -> int:
     from dbt_on_snowflake_spark.session import get_spark
 
     project = Project(args.project, target=args.target)
+
+    if getattr(args, "selector_name", None):
+        if args.select:
+            print("--selector and --select are mutually exclusive",
+                  file=sys.stderr)
+            return 2
+        if args.selector_name not in project.selectors:
+            print(f"unknown selector {args.selector_name!r} (selectors.yml "
+                  f"defines: {sorted(project.selectors) or 'none'})",
+                  file=sys.stderr)
+            return 2
+        args.select = f"selector:{args.selector_name}"
 
     cli_vars = None
     if getattr(args, "vars", None):

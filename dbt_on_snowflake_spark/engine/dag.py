@@ -119,6 +119,21 @@ def _expand_part(
     lead = part.startswith("+")
     trail = part.endswith("+")
     name = part.strip("+")
+    if name.startswith("selector:"):
+        # a named selectors.yml definition; resolves as written (its own
+        # atoms carry their own +/implicit-ancestor behavior), so a
+        # leading/trailing + on the reference itself is rejected
+        if lead or trail:
+            raise ValueError(
+                f"selector reference {part!r} cannot take +; put the + on "
+                "atoms inside the named definition"
+            )
+        sel = name[len("selector:"):]
+        if sel not in project.selectors:
+            raise ValueError(f"unknown selector: {sel!r} (selectors.yml)")
+        return _resolve_selector_def(
+            project, graph, project.selectors[sel], state, implicit_ancestors
+        )
     if name == "state:modified":
         if state is None:
             raise ValueError("state:modified requires --state <manifest.json>")
@@ -137,6 +152,55 @@ def _expand_part(
         if trail:
             out |= descendants(graph, m)
     return out
+
+
+def _resolve_selector_def(
+    project: Project,
+    graph: dict[str, set[str]],
+    defn,
+    state: dict | None,
+    implicit_ancestors: bool,
+) -> set[str]:
+    """Resolve one selectors.yml definition node: an atom string, a list
+    (implicit union), or a dict of ``union:``/``intersection:`` over
+    nested definitions with an optional ``exclude:`` (subtracted AFTER
+    the combination; exclude atoms resolve literally, like --exclude).
+    A string uses the full --select grammar (comma = union)."""
+    if isinstance(defn, str):
+        out: set[str] = set()
+        for atom in defn.split(","):
+            out |= _expand_part(
+                project, graph, atom, state, implicit_ancestors
+            )
+        return out
+    if isinstance(defn, list):
+        out: set[str] = set()
+        for item in defn:
+            out |= _resolve_selector_def(
+                project, graph, item, state, implicit_ancestors
+            )
+        return out
+    if isinstance(defn, dict):
+        keys = [k for k in ("union", "intersection") if k in defn]
+        if len(keys) != 1:
+            raise ValueError(
+                "selector definition dict needs exactly one of "
+                f"'union'/'intersection', got {sorted(defn)}"
+            )
+        parts = [
+            _resolve_selector_def(project, graph, d, state, implicit_ancestors)
+            for d in defn[keys[0]]
+        ]
+        base: set[str] = set()
+        if parts:
+            base = (
+                set.union(*parts) if keys[0] == "union"
+                else set.intersection(*parts)
+            )
+        for excl in defn.get("exclude", []) or []:
+            base -= _resolve_selector_def(project, graph, excl, state, False)
+        return base
+    raise ValueError(f"unsupported selector definition: {defn!r}")
 
 
 def select(

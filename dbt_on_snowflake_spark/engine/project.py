@@ -77,6 +77,10 @@ class SourceTable:
     columns: dict[str, list[dict[str, Any]]] = field(default_factory=dict)
     tests: list[dict[str, Any]] = field(default_factory=list)
     loaded_at_field: str | None = None
+    # dbt freshness block: {"warn_after": {"count": N, "period":
+    # "minute|hour|day"}, "error_after": {...}}; table-level overrides
+    # group-level, None = engine defaults
+    freshness: dict[str, Any] | None = None
 
 
 class Project:
@@ -98,6 +102,7 @@ class Project:
         self.sources = self._load_sources()
         self.model_tests = self._load_model_tests()
         self.seeds = self._discover_seeds()
+        self.selectors = self._load_selectors()
         # ref() resolves seeds before models, so a shared name would
         # silently shadow the model — reject at discovery, mirroring the
         # duplicate-model guard
@@ -107,6 +112,27 @@ class Project:
                 f"seed/model name collision: {clash} (a seed would shadow "
                 f"the model at ref() sites); rename one of them"
             )
+
+    def _load_selectors(self) -> dict[str, Any]:
+        """dbt ``selectors.yml``: named, version-controlled selection
+        definitions (``selectors: [{name, description, definition}]``).
+        A definition is an atom string of the --select grammar, a list
+        (implicit union), or a dict with ``union:``/``intersection:`` of
+        nested definitions plus an optional ``exclude:`` list; invoked as
+        ``--selector <name>`` (or the ``selector:<name>`` atom)."""
+        path = os.path.join(self.root, "selectors.yml")
+        if not os.path.exists(path):
+            return {}
+        with open(path) as f:
+            doc = yaml.safe_load(f) or {}
+        out: dict[str, Any] = {}
+        for entry in doc.get("selectors", []):
+            if "name" not in entry or "definition" not in entry:
+                raise ValueError(
+                    "selectors.yml entries need 'name' and 'definition'"
+                )
+            out[entry["name"]] = entry["definition"]
+        return out
 
     def _discover_seeds(self) -> dict[str, str]:
         """dbt seeds: <root>/seeds/*.csv, loaded as tables and valid
@@ -355,6 +381,7 @@ class Project:
                     },
                     tests=tbl.get("tests", []),
                     loaded_at_field=tbl.get("loaded_at_field"),
+                    freshness=tbl.get("freshness", group.get("freshness")),
                 )
         return out
 

@@ -223,6 +223,64 @@ def test_source_freshness(tasty, spark):
     assert res2[0].status == "error"
 
 
+def test_source_freshness_per_source_thresholds(spark, tmp_path):
+    """Declared warn_after/error_after in sources.yml override the engine
+    defaults per source: the same 2-hour-old data passes a lax source,
+    warns a 1-hour source, and errors a strict minutes-level source."""
+    import os
+    from datetime import datetime, timedelta, timezone
+
+    import pandas as pd
+
+    from dbt_on_snowflake_spark.engine.freshness import check_freshness
+    from dbt_on_snowflake_spark.engine.project import Project
+    from dbt_on_snowflake_spark.engine.runner import Runner
+
+    root = str(tmp_path / "proj")
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    os.makedirs(root)
+    loaded = datetime(2026, 1, 1, 12, 0, tzinfo=timezone.utc)
+    for t in ("lax", "hourly", "strict"):
+        frame = pd.DataFrame({"id": [1], "ts": [loaded.replace(tzinfo=None)]})
+        # micros, not pandas' default nanos: the session reads
+        # TIMESTAMP(NANOS) as long (legacy.parquet.nanosAsLong)
+        frame["ts"] = frame["ts"].astype("datetime64[us]")
+        frame.to_parquet(os.path.join(data, f"{t}.parquet"), index=False)
+    with open(os.path.join(root, "project.yml"), "w") as f:
+        f.write("name: fresh\nmodels: {}\n")
+    with open(os.path.join(root, "sources.yml"), "w") as f:
+        f.write(f"""
+sources:
+  - name: raw
+    base_path: "{data}"
+    freshness:
+      warn_after: {{count: 1, period: hour}}
+      error_after: {{count: 4, period: hour}}
+    tables:
+      - name: lax
+        loaded_at_field: ts
+        freshness:
+          warn_after: {{count: 1, period: day}}
+          error_after: {{count: 7, period: day}}
+      - name: hourly
+        loaded_at_field: ts
+      - name: strict
+        loaded_at_field: ts
+        freshness:
+          warn_after: {{count: 30, period: minute}}
+          error_after: {{count: 90, period: minute}}
+""")
+    project = Project(root, target="dev")
+    runner = Runner(spark, project)
+    runner.load_sources()
+    now = loaded + timedelta(hours=2)
+    res = {r.table: r.status for r in check_freshness(spark, project, runner, now=now)}
+    # 2h age: lax passes (1d warn), hourly warns (group 1h/4h), strict
+    # errors (90min error threshold)
+    assert res == {"lax": "pass", "hourly": "warn", "strict": "error"}
+
+
 def test_cli_ls_compile_run(tasty, capsys):
     """The CLI command surface (reference dbt CLI usage, README.md:108-136)."""
     from dbt_on_snowflake_spark.__main__ import main
@@ -811,3 +869,72 @@ def test_vars_project_cli_and_default(spark, tmp_path, capsys):
     capsys.readouterr()
     assert rc == 0
     assert sorted(r.id for r in spark.table("dev_kept").collect()) == [1, 2]
+
+
+def test_selector_yaml_named_selection(spark, tmp_path, capsys):
+    """selectors.yml: named union/intersection/exclude definitions over
+    the atom grammar, invoked via --selector on the CLI."""
+    import os
+
+    import pandas as pd
+
+    from dbt_on_snowflake_spark.__main__ import main
+    from dbt_on_snowflake_spark.engine.dag import select
+    from dbt_on_snowflake_spark.engine.project import Project
+
+    root = str(tmp_path / "proj")
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    os.makedirs(root)
+    pd.DataFrame({"id": [1, 2]}).to_parquet(
+        os.path.join(data, "t.parquet"), index=False
+    )
+    def w(rel, content):
+        p = os.path.join(root, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "w") as f:
+            f.write(content)
+
+    w("project.yml", "name: seldemo\nmodels:\n  models:\n    materialized: view\n")
+    w("sources.yml",
+      f"sources:\n  - name: raw\n    base_path: \"{data}\"\n    tables:\n      - name: t\n")
+    w("models/models/stg_a.sql",
+      "{{ config(tags='nightly') }}\nSELECT id FROM {{ source('raw', 't') }}")
+    w("models/models/stg_b.sql",
+      "{{ config(tags='nightly') }}\nSELECT id FROM {{ source('raw', 't') }}")
+    w("models/models/mart_a.sql",
+      "{{ config(tags='nightly,broken') }}\nSELECT * FROM {{ ref('stg_a') }}")
+    w("models/models/other.sql", "SELECT id FROM {{ source('raw', 't') }}")
+    w("selectors.yml", """
+selectors:
+  - name: nightly_healthy
+    description: nightly models minus the broken one
+    definition:
+      union:
+        - "tag:nightly"
+      exclude:
+        - "tag:broken"
+  - name: nightly_staging
+    definition:
+      intersection:
+        - "tag:nightly"
+        - "+stg_a,+stg_b"
+""")
+    project = Project(root, target="dev")
+    assert select(project, "selector:nightly_healthy") == ["stg_a", "stg_b"]
+    assert select(project, "selector:nightly_staging") == ["stg_a", "stg_b"]
+    # unknown name is a config-time error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown selector"):
+        select(project, "selector:nope")
+
+    # CLI: --selector drives run; only the named set materializes
+    rc = main(["run", "--project", root, "--selector", "nightly_healthy"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "dev_stg_a" in out and "dev_stg_b" in out
+    assert "mart_a" not in out and "dev_other" not in out
+    rc2 = main(["run", "--project", root,
+                "--selector", "nightly_healthy", "--select", "other"])
+    assert rc2 == 2
