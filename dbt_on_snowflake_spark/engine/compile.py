@@ -192,6 +192,10 @@ _VAR_RE = re.compile(
 
 
 def _var_text(v) -> str:
+    if v is None:
+        # a var set to null in YAML renders as SQL NULL, not the Python
+        # repr text "None"
+        return "NULL"
     if isinstance(v, bool):  # before int: bool is an int subclass
         return "true" if v else "false"
     return str(v)

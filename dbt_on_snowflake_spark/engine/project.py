@@ -185,15 +185,21 @@ class Project:
         return h.hexdigest()[:16]
 
     def _check_and_write_lock(self, pkgs: list[tuple[str, str | None, str, str]]) -> None:
-        """Validate resolved packages against target/package-lock.yml and
+        """Validate resolved packages against <root>/package-lock.yml and
         (re)write it — the engine's equivalent of the reference's pinned
-        dbt/package-lock.yml:1-4 (name + version + content sha). A version
-        or content mismatch against the lock is an error: CI must not
-        silently run different package code than what was locked."""
-        lock_path = os.path.join(self.root, "target", "package-lock.yml")
+        dbt/package-lock.yml:1-4 (name + version + content sha). The lock
+        lives at the PROJECT ROOT, next to project.yml, so it is
+        version-controlled and survives a fresh checkout / CI target wipe
+        (the reference pins it the same way; target/ is gitignored). A
+        version bump is an intentional re-resolve and re-locks cleanly;
+        only content changing WITHOUT a version bump is a hard error — CI
+        must not silently run different code under the same version."""
+        lock_path = os.path.join(self.root, "package-lock.yml")
+        legacy_path = os.path.join(self.root, "target", "package-lock.yml")
+        read_path = lock_path if os.path.isfile(lock_path) else legacy_path
         locked: dict[str, dict] = {}
-        if os.path.isfile(lock_path):
-            with open(lock_path) as f:
+        if os.path.isfile(read_path):
+            with open(read_path) as f:
                 doc = yaml.safe_load(f) or {}
             locked = {p["name"]: p for p in doc.get("packages", [])}
         for name, version, sha, _root in pkgs:
@@ -201,19 +207,14 @@ class Project:
             if not prev:
                 continue
             if prev.get("version") != version:
-                raise ValueError(
-                    f"package {name!r} version {version!r} does not match "
-                    f"lock {prev.get('version')!r}; delete "
-                    f"target/package-lock.yml to re-resolve"
-                )
+                continue  # explicit version bump: accept and re-lock below
             if prev.get("sha") != sha:
                 raise ValueError(
                     f"package {name!r} content changed without a version "
                     f"bump (lock sha {prev.get('sha')}, found {sha}); bump "
-                    f"the package version or delete target/package-lock.yml"
+                    f"the package version or delete package-lock.yml"
                 )
         if pkgs:
-            os.makedirs(os.path.dirname(lock_path), exist_ok=True)
             with open(lock_path, "w") as f:
                 yaml.safe_dump(
                     {

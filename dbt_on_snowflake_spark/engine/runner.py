@@ -55,11 +55,15 @@ class ModelContext:
     def source(self, group: str, name: str) -> DataFrame:
         return self._runner.spark.table(self._runner.resolve_source(group, name))
 
-    def var(self, name: str, default=None):
-        """dbt var() for Python models (project.yml vars + CLI --vars)."""
+    _NO_DEFAULT = object()  # sentinel: an explicit None default is valid
+
+    def var(self, name: str, default=_NO_DEFAULT):
+        """dbt var() for Python models (project.yml vars + CLI --vars).
+        ``var('x', None)`` is a legitimate explicit default — only a call
+        with NO default raises on an undefined var."""
         if name in self._runner.vars:
             return self._runner.vars[name]
-        if default is not None:
+        if default is not ModelContext._NO_DEFAULT:
             return default
         raise ValueError(f"var {name!r} is not defined and has no default")
 
@@ -296,10 +300,13 @@ class Runner:
         self._selected = set(order)
         # only the seeds the selection refs (all of them on a full run);
         # a failed seed propagates exactly like a failed model: its
-        # dependents skip, siblings keep running
+        # dependents skip, siblings keep running. Any narrowing —
+        # --select OR --exclude — scopes seeds to the post-exclude order:
+        # a malformed seed ref'd only by an excluded subtree must not
+        # fail a run that deliberately excluded that subtree
         needed = (
             None
-            if selector is None
+            if selector is None and exclude is None
             else {
                 r
                 for m in order

@@ -186,6 +186,7 @@ class TestRunner:
         fn_call,
         config: TestConfig | None = None,
         runner=None,
+        stored_suffix: str = "",
     ) -> TestResult:
         cfg = config or TestConfig()
         t0 = time.perf_counter()
@@ -196,9 +197,13 @@ class TestRunner:
             stored = None
             if cfg.store_failures and runner is not None:
                 # persist failing rows AND count them from the write action
-                # itself (Observation) — one pass, no post-write re-read
-                stored = f"{relation}__failures__{name}" + (
-                    f"__{column}" if column else ""
+                # itself (Observation) — one pass, no post-write re-read.
+                # stored_suffix (a kwargs hash) keeps two same-type tests
+                # on one relation from overwriting each other's rows
+                stored = (
+                    f"{relation}__failures__{name}"
+                    + (f"__{column}" if column else "")
+                    + stored_suffix
                 )
                 n = runner._write_counted(df, runner._table_path(stored))
                 runner._register_table(stored)
@@ -265,18 +270,51 @@ class TestRunner:
         (test_name, kwargs), = t.items()
         kwargs = dict(kwargs or {})
         config = TestConfig.from_kwargs(kwargs)  # pops the `config:` block
+        # per-test-instance disambiguator for store_failures: two
+        # same-type tests on one relation (e.g. two expression_is_true
+        # entries) must not write to the same failures table
+        stored_suffix = ""
+        if kwargs:
+            import hashlib
+
+            sig = repr(sorted((k, str(v)) for k, v in kwargs.items()))
+            stored_suffix = "__" + hashlib.md5(sig.encode()).hexdigest()[:8]
         fn = self.tests[test_name]
         import inspect
 
         takes_column = "column" in inspect.signature(fn).parameters
         if test_name == "relationships":
             # `to:` accepts `group.table` (a source) or a bare model/seed
-            # name (dbt's ref() target)
+            # name (dbt's ref() target). Validated HERE, at dispatch time:
+            # an unknown name or an ephemeral target (which resolves to an
+            # inline subquery spark.table() cannot read) is a clear
+            # configuration error, not an opaque runtime test 'error'
             to_rel = kwargs.pop("to")
             if "." in to_rel:
                 group, tname = to_rel.split(".", 1)
+                if (group, tname) not in project.sources:
+                    raise ValueError(
+                        f"relationships test on {relation}.{column}: "
+                        f"to: {to_rel!r} is not a declared source"
+                    )
                 parent = self.spark.table(runner.resolve_source(group, tname))
             else:
+                models = project.models
+                if to_rel not in models and to_rel not in project.seeds:
+                    raise ValueError(
+                        f"relationships test on {relation}.{column}: "
+                        f"to: {to_rel!r} is not a known model or seed"
+                    )
+                if (
+                    to_rel in models
+                    and project.materialization_for(models[to_rel])
+                    == "ephemeral"
+                ):
+                    raise ValueError(
+                        f"relationships test on {relation}.{column}: "
+                        f"to: {to_rel!r} is ephemeral (no queryable "
+                        "relation); materialize it or target its parent"
+                    )
                 parent = self.spark.table(runner.resolve_ref(to_rel))
             call = lambda: fn(df, column, parent, kwargs["field"])  # noqa: E731
         elif column is not None and takes_column:
@@ -285,4 +323,7 @@ class TestRunner:
             # expression-style tests declared under a column still only
             # take the expression (dbt_utils.expression_is_true shape)
             call = lambda: fn(df, **kwargs)  # noqa: E731
-        self._run_one(test_name, relation, column, call, config, runner)
+        self._run_one(
+            test_name, relation, column, call, config, runner,
+            stored_suffix=stored_suffix,
+        )

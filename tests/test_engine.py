@@ -938,3 +938,159 @@ selectors:
     rc2 = main(["run", "--project", root,
                 "--selector", "nightly_healthy", "--select", "other"])
     assert rc2 == 2
+
+
+def test_exclude_only_scopes_seeds(spark, tmp_path):
+    """--exclude without --select must not load seeds ref'd only by the
+    excluded subtree: a malformed seed in a deliberately-excluded branch
+    cannot fail the run (ADVICE runner.py:241)."""
+    import os
+
+    import pandas as pd
+
+    root = str(tmp_path / "proj")
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    pd.DataFrame({"id": [1]}).to_parquet(os.path.join(data, "t.parquet"), index=False)
+
+    def w(rel, content):
+        p = os.path.join(root, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "w") as f:
+            f.write(content)
+
+    w("project.yml", "name: seedscope\nmodels:\n  models:\n    materialized: view\n")
+    w("sources.yml",
+      f"sources:\n  - name: raw\n    base_path: \"{data}\"\n    tables:\n      - name: t\n")
+    w("seeds/broken_seed.csv", '"unterminated\n,,,,,\x00garbage')
+    w("models/models/uses_broken.sql",
+      "SELECT * FROM {{ ref('broken_seed') }}")
+    w("models/models/healthy.sql",
+      "SELECT id FROM {{ source('raw', 't') }}")
+
+    res = Runner(spark, Project(root, target="dev")).run(exclude="uses_broken")
+    status = {r.name: r.status for r in res}
+    assert status == {"healthy": "success"}  # broken seed never loaded
+
+
+def test_store_failures_unique_per_test_instance(spark, tmp_path):
+    """Two table-level expression_is_true tests on one relation store
+    their failing rows in DIFFERENT tables (ADVICE testing.py:200)."""
+    import pandas as pd
+
+    from dbt_on_snowflake_spark.engine.testing import TestConfig, TestRunner
+
+    df = spark.createDataFrame(pd.DataFrame({"a": [1, -2, 3], "b": [0, 5, -9]}))
+    df.createOrReplaceTempView("rel_dup")
+
+    class _FakeProject:
+        sources: dict = {}
+        models: dict = {}
+        seeds: dict = {}
+        model_tests: dict = {}
+
+    # reuse the real runner's write machinery against the session warehouse
+    root = str(tmp_path / "p")
+    os.makedirs(root)
+    with open(os.path.join(root, "project.yml"), "w") as f:
+        f.write("name: sf\nmodels: {}\n")
+    runner = Runner(spark, Project(root, target="dev"))
+    tr = TestRunner(spark)
+    for expr in ("a > 0", "b > 0"):
+        tr._dispatch(
+            df, "rel_dup", None,
+            {"expression_is_true": {
+                "expression": expr,
+                "config": {"store_failures": True},
+            }},
+            _FakeProject(), runner,
+        )
+    stored = [r.stored_relation for r in tr.results]
+    assert len(set(stored)) == 2, stored  # distinct tables per instance
+    assert all(s and s.startswith("rel_dup__failures__expression_is_true__")
+               for s in stored)
+    # each table holds ITS OWN failing rows
+    n_a = spark.table(stored[0]).count()
+    n_b = spark.table(stored[1]).count()
+    assert (n_a, n_b) == (1, 2)
+
+
+def test_relationships_to_validation_raises_config_error(spark, tmp_path):
+    """Unknown and ephemeral `to:` targets fail at dispatch with a clear
+    configuration error (ADVICE testing.py:280)."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from dbt_on_snowflake_spark.engine.testing import TestRunner
+
+    root = str(tmp_path / "proj")
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    pd.DataFrame({"id": [1]}).to_parquet(os.path.join(data, "t.parquet"), index=False)
+
+    def w(rel, content):
+        p = os.path.join(root, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "w") as f:
+            f.write(content)
+
+    w("project.yml", "name: relval\nmodels:\n  models:\n    materialized: view\n")
+    w("sources.yml",
+      f"sources:\n  - name: raw\n    base_path: \"{data}\"\n    tables:\n      - name: t\n")
+    w("models/models/eph.sql",
+      "{{ config(materialized='ephemeral') }}\nSELECT id FROM {{ source('raw', 't') }}")
+    project = Project(root, target="dev")
+    runner = Runner(spark, project)
+    runner.run()
+    df = spark.table("src_raw_t")
+    tr = TestRunner(spark)
+    with _pytest.raises(ValueError, match="not a known model or seed"):
+        tr._dispatch(df, "src_raw_t", "id",
+                     {"relationships": {"to": "nope", "field": "id"}},
+                     project, runner)
+    with _pytest.raises(ValueError, match="ephemeral"):
+        tr._dispatch(df, "src_raw_t", "id",
+                     {"relationships": {"to": "eph", "field": "id"}},
+                     project, runner)
+    with _pytest.raises(ValueError, match="not a declared source"):
+        tr._dispatch(df, "src_raw_t", "id",
+                     {"relationships": {"to": "no.table", "field": "id"}},
+                     project, runner)
+
+
+def test_python_model_var_explicit_none_and_null_var(spark, tmp_path):
+    """var('x', None) is a valid explicit default (sentinel, not
+    `default is not None`), and a YAML null var renders as SQL NULL
+    (ADVICE runner.py:62)."""
+    import pandas as pd
+
+    root = str(tmp_path / "proj")
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    pd.DataFrame({"id": [1, 2]}).to_parquet(os.path.join(data, "t.parquet"), index=False)
+
+    def w(rel, content):
+        p = os.path.join(root, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "w") as f:
+            f.write(content)
+
+    w("project.yml",
+      "name: varnull\nvars:\n  nullable_thing: null\n"
+      "models:\n  models:\n    materialized: table\n")
+    w("sources.yml",
+      f"sources:\n  - name: raw\n    base_path: \"{data}\"\n    tables:\n      - name: t\n")
+    w("models/models/pymodel.py", """
+def model(ctx, spark):
+    assert ctx.var('missing_with_none_default', None) is None
+    assert ctx.var('nullable_thing', 'unused') is None  # defined null wins
+    return ctx.source('raw', 't')
+""")
+    w("models/models/sqlnull.sql",
+      "SELECT id, {{ var('nullable_thing') }} AS maybe FROM {{ source('raw', 't') }}")
+
+    res = Runner(spark, Project(root, target="dev")).run()
+    assert {r.name: r.status for r in res} == {
+        "pymodel": "success", "sqlnull": "success",
+    }
+    assert [r.maybe for r in spark.table("dev_sqlnull").collect()] == [None, None]

@@ -163,16 +163,18 @@ def test_duplicate_model_name_across_package_fails(spark, pkg_project):
 
 
 def test_package_lockfile_write_and_mismatch(spark, pkg_project):
-    """Resolved packages are pinned into target/package-lock.yml (the
-    reference pins dbt_utils via dbt/package-lock.yml:1-4); a version or
-    content change against the lock is a hard error, not a silent drift."""
+    """Resolved packages are pinned into <root>/package-lock.yml — the
+    VERSION-CONTROLLED project root, like the reference's
+    dbt/package-lock.yml:1-4, not the CI-wiped target/ dir. Content
+    changing under the same version is a hard error; a version bump is an
+    intentional re-resolve and re-locks cleanly."""
     import yaml
 
     root, pkg = pkg_project
     _write(f"{pkg}/project.yml", "name: moneypkg\nversion: 1.3.0\n")
 
     Project(root, target="dev")
-    lock_path = os.path.join(root, "target", "package-lock.yml")
+    lock_path = os.path.join(root, "package-lock.yml")
     with open(lock_path) as f:
         lock = yaml.safe_load(f)
     (entry,) = lock["packages"]
@@ -188,18 +190,38 @@ def test_package_lockfile_write_and_mismatch(spark, pkg_project):
     with pytest.raises(ValueError, match="without a version bump"):
         Project(root, target="dev")
 
-    # version bump alone doesn't bypass the lock either
+    # a version bump IS the intentional re-resolve: accepted + re-locked
     _write(f"{pkg}/project.yml", "name: moneypkg\nversion: 1.4.0\n")
-    with pytest.raises(ValueError, match="does not match lock"):
-        Project(root, target="dev")
-
-    # explicit re-resolve: drop the lock, then both changes are accepted
-    os.remove(lock_path)
     Project(root, target="dev")
     with open(lock_path) as f:
         relock = yaml.safe_load(f)
     assert relock["packages"][0]["version"] == "1.4.0"
     assert relock["packages"][0]["sha"] != sha
+
+    # and the new lock holds: same content passes, new drift errors again
+    Project(root, target="dev")
+    _write(f"{pkg}/macros/extra2.sql", "{% macro two() %}2{% endmacro %}")
+    with pytest.raises(ValueError, match="without a version bump"):
+        Project(root, target="dev")
+
+
+def test_package_lockfile_reads_legacy_target_location(spark, pkg_project):
+    """A lock previously written under target/ still guards the first run
+    after upgrading; the lock is then rewritten at the project root."""
+    import yaml
+
+    root, pkg = pkg_project
+    _write(f"{pkg}/project.yml", "name: moneypkg\nversion: 2.0.0\n")
+    Project(root, target="dev")
+    root_lock = os.path.join(root, "package-lock.yml")
+    with open(root_lock) as f:
+        lock = yaml.safe_load(f)
+    os.makedirs(os.path.join(root, "target"), exist_ok=True)
+    os.rename(root_lock, os.path.join(root, "target", "package-lock.yml"))
+    # drift against the legacy lock is still caught
+    _write(f"{pkg}/macros/extra3.sql", "{% macro three() %}3{% endmacro %}")
+    with pytest.raises(ValueError, match="without a version bump"):
+        Project(root, target="dev")
 
 
 def test_macro_param_not_substituted_in_string_literals():
