@@ -348,3 +348,132 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cum_tokens") - F.col("n_tokens")
         < BUDGET_FRACTION * F.col("lang_tokens")
     ).select("doc_id", "lang", "n_tokens", "quality_score", "cum_tokens")
+
+
+# Histogram granularity for the scale variant: quality in [0,1] rounded to
+# 2 decimals -> at most 101 buckets per language.
+HIST_BUCKETS = 100
+
+
+@query(
+    "corpus_token_budget_hist",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    ),
+    m AS (
+        SELECT doc_id, lang, len(toks) AS n_tokens,
+               len(list_filter(toks, x -> list_contains({_SW_LIST_SQL}, x)))
+                   AS n_stopwords,
+               len(list_filter(toks, x -> length(x) >= 3 AND length(x) <= 12))
+                   AS n_well_sized
+        FROM t
+    ),
+    q AS (
+        SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+               ROUND(0.5 * (CAST(n_well_sized AS DOUBLE) / n_tokens)
+                     + 0.5 * least(CAST(n_stopwords AS DOUBLE) / n_tokens * 5.0,
+                                   1.0), 4) AS quality_score
+        FROM m
+    ),
+    b AS (
+        SELECT doc_id, lang, n_tokens, quality_score,
+               CAST(floor(quality_score * {HIST_BUCKETS}) AS BIGINT) AS bucket
+        FROM q
+    ),
+    hist AS (
+        SELECT lang, bucket, CAST(SUM(n_tokens) AS BIGINT) AS bucket_tokens
+        FROM b GROUP BY lang, bucket
+    ),
+    cum AS (
+        SELECT lang, bucket, bucket_tokens,
+               CAST(SUM(bucket_tokens) OVER (
+                   PARTITION BY lang ORDER BY bucket DESC
+                   ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS cum_tokens,
+               CAST(SUM(bucket_tokens) OVER (PARTITION BY lang) AS BIGINT)
+                   AS lang_tokens
+        FROM hist
+    ),
+    thresholds AS (
+        SELECT lang, MIN(bucket) AS min_bucket
+        FROM cum
+        WHERE cum_tokens - bucket_tokens < {BUDGET_FRACTION} * lang_tokens
+        GROUP BY lang
+    )
+    SELECT b.doc_id, b.lang, b.n_tokens, b.quality_score, b.bucket
+    FROM b JOIN thresholds th ON b.lang = th.lang
+    WHERE b.bucket >= th.min_bucket
+    """,
+)
+def corpus_token_budget_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-shape token-budget selection promised by
+    ``corpus_token_budget``'s docstring: replace the per-language full
+    sort of the corpus with a quality HISTOGRAM threshold.
+
+    Pass 1 aggregates token mass per (lang, quality-bucket) — a
+    HashAggregate with fixed-size state (<= 101 buckets/language) and
+    map-side partial combine, so the only corpus-sized shuffle carries
+    pre-aggregated (lang, bucket, sum) rows, not documents. Pass 2 runs
+    the cumulative/threshold logic on the TINY histogram (the one Window
+    in this plan sorts <= langs x 101 rows), producing one threshold
+    bucket per language: the lowest bucket still reached before the
+    budget was exhausted (crossing bucket fully included). Pass 3 joins
+    the per-doc bucket column against the broadcast threshold table and
+    filters — a narrow, shuffle-free pass over the corpus.
+
+    Vs the exact variant: selection granularity is the bucket, not the
+    document — the crossing bucket is kept whole, so kept token mass is
+    >= BUDGET_FRACTION of each language's mass and overshoots by at most
+    one bucket's mass. The histogram algorithm itself is deterministic
+    and bit-exact against the DuckDB oracle above."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    n_sized = F.size(
+        F.filter(toks, lambda x: (F.length(x) >= 3) & (F.length(x) <= 12))
+    )
+    score = F.round(
+        0.5 * (n_sized.cast("double") / n_tokens)
+        + 0.5 * F.least(n_stop.cast("double") / n_tokens * 5.0, F.lit(1.0)),
+        4,
+    )
+    b = d.select(
+        "doc_id",
+        "lang",
+        n_tokens.cast("long").alias("n_tokens"),
+        score.alias("quality_score"),
+        F.floor(score * HIST_BUCKETS).cast("long").alias("bucket"),
+    )
+    hist = b.groupBy("lang", "bucket").agg(
+        F.sum("n_tokens").alias("bucket_tokens")
+    )
+    cum_w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "lang",
+        "bucket",
+        "bucket_tokens",
+        F.sum("bucket_tokens").over(cum_w).alias("cum_tokens"),
+        F.sum("bucket_tokens")
+        .over(Window.partitionBy("lang"))
+        .alias("lang_tokens"),
+    )
+    thresholds = (
+        cum.filter(
+            F.col("cum_tokens") - F.col("bucket_tokens")
+            < BUDGET_FRACTION * F.col("lang_tokens")
+        )
+        .groupBy("lang")
+        .agg(F.min("bucket").alias("min_bucket"))
+    )
+    return (
+        b.join(F.broadcast(thresholds), "lang")
+        .filter(F.col("bucket") >= F.col("min_bucket"))
+        .select("doc_id", "lang", "n_tokens", "quality_score", "bucket")
+    )

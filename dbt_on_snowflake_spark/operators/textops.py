@@ -324,6 +324,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 0.0 END AS repetition_ratio
     FROM g
     """,
+    driver=False,  # r3 driver-green; rotated out for corpus_token_budget_hist
 )
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition ratio (Gopher-style quality rule):
