@@ -22,9 +22,23 @@ sys.path.insert(0, "/root/repo")
 from dbt_on_snowflake_spark.registry import all_queries, driver_queries  # noqa: E402
 
 
+def _set_testdata_confs(spark: SparkSession) -> None:
+    """Confs the driver-owned session needs to read the testdata parquet.
+
+    Older driver testdata stored events.ts as TIMESTAMP(NANOS) (needs
+    nanosAsLong); current testdata stores TIMESTAMP(MICROS,
+    isAdjustedToUTC=false), which Spark 4 would infer as TIMESTAMP_NTZ —
+    uncastable to numeric and misaligned with DuckDB's naive-as-UTC
+    reading — so force TIMESTAMP_LTZ + UTC. testdata.table() also carries
+    a per-column fallback for sessions where these cannot be set."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1-shaped pricing summary) on sf0.001."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _set_testdata_confs(spark)
     q = all_queries()["q1_pricing_summary"]
     return q.fn(spark, "/root/testdata/sf0.001")
 
@@ -40,8 +54,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-            # events.parquet stores TIMESTAMP(NANOS); see testdata.table().
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            _set_testdata_confs(spark)
             return fn(spark, sf_dir)
 
         return run

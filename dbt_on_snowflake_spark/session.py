@@ -50,6 +50,13 @@ def get_spark(
         # The testdata events table stores TIMESTAMP(NANOS) which the Spark
         # reader rejects; read as long and convert in testdata.table().
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Driver testdata timestamps are parquet TIMESTAMP(MICROS,
+        # isAdjustedToUTC=false); by default Spark 4 infers TIMESTAMP_NTZ,
+        # which cannot be cast to numeric (epoch math in sessionize etc.)
+        # and diverges from DuckDB's naive-as-UTC reading. Read them as
+        # TIMESTAMP_LTZ — with the UTC session zone above the values are
+        # bit-identical to the oracle's.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # warehouse + derby metastore live OUT of the repo cwd and as a
         # CONSISTENT pair (a warehouse without its metastore causes
         # LOCATION_ALREADY_EXISTS on overwrite). Stable default so managed

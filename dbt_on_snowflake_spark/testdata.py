@@ -40,6 +40,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            # Fallback when the session was built without our conf (e.g. a
+            # driver-owned SparkSession): NTZ -> LTZ is value-preserving
+            # under the UTC session zone and restores numeric castability.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
