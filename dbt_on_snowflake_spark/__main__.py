@@ -27,8 +27,17 @@ from dataclasses import asdict
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="dbt_on_snowflake_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
-    for name in ("run", "build", "test", "compile", "ls", "freshness", "seed", "docs"):
+    for name in (
+        "run", "build", "test", "compile", "ls", "freshness", "seed", "docs",
+        "retry",
+    ):
         sp = sub.add_parser(name)
+        if name == "retry":
+            sp.add_argument(
+                "--results", default=None,
+                help="prior run_results.json (default "
+                     "<project>/target/run_results.json)",
+            )
         sp.add_argument("--project", required=True)
         sp.add_argument("--target", default="dev")
         sp.add_argument("--select", default=None)
@@ -163,6 +172,40 @@ def main(argv: list[str] | None = None) -> int:
         with open(args.state) as f:
             defer_state = json.load(f)
 
+    reuse: set[str] | None = None
+    if args.cmd == "retry":
+        # dbt retry: re-run only what did not succeed last time. Failed
+        # and skipped nodes re-execute; prior successes whose table-backed
+        # relations survive on disk register as `reused` instead of
+        # rebuilding (views rebuild — they are planning-only).
+        results_path = args.results or _os.path.join(
+            args.project, "target", "run_results.json"
+        )
+        if not _os.path.isfile(results_path):
+            print(f"no prior run_results at {results_path}; run first",
+                  file=sys.stderr)
+            return 2
+        with open(results_path) as f:
+            prior = json.load(f)
+        prior_nodes = [
+            r for r in prior.get("results", [])
+            if r.get("materialization") != "hook"
+        ]
+        failed = sorted(
+            r["name"] for r in prior_nodes
+            if r["status"] not in ("success", "reused")
+            and r["name"] in project.models
+        )
+        reuse = {
+            r["name"] for r in prior_nodes
+            if r["status"] in ("success", "reused")
+        }
+        if not failed:
+            print("nothing to retry: prior run had no failed or skipped "
+                  "nodes")
+            return 0
+        args.select = ",".join(failed)
+
     runner = Runner(
         spark,
         project,
@@ -171,9 +214,10 @@ def main(argv: list[str] | None = None) -> int:
         threads=getattr(args, "threads", 1) or 1,
         cli_vars=cli_vars,
         defer_state=defer_state,
+        reuse=reuse,
     )
 
-    if args.cmd == "run":
+    if args.cmd in ("run", "retry"):
         state = None
         if getattr(args, "state", None):
             with open(args.state) as f:
@@ -184,10 +228,19 @@ def main(argv: list[str] | None = None) -> int:
                   f"({r.rows if r.rows is not None else '-'} rows, {r.seconds}s)")
         if args.out:
             runner.write_run_results(args.out)
+        # dbt always refreshes target/run_results.json — `retry` reads it,
+        # so chained retries converge on the still-failing remainder
+        runner.write_run_results(
+            _os.path.join(args.project, "target", "run_results.json")
+        )
         runner.append_run_history(
             _os.path.join(args.project, "target", "run_history.jsonl")
         )
-        return 0 if all(r.status == "success" for r in results) else 1
+        return (
+            0
+            if all(r.status in ("success", "reused") for r in results)
+            else 1
+        )
 
     if args.cmd == "build":
         # dbt build: materialize in DAG order, testing each model as soon
@@ -220,7 +273,9 @@ def main(argv: list[str] | None = None) -> int:
         runner.append_run_history(
             _os.path.join(args.project, "target", "run_history.jsonl")
         )
-        bad_models = any(r.status != "success" for r in results)
+        bad_models = any(
+            r.status not in ("success", "reused") for r in results
+        )
         bad_tests = any(t.status in ("fail", "error") for t in tr.results)
         return 0 if not bad_models and not bad_tests else 1
 

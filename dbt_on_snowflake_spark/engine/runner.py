@@ -32,7 +32,7 @@ from dbt_on_snowflake_spark.engine.project import ModelNode, Project
 @dataclass
 class NodeResult:
     name: str
-    status: str  # success | error | skipped
+    status: str  # success | error | skipped | reused (retry, from disk)
     materialization: str
     relation: str
     rows: int | None
@@ -87,6 +87,7 @@ class Runner:
         threads: int = 1,
         cli_vars: dict | None = None,
         defer_state: dict | None = None,
+        reuse: set[str] | None = None,
     ):
         self.spark = spark
         self.project = project
@@ -113,6 +114,13 @@ class Runner:
         # relation — the CI pattern where modified nodes build in dev
         # while unmodified parents are read from prod
         self.defer_state = defer_state
+        # dbt retry: names that succeeded in the prior invocation. A node
+        # in this set whose table-backed relation still exists on disk is
+        # REGISTERED from the warehouse instead of rebuilt (status
+        # ``reused``); views rebuild regardless — they have no storage and
+        # cost only planning. At 100 TB this is the difference between a
+        # retry touching one failed mart and recomputing the whole DAG.
+        self.reuse = reuse or set()
         self._selected: set[str] | None = None
         wh = spark.conf.get("spark.sql.warehouse.dir", "/tmp/spark_warehouse")
         self.warehouse = wh.removeprefix("file:")
@@ -288,6 +296,66 @@ class Runner:
         returning False marks the node's data untrusted — its descendants
         skip, exactly like a model failure."""
         self.load_sources()
+        if not self._run_project_hooks("on_run_start"):
+            # dbt semantics: a failing on-run-start hook aborts the
+            # invocation before any node builds; on-run-end still fires
+            # (cleanup/audit hooks must see every outcome)
+            self._run_project_hooks("on_run_end")
+            return self.results
+        try:
+            return self._run_selected(selector, state, exclude, test_hook)
+        finally:
+            self._run_project_hooks("on_run_end")
+
+    def _run_project_hooks(self, which: str) -> bool:
+        """dbt on-run-start / on-run-end: project-level SQL statements
+        bracketing the whole invocation (audit bookkeeping, session setup,
+        cleanup). ``project.yml`` declares them under ``on_run_start:`` /
+        ``on_run_end:`` (dash spelling accepted) as one statement or a
+        list; each renders with the same ref/source/var resolution as
+        model bodies and records its own NodeResult (materialization
+        ``hook``), so run_results shows hook timing and failures like any
+        node. Returns False if any hook errored."""
+        raw = self.project.config.get(which)
+        if raw is None:
+            raw = self.project.config.get(which.replace("_", "-"))
+        if raw is None:
+            return True
+        stmts = raw if isinstance(raw, list) else [raw]
+        ok = True
+        for i, stmt in enumerate(stmts):
+            label = f"{which.replace('_', '-')}-{i}"
+            t0 = time.perf_counter()
+            try:
+                self.spark.sql(
+                    render(
+                        str(stmt), self.resolve_ref, self.resolve_source,
+                        this=None, variables=self.vars,
+                    )
+                )
+                self.results.append(
+                    NodeResult(
+                        label, "success", "hook", "", None,
+                        round(time.perf_counter() - t0, 3),
+                    )
+                )
+            except Exception as e:  # noqa: BLE001 — isolation, like nodes
+                ok = False
+                self.results.append(
+                    NodeResult(
+                        label, "error", "hook", "", None,
+                        round(time.perf_counter() - t0, 3), str(e)[:500],
+                    )
+                )
+        return ok
+
+    def _run_selected(
+        self,
+        selector: str | None,
+        state: dict | None,
+        exclude: str | None,
+        test_hook: "Callable[[str], bool] | None",
+    ) -> list[NodeResult]:
         # with --defer, selection atoms resolve literally: unselected
         # ancestors are read from the deferred namespace, not rebuilt
         order = select(
@@ -375,7 +443,7 @@ class Runner:
                     )
                 for name, result in oks:
                     self.results.append(result)
-                    if result.status != "success":
+                    if result.status not in ("success", "reused"):
                         dead.add(name)
                     elif test_hook is not None and not test_hook(name):
                         dead.add(name)
@@ -386,7 +454,7 @@ class Runner:
     def _run_node(self, node: ModelNode) -> bool:
         result = self._exec_node(node)
         self.results.append(result)
-        return result.status == "success"
+        return result.status in ("success", "reused")
 
     def _exec_node(self, node: ModelNode) -> NodeResult:
         """Execute one non-ephemeral node and return its result WITHOUT
@@ -394,6 +462,20 @@ class Runner:
         mat = self.project.materialization_for(node)
         relation = self.project.relation_for(node.name, node.config.get("schema"))
         t0 = time.perf_counter()
+        if (
+            node.name in self.reuse
+            and mat in ("table", "incremental")
+            and self.table_exists(relation)
+        ):
+            self._register_table(
+                relation,
+                merge_schema=node.config.get("incremental_strategy")
+                == "insert_overwrite",
+            )
+            return NodeResult(
+                node.name, "reused", mat, relation, None,
+                round(time.perf_counter() - t0, 3),
+            )
         try:
             self._run_hook(node, "pre_hook", relation)
             df = self._build_df(node)

@@ -1094,3 +1094,76 @@ def model(ctx, spark):
         "pymodel": "success", "sqlnull": "success",
     }
     assert [r.maybe for r in spark.table("dev_sqlnull").collect()] == [None, None]
+
+
+def test_on_run_start_end_hooks(spark, tmp_path):
+    """Project-level on-run-start/on-run-end bracket the invocation: start
+    hooks run before any node, end hooks run after all nodes (and still
+    run when a start hook fails, which aborts the node builds)."""
+    root = str(tmp_path / "proj")
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    pd.DataFrame({"id": [1, 2, 3]}).to_parquet(
+        os.path.join(data, "t.parquet"), index=False
+    )
+
+    def write(p, c):
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        open(p, "w").write(c)
+
+    write(f"{root}/project.yml",
+          "name: runhooks\n"
+          "models:\n  models:\n    materialized: table\n"
+          "on_run_start:\n"
+          "  - CREATE OR REPLACE TEMPORARY VIEW run_started AS SELECT 1 AS ok\n"
+          "on-run-end: CREATE OR REPLACE TEMPORARY VIEW run_ended AS\n"
+          "  SELECT COUNT(*) AS n FROM dev_m\n")
+    write(f"{root}/sources.yml",
+          f"sources:\n  - name: raw\n    base_path: \"{data}\"\n"
+          "    tables:\n      - name: t\n")
+    write(f"{root}/models/models/m.sql",
+          "SELECT id FROM {{ source('raw', 't') }} WHERE id > 1")
+    results = Runner(spark, Project(root, target="dev")).run()
+    by = {r.name: r for r in results}
+    assert by["on-run-start-0"].status == "success"
+    assert by["on-run-start-0"].materialization == "hook"
+    assert by["m"].status == "success"
+    assert by["on-run-end-0"].status == "success"
+    # the end hook saw the materialized model
+    assert spark.table("run_ended").collect()[0].n == 2
+    # hooks appear in order: start, nodes, end
+    names = [r.name for r in results]
+    assert names.index("on-run-start-0") < names.index("m") < names.index(
+        "on-run-end-0"
+    )
+
+
+def test_failing_on_run_start_aborts_nodes_but_runs_end_hook(spark, tmp_path):
+    root = str(tmp_path / "proj")
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    pd.DataFrame({"id": [1]}).to_parquet(
+        os.path.join(data, "t.parquet"), index=False
+    )
+
+    def write(p, c):
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        open(p, "w").write(c)
+
+    write(f"{root}/project.yml",
+          "name: runhooks2\n"
+          "models:\n  models:\n    materialized: table\n"
+          "on_run_start: SELECT * FROM this_table_does_not_exist\n"
+          "on_run_end: CREATE OR REPLACE TEMPORARY VIEW cleanup_ran AS "
+          "SELECT 1 AS ok\n")
+    write(f"{root}/sources.yml",
+          f"sources:\n  - name: raw\n    base_path: \"{data}\"\n"
+          "    tables:\n      - name: t\n")
+    write(f"{root}/models/models/m2.sql",
+          "SELECT id FROM {{ source('raw', 't') }}")
+    results = Runner(spark, Project(root, target="dev")).run()
+    by = {r.name: r for r in results}
+    assert by["on-run-start-0"].status == "error"
+    assert "m2" not in by  # no node built after the failed start hook
+    assert by["on-run-end-0"].status == "success"
+    assert spark.table("cleanup_ran").collect()[0].ok == 1
