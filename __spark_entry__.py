@@ -30,10 +30,17 @@ def _set_testdata_confs(spark: SparkSession) -> None:
     isAdjustedToUTC=false), which Spark 4 would infer as TIMESTAMP_NTZ —
     uncastable to numeric and misaligned with DuckDB's naive-as-UTC
     reading — so force TIMESTAMP_LTZ + UTC. testdata.table() also carries
-    a per-column fallback for sessions where these cannot be set."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    a per-column fallback for sessions where these cannot be set — so a
+    CANNOT_MODIFY_CONFIG session must fall through to it, not raise."""
+    for key, val in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(key, val)
+        except Exception:
+            pass  # immutable conf on this session; testdata.table() copes
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -200,11 +200,26 @@ def main(argv: list[str] | None = None) -> int:
             r["name"] for r in prior_nodes
             if r["status"] in ("success", "reused")
         }
-        if not failed:
+        hook_failed = any(
+            r.get("materialization") == "hook"
+            and r.get("status") not in ("success", "reused")
+            for r in prior.get("results", [])
+        )
+        if not prior_nodes or (not failed and hook_failed):
+            # A run aborted by a failing on-run-start hook records only
+            # hook entries (every node build was suppressed), so `failed`
+            # is empty even though nothing was built. Exiting 0 here would
+            # let a run->retry CI chain go green on a fully-failed
+            # invocation — instead fall through with no --select override
+            # and retry the full selection (prior table-backed successes,
+            # if any, still register as reused).
+            pass
+        elif not failed:
             print("nothing to retry: prior run had no failed or skipped "
                   "nodes")
             return 0
-        args.select = ",".join(failed)
+        else:
+            args.select = ",".join(failed)
 
     runner = Runner(
         spark,
@@ -270,6 +285,12 @@ def main(argv: list[str] | None = None) -> int:
                   f"(failures={t.failures})")
         if args.out:
             runner.write_run_results(args.out)
+        # dbt writes target/run_results.json for build too (and `retry`
+        # reads it) — without this a retry after a failed build operates
+        # on a stale prior run's results
+        runner.write_run_results(
+            _os.path.join(args.project, "target", "run_results.json")
+        )
         runner.append_run_history(
             _os.path.join(args.project, "target", "run_history.jsonl")
         )

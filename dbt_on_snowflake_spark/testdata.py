@@ -42,9 +42,18 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
             # Fallback when the session was built without our conf (e.g. a
-            # driver-owned SparkSession): NTZ -> LTZ is value-preserving
-            # under the UTC session zone and restores numeric castability.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            # driver-owned SparkSession). A bare NTZ -> LTZ cast interprets
+            # the wall clock in the *session* zone, shifting epochs by the
+            # local offset relative to DuckDB's naive-as-UTC oracle on any
+            # non-UTC session; from_utc_timestamp undoes that same-zone
+            # shift, so epoch == wall-as-UTC under every session zone.
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "from_utc_timestamp(cast(ts as timestamp),"
+                    " current_timezone())"
+                ),
+            )
     return df
 
 
