@@ -66,7 +66,6 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Sort/limit is order-sensitive, so ties break on the unique order key.
 @query(
     "q3_top_revenue_orders",
-    driver=False,  # r4 rotation: r1-r3 driver-green veteran, parity-checked locally
     oracle=f"""
     SELECT o.o_orderkey AS order_key,
            o.o_orderdate AS order_date,
@@ -273,7 +272,6 @@ def t_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tie-break on unique key). TPC-H-ish "top 3 orders per customer".
 @query(
     "w_topk_orders_per_customer",
-    driver=False,  # r4 rotation: r1-r3 driver-green veteran, parity-checked locally
     oracle="""
     SELECT o_custkey AS customer_id, o_orderkey AS order_key,
            o_totalprice AS total_price, rk AS rank_in_customer
@@ -342,6 +340,7 @@ def w_running_total_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reference; noted available in SURVEY §2.4).
 @query(
     "a_rollup_revenue",
+    driver=False,  # r5 rotation: r3+r4 driver-green veteran, parity-checked locally
     oracle=f"""
     SELECT r.r_name AS region_name,
            n.n_name AS nation_name,
@@ -413,7 +412,6 @@ def a_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Set ops: INTERSECT / EXCEPT, tagged and unioned.
 @query(
     "s_setops_segments",
-    driver=False,  # r4 rotation: r1-r3 driver-green veteran, parity-checked locally
     oracle="""
     SELECT 'building_with_orders' AS cohort, c_custkey
     FROM (
@@ -448,7 +446,6 @@ def s_setops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # identical SQL on both engines; Spark's .pivot() produces the same plan).
 @query(
     "a_pivot_status_revenue",
-    driver=False,  # r4 rotation: r1-r3 driver-green veteran, parity-checked locally
     oracle=f"""
     SELECT o_orderpriority AS priority,
            {dsum_sql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END", "revenue_open")},
@@ -485,7 +482,6 @@ def a_pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # beyond the upstream aggregate); DuckDB mirrors with UNPIVOT.
 @query(
     "a_unpivot_status_revenue",
-    driver=False,  # local-parity only: inverse of checked a_pivot_status_revenue
     oracle=f"""
     WITH wide AS (
         SELECT o_orderpriority AS priority,
@@ -513,19 +509,87 @@ def a_unpivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Approximate sketches (HLL distinct, quantile sketch) — the
 # cardinality/quantile path for 100 TB where exact distinct is a full
-# shuffle of the key set. No SQL oracle for the sketch columns: HLL/KLL
-# implementations differ across engines by design; error bounds are
-# pytest-asserted against the oracle-checked exact twin below
-# (tests/test_extensions.py::test_approx_sketches_within_bounds).
-@query("a_approx_sketches", driver=False)
-def a_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+# shuffle of the key set. Sketch VALUES have no SQL oracle (HLL/KLL
+# implementations differ across engines by design), so the registered
+# query is a BOUNDS CHECK (round-4 verdict item 4): it returns the
+# DuckDB-checkable exact values plus booleans asserting each sketch
+# lands within its published error bound; the oracle returns the same
+# exact values with TRUE literals — a sketch drifting out of tolerance
+# flips a boolean and fails the driver's value-hash.
+def _approx_sketches_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production sketch pass alone: one HashAggregate, fixed-size
+    HLL + quantile-sketch state per group."""
     l = table(spark, sf_dir, "lineitem")
     return (
         l.groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
             F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+            F.count(F.lit(1)).alias("n_rows"),
         )
+    )
+
+
+@query(
+    "a_approx_sketches",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           COUNT(*) AS n_rows,
+           TRUE AS distinct_within_3rsd,
+           TRUE AS median_rank_within_eps
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-vs-exact bounds gate. approx_count_distinct(rsd=0.02) must
+    land within 3*rsd (= 6%, the 3-sigma band of the published standard
+    error) of the exact two-level distinct count; percentile_approx(0.5,
+    accuracy=10000)'s guarantee is a RANK error <= n/accuracy, checked by
+    locating the returned value's rank range in the same freq/cumsum
+    table the exact-median twin uses (the returned value is always an
+    observed value, so the equi-join hits exactly one row) — no
+    ``percentile`` ObjectHashAggregate anywhere."""
+    sk = _approx_sketches_raw(spark, sf_dir).alias("sk")
+    l = table(spark, sf_dir, "lineitem")
+    exact = (
+        l.select("l_returnflag", "l_orderkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("exact_orders"))
+        .alias("ex")
+    )
+    freq = l.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    ranked = (
+        freq.withColumn("cum_end", F.sum("cnt").over(w))
+        .withColumn("cum_start", F.col("cum_end") - F.col("cnt"))
+        .alias("rk")
+    )
+    j = sk.join(exact, "l_returnflag").join(
+        ranked,
+        (F.col("rk.l_returnflag") == F.col("sk.l_returnflag"))
+        & (F.col("rk.l_extendedprice") == F.col("sk.approx_median_price")),
+    )
+    # interpolated-median target ranks (same formula as the exact twin)
+    h = (F.col("n_rows") - F.lit(1)) / F.lit(2.0)
+    k_lo, k_hi = F.floor(h) + 1, F.ceil(h) + 1
+    tol = F.col("n_rows") / F.lit(10000.0) + F.lit(1.0)
+    return j.select(
+        F.col("sk.l_returnflag").alias("l_returnflag"),
+        "exact_orders",
+        "n_rows",
+        (
+            F.abs(F.col("approx_orders") - F.col("exact_orders"))
+            <= 3 * 0.02 * F.col("exact_orders")
+        ).alias("distinct_within_3rsd"),
+        (
+            (F.col("cum_start") + 1 <= k_hi + tol)
+            & (F.col("cum_end") >= k_lo - tol)
+        ).alias("median_rank_within_eps"),
     )
 
 
@@ -644,7 +708,6 @@ def t_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # batch idiom; streaming/ uses session_window).
 @query(
     "t_events_sessionize",
-    driver=False,  # r4 rotation: r1-r3 driver-green veteran, parity-checked locally
     oracle=f"""
     WITH flagged AS (
         SELECT user_id, ts, value,
@@ -701,6 +764,7 @@ def t_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (cohort = first activity day; how many users return k days later).
 @query(
     "t_user_retention",
+    driver=False,  # r5 rotation: r3+r4 driver-green veteran, parity-checked locally
     oracle="""
     WITH activity AS (
         SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
@@ -784,7 +848,6 @@ def q4_late_shipments_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame
 # level is a user-keyed aggregate, co-partitioned with the previous one.
 @query(
     "t_event_funnel",
-    driver=False,  # local-parity only: event analytics covered by retention/sessionize
     oracle="""
     WITH u1 AS (
         SELECT user_id,

@@ -143,6 +143,7 @@ _RATE_CASE_SQL = (
 
 @query(
     "corpus_sample_stratified",
+    driver=False,  # r5 rotation: r3+r4 driver-green veteran, parity-checked locally
     oracle=f"""
     WITH b AS (
         SELECT doc_id, source, lang,
@@ -197,6 +198,7 @@ CONTAMINATION_MIN_SHARED = 1
 
 @query(
     "text_contamination",
+    driver=False,  # r5 rotation: r3+r4 driver-green veteran, parity-checked locally
     oracle=f"""
     WITH {SHINGLES_CTE},
     bench AS (

@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dbt_on_snowflake_spark.registry import query
+from dbt_on_snowflake_spark.sources.bucketing import write_bucketed
 from dbt_on_snowflake_spark.testdata import fan_out_scan, table
 
 N_HASHES = 8  # minhash signature length
@@ -111,7 +112,6 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_ngram_jaccard",
-    driver=False,  # r4 rotation: r1-r3 driver-green veteran, parity-checked locally
     oracle=f"""
     WITH {SHINGLES_CTE},
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
@@ -272,9 +272,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------- LSH + exact verification
 
 
-@query(
-    "dedup_minhash_verified",
-    oracle=f"""
+# Batch-mode verified-pairs oracle — also the oracle of the incremental
+# index path below: corpus pairs + incremental pairs must reproduce the
+# batch result on the union exactly.
+_MINHASH_VERIFIED_ORACLE = f"""
     WITH {SHINGLES_CTE},
     {_MINHASH_BANDS_CTE},
     cand AS (
@@ -298,16 +299,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
-    """,
-)
-def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The production dedup pipeline: LSH candidates -> exact Jaccard
-    verification, composed. The expensive exact similarity join runs ONLY
-    over the candidate pairs (semi-join of the shingle index against the
-    candidate set) — this is the shape that scales to 100 TB, where exact
-    all-pairs Jaccard is impossible and LSH alone has false positives."""
-    sh = shingle_df(spark, sf_dir)
-    cand = dedup_minhash_lsh(spark, sf_dir)  # (doc_a, doc_b)
+    """
+
+
+def verify_pairs(
+    cand: DataFrame, sh: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate ``(doc_a, doc_b)`` pairs
+    against a ``(doc_id, sh)`` shingle table -> ``(doc_a, doc_b,
+    jaccard)`` rows above ``threshold``. The expensive exact similarity
+    join runs ONLY over the candidate pairs — shared by the batch
+    pipeline (``dedup_minhash_verified``) and the incremental-index path
+    (``dedup_incremental_vs_index``), so both produce bit-identical
+    verdicts for the same candidates."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -323,9 +327,21 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= 0.8)
+        .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
+
+
+@query("dedup_minhash_verified", oracle=_MINHASH_VERIFIED_ORACLE)
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup pipeline: LSH candidates -> exact Jaccard
+    verification, composed. The expensive exact similarity join runs ONLY
+    over the candidate pairs (semi-join of the shingle index against the
+    candidate set) — this is the shape that scales to 100 TB, where exact
+    all-pairs Jaccard is impossible and LSH alone has false positives."""
+    sh = shingle_df(spark, sf_dir)
+    cand = dedup_minhash_lsh(spark, sf_dir)  # (doc_a, doc_b)
+    return verify_pairs(cand, sh)
 
 
 # ---------------------------------------------------------------- simhash
@@ -362,7 +378,6 @@ _SIMHASH_FP_CTE = f"""
 
 @query(
     "dedup_simhash",
-    driver=False,  # local-parity only: subsumed by dedup_simhash_pairs
     oracle=f"WITH {_SIMHASH_FP_CTE} SELECT doc_id, simhash FROM fp",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -417,6 +432,7 @@ SIMHASH_MAX_HAMMING = 3
 
 @query(
     "dedup_simhash_pairs",
+    driver=False,  # r5 rotation: r3+r4 driver-green veteran, parity-checked locally
     oracle=f"""
     WITH {_SIMHASH_FP_CTE},
     bands AS (
@@ -509,6 +525,7 @@ COSINE_SQL = (
 
 @query(
     "dedup_embedding_cosine",
+    driver=False,  # r5 rotation: r3+r4 driver-green veteran, parity-checked locally
     oracle=f"""
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -630,7 +647,7 @@ def connected_components(
         .select(F.col("doc_a").alias("doc_id"), F.col("doc_a").alias("label"))
     )
     labels = cut(labels)
-    for _ in range(max_iters):
+    for rnd in range(max_iters):
         nbr_min = (
             edges.join(labels, edges["doc_b"] == labels["doc_id"])
             .groupBy("doc_a")
@@ -657,9 +674,20 @@ def connected_components(
                 F.col("p_label").alias("label"),
             )
         )
-        changed = stepped.filter(F.col("label") < F.col("old_label")).count()
+        # Convergence-check cadence (round-4 verdict "What's wrong" #1):
+        # the count() is a full extra driver action per round, and with
+        # pointer jumping labels usually stabilize rounds before the
+        # check would notice anyway. Check every round for the first 3
+        # (small graphs converge there and exit at the earliest moment),
+        # then every OTHER round — at worst one extra (idempotent)
+        # iteration, for half the driver actions on deep graphs. The
+        # last allowed round always checks so the non-convergence raise
+        # below stays accurate.
+        check = rnd < 3 or rnd % 2 == 0 or rnd == max_iters - 1
         labels = stepped.select("doc_id", "label")
-        if changed == 0:
+        if check and (
+            stepped.filter(F.col("label") < F.col("old_label")).count() == 0
+        ):
             return labels.select("doc_id", F.col("label").alias("cluster_id"))
     raise RuntimeError(
         f"connected components did not converge in {max_iters} rounds"
@@ -713,3 +741,157 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     pairs = dedup_minhash_verified(spark, sf_dir).select("doc_a", "doc_b")
     return connected_components(pairs)
+
+
+# ------------------------------------- incremental dedup vs persisted index
+
+INDEX_N_BUCKETS = 32  # size for the target corpus scale at index build time
+
+
+def minhash_band_keys(docs: DataFrame) -> DataFrame:
+    """``(doc_id, band_key)`` banded MinHash keys with the band index
+    FOLDED INTO the key — ``md5('j:' || mh_2j || ':' || mh_2j+1)`` — so
+    the persisted index buckets on ONE column and every probe is a
+    single-key equi-join that can reuse the bucket layout. Candidate
+    semantics are identical to ``dedup_minhash_lsh``'s two-column
+    ``(band_idx, band_key)`` join: the digest input embeds the band
+    index, so keys from different bands can never collide (mod the
+    2^-128 md5 collision bound)."""
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"))).alias("sh")
+    )
+    sig = _minhash_sig(sh)
+    exprs = ", ".join(
+        f"md5(concat('{j}:', mh{2 * j}, ':', mh{2 * j + 1}))"
+        for j in range(N_BANDS)
+    )
+    return sig.selectExpr("doc_id", f"stack({N_BANDS}, {exprs}) AS (band_key)")
+
+
+def _drop_managed_table(spark: SparkSession, name: str) -> None:
+    """Drop a managed table AND any stale warehouse directory left by a
+    previous session (the in-memory catalog forgets tables across
+    sessions but their parquet directories persist, and CREATE TABLE
+    refuses a non-empty managed location)."""
+    import os
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(wh.removeprefix("file:"), name.lower())
+    shutil.rmtree(loc, ignore_errors=True)
+
+
+def build_minhash_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    *,
+    index_table: str,
+    pairs_table: str | None = None,
+    n_buckets: int = INDEX_N_BUCKETS,
+) -> None:
+    """Persist the corpus's MinHash band index as a BUCKETED managed
+    table (bucketed+sorted on ``band_key``) — the artifact every real
+    training-data pipeline keeps between crawl batches, so each new
+    batch is deduped against the existing corpus WITHOUT re-minhashing
+    it. Bucketing makes the index side of every probe join shuffle-free:
+    Spark trusts the bucket layout, so only the (small) new-batch side
+    moves (plan-pinned by ``test_incremental_index_probe_no_index_shuffle``).
+
+    ``pairs_table``: also persist the corpus's own verified near-dup
+    pairs (the prior dedup run's output) — the within-corpus candidate
+    self-join reads the just-written bucketed index, so it is itself a
+    zero-shuffle co-located join."""
+    _drop_managed_table(spark, index_table)
+    write_bucketed(minhash_band_keys(docs), index_table, "band_key", n_buckets)
+    if pairs_table is not None:
+        idx = spark.table(index_table)
+        a, b = idx.alias("a"), idx.alias("b")
+        cand = (
+            a.join(b, "band_key")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        sh = docs.select(
+            "doc_id", F.explode(word_shingles(F.col("text"))).alias("sh")
+        )
+        _drop_managed_table(spark, pairs_table)
+        verify_pairs(cand, sh).write.mode("overwrite").saveAsTable(pairs_table)
+
+
+def dedup_incremental_candidates(
+    spark: SparkSession, new_docs: DataFrame, index_table: str
+) -> DataFrame:
+    """Candidate near-dup pairs of a NEW document batch against a
+    persisted corpus index plus within the batch itself — the
+    incremental step of a continuously-fed corpus. Returns distinct
+    ``(doc_a, doc_b)`` with ``doc_a < doc_b``; compose with
+    ``verify_pairs`` for exact-Jaccard confirmation.
+
+    Scale shape: the corpus index (the huge side at 100 TB) is NEVER
+    shuffled — the probe join reads its buckets in place and only the
+    new batch's band keys move; the batch self-join is quadratic only
+    within shared buckets, like every LSH join here."""
+    new_bands = minhash_band_keys(new_docs)
+    idx = spark.table(index_table)
+    n, i = new_bands.alias("n"), idx.alias("i")
+    vs_corpus = (
+        n.join(i, "band_key")
+        .filter(F.col("n.doc_id") != F.col("i.doc_id"))
+        .select(
+            F.least("n.doc_id", "i.doc_id").alias("doc_a"),
+            F.greatest("n.doc_id", "i.doc_id").alias("doc_b"),
+        )
+    )
+    x, y = new_bands.alias("x"), new_bands.alias("y")
+    vs_new = (
+        x.join(y, "band_key")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+    )
+    return vs_corpus.union(vs_new).distinct()
+
+
+@query("dedup_incremental_index", oracle=_MINHASH_VERIFIED_ORACLE)
+def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup, end to end: the documents table is
+    split 80/20 into an EXISTING corpus and a NEW crawl batch; the
+    corpus's band index and its own verified pairs are persisted (the
+    state a prior dedup run leaves behind), and the new batch is deduped
+    by PROBING the bucketed index — new-vs-corpus and new-vs-new
+    candidates, then exact-Jaccard verification over only the candidate
+    documents' shingles (semi-join pruned). Persisted corpus pairs +
+    incremental pairs must equal batch-mode ``dedup_minhash_verified``
+    on the full table, which is exactly this query's oracle: the
+    incremental path provably loses nothing vs re-deduping from scratch.
+
+    At 100 TB the win is the whole point of the operator: per batch,
+    minhashing costs O(|batch|), not O(|corpus|), and the corpus-sized
+    index is read in place (bucket-pruned, zero shuffle)."""
+    import hashlib
+
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    index_table = f"mh_band_index_{suffix}"
+    pairs_table = f"mh_corpus_pairs_{suffix}"
+    d = fan_out_scan(spark, table(spark, sf_dir, "documents"))
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    build_minhash_index(
+        spark, corpus, index_table=index_table, pairs_table=pairs_table
+    )
+    cand = dedup_incremental_candidates(spark, batch, index_table)
+    ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = shingle_df(spark, sf_dir).join(ids, "doc_id", "left_semi")
+    inc_pairs = verify_pairs(cand, sh)
+    return spark.table(pairs_table).unionByName(inc_pairs)

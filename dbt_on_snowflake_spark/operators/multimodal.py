@@ -38,6 +38,7 @@ def _with_payload(d: DataFrame) -> DataFrame:
 
 @query(
     "multimodal_meta",
+    driver=False,  # r5 rotation: r3+r4 driver-green veteran, parity-checked locally
     oracle="""
     SELECT doc_id,
            source AS media_source,
@@ -113,11 +114,42 @@ def decode_media(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=DECODE_SCHEMA)
 
 
-@query("multimodal_decode", driver=False)  # no SQL oracle: mapInPandas pipeline
+@query(
+    "multimodal_decode",
+    # Content-level oracle (round-4 verdict item 4): the deterministic
+    # decoder's stats are pure byte arithmetic, so DuckDB recomputes them
+    # from the same payload bytes (hex-sliced) — the mapInPandas output
+    # is hash-compared VALUE BY VALUE, not rows-only. mean_intensity is
+    # an integer (sum of first 64 bytes mod 2551) divided by 10.0 in
+    # float64 on both engines: bit-identical.
+    oracle="""
+    WITH p AS (
+        SELECT doc_id,
+               hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, n,
+               list_sum(list_transform(range(0, least(n, 64)),
+                        i -> ('0x' || substr(hx, CAST(2*i+1 AS INTEGER), 2))::BIGINT))
+                   AS s64
+        FROM p
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_bytes,
+           CAST(16 + (n % 64) AS INTEGER) AS width,
+           CAST(16 + ((n // 64) % 64) AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS n_channels,
+           (s64 % 2551) / 10.0 AS mean_intensity
+    FROM s
+    """,
+)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload -> fake-decode -> typed features via mapInPandas.
-    Rows-only driver check; exact values are pytest-verified against the
-    pure-Python decoder."""
+    Hash-compared against a DuckDB recomputation of the deterministic
+    decoder (see oracle); the pure-Python decoder is additionally
+    pytest-verified row-exactly."""
     d = table(spark, sf_dir, "documents")
     return decode_media(_with_payload(d))
 
@@ -171,7 +203,6 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 128) -> DataFrame:
 
 @query(
     "multimodal_frame_sample",
-    driver=False,  # r4 rotation: r1-r3 driver-green veteran, parity-checked locally
     oracle="""
     SELECT doc_id,
            CAST(unnest(range(0, greatest(octet_length(encode(text)) // 128, 1)))

@@ -34,7 +34,7 @@ from dbt_on_snowflake_spark.testdata import table
 
 # --- S4/P1: source read + identity projection (staging-view passthrough) ---
 # Reference: dbt/models/staging/raw_pos_menu.sql:1-2 (SELECT * FROM source).
-@query("s4_source_passthrough", oracle="SELECT * FROM region", driver=False)
+@query("s4_source_passthrough", oracle="SELECT * FROM region")
 def s4_source_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "region")
 
@@ -42,7 +42,6 @@ def s4_source_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- P2: column projection + rename (orders.sql:1-34 aliases) ---
 @query(
     "p2_projection_rename",
-    driver=False,  # r4 rotation: r1-r3 driver-green veteran, parity-checked locally
     oracle="""
     SELECT c_custkey AS customer_id,
            c_name AS customer_name,
@@ -123,6 +122,7 @@ _DQ_CHECKS = [
 
 @query(
     "dq_failing_rows",
+    driver=False,  # r5 rotation: r3+r4 driver-green veteran, parity-checked locally
     oracle="\nUNION ALL\n".join(
         f"SELECT '{name}' AS check_name, COUNT(*) AS failures"
         f" FROM {tbl} WHERE {cond}"
@@ -243,6 +243,7 @@ def j2_left_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 # __sources.yml:138-140 etc.) — here inverted: customers with no orders.
 @query(
     "j7_anti_orphans",
+    driver=False,  # r5 rotation: r3+r4 driver-green veteran, parity-checked locally
     oracle="""
     SELECT c_custkey, c_name
     FROM customer c
@@ -328,6 +329,7 @@ def a1_loyalty_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # re-expressed natively in PySpark DataFrame API.
 @query(
     "a4_sales_by_nation",
+    driver=False,  # r5 rotation: r3+r4 driver-green veteran, parity-checked locally
     oracle=f"""
     SELECT n.n_nationkey AS nation_id,
            CONCAT(n.n_name, ' (', r.r_name, ')') AS nation_display,
@@ -405,6 +407,7 @@ def a4_sales_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # __sources.yml:66-72) on a deliberately non-unique column so rows flow.
 @query(
     "a6_unique_violations",
+    driver=False,  # r5 rotation: r3+r4 driver-green veteran, parity-checked locally
     oracle="""
     SELECT p_brand AS brand, COUNT(*) AS n
     FROM part
@@ -426,7 +429,6 @@ def a6_unique_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # setup_data.sql:57; never queried there — we demonstrate the query path).
 @query(
     "f_json_extract",
-    driver=False,  # local-parity only: scalar family covered by f_scalar_suite
     oracle="""
     SELECT event_id,
            CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
@@ -448,6 +450,7 @@ def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- F2-F5: scalar function suite (concat/cast/coalesce/case/date parts) ---
 @query(
     "f_scalar_suite",
+    driver=False,  # r5 rotation: r3+r4 driver-green veteran, parity-checked locally
     oracle="""
     SELECT event_id,
            CONCAT(UPPER(event_type), '-', CAST(user_id AS VARCHAR)) AS tag,

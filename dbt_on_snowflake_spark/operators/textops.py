@@ -61,6 +61,7 @@ _SW_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
 
 @query(
     "text_quality",
+    driver=False,  # r5 rotation: r3+r4 driver-green veteran, parity-checked locally
     oracle=f"""
     WITH t AS (
         SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents
@@ -125,7 +126,6 @@ def _marker_count_sql(words: tuple[str, ...]) -> str:
 
 @query(
     "text_lang_id",
-    driver=False,  # r4 rotation: r1-r3 driver-green veteran, parity-checked locally
     oracle=f"""
     WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
                FROM documents),
@@ -184,6 +184,7 @@ _BPE_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
 @query(
     "text_token_count",
+    driver=False,  # r5 rotation: r3+r4 driver-green veteran, parity-checked locally
     oracle=f"""
     SELECT source,
            COUNT(*) AS n_docs,
@@ -217,7 +218,6 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_levenshtein_pairs",
-    driver=False,  # local-parity only: bounded verifier; screened family has driver rows
     oracle="""
     WITH p AS (SELECT doc_id, substring(text, 1, 64) AS prefix
                FROM documents WHERE doc_id < 350)
@@ -258,7 +258,6 @@ FP_K = 4  # k smallest shingle hashes form the fingerprint
 
 @query(
     "text_fingerprint",
-    driver=False,  # r4 rotation: r1-r3 driver-green veteran, parity-checked locally
     oracle=f"""
     WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
     sh AS (
@@ -324,7 +323,6 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 0.0 END AS repetition_ratio
     FROM g
     """,
-    driver=False,  # r3 driver-green; rotated out for corpus_token_budget_hist
 )
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition ratio (Gopher-style quality rule):
@@ -416,7 +414,6 @@ VOCAB_TOP_V = 1 << 16  # broadcast vocabulary size for the scale variant
 
 @query(
     "text_unigram_rarity_bcast",
-    driver=False,  # local-parity only: oracle-identical twin of text_unigram_rarity
     oracle=f"""
     WITH tok AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS token

@@ -71,6 +71,7 @@ def run_to_table(sdf: DataFrame, spark: SparkSession, mode: str = "complete") ->
 
 @query(
     "t_events_hourly_streaming",
+    driver=False,  # r5 rotation: r3+r4 driver-green veteran, parity-checked locally
     oracle=f"""
     SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start,
            event_type,
@@ -104,6 +105,7 @@ _SESSION_GAP = "30 minutes 1 microsecond"
 
 @query(
     "t_events_sessions_streaming",
+    driver=False,  # r5 rotation: r3+r4 driver-green veteran, parity-checked locally
     oracle=f"""
     WITH flagged AS (
         SELECT user_id, ts, value,
@@ -159,6 +161,7 @@ def t_events_sessions_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "t_events_dedup_streaming",
+    driver=False,  # r5 rotation: r3+r4 driver-green veteran, parity-checked locally
     oracle="""
     SELECT DISTINCT user_id,
            event_type,
@@ -188,6 +191,7 @@ def t_events_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "t_events_sliding_streaming",
+    driver=False,  # r5 rotation: r3+r4 driver-green veteran, parity-checked locally
     oracle=f"""
     SELECT ws AS window_start,
            event_type,
@@ -224,6 +228,7 @@ _WM_DELAY = "2 hours"  # watermark delay for the append-mode twin
 
 @query(
     "t_events_hourly_append",
+    driver=False,  # r5 rotation: r3+r4 driver-green veteran, parity-checked locally
     oracle=f"""
     WITH mx AS (SELECT MAX(ts) AS max_ts FROM events)
     SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start,

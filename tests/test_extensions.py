@@ -70,11 +70,20 @@ def test_approx_sketches_within_bounds(spark):
     (the approximate path exact distinct can't afford at 100 TB). The
     exact side comes from the oracle-checked twin query."""
     from dbt_on_snowflake_spark.operators.analytics import (
+        _approx_sketches_raw,
         a_approx_sketches,
         a_exact_distinct_median,
     )
 
-    approx = {r.l_returnflag: r for r in a_approx_sketches(spark, SF_SMOKE).collect()}
+    # the registered bounds-gate query must declare every row in-bounds
+    gate = a_approx_sketches(spark, SF_SMOKE).collect()
+    assert gate and all(
+        r.distinct_within_3rsd and r.median_rank_within_eps for r in gate
+    )
+
+    approx = {
+        r.l_returnflag: r for r in _approx_sketches_raw(spark, SF_SMOKE).collect()
+    }
     exact = {
         r.l_returnflag: r for r in a_exact_distinct_median(spark, SF_SMOKE).collect()
     }

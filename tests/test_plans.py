@@ -147,6 +147,66 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_ann_indexed_no_centroid_recompute(spark):
+    """The index-backed multiprobe query reads centroids + assignments
+    from the persisted tables: no posexplode/Generate (the centroid
+    'training' shape) anywhere in the plan, and every scan of the
+    embeddings parquet is the BOUNDED query side (vec_id predicate pushed
+    to the scan) — the corpus pass comes from the label-partitioned
+    assignments table, not a re-read of the raw embeddings."""
+    df = Q["ann_ivf_multiprobe_indexed"].fn(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "Generate" not in plan  # posexplode = centroid recompute
+    assert "ann_centroids_" in plan and "ann_assignments_" in plan
+    from dbt_on_snowflake_spark.plans import scans
+
+    emb_scans = [
+        s for s in scans(plan) if "embeddings.parquet" in s.get("location", "")
+    ]
+    assert emb_scans, "query side should still read the embeddings parquet"
+    for s in emb_scans:
+        assert "vec_id" in s.get("pushedfilters", ""), (
+            f"unbounded embeddings scan: {s}"
+        )
+
+
+def test_incremental_index_probe_no_index_shuffle(spark):
+    """Incremental dedup's probe join never shuffles the persisted corpus
+    index: the bucketed scan feeds the SortMergeJoin in place, and both
+    exchanges in the plan sit on the NEW-BATCH side (its minhash agg and
+    its repartition into the index's bucket layout). At 100 TB the index
+    is the corpus-sized side — this is the property that makes per-batch
+    dedup O(|batch|)."""
+    from pyspark.sql import functions as F
+
+    from dbt_on_snowflake_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_band_keys,
+    )
+    from dbt_on_snowflake_spark.testdata import table
+
+    d = table(spark, SF_SMOKE, "documents")
+    build_minhash_index(
+        spark, d.filter(F.col("doc_id") % 5 != 0), index_table="mh_idx_plan_t"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        nb = minhash_band_keys(d.filter(F.col("doc_id") % 5 == 0))
+        probe = nb.alias("n").join(
+            spark.table("mh_idx_plan_t").alias("i"), "band_key"
+        )
+        plan = explain_str(probe)
+        assert "Bucketed: true" in plan and "SortMergeJoin" in plan
+        # 2 = new-batch agg + new-batch bucket-aligning repartition; a
+        # third would mean the index side moved
+        assert count_shuffles(plan) == 2
+        # the bucketed catalog scan is present by name
+        assert "Scan parquet spark_catalog.default.mh_idx_plan_t" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_salted_join_matches_plain_join_under_skew(spark):
     """Salting is a pure physical rewrite: on data with one massive hot
     key, the salted join returns exactly the plain join's rows, and the
