@@ -70,6 +70,14 @@ def main(argv: list[str] | None = None) -> int:
             help="rebuild incremental models from scratch",
         )
         sp.add_argument(
+            "--event-start", default=None, dest="event_start",
+            help="microbatch replay window start (inclusive ISO timestamp)",
+        )
+        sp.add_argument(
+            "--event-end", default=None, dest="event_end",
+            help="microbatch replay window end (exclusive ISO timestamp)",
+        )
+        sp.add_argument(
             "--threads", type=int, default=1,
             help="materialize independent DAG branches concurrently",
         )
@@ -230,6 +238,8 @@ def main(argv: list[str] | None = None) -> int:
         cli_vars=cli_vars,
         defer_state=defer_state,
         reuse=reuse,
+        event_start=getattr(args, "event_start", None),
+        event_end=getattr(args, "event_end", None),
     )
 
     if args.cmd in ("run", "retry"):
@@ -262,6 +272,14 @@ def main(argv: list[str] | None = None) -> int:
         # as it lands; a failed (error-severity) test poisons the node —
         # descendants skip rather than build on bad data
         from dbt_on_snowflake_spark.engine.testing import TestRunner
+        from dbt_on_snowflake_spark.engine.unit_tests import run_unit_tests
+
+        # dbt build runs unit tests up front: they need no materialized
+        # state, so logic bugs surface before anything is built
+        ut_results = run_unit_tests(spark, project)
+        for u in ut_results:
+            print(f"{u.status:5s} unit {u.name} on {u.model}"
+                  + (f" ({u.message})" if u.message else ""))
 
         state = None
         if getattr(args, "state", None):
@@ -298,12 +316,19 @@ def main(argv: list[str] | None = None) -> int:
             r.status not in ("success", "reused") for r in results
         )
         bad_tests = any(t.status in ("fail", "error") for t in tr.results)
-        return 0 if not bad_models and not bad_tests else 1
+        bad_units = any(u.status in ("fail", "error") for u in ut_results)
+        return 0 if not bad_models and not bad_tests and not bad_units else 1
 
     if args.cmd == "test":
         from dbt_on_snowflake_spark.engine.testing import TestRunner
+        from dbt_on_snowflake_spark.engine.unit_tests import run_unit_tests
 
-        runner.run()  # tests need sources + models materialized
+        ut_results = run_unit_tests(spark, project)
+        for u in ut_results:
+            print(f"{u.status:5s} unit {u.name} on {u.model}"
+                  + (f" ({u.message})" if u.message else ""))
+
+        runner.run()  # data tests need sources + models materialized
         tr = TestRunner(spark, custom=project.package_tests)
         results = tr.run_source_tests(project, runner)
         tr.run_model_tests(project, runner)
@@ -314,6 +339,7 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{r.status:5s} {r.name} on {r.relation}{col} "
                   f"(failures={r.failures}){stored}")
         n_bad = sum(1 for r in results if r.status in ("fail", "error"))
+        n_bad += sum(1 for u in ut_results if u.status in ("fail", "error"))
         n_warn = sum(1 for r in results if r.status == "warn")
         print(
             f"{len(results) - n_bad - n_warn}/{len(results)} tests passed"

@@ -57,6 +57,25 @@ def build_manifest(project: Project) -> dict[str, Any]:
         }
         for (g, t), src in project.sources.items()
     }
+    exposures = {
+        e.name: {
+            "type": e.type,
+            "owner": e.owner,
+            "url": e.url,
+            "description": e.description,
+            "depends_on": sorted(e.model_refs),
+            "depends_on_sources": [list(s) for s in sorted(e.source_refs)],
+            # the physical relations a consumer actually reads — lineage
+            # past the warehouse edge for impact analysis
+            "relations": sorted(
+                project.relation_for(
+                    m, project.models[m].config.get("schema")
+                )
+                for m in e.model_refs
+            ),
+        }
+        for e in getattr(project, "exposures", [])
+    }
     return {
         "project": project.config.get("name"),
         "target": project.target,
@@ -64,6 +83,7 @@ def build_manifest(project: Project) -> dict[str, Any]:
         "nodes": nodes,
         "edges": edges,
         "sources": sources,
+        "exposures": exposures,
         "seeds": {
             name: {
                 "path": path,

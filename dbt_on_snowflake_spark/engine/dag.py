@@ -138,6 +138,15 @@ def _expand_part(
         if state is None:
             raise ValueError("state:modified requires --state <manifest.json>")
         base = modified_models(project, state)
+    elif name.startswith("exposure:"):
+        # an exposure selects its declared model dependencies (dbt:
+        # `--select +exposure:dash` builds everything a dashboard needs;
+        # ancestors then come from the implicit/+ expansion below)
+        exp = name[len("exposure:"):]
+        by_name = {e.name: e for e in getattr(project, "exposures", [])}
+        if exp not in by_name:
+            raise ValueError(f"unknown exposure: {exp!r}")
+        base = set(by_name[exp].model_refs)
     elif name.startswith("tag:"):
         tag = name[4:]
         base = {m for m in project.models if tag in model_tags(project, m)}

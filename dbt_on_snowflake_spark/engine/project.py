@@ -61,11 +61,33 @@ class ModelNode:
 @dataclass
 class ModelTests:
     """YAML-declared tests on a MODEL (dbt schema.yml under models/) —
-    same test taxonomy as sources, applied to the materialized relation."""
+    same test taxonomy as sources, applied to the materialized relation.
+    Also carries the model's CONTRACT declaration (dbt `config: contract:
+    enforced: true` + per-column `data_type`), enforced at build time by
+    ``Runner._enforce_contract``."""
 
     name: str
     columns: dict[str, list] = field(default_factory=dict)
     tests: list = field(default_factory=list)
+    contract_enforced: bool = False
+    column_types: dict[str, str] = field(default_factory=dict)
+
+
+@dataclass
+class Exposure:
+    """dbt exposure: a declared downstream consumer (dashboard, ML job,
+    application) of models/sources — surfaces in the manifest so lineage
+    extends past the warehouse edge, and selectable as
+    ``+exposure:<name>`` (reference README.md:163-187's monitoring story
+    ends at run results; exposures say WHO breaks when a mart does)."""
+
+    name: str
+    type: str  # dashboard | notebook | analysis | ml | application
+    model_refs: list[str] = field(default_factory=list)
+    source_refs: list[tuple[str, str]] = field(default_factory=list)
+    owner: dict[str, Any] = field(default_factory=dict)
+    url: str | None = None
+    description: str | None = None
 
 
 @dataclass
@@ -101,6 +123,8 @@ class Project:
         self.models = self._discover_models()
         self.sources = self._load_sources()
         self.model_tests = self._load_model_tests()
+        self.unit_tests = self._load_unit_tests()
+        self.exposures = self._load_exposures()
         self.seeds = self._discover_seeds()
         self.selectors = self._load_selectors()
         # ref() resolves seeds before models, so a shared name would
@@ -349,6 +373,25 @@ class Project:
                             f"{fn}: duplicate test declaration for model "
                             f"{name!r}"
                         )
+                    contract = (m.get("config") or {}).get("contract") or {}
+                    enforced = bool(contract.get("enforced"))
+                    column_types = {
+                        c["name"]: str(c["data_type"]).lower()
+                        for c in m.get("columns", [])
+                        if c.get("data_type") is not None
+                    }
+                    if enforced:
+                        missing = [
+                            c["name"]
+                            for c in m.get("columns", [])
+                            if c.get("data_type") is None
+                        ]
+                        if missing:
+                            raise ValueError(
+                                f"{fn}: model {name!r} declares an enforced "
+                                f"contract but columns {missing} have no "
+                                "data_type"
+                            )
                     out[name] = ModelTests(
                         name=name,
                         columns={
@@ -356,6 +399,108 @@ class Project:
                             for c in m.get("columns", [])
                         },
                         tests=m.get("tests", []),
+                        contract_enforced=enforced,
+                        column_types=column_types,
+                    )
+        return out
+
+    def _load_unit_tests(self) -> list:
+        """dbt ``unit_tests:`` declarations in any models/**/*.yml —
+        mock-input tests over compiled model SQL (engine.unit_tests)."""
+        from dbt_on_snowflake_spark.engine.unit_tests import parse_unit_tests
+
+        out: list = []
+        seen: set[str] = set()
+        mdir = os.path.join(self.root, "models")
+        if not os.path.isdir(mdir):
+            return out
+        for dirpath, dirnames, filenames in sorted(os.walk(mdir)):
+            dirnames.sort()
+            for fn in sorted(filenames):
+                if not fn.endswith((".yml", ".yaml")):
+                    continue
+                with open(os.path.join(dirpath, fn)) as f:
+                    doc = yaml.safe_load(f) or {}
+                for ut in parse_unit_tests(doc, self.models, fn):
+                    if ut.name in seen:
+                        raise ValueError(
+                            f"{fn}: duplicate unit test name {ut.name!r}"
+                        )
+                    seen.add(ut.name)
+                    out.append(ut)
+        return out
+
+    _EXPOSURE_TYPES = ("dashboard", "notebook", "analysis", "ml", "application")
+
+    def _load_exposures(self) -> list[Exposure]:
+        """dbt ``exposures:`` in any models/**/*.yml: declared downstream
+        consumers with ``depends_on`` entries in ref()/source() syntax,
+        validated against the project's models and sources at load."""
+        import re as _re
+
+        ref_re = _re.compile(r"^\s*ref\(\s*['\"]([\w.]+)['\"]\s*\)\s*$")
+        src_re = _re.compile(
+            r"^\s*source\(\s*['\"]([\w.]+)['\"]\s*,\s*['\"]([\w.]+)['\"]\s*\)\s*$"
+        )
+        out: list[Exposure] = []
+        seen: set[str] = set()
+        mdir = os.path.join(self.root, "models")
+        if not os.path.isdir(mdir):
+            return out
+        for dirpath, dirnames, filenames in sorted(os.walk(mdir)):
+            dirnames.sort()
+            for fn in sorted(filenames):
+                if not fn.endswith((".yml", ".yaml")):
+                    continue
+                with open(os.path.join(dirpath, fn)) as f:
+                    doc = yaml.safe_load(f) or {}
+                for e in doc.get("exposures", []) or []:
+                    name, etype = e["name"], e.get("type", "dashboard")
+                    if name in seen:
+                        raise ValueError(
+                            f"{fn}: duplicate exposure {name!r}"
+                        )
+                    if etype not in self._EXPOSURE_TYPES:
+                        raise ValueError(
+                            f"{fn}: exposure {name!r} has unknown type "
+                            f"{etype!r} (one of {self._EXPOSURE_TYPES})"
+                        )
+                    model_refs, source_refs = [], []
+                    for dep in e.get("depends_on", []) or []:
+                        m = ref_re.match(str(dep))
+                        s = src_re.match(str(dep))
+                        if m:
+                            if m.group(1) not in self.models:
+                                raise ValueError(
+                                    f"{fn}: exposure {name!r} depends on "
+                                    f"unknown model {m.group(1)!r}"
+                                )
+                            model_refs.append(m.group(1))
+                        elif s:
+                            key = (s.group(1), s.group(2))
+                            if key not in self.sources:
+                                raise ValueError(
+                                    f"{fn}: exposure {name!r} depends on "
+                                    f"unknown source {key!r}"
+                                )
+                            source_refs.append(key)
+                        else:
+                            raise ValueError(
+                                f"{fn}: exposure {name!r}: depends_on "
+                                "entries must be ref('m') or "
+                                f"source('g', 't'), got {dep!r}"
+                            )
+                    seen.add(name)
+                    out.append(
+                        Exposure(
+                            name=name,
+                            type=etype,
+                            model_refs=model_refs,
+                            source_refs=source_refs,
+                            owner=e.get("owner") or {},
+                            url=e.get("url"),
+                            description=e.get("description"),
+                        )
                     )
         return out
 

@@ -88,6 +88,8 @@ class Runner:
         cli_vars: dict | None = None,
         defer_state: dict | None = None,
         reuse: set[str] | None = None,
+        event_start: str | None = None,
+        event_end: str | None = None,
     ):
         self.spark = spark
         self.project = project
@@ -121,6 +123,11 @@ class Runner:
         # cost only planning. At 100 TB this is the difference between a
         # retry touching one failed mart and recomputing the whole DAG.
         self.reuse = reuse or set()
+        # dbt microbatch backfill window (--event-start/--event-end,
+        # ISO timestamps): restricts which event-time batches a
+        # microbatch model rewrites — the per-day replay path
+        self.event_start = event_start
+        self.event_end = event_end
         self._selected: set[str] | None = None
         wh = spark.conf.get("spark.sql.warehouse.dir", "/tmp/spark_warehouse")
         self.warehouse = wh.removeprefix("file:")
@@ -505,23 +512,56 @@ class Runner:
             )
 
     def _enforce_contract(self, node: ModelNode, df: DataFrame) -> None:
-        """dbt model contracts: config(contract='col:type,...') pins the
-        exact output schema (names, Spark simpleString types, order);
-        materialization fails BEFORE writing anything on a mismatch, so a
-        widened column or silent type drift can't reach downstream
-        consumers."""
+        """dbt model contracts, two declaration forms, enforced BEFORE
+        anything is written so a widened column or silent type drift can't
+        reach downstream consumers:
+
+        - in-model ``config(contract='col:type,...')`` — pins the exact
+          output schema (names, Spark simpleString types, order);
+        - YAML (dbt-native) ``config: contract: enforced: true`` plus
+          per-column ``data_type`` in the model's schema.yml — name-keyed
+          comparison with per-column diagnostics (missing / unexpected /
+          type-mismatched columns are each named in the error).
+
+        Contracts compose with ``on_schema_change``: the contract check
+        runs on the SELECT's schema first, so an incremental model with
+        an enforced contract fails a drifted run even when its
+        on_schema_change policy would have absorbed the drift — the
+        contract is the outer guardrail."""
         spec = node.config.get("contract")
-        if not spec:
+        if spec:
+            want = []
+            for part in spec.split(","):
+                name, _, typ = part.strip().partition(":")
+                want.append((name.strip(), typ.strip()))
+            got = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+            if want != got:
+                raise ValueError(
+                    f"contract violation in {node.name!r}: declared {want}, "
+                    f"model produces {got}"
+                )
+        mt = self.project.model_tests.get(node.name)
+        if mt is None or not mt.contract_enforced:
             return
-        want = []
-        for part in spec.split(","):
-            name, _, typ = part.strip().partition(":")
-            want.append((name.strip(), typ.strip()))
-        got = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
-        if want != got:
+        got_types = {
+            f.name.lower(): f.dataType.simpleString() for f in df.schema.fields
+        }
+        want_types = {n.lower(): t for n, t in mt.column_types.items()}
+        problems = []
+        for col, typ in want_types.items():
+            if col not in got_types:
+                problems.append(f"declared column {col!r} missing from output")
+            elif got_types[col] != typ:
+                problems.append(
+                    f"column {col!r}: declared {typ}, model produces "
+                    f"{got_types[col]}"
+                )
+        for col in got_types:
+            if col not in want_types:
+                problems.append(f"undeclared column {col!r} in output")
+        if problems:
             raise ValueError(
-                f"contract violation in {node.name!r}: declared {want}, "
-                f"model produces {got}"
+                f"contract violation in {node.name!r}: " + "; ".join(problems)
             )
 
     def _write_trace(self, name: str, df: DataFrame) -> str | None:
@@ -732,6 +772,8 @@ class Runner:
         strategy = (node.config.get("incremental_strategy") if node else None) or (
             "merge"
         )
+        if strategy == "microbatch":
+            return self._materialize_microbatch(df, relation, node, parts)
         if self.full_refresh or not self.table_exists(relation):
             # full refresh: the model read only sources (is_incremental()
             # was false, {{ this }} never resolved), so a direct overwrite
@@ -787,6 +829,97 @@ class Runner:
         shutil.rmtree(old)
         self._register_table(relation)
         return rows
+
+    def _materialize_microbatch(
+        self, df: DataFrame, relation: str, node: ModelNode | None, parts: list[str]
+    ) -> int:
+        """dbt 1.9 ``incremental_strategy='microbatch'``: the model's
+        output is bucketed by ``event_time`` into ``batch_size`` periods
+        (hour/day/month) and each period is written as its own dynamic
+        partition overwrite — one INDEPENDENT write action per batch, so
+        a failed day retries alone (re-run, or replay explicitly with
+        ``--event-start/--event-end``) and a replayed day is idempotent:
+        the period's directory is replaced wholesale, never appended.
+
+        Batch selection without an explicit window: every batch present
+        in the increment that is not yet on disk, plus the trailing
+        ``lookback`` (default 1) existing batches — late-arriving events
+        inside the lookback window get their day rewritten; older late
+        data needs an explicit replay (dbt semantics). The engine adds an
+        ``event_batch`` partition column (``yyyy-MM-dd`` for day), which
+        doubles as the partition-pruning key for downstream reads of a
+        100 TB event mart; the per-batch to-do list is a driver-side list
+        of PERIODS (bounded by calendar time, not data volume).
+
+        Composes with ``on_schema_change`` exactly like insert_overwrite
+        (checked against the mergeSchema union of on-disk footers);
+        ``sync_all_columns`` is rejected for the same
+        untouched-partitions reason."""
+        if node is None or not node.config.get("event_time"):
+            raise ValueError(
+                "incremental_strategy='microbatch' requires event_time"
+            )
+        event_time = node.config.get("event_time")
+        batch_size = node.config.get("batch_size", "day")
+        fmts = {"hour": "yyyy-MM-dd-HH", "day": "yyyy-MM-dd", "month": "yyyy-MM"}
+        if batch_size not in fmts:
+            raise ValueError(
+                f"microbatch batch_size must be one of {sorted(fmts)}, "
+                f"got {batch_size!r}"
+            )
+        lookback = int(node.config.get("lookback", 1))
+        bcol = "event_batch"
+        path = self._table_path(relation)
+        if self.event_start:
+            df = df.filter(
+                F.col(event_time) >= F.lit(self.event_start).cast("timestamp")
+            )
+        if self.event_end:
+            df = df.filter(
+                F.col(event_time) < F.lit(self.event_end).cast("timestamp")
+            )
+        begin = node.config.get("begin")
+        if begin:
+            df = df.filter(
+                F.col(event_time) >= F.lit(str(begin)).cast("timestamp")
+            )
+        dfb = df.withColumn(
+            bcol,
+            F.date_format(
+                F.date_trunc(batch_size, F.col(event_time)), fmts[batch_size]
+            ),
+        )
+        if self.full_refresh or not self.table_exists(relation):
+            rows = self._write_counted(dfb, path, [bcol, *parts])
+            self._register_table(relation, merge_schema=True)
+            return rows
+        existing = self.spark.read.option("mergeSchema", "true").parquet(path)
+        dfb, _ = self._apply_on_schema_change(
+            dfb, existing, node, relation, rewrite=False
+        )
+        todo = sorted(r[0] for r in dfb.select(bcol).distinct().collect())
+        if not (self.event_start or self.event_end):
+            have = sorted(
+                d.split("=", 1)[1]
+                for d in os.listdir(path)
+                if d.startswith(f"{bcol}=")
+            )
+            recent = set(have[-lookback:]) if lookback > 0 else set()
+            todo = [b for b in todo if b not in have or b in recent]
+        total = 0
+        for b in todo:
+            obs = Observation()
+            (
+                dfb.filter(F.col(bcol) == b)
+                .observe(obs, F.count(F.lit(1)).alias("rows"))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(bcol, *parts)
+                .parquet(path)
+            )
+            total += int(obs.get["rows"])
+        self._register_table(relation, merge_schema=True)
+        return total
 
     # -- artifacts --------------------------------------------------------
     def _results_payload(self) -> dict:

@@ -482,6 +482,222 @@ def test_model_contract_enforced(spark, tmp_path):
     )
 
 
+def test_exposures_load_select_and_manifest(tmp_path):
+    """dbt exposures: the declared dashboard loads with validated deps,
+    +exposure:<name> selects everything it needs (deps + ancestors), and
+    the manifest carries the exposure with resolved physical relations."""
+    from dbt_on_snowflake_spark.engine.artifacts import build_manifest
+    from dbt_on_snowflake_spark.engine.dag import select as dag_select
+
+    project = Project(PROJ_ROOT, target="dev")
+    by = {e.name: e for e in project.exposures}
+    exp = by["management_dashboard"]
+    assert exp.type == "dashboard"
+    assert exp.model_refs == ["orders", "customer_loyalty_metrics"]
+
+    sel = dag_select(project, "+exposure:management_dashboard")
+    assert "orders" in sel and "customer_loyalty_metrics" in sel
+    assert "raw_pos_order_header" in sel  # ancestors pulled in
+
+    man = build_manifest(project)
+    m = man["exposures"]["management_dashboard"]
+    assert m["owner"]["email"] == "analytics@tastybytes.example"
+    assert "dev_orders" in m["relations"]
+
+    # invalid depends_on fails at load, naming the exposure
+    root = str(tmp_path / "proj")
+    os.makedirs(f"{root}/models/models")
+    with open(f"{root}/project.yml", "w") as f:
+        f.write("name: expbad\n")
+    with open(f"{root}/models/models/m.sql", "w") as f:
+        f.write("SELECT 1 AS id")
+    with open(f"{root}/models/models/schema.yml", "w") as f:
+        f.write("exposures:\n"
+                "  - name: dash\n"
+                "    type: dashboard\n"
+                "    depends_on: [ref('nope')]\n")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown model 'nope'"):
+        Project(root, target="dev")
+
+
+def test_unit_tests_on_orders_mart(spark):
+    """The declared unit test on the 6-way `orders` join runs green from
+    mock rows alone — no source parquet, no materialized staging views
+    (a fresh Project, nothing run). The mocks exercise the FLOAT
+    location_id join and the anonymous-order left join."""
+    from dbt_on_snowflake_spark.engine.unit_tests import run_unit_tests
+
+    project = Project(PROJ_ROOT, target="dev")
+    names = [u.name for u in project.unit_tests]
+    assert "ut_orders_six_way_join" in names
+    results = run_unit_tests(spark, project)
+    by = {r.name: r for r in results}
+    r = by["ut_orders_six_way_join"]
+    assert r.status == "pass", r.message
+
+
+def test_unit_test_failure_modes(spark, tmp_path):
+    """A wrong expectation fails with a row diff; an unmocked input
+    errors by name (explicit beats dbt's silently-empty default)."""
+    from dbt_on_snowflake_spark.engine.unit_tests import run_unit_tests
+
+    root = str(tmp_path / "proj")
+
+    def write(p, c):
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        open(p, "w").write(c)
+
+    write(f"{root}/project.yml", "name: utproj\n")
+    write(f"{root}/models/models/pairs.sql",
+          "SELECT a.id, a.v + b.v AS total FROM {{ ref('left_in') }} a "
+          "JOIN {{ ref('right_in') }} b ON a.id = b.id")
+    write(f"{root}/models/models/schema.yml",
+          "unit_tests:\n"
+          "  - name: ut_bad_expectation\n"
+          "    model: pairs\n"
+          "    given:\n"
+          "      - input: ref('left_in')\n"
+          "        rows: [{id: 1, v: 2}]\n"
+          "      - input: ref('right_in')\n"
+          "        rows: [{id: 1, v: 3}]\n"
+          "    expect:\n"
+          "      rows: [{id: 1, total: 99}]\n"
+          "  - name: ut_unmocked_input\n"
+          "    model: pairs\n"
+          "    given:\n"
+          "      - input: ref('left_in')\n"
+          "        rows: [{id: 1, v: 2}]\n"
+          "    expect:\n"
+          "      rows: [{id: 1, total: 5}]\n")
+    by = {
+        r.name: r for r in run_unit_tests(spark, Project(root, target="dev"))
+    }
+    assert by["ut_bad_expectation"].status == "fail"
+    assert "expected row(s) missing" in by["ut_bad_expectation"].message
+    assert by["ut_unmocked_input"].status == "error"
+    assert "right_in" in by["ut_unmocked_input"].message
+
+
+def test_yaml_contract_enforced(spark, tmp_path):
+    """dbt-native YAML contracts (config: contract: enforced: true +
+    per-column data_type): conforming model builds; drifted SELECT fails
+    BEFORE writing with every offending column NAMED in the error."""
+    root = str(tmp_path / "proj")
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    pd.DataFrame({"id": [1, 2], "v": [1.5, 2.5]}).to_parquet(
+        os.path.join(data, "t.parquet"), index=False
+    )
+
+    def write(p, c):
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        open(p, "w").write(c)
+
+    write(f"{root}/project.yml",
+          "name: ycontracts\nmodels:\n  models:\n    materialized: table\n")
+    write(f"{root}/sources.yml",
+          f"sources:\n  - name: raw\n    base_path: \"{data}\"\n"
+          "    tables:\n      - name: t\n")
+    write(f"{root}/models/models/cgood.sql",
+          "SELECT id, v FROM {{ source('raw', 't') }}")
+    write(f"{root}/models/models/cdrift.sql",
+          "SELECT id, CAST(v AS STRING) AS v, 1 AS extra "
+          "FROM {{ source('raw', 't') }}")
+    write(f"{root}/models/models/schema.yml",
+          "models:\n"
+          "  - name: cgood\n"
+          "    config: {contract: {enforced: true}}\n"
+          "    columns:\n"
+          "      - {name: id, data_type: bigint}\n"
+          "      - {name: v, data_type: double}\n"
+          "  - name: cdrift\n"
+          "    config: {contract: {enforced: true}}\n"
+          "    columns:\n"
+          "      - {name: id, data_type: bigint}\n"
+          "      - {name: v, data_type: double}\n")
+    results = Runner(spark, Project(root, target="dev")).run()
+    status = {r.name: r for r in results}
+    assert status["cgood"].status == "success"
+    assert status["cdrift"].status == "error"
+    err = status["cdrift"].error
+    assert "contract violation" in err
+    assert "'v'" in err and "declared double" in err  # type drift named
+    assert "'extra'" in err  # undeclared column named
+    assert not os.path.isdir(
+        Runner(spark, Project(root, target="dev"))._table_path("dev_cdrift")
+    )
+
+
+def test_yaml_contract_missing_data_type_rejected(tmp_path):
+    """An enforced contract whose columns lack data_type fails at project
+    load (dbt parse-time behavior), naming the columns."""
+    import pytest as _pytest
+
+    root = str(tmp_path / "proj")
+
+    def write(p, c):
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        open(p, "w").write(c)
+
+    write(f"{root}/project.yml", "name: badc\n")
+    write(f"{root}/models/models/m.sql", "SELECT 1 AS id")
+    write(f"{root}/models/models/schema.yml",
+          "models:\n"
+          "  - name: m\n"
+          "    config: {contract: {enforced: true}}\n"
+          "    columns:\n"
+          "      - {name: id}\n")
+    with _pytest.raises(ValueError, match="no data_type"):
+        Project(root, target="dev")
+
+
+def test_yaml_contract_outranks_on_schema_change(spark, tmp_path):
+    """Incremental + contract interaction: on_schema_change:
+    append_new_columns would absorb a new column, but an enforced
+    contract is the outer guardrail — the drifted run errors and the
+    previously materialized rows stay untouched."""
+    root = str(tmp_path / "proj")
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    pd.DataFrame({"id": [1, 2], "v": [1.5, 2.5]}).to_parquet(
+        os.path.join(data, "t.parquet"), index=False
+    )
+
+    def write(p, c):
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        open(p, "w").write(c)
+
+    write(f"{root}/project.yml", "name: icontracts\n")
+    write(f"{root}/sources.yml",
+          f"sources:\n  - name: raw\n    base_path: \"{data}\"\n"
+          "    tables:\n      - name: t\n")
+    model = ("{{{{ config(materialized='incremental', unique_key='id', "
+             "on_schema_change='append_new_columns') }}}}\n"
+             "SELECT id, v{extra} FROM {{{{ source('raw', 't') }}}}")
+    write(f"{root}/models/models/inc.sql", model.format(extra=""))
+    write(f"{root}/models/models/schema.yml",
+          "models:\n"
+          "  - name: inc\n"
+          "    config: {contract: {enforced: true}}\n"
+          "    columns:\n"
+          "      - {name: id, data_type: bigint}\n"
+          "      - {name: v, data_type: double}\n")
+    res1 = Runner(spark, Project(root, target="dev")).run()
+    assert res1[0].status == "success"
+    assert spark.table("dev_inc").count() == 2
+
+    # drift the SELECT: on_schema_change would append, contract refuses
+    write(f"{root}/models/models/inc.sql",
+          model.format(extra=", 'x' AS surprise"))
+    res2 = Runner(spark, Project(root, target="dev")).run()
+    assert res2[0].status == "error"
+    assert "surprise" in res2[0].error
+    assert sorted(spark.table("dev_inc").columns) == ["id", "v"]
+    assert spark.table("dev_inc").count() == 2
+
+
 def test_pre_post_hooks_run_with_this_resolution(spark, tmp_path):
     """pre/post hooks execute around the materialization with {{ this }}
     resolved; the post hook sees the freshly materialized relation."""
@@ -1167,3 +1383,90 @@ def test_failing_on_run_start_aborts_nodes_but_runs_end_hook(spark, tmp_path):
     assert "m2" not in by  # no node built after the failed start hook
     assert by["on-run-end-0"].status == "success"
     assert spark.table("cleanup_ran").collect()[0].ok == 1
+
+
+def test_retry_after_hook_aborted_run_retries_everything(
+    spark, tmp_path, capsys
+):
+    """A run aborted by a failing on-run-start hook leaves run_results
+    with ONLY hook entries (no node was built). `retry` must not report
+    'nothing to retry' and exit 0 on that — it retries the full
+    selection; once the hook is fixed, the chain converges green."""
+    from dbt_on_snowflake_spark.__main__ import main
+
+    root = str(tmp_path / "proj")
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    pd.DataFrame({"id": [1, 2]}).to_parquet(
+        os.path.join(data, "t.parquet"), index=False
+    )
+
+    def write(p, c):
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        open(p, "w").write(c)
+
+    good_yml = ("name: retryhooks\n"
+                "models:\n  models:\n    materialized: table\n")
+    write(f"{root}/project.yml",
+          good_yml + "on_run_start: SELECT * FROM nope_not_a_table\n")
+    write(f"{root}/sources.yml",
+          f"sources:\n  - name: raw\n    base_path: \"{data}\"\n"
+          "    tables:\n      - name: t\n")
+    write(f"{root}/models/models/mr.sql",
+          "SELECT id FROM {{ source('raw', 't') }}")
+
+    assert main(["run", "--project", root]) == 1
+    capsys.readouterr()
+    # the aborted run's results hold only hook rows
+    doc = json.load(open(f"{root}/target/run_results.json"))
+    assert all(r["materialization"] == "hook" for r in doc["results"])
+
+    # hook still broken: retry re-attempts (hook fails again) — exit 1,
+    # NOT the former 'nothing to retry' exit 0
+    assert main(["retry", "--project", root]) == 1
+    out = capsys.readouterr().out
+    assert "nothing to retry" not in out
+
+    write(f"{root}/project.yml", good_yml)  # fix the hook
+    assert main(["retry", "--project", root]) == 0
+    capsys.readouterr()
+    assert spark.table("dev_mr").count() == 2
+
+
+def test_build_writes_run_results_for_retry(spark, tmp_path, capsys):
+    """`build` refreshes target/run_results.json exactly like `run`, so
+    a retry after a failed build operates on THAT build's failures, not
+    a stale prior run."""
+    from dbt_on_snowflake_spark.__main__ import main
+
+    root = str(tmp_path / "proj")
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    pd.DataFrame({"id": [1, 2]}).to_parquet(
+        os.path.join(data, "t.parquet"), index=False
+    )
+
+    def write(p, c):
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        open(p, "w").write(c)
+
+    write(f"{root}/project.yml",
+          "name: buildrr\nmodels:\n  models:\n    materialized: table\n")
+    write(f"{root}/sources.yml",
+          f"sources:\n  - name: raw\n    base_path: \"{data}\"\n"
+          "    tables:\n      - name: t\n")
+    write(f"{root}/models/models/mb.sql",
+          "SELECT no_such_column FROM {{ source('raw', 't') }}")
+
+    assert main(["build", "--project", root]) == 1
+    capsys.readouterr()
+    doc = json.load(open(f"{root}/target/run_results.json"))
+    assert any(
+        r["name"] == "mb" and r["status"] == "error" for r in doc["results"]
+    )
+
+    write(f"{root}/models/models/mb.sql",
+          "SELECT id FROM {{ source('raw', 't') }}")
+    assert main(["retry", "--project", root]) == 0
+    capsys.readouterr()
+    assert spark.table("dev_mb").count() == 2

@@ -665,3 +665,81 @@ def test_defer_prefers_already_built_dev_relation(spark, tmp_path):
     assert [r.name for r in res] == ["child"] and res[0].status == "success"
     # dev parent (v=70) won over prod parent (v=10)
     assert [r.v1 for r in spark.table("dev_child").collect()] == [71]
+
+
+def test_microbatch_day_replay_idempotent(spark, tmp_path):
+    """microbatch incremental: day-bucketed partitions, one write per
+    batch. A --event-start/--event-end replay rewrites ONLY the targeted
+    day (idempotent on re-run, other days untouched); a plain run picks
+    up new days plus the lookback tail."""
+    import pandas as pd
+
+    root = str(tmp_path / "proj")
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+
+    def events(day_vals: dict[str, int]) -> None:
+        rows = []
+        for day, val in day_vals.items():
+            for h in (9, 15):
+                rows.append(
+                    {"user_id": h, "ts": f"{day} {h:02d}:00:00", "val": val}
+                )
+        frame = pd.DataFrame(rows)
+        frame["ts"] = pd.to_datetime(frame["ts"]).astype("datetime64[us]")
+        frame.to_parquet(os.path.join(data, "ev.parquet"), index=False)
+
+    events({"2024-01-01": 1, "2024-01-02": 2, "2024-01-03": 3})
+    _write(f"{root}/project.yml", "name: mb\n")
+    _write(f"{root}/sources.yml",
+           f"sources:\n  - name: raw\n    base_path: \"{data}\"\n"
+           "    tables:\n      - name: ev\n")
+    _write(f"{root}/models/models/mb_events.sql",
+           "{{ config(materialized='incremental', "
+           "incremental_strategy='microbatch', event_time='ts', "
+           "batch_size='day') }}\n"
+           "SELECT user_id, ts, val FROM {{ source('raw', 'ev') }}")
+
+    res = Runner(spark, Project(root, target="dev")).run()
+    assert res[-1].status == "success" and res[-1].rows == 6
+    # partition-column inference reads the day string back as a DATE
+    t = lambda: {  # noqa: E731
+        (str(r.event_batch), r.user_id): r.val
+        for r in spark.table("dev_mb_events").collect()
+    }
+    base = t()
+    assert len(base) == 6
+    assert base[("2024-01-02", 9)] == 2
+
+    # source corrected for days 2+3, day 4 arrives — replay ONLY day 2
+    events({"2024-01-01": 1, "2024-01-02": 102, "2024-01-03": 103,
+            "2024-01-04": 104})
+    res = Runner(
+        spark, Project(root, target="dev"),
+        event_start="2024-01-02 00:00:00", event_end="2024-01-03 00:00:00",
+    ).run()
+    assert res[-1].status == "success" and res[-1].rows == 2
+    after = t()
+    assert len(after) == 6  # day 4 NOT built: outside the replay window
+    assert after[("2024-01-02", 9)] == 102  # replayed day updated
+    assert after[("2024-01-01", 9)] == 1  # untouched
+    assert after[("2024-01-03", 9)] == 3  # untouched (outside window)
+
+    # replaying the same day again is idempotent
+    res = Runner(
+        spark, Project(root, target="dev"),
+        event_start="2024-01-02 00:00:00", event_end="2024-01-03 00:00:00",
+    ).run()
+    assert res[-1].status == "success" and res[-1].rows == 2
+    assert t() == after
+
+    # plain incremental run: new day 4 + lookback tail (day 3) rebuild;
+    # days 1-2 are settled history and stay untouched
+    res = Runner(spark, Project(root, target="dev")).run()
+    assert res[-1].status == "success" and res[-1].rows == 4
+    final = t()
+    assert len(final) == 8
+    assert final[("2024-01-04", 9)] == 104  # new day arrived
+    assert final[("2024-01-03", 9)] == 103  # lookback day rewritten
+    assert final[("2024-01-01", 9)] == 1
+    assert final[("2024-01-02", 9)] == 102
