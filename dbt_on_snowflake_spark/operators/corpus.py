@@ -479,3 +479,92 @@ def corpus_token_budget_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bucket") >= F.col("min_bucket"))
         .select("doc_id", "lang", "n_tokens", "quality_score", "bucket")
     )
+
+
+# ------------------------------------------------------- mixture sampling
+
+# Target training-mix shares in ppm: three premium sources upweighted,
+# the long tail split evenly (3*150000 + 17*32352 = 999984 ~ 1.0).
+MIX_PREMIUM = ("src0", "src1", "src2")
+MIX_PREMIUM_PPM = 150_000
+MIX_DEFAULT_PPM = 32_352
+MIX_BUDGET_PCT = 40  # sample down to 40% of the corpus overall
+
+_MIX_TARGET_SQL = (
+    "CASE WHEN source IN ("
+    + ", ".join(f"'{s}'" for s in MIX_PREMIUM)
+    + f") THEN {MIX_PREMIUM_PPM} ELSE {MIX_DEFAULT_PPM} END"
+)
+
+
+@query(
+    "corpus_mixture_sample",
+    driver=False,  # born this round: parity-checked; rotate into r6 export
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source
+    ),
+    total AS (SELECT COUNT(*) AS n FROM documents),
+    rates AS (
+        SELECT source,
+               CAST(least(1000000,
+                    (({_MIX_TARGET_SQL}) * ((n * {MIX_BUDGET_PCT}) // 100))
+                        // cnt) AS BIGINT) AS accept_ppm
+        FROM counts, total
+    )
+    SELECT d.doc_id, d.source, r.accept_ppm,
+           CAST(('0x' || substring(md5('mix#' || CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                % 1000000 AS BIGINT) AS bucket_ppm
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE ('0x' || substring(md5('mix#' || CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+          % 1000000 < r.accept_ppm
+    """,
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data MIXING for a training run: hit a declared per-source target
+    mixture under a global token/document budget. Per-source acceptance
+    rate = min(1, target_share x budget / available) computed from the
+    actual source counts, then a deterministic md5-bucket filter — the
+    same reproducible hash-sampling idiom as ``corpus_sample_stratified``
+    (no RNG state, identical keep-set on every engine and every run).
+
+    Scale: one tiny groupBy(source) aggregate (map-side combined, a few
+    dozen rows) broadcast back onto a narrow scan-speed filter — the
+    corpus itself is never shuffled. An under-supplied source (available
+    < its share of the budget) caps at keep-everything, exactly how
+    production mixers degrade."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+    total = d.agg(F.count(F.lit(1)).alias("n"))
+    target = F.when(
+        F.col("source").isin(*MIX_PREMIUM), F.lit(MIX_PREMIUM_PPM)
+    ).otherwise(F.lit(MIX_DEFAULT_PPM))
+    # all-integer rate arithmetic (`div`, like the oracle's `//`): the
+    # ppm x budget product exceeds double precision at real corpus sizes
+    rates = counts.crossJoin(F.broadcast(total)).select(
+        "source",
+        F.expr(
+            f"least(1000000L, (({_MIX_TARGET_SQL})"
+            f" * ((n * {MIX_BUDGET_PCT}) div 100)) div cnt)"
+        )
+        .cast("long")
+        .alias("accept_ppm"),
+    )
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix#"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(1_000_000),
+    ).cast("long")
+    return (
+        d.join(F.broadcast(rates), "source")
+        .withColumn("bucket_ppm", bucket)
+        .filter(F.col("bucket_ppm") < F.col("accept_ppm"))
+        .select("doc_id", "source", "accept_ppm", "bucket_ppm")
+    )

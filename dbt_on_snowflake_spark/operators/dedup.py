@@ -895,3 +895,66 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingle_df(spark, sf_dir).join(ids, "doc_id", "left_semi")
     inc_pairs = verify_pairs(cand, sh)
     return spark.table(pairs_table).unionByName(inc_pairs)
+
+
+# ------------------------------------------------------ containment dedup
+
+CONTAINMENT_THRESHOLD = 0.9
+
+
+@query(
+    "dedup_containment",
+    driver=False,  # born this round: parity-checked; rotate into r6 export
+    oracle=f"""
+    WITH {SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           ROUND(CAST(n_common AS DOUBLE) / least(sa.n, sb.n), 4)
+               AS containment
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / least(sa.n, sb.n)
+          >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment near-dup pairs: |A∩B| / min(|A|, |B|) —
+    the quote-inclusion/subset case Jaccard misses (a paragraph pasted
+    into a much longer page has tiny Jaccard but containment ~1, and
+    MinHash-LSH rarely surfaces it because the longer doc's minima
+    dominate). Same inverted-index self-join shape as
+    ``dedup_ngram_jaccard`` (cost Σ df(shingle)² — the exact-verifier
+    bound, never all-pairs); at 100 TB run it over LSH-of-the-SHORTER-
+    side candidates or length-banded blocks."""
+    sh = shingle_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    cont = F.col("n_common").cast("double") / F.least(
+        F.col("sa.n"), F.col("sb.n")
+    )
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(cont >= CONTAINMENT_THRESHOLD)
+        .select(
+            "doc_a", "doc_b", "n_common", F.round(cont, 4).alias("containment")
+        )
+    )

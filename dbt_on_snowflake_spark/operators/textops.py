@@ -465,3 +465,67 @@ def text_unigram_rarity_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rare_ratio"),
     )
 
+
+
+# ------------------------------------------------------- PII redaction
+
+# Patterns restricted to syntax with IDENTICAL semantics in Java regex
+# (Spark) and RE2 (DuckDB): literal classes, +, {m,} — no backrefs or
+# lookaround.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+@query(
+    "text_pii_redact",
+    driver=False,  # born this round: parity-checked; rotate into r6 export
+    oracle=f"""
+    WITH raw AS (
+        SELECT doc_id,
+               text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or +1-555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{PII_EMAIL_RE}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{PII_PHONE_RE}')) AS BIGINT)
+               AS n_phones,
+           md5(regexp_replace(regexp_replace(raw, '{PII_EMAIL_RE}',
+               '[EMAIL]', 'g'), '{PII_PHONE_RE}', '[PHONE]', 'g'))
+               AS redacted_md5
+    FROM raw
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — a training-data pipeline's scrub
+    pass: count and mask email/phone matches per document. The corpus
+    text is synthetic (no organic PII), so a deterministic contact
+    string derived from doc_id is appended first — every row then
+    exercises a real match and the redaction is content-verified via
+    md5 of the redacted text against DuckDB's RE2 replacement (the
+    pattern subset used is dialect-identical).
+
+    Scale: pure narrow map (regexp_count + regexp_replace, all JVM,
+    zero shuffle); at 100 TB this runs at scan speed. Real deployments
+    swap in more patterns (SSN, IP, street addresses) — same shape."""
+    d = table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(raw, PII_EMAIL_RE, "[EMAIL]"),
+        PII_PHONE_RE,
+        "[PHONE]",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(raw, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(raw, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+        F.md5(red).alias("redacted_md5"),
+    )

@@ -157,3 +157,37 @@ def test_connected_components_durable_checkpoint(spark, tmp_path):
     labels = {r["doc_id"]: r["cluster_id"] for r in got.collect()}
     assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
     assert any(os.scandir(ckpt))  # durable checkpoint data actually landed
+
+
+def test_containment_catches_subset_duplication(spark, tmp_path):
+    """A short doc pasted verbatim into a much longer one: containment
+    1.0 but Jaccard far below the 0.8 near-dup bar — the asymmetric
+    operator finds the pair the symmetric one (correctly) rejects."""
+    import os
+
+    import pandas as pd
+
+    from dbt_on_snowflake_spark.operators.dedup import (
+        dedup_containment,
+        dedup_ngram_jaccard,
+    )
+
+    short = " ".join(f"w{i}" for i in range(20))
+    long = short + " " + " ".join(f"x{i}" for i in range(80))
+    other = " ".join(f"y{i}" for i in range(50))
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [short, long, other],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+        }
+    ).to_parquet(os.path.join(str(tmp_path), "documents.parquet"), index=False)
+
+    cont = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in dedup_containment(spark, str(tmp_path)).collect()
+    }
+    assert cont == {(1, 2): 1.0}
+    jac = dedup_ngram_jaccard(spark, str(tmp_path)).collect()
+    assert jac == []  # symmetric Jaccard misses the subset pair
