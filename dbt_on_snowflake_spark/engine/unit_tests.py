@@ -55,6 +55,9 @@ class UnitTest:
     # -> {"rows": [...], "schema": str | None}
     given: dict[tuple, dict] = field(default_factory=dict)
     expect_rows: list[dict] = field(default_factory=list)
+    # dbt `overrides: vars:` — test-local var values layered over the
+    # project's vars when compiling the model under test
+    vars_overrides: dict[str, Any] = field(default_factory=dict)
 
 
 @dataclass
@@ -107,8 +110,21 @@ def parse_unit_tests(doc: dict, models: dict, filename: str) -> list[UnitTest]:
             raise ValueError(
                 f"{filename}: unit test {name!r} has no expect rows"
             )
+        overrides = spec.get("overrides") or {}
+        unknown = sorted(set(overrides) - {"vars"})
+        if unknown:
+            raise ValueError(
+                f"{filename}: unit test {name!r}: unsupported overrides "
+                f"{unknown} (only 'vars' is supported)"
+            )
         out.append(
-            UnitTest(name=name, model=model, given=given, expect_rows=expect)
+            UnitTest(
+                name=name,
+                model=model,
+                given=given,
+                expect_rows=expect,
+                vars_overrides=overrides.get("vars") or {},
+            )
         )
     return out
 
@@ -185,7 +201,8 @@ def run_unit_tests(
 
             sql = render(
                 node.body, resolve_ref, resolve_source,
-                this=f"__ut_{ut.name}_this", variables=variables,
+                this=f"__ut_{ut.name}_this",
+                variables={**variables, **ut.vars_overrides},
             )
             actual = spark.sql(sql).collect()
             expect_cols: list[str] = []

@@ -900,3 +900,145 @@ def t_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("c").alias("n_clicked_after_view"),
         F.count("p").alias("n_purchased_after_click"),
     )
+
+
+# --- TPC-H Q2 shape: correlated min-per-group subquery (the cheapest
+# supplier per part), decorrelated into agg + equality join-back. The
+# testdata has no partsupp table; lineitem's observed unit prices stand
+# in for supply cost (same relational shape: fact grouped to candidate
+# (part, supplier) costs, min per part, equality join selects the
+# argmin rows, then dim joins).
+@query(
+    "q2_min_cost_supplier",
+    driver=False,  # born this round: parity-checked; rotate into r6 export
+    oracle="""
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               MIN((CAST(ROUND(l_extendedprice * 100) AS BIGINT) * 10000)
+                   // CAST(l_quantity AS BIGINT)) AS unit_cost
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+        SELECT l_partkey, MIN(unit_cost) AS min_cost
+        FROM cost GROUP BY l_partkey
+    )
+    SELECT p.p_partkey AS part_key,
+           p.p_brand,
+           s.s_name AS supplier_name,
+           n.n_name AS nation,
+           c.unit_cost AS min_unit_cost_micro
+    FROM cost c
+    JOIN best b ON b.l_partkey = c.l_partkey AND c.unit_cost = b.min_cost
+    JOIN part p ON p.p_partkey = c.l_partkey
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size <= 15
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest supplier per small part (argmin join-back; ties keep all
+    argmin suppliers — a deterministic SET, no arbitrary row pick).
+
+    Plan: one corpus-sized shuffle (the (part, supplier) aggregation of
+    lineitem); everything after is part-cardinality — the per-part min
+    re-shuffle and the argmin equality join-back move one skinny row
+    per (part, supplier) — plus broadcast dim joins. The unit cost is
+    SCALED-INTEGER
+    micro-dollars (cents x 10000, integer-divided by quantity): float
+    division + ROUND differs between engines exactly at half-boundaries
+    (a real mismatch caught at sf0.01), and an argmin equality join
+    cannot tolerate that — integer arithmetic is bit-identical."""
+    l = table(spark, sf_dir, "lineitem")
+    cost = (
+        l.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.expr(
+                "min((cast(round(l_extendedprice * 100) as bigint) * 10000)"
+                " div cast(l_quantity as bigint))"
+            ).alias("unit_cost")
+        )
+    )
+    best = cost.groupBy("l_partkey").agg(F.min("unit_cost").alias("min_cost"))
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    c, b = cost.alias("c"), best.alias("b")
+    return (
+        c.join(
+            b,
+            (F.col("b.l_partkey") == F.col("c.l_partkey"))
+            & (F.col("c.unit_cost") == F.col("b.min_cost")),
+        )
+        .join(p, F.col("p_partkey") == F.col("c.l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("c.l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(
+            F.col("p_partkey").alias("part_key"),
+            "p_brand",
+            F.col("s_name").alias("supplier_name"),
+            F.col("n_name").alias("nation"),
+            F.col("c.unit_cost").alias("min_unit_cost_micro"),
+        )
+    )
+
+
+# --- TPC-H Q20 shape: nested semi-joins (suppliers who moved serious
+# volume of large parts) — two IN-subqueries become two left-semi joins;
+# nothing from the inner side is projected, so no dedup/Expand appears.
+@query(
+    "q20_heavy_suppliers",
+    driver=False,  # born this round: parity-checked; rotate into r6 export
+    oracle="""
+    WITH heavy AS (
+        SELECT l_suppkey
+        FROM lineitem
+        WHERE l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_size >= 40
+        )
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(l_quantity) > 50
+    )
+    SELECT s.s_suppkey AS supplier_id,
+           s.s_name AS supplier_name,
+           n.n_name AS nation
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM heavy)
+    """,
+)
+def q20_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers with > 50 units shipped of any single large part
+    (p_size >= 40). Inner IN-subquery = left-semi of lineitem against
+    the filtered part keys (broadcast: a size-filtered dim); outer IN =
+    left-semi of supplier against the HAVING-filtered aggregate.
+    Quantities are integral doubles — plain SUM is exact and
+    engine-identical."""
+    l = table(spark, sf_dir, "lineitem")
+    big_parts = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_size") >= 40)
+        .select("p_partkey")
+    )
+    heavy = (
+        l.join(
+            F.broadcast(big_parts),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    return (
+        s.join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(
+            F.col("s_suppkey").alias("supplier_id"),
+            F.col("s_name").alias("supplier_name"),
+            F.col("n_name").alias("nation"),
+        )
+    )

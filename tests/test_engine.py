@@ -580,6 +580,47 @@ def test_unit_test_failure_modes(spark, tmp_path):
     assert "right_in" in by["ut_unmocked_input"].message
 
 
+def test_unit_test_vars_overrides(spark, tmp_path):
+    """overrides: vars: layers test-local values over project vars when
+    compiling the model under test."""
+    from dbt_on_snowflake_spark.engine.unit_tests import run_unit_tests
+
+    root = str(tmp_path / "proj")
+
+    def write(p, c):
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        open(p, "w").write(c)
+
+    write(f"{root}/project.yml", "name: utvars\nvars:\n  cutoff: 10\n")
+    write(f"{root}/models/models/big.sql",
+          "SELECT id FROM {{ ref('src_in') }} "
+          "WHERE id > {{ var('cutoff') }}")
+    write(f"{root}/models/models/schema.yml",
+          "unit_tests:\n"
+          "  - name: ut_default_var\n"
+          "    model: big\n"
+          "    given:\n"
+          "      - input: ref('src_in')\n"
+          "        rows: [{id: 5}, {id: 50}]\n"
+          "    expect:\n"
+          "      rows: [{id: 50}]\n"
+          "  - name: ut_overridden_var\n"
+          "    model: big\n"
+          "    overrides: {vars: {cutoff: 1}}\n"
+          "    given:\n"
+          "      - input: ref('src_in')\n"
+          "        rows: [{id: 5}, {id: 50}]\n"
+          "    expect:\n"
+          "      rows: [{id: 5}, {id: 50}]\n")
+    by = {
+        r.name: r for r in run_unit_tests(spark, Project(root, target="dev"))
+    }
+    assert by["ut_default_var"].status == "pass", by["ut_default_var"].message
+    assert by["ut_overridden_var"].status == "pass", (
+        by["ut_overridden_var"].message
+    )
+
+
 def test_yaml_contract_enforced(spark, tmp_path):
     """dbt-native YAML contracts (config: contract: enforced: true +
     per-column data_type): conforming model builds; drifted SELECT fails
