@@ -320,3 +320,128 @@ def t_events_hourly_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_once()
 
     return spark.read.parquet(out)
+
+
+# -------------------------------------------- streaming incremental dedup
+
+
+def dedup_stream_against_index(
+    spark: SparkSession,
+    new_docs_stream: DataFrame,
+    index_table: str,
+    cand_dir: str,
+) -> None:
+    """Continuous-ingestion dedup: drive a stream of new documents
+    through per-micro-batch probes of the persisted MinHash band index.
+    Each batch (1) generates candidates against the CURRENT index
+    (new-vs-corpus and new-vs-everything-ingested-before, via the index;
+    new-vs-new within the batch via a self-join), appending them to
+    ``cand_dir``, then (2) GROWS the index with its own band keys so
+    later batches dedup against it — every cross-batch pair is
+    discovered exactly once, in the later document's batch.
+
+    State posture: the stream itself carries NO Spark state (no
+    watermark/agg state to bound) — all cross-batch memory lives in the
+    durable bucketed index, which is exactly the artifact batch-mode
+    incremental dedup maintains. At 100 TB the index append is the only
+    write amplification, and it's the batch's own (tiny) band keys."""
+    from dbt_on_snowflake_spark.operators.dedup import (
+        INDEX_N_BUCKETS,
+        dedup_incremental_candidates,
+        minhash_band_keys,
+    )
+
+    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        cand = dedup_incremental_candidates(spark, batch_df, index_table)
+        cand.write.mode("append").parquet(cand_dir)
+        (
+            minhash_band_keys(batch_df)
+            .write.mode("append")
+            .format("parquet")
+            .bucketBy(INDEX_N_BUCKETS, "band_key")
+            .sortBy("band_key")
+            .saveAsTable(index_table)
+        )
+        # the append ran through the micro-batch's session clone; drop
+        # the driving session's cached file listing or the NEXT batch
+        # probes a stale index and silently misses cross-batch pairs
+        spark.catalog.refreshTable(index_table)
+
+    q = (
+        new_docs_stream.writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+@query(
+    "dedup_incremental_streaming",
+    driver=False,  # born this round: parity-checked; rotate into r6 export
+    oracle=None,  # set below: shares the batch verified-pairs oracle
+)
+def dedup_incremental_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-index dedup executed through Structured
+    Streaming: the corpus (doc_id % 5 != 0) builds the persisted index
+    and its verified pairs; the new batch (doc_id % 5 == 0) arrives as
+    a STREAM whose micro-batches probe-and-grow the index
+    (``dedup_stream_against_index``); accumulated candidates are
+    exact-Jaccard verified once at the end. Result — corpus pairs ∪
+    verified streamed pairs — is bit-identical to batch-mode
+    ``dedup_minhash_verified`` on the full table (shared oracle), so
+    the streaming path provably loses nothing."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from dbt_on_snowflake_spark.operators.dedup import (
+        build_minhash_index,
+        shingle_df,
+        verify_pairs,
+    )
+    from dbt_on_snowflake_spark.testdata import fan_out_scan, table
+
+    suffix = hashlib.md5(f"stream:{sf_dir}".encode()).hexdigest()[:8]
+    index_table = f"mh_stream_index_{suffix}"
+    pairs_table = f"mh_stream_corpus_pairs_{suffix}"
+    cand_dir = os.path.join(tempfile.gettempdir(), f"mh_stream_cand_{suffix}")
+    shutil.rmtree(cand_dir, ignore_errors=True)
+
+    d = fan_out_scan(spark, table(spark, sf_dir, "documents"))
+    build_minhash_index(
+        spark,
+        d.filter(F.col("doc_id") % 5 != 0),
+        index_table=index_table,
+        pairs_table=pairs_table,
+    )
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+        .filter(F.col("doc_id") % 5 == 0)
+    )
+    dedup_stream_against_index(spark, stream, index_table, cand_dir)
+
+    cand = spark.read.parquet(cand_dir).distinct()
+    ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = shingle_df(spark, sf_dir).join(ids, "doc_id", "left_semi")
+    return spark.table(pairs_table).unionByName(verify_pairs(cand, sh))
+
+
+# share the batch verified-pairs oracle (import here to avoid a cycle at
+# module import time)
+def _set_stream_dedup_oracle() -> None:
+    from dbt_on_snowflake_spark.operators.dedup import _MINHASH_VERIFIED_ORACLE
+    from dbt_on_snowflake_spark.registry import QUERIES
+
+    QUERIES["dedup_incremental_streaming"].oracle = _MINHASH_VERIFIED_ORACLE
+
+
+_set_stream_dedup_oracle()

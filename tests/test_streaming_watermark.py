@@ -87,3 +87,52 @@ def test_watermark_drops_late_event(spark, tmp_path):
     # 12:30 watermark passed it; the 13:00 window is still open
     assert got == {"10": 3.0, "11": 4.0}
     shutil.rmtree(ckpt)
+
+
+def test_stream_dedup_cross_batch_pair_found_once(spark, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1): a near-dup pair split
+    across batches is discovered exactly once — in the LATER doc's
+    batch, via the index grown by the earlier one. No stream state is
+    involved; the durable index is the only cross-batch memory."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dbt_on_snowflake_spark.operators.dedup import build_minhash_index
+    from dbt_on_snowflake_spark.streaming import dedup_stream_against_index
+
+    words = " ".join(f"w{i}" for i in range(30))
+    corpus = pd.DataFrame(
+        {"doc_id": [1], "text": [" ".join(f"z{i}" for i in range(30))]}
+    )
+    batch_dir = str(tmp_path / "incoming")
+    os.makedirs(batch_dir)
+    pd.DataFrame({"doc_id": [5], "text": [words]}).to_parquet(
+        os.path.join(batch_dir, "b1.parquet"), index=False
+    )
+    pd.DataFrame({"doc_id": [10], "text": [words + " tail"]}).to_parquet(
+        os.path.join(batch_dir, "b2.parquet"), index=False
+    )
+
+    build_minhash_index(
+        spark, spark.createDataFrame(corpus), index_table="mh_sdtest_idx"
+    )
+    cand_dir = str(tmp_path / "cand")
+    schema = spark.read.parquet(batch_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(batch_dir)
+    )
+    dedup_stream_against_index(spark, stream, "mh_sdtest_idx", cand_dir)
+
+    cand = spark.read.parquet(cand_dir).collect()  # NO distinct: raw finds
+    assert [(r.doc_a, r.doc_b) for r in cand] == [(5, 10)]
+    # the index grew by both batches' band keys
+    idx_docs = {
+        r.doc_id
+        for r in spark.table("mh_sdtest_idx").select("doc_id").distinct().collect()
+    }
+    assert idx_docs == {1, 5, 10}
