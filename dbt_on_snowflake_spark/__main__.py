@@ -182,10 +182,12 @@ def main(argv: list[str] | None = None) -> int:
 
     reuse: set[str] | None = None
     if args.cmd == "retry":
-        # dbt retry: re-run only what did not succeed last time. Failed
-        # and skipped nodes re-execute; prior successes whose table-backed
-        # relations survive on disk register as `reused` instead of
-        # rebuilding (views rebuild — they are planning-only).
+        # dbt retry: replay the prior COMMAND over only what did not
+        # succeed last time. Failed and skipped nodes re-execute; prior
+        # successes whose table-backed relations survive on disk register
+        # as `reused` instead of rebuilding (views rebuild — they are
+        # planning-only). A prior `build` replays as build, so its data
+        # and unit tests run again too.
         results_path = args.results or _os.path.join(
             args.project, "target", "run_results.json"
         )
@@ -199,11 +201,30 @@ def main(argv: list[str] | None = None) -> int:
             r for r in prior.get("results", [])
             if r.get("materialization") != "hook"
         ]
-        failed = sorted(
+        failed_nodes = {
             r["name"] for r in prior_nodes
             if r["status"] not in ("success", "reused")
             and r["name"] in project.models
-        )
+        }
+        # a build that failed ONLY on tests has all-green node results —
+        # the owning models must still be retried (they reuse from disk
+        # and re-test), or a build->retry CI chain goes green on red tests
+        rel2model = {
+            project.relation_for(m, project.models[m].config.get("schema")): m
+            for m in project.models
+        }
+        failed_test_models = {
+            rel2model[t["relation"]]
+            for t in prior.get("tests", [])
+            if t.get("status") in ("fail", "error")
+            and t.get("relation") in rel2model
+        } | {
+            u["model"]
+            for u in prior.get("unit_tests", [])
+            if u.get("status") in ("fail", "error")
+            and u.get("model") in project.models
+        }
+        failed = sorted(failed_nodes | failed_test_models)
         reuse = {
             r["name"] for r in prior_nodes
             if r["status"] in ("success", "reused")
@@ -224,10 +245,12 @@ def main(argv: list[str] | None = None) -> int:
             pass
         elif not failed:
             print("nothing to retry: prior run had no failed or skipped "
-                  "nodes")
+                  "nodes or tests")
             return 0
         else:
             args.select = ",".join(failed)
+        if prior.get("command") == "build":
+            args.cmd = "build"  # replay through the build (tested) path
 
     runner = Runner(
         spark,
@@ -252,11 +275,12 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{r.status:8s} {r.materialization:5s} {r.relation} "
                   f"({r.rows if r.rows is not None else '-'} rows, {r.seconds}s)")
         if args.out:
-            runner.write_run_results(args.out)
+            runner.write_run_results(args.out, command="run")
         # dbt always refreshes target/run_results.json — `retry` reads it,
         # so chained retries converge on the still-failing remainder
         runner.write_run_results(
-            _os.path.join(args.project, "target", "run_results.json")
+            _os.path.join(args.project, "target", "run_results.json"),
+            command="run",
         )
         runner.append_run_history(
             _os.path.join(args.project, "target", "run_history.jsonl")
@@ -271,20 +295,38 @@ def main(argv: list[str] | None = None) -> int:
         # dbt build: materialize in DAG order, testing each model as soon
         # as it lands; a failed (error-severity) test poisons the node —
         # descendants skip rather than build on bad data
+        from dbt_on_snowflake_spark.engine.dag import select as dag_select
         from dbt_on_snowflake_spark.engine.testing import TestRunner
         from dbt_on_snowflake_spark.engine.unit_tests import run_unit_tests
-
-        # dbt build runs unit tests up front: they need no materialized
-        # state, so logic bugs surface before anything is built
-        ut_results = run_unit_tests(spark, project)
-        for u in ut_results:
-            print(f"{u.status:5s} unit {u.name} on {u.model}"
-                  + (f" ({u.message})" if u.message else ""))
 
         state = None
         if getattr(args, "state", None):
             with open(args.state) as f:
                 state = json.load(f)
+
+        # dbt build runs unit tests up front: they need no materialized
+        # state, so logic bugs surface before anything is built. Scoped
+        # to the selection — an unrelated model's failing unit test must
+        # not fail a selected build.
+        sel_models = (
+            set(dag_select(project, args.select, state=state,
+                           exclude=args.exclude))
+            if (args.select or args.exclude)
+            else None
+        )
+        ut_results = run_unit_tests(spark, project, models=sel_models)
+        for u in ut_results:
+            print(f"{u.status:5s} unit {u.name} on {u.model}"
+                  + (f" ({u.message})" if u.message else ""))
+        # dbt semantics: a model whose unit test failed is SKIPPED (with
+        # its descendants) — its logic is provably broken, so it must not
+        # overwrite good data
+        ut_blocked = {
+            u.model: f"unit test {u.name} {u.status}"
+            for u in ut_results
+            if u.status in ("fail", "error")
+        }
+
         tr = TestRunner(spark, custom=project.package_tests)
 
         def gate(name: str) -> bool:
@@ -292,7 +334,8 @@ def main(argv: list[str] | None = None) -> int:
             return all(r.status in ("pass", "warn") for r in res)
 
         results = runner.run(
-            args.select, state=state, exclude=args.exclude, test_hook=gate
+            args.select, state=state, exclude=args.exclude, test_hook=gate,
+            blocked=ut_blocked,
         )
         for r in results:
             print(f"{r.status:8s} {r.materialization:5s} {r.relation} "
@@ -302,12 +345,17 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{t.status:5s} test {t.name} on {t.relation}{col} "
                   f"(failures={t.failures})")
         if args.out:
-            runner.write_run_results(args.out)
+            runner.write_run_results(
+                args.out, command="build", tests=tr.results,
+                unit_tests=ut_results,
+            )
         # dbt writes target/run_results.json for build too (and `retry`
         # reads it) — without this a retry after a failed build operates
-        # on a stale prior run's results
+        # on a stale prior run's results. Tests + unit tests are part of
+        # the payload so a tests-only failure is retryable.
         runner.write_run_results(
-            _os.path.join(args.project, "target", "run_results.json")
+            _os.path.join(args.project, "target", "run_results.json"),
+            command="build", tests=tr.results, unit_tests=ut_results,
         )
         runner.append_run_history(
             _os.path.join(args.project, "target", "run_history.jsonl")
@@ -320,10 +368,16 @@ def main(argv: list[str] | None = None) -> int:
         return 0 if not bad_models and not bad_tests and not bad_units else 1
 
     if args.cmd == "test":
+        from dbt_on_snowflake_spark.engine.dag import select as dag_select
         from dbt_on_snowflake_spark.engine.testing import TestRunner
         from dbt_on_snowflake_spark.engine.unit_tests import run_unit_tests
 
-        ut_results = run_unit_tests(spark, project)
+        sel_models = (
+            set(dag_select(project, args.select, exclude=args.exclude))
+            if (args.select or args.exclude)
+            else None
+        )
+        ut_results = run_unit_tests(spark, project, models=sel_models)
         for u in ut_results:
             print(f"{u.status:5s} unit {u.name} on {u.model}"
                   + (f" ({u.message})" if u.message else ""))

@@ -435,13 +435,11 @@ class Project:
     def _load_exposures(self) -> list[Exposure]:
         """dbt ``exposures:`` in any models/**/*.yml: declared downstream
         consumers with ``depends_on`` entries in ref()/source() syntax,
-        validated against the project's models and sources at load."""
-        import re as _re
+        validated against the project's models and sources at load. The
+        dep grammar is the unit-test input grammar — one regex, not two
+        drifting copies."""
+        from dbt_on_snowflake_spark.engine.unit_tests import _INPUT_RE
 
-        ref_re = _re.compile(r"^\s*ref\(\s*['\"]([\w.]+)['\"]\s*\)\s*$")
-        src_re = _re.compile(
-            r"^\s*source\(\s*['\"]([\w.]+)['\"]\s*,\s*['\"]([\w.]+)['\"]\s*\)\s*$"
-        )
         out: list[Exposure] = []
         seen: set[str] = set()
         mdir = os.path.join(self.root, "models")
@@ -467,17 +465,16 @@ class Project:
                         )
                     model_refs, source_refs = [], []
                     for dep in e.get("depends_on", []) or []:
-                        m = ref_re.match(str(dep))
-                        s = src_re.match(str(dep))
-                        if m:
+                        m = _INPUT_RE.match(str(dep))
+                        if m and m.group(1):
                             if m.group(1) not in self.models:
                                 raise ValueError(
                                     f"{fn}: exposure {name!r} depends on "
                                     f"unknown model {m.group(1)!r}"
                                 )
                             model_refs.append(m.group(1))
-                        elif s:
-                            key = (s.group(1), s.group(2))
+                        elif m:
+                            key = (m.group(2), m.group(3))
                             if key not in self.sources:
                                 raise ValueError(
                                     f"{fn}: exposure {name!r} depends on "

@@ -292,6 +292,7 @@ class Runner:
         state: dict | None = None,
         exclude: str | None = None,
         test_hook: "Callable[[str], bool] | None" = None,
+        blocked: dict[str, str] | None = None,
     ) -> list[NodeResult]:
         """Execute the selected models in topological order with dbt-style
         per-node isolation: a failing model marks its descendants skipped
@@ -301,7 +302,10 @@ class Runner:
         for ``state:modified`` selection. ``test_hook(name) -> bool``, when
         given, runs after each successful materialization (dbt build):
         returning False marks the node's data untrusted — its descendants
-        skip, exactly like a model failure."""
+        skip, exactly like a model failure. ``blocked`` maps node names
+        to a reason for NOT building them at all (dbt build skips a
+        model whose unit test failed, plus its descendants) — blocked
+        nodes record ``skipped`` without executing."""
         self.load_sources()
         if not self._run_project_hooks("on_run_start"):
             # dbt semantics: a failing on-run-start hook aborts the
@@ -310,7 +314,9 @@ class Runner:
             self._run_project_hooks("on_run_end")
             return self.results
         try:
-            return self._run_selected(selector, state, exclude, test_hook)
+            return self._run_selected(
+                selector, state, exclude, test_hook, blocked or {}
+            )
         finally:
             self._run_project_hooks("on_run_end")
 
@@ -362,7 +368,9 @@ class Runner:
         state: dict | None,
         exclude: str | None,
         test_hook: "Callable[[str], bool] | None",
+        blocked: dict[str, str] | None = None,
     ) -> list[NodeResult]:
+        blocked = blocked or {}
         # with --defer, selection atoms resolve literally: unselected
         # ancestors are read from the deferred namespace, not rebuilt
         order = select(
@@ -396,6 +404,19 @@ class Runner:
             without needing execution."""
             node = self.project.models[name]
             mat = self.project.materialization_for(node)
+            if name in blocked:
+                dead.add(name)
+                if mat != "ephemeral":
+                    self.results.append(
+                        NodeResult(
+                            name, "skipped", mat,
+                            self.project.relation_for(
+                                name, node.config.get("schema")
+                            ),
+                            None, 0.0, blocked[name],
+                        )
+                    )
+                return True
             bad_upstream = sorted(r for r in node.refs if r in dead)
             if bad_upstream:
                 dead.add(name)
@@ -477,7 +498,7 @@ class Runner:
             self._register_table(
                 relation,
                 merge_schema=node.config.get("incremental_strategy")
-                == "insert_overwrite",
+                in ("insert_overwrite", "microbatch"),
             )
             return NodeResult(
                 node.name, "reused", mat, relation, None,
@@ -586,12 +607,14 @@ class Runner:
                 and not self.full_refresh
             )
             if incremental:
-                # {{ this }} must resolve; insert_overwrite targets may
-                # hold heterogeneous footers after append_new_columns
+                # {{ this }} must resolve; insert_overwrite and
+                # microbatch targets may hold heterogeneous footers
+                # after append_new_columns (microbatch always registers
+                # merged — its own materializer does too)
                 self._register_table(
                     relation,
                     merge_schema=node.config.get("incremental_strategy")
-                    == "insert_overwrite",
+                    in ("insert_overwrite", "microbatch"),
                 )
             sql = render(
                 node.body,
@@ -883,6 +906,10 @@ class Runner:
             df = df.filter(
                 F.col(event_time) >= F.lit(str(begin)).cast("timestamp")
             )
+        # rows with NULL event_time belong to no batch — dbt's
+        # event-time range filters drop them too; keeping them would
+        # crash the batch-key sort (None vs str) or invent a partition
+        df = df.filter(F.col(event_time).isNotNull())
         dfb = df.withColumn(
             bcol,
             F.date_format(
@@ -922,15 +949,37 @@ class Runner:
         return total
 
     # -- artifacts --------------------------------------------------------
-    def _results_payload(self) -> dict:
-        return {
+    def _results_payload(
+        self,
+        command: str | None = None,
+        tests: list | None = None,
+        unit_tests: list | None = None,
+    ) -> dict:
+        """``command``/``tests``/``unit_tests`` make run_results.json a
+        complete retry input: dbt retry replays the recorded COMMAND, and
+        a build that failed only on tests must not read as all-green
+        (its node results are all successes)."""
+        payload = {
             "elapsed": round(sum(r.seconds for r in self.results), 3),
             "target": self.project.target,
             "results": [asdict(r) for r in self.results],
         }
+        if command is not None:
+            payload["command"] = command
+        if tests is not None:
+            payload["tests"] = [asdict(t) for t in tests]
+        if unit_tests is not None:
+            payload["unit_tests"] = [asdict(u) for u in unit_tests]
+        return payload
 
-    def write_run_results(self, path: str) -> None:
-        payload = self._results_payload()
+    def write_run_results(
+        self,
+        path: str,
+        command: str | None = None,
+        tests: list | None = None,
+        unit_tests: list | None = None,
+    ) -> None:
+        payload = self._results_payload(command, tests, unit_tests)
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         with open(path, "w") as f:
             json.dump(payload, f, indent=2)

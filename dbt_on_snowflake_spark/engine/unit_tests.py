@@ -106,10 +106,12 @@ def parse_unit_tests(doc: dict, models: dict, filename: str) -> list[UnitTest]:
                 )
             given[key] = {"rows": rows, "schema": schema}
         expect = (spec.get("expect") or {}).get("rows")
-        if not expect:
+        if expect is None:
             raise ValueError(
                 f"{filename}: unit test {name!r} has no expect rows"
             )
+        # expect: rows: [] is a VALID declaration (assert zero output
+        # rows — e.g. a filter that must reject every mock row)
         overrides = spec.get("overrides") or {}
         unknown = sorted(set(overrides) - {"vars"})
         if unknown:
@@ -145,13 +147,41 @@ def _norm(v: Any) -> Any:
     return str(v)
 
 
+def _coerce(v: Any, dt) -> Any:
+    """YAML scalars -> what createDataFrame accepts for a declared type:
+    floats/ints to Decimal for DecimalType, ISO strings to date/datetime
+    for temporal types. Anything else passes through (createDataFrame's
+    own validation reports remaining mismatches)."""
+    import datetime as _dt
+    from decimal import Decimal as _Dec
+
+    from pyspark.sql import types as T
+
+    if v is None:
+        return None
+    if isinstance(dt, T.DecimalType) and isinstance(v, (int, float, str)):
+        return _Dec(str(v))
+    if isinstance(dt, T.DateType) and isinstance(v, str):
+        return _dt.date.fromisoformat(v)
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)) and isinstance(v, str):
+        return _dt.datetime.fromisoformat(v)
+    if isinstance(dt, T.DoubleType | T.FloatType) and isinstance(v, int):
+        return float(v)
+    return v
+
+
 def _mock_df(spark: SparkSession, rows: list[dict], schema: str | None):
     if schema:
-        data = None
-        if rows:
-            cols = [c.split()[0] for c in schema.split(",")]
-            data = [tuple(r.get(c.strip()) for c in cols) for r in rows]
-        return spark.createDataFrame(data or [], schema=schema)
+        # parse with Spark's own DDL parser — a naive split(',') breaks
+        # on parametrized/nested types (decimal(10,2), map<k,v>, ...)
+        from pyspark.sql.types import _parse_datatype_string
+
+        struct = _parse_datatype_string(schema)
+        data = [
+            tuple(_coerce(r.get(f.name), f.dataType) for f in struct.fields)
+            for r in rows
+        ]
+        return spark.createDataFrame(data, schema=struct)
     # union of keys across rows, first-seen order; Spark infers types
     cols: list[str] = []
     for r in rows:
@@ -162,17 +192,24 @@ def _mock_df(spark: SparkSession, rows: list[dict], schema: str | None):
 
 
 def run_unit_tests(
-    spark: SparkSession, project, only: set[str] | None = None
+    spark: SparkSession,
+    project,
+    only: set[str] | None = None,
+    models: set[str] | None = None,
 ) -> list[UnitTestResult]:
     """Execute the project's unit tests; nothing is materialized and no
     real source is read — each test compiles its model's SQL against
-    temp views built from the mock rows."""
+    temp views built from the mock rows. ``only`` filters by test name;
+    ``models`` scopes to tests whose model is in the given selection
+    (dbt: a selected build runs only the selection's unit tests)."""
     from dbt_on_snowflake_spark.engine.compile import render
 
     results = []
     variables = project.config.get("vars") or {}
     for ut in project.unit_tests:
         if only is not None and ut.name not in only:
+            continue
+        if models is not None and ut.model not in models:
             continue
         node = project.models[ut.model]
         try:
@@ -219,12 +256,19 @@ def run_unit_tests(
                     f"expected columns {missing} absent from model output "
                     f"{sorted(actual[0].asDict())}"
                 )
+            # repr-keyed sort: tuples mixing None with values are not
+            # orderable directly, and a tie on leading columns would
+            # otherwise crash the comparison of a correct result
             got = sorted(
-                tuple(_norm(r[c]) for c in expect_cols) for r in actual
+                (tuple(_norm(r[c]) for c in expect_cols) for r in actual),
+                key=repr,
             )
             want = sorted(
-                tuple(_norm(r.get(c)) for c in expect_cols)
-                for r in ut.expect_rows
+                (
+                    tuple(_norm(r.get(c)) for c in expect_cols)
+                    for r in ut.expect_rows
+                ),
+                key=repr,
             )
             if got == want:
                 results.append(UnitTestResult(ut.name, ut.model, "pass"))

@@ -824,7 +824,11 @@ def build_minhash_index(
 
 
 def dedup_incremental_candidates(
-    spark: SparkSession, new_docs: DataFrame, index_table: str
+    spark: SparkSession,
+    new_docs: DataFrame | None,
+    index_table: str,
+    *,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs of a NEW document batch against a
     persisted corpus index plus within the batch itself — the
@@ -835,8 +839,14 @@ def dedup_incremental_candidates(
     Scale shape: the corpus index (the huge side at 100 TB) is NEVER
     shuffled — the probe join reads its buckets in place and only the
     new batch's band keys move; the batch self-join is quadratic only
-    within shared buckets, like every LSH join here."""
-    new_bands = minhash_band_keys(new_docs)
+    within shared buckets, like every LSH join here.
+
+    Pass ``bands`` (precomputed ``minhash_band_keys`` output, ideally
+    checkpointed) when the caller also needs the keys for something
+    else — e.g. the streaming path appends them to the index after
+    probing — so the minhash pass over the batch runs once, not per
+    consumer."""
+    new_bands = bands if bands is not None else minhash_band_keys(new_docs)
     idx = spark.table(index_table)
     n, i = new_bands.alias("n"), idx.alias("i")
     vs_corpus = (

@@ -352,11 +352,16 @@ def dedup_stream_against_index(
     )
 
     def handle(batch_df: DataFrame, _batch_id: int) -> None:
-        cand = dedup_incremental_candidates(spark, batch_df, index_table)
+        # one minhash pass per batch: the band keys feed BOTH the probe
+        # and the index append, so materialize them once (the shingle
+        # explode + hashing is the dominant per-batch compute)
+        bands = minhash_band_keys(batch_df).localCheckpoint()
+        cand = dedup_incremental_candidates(
+            spark, None, index_table, bands=bands
+        )
         cand.write.mode("append").parquet(cand_dir)
         (
-            minhash_band_keys(batch_df)
-            .write.mode("append")
+            bands.write.mode("append")
             .format("parquet")
             .bucketBy(INDEX_N_BUCKETS, "band_key")
             .sortBy("band_key")

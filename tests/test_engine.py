@@ -1511,3 +1511,162 @@ def test_build_writes_run_results_for_retry(spark, tmp_path, capsys):
     assert main(["retry", "--project", root]) == 0
     capsys.readouterr()
     assert spark.table("dev_mb").count() == 2
+
+
+def test_retry_after_test_only_build_failure(spark, tmp_path, capsys):
+    """A build whose models all succeed but whose data test fails must
+    be retryable: run_results records the command and test outcomes, so
+    `retry` replays the BUILD path for the owning model (reused from
+    disk, re-tested) instead of exiting 0 with 'nothing to retry'."""
+    from dbt_on_snowflake_spark.__main__ import main
+
+    root = str(tmp_path / "proj")
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    pd.DataFrame({"id": [1, 2, -5]}).to_parquet(
+        os.path.join(data, "t.parquet"), index=False
+    )
+
+    def write(p, c):
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        open(p, "w").write(c)
+
+    write(f"{root}/project.yml",
+          "name: rtb\nmodels:\n  models:\n    materialized: table\n")
+    write(f"{root}/sources.yml",
+          f"sources:\n  - name: raw\n    base_path: \"{data}\"\n"
+          "    tables:\n      - name: t\n")
+    write(f"{root}/models/models/mt.sql",
+          "SELECT id FROM {{ source('raw', 't') }}")
+    write(f"{root}/models/models/schema.yml",
+          "models:\n  - name: mt\n    columns:\n"
+          "      - name: id\n        tests:\n"
+          "          - accepted_range: {min_value: 0}\n")
+
+    assert main(["build", "--project", root]) == 1  # test fails, model ok
+    capsys.readouterr()
+    doc = json.load(open(f"{root}/target/run_results.json"))
+    assert doc["command"] == "build"
+    assert any(t["status"] == "fail" for t in doc["tests"])
+    assert all(r["status"] == "success" for r in doc["results"])
+
+    # retry with the data still bad: replays build, test fails again
+    assert main(["retry", "--project", root]) == 1
+    out = capsys.readouterr().out
+    assert "nothing to retry" not in out
+
+    # fix the data: retry still fails — it REUSES the stale table and
+    # only re-tests it (dbt retry semantics: successes are not rebuilt);
+    # a fresh build rematerializes from the fixed source and goes green
+    pd.DataFrame({"id": [1, 2, 5]}).to_parquet(
+        os.path.join(data, "t.parquet"), index=False
+    )
+    assert main(["retry", "--project", root]) == 1
+    capsys.readouterr()
+    assert main(["build", "--project", root]) == 0
+    capsys.readouterr()
+
+
+def test_build_skips_models_with_failing_unit_tests(spark, tmp_path, capsys):
+    """dbt build: a model whose unit test fails is SKIPPED (it must not
+    overwrite good data with provably-broken logic) and its descendants
+    skip with it; --select scoping keeps an unrelated model's failing
+    unit test from poisoning a selected build."""
+    from dbt_on_snowflake_spark.__main__ import main
+
+    root = str(tmp_path / "proj")
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    pd.DataFrame({"id": [1, 2]}).to_parquet(
+        os.path.join(data, "t.parquet"), index=False
+    )
+
+    def write(p, c):
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        open(p, "w").write(c)
+
+    write(f"{root}/project.yml",
+          "name: utskip\nmodels:\n  models:\n    materialized: table\n")
+    write(f"{root}/sources.yml",
+          f"sources:\n  - name: raw\n    base_path: \"{data}\"\n"
+          "    tables:\n      - name: t\n")
+    write(f"{root}/models/models/broken.sql",
+          "SELECT id * 2 AS id2 FROM {{ source('raw', 't') }}")
+    write(f"{root}/models/models/child_of_broken.sql",
+          "SELECT id2 FROM {{ ref('broken') }}")
+    write(f"{root}/models/models/fine.sql",
+          "SELECT id FROM {{ source('raw', 't') }}")
+    write(f"{root}/models/models/schema.yml",
+          "unit_tests:\n"
+          "  - name: ut_broken_logic\n"
+          "    model: broken\n"
+          "    given:\n"
+          "      - input: ref(...)\n")  # placeholder, rewritten below
+    write(f"{root}/models/models/schema.yml",
+          "unit_tests:\n"
+          "  - name: ut_broken_logic\n"
+          "    model: broken\n"
+          "    given:\n"
+          "      - input: source('raw', 't')\n"
+          "        rows: [{id: 3}]\n"
+          "    expect:\n"
+          "      rows: [{id2: 999}]\n")  # wrong on purpose
+
+    assert main(["build", "--project", root]) == 1
+    out = capsys.readouterr().out
+    doc = json.load(open(f"{root}/target/run_results.json"))
+    by = {r["name"]: r["status"] for r in doc["results"]}
+    assert by["broken"] == "skipped"
+    assert by["child_of_broken"] == "skipped"
+    assert by["fine"] == "success"
+    assert "fail" in out and "ut_broken_logic" in out
+
+    # scoped build of the unrelated model: the broken unit test is out
+    # of scope and must not fail the invocation
+    assert main(["build", "--project", root, "--select", "fine"]) == 0
+    capsys.readouterr()
+
+
+def test_unit_test_empty_expect_and_typed_schema(spark, tmp_path):
+    """expect: rows: [] asserts zero output rows; a parametrized mock
+    schema (decimal(10,2)) parses; None-vs-value ties in the row sort
+    don't crash the comparison."""
+    from dbt_on_snowflake_spark.engine.unit_tests import run_unit_tests
+
+    root = str(tmp_path / "proj")
+
+    def write(p, c):
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        open(p, "w").write(c)
+
+    write(f"{root}/project.yml", "name: utedge\n")
+    write(f"{root}/models/models/filt.sql",
+          "SELECT id, price FROM {{ ref('src_in') }} WHERE price > 100")
+    write(f"{root}/models/models/nulls.sql",
+          "SELECT grp, v FROM {{ ref('nsrc') }}")
+    write(f"{root}/models/models/schema.yml",
+          "unit_tests:\n"
+          "  - name: ut_filter_rejects_all\n"
+          "    model: filt\n"
+          "    given:\n"
+          "      - input: ref('src_in')\n"
+          "        schema: \"id bigint, price decimal(10,2)\"\n"
+          "        rows: [{id: 1, price: 5.50}, {id: 2, price: 99.99}]\n"
+          "    expect:\n"
+          "      rows: []\n"
+          "  - name: ut_null_tie_sort\n"
+          "    model: nulls\n"
+          "    given:\n"
+          "      - input: ref('nsrc')\n"
+          "        rows: [{grp: 1, v: null}, {grp: 1, v: 2}]\n"
+          "    expect:\n"
+          "      rows: [{grp: 1, v: 2}, {grp: 1, v: null}]\n")
+    by = {
+        r.name: r for r in run_unit_tests(spark, Project(root, target="dev"))
+    }
+    assert by["ut_filter_rejects_all"].status == "pass", (
+        by["ut_filter_rejects_all"].message
+    )
+    assert by["ut_null_tie_sort"].status == "pass", (
+        by["ut_null_tie_sort"].message
+    )

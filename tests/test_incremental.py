@@ -685,6 +685,10 @@ def test_microbatch_day_replay_idempotent(spark, tmp_path):
                 rows.append(
                     {"user_id": h, "ts": f"{day} {h:02d}:00:00", "val": val}
                 )
+        # a NULL event_time row belongs to no batch: it must be dropped
+        # (dbt's event-time range filter semantics), not crash the
+        # batch-key sort or invent a null partition
+        rows.append({"user_id": 99, "ts": None, "val": -1})
         frame = pd.DataFrame(rows)
         frame["ts"] = pd.to_datetime(frame["ts"]).astype("datetime64[us]")
         frame.to_parquet(os.path.join(data, "ev.parquet"), index=False)
