@@ -568,3 +568,68 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bucket_ppm") < F.col("accept_ppm"))
         .select("doc_id", "source", "accept_ppm", "bucket_ppm")
     )
+
+
+# ------------------------------------------------------ sequence packing
+
+PACK_SEQ_LEN = 2048  # token budget per training sequence
+
+
+@query(
+    "corpus_pack_sequences",
+    driver=False,  # born this round: parity-checked; rotate into r6 export
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, lang, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM t
+    )
+    SELECT doc_id, lang, n_tokens,
+           (cum - n_tokens) // {PACK_SEQ_LEN} AS pack_id,
+           (cum - n_tokens) % {PACK_SEQ_LEN} AS offset_in_pack
+    FROM c
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE PACKING for training: assign every document a position
+    in a per-language stream of fixed PACK_SEQ_LEN-token packs — doc goes to
+    the pack where its START token falls (pack_id = floor(prefix_tokens
+    / seq_len), offset = prefix_tokens % seq_len). Start-based
+    assignment is the deterministic, one-window-pass contract: a doc
+    straddling a boundary overflows its pack and the loader
+    splits/truncates at materialization (standard practice); greedy
+    restart-at-boundary packing is inherently sequential and buys ~2%
+    fewer pad tokens for an unparallelizable scan.
+
+    Scale: one range-partitioned sort per language (Spark window —
+    sort-based, spills to disk, never an in-memory buffer); at 100 TB
+    parallelism within a language comes from range partitioning on
+    doc_id, and the downstream shard writer reads (lang, pack_id)
+    contiguously."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return t.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        (start / PACK_SEQ_LEN).cast("long").alias("pack_id"),
+        F.pmod(start, F.lit(PACK_SEQ_LEN)).cast("long").alias("offset_in_pack"),
+    )
