@@ -191,3 +191,27 @@ def test_containment_catches_subset_duplication(spark, tmp_path):
     assert cont == {(1, 2): 1.0}
     jac = dedup_ngram_jaccard(spark, str(tmp_path)).collect()
     assert jac == []  # symmetric Jaccard misses the subset pair
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing invariants the oracle hash can't articulate: offsets are
+    inside the sequence budget, pack ids are dense from 0 per language,
+    and each document's start equals the running token total before it."""
+    from dbt_on_snowflake_spark.operators.corpus import (
+        PACK_SEQ_LEN,
+        corpus_pack_sequences,
+    )
+
+    rows = corpus_pack_sequences(spark, SF_SMOKE).collect()
+    assert rows
+    by_lang: dict = {}
+    for r in rows:
+        assert 0 <= r.offset_in_pack < PACK_SEQ_LEN
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, docs in by_lang.items():
+        docs.sort(key=lambda r: r.doc_id)
+        running = 0
+        for r in docs:
+            assert r.pack_id == running // PACK_SEQ_LEN, (lang, r)
+            assert r.offset_in_pack == running % PACK_SEQ_LEN, (lang, r)
+            running += r.n_tokens

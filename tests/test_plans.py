@@ -207,6 +207,31 @@ def test_incremental_index_probe_no_index_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_pii_redact_is_shuffle_free(spark):
+    """PII detection/redaction is a pure narrow map — zero exchanges at
+    any scale (regexp work rides the scan)."""
+    plan = plan_of(spark, "text_pii_redact")
+    assert count_shuffles(plan) == 0
+
+
+def test_mixture_sample_broadcasts_rates(spark):
+    """corpus_mixture_sample: the corpus is never shuffled — the only
+    exchanges aggregate the tiny per-source counts, and the rate table
+    joins back via broadcast."""
+    df = Q["corpus_mixture_sample"].fn(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert count_shuffles(plan) <= 2  # source counts + total, both tiny
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_pack_sequences_single_window_pass(spark):
+    """Sequence packing is ONE range-partitioned window pass: a single
+    exchange (the per-language sort), no join, no second aggregation."""
+    plan = plan_of(spark, "corpus_pack_sequences")
+    assert count_shuffles(plan) == 1
+    assert "Window" in plan
+
+
 def test_salted_join_matches_plain_join_under_skew(spark):
     """Salting is a pure physical rewrite: on data with one massive hot
     key, the salted join returns exactly the plain join's rows, and the
