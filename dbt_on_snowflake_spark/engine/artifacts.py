@@ -22,6 +22,31 @@ def _file_checksum(path: str) -> str:
     with open(path, "rb") as f:
         return hashlib.md5(f.read()).hexdigest()
 
+
+def node_checksum(project, name: str) -> str:
+    """A model node's state:modified checksum: the SQL/Python file bytes
+    PLUS its schema.yml declaration (tests, contract) — dbt treats a
+    contract or test edit as a modification (the model's guarantees
+    changed even though its body didn't), so a CI state:modified build
+    re-runs and re-tests it."""
+    node = project.models[name]
+    h = hashlib.md5()
+    with open(node.path, "rb") as f:
+        h.update(f.read())
+    mt = project.model_tests.get(name)
+    if mt is not None:
+        h.update(
+            repr(
+                (
+                    sorted(mt.columns.items()),
+                    mt.tests,
+                    mt.contract_enforced,
+                    sorted(mt.column_types.items()),
+                )
+            ).encode()
+        )
+    return h.hexdigest()
+
 from dbt_on_snowflake_spark.engine.dag import build_graph, toposort
 from dbt_on_snowflake_spark.engine.project import Project
 
@@ -40,9 +65,10 @@ def build_manifest(project: Project) -> dict[str, Any]:
             "refs": sorted(node.refs),
             "sources": [list(s) for s in sorted(node.sources)],
             "config": dict(node.config),
-            # file-content checksum: the state:modified selector diffs
-            # these against a prior manifest to build only changed models
-            "checksum": _file_checksum(node.path),
+            # content checksum (file + schema.yml tests/contract): the
+            # state:modified selector diffs these against a prior
+            # manifest to build only changed models
+            "checksum": node_checksum(project, name),
         }
     edges = sorted(
         [up, down] for down, ups in graph.items() for up in ups

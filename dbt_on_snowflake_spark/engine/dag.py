@@ -63,7 +63,10 @@ def modified_models(project: Project, state: dict) -> set[str]:
     rebuild only what changed. A model ref'ing a seed whose CSV checksum
     changed is modified too: its input data changed even though its own
     file didn't."""
-    from dbt_on_snowflake_spark.engine.artifacts import _file_checksum
+    from dbt_on_snowflake_spark.engine.artifacts import (
+        _file_checksum,
+        node_checksum,
+    )
 
     prior = {
         name: node.get("checksum")
@@ -81,7 +84,7 @@ def modified_models(project: Project, state: dict) -> set[str]:
     return {
         name
         for name, node in project.models.items()
-        if prior.get(name) != _file_checksum(node.path)
+        if prior.get(name) != node_checksum(project, name)
         or any(r in changed_seeds for r in node.refs)
     }
 

@@ -1670,3 +1670,35 @@ def test_unit_test_empty_expect_and_typed_schema(spark, tmp_path):
     assert by["ut_null_tie_sort"].status == "pass", (
         by["ut_null_tie_sort"].message
     )
+
+
+def test_state_modified_detects_schema_yml_edits(spark, tmp_path):
+    """state:modified treats a schema.yml contract/test edit as a
+    modification (dbt semantics: the model's guarantees changed), not
+    just a body edit."""
+    from dbt_on_snowflake_spark.engine.artifacts import build_manifest
+    from dbt_on_snowflake_spark.engine.dag import modified_models
+
+    root = str(tmp_path / "proj")
+
+    def write(p, c):
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        open(p, "w").write(c)
+
+    write(f"{root}/project.yml", "name: smy\n")
+    write(f"{root}/models/models/m.sql", "SELECT 1 AS id")
+    write(f"{root}/models/models/schema.yml",
+          "models:\n  - name: m\n    columns:\n"
+          "      - name: id\n        tests: [not_null]\n")
+    manifest = build_manifest(Project(root, target="dev"))
+
+    # unchanged project: nothing modified
+    assert modified_models(Project(root, target="dev"), manifest) == set()
+
+    # tighten the declaration only — the body is untouched
+    write(f"{root}/models/models/schema.yml",
+          "models:\n  - name: m\n"
+          "    config: {contract: {enforced: true}}\n"
+          "    columns:\n"
+          "      - {name: id, data_type: int, tests: [not_null]}\n")
+    assert modified_models(Project(root, target="dev"), manifest) == {"m"}
