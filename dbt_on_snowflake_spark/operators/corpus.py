@@ -573,11 +573,11 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------ sequence packing
 
 PACK_SEQ_LEN = 2048  # token budget per training sequence
+PACK_CHUNK_DOCS = 256  # doc_id-range width of one packing chunk
 
 
 @query(
     "corpus_pack_sequences",
-    driver=False,  # born this round: parity-checked; rotate into r6 export
     oracle=f"""
     WITH t AS (
         SELECT doc_id, lang,
@@ -603,33 +603,79 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     in a per-language stream of fixed PACK_SEQ_LEN-token packs — doc goes to
     the pack where its START token falls (pack_id = floor(prefix_tokens
     / seq_len), offset = prefix_tokens % seq_len). Start-based
-    assignment is the deterministic, one-window-pass contract: a doc
-    straddling a boundary overflows its pack and the loader
-    splits/truncates at materialization (standard practice); greedy
-    restart-at-boundary packing is inherently sequential and buys ~2%
-    fewer pad tokens for an unparallelizable scan.
+    assignment is the deterministic contract: a doc straddling a
+    boundary overflows its pack and the loader splits/truncates at
+    materialization (standard practice); greedy restart-at-boundary
+    packing is inherently sequential and buys ~2% fewer pad tokens for
+    an unparallelizable scan.
 
-    Scale: one range-partitioned sort per language (Spark window —
-    sort-based, spills to disk, never an in-memory buffer); at 100 TB
-    parallelism within a language comes from range partitioning on
-    doc_id, and the downstream shard writer reads (lang, pack_id)
-    contiguously."""
+    TWO-LEVEL PREFIX SUM (the scale shape). A naive
+    ``Window.partitionBy(lang).orderBy(doc_id)`` funnels a language's
+    ENTIRE token stream through one task — with ~30 languages that is 30
+    sorters for 100 TB. Instead:
+
+      1. chunk by ``doc_id div PACK_CHUNK_DOCS`` — order-preserving
+         ranges, so chunk k's docs all precede chunk k+1's;
+      2. per-(lang, chunk) token sums — map-side-combined aggregate whose
+         shuffle is ~|langs|x|chunks| rows, not the corpus;
+      3. exclusive prefix sum of chunk sums per language — a window over
+         the TINY chunk table (single partition per language is fine:
+         rows = chunk count, not doc count);
+      4. broadcast the chunk start-offsets back and run the intra-chunk
+         window partitioned by (lang, chunk): every chunk is an
+         independent task, so within-language parallelism =
+         corpus_size / PACK_CHUNK_DOCS.
+
+    Identical output to the single-window form (the DuckDB oracle IS the
+    single-window form) because start = chunk_start + local_prefix. All
+    arithmetic is integer (``div`` / ``%`` on BIGINT) — no float
+    round-trip to diverge from the oracle past 2^53 cumulative tokens."""
     d = table(spark, sf_dir, "documents")
     t = d.select(
         "doc_id",
         "lang",
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
-    )
-    w = (
+    ).withColumn("pack_chunk", F.expr(f"doc_id div {PACK_CHUNK_DOCS}"))
+
+    # (2) tiny per-chunk totals, then (3) per-language exclusive prefix
+    # over chunks — tiny: one row per (lang, chunk-range).
+    w_chunks = (
         Window.partitionBy("lang")
+        .orderBy("pack_chunk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    chunk_offsets = (
+        t.groupBy("lang", "pack_chunk")
+        .agg(F.sum("n_tokens").alias("chunk_tokens"))
+        .select(
+            "lang",
+            "pack_chunk",
+            (F.sum("chunk_tokens").over(w_chunks) - F.col("chunk_tokens")).alias(
+                "chunk_start"
+            ),
+        )
+    )
+
+    # (4) intra-chunk prefix sum — one independent task per (lang, chunk).
+    w_local = (
+        Window.partitionBy("lang", "pack_chunk")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
-    return t.select(
-        "doc_id",
-        "lang",
-        "n_tokens",
-        (start / PACK_SEQ_LEN).cast("long").alias("pack_id"),
-        F.pmod(start, F.lit(PACK_SEQ_LEN)).cast("long").alias("offset_in_pack"),
+    local = t.withColumn("local_cum", F.sum("n_tokens").over(w_local))
+    return (
+        local.join(F.broadcast(chunk_offsets), ["lang", "pack_chunk"])
+        .withColumn(
+            "start_tok",
+            (F.col("chunk_start") + F.col("local_cum") - F.col("n_tokens")).cast(
+                "long"
+            ),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.expr(f"start_tok div {PACK_SEQ_LEN}").alias("pack_id"),
+            (F.col("start_tok") % PACK_SEQ_LEN).alias("offset_in_pack"),
+        )
     )

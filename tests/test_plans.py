@@ -4,6 +4,8 @@ joins, shuffle counts, codegen."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from dbt_on_snowflake_spark.plans import (
@@ -224,12 +226,42 @@ def test_mixture_sample_broadcasts_rates(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
-def test_pack_sequences_single_window_pass(spark):
-    """Sequence packing is ONE range-partitioned window pass: a single
-    exchange (the per-language sort), no join, no second aggregation."""
+def test_pack_sequences_two_level_prefix_sum(spark):
+    """Sequence packing is a TWO-LEVEL prefix sum: the bulk window is
+    partitioned by (lang, pack_chunk) — one independent task per chunk,
+    never one task per language — chunk offsets come back via broadcast,
+    and the only per-language-single-partition window runs over the tiny
+    chunk table. 3 shuffles total: chunk agg, tiny chunk-offset window,
+    intra-chunk window; the offset join adds a BroadcastExchange, not a
+    shuffle."""
     plan = plan_of(spark, "corpus_pack_sequences")
-    assert count_shuffles(plan) == 1
-    assert "Window" in plan
+    assert count_shuffles(plan) == 3
+    # the bulk window's partition spec includes the chunk key, so a
+    # language's stream is spread across corpus_size/PACK_CHUNK_DOCS tasks
+    assert re.search(r"partitionBy:.*pack_chunk", plan) or re.search(
+        r"hashpartitioning\(lang[^)]*pack_chunk", plan
+    ), plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_pack_sequences_parallel_within_language(spark):
+    """Functional twin of the plan pin: at smoke scale (doc_id 0..499,
+    chunk width 256) every language spans >1 chunk, so >1 concurrent
+    task per language."""
+    from dbt_on_snowflake_spark.operators.corpus import PACK_CHUNK_DOCS
+    from tests.conftest import SF_SMOKE as _sf
+
+    d = Q["corpus_pack_sequences"].fn(spark, _sf)
+    src = spark.read.parquet(f"{_sf}/documents.parquet")
+    chunks_per_lang = (
+        src.selectExpr("lang", f"doc_id div {PACK_CHUNK_DOCS} as c")
+        .distinct()
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    assert chunks_per_lang and all(r["count"] > 1 for r in chunks_per_lang)
+    assert d.count() == src.count()
 
 
 def test_salted_join_matches_plain_join_under_skew(spark):
