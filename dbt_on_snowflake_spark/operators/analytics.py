@@ -482,6 +482,7 @@ def a_pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # beyond the upstream aggregate); DuckDB mirrors with UNPIVOT.
 @query(
     "a_unpivot_status_revenue",
+    driver=False,  # r6 rotation: r5 driver-green veteran, parity-checked locally
     oracle=f"""
     WITH wide AS (
         SELECT o_orderpriority AS priority,
@@ -910,7 +911,6 @@ def t_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # argmin rows, then dim joins).
 @query(
     "q2_min_cost_supplier",
-    driver=False,  # born this round: parity-checked; rotate into r6 export
     oracle="""
     WITH cost AS (
         SELECT l_partkey, l_suppkey,
@@ -988,7 +988,6 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # nothing from the inner side is projected, so no dedup/Expand appears.
 @query(
     "q20_heavy_suppliers",
-    driver=False,  # born this round: parity-checked; rotate into r6 export
     oracle="""
     WITH heavy AS (
         SELECT l_suppkey

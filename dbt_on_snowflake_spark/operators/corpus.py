@@ -27,7 +27,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dbt_on_snowflake_spark.operators.dedup import SHINGLES_CTE, shingle_df
-from dbt_on_snowflake_spark.operators.textops import _SW_LIST_SQL, _STOPWORDS
+from dbt_on_snowflake_spark.operators.textops import (
+    _SW_LIST_SQL,
+    _STOPWORDS,
+    bpe_token_count,
+    bpe_token_count_sql,
+)
 from dbt_on_snowflake_spark.registry import query
 from dbt_on_snowflake_spark.testdata import table
 
@@ -408,7 +413,9 @@ HIST_BUCKETS = 100
     WHERE b.bucket >= th.min_bucket
     """,
 )
-def corpus_token_budget_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_token_budget_hist(
+    spark: SparkSession, sf_dir: str, n_tokens_col=None
+) -> DataFrame:
     """The 100 TB-shape token-budget selection promised by
     ``corpus_token_budget``'s docstring: replace the per-language full
     sort of the corpus with a quality HISTOGRAM threshold.
@@ -428,7 +435,11 @@ def corpus_token_budget_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     document — the crossing bucket is kept whole, so kept token mass is
     >= BUDGET_FRACTION of each language's mass and overshoots by at most
     one bucket's mass. The histogram algorithm itself is deterministic
-    and bit-exact against the DuckDB oracle above."""
+    and bit-exact against the DuckDB oracle above.
+
+    ``n_tokens_col`` swaps the whitespace token-MASS proxy for a
+    faithful tokenizer count (``corpus_token_budget_hist_bpe``); the
+    quality score stays the canonical ``text_quality`` definition."""
     d = table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     sw = F.array(*[F.lit(w) for w in _STOPWORDS])
@@ -442,10 +453,11 @@ def corpus_token_budget_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.5 * F.least(n_stop.cast("double") / n_tokens * 5.0, F.lit(1.0)),
         4,
     )
+    mass = n_tokens if n_tokens_col is None else n_tokens_col
     b = d.select(
         "doc_id",
         "lang",
-        n_tokens.cast("long").alias("n_tokens"),
+        mass.cast("long").alias("n_tokens"),
         score.alias("quality_score"),
         F.floor(score * HIST_BUCKETS).cast("long").alias("bucket"),
     )
@@ -499,7 +511,6 @@ _MIX_TARGET_SQL = (
 
 @query(
     "corpus_mixture_sample",
-    driver=False,  # born this round: parity-checked; rotate into r6 export
     oracle=f"""
     WITH counts AS (
         SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source
@@ -520,7 +531,9 @@ _MIX_TARGET_SQL = (
           % 1000000 < r.accept_ppm
     """,
 )
-def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_mixture_sample(
+    spark: SparkSession, sf_dir: str, weight_col=None
+) -> DataFrame:
     """Data MIXING for a training run: hit a declared per-source target
     mixture under a global token/document budget. Per-source acceptance
     rate = min(1, target_share x budget / available) computed from the
@@ -532,10 +545,21 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     dozen rows) broadcast back onto a narrow scan-speed filter — the
     corpus itself is never shuffled. An under-supplied source (available
     < its share of the budget) caps at keep-everything, exactly how
-    production mixers degrade."""
-    d = table(spark, sf_dir, "documents").select("doc_id", "source")
-    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
-    total = d.agg(F.count(F.lit(1)).alias("n"))
+    production mixers degrade.
+
+    ``weight_col`` changes what the mixture is measured IN: None counts
+    documents; a token-count expression over ``documents`` makes rates
+    budget token MASS instead (``corpus_mixture_sample_bpe``). Selection
+    stays per-document either way (the md5 bucket)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        (F.lit(1) if weight_col is None else weight_col)
+        .cast("long")
+        .alias("_w"),
+    )
+    counts = d.groupBy("source").agg(F.sum("_w").alias("cnt"))
+    total = d.agg(F.sum("_w").alias("n"))
     target = F.when(
         F.col("source").isin(*MIX_PREMIUM), F.lit(MIX_PREMIUM_PPM)
     ).otherwise(F.lit(MIX_DEFAULT_PPM))
@@ -598,7 +622,9 @@ PACK_CHUNK_DOCS = 256  # doc_id-range width of one packing chunk
     FROM c
     """,
 )
-def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_pack_sequences(
+    spark: SparkSession, sf_dir: str, n_tokens_col=None
+) -> DataFrame:
     """SEQUENCE PACKING for training: assign every document a position
     in a per-language stream of fixed PACK_SEQ_LEN-token packs — doc goes to
     the pack where its START token falls (pack_id = floor(prefix_tokens
@@ -629,12 +655,17 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     Identical output to the single-window form (the DuckDB oracle IS the
     single-window form) because start = chunk_start + local_prefix. All
     arithmetic is integer (``div`` / ``%`` on BIGINT) — no float
-    round-trip to diverge from the oracle past 2^53 cumulative tokens."""
+    round-trip to diverge from the oracle past 2^53 cumulative tokens.
+
+    ``n_tokens_col`` swaps the whitespace token proxy for a faithful
+    tokenizer count (see ``corpus_pack_sequences_bpe``)."""
+    if n_tokens_col is None:
+        n_tokens_col = F.size(F.split("text", " "))
     d = table(spark, sf_dir, "documents")
     t = d.select(
         "doc_id",
         "lang",
-        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        n_tokens_col.cast("long").alias("n_tokens"),
     ).withColumn("pack_chunk", F.expr(f"doc_id div {PACK_CHUNK_DOCS}"))
 
     # (2) tiny per-chunk totals, then (3) per-language exclusive prefix
@@ -678,4 +709,143 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"start_tok div {PACK_SEQ_LEN}").alias("pack_id"),
             (F.col("start_tok") % PACK_SEQ_LEN).alias("offset_in_pack"),
         )
+    )
+
+# ------------------------------- tokenizer-faithful twins (frozen BPE)
+
+# The whitespace token count above is a PROXY that skews per-language
+# (CJK has no spaces; code tokenizes dense). These twins re-key the
+# budget / mixture / packing family on the frozen-merges BPE count from
+# ``textops`` — the count a training run actually budgets by — via the
+# operators' token-column parameter. The whitespace paths are untouched.
+
+_BPE_N_TOKENS_SQL = f"CAST({bpe_token_count_sql('text')} AS BIGINT)"
+
+
+@query(
+    "corpus_token_budget_hist_bpe",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks,
+               {_BPE_N_TOKENS_SQL} AS bpe_tokens
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, lang, bpe_tokens, len(toks) AS ws_tokens,
+               len(list_filter(toks, x -> list_contains({_SW_LIST_SQL}, x)))
+                   AS n_stopwords,
+               len(list_filter(toks, x -> length(x) >= 3 AND length(x) <= 12))
+                   AS n_well_sized
+        FROM t
+    ),
+    q AS (
+        SELECT doc_id, lang, CAST(bpe_tokens AS BIGINT) AS n_tokens,
+               ROUND(0.5 * (CAST(n_well_sized AS DOUBLE) / ws_tokens)
+                     + 0.5 * least(CAST(n_stopwords AS DOUBLE) / ws_tokens * 5.0,
+                                   1.0), 4) AS quality_score
+        FROM m
+    ),
+    b AS (
+        SELECT doc_id, lang, n_tokens, quality_score,
+               CAST(floor(quality_score * {HIST_BUCKETS}) AS BIGINT) AS bucket
+        FROM q
+    ),
+    hist AS (
+        SELECT lang, bucket, CAST(SUM(n_tokens) AS BIGINT) AS bucket_tokens
+        FROM b GROUP BY lang, bucket
+    ),
+    cum AS (
+        SELECT lang, bucket, bucket_tokens,
+               CAST(SUM(bucket_tokens) OVER (
+                   PARTITION BY lang ORDER BY bucket DESC
+                   ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS cum_tokens,
+               CAST(SUM(bucket_tokens) OVER (PARTITION BY lang) AS BIGINT)
+                   AS lang_tokens
+        FROM hist
+    ),
+    thresholds AS (
+        SELECT lang, MIN(bucket) AS min_bucket
+        FROM cum
+        WHERE cum_tokens - bucket_tokens < {BUDGET_FRACTION} * lang_tokens
+        GROUP BY lang
+    )
+    SELECT b.doc_id, b.lang, b.n_tokens, b.quality_score, b.bucket
+    FROM b JOIN thresholds th ON b.lang = th.lang
+    WHERE b.bucket >= th.min_bucket
+    """,
+)
+def corpus_token_budget_hist_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``corpus_token_budget_hist`` with the budget measured in BPE
+    tokens: quality ordering unchanged (canonical ``text_quality``
+    ratios over whitespace tokens), token MASS per bucket in faithful
+    tokenizer counts. Plan shape identical — the BPE chain is a narrow
+    JVM expression on the scan."""
+    return corpus_token_budget_hist(
+        spark, sf_dir, n_tokens_col=bpe_token_count("text")
+    )
+
+
+@query(
+    "corpus_mixture_sample_bpe",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, SUM({_BPE_N_TOKENS_SQL}) AS cnt
+        FROM documents GROUP BY source
+    ),
+    total AS (SELECT SUM({_BPE_N_TOKENS_SQL}) AS n FROM documents),
+    rates AS (
+        SELECT source,
+               CAST(least(1000000,
+                    (({_MIX_TARGET_SQL}) * ((n * {MIX_BUDGET_PCT}) // 100))
+                        // cnt) AS BIGINT) AS accept_ppm
+        FROM counts, total
+    )
+    SELECT d.doc_id, d.source, r.accept_ppm,
+           CAST(('0x' || substring(md5('mix#' || CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                % 1000000 AS BIGINT) AS bucket_ppm
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE ('0x' || substring(md5('mix#' || CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+          % 1000000 < r.accept_ppm
+    """,
+)
+def corpus_mixture_sample_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``corpus_mixture_sample`` with per-source availability and the
+    global budget measured in BPE token MASS instead of document count —
+    the mixture a training run declares ("15% of tokens from src0"), not
+    a doc-count approximation of it. Same deterministic md5 keep-set
+    semantics; the rate table stays tiny and broadcast."""
+    return corpus_mixture_sample(
+        spark, sf_dir, weight_col=bpe_token_count("text")
+    )
+
+
+@query(
+    "corpus_pack_sequences_bpe",
+    driver=False,  # exact twin of the driver-checked pack shape
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, {_BPE_N_TOKENS_SQL} AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, lang, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM t
+    )
+    SELECT doc_id, lang, n_tokens,
+           (cum - n_tokens) // {PACK_SEQ_LEN} AS pack_id,
+           (cum - n_tokens) % {PACK_SEQ_LEN} AS offset_in_pack
+    FROM c
+    """,
+)
+def corpus_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``corpus_pack_sequences`` packing by BPE token positions — the
+    offsets a training loader actually materializes at. Same two-level
+    prefix-sum plan; only the token column changes."""
+    return corpus_pack_sequences(
+        spark, sf_dir, n_tokens_col=bpe_token_count("text")
     )

@@ -112,6 +112,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_ngram_jaccard",
+    driver=False,  # r6 rotation: r5 driver-green veteran, parity-checked locally
     oracle=f"""
     WITH {SHINGLES_CTE},
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
@@ -914,7 +915,6 @@ CONTAINMENT_THRESHOLD = 0.9
 
 @query(
     "dedup_containment",
-    driver=False,  # born this round: parity-checked; rotate into r6 export
     oracle=f"""
     WITH {SHINGLES_CTE},
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),

@@ -34,7 +34,11 @@ from dbt_on_snowflake_spark.testdata import table
 
 # --- S4/P1: source read + identity projection (staging-view passthrough) ---
 # Reference: dbt/models/staging/raw_pos_menu.sql:1-2 (SELECT * FROM source).
-@query("s4_source_passthrough", oracle="SELECT * FROM region")
+@query(
+    "s4_source_passthrough",
+    oracle="SELECT * FROM region",
+    driver=False,  # r6 rotation: r5 driver-green veteran, parity-checked locally
+)
 def s4_source_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "region")
 
@@ -42,6 +46,7 @@ def s4_source_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- P2: column projection + rename (orders.sql:1-34 aliases) ---
 @query(
     "p2_projection_rename",
+    driver=False,  # r6 rotation: r5 driver-green veteran, parity-checked locally
     oracle="""
     SELECT c_custkey AS customer_id,
            c_name AS customer_name,
@@ -62,6 +67,7 @@ def p2_projection_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- P6: range predicate (dbt_utils.accepted_range, __sources.yml:217-220) ---
 @query(
     "p6_range_filter",
+    driver=False,  # r6 rotation: r5 driver-green veteran, parity-checked locally
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders
@@ -81,6 +87,7 @@ def p6_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # __sources.yml:204-205; frozen clock for determinism, SURVEY §7.4) ---
 @query(
     "p7_ts_filter",
+    driver=False,  # r6 rotation: r5 driver-green veteran, parity-checked locally
     oracle="""
     SELECT event_id, user_id, event_type
     FROM events
@@ -261,6 +268,7 @@ def j7_anti_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Semi join (EXISTS) — complements J7.
 @query(
     "j_semi_active_customers",
+    driver=False,  # r6 rotation: r5 driver-green veteran, parity-checked locally
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment
     FROM customer c
@@ -429,6 +437,7 @@ def a6_unique_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # setup_data.sql:57; never queried there — we demonstrate the query path).
 @query(
     "f_json_extract",
+    driver=False,  # r6 rotation: r5 driver-green veteran, parity-checked locally
     oracle="""
     SELECT event_id,
            CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,

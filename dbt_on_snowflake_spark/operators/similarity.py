@@ -311,7 +311,6 @@ def build_ann_index(
 
 @query(
     "ann_ivf_multiprobe_indexed",
-    driver=False,  # parity-green twin: shares ann_ivf_multiprobe's oracle
     oracle=_ORACLE_MULTIPROBE,
 )
 def ann_ivf_multiprobe_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -126,6 +126,7 @@ def _marker_count_sql(words: tuple[str, ...]) -> str:
 
 @query(
     "text_lang_id",
+    driver=False,  # r6 rotation: r5 driver-green veteran, parity-checked locally
     oracle=f"""
     WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
                FROM documents),
@@ -213,11 +214,118 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- deterministic BPE tokenizer
+
+# Frozen merges table, in rank order — trained offline with classic BPE
+# (argmax pair frequency, deterministic count-desc/lexicographic
+# tie-break) over the sf0.001 seed corpus word frequencies, then checked
+# in as a constant. "Seedable": retraining with a different seed corpus
+# or merge budget yields a different frozen table; the ENCODER below is
+# table-driven and unchanged.
+BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"), ("s", "t"),
+    ("l", "u"), ("a", "r"), ("p", "ar"), ("m", "er"), ("a", "t"),
+    ("a", "n"), ("s", "c"), ("sc", "an"), ("c", "o"), ("m", "n"),
+    ("lu", "mn"), ("co", "lumn"), ("d", "ow"), ("w", "in"),
+    ("win", "dow"), ("d", "er"), ("or", "der"), ("or", "t"),
+    ("s", "ort"), ("par", "t"), ("u", "p"), ("g", "g"), ("a", "gg"),
+    ("a", "lu"), ("alu", "e"), ("v", "alue"), ("l", "in"),
+]
+
+
+def _bpe_merged_rep(w):
+    """Apply the BPE merges to one pre-token, entirely in JVM string
+    expressions — NO UDF, not even a pandas one: BPE encode is exactly a
+    rank-ordered chain of replace-alls, which whole-stage codegen eats.
+
+    Two facts make the chain equivalent to the textbook iterative-argmin
+    encoder (each proven by ``test_bpe_chain_matches_iterative_encoder``):
+
+    1. rank order suffices — merging pair (a,b) only ever creates pairs
+       involving the NEW symbol ab, and any such pair in a BPE-trained
+       table was created after ab existed, i.e. has higher rank; so no
+       lower-rank pair can become newly applicable.
+    2. one replace-all per merge suffices — pieces are joined with a
+       DOUBLE marker (``~~h~~e~~l~~l~~o~~``) and the pattern
+       ``~a~~b~`` -> ``~ab~`` consumes one marker from each boundary,
+       leaving one for the adjacent occurrence: leftmost non-overlapping
+       replace-all is then exactly BPE's merge-all-occurrences step, and
+       both anchors force full-piece matches (no cross-boundary or
+       partial-piece merges).
+    """
+    s = F.concat(F.lit("~~"), F.regexp_replace(w, "(.)", "$1~~"))
+    for a, b in BPE_MERGES:
+        s = F.replace(s, F.lit(f"~{a}~~{b}~"), F.lit(f"~{a}{b}~"))
+    return s
+
+
+def bpe_token_count(text_col) -> "F.Column":
+    """Exact BPE token count of a text column under BPE_MERGES —
+    pre-tokenize with _BPE_REGEX, encode each pre-token via the marker
+    representation, count pieces as (markers - 2) >> 1 (each piece
+    boundary is 2 markers; shiftright keeps it all-integer)."""
+    pieces = lambda r: F.shiftright(  # noqa: E731
+        F.length(r) - F.length(F.replace(r, F.lit("~"), F.lit(""))) - F.lit(2), 1
+    ).cast("long")
+    return F.aggregate(
+        F.transform(
+            F.transform(
+                F.regexp_extract_all(text_col, F.lit(_BPE_REGEX), F.lit(0)),
+                _bpe_merged_rep,
+            ),
+            pieces,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def bpe_token_count_sql(text_expr: str = "text") -> str:
+    """The same BPE count as DuckDB SQL (for oracles): identical merge
+    chain, identical marker arithmetic, BIGINT `//` division."""
+    s = f"('~~' || regexp_replace(w, '(.)', '\\1~~', 'g'))"
+    for a, b in BPE_MERGES:
+        s = f"replace({s}, '~{a}~~{b}~', '~{a}{b}~')"
+    return (
+        "coalesce(list_sum(list_transform(list_transform("
+        f"regexp_extract_all({text_expr}, '{_BPE_REGEX}'), w -> {s}), "
+        "r -> (length(r) - length(replace(r, '~', '')) - 2) // 2)), 0)"
+    )
+
+
+@query(
+    "text_token_count_bpe",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM({bpe_token_count_sql("text")}) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+               AS whitespace_tokens
+    FROM documents
+    GROUP BY source
+    """,
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-FAITHFUL corpus accounting: per-source token mass under
+    the frozen BPE_MERGES table — the count a training run actually
+    budgets by, vs the whitespace proxy that skews per-language (CJK,
+    code). Pure JVM expression chain (see _bpe_merged_rep), so it runs
+    at scan speed with map-side-combined aggregation; the corpus is
+    never shuffled (only the tiny per-source partials are)."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(bpe_token_count("text")).alias("bpe_tokens"),
+        F.sum(F.size(F.split("text", " "))).alias("whitespace_tokens"),
+    )
+
+
 # ----------------------------------------------------- edit distance dedup
 
 
 @query(
     "text_levenshtein_pairs",
+    driver=False,  # r6 rotation: r5 driver-green veteran, parity-checked locally
     oracle="""
     WITH p AS (SELECT doc_id, substring(text, 1, 64) AS prefix
                FROM documents WHERE doc_id < 350)
@@ -258,6 +366,7 @@ FP_K = 4  # k smallest shingle hashes form the fingerprint
 
 @query(
     "text_fingerprint",
+    driver=False,  # r6 rotation: r5 driver-green veteran, parity-checked locally
     oracle=f"""
     WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
     sh AS (
@@ -302,6 +411,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_repetition",
+    driver=False,  # r6 rotation: r5 driver-green veteran, parity-checked locally
     oracle="""
     WITH t AS (
         SELECT doc_id, string_split(text, ' ') AS ts FROM documents
@@ -478,7 +588,6 @@ PII_PHONE_RE = r"\+1-555-[0-9]{4}"
 
 @query(
     "text_pii_redact",
-    driver=False,  # born this round: parity-checked; rotate into r6 export
     oracle=f"""
     WITH raw AS (
         SELECT doc_id,

@@ -382,7 +382,6 @@ def dedup_stream_against_index(
 
 @query(
     "dedup_incremental_streaming",
-    driver=False,  # born this round: parity-checked; rotate into r6 export
     oracle=None,  # set below: shares the batch verified-pairs oracle
 )
 def dedup_incremental_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -215,3 +215,72 @@ def test_pack_sequences_invariants(spark):
             assert r.pack_id == running // PACK_SEQ_LEN, (lang, r)
             assert r.offset_in_pack == running % PACK_SEQ_LEN, (lang, r)
             running += r.n_tokens
+
+
+def test_bpe_chain_matches_iterative_encoder(spark):
+    """The two facts _bpe_merged_rep's docstring claims: the rank-ordered
+    replace-all chain (the JVM implementation) equals the textbook
+    iterative-argmin BPE encoder — on the corpus and on adversarial
+    strings (self-overlapping runs, marker chars, cross-boundary bait)."""
+    import re
+
+    from dbt_on_snowflake_spark.operators.textops import (
+        _BPE_REGEX,
+        BPE_MERGES,
+        bpe_token_count,
+    )
+
+    rank = {p: i for i, p in enumerate(BPE_MERGES)}
+    pre = re.compile(_BPE_REGEX)
+
+    def ref_count(text: str) -> int:
+        n = 0
+        for w in pre.findall(text):
+            toks = list(w)
+            while True:
+                best = min(
+                    (
+                        (rank[(toks[i], toks[i + 1])], i)
+                        for i in range(len(toks) - 1)
+                        if (toks[i], toks[i + 1]) in rank
+                    ),
+                    default=None,
+                )
+                if best is None:
+                    break
+                a, b = BPE_MERGES[best[0]]
+                out, i = [], 0
+                while i < len(toks):
+                    if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(toks[i])
+                        i += 1
+                toks = out
+            n += len(toks)
+        return n
+
+    adversarial = [
+        "value value windows",  # whole-word merges, repeated
+        "ststst atatat",  # self-overlapping merge runs
+        "a~b ~~ x",  # marker chars in the text itself
+        "scan scant colulumn lulumn",  # merge-result strings as bait
+        "",  # empty doc
+        "123 45s t6",  # digit runs + cross-pretoken s|t bait
+    ]
+    docs = table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [(10_000 + i, t) for i, t in enumerate(adversarial)],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r.c
+        for r in docs.unionByName(extra)
+        .select("doc_id", bpe_token_count("text").alias("c"))
+        .collect()
+    }
+    want = {
+        r.doc_id: ref_count(r.text) for r in docs.unionByName(extra).collect()
+    }
+    assert got == want
