@@ -284,3 +284,40 @@ def test_bpe_chain_matches_iterative_encoder(spark):
         r.doc_id: ref_count(r.text) for r in docs.unionByName(extra).collect()
     }
     assert got == want
+
+
+def test_ann_index_append_grows_only_new_partition_rows(spark):
+    """After ann_incremental_assign: the assignments table holds exactly
+    corpus + batch rows; corpus rows keep their original labels; every
+    batch row is stored under its nearest-existing-centroid label (the
+    oracle-checked assignment) — the incremental path loses nothing and
+    rewrites nothing."""
+    import hashlib
+
+    from dbt_on_snowflake_spark.operators.similarity import (
+        _CORPUS_PRED,
+        _NEW_BATCH_PRED,
+        _vectors,
+    )
+    from dbt_on_snowflake_spark.registry import all_queries
+
+    assigned = {
+        r.vec_id: r.assigned_label
+        for r in all_queries()["ann_incremental_assign"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    suffix = hashlib.md5(f"incr:{SF_SMOKE}".encode()).hexdigest()[:8]
+    idx = {
+        r.vec_id: r.label
+        for r in spark.table(f"ann_assignments_{suffix}")
+        .select("vec_id", "label")
+        .collect()
+    }
+    e = _vectors(spark, SF_SMOKE)
+    corpus = {r.vec_id: r.label for r in e.filter(_CORPUS_PRED).collect()}
+    batch_ids = {r.vec_id for r in e.filter(_NEW_BATCH_PRED).collect()}
+    assert set(idx) == set(corpus) | batch_ids
+    assert all(idx[v] == lab for v, lab in corpus.items())
+    assert assigned.keys() == batch_ids
+    assert all(idx[v] == assigned[v] for v in batch_ids)

@@ -341,3 +341,21 @@ def test_range_join_is_binned_not_nested_loop(spark):
     plan = explain_str(Q["t_events_range_join_windows"].fn(spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ann_incremental_no_corpus_repass(spark):
+    """ann_index_append's assignment plan touches ONLY the new batch and
+    the persisted centroid table: no posexplode/Generate (centroid
+    recompute), exactly one scan of the embeddings parquet (the batch),
+    and the centroids arrive via BroadcastExchange."""
+    from dbt_on_snowflake_spark.plans import scans
+
+    df = Q["ann_incremental_assign"].fn(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "Generate" not in plan  # posexplode = centroid recompute
+    assert "ann_centroids_" in plan
+    emb_scans = [
+        s for s in scans(plan) if "embeddings.parquet" in s.get("location", "")
+    ]
+    assert len(emb_scans) == 1, f"corpus re-read: {len(emb_scans)} scans"
+    assert "BroadcastExchange" in plan
