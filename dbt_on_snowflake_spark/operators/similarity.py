@@ -468,3 +468,108 @@ def ann_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids_table=centroids_table,
         assignments_table=assignments_table,
     )
+
+
+# --------------------------------------------------- semantic (SemDeDup)
+
+SEM_THRESHOLD = 0.35  # within-cluster cosine above which vectors are dups
+
+
+@query(
+    "dedup_semantic",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (
+        SELECT label, dim, ROUND(SUM(val) / COUNT(*), 4) + 0.0 AS cv
+        FROM (
+            SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS dim
+            FROM e
+        )
+        GROUP BY label, dim
+    ),
+    cvec AS (SELECT label, list(cv ORDER BY dim) AS v FROM cent GROUP BY label),
+    scored AS (
+        SELECT e.vec_id, e.label, e.v,
+               ROUND({COSINE_SQL.format(a="e.v", b="c.v")}, 4) + 0.0 AS ccos
+        FROM e JOIN cvec c ON e.label = c.label
+    ),
+    dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM scored a
+        JOIN scored b ON a.label = b.label
+         AND (a.ccos < b.ccos OR (a.ccos = b.ccos AND a.vec_id < b.vec_id))
+         AND ROUND({COSINE_SQL.format(a="a.v", b="b.v")}, 4) >= {SEM_THRESHOLD}
+    )
+    SELECT s.vec_id, s.label, s.ccos, d.vec_id IS NULL AS kept
+    FROM scored s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC (cluster-level) dedup, SemDeDup-shaped — the operator
+    large corpus curation actually runs: compose the persisted IVF index
+    (coarse clusters + centroid table from ``build_ann_index``) with
+    WITHIN-cluster cosine pruning, emitting a keep/drop decision per
+    vector.
+
+    Keep rule (deterministic, engine-portable): order each cluster by
+    (centroid-cosine ASC, vec_id ASC) — most-diverse-first, SemDeDup's
+    keep-the-low-centroid-similarity preference — and drop a vector iff
+    some EARLIER vector in its cluster has cosine >= SEM_THRESHOLD with
+    it. This is the parallel one-pass relaxation of SemDeDup's
+    sequential greedy scan: no ordering dependence between drops, so it
+    is a pure self-join instead of an inherently serial fold.
+
+    Scale: clusters are IVF cells (~sqrt(N) of them), so the pair join
+    is label-blocked — never all-pairs; the centroid table is tiny and
+    broadcast; the assignments side arrives label-partitioned from the
+    persisted index, so the self-join co-locates by partition key. The
+    pair count per cell is the SemDeDup working set by construction
+    (cells cap it at |cell|^2, with |cell| ~ sqrt(N))."""
+    import hashlib
+
+    suffix = hashlib.md5(f"sem:{sf_dir}".encode()).hexdigest()[:8]
+    centroids_table = f"ann_centroids_{suffix}"
+    assignments_table = f"ann_assignments_{suffix}"
+    e = _vectors(spark, sf_dir)
+    build_ann_index(
+        spark,
+        e,
+        centroids_table=centroids_table,
+        assignments_table=assignments_table,
+    )
+    cvec = F.broadcast(spark.table(centroids_table)).alias("c")
+    a = spark.table(assignments_table).select("vec_id", "label", "v")
+    scored = (
+        a.alias("e")
+        .join(cvec, "label")
+        .select(
+            F.col("e.vec_id").alias("vec_id"),
+            "label",
+            F.col("e.v").alias("v"),
+            (F.round(_cosine("e.v", "c.v"), 4) + 0.0).alias("ccos"),
+        )
+    )
+    sa, sb = scored.alias("a"), scored.alias("b")
+    earlier = (F.col("a.ccos") < F.col("b.ccos")) | (
+        (F.col("a.ccos") == F.col("b.ccos"))
+        & (F.col("a.vec_id") < F.col("b.vec_id"))
+    )
+    dropped = (
+        sa.join(
+            sb,
+            (F.col("a.label") == F.col("b.label"))
+            & earlier
+            & (F.round(_cosine("a.v", "b.v"), 4) >= SEM_THRESHOLD),
+        )
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        scored.join(dropped.alias("d"), "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            "ccos",
+            F.col("d.vec_id").isNull().alias("kept"),
+        )
+    )

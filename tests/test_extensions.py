@@ -321,3 +321,53 @@ def test_ann_index_append_grows_only_new_partition_rows(spark):
     assert all(idx[v] == lab for v, lab in corpus.items())
     assert assigned.keys() == batch_ids
     assert all(idx[v] == assigned[v] for v in batch_ids)
+
+
+def test_semantic_dedup_drops_planted_paraphrase(spark, tmp_path):
+    """SemDeDup keep/drop semantics on a planted corpus: two near-
+    identical vectors (a 'paraphrase pair') in one cluster, everything
+    else orthogonal. Exactly one member of the pair is dropped — the one
+    LATER in the (centroid-cosine asc, vec_id asc) order, i.e. the more
+    centroid-typical copy — and every other vector is kept."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from dbt_on_snowflake_spark.operators.similarity import dedup_semantic
+
+    dim = 8
+
+    def unit(i):
+        v = np.zeros(dim)
+        v[i] = 1.0
+        return v
+
+    para_a = unit(0)
+    para_b = 0.97 * unit(0) + 0.03 * unit(1)  # cosine ~0.999 with para_a
+    rows = [
+        (0, para_a, 0),
+        (1, para_b, 0),
+        (2, unit(2), 0),  # same cluster, orthogonal to the pair
+        (3, unit(3), 1),
+        (4, unit(4), 1),
+    ]
+    pd.DataFrame(
+        {
+            "vec_id": [r[0] for r in rows],
+            "embedding": [
+                np.asarray(r[1], dtype=np.float32) for r in rows
+            ],
+            "label": pd.array([r[2] for r in rows], dtype="int32"),
+        }
+    ).to_parquet(os.path.join(str(tmp_path), "embeddings.parquet"), index=False)
+
+    out = {r.vec_id: r for r in dedup_semantic(spark, str(tmp_path)).collect()}
+    assert len(out) == 5
+    pair_kept = {v for v in (0, 1) if out[v].kept}
+    assert len(pair_kept) == 1  # exactly one of the paraphrase pair survives
+    # the survivor is the earlier element in (ccos asc, vec_id asc)
+    ka, kb = out[0], out[1]
+    first = 0 if (ka.ccos, 0) < (kb.ccos, 1) else 1
+    assert pair_kept == {first}
+    assert all(out[v].kept for v in (2, 3, 4))
