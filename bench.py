@@ -5,6 +5,17 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Execution uses the noop sink — full distributed execution of every plan,
 no driver-side collect.
+
+Timing protocol: min-of-3 with the 3 runs INTERLEAVED round-robin across
+queries (run 1 of every query, then run 2 of every query, ...). The
+sandbox VM shows multi-x contention spikes lasting seconds; back-to-back
+triples let one spike poison all three of a query's runs (r5's q17
+triple 5.2/4.2/4.8 vs 1.1 on quiet hardware), while round-robin spreads
+a spike across different queries' single runs — exactly what min-of-3
+is meant to absorb. Per-run arrays are emitted in interleaved order, and
+each query also reports its Spark STAGE count (captured via job groups +
+statusTracker during the warm pass) so plan drift is visible in the
+BENCH JSON even when wall-clock noise isn't trustworthy.
 """
 
 from __future__ import annotations
@@ -24,25 +35,40 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
+    sc = spark.sparkContext
 
     headline = {n: q for n, q in all_queries().items() if q.headline}
-    timings: dict[str, float] = {}
-    runs: dict[str, list[float]] = {}
-    for name, q in sorted(headline.items()):
-        df = q.fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()  # warm (JIT + file listing)
-        # min-of-3 with the per-run spread in the JSON: the sandbox VM shows
-        # multi-x run-to-run variance (r3's q1 "regression" was two noisy runs
-        # in a row), so a single outlier must be both survivable and visible.
-        times: list[float] = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            df = q.fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            times.append(round(time.perf_counter() - t0, 3))
-        runs[name] = times
-        timings[name] = min(times)
+    names = sorted(headline)
 
+    # Warm pass (JIT + file listing), instrumented: run each query under
+    # its own job group and count the stages it scheduled — a cheap,
+    # noise-free plan-shape fingerprint recorded alongside the timings.
+    stages: dict[str, int] = {}
+    tracker = sc.statusTracker()
+    for name in names:
+        sc.setJobGroup(f"bench:{name}", f"warm {name}")
+        try:
+            df = headline[name].fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+        finally:
+            sc.setJobGroup(None, None)
+        n_stages = 0
+        for job_id in tracker.getJobIdsForGroup(f"bench:{name}"):
+            info = tracker.getJobInfo(job_id)
+            if info is not None:
+                n_stages += len(info.stageIds)
+        stages[name] = n_stages
+
+    # 3 interleaved timing rounds.
+    runs: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(3):
+        for name in names:
+            t0 = time.perf_counter()
+            df = headline[name].fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            runs[name].append(round(time.perf_counter() - t0, 3))
+
+    timings = {n: min(r) for n, r in runs.items()}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -52,6 +78,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "runs": runs,
+                "run_order": "interleaved",
+                "stages": stages,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
