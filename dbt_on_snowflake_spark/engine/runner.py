@@ -17,7 +17,6 @@ from __future__ import annotations
 import importlib.util
 import json
 import os
-import shutil
 import time
 from dataclasses import asdict, dataclass
 
@@ -25,6 +24,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from dbt_on_snowflake_spark.engine.compile import render
+from dbt_on_snowflake_spark.engine.fs import fs_delete, fs_exists, fs_rename
 from dbt_on_snowflake_spark.engine.dag import select
 from dbt_on_snowflake_spark.engine.project import ModelNode, Project
 
@@ -785,12 +785,12 @@ class Runner:
         path = self._table_path(relation)
         old = path + "__old"
         stage = path + "__incr_stage"
-        if not os.path.isdir(path) and os.path.isdir(old):
-            os.rename(old, path)  # prior crash between steps 2 and 3
-        if os.path.isdir(old):
-            shutil.rmtree(old)  # prior crash between steps 3 and 4
-        if os.path.isdir(stage):
-            shutil.rmtree(stage)  # stale stage from an interrupted write
+        # Hadoop FS API, not os/shutil: the same recovery runs against an
+        # object-store warehouse (engine/fs.py documents the contract)
+        if not fs_exists(self.spark, path) and fs_exists(self.spark, old):
+            fs_rename(self.spark, old, path)  # prior crash: steps 2-3
+        fs_delete(self.spark, old)  # prior crash between steps 3 and 4
+        fs_delete(self.spark, stage)  # stale stage from interrupted write
         parts = self._partition_cols(node)
         strategy = (node.config.get("incremental_strategy") if node else None) or (
             "merge"
@@ -847,9 +847,9 @@ class Runner:
         else:
             combined = existing.unionByName(df)
         rows = self._write_counted(combined, stage, parts)
-        os.rename(path, old)
-        os.rename(stage, path)
-        shutil.rmtree(old)
+        fs_rename(self.spark, path, old)
+        fs_rename(self.spark, stage, path)
+        fs_delete(self.spark, old)
         self._register_table(relation)
         return rows
 

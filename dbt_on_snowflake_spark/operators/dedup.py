@@ -773,14 +773,16 @@ def _drop_managed_table(spark: SparkSession, name: str) -> None:
     """Drop a managed table AND any stale warehouse directory left by a
     previous session (the in-memory catalog forgets tables across
     sessions but their parquet directories persist, and CREATE TABLE
-    refuses a non-empty managed location)."""
-    import os
-    import shutil
+    refuses a non-empty managed location). Deletion goes through the
+    Hadoop FS API (engine/fs.py), so the same cleanup works when the
+    warehouse dir is an object store, not just local disk."""
+    import posixpath
+
+    from dbt_on_snowflake_spark.engine.fs import fs_delete
 
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    loc = os.path.join(wh.removeprefix("file:"), name.lower())
-    shutil.rmtree(loc, ignore_errors=True)
+    fs_delete(spark, posixpath.join(wh, name.lower()))
 
 
 def build_minhash_index(

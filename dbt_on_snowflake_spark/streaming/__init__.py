@@ -325,6 +325,16 @@ def t_events_hourly_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -------------------------------------------- streaming incremental dedup
 
 
+def _table_bucket_count(spark: SparkSession, name: str) -> int | None:
+    """The saved table's bucket count from the catalog (DESCRIBE
+    FORMATTED), or None for an unbucketed table — appends must match the
+    spec the table was BUILT with, whatever that was."""
+    for r in spark.sql(f"DESCRIBE FORMATTED {name}").collect():
+        if (r.col_name or "").strip() == "Num Buckets":
+            return int(r.data_type)
+    return None
+
+
 def dedup_stream_against_index(
     spark: SparkSession,
     new_docs_stream: DataFrame,
@@ -346,10 +356,16 @@ def dedup_stream_against_index(
     incremental dedup maintains. At 100 TB the index append is the only
     write amplification, and it's the batch's own (tiny) band keys."""
     from dbt_on_snowflake_spark.operators.dedup import (
-        INDEX_N_BUCKETS,
         dedup_incremental_candidates,
         minhash_band_keys,
     )
+
+    # Honor the EXISTING table's bucket spec rather than assuming the
+    # module default: an index built with build_minhash_index(...,
+    # n_buckets=N) for N != INDEX_N_BUCKETS would otherwise fail the
+    # append with a bucket-spec mismatch (or silently require manual
+    # sync between builder and streamer).
+    n_buckets = _table_bucket_count(spark, index_table)
 
     def handle(batch_df: DataFrame, _batch_id: int) -> None:
         # one minhash pass per batch: the band keys feed BOTH the probe
@@ -360,13 +376,10 @@ def dedup_stream_against_index(
             spark, None, index_table, bands=bands
         )
         cand.write.mode("append").parquet(cand_dir)
-        (
-            bands.write.mode("append")
-            .format("parquet")
-            .bucketBy(INDEX_N_BUCKETS, "band_key")
-            .sortBy("band_key")
-            .saveAsTable(index_table)
-        )
+        writer = bands.write.mode("append").format("parquet")
+        if n_buckets:
+            writer = writer.bucketBy(n_buckets, "band_key").sortBy("band_key")
+        writer.saveAsTable(index_table)
         # the append ran through the micro-batch's session clone; drop
         # the driving session's cached file listing or the NEXT batch
         # probes a stale index and silently misses cross-batch pairs
@@ -395,9 +408,9 @@ def dedup_incremental_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_minhash_verified`` on the full table (shared oracle), so
     the streaming path provably loses nothing."""
     import hashlib
-    import shutil
     import tempfile
 
+    from dbt_on_snowflake_spark.engine.fs import fs_delete
     from dbt_on_snowflake_spark.operators.dedup import (
         build_minhash_index,
         shingle_df,
@@ -409,7 +422,7 @@ def dedup_incremental_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_table = f"mh_stream_index_{suffix}"
     pairs_table = f"mh_stream_corpus_pairs_{suffix}"
     cand_dir = os.path.join(tempfile.gettempdir(), f"mh_stream_cand_{suffix}")
-    shutil.rmtree(cand_dir, ignore_errors=True)
+    fs_delete(spark, cand_dir)  # Hadoop FS: object-store-safe cleanup
 
     d = fan_out_scan(spark, table(spark, sf_dir, "documents"))
     build_minhash_index(

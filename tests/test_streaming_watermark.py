@@ -136,3 +136,57 @@ def test_stream_dedup_cross_batch_pair_found_once(spark, tmp_path):
         for r in spark.table("mh_sdtest_idx").select("doc_id").distinct().collect()
     }
     assert idx_docs == {1, 5, 10}
+
+
+def test_stream_dedup_honors_index_bucket_spec(spark, tmp_path):
+    """An index built with a NON-default bucket count streams batches
+    through without a bucket-spec mismatch: the per-batch append reads
+    the table's own spec from the catalog instead of assuming the
+    module constant, and the table keeps that spec afterwards."""
+    import os
+
+    import pandas as pd
+
+    from dbt_on_snowflake_spark.operators.dedup import (
+        INDEX_N_BUCKETS,
+        build_minhash_index,
+    )
+    from dbt_on_snowflake_spark.streaming import (
+        _table_bucket_count,
+        dedup_stream_against_index,
+    )
+
+    n_buckets = 4
+    assert n_buckets != INDEX_N_BUCKETS
+    words = " ".join(f"w{i}" for i in range(30))
+    batch_dir = str(tmp_path / "incoming")
+    os.makedirs(batch_dir)
+    pd.DataFrame({"doc_id": [5], "text": [words]}).to_parquet(
+        os.path.join(batch_dir, "b1.parquet"), index=False
+    )
+    pd.DataFrame({"doc_id": [10], "text": [words + " tail"]}).to_parquet(
+        os.path.join(batch_dir, "b2.parquet"), index=False
+    )
+    corpus = pd.DataFrame(
+        {"doc_id": [1], "text": [" ".join(f"z{i}" for i in range(30))]}
+    )
+    build_minhash_index(
+        spark,
+        spark.createDataFrame(corpus),
+        index_table="mh_sdtest_idx4",
+        n_buckets=n_buckets,
+    )
+    assert _table_bucket_count(spark, "mh_sdtest_idx4") == n_buckets
+
+    cand_dir = str(tmp_path / "cand")
+    schema = spark.read.parquet(batch_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(batch_dir)
+    )
+    dedup_stream_against_index(spark, stream, "mh_sdtest_idx4", cand_dir)
+    cand = spark.read.parquet(cand_dir).collect()
+    assert [(r.doc_a, r.doc_b) for r in cand] == [(5, 10)]
+    assert _table_bucket_count(spark, "mh_sdtest_idx4") == n_buckets
