@@ -826,6 +826,30 @@ def build_minhash_index(
         verify_pairs(cand, sh).write.mode("overwrite").saveAsTable(pairs_table)
 
 
+def attach_minhash_index(
+    spark: SparkSession, index_table: str, *, n_buckets: int = INDEX_N_BUCKETS
+) -> None:
+    """Re-attach a persisted band index in a NEW session. The sandbox
+    catalog is in-memory: table METADATA (including the bucket spec)
+    dies with the session that wrote it, while the bucketed parquet
+    files persist in the warehouse dir. Re-issuing the CLUSTERED BY DDL
+    over the existing location restores the layout contract, so probes
+    in the new session still join the index in place with zero index-
+    side shuffle. With a persistent metastore (Hive/Delta/Iceberg — the
+    100 TB deployment) the catalog survives and this is a no-op."""
+    import posixpath
+
+    if spark.catalog.tableExists(index_table):
+        return
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = posixpath.join(wh, index_table.lower())
+    spark.sql(
+        f"CREATE TABLE {index_table} (doc_id BIGINT, band_key STRING) "
+        f"USING parquet CLUSTERED BY (band_key) SORTED BY (band_key) "
+        f"INTO {n_buckets} BUCKETS LOCATION '{loc}'"
+    )
+
+
 def dedup_incremental_candidates(
     spark: SparkSession,
     new_docs: DataFrame | None,
