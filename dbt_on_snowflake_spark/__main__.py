@@ -197,6 +197,25 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         with open(results_path) as f:
             prior = json.load(f)
+        # dbt retry replays the prior invocation's FULL args, not just its
+        # subcommand: restore every recorded flag the user didn't pass
+        # explicitly this time (CLI-provided values win). Without this a
+        # retry of a hook-aborted `run --select marts` rebuilds the whole
+        # project, and a retried --event-start/--event-end microbatch
+        # replay runs without its window.
+        prior_args = prior.get("args") or {}
+        if args.select is None:
+            args.select = prior_args.get("select")
+        if args.exclude is None:
+            args.exclude = prior_args.get("exclude")
+        if not args.full_refresh:
+            args.full_refresh = bool(prior_args.get("full_refresh"))
+        if args.event_start is None:
+            args.event_start = prior_args.get("event_start")
+        if args.event_end is None:
+            args.event_end = prior_args.get("event_end")
+        if cli_vars is None and prior_args.get("vars"):
+            cli_vars = prior_args["vars"]
         prior_nodes = [
             r for r in prior.get("results", [])
             if r.get("materialization") != "hook"
@@ -265,6 +284,17 @@ def main(argv: list[str] | None = None) -> int:
         event_end=getattr(args, "event_end", None),
     )
 
+    # the EFFECTIVE flags of this invocation, recorded into run_results
+    # so a later `retry` replays them (see the retry block above)
+    recorded_args = {
+        "select": args.select,
+        "exclude": args.exclude,
+        "full_refresh": getattr(args, "full_refresh", False),
+        "vars": cli_vars,
+        "event_start": getattr(args, "event_start", None),
+        "event_end": getattr(args, "event_end", None),
+    }
+
     if args.cmd in ("run", "retry"):
         state = None
         if getattr(args, "state", None):
@@ -275,12 +305,15 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{r.status:8s} {r.materialization:5s} {r.relation} "
                   f"({r.rows if r.rows is not None else '-'} rows, {r.seconds}s)")
         if args.out:
-            runner.write_run_results(args.out, command="run")
+            runner.write_run_results(
+                args.out, command="run", cli_args=recorded_args
+            )
         # dbt always refreshes target/run_results.json — `retry` reads it,
         # so chained retries converge on the still-failing remainder
         runner.write_run_results(
             _os.path.join(args.project, "target", "run_results.json"),
             command="run",
+            cli_args=recorded_args,
         )
         runner.append_run_history(
             _os.path.join(args.project, "target", "run_history.jsonl")
@@ -347,7 +380,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.out:
             runner.write_run_results(
                 args.out, command="build", tests=tr.results,
-                unit_tests=ut_results,
+                unit_tests=ut_results, cli_args=recorded_args,
             )
         # dbt writes target/run_results.json for build too (and `retry`
         # reads it) — without this a retry after a failed build operates
@@ -356,6 +389,7 @@ def main(argv: list[str] | None = None) -> int:
         runner.write_run_results(
             _os.path.join(args.project, "target", "run_results.json"),
             command="build", tests=tr.results, unit_tests=ut_results,
+            cli_args=recorded_args,
         )
         runner.append_run_history(
             _os.path.join(args.project, "target", "run_history.jsonl")
@@ -392,11 +426,15 @@ def main(argv: list[str] | None = None) -> int:
             stored = f" -> {r.stored_relation}" if r.stored_relation else ""
             print(f"{r.status:5s} {r.name} on {r.relation}{col} "
                   f"(failures={r.failures}){stored}")
+        # unit tests count in BOTH the numerator and the denominator —
+        # summing their failures against len(results) alone understated
+        # (or made negative) the passed count
         n_bad = sum(1 for r in results if r.status in ("fail", "error"))
         n_bad += sum(1 for u in ut_results if u.status in ("fail", "error"))
         n_warn = sum(1 for r in results if r.status == "warn")
+        total = len(results) + len(ut_results)
         print(
-            f"{len(results) - n_bad - n_warn}/{len(results)} tests passed"
+            f"{total - n_bad - n_warn}/{total} tests passed"
             + (f", {n_warn} warned" if n_warn else "")
         )
         if args.out:

@@ -18,6 +18,15 @@ from datetime import datetime, timezone
 from typing import Any
 
 
+# state:modified checksum-scheme version. v1 hashed file bytes only; v2
+# added the schema.yml tests/contract repr (a contract or test edit is a
+# modification). Recorded in the manifest so the selector can WARN when
+# diffing against a manifest written under a different scheme — the
+# comparison then flags every model once, and the warning says why —
+# instead of silently selecting everything.
+CHECKSUM_VERSION = 2
+
+
 def _file_checksum(path: str) -> str:
     with open(path, "rb") as f:
         return hashlib.md5(f.read()).hexdigest()
@@ -106,6 +115,7 @@ def build_manifest(project: Project) -> dict[str, Any]:
         "project": project.config.get("name"),
         "target": project.target,
         "schema": project.schema,
+        "checksum_version": CHECKSUM_VERSION,
         "nodes": nodes,
         "edges": edges,
         "sources": sources,

@@ -64,9 +64,22 @@ def modified_models(project: Project, state: dict) -> set[str]:
     changed is modified too: its input data changed even though its own
     file didn't."""
     from dbt_on_snowflake_spark.engine.artifacts import (
+        CHECKSUM_VERSION,
         _file_checksum,
         node_checksum,
     )
+
+    prior_version = state.get("checksum_version", 1)
+    if prior_version != CHECKSUM_VERSION:
+        import sys
+
+        print(
+            f"state:modified: prior manifest uses checksum scheme "
+            f"v{prior_version}, this engine writes v{CHECKSUM_VERSION} — "
+            f"every model will be flagged modified this once; re-written "
+            f"manifests compare normally",
+            file=sys.stderr,
+        )
 
     prior = {
         name: node.get("checksum")

@@ -954,11 +954,16 @@ class Runner:
         command: str | None = None,
         tests: list | None = None,
         unit_tests: list | None = None,
+        cli_args: dict | None = None,
     ) -> dict:
-        """``command``/``tests``/``unit_tests`` make run_results.json a
-        complete retry input: dbt retry replays the recorded COMMAND, and
-        a build that failed only on tests must not read as all-green
-        (its node results are all successes)."""
+        """``command``/``args``/``tests``/``unit_tests`` make
+        run_results.json a complete retry input: dbt retry replays the
+        recorded COMMAND *with its flags* (selection, --full-refresh,
+        --vars, the microbatch event window — without them a retry of a
+        hook-aborted ``run --select marts`` would rebuild the whole
+        project, and a retried event-window replay would rewrite the
+        wrong batches), and a build that failed only on tests must not
+        read as all-green (its node results are all successes)."""
         payload = {
             "elapsed": round(sum(r.seconds for r in self.results), 3),
             "target": self.project.target,
@@ -966,6 +971,8 @@ class Runner:
         }
         if command is not None:
             payload["command"] = command
+        if cli_args is not None:
+            payload["args"] = cli_args
         if tests is not None:
             payload["tests"] = [asdict(t) for t in tests]
         if unit_tests is not None:
@@ -978,8 +985,9 @@ class Runner:
         command: str | None = None,
         tests: list | None = None,
         unit_tests: list | None = None,
+        cli_args: dict | None = None,
     ) -> None:
-        payload = self._results_payload(command, tests, unit_tests)
+        payload = self._results_payload(command, tests, unit_tests, cli_args)
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         with open(path, "w") as f:
             json.dump(payload, f, indent=2)

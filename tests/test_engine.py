@@ -1702,3 +1702,138 @@ def test_state_modified_detects_schema_yml_edits(spark, tmp_path):
           "    columns:\n"
           "      - {name: id, data_type: int, tests: [not_null]}\n")
     assert modified_models(Project(root, target="dev"), manifest) == {"m"}
+
+
+def test_retry_replays_prior_flags(spark, tmp_path, capsys):
+    """`retry` replays the prior invocation's FLAGS, not just its
+    subcommand: a hook-aborted `run --select a --vars 'x: 5'` retried
+    bare rebuilds ONLY model a (not the whole project) and with the
+    recorded vars — dbt retry semantics."""
+    from dbt_on_snowflake_spark.__main__ import main
+
+    root = str(tmp_path / "proj")
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    pd.DataFrame({"id": [1, 2]}).to_parquet(
+        os.path.join(data, "t.parquet"), index=False
+    )
+
+    def write(p, c):
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        open(p, "w").write(c)
+
+    good_yml = ("name: retryflags\n"
+                "models:\n  models:\n    materialized: table\n")
+    write(f"{root}/project.yml",
+          good_yml + "on_run_start: SELECT * FROM nope_not_a_table\n")
+    write(f"{root}/sources.yml",
+          f"sources:\n  - name: raw\n    base_path: \"{data}\"\n"
+          "    tables:\n      - name: t\n")
+    write(f"{root}/models/models/fa.sql",
+          "SELECT id, {{ var('x') }} AS v FROM {{ source('raw', 't') }}")
+    write(f"{root}/models/models/fb.sql",
+          "SELECT id FROM {{ source('raw', 't') }}")
+
+    assert main(["run", "--project", root, "--select", "fa",
+                 "--vars", "x: 5"]) == 1
+    capsys.readouterr()
+    doc = json.load(open(f"{root}/target/run_results.json"))
+    assert doc["args"]["select"] == "fa" and doc["args"]["vars"] == {"x": 5}
+
+    write(f"{root}/project.yml", good_yml)  # fix the hook
+    assert main(["retry", "--project", root]) == 0  # NO flags passed
+    capsys.readouterr()
+    # prior --select restored: fa built (with the recorded var), fb not
+    assert [r.v for r in spark.table("dev_fa").select("v").collect()] == [5, 5]
+    assert not os.path.isdir(
+        os.path.join(
+            spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
+            "dev_fb",
+        )
+    )
+    # the retry re-records its effective args for chained retries
+    doc2 = json.load(open(f"{root}/target/run_results.json"))
+    assert doc2["args"]["select"] == "fa" and doc2["args"]["vars"] == {"x": 5}
+
+
+def test_state_modified_warns_on_checksum_scheme_change(
+    spark, tmp_path, capsys
+):
+    """Diffing against a manifest written under an older checksum scheme
+    flags everything once — but says so on stderr instead of silently
+    selecting the whole project (the scheme version is recorded in every
+    manifest this engine writes)."""
+    from dbt_on_snowflake_spark.engine.artifacts import (
+        CHECKSUM_VERSION,
+        build_manifest,
+    )
+    from dbt_on_snowflake_spark.engine.dag import modified_models
+
+    from dbt_on_snowflake_spark.engine.artifacts import _file_checksum
+
+    root = str(tmp_path / "proj")
+    os.makedirs(f"{root}/models/models")
+    open(f"{root}/project.yml", "w").write("name: csv2\n")
+    open(f"{root}/models/models/m.sql", "w").write("SELECT 1 AS id")
+    open(f"{root}/models/models/schema.yml", "w").write(
+        "models:\n  - name: m\n    columns:\n"
+        "      - name: id\n        tests: [not_null]\n"
+    )
+    project = Project(root, target="dev")
+    manifest = build_manifest(project)
+    assert manifest["checksum_version"] == CHECKSUM_VERSION
+
+    # same-version manifest: clean diff, no warning
+    assert modified_models(project, manifest) == set()
+    assert "checksum scheme" not in capsys.readouterr().err
+
+    # a true v1-era manifest: no version field, file-bytes-only checksums
+    legacy = json.loads(json.dumps(manifest))
+    del legacy["checksum_version"]
+    legacy["nodes"]["m"]["checksum"] = _file_checksum(
+        f"{root}/models/models/m.sql"
+    )
+    assert modified_models(project, legacy) == {"m"}
+    assert "checksum scheme v1" in capsys.readouterr().err
+
+
+def test_test_summary_counts_unit_tests(spark, tmp_path, capsys):
+    """The `test` summary line counts unit tests in both numerator and
+    denominator: 1 passing data test + 1 failing unit test prints
+    '1/2 tests passed', not the understated '0/1'."""
+    from dbt_on_snowflake_spark.__main__ import main
+
+    root = str(tmp_path / "proj")
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    pd.DataFrame({"id": [1, 2]}).to_parquet(
+        os.path.join(data, "t.parquet"), index=False
+    )
+
+    def write(p, c):
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        open(p, "w").write(c)
+
+    write(f"{root}/project.yml",
+          "name: sumt\nmodels:\n  models:\n    materialized: table\n")
+    write(f"{root}/sources.yml",
+          f"sources:\n  - name: raw\n    base_path: \"{data}\"\n"
+          "    tables:\n      - name: t\n")
+    write(f"{root}/models/models/sm.sql",
+          "SELECT id FROM {{ source('raw', 't') }}")
+    write(f"{root}/models/models/schema.yml",
+          "models:\n  - name: sm\n    columns:\n"
+          "      - name: id\n        tests: [not_null]\n")
+    write(f"{root}/models/models/unit_tests.yml",
+          "unit_tests:\n"
+          "  - name: ut_wrong_expectation\n"
+          "    model: sm\n"
+          "    given:\n"
+          "      - input: source('raw', 't')\n"
+          "        rows: [{id: 1}]\n"
+          "    expect:\n"
+          "      rows: [{id: 99}]\n")
+
+    assert main(["test", "--project", root]) == 1
+    out = capsys.readouterr().out
+    assert "1/2 tests passed" in out, out
