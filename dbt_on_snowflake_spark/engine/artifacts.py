@@ -78,6 +78,11 @@ def build_manifest(project: Project) -> dict[str, Any]:
             # state:modified selector diffs these against a prior
             # manifest to build only changed models
             "checksum": node_checksum(project, name),
+            # governance: owning group + ref-boundary access level
+            "group": getattr(project, "model_group", {}).get(name),
+            "access": getattr(project, "model_access", {}).get(
+                name, "protected"
+            ),
         }
     edges = sorted(
         [up, down] for down, ups in graph.items() for up in ups
@@ -116,6 +121,7 @@ def build_manifest(project: Project) -> dict[str, Any]:
         "target": project.target,
         "schema": project.schema,
         "checksum_version": CHECKSUM_VERSION,
+        "groups": getattr(project, "groups", {}),
         "nodes": nodes,
         "edges": edges,
         "sources": sources,

@@ -166,6 +166,16 @@ def _expand_part(
     elif name.startswith("tag:"):
         tag = name[4:]
         base = {m for m in project.models if tag in model_tags(project, m)}
+    elif name.startswith("group:"):
+        # dbt group selector: every model belonging to the owner group
+        grp = name[len("group:"):]
+        if grp not in getattr(project, "groups", {}):
+            raise ValueError(f"unknown group: {grp!r}")
+        base = {
+            m
+            for m, g in getattr(project, "model_group", {}).items()
+            if g == grp
+        }
     else:
         if name not in project.models:
             raise ValueError(f"unknown model in selector: {name!r}")

@@ -56,6 +56,9 @@ class ModelNode:
     refs: list[str] = field(default_factory=list)
     sources: list[tuple[str, str]] = field(default_factory=list)
     config: dict[str, str] = field(default_factory=dict)
+    # originating package name; "" = the root project. Drives the
+    # `access: protected` boundary (cross-package refs rejected).
+    package: str = ""
 
 
 @dataclass
@@ -125,6 +128,13 @@ class Project:
         self.model_tests = self._load_model_tests()
         self.unit_tests = self._load_unit_tests()
         self.exposures = self._load_exposures()
+        # dbt governance (groups + access): loaded AFTER model_tests so
+        # well-formedness (known models, no duplicate declarations) is
+        # already guaranteed; enforced at parse time like dbt
+        self.groups, self.model_group, self.model_access = (
+            self._load_governance()
+        )
+        self._enforce_access()
         self.seeds = self._discover_seeds()
         self.selectors = self._load_selectors()
         # ref() resolves seeds before models, so a shared name would
@@ -283,7 +293,12 @@ class Project:
             if pkg_root != self.root and os.path.isdir(
                 os.path.join(pkg_root, "models")
             ):
-                self._package_model_dirs.append(os.path.join(pkg_root, "models"))
+                self._package_model_dirs.append(
+                    (
+                        self._package_identity(pkg_root)[0],
+                        os.path.join(pkg_root, "models"),
+                    )
+                )
 
     # -- namespace resolution (reference generate_schema_name.sql:1-14:
     # a literal custom schema wins; else the target's schema) -------------
@@ -299,11 +314,16 @@ class Project:
     # -- discovery --------------------------------------------------------
     def _discover_models(self) -> dict[str, ModelNode]:
         models: dict[str, ModelNode] = {}
-        for mdir in [os.path.join(self.root, "models"), *self._package_model_dirs]:
-            self._scan_model_dir(mdir, models)
+        for package, mdir in [
+            ("", os.path.join(self.root, "models")),
+            *self._package_model_dirs,
+        ]:
+            self._scan_model_dir(mdir, models, package)
         return models
 
-    def _scan_model_dir(self, mdir: str, models: dict[str, ModelNode]) -> None:
+    def _scan_model_dir(
+        self, mdir: str, models: dict[str, ModelNode], package: str = ""
+    ) -> None:
         for dirpath, _dirs, files in os.walk(mdir):
             subdir = os.path.relpath(dirpath, mdir).split(os.sep)[0]
             for fn in sorted(files):
@@ -323,7 +343,8 @@ class Project:
                     refs, sources = extract_deps(body)
                     cfg = extract_config(body)
                     models[name] = ModelNode(
-                        name, path, "sql", subdir, body, refs, sources, cfg
+                        name, path, "sql", subdir, body, refs, sources, cfg,
+                        package=package,
                     )
                 elif ext == ".py" and not fn.startswith("_"):
                     with open(path) as f:
@@ -337,7 +358,8 @@ class Project:
                         body,
                     )
                     models[name] = ModelNode(
-                        name, path, "python", subdir, None, refs, list(srcs), {}
+                        name, path, "python", subdir, None, refs, list(srcs),
+                        {}, package=package,
                     )
 
     def materialization_for(self, node: ModelNode) -> str:
@@ -403,6 +425,102 @@ class Project:
                         column_types=column_types,
                     )
         return out
+
+    def _load_governance(
+        self,
+    ) -> tuple[dict[str, dict], dict[str, str], dict[str, str]]:
+        """dbt model governance (the multi-team surface added in dbt 1.5):
+
+        - ``groups:`` entries in any models/**/*.yml declare a named
+          owner group (``{name, owner: {name, email}}``);
+        - a model's yml entry may carry ``group: <name>`` (membership)
+          and ``access: private|protected|public``.
+
+        Returns (groups, model->group, model->access). Defaults follow
+        dbt: no group, ``protected`` access (ref-able within the same
+        package only). Validation here, enforcement in
+        ``_enforce_access``. Governance is metadata, not logic, so it is
+        deliberately NOT part of the state:modified checksum basis."""
+        groups: dict[str, dict] = {}
+        model_group: dict[str, str] = {}
+        model_access: dict[str, str] = {}
+        mdir = os.path.join(self.root, "models")
+        if not os.path.isdir(mdir):
+            return groups, model_group, model_access
+        for dirpath, dirnames, filenames in sorted(os.walk(mdir)):
+            dirnames.sort()
+            for fn in sorted(filenames):
+                if not fn.endswith((".yml", ".yaml")):
+                    continue
+                with open(os.path.join(dirpath, fn)) as f:
+                    doc = yaml.safe_load(f) or {}
+                for g in doc.get("groups", []) or []:
+                    if "name" not in g:
+                        raise ValueError(f"{fn}: group entry needs 'name'")
+                    if g["name"] in groups:
+                        raise ValueError(
+                            f"{fn}: duplicate group {g['name']!r}"
+                        )
+                    groups[g["name"]] = {"owner": g.get("owner") or {}}
+                for m in doc.get("models", []) or []:
+                    name = m["name"]
+                    if m.get("group") is not None:
+                        model_group[name] = str(m["group"])
+                    if m.get("access") is not None:
+                        access = str(m["access"])
+                        if access not in ("private", "protected", "public"):
+                            raise ValueError(
+                                f"{fn}: model {name!r} access must be "
+                                f"private|protected|public, got {access!r}"
+                            )
+                        model_access[name] = access
+        for name, grp in model_group.items():
+            if grp not in groups:
+                raise ValueError(
+                    f"model {name!r} declares group {grp!r} but no such "
+                    f"group is defined (add a groups: entry)"
+                )
+        for name, access in model_access.items():
+            if access == "private" and name not in model_group:
+                raise ValueError(
+                    f"model {name!r} is access: private but has no group — "
+                    f"private restricts refs to the model's own group"
+                )
+        return groups, model_group, model_access
+
+    def _enforce_access(self) -> None:
+        """dbt ref-boundary enforcement, at parse time:
+
+        - ``private``   -> ref-able only from models in the SAME group;
+        - ``protected`` -> ref-able only from the same package (default);
+        - ``public``    -> ref-able from anywhere.
+        """
+        for name, node in self.models.items():
+            for ref in node.refs:
+                if ref not in self.models:
+                    continue  # seeds / unknown handled elsewhere
+                up = self.models[ref]
+                access = self.model_access.get(ref, "protected")
+                if access == "public":
+                    continue
+                if access == "private":
+                    if self.model_group.get(name) != self.model_group.get(
+                        ref
+                    ):
+                        raise ValueError(
+                            f"model {name!r} cannot ref private model "
+                            f"{ref!r}: {ref!r} belongs to group "
+                            f"{self.model_group.get(ref)!r}, {name!r} to "
+                            f"{self.model_group.get(name)!r}"
+                        )
+                elif node.package != up.package:
+                    raise ValueError(
+                        f"model {name!r} (package "
+                        f"{node.package or 'root'!r}) cannot ref protected "
+                        f"model {ref!r} (package {up.package or 'root'!r}); "
+                        f"declare {ref!r} access: public to allow "
+                        f"cross-package refs"
+                    )
 
     def _load_unit_tests(self) -> list:
         """dbt ``unit_tests:`` declarations in any models/**/*.yml —

@@ -1837,3 +1837,135 @@ def test_test_summary_counts_unit_tests(spark, tmp_path, capsys):
     assert main(["test", "--project", root]) == 1
     out = capsys.readouterr().out
     assert "1/2 tests passed" in out, out
+
+
+def _governance_project(tmp_path, access_line="    access: private\n",
+                        downstream_group="    group: finance\n"):
+    root = str(tmp_path / "proj")
+    data = str(tmp_path / "data")
+    os.makedirs(data, exist_ok=True)
+    pd.DataFrame({"id": [1]}).to_parquet(
+        os.path.join(data, "t.parquet"), index=False
+    )
+
+    def write(p, c):
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        open(p, "w").write(c)
+
+    write(f"{root}/project.yml", "name: gov\n")
+    write(f"{root}/sources.yml",
+          f"sources:\n  - name: raw\n    base_path: \"{data}\"\n"
+          "    tables:\n      - name: t\n")
+    write(f"{root}/models/models/base.sql",
+          "SELECT id FROM {{ source('raw', 't') }}")
+    write(f"{root}/models/models/consumer.sql",
+          "SELECT id FROM {{ ref('base') }}")
+    write(f"{root}/models/models/schema.yml",
+          "groups:\n"
+          "  - name: finance\n"
+          "    owner: {name: fin-team, email: fin@example.com}\n"
+          "  - name: growth\n"
+          "    owner: {name: growth-team}\n"
+          "models:\n"
+          "  - name: base\n"
+          "    group: finance\n"
+          + access_line +
+          "  - name: consumer\n"
+          + downstream_group)
+    return root
+
+
+def test_private_model_ref_requires_same_group(spark, tmp_path):
+    """access: private — a ref from a model in another group (or no
+    group) is rejected at parse time; the same group passes."""
+    import pytest
+
+    root = _governance_project(
+        tmp_path, downstream_group="    group: growth\n"
+    )
+    with pytest.raises(ValueError, match="cannot ref private model"):
+        Project(root, target="dev")
+
+    root2 = _governance_project(
+        tmp_path / "ok", downstream_group="    group: finance\n"
+    )
+    p = Project(root2, target="dev")
+    assert p.model_group == {"base": "finance", "consumer": "finance"}
+    assert p.model_access == {"base": "private"}
+
+
+def test_private_access_requires_group_and_known_group(spark, tmp_path):
+    import pytest
+
+    root = _governance_project(tmp_path, downstream_group="")
+    # rewrite schema.yml: private without any group
+    open(f"{root}/models/models/schema.yml", "w").write(
+        "models:\n  - name: base\n    access: private\n"
+    )
+    with pytest.raises(ValueError, match="private but has no group"):
+        Project(root, target="dev")
+
+    open(f"{root}/models/models/schema.yml", "w").write(
+        "models:\n  - name: base\n    group: nope\n"
+    )
+    with pytest.raises(ValueError, match="no such group"):
+        Project(root, target="dev")
+
+
+def test_group_selector_and_manifest_governance(spark, tmp_path):
+    """group:<name> selects the group's members (+ ancestors implicitly);
+    the manifest records groups and per-node group/access."""
+    from dbt_on_snowflake_spark.engine.artifacts import build_manifest
+    from dbt_on_snowflake_spark.engine.dag import select as dag_select
+
+    root = _governance_project(
+        tmp_path,
+        access_line="    access: public\n",
+        downstream_group="    group: growth\n",
+    )
+    p = Project(root, target="dev")
+    assert dag_select(p, "group:finance") == ["base"]
+    assert dag_select(p, "group:growth") == ["base", "consumer"]  # +ancestor
+    man = build_manifest(p)
+    assert man["groups"]["finance"]["owner"]["name"] == "fin-team"
+    assert man["nodes"]["base"]["access"] == "public"
+    assert man["nodes"]["consumer"]["group"] == "growth"
+    assert man["nodes"]["consumer"]["access"] == "protected"
+
+
+def test_protected_model_blocks_cross_package_ref(spark, tmp_path):
+    """Default access (protected): a root-project model cannot ref a
+    package's model unless the package declares it public. Package
+    membership comes from the model's originating package dir."""
+    import pytest
+
+    root = str(tmp_path / "proj")
+    pkg = str(tmp_path / "pkg")
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    pd.DataFrame({"id": [1]}).to_parquet(
+        os.path.join(data, "t.parquet"), index=False
+    )
+
+    def write(p, c):
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        open(p, "w").write(c)
+
+    write(f"{pkg}/project.yml", "name: libpkg\n")
+    write(f"{pkg}/models/shared/util_model.sql", "SELECT 1 AS one")
+    write(f"{root}/project.yml",
+          f"name: gov2\npackages:\n  - {pkg}\n")
+    write(f"{root}/sources.yml",
+          f"sources:\n  - name: raw\n    base_path: \"{data}\"\n"
+          "    tables:\n      - name: t\n")
+    write(f"{root}/models/models/uses_pkg.sql",
+          "SELECT one FROM {{ ref('util_model') }}")
+    with pytest.raises(ValueError, match="protected model"):
+        Project(root, target="dev")
+
+    # the package (or the consumer project) declares it public -> allowed
+    write(f"{root}/models/models/schema.yml",
+          "models:\n  - name: util_model\n    access: public\n")
+    p = Project(root, target="dev")
+    assert p.models["util_model"].package == "libpkg"
+    assert p.models["uses_pkg"].package == ""
