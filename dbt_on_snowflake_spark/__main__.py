@@ -129,7 +129,9 @@ def main(argv: list[str] | None = None) -> int:
             return f"src_{g}_{t}"
 
         def resolve_ref(n):
-            # mirror Runner.resolve_ref incl. seeds + ephemeral inlining
+            # mirror Runner.resolve_ref incl. version alias, seeds,
+            # ephemeral inlining
+            n = getattr(project, "version_alias", {}).get(n, n)
             if n in project.seeds:
                 return project.relation_for(n)
             node = project.models[n]

@@ -122,6 +122,14 @@ def build_manifest(project: Project) -> dict[str, Any]:
         "schema": project.schema,
         "checksum_version": CHECKSUM_VERSION,
         "groups": getattr(project, "groups", {}),
+        # versioned models: base name -> {latest node, v -> node}
+        "versions": {
+            base: {
+                "latest": getattr(project, "version_alias", {}).get(base),
+                "versions": {str(v): c for v, c in vmap.items()},
+            }
+            for base, vmap in getattr(project, "model_versions", {}).items()
+        },
         "nodes": nodes,
         "edges": edges,
         "sources": sources,

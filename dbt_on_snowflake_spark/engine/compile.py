@@ -24,7 +24,17 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
-_REF_RE = re.compile(r"\{\{\s*ref\(\s*['\"]([\w.]+)['\"]\s*\)\s*\}\}")
+# ref('m') | ref('m', v=2) | ref('m', version=2) — the optional version
+# pin resolves to the concrete versioned node <m>_v<N> (dbt model
+# versions; files are named <model>_v<N>.sql by convention)
+_REF_RE = re.compile(
+    r"\{\{\s*ref\(\s*['\"]([\w.]+)['\"]"
+    r"(?:\s*,\s*(?:v|version)\s*=\s*(\d+))?\s*\)\s*\}\}"
+)
+
+
+def _ref_name(name: str, version: str | None) -> str:
+    return f"{name}_v{version}" if version else name
 _SOURCE_RE = re.compile(
     r"\{\{\s*source\(\s*['\"]([\w.]+)['\"]\s*,\s*['\"]([\w.]+)['\"]\s*\)\s*\}\}"
 )
@@ -165,7 +175,7 @@ def expand_macros(sql: str, macros: dict[str, Macro], max_depth: int = 10) -> st
 
 def extract_deps(sql: str) -> tuple[list[str], list[tuple[str, str]]]:
     """(ref names, (source group, table) pairs) appearing in a model."""
-    refs = _REF_RE.findall(sql)
+    refs = [_ref_name(n, v) for n, v in _REF_RE.findall(sql)]
     sources = [(g, t) for g, t in _SOURCE_RE.findall(sql)]
     return refs, sources
 
@@ -243,6 +253,8 @@ def render(
     out = _INCR_BLOCK_RE.sub(lambda m: m.group(1) if is_incremental else "", out)
     if this is not None:
         out = _THIS_RE.sub(this, out)
-    out = _REF_RE.sub(lambda m: resolve_ref(m.group(1)), out)
+    out = _REF_RE.sub(
+        lambda m: resolve_ref(_ref_name(m.group(1), m.group(2))), out
+    )
     out = _SOURCE_RE.sub(lambda m: resolve_source(m.group(1), m.group(2)), out)
     return out.strip().rstrip(";")

@@ -14,14 +14,17 @@ def build_graph(project: Project) -> dict[str, set[str]]:
     """model -> set of upstream models (sources and seeds are roots, not
     nodes — seeds are always materialized before any model runs)."""
     seeds = getattr(project, "seeds", {})
+    alias = getattr(project, "version_alias", {})
     graph: dict[str, set[str]] = {}
     for name, node in project.models.items():
+        # a bare ref to a VERSIONED model resolves to its latest version
+        refs = [alias.get(r, r) for r in node.refs]
         missing = [
-            r for r in node.refs if r not in project.models and r not in seeds
+            r for r in refs if r not in project.models and r not in seeds
         ]
         if missing:
             raise ValueError(f"model '{name}' refs unknown model(s): {missing}")
-        graph[name] = {r for r in node.refs if r in project.models}
+        graph[name] = {r for r in refs if r in project.models}
     return graph
 
 

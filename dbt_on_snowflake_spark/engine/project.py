@@ -121,9 +121,14 @@ class Project:
                 self.profiles = yaml.safe_load(f) or {}
         self.macros = {}
         self.package_tests: dict[str, Callable] = {}
-        self._package_model_dirs: list[str] = []
+        self._package_model_dirs: list[tuple[str, str]] = []
+        self._package_restrict: dict[str, bool] = {}
         self._load_packages()
         self.models = self._discover_models()
+        # dbt model versions: loaded right after discovery so schema.yml
+        # loaders below can expand a versioned entry onto its concrete
+        # <name>_v<N> nodes, and ref('name') can alias to the latest
+        self.model_versions, self.version_alias = self._load_versions()
         self.sources = self._load_sources()
         self.model_tests = self._load_model_tests()
         self.unit_tests = self._load_unit_tests()
@@ -293,12 +298,20 @@ class Project:
             if pkg_root != self.root and os.path.isdir(
                 os.path.join(pkg_root, "models")
             ):
+                pkg_name = self._package_identity(pkg_root)[0]
                 self._package_model_dirs.append(
-                    (
-                        self._package_identity(pkg_root)[0],
-                        os.path.join(pkg_root, "models"),
-                    )
+                    (pkg_name, os.path.join(pkg_root, "models"))
                 )
+                # dbt restrict-access: a package opts IN to having its
+                # protected models blocked from cross-package refs
+                py = os.path.join(pkg_root, "project.yml")
+                restrict = False
+                if os.path.isfile(py):
+                    with open(py) as f:
+                        restrict = bool(
+                            (yaml.safe_load(f) or {}).get("restrict-access")
+                        )
+                self._package_restrict[pkg_name] = restrict
 
     # -- namespace resolution (reference generate_schema_name.sql:1-14:
     # a literal custom schema wins; else the target's schema) -------------
@@ -386,7 +399,10 @@ class Project:
                     doc = yaml.safe_load(f) or {}
                 for m in doc.get("models", []) or []:
                     name = m["name"]
-                    if name not in self.models:
+                    if (
+                        name not in self.models
+                        and name not in self.model_versions
+                    ):
                         raise ValueError(
                             f"{fn}: tests declared for unknown model {name!r}"
                         )
@@ -414,17 +430,100 @@ class Project:
                                 f"contract but columns {missing} have no "
                                 "data_type"
                             )
-                    out[name] = ModelTests(
-                        name=name,
-                        columns={
-                            c["name"]: c.get("tests", [])
-                            for c in m.get("columns", [])
-                        },
-                        tests=m.get("tests", []),
-                        contract_enforced=enforced,
-                        column_types=column_types,
-                    )
+                    # a versioned entry's tests/contract apply to EVERY
+                    # version node (dbt: the declaration is per model,
+                    # the relations are per version)
+                    for target in self._version_targets(name):
+                        out[target] = ModelTests(
+                            name=target,
+                            columns={
+                                c["name"]: c.get("tests", [])
+                                for c in m.get("columns", [])
+                            },
+                            tests=m.get("tests", []),
+                            contract_enforced=enforced,
+                            column_types=column_types,
+                        )
         return out
+
+    def _load_versions(
+        self,
+    ) -> tuple[dict[str, dict[int, str]], dict[str, str]]:
+        """dbt model versions (the contract-evolution surface added in
+        dbt 1.6): a schema.yml entry declares
+
+            models:
+              - name: m
+                latest_version: 2       # default: highest v
+                versions: [{v: 1}, {v: 2}]
+
+        with one FILE per version named ``<model>_v<N>.sql`` (each is a
+        normal discovered node; ``defined_in`` renames are deliberately
+        unsupported — the fixed convention keeps ref rewriting static).
+        ``ref('m')`` resolves to the latest version's node;
+        ``ref('m', v=1)`` pins — both normalized by engine.compile.
+
+        Returns (base -> {v: concrete node}, base -> latest node)."""
+        versions: dict[str, dict[int, str]] = {}
+        alias: dict[str, str] = {}
+        mdir = os.path.join(self.root, "models")
+        if not os.path.isdir(mdir):
+            return versions, alias
+        for dirpath, dirnames, filenames in sorted(os.walk(mdir)):
+            dirnames.sort()
+            for fn in sorted(filenames):
+                if not fn.endswith((".yml", ".yaml")):
+                    continue
+                with open(os.path.join(dirpath, fn)) as f:
+                    doc = yaml.safe_load(f) or {}
+                for m in doc.get("models", []) or []:
+                    if not m.get("versions"):
+                        continue
+                    name = m["name"]
+                    if name in self.models:
+                        raise ValueError(
+                            f"{fn}: versioned model {name!r} collides with "
+                            f"an unversioned file of the same name; version "
+                            f"files must be named {name}_v<N>.sql"
+                        )
+                    if name in versions:
+                        raise ValueError(
+                            f"{fn}: duplicate versions declaration for "
+                            f"{name!r}"
+                        )
+                    vmap: dict[int, str] = {}
+                    for entry in m["versions"]:
+                        if "defined_in" in entry:
+                            raise ValueError(
+                                f"{fn}: model {name!r}: defined_in is not "
+                                f"supported; name the file "
+                                f"{name}_v{entry.get('v')}.sql"
+                            )
+                        num = int(entry["v"])
+                        concrete = f"{name}_v{num}"
+                        if concrete not in self.models:
+                            raise ValueError(
+                                f"{fn}: model {name!r} declares v{num} but "
+                                f"{concrete}.sql does not exist"
+                            )
+                        vmap[num] = concrete
+                    latest = int(m.get("latest_version", max(vmap)))
+                    if latest not in vmap:
+                        raise ValueError(
+                            f"{fn}: model {name!r} latest_version "
+                            f"{latest} is not among its versions "
+                            f"{sorted(vmap)}"
+                        )
+                    versions[name] = vmap
+                    alias[name] = vmap[latest]
+        return versions, alias
+
+    def _version_targets(self, name: str) -> list[str]:
+        """Concrete node names a schema.yml model entry applies to: the
+        version nodes for a versioned entry, else the entry itself."""
+        if name in self.model_versions:
+            return [c for _, c in sorted(self.model_versions[name].items())]
+        return [name]
 
     def _load_governance(
         self,
@@ -464,16 +563,22 @@ class Project:
                     groups[g["name"]] = {"owner": g.get("owner") or {}}
                 for m in doc.get("models", []) or []:
                     name = m["name"]
-                    if m.get("group") is not None:
-                        model_group[name] = str(m["group"])
-                    if m.get("access") is not None:
-                        access = str(m["access"])
-                        if access not in ("private", "protected", "public"):
-                            raise ValueError(
-                                f"{fn}: model {name!r} access must be "
-                                f"private|protected|public, got {access!r}"
-                            )
-                        model_access[name] = access
+                    # a versioned entry's governance applies to every
+                    # version node, like its tests/contract
+                    for target in self._version_targets(name):
+                        if m.get("group") is not None:
+                            model_group[target] = str(m["group"])
+                        if m.get("access") is not None:
+                            access = str(m["access"])
+                            if access not in (
+                                "private", "protected", "public"
+                            ):
+                                raise ValueError(
+                                    f"{fn}: model {name!r} access must be "
+                                    f"private|protected|public, got "
+                                    f"{access!r}"
+                                )
+                            model_access[target] = access
         for name, grp in model_group.items():
             if grp not in groups:
                 raise ValueError(
@@ -492,11 +597,17 @@ class Project:
         """dbt ref-boundary enforcement, at parse time:
 
         - ``private``   -> ref-able only from models in the SAME group;
-        - ``protected`` -> ref-able only from the same package (default);
+        - ``protected`` (default) -> ref-able from the same package; a
+          CROSS-package ref is rejected only when the owning package
+          opts in with ``restrict-access: true`` in its project.yml
+          (dbt semantics — without the opt-in, packages are libraries
+          and their models are ref-able);
         - ``public``    -> ref-able from anywhere.
         """
         for name, node in self.models.items():
             for ref in node.refs:
+                # a bare ref to a versioned model governs as its latest
+                ref = self.version_alias.get(ref, ref)
                 if ref not in self.models:
                     continue  # seeds / unknown handled elsewhere
                 up = self.models[ref]
@@ -513,13 +624,16 @@ class Project:
                             f"{self.model_group.get(ref)!r}, {name!r} to "
                             f"{self.model_group.get(name)!r}"
                         )
-                elif node.package != up.package:
+                elif (
+                    node.package != up.package
+                    and self._package_restrict.get(up.package, False)
+                ):
                     raise ValueError(
                         f"model {name!r} (package "
                         f"{node.package or 'root'!r}) cannot ref protected "
-                        f"model {ref!r} (package {up.package or 'root'!r}); "
-                        f"declare {ref!r} access: public to allow "
-                        f"cross-package refs"
+                        f"model {ref!r} (package {up.package!r} sets "
+                        f"restrict-access); declare {ref!r} access: public "
+                        f"to allow cross-package refs"
                     )
 
     def _load_unit_tests(self) -> list:

@@ -153,6 +153,8 @@ class Runner:
 
     # -- resolution -------------------------------------------------------
     def resolve_ref(self, name: str) -> str:
+        # bare ref to a versioned model -> its latest version's node
+        name = getattr(self.project, "version_alias", {}).get(name, name)
         if name in self.project.seeds:
             return self.project.relation_for(name)
         deferred = self._resolve_deferred(name)

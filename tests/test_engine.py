@@ -1934,9 +1934,10 @@ def test_group_selector_and_manifest_governance(spark, tmp_path):
 
 
 def test_protected_model_blocks_cross_package_ref(spark, tmp_path):
-    """Default access (protected): a root-project model cannot ref a
-    package's model unless the package declares it public. Package
-    membership comes from the model's originating package dir."""
+    """A package that sets restrict-access: true (dbt's opt-in) blocks
+    cross-package refs to its protected models; declaring the model
+    public re-opens it. Package membership comes from the model's
+    originating package dir."""
     import pytest
 
     root = str(tmp_path / "proj")
@@ -1951,7 +1952,7 @@ def test_protected_model_blocks_cross_package_ref(spark, tmp_path):
         os.makedirs(os.path.dirname(p), exist_ok=True)
         open(p, "w").write(c)
 
-    write(f"{pkg}/project.yml", "name: libpkg\n")
+    write(f"{pkg}/project.yml", "name: libpkg\nrestrict-access: true\n")
     write(f"{pkg}/models/shared/util_model.sql", "SELECT 1 AS one")
     write(f"{root}/project.yml",
           f"name: gov2\npackages:\n  - {pkg}\n")
@@ -1969,3 +1970,87 @@ def test_protected_model_blocks_cross_package_ref(spark, tmp_path):
     p = Project(root, target="dev")
     assert p.models["util_model"].package == "libpkg"
     assert p.models["uses_pkg"].package == ""
+
+
+def test_model_versions_ref_resolution(spark, tmp_path, capsys):
+    """dbt model versions: ref('m') builds against the LATEST version,
+    ref('m', v=1) pins the old one; both versions materialize as their
+    own nodes; the yml tests/contract apply to every version; the
+    manifest records the version map."""
+    from dbt_on_snowflake_spark.__main__ import main
+    from dbt_on_snowflake_spark.engine.artifacts import build_manifest
+
+    root = str(tmp_path / "proj")
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    pd.DataFrame({"id": [1, 2]}).to_parquet(
+        os.path.join(data, "t.parquet"), index=False
+    )
+
+    def write(p, c):
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        open(p, "w").write(c)
+
+    write(f"{root}/project.yml",
+          "name: verp\nmodels:\n  models:\n    materialized: table\n")
+    write(f"{root}/sources.yml",
+          f"sources:\n  - name: raw\n    base_path: \"{data}\"\n"
+          "    tables:\n      - name: t\n")
+    write(f"{root}/models/models/dim_v1.sql",
+          "SELECT id FROM {{ source('raw', 't') }}")
+    write(f"{root}/models/models/dim_v2.sql",
+          "SELECT id, id * 10 AS id10 FROM {{ source('raw', 't') }}")
+    write(f"{root}/models/models/latest_user.sql",
+          "SELECT * FROM {{ ref('dim') }}")
+    write(f"{root}/models/models/pinned_user.sql",
+          "SELECT * FROM {{ ref('dim', v=1) }}")
+    write(f"{root}/models/models/schema.yml",
+          "models:\n"
+          "  - name: dim\n"
+          "    latest_version: 2\n"
+          "    versions: [{v: 1}, {v: 2}]\n"
+          "    columns:\n"
+          "      - name: id\n        tests: [not_null]\n")
+
+    p = Project(root, target="dev")
+    assert p.version_alias == {"dim": "dim_v2"}
+    assert set(p.model_tests) >= {"dim_v1", "dim_v2"}
+    man = build_manifest(p)
+    assert man["versions"]["dim"] == {
+        "latest": "dim_v2",
+        "versions": {"1": "dim_v1", "2": "dim_v2"},
+    }
+
+    assert main(["run", "--project", root]) == 0
+    capsys.readouterr()
+    assert spark.table("dev_latest_user").columns == ["id", "id10"]
+    assert spark.table("dev_pinned_user").columns == ["id"]
+
+
+def test_model_versions_validation(spark, tmp_path):
+    import pytest
+
+    root = str(tmp_path / "proj")
+
+    def write(p, c):
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        open(p, "w").write(c)
+
+    write(f"{root}/project.yml", "name: verv\n")
+    write(f"{root}/models/models/m_v1.sql", "SELECT 1 AS id")
+    write(f"{root}/models/models/schema.yml",
+          "models:\n  - name: m\n    versions: [{v: 1}, {v: 2}]\n")
+    with pytest.raises(ValueError, match="m_v2.sql does not exist"):
+        Project(root, target="dev")
+
+    write(f"{root}/models/models/schema.yml",
+          "models:\n  - name: m\n    latest_version: 3\n"
+          "    versions: [{v: 1}]\n")
+    with pytest.raises(ValueError, match="latest_version 3"):
+        Project(root, target="dev")
+
+    write(f"{root}/models/models/m.sql", "SELECT 2 AS id")
+    write(f"{root}/models/models/schema.yml",
+          "models:\n  - name: m\n    versions: [{v: 1}]\n")
+    with pytest.raises(ValueError, match="collides with an unversioned"):
+        Project(root, target="dev")
