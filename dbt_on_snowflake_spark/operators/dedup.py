@@ -994,3 +994,71 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a", "doc_b", "n_common", F.round(cont, 4).alias("containment")
         )
     )
+
+
+# ------------------------------------------------------ passage-level dedup
+
+PASSAGE_W = 16  # tokens per passage window
+
+
+@query(
+    "dedup_passages",
+    driver=False,  # born r6: parity-checked; rotate into the r7 export
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    p AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, len(ts) // {PASSAGE_W} + 1),
+                   g -> array_to_string(
+                       ts[(g-1)*{PASSAGE_W}+1:(g-1)*{PASSAGE_W}+{PASSAGE_W}],
+                       ' ')
+               )) AS passage
+        FROM tok
+    )
+    SELECT md5(passage) AS passage_key,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occurrences,
+           MIN(doc_id) AS first_doc
+    FROM p
+    GROUP BY 1
+    HAVING COUNT(DISTINCT doc_id) > 1
+    """,
+)
+def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PASSAGE-level exact dedup — repeated boilerplate detection at
+    sub-document granularity (the C4/RefinedWeb preprocessing step whole-
+    document dedup misses: navigation chrome, license headers, quoted
+    chunks recurring across otherwise-distinct pages). Documents are cut
+    into consecutive PASSAGE_W-token windows (full windows only —
+    deterministic, alignment-stable); a passage appearing in more than
+    one distinct document is flagged with its spread (n_docs), total
+    occurrence count and earliest carrier.
+
+    Scale: the window cut is a narrow JVM transform riding the scan
+    (explode, no UDF); the only shuffle is the groupBy on the uniform
+    md5 passage key with map-side partial aggregation — skew-free by
+    construction. Downstream removal is a broadcast/semi-join of the
+    flagged keys back onto the passage stream."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    nchunks = F.floor(F.size(toks) / PASSAGE_W).cast("int")
+    seq = F.sequence(F.lit(1), nchunks)
+    passages = F.when(nchunks >= 1, F.transform(
+        seq,
+        lambda g: F.array_join(
+            F.slice(toks, (g - 1) * PASSAGE_W + 1, PASSAGE_W), " "
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+    p = d.select("doc_id", F.explode(passages).alias("passage"))
+    return (
+        p.groupBy(F.md5("passage").alias("passage_key"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
