@@ -37,6 +37,19 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # register with driver=False: they stay in all_queries() and are verified
 # by the local DuckDB parity replica (tests/test_oracle_parity.py runs the
 # SAME compare over every registered query, demoted ones included).
+#
+# ROTATION LEDGER (keep every query driver-green within a 3-round window):
+# - r6 export: the 8 operators born in r5 plus the r6-born BPE trio and
+#   dedup_semantic; 13 r5-green veterans demoted.
+# - r7 must rotate IN: the r4-green set now two rounds demoted
+#   (dq_failing_rows, j7_anti_orphans, a4_sales_by_nation,
+#   a6_unique_violations, f_scalar_suite, ann_ivf_multiprobe/ivf_topk,
+#   j_salted_events_enrich, the 5 *_streaming rows, t_user_retention,
+#   a_rollup_revenue, text_quality, text_token_count,
+#   corpus_sample_stratified, text_contamination, multimodal_meta,
+#   dedup_simhash_pairs, dedup_embedding_cosine) and the r6-born
+#   parity-only rows (ann_incremental_assign, corpus_pack_sequences_bpe,
+#   dedup_passages); demote r5/r6-green veterans to make room.
 DRIVER_BUDGET = 50
 
 
