@@ -1041,3 +1041,190 @@ def q20_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
         )
     )
+
+
+# --- TPC-H Q6 shape: single-table filtered aggregate — the pushdown
+# showcase: all three predicates land in the parquet scan's
+# PushedFilters, the scan reads 3 columns, and the aggregate is a
+# fixed-state partial+final pair with no group key (one row out).
+@query(
+    "q6_forecast_revenue_delta",
+    driver=False,  # born r6: parity-checked; rotate into the r7 export
+    oracle=f"""
+    SELECT {sum_scaled_sql(
+        "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+        " * CAST(ROUND(l_discount * 100) AS BIGINT)", "promo_revenue", 4)},
+           COUNT(*) AS n_lineitems
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.04
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    f = l.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.04)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        sum_scaled(
+            scaled("l_extendedprice") * scaled("l_discount"),
+            "promo_revenue",
+            4,
+        ),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+# --- TPC-H Q10 shape: returned-item losers — customers ranked by revenue
+# lost to returns in one quarter. Fact-fact join shuffles once on
+# orderkey; nation broadcasts; deterministic top-20 via
+# TakeOrderedAndProject with custkey tie-break.
+@query(
+    "q10_returned_item_losers",
+    driver=False,  # born r6: parity-checked; rotate into the r7 export
+    oracle=f"""
+    WITH ranked AS (
+        SELECT c.c_custkey AS cust_key, c.c_name AS cust_name,
+               n.n_name AS nation_name,
+               ROUND(c.c_acctbal, 2) AS acctbal,
+               {sum_scaled_sql(
+                   "CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)"
+                   " * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))",
+                   "lost_revenue", 4)}
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+          AND l.l_returnflag = 'R'
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT * FROM ranked
+    ORDER BY lost_revenue DESC, cust_key ASC
+    LIMIT 20
+    """,
+)
+def q10_returned_item_losers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("c_custkey").alias("cust_key"),
+            F.col("c_name").alias("cust_name"),
+            F.col("n_name").alias("nation_name"),
+            F.round("c_acctbal", 2).alias("acctbal"),
+        )
+        .agg(sum_scaled(revenue_scaled(), "lost_revenue", 4))
+        .orderBy(F.col("lost_revenue").desc(), F.col("cust_key").asc())
+        .limit(20)
+    )
+
+
+# --- TPC-H Q14 shape: promo revenue share — conditional aggregation over
+# the part join. Part is SF-growing (no hint); the promo share is an
+# exact integer-scaled ratio surfaced as one double.
+@query(
+    "q14_promo_revenue_share",
+    driver=False,  # born r6: parity-checked; rotate into the r7 export
+    oracle="""
+    SELECT CAST(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                   THEN CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+                   ELSE 0 END) AS DOUBLE)
+           / SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+               AS promo_share_pct,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+    """,
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part")
+    rev = revenue_scaled()
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .agg(
+            (
+                100.0 * F.sum(promo).cast("double") / F.sum(rev)
+            ).alias("promo_share_pct"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# --- TPC-H Q19 shape: disjunctive brand/size/quantity predicate revenue.
+# The OR-of-ANDs predicate cannot push down whole, but each disjunct's
+# join key side does; Catalyst extracts the common p_partkey equi-key so
+# this stays a hash join with a residual condition, never a cartesian.
+@query(
+    "q19_branded_quantity_revenue",
+    driver=False,  # born r6: parity-checked; rotate into the r7 export
+    oracle=f"""
+    SELECT {sum_scaled_sql(
+        "CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)"
+        " * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))",
+        "revenue", 4)},
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#25' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_branded_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & sz.between(1, 15)
+            & q.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & sz.between(1, 25)
+            & q.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#25")
+            & sz.between(1, 35)
+            & q.between(20, 30)
+        )
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            sum_scaled(revenue_scaled(), "revenue", 4),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )

@@ -359,3 +359,24 @@ def test_ann_incremental_no_corpus_repass(spark):
     ]
     assert len(emb_scans) == 1, f"corpus re-read: {len(emb_scans)} scans"
     assert "BroadcastExchange" in plan
+
+
+def test_q6_pushes_all_predicates_to_scan(spark):
+    """q6: shipdate range, discount range, and quantity bound all land in
+    the lineitem scan's PushedFilters; only the 4 referenced columns are
+    read; no join anywhere."""
+    plan = plan_of(spark, "q6_forecast_revenue_delta")
+    s = scan_for(plan, "lineitem")
+    pf = s.get("pushedfilters", "")
+    assert "l_shipdate" in pf and "l_discount" in pf and "l_quantity" in pf
+    assert_read_columns(plan, "lineitem", 4)
+    assert "Join" not in plan
+
+
+def test_q19_disjunction_stays_hash_join(spark):
+    """q19's OR-of-ANDs predicate keeps the common p_partkey equi-key: a
+    hash-based join with a residual condition, never a cartesian or
+    nested-loop product."""
+    plan = plan_of(spark, "q19_branded_quantity_revenue")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
