@@ -39,3 +39,29 @@ def test_driver_export_within_budget():
     }
     for fam in families:
         assert any(n.startswith(fam) for n in exported), fam
+
+
+def test_r6_rotation_promises_kept():
+    """The round-5 verdict named 8 never-driver-checked operators to
+    rotate into the round-6 export; pin that every one is exported (plus
+    the round's new driver rows), so a later edit can't silently demote
+    them before the driver sees them."""
+    from dbt_on_snowflake_spark.registry import driver_queries
+
+    exported = set(driver_queries())
+    promised = {
+        "q2_min_cost_supplier",
+        "q20_heavy_suppliers",
+        "text_pii_redact",
+        "dedup_containment",
+        "corpus_mixture_sample",
+        "corpus_pack_sequences",
+        "ann_ivf_multiprobe_indexed",
+        "dedup_incremental_streaming",
+        # born in round 6
+        "text_token_count_bpe",
+        "corpus_token_budget_hist_bpe",
+        "corpus_mixture_sample_bpe",
+        "dedup_semantic",
+    }
+    assert promised <= exported, sorted(promised - exported)
