@@ -462,3 +462,138 @@ def _set_stream_dedup_oracle() -> None:
 
 
 _set_stream_dedup_oracle()
+
+
+# ------------------------------------- custom stateful operator (funnel)
+
+# Batch twin's oracle (analytics.t_event_funnel) — set after registration
+# like the streaming dedup row, to avoid an import cycle.
+_FUNNEL_OUT_SCHEMA = "user_id BIGINT, v TIMESTAMP, c TIMESTAMP, p TIMESTAMP"
+_FUNNEL_STATE_SCHEMA = "v BIGINT, c BIGINT, p BIGINT"  # epoch micros
+
+
+def _funnel_update(key, pdfs, state):
+    """Per-user funnel state machine for applyInPandasWithState: fold the
+    batch's events in event-time order onto (v, c, p) = earliest view /
+    first click strictly after v / first purchase strictly after c. With
+    a time-ordered feed (or the whole table in one availableNow batch,
+    sorted here), the fold is exactly the batch MIN-cascade: the first
+    eligible event in ts order IS the minimum."""
+    import pandas as pd
+
+    v, c, p = state.get if state.exists else (None, None, None)
+    rows = pd.concat(list(pdfs)).sort_values("ts", kind="mergesort")
+    for ts, et in zip(rows["ts"], rows["event_type"]):
+        t = int(pd.Timestamp(ts).value) // 1000  # ns -> micros
+        if et == "view":
+            if v is None:
+                v = t
+        elif et == "click":
+            if v is not None and t > v and c is None:
+                c = t
+        elif et == "purchase":
+            if c is not None and t > c and p is None:
+                p = t
+    state.update((v, c, p))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "v": [pd.to_datetime(v, unit="us") if v is not None else pd.NaT],
+            "c": [pd.to_datetime(c, unit="us") if c is not None else pd.NaT],
+            "p": [pd.to_datetime(p, unit="us") if p is not None else pd.NaT],
+        }
+    )
+
+
+def funnel_stream_states(
+    spark: SparkSession, stream: DataFrame, out_dir: str
+) -> None:
+    """Drive the per-user funnel through applyInPandasWithState (update
+    mode): each micro-batch emits every touched user's CURRENT (v, c, p),
+    appended to ``out_dir`` with the batch id so the final snapshot is
+    the max-batch row per user. NoTimeout because the local harness is a
+    finite replay; an unbounded deployment bounds state with an
+    event-time timeout under a watermark (the state is 3 longs per
+    still-open user either way)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    updates = stream.groupBy("user_id").applyInPandasWithState(
+        _funnel_update,
+        _FUNNEL_OUT_SCHEMA,
+        _FUNNEL_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        updates.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def funnel_final_counts(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Latest per-user snapshot (max batch_id) -> the funnel's headline
+    counts, matching the batch MIN-cascade aggregate."""
+    from pyspark.sql import Window
+
+    snap = spark.read.parquet(out_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("batch_id").desc())
+    latest = (
+        snap.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return latest.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("v").alias("n_viewed"),
+        F.count("c").alias("n_clicked_after_view"),
+        F.count("p").alias("n_purchased_after_click"),
+    )
+
+
+@query(
+    "t_event_funnel_streaming",
+    driver=False,  # born r6: parity-checked; rotate into the r7 export
+    oracle=None,  # set below: shares the batch funnel's oracle
+)
+def t_event_funnel_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conversion funnel as a CUSTOM STATEFUL streaming operator —
+    the applyInPandasWithState surface (arbitrary per-key state, the
+    escape hatch when session_window/dropDuplicates can't express the
+    semantics): per-user state machine over (first view, first click
+    after it, first purchase after that), updated per micro-batch,
+    final snapshot aggregated to the same four counts as the batch
+    MIN-cascade `t_event_funnel` — and checked against its DuckDB
+    oracle. Cross-batch state carry is pinned by
+    ``test_streaming_funnel_matches_batch_across_batches``."""
+    import hashlib
+    import tempfile
+
+    from dbt_on_snowflake_spark.engine.fs import fs_delete
+
+    suffix = hashlib.md5(f"funnel:{sf_dir}".encode()).hexdigest()[:8]
+    out_dir = os.path.join(tempfile.gettempdir(), f"funnel_snap_{suffix}")
+    fs_delete(spark, out_dir)
+    s = events_stream(spark, sf_dir).select("user_id", "event_type", "ts")
+    funnel_stream_states(spark, s, out_dir)
+    return funnel_final_counts(spark, out_dir)
+
+
+def _set_stream_funnel_oracle() -> None:
+    from dbt_on_snowflake_spark.registry import QUERIES
+
+    QUERIES["t_event_funnel_streaming"].oracle = QUERIES[
+        "t_event_funnel"
+    ].oracle
+
+
+_set_stream_funnel_oracle()

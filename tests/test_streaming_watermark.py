@@ -190,3 +190,68 @@ def test_stream_dedup_honors_index_bucket_spec(spark, tmp_path):
     cand = spark.read.parquet(cand_dir).collect()
     assert [(r.doc_a, r.doc_b) for r in cand] == [(5, 10)]
     assert _table_bucket_count(spark, "mh_sdtest_idx4") == n_buckets
+
+
+def test_streaming_funnel_matches_batch_across_batches(spark, tmp_path):
+    """applyInPandasWithState funnel: events split into two TIME-ORDERED
+    micro-batches (maxFilesPerTrigger=1) — a user whose view lands in
+    batch 1 and whose click/purchase land in batch 2 converts ONLY via
+    carried state; the final snapshot's counts equal the batch
+    MIN-cascade on the union."""
+    import os
+
+    import pandas as pd
+
+    from dbt_on_snowflake_spark.streaming import (
+        funnel_final_counts,
+        funnel_stream_states,
+    )
+
+    t0 = pd.Timestamp("2026-01-01 10:00:00")
+
+    def ev(uid, et, minutes):
+        return {"user_id": uid, "event_type": et,
+                "ts": t0 + pd.Timedelta(minutes=minutes)}
+
+    batch1 = pd.DataFrame([
+        ev(1, "view", 0),          # converts across batches
+        ev(2, "view", 1), ev(2, "click", 2),   # converts within+across
+        ev(3, "click", 3),         # click before any view: never converts
+        ev(4, "view", 4),          # views only
+    ])
+    batch2 = pd.DataFrame([
+        ev(1, "click", 10), ev(1, "purchase", 11),
+        ev(2, "purchase", 12),
+        ev(3, "view", 13),         # view after the click — too late
+        ev(5, "purchase", 14),     # purchase only, no funnel
+    ])
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    batch1.to_parquet(os.path.join(feed, "b1.parquet"), index=False)
+    batch2.to_parquet(os.path.join(feed, "b2.parquet"), index=False)
+
+    schema = spark.read.parquet(feed).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(feed)
+        .select("user_id", "event_type", "ts")
+    )
+    out_dir = str(tmp_path / "snap")
+    funnel_stream_states(spark, stream, out_dir)
+    got = funnel_final_counts(spark, out_dir).collect()[0]
+
+    # batch MIN-cascade on the union, computed independently in pandas
+    assert got.n_users == 5
+    assert got.n_viewed == 4          # users 1, 2, 3, 4
+    assert got.n_clicked_after_view == 2   # users 1, 2 (user 3's click precedes its view)
+    assert got.n_purchased_after_click == 2  # users 1, 2
+
+    # cross-batch carry specifically: user 1's click arrived in batch 2,
+    # after its view-only batch-1 state
+    snap = spark.read.parquet(out_dir)
+    u1 = {r.batch_id: (r.v is not None, r.c is not None, r.p is not None)
+          for r in snap.filter(F.col("user_id") == 1).collect()}
+    assert u1[0] == (True, False, False)
+    assert u1[1] == (True, True, True)
