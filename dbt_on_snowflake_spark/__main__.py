@@ -29,7 +29,7 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
     for name in (
         "run", "build", "test", "compile", "ls", "freshness", "seed", "docs",
-        "retry",
+        "retry", "clone",
     ):
         sp = sub.add_parser(name)
         if name == "retry":
@@ -444,6 +444,56 @@ def main(argv: list[str] | None = None) -> int:
                 json.dump([asdict(r) for r in results], f, indent=2)
         # dbt semantics: warn-level failures do not fail the invocation
         return 0 if n_bad == 0 else 1
+
+    if args.cmd == "clone":
+        # dbt clone: copy the STATE manifest's relations into this
+        # target's schema without recomputing them — the CI pattern that
+        # seeds a dev/staging environment from prod artifacts. Table-
+        # backed relations are physically copied (fs_copy; a real table
+        # format would shallow-clone metadata-only); view-materialized
+        # nodes are skipped — they have no storage and recompile for
+        # pennies with `run`.
+        from dbt_on_snowflake_spark.engine.dag import select as dag_select
+        from dbt_on_snowflake_spark.engine.fs import fs_copy, fs_delete, fs_exists
+
+        if not getattr(args, "state", None):
+            print("clone requires --state <manifest.json>", file=sys.stderr)
+            return 2
+        with open(args.state) as f:
+            state = json.load(f)
+        selected = dag_select(
+            project, args.select, state=state, exclude=args.exclude
+        )
+        n_cloned = n_skipped = 0
+        for name in selected:
+            src_node = state.get("nodes", {}).get(name)
+            if src_node is None:
+                print(f"skip    {name} (not in state manifest)")
+                n_skipped += 1
+                continue
+            src_rel = src_node["relation"]
+            src_path = runner._table_path(src_rel)
+            if not fs_exists(spark, src_path):
+                print(f"skip    {name} ({src_rel}: no table storage)")
+                n_skipped += 1
+                continue
+            node = project.models.get(name)
+            dst_rel = project.relation_for(
+                name, node.config.get("schema") if node else None
+            )
+            dst_path = runner._table_path(dst_rel)
+            if src_path == dst_path:
+                print(f"skip    {name} (source and target are the same "
+                      f"relation {src_rel})")
+                n_skipped += 1
+                continue
+            fs_delete(spark, dst_path)
+            fs_copy(spark, src_path, dst_path)
+            runner._register_table(dst_rel)
+            print(f"cloned  {src_rel} -> {dst_rel}")
+            n_cloned += 1
+        print(f"{n_cloned} cloned, {n_skipped} skipped")
+        return 0
 
     if args.cmd == "docs":
         from dbt_on_snowflake_spark.engine.artifacts import (

@@ -42,3 +42,15 @@ def fs_rename(spark: SparkSession, src: str, dst: str) -> None:
     _, d = _fs_path(spark, dst)
     if not fs.rename(s, d):
         raise OSError(f"rename failed: {src} -> {dst}")
+
+
+def fs_copy(spark: SparkSession, src: str, dst: str) -> None:
+    """Recursive copy (FileUtil.copy) — `clone`'s physical fallback when
+    the warehouse has no zero-copy clone primitive. On Delta/Iceberg the
+    equivalent is a metadata-only SHALLOW CLONE."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    sfs, s = _fs_path(spark, src)
+    dfs, d = _fs_path(spark, dst)
+    if not jvm.org.apache.hadoop.fs.FileUtil.copy(sfs, s, dfs, d, False, conf):
+        raise OSError(f"copy failed: {src} -> {dst}")

@@ -2054,3 +2054,54 @@ def test_model_versions_validation(spark, tmp_path):
           "models:\n  - name: m\n    versions: [{v: 1}]\n")
     with pytest.raises(ValueError, match="collides with an unversioned"):
         Project(root, target="dev")
+
+
+def test_clone_copies_state_relations_into_target(spark, tmp_path, capsys):
+    """`clone --state prod_manifest --target dev` copies prod's
+    table-backed relations into dev without recomputing; views are
+    skipped (no storage). The clone is physical: editing prod afterwards
+    does not change the dev clone."""
+    from dbt_on_snowflake_spark.__main__ import main
+
+    root = str(tmp_path / "proj")
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    pd.DataFrame({"id": [1, 2, 3]}).to_parquet(
+        os.path.join(data, "t.parquet"), index=False
+    )
+
+    def write(p, c):
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        open(p, "w").write(c)
+
+    write(f"{root}/project.yml",
+          "name: clonep\nmodels:\n  models:\n    materialized: table\n"
+          "  views:\n    materialized: view\n")
+    write(f"{root}/sources.yml",
+          f"sources:\n  - name: raw\n    base_path: \"{data}\"\n"
+          "    tables:\n      - name: t\n")
+    write(f"{root}/models/models/mt.sql",
+          "SELECT id FROM {{ source('raw', 't') }}")
+    write(f"{root}/models/views/mv.sql",
+          "SELECT id FROM {{ ref('mt') }}")
+
+    # build prod + record its manifest
+    assert main(["run", "--project", root, "--target", "prod"]) == 0
+    assert main(["compile", "--project", root, "--target", "prod",
+                 "--out", f"{root}/prod_manifest.json"]) == 0
+    capsys.readouterr()
+
+    assert main(["clone", "--project", root, "--target", "dev",
+                 "--state", f"{root}/prod_manifest.json"]) == 0
+    out = capsys.readouterr().out
+    assert "cloned  prod_mt -> dev_mt" in out
+    assert "1 cloned" in out and "skipped" in out
+    assert sorted(r.id for r in spark.table("dev_mt").collect()) == [1, 2, 3]
+
+    # physical clone: prod rows added later do not appear in dev
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    extra = os.path.join(wh, "prod_mt", "extra.parquet")
+    pd.DataFrame({"id": [99]}).to_parquet(extra, index=False)
+    assert sorted(
+        r.id for r in spark.read.parquet(os.path.join(wh, "dev_mt")).collect()
+    ) == [1, 2, 3]
