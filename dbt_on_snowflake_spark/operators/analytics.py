@@ -1228,3 +1228,86 @@ def q19_branded_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
+
+
+# --- Event-sequence mining: per-user consecutive event-type transitions
+# (the Markov/path-analysis primitive behind "what do users do after X").
+# One user-keyed window pass produces (prev, next) pairs; the count
+# aggregate is low-cardinality (|event_types|^2 groups).
+@query(
+    "t_event_transitions",
+    driver=False,  # born r6: parity-checked; rotate into the r7 export
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           COUNT(*) AS n_transitions,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM ordered
+    WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def t_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive event-type transition counts per user — event-sequence
+    mining. Scale: one shuffle on user_id for the lag window (same
+    partitioning every sessionization/retention query already uses —
+    co-partitioned if events are bucketed by user), then a tiny
+    fixed-cardinality aggregate; the distinct-user count rides the same
+    groups."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    ordered = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    return ordered.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+# --- TPC-H Q16 shape: supplier breadth per part attribute — how many
+# DISTINCT suppliers ship each (brand, type, size) bucket, excluding a
+# denylist of suppliers. lineitem stands in for partsupp (same relational
+# shape); the denylist is an anti-join on a tiny aggregate.
+@query(
+    "q16_supplier_breadth",
+    driver=False,  # born r6: parity-checked; rotate into the r7 export
+    oracle="""
+    WITH bad AS (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+    )
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS n_suppliers
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size IN (1, 5, 9, 13, 17, 21)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM bad)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q16_supplier_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(1, 5, 9, 13, 17, 21)
+    )
+    bad = table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        l.join(bad, l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
+    )
