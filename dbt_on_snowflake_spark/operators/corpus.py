@@ -849,3 +849,86 @@ def corpus_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_pack_sequences(
         spark, sf_dir, n_tokens_col=bpe_token_count("text")
     )
+
+
+# ------------------------------------------------------- RAG chunking
+
+CHUNK_W = 64  # tokens per retrieval chunk
+CHUNK_STRIDE = 48  # overlap = CHUNK_W - CHUNK_STRIDE = 16 tokens
+
+
+@query(
+    "corpus_chunk_documents",
+    driver=False,  # born r6: parity-checked; rotate into the r7 export
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS ts,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(0, CAST((n + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE}
+                         AS BIGINT)),
+                   k -> struct_pack(
+                       chunk_id := k,
+                       start_tok := k * {CHUNK_STRIDE},
+                       body := array_to_string(
+                           ts[k*{CHUNK_STRIDE}+1 :
+                              least(k*{CHUNK_STRIDE}+{CHUNK_W}, n)], ' ')
+                   )
+               )) AS c
+        FROM tok
+    )
+    SELECT doc_id,
+           CAST(c.chunk_id AS BIGINT) AS chunk_id,
+           CAST(c.start_tok AS BIGINT) AS start_tok,
+           CAST(len(string_split(c.body, ' ')) AS BIGINT) AS n_tokens,
+           md5(c.body) AS chunk_md5
+    FROM chunks
+    """,
+)
+def corpus_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OVERLAPPING document chunking — the RAG/embedding-ingest
+    primitive: cut each document into CHUNK_W-token windows every
+    CHUNK_STRIDE tokens (16-token overlap keeps sentences split by a
+    boundary retrievable from both sides), emitting per chunk its
+    ordinal, token offset, length and content hash. Deterministic and
+    alignment-stable: chunk k always starts at k*stride regardless of
+    neighbors.
+
+    Scale: pure narrow map + explode riding the scan — zero shuffle at
+    any corpus size (the ~W/stride duplication factor is the storage
+    price of overlap, paid here exactly once); downstream embedding is a
+    mapInPandas over these rows, and the ANN index ingests (doc_id,
+    chunk_id) keyed vectors."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    n_chunks = F.ceil(n / CHUNK_STRIDE).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda k: F.struct(
+            k.cast("long").alias("chunk_id"),
+            (k * CHUNK_STRIDE).cast("long").alias("start_tok"),
+            F.array_join(
+                F.slice(
+                    toks,
+                    k * CHUNK_STRIDE + 1,
+                    F.least(
+                        F.lit(CHUNK_W), n - k * CHUNK_STRIDE
+                    ),
+                ),
+                " ",
+            ).alias("body"),
+        ),
+    )
+    c = d.select("doc_id", F.explode(chunks).alias("c"))
+    return c.select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.start_tok").alias("start_tok"),
+        F.size(F.split("c.body", " ")).cast("long").alias("n_tokens"),
+        F.md5("c.body").alias("chunk_md5"),
+    )

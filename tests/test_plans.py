@@ -380,3 +380,10 @@ def test_q19_disjunction_stays_hash_join(spark):
     plan = plan_of(spark, "q19_branded_quantity_revenue")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunking_is_shuffle_free(spark):
+    """corpus_chunk_documents is scan + explode + project: zero
+    exchanges at any corpus size."""
+    plan = plan_of(spark, "corpus_chunk_documents")
+    assert count_shuffles(plan) == 0
