@@ -638,3 +638,62 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(raw, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
         F.md5(red).alias("redacted_md5"),
     )
+
+
+# ------------------------------------------------------- top n-grams
+
+TOP_NGRAMS_K = 20
+
+
+@query(
+    "text_top_ngrams",
+    driver=False,  # born r6: parity-checked; rotate into the r7 export
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(ts), 1)),
+                      g -> array_to_string(ts[g:g+1], ' '))) AS ngram
+        FROM tok
+    ),
+    counts AS (
+        SELECT ngram, COUNT(*) AS n_occurrences,
+               COUNT(DISTINCT doc_id) AS n_docs
+        FROM grams GROUP BY ngram
+    )
+    SELECT ngram, n_occurrences, n_docs
+    FROM counts
+    ORDER BY n_occurrences DESC, ngram ASC
+    LIMIT {TOP_NGRAMS_K}
+    """,
+)
+def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-K word bigrams with document frequencies — the
+    frequent-phrase surface of corpus analysis (stop-phrase discovery,
+    boilerplate candidates, template detection). Scale: explode rides
+    the scan; the count aggregate map-side-combines before one shuffle
+    on the ngram key; the deterministic top-K (count desc, ngram asc) is
+    a TakeOrderedAndProject — per-partition partial top-K, never a
+    global sort."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+        lambda g: F.array_join(F.slice(toks, g, 2), " "),
+    )
+    # sequence(1, max(n-1, 1)) still yields one entry for a 1-token doc;
+    # the oracle's range(1, 1) is empty — guard the degenerate doc
+    grams = F.when(n >= 2, grams).otherwise(F.array().cast("array<string>"))
+    g = d.select("doc_id", F.explode(grams).alias("ngram"))
+    return (
+        g.groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
+        .limit(TOP_NGRAMS_K)
+    )
