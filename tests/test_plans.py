@@ -387,3 +387,13 @@ def test_chunking_is_shuffle_free(spark):
     exchanges at any corpus size."""
     plan = plan_of(spark, "corpus_chunk_documents")
     assert count_shuffles(plan) == 0
+
+
+def test_top_ngrams_partial_topk_and_quantize_shuffle_free(spark):
+    """Docstring claims pinned: text_top_ngrams ends in
+    TakeOrderedAndProject (per-partition partial top-K, no global sort);
+    ann_quantize_int8 is a pure narrow map — zero exchanges."""
+    plan = plan_of(spark, "text_top_ngrams")
+    assert "TakeOrderedAndProject" in plan
+    qplan = plan_of(spark, "ann_quantize_int8")
+    assert count_shuffles(qplan) == 0
