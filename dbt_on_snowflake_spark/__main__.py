@@ -29,9 +29,15 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
     for name in (
         "run", "build", "test", "compile", "ls", "freshness", "seed", "docs",
-        "retry", "clone",
+        "retry", "clone", "run-operation",
     ):
         sp = sub.add_parser(name)
+        if name == "run-operation":
+            sp.add_argument("macro", help="macro name from macros/*.sql")
+            sp.add_argument(
+                "--op-args", default=None, dest="op_args",
+                help="YAML mapping of macro keyword arguments",
+            )
         if name == "retry":
             sp.add_argument(
                 "--results", default=None,
@@ -444,6 +450,46 @@ def main(argv: list[str] | None = None) -> int:
                 json.dump([asdict(r) for r in results], f, indent=2)
         # dbt semantics: warn-level failures do not fail the invocation
         return 0 if n_bad == 0 else 1
+
+    if args.cmd == "run-operation":
+        # dbt run-operation: execute one macro standalone — the
+        # maintenance entry point (grants, manual cleanups, ad-hoc DDL)
+        # that shares the models' macro namespace and resolution.
+        from dbt_on_snowflake_spark.engine.compile import (
+            expand_macros,
+            render,
+        )
+
+        if args.macro not in project.macros:
+            print(
+                f"unknown macro {args.macro!r} (macros/: "
+                f"{sorted(project.macros) or 'none'})",
+                file=sys.stderr,
+            )
+            return 2
+        op_args = {}
+        if getattr(args, "op_args", None):
+            import yaml as _yaml
+
+            op_args = _yaml.safe_load(args.op_args)
+            if not isinstance(op_args, dict):
+                print("--op-args must be a YAML mapping", file=sys.stderr)
+                return 2
+        call = ", ".join(f"{k}={v!r}" for k, v in op_args.items())
+        body = expand_macros(
+            f"{{{{ {args.macro}({call}) }}}}", project.macros
+        )
+        runner.load_sources()
+        sql = render(
+            body, runner.resolve_ref, runner.resolve_source,
+            variables=resolved_vars,
+        )
+        for stmt in filter(None, (s.strip() for s in sql.split(";"))):
+            df = spark.sql(stmt)
+            for row in df.limit(20).collect():
+                print(row.asDict())
+        print(f"ran macro {args.macro}")
+        return 0
 
     if args.cmd == "clone":
         # dbt clone: copy the STATE manifest's relations into this

@@ -2105,3 +2105,40 @@ def test_clone_copies_state_relations_into_target(spark, tmp_path, capsys):
     assert sorted(
         r.id for r in spark.read.parquet(os.path.join(wh, "dev_mt")).collect()
     ) == [1, 2, 3]
+
+
+def test_run_operation_executes_macro(spark, tmp_path, capsys):
+    """`run-operation` renders one macro (shared namespace with models,
+    ref/source/vars resolution) and executes its statements — the dbt
+    maintenance entry point."""
+    from dbt_on_snowflake_spark.__main__ import main
+
+    root = str(tmp_path / "proj")
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    pd.DataFrame({"id": [1, 2, 3]}).to_parquet(
+        os.path.join(data, "t.parquet"), index=False
+    )
+
+    def write(p, c):
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        open(p, "w").write(c)
+
+    write(f"{root}/project.yml", "name: opp\n")
+    write(f"{root}/sources.yml",
+          f"sources:\n  - name: raw\n    base_path: \"{data}\"\n"
+          "    tables:\n      - name: t\n")
+    write(f"{root}/models/models/m.sql",
+          "SELECT id FROM {{ source('raw', 't') }}")
+    write(f"{root}/macros/count_source.sql",
+          "{% macro count_source(floor) %}\n"
+          "SELECT COUNT(*) AS n FROM {{ source('raw', 't') }} "
+          "WHERE id >= {{ floor }}\n"
+          "{% endmacro %}\n")
+
+    assert main(["run-operation", "count_source", "--project", root,
+                 "--op-args", "floor: 2"]) == 0
+    out = capsys.readouterr().out
+    assert "{'n': 2}" in out and "ran macro count_source" in out
+
+    assert main(["run-operation", "nope", "--project", root]) == 2
