@@ -91,3 +91,77 @@ def test_asof_join_ties_are_deterministic(spark):
             (15, 3, "c"),      # carried forward
             (25, 0, "z"),      # later right row supersedes regardless of val
         ]
+
+
+# ---------------------------------------------------------------- BPE chain
+
+def _bpe_iterative_count(text: str) -> int:
+    """Pure-Python textbook BPE encoder (iterative argmin over merge
+    ranks) — the ground truth the JVM replace-chain must match."""
+    import re
+
+    from dbt_on_snowflake_spark.operators.textops import (
+        _BPE_REGEX,
+        BPE_MERGES,
+    )
+
+    rank = {p: i for i, p in enumerate(BPE_MERGES)}
+    n = 0
+    for w in re.findall(_BPE_REGEX, text):
+        toks = list(w)
+        while True:
+            best = min(
+                (
+                    (rank[(toks[i], toks[i + 1])], i)
+                    for i in range(len(toks) - 1)
+                    if (toks[i], toks[i + 1]) in rank
+                ),
+                default=None,
+            )
+            if best is None:
+                break
+            a, b = BPE_MERGES[best[0]]
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            toks = out
+        n += len(toks)
+    return n
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            # letters the merges train on, digits, markers, punctuation,
+            # spaces — every pre-tokenizer class plus the ~ marker itself
+            alphabet="abcdefghijklmnopqrstuvw~ 019.?",
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_bpe_chain_equals_iterative_on_random_text(spark, texts):
+    """Property pin for the two equivalence claims in _bpe_merged_rep's
+    docstring, on RANDOM text (not just the corpus): the rank-ordered
+    JVM replace-all chain == the textbook iterative-argmin encoder, for
+    arbitrary mixes of merge-able runs, digits, punctuation, and the
+    marker character."""
+    from dbt_on_snowflake_spark.operators.textops import bpe_token_count
+
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = {
+        r.doc_id: r.c
+        for r in spark.createDataFrame(pdf)
+        .select("doc_id", bpe_token_count("text").alias("c"))
+        .collect()
+    }
+    want = {i: _bpe_iterative_count(t) for i, t in enumerate(texts)}
+    assert got == want
