@@ -17,7 +17,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dbt_on_snowflake_spark.functions import (
-    REVENUE_SCALED_SQL,
     davg,
     davg_sql,
     dsum,
