@@ -116,3 +116,94 @@ def snapshot_apply(
         )
     )
     return history.unionByName(unchanged).unionByName(closed).unionByName(opened)
+
+
+def snapshot_apply_timestamp(
+    spark: SparkSession,
+    source: DataFrame,
+    existing: DataFrame | None,
+    key: str,
+    updated_at: str,
+    tracked_cols: list[str],
+    now: datetime,
+) -> DataFrame:
+    """dbt's TIMESTAMP snapshot strategy: a row changed when its
+    ``updated_at`` is strictly newer than the stored version's
+    ``dbt_updated_at`` — no column hashing; the source system's own
+    modification clock is trusted. Version times come from the DATA
+    (dbt_valid_from / the closed row's dbt_valid_to = the new row's
+    updated_at), not the run clock — so replaying an old extract yields
+    identical history. ``now`` is used only to close hard-deleted keys
+    (rows missing from the source), matching the check-strategy
+    implementation above; dbt leaves deletions open unless
+    invalidate_hard_deletes is set — this engine's snapshots always
+    invalidate, documented here.
+
+    Same single full-outer-join shuffle shape as the check strategy."""
+    if source.filter(F.col(key).isNull()).limit(1).count() > 0:
+        raise ValueError(
+            f"snapshot source has NULL values in unique key {key!r}; "
+            "dbt snapshots require a non-null unique key"
+        )
+    if source.filter(F.col(updated_at).isNull()).limit(1).count() > 0:
+        raise ValueError(
+            f"timestamp strategy: NULL {updated_at!r} in source — dbt "
+            "requires a non-null updated_at for every snapshotted row"
+        )
+    ts_now = F.lit(now).cast("timestamp")
+    src = source.select(
+        key, *tracked_cols, F.col(updated_at).cast("timestamp").alias("_uat")
+    )
+
+    def open_rows(df: DataFrame) -> DataFrame:
+        return df.select(
+            key,
+            *tracked_cols,
+            F.col("_uat").alias("dbt_valid_from"),
+            F.lit(None).cast("timestamp").alias("dbt_valid_to"),
+            F.col("_uat").alias("dbt_updated_at"),
+            F.md5(
+                F.concat_ws(
+                    "|", F.col(key).cast("string"), F.col("_uat").cast("string")
+                )
+            ).alias("dbt_scd_id"),
+        )
+
+    if existing is None:
+        return open_rows(src)
+
+    history = existing.filter(F.col("dbt_valid_to").isNotNull())
+    current = existing.filter(F.col("dbt_valid_to").isNull())
+
+    j = current.alias("c").join(
+        src.alias("s"), F.col(f"c.{key}") == F.col(f"s.{key}"), "full_outer"
+    )
+    newer = F.col("s._uat") > F.col("c.dbt_updated_at")
+    unchanged = j.filter(
+        F.col(f"s.{key}").isNotNull() & F.col(f"c.{key}").isNotNull() & ~newer
+    ).select("c.*")
+    closed_changed = (
+        j.filter(
+            F.col(f"c.{key}").isNotNull() & F.col(f"s.{key}").isNotNull() & newer
+        )
+        .select("c.*", F.col("s._uat").alias("_close_at"))
+        .withColumn("dbt_valid_to", F.col("_close_at"))
+        .drop("_close_at")
+    )
+    closed_deleted = (
+        j.filter(F.col(f"c.{key}").isNotNull() & F.col(f"s.{key}").isNull())
+        .select("c.*")
+        .withColumn("dbt_valid_to", ts_now)
+    )
+    opened = open_rows(
+        j.filter(
+            F.col(f"s.{key}").isNotNull()
+            & (F.col(f"c.{key}").isNull() | newer)
+        ).select("s.*")
+    )
+    return (
+        history.unionByName(unchanged)
+        .unionByName(closed_changed)
+        .unionByName(closed_deleted)
+        .unionByName(opened)
+    )

@@ -92,3 +92,57 @@ def test_snapshot_dbt_updated_at(spark):
         "Oslo": (T1, T2),    # closed at T2 but created (updated_at) at T1
         "Tromso": (T2, None),
     }
+
+
+def test_timestamp_strategy_lifecycle(spark):
+    """Timestamp strategy: change detection by updated_at recency, version
+    times from the DATA (not the run clock), stale re-extracts ignored,
+    hard deletes closed at the run clock."""
+    import pytest
+
+    from dbt_on_snowflake_spark.engine.snapshot import snapshot_apply_timestamp
+
+    U1 = datetime(2025, 12, 1, 0, 0, 0)
+    U2 = datetime(2025, 12, 15, 0, 0, 0)
+
+    def src(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["cust_id", "city", "updated_at"])
+        )
+
+    s1 = snapshot_apply_timestamp(
+        spark, src([(1, "berlin", U1), (2, "paris", U1)]),
+        None, "cust_id", "updated_at", ["city"], T1,
+    ).cache()
+    rows = {r.cust_id: r for r in s1.collect()}
+    assert rows[1].dbt_valid_from == U1  # data time, not run time
+    assert rows[1].dbt_valid_to is None
+
+    # run 2: cust 1 updated (newer stamp), cust 2 re-extracted UNCHANGED
+    # stamp, cust 3 new, and a stale row for cust 2 must not reopen it
+    s2 = snapshot_apply_timestamp(
+        spark,
+        src([(1, "munich", U2), (2, "paris", U1), (3, "rome", U2)]),
+        s1, "cust_id", "updated_at", ["city"], T2,
+    ).cache()
+    got = {(r.cust_id, r.city): r for r in s2.collect()}
+    assert got[(1, "berlin")].dbt_valid_to == U2   # closed AT the new stamp
+    assert got[(1, "munich")].dbt_valid_from == U2
+    assert got[(1, "munich")].dbt_valid_to is None
+    assert got[(2, "paris")].dbt_valid_to is None  # same stamp -> unchanged
+    assert got[(3, "rome")].dbt_valid_from == U2
+
+    # run 3: cust 3 hard-deleted -> closed at the RUN clock (no data time)
+    s3 = snapshot_apply_timestamp(
+        spark, src([(1, "munich", U2), (2, "paris", U1)]),
+        s2, "cust_id", "updated_at", ["city"], T3,
+    )
+    got3 = {(r.cust_id, r.city, r.dbt_valid_to): r for r in s3.collect()}
+    assert (3, "rome", T3) in got3
+
+    # NULL updated_at is a hard parse error, like dbt
+    with pytest.raises(ValueError, match="non-null updated_at"):
+        snapshot_apply_timestamp(
+            spark, src([(9, "x", None)]), None,
+            "cust_id", "updated_at", ["city"], T1,
+        )
