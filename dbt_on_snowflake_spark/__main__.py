@@ -76,6 +76,10 @@ def main(argv: list[str] | None = None) -> int:
             help="rebuild incremental models from scratch",
         )
         sp.add_argument(
+            "--fail-fast", action="store_true", dest="fail_fast",
+            help="stop scheduling new nodes after the first failure",
+        )
+        sp.add_argument(
             "--event-start", default=None, dest="event_start",
             help="microbatch replay window start (inclusive ISO timestamp)",
         )
@@ -290,6 +294,7 @@ def main(argv: list[str] | None = None) -> int:
         reuse=reuse,
         event_start=getattr(args, "event_start", None),
         event_end=getattr(args, "event_end", None),
+        fail_fast=getattr(args, "fail_fast", False),
     )
 
     # the EFFECTIVE flags of this invocation, recorded into run_results

@@ -90,6 +90,7 @@ class Runner:
         reuse: set[str] | None = None,
         event_start: str | None = None,
         event_end: str | None = None,
+        fail_fast: bool = False,
     ):
         self.spark = spark
         self.project = project
@@ -128,6 +129,11 @@ class Runner:
         # microbatch model rewrites — the per-day replay path
         self.event_start = event_start
         self.event_end = event_end
+        # dbt --fail-fast: the FIRST node failure stops scheduling — every
+        # not-yet-run node records `skipped` (descendants of the failure
+        # would skip anyway; fail-fast extends that to independent
+        # branches, the CI mode where one red light means stop the line)
+        self.fail_fast = fail_fast
         self._selected: set[str] | None = None
         wh = spark.conf.get("spark.sql.warehouse.dir", "/tmp/spark_warehouse")
         self.warehouse = wh.removeprefix("file:")
@@ -419,7 +425,13 @@ class Runner:
                         )
                     )
                 return True
-            bad_upstream = sorted(r for r in node.refs if r in dead)
+            # bare refs to versioned models alias to the latest node —
+            # without this a failed dim_v2 would not skip a `ref('dim')`
+            # consumer
+            alias = getattr(self.project, "version_alias", {})
+            bad_upstream = sorted(
+                {alias.get(r, r) for r in node.refs} & dead
+            )
             if bad_upstream:
                 dead.add(name)
                 if mat != "ephemeral":  # ephemeral nodes never report
@@ -436,14 +448,36 @@ class Runner:
                 return True
             return mat == "ephemeral"
 
+        def skip_rest(rest: list[str], reason: str) -> None:
+            for name in rest:
+                node = self.project.models[name]
+                mat = self.project.materialization_for(node)
+                if mat == "ephemeral":
+                    continue
+                self.results.append(
+                    NodeResult(
+                        name, "skipped", mat,
+                        self.project.relation_for(
+                            name, node.config.get("schema")
+                        ),
+                        None, 0.0, reason,
+                    )
+                )
+
         if self.threads == 1:
-            for name in order:
+            for i, name in enumerate(order):
                 if dispatch(name):
                     continue
                 if not self._run_node(self.project.models[name]):
                     dead.add(name)
                 elif test_hook is not None and not test_hook(name):
                     dead.add(name)
+                else:
+                    continue
+                if self.fail_fast:
+                    skip_rest(order[i + 1:], "fail-fast: stopping after "
+                              f"{name} failed")
+                    break
             return self.results
 
         # threaded: run each topological generation's runnable nodes
@@ -453,16 +487,23 @@ class Runner:
         from graphlib import TopologicalSorter
 
         selected = set(order)
+        _alias = getattr(self.project, "version_alias", {})
         graph = {
-            n: {r for r in self.project.models[n].refs if r in selected}
+            n: {
+                _alias.get(r, r)
+                for r in self.project.models[n].refs
+                if _alias.get(r, r) in selected
+            }
             for n in order
         }
         ts = TopologicalSorter(graph)
         ts.prepare()
+        done: set[str] = set()
         while ts.is_active():
             batch = set(ts.get_ready())
             ready = [n for n in order if n in batch]
             runnable = [n for n in ready if not dispatch(n)]
+            failed_here = False
             if runnable:
                 with ThreadPoolExecutor(max_workers=self.threads) as pool:
                     oks = list(
@@ -475,10 +516,22 @@ class Runner:
                     self.results.append(result)
                     if result.status not in ("success", "reused"):
                         dead.add(name)
+                        failed_here = True
                     elif test_hook is not None and not test_hook(name):
                         dead.add(name)
+                        failed_here = True
             for n in ready:
                 ts.done(n)
+            done |= set(ready)
+            if self.fail_fast and failed_here:
+                # fail-fast barrier: the in-flight generation finishes,
+                # everything after it records skipped
+                skip_rest(
+                    [n for n in order if n not in done],
+                    "fail-fast: stopping after a failure in the current "
+                    "generation",
+                )
+                break
         return self.results
 
     def _run_node(self, node: ModelNode) -> bool:

@@ -2142,3 +2142,69 @@ def test_run_operation_executes_macro(spark, tmp_path, capsys):
     assert "{'n': 2}" in out and "ran macro count_source" in out
 
     assert main(["run-operation", "nope", "--project", root]) == 2
+
+
+def test_versioned_ref_failure_propagation_and_threaded_ordering(
+    spark, tmp_path, capsys
+):
+    """A failed versioned model skips consumers that ref it BARE (the
+    alias resolves before failure propagation), in both the serial and
+    the threaded scheduler."""
+    from dbt_on_snowflake_spark.__main__ import main
+
+    for threads in ("1", "2"):
+        root = str(tmp_path / f"proj{threads}")
+
+        def write(p, c):
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            open(p, "w").write(c)
+
+        write(f"{root}/project.yml",
+              "name: vfail\nmodels:\n  models:\n    materialized: table\n")
+        write(f"{root}/models/models/dim_v1.sql", "SELECT 1 AS id")
+        write(f"{root}/models/models/dim_v2.sql",
+              "SELECT * FROM definitely_not_a_table")
+        write(f"{root}/models/models/use_latest.sql",
+              "SELECT * FROM {{ ref('dim') }}")
+        write(f"{root}/models/models/schema.yml",
+              "models:\n  - name: dim\n    versions: [{v: 1}, {v: 2}]\n")
+
+        assert main(["run", "--project", root, "--threads", threads]) == 1
+        out = capsys.readouterr().out
+        # the consumer was SKIPPED because its aliased upstream failed —
+        # not errored by racing ahead of it
+        line = next(l for l in out.splitlines() if "use_latest" in l)
+        assert line.startswith("skipped"), (threads, line)
+
+
+def test_fail_fast_skips_independent_branches(spark, tmp_path, capsys):
+    """--fail-fast: the first failure stops scheduling — an INDEPENDENT
+    sibling that would normally still build records skipped instead, in
+    both schedulers; without the flag the sibling builds."""
+    from dbt_on_snowflake_spark.__main__ import main
+
+    def setup(root):
+        def write(p, c):
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            open(p, "w").write(c)
+
+        write(f"{root}/project.yml",
+              "name: ffp\nmodels:\n  models:\n    materialized: table\n")
+        # names chosen so the broken model sorts/schedules first
+        write(f"{root}/models/models/a_broken.sql",
+              "SELECT * FROM definitely_not_a_table")
+        write(f"{root}/models/models/z_independent.sql", "SELECT 1 AS id")
+
+    root1 = str(tmp_path / "p1")
+    setup(root1)
+    assert main(["run", "--project", root1, "--fail-fast"]) == 1
+    out = capsys.readouterr().out
+    line = next(l for l in out.splitlines() if "z_independent" in l)
+    assert line.startswith("skipped"), line
+
+    root2 = str(tmp_path / "p2")
+    setup(root2)
+    assert main(["run", "--project", root2]) == 1  # no flag: sibling builds
+    out = capsys.readouterr().out
+    line = next(l for l in out.splitlines() if "z_independent" in l)
+    assert line.startswith("success"), line
