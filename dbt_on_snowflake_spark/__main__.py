@@ -32,6 +32,12 @@ def main(argv: list[str] | None = None) -> int:
         "retry", "clone", "run-operation",
     ):
         sp = sub.add_parser(name)
+        if name == "ls":
+            sp.add_argument(
+                "--resource-type", default="model", dest="resource_type",
+                choices=["model", "seed", "source", "exposure", "all"],
+                help="which resource inventory to list",
+            )
         if name == "run-operation":
             sp.add_argument("macro", help="macro name from macros/*.sql")
             sp.add_argument(
@@ -127,9 +133,45 @@ def main(argv: list[str] | None = None) -> int:
     resolved_vars = {**(project.config.get("vars") or {}), **(cli_vars or {})}
 
     if args.cmd == "ls":
-        for name in toposort(project):
-            node = project.models[name]
-            print(f"{project.materialization_for(node):5s}  {name}")
+        # dbt ls: selection-aware inventory across resource types, with
+        # governance/version annotations where set
+        rtype = getattr(args, "resource_type", "model") or "model"
+        if rtype in ("model", "all"):
+            names = (
+                select(project, args.select, exclude=args.exclude)
+                if (args.select or args.exclude)
+                else toposort(project)
+            )
+            for name in names:
+                node = project.models[name]
+                notes = []
+                if getattr(project, "model_group", {}).get(name):
+                    notes.append(f"group={project.model_group[name]}")
+                acc = getattr(project, "model_access", {}).get(name)
+                if acc:
+                    notes.append(f"access={acc}")
+                for base, vmap in getattr(
+                    project, "model_versions", {}
+                ).items():
+                    for v, concrete in vmap.items():
+                        if concrete == name:
+                            tag = "latest" if (
+                                project.version_alias.get(base) == name
+                            ) else f"v{v}"
+                            notes.append(f"version={base}.{tag}")
+                suffix = ("  [" + " ".join(notes) + "]") if notes else ""
+                print(
+                    f"{project.materialization_for(node):5s}  {name}{suffix}"
+                )
+        if rtype in ("seed", "all"):
+            for name in sorted(getattr(project, "seeds", {})):
+                print(f"seed   {name}")
+        if rtype in ("source", "all"):
+            for (g, t) in sorted(project.sources):
+                print(f"source {g}.{t}")
+        if rtype in ("exposure", "all"):
+            for e in getattr(project, "exposures", []):
+                print(f"exposure {e.name} ({e.type})")
         return 0
 
     if args.cmd == "compile":

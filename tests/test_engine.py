@@ -2208,3 +2208,48 @@ def test_fail_fast_skips_independent_branches(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     line = next(l for l in out.splitlines() if "z_independent" in l)
     assert line.startswith("success"), line
+
+
+def test_ls_selection_resource_types_and_annotations(spark, tmp_path, capsys):
+    """ls honors --select, lists non-model resources via --resource-type,
+    and annotates governance + versions."""
+    from dbt_on_snowflake_spark.__main__ import main
+
+    root = str(tmp_path / "proj")
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    pd.DataFrame({"id": [1]}).to_parquet(
+        os.path.join(data, "t.parquet"), index=False
+    )
+
+    def write(p, c):
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        open(p, "w").write(c)
+
+    write(f"{root}/project.yml", "name: lsp\n")
+    write(f"{root}/sources.yml",
+          f"sources:\n  - name: raw\n    base_path: \"{data}\"\n"
+          "    tables:\n      - name: t\n")
+    write(f"{root}/models/models/dim_v1.sql", "SELECT 1 AS id")
+    write(f"{root}/models/models/dim_v2.sql", "SELECT 2 AS id")
+    write(f"{root}/models/models/other.sql",
+          "SELECT id FROM {{ source('raw', 't') }}")
+    write(f"{root}/models/models/schema.yml",
+          "groups:\n  - name: core\n    owner: {name: team}\n"
+          "models:\n"
+          "  - name: dim\n    versions: [{v: 1}, {v: 2}]\n"
+          "    group: core\n    access: public\n")
+    write(f"{root}/seeds/lookup.csv", "k,v\n1,a\n")
+
+    assert main(["ls", "--project", root]) == 0
+    out = capsys.readouterr().out
+    assert "dim_v2  [group=core access=public version=dim.latest]" in out
+    assert "dim_v1  [group=core access=public version=dim.v1]" in out
+
+    assert main(["ls", "--project", root, "--select", "other"]) == 0
+    out = capsys.readouterr().out
+    assert "other" in out and "dim_v1" not in out
+
+    assert main(["ls", "--project", root, "--resource-type", "all"]) == 0
+    out = capsys.readouterr().out
+    assert "seed   lookup" in out and "source raw.t" in out
