@@ -932,3 +932,94 @@ def corpus_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("c.body", " ")).cast("long").alias("n_tokens"),
         F.md5("c.body").alias("chunk_md5"),
     )
+
+
+# ------------------------------------------------- epoch-repeat mixing
+
+# Declared repeats per source for one training run: premium sources see
+# >1 epoch (repeated), the tail is downsampled — the DoReMi/"books x3"
+# idiom. Expressed in repeat-ppm: 2_400_000 = 2.4 epochs.
+MIX_EPOCH_PPM = {"src0": 2_400_000, "src1": 1_500_000}
+MIX_EPOCH_DEFAULT_PPM = 700_000  # 0.7 epochs for the tail
+
+_EPOCH_PPM_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN source = '{s}' THEN {ppm}" for s, ppm in MIX_EPOCH_PPM.items()
+    )
+    + f" ELSE {MIX_EPOCH_DEFAULT_PPM} END"
+)
+
+
+@query(
+    "corpus_mixture_epochs",
+    driver=False,  # born r6: parity-checked; rotate into the r7 export
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, source, ({_EPOCH_PPM_SQL}) AS ppm,
+               ('0x' || substring(md5('epoch#' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                   % 1000000 AS bucket_ppm
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, source,
+               CAST(ppm // 1000000 AS BIGINT)
+                   + CASE WHEN bucket_ppm < ppm % 1000000 THEN 1 ELSE 0 END
+                   AS n_repeats
+        FROM d
+    ),
+    reps AS (
+        SELECT doc_id, source, n_repeats,
+               unnest(range(1, n_repeats + 1)) AS repeat_idx
+        FROM r WHERE n_repeats > 0
+    )
+    SELECT doc_id, source, n_repeats, CAST(repeat_idx AS BIGINT) AS repeat_idx
+    FROM reps
+    """,
+)
+def corpus_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPOCH-repeat data mixing — the upsampling half corpus_mixture_
+    sample's accept/reject cannot express: a source with a 2.4-epoch
+    budget emits every document floor(2.4)=2 times plus a deterministic
+    md5-bucketed 40% a third time, so expected repeats hit the declared
+    ppm exactly with zero RNG state (same keep-set every run and
+    engine). Emits one row per (doc, repeat) with the repeat ordinal —
+    the loader's shuffle-salt for separating the copies across shards.
+
+    Scale: a pure narrow map (rate lookup is a CASE on source, bucket is
+    an md5 of the key) followed by an explode bounded by ceil(max
+    epochs) — no shuffle, no join, no state; the corpus is read once
+    regardless of the repeat mass."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    ppm = F.coalesce(
+        *[
+            F.when(F.col("source") == s, F.lit(p))
+            for s, p in MIX_EPOCH_PPM.items()
+        ],
+        F.lit(MIX_EPOCH_DEFAULT_PPM),
+    )
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("epoch#"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(1_000_000),
+    )
+    n_repeats = (
+        F.expr(f"({_EPOCH_PPM_SQL}) div 1000000")
+        + F.when(bucket < F.expr(f"({_EPOCH_PPM_SQL}) % 1000000"), 1).otherwise(0)
+    ).cast("long")
+    r = d.select("doc_id", "source", n_repeats.alias("n_repeats")).filter(
+        F.col("n_repeats") > 0
+    )
+    return r.select(
+        "doc_id",
+        "source",
+        "n_repeats",
+        F.explode(F.sequence(F.lit(1), F.col("n_repeats"))).alias("repeat_idx"),
+    ).withColumn("repeat_idx", F.col("repeat_idx").cast("long"))
