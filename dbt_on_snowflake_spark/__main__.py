@@ -29,7 +29,7 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
     for name in (
         "run", "build", "test", "compile", "ls", "freshness", "seed", "docs",
-        "retry", "clone", "run-operation",
+        "retry", "clone", "run-operation", "show",
     ):
         sp = sub.add_parser(name)
         if name == "ls":
@@ -43,6 +43,16 @@ def main(argv: list[str] | None = None) -> int:
             sp.add_argument(
                 "--op-args", default=None, dest="op_args",
                 help="YAML mapping of macro keyword arguments",
+            )
+        if name == "show":
+            sp.add_argument(
+                "--inline", default=None,
+                help="SQL to preview (with ref()/source() resolution); "
+                     "omit and use --select <model> to preview a model",
+            )
+            sp.add_argument(
+                "--limit", type=int, default=5, dest="show_limit",
+                help="rows to print (default 5)",
             )
         if name == "retry":
             sp.add_argument(
@@ -497,6 +507,40 @@ def main(argv: list[str] | None = None) -> int:
                 json.dump([asdict(r) for r in results], f, indent=2)
         # dbt semantics: warn-level failures do not fail the invocation
         return 0 if n_bad == 0 else 1
+
+    if args.cmd == "show":
+        # dbt show: preview a model's (or inline SQL's) first rows with
+        # full ref()/source()/vars resolution — the ad-hoc inspection
+        # surface; materializes nothing.
+        from dbt_on_snowflake_spark.engine.compile import render
+
+        runner.load_sources()
+        if args.inline:
+            sql_body = args.inline
+        else:
+            if not args.select or args.select not in project.models:
+                print("show needs --inline <sql> or --select <model>",
+                      file=sys.stderr)
+                return 2
+            node = project.models[args.select]
+            if node.kind != "sql":
+                print(f"show: {args.select!r} is a python model — run it "
+                      f"and query its relation instead", file=sys.stderr)
+                return 2
+            # ensure upstream relations exist for the preview
+            runner.run(args.select)
+            sql_body = node.body
+        sql = render(
+            sql_body, runner.resolve_ref, runner.resolve_source,
+            variables=resolved_vars,
+        )
+        df = spark.sql(sql)
+        rows = df.limit(args.show_limit).collect()
+        print(" | ".join(df.columns))
+        for row in rows:
+            print(" | ".join(str(v) for v in row))
+        print(f"({len(rows)} row(s) shown)")
+        return 0
 
     if args.cmd == "run-operation":
         # dbt run-operation: execute one macro standalone — the

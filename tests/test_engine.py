@@ -2253,3 +2253,40 @@ def test_ls_selection_resource_types_and_annotations(spark, tmp_path, capsys):
     assert main(["ls", "--project", root, "--resource-type", "all"]) == 0
     out = capsys.readouterr().out
     assert "seed   lookup" in out and "source raw.t" in out
+
+
+def test_show_inline_and_model_preview(spark, tmp_path, capsys):
+    """`show` previews inline SQL and model bodies with ref/source
+    resolution, materializing nothing beyond the preview's needs."""
+    from dbt_on_snowflake_spark.__main__ import main
+
+    root = str(tmp_path / "proj")
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    pd.DataFrame({"id": [1, 2, 3]}).to_parquet(
+        os.path.join(data, "t.parquet"), index=False
+    )
+
+    def write(p, c):
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        open(p, "w").write(c)
+
+    write(f"{root}/project.yml",
+          "name: showp\nmodels:\n  models:\n    materialized: table\n")
+    write(f"{root}/sources.yml",
+          f"sources:\n  - name: raw\n    base_path: \"{data}\"\n"
+          "    tables:\n      - name: t\n")
+    write(f"{root}/models/models/sm.sql",
+          "SELECT id * 2 AS twice FROM {{ source('raw', 't') }}")
+
+    assert main(["show", "--project", root, "--inline",
+                 "SELECT COUNT(*) AS n FROM {{ source('raw', 't') }}"]) == 0
+    out = capsys.readouterr().out
+    assert "n" in out and "3" in out
+
+    assert main(["show", "--project", root, "--select", "sm",
+                 "--limit", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "twice" in out and "(2 row(s) shown)" in out
+
+    assert main(["show", "--project", root]) == 2
