@@ -1311,3 +1311,66 @@ def q16_supplier_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
     )
+
+
+# --- Metric anomaly detection: hourly event-rate z-scores per type.
+# Two-level aggregate (hourly counts -> per-type mean/std) joined back —
+# the monitoring shape behind every "traffic dropped at 3am" alert.
+@query(
+    "t_events_rate_anomalies",
+    driver=False,  # born r6: parity-checked; rotate into the r7 export
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type,
+               AVG(n_events) AS mean_rate,
+               COALESCE(stddev_pop(n_events), 0.0) AS std_rate
+        FROM hourly GROUP BY 1
+    )
+    SELECT h.event_type, h.hour_start, h.n_events,
+           ROUND(s.mean_rate, 4) + 0.0 AS mean_rate,
+           ROUND((h.n_events - s.mean_rate)
+                 / greatest(s.std_rate, 1e-9), 4) + 0.0 AS z_score
+    FROM hourly h JOIN stats s ON h.event_type = s.event_type
+    WHERE abs((h.n_events - s.mean_rate) / greatest(s.std_rate, 1e-9)) > 2.0
+    """,
+)
+def t_events_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-rate anomalies per type (|z| > 2 against the type's
+    own hourly distribution). Scale: the first aggregate map-side-
+    combines into (type, hour) partials — the only corpus-sized shuffle;
+    the per-type stats table is |event_types| rows, broadcast back onto
+    the hourly table. AVG/STDDEV over hourly COUNTS (integers) are
+    deterministic to well past the 4-decimal rounding grain — safe
+    without the scaled-integer money path."""
+    e = table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            "event_type",
+            F.window("ts", "1 hour").start.alias("hour_start"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("n_events").alias("mean_rate"),
+        F.coalesce(F.stddev_pop("n_events"), F.lit(0.0)).alias("std_rate"),
+    )
+    z = (F.col("n_events") - F.col("mean_rate")) / F.greatest(
+        F.col("std_rate"), F.lit(1e-9)
+    )
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 2.0)
+        .select(
+            "event_type",
+            "hour_start",
+            "n_events",
+            (F.round("mean_rate", 4) + 0.0).alias("mean_rate"),
+            (F.round(z, 4) + 0.0).alias("z_score"),
+        )
+    )
