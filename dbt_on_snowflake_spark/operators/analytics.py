@@ -1374,3 +1374,54 @@ def t_events_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(z, 4) + 0.0).alias("z_score"),
         )
     )
+
+
+# --- TPC-H Q15 shape: top supplier(s) by period revenue — an aggregate
+# "view" joined back to its own MAX (the argmax-with-ties idiom; Q2 is
+# the per-group variant, this is the global one).
+@query(
+    "q15_top_supplier",
+    driver=False,  # born r6: parity-checked; rotate into the r7 export
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               {sum_scaled_sql(
+                   "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+                   " * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))",
+                   "total_revenue", 4)}
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+        GROUP BY 1
+    )
+    SELECT s.s_suppkey AS supplier_key, s.s_name AS supplier_name,
+           r.total_revenue
+    FROM revenue r
+    JOIN supplier s ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global argmax with ties: the period-revenue aggregate is computed
+    once, its scalar MAX broadcast back as a filter (Catalyst plans the
+    scalar subquery as a reused subquery result, not a second lineitem
+    scan of the raw table), then the supplier dim joins on the few
+    surviving rows."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        sum_scaled(revenue_scaled(), "total_revenue", 4)
+    )
+    best = revenue.agg(F.max("total_revenue").alias("m"))
+    s = table(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(best), revenue.total_revenue == best.m)
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select(
+            F.col("s_suppkey").alias("supplier_key"),
+            F.col("s_name").alias("supplier_name"),
+            "total_revenue",
+        )
+    )
