@@ -1023,3 +1023,93 @@ def corpus_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_repeats",
         F.explode(F.sequence(F.lit(1), F.col("n_repeats"))).alias("repeat_idx"),
     ).withColumn("repeat_idx", F.col("repeat_idx").cast("long"))
+
+
+# -------------------------------------------- train/val split + leakage
+
+VAL_PCT = 10  # deterministic 10% validation split
+
+
+@query(
+    "corpus_train_val_split",
+    driver=False,  # born r6: parity-checked; rotate into the r7 export
+    oracle=f"""
+    WITH {SHINGLES_CTE},
+    split AS (
+        SELECT doc_id,
+               ('0x' || substring(md5('split#' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                   % 100 < {VAL_PCT} AS is_val
+        FROM documents
+    ),
+    val_sh AS (
+        SELECT DISTINCT sh.sh
+        FROM sh JOIN split ON sh.doc_id = split.doc_id
+        WHERE split.is_val
+    ),
+    leaky AS (
+        SELECT DISTINCT sh.doc_id
+        FROM sh JOIN split ON sh.doc_id = split.doc_id
+        JOIN val_sh ON sh.sh = val_sh.sh
+        WHERE NOT split.is_val
+    )
+    SELECT s.doc_id, s.is_val,
+           (NOT s.is_val AND l.doc_id IS NOT NULL) AS train_leaks_val
+    FROM split s LEFT JOIN leaky l ON s.doc_id = l.doc_id
+    """,
+)
+def corpus_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/validation SPLIT with a LEAKAGE audit in the
+    same pass — the step between dedup and training: a stable md5-bucket
+    10% holdout (same split every run and engine, no RNG state), plus a
+    per-train-doc flag for shingle overlap with ANY validation document
+    (the within-corpus contamination that makes eval scores lie).
+
+    Scale: the split is a narrow map; the audit is the standard
+    inverted-index join — val shingles (a ~VAL_PCT fraction of the
+    shingle stream) join train shingles on the shingle key, never
+    doc x doc. Same cost class as ``text_contamination``; at 100 TB the
+    val shingle set is the small side and broadcast-eligible."""
+    d = table(spark, sf_dir, "documents")
+    is_val = (
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("split#"), F.col("doc_id").cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(100),
+        )
+        < VAL_PCT
+    )
+    split = d.select("doc_id", is_val.alias("is_val"))
+    sh = shingle_df(spark, sf_dir)
+    sh_flagged = sh.join(split, "doc_id")
+    val_sh = (
+        sh_flagged.filter(F.col("is_val")).select("sh").distinct()
+    )
+    leaky = (
+        sh_flagged.filter(~F.col("is_val"))
+        .join(val_sh, "sh")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        split.join(
+            leaky.withColumn("_leak", F.lit(True)), "doc_id", "left"
+        )
+        .select(
+            "doc_id",
+            "is_val",
+            (~F.col("is_val") & F.col("_leak").isNotNull()).alias(
+                "train_leaks_val"
+            ),
+        )
+    )
