@@ -617,8 +617,8 @@ PACK_CHUNK_DOCS = 256  # doc_id-range width of one packing chunk
         FROM t
     )
     SELECT doc_id, lang, n_tokens,
-           (cum - n_tokens) // {PACK_SEQ_LEN} AS pack_id,
-           (cum - n_tokens) % {PACK_SEQ_LEN} AS offset_in_pack
+           CAST((cum - n_tokens) // {PACK_SEQ_LEN} AS BIGINT) AS pack_id,
+           CAST((cum - n_tokens) % {PACK_SEQ_LEN} AS BIGINT) AS offset_in_pack
     FROM c
     """,
 )
@@ -837,8 +837,8 @@ def corpus_mixture_sample_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM t
     )
     SELECT doc_id, lang, n_tokens,
-           (cum - n_tokens) // {PACK_SEQ_LEN} AS pack_id,
-           (cum - n_tokens) % {PACK_SEQ_LEN} AS offset_in_pack
+           CAST((cum - n_tokens) // {PACK_SEQ_LEN} AS BIGINT) AS pack_id,
+           CAST((cum - n_tokens) % {PACK_SEQ_LEN} AS BIGINT) AS offset_in_pack
     FROM c
     """,
 )

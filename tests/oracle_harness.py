@@ -4,15 +4,31 @@ Runs a registered Spark query and its DuckDB oracle on the same parquet
 tables, then compares row count, column names, and an order-insensitive
 value comparison (columns sorted by name, rows sorted by their full tuple)
 — strict equality, mirroring the driver's value-hash.
+
+BOTH sides are fetched as Arrow tables (``DataFrame.toArrow()`` /
+``fetch_arrow_table()``) and every cell is tagged with its Arrow dtype
+FAMILY before comparison. The round-6 driver failure shipped because the
+old ``fetchall()`` path let Python coerce DuckDB's HUGEINT (Arrow
+decimal128(38,0)) into int — equal to Spark's int64 locally, hash-distinct
+at the driver. Arrow-level tagging makes that class fail here first:
+an integer column and a decimal column NEVER compare equal, regardless of
+value. Integer widths (int32 vs int64) and float widths are collapsed
+within their family — the driver's 49 green r6 rows include both, so the
+family, not the width, is the driver-observable boundary; decimals keep
+their exact scale via ``str(Decimal)``.
 """
 
 from __future__ import annotations
 
 import math
 import os
+from datetime import timezone
 from typing import Any
 
+_UTC = timezone.utc
+
 import duckdb
+import pyarrow as pa
 
 from dbt_on_snowflake_spark.testdata import TABLES
 
@@ -25,31 +41,65 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _norm(v: Any) -> Any:
-    """Normalize a cell for cross-engine comparison.
+def _norm_cell(v: Any, t: pa.DataType) -> Any:
+    """Normalize one cell, tagged by its Arrow dtype family.
 
-    Numeric values are TYPE-TAGGED: the driver hash-compares
-    representations, so a DuckDB HUGEINT coerced to float64 must NOT
-    compare equal to Spark's int (Python's int==float leniency hid
-    exactly this in round 1 — three oracle SUMs missing a BIGINT cast
-    passed locally and hash-failed at the driver)."""
-    if isinstance(v, bool):
-        return ("b", v)
-    if isinstance(v, float):
-        if math.isnan(v):
+    Tags: ``b`` bool, ``i`` any integer width, ``f`` any float width,
+    ``dec`` decimal128/256 (scale-preserving via str), ``ts``/``d``
+    timestamp/date, ``L`` list (element-normalized), ``S`` struct.
+    A ``dec`` cell can never equal an ``i`` cell — the exact blind spot
+    that let round 6's ``corpus_pack_sequences`` oracle ship uncast."""
+    if v is None:
+        return None
+    if pa.types.is_boolean(t):
+        return ("b", bool(v))
+    if pa.types.is_integer(t):
+        return ("i", int(v))
+    if pa.types.is_floating(t):
+        f = float(v)
+        if math.isnan(f):
             return ("f", "NaN")
-        if v == 0.0:
-            return ("f", 0.0)  # collapse -0.0/+0.0: equal values, different reprs
-        return ("f", v)
-    if isinstance(v, int):
-        return ("i", v)
-    if hasattr(v, "isoformat"):  # datetime/date; strip sub-second repr noise
-        return v.isoformat()
-    if isinstance(v, list):
-        return tuple(_norm(x) for x in v)
-    if isinstance(v, dict):
-        return tuple(sorted((k, _norm(x)) for k, x in v.items()))
-    return v
+        if f == 0.0:
+            return ("f", 0.0)  # collapse -0.0/+0.0: equal values, one repr
+        return ("f", f)
+    if pa.types.is_decimal(t):
+        return ("dec", str(v))
+    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+        # Spark's toArrow() emits timestamp[us, tz=UTC] (session tz);
+        # DuckDB reads the same parquet micros as naive. Same instant —
+        # normalize tz-aware to naive UTC before comparing.
+        if getattr(v, "tzinfo", None) is not None:
+            v = v.astimezone(_UTC).replace(tzinfo=None)
+        return ("ts", v.isoformat())
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return ("L", tuple(_norm_cell(x, t.value_type) for x in v))
+    if pa.types.is_struct(t):
+        return (
+            "S",
+            tuple(
+                sorted(
+                    (t.field(i).name, _norm_cell(v.get(t.field(i).name), t.field(i).type))
+                    for i in range(t.num_fields)
+                )
+            ),
+        )
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return ("bin", bytes(v))
+    return str(v)
+
+
+def _rows_from_arrow(tbl: pa.Table) -> tuple[list[str], list[tuple]]:
+    """(lowercased sorted column names, normalized row tuples) from Arrow."""
+    cols_orig = list(tbl.column_names)
+    order = sorted(range(len(cols_orig)), key=lambda i: cols_orig[i].lower())
+    cols = [cols_orig[i].lower() for i in order]
+    types = [tbl.schema.field(i).type for i in order]
+    pylists = [tbl.column(i).to_pylist() for i in order]
+    rows = [
+        tuple(_norm_cell(pylists[j][r], types[j]) for j in range(len(order)))
+        for r in range(tbl.num_rows)
+    ]
+    return cols, rows
 
 
 def _key(row: tuple) -> str:
@@ -58,23 +108,16 @@ def _key(row: tuple) -> str:
 
 def compare(spark, name: str, fn, oracle_sql: str, sf_dir: str) -> None:
     sdf = fn(spark, sf_dir)
-    spark_cols = sorted(sdf.columns)
-    srows = [
-        tuple(_norm(r[c]) for c in spark_cols) for r in sdf.collect()
-    ]
+    spark_cols, srows = _rows_from_arrow(sdf.toArrow())
 
     con = duckdb_conn(sf_dir)
     try:
-        res = con.execute(oracle_sql)
-        duck_cols_orig = [d[0] for d in res.description]
-        drows_raw = res.fetchall()
+        duck_tbl = con.execute(oracle_sql).fetch_arrow_table()
     finally:
         con.close()
-    duck_cols = sorted(c.lower() for c in duck_cols_orig)
-    order = [duck_cols_orig.index(c) for c in sorted(duck_cols_orig, key=str.lower)]
-    drows = [tuple(_norm(r[i]) for i in order) for r in drows_raw]
+    duck_cols, drows = _rows_from_arrow(duck_tbl)
 
-    assert [c.lower() for c in spark_cols] == duck_cols, (
+    assert spark_cols == duck_cols, (
         f"{name}: column mismatch spark={spark_cols} duck={duck_cols}"
     )
     assert len(srows) == len(drows), (

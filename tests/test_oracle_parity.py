@@ -24,6 +24,47 @@ def test_oracle_parity(spark, name):
         compare(spark, name, q.fn, q.oracle, SF_SMOKE)
 
 
+def test_arrow_dtype_tagging_catches_uncast_hugeint(spark):
+    """The hardened harness must fail an oracle whose windowed SUM leaks
+    DuckDB HUGEINT (Arrow decimal128) against a Spark BIGINT — the exact
+    class that shipped round 6's one red driver row. Prove it catches the
+    class (uncast fails), then that the BIGINT-cast twin passes."""
+    import pytest as _pytest
+
+    def fn(spark, sf_dir):
+        return spark.createDataFrame([(1, 3), (2, 3)], "x long, s long")
+
+    uncast = "SELECT x, SUM(x) OVER () AS s FROM (VALUES (1),(2)) t(x)"
+    with _pytest.raises(AssertionError, match="dec"):
+        compare(spark, "hugeint_leak", fn, uncast, SF_SMOKE)
+
+    cast = (
+        "SELECT x, CAST(SUM(x) OVER () AS BIGINT) AS s"
+        " FROM (VALUES (1),(2)) t(x)"
+    )
+    compare(spark, "hugeint_cast", fn, cast, SF_SMOKE)
+
+
+def test_pack_oracles_arrow_schema_all_int64():
+    """corpus_pack_sequences' oracle (and its BPE twin) must emit int64
+    pack_id/offset_in_pack at the Arrow layer — round 6's only driver
+    failure was these surfacing as decimal128(38,0) from an uncast
+    windowed SUM (VERDICT r6, What's wrong #1)."""
+    import pyarrow as pa
+
+    from tests.oracle_harness import duckdb_conn
+
+    con = duckdb_conn(SF_SMOKE)
+    try:
+        for name in ("corpus_pack_sequences", "corpus_pack_sequences_bpe"):
+            tbl = con.execute(_QUERIES[name].oracle).fetch_arrow_table()
+            for col in ("n_tokens", "pack_id", "offset_in_pack"):
+                t = tbl.schema.field(col).type
+                assert pa.types.is_int64(t), f"{name}.{col} is {t}"
+    finally:
+        con.close()
+
+
 def test_driver_export_within_budget():
     """The driver checks only the first DRIVER_BUDGET exported queries per
     round; exporting more silently drops CORRECTNESS rows (round-2 verdict
