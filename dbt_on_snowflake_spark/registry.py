@@ -41,16 +41,75 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # ROTATION LEDGER (keep every query driver-green within a 3-round window):
 # - r6 export: the 8 operators born in r5 plus the r6-born BPE trio and
 #   dedup_semantic; 13 r5-green veterans demoted.
-# - r7 must rotate IN: the r4-green set now two rounds demoted
-#   (dq_failing_rows, j7_anti_orphans, a4_sales_by_nation,
-#   a6_unique_violations, f_scalar_suite, ann_ivf_multiprobe/ivf_topk,
-#   j_salted_events_enrich, the 5 *_streaming rows, t_user_retention,
-#   a_rollup_revenue, text_quality, text_token_count,
-#   corpus_sample_stratified, text_contamination, multimodal_meta,
-#   dedup_simhash_pairs, dedup_embedding_cosine) and the r6-born
-#   parity-only rows (ann_incremental_assign, corpus_pack_sequences_bpe,
-#   dedup_passages); demote r5/r6-green veterans to make room.
+# - r7 export (R7_EXPORT below, overrides per-decorator driver= flags):
+#   all 17 never-driver-checked rows (r6-born parity-only set + the
+#   q6/q10/q14/q15/q16/q19 analytics), all 22 rows last checked in r4,
+#   corpus_pack_sequences (to prove the oracle BIGINT fix at the driver),
+#   w_running_total_events (family guard), and 6 of the 12 r5-checked
+#   rows; 3 slots reserved for r7-born queries.
+# - r8 must rotate IN: the remaining r5-checked rows
+#   (a_unpivot_status_revenue, dedup_ngram_jaccard, text_fingerprint,
+#   text_lang_id, text_levenshtein_pairs, text_repetition) — they hit the
+#   3-round window at r8 — plus any r7-born rows not yet driver-checked;
+#   backfill with r6-green veterans.
 DRIVER_BUDGET = 50
+
+# The authoritative r7 export set. all_queries() applies it over the
+# per-decorator driver= defaults so a rotation is one list edit here.
+R7_EXPORT = {
+    # never driver-checked (priority 1)
+    "ann_incremental_assign",
+    "ann_quantize_int8",
+    "corpus_chunk_documents",
+    "corpus_mixture_epochs",
+    "corpus_pack_sequences_bpe",
+    "corpus_train_val_split",
+    "dedup_passages",
+    "q10_returned_item_losers",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_supplier_breadth",
+    "q19_branded_quantity_revenue",
+    "q6_forecast_revenue_delta",
+    "t_event_funnel_streaming",
+    "t_event_transitions",
+    "t_events_rate_anomalies",
+    "text_top_ngrams",
+    # last driver-checked r4 — two rounds demoted (priority 2)
+    "a4_sales_by_nation",
+    "a6_unique_violations",
+    "a_rollup_revenue",
+    "ann_ivf_multiprobe",
+    "ann_ivf_topk",
+    "corpus_sample_stratified",
+    "dedup_embedding_cosine",
+    "dedup_simhash_pairs",
+    "dq_failing_rows",
+    "f_scalar_suite",
+    "j7_anti_orphans",
+    "j_salted_events_enrich",
+    "multimodal_meta",
+    "t_events_dedup_streaming",
+    "t_events_hourly_append",
+    "t_events_hourly_streaming",
+    "t_events_sessions_streaming",
+    "t_events_sliding_streaming",
+    "t_user_retention",
+    "text_contamination",
+    "text_quality",
+    "text_token_count",
+    # r6-red-on-oracle-typing: re-export to land the green row
+    "corpus_pack_sequences",
+    # family guard (driver-budget test requires >= 1 exported w_ row)
+    "w_running_total_events",
+    # r5-checked fills (the other 6 rotate in r8)
+    "s4_source_passthrough",
+    "p2_projection_rename",
+    "p6_range_filter",
+    "p7_ts_filter",
+    "f_json_extract",
+    "j_semi_active_customers",
+}
 
 
 def query(
@@ -72,6 +131,9 @@ def all_queries() -> dict[str, RegisteredQuery]:
     # Import operator modules for their registration side effects.
     from dbt_on_snowflake_spark import operators  # noqa: F401
 
+    # Apply the round's rotation: the export list above is authoritative.
+    for n, q in QUERIES.items():
+        q.driver = n in R7_EXPORT
     return QUERIES
 
 

@@ -82,27 +82,25 @@ def test_driver_export_within_budget():
         assert any(n.startswith(fam) for n in exported), fam
 
 
-def test_r6_rotation_promises_kept():
-    """The round-5 verdict named 8 never-driver-checked operators to
-    rotate into the round-6 export; pin that every one is exported (plus
-    the round's new driver rows), so a later edit can't silently demote
-    them before the driver sees them."""
-    from dbt_on_snowflake_spark.registry import driver_queries
+def test_r7_rotation_promises_kept():
+    """The round-6 verdict's rotation ledger: every never-driver-checked
+    row and every row last checked in r4 must be in the r7 export, plus
+    corpus_pack_sequences (to land the oracle-fix green row). Pin them so
+    a later edit can't silently demote one before the driver sees it."""
+    from dbt_on_snowflake_spark.registry import R7_EXPORT, driver_queries
 
     exported = set(driver_queries())
-    promised = {
-        "q2_min_cost_supplier",
-        "q20_heavy_suppliers",
-        "text_pii_redact",
-        "dedup_containment",
-        "corpus_mixture_sample",
-        "corpus_pack_sequences",
-        "ann_ivf_multiprobe_indexed",
-        "dedup_incremental_streaming",
-        # born in round 6
-        "text_token_count_bpe",
-        "corpus_token_budget_hist_bpe",
-        "corpus_mixture_sample_bpe",
-        "dedup_semantic",
+    assert R7_EXPORT <= exported, sorted(R7_EXPORT - exported)
+    never_checked = {
+        "ann_incremental_assign", "ann_quantize_int8",
+        "corpus_chunk_documents", "corpus_mixture_epochs",
+        "corpus_pack_sequences_bpe", "corpus_train_val_split",
+        "dedup_passages", "q10_returned_item_losers",
+        "q14_promo_revenue_share", "q15_top_supplier",
+        "q16_supplier_breadth", "q19_branded_quantity_revenue",
+        "q6_forecast_revenue_delta", "t_event_funnel_streaming",
+        "t_event_transitions", "t_events_rate_anomalies",
+        "text_top_ngrams",
     }
-    assert promised <= exported, sorted(promised - exported)
+    assert never_checked <= exported, sorted(never_checked - exported)
+    assert "corpus_pack_sequences" in exported
