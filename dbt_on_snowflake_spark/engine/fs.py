@@ -7,11 +7,11 @@ at an object store (the 100 TB deployment). Routing every mutation
 through ``Path.getFileSystem`` makes the SAME code work on file://,
 hdfs://, s3a://, gs://, ...: the scheme picks the implementation.
 
-Object-store contract (documented in SCALING.md): rename on S3A is a
-copy+delete (O(data), non-atomic across "directories"), so at scale the
-swap protocol should be replaced by a metadata commit on a real table
-format (Delta/Iceberg). These helpers keep the protocol *portable*; the
-table-format migration removes it entirely.
+Atomicity: table commits do NOT rely on rename. ``engine/table_format``
+publishes a new table state by atomically creating a single manifest file
+(``fs_create_atomic``) that readers resolve through — a one-object PUT,
+atomic on HDFS (create) and on S3 (PUT visibility is all-or-nothing).
+Renames here are used only for non-commit housekeeping.
 """
 
 from __future__ import annotations
@@ -42,6 +42,40 @@ def fs_rename(spark: SparkSession, src: str, dst: str) -> None:
     _, d = _fs_path(spark, dst)
     if not fs.rename(s, d):
         raise OSError(f"rename failed: {src} -> {dst}")
+
+
+def fs_list(spark: SparkSession, path: str) -> list[str]:
+    """Child names (not full paths) of a directory; [] if missing."""
+    fs, p = _fs_path(spark, path)
+    if not fs.exists(p):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(p)]
+
+
+def fs_read(spark: SparkSession, path: str) -> bytes:
+    fs, p = _fs_path(spark, path)
+    stream = fs.open(p)
+    try:
+        jvm = spark._jvm
+        out = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, out, 8192, False)
+        return bytes(out.toByteArray())
+    finally:
+        stream.close()
+
+
+def fs_create_atomic(spark: SparkSession, path: str, data: bytes) -> None:
+    """Create a NEW file with ``data`` — fails if it already exists
+    (overwrite=False), which is the commit-conflict signal for two
+    writers racing to publish the same table version. The file becomes
+    visible only complete: HDFS create+close is atomic; on S3A close()
+    issues the single PUT."""
+    fs, p = _fs_path(spark, path)
+    stream = fs.create(p, False)
+    try:
+        stream.write(bytearray(data))
+    finally:
+        stream.close()
 
 
 def fs_copy(spark: SparkSession, src: str, dst: str) -> None:

@@ -17,6 +17,7 @@ from __future__ import annotations
 import importlib.util
 import json
 import os
+import posixpath
 import time
 from dataclasses import asdict, dataclass
 
@@ -24,7 +25,8 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from dbt_on_snowflake_spark.engine.compile import render
-from dbt_on_snowflake_spark.engine.fs import fs_delete, fs_exists, fs_rename
+from dbt_on_snowflake_spark.engine import table_format
+from dbt_on_snowflake_spark.engine.fs import fs_list
 from dbt_on_snowflake_spark.engine.dag import select
 from dbt_on_snowflake_spark.engine.project import ModelNode, Project
 
@@ -141,6 +143,12 @@ class Runner:
     def _table_path(self, relation: str) -> str:
         return os.path.join(self.warehouse, relation)
 
+    def _data_path(self, relation: str) -> str | None:
+        """The relation's CURRENT data directory, resolved through the
+        table format's manifest pointer (engine/table_format.py); legacy
+        pre-format tables resolve to their root."""
+        return table_format.data_path(self.spark, self._table_path(relation))
+
     def _register_table(self, relation: str, merge_schema: bool = False) -> None:
         """``merge_schema`` is for insert_overwrite targets, whose
         partitions can carry heterogeneous footers after an
@@ -150,12 +158,32 @@ class Runner:
         reader = self.spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
-        reader.parquet(self._table_path(relation)).createOrReplaceTempView(
+        reader.parquet(self._data_path(relation)).createOrReplaceTempView(
             relation
         )
 
     def table_exists(self, relation: str) -> bool:
-        return os.path.isdir(self._table_path(relation))
+        return self._data_path(relation) is not None
+
+    def _write_versioned(
+        self, df: DataFrame, relation: str, partition_by: list[str] | None = None
+    ) -> int:
+        """Full-state write through the atomic commit seam: data lands in
+        a fresh ``d-<n>`` dir, then ONE manifest create publishes it —
+        no rename, so the protocol is atomic on object stores too. A
+        crash before the commit leaves the previous version served and
+        an orphan dir for vacuum."""
+        root = self._table_path(relation)
+        version, data_dir = table_format.next_txn(self.spark, root)
+        rows = self._write_counted(
+            df, posixpath.join(root, data_dir), partition_by
+        )
+        table_format.commit(
+            self.spark, root, version, data_dir,
+            meta={"partition_by": partition_by or []},
+        )
+        table_format.vacuum(self.spark, root)
+        return rows
 
     # -- resolution -------------------------------------------------------
     def resolve_ref(self, name: str) -> str:
@@ -275,7 +303,7 @@ class Runner:
                     )
                 for col, typ in ctypes.items():
                     df = df.withColumn(col, F.col(col).cast(typ))
-                rows = self._write_counted(df, self._table_path(relation))
+                rows = self._write_versioned(df, relation)
                 self._register_table(relation)
                 self.results.append(
                     NodeResult(
@@ -694,9 +722,7 @@ class Runner:
             df.createOrReplaceTempView(relation)
             return None  # views are lazy; no action (dbt also reports 0)
         if mat == "table":
-            rows = self._write_counted(
-                df, self._table_path(relation), self._partition_cols(node)
-            )
+            rows = self._write_versioned(df, relation, self._partition_cols(node))
             self._register_table(relation)
             return rows
         if mat == "incremental":
@@ -818,34 +844,17 @@ class Runner:
         the model's (usually filtered-by-{{ this }}) output. With a
         unique_key config, existing rows with matching keys are replaced
         (delete+insert semantics) via a left-anti join — the non-Delta
-        equivalent of MERGE. The combined result is staged to a side
-        directory before the swap because the new data reads from the
-        target's own files; the stage write is a completed action before
-        anything is deleted.
+        equivalent of MERGE. The combined result is written through the
+        atomic commit seam (engine/table_format.py): a fresh data dir,
+        published by a single manifest create. The new data can safely
+        read the target's own files because the current version's dir is
+        never touched; there is no rename and no recovery protocol — a
+        crash at any point leaves either the old or the new version
+        fully served.
 
-        At scale: the anti-join shuffles on the unique key once; with the
-        target bucketed by that key it's shuffle-free, and the
-        rename-swap becomes a metadata commit on a real table format
-        (Delta/Iceberg) — see SCALING.md.
-
-        Swap protocol (crash-safe: the target directory is never in a
-        deleted state without a recoverable copy):
-          1. write stage            (complete before anything moves)
-          2. rename path -> path__old
-          3. rename stage -> path
-          4. delete path__old
-        On entry we recover from any prior interruption: a missing target
-        with a leftover __old is restored; stale __old/stage dirs are
-        discarded."""
-        path = self._table_path(relation)
-        old = path + "__old"
-        stage = path + "__incr_stage"
-        # Hadoop FS API, not os/shutil: the same recovery runs against an
-        # object-store warehouse (engine/fs.py documents the contract)
-        if not fs_exists(self.spark, path) and fs_exists(self.spark, old):
-            fs_rename(self.spark, old, path)  # prior crash: steps 2-3
-        fs_delete(self.spark, old)  # prior crash between steps 3 and 4
-        fs_delete(self.spark, stage)  # stale stage from interrupted write
+        At scale: the anti-join shuffles on the unique key once; with
+        the target bucketed by that key it's shuffle-free; the commit is
+        O(1) metadata regardless of table size."""
         parts = self._partition_cols(node)
         strategy = (node.config.get("incremental_strategy") if node else None) or (
             "merge"
@@ -854,9 +863,9 @@ class Runner:
             return self._materialize_microbatch(df, relation, node, parts)
         if self.full_refresh or not self.table_exists(relation):
             # full refresh: the model read only sources (is_incremental()
-            # was false, {{ this }} never resolved), so a direct overwrite
-            # is safe — no self-read to protect with the swap protocol
-            rows = self._write_counted(df, path, parts)
+            # was false, {{ this }} never resolved); the versioned write
+            # publishes atomically either way
+            rows = self._write_versioned(df, relation, parts)
             self._register_table(relation)
             return rows
         if strategy == "insert_overwrite":
@@ -864,18 +873,23 @@ class Runner:
             # this increment are replaced — the 100 TB incremental path
             # (the merge strategy below rewrites the whole table; this
             # rewrites one day of a date-partitioned mart). Requires
-            # partition_by; Spark stages and commits per-partition, so no
-            # rename protocol is needed here.
+            # partition_by. The write mutates the CURRENT data dir in
+            # place: copying the untouched partitions into a fresh
+            # versioned dir would rewrite the other 364 days of a 100 TB
+            # mart, defeating the strategy; atomicity here is Spark's own
+            # per-partition commit protocol (per-task staging +
+            # partition-directory replacement at commit).
             if not parts:
                 raise ValueError(
                     "incremental_strategy='insert_overwrite' requires "
                     "partition_by"
                 )
+            dpath = self._data_path(relation)
             # schema-drift policy against the merged on-disk schema (a
             # prior append_new_columns run leaves partitions with
             # different footers; mergeSchema sees the superset)
             existing = self.spark.read.option("mergeSchema", "true").parquet(
-                path
+                dpath
             )
             df, _ = self._apply_on_schema_change(
                 df, existing, node, relation, rewrite=False
@@ -886,12 +900,12 @@ class Runner:
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy(*parts)
-                .parquet(path)
+                .parquet(dpath)
             )
             self._register_table(relation, merge_schema=True)
             return int(obs.get["rows"])
         unique_key = node.config.get("unique_key") if node else None
-        existing = self.spark.read.parquet(path)
+        existing = self.spark.read.parquet(self._data_path(relation))
         df, existing = self._apply_on_schema_change(
             df, existing, node, relation, rewrite=True
         )
@@ -901,10 +915,10 @@ class Runner:
             combined = kept.unionByName(df)
         else:
             combined = existing.unionByName(df)
-        rows = self._write_counted(combined, stage, parts)
-        fs_rename(self.spark, path, old)
-        fs_rename(self.spark, stage, path)
-        fs_delete(self.spark, old)
+        # the combined plan READS the current version's files while the
+        # write lands in the next version's dir — safe without a staging
+        # rename precisely because a committed version's dir is immutable
+        rows = self._write_versioned(combined, relation, parts)
         self._register_table(relation)
         return rows
 
@@ -947,7 +961,6 @@ class Runner:
             )
         lookback = int(node.config.get("lookback", 1))
         bcol = "event_batch"
-        path = self._table_path(relation)
         if self.event_start:
             df = df.filter(
                 F.col(event_time) >= F.lit(self.event_start).cast("timestamp")
@@ -972,10 +985,13 @@ class Runner:
             ),
         )
         if self.full_refresh or not self.table_exists(relation):
-            rows = self._write_counted(dfb, path, [bcol, *parts])
+            rows = self._write_versioned(dfb, relation, [bcol, *parts])
             self._register_table(relation, merge_schema=True)
             return rows
-        existing = self.spark.read.option("mergeSchema", "true").parquet(path)
+        # per-batch dynamic overwrites mutate the CURRENT data dir (see
+        # insert_overwrite above: a day-replay must not rewrite the mart)
+        dpath = self._data_path(relation)
+        existing = self.spark.read.option("mergeSchema", "true").parquet(dpath)
         dfb, _ = self._apply_on_schema_change(
             dfb, existing, node, relation, rewrite=False
         )
@@ -983,7 +999,7 @@ class Runner:
         if not (self.event_start or self.event_end):
             have = sorted(
                 d.split("=", 1)[1]
-                for d in os.listdir(path)
+                for d in fs_list(self.spark, dpath)
                 if d.startswith(f"{bcol}=")
             )
             recent = set(have[-lookback:]) if lookback > 0 else set()
@@ -997,7 +1013,7 @@ class Runner:
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy(bcol, *parts)
-                .parquet(path)
+                .parquet(dpath)
             )
             total += int(obs.get["rows"])
         self._register_table(relation, merge_schema=True)

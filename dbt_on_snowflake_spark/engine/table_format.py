@@ -1,0 +1,164 @@
+"""Engine-owned atomic table format: manifest-pointer commits.
+
+A managed table is a directory whose CURRENT state is whatever the
+highest-numbered manifest in ``_v/`` points at:
+
+    <warehouse>/<relation>/
+        _v/000000000001.json      {"data_dir": "d-000000000001", ...}
+        _v/000000000002.json      {"data_dir": "d-000000000002", ...}
+        d-000000000001/  part-*.parquet        (old version, vacuumable)
+        d-000000000002/  part-*.parquet        (current)
+
+Write protocol (replaces the round<=6 staged-rename swap, whose rename
+step is copy+delete and non-atomic on S3A):
+
+    1. write the new state to a fresh data dir ``d-<n+1>`` — never
+       touches the current version's files;
+    2. COMMIT by atomically creating ``_v/<n+1>.json`` (a single-object
+       create/PUT — atomic on HDFS and S3, no rename anywhere);
+    3. vacuum data dirs no retained manifest references.
+
+A crash before step 2 leaves an orphan data dir and the old version
+still served — exactly what the crash-injection test pins
+(tests/test_table_format.py). A crash after step 2 is a completed
+commit. Two writers racing the same version collide on the manifest
+create (overwrite=False) and the loser raises ``CommitConflict`` with
+its data dir intact for retry. Readers resolve the manifest once per
+registration, so they never observe a half-written state.
+
+Partition-level strategies (insert_overwrite / microbatch) mutate the
+current data dir through Spark's own per-partition commit protocol —
+replacing one day of a date-partitioned 100 TB mart must not rewrite a
+manifest-referenced copy of the other 364 days — and then publish a new
+manifest pointing at the SAME data dir (schema metadata may change).
+
+Legacy layout (pre-format tables: parquet files directly under the
+table root, as the round<=6 engine wrote) reads transparently: no
+``_v/`` directory means the root itself is the data dir; the first
+versioned write upgrades in place and clears the legacy files after
+its commit.
+
+Reference parity note: the reference (maciejtarsa/dbt-on-snowflake)
+delegates atomic DDL swaps to Snowflake (``CREATE OR REPLACE`` in
+``setup/setup.sql``); this module is the engine-side equivalent for an
+object-store warehouse.
+"""
+
+from __future__ import annotations
+
+import json
+import posixpath
+
+from pyspark.sql import SparkSession
+
+from dbt_on_snowflake_spark.engine.fs import (
+    fs_create_atomic,
+    fs_delete,
+    fs_exists,
+    fs_list,
+    fs_read,
+)
+
+VERSIONS_DIR = "_v"
+DATA_PREFIX = "d-"
+VACUUM_KEEP = 2  # manifests (and their data dirs) retained by vacuum
+
+
+class CommitConflict(RuntimeError):
+    """Another writer published this version first."""
+
+
+def _versions_dir(root: str) -> str:
+    return posixpath.join(root, VERSIONS_DIR)
+
+
+def _manifest_path(root: str, version: int) -> str:
+    return posixpath.join(_versions_dir(root), f"{version:012d}.json")
+
+
+def list_versions(spark: SparkSession, root: str) -> list[int]:
+    names = fs_list(spark, _versions_dir(root))
+    out = []
+    for n in names:
+        if n.endswith(".json"):
+            try:
+                out.append(int(n[:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def current_version(spark: SparkSession, root: str) -> int | None:
+    vs = list_versions(spark, root)
+    return vs[-1] if vs else None
+
+
+def read_manifest(spark: SparkSession, root: str, version: int) -> dict:
+    return json.loads(fs_read(spark, _manifest_path(root, version)).decode())
+
+
+def data_path(spark: SparkSession, root: str) -> str | None:
+    """Resolve the table's current data directory, or None if the table
+    does not exist. Legacy (pre-format) tables resolve to their root."""
+    v = current_version(spark, root)
+    if v is not None:
+        return posixpath.join(root, read_manifest(spark, root, v)["data_dir"])
+    if fs_exists(spark, root):
+        return root  # legacy layout: files live at the root
+    return None
+
+
+def next_txn(spark: SparkSession, root: str) -> tuple[int, str]:
+    """(version to commit, fresh data dir name) for a new full write."""
+    v = (current_version(spark, root) or 0) + 1
+    return v, f"{DATA_PREFIX}{v:012d}"
+
+
+def commit(
+    spark: SparkSession,
+    root: str,
+    version: int,
+    data_dir: str,
+    meta: dict | None = None,
+) -> None:
+    """Publish ``data_dir`` as version ``version`` — ONE atomic file
+    create; no rename, no window where readers see a missing table."""
+    manifest = {"version": version, "data_dir": data_dir, **(meta or {})}
+    payload = json.dumps(manifest, sort_keys=True).encode()
+    try:
+        fs_create_atomic(spark, _manifest_path(root, version), payload)
+    except Exception as e:  # py4j wraps FileAlreadyExistsException
+        if "exist" in str(e).lower():
+            raise CommitConflict(
+                f"version {version} of {root} was committed concurrently"
+            ) from e
+        raise
+
+
+def vacuum(spark: SparkSession, root: str, keep: int = VACUUM_KEEP) -> list[str]:
+    """Delete data dirs no retained manifest references — old versions
+    beyond ``keep`` and orphans from crashed writers (single-writer
+    engine: an unreferenced ``d-*`` dir cannot be an in-flight commit).
+    Also clears legacy root files once a manifest exists (readers have
+    already moved to the pointer). Returns what it deleted."""
+    vs = list_versions(spark, root)
+    if not vs:
+        return []
+    retained = vs[-keep:] if keep > 0 else vs[-1:]
+    referenced = {
+        read_manifest(spark, root, v)["data_dir"] for v in retained
+    }
+    removed = []
+    for name in fs_list(spark, root):
+        full = posixpath.join(root, name)
+        if name.startswith(DATA_PREFIX) and name not in referenced:
+            fs_delete(spark, full)
+            removed.append(name)
+        elif name != VERSIONS_DIR and not name.startswith(DATA_PREFIX):
+            # legacy pre-format files/dirs superseded by the manifest
+            fs_delete(spark, full)
+            removed.append(name)
+    for v in vs:
+        if v not in retained:
+            fs_delete(spark, _manifest_path(root, v))
+    return removed

@@ -205,7 +205,7 @@ class TestRunner:
                     + (f"__{column}" if column else "")
                     + stored_suffix
                 )
-                n = runner._write_counted(df, runner._table_path(stored))
+                n = runner._write_versioned(df, stored)
                 runner._register_table(stored)
             else:
                 n = df.count()

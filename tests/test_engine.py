@@ -2098,13 +2098,20 @@ def test_clone_copies_state_relations_into_target(spark, tmp_path, capsys):
     assert "1 cloned" in out and "skipped" in out
     assert sorted(r.id for r in spark.table("dev_mt").collect()) == [1, 2, 3]
 
-    # physical clone: prod rows added later do not appear in dev
+    # physical clone: prod rows added later do not appear in dev (reads
+    # resolve through the table format's manifest pointer)
+    from dbt_on_snowflake_spark.engine import table_format as tf
+
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    extra = os.path.join(wh, "prod_mt", "extra.parquet")
-    pd.DataFrame({"id": [99]}).to_parquet(extra, index=False)
-    assert sorted(
-        r.id for r in spark.read.parquet(os.path.join(wh, "dev_mt")).collect()
-    ) == [1, 2, 3]
+    prod_data = tf.data_path(spark, os.path.join(wh, "prod_mt"))
+    pd.DataFrame({"id": [99]}).to_parquet(
+        os.path.join(prod_data, "extra.parquet"), index=False
+    )
+    dev_data = tf.data_path(spark, os.path.join(wh, "dev_mt"))
+    assert sorted(r.id for r in spark.read.parquet(dev_data).collect()) == [1, 2, 3]
+    assert sorted(r.id for r in spark.read.parquet(prod_data).collect()) == [
+        1, 2, 3, 99,
+    ]
 
 
 def test_run_operation_executes_macro(spark, tmp_path, capsys):

@@ -107,11 +107,16 @@ def test_ephemeral_is_inlined_not_materialized(spark, incr_project):
     assert "_eph_clean_events" in sql and "{{" not in sql
 
 
-def test_incremental_swap_recovers_from_crash(spark, incr_project):
-    """A crash between the swap renames must not lose the table: simulate
-    the interrupted state (target renamed aside, no new dir yet) and check
-    the next run restores and proceeds."""
+def test_incremental_upgrades_legacy_layout(spark, incr_project):
+    """An incremental target written by the pre-format engine (parquet
+    files directly at the table root, no manifest) must merge and upgrade:
+    the run reads the legacy files as the current state, writes the merged
+    result through the atomic commit seam, and subsequent reads resolve
+    the manifest. (The old rename-swap recovery this replaced is gone —
+    crash safety is pinned by tests/test_table_format.py.)"""
     import shutil
+
+    from dbt_on_snowflake_spark.engine import table_format as tf
 
     root, data = incr_project
     _load_batch(data, [(1, 10, 1.0), (2, 11, 2.0)])
@@ -119,22 +124,22 @@ def test_incremental_swap_recovers_from_crash(spark, incr_project):
     runner = Runner(spark, project)
     path = runner._table_path("dev_fact_events")
     if os.path.isdir(path):  # leftover from sibling tests (shared warehouse)
-        import shutil as _sh
-
-        _sh.rmtree(path)
+        shutil.rmtree(path)
     runner.run()
-    # simulate: crashed after `rename path -> path__old`, before swap-in
-    os.rename(path, path + "__old")
-    shutil.copytree(path + "__old", path + "__incr_stage")  # stale stage too
+    # rewrite the table as the legacy layout: files at the root, no _v/
+    legacy_df = spark.read.parquet(runner._data_path("dev_fact_events"))
+    rows = legacy_df.collect()
+    shutil.rmtree(path)
+    spark.createDataFrame(rows, legacy_df.schema).write.parquet(path)
+    assert tf.current_version(spark, path) is None
 
     _load_batch(data, [(3, 12, 3.0)])
     runner2 = Runner(spark, project)
     res = runner2.run()
     assert res[0].status == "success"
-    rows = sorted(r.event_id for r in spark.table("dev_fact_events").collect())
-    assert rows == [1, 2, 3]
-    assert not os.path.isdir(path + "__old")
-    assert not os.path.isdir(path + "__incr_stage")
+    got = sorted(r.event_id for r in spark.table("dev_fact_events").collect())
+    assert got == [1, 2, 3]
+    assert tf.current_version(spark, path) == 1  # upgraded in place
 
 
 def test_failing_model_skips_descendants_not_siblings(spark, tmp_path):
@@ -231,9 +236,9 @@ def test_partition_by_table_materialization(spark, tmp_path):
     runner = Runner(spark, project)
     results = runner.run()
     assert results[0].status == "success" and results[0].rows == 8
-    path = runner._table_path("dev_by_status")
+    dpath = runner._data_path("dev_by_status")  # manifest-resolved dir
     assert sorted(
-        d for d in os.listdir(path) if d.startswith("status=")
+        d for d in os.listdir(dpath) if d.startswith("status=")
     ) == ["status=closed", "status=open"]
     filtered = spark.table("dev_by_status").filter("status = 'open'")
     assert filtered.count() == 4
@@ -277,7 +282,9 @@ def test_insert_overwrite_replaces_only_touched_partitions(spark, tmp_path):
         _sh.rmtree(path)
     res1 = runner.run()
     assert res1[0].status == "success" and res1[0].rows == 2
-    d1_files_before = set(os.listdir(os.path.join(path, "day=d1")))
+    dpath = runner._data_path("dev_daily")  # partitions live in the
+    # manifest-resolved data dir (engine/table_format.py)
+    d1_files_before = set(os.listdir(os.path.join(dpath, "day=d1")))
 
     # increment touches only d2 (restated) and d3 (new); d1 untouched
     load([(2, "d2", 99), (3, "d3", 30)])
@@ -288,7 +295,8 @@ def test_insert_overwrite_replaces_only_touched_partitions(spark, tmp_path):
         (r.id, r.day): r.v for r in spark.table("dev_daily").collect()
     }
     assert rows == {(1, "d1"): 10, (2, "d2"): 99, (3, "d3"): 30}
-    assert set(os.listdir(os.path.join(path, "day=d1"))) == d1_files_before
+    assert runner2._data_path("dev_daily") == dpath  # same version dir
+    assert set(os.listdir(os.path.join(dpath, "day=d1"))) == d1_files_before
 
 
 def test_insert_overwrite_requires_partition_by(spark, tmp_path):

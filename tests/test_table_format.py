@@ -1,0 +1,159 @@
+"""Atomic manifest-pointer table format (engine/table_format.py).
+
+The write path's crash contract: data lands in a fresh dir, ONE atomic
+manifest create publishes it. These tests pin the states around that
+boundary — crash before commit leaves the old version served (never a
+missing or half-swapped table, the failure mode of the old rename-swap on
+S3A), commit conflicts surface instead of clobbering, vacuum reclaims
+orphans and old versions, and legacy (pre-format) tables read and upgrade
+transparently — plus an engine-level crash injection through Runner's
+incremental merge path.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from dbt_on_snowflake_spark.engine import table_format as tf
+from dbt_on_snowflake_spark.engine.project import Project
+from dbt_on_snowflake_spark.engine.runner import Runner
+
+
+def _mkdf(spark, vals):
+    return spark.createDataFrame([(i, v) for i, v in vals], "id long, v string")
+
+
+def _versioned_write(spark, root, df):
+    v, ddir = tf.next_txn(spark, root)
+    df.write.mode("overwrite").parquet(os.path.join(root, ddir))
+    tf.commit(spark, root, v, ddir)
+    return v
+
+
+def test_crash_before_commit_serves_old_version(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _versioned_write(spark, root, _mkdf(spark, [(1, "a"), (2, "a")]))
+
+    # simulated crash: new state fully written, process dies before the
+    # manifest create — readers must still resolve version 1
+    v, ddir = tf.next_txn(spark, root)
+    _mkdf(spark, [(1, "b")]).write.mode("overwrite").parquet(
+        os.path.join(root, ddir)
+    )
+    assert tf.current_version(spark, root) == 1
+    got = {r.v for r in spark.read.parquet(tf.data_path(spark, root)).collect()}
+    assert got == {"a"}
+
+    # vacuum reclaims the orphan dir; a retry then lands the same version
+    removed = tf.vacuum(spark, root)
+    assert ddir in removed
+    _versioned_write(spark, root, _mkdf(spark, [(1, "b")]))
+    got = {r.v for r in spark.read.parquet(tf.data_path(spark, root)).collect()}
+    assert got == {"b"}
+
+
+def test_commit_conflict_raises(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _versioned_write(spark, root, _mkdf(spark, [(1, "a")]))
+    with pytest.raises(tf.CommitConflict):
+        tf.commit(spark, root, 1, "d-000000000009")
+
+
+def test_vacuum_retains_keep_versions(spark, tmp_path):
+    root = str(tmp_path / "t")
+    for tag in ("a", "b", "c"):
+        _versioned_write(spark, root, _mkdf(spark, [(1, tag)]))
+        tf.vacuum(spark, root)
+    names = set(os.listdir(root))
+    assert "d-000000000003" in names and "d-000000000002" in names
+    assert "d-000000000001" not in names  # beyond VACUUM_KEEP=2
+    assert tf.list_versions(spark, root) == [2, 3]
+    got = {r.v for r in spark.read.parquet(tf.data_path(spark, root)).collect()}
+    assert got == {"c"}
+
+
+def test_legacy_layout_reads_and_upgrades(spark, tmp_path):
+    """A pre-format table (parquet at the root, as rounds <=6 wrote) must
+    read as-is, and the first versioned write must upgrade it in place —
+    manifest readers take over, legacy files are cleared post-commit."""
+    root = str(tmp_path / "t")
+    _mkdf(spark, [(1, "old")]).write.mode("overwrite").parquet(root)
+    assert tf.data_path(spark, root) == root  # legacy: root is the data dir
+
+    _versioned_write(spark, root, _mkdf(spark, [(1, "new")]))
+    tf.vacuum(spark, root)
+    got = {r.v for r in spark.read.parquet(tf.data_path(spark, root)).collect()}
+    assert got == {"new"}
+    leftovers = [
+        n for n in os.listdir(root)
+        if n != tf.VERSIONS_DIR and not n.startswith(tf.DATA_PREFIX)
+    ]
+    assert leftovers == []
+
+
+def _crash_project(tmp_path, data):
+    root = str(tmp_path / "proj")
+    os.makedirs(f"{root}/models/models", exist_ok=True)
+    with open(f"{root}/project.yml", "w") as f:
+        f.write("name: crash_demo\nmodels:\n  models:\n    materialized: view\n")
+    with open(f"{root}/sources.yml", "w") as f:
+        f.write(
+            f"sources:\n  - name: raw\n    base_path: \"{data}\"\n"
+            "    tables:\n      - name: ev\n"
+        )
+    with open(f"{root}/models/models/fact.sql", "w") as f:
+        f.write(
+            "{{ config(materialized='incremental', unique_key='event_id') }}\n"
+            "SELECT event_id, user_id FROM {{ source('raw', 'ev') }}\n"
+        )
+    return root
+
+
+def test_runner_incremental_crash_between_write_and_commit(
+    spark, tmp_path, monkeypatch
+):
+    """Engine-level crash injection: kill the merge materialization after
+    the data write but before the manifest commit; the table must still
+    serve the prior version, and a plain re-run must succeed."""
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    pd.DataFrame([(1, 10), (2, 11)], columns=["event_id", "user_id"]).to_parquet(
+        os.path.join(data, "ev.parquet"), index=False
+    )
+    root = _crash_project(tmp_path, data)
+    project = Project(root, target="dev")
+    assert Runner(spark, project).run()[0].status == "success"
+    assert spark.table("dev_fact").count() == 2
+
+    pd.DataFrame(
+        [(2, 99), (3, 12)], columns=["event_id", "user_id"]
+    ).to_parquet(os.path.join(data, "ev.parquet"), index=False)
+
+    real_commit = tf.commit
+
+    def dying_commit(*a, **kw):
+        raise RuntimeError("injected crash before manifest commit")
+
+    monkeypatch.setattr(tf, "commit", dying_commit)
+    res = Runner(spark, project).run()
+    assert res[0].status == "error"
+    # old version still fully served — never a missing/half-swapped table
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    troot = os.path.join(wh, "dev_fact")
+    assert tf.current_version(spark, troot) == 1
+    users = {
+        r.user_id
+        for r in spark.read.parquet(tf.data_path(spark, troot)).collect()
+    }
+    assert users == {10, 11}
+
+    monkeypatch.setattr(tf, "commit", real_commit)
+    res2 = Runner(spark, project).run()
+    assert res2[0].status == "success"
+    rows = {
+        r.event_id: r.user_id for r in spark.table("dev_fact").collect()
+    }
+    assert rows == {1: 10, 2: 99, 3: 12}
