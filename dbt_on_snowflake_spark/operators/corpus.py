@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dbt_on_snowflake_spark.functions import sorted_set_str
 from dbt_on_snowflake_spark.operators.dedup import SHINGLES_CTE, shingle_df
 from dbt_on_snowflake_spark.operators.textops import (
     _SW_LIST_SQL,
@@ -710,6 +711,105 @@ def corpus_pack_sequences(
             (F.col("start_tok") % PACK_SEQ_LEN).alias("offset_in_pack"),
         )
     )
+
+# ------------------------------------------------------ packed shards
+
+PACKS_PER_SHARD = 64  # 64 packs x 2048 tokens ~ 128k tokens per shard
+
+
+@query(
+    "corpus_pack_shards",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, lang, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM t
+    ),
+    packed AS (
+        SELECT doc_id, lang, n_tokens,
+               CAST((cum - n_tokens) // {PACK_SEQ_LEN} AS BIGINT) AS pack_id
+        FROM c
+    )
+    SELECT lang,
+           CAST(pack_id // {PACKS_PER_SHARD} AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT pack_id) AS BIGINT) AS n_packs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT doc_id)), ',') AS doc_ids
+    FROM packed
+    GROUP BY lang, CAST(pack_id // {PACKS_PER_SHARD} AS BIGINT)
+    """,
+)
+def corpus_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHARD MANIFEST for packed training data: group pack assignments
+    into size-bounded shards (PACKS_PER_SHARD consecutive packs per
+    language ~ one loader file) and report each shard's doc list + token
+    sum — the manifest a writer materializes and a loader indexes by.
+
+    Plan: the two-level prefix sum of ``corpus_pack_sequences`` followed
+    by ONE hash aggregation on (lang, shard_id). n_packs uses
+    size(collect_set) — the per-group domain is bounded by
+    PACKS_PER_SHARD(+1 straddle), so no Expand/distinct-agg fallback and
+    no unbounded buffer. No global sort anywhere (pinned by
+    test_pack_shards_no_global_sort)."""
+    packed = corpus_pack_sequences(spark, sf_dir).withColumn(
+        "shard_id", F.expr(f"pack_id div {PACKS_PER_SHARD}")
+    )
+    return packed.groupBy("lang", "shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.size(F.collect_set("pack_id")).cast("long").alias("n_packs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+        sorted_set_str("doc_id", "doc_ids"),
+    )
+
+
+def write_pack_shards(
+    spark: SparkSession,
+    packed: DataFrame,
+    path: str,
+) -> int:
+    """Materialize packed documents as training shards: parquet
+    partitioned by (lang, shard_id), rows clustered one-shard-per-task
+    and ordered by (pack_id, offset_in_pack) WITHIN each shard — the
+    layout a loader streams contiguously.
+
+    Scale contract (pinned by test_pack_shards_no_global_sort):
+    - NO global sort: repartition on (lang, shard_id) is a hash
+      exchange; the (pack_id, offset) order is sortWithinPartitions —
+      per-task spill-safe sort, no rangepartitioning pass over the
+      corpus.
+    - Incremental-friendly: dynamic partition overwrite touches only
+      the (lang, shard_id) partitions present in ``packed`` — a new
+      batch (new pack ids => new shard ids) appends new shard dirs and
+      leaves existing shards' files byte-identical, the same per-batch
+      idempotence contract as the engine's insert_overwrite path
+      (engine/runner.py).
+    """
+    from pyspark.sql import Observation
+
+    df = (
+        packed.withColumn("shard_id", F.expr(f"pack_id div {PACKS_PER_SHARD}"))
+        .repartition("lang", "shard_id")
+        .sortWithinPartitions("pack_id", "offset_in_pack")
+    )
+    obs = Observation()
+    (
+        df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("lang", "shard_id")
+        .parquet(path)
+    )
+    return int(obs.get["rows"])
+
 
 # ------------------------------- tokenizer-faithful twins (frozen BPE)
 

@@ -102,6 +102,8 @@ R7_EXPORT = {
     "corpus_pack_sequences",
     # family guard (driver-budget test requires >= 1 exported w_ row)
     "w_running_total_events",
+    # born in r7
+    "corpus_pack_shards",
     # r5-checked fills (the other 6 rotate in r8)
     "s4_source_passthrough",
     "p2_projection_rename",

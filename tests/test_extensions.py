@@ -371,3 +371,61 @@ def test_semantic_dedup_drops_planted_paraphrase(spark, tmp_path):
     first = 0 if (ka.ccos, 0) < (kb.ccos, 1) else 1
     assert pair_kept == {first}
     assert all(out[v].kept for v in (2, 3, 4))
+
+
+def test_pack_shard_writer_appends_new_shards_only(spark, tmp_path):
+    """write_pack_shards is incremental: a second batch containing only
+    NEW shard ids adds new (lang, shard_id) partition dirs and leaves
+    every file of the existing shards byte-identical (dynamic partition
+    overwrite — the per-batch idempotence contract). Rows within a shard
+    land ordered by (pack_id, offset_in_pack) for contiguous loading."""
+    import glob
+    import os
+
+    from dbt_on_snowflake_spark.operators.corpus import (
+        corpus_pack_sequences,
+        write_pack_shards,
+    )
+    from tests.conftest import SF_SMOKE
+
+    out = str(tmp_path / "shards")
+    packed = corpus_pack_sequences(spark, SF_SMOKE)
+    # two batches with disjoint (lang, shard_id) partitions — the real
+    # incremental case: a new batch's pack ids continue past the last
+    # committed shard, so its partitions are new (a straddled boundary
+    # shard would be rewritten WHOLE, which is the idempotent replay
+    # contract, not an append corruption)
+    batch1 = packed.filter("lang in ('en', 'de')")
+    n1 = write_pack_shards(spark, batch1, out)
+    assert n1 == batch1.count() and n1 > 0
+
+    def snapshot():
+        return {
+            p: (os.path.getsize(p), os.path.getmtime(p))
+            for p in glob.glob(os.path.join(out, "lang=*", "shard_id=*", "*"))
+        }
+
+    before = snapshot()
+    dirs_before = set(glob.glob(os.path.join(out, "lang=*", "shard_id=*")))
+
+    batch2 = packed.filter("lang not in ('en', 'de')")
+    n2 = write_pack_shards(spark, batch2, out)
+    assert n2 == batch2.count()
+
+    after = snapshot()
+    dirs_after = set(glob.glob(os.path.join(out, "lang=*", "shard_id=*")))
+    assert dirs_before < dirs_after  # new shard partitions appeared
+    for p, meta in before.items():
+        assert after[p] == meta, f"existing shard file rewritten: {p}"
+
+    # full content = union of both batches; per-shard files are ordered
+    got = spark.read.parquet(out)
+    assert got.count() == n1 + n2
+    one_dir = sorted(dirs_after)[0]
+    import pandas as pd
+    import glob as g
+
+    parts = sorted(g.glob(os.path.join(one_dir, "*.parquet")))
+    rows = pd.concat([pd.read_parquet(p) for p in parts])
+    key = list(zip(rows["pack_id"], rows["offset_in_pack"]))
+    assert key == sorted(key)

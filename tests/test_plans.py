@@ -397,3 +397,35 @@ def test_top_ngrams_partial_topk_and_quantize_shuffle_free(spark):
     assert "TakeOrderedAndProject" in plan
     qplan = plan_of(spark, "ann_quantize_int8")
     assert count_shuffles(qplan) == 0
+
+
+def test_pack_shards_no_global_sort(spark):
+    """Packed-shard layout: no rangepartitioning pass anywhere — the
+    manifest query is prefix-sum + ONE hash agg; the writer's shard
+    clustering is a hash exchange + sortWithinPartitions (local sort,
+    global=false), never a global ordering of the corpus."""
+    from dbt_on_snowflake_spark.operators.corpus import (
+        PACKS_PER_SHARD,
+        corpus_pack_sequences,
+    )
+    from dbt_on_snowflake_spark.plans import explain_str
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE as _sf
+
+    plan = plan_of(spark, "corpus_pack_shards")
+    assert "rangepartitioning" not in plan.lower()
+    # the distinct-agg fallback (Expand) must not appear: n_packs is
+    # size(collect_set), not COUNT(DISTINCT)
+    assert "Expand" not in plan
+
+    writer_df = (
+        corpus_pack_sequences(spark, _sf)
+        .withColumn("shard_id", F.expr(f"pack_id div {PACKS_PER_SHARD}"))
+        .repartition("lang", "shard_id")
+        .sortWithinPartitions("pack_id", "offset_in_pack")
+    )
+    wplan = explain_str(writer_df)
+    assert "rangepartitioning" not in wplan.lower()
+    import re
+    # every Sort in the writer plan is local (global=false)
+    assert not re.search(r"Sort \[[^]]*\], true", wplan)
