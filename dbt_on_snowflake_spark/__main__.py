@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os as _os
 import sys
 from dataclasses import asdict
 
@@ -61,7 +62,9 @@ def main(argv: list[str] | None = None) -> int:
                      "<project>/target/run_results.json)",
             )
         sp.add_argument("--project", required=True)
-        sp.add_argument("--target", default="dev")
+        # default None, not "dev": retry must distinguish "not passed"
+        # (restore the prior invocation's target) from an explicit value
+        sp.add_argument("--target", default=None)
         sp.add_argument("--select", default=None)
         sp.add_argument(
             "--exclude", default=None,
@@ -104,8 +107,9 @@ def main(argv: list[str] | None = None) -> int:
             help="microbatch replay window end (exclusive ISO timestamp)",
         )
         sp.add_argument(
-            "--threads", type=int, default=1,
-            help="materialize independent DAG branches concurrently",
+            "--threads", type=int, default=None,
+            help="materialize independent DAG branches concurrently "
+                 "(default 1; retry replays the prior run's value)",
         )
         sp.add_argument(
             "--vars", default=None,
@@ -117,6 +121,25 @@ def main(argv: list[str] | None = None) -> int:
     from dbt_on_snowflake_spark.engine.dag import select, toposort
     from dbt_on_snowflake_spark.engine.project import Project
     from dbt_on_snowflake_spark.session import get_spark
+
+    # retry replays the prior invocation's --target/--threads when not
+    # passed explicitly — a failed `run --target prod` retried bare must
+    # rebuild into prod, not the default target's namespace (dbt retry
+    # reuses the full prior invocation). Restored BEFORE Project
+    # construction: the target names the schema namespace.
+    if args.cmd == "retry":
+        _rp = args.results or _os.path.join(
+            args.project, "target", "run_results.json"
+        )
+        if _os.path.isfile(_rp):
+            with open(_rp) as _f:
+                _prior_args = (json.load(_f).get("args")) or {}
+            if args.target is None:
+                args.target = _prior_args.get("target")
+            if args.threads is None:
+                args.threads = _prior_args.get("threads")
+    args.target = args.target or "dev"
+    args.threads = args.threads or 1
 
     project = Project(args.project, target=args.target)
 
@@ -227,8 +250,6 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     spark = get_spark("cli")
-    import os as _os
-
     from dbt_on_snowflake_spark.engine.runner import Runner
 
     trace_dir = (
@@ -358,6 +379,10 @@ def main(argv: list[str] | None = None) -> int:
         "vars": cli_vars,
         "event_start": getattr(args, "event_start", None),
         "event_end": getattr(args, "event_end", None),
+        # effective values, so a bare retry rebuilds into the SAME
+        # target namespace with the same parallelism
+        "target": args.target,
+        "threads": getattr(args, "threads", 1),
     }
 
     if args.cmd in ("run", "retry"):
@@ -527,8 +552,12 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"show: {args.select!r} is a python model — run it "
                       f"and query its relation instead", file=sys.stderr)
                 return 2
-            # ensure upstream relations exist for the preview
-            runner.run(args.select)
+            # ensure upstream relations exist for the preview — build
+            # ONLY the model's ancestor closure, never the selected node
+            # itself: dbt show compiles + previews, it must not mutate
+            # the target warehouse (`show --select mart --target prod`
+            # would otherwise write prod)
+            runner.run(f"+{args.select}", exclude=args.select)
             sql_body = node.body
         sql = render(
             sql_body, runner.resolve_ref, runner.resolve_source,

@@ -181,7 +181,13 @@ def _expand_part(
         }
     else:
         if name not in project.models:
-            raise ValueError(f"unknown model in selector: {name!r}")
+            # a versioned model's BASE name selects like ref(): the
+            # latest version's node (dbt: `--select dim` works whether
+            # or not dim is versioned)
+            aliased = getattr(project, "version_alias", {}).get(name)
+            if aliased is None:
+                raise ValueError(f"unknown model in selector: {name!r}")
+            name = aliased
         base = {name}
     out = set(base)
     for m in base:

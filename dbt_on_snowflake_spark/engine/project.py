@@ -370,10 +370,34 @@ class Project:
                         r"\bctx\.source\(\s*['\"](\w+)['\"]\s*,\s*['\"](\w+)['\"]",
                         body,
                     )
+                    # dbt python models declare config with dbt.config(...)
+                    # parsed statically; same here for ctx.config(...) —
+                    # string-literal kwargs only (materialized,
+                    # token_count, ...), read before the model executes
+                    cfg = {}
+                    mcfg = re.search(r"\bctx\.config\(([^)]*)\)", body)
+                    if mcfg:
+                        cfg = dict(
+                            re.findall(
+                                r"(\w+)\s*=\s*['\"]([^'\"]*)['\"]",
+                                mcfg.group(1),
+                            )
+                        )
                     models[name] = ModelNode(
                         name, path, "python", subdir, None, refs, list(srcs),
-                        {}, package=package,
+                        cfg, package=package,
                     )
+
+    def config_for(self, node: ModelNode, key: str, default=None):
+        """Model config resolution, in-model over per-dir project.yml —
+        the same precedence materialization_for uses, for ANY key (e.g.
+        ``token_count``)."""
+        if key in node.config:
+            return node.config[key]
+        per_dir = self.config.get("models", {}).get(node.subdir, {})
+        if isinstance(per_dir, dict) and key in per_dir:
+            return per_dir[key]
+        return default
 
     def materialization_for(self, node: ModelNode) -> str:
         if "materialized" in node.config:
@@ -466,10 +490,7 @@ class Project:
         Returns (base -> {v: concrete node}, base -> latest node)."""
         versions: dict[str, dict[int, str]] = {}
         alias: dict[str, str] = {}
-        mdir = os.path.join(self.root, "models")
-        if not os.path.isdir(mdir):
-            return versions, alias
-        for dirpath, dirnames, filenames in sorted(os.walk(mdir)):
+        for dirpath, dirnames, filenames in self._walk_all_model_dirs():
             dirnames.sort()
             for fn in sorted(filenames):
                 if not fn.endswith((".yml", ".yaml")):
@@ -518,6 +539,20 @@ class Project:
                     alias[name] = vmap[latest]
         return versions, alias
 
+    def _walk_all_model_dirs(self):
+        """os.walk over the root models/ dir AND every installed
+        package's models/ dir — a package's own schema.yml can declare
+        its models' governance (access/group) and versions, exactly as
+        dbt honors package-side yml (under restrict-access the package
+        is the ONLY place its models can be opened up)."""
+        dirs = [os.path.join(self.root, "models")] + [
+            d for _, d in self._package_model_dirs
+        ]
+        for mdir in dirs:
+            if not os.path.isdir(mdir):
+                continue
+            yield from sorted(os.walk(mdir))
+
     def _version_targets(self, name: str) -> list[str]:
         """Concrete node names a schema.yml model entry applies to: the
         version nodes for a versioned entry, else the entry itself."""
@@ -543,10 +578,7 @@ class Project:
         groups: dict[str, dict] = {}
         model_group: dict[str, str] = {}
         model_access: dict[str, str] = {}
-        mdir = os.path.join(self.root, "models")
-        if not os.path.isdir(mdir):
-            return groups, model_group, model_access
-        for dirpath, dirnames, filenames in sorted(os.walk(mdir)):
+        for dirpath, dirnames, filenames in self._walk_all_model_dirs():
             dirnames.sort()
             for fn in sorted(filenames):
                 if not fn.endswith((".yml", ".yaml")):

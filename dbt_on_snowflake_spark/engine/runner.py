@@ -48,8 +48,33 @@ class ModelContext:
     object, sales_metrics_by_location.py:3-12): ref()/source() return
     PySpark DataFrames."""
 
-    def __init__(self, runner: "Runner"):
+    def __init__(self, runner: "Runner", node: "ModelNode | None" = None):
         self._runner = runner
+        self._node = node
+
+    def config(self, **kwargs) -> None:
+        """dbt-style in-model config DECLARATION (``dbt.config(...)``):
+        string-literal kwargs are extracted statically at project load
+        (engine/project.py), so the runtime call is a no-op."""
+
+    def config_get(self, key: str, default=None):
+        """Read this model's resolved config (in-model ctx.config(...)
+        over per-dir project.yml) — dbt's ``dbt.config.get``."""
+        if self._node is None:
+            return default
+        return self._runner.project.config_for(self._node, key, default)
+
+    def token_count_col(self, col: str = "text"):
+        """The Column counting tokens the way this model is CONFIGURED
+        to (``config(token_count='bpe')`` for tokenizer-faithful counts,
+        default whitespace) — pass it to any token-keyed operator
+        (budget / mixture / packing) so a pipeline flips counting
+        schemes in config, not code."""
+        from dbt_on_snowflake_spark.operators.textops import token_count_column
+
+        return token_count_column(
+            self.config_get("token_count", "whitespace"), col
+        )
 
     def ref(self, name: str) -> DataFrame:
         return self._runner.spark.table(self._runner.resolve_ref(name))
@@ -713,7 +738,7 @@ class Runner:
         )
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
-        return mod.model(ModelContext(self), self.spark)
+        return mod.model(ModelContext(self, node), self.spark)
 
     def _materialize(
         self, df: DataFrame, relation: str, mat: str, node: ModelNode | None = None

@@ -477,6 +477,9 @@ SEM_THRESHOLD = 0.35  # within-cluster cosine above which vectors are dups
 
 @query(
     "dedup_semantic",
+    headline=True,  # r7: the most expensive r6-born shape (index build +
+    # label-blocked self-join) — regressions in the IVF/semantic path
+    # must be visible in the per-round bench
     oracle=f"""
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
     cent AS (

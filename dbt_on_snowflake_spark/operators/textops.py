@@ -280,6 +280,20 @@ def bpe_token_count(text_col) -> "F.Column":
     )
 
 
+def token_count_column(kind: str = "whitespace", col: str = "text"):
+    """The engine's ``token_count`` model-config switch: one place maps
+    the configured counting scheme to a Column, so a pipeline flips from
+    the whitespace proxy to faithful BPE counts by editing a config
+    line, never an operator call (round-6 verdict, Next #6)."""
+    if kind == "whitespace":
+        return F.size(F.split(col, " ")).cast("long")
+    if kind == "bpe":
+        return bpe_token_count(col)
+    raise ValueError(
+        f"unknown token_count {kind!r}: expected 'whitespace' or 'bpe'"
+    )
+
+
 def bpe_token_count_sql(text_expr: str = "text") -> str:
     """The same BPE count as DuckDB SQL (for oracles): identical merge
     chain, identical marker arithmetic, BIGINT `//` division."""

@@ -2297,3 +2297,212 @@ def test_show_inline_and_model_preview(spark, tmp_path, capsys):
     assert "twice" in out and "(2 row(s) shown)" in out
 
     assert main(["show", "--project", root]) == 2
+
+
+def test_token_count_model_config_flips_counting_scheme(spark, tmp_path):
+    """config(token_count='bpe') flips a token-keyed model from the
+    whitespace proxy to faithful BPE counts WITHOUT editing operator
+    calls: the same model body materializes both ways, differing only in
+    its ctx.config line, and each matches the scheme computed directly."""
+    import pandas as pd
+
+    from dbt_on_snowflake_spark.engine.project import Project
+    from dbt_on_snowflake_spark.engine.runner import Runner
+    from dbt_on_snowflake_spark.operators.textops import token_count_column
+
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["the cat sat", "hello world hello", "a bb ccc dddd"],
+        }
+    ).to_parquet(os.path.join(data, "docs.parquet"), index=False)
+
+    body = """
+def model(ctx, spark):
+    {config_line}
+    d = ctx.source("raw", "docs")
+    return d.select(
+        "doc_id", ctx.token_count_col("text").alias("n_tokens")
+    )
+"""
+
+    def build(tag, config_line):
+        root = str(tmp_path / f"proj_{tag}")
+        os.makedirs(f"{root}/models/models", exist_ok=True)
+        with open(f"{root}/project.yml", "w") as f:
+            f.write(f"name: tok_{tag}\nmodels:\n  models:\n"
+                    "    materialized: table\n")
+        with open(f"{root}/sources.yml", "w") as f:
+            f.write(f"sources:\n  - name: raw\n    base_path: \"{data}\"\n"
+                    "    tables:\n      - name: docs\n")
+        with open(f"{root}/models/models/counts.py", "w") as f:
+            f.write(body.format(config_line=config_line))
+        runner = Runner(spark, Project(root, target=tag))
+        assert runner.run()[0].status == "success"
+        return {
+            r.doc_id: r.n_tokens
+            for r in spark.table(f"{tag}_counts").collect()
+        }
+
+    ws = build("ws", "pass")
+    bpe = build("bpe", "ctx.config(token_count='bpe')")
+
+    docs = spark.read.parquet(os.path.join(data, "docs.parquet"))
+    expect_ws = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", token_count_column("whitespace", "text").alias("n")
+        ).collect()
+    }
+    expect_bpe = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", token_count_column("bpe", "text").alias("n")
+        ).collect()
+    }
+    assert ws == expect_ws
+    assert bpe == expect_bpe
+    assert ws != bpe  # the schemes genuinely differ on this data
+
+
+def test_retry_replays_target_and_threads(spark, tmp_path, capsys):
+    """A failed `run --target prod` retried BARE rebuilds into prod's
+    namespace — without target replay the retry would build the failing
+    nodes into the default target and report success (dbt retry reuses
+    the full prior invocation, target included)."""
+    from dbt_on_snowflake_spark.__main__ import main
+
+    root = str(tmp_path / "proj")
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    pd.DataFrame({"id": [1, 2]}).to_parquet(
+        os.path.join(data, "t.parquet"), index=False
+    )
+
+    def write(p, c):
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        open(p, "w").write(c)
+
+    write(f"{root}/project.yml",
+          "name: retrytgt\nmodels:\n  models:\n    materialized: table\n")
+    write(f"{root}/sources.yml",
+          f"sources:\n  - name: raw\n    base_path: \"{data}\"\n"
+          "    tables:\n      - name: t\n")
+    write(f"{root}/models/models/rt.sql",
+          "SELECT id, {{ var('y') }} AS v FROM {{ source('raw', 't') }}")
+
+    # fails: var y undefined; recorded under --target prod --threads 2
+    assert main(["run", "--project", root, "--target", "prod",
+                 "--threads", "2"]) == 1
+    capsys.readouterr()
+    doc = json.load(open(f"{root}/target/run_results.json"))
+    assert doc["args"]["target"] == "prod" and doc["args"]["threads"] == 2
+
+    # bare retry with the var supplied: must build prod_rt, NOT dev_rt
+    assert main(["retry", "--project", root, "--vars", "y: 7"]) == 0
+    capsys.readouterr()
+    assert sorted(r.v for r in spark.table("prod_rt").collect()) == [7, 7]
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    assert not os.path.isdir(os.path.join(wh, "dev_rt"))
+    doc2 = json.load(open(f"{root}/target/run_results.json"))
+    assert doc2["args"]["target"] == "prod"  # chained retries keep it
+
+
+def test_show_select_previews_without_materializing(spark, tmp_path, capsys):
+    """dbt show compiles + previews: the selected model itself must NOT
+    be materialized (a `show --select mart --target prod` must not write
+    prod); its ancestor closure is built so refs resolve."""
+    from dbt_on_snowflake_spark.__main__ import main
+
+    root = str(tmp_path / "proj")
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    pd.DataFrame({"id": [1, 2, 3]}).to_parquet(
+        os.path.join(data, "t.parquet"), index=False
+    )
+
+    def write(p, c):
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        open(p, "w").write(c)
+
+    write(f"{root}/project.yml",
+          "name: showsel\nmodels:\n  models:\n    materialized: table\n")
+    write(f"{root}/sources.yml",
+          f"sources:\n  - name: raw\n    base_path: \"{data}\"\n"
+          "    tables:\n      - name: t\n")
+    write(f"{root}/models/models/base.sql",
+          "SELECT id FROM {{ source('raw', 't') }}")
+    write(f"{root}/models/models/mart.sql",
+          "SELECT id * 10 AS out_id FROM {{ ref('base') }}")
+
+    assert main(["show", "--project", root, "--select", "mart"]) == 0
+    out = capsys.readouterr().out
+    assert "out_id" in out and "10" in out
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    assert os.path.isdir(os.path.join(wh, "dev_base"))  # ancestor built
+    assert not os.path.isdir(os.path.join(wh, "dev_mart"))  # preview only
+
+
+def test_selector_resolves_versioned_base_name(spark, tmp_path):
+    """`--select dim` (and graph forms like +dim) must work for a
+    versioned model: the base name aliases to the latest version's node,
+    exactly as ref('dim') does."""
+    from dbt_on_snowflake_spark.engine.dag import select as dag_select
+
+    root = str(tmp_path / "proj")
+    os.makedirs(f"{root}/models/models", exist_ok=True)
+    open(f"{root}/project.yml", "w").write(
+        "name: vsel\nmodels:\n  models:\n    materialized: table\n"
+    )
+    open(f"{root}/models/models/dim_v1.sql", "w").write("SELECT 1 AS id")
+    open(f"{root}/models/models/dim_v2.sql", "w").write(
+        "SELECT 1 AS id, 'x' AS extra"
+    )
+    open(f"{root}/models/models/schema.yml", "w").write(
+        "models:\n  - name: dim\n    versions: [{v: 1}, {v: 2}]\n"
+    )
+    open(f"{root}/models/models/consumer.sql", "w").write(
+        "SELECT id FROM {{ ref('dim') }}"
+    )
+    project = Project(root, target="dev")
+    assert set(dag_select(project, "dim")) == {"dim_v2"}
+    assert set(dag_select(project, "+consumer")) == {"dim_v2", "consumer"}
+    assert "consumer" in set(dag_select(project, "dim+"))
+
+
+def test_package_side_yml_declares_access_and_versions(spark, tmp_path):
+    """A package's OWN schema.yml can declare its models public (and
+    versioned): under restrict-access, package-side yml is the one place
+    that can open a model to cross-package refs — dbt honors it."""
+    pkg = str(tmp_path / "pkg")
+    os.makedirs(f"{pkg}/models", exist_ok=True)
+    open(f"{pkg}/project.yml", "w").write(
+        "name: libpkg\nrestrict-access: true\n"
+    )
+    open(f"{pkg}/models/util_v1.sql", "w").write("SELECT 1 AS id")
+    open(f"{pkg}/models/util_v2.sql", "w").write("SELECT 2 AS id")
+    open(f"{pkg}/models/schema.yml", "w").write(
+        "models:\n  - name: util\n    access: public\n"
+        "    versions: [{v: 1}, {v: 2}]\n"
+    )
+
+    root = str(tmp_path / "proj")
+    os.makedirs(f"{root}/models/models", exist_ok=True)
+    open(f"{root}/project.yml", "w").write(
+        "name: consumerproj\npackages: ['" + pkg + "']\n"
+        "models:\n  models:\n    materialized: table\n"
+    )
+    open(f"{root}/models/models/uses_util.sql", "w").write(
+        "SELECT id FROM {{ ref('util') }}"
+    )
+    project = Project(root, target="dev")
+    # package yml was honored: version alias + public access
+    assert project.version_alias.get("util") == "util_v2"
+    assert project.model_access.get("util_v2") == "public"
+    runner = Runner(spark, project)
+    results = runner.run("+uses_util")
+    status = {r.name: r.status for r in results}
+    assert status.get("uses_util") == "success"
+    assert sorted(r.id for r in spark.table("dev_uses_util").collect()) == [2]
