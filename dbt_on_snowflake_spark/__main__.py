@@ -55,6 +55,12 @@ def main(argv: list[str] | None = None) -> int:
                 "--limit", type=int, default=5, dest="show_limit",
                 help="rows to print (default 5)",
             )
+            sp.add_argument(
+                "--at-version", type=int, default=None, dest="at_version",
+                help="time travel: preview the SELECTED model's table "
+                     "storage as of a retained committed version "
+                     "(engine/table_format.py) instead of compiling it",
+            )
         if name == "retry":
             sp.add_argument(
                 "--results", default=None,
@@ -548,6 +554,27 @@ def main(argv: list[str] | None = None) -> int:
                       file=sys.stderr)
                 return 2
             node = project.models[args.select]
+            if getattr(args, "at_version", None) is not None:
+                # time travel: read the model's MATERIALIZED storage as
+                # of a retained version — committed data dirs are
+                # immutable, so this is a consistent snapshot no matter
+                # what has been committed since
+                from dbt_on_snowflake_spark.engine import table_format
+
+                relation = project.relation_for(
+                    args.select, node.config.get("schema")
+                )
+                dp = table_format.data_path(
+                    spark, runner._table_path(relation),
+                    version=args.at_version,
+                )
+                df = spark.read.parquet(dp)
+                rows = df.limit(args.show_limit).collect()
+                print(" | ".join(df.columns))
+                for row in rows:
+                    print(" | ".join(str(v) for v in row))
+                print(f"({len(rows)} row(s) shown @ v{args.at_version})")
+                return 0
             if node.kind != "sql":
                 print(f"show: {args.select!r} is a python model — run it "
                       f"and query its relation instead", file=sys.stderr)

@@ -97,9 +97,26 @@ def read_manifest(spark: SparkSession, root: str, version: int) -> dict:
     return json.loads(fs_read(spark, _manifest_path(root, version)).decode())
 
 
-def data_path(spark: SparkSession, root: str) -> str | None:
-    """Resolve the table's current data directory, or None if the table
-    does not exist. Legacy (pre-format) tables resolve to their root."""
+def data_path(
+    spark: SparkSession, root: str, version: int | None = None
+) -> str | None:
+    """Resolve a table's data directory — current state by default, a
+    specific committed version with ``version`` (time travel: committed
+    data dirs are immutable, so any retained version reads consistently
+    regardless of later commits). Returns None if the table does not
+    exist; raises on a version vacuum has already reclaimed. Legacy
+    (pre-format) tables resolve to their root."""
+    if version is not None:
+        vs = list_versions(spark, root)
+        if version not in vs:
+            raise ValueError(
+                f"version {version} of {root} is not available "
+                f"(retained: {vs or 'none'}; older versions are "
+                "reclaimed by vacuum)"
+            )
+        return posixpath.join(
+            root, read_manifest(spark, root, version)["data_dir"]
+        )
     v = current_version(spark, root)
     if v is not None:
         return posixpath.join(root, read_manifest(spark, root, v)["data_dir"])

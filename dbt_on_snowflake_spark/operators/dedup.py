@@ -934,6 +934,186 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(pairs_table).unionByName(inc_pairs)
 
 
+# ------------------------------------------------- source overlap matrix
+
+
+@query(
+    "dedup_source_overlap",
+    oracle="""
+    WITH tok AS (
+        SELECT source, string_split(text, ' ') AS ts FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT source,
+               unnest(list_transform(range(1, len(ts) - 1),
+                      g -> array_to_string(ts[g:g+2], ' '))) AS sh
+        FROM tok
+        WHERE len(ts) >= 3
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_shingles
+    FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SOURCE OVERLAP MATRIX: for every pair of sources, the count
+    of distinct word 3-gram shingles they share — the provenance
+    analysis a crawl pipeline runs before mixing sources (two mirrors of
+    the same site show up as an off-the-chart pair; so does benchmark
+    text leaked into a crawl).
+
+    Plan: distinct (source, shingle) pairs (one shuffle on the pair),
+    self-equi-join on the shingle, then a map-side-combined count over
+    at most C(|sources|, 2) groups. The join key is natural text — hot
+    stop-phrase shingles are AQE skew-split territory, same posture as
+    ``text_contamination``. Because (source, sh) is distinct before the
+    join, COUNT(*) per pair IS the distinct shared-shingle count — no
+    distinct aggregate, no Expand."""
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "source", F.explode(word_shingles(F.col("text"))).alias("sh")
+    ).distinct()
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, "sh")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+    )
+
+
+# -------------------------- partition-pruned incremental probe (fast path)
+
+INDEX_N_PARTS = 64  # band_part directory fan-out of the pruned index layout
+
+
+def _band_part() -> F.Column:
+    """Derived directory-partition key for the pruned index layout: a
+    stable 64-way hash of band_key. Deterministic, so a batch can
+    compute ITS OWN touched partitions and the reader can prune."""
+    return F.pmod(F.xxhash64("band_key"), F.lit(INDEX_N_PARTS))
+
+
+def build_minhash_index_pruned(
+    spark: SparkSession,
+    docs: DataFrame,
+    *,
+    index_table: str,
+    n_buckets: int = INDEX_N_BUCKETS,
+) -> None:
+    """Persist the band index PARTITIONED by ``band_part`` (64 dirs) and
+    bucketed+sorted by ``band_key`` within each partition. Same probe
+    semantics as ``build_minhash_index``; the extra directory level buys
+    PARTITION PRUNING on probes: a batch touches a bounded set of
+    band_part values, so the corpus-side index READ is proportional to
+    the touched key space, not the corpus — the IO lever the plain
+    bucketed layout doesn't have (bucketing kills the shuffle; this
+    kills the scan). At 100 TB a daily batch probing a year-scale index
+    reads ~|touched parts|/64 of it."""
+    _drop_managed_table(spark, index_table)
+    (
+        minhash_band_keys(docs)
+        .withColumn("band_part", _band_part())
+        .write.mode("overwrite")
+        .format("parquet")
+        .partitionBy("band_part")
+        .bucketBy(n_buckets, "band_key")
+        .sortBy("band_key")
+        .saveAsTable(index_table)
+    )
+
+
+def dedup_incremental_candidates_pruned(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    index_table: str,
+) -> DataFrame:
+    """``dedup_incremental_candidates`` with the partition-pruned index
+    layout: the batch's distinct band_part values (<= INDEX_N_PARTS ints
+    by construction — a bounded, driver-safe collect) become a literal
+    IN filter on the index scan, so only the touched index partitions
+    are read. Candidate output is IDENTICAL to the unpruned probe:
+    every batch key's band_part is in the filter, so no corpus row that
+    could match is skipped (the driver-checked oracle is the proof)."""
+    new_bands = minhash_band_keys(new_docs)
+    parts = [
+        r[0]
+        for r in new_bands.select(_band_part().alias("p")).distinct().collect()
+    ]
+    idx = spark.table(index_table).filter(F.col("band_part").isin(parts))
+    n, i = new_bands.alias("n"), idx.alias("i")
+    vs_corpus = (
+        n.join(i, "band_key")
+        .filter(F.col("n.doc_id") != F.col("i.doc_id"))
+        .select(
+            F.least("n.doc_id", "i.doc_id").alias("doc_a"),
+            F.greatest("n.doc_id", "i.doc_id").alias("doc_b"),
+        )
+    )
+    x, y = new_bands.alias("x"), new_bands.alias("y")
+    vs_new = (
+        x.join(y, "band_key")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+    )
+    return vs_corpus.union(vs_new).distinct()
+
+
+@query("dedup_incremental_pruned", oracle=_MINHASH_VERIFIED_ORACLE)
+def dedup_incremental_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_incremental_index`` on the partition-pruned index layout:
+    identical 80/20 split, identical output contract (corpus pairs +
+    incremental pairs == batch-mode verified dedup of the whole table),
+    but the probe reads ONLY the index partitions the batch's band keys
+    hash into (plan-pinned by ``test_pruned_probe_partition_filters``).
+    """
+    import hashlib
+
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    index_table = f"mh_band_index_pp_{suffix}"
+    pairs_table = f"mh_corpus_pairs_pp_{suffix}"
+    d = fan_out_scan(spark, table(spark, sf_dir, "documents"))
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    build_minhash_index_pruned(spark, corpus, index_table=index_table)
+    # corpus's own verified pairs from the pruned index (same semantics
+    # as build_minhash_index's pairs_table side-output)
+    idx = spark.table(index_table)
+    a, b = idx.alias("a"), idx.alias("b")
+    cand0 = (
+        a.join(b, "band_key")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sh_corpus = corpus.select(
+        "doc_id", F.explode(word_shingles(F.col("text"))).alias("sh")
+    )
+    _drop_managed_table(spark, pairs_table)
+    verify_pairs(cand0, sh_corpus).write.mode("overwrite").saveAsTable(
+        pairs_table
+    )
+    cand = dedup_incremental_candidates_pruned(spark, batch, index_table)
+    ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = shingle_df(spark, sf_dir).join(ids, "doc_id", "left_semi")
+    inc_pairs = verify_pairs(cand, sh)
+    return spark.table(pairs_table).unionByName(inc_pairs)
+
+
 # ------------------------------------------------------ containment dedup
 
 CONTAINMENT_THRESHOLD = 0.9

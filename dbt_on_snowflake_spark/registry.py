@@ -104,6 +104,8 @@ R7_EXPORT = {
     "w_running_total_events",
     # born in r7
     "corpus_pack_shards",
+    "dedup_incremental_pruned",
+    "dedup_source_overlap",
     # r5-checked fills (the other 6 rotate in r8)
     "s4_source_passthrough",
     "p2_projection_rename",

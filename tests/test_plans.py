@@ -429,3 +429,39 @@ def test_pack_shards_no_global_sort(spark):
     import re
     # every Sort in the writer plan is local (global=false)
     assert not re.search(r"Sort \[[^]]*\], true", wplan)
+
+
+def test_pruned_probe_partition_filters(spark):
+    """The pruned incremental probe must read ONLY the index partitions
+    the batch's band keys hash into: the index scan carries a band_part
+    partition filter (directory pruning — the IO lever), and the batch's
+    touched-part set is bounded by INDEX_N_PARTS (driver-safe)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from dbt_on_snowflake_spark.operators.dedup import (
+        INDEX_N_PARTS,
+        build_minhash_index_pruned,
+        dedup_incremental_candidates_pruned,
+        fan_out_scan,
+    )
+    from dbt_on_snowflake_spark.plans import explain_str
+    from dbt_on_snowflake_spark.testdata import table
+    from tests.conftest import SF_SMOKE as _sf
+
+    suffix = hashlib.md5(b"planpin").hexdigest()[:8]
+    index_table = f"mh_band_index_pp_plan_{suffix}"
+    d = fan_out_scan(spark, table(spark, _sf, "documents"))
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    batch = d.filter((F.col("doc_id") % 5 == 0) & (F.col("doc_id") < 50))
+    build_minhash_index_pruned(spark, corpus, index_table=index_table)
+
+    cand = dedup_incremental_candidates_pruned(spark, batch, index_table)
+    plan = explain_str(cand)
+    # the scan's PartitionFilters carries the band_part IN list —
+    # directory pruning, not a full index read
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "band_part" in m.group(1), plan[:500]
+    cand.count()  # executes end-to-end

@@ -157,3 +157,68 @@ def test_runner_incremental_crash_between_write_and_commit(
         r.event_id: r.user_id for r in spark.table("dev_fact").collect()
     }
     assert rows == {1: 10, 2: 99, 3: 12}
+
+
+def test_time_travel_reads_retained_versions(spark, tmp_path):
+    """data_path(version=N) reads any RETAINED committed version — the
+    immutable data dirs give consistent snapshots for free; a vacuumed
+    version errors with the retained list, not a partial read."""
+    root = str(tmp_path / "t")
+    for tag in ("a", "b"):
+        _versioned_write(spark, root, _mkdf(spark, [(1, tag)]))
+    v1 = spark.read.parquet(tf.data_path(spark, root, version=1))
+    v2 = spark.read.parquet(tf.data_path(spark, root, version=2))
+    assert {r.v for r in v1.collect()} == {"a"}
+    assert {r.v for r in v2.collect()} == {"b"}
+
+    _versioned_write(spark, root, _mkdf(spark, [(1, "c")]))
+    tf.vacuum(spark, root)  # keep=2 -> v1 reclaimed
+    with pytest.raises(ValueError, match="retained"):
+        tf.data_path(spark, root, version=1)
+    assert {r.v for r in spark.read.parquet(
+        tf.data_path(spark, root, version=2)
+    ).collect()} == {"b"}
+
+
+def test_show_at_version_previews_old_table_state(spark, tmp_path, capsys):
+    """`show --select m --at-version N` previews the model's table as of
+    a prior commit — the audit surface for 'what did this mart say
+    yesterday' without any extra storage copy."""
+    import pandas as pd
+
+    from dbt_on_snowflake_spark.__main__ import main
+
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+
+    def load(val):
+        pd.DataFrame({"id": [1], "v": [val]}).to_parquet(
+            os.path.join(data, "t.parquet"), index=False
+        )
+
+    root = str(tmp_path / "proj")
+    os.makedirs(f"{root}/models/models", exist_ok=True)
+    open(f"{root}/project.yml", "w").write(
+        "name: ttshow\nmodels:\n  models:\n    materialized: table\n"
+    )
+    open(f"{root}/sources.yml", "w").write(
+        f"sources:\n  - name: raw\n    base_path: \"{data}\"\n"
+        "    tables:\n      - name: t\n"
+    )
+    open(f"{root}/models/models/ttm.sql", "w").write(
+        "SELECT id, v FROM {{ source('raw', 't') }}"
+    )
+    load("first")
+    assert main(["run", "--project", root]) == 0
+    load("second")
+    assert main(["run", "--project", root]) == 0
+    capsys.readouterr()
+
+    assert main(["show", "--project", root, "--select", "ttm",
+                 "--at-version", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "first" in out and "second" not in out and "@ v1" in out
+    assert main(["show", "--project", root, "--select", "ttm",
+                 "--at-version", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "second" in out
