@@ -711,3 +711,89 @@ def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
         .limit(TOP_NGRAMS_K)
     )
+
+
+# ---------------------------------------------- corpus bigram coverage
+
+COVERAGE_TOP_V = 100  # corpus bigram vocabulary for the coverage score
+
+
+@query(
+    "text_bigram_coverage",
+    driver=False,  # born r7: parity-checked; rotate into the r8 export
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ts)),
+                      g -> array_to_string(ts[g:g+1], ' '))) AS bg
+        FROM tok WHERE len(ts) >= 2
+    ),
+    top AS (
+        SELECT bg FROM (
+            SELECT bg, COUNT(*) AS c FROM bg GROUP BY bg
+            ORDER BY c DESC, bg ASC LIMIT {COVERAGE_TOP_V}
+        )
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CASE WHEN bg IN (SELECT bg FROM top)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+        FROM bg GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, n_covered,
+           ROUND(n_covered * 1.0 / n_bigrams, 4) + 0.0 AS coverage
+    FROM per_doc
+    """,
+)
+def text_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERPLEXITY-PROXY quality score without a language model: the
+    fraction of a document's word bigrams that appear in the corpus's
+    top-V bigram vocabulary. Natural text scores high (its phrases are
+    the corpus's phrases); gibberish, boilerplate-free machine output
+    and wrong-language docs score low — the cheap first-pass filter
+    before any model-based scorer, integer-exact so it oracles cleanly.
+
+    Plan (the part that matters at 100 TB): the corpus vocabulary is ONE
+    map-side-combined count shuffle + TakeOrderedAndProject (top-V, no
+    global sort), collapsed to a single-row array and CROSS-JOINED
+    BROADCAST onto the scan; each document then scores itself with
+    array_size/filter/array_contains — the per-doc pass is completely
+    shuffle-free (no doc-keyed exchange anywhere, pinned by
+    test_bigram_coverage_no_doc_shuffle)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+            lambda g: F.array_join(F.slice(toks, g, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    top = (
+        d.select(F.explode(grams).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("bg").asc())
+        .limit(COVERAGE_TOP_V)
+        .agg(F.collect_list("bg").alias("top_bgs"))
+    )
+    scored = d.select("doc_id", grams.alias("bgs")).crossJoin(
+        F.broadcast(top)
+    )
+    covered = F.size(
+        F.filter("bgs", lambda x: F.array_contains("top_bgs", x))
+    ).cast("long")
+    return scored.filter(F.size("bgs") > 0).select(
+        "doc_id",
+        F.size("bgs").cast("long").alias("n_bigrams"),
+        covered.alias("n_covered"),
+        (
+            F.round(covered / F.size("bgs").cast("double"), 4) + F.lit(0.0)
+        ).alias("coverage"),
+    )

@@ -50,8 +50,9 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # - r8 must rotate IN: the remaining r5-checked rows
 #   (a_unpivot_status_revenue, dedup_ngram_jaccard, text_fingerprint,
 #   text_lang_id, text_levenshtein_pairs, text_repetition) — they hit the
-#   3-round window at r8 — plus any r7-born rows not yet driver-checked;
-#   backfill with r6-green veterans.
+#   3-round window at r8 — plus the r7-born parity-only rows
+#   (t_events_dedup_wm_streaming, text_bigram_coverage); backfill with
+#   r6-green veterans.
 DRIVER_BUDGET = 50
 
 # The authoritative r7 export set. all_queries() applies it over the

@@ -190,6 +190,46 @@ def t_events_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t_events_dedup_wm_streaming",
+    driver=False,  # born r7: parity-checked; rotate into the r8 export
+    oracle="""
+    SELECT DISTINCT user_id,
+           event_type,
+           time_bucket(INTERVAL '1 hour', ts) AS hour_start
+    FROM events
+    """,
+)
+def t_events_dedup_wm_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``t_events_dedup_streaming`` with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` + a 2h watermark evicts a key's
+    state once the watermark passes its event time — the production
+    contract for an unbounded at-least-once stream, where plain
+    dropDuplicates' one-entry-per-key-forever state is the OOM.
+
+    Equal to batch DISTINCT on this replay because duplicate arrivals
+    of an (user, type, hour) key are confined to their hour (the key
+    embeds the bucket) and the source's disorder is far under the 2h
+    delay — the general contract is dedup-within-delay, pinned honestly
+    (incl. the beyond-delay re-emission) by
+    tests/test_streaming_watermark.py."""
+    s = events_stream(spark, sf_dir)
+    dedup = (
+        s.withWatermark("ts", _WM_DELAY)
+        .select(
+            "ts",
+            "user_id",
+            "event_type",
+            F.window("ts", "1 hour").start.alias("hour_start"),
+        )
+        .dropDuplicatesWithinWatermark(
+            ["user_id", "event_type", "hour_start"]
+        )
+        .select("user_id", "event_type", "hour_start")
+    )
+    return run_to_table(dedup, spark, "append")
+
+
+@query(
     "t_events_sliding_streaming",
     driver=False,  # r5 rotation: r3+r4 driver-green veteran, parity-checked locally
     oracle=f"""

@@ -465,3 +465,15 @@ def test_pruned_probe_partition_filters(spark):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "band_part" in m.group(1), plan[:500]
     cand.count()  # executes end-to-end
+
+
+def test_bigram_coverage_no_doc_shuffle(spark):
+    """text_bigram_coverage's per-doc scoring is shuffle-free: the only
+    exchanges belong to the top-V vocabulary aggregate (bigram-keyed);
+    no doc_id-keyed exchange exists anywhere, and the vocabulary reaches
+    the scan as a broadcast."""
+    plan = plan_of(spark, "text_bigram_coverage")
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "hashpartitioning(doc_id" not in plan
+    assert count_shuffles(plan) <= 2  # vocab agg partials only
+    assert "TakeOrderedAndProject" in plan  # top-V, never a global sort

@@ -255,3 +255,64 @@ def test_streaming_funnel_matches_batch_across_batches(spark, tmp_path):
           for r in snap.filter(F.col("user_id") == 1).collect()}
     assert u1[0] == (True, False, False)
     assert u1[1] == (True, True, True)
+
+
+def test_dedup_within_watermark_bounds_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark's contract, pinned honestly across
+    two checkpointed runs: a duplicate arriving within the watermark
+    delay is dropped; once the watermark passes a key's event time its
+    state is evicted, so a beyond-delay duplicate is RE-EMITTED — the
+    price of bounded state, and exactly why the dedup key embeds its
+    hour bucket in t_events_dedup_wm_streaming."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def run():
+        schema = "ts timestamp_ntz, k string"
+        s = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .load(src)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        dedup = s.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
+            ["k"]
+        )
+        q = (
+            dedup.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: key A at 10:00, duplicate at 10:10 (within delay) -> one row;
+    # watermark advances to 10:10 - 30min = 09:40 (state for A alive)
+    _write_batch(src, "b1", [("2024-01-01 10:00:00", 1.0)])
+    pd.DataFrame(
+        {
+            "ts": pd.to_datetime(["2024-01-01 10:00:00", "2024-01-01 10:10:00"]),
+            "k": ["A", "A"],
+        }
+    ).to_parquet(f"{src}/b1.parquet", index=False, coerce_timestamps="us")
+    run()
+    got1 = spark.read.parquet(out).collect()
+    assert len(got1) == 1 and got1[0].k == "A"
+
+    # run 2: watermark moves far past A (12:00 event), then run 3 replays
+    # A beyond the delay -> state was evicted, A re-emitted
+    pd.DataFrame(
+        {"ts": pd.to_datetime(["2024-01-01 12:00:00"]), "k": ["B"]}
+    ).to_parquet(f"{src}/b2.parquet", index=False, coerce_timestamps="us")
+    run()
+    pd.DataFrame(
+        {"ts": pd.to_datetime(["2024-01-01 12:05:00"]), "k": ["A"]}
+    ).to_parquet(f"{src}/b3.parquet", index=False, coerce_timestamps="us")
+    run()
+    rows = [(r.k, str(r.ts)) for r in spark.read.parquet(out).collect()]
+    ks = sorted(k for k, _ in rows)
+    assert ks == ["A", "A", "B"]  # A twice: evicted state, honest re-emit
