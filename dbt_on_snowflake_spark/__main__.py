@@ -30,7 +30,7 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
     for name in (
         "run", "build", "test", "compile", "ls", "freshness", "seed", "docs",
-        "retry", "clone", "run-operation", "show",
+        "retry", "clone", "run-operation", "show", "vacuum",
     ):
         sp = sub.add_parser(name)
         if name == "ls":
@@ -686,6 +686,29 @@ def main(argv: list[str] | None = None) -> int:
             print(f"cloned  {src_rel} -> {dst_rel}")
             n_cloned += 1
         print(f"{n_cloned} cloned, {n_skipped} skipped")
+        return 0
+
+    if args.cmd == "vacuum":
+        # reclaim table-format storage across the warehouse: old
+        # versions beyond the retention window and orphan data dirs
+        # from crashed writers (engine/table_format.py). Safe to run
+        # any time — only unreferenced state is deleted.
+        from dbt_on_snowflake_spark.engine import table_format
+
+        wh = runner.warehouse
+        n_tables = n_removed = 0
+        for name in sorted(_os.listdir(wh)) if _os.path.isdir(wh) else []:
+            root = _os.path.join(wh, name)
+            if not _os.path.isdir(
+                _os.path.join(root, table_format.VERSIONS_DIR)
+            ):
+                continue  # not a versioned table (index tables, legacy)
+            removed = table_format.vacuum(spark, root)
+            n_tables += 1
+            n_removed += len(removed)
+            if removed:
+                print(f"vacuumed {name}: {', '.join(sorted(removed))}")
+        print(f"{n_tables} versioned table(s), {n_removed} dir(s) reclaimed")
         return 0
 
     if args.cmd == "docs":

@@ -203,9 +203,12 @@ class Runner:
         rows = self._write_counted(
             df, posixpath.join(root, data_dir), partition_by
         )
+        # rows is known from the write's own Observation, so the manifest
+        # records it for free — version history doubles as a row-count
+        # audit trail (and a future size hint for join planning)
         table_format.commit(
             self.spark, root, version, data_dir,
-            meta={"partition_by": partition_by or []},
+            meta={"partition_by": partition_by or [], "rows": rows},
         )
         table_format.vacuum(self.spark, root)
         return rows

@@ -54,7 +54,6 @@ from pyspark.sql import SparkSession
 from dbt_on_snowflake_spark.engine.fs import (
     fs_create_atomic,
     fs_delete,
-    fs_exists,
     fs_list,
     fs_read,
 )
@@ -120,8 +119,16 @@ def data_path(
     v = current_version(spark, root)
     if v is not None:
         return posixpath.join(root, read_manifest(spark, root, v)["data_dir"])
-    if fs_exists(spark, root):
-        return root  # legacy layout: files live at the root
+    # legacy layout: files live at the root. A root holding ONLY orphan
+    # d-* dirs (a first-ever write that crashed before its commit) is
+    # NOT a table — serving it would expose uncommitted data.
+    legacy = [
+        n
+        for n in fs_list(spark, root)
+        if n != VERSIONS_DIR and not n.startswith(DATA_PREFIX)
+    ]
+    if legacy:
+        return root
     return None
 
 

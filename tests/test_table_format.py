@@ -222,3 +222,122 @@ def test_show_at_version_previews_old_table_state(spark, tmp_path, capsys):
                  "--at-version", "2"]) == 0
     out = capsys.readouterr().out
     assert "second" in out
+
+
+def test_manifest_records_row_counts(spark, tmp_path):
+    """Every versioned commit records its row count (from the write's
+    own Observation) — the version history doubles as an audit trail."""
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    pd.DataFrame({"id": [1, 2, 3]}).to_parquet(
+        os.path.join(data, "t.parquet"), index=False
+    )
+    root = str(tmp_path / "proj")
+    os.makedirs(f"{root}/models/models", exist_ok=True)
+    open(f"{root}/project.yml", "w").write(
+        "name: rowsmeta\nmodels:\n  models:\n    materialized: table\n"
+    )
+    open(f"{root}/sources.yml", "w").write(
+        f"sources:\n  - name: raw\n    base_path: \"{data}\"\n"
+        "    tables:\n      - name: t\n"
+    )
+    open(f"{root}/models/models/rm.sql", "w").write(
+        "SELECT id FROM {{ source('raw', 't') }}"
+    )
+    runner = Runner(spark, Project(root, target="dev"))
+    assert runner.run()[0].status == "success"
+    troot = runner._table_path("dev_rm")
+    v = tf.current_version(spark, troot)
+    assert tf.read_manifest(spark, troot, v)["rows"] == 3
+
+
+def test_vacuum_cli_reclaims_across_warehouse(spark, tmp_path, capsys):
+    """`vacuum` walks the warehouse, reclaims old versions + orphan dirs
+    of every versioned table, and leaves non-versioned dirs alone."""
+    from dbt_on_snowflake_spark.__main__ import main
+
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    pd.DataFrame({"id": [1]}).to_parquet(
+        os.path.join(data, "t.parquet"), index=False
+    )
+    root = str(tmp_path / "proj")
+    os.makedirs(f"{root}/models/models", exist_ok=True)
+    open(f"{root}/project.yml", "w").write(
+        "name: vaccli\nmodels:\n  models:\n    materialized: table\n"
+    )
+    open(f"{root}/sources.yml", "w").write(
+        f"sources:\n  - name: raw\n    base_path: \"{data}\"\n"
+        "    tables:\n      - name: t\n"
+    )
+    open(f"{root}/models/models/vc.sql", "w").write(
+        "SELECT id FROM {{ source('raw', 't') }}"
+    )
+    for _ in range(3):  # three commits -> one dir beyond VACUUM_KEEP=2
+        assert main(["run", "--project", root]) == 0
+    capsys.readouterr()
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    troot = os.path.join(wh, "dev_vc")
+    # per-write vacuum already ran; plant an orphan to reclaim
+    os.makedirs(os.path.join(troot, "d-000000000099"), exist_ok=True)
+    assert main(["vacuum", "--project", root]) == 0
+    out = capsys.readouterr().out
+    assert "dev_vc" in out and "d-000000000099" in out
+    assert not os.path.isdir(os.path.join(troot, "d-000000000099"))
+    assert spark.read.parquet(tf.data_path(spark, troot)).count() == 1
+
+
+def test_table_format_random_op_sequences_hold_invariants(spark, tmp_path):
+    """Property check over random operation sequences (committed write /
+    crashed write / vacuum): after every step the table serves exactly
+    the LAST COMMITTED value, versions are strictly increasing, and
+    vacuum never removes a dir any retained manifest references."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.sampled_from(["write", "crash", "vacuum"]),
+            min_size=1,
+            max_size=7,
+        )
+    )
+    def check(ops):
+        import uuid
+
+        root = str(tmp_path / f"t_{uuid.uuid4().hex[:8]}")
+        committed = None
+        tag = 0
+        for op in ops:
+            if op == "write":
+                tag += 1
+                _versioned_write(spark, root, _mkdf(spark, [(1, f"v{tag}")]))
+                committed = f"v{tag}"
+            elif op == "crash":
+                tag += 1
+                v, ddir = tf.next_txn(spark, root)
+                _mkdf(spark, [(1, f"v{tag}")]).write.mode("overwrite").parquet(
+                    os.path.join(root, ddir)
+                )  # no commit: simulated death before publish
+            else:
+                tf.vacuum(spark, root)
+            vs = tf.list_versions(spark, root)
+            assert vs == sorted(set(vs))
+            if committed is None:
+                assert vs == []
+                # a crashed first write must NOT make the table exist —
+                # serving an orphan dir would expose uncommitted data
+                assert tf.data_path(spark, root) is None
+                continue
+            got = {
+                r.v
+                for r in spark.read.parquet(tf.data_path(spark, root)).collect()
+            }
+            assert got == {committed}, (ops, op, committed, got)
+            # every retained manifest's data dir exists on disk
+            for v in vs[-tf.VACUUM_KEEP:]:
+                d = tf.read_manifest(spark, root, v)["data_dir"]
+                assert os.path.isdir(os.path.join(root, d))
+
+    check()
