@@ -30,7 +30,7 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
     for name in (
         "run", "build", "test", "compile", "ls", "freshness", "seed", "docs",
-        "retry", "clone", "run-operation", "show", "vacuum",
+        "retry", "clone", "run-operation", "show", "vacuum", "compact",
     ):
         sp = sub.add_parser(name)
         if name == "ls":
@@ -709,6 +709,51 @@ def main(argv: list[str] | None = None) -> int:
             if removed:
                 print(f"vacuumed {name}: {', '.join(sorted(removed))}")
         print(f"{n_tables} versioned table(s), {n_removed} dir(s) reclaimed")
+        return 0
+
+    if args.cmd == "compact":
+        # OPTIMIZE-style small-file compaction: rewrite each versioned
+        # table's current state coalesced toward ~128 MB files (within
+        # its partition layout, recorded in the manifest), published as
+        # a NEW version — readers keep serving the old one until the
+        # commit lands; vacuum reclaims it later. Accumulated small
+        # files are the read-path tax of every incremental/append
+        # pipeline; this is the maintenance pass that pays it down.
+        from dbt_on_snowflake_spark.engine import table_format
+        from dbt_on_snowflake_spark.engine.fs import fs_size
+
+        target_bytes = 128 * 1024 * 1024
+        wh = runner.warehouse
+        n_done = 0
+        for name in sorted(_os.listdir(wh)) if _os.path.isdir(wh) else []:
+            root = _os.path.join(wh, name)
+            v = table_format.current_version(spark, root)
+            if v is None:
+                continue
+            manifest = table_format.read_manifest(spark, root, v)
+            dp = _os.path.join(root, manifest["data_dir"])
+            df = spark.read.parquet(dp)
+            parts = manifest.get("partition_by") or []
+            if parts:
+                # one write task per partition value: each partition
+                # dir compacts to as few files as its data needs
+                df = df.repartition(*parts)
+            else:
+                n_files = max(1, -(-fs_size(spark, dp) // target_bytes))
+                df = df.repartition(n_files)
+            nv, ddir = table_format.next_txn(spark, root)
+            writer = df.write.mode("overwrite")
+            if parts:
+                writer = writer.partitionBy(*parts)
+            writer.parquet(_os.path.join(root, ddir))
+            table_format.commit(
+                spark, root, nv, ddir,
+                meta={"partition_by": parts, "compacted_from": v},
+            )
+            table_format.vacuum(spark, root)
+            print(f"compacted {name}: v{v} -> v{nv}")
+            n_done += 1
+        print(f"{n_done} versioned table(s) compacted")
         return 0
 
     if args.cmd == "docs":

@@ -64,6 +64,14 @@ def fs_read(spark: SparkSession, path: str) -> bytes:
         stream.close()
 
 
+def fs_size(spark: SparkSession, path: str) -> int:
+    """Total bytes under a path (getContentSummary); 0 if missing."""
+    fs, p = _fs_path(spark, path)
+    if not fs.exists(p):
+        return 0
+    return int(fs.getContentSummary(p).getLength())
+
+
 def fs_create_atomic(spark: SparkSession, path: str, data: bytes) -> None:
     """Create a NEW file with ``data`` — fails if it already exists
     (overwrite=False), which is the commit-conflict signal for two

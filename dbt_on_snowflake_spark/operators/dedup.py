@@ -1027,6 +1027,34 @@ def build_minhash_index_pruned(
     )
 
 
+def attach_minhash_index_pruned(
+    spark: SparkSession,
+    index_table: str,
+    *,
+    n_buckets: int = INDEX_N_BUCKETS,
+) -> None:
+    """Re-attach a PRUNED-layout band index in a new session (the
+    partitioned+bucketed twin of ``attach_minhash_index``): re-issue the
+    DDL over the existing location, then ``MSCK REPAIR`` to register the
+    on-disk ``band_part=N`` partition directories with the fresh
+    catalog — without it the attached table reads as empty. With a
+    persistent metastore this is a no-op."""
+    import posixpath
+
+    if spark.catalog.tableExists(index_table):
+        return
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = posixpath.join(wh, index_table.lower())
+    spark.sql(
+        f"CREATE TABLE {index_table} "
+        f"(doc_id BIGINT, band_key STRING, band_part BIGINT) "
+        f"USING parquet PARTITIONED BY (band_part) "
+        f"CLUSTERED BY (band_key) SORTED BY (band_key) "
+        f"INTO {n_buckets} BUCKETS LOCATION '{loc}'"
+    )
+    spark.sql(f"MSCK REPAIR TABLE {index_table}")
+
+
 def dedup_incremental_candidates_pruned(
     spark: SparkSession,
     new_docs: DataFrame,

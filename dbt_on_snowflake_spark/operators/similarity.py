@@ -303,7 +303,14 @@ def build_ann_index(
     _centroid_vectors(e).write.mode("overwrite").saveAsTable(centroids_table)
     _drop_managed_table(spark, assignments_table)
     (
-        e.write.mode("overwrite")
+        # cluster by the partition column before the partitioned write:
+        # unclustered partitionBy emits |input partitions| x |labels|
+        # small files (the classic small-file explosion — at corpus
+        # scale that is millions of KB files and a metadata-bound read
+        # path); one hash shuffle on label collapses it to ~1 file per
+        # inverted list, which is also the read unit a probe prunes to
+        e.repartition("label")
+        .write.mode("overwrite")
         .partitionBy("label")
         .saveAsTable(assignments_table)
     )
@@ -395,6 +402,10 @@ def ann_index_append(
         assigned.select(
             "vec_id", F.col("assigned_label").alias("label"), "v"
         )
+        # cluster by label before the partitioned append (see
+        # build_ann_index): per-batch appends otherwise compound the
+        # small-file count by |input partitions| x |labels| every batch
+        .repartition("label")
         .write.mode("append")
         .partitionBy("label")
         .saveAsTable(assignments_table)

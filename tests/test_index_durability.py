@@ -98,3 +98,78 @@ def test_index_survives_across_sessions(tmp_path):
     assert [tuple(p) for p in res["pairs"]] == [(1, 10)]
     assert res["n_idx_docs"] == 2  # read-only probe: the index did not grow
     assert res["bucketed_scan"]  # re-attached table kept its bucket layout
+
+
+_SESSION_A_PRUNED = """
+import sys
+sys.path.insert(0, {repo!r})
+import pandas as pd
+from pyspark.sql import SparkSession
+spark = (
+    SparkSession.builder.master("local[2]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.warehouse.dir", {wh!r})
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+from dbt_on_snowflake_spark.operators.dedup import build_minhash_index_pruned
+corpus = pd.DataFrame({{
+    "doc_id": [1, 2],
+    "text": [" ".join(f"w{{i}}" for i in range(30)),
+             " ".join(f"z{{i}}" for i in range(30))],
+}})
+build_minhash_index_pruned(
+    spark, spark.createDataFrame(corpus), index_table="mh_durable_pp"
+)
+spark.stop()
+print("A_DONE")
+"""
+
+_SESSION_B_PRUNED = """
+import json, sys
+sys.path.insert(0, {repo!r})
+import pandas as pd
+from pyspark.sql import SparkSession
+spark = (
+    SparkSession.builder.master("local[2]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.warehouse.dir", {wh!r})
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+from dbt_on_snowflake_spark.operators.dedup import (
+    attach_minhash_index_pruned, dedup_incremental_candidates_pruned,
+)
+assert not spark.catalog.tableExists("mh_durable_pp")
+attach_minhash_index_pruned(spark, "mh_durable_pp")
+batch = spark.createDataFrame(pd.DataFrame({{
+    "doc_id": [10],
+    "text": [" ".join(f"w{{i}}" for i in range(30)) + " tail"],
+}}))
+cand = dedup_incremental_candidates_pruned(spark, batch, "mh_durable_pp")
+plan_buf = cand._sc._jvm.PythonSQLUtils.explainString(
+    cand._jdf.queryExecution(), "formatted")
+pairs = sorted((r.doc_a, r.doc_b) for r in cand.collect())
+n_idx = spark.table("mh_durable_pp").select("doc_id").distinct().count()
+print("B_RESULT " + json.dumps({{
+    "pairs": pairs,
+    "n_idx_docs": n_idx,
+    "partition_filtered": "band_part" in plan_buf,
+}}))
+spark.stop()
+"""
+
+
+def test_pruned_index_survives_across_sessions(tmp_path):
+    """The partitioned+bucketed index layout re-attaches in a fresh JVM
+    (DDL + MSCK partition discovery) and the probe still partition-
+    prunes — same durability contract as the flat layout."""
+    wh = str(tmp_path / "warehouse")
+    a = _run(_SESSION_A_PRUNED.format(repo=REPO, wh=wh))
+    assert "A_DONE" in a
+    b = _run(_SESSION_B_PRUNED.format(repo=REPO, wh=wh))
+    line = next(l for l in b.splitlines() if l.startswith("B_RESULT "))
+    res = json.loads(line.removeprefix("B_RESULT "))
+    assert [tuple(p) for p in res["pairs"]] == [(1, 10)]
+    assert res["n_idx_docs"] == 2
+    assert res["partition_filtered"]

@@ -341,3 +341,52 @@ def test_table_format_random_op_sequences_hold_invariants(spark, tmp_path):
                 assert os.path.isdir(os.path.join(root, d))
 
     check()
+
+
+def test_compact_cli_coalesces_files_into_new_version(spark, tmp_path, capsys):
+    """`compact` rewrites a versioned table's many small files into few,
+    as a NEW committed version (readers never see a half state); rows
+    and values are unchanged; partitioned tables keep their layout."""
+    import glob
+
+    from dbt_on_snowflake_spark.__main__ import main
+
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    pd.DataFrame({"id": range(64), "v": range(64)}).to_parquet(
+        os.path.join(data, "t.parquet"), index=False
+    )
+    root = str(tmp_path / "proj")
+    os.makedirs(f"{root}/models/models", exist_ok=True)
+    open(f"{root}/project.yml", "w").write(
+        "name: cptest\nmodels:\n  models:\n    materialized: table\n"
+    )
+    open(f"{root}/sources.yml", "w").write(
+        f"sources:\n  - name: raw\n    base_path: \"{data}\"\n"
+        "    tables:\n      - name: t\n"
+    )
+    # repartition(16) forces 16 small files — the accumulation shape
+    open(f"{root}/models/models/cp.sql", "w").write(
+        "SELECT /*+ REPARTITION(16) */ id, v FROM {{ source('raw', 't') }}"
+    )
+    assert main(["run", "--project", root]) == 0
+    capsys.readouterr()
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    troot = os.path.join(wh, "dev_cp")
+    v1 = tf.current_version(spark, troot)
+    dp1 = tf.data_path(spark, troot)
+    files_before = len(glob.glob(os.path.join(dp1, "*.parquet")))
+    assert files_before >= 16
+
+    assert main(["compact", "--project", root]) == 0
+    out = capsys.readouterr().out
+    assert f"compacted dev_cp: v{v1} -> v{v1 + 1}" in out
+    assert tf.current_version(spark, troot) == v1 + 1
+    dp2 = tf.data_path(spark, troot)
+    files_after = len(glob.glob(os.path.join(dp2, "*.parquet")))
+    assert files_after < files_before
+    got = spark.read.parquet(dp2)
+    assert got.count() == 64
+    assert {r.id for r in got.collect()} == set(range(64))
+    m = tf.read_manifest(spark, troot, v1 + 1)
+    assert m["compacted_from"] == v1
