@@ -12,16 +12,46 @@ from tests.oracle_harness import compare
 
 _QUERIES = all_queries()
 
+# Queries whose BroadcastNestedLoopJoin is a BOUNDED broadcast side by
+# construction (a 1-row collapsed vocabulary, a capped query-vector set,
+# a tiny rate/centroid table, a bounded pair block) — safe at any corpus
+# size. Everything else must stay equi-join/hash-join shaped: an
+# accidental NLJ or cartesian on an SF-growing side is the classic
+# silent 100x scale-killer, so it fails here the day it appears.
+_BNLJ_OK = {
+    "ann_incremental_assign",
+    "ann_ivf_multiprobe",
+    "ann_ivf_multiprobe_indexed",
+    "ann_topk_bruteforce",
+    "corpus_mixture_sample",
+    "corpus_mixture_sample_bpe",
+    "text_bigram_coverage",
+    "text_levenshtein_pairs",
+}
+
+
+def _assert_scale_safe_joins(name: str, df) -> None:
+    from dbt_on_snowflake_spark.plans import explain_str
+
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    if name not in _BNLJ_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: unexpected nested-loop join — if the broadcast side "
+            "is bounded by construction, add it to _BNLJ_OK with a reason"
+        )
+
 
 @pytest.mark.parametrize("name", sorted(_QUERIES))
 def test_oracle_parity(spark, name):
     q = _QUERIES[name]
+    df = q.fn(spark, SF_SMOKE)
+    _assert_scale_safe_joins(name, df)
     if q.oracle is None:
-        df = q.fn(spark, SF_SMOKE)
         assert df.columns  # rows-only check: runs and has a stable schema
         df.count()
     else:
-        compare(spark, name, q.fn, q.oracle, SF_SMOKE)
+        compare(spark, name, lambda *_: df, q.oracle, SF_SMOKE)
 
 
 def test_arrow_dtype_tagging_catches_uncast_hugeint(spark):
