@@ -1425,3 +1425,273 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_revenue",
         )
     )
+
+
+# --- TPC-H Q7 shape: bidirectional nation-pair trade volume. Both join
+# directions (supp nation x cust nation) survive the filter, so the
+# result is the 2x2 pair matrix by ship year.
+@query(
+    "q7_volume_shipping",
+    driver=False,  # born r7: parity-checked; rotate into the r8 export
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+           {sum_scaled_sql(REVENUE_SCALED_SQL, "revenue", 4)}
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+      AND cn.n_name IN ('NATION_1', 'NATION_2')
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY sn.n_name, cn.n_name, EXTRACT(year FROM l.l_shipdate)
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): lineitem joins BOTH nation
+    dims — supplier-side and customer-side — with the pair filter, then
+    aggregates revenue by (supp_nation, cust_nation, ship year). The two
+    nation copies broadcast (25 rows each); the date filter pushes to
+    the lineitem scan; one shuffle for the final group."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    nations = ("NATION_1", "NATION_2")
+    sn = F.broadcast(
+        table(spark, sf_dir, "nation").filter(F.col("n_name").isin(*nations))
+    ).alias("sn")
+    cn = F.broadcast(
+        table(spark, sf_dir, "nation").filter(F.col("n_name").isin(*nations))
+    ).alias("cn")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(sn, F.col("s_nationkey") == F.col("sn.n_nationkey"))
+        .join(cn, F.col("c_nationkey") == F.col("cn.n_nationkey"))
+        .groupBy(
+            F.col("sn.n_name").alias("supp_nation"),
+            F.col("cn.n_name").alias("cust_nation"),
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(sum_scaled(revenue_scaled(), "revenue", 4))
+    )
+
+
+# --- TPC-H Q9 shape: product-type profit by (nation, year). The
+# reference schema has no partsupp, so supply cost is p_retailprice —
+# the SHAPE (part-name filter fanning into a 5-way join, profit =
+# revenue minus cost, grouped by supplier nation x order year) is Q9's.
+@query(
+    "q9_product_profit",
+    driver=False,  # born r7: parity-checked; rotate into the r8 export
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           {sum_scaled_sql(
+               f"({REVENUE_SCALED_SQL}"
+               f" - {scaled_sql('p.p_retailprice')} * {scaled_sql('l.l_quantity')})",
+               "sum_profit", 4)}
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%5%'
+    GROUP BY n.n_name, EXTRACT(year FROM o.o_orderdate)
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product profit): part-name filter prunes the part
+    dim before it joins (broadcast after the filter at this SF; at 100x
+    the size gate decides), profit is computed in exact scale-4 integers
+    (revenue minus retail cost) and aggregated by supplier nation and
+    order year — one shuffle, no Expand."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%5%"))
+    s = table(spark, sf_dir, "supplier")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    o = table(spark, sf_dir, "orders")
+    profit = revenue_scaled() - scaled("p_retailprice") * scaled("l_quantity")
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(sum_scaled(profit, "sum_profit", 4))
+    )
+
+
+# --- TPC-H Q13 shape: distribution of per-customer order counts
+# (including zero) — LEFT join + two-level aggregation.
+@query(
+    "q13_order_count_distribution",
+    driver=False,  # born r7: parity-checked; rotate into the r8 export
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer distribution): LEFT join keeps
+    zero-order customers (COUNT over the null-extended side counts 0),
+    then the per-customer counts aggregate into a distribution. Two
+    shuffles total: custkey, then c_count — the second is over a
+    hundred-ish distinct counts, map-side combined."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+# --- TPC-H Q21 shape: suppliers who failed multi-supplier orders. The
+# schema has no commit/receipt dates; the "failed delivery" marker is a
+# returned line (l_returnflag = 'R'), keeping Q21's EXISTS / NOT EXISTS
+# double-correlation: count supplier S on order O iff S failed, another
+# supplier participated, and NO other supplier failed.
+@query(
+    "q21_waiting_suppliers",
+    driver=False,  # born r7: parity-checked; rotate into the r8 export
+    oracle="""
+    WITH per AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               MAX(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS failed
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY l.l_orderkey, l.l_suppkey
+    ),
+    per_order AS (
+        SELECT l_orderkey,
+               COUNT(*) AS n_supp,
+               SUM(failed) AS n_failed
+        FROM per GROUP BY l_orderkey
+    )
+    SELECT s.s_name AS supplier_name,
+           CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM per p
+    JOIN per_order po ON po.l_orderkey = p.l_orderkey
+    JOIN supplier s ON s.s_suppkey = p.l_suppkey
+    WHERE p.failed = 1 AND po.n_supp > 1 AND po.n_failed = 1
+    GROUP BY s.s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the
+    EXISTS/NOT-EXISTS double correlation decorrelates into ONE
+    per-(order, supplier) aggregate plus a per-order rollup joined back
+    — each a map-side-combined hash aggregate on the same orderkey
+    prefix, so the rollup reuses the first shuffle's partitioning.
+    Never a per-row subquery execution."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = table(spark, sf_dir, "lineitem")
+    per = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(l.l_orderkey, "l_suppkey")
+        .agg(
+            F.max(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("failed")
+        )
+    )
+    per_order = per.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("failed").alias("n_failed"),
+    )
+    s = table(spark, sf_dir, "supplier")
+    return (
+        per.join(per_order, "l_orderkey")
+        .filter(
+            (F.col("failed") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_failed") == 1)
+        )
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .groupBy(F.col("s_name").alias("supplier_name"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# --- TPC-H Q22 shape: dormant high-balance customers by nation. The
+# schema has no phone country code; nation plays its role.
+@query(
+    "q22_dormant_customers",
+    driver=False,  # born r7: parity-checked; rotate into the r8 export
+    oracle=f"""
+    WITH thresh AS (
+        SELECT CAST(SUM({scaled_sql("c_acctbal")}) AS DOUBLE) / 100.0
+               / COUNT(*) AS avg_bal
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           {dsum_sql("c.c_acctbal", "total_acctbal")}
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE c.c_acctbal > (SELECT avg_bal FROM thresh)
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      )
+    GROUP BY n.n_name
+    """,
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): a scalar-subquery
+    balance threshold (computed through the exact scaled-integer
+    average so the comparison boundary is engine-identical), a NOT
+    EXISTS decorrelated into a left-anti join on custkey, and a final
+    nation rollup. The threshold is a 1-row broadcast; the anti-join is
+    the only customer-sized shuffle."""
+    c = table(spark, sf_dir, "customer")
+    thresh = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(scaled("c_acctbal")).cast("double")
+                / 100.0
+                / F.count(F.lit(1))
+            ).alias("avg_bal")
+        )
+    )
+    o = table(spark, sf_dir, "orders")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    rich = c.crossJoin(F.broadcast(thresh)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    dormant = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return (
+        dormant.join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal", "total_acctbal"),
+        )
+    )

@@ -27,6 +27,7 @@ _BNLJ_OK = {
     "corpus_mixture_sample_bpe",
     "text_bigram_coverage",
     "text_levenshtein_pairs",
+    "q22_dormant_customers",  # 1-row scalar balance-threshold broadcast
 }
 
 
