@@ -51,10 +51,10 @@ QUERIES: dict[str, RegisteredQuery] = {}
 #   (a_unpivot_status_revenue, dedup_ngram_jaccard, text_fingerprint,
 #   text_lang_id, text_levenshtein_pairs, text_repetition) — they hit the
 #   3-round window at r8 — plus the r7-born parity-only rows
-#   (t_events_dedup_wm_streaming, text_bigram_coverage,
-#   q7_volume_shipping, q9_product_profit, q13_order_count_distribution,
-#   q21_waiting_suppliers, q22_dormant_customers); backfill with
-#   r6-green veterans.
+#   (t_events_dedup_wm_streaming, t_events_stream_stream_join,
+#   text_bigram_coverage, q7_volume_shipping, q9_product_profit,
+#   q13_order_count_distribution, q21_waiting_suppliers,
+#   q22_dormant_customers); backfill with r6-green veterans.
 DRIVER_BUDGET = 50
 
 # The authoritative r7 export set. all_queries() applies it over the

@@ -637,3 +637,55 @@ def _set_stream_funnel_oracle() -> None:
 
 
 _set_stream_funnel_oracle()
+
+
+@query(
+    "t_events_stream_stream_join",
+    driver=False,  # born r7: parity-checked; rotate into the r8 export
+    oracle="""
+    SELECT v.user_id,
+           v.ts AS view_ts,
+           p.ts AS purchase_ts
+    FROM events v
+    JOIN events p
+      ON p.user_id = v.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '1 hour'
+    """,
+)
+def t_events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join — the attribution shape (each purchase
+    matched to the views that preceded it within 1h, per user), the one
+    streaming surface tumbling/session windows can't express.
+
+    The event-time RANGE condition is what makes it bounded: with both
+    sides watermarked, Spark derives a state-retention horizon from
+    `p.ts BETWEEN v.ts AND v.ts + 1h` and evicts join state older than
+    watermark - bound — without the range bound, both sides' state
+    grows forever (the stream-join OOM). At scale the join keys
+    partition state by (user_id), the same sharding as the batch
+    twin's shuffle. Oracle = the identical batch self-join."""
+    views = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", _WM_DELAY)
+        .alias("v")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", _WM_DELAY)
+        .alias("p")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v.user_id") == F.col("p.user_id"))
+        & (F.col("p.ts") >= F.col("v.ts"))
+        & (F.col("p.ts") <= F.col("v.ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(
+        F.col("v.user_id").alias("user_id"),
+        F.col("v.ts").alias("view_ts"),
+        F.col("p.ts").alias("purchase_ts"),
+    )
+    return run_to_table(joined, spark, "append")
