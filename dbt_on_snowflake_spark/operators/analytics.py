@@ -1695,3 +1695,114 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal", "total_acctbal"),
         )
     )
+
+
+# --- TPC-H Q8 shape: national market share — a per-year conditional
+# revenue ratio over the full snowflake join (region-filtered customer
+# market, one nation's suppliers in the numerator).
+@query(
+    "q8_market_share",
+    driver=False,  # born r7: parity-checked; rotate into the r8 export
+    oracle=f"""
+    SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(100.0 * SUM(CASE WHEN sn.n_name = 'NATION_1'
+                  THEN {REVENUE_SCALED_SQL} ELSE 0 END) AS DOUBLE)
+               / SUM({REVENUE_SCALED_SQL}) AS mkt_share_pct,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = cn.n_regionkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY EXTRACT(year FROM o.o_orderdate)
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): the widest join in the
+    suite — lineitem through orders/customer/nation/region on the
+    market side and supplier/nation on the share side, plus the part
+    filter — collapsing into a per-year conditional-revenue ratio.
+    Region/nation broadcast by hint (fixed cardinality); the date
+    filter pushes into the orders scan; the final agg is one shuffle
+    over |years| groups. The ratio divides two exact scaled-integer
+    sums as doubles, so the boundary is engine-identical."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    c = table(spark, sf_dir, "customer")
+    r = F.broadcast(
+        table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    cn = F.broadcast(table(spark, sf_dir, "nation")).alias("cn")
+    sn = F.broadcast(table(spark, sf_dir, "nation")).alias("sn")
+    s = table(spark, sf_dir, "supplier")
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    rev = revenue_scaled()
+    national = F.when(F.col("sn.n_name") == "NATION_1", rev).otherwise(F.lit(0))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(cn, F.col("c_nationkey") == F.col("cn.n_nationkey"))
+        .join(r, F.col("cn.n_regionkey") == F.col("r_regionkey"))
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(sn, F.col("s_nationkey") == F.col("sn.n_nationkey"))
+        .join(p, l.l_partkey == p.p_partkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (
+                100.0 * F.sum(national).cast("double") / F.sum(rev)
+            ).alias("mkt_share_pct"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# --- TPC-H Q11 shape: groups whose value share beats a GLOBAL scalar
+# threshold. The schema has no partsupp; supplier shipped value
+# (price x quantity) plays the stock value's role — the HAVING-vs-
+# scalar-subquery shape is Q11's.
+@query(
+    "q11_important_suppliers",
+    driver=False,  # born r7: parity-checked; rotate into the r8 export
+    oracle=f"""
+    WITH val AS (
+        SELECT l_suppkey,
+               SUM({scaled_sql("l_extendedprice")}
+                   * {scaled_sql("l_quantity")}) AS v
+        FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT l_suppkey AS supplier_key,
+           CAST(v AS DOUBLE) / 10000.0 AS shipped_value
+    FROM val
+    WHERE CAST(v AS DOUBLE) > 0.002 * (SELECT CAST(SUM(v) AS DOUBLE) FROM val)
+    """,
+)
+def q11_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-supplier shipped value
+    filtered against a fraction of the GLOBAL total — the
+    HAVING-vs-scalar-subquery pattern. The per-group aggregate is
+    computed once; its global sum re-aggregates the small per-supplier
+    table (never a second lineitem pass) and broadcasts back as a
+    1-row threshold. All value arithmetic is exact scaled integers;
+    both filter sides go through identical double casts."""
+    l = table(spark, sf_dir, "lineitem")
+    val = l.groupBy("l_suppkey").agg(
+        F.sum(scaled("l_extendedprice") * scaled("l_quantity")).alias("v")
+    )
+    total = val.agg(F.sum("v").alias("tv"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("v").cast("double") > 0.002 * F.col("tv").cast("double"))
+        .select(
+            F.col("l_suppkey").alias("supplier_key"),
+            (F.col("v").cast("double") / 10000.0).alias("shipped_value"),
+        )
+    )

@@ -52,7 +52,8 @@ QUERIES: dict[str, RegisteredQuery] = {}
 #   text_lang_id, text_levenshtein_pairs, text_repetition) — they hit the
 #   3-round window at r8 — plus the r7-born parity-only rows
 #   (t_events_dedup_wm_streaming, t_events_stream_stream_join,
-#   text_bigram_coverage, q7_volume_shipping, q9_product_profit,
+#   text_bigram_coverage, q7_volume_shipping, q8_market_share,
+#   q9_product_profit, q11_important_suppliers,
 #   q13_order_count_distribution, q21_waiting_suppliers,
 #   q22_dormant_customers); backfill with r6-green veterans.
 DRIVER_BUDGET = 50

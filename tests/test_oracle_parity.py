@@ -28,6 +28,7 @@ _BNLJ_OK = {
     "text_bigram_coverage",
     "text_levenshtein_pairs",
     "q22_dormant_customers",  # 1-row scalar balance-threshold broadcast
+    "q11_important_suppliers",  # 1-row global-total-value broadcast
 }
 
 
