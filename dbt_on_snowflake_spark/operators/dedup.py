@@ -744,6 +744,64 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+@query(
+    "dedup_cluster_sizes",
+    driver=False,  # born r7: parity-checked; rotate into the r8 export
+    oracle=f"""
+    WITH RECURSIVE {SHINGLES_CTE},
+    {_MINHASH_BANDS_CTE},
+    {_VERIFIED_PAIRS_CTE},
+    nodes AS (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION SELECT doc_b FROM pairs
+    ),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT r.src, e.d FROM reach r JOIN edges e ON e.s = r.dst
+    ),
+    comp AS (
+        SELECT src AS doc_id, MIN(dst) AS cluster_id
+        FROM reach GROUP BY src
+    ),
+    csizes AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM comp GROUP BY cluster_id
+    )
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+           CAST(SUM(cluster_size) - COUNT(*) AS BIGINT) AS n_removable
+    FROM csizes GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUPLICATE-CLUSTER SIZE DISTRIBUTION — the report a dedup run
+    ships (how much boilerplate, how big are the blobs, how many docs
+    does keep-one-per-cluster delete): count-of-counts over the
+    connected components, with per-bucket removable-doc totals.
+
+    Plan: the component labels (see ``dedup_clusters``) roll up twice —
+    cluster_id then cluster_size — each a map-side-combined aggregate
+    over progressively tinier tables; the distribution domain is at
+    most the largest cluster size. Only documents WITH a duplicate
+    enter the graph, so the whole rollup is a vanishing fraction of the
+    corpus at 100 TB."""
+    comp = dedup_clusters(spark, sf_dir)
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+        (F.sum("cluster_size") - F.count(F.lit(1))).alias("n_removable"),
+    )
+
+
 # ------------------------------------- incremental dedup vs persisted index
 
 INDEX_N_BUCKETS = 32  # size for the target corpus scale at index build time
