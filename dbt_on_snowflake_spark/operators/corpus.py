@@ -34,7 +34,7 @@ from dbt_on_snowflake_spark.operators.textops import (
     bpe_token_count,
     bpe_token_count_sql,
 )
-from dbt_on_snowflake_spark.registry import query
+from dbt_on_snowflake_spark.registry import QUERIES, query
 from dbt_on_snowflake_spark.testdata import table
 
 ALLOWED_LANGS = ("en", "de", "fr", "es")
@@ -1213,3 +1213,128 @@ def corpus_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------------- dedup cascade report
+
+@query(
+    "corpus_dedup_cascade",
+    driver=False,  # born r7: parity-checked; rotate into the r8 export
+    # oracle assigned after definition: it composes dedup's CTE
+    # fragments, which import corpus.py's dependency (textops) — the
+    # late assignment breaks the would-be import cycle
+    oracle=None,
+)
+def corpus_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE COMPOSED DEDUP FUNNEL — what a curation run actually executes
+    and reports: exact dedup first (hash-group, cheap), then MinHash+LSH
+    verified near-dup clustering over the exact SURVIVORS only, with a
+    per-stage survivor count. Ordering matters at 100 TB: every byte the
+    exact stage removes never pays shingling/minhash cost.
+
+    Plan: the exact stage is one md5-keyed window (skew-free); the
+    near-dup stage runs the standard banded pipeline on the survivor
+    subset; counts are three scalar aggregates unioned — no collect, no
+    driver-side data. Oracle: the identical chain in DuckDB SQL,
+    components by recursive closure."""
+    from dbt_on_snowflake_spark.operators.dedup import (
+        connected_components,
+        minhash_band_keys,
+        verify_pairs,
+        word_shingles,
+    )
+    from dbt_on_snowflake_spark.testdata import fan_out_scan
+
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("text")
+    canon = d.withColumn("keep", F.min("doc_id").over(w))
+    surv = canon.filter(F.col("doc_id") == F.col("keep")).select(
+        "doc_id", "text"
+    )
+    surv = fan_out_scan(spark, surv)
+
+    bands = minhash_band_keys(surv)
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(y, "band_key")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sh = surv.select(
+        "doc_id", F.explode(word_shingles(F.col("text"))).alias("sh")
+    )
+    pairs = verify_pairs(cand, sh).select("doc_a", "doc_b")
+    comp = connected_components(pairs)
+    removed = comp.filter(F.col("doc_id") != F.col("cluster_id"))
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+
+    n_surv = surv.select("doc_id")
+    final = n_surv.join(removed, "doc_id", "left_anti")
+    return (
+        stage("0_input", d)
+        .unionByName(stage("1_exact_survivors", n_surv))
+        .unionByName(stage("2_near_dup_survivors", final))
+    )
+
+
+def _cascade_oracle() -> str:
+    from dbt_on_snowflake_spark.operators.dedup import (
+        _MINHASH_BANDS_CTE,
+        _VERIFIED_PAIRS_CTE,
+    )
+
+    return f"""
+    WITH RECURSIVE canon AS (
+        SELECT doc_id, text,
+               MIN(doc_id) OVER (PARTITION BY text) AS keep
+        FROM documents
+    ),
+    surv AS (SELECT doc_id, text FROM canon WHERE doc_id = keep),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM surv),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, greatest(len(ts) - 1, 1)),
+                      g -> array_to_string(ts[g:g+2], ' '))) AS sh
+        FROM tok
+    ),
+    {_MINHASH_BANDS_CTE},
+    {_VERIFIED_PAIRS_CTE},
+    nodes AS (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION SELECT doc_b FROM pairs
+    ),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT r.src, e.d FROM reach r JOIN edges e ON e.s = r.dst
+    ),
+    comp AS (
+        SELECT src AS doc_id, MIN(dst) AS cluster_id
+        FROM reach GROUP BY src
+    ),
+    removed AS (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+    SELECT '0_input' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents
+    UNION ALL
+    SELECT '1_exact_survivors', CAST(COUNT(*) AS BIGINT) FROM surv
+    UNION ALL
+    SELECT '2_near_dup_survivors',
+           CAST((SELECT COUNT(*) FROM surv)
+                - (SELECT COUNT(*) FROM removed) AS BIGINT)
+    """
+
+
+QUERIES["corpus_dedup_cascade"].oracle = _cascade_oracle()
