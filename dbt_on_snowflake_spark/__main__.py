@@ -564,10 +564,20 @@ def main(argv: list[str] | None = None) -> int:
                 relation = project.relation_for(
                     args.select, node.config.get("schema")
                 )
-                dp = table_format.data_path(
-                    spark, runner._table_path(relation),
-                    version=args.at_version,
-                )
+                try:
+                    dp = table_format.data_path(
+                        spark, runner._table_path(relation),
+                        version=args.at_version,
+                    )
+                except ValueError as e:
+                    print(f"show: {e}", file=sys.stderr)
+                    return 2
+                if dp is None:
+                    print(
+                        f"show: {relation} has no table storage — run the "
+                        "model first", file=sys.stderr,
+                    )
+                    return 2
                 df = spark.read.parquet(dp)
                 rows = df.limit(args.show_limit).collect()
                 print(" | ".join(df.columns))

@@ -1046,7 +1046,12 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -------------------------- partition-pruned incremental probe (fast path)
 
-INDEX_N_PARTS = 64  # band_part directory fan-out of the pruned index layout
+INDEX_N_PARTS = 16  # band_part directory fan-out of the pruned index layout
+PRUNED_N_BUCKETS = 8  # buckets per partition: parts x buckets = total files
+# (x file size) must track corpus volume — 16x8 here; a 100 TB index wants
+# 64 parts x ~1024 buckets so each bucket file stays ~128 MB. Oversharding
+# a small index (64x32 was measured 6x slower at sf0.1) buries the probe
+# in per-file open cost; the knobs are the deployment's to size.
 
 
 def _band_part() -> F.Column:
@@ -1061,7 +1066,7 @@ def build_minhash_index_pruned(
     docs: DataFrame,
     *,
     index_table: str,
-    n_buckets: int = INDEX_N_BUCKETS,
+    n_buckets: int = PRUNED_N_BUCKETS,
 ) -> None:
     """Persist the band index PARTITIONED by ``band_part`` (64 dirs) and
     bucketed+sorted by ``band_key`` within each partition. Same probe
@@ -1089,7 +1094,7 @@ def attach_minhash_index_pruned(
     spark: SparkSession,
     index_table: str,
     *,
-    n_buckets: int = INDEX_N_BUCKETS,
+    n_buckets: int = PRUNED_N_BUCKETS,
 ) -> None:
     """Re-attach a PRUNED-layout band index in a new session (the
     partitioned+bucketed twin of ``attach_minhash_index``): re-issue the

@@ -390,3 +390,41 @@ def test_compact_cli_coalesces_files_into_new_version(spark, tmp_path, capsys):
     assert {r.id for r in got.collect()} == set(range(64))
     m = tf.read_manifest(spark, troot, v1 + 1)
     assert m["compacted_from"] == v1
+
+
+def test_show_at_version_errors_cleanly(spark, tmp_path, capsys):
+    """A vacuumed/unknown version or an unbuilt model gets a one-line
+    stderr message and exit 2, not a traceback."""
+    import pandas as pd
+
+    from dbt_on_snowflake_spark.__main__ import main
+
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    pd.DataFrame({"id": [1]}).to_parquet(
+        os.path.join(data, "t.parquet"), index=False
+    )
+    root = str(tmp_path / "proj")
+    os.makedirs(f"{root}/models/models", exist_ok=True)
+    open(f"{root}/project.yml", "w").write(
+        "name: ttclean\nmodels:\n  models:\n    materialized: table\n"
+    )
+    open(f"{root}/sources.yml", "w").write(
+        f"sources:\n  - name: raw\n    base_path: \"{data}\"\n"
+        "    tables:\n      - name: t\n"
+    )
+    open(f"{root}/models/models/ttc.sql", "w").write(
+        "SELECT id FROM {{ source('raw', 't') }}"
+    )
+    # never built: clean message
+    assert main(["show", "--project", root, "--select", "ttc",
+                 "--at-version", "1"]) == 2
+    err = capsys.readouterr().err
+    assert "not available" in err or "no table storage" in err
+
+    assert main(["run", "--project", root]) == 0
+    capsys.readouterr()
+    # unknown version: retained list in the message
+    assert main(["show", "--project", root, "--select", "ttc",
+                 "--at-version", "99"]) == 2
+    assert "retained" in capsys.readouterr().err
