@@ -748,7 +748,9 @@ PACKS_PER_SHARD = 64  # 64 packs x 2048 tokens ~ 128k tokens per shard
     GROUP BY lang, CAST(pack_id // {PACKS_PER_SHARD} AS BIGINT)
     """,
 )
-def corpus_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_pack_shards(
+    spark: SparkSession, sf_dir: str, n_tokens_col=None
+) -> DataFrame:
     """SHARD MANIFEST for packed training data: group pack assignments
     into size-bounded shards (PACKS_PER_SHARD consecutive packs per
     language ~ one loader file) and report each shard's doc list + token
@@ -759,10 +761,11 @@ def corpus_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     size(collect_set) — the per-group domain is bounded by
     PACKS_PER_SHARD(+1 straddle), so no Expand/distinct-agg fallback and
     no unbounded buffer. No global sort anywhere (pinned by
-    test_pack_shards_no_global_sort)."""
-    packed = corpus_pack_sequences(spark, sf_dir).withColumn(
-        "shard_id", F.expr(f"pack_id div {PACKS_PER_SHARD}")
-    )
+    test_pack_shards_no_global_sort). ``n_tokens_col`` flips the token
+    scheme like the rest of the family."""
+    packed = corpus_pack_sequences(
+        spark, sf_dir, n_tokens_col=n_tokens_col
+    ).withColumn("shard_id", F.expr(f"pack_id div {PACKS_PER_SHARD}"))
     return packed.groupBy("lang", "shard_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.size(F.collect_set("pack_id")).cast("long").alias("n_packs"),
@@ -1338,3 +1341,43 @@ def _cascade_oracle() -> str:
 
 
 QUERIES["corpus_dedup_cascade"].oracle = _cascade_oracle()
+
+
+@query(
+    "corpus_pack_shards_bpe",
+    driver=False,  # born r7: parity-checked; rotate into the r8 export
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, {_BPE_N_TOKENS_SQL} AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, lang, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM t
+    ),
+    packed AS (
+        SELECT doc_id, lang, n_tokens,
+               CAST((cum - n_tokens) // {PACK_SEQ_LEN} AS BIGINT) AS pack_id
+        FROM c
+    )
+    SELECT lang,
+           CAST(pack_id // {PACKS_PER_SHARD} AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT pack_id) AS BIGINT) AS n_packs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT doc_id)), ',') AS doc_ids
+    FROM packed
+    GROUP BY lang, CAST(pack_id // {PACKS_PER_SHARD} AS BIGINT)
+    """,
+)
+def corpus_pack_shards_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``corpus_pack_shards`` keyed on BPE token mass — the shard
+    manifest at the offsets a training loader actually materializes.
+    Same plan; only the token column changes."""
+    return corpus_pack_shards(
+        spark, sf_dir, n_tokens_col=bpe_token_count("text")
+    )

@@ -165,3 +165,63 @@ def test_bpe_chain_equals_iterative_on_random_text(spark, texts):
     }
     want = {i: _bpe_iterative_count(t) for i, t in enumerate(texts)}
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 999),  # doc_id (may collide; deduped below)
+            st.sampled_from(["aa", "bb"]),
+            st.integers(1, 60),  # token count
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_pack_two_level_prefix_sum_equals_single_window(
+    spark, tmp_path_factory, rows
+):
+    """corpus_pack_sequences' two-level prefix sum must equal the naive
+    per-language single-window cumulative sum on ARBITRARY doc_id gaps
+    and language mixes — including ids straddling chunk boundaries
+    (PACK_CHUNK_DOCS ranges), the case the chunked plan exists for."""
+    import os
+    import uuid
+
+    from dbt_on_snowflake_spark.operators.corpus import (
+        PACK_SEQ_LEN,
+        corpus_pack_sequences,
+    )
+
+    seen = {}
+    for doc_id, lang, n in rows:
+        seen[doc_id] = (lang, n)
+    docs = sorted((i, l, n) for i, (l, n) in seen.items())
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [i for i, _, _ in docs],
+            "lang": [l for _, l, _ in docs],
+            "text": [" ".join(["w"] * n) for _, _, n in docs],
+            "source": "src0",
+            "n_chars": 0,
+        }
+    )
+    d = str(tmp_path_factory.mktemp("pack") / uuid.uuid4().hex[:8])
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "documents.parquet"), index=False)
+
+    got = {
+        r.doc_id: (r.lang, r.n_tokens, r.pack_id, r.offset_in_pack)
+        for r in corpus_pack_sequences(spark, d).collect()
+    }
+
+    expected = {}
+    for lang in {l for _, l, _ in docs}:
+        cum = 0
+        for i, l, n in docs:  # docs already sorted by doc_id
+            if l != lang:
+                continue
+            expected[i] = (l, n, cum // PACK_SEQ_LEN, cum % PACK_SEQ_LEN)
+            cum += n
+    assert got == expected
