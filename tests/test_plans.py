@@ -477,3 +477,45 @@ def test_bigram_coverage_no_doc_shuffle(spark):
     assert "hashpartitioning(doc_id" not in plan
     assert count_shuffles(plan) <= 2  # vocab agg partials only
     assert "TakeOrderedAndProject" in plan  # top-V, never a global sort
+
+
+# Shuffle-count regression ledger for the headline/bench set: the
+# number of exchanges each plan is ALLOWED — a new shuffle appearing in
+# a headline query is exactly the class of silent perf regression the
+# bench catches one round too late. Bounds are the current counts
+# (explain before AQE; deterministic).
+_HEADLINE_MAX_SHUFFLES = {
+    "a1_loyalty_metrics": 1,
+    "ann_topk_bruteforce": 1,
+    "asof_last_order_before_event": 1,
+    "corpus_clean_pipeline": 1,
+    "dedup_exact": 1,
+    "dedup_minhash_lsh": 4,
+    "dedup_semantic": 4,
+    "j1_orders_denorm": 0,  # all dims broadcast at this SF
+    "q17_small_quantity_revenue": 2,
+    "q1_pricing_summary": 1,
+    "q3_top_revenue_orders": 1,
+    "q5_nation_volume": 1,
+    "t_events_hourly": 1,
+    "text_stats": 0,
+}
+
+
+def test_headline_set_matches_ledger():
+    """Every headline query has a pinned shuffle bound (and vice versa)
+    — adding a bench query without pinning its plan is how a regression
+    sneaks in unpinned."""
+    headline = {n for n, q in Q.items() if q.headline}
+    assert headline == set(_HEADLINE_MAX_SHUFFLES)
+
+
+@pytest.mark.parametrize("name", sorted(_HEADLINE_MAX_SHUFFLES))
+def test_headline_shuffle_counts_pinned(spark, name):
+    plan = plan_of(spark, name)
+    n = count_shuffles(plan)
+    bound = _HEADLINE_MAX_SHUFFLES[name]
+    assert n <= bound, (
+        f"{name}: {n} shuffles (pinned max {bound}) — if the extra "
+        "exchange is intentional, update the ledger with the reason"
+    )
