@@ -225,3 +225,55 @@ def test_pack_two_level_prefix_sum_equals_single_window(
             expected[i] = (l, n, cum // PACK_SEQ_LEN, cum % PACK_SEQ_LEN)
             cum += n
     assert got == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(asof_case())
+def test_asof_forward_and_tolerance_match_merge_asof(spark, case):
+    """direction='forward' and tolerance mirror pd.merge_asof on random
+    key/timestamp layouts (right timestamps unique per key, so the tied
+    pick never differs)."""
+    from pyspark.sql import functions as F
+
+    from dbt_on_snowflake_spark.operators.asof import asof_join
+
+    left_rows, right_rows = case
+    lpdf = pd.DataFrame(left_rows, columns=["k", "lts"]).assign(
+        row_id=lambda d: range(len(d))
+    )
+    rpdf = pd.DataFrame(right_rows, columns=["k", "rts", "val"])
+    if lpdf.empty or rpdf.empty:
+        return
+    left = spark.createDataFrame(lpdf.astype({"k": "int64", "lts": "int64"}))
+    right = spark.createDataFrame(
+        rpdf.astype({"k": "int64", "rts": "int64", "val": "int64"})
+    )
+    for direction, tol in (("forward", None), ("backward", 100), ("forward", 100)):
+        got = {
+            r.row_id: r.val
+            for r in asof_join(
+                left,
+                right,
+                on="k",
+                left_ts="lts",
+                right_ts="rts",
+                right_values=["val"],
+                right_tiebreak="val",
+                direction=direction,
+                tolerance=None if tol is None else F.lit(tol),
+            ).collect()
+        }
+        expected_pdf = pd.merge_asof(
+            lpdf.sort_values("lts", kind="stable"),
+            rpdf.sort_values("rts", kind="stable"),
+            left_on="lts",
+            right_on="rts",
+            by="k",
+            direction=direction,
+            tolerance=tol,
+        )
+        expected = {
+            int(r.row_id): (None if pd.isna(r.val) else int(r.val))
+            for r in expected_pdf.itertuples()
+        }
+        assert got == expected, (direction, tol)
