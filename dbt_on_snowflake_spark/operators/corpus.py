@@ -1381,3 +1381,58 @@ def corpus_pack_shards_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_pack_shards(
         spark, sf_dir, n_tokens_col=bpe_token_count("text")
     )
+
+
+# --------------------------------------------- training-order shuffle
+
+SHUFFLE_N_SHARDS = 32
+
+
+@query(
+    "corpus_shuffle_order",
+    driver=False,  # born r7: parity-checked; rotate into the r8 export
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id,
+               md5('shuf:' || CAST(doc_id AS VARCHAR)) AS hx
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, hx,
+               CAST(('0x' || substring(hx, 1, 8))::UBIGINT
+                    % {SHUFFLE_N_SHARDS} AS BIGINT) AS shard_id
+        FROM h
+    )
+    SELECT doc_id, shard_id,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY shard_id ORDER BY hx ASC, doc_id ASC
+           ) AS BIGINT) AS pos
+    FROM s
+    """,
+)
+def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC TRAINING-ORDER SHUFFLE: every document gets a
+    (shard_id, pos) — an md5-derived pseudo-random global order a
+    training run reads shard-by-shard. Hash-keyed, so the permutation
+    is reproducible across runs/engines (seeded in the hash prefix;
+    re-salt to re-shuffle per epoch) — ``orderBy(rand())`` is neither.
+
+    Scale: NO global sort — a true global permutation would
+    range-partition the corpus; sharded order needs only a hash
+    exchange on shard_id plus an independent per-shard local sort
+    (corpus/32 rows each), which is also exactly the order the loader
+    consumes. Uniform 128-bit keys keep every shard the same size."""
+    d = table(spark, sf_dir, "documents")
+    hx = F.md5(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")))
+    shard = F.pmod(
+        F.conv(F.substring(hx, 1, 8), 16, 10).cast("long"),
+        F.lit(SHUFFLE_N_SHARDS),
+    ).cast("long")
+    w = Window.partitionBy("shard_id").orderBy(
+        F.col("hx").asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select("doc_id", hx.alias("hx"), shard.alias("shard_id"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard_id", "pos")
+    )

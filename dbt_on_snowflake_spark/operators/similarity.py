@@ -671,3 +671,106 @@ def ann_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.array_join("qv", "|")).alias("q_md5"),
         (F.round(F.sqrt(err_sq), 4) + 0.0).alias("l2_error"),
     )
+
+
+# ------------------------------------------------------ recall evaluation
+
+@query(
+    "ann_recall_eval",
+    driver=False,  # born r7: parity-checked; rotate into the r8 export
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT * FROM e WHERE {_QUERY_PRED}),
+    bscored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND({COSINE_SQL.format(a="q.v", b="c.v")}, 4) + 0.0 AS cosine
+        FROM q JOIN e c ON q.vec_id <> c.vec_id
+    ),
+    brute AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+            ) AS rank FROM bscored
+        ) WHERE rank <= {TOP_K}
+    ),
+    cent AS (
+        SELECT label, dim, ROUND(SUM(val) / COUNT(*), 4) + 0.0 AS cv
+        FROM (
+            SELECT label,
+                   unnest(embedding::DOUBLE[]) AS val,
+                   generate_subscripts(embedding, 1) AS dim
+            FROM embeddings
+        )
+        GROUP BY label, dim
+    ),
+    cvec AS (SELECT label, list(cv ORDER BY dim) AS v FROM cent GROUP BY label),
+    qc AS (
+        SELECT q.vec_id AS query_id, c.label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND({COSINE_SQL.format(a="q.v", b="c.v")}, 4)
+                            DESC, c.label ASC
+               ) AS crank
+        FROM q CROSS JOIN cvec c
+    ),
+    probes AS (SELECT query_id, label FROM qc WHERE crank <= {N_PROBE}),
+    iscored AS (
+        SELECT p.query_id, c.vec_id AS neighbor_id,
+               ROUND({COSINE_SQL.format(a="q.v", b="c.v")}, 4) + 0.0 AS cosine
+        FROM probes p
+        JOIN e c ON c.label = p.label
+        JOIN q ON q.vec_id = p.query_id AND q.vec_id <> c.vec_id
+    ),
+    ivf AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+            ) AS rank FROM iscored
+        ) WHERE rank <= {TOP_K}
+    ),
+    hits AS (
+        SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM brute b JOIN ivf i
+          ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+        GROUP BY b.query_id
+    )
+    SELECT q.vec_id AS query_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {TOP_K}, 4) + 0.0
+               AS recall_at_k
+    FROM q LEFT JOIN hits h ON h.query_id = q.vec_id
+    """,
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL@K EVALUATION of the IVF multiprobe index against exact
+    brute force — the acceptance gate every approximate index ships
+    behind ('is nprobe=2 recall good enough to deploy'). Per query: the
+    overlap count of the two top-K sets and its recall fraction.
+
+    Plan: both retrievals run as their own (already plan-audited)
+    shapes; the comparison is a join on (query_id, neighbor_id) over
+    two K x |queries| tables — negligible next to retrieval. The same
+    pattern evaluates ANY index variant against the exact baseline."""
+    b = ann_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    i = ann_ivf_multiprobe(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        b.join(i, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    qs = (
+        _vectors(spark, sf_dir)
+        .filter(F.expr(_QUERY_PRED))
+        .select(F.col("vec_id").alias("query_id"))
+    )
+    return qs.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        (
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / TOP_K,
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("recall_at_k"),
+    )

@@ -29,6 +29,7 @@ _BNLJ_OK = {
     "text_levenshtein_pairs",
     "q22_dormant_customers",  # 1-row scalar balance-threshold broadcast
     "q11_important_suppliers",  # 1-row global-total-value broadcast
+    "ann_recall_eval",  # composes ann_topk_bruteforce's capped query side
 }
 
 
