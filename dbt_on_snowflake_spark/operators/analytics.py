@@ -1806,3 +1806,54 @@ def q11_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("v").cast("double") / 10000.0).alias("shipped_value"),
         )
     )
+
+
+# --- TPC-H Q12 shape (shipping modes & order priority): fact->orders
+# join with a date window, then CONDITIONAL counts over the join — the
+# classic CASE-inside-aggregate pattern. The trimmed schema has no
+# l_shipmode/commit/receipt dates (reference setup/tasty_bytes.sql has
+# the full TPC-H DDL), so l_linestatus stands in for ship mode and
+# "late receipt" = shipped >30 days after the order date (same
+# predicate family as q4's lateness window).
+@query(
+    "q12_priority_by_shipmode",
+    oracle="""
+    SELECT l.l_linestatus AS ship_mode,
+           COUNT(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS high_line_count,
+           COUNT(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= DATE '1996-01-01'
+      AND l.l_shipdate < DATE '1997-01-01'
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY 1
+    """,
+    driver=False,  # r7-born; rotates into the r8 driver export
+)
+def q12_priority_by_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late 1996 shipments split into urgent/non-urgent line counts per
+    ship-mode stand-in. The year filter pushes into the lineitem scan
+    (only that slice joins); the lateness predicate rides the join
+    condition so it evaluates during the probe, never as a post-join
+    filter over the full year. One shuffle join (orders is SF-growing,
+    never broadcast per SCALING.md) + one 2-group hash aggregate."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+    )
+    o = table(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(
+            o,
+            (l.l_orderkey == o.o_orderkey)
+            & (l.l_shipdate > F.expr("o_orderdate + INTERVAL 30 DAY")),
+        )
+        .groupBy(F.col("l_linestatus").alias("ship_mode"))
+        .agg(
+            F.count(F.when(urgent, 1)).alias("high_line_count"),
+            F.count(F.when(~urgent, 1)).alias("low_line_count"),
+        )
+    )

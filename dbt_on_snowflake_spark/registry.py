@@ -57,7 +57,8 @@ QUERIES: dict[str, RegisteredQuery] = {}
 #   q13_order_count_distribution, q21_waiting_suppliers,
 #   q22_dormant_customers, dedup_cluster_sizes, corpus_dedup_cascade,
 #   corpus_pack_shards_bpe, asof_next_order_after_event,
-#   asof_last_order_within_30d, ann_recall_eval, corpus_shuffle_order);
+#   asof_last_order_within_30d, ann_recall_eval, corpus_shuffle_order,
+#   q12_priority_by_shipmode);
 #   backfill with r6-green veterans.
 DRIVER_BUDGET = 50
 
