@@ -774,3 +774,296 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("recall_at_k"),
     )
+
+
+# ------------------------------------------------------ product quantization
+#
+# PQ splits each vector into PQ_M contiguous subvectors and encodes every
+# subvector as the id of its nearest codebook entry — D floats become
+# PQ_M small ints (here 64 doubles -> 4 codes: a 128x serving-format
+# shrink). Search then never touches the original vectors: a query
+# precomputes its dot product against every codebook entry once (the
+# "lookup table"), and each corpus vector's approximate score is PQ_M
+# table lookups + adds — the asymmetric distance computation (ADC) from
+# Jegou et al., "Product Quantization for Nearest Neighbor Search"
+# (TPAMI 2011). Codebook "training" mirrors the IVF convention used by
+# ann_centroids (reference has no vector ops; SURVEY §7.5): the k
+# codebook entries per subspace are the per-`label` subvector means —
+# deterministic, so both engines derive bit-identical codebooks.
+
+PQ_M = 4  # subspaces; entries per subspace = |distinct label|
+
+
+def _dot_col(a, b):
+    """Sequential-fold dot product of two array<double> Columns — the
+    same left-to-right order DuckDB's list_dot_product uses, so both
+    engines see bit-identical IEEE sums."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _subvec(col, m: int):
+    """m-th (1-based) of PQ_M equal contiguous slices of an array column."""
+    sub_len = (F.size(col) / F.lit(PQ_M)).cast("int")
+    return F.slice(col, F.lit(m - 1) * sub_len + F.lit(1), sub_len)
+
+
+def _l2sq(a, b):
+    """Squared L2 distance via the dot-product identity — three
+    sequential folds, mirroring the oracle's list_dot_product calls."""
+    return _dot_col(a, a) - 2 * _dot_col(a, b) + _dot_col(b, b)
+
+
+def _codebook_row(cvec: DataFrame) -> DataFrame:
+    """Collapse the tiny (label, centroid) table into ONE row holding the
+    full codebook — the broadcast side of every PQ step. Bounded by
+    construction: |labels| entries of fixed dim, independent of corpus
+    size (same collapsed-vocabulary pattern as text_unigram_rarity)."""
+    return cvec.agg(
+        F.collect_list(
+            F.struct(F.col("label").cast("long").alias("label"), F.col("v").alias("v"))
+        ).alias("cb")
+    )
+
+
+def _pq_encode(corpus: DataFrame, cb_row: DataFrame) -> DataFrame:
+    """(vec_id, bests: array<struct<d,code>>) — per subspace the nearest
+    codebook entry (distance rounded to 4 decimals, label tie-break via
+    lexicographic struct array_min). One broadcast of the 1-row codebook;
+    the corpus is scanned once, never shuffled."""
+    enc = corpus.crossJoin(F.broadcast(cb_row))
+
+    # PySpark infers lambda arity from the signature, so loop variables
+    # must close over a factory, not default args.
+    def nearest(m: int, sv):
+        def entry(c):
+            return F.struct(
+                (F.round(_l2sq(sv, _subvec(c["v"], m)), 4) + 0.0).alias("d"),
+                c["label"].alias("code"),
+            )
+
+        return entry
+
+    bests = []
+    for m in range(1, PQ_M + 1):
+        sv = _subvec(F.col("v"), m)
+        bests.append(F.array_min(F.transform(F.col("cb"), nearest(m, sv))))
+    return enc.select("vec_id", F.array(*bests).alias("bests"))
+
+
+# Shared oracle fragments. list_slice bounds are 1-based inclusive;
+# len(v)//PQ_M is the subspace width.
+_PQ_SUB_SQL = "list_slice({v}, ({m} - 1) * (len({v}) // 4) + 1, {m} * (len({v}) // 4))"
+_PQ_L2SQ_SQL = (
+    "(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+    " + list_dot_product({b}, {b}))"
+)
+
+_PQ_CODES_CTE = """
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (
+        SELECT label, dim, ROUND(SUM(val) / COUNT(*), 4) + 0.0 AS cv
+        FROM (
+            SELECT label,
+                   unnest(embedding::DOUBLE[]) AS val,
+                   generate_subscripts(embedding, 1) AS dim
+            FROM embeddings
+        )
+        GROUP BY label, dim
+    ),
+    cvec AS (SELECT label, list(cv ORDER BY dim) AS v FROM cent GROUP BY label),
+    ms AS (SELECT unnest([1, 2, 3, 4]) AS m),
+    pq_dist AS (
+        SELECT e.vec_id, ms.m, c.label,
+               ROUND({l2sq}, 4) + 0.0 AS d
+        FROM e CROSS JOIN ms CROSS JOIN cvec c
+    ),
+    pq_codes AS (
+        SELECT vec_id, m, label AS code, d,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id, m ORDER BY d ASC, label ASC
+               ) AS rn
+        FROM pq_dist
+    )
+""".format(
+    l2sq=_PQ_L2SQ_SQL.format(
+        a=_PQ_SUB_SQL.format(v="e.v", m="ms.m"),
+        b=_PQ_SUB_SQL.format(v="c.v", m="ms.m"),
+    )
+)
+
+
+@query(
+    "ann_pq_codes",
+    driver=False,  # r7-born; rotates into the r8 driver export
+    oracle=f"""
+    WITH {_PQ_CODES_CTE}
+    SELECT vec_id, CAST(m AS BIGINT) AS m, CAST(code AS BIGINT) AS code,
+           d AS dist
+    FROM pq_codes WHERE rn = 1
+    """,
+)
+def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoding of the whole corpus: per vector and subspace, the
+    nearest codebook entry and its (rounded) squared distance.
+
+    Plan: codebook = one tiny label-keyed aggregate; encoding = corpus
+    scan x broadcast 1-row codebook — narrow, zero corpus shuffle, so it
+    scales as a single pass at 100 TB. The long (vec_id, m) output shape
+    is the persistable codes table an ADC searcher serves from."""
+    e = _vectors(spark, sf_dir)
+    wide = _pq_encode(e.select("vec_id", "v"), _codebook_row(_centroid_vectors(e)))
+    return wide.select(
+        "vec_id", F.posexplode("bests").alias("pos", "b")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("long").alias("m"),
+        F.col("b.code").alias("code"),
+        F.col("b.d").alias("dist"),
+    )
+
+
+@query(
+    "ann_pq_adc_topk",
+    driver=False,  # r7-born; rotates into the r8 driver export
+    oracle=f"""
+    WITH {_PQ_CODES_CTE},
+    lut AS (
+        SELECT qv.vec_id AS query_id, ms.m, c.label,
+               CAST(ROUND(list_dot_product({_PQ_SUB_SQL.format(v='qv.v', m='ms.m')},
+                                           {_PQ_SUB_SQL.format(v='c.v', m='ms.m')})
+                          * 10000) AS BIGINT) AS p
+        FROM (SELECT * FROM e WHERE {_QUERY_PRED}) qv
+        CROSS JOIN ms CROSS JOIN cvec c
+    ),
+    adc AS (
+        SELECT l.query_id, cd.vec_id AS neighbor_id,
+               CAST(SUM(l.p) AS BIGINT) AS approx_dot_scaled
+        FROM (SELECT vec_id, m, code FROM pq_codes WHERE rn = 1) cd
+        JOIN lut l ON l.m = cd.m AND l.label = cd.code
+        WHERE cd.vec_id <> l.query_id
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY approx_dot_scaled DESC, neighbor_id ASC
+        ) AS rank
+        FROM adc
+    )
+    SELECT query_id, neighbor_id, approx_dot_scaled,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k over PQ codes: each query dots its subvectors against
+    every codebook entry ONCE (the lookup table, scaled to exact int64
+    so the 4-term sum is order-free and engine-exact), then every corpus
+    vector scores as PQ_M map lookups + integer adds — never touching
+    the original floats. 16x less multiply-add than brute force at
+    D=64/M=4, and the scan side reads only the codes.
+
+    Plan: queries+LUTs are a bounded broadcast (MAX_QUERIES x PQ_M x
+    |labels| longs); the codes table streams through one narrow
+    crossJoin; the only shuffle is the per-query top-k window — the
+    same posture as ann_topk_bruteforce. At 100 TB this composes with
+    the IVF probe (restrict codes to probed cells, then ADC)."""
+    e = _vectors(spark, sf_dir)
+    cb_row = _codebook_row(_centroid_vectors(e))
+    codes = _pq_encode(e.select("vec_id", "v"), cb_row)
+    def lut_entry(m: int, qsv):
+        def entry(c):
+            return F.struct(
+                c["label"].alias("k"),
+                F.round(_dot_col(qsv, _subvec(c["v"], m)) * 10000)
+                .cast("long")
+                .alias("p"),
+            )
+
+        return entry
+
+    luts = []
+    for m in range(1, PQ_M + 1):
+        qsv = _subvec(F.col("v"), m)
+        luts.append(F.map_from_entries(F.transform(F.col("cb"), lut_entry(m, qsv))))
+    qlut = (
+        e.filter(F.expr(_QUERY_PRED))
+        .crossJoin(F.broadcast(cb_row))
+        .select(F.col("vec_id").alias("query_id"), F.array(*luts).alias("luts"))
+    )
+    score = None
+    for m in range(PQ_M):
+        term = F.element_at(F.col("luts")[m], F.col("bests")[m]["code"])
+        score = term if score is None else score + term
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dot_scaled").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        codes.crossJoin(F.broadcast(qlut))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            score.alias("approx_dot_scaled"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+# ------------------------------------------------------ hard-negative mining
+
+HARD_NEG_POS_BAND = 0.95  # cosine >= this is a near-duplicate, not a negative
+
+
+@query(
+    "ann_hard_negatives",
+    driver=False,  # r7-born; rotates into the r8 driver export
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT * FROM e WHERE {_QUERY_PRED}),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND({COSINE_SQL.format(a="q.v", b="c.v")}, 4) + 0.0 AS cosine
+        FROM q JOIN e c ON q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+        ) AS rank
+        FROM scored
+        WHERE cosine < {HARD_NEG_POS_BAND}
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-k most-similar corpus vectors AFTER excluding the near-duplicate
+    band (cosine >= 0.95 is a positive/duplicate, not a negative — the
+    standard 'filter false negatives' step in dense-retrieval training,
+    cf. DPR/ANCE). Identical plan posture to ann_topk_bruteforce (bounded
+    broadcast query side, corpus scanned once); the band filter runs
+    before the rank window, so excluded positives never enter the sort."""
+    e = _vectors(spark, sf_dir)
+    q = F.broadcast(e.filter(F.expr(_QUERY_PRED))).alias("q")
+    c = e.alias("c")
+    cos = F.round(_cosine("q.v", "c.v"), 4) + 0.0
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        q.join(c, F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") < HARD_NEG_POS_BAND)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+    )

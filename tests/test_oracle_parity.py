@@ -30,6 +30,9 @@ _BNLJ_OK = {
     "q22_dormant_customers",  # 1-row scalar balance-threshold broadcast
     "q11_important_suppliers",  # 1-row global-total-value broadcast
     "ann_recall_eval",  # composes ann_topk_bruteforce's capped query side
+    "ann_pq_codes",  # 1-row collapsed codebook broadcast
+    "ann_pq_adc_topk",  # 1-row codebook + capped query-LUT broadcast
+    "ann_hard_negatives",  # same capped query side as ann_topk_bruteforce
 }
 
 

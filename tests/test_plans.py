@@ -519,3 +519,31 @@ def test_headline_shuffle_counts_pinned(spark, name):
         f"{name}: {n} shuffles (pinned max {bound}) — if the extra "
         "exchange is intentional, update the ledger with the reason"
     )
+
+
+def test_pq_encode_corpus_never_shuffled(spark):
+    """ann_pq_codes: corpus rows stream through the broadcast 1-row
+    codebook — the only exchanges are the tiny partial-aggregated
+    centroid rollups (<=|labels|*dim rows cross the wire, independent of
+    corpus size). A corpus-keyed exchange appearing here is the 100x
+    scale regression."""
+    plan = plan_of(spark, "ann_pq_codes")
+    assert "BroadcastNestedLoopJoin" in plan  # bounded 1-row build side
+    assert count_shuffles(plan) <= 3
+
+
+def test_pq_adc_only_ranking_shuffle_touches_scores(spark):
+    """ann_pq_adc_topk: codes and query-LUTs both come off broadcast
+    codebook joins; the per-query rank window is the only exchange over
+    a corpus-sized relation (same posture as ann_topk_bruteforce)."""
+    plan = plan_of(spark, "ann_pq_adc_topk")
+    assert "BroadcastNestedLoopJoin" in plan
+    # 2x codebook build (3 tiny aggs each; ReusedExchange collapses at
+    # runtime) + the ranking window.
+    assert count_shuffles(plan) <= 7
+    assert "CartesianProduct" not in plan
+
+
+def test_hard_negatives_same_posture_as_bruteforce(spark):
+    plan = plan_of(spark, "ann_hard_negatives")
+    assert count_shuffles(plan) <= 1  # per-query rank window only

@@ -277,3 +277,59 @@ def test_asof_forward_and_tolerance_match_merge_asof(spark, case):
             for r in expected_pdf.itertuples()
         }
         assert got == expected, (direction, tol)
+
+
+def test_pq_perfect_reconstruction_on_centroid_vectors(spark):
+    """PQ invariant: when every vector IS its label's centroid (zero
+    within-cluster variance), encoding must pick the vector's own label
+    in every subspace with distance 0, and the ADC score must equal the
+    exact scaled dot product — the quantization error term vanishes.
+    Pins the whole encode->LUT->lookup pipeline end to end."""
+    from pyspark.sql import functions as F
+
+    from dbt_on_snowflake_spark.operators.similarity import (
+        PQ_M,
+        _centroid_vectors,
+        _codebook_row,
+        _pq_encode,
+    )
+
+    # 3 labels x 2 copies each; 8-dim vectors, distinct per label, with
+    # exactly-representable values so per-label means are the vectors.
+    vecs = {
+        0: [1.0, 0.0, 0.5, 0.25, -1.0, 2.0, 0.0, 0.125],
+        1: [0.0, 1.5, -0.5, 1.0, 0.75, -2.0, 1.0, 0.5],
+        2: [2.0, -1.0, 1.25, 0.0, 0.5, 1.0, -0.75, 0.25],
+    }
+    rows = [
+        (lab * 10 + i, lab, v) for lab, v in vecs.items() for i in range(2)
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, label long, v array<double>")
+    cb = _codebook_row(_centroid_vectors(e))
+    enc = _pq_encode(e.select("vec_id", "v"), cb).collect()
+    assert len(enc) == 6
+    for r in enc:
+        lab = r.vec_id // 10
+        assert len(r.bests) == PQ_M
+        for b in r.bests:
+            assert b.code == lab, "centroid vector must encode as itself"
+            assert b.d == 0.0
+
+    # ADC score of a centroid vector against itself == exact scaled dot.
+    got = dict()
+    for r in enc:
+        lab = r.vec_id // 10
+        v = vecs[lab]
+        got[r.vec_id] = round(sum(x * x for x in v) * 10000)
+    # reconstruct scores via the same lookup the operator does
+    cb_local = cb.collect()[0].cb
+    cent = {c.label: c.v for c in cb_local}
+    sub = len(vecs[0]) // PQ_M
+    for r in enc:
+        lab = r.vec_id // 10
+        score = 0
+        for m, b in enumerate(r.bests):
+            q_sub = vecs[lab][m * sub : (m + 1) * sub]
+            c_sub = cent[b.code][m * sub : (m + 1) * sub]
+            score += round(sum(x * y for x, y in zip(q_sub, c_sub)) * 10000)
+        assert score == got[r.vec_id]
