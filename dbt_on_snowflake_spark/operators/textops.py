@@ -797,3 +797,70 @@ def text_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(covered / F.size("bgs").cast("double"), 4) + F.lit(0.0)
         ).alias("coverage"),
     )
+
+
+# ------------------------------------------------- hashed linear classifier
+
+QC_BUCKETS = 64  # hashed feature space (fastText-style bag of buckets)
+QC_MULT = 2654435761  # Knuth multiplicative constant: bucket -> weight
+QC_MOD = 1997
+QC_SHIFT = 998  # centers weights on 0: range [-998, 998]
+
+
+@query(
+    "text_quality_classifier",
+    driver=False,  # r7-born; rotates into the r8 driver export
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+           CAST(list_aggregate(
+               list_transform(
+                   string_split(lower(text), ' '),
+                   tok -> CAST(('0x' || substring(md5(tok), 1, 8))::UBIGINT
+                               % {QC_BUCKETS} AS BIGINT)
+                          * {QC_MULT} % {QC_MOD} - {QC_SHIFT}
+               ), 'sum') AS BIGINT) AS score,
+           CAST(list_aggregate(
+               list_transform(
+                   string_split(lower(text), ' '),
+                   tok -> CAST(('0x' || substring(md5(tok), 1, 8))::UBIGINT
+                               % {QC_BUCKETS} AS BIGINT)
+                          * {QC_MULT} % {QC_MOD} - {QC_SHIFT}
+               ), 'sum') AS BIGINT) > 0 AS keep
+    FROM documents
+    """,
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear quality model scored at scan speed:
+    each token hashes into one of QC_BUCKETS feature buckets (md5-based,
+    engine-portable) and contributes that bucket's weight; a document's
+    score is the sum and `keep` its sign — the standard cheap quality
+    gate (cf. fastText classifiers filtering CommonCrawl for
+    CCNet/LLaMA-style pipelines). Weights here derive from a fixed
+    multiplicative-hash formula so both engines hold bit-identical
+    models in INTEGER space (a trained model would broadcast a
+    bucket->weight map instead — same plan).
+
+    Plan: one higher-order-function expression per row — no explode, no
+    join, no shuffle; the whole classifier runs inside the document
+    scan projection, which is what makes it viable as a 100 TB
+    pre-filter."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+
+    def weight(tok):
+        bucket = F.pmod(
+            F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long"),
+            F.lit(QC_BUCKETS),
+        )
+        return F.pmod(bucket * F.lit(QC_MULT), F.lit(QC_MOD)) - F.lit(QC_SHIFT)
+
+    score = F.aggregate(
+        F.transform(toks, weight), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        score.alias("score"),
+        (score > 0).alias("keep"),
+    )

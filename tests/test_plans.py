@@ -547,3 +547,12 @@ def test_pq_adc_only_ranking_shuffle_touches_scores(spark):
 def test_hard_negatives_same_posture_as_bruteforce(spark):
     plan = plan_of(spark, "ann_hard_negatives")
     assert count_shuffles(plan) <= 1  # per-query rank window only
+
+
+def test_quality_classifier_is_shuffle_free(spark):
+    """text_quality_classifier runs entirely inside the scan projection
+    (higher-order functions, no explode/join/agg) — the posture that
+    makes it a viable 100 TB pre-filter."""
+    plan = plan_of(spark, "text_quality_classifier")
+    assert count_shuffles(plan) == 0
+    assert "Generate" not in plan  # no explode
