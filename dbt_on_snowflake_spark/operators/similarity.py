@@ -929,6 +929,7 @@ def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ann_pq_adc_topk",
     driver=False,  # r7-born; rotates into the r8 driver export
+    headline=True,  # r7: newest heavy shape (2x codebook build + ADC scan)
     oracle=f"""
     WITH {_PQ_CODES_CTE},
     lut AS (

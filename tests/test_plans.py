@@ -486,6 +486,7 @@ def test_bigram_coverage_no_doc_shuffle(spark):
 # (explain before AQE; deterministic).
 _HEADLINE_MAX_SHUFFLES = {
     "a1_loyalty_metrics": 1,
+    "ann_pq_adc_topk": 7,  # 2x tiny codebook build + the rank window
     "ann_topk_bruteforce": 1,
     "asof_last_order_before_event": 1,
     "corpus_clean_pipeline": 1,
