@@ -847,6 +847,20 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-filter."""
     d = table(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.col("text")), " ")
+    score = quality_score("text")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        score.alias("score"),
+        (score > 0).alias("keep"),
+    )
+
+
+def quality_score(col: str = "text"):
+    """The hashed-linear-model score Column (see
+    ``text_quality_classifier``) — importable by engine models so a
+    curation DAG applies the same gate the registered query checks."""
+    toks = F.split(F.lower(F.col(col)), " ")
 
     def weight(tok):
         bucket = F.pmod(
@@ -855,12 +869,6 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return F.pmod(bucket * F.lit(QC_MULT), F.lit(QC_MOD)) - F.lit(QC_SHIFT)
 
-    score = F.aggregate(
+    return F.aggregate(
         F.transform(toks, weight), F.lit(0).cast("long"), lambda a, x: a + x
-    )
-    return d.select(
-        "doc_id",
-        F.size(toks).cast("long").alias("n_tokens"),
-        score.alias("score"),
-        (score > 0).alias("keep"),
     )

@@ -2506,3 +2506,89 @@ def test_package_side_yml_declares_access_and_versions(spark, tmp_path):
     status = {r.name: r.status for r in results}
     assert status.get("uses_util") == "success"
     assert sorted(r.id for r in spark.table("dev_uses_util").collect()) == [2]
+
+
+def test_curation_pipeline_dag_end_to_end(spark, tmp_path):
+    """The LLM-data-curation pipeline AS AN ENGINE DAG: documents source
+    -> hashed-linear quality gate -> exact dedup -> per-language token
+    accounting, three Python models materialized through the normal
+    runner (view -> table -> table). Pins that the operator library and
+    the dbt-style engine compose: a user curates corpora with ref()/
+    source() models, not hand-wired scripts. Expectations are computed
+    directly on the same parquet with the same column helpers."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dbt_on_snowflake_spark.engine.project import Project
+    from dbt_on_snowflake_spark.engine.runner import Runner
+    from dbt_on_snowflake_spark.operators.textops import quality_score
+
+    sf_dir = "/root/testdata/sf0.001"
+    root = str(tmp_path / "curation")
+    os.makedirs(f"{root}/models/pipeline", exist_ok=True)
+    with open(f"{root}/project.yml", "w") as f:
+        f.write(
+            "name: curation\nmodels:\n  pipeline:\n    materialized: table\n"
+        )
+    with open(f"{root}/sources.yml", "w") as f:
+        f.write(
+            f"sources:\n  - name: raw\n    base_path: \"{sf_dir}\"\n"
+            "    tables:\n      - name: documents\n"
+        )
+    with open(f"{root}/models/pipeline/kept_docs.py", "w") as f:
+        f.write(
+            "from dbt_on_snowflake_spark.operators.textops import quality_score\n"
+            "def model(ctx, spark):\n"
+            "    ctx.config(materialized='view')\n"
+            "    d = ctx.source('raw', 'documents')\n"
+            "    return d.filter(quality_score('text') > 0)\n"
+        )
+    with open(f"{root}/models/pipeline/unique_docs.py", "w") as f:
+        f.write(
+            "from pyspark.sql import Window\n"
+            "from pyspark.sql import functions as F\n"
+            "def model(ctx, spark):\n"
+            "    d = ctx.ref('kept_docs')\n"
+            "    w = Window.partitionBy(F.md5('text'))\n"
+            "    return (d.withColumn('canonical_id', F.min('doc_id').over(w))\n"
+            "             .filter(F.col('doc_id') == F.col('canonical_id'))\n"
+            "             .drop('canonical_id'))\n"
+        )
+    with open(f"{root}/models/pipeline/lang_token_budget.py", "w") as f:
+        f.write(
+            "from pyspark.sql import functions as F\n"
+            "def model(ctx, spark):\n"
+            "    d = ctx.ref('unique_docs')\n"
+            "    return (d.groupBy('lang')\n"
+            "             .agg(F.count(F.lit(1)).alias('n_docs'),\n"
+            "                  F.sum(ctx.token_count_col('text'))\n"
+            "                   .alias('n_tokens')))\n"
+        )
+
+    runner = Runner(spark, Project(root, target="cur"))
+    results = runner.run()
+    assert [r.status for r in results] == ["success"] * 3
+
+    # Expected: the same chain computed directly.
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = docs.filter(quality_score("text") > 0)
+    w = Window.partitionBy(F.md5("text"))
+    uniq = (
+        kept.withColumn("cid", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("cid"))
+    )
+    expect = {
+        r.lang: (r.n_docs, r.n_tokens)
+        for r in uniq.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split("text", " ")).cast("long")).alias("n_tokens"),
+        )
+        .collect()
+    }
+    got = {
+        r.lang: (r.n_docs, r.n_tokens)
+        for r in spark.table("cur_lang_token_budget").collect()
+    }
+    assert got == expect
+    assert 0 < spark.table("cur_unique_docs").count() <= docs.count()
