@@ -1857,3 +1857,93 @@ def q12_priority_by_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(~urgent, 1)).alias("low_line_count"),
         )
     )
+
+
+# --- ntile quartiles: per-customer order-value quartile assignment
+# rolled up to global per-quartile stats — window-ranking family breadth
+# (SURVEY §2.5) alongside row_number/rank/lag.
+@query(
+    "w_ntile_customer_value_quartiles",
+    driver=False,  # r7-born; rotates into the r8 driver export
+    oracle=f"""
+    WITH t AS (
+        SELECT o_custkey,
+               NTILE(4) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY {scaled_sql('o_totalprice')} ASC, o_orderkey ASC
+               ) AS quartile,
+               {scaled_sql('o_totalprice')} AS v
+        FROM orders
+    )
+    SELECT CAST(quartile AS BIGINT) AS quartile,
+           COUNT(*) AS n_orders,
+           CAST(SUM(v) AS BIGINT) AS total_value_scaled
+    FROM t GROUP BY 1
+    """,
+)
+def w_ntile_customer_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(4) within each customer's own orders (scaled-integer value
+    with orderkey tie-break, so bucket edges are deterministic), rolled
+    up to per-quartile counts and exact value mass. Partitioning by
+    custkey keeps every window tiny — this is the scalable ntile shape;
+    a GLOBAL ntile would be a TeraSort-class total order and belongs to
+    the approx-quantile path instead (a_approx_sketches)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        scaled("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select(
+            scaled("o_totalprice").alias("v"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+        )
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("v").alias("total_value_scaled"),
+        )
+    )
+
+
+# --- Explicit GROUPING SETS (beyond rollup/cube): exactly the two
+# marginal totals, no cross combination — the form report queries
+# actually use. DataFrame.groupingSets landed in Spark 4.0.
+@query(
+    "a_grouping_sets_status_priority",
+    driver=False,  # r7-born; rotates into the r8 driver export
+    oracle=f"""
+    SELECT o_orderstatus AS status,
+           o_orderpriority AS priority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                AS BIGINT) AS gid,
+           {dsum_sql("o_totalprice", "total_value")},
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def a_grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Status-marginal and priority-marginal totals in ONE pass via
+    explicit grouping sets (one Expand x2 then a single hash aggregate —
+    cheaper than two scans unioned). grouping_id disambiguates the NULL
+    produced by the set shape from a NULL data value."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"]],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            dsum("o_totalprice", "total_value"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            "gid",
+            "total_value",
+            "n_orders",
+        )
+    )

@@ -488,3 +488,56 @@ def f_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("ts").cast("long").alias("event_month"),
         F.substring("event_type", 1, 3).alias("type_prefix"),
     )
+
+
+# --- §2.6 function-family breadth: the datetime suite (year/quarter/
+# month/day extraction, month truncation, calendar arithmetic, weekday).
+# Reference models use DATE_TRUNC/YEAR via Snowflake SQL; this pins the
+# engine-portable equivalents on one distinct-date frame.
+@query(
+    "f_datetime_suite",
+    driver=False,  # r7-born; rotates into the r8 driver export
+    oracle="""
+    SELECT DISTINCT
+           CAST(o_orderdate AS DATE) AS d,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+           CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS qtr,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mon,
+           CAST(EXTRACT(DAY FROM o_orderdate) AS BIGINT) AS dom,
+           CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+               AS month_start,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE)
+               AS plus_two_months,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(isodow(o_orderdate) - 1 AS BIGINT) AS weekday_mon0,
+           CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT)
+               AS days_since_epoch_start
+    FROM orders
+    """,
+)
+def f_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per distinct order date with the datetime function family
+    applied. add_months clamps to month end exactly like DuckDB's
+    +INTERVAL MONTH; weekday is normalized Monday=0 (Spark weekday ==
+    isodow-1). Narrow maps over a distinct-date frame — the distinct is
+    the only exchange, over |dates| rows."""
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return (
+        o.select(d.alias("d"))
+        .distinct()
+        .select(
+            "d",
+            F.year("d").cast("long").alias("yr"),
+            F.quarter("d").cast("long").alias("qtr"),
+            F.month("d").cast("long").alias("mon"),
+            F.dayofmonth("d").cast("long").alias("dom"),
+            F.trunc("d", "month").alias("month_start"),
+            F.add_months("d", 2).alias("plus_two_months"),
+            F.last_day("d").alias("month_end"),
+            F.weekday("d").cast("long").alias("weekday_mon0"),
+            F.datediff("d", F.lit("1995-01-01").cast("date"))
+            .cast("long")
+            .alias("days_since_epoch_start"),
+        )
+    )

@@ -59,7 +59,9 @@ QUERIES: dict[str, RegisteredQuery] = {}
 #   corpus_pack_shards_bpe, asof_next_order_after_event,
 #   asof_last_order_within_30d, ann_recall_eval, corpus_shuffle_order,
 #   q12_priority_by_shipmode, ann_pq_codes, ann_pq_adc_topk,
-#   ann_hard_negatives, text_quality_classifier);
+#   ann_hard_negatives, text_quality_classifier,
+#   w_ntile_customer_value_quartiles, a_grouping_sets_status_priority,
+#   f_datetime_suite);
 #   backfill with r6-green veterans.
 DRIVER_BUDGET = 50
 
