@@ -31,12 +31,14 @@ def main(argv: list[str] | None = None) -> int:
     for name in (
         "run", "build", "test", "compile", "ls", "freshness", "seed", "docs",
         "retry", "clone", "run-operation", "show", "vacuum", "compact",
+        "snapshot",
     ):
         sp = sub.add_parser(name)
         if name == "ls":
             sp.add_argument(
                 "--resource-type", default="model", dest="resource_type",
-                choices=["model", "seed", "source", "exposure", "all"],
+                choices=["model", "seed", "source", "exposure", "snapshot",
+                         "all"],
                 help="which resource inventory to list",
             )
         if name == "run-operation":
@@ -211,6 +213,10 @@ def main(argv: list[str] | None = None) -> int:
         if rtype in ("exposure", "all"):
             for e in getattr(project, "exposures", []):
                 print(f"exposure {e.name} ({e.type})")
+        if rtype in ("snapshot", "all"):
+            for name in sorted(getattr(project, "snapshots", {})):
+                s = project.snapshots[name]
+                print(f"snapshot {name} [{s.strategy}] on {s.relation}")
         return 0
 
     if args.cmd == "compile":
@@ -778,6 +784,18 @@ def main(argv: list[str] | None = None) -> int:
         write_catalog(spark, runner, _os.path.join(tdir, "catalog.json"))
         print(f"wrote {tdir}/manifest.json and {tdir}/catalog.json")
         return 0
+
+    if args.cmd == "snapshot":
+        results = runner.run_snapshots()
+        if not results:
+            print("no snapshots defined (snapshots.yml)")
+            return 0
+        for r in results:
+            rows = "-" if r.rows is None else r.rows
+            extra = f"  {r.error}" if r.error else ""
+            print(f"{r.status:8s} snapshot  {r.relation} "
+                  f"({rows} rows){extra}")
+        return 0 if all(r.status == "success" for r in results) else 1
 
     if args.cmd == "seed":
         runner.load_seeds()

@@ -14,13 +14,16 @@ def build_graph(project: Project) -> dict[str, set[str]]:
     """model -> set of upstream models (sources and seeds are roots, not
     nodes — seeds are always materialized before any model runs)."""
     seeds = getattr(project, "seeds", {})
+    snapshots = getattr(project, "snapshots", {})
     alias = getattr(project, "version_alias", {})
     graph: dict[str, set[str]] = {}
     for name, node in project.models.items():
         # a bare ref to a VERSIONED model resolves to its latest version
         refs = [alias.get(r, r) for r in node.refs]
         missing = [
-            r for r in refs if r not in project.models and r not in seeds
+            r
+            for r in refs
+            if r not in project.models and r not in seeds and r not in snapshots
         ]
         if missing:
             raise ValueError(f"model '{name}' refs unknown model(s): {missing}")

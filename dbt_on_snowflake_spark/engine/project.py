@@ -108,6 +108,22 @@ class SourceTable:
     freshness: dict[str, Any] | None = None
 
 
+@dataclass
+class SnapshotNode:
+    """A dbt 1.9-style YAML-defined snapshot (snapshots.yml): SCD2
+    change tracking over a ref()/source() relation. ``strategy`` is
+    ``check`` (column-hash comparison over ``check_cols``; 'all' =
+    every non-key column) or ``timestamp`` (trust the source system's
+    ``updated_at`` clock)."""
+
+    name: str
+    relation: str  # "source('g','t')" or "ref('model')"
+    unique_key: str
+    strategy: str = "check"
+    check_cols: Any = "all"  # list[str] | "all"
+    updated_at: str | None = None
+
+
 class Project:
     def __init__(self, root: str, target: str = "dev"):
         self.root = root
@@ -141,6 +157,7 @@ class Project:
         )
         self._enforce_access()
         self.seeds = self._discover_seeds()
+        self.snapshots = self._load_snapshots()
         self.selectors = self._load_selectors()
         # ref() resolves seeds before models, so a shared name would
         # silently shadow the model — reject at discovery, mirroring the
@@ -763,6 +780,47 @@ class Project:
                             description=e.get("description"),
                         )
                     )
+        return out
+
+    def _load_snapshots(self) -> dict[str, "SnapshotNode"]:
+        """snapshots.yml -> SnapshotNode map (dbt 1.9 YAML snapshots).
+        Validated at parse time like models: unknown strategies, a
+        timestamp strategy without updated_at, and name collisions with
+        models/seeds are load errors, not run failures."""
+        path = os.path.join(self.root, "snapshots.yml")
+        out: dict[str, SnapshotNode] = {}
+        if not os.path.exists(path):
+            return out
+        with open(path) as f:
+            doc = yaml.safe_load(f) or {}
+        for entry in doc.get("snapshots", []):
+            cfg = entry.get("config", {})
+            node = SnapshotNode(
+                name=entry["name"],
+                relation=entry["relation"],
+                unique_key=cfg["unique_key"],
+                strategy=cfg.get("strategy", "check"),
+                check_cols=cfg.get("check_cols", "all"),
+                updated_at=cfg.get("updated_at"),
+            )
+            if node.strategy not in ("check", "timestamp"):
+                raise ValueError(
+                    f"snapshot {node.name!r}: unknown strategy "
+                    f"{node.strategy!r} (check|timestamp)"
+                )
+            if node.strategy == "timestamp" and not node.updated_at:
+                raise ValueError(
+                    f"snapshot {node.name!r}: timestamp strategy requires "
+                    "config.updated_at"
+                )
+            if node.name in self.models or node.name in self.seeds:
+                raise ValueError(
+                    f"snapshot {node.name!r} collides with a model/seed "
+                    "name (it would shadow ref() resolution)"
+                )
+            if node.name in out:
+                raise ValueError(f"duplicate snapshot {node.name!r}")
+            out[node.name] = node
         return out
 
     def _load_sources(self) -> dict[tuple[str, str], SourceTable]:

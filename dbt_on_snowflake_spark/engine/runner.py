@@ -219,6 +219,18 @@ class Runner:
         name = getattr(self.project, "version_alias", {}).get(name, name)
         if name in self.project.seeds:
             return self.project.relation_for(name)
+        if name in getattr(self.project, "snapshots", {}):
+            # marts ref() snapshots like any relation (dbt: ref to the
+            # snapshot node); the table must have been built by a prior
+            # `snapshot` invocation — same contract as an unbuilt model
+            relation = self.project.relation_for(name)
+            if not self.table_exists(relation):
+                raise ValueError(
+                    f"snapshot {name!r} has no table yet — run the "
+                    "`snapshot` command before models that ref() it"
+                )
+            self._register_table(relation)
+            return relation
         deferred = self._resolve_deferred(name)
         if deferred is not None:
             return deferred
@@ -290,6 +302,86 @@ class Runner:
             else:
                 df = reader.parquet(src.path)
             df.createOrReplaceTempView(self.resolve_source(group, name))
+
+    # -- snapshots ---------------------------------------------------------
+    def _snapshot_source_df(self, snap) -> DataFrame:
+        """Resolve a SnapshotNode's relation string — ``source('g','t')``
+        or ``ref('model')`` — to a DataFrame."""
+        import re
+
+        m = re.match(
+            r"\s*source\(\s*['\"]([^'\"]+)['\"]\s*,\s*['\"]([^'\"]+)['\"]"
+            r"\s*\)\s*$",
+            snap.relation,
+        )
+        if m:
+            self.load_sources()
+            return self.spark.table(self.resolve_source(m.group(1), m.group(2)))
+        m = re.match(r"\s*ref\(\s*['\"]([^'\"]+)['\"]\s*\)\s*$", snap.relation)
+        if m:
+            return self.spark.table(self.resolve_ref(m.group(1)))
+        raise ValueError(
+            f"snapshot {snap.name!r}: relation must be source('g','t') or "
+            f"ref('model'), got {snap.relation!r}"
+        )
+
+    def run_snapshots(self, now=None) -> list[NodeResult]:
+        """dbt snapshot: apply every snapshots.yml node against its
+        current source state, SCD2-merging into the snapshot table
+        through the atomic table format (one full-outer-join shuffle per
+        node — see engine/snapshot.py for the at-scale posture). ``now``
+        is injectable for deterministic tests, mirroring freshness."""
+        from datetime import datetime, timezone
+
+        from dbt_on_snowflake_spark.engine.snapshot import (
+            snapshot_apply,
+            snapshot_apply_timestamp,
+        )
+
+        if now is None:
+            now = datetime.now(timezone.utc).replace(tzinfo=None)
+        out: list[NodeResult] = []
+        for name in sorted(getattr(self.project, "snapshots", {})):
+            snap = self.project.snapshots[name]
+            relation = self.project.relation_for(name)
+            t0 = time.time()
+            try:
+                src = self._snapshot_source_df(snap)
+                existing = None
+                if self.table_exists(relation):
+                    self._register_table(relation)
+                    existing = self.spark.table(relation)
+                if snap.strategy == "timestamp":
+                    tracked = [
+                        c
+                        for c in src.columns
+                        if c not in (snap.unique_key, snap.updated_at)
+                    ]
+                    snapped = snapshot_apply_timestamp(
+                        self.spark, src, existing, snap.unique_key,
+                        snap.updated_at, tracked, now,
+                    )
+                else:
+                    cols = snap.check_cols
+                    if cols in (None, "all"):
+                        cols = [c for c in src.columns if c != snap.unique_key]
+                    snapped = snapshot_apply(
+                        self.spark, src, existing, snap.unique_key,
+                        list(cols), now,
+                    )
+                rows = self._write_versioned(snapped, relation)
+                self._register_table(relation)
+                out.append(NodeResult(
+                    name, "success", "snapshot", relation, rows,
+                    time.time() - t0,
+                ))
+            except Exception as e:  # noqa: BLE001 — per-node isolation
+                out.append(NodeResult(
+                    name, "error", "snapshot", relation, None,
+                    time.time() - t0, error=str(e),
+                ))
+        self.results.extend(out)
+        return out
 
     # -- seeds -------------------------------------------------------------
     def load_seeds(self, only: set[str] | None = None) -> set[str]:

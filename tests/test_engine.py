@@ -2592,3 +2592,89 @@ def test_curation_pipeline_dag_end_to_end(spark, tmp_path):
     }
     assert got == expect
     assert 0 < spark.table("cur_unique_docs").count() <= docs.count()
+
+
+def test_snapshot_command_scd2_lifecycle(spark, tmp_path, capsys):
+    """`snapshot` as a first-class project node (dbt 1.9 YAML snapshots):
+    two CLI invocations with a source edit in between produce SCD2
+    history through the atomic table format, and a mart can ref() the
+    snapshot like any relation. Library-level strategy semantics are
+    pinned in test_snapshot.py; this pins the project/CLI wiring."""
+    from dbt_on_snowflake_spark.__main__ import main
+
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+
+    def write_src(rows):
+        pd.DataFrame(rows, columns=["cust_id", "city"]).to_parquet(
+            os.path.join(data, "customers.parquet"), index=False
+        )
+
+    write_src([(1, "york"), (2, "leeds")])
+    root = str(tmp_path / "snapproj")
+    os.makedirs(f"{root}/models/marts", exist_ok=True)
+    with open(f"{root}/project.yml", "w") as f:
+        f.write("name: snapproj\nmodels:\n  marts:\n    materialized: table\n")
+    with open(f"{root}/sources.yml", "w") as f:
+        f.write(
+            f"sources:\n  - name: raw\n    base_path: \"{data}\"\n"
+            "    tables:\n      - name: customers\n"
+        )
+    with open(f"{root}/snapshots.yml", "w") as f:
+        f.write(
+            "snapshots:\n"
+            "  - name: customers_snapshot\n"
+            "    relation: source('raw', 'customers')\n"
+            "    config:\n"
+            "      unique_key: cust_id\n"
+            "      strategy: check\n"
+            "      check_cols: [city]\n"
+        )
+    with open(f"{root}/models/marts/current_cities.sql", "w") as f:
+        f.write(
+            "SELECT cust_id, city FROM {{ ref('customers_snapshot') }} "
+            "WHERE dbt_valid_to IS NULL"
+        )
+
+    assert main(["ls", "--project", root, "--resource-type", "snapshot"]) == 0
+    assert "customers_snapshot [check]" in capsys.readouterr().out
+
+    assert main(["snapshot", "--project", root]) == 0
+    out = capsys.readouterr().out
+    assert "success" in out and "customers_snapshot" in out
+
+    write_src([(1, "york"), (2, "sheffield")])  # cust 2 moved
+    assert main(["snapshot", "--project", root]) == 0
+    capsys.readouterr()
+
+    snap = spark.table("dev_customers_snapshot")
+    open_rows = {
+        (r.cust_id, r.city)
+        for r in snap.filter("dbt_valid_to IS NULL").collect()
+    }
+    closed_rows = {
+        (r.cust_id, r.city)
+        for r in snap.filter("dbt_valid_to IS NOT NULL").collect()
+    }
+    assert open_rows == {(1, "york"), (2, "sheffield")}
+    assert closed_rows == {(2, "leeds")}
+
+    # the mart refs the snapshot relation
+    assert main(["run", "--project", root]) == 0
+    capsys.readouterr()
+    got = {
+        (r.cust_id, r.city) for r in spark.table("dev_current_cities").collect()
+    }
+    assert got == {(1, "york"), (2, "sheffield")}
+
+    # model run BEFORE any snapshot exists fails with a clear message
+    import shutil
+
+    root2 = str(tmp_path / "snapproj2")
+    shutil.copytree(root, root2)
+    with open(f"{root2}/project.yml", "w") as f:
+        f.write("name: snapproj2\nmodels:\n  marts:\n    materialized: table\n")
+    runner = Runner(spark, Project(root2, target="fresh"))
+    res = runner.run()
+    assert res[0].status == "error"
+    assert "snapshot" in (res[0].error or "")
