@@ -1068,3 +1068,87 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+@query(
+    "ann_pq_recall_eval",
+    driver=False,  # r7-born; rotates into the r8 driver export
+    oracle=f"""
+    WITH {_PQ_CODES_CTE},
+    q AS (SELECT * FROM e WHERE {_QUERY_PRED}),
+    bscored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND({COSINE_SQL.format(a="q.v", b="c.v")}, 4) + 0.0 AS cosine
+        FROM q JOIN e c ON q.vec_id <> c.vec_id
+    ),
+    brute AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+            ) AS rank FROM bscored
+        ) WHERE rank <= {TOP_K}
+    ),
+    lut AS (
+        SELECT qv.vec_id AS query_id, ms.m, c.label,
+               CAST(ROUND(list_dot_product({_PQ_SUB_SQL.format(v='qv.v', m='ms.m')},
+                                           {_PQ_SUB_SQL.format(v='c.v', m='ms.m')})
+                          * 10000) AS BIGINT) AS p
+        FROM q qv CROSS JOIN ms CROSS JOIN cvec c
+    ),
+    adc AS (
+        SELECT l.query_id, cd.vec_id AS neighbor_id,
+               CAST(SUM(l.p) AS BIGINT) AS score
+        FROM (SELECT vec_id, m, code FROM pq_codes WHERE rn = 1) cd
+        JOIN lut l ON l.m = cd.m AND l.label = cd.code
+        WHERE cd.vec_id <> l.query_id
+        GROUP BY 1, 2
+    ),
+    pqtop AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC
+            ) AS rank FROM adc
+        ) WHERE rank <= {TOP_K}
+    ),
+    hits AS (
+        SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM brute b JOIN pqtop p
+          ON p.query_id = b.query_id AND p.neighbor_id = b.neighbor_id
+        GROUP BY b.query_id
+    )
+    SELECT q.vec_id AS query_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {TOP_K}, 4) + 0.0
+               AS recall_at_k
+    FROM q LEFT JOIN hits h ON h.query_id = q.vec_id
+    """,
+)
+def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL@K of PQ/ADC retrieval against exact brute force — the PQ
+    acceptance gate ('is M=4 quantization loss tolerable'), mirroring
+    ann_recall_eval's pattern so every index variant (IVF, PQ, IVF+PQ)
+    evaluates through one shape. Both retrievals run as their own
+    plan-audited shapes; the comparison joins two K x |queries| tables."""
+    b = ann_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    p = ann_pq_adc_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        b.join(p, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    qs = (
+        _vectors(spark, sf_dir)
+        .filter(F.expr(_QUERY_PRED))
+        .select(F.col("vec_id").alias("query_id"))
+    )
+    return qs.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        (
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / TOP_K,
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("recall_at_k"),
+    )
