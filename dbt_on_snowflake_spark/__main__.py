@@ -31,7 +31,7 @@ def main(argv: list[str] | None = None) -> int:
     for name in (
         "run", "build", "test", "compile", "ls", "freshness", "seed", "docs",
         "retry", "clone", "run-operation", "show", "vacuum", "compact",
-        "snapshot",
+        "snapshot", "parse", "deps",
     ):
         sp = sub.add_parser(name)
         if name == "ls":
@@ -172,6 +172,49 @@ def main(argv: list[str] | None = None) -> int:
             print("--vars must be a YAML mapping", file=sys.stderr)
             return 2
     resolved_vars = {**(project.config.get("vars") or {}), **(cli_vars or {})}
+
+    if args.cmd == "parse":
+        # dbt parse: full project load + validation already happened in
+        # Project(...) above (models, versions, governance, contracts,
+        # unit tests, snapshots, packages+lock); emit the inventory and
+        # the manifest artifact without touching a SparkSession.
+        from dbt_on_snowflake_spark.engine.artifacts import write_manifest
+
+        counts = {
+            "models": len(project.models),
+            "sources": len(project.sources),
+            "seeds": len(project.seeds),
+            "snapshots": len(getattr(project, "snapshots", {})),
+            "exposures": len(getattr(project, "exposures", [])),
+            "unit_tests": len(getattr(project, "unit_tests", [])),
+            "macros": len(project.macros),
+        }
+        for k, v in counts.items():
+            print(f"{k}: {v}")
+        out = args.out or _os.path.join(
+            args.project, "target", "manifest.json"
+        )
+        write_manifest(project, out)
+        print(f"manifest: {out}")
+        return 0
+
+    if args.cmd == "deps":
+        # dbt deps: packages resolve during project load; report what was
+        # pinned. The lock was validated (or first written) by
+        # _check_and_write_lock — drift already raised before this line.
+        lock_path = _os.path.join(args.project, "package-lock.yml")
+        if not _os.path.exists(lock_path):
+            print("no packages declared (project.yml `packages:`)")
+            return 0
+        import yaml as _yaml
+
+        with open(lock_path) as f:
+            lock = _yaml.safe_load(f) or {}
+        for pkg in lock.get("packages", []):
+            ver = pkg.get("version") or "unversioned"
+            print(f"{pkg['name']} {ver} sha={pkg['sha'][:12]}")
+        print(f"lock: {lock_path}")
+        return 0
 
     if args.cmd == "ls":
         # dbt ls: selection-aware inventory across resource types, with

@@ -2678,3 +2678,35 @@ def test_snapshot_command_scd2_lifecycle(spark, tmp_path, capsys):
     res = runner.run()
     assert res[0].status == "error"
     assert "snapshot" in (res[0].error or "")
+
+
+def test_parse_and_deps_commands(tmp_path, capsys):
+    """`parse` validates the project and writes the manifest with no
+    SparkSession; `deps` reports the resolved package lock."""
+    from dbt_on_snowflake_spark.__main__ import main
+
+    out = str(tmp_path / "manifest.json")
+    rc = main(["parse", "--project", PROJ_ROOT, "--out", out])
+    text = capsys.readouterr().out
+    assert rc == 0
+    assert "models: 11" in text and f"manifest: {out}" in text
+    with open(out) as f:
+        manifest = json.load(f)
+    assert "orders" in manifest.get("nodes", manifest)
+
+    # deps on a project with a package: lock contents are reported
+    pkg = str(tmp_path / "pkg")
+    os.makedirs(f"{pkg}/macros", exist_ok=True)
+    with open(f"{pkg}/project.yml", "w") as f:
+        f.write("name: util_pkg\nversion: 1.0.0\n")
+    with open(f"{pkg}/macros/m.sql", "w") as f:
+        f.write("{% macro shout(x) %}upper({{ x }}){% endmacro %}\n")
+    root = str(tmp_path / "depproj")
+    os.makedirs(f"{root}/models/core", exist_ok=True)
+    with open(f"{root}/project.yml", "w") as f:
+        f.write(f"name: depproj\npackages: ['{pkg}']\n"
+                "models:\n  core:\n    materialized: view\n")
+    rc = main(["deps", "--project", root])
+    text = capsys.readouterr().out
+    assert rc == 0
+    assert "util_pkg 1.0.0 sha=" in text and "package-lock.yml" in text
