@@ -872,3 +872,150 @@ def quality_score(col: str = "text"):
     return F.aggregate(
         F.transform(toks, weight), F.lit(0).cast("long"), lambda a, x: a + x
     )
+
+
+# ----------------------------------------------------------- BPE training
+
+BPE_TRAIN_MERGES = 8  # merge budget for the registered trainer query
+
+
+def _bpe_symbols(state):
+    """Symbol list of a marker-rep Column (``~~h~~e~~`` -> [h, e])."""
+    return F.filter(F.split(state, "~~"), lambda x: x != "")
+
+
+def _bpe_pairs(state):
+    """Adjacent symbol pairs of a marker-rep Column, overlap-counted —
+    the textbook BPE pair statistic ("aaa" counts (a,a) twice)."""
+    syms = _bpe_symbols(state)
+    return F.when(
+        F.size(syms) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda j: F.struct(
+                F.element_at(syms, j).alias("a"),
+                F.element_at(syms, j + 1).alias("b"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<a:string,b:string>>")
+    )
+
+
+def bpe_train_merges(words: DataFrame, n_merges: int) -> list[tuple[str, str, int]]:
+    """Learn a BPE merge table FROM a word-frequency DataFrame
+    ``(w, freq)`` — the distributed trainer whose frozen output format is
+    ``BPE_MERGES``. Classic Sennrich et al. (ACL 2016) BPE with the
+    deterministic count-DESC / (a, b)-lexicographic tie-break.
+
+    Scale design: the corpus is NEVER touched here — training state is
+    the word-frequency table (vocab-sized, orders of magnitude smaller
+    than the corpus; the single corpus pass happens in the caller's
+    word-count aggregate). Each iteration is one vocab-level pair-count
+    aggregate + a 1-ROW argmax collect (control plane, like broadcast
+    thresholds) + a narrow marker-string replace. Returns
+    [(left, right, pair_count), ...] in rank order."""
+    state = words.select(
+        "freq",
+        F.concat(
+            F.lit("~~"), F.regexp_replace("w", "(.)", "$1~~")
+        ).alias("s"),
+    ).localCheckpoint(eager=True)  # cut lineage: state re-derives per merge
+    out: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        best = (
+            state.select(F.explode(_bpe_pairs(F.col("s"))).alias("p"), "freq")
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, c = best[0].a, best[0].b, best[0].c
+        out.append((a, b, int(c)))
+        state = state.select(
+            "freq",
+            F.replace(
+                F.col("s"), F.lit(f"~{a}~~{b}~"), F.lit(f"~{a}{b}~")
+            ).alias("s"),
+        ).localCheckpoint(eager=True)
+    return out
+
+
+def _bpe_train_oracle(n_merges: int) -> str:
+    """DuckDB replay of the identical trainer: chained CTEs, one
+    (pairs -> 1-row argmax -> replace) stage per merge rank."""
+    ctes = [
+        f"""
+    state_0 AS (
+        SELECT COUNT(*) AS freq,
+               ('~~' || regexp_replace(w, '(.)', '\\1~~', 'g')) AS s
+        FROM (
+            SELECT unnest(regexp_extract_all(text, '{_BPE_REGEX}')) AS w
+            FROM documents
+        )
+        GROUP BY w
+    )"""
+    ]
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        ctes.append(f"""
+    syms_{i} AS (
+        SELECT freq, list_filter(string_split(s, '~~'), x -> x <> '') AS l
+        FROM state_{p}
+    ),
+    pairs_{i} AS (
+        SELECT l[j] AS a, l[j + 1] AS b, SUM(freq) AS c
+        FROM syms_{i}, UNNEST(range(1, len(l))) AS t(j)
+        GROUP BY 1, 2
+    ),
+    m_{i} AS (
+        SELECT a, b, c FROM pairs_{i}
+        ORDER BY c DESC, a ASC, b ASC LIMIT 1
+    ),
+    state_{i} AS (
+        SELECT s0.freq,
+               replace(s0.s, '~' || m.a || '~~' || m.b || '~',
+                       '~' || m.a || m.b || '~') AS s
+        FROM state_{p} s0 CROSS JOIN m_{i} m
+    )""")
+    finals = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, a AS left_sym, b AS right_sym,"
+        f" CAST(c AS BIGINT) AS pair_count FROM m_{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "WITH" + ",".join(ctes) + "\n    " + finals
+
+
+@query(
+    "text_bpe_train_merges",
+    driver=False,  # r7-born; rotates into the r8 driver export
+    oracle=_bpe_train_oracle(BPE_TRAIN_MERGES),
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED BPE TRAINING over the documents corpus: learn the
+    first 8 merges (rank, left, right, pair count). One corpus pass
+    builds the word-frequency table; every iteration after that is
+    vocab-sized (see bpe_train_merges) — the standard way BPE trains on
+    a 100 TB corpus without 8 corpus scans. The DuckDB oracle replays
+    the byte-identical iterations as chained CTEs, so the learned MODEL
+    (not just a scoring) is hash-checked across engines. The 8-row
+    output is assembled driver-side from the per-iteration argmax rows
+    — model-sized, not corpus-sized."""
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(
+                F.regexp_extract_all("text", F.lit(_BPE_REGEX), F.lit(0))
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    merges = bpe_train_merges(words, BPE_TRAIN_MERGES)
+    return spark.createDataFrame(
+        [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        "rank long, left_sym string, right_sym string, pair_count long",
+    )

@@ -333,3 +333,51 @@ def test_pq_perfect_reconstruction_on_centroid_vectors(spark):
             c_sub = cent[b.code][m * sub : (m + 1) * sub]
             score += round(sum(x * y for x, y in zip(q_sub, c_sub)) * 10000)
         assert score == got[r.vec_id]
+
+
+def test_bpe_trainer_matches_textbook_python(spark):
+    """The distributed trainer must learn EXACTLY the merges the textbook
+    sequential BPE trainer (Sennrich et al.) learns — same pair counts,
+    same count-DESC/lexicographic tie-break — on a corpus small enough to
+    fold by hand. Guards the marker-string pair extraction and the
+    argmax discipline end to end."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from dbt_on_snowflake_spark.operators.textops import bpe_train_merges
+
+    words = {"banana": 4, "bandana": 3, "cabana": 2, "nab": 5}
+
+    def python_bpe(wf, n):
+        state = {tuple(w): f for w, f in wf.items()}
+        out = []
+        for _ in range(n):
+            pc = Counter()
+            for syms, f in state.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += f
+            if not pc:
+                break
+            (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            out.append((a, b, c))
+            new_state = {}
+            for syms, f in state.items():
+                merged, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        merged.append(a + b)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                new_state[tuple(merged)] = new_state.get(tuple(merged), 0) + f
+            state = new_state
+        return out
+
+    wf_df = spark.createDataFrame(
+        [(w, f) for w, f in words.items()], "w string, freq long"
+    )
+    got = bpe_train_merges(wf_df, 6)
+    expect = python_bpe(words, 6)
+    assert got == expect
