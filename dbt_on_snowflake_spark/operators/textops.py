@@ -233,7 +233,7 @@ BPE_MERGES: list[tuple[str, str]] = [
 ]
 
 
-def _bpe_merged_rep(w):
+def _bpe_merged_rep(w, merges: "list[tuple[str, str]] | None" = None):
     """Apply the BPE merges to one pre-token, entirely in JVM string
     expressions — NO UDF, not even a pandas one: BPE encode is exactly a
     rank-ordered chain of replace-alls, which whole-stage codegen eats.
@@ -254,13 +254,17 @@ def _bpe_merged_rep(w):
        partial-piece merges).
     """
     s = F.concat(F.lit("~~"), F.regexp_replace(w, "(.)", "$1~~"))
-    for a, b in BPE_MERGES:
+    for a, b in merges if merges is not None else BPE_MERGES:
         s = F.replace(s, F.lit(f"~{a}~~{b}~"), F.lit(f"~{a}{b}~"))
     return s
 
 
-def bpe_token_count(text_col) -> "F.Column":
-    """Exact BPE token count of a text column under BPE_MERGES —
+def bpe_token_count(
+    text_col, merges: "list[tuple[str, str]] | None" = None
+) -> "F.Column":
+    """Exact BPE token count of a text column under ``merges``
+    (default: the frozen BPE_MERGES; pass bpe_train_merges output to
+    count under a corpus-learned table) —
     pre-tokenize with _BPE_REGEX, encode each pre-token via the marker
     representation, count pieces as (markers - 2) >> 1 (each piece
     boundary is 2 markers; shiftright keeps it all-integer)."""
@@ -271,7 +275,7 @@ def bpe_token_count(text_col) -> "F.Column":
         F.transform(
             F.transform(
                 F.regexp_extract_all(text_col, F.lit(_BPE_REGEX), F.lit(0)),
-                _bpe_merged_rep,
+                lambda w: _bpe_merged_rep(w, merges),
             ),
             pieces,
         ),
@@ -1018,4 +1022,72 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
         "rank long, left_sym string, right_sym string, pair_count long",
+    )
+
+
+def _bpe_trained_count_oracle() -> str:
+    """Oracle for the train->encode round trip: the training CTEs learn
+    m_1..m_N, a 1-row cross join exposes them as columns, and each
+    document's pre-tokens encode through the SAME marker replace chain —
+    driven by the learned columns instead of frozen literals."""
+    n = BPE_TRAIN_MERGES
+    train = _bpe_train_oracle(n)
+    # _bpe_train_oracle ends with the UNION ALL merges select; keep only
+    # the WITH ... state/m CTE chain
+    ctes = train.split("\n    SELECT CAST(1 AS BIGINT) AS rank")[0]
+    mrow_cols = ", ".join(
+        f"m_{i}.a AS a{i}, m_{i}.b AS b{i}" for i in range(1, n + 1)
+    )
+    mrow_from = ", ".join(f"m_{i}" for i in range(1, n + 1))
+    rep = "('~~' || regexp_replace(w, '(.)', '\\1~~', 'g'))"
+    for i in range(1, n + 1):
+        rep = (
+            f"replace({rep}, '~' || mr.a{i} || '~~' || mr.b{i} || '~',"
+            f" '~' || mr.a{i} || mr.b{i} || '~')"
+        )
+    return f"""{ctes},
+    mrow AS (SELECT {mrow_cols} FROM {mrow_from})
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(coalesce(list_sum(list_transform(
+               regexp_extract_all(d.text, '{_BPE_REGEX}'),
+               w -> (length({rep}) - length(replace({rep}, '~', '')) - 2) // 2
+           )), 0)) AS BIGINT) AS trained_bpe_tokens
+    FROM documents d CROSS JOIN mrow mr
+    GROUP BY d.source
+    """
+
+
+@query(
+    "text_token_count_bpe_trained",
+    driver=False,  # r7-born; rotates into the r8 driver export
+    oracle=_bpe_trained_count_oracle(),
+)
+def text_token_count_bpe_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full TRAIN -> ENCODE round trip: learn BPE_TRAIN_MERGES merges
+    from this corpus (text_bpe_train_merges), then count every document's
+    tokens under the LEARNED table — proving the encoder is table-driven
+    end to end (flip a corpus, get its tokenizer; the frozen BPE_MERGES
+    path is untouched). Training cost is vocab-sized per iteration; the
+    count is the same scan-speed replace chain as the frozen path. The
+    oracle re-learns the merges in SQL and encodes with them via a 1-row
+    learned-columns cross join — model AND counts hash-checked."""
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(
+                F.regexp_extract_all("text", F.lit(_BPE_REGEX), F.lit(0))
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    learned = [
+        (a, b) for a, b, _ in bpe_train_merges(words, BPE_TRAIN_MERGES)
+    ]
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(bpe_token_count("text", merges=learned))
+        .cast("long")
+        .alias("trained_bpe_tokens"),
     )

@@ -61,7 +61,8 @@ QUERIES: dict[str, RegisteredQuery] = {}
 #   q12_priority_by_shipmode, ann_pq_codes, ann_pq_adc_topk,
 #   ann_hard_negatives, text_quality_classifier,
 #   w_ntile_customer_value_quartiles, a_grouping_sets_status_priority,
-#   f_datetime_suite, ann_pq_recall_eval, text_bpe_train_merges);
+#   f_datetime_suite, ann_pq_recall_eval, text_bpe_train_merges,
+#   text_token_count_bpe_trained);
 #   backfill with r6-green veterans.
 DRIVER_BUDGET = 50
 
