@@ -851,7 +851,8 @@ def _pq_encode(corpus: DataFrame, cb_row: DataFrame) -> DataFrame:
     for m in range(1, PQ_M + 1):
         sv = _subvec(F.col("v"), m)
         bests.append(F.array_min(F.transform(F.col("cb"), nearest(m, sv))))
-    return enc.select("vec_id", F.array(*bests).alias("bests"))
+    keep = [c for c in corpus.columns if c != "v"]
+    return enc.select(*keep, F.array(*bests).alias("bests"))
 
 
 # Shared oracle fragments. list_slice bounds are 1-based inclusive;
@@ -863,7 +864,7 @@ _PQ_L2SQ_SQL = (
 )
 
 _PQ_CODES_CTE = """
-    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
     cent AS (
         SELECT label, dim, ROUND(SUM(val) / COUNT(*), 4) + 0.0 AS cv
         FROM (
@@ -877,12 +878,12 @@ _PQ_CODES_CTE = """
     cvec AS (SELECT label, list(cv ORDER BY dim) AS v FROM cent GROUP BY label),
     ms AS (SELECT unnest([1, 2, 3, 4]) AS m),
     pq_dist AS (
-        SELECT e.vec_id, ms.m, c.label,
+        SELECT e.vec_id, e.label AS vlabel, ms.m, c.label,
                ROUND({l2sq}, 4) + 0.0 AS d
         FROM e CROSS JOIN ms CROSS JOIN cvec c
     ),
     pq_codes AS (
-        SELECT vec_id, m, label AS code, d,
+        SELECT vec_id, vlabel, m, label AS code, d,
                ROW_NUMBER() OVER (
                    PARTITION BY vec_id, m ORDER BY d ASC, label ASC
                ) AS rn
@@ -1151,4 +1152,122 @@ def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             + F.lit(0.0)
         ).alias("recall_at_k"),
+    )
+
+
+@query(
+    "ann_ivfpq_topk",
+    driver=False,  # r7-born; rotates into the r8 driver export
+    oracle=f"""
+    WITH {_PQ_CODES_CTE},
+    q AS (SELECT * FROM e WHERE {_QUERY_PRED}),
+    qc AS (
+        SELECT q.vec_id AS query_id, c.label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND({COSINE_SQL.format(a="q.v", b="c.v")}, 4)
+                            DESC, c.label ASC
+               ) AS crank
+        FROM q CROSS JOIN cvec c
+    ),
+    probes AS (SELECT query_id, label FROM qc WHERE crank <= {N_PROBE}),
+    lut AS (
+        SELECT qv.vec_id AS query_id, ms.m, c.label,
+               CAST(ROUND(list_dot_product({_PQ_SUB_SQL.format(v='qv.v', m='ms.m')},
+                                           {_PQ_SUB_SQL.format(v='c.v', m='ms.m')})
+                          * 10000) AS BIGINT) AS p
+        FROM q qv CROSS JOIN ms CROSS JOIN cvec c
+    ),
+    adc AS (
+        SELECT l.query_id, cd.vec_id AS neighbor_id,
+               CAST(SUM(l.p) AS BIGINT) AS approx_dot_scaled
+        FROM (SELECT vec_id, vlabel, m, code FROM pq_codes WHERE rn = 1) cd
+        JOIN probes pr ON pr.label = cd.vlabel
+        JOIN lut l ON l.query_id = pr.query_id
+                  AND l.m = cd.m AND l.label = cd.code
+        WHERE cd.vec_id <> l.query_id
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY approx_dot_scaled DESC, neighbor_id ASC
+        ) AS rank
+        FROM adc
+    )
+    SELECT query_id, neighbor_id, approx_dot_scaled,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ — the production ANN composition (FAISS's IVFPQ): the
+    coarse quantizer restricts each query to its nprobe=2 nearest cells,
+    and ADC scores ONLY those cells' codes. Per query the scan cost
+    drops from O(N) code rows to O(nprobe * N / cells); with the codes
+    table label-partitioned on disk (build_ann_index layout) the probe
+    becomes a literal partition prune. Probes + LUTs ride one bounded
+    broadcast; the rank window is again the only corpus-sized shuffle."""
+    e = _vectors(spark, sf_dir)
+    cvec = _centroid_vectors(e)
+    cb_row = _codebook_row(cvec)
+    codes = _pq_encode(e.select("vec_id", "label", "v"), cb_row)
+    q = e.filter(F.expr(_QUERY_PRED))
+
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("clabel").asc()
+    )
+    probes = (
+        q.alias("q")
+        .crossJoin(F.broadcast(cvec.alias("c")))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.label").alias("clabel"),
+            F.round(_cosine("q.v", "c.v"), 4).alias("ccos"),
+        )
+        .withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= N_PROBE)
+        .select("query_id", F.col("clabel").alias("plabel"))
+    )
+
+    def lut_entry(m: int, qsv):
+        def entry(c):
+            return F.struct(
+                c["label"].alias("k"),
+                F.round(_dot_col(qsv, _subvec(c["v"], m)) * 10000)
+                .cast("long")
+                .alias("p"),
+            )
+
+        return entry
+
+    luts = []
+    for m in range(1, PQ_M + 1):
+        qsv = _subvec(F.col("v"), m)
+        luts.append(F.map_from_entries(F.transform(F.col("cb"), lut_entry(m, qsv))))
+    qlut = (
+        q.crossJoin(F.broadcast(cb_row))
+        .select(F.col("vec_id").alias("query_id"), F.array(*luts).alias("luts"))
+    )
+    probe_lut = probes.join(qlut, "query_id")
+
+    score = None
+    for m in range(PQ_M):
+        term = F.element_at(F.col("luts")[m], F.col("bests")[m]["code"])
+        score = term if score is None else score + term
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dot_scaled").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        codes.join(
+            F.broadcast(probe_lut), F.col("label") == F.col("plabel")
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            score.alias("approx_dot_scaled"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
     )
