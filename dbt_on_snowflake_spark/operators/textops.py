@@ -811,6 +811,18 @@ QC_MOD = 1997
 QC_SHIFT = 998  # centers weights on 0: range [-998, 998]
 
 
+def quality_score_sql(text_expr: str = "text") -> str:
+    """The classifier score as DuckDB SQL (for oracles) — identical
+    bucket/weight arithmetic to ``quality_score``."""
+    return (
+        "CAST(list_aggregate(list_transform(string_split(lower("
+        + text_expr
+        + "), ' '), tok -> CAST(('0x' || substring(md5(tok), 1, 8))::UBIGINT"
+        f" % {QC_BUCKETS} AS BIGINT) * {QC_MULT} % {QC_MOD} - {QC_SHIFT}"
+        "), 'sum') AS BIGINT)"
+    )
+
+
 @query(
     "text_quality_classifier",
     driver=False,  # r7-born; rotates into the r8 driver export

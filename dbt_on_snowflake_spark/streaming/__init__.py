@@ -689,3 +689,95 @@ def t_events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.ts").alias("purchase_ts"),
     )
     return run_to_table(joined, spark, "append")
+
+
+# ------------------------------------------------ streaming corpus ingest
+
+
+def _ingest_oracle() -> str:
+    from dbt_on_snowflake_spark.operators.textops import quality_score_sql
+
+    return f"""
+    WITH k AS (
+        SELECT doc_id, lang, source, md5(text) AS h
+        FROM documents
+        WHERE {quality_score_sql("text")} > 0
+    )
+    SELECT doc_id, lang, source FROM (
+        SELECT *, MIN(doc_id) OVER (PARTITION BY h) AS canon FROM k
+    ) WHERE doc_id = canon
+    """
+
+
+@query(
+    "corpus_ingest_streaming",
+    oracle=None,  # set right below (late import avoids a module cycle)
+    driver=False,  # r7-born; rotates into the r8 driver export
+)
+def corpus_ingest_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION INGEST LOOP as one streaming pipeline: documents
+    arrive as micro-batches; each batch (1) drops quality-gate failures
+    at scan speed (hashed linear classifier), (2) exact-dedups survivors
+    against a DURABLE md5 index — within-batch via a min-doc_id window,
+    cross-batch via an index anti-join — and (3) appends the kept docs
+    and grows the index. All cross-batch memory is the durable index
+    (no Spark state to bound); at 100 TB the index is the same
+    bucketed-table artifact batch dedup maintains, and the quality gate
+    rides the scan. Batches arrive in doc_id order (one ordered file
+    source), so first-arrival-wins == the batch oracle's global
+    min-doc_id canonical — bit-identical kept set, proven by the shared
+    value hash."""
+    import hashlib
+    import tempfile
+
+    from dbt_on_snowflake_spark.engine.fs import fs_delete
+    from dbt_on_snowflake_spark.operators.dedup import _drop_managed_table
+    from dbt_on_snowflake_spark.operators.textops import quality_score
+    from pyspark.sql import Window
+
+    suffix = hashlib.md5(f"ingest:{sf_dir}".encode()).hexdigest()[:8]
+    index_table = f"ingest_md5_index_{suffix}"
+    kept_dir = os.path.join(tempfile.gettempdir(), f"ingest_kept_{suffix}")
+    fs_delete(spark, kept_dir)
+    _drop_managed_table(spark, index_table)
+    spark.createDataFrame([], "h string").write.saveAsTable(index_table)
+
+    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        kept = batch_df.filter(quality_score("text") > 0).withColumn(
+            "h", F.md5("text")
+        )
+        w = Window.partitionBy("h")
+        batch_canon = kept.withColumn(
+            "canon", F.min("doc_id").over(w)
+        ).filter(F.col("doc_id") == F.col("canon"))
+        fresh = batch_canon.join(
+            spark.table(index_table), "h", "left_anti"
+        ).localCheckpoint()  # one probe feeds both writes
+        fresh.select("doc_id", "lang", "source").write.mode("append").parquet(
+            kept_dir
+        )
+        fresh.select("h").write.mode("append").format("parquet").saveAsTable(
+            index_table
+        )
+        spark.catalog.refreshTable(index_table)
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return spark.read.parquet(kept_dir)
+
+
+def _set_ingest_oracle() -> None:
+    from dbt_on_snowflake_spark.registry import QUERIES
+
+    QUERIES["corpus_ingest_streaming"].oracle = _ingest_oracle()
+
+
+_set_ingest_oracle()
