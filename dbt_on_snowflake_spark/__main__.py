@@ -507,6 +507,17 @@ def main(argv: list[str] | None = None) -> int:
 
         tr = TestRunner(spark, custom=project.package_tests)
 
+        # dbt build includes snapshots: they sit between sources and the
+        # models that ref() them, so they must land before the model pass
+        snap_results = (
+            runner.run_snapshots()
+            if getattr(project, "snapshots", {})
+            else []
+        )
+        for r in snap_results:
+            print(f"{r.status:8s} snapshot {r.relation} "
+                  f"({r.rows if r.rows is not None else '-'} rows)")
+
         def gate(name: str) -> bool:
             res = tr.run_model_tests(project, runner, only={name})
             return all(r.status in ("pass", "warn") for r in res)
@@ -544,7 +555,13 @@ def main(argv: list[str] | None = None) -> int:
         )
         bad_tests = any(t.status in ("fail", "error") for t in tr.results)
         bad_units = any(u.status in ("fail", "error") for u in ut_results)
-        return 0 if not bad_models and not bad_tests and not bad_units else 1
+        bad_snaps = any(r.status != "success" for r in snap_results)
+        return (
+            0
+            if not bad_models and not bad_tests and not bad_units
+            and not bad_snaps
+            else 1
+        )
 
     if args.cmd == "test":
         from dbt_on_snowflake_spark.engine.dag import select as dag_select

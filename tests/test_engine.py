@@ -2710,3 +2710,42 @@ def test_parse_and_deps_commands(tmp_path, capsys):
     text = capsys.readouterr().out
     assert rc == 0
     assert "util_pkg 1.0.0 sha=" in text and "package-lock.yml" in text
+
+
+def test_build_includes_snapshots_before_models(spark, tmp_path, capsys):
+    """`build` lands snapshots between sources and the models that
+    ref() them — a fresh project builds end to end in ONE invocation."""
+    from dbt_on_snowflake_spark.__main__ import main
+
+    data = str(tmp_path / "bdata")
+    os.makedirs(data)
+    pd.DataFrame(
+        [(1, "york"), (2, "leeds")], columns=["cust_id", "city"]
+    ).to_parquet(os.path.join(data, "customers.parquet"), index=False)
+    root = str(tmp_path / "buildsnap")
+    os.makedirs(f"{root}/models/marts", exist_ok=True)
+    with open(f"{root}/project.yml", "w") as f:
+        f.write("name: buildsnap\nmodels:\n  marts:\n    materialized: table\n")
+    with open(f"{root}/sources.yml", "w") as f:
+        f.write(
+            f"sources:\n  - name: raw\n    base_path: \"{data}\"\n"
+            "    tables:\n      - name: customers\n"
+        )
+    with open(f"{root}/snapshots.yml", "w") as f:
+        f.write(
+            "snapshots:\n"
+            "  - name: cust_snap\n"
+            "    relation: source('raw', 'customers')\n"
+            "    config:\n      unique_key: cust_id\n      strategy: check\n"
+        )
+    with open(f"{root}/models/marts/live_cities.sql", "w") as f:
+        f.write(
+            "SELECT cust_id, city FROM {{ ref('cust_snap') }} "
+            "WHERE dbt_valid_to IS NULL"
+        )
+
+    rc = main(["build", "--project", root, "--target", "bsnap"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "snapshot bsnap_cust_snap" in out
+    assert spark.table("bsnap_live_cities").count() == 2
