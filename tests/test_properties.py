@@ -381,3 +381,59 @@ def test_bpe_trainer_matches_textbook_python(spark):
     got = bpe_train_merges(wf_df, 6)
     expect = python_bpe(words, 6)
     assert got == expect
+
+
+@st.composite
+def scd2_history(draw):
+    """A random sequence of source states over a small key space: each
+    step some keys exist with some value — inserts, updates, deletes and
+    re-inserts all emerge from the randomness."""
+    n_steps = draw(st.integers(2, 5))
+    steps = []
+    for _ in range(n_steps):
+        keys = draw(st.lists(st.integers(1, 4), unique=True, min_size=0,
+                             max_size=4))
+        steps.append({k: draw(st.integers(0, 3)) for k in keys})
+    return steps
+
+
+@settings(max_examples=10, deadline=None)
+@given(scd2_history())
+def test_snapshot_check_strategy_matches_python_scd2(spark, steps):
+    """snapshot_apply run over a random source evolution must produce
+    exactly the history a sequential SCD2 simulator produces: one open
+    row per live key, versions closed at the step a key's value changed
+    or the key vanished, reopened on re-insert."""
+    from datetime import datetime
+
+    from dbt_on_snowflake_spark.engine.snapshot import snapshot_apply
+
+    snap = None
+    expect = []  # list of [key, val, from_step, to_step|None]
+    for i, state in enumerate(steps):
+        now = datetime(2026, 1, 1 + i)
+        src = spark.createDataFrame(
+            [(k, v) for k, v in state.items()] or [],
+            "k long, val long",
+        )
+        snap = snapshot_apply(
+            spark, src, snap, "k", ["val"], now
+        ).localCheckpoint(eager=True)
+
+        # python simulator step
+        open_by_key = {r[0]: r for r in expect if r[3] is None}
+        for k, r in open_by_key.items():
+            if k not in state or state[k] != r[1]:
+                r[3] = i  # closed this step
+        open_by_key = {r[0]: r for r in expect if r[3] is None}
+        for k, v in state.items():
+            if k not in open_by_key:
+                expect.append([k, v, i, None])
+
+    got = {
+        (r.k, r.val, r.dbt_valid_from.day - 1,
+         None if r.dbt_valid_to is None else r.dbt_valid_to.day - 1)
+        for r in snap.collect()
+    }
+    want = {(k, v, f, t) for k, v, f, t in expect}
+    assert got == want
