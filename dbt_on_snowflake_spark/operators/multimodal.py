@@ -218,3 +218,70 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     in SQL, so even the Python-batch path gets a hash-compared oracle."""
     d = table(spark, sf_dir, "documents")
     return sample_frames(_with_payload(d))
+
+
+PATCH = 16  # ViT-style square patch side
+
+
+@query(
+    "multimodal_patch_grid",
+    driver=False,  # r7-born; rotates into the r8 driver export
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id,
+               16 + (octet_length(encode(text)) % 64) AS w,
+               16 + ((octet_length(encode(text)) // 64) % 64) AS h
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, w, h,
+               (w + {PATCH} - 1) // {PATCH} AS nx,
+               (h + {PATCH} - 1) // {PATCH} AS ny
+        FROM p
+    )
+    SELECT doc_id,
+           CAST(pid AS BIGINT) AS patch_id,
+           CAST(pid % nx AS BIGINT) AS px,
+           CAST(pid // nx AS BIGINT) AS py,
+           CAST(least({PATCH}, w - (pid % nx) * {PATCH}) AS BIGINT)
+               AS patch_w,
+           CAST(least({PATCH}, h - (pid // nx) * {PATCH}) AS BIGINT)
+               AS patch_h
+    FROM g, UNNEST(range(0, nx * ny)) AS t(pid)
+    """,
+)
+def multimodal_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT preprocessing plumbing: the mapInPandas decode supplies each
+    image's (width, height); this emits its 16x16 PATCH GRID — one row
+    per patch with coordinates and (edge-clipped) extent, the exact
+    work-list a patch-embedding stage consumes. Compose-shape matters
+    here: an Arrow-batched Python stage feeding a JVM explode shows the
+    two execution worlds chaining without a collect. The explode fans
+    out ~(w/16)*(h/16) rows per image — bounded by metadata, never by
+    payload bytes; the payload column is pruned before the explode."""
+    d = table(spark, sf_dir, "documents")
+    dec = decode_media(_with_payload(d)).select("doc_id", "width", "height")
+    nx = F.ceil(F.col("width") / PATCH).cast("long")
+    ny = F.ceil(F.col("height") / PATCH).cast("long")
+    g = dec.select("doc_id", "width", "height", nx.alias("nx"), ny.alias("ny"))
+    pid = F.col("pid")
+    return (
+        g.select(
+            "doc_id", "width", "height", "nx",
+            F.explode(F.sequence(F.lit(0), F.col("nx") * F.col("ny") - 1)).alias("pid"),
+        )
+        .select(
+            "doc_id",
+            pid.cast("long").alias("patch_id"),
+            F.pmod(pid, F.col("nx")).cast("long").alias("px"),
+            (pid / F.col("nx")).cast("long").alias("py"),
+            F.least(
+                F.lit(PATCH).cast("long"),
+                F.col("width") - F.pmod(pid, F.col("nx")) * PATCH,
+            ).alias("patch_w"),
+            F.least(
+                F.lit(PATCH).cast("long"),
+                F.col("height") - (pid / F.col("nx")).cast("long") * PATCH,
+            ).alias("patch_h"),
+        )
+    )
