@@ -103,6 +103,12 @@ def main(argv: list[str] | None = None) -> int:
             help="rebuild incremental models from scratch",
         )
         sp.add_argument(
+            "--empty", action="store_true",
+            help="dbt 1.8 schema-only dry run: materialize every selected "
+                 "model with LIMIT 0 input — relations/contracts/DDL are "
+                 "exercised, no data moves (the CI smoke mode)",
+        )
+        sp.add_argument(
             "--fail-fast", action="store_true", dest="fail_fast",
             help="stop scheduling new nodes after the first failure",
         )
@@ -423,6 +429,7 @@ def main(argv: list[str] | None = None) -> int:
         event_start=getattr(args, "event_start", None),
         event_end=getattr(args, "event_end", None),
         fail_fast=getattr(args, "fail_fast", False),
+        empty=getattr(args, "empty", False),
     )
 
     # the EFFECTIVE flags of this invocation, recorded into run_results

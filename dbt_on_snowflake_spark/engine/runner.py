@@ -118,6 +118,7 @@ class Runner:
         event_start: str | None = None,
         event_end: str | None = None,
         fail_fast: bool = False,
+        empty: bool = False,
     ):
         self.spark = spark
         self.project = project
@@ -161,6 +162,11 @@ class Runner:
         # would skip anyway; fail-fast extends that to independent
         # branches, the CI mode where one red light means stop the line)
         self.fail_fast = fail_fast
+        # dbt --empty (1.8): every model materializes from LIMIT-0 input —
+        # the schema-only dry run CI uses to validate DDL, contracts and
+        # ref wiring without moving data. At 100 TB this is the only way
+        # to smoke a DAG change in minutes.
+        self.empty = empty
         self._selected: set[str] | None = None
         wh = spark.conf.get("spark.sql.warehouse.dir", "/tmp/spark_warehouse")
         self.warehouse = wh.removeprefix("file:")
@@ -710,6 +716,13 @@ class Runner:
         try:
             self._run_hook(node, "pre_hook", relation)
             df = self._build_df(node)
+            if self.empty:
+                # --empty: LIMIT 0 AFTER the model body resolves — every
+                # ref/source/contract/materialization path still runs,
+                # the scan just produces no rows (dbt applies the limit
+                # to the model's input refs; limiting the output is
+                # equivalent for schema purposes and one seam here)
+                df = df.limit(0)
             self._enforce_contract(node, df)
             trace = self._write_trace(node.name, df)
             rows = self._materialize(df, relation, mat, node)

@@ -2749,3 +2749,37 @@ def test_build_includes_snapshots_before_models(spark, tmp_path, capsys):
     assert rc == 0
     assert "snapshot bsnap_cust_snap" in out
     assert spark.table("bsnap_live_cities").count() == 2
+
+
+def test_run_empty_builds_schema_only(spark, tmp_path, capsys):
+    """`run --empty` (dbt 1.8): every relation lands with its full
+    schema and ZERO rows — the CI smoke for DDL/contract/ref wiring; a
+    following real run overwrites with data."""
+    from dbt_on_snowflake_spark.__main__ import main
+
+    data = str(tmp_path / "edata")
+    os.makedirs(data)
+    pd.DataFrame({"id": [1, 2, 3], "v": [10, 20, 30]}).to_parquet(
+        os.path.join(data, "t.parquet"), index=False
+    )
+    root = str(tmp_path / "emptyproj")
+    os.makedirs(f"{root}/models/core", exist_ok=True)
+    with open(f"{root}/project.yml", "w") as f:
+        f.write("name: emptyproj\nmodels:\n  core:\n    materialized: table\n")
+    with open(f"{root}/sources.yml", "w") as f:
+        f.write(
+            f"sources:\n  - name: raw\n    base_path: \"{data}\"\n"
+            "    tables:\n      - name: t\n"
+        )
+    with open(f"{root}/models/core/agg.sql", "w") as f:
+        f.write("SELECT id, v * 2 AS v2 FROM {{ source('raw', 't') }}")
+
+    assert main(["run", "--project", root, "--target", "emt", "--empty"]) == 0
+    capsys.readouterr()
+    t = spark.table("emt_agg")
+    assert t.count() == 0
+    assert t.columns == ["id", "v2"]
+
+    assert main(["run", "--project", root, "--target", "emt"]) == 0
+    capsys.readouterr()
+    assert spark.table("emt_agg").count() == 3
