@@ -73,6 +73,31 @@ def extract_macros(text: str) -> dict[str, Macro]:
     return out
 
 
+_TEST_DEF_RE = re.compile(
+    r"\{%-?\s*test\s+(\w+)\s*\(([^)]*)\)\s*-?%\}(.*?)\{%-?\s*endtest\s*-?%\}",
+    re.DOTALL,
+)
+
+
+def extract_sql_tests(text: str) -> dict[str, Macro]:
+    """Parse dbt SQL GENERIC TESTS — ``{% test name(model, column_name)
+    %} SELECT failing rows... {% endtest %}`` — from tests/generic/*.sql.
+    Same Jinja-lite surface as macros; the body is a SELECT returning
+    failing rows, rendered with the bound model/column (and any extra
+    kwargs) then executed by TestRunner."""
+    out: dict[str, Macro] = {}
+    for name, params_src, body in _TEST_DEF_RE.findall(text):
+        params: list[tuple[str, str | None]] = []
+        for p in _split_args(params_src):
+            if "=" in p:
+                pname, default = p.split("=", 1)
+                params.append((pname.strip(), _unquote(default.strip())))
+            elif p.strip():
+                params.append((p.strip(), None))
+        out[name] = Macro(name, params, body.strip())
+    return out
+
+
 def _split_args(src: str) -> list[str]:
     """Split a call-argument list on top-level commas (quotes and nested
     parens respected)."""

@@ -136,6 +136,8 @@ class Project:
             with open(prof_path) as f:
                 self.profiles = yaml.safe_load(f) or {}
         self.macros = {}
+        # dbt SQL generic tests ({% test %} blocks in tests/generic/*.sql)
+        self.sql_tests: dict[str, Any] = {}
         self.package_tests: dict[str, Callable] = {}
         self._package_model_dirs: list[tuple[str, str]] = []
         self._package_restrict: dict[str, bool] = {}
@@ -305,6 +307,16 @@ class Project:
                     if fn.endswith(".sql"):
                         with open(os.path.join(mdir, fn)) as f:
                             self.macros.update(extract_macros(f.read()))
+            gdir = os.path.join(pkg_root, "tests", "generic")
+            if os.path.isdir(gdir):
+                from dbt_on_snowflake_spark.engine.compile import (
+                    extract_sql_tests,
+                )
+
+                for fn in sorted(os.listdir(gdir)):
+                    if fn.endswith(".sql"):
+                        with open(os.path.join(gdir, fn)) as f:
+                            self.sql_tests.update(extract_sql_tests(f.read()))
             tdir = os.path.join(pkg_root, "tests")
             if os.path.isdir(tdir) and pkg_root != self.root:
                 for fn in sorted(os.listdir(tdir)):

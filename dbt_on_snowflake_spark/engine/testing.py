@@ -279,6 +279,39 @@ class TestRunner:
 
             sig = repr(sorted((k, str(v)) for k, v in kwargs.items()))
             stored_suffix = "__" + hashlib.md5(sig.encode()).hexdigest()[:8]
+        sql_tests = getattr(project, "sql_tests", {})
+        if test_name not in self.tests and test_name in sql_tests:
+            # dbt SQL GENERIC TEST ({% test %} block): bind model/column/
+            # kwargs into the body, resolve ref()/source(), execute — the
+            # SELECT's rows ARE the failures (dbt's contract). Python
+            # tests of the same name win (self.tests checked first),
+            # mirroring dbt's dispatch order of project over package.
+            import re as _re
+
+            tdef = sql_tests[test_name]
+            body = tdef.body
+            subs = {"model": relation, "column_name": column, **kwargs}
+            for pname, default in tdef.params:
+                if pname not in subs and default is not None:
+                    subs[pname] = default
+            for k, v in subs.items():
+                if v is None:
+                    continue
+                body = _re.sub(
+                    r"\{\{\s*" + _re.escape(k) + r"\s*\}\}", str(v), body
+                )
+            from dbt_on_snowflake_spark.engine.compile import render
+
+            rendered = render(
+                body, runner.resolve_ref, runner.resolve_source,
+                variables=runner.vars,
+            )
+            self._run_one(
+                test_name, relation, column,
+                lambda: self.spark.sql(rendered), config, runner,
+                stored_suffix=stored_suffix,
+            )
+            return
         fn = self.tests[test_name]
         import inspect
 

@@ -2783,3 +2783,62 @@ def test_run_empty_builds_schema_only(spark, tmp_path, capsys):
     assert main(["run", "--project", root, "--target", "emt"]) == 0
     capsys.readouterr()
     assert spark.table("emt_agg").count() == 3
+
+
+def test_sql_generic_test_blocks(spark, tmp_path, capsys):
+    """dbt SQL generic tests: a {% test %} block in tests/generic/*.sql
+    is dispatchable from schema.yml like any built-in — body renders
+    with the bound model/column + kwargs (with declared defaults), its
+    rows are the failures."""
+    from dbt_on_snowflake_spark.__main__ import main
+
+    data = str(tmp_path / "gdata")
+    os.makedirs(data)
+    pd.DataFrame({"id": [1, 2, 3], "v": [5, -1, 50]}).to_parquet(
+        os.path.join(data, "t.parquet"), index=False
+    )
+    root = str(tmp_path / "gproj")
+    os.makedirs(f"{root}/models/core", exist_ok=True)
+    os.makedirs(f"{root}/tests/generic", exist_ok=True)
+    with open(f"{root}/project.yml", "w") as f:
+        f.write("name: gproj\nmodels:\n  core:\n    materialized: table\n")
+    with open(f"{root}/sources.yml", "w") as f:
+        f.write(
+            f"sources:\n  - name: raw\n    base_path: \"{data}\"\n"
+            "    tables:\n      - name: t\n"
+        )
+    with open(f"{root}/models/core/vals.sql", "w") as f:
+        f.write("SELECT id, v FROM {{ source('raw', 't') }}")
+    with open(f"{root}/tests/generic/bounds.sql", "w") as f:
+        f.write(
+            "{% test within_bounds(model, column_name, upper=100) %}\n"
+            "SELECT * FROM {{ model }}\n"
+            "WHERE {{ column_name }} < 0 OR {{ column_name }} > {{ upper }}\n"
+            "{% endtest %}\n"
+        )
+    with open(f"{root}/models/core/schema.yml", "w") as f:
+        f.write(
+            "models:\n  - name: vals\n    columns:\n"
+            "      - name: v\n        tests:\n"
+            "          - within_bounds\n"
+            "          - within_bounds:\n              upper: 10\n"
+        )
+
+    rc = main(["build", "--project", root, "--target", "gsql"])
+    out = capsys.readouterr().out
+    # default upper=100: only v=-1 fails; upper=10: -1 and 50 fail ->
+    # the model is POISONED by its failing test and... both instances run
+    assert "within_bounds" in out
+    assert rc == 1  # failures present
+
+    # run tests directly for counts
+    from dbt_on_snowflake_spark.engine.project import Project
+    from dbt_on_snowflake_spark.engine.testing import TestRunner
+
+    project = Project(root, target="gsql")
+    runner = Runner(spark, project)
+    runner.run()
+    tr = TestRunner(spark, custom=project.package_tests)
+    results = tr.run_model_tests(project, runner)
+    counts = sorted(r.failures for r in results)
+    assert counts == [1, 2]
