@@ -589,6 +589,7 @@ def main(argv: list[str] | None = None) -> int:
         tr = TestRunner(spark, custom=project.package_tests)
         results = tr.run_source_tests(project, runner)
         tr.run_model_tests(project, runner)
+        tr.run_singular_tests(project, runner)
         results = tr.results
         for r in results:
             col = f".{r.column}" if r.column else ""

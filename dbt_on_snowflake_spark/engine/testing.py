@@ -223,6 +223,37 @@ class TestRunner:
         self.results.append(res)
         return res
 
+    def run_singular_tests(self, project, runner) -> list[TestResult]:
+        """dbt SINGULAR data tests: each tests/*.sql file (not under
+        tests/generic/) is one assertion — the SELECT's rows are the
+        failures. Rendered with full ref()/source()/vars resolution, so
+        they express exactly the cross-model invariants schema.yml's
+        per-column taxonomy cannot."""
+        import os
+
+        from dbt_on_snowflake_spark.engine.compile import render
+
+        before = len(self.results)
+        tdir = os.path.join(project.root, "tests")
+        if not os.path.isdir(tdir):
+            return []
+        for fn in sorted(os.listdir(tdir)):
+            path = os.path.join(tdir, fn)
+            if not fn.endswith(".sql") or not os.path.isfile(path):
+                continue
+            with open(path) as f:
+                body = f.read()
+            name = fn[:-4]
+            rendered = render(
+                body, runner.resolve_ref, runner.resolve_source,
+                variables=runner.vars,
+            )
+            self._run_one(
+                name, f"singular:{name}", None,
+                lambda r=rendered: self.spark.sql(r), None, runner,
+            )
+        return self.results[before:]
+
     def run_source_tests(self, project, runner) -> list[TestResult]:
         """Execute every test declared in sources.yml (column-level and
         table-level), resolving `to:` references against other sources."""

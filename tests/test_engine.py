@@ -2842,3 +2842,42 @@ def test_sql_generic_test_blocks(spark, tmp_path, capsys):
     results = tr.run_model_tests(project, runner)
     counts = sorted(r.failures for r in results)
     assert counts == [1, 2]
+
+
+def test_singular_data_tests(spark, tmp_path, capsys):
+    """Singular tests: tests/*.sql files are standalone assertions with
+    ref()/source() resolution; rows returned = failures."""
+    from dbt_on_snowflake_spark.__main__ import main
+
+    data = str(tmp_path / "sdata")
+    os.makedirs(data)
+    pd.DataFrame({"id": [1, 2], "amt": [10, -5]}).to_parquet(
+        os.path.join(data, "t.parquet"), index=False
+    )
+    root = str(tmp_path / "sproj")
+    os.makedirs(f"{root}/models/core", exist_ok=True)
+    os.makedirs(f"{root}/tests", exist_ok=True)
+    with open(f"{root}/project.yml", "w") as f:
+        f.write("name: sproj\nmodels:\n  core:\n    materialized: table\n")
+    with open(f"{root}/sources.yml", "w") as f:
+        f.write(
+            f"sources:\n  - name: raw\n    base_path: \"{data}\"\n"
+            "    tables:\n      - name: t\n"
+        )
+    with open(f"{root}/models/core/amounts.sql", "w") as f:
+        f.write("SELECT id, amt FROM {{ source('raw', 't') }}")
+    with open(f"{root}/tests/no_negative_amounts.sql", "w") as f:
+        f.write("SELECT * FROM {{ ref('amounts') }} WHERE amt < 0")
+    with open(f"{root}/tests/ids_unique.sql", "w") as f:
+        f.write(
+            "SELECT id FROM {{ ref('amounts') }} GROUP BY id "
+            "HAVING COUNT(*) > 1"
+        )
+
+    assert main(["run", "--project", root, "--target", "sng"]) == 0
+    capsys.readouterr()
+    rc = main(["test", "--project", root, "--target", "sng"])
+    out = capsys.readouterr().out
+    assert rc == 1  # the negative amount fails
+    assert "no_negative_amounts" in out and "failures=1" in out
+    assert "ids_unique" in out and "failures=0" in out
