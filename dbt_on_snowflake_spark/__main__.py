@@ -536,6 +536,13 @@ def main(argv: list[str] | None = None) -> int:
         for r in results:
             print(f"{r.status:8s} {r.materialization:5s} {r.relation} "
                   f"({r.rows if r.rows is not None else '-'} rows, {r.seconds}s)")
+        # dbt build runs singular tests after the model pass (they may
+        # span several models); skip when the selection failed models —
+        # their assertions would error on missing relations anyway
+        if not (args.select or args.exclude) and all(
+            r.status in ("success", "reused") for r in results
+        ):
+            tr.run_singular_tests(project, runner)
         for t in tr.results:
             col = f".{t.column}" if t.column else ""
             print(f"{t.status:5s} test {t.name} on {t.relation}{col} "
