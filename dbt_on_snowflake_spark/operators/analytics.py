@@ -1947,3 +1947,51 @@ def a_grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFra
             "n_orders",
         )
     )
+
+
+# --- percent_rank / cume_dist: the relative-standing window pair
+# (SURVEY §2.5 breadth next to row_number/rank/ntile). Grouped by
+# priority so each window is bounded; ratios are exact integer-derived
+# doubles (rank arithmetic), so no rounding discipline is needed.
+@query(
+    "w_percentile_standing_orders",
+    driver=False,  # r7-born; rotates into the r8 driver export
+    oracle=f"""
+    WITH t AS (
+        SELECT o_orderpriority AS priority, o_orderkey,
+               PERCENT_RANK() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY {scaled_sql('o_totalprice')} ASC, o_orderkey ASC
+               ) AS pr,
+               CUME_DIST() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY {scaled_sql('o_totalprice')} ASC, o_orderkey ASC
+               ) AS cd
+        FROM orders
+    )
+    SELECT priority,
+           COUNT(CASE WHEN pr >= 0.9 THEN 1 END) AS n_top_decile,
+           COUNT(CASE WHEN cd <= 0.5 THEN 1 END) AS n_bottom_half,
+           COUNT(*) AS n_orders
+    FROM t GROUP BY priority
+    """,
+)
+def w_percentile_standing_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative standing per priority class: top-decile (percent_rank)
+    and bottom-half (cume_dist) order counts. The unique orderkey
+    tie-break pins both rank functions' exact values; the rollup keeps
+    the output tiny while still exercising the full window sort."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        scaled("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    t = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return t.groupBy("priority").agg(
+        F.count(F.when(F.col("pr") >= 0.9, 1)).alias("n_top_decile"),
+        F.count(F.when(F.col("cd") <= 0.5, 1)).alias("n_bottom_half"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

@@ -1436,3 +1436,62 @@ def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .select("doc_id", "shard_id", "pos")
     )
+
+
+@query(
+    "corpus_quality_report",
+    driver=False,  # r7-born; rotates into the r8 driver export
+    oracle=None,  # set below (late import of the classifier SQL)
+)
+def corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation report: docs, classifier keep counts/rate,
+    exact-duplicate counts, and kept token mass — the one-page summary a
+    curation run ends with. One scan + one tiny (source, md5-partial)
+    aggregate chain; every rate is integer-derived so the report is
+    engine-exact."""
+    from pyspark.sql import Window
+
+    from dbt_on_snowflake_spark.operators.textops import quality_score
+
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text"))
+    scored = d.select(
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        (quality_score("text") > 0).alias("keep"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("canonical"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("keep"), 1)).alias("n_kept"),
+        F.count(F.when(~F.col("canonical"), 1)).alias("n_exact_dupes"),
+        F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("kept_tokens"),
+    )
+
+
+def _set_quality_report_oracle() -> None:
+    from dbt_on_snowflake_spark.operators.textops import quality_score_sql
+    from dbt_on_snowflake_spark.registry import QUERIES
+
+    QUERIES["corpus_quality_report"].oracle = f"""
+    WITH s AS (
+        SELECT source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               {quality_score_sql("text")} > 0 AS keep,
+               doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+                   AS canonical
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(CASE WHEN keep THEN 1 END) AS n_kept,
+           COUNT(CASE WHEN NOT canonical THEN 1 END) AS n_exact_dupes,
+           CAST(SUM(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT)
+               AS kept_tokens
+    FROM s GROUP BY source
+    """
+
+
+_set_quality_report_oracle()
