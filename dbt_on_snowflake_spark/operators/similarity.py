@@ -1271,3 +1271,106 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+def build_pq_index(
+    spark: SparkSession,
+    e: DataFrame,
+    *,
+    codebook_table: str,
+    codes_table: str,
+) -> None:
+    """Persist the PQ serving artifact: the tiny (label, v) codebook and
+    the encoded corpus codes PARTITIONED BY coarse label — 'encode once,
+    search many'. The codes table is what ADC reads at serving time (no
+    float vectors); partitioning by label makes the IVF+PQ probe a
+    partition prune. Same repartition-before-partitionBy discipline as
+    build_ann_index (one file per cell, no small-file explosion)."""
+    from dbt_on_snowflake_spark.operators.dedup import _drop_managed_table
+
+    _drop_managed_table(spark, codebook_table)
+    _centroid_vectors(e).write.mode("overwrite").saveAsTable(codebook_table)
+    _drop_managed_table(spark, codes_table)
+    codes = _pq_encode(
+        e.select("vec_id", "label", "v"),
+        _codebook_row(spark.table(codebook_table)),
+    )
+    (
+        codes.repartition("label")
+        .write.mode("overwrite")
+        .partitionBy("label")
+        .saveAsTable(codes_table)
+    )
+
+
+@query(
+    "ann_pq_adc_indexed",
+    driver=False,  # r7-born; rotates into the r8 driver export
+    oracle=None,  # set below: shares ann_pq_adc_topk's oracle verbatim
+)
+def ann_pq_adc_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ann_pq_adc_topk`` served from the PERSISTED PQ index: the
+    codebook and corpus codes come from build_pq_index's tables — the
+    only pass over the embeddings parquet is the bounded query side; no
+    re-encoding anywhere (plan-pinned by
+    ``test_pq_indexed_no_encode_recompute``). Persisting must not change
+    a single result row, so it shares the recompute path's oracle."""
+    import hashlib
+
+    suffix = hashlib.md5(f"pq:{sf_dir}".encode()).hexdigest()[:8]
+    codebook_table = f"pq_codebook_{suffix}"
+    codes_table = f"pq_codes_{suffix}"
+    e = _vectors(spark, sf_dir)
+    build_pq_index(
+        spark, e, codebook_table=codebook_table, codes_table=codes_table
+    )
+    cb_row = _codebook_row(spark.table(codebook_table))
+    codes = spark.table(codes_table).select("vec_id", "bests")
+
+    def lut_entry(m: int, qsv):
+        def entry(c):
+            return F.struct(
+                c["label"].alias("k"),
+                F.round(_dot_col(qsv, _subvec(c["v"], m)) * 10000)
+                .cast("long")
+                .alias("p"),
+            )
+
+        return entry
+
+    luts = []
+    for m in range(1, PQ_M + 1):
+        qsv = _subvec(F.col("v"), m)
+        luts.append(F.map_from_entries(F.transform(F.col("cb"), lut_entry(m, qsv))))
+    qlut = (
+        e.filter(F.expr(_QUERY_PRED))
+        .crossJoin(F.broadcast(cb_row))
+        .select(F.col("vec_id").alias("query_id"), F.array(*luts).alias("luts"))
+    )
+    score = None
+    for m in range(PQ_M):
+        term = F.element_at(F.col("luts")[m], F.col("bests")[m]["code"])
+        score = term if score is None else score + term
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dot_scaled").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        codes.crossJoin(F.broadcast(qlut))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            score.alias("approx_dot_scaled"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+def _set_pq_indexed_oracle() -> None:
+    from dbt_on_snowflake_spark.registry import QUERIES
+
+    QUERIES["ann_pq_adc_indexed"].oracle = QUERIES["ann_pq_adc_topk"].oracle
+
+
+_set_pq_indexed_oracle()

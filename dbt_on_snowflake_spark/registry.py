@@ -64,7 +64,8 @@ QUERIES: dict[str, RegisteredQuery] = {}
 #   f_datetime_suite, ann_pq_recall_eval, text_bpe_train_merges,
 #   text_token_count_bpe_trained, ann_ivfpq_topk,
 #   corpus_ingest_streaming, multimodal_patch_grid,
-#   corpus_quality_report, w_percentile_standing_orders);
+#   corpus_quality_report, w_percentile_standing_orders,
+#   ann_pq_adc_indexed);
 #   backfill with r6-green veterans.
 DRIVER_BUDGET = 50
 

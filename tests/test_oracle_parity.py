@@ -35,6 +35,7 @@ _BNLJ_OK = {
     "ann_hard_negatives",  # same capped query side as ann_topk_bruteforce
     "ann_pq_recall_eval",  # composes two capped-broadcast retrievals
     "ann_ivfpq_topk",  # 1-row codebook + capped probe/LUT broadcasts
+    "ann_pq_adc_indexed",  # persisted-codes twin of ann_pq_adc_topk
 }
 
 

@@ -557,3 +557,24 @@ def test_quality_classifier_is_shuffle_free(spark):
     plan = plan_of(spark, "text_quality_classifier")
     assert count_shuffles(plan) == 0
     assert "Generate" not in plan  # no explode
+
+
+def test_pq_indexed_no_encode_recompute(spark):
+    """The persisted-index ADC query serves from pq_codebook_/pq_codes_
+    tables: no posexplode (centroid training) and no per-corpus-row
+    distance argmin in the plan — the only embeddings-parquet scan is
+    the bounded query side."""
+    df = Q["ann_pq_adc_indexed"].fn(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "Generate" not in plan  # posexplode = centroid recompute
+    assert "pq_codebook_" in plan and "pq_codes_" in plan
+    from dbt_on_snowflake_spark.plans import scans
+
+    emb_scans = [
+        s for s in scans(plan) if "embeddings.parquet" in s.get("location", "")
+    ]
+    assert emb_scans, "query side should still read the embeddings parquet"
+    for s in emb_scans:
+        assert "vec_id" in s.get("pushedfilters", ""), (
+            f"unbounded embeddings scan: {s}"
+        )
