@@ -1374,3 +1374,30 @@ def _set_pq_indexed_oracle() -> None:
 
 
 _set_pq_indexed_oracle()
+
+
+def attach_pq_index(
+    spark: SparkSession, *, codebook_table: str, codes_table: str
+) -> None:
+    """Re-attach a persisted PQ index in a NEW session (in-memory
+    catalog: metadata dies with the writing session, the parquet files
+    persist). External-table DDL over the existing locations + partition
+    recovery restores the label-partitioned codes layout, so IVF+PQ
+    probes still prune partitions. With a persistent metastore this is
+    a no-op, same contract as attach_minhash_index."""
+    import posixpath
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    if not spark.catalog.tableExists(codebook_table):
+        spark.catalog.createTable(
+            codebook_table,
+            path=posixpath.join(wh, codebook_table.lower()),
+            source="parquet",
+        )
+    if not spark.catalog.tableExists(codes_table):
+        spark.catalog.createTable(
+            codes_table,
+            path=posixpath.join(wh, codes_table.lower()),
+            source="parquet",
+        )
+        spark.catalog.recoverPartitions(codes_table)

@@ -173,3 +173,92 @@ def test_pruned_index_survives_across_sessions(tmp_path):
     assert [tuple(p) for p in res["pairs"]] == [(1, 10)]
     assert res["n_idx_docs"] == 2
     assert res["partition_filtered"]
+
+
+_PQ_SERVE = """
+# Serve ADC for query vec_id=0 purely from the persisted tables: the
+# SAME DataFrame expressions in both sessions, so equal output proves
+# the artifact (not session lineage) carries the state.
+from pyspark.sql import functions as F
+from dbt_on_snowflake_spark.operators.similarity import (
+    PQ_M, _codebook_row, _dot_col, _subvec,
+)
+cb_row = _codebook_row(
+    spark.table("pq_durable_cb").select(
+        "label", F.col("v").cast("array<double>").alias("v")
+    )
+)
+codes = spark.table("pq_durable_codes").select("vec_id", "bests")
+qv = F.array(*[F.lit(float(i % 7)) for i in range(16)])
+def _entry(m, qs):
+    def inner(c):
+        return F.struct(
+            c["label"].alias("k"),
+            F.round(_dot_col(qs, _subvec(c["v"], m)) * 10000)
+            .cast("long").alias("p"))
+    return inner
+luts = []
+for m in range(1, PQ_M + 1):
+    qs = F.slice(qv, (m - 1) * 4 + 1, 4)
+    luts.append(F.map_from_entries(F.transform(F.col("cb"), _entry(m, qs))))
+qlut = spark.range(1).crossJoin(F.broadcast(cb_row)).select(
+    F.array(*luts).alias("luts"))
+score = None
+for m in range(PQ_M):
+    t = F.element_at(F.col("luts")[m], F.col("bests")[m]["code"])
+    score = t if score is None else score + t
+scored = codes.crossJoin(F.broadcast(qlut)).select(
+    "vec_id", score.alias("s")).orderBy(F.col("s").desc(), "vec_id")
+result = [(r.vec_id, r.s) for r in scored.collect()]
+"""
+
+
+def test_pq_index_survives_sessions(tmp_path):
+    """build_pq_index in session A; a fresh JVM attaches the codebook +
+    label-partitioned codes via attach_pq_index and serves ADC — the
+    ranked output matches session A's bit for bit."""
+    wh = str(tmp_path / "wh_pq")
+    header = (
+        "import sys, json\n"
+        f"sys.path.insert(0, {REPO!r})\n"
+        "from pyspark.sql import SparkSession\n"
+        "spark = (SparkSession.builder.master('local[2]')\n"
+        "    .config('spark.sql.shuffle.partitions', '4')\n"
+        f"    .config('spark.sql.warehouse.dir', {wh!r})\n"
+        "    .config('spark.ui.enabled', 'false')\n"
+        "    .getOrCreate())\n"
+    )
+    build = (
+        "from dbt_on_snowflake_spark.operators.similarity import build_pq_index\n"
+        "rows = [(i, i % 3, [float((i * j) % 5) for j in range(16)])\n"
+        "        for i in range(30)]\n"
+        "e = spark.createDataFrame(rows,"
+        " 'vec_id long, label long, v array<double>')\n"
+        "build_pq_index(spark, e, codebook_table='pq_durable_cb',\n"
+        "               codes_table='pq_durable_codes')\n"
+    )
+    attach = (
+        "assert not spark.catalog.tableExists('pq_durable_codes')\n"
+        "from dbt_on_snowflake_spark.operators.similarity import attach_pq_index\n"
+        "attach_pq_index(spark, codebook_table='pq_durable_cb',\n"
+        "                codes_table='pq_durable_codes')\n"
+    )
+    a = _run(header + build + _PQ_SERVE
+             + "\nprint('A_RESULT ' + json.dumps(result))\nspark.stop()\n")
+    b = _run(
+        header + attach + _PQ_SERVE
+        + "\nn_parts = spark.table('pq_durable_codes')"
+        ".select('label').distinct().count()\n"
+        "print('B_RESULT ' + json.dumps("
+        "{'result': result, 'n_parts': n_parts}))\nspark.stop()\n"
+    )
+    import json as _json
+
+    a_res = [
+        tuple(x)
+        for x in _json.loads(a.split("A_RESULT ", 1)[1].strip().splitlines()[0])
+    ]
+    b_payload = _json.loads(b.split("B_RESULT ", 1)[1].strip().splitlines()[0])
+    b_res = [tuple(x) for x in b_payload["result"]]
+    assert a_res == b_res and len(a_res) == 30
+    assert b_payload["n_parts"] == 3  # partition layout recovered
