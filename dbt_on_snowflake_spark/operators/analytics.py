@@ -354,6 +354,11 @@ def w_running_total_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def a_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Known empty-input divergence (pinned by
+    test_empty_input_parity_sweep): standard SQL ROLLUP on an empty
+    input still yields the grand-total grouping-set row (DuckDB/
+    PostgreSQL); Spark's Expand-based rollup yields zero rows. Only
+    observable on a literally empty scan."""
     o = table(spark, sf_dir, "orders")
     # customer: no hint (SF-growing); nation/region stay hinted (fixed 25/5).
     c = table(spark, sf_dir, "customer")

@@ -143,3 +143,51 @@ def test_r7_rotation_promises_kept():
     }
     assert never_checked <= exported, sorted(never_checked - exported)
     assert "corpus_pack_sequences" in exported
+
+
+def test_empty_input_parity_sweep(spark, tmp_path):
+    """Every oracle-backed batch query must agree with DuckDB on EMPTY
+    tables too — the degenerate case where NULL-handling, aggregate
+    seeding, and join-shape bugs hide. Schema-preserved empty twins of
+    every table; one loop, collected failures.
+
+    Known, documented divergence (excluded): SQL-standard ROLLUP/CUBE
+    on empty input yields the grand-total grouping-set row (COUNT=0 —
+    DuckDB/PostgreSQL do this); Spark's Expand-based implementation
+    yields zero rows. Diverges only when the input scan is literally
+    empty, so it cannot affect real corpora; pinned here so the
+    difference is a decision, not a surprise."""
+    import duckdb
+
+    from dbt_on_snowflake_spark.testdata import TABLES
+
+    src = SF_SMOKE
+    dst = str(tmp_path / "sf_empty")
+    import os
+
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet') LIMIT 0)"
+            f" TO '{dst}/{t}.parquet' (FORMAT parquet)"
+        )
+    con.close()
+
+    rollup_divergence = {"a_cube_status_priority", "a_rollup_revenue"}
+    skip_heavy = lambda n: (  # noqa: E731 — session-stateful/streaming paths
+        "streaming" in n or "incremental" in n or "indexed" in n
+        or n == "dedup_semantic"
+    )
+    failures = []
+    n_run = 0
+    for name, q in sorted(_QUERIES.items()):
+        if q.oracle is None or skip_heavy(name) or name in rollup_divergence:
+            continue
+        try:
+            compare(spark, name, q.fn, q.oracle, dst)
+            n_run += 1
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: {str(e).splitlines()[0][:160]}")
+    assert not failures, "\n".join(failures)
+    assert n_run > 100  # the sweep actually covered the registry
