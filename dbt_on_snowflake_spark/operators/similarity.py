@@ -975,7 +975,11 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     same posture as ann_topk_bruteforce. At 100 TB this composes with
     the IVF probe (restrict codes to probed cells, then ADC)."""
     e = _vectors(spark, sf_dir)
-    cb_row = _codebook_row(_centroid_vectors(e))
+    # the codebook feeds BOTH the encode side and the query LUTs, and
+    # Spark does not reuse the (tiny) aggregate subtree across them —
+    # checkpointing the |labels|-entry result turns two full centroid
+    # passes over the corpus into one
+    cb_row = _codebook_row(_centroid_vectors(e)).localCheckpoint()
     codes = _pq_encode(e.select("vec_id", "v"), cb_row)
     def lut_entry(m: int, qsv):
         def entry(c):
@@ -1209,8 +1213,11 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     becomes a literal partition prune. Probes + LUTs ride one bounded
     broadcast; the rank window is again the only corpus-sized shuffle."""
     e = _vectors(spark, sf_dir)
-    cvec = _centroid_vectors(e)
-    cb_row = _codebook_row(cvec)
+    # cvec feeds the probe ranking AND (via cb_row) the encode + LUT
+    # sides — checkpoint the tiny table once instead of three centroid
+    # passes over the corpus
+    cvec = _centroid_vectors(e).localCheckpoint()
+    cb_row = _codebook_row(cvec).localCheckpoint()
     codes = _pq_encode(e.select("vec_id", "label", "v"), cb_row)
     q = e.filter(F.expr(_QUERY_PRED))
 
