@@ -870,6 +870,14 @@ def main(argv: list[str] | None = None) -> int:
             extra = f"  {r.error}" if r.error else ""
             print(f"{r.status:8s} snapshot  {r.relation} "
                   f"({rows} rows){extra}")
+        runner.write_run_results(
+            args.out
+            or _os.path.join(args.project, "target", "run_results.json"),
+            command="snapshot", cli_args=recorded_args,
+        )
+        runner.append_run_history(
+            _os.path.join(args.project, "target", "run_history.jsonl")
+        )
         return 0 if all(r.status == "success" for r in results) else 1
 
     if args.cmd == "seed":
