@@ -1495,3 +1495,55 @@ def _set_quality_report_oracle() -> None:
 
 
 _set_quality_report_oracle()
+
+
+@query(
+    "corpus_pack_efficiency",
+    driver=False,  # r7-born; rotates into the r8 driver export
+    oracle=f"""
+    WITH t AS (
+        SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    g AS (
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        FROM t GROUP BY lang
+    )
+    SELECT lang, n_docs, total_tokens,
+           CAST((total_tokens - 1) // {PACK_SEQ_LEN} + 1 AS BIGINT) AS n_packs,
+           CAST(((total_tokens - 1) // {PACK_SEQ_LEN} + 1) * {PACK_SEQ_LEN}
+                - total_tokens AS BIGINT) AS tail_padding,
+           CAST(total_tokens * 10000
+                // (((total_tokens - 1) // {PACK_SEQ_LEN} + 1)
+                    * {PACK_SEQ_LEN}) AS BIGINT) AS utilization_bp
+    FROM g
+    """,
+)
+def corpus_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packing run's efficiency report: per language, pack count,
+    tail padding, and utilization in integer basis points. Start-based
+    packing fills packs contiguously (docs straddle boundaries), so the
+    ONLY padding is the final partial pack — utilization is
+    total/(n_packs*L) exactly. One tiny per-language aggregate; exact
+    integer arithmetic end to end."""
+    L = PACK_SEQ_LEN
+    d = table(spark, sf_dir, "documents")
+    g = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("total_tokens"),
+    )
+    # `div` is exact long division — a double-division truncation would
+    # misround within 1 ulp of a pack boundary at corpus-scale counts
+    n_packs = F.expr(f"(total_tokens - 1) div {L}") + 1
+    return g.select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        n_packs.alias("n_packs"),
+        (n_packs * L - F.col("total_tokens")).alias("tail_padding"),
+        F.expr(
+            f"(total_tokens * 10000) div (((total_tokens - 1) div {L} + 1)"
+            f" * {L})"
+        ).alias("utilization_bp"),
+    )

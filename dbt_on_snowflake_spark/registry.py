@@ -65,7 +65,7 @@ QUERIES: dict[str, RegisteredQuery] = {}
 #   text_token_count_bpe_trained, ann_ivfpq_topk,
 #   corpus_ingest_streaming, multimodal_patch_grid,
 #   corpus_quality_report, w_percentile_standing_orders,
-#   ann_pq_adc_indexed);
+#   ann_pq_adc_indexed, corpus_pack_efficiency);
 #   backfill with r6-green veterans.
 DRIVER_BUDGET = 50
 
