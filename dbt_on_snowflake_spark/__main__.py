@@ -594,9 +594,16 @@ def main(argv: list[str] | None = None) -> int:
 
         runner.run()  # data tests need sources + models materialized
         tr = TestRunner(spark, custom=project.package_tests)
-        results = tr.run_source_tests(project, runner)
-        tr.run_model_tests(project, runner)
-        tr.run_singular_tests(project, runner)
+        if sel_models is None:
+            # full suite: source tests + every model's tests + singulars
+            tr.run_source_tests(project, runner)
+            tr.run_model_tests(project, runner)
+            tr.run_singular_tests(project, runner)
+        else:
+            # dbt test --select: only the selected models' declared tests
+            # (source tests and singulars are unscoped resources — dbt
+            # runs them under their own selectors, not a model name)
+            tr.run_model_tests(project, runner, only=sel_models)
         results = tr.results
         for r in results:
             col = f".{r.column}" if r.column else ""

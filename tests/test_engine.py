@@ -2881,3 +2881,24 @@ def test_singular_data_tests(spark, tmp_path, capsys):
     assert rc == 1  # the negative amount fails
     assert "no_negative_amounts" in out and "failures=1" in out
     assert "ids_unique" in out and "failures=0" in out
+
+
+def test_test_command_select_scopes_to_model(tasty, capsys):
+    """`test --select <model>` runs only that model's declared tests —
+    not the full source+model+singular suite."""
+    from dbt_on_snowflake_spark.__main__ import main
+
+    rc = main(["test", "--project", PROJ_ROOT,
+               "--select", "customer_loyalty_metrics"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    # tastybytes declares data tests on SOURCES only; a model-scoped
+    # selection therefore runs zero data tests — and crucially none of
+    # the source suite (unscoped resources stay out of a model selector)
+    assert "0/0 tests passed" in out
+    assert "src_tb_101_" not in out
+
+    rc = main(["test", "--project", PROJ_ROOT])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "src_tb_101_" in out  # full suite covers sources
