@@ -694,6 +694,21 @@ def t_events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------ streaming corpus ingest
 
 
+INGEST_INDEX_BUCKETS = 16
+
+
+def ingest_probe_fresh(
+    spark: SparkSession, batch_canon: DataFrame, index_table: str
+) -> DataFrame:
+    """Anti-join the batch's canonical docs against the bucketed md5
+    index: the index scan feeds the join in place (bucketed layout), so
+    the only exchange is the batch side's repartition into the bucket
+    layout — per-batch cost O(|batch|), never O(|index|)."""
+    return batch_canon.repartition(
+        INGEST_INDEX_BUCKETS, "h"
+    ).join(spark.table(index_table), "h", "left_anti")
+
+
 def _ingest_oracle() -> str:
     from dbt_on_snowflake_spark.operators.textops import quality_score_sql
 
@@ -740,7 +755,17 @@ def corpus_ingest_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept_dir = os.path.join(tempfile.gettempdir(), f"ingest_kept_{suffix}")
     fs_delete(spark, kept_dir)
     _drop_managed_table(spark, index_table)
-    spark.createDataFrame([], "h string").write.saveAsTable(index_table)
+    # the index is the corpus-sized side at 100 TB: BUCKET it by the
+    # probe key so the per-batch anti-join reads it in place (all
+    # exchanges land on the batch side) — same layout contract as the
+    # MinHash band index (test_ingest_probe_no_index_shuffle pins it)
+    (
+        spark.createDataFrame([], "h string")
+        .write.format("parquet")
+        .bucketBy(INGEST_INDEX_BUCKETS, "h")
+        .sortBy("h")
+        .saveAsTable(index_table)
+    )
 
     def handle(batch_df: DataFrame, _batch_id: int) -> None:
         kept = batch_df.filter(quality_score("text") > 0).withColumn(
@@ -750,14 +775,19 @@ def corpus_ingest_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_canon = kept.withColumn(
             "canon", F.min("doc_id").over(w)
         ).filter(F.col("doc_id") == F.col("canon"))
-        fresh = batch_canon.join(
-            spark.table(index_table), "h", "left_anti"
+        fresh = ingest_probe_fresh(
+            spark, batch_canon, index_table
         ).localCheckpoint()  # one probe feeds both writes
         fresh.select("doc_id", "lang", "source").write.mode("append").parquet(
             kept_dir
         )
-        fresh.select("h").write.mode("append").format("parquet").saveAsTable(
-            index_table
+        (
+            fresh.select("h")
+            .write.mode("append")
+            .format("parquet")
+            .bucketBy(INGEST_INDEX_BUCKETS, "h")
+            .sortBy("h")
+            .saveAsTable(index_table)
         )
         spark.catalog.refreshTable(index_table)
 

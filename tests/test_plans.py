@@ -578,3 +578,41 @@ def test_pq_indexed_no_encode_recompute(spark):
         assert "vec_id" in s.get("pushedfilters", ""), (
             f"unbounded embeddings scan: {s}"
         )
+
+
+def test_ingest_probe_no_index_shuffle(spark):
+    """The streaming ingest's per-batch anti-join reads the bucketed md5
+    index in place: every Exchange in the probe plan sits on the BATCH
+    side — an index-side exchange here means each micro-batch would
+    reshuffle the corpus-sized index at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from dbt_on_snowflake_spark.operators.dedup import _drop_managed_table
+    from dbt_on_snowflake_spark.streaming import (
+        INGEST_INDEX_BUCKETS,
+        ingest_probe_fresh,
+    )
+
+    _drop_managed_table(spark, "ingest_idx_plan_t")
+    (
+        spark.createDataFrame([("aa",)], "h string")
+        .write.format("parquet")
+        .bucketBy(INGEST_INDEX_BUCKETS, "h")
+        .sortBy("h")
+        .saveAsTable("ingest_idx_plan_t")
+    )
+    batch = spark.createDataFrame(
+        [(1, "x", "s", "bb")], "doc_id long, lang string, source string, h string"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = ingest_probe_fresh(spark, batch, "ingest_idx_plan_t")
+        plan = explain_str(df)
+        # exactly one exchange: the batch repartition into the bucket
+        # layout; the index side scans Bucketed: true with no exchange
+        assert count_shuffles(plan) == 1
+        assert "Bucketed: true" in plan
+        assert df.count() == 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
