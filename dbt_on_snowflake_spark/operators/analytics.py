@@ -1963,13 +1963,13 @@ def a_grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFra
     driver=False,  # r7-born; rotates into the r8 driver export
     oracle=f"""
     WITH t AS (
-        SELECT o_orderpriority AS priority, o_orderkey,
+        SELECT o_custkey, o_orderpriority AS priority,
                PERCENT_RANK() OVER (
-                   PARTITION BY o_orderpriority
+                   PARTITION BY o_custkey
                    ORDER BY {scaled_sql('o_totalprice')} ASC, o_orderkey ASC
                ) AS pr,
                CUME_DIST() OVER (
-                   PARTITION BY o_orderpriority
+                   PARTITION BY o_custkey
                    ORDER BY {scaled_sql('o_totalprice')} ASC, o_orderkey ASC
                ) AS cd
         FROM orders
@@ -1982,12 +1982,14 @@ def a_grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFra
     """,
 )
 def w_percentile_standing_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Relative standing per priority class: top-decile (percent_rank)
-    and bottom-half (cume_dist) order counts. The unique orderkey
-    tie-break pins both rank functions' exact values; the rollup keeps
-    the output tiny while still exercising the full window sort."""
+    """Relative standing of each order WITHIN ITS CUSTOMER's history
+    (percent_rank / cume_dist, unique orderkey tie-break), rolled up to
+    per-priority counts. Windows partition by custkey — millions of tiny
+    sorts, the scalable shape; a per-priority window would be 5
+    unbounded-size sort partitions, the same TeraSort trap the grouped
+    ntile avoids (and the reason this query is scoped this way)."""
     o = table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy(
+    w = Window.partitionBy("o_custkey").orderBy(
         scaled("o_totalprice").asc(), F.col("o_orderkey").asc()
     )
     t = o.select(
