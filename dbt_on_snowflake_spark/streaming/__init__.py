@@ -709,6 +709,44 @@ def ingest_probe_fresh(
     ).join(spark.table(index_table), "h", "left_anti")
 
 
+def make_ingest_handler(
+    spark: SparkSession, index_table: str, kept_dir: str
+):
+    """foreachBatch handler of the ingest loop: quality gate ->
+    within-batch min-doc_id canonicalization -> bucketed-index anti-join
+    -> append kept docs + grow the index. Factored so the multi-batch
+    path is testable outside a stream too."""
+    from pyspark.sql import Window
+
+    from dbt_on_snowflake_spark.operators.textops import quality_score
+
+    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        kept = batch_df.filter(quality_score("text") > 0).withColumn(
+            "h", F.md5("text")
+        )
+        w = Window.partitionBy("h")
+        batch_canon = kept.withColumn(
+            "canon", F.min("doc_id").over(w)
+        ).filter(F.col("doc_id") == F.col("canon"))
+        fresh = ingest_probe_fresh(
+            spark, batch_canon, index_table
+        ).localCheckpoint()  # one probe feeds both writes
+        fresh.select("doc_id", "lang", "source").write.mode("append").parquet(
+            kept_dir
+        )
+        (
+            fresh.select("h")
+            .write.mode("append")
+            .format("parquet")
+            .bucketBy(INGEST_INDEX_BUCKETS, "h")
+            .sortBy("h")
+            .saveAsTable(index_table)
+        )
+        spark.catalog.refreshTable(index_table)
+
+    return handle
+
+
 def _ingest_oracle() -> str:
     from dbt_on_snowflake_spark.operators.textops import quality_score_sql
 
@@ -747,8 +785,6 @@ def corpus_ingest_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from dbt_on_snowflake_spark.engine.fs import fs_delete
     from dbt_on_snowflake_spark.operators.dedup import _drop_managed_table
-    from dbt_on_snowflake_spark.operators.textops import quality_score
-    from pyspark.sql import Window
 
     suffix = hashlib.md5(f"ingest:{sf_dir}".encode()).hexdigest()[:8]
     index_table = f"ingest_md5_index_{suffix}"
@@ -767,29 +803,7 @@ def corpus_ingest_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .saveAsTable(index_table)
     )
 
-    def handle(batch_df: DataFrame, _batch_id: int) -> None:
-        kept = batch_df.filter(quality_score("text") > 0).withColumn(
-            "h", F.md5("text")
-        )
-        w = Window.partitionBy("h")
-        batch_canon = kept.withColumn(
-            "canon", F.min("doc_id").over(w)
-        ).filter(F.col("doc_id") == F.col("canon"))
-        fresh = ingest_probe_fresh(
-            spark, batch_canon, index_table
-        ).localCheckpoint()  # one probe feeds both writes
-        fresh.select("doc_id", "lang", "source").write.mode("append").parquet(
-            kept_dir
-        )
-        (
-            fresh.select("h")
-            .write.mode("append")
-            .format("parquet")
-            .bucketBy(INGEST_INDEX_BUCKETS, "h")
-            .sortBy("h")
-            .saveAsTable(index_table)
-        )
-        spark.catalog.refreshTable(index_table)
+    handle = make_ingest_handler(spark, index_table, kept_dir)
 
     path = os.path.join(sf_dir, "documents.parquet")
     schema = spark.read.parquet(path).schema

@@ -316,3 +316,66 @@ def test_dedup_within_watermark_bounds_state(spark, tmp_path):
     rows = [(r.k, str(r.ts)) for r in spark.read.parquet(out).collect()]
     ks = sorted(k for k, _ in rows)
     assert ks == ["A", "A", "B"]  # A twice: evicted state, honest re-emit
+
+
+def test_ingest_multi_batch_cross_dedup(spark, tmp_path):
+    """The ingest loop's CROSS-BATCH dedup: two micro-batches (forced
+    via maxFilesPerTrigger=1 over two doc_id-ordered files) — a
+    duplicate arriving in batch 2 must be dropped by the index grown in
+    batch 1, and batch-2-only content must land. The registered query's
+    oracle only exercises the single-batch case; this pins the index
+    growth path."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dbt_on_snowflake_spark.operators.dedup import _drop_managed_table
+    from dbt_on_snowflake_spark.operators.textops import quality_score
+    from dbt_on_snowflake_spark.streaming import (
+        INGEST_INDEX_BUCKETS,
+        make_ingest_handler,
+    )
+
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    # texts that PASS the quality gate: find some from real testdata
+    real = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(quality_score("text") > 0)
+        .select("text")
+        .limit(3)
+        .collect()
+    )
+    assert len(real) == 3
+    t1, t2, t3 = (r.text for r in real)
+    b1 = spark.createDataFrame(
+        [(1, "en", "s1", t1), (2, "en", "s1", t2)],
+        "doc_id long, lang string, source string, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(3, "en", "s1", t1), (4, "en", "s1", t3)],  # 3 dups batch-1's t1
+        "doc_id long, lang string, source string, text string",
+    )
+    b1.coalesce(1).write.parquet(os.path.join(src, "f1"))
+    b2.coalesce(1).write.parquet(os.path.join(src, "f2"))
+
+    index_table = "ingest_mb_idx_t"
+    kept_dir = str(tmp_path / "kept")
+    _drop_managed_table(spark, index_table)
+    (
+        spark.createDataFrame([], "h string")
+        .write.format("parquet")
+        .bucketBy(INGEST_INDEX_BUCKETS, "h")
+        .sortBy("h")
+        .saveAsTable(index_table)
+    )
+    handle = make_ingest_handler(spark, index_table, kept_dir)
+    # drive the two batches in arrival order (the handler is the unit
+    # under test; foreachBatch supplies exactly these calls)
+    handle(spark.read.parquet(os.path.join(src, "f1")), 0)
+    handle(spark.read.parquet(os.path.join(src, "f2")), 1)
+
+    kept = {r.doc_id for r in spark.read.parquet(kept_dir).collect()}
+    assert kept == {1, 2, 4}  # 3 deduped against batch 1's t1
+    n_idx = spark.table(index_table).count()
+    assert n_idx == 3  # one index row per distinct kept text
