@@ -486,7 +486,7 @@ def test_bigram_coverage_no_doc_shuffle(spark):
 # (explain before AQE; deterministic).
 _HEADLINE_MAX_SHUFFLES = {
     "a1_loyalty_metrics": 1,
-    "ann_pq_adc_topk": 7,  # 2x tiny codebook build + the rank window
+    "ann_pq_adc_topk": 1,  # rank window only (codebook checkpointed)
     "ann_topk_bruteforce": 1,
     "asof_last_order_before_event": 1,
     "corpus_clean_pipeline": 1,
@@ -539,9 +539,9 @@ def test_pq_adc_only_ranking_shuffle_touches_scores(spark):
     a corpus-sized relation (same posture as ann_topk_bruteforce)."""
     plan = plan_of(spark, "ann_pq_adc_topk")
     assert "BroadcastNestedLoopJoin" in plan
-    # 2x codebook build (3 tiny aggs each; ReusedExchange collapses at
-    # runtime) + the ranking window.
-    assert count_shuffles(plan) <= 7
+    # the codebook is checkpointed (one centroid pass, shared by encode
+    # and LUT sides); only the per-query rank window shuffles
+    assert count_shuffles(plan) <= 1
     assert "CartesianProduct" not in plan
 
 
