@@ -541,3 +541,60 @@ def f_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("days_since_epoch_start"),
         )
     )
+
+
+# --- Join-taxonomy completion: FULL OUTER reconciliation. The one
+# join shape the marts don't use (reference is inner/left-only) but a
+# warehouse reconciliation report always does: two independently
+# aggregated daily series aligned on the calendar with both-side nulls
+# surfaced as presence classes.
+@query(
+    "j_full_outer_daily_reconciliation",
+    driver=False,  # r7-born; rotates into the r8 driver export
+    oracle="""
+    WITH o AS (
+        SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders
+        FROM orders GROUP BY 1
+    ),
+    e AS (
+        SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+        FROM events GROUP BY 1
+    )
+    SELECT COALESCE(o.day, e.day) AS day,
+           CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(e.n_events, 0) AS BIGINT) AS n_events,
+           CASE WHEN o.day IS NULL THEN 'events_only'
+                WHEN e.day IS NULL THEN 'orders_only'
+                ELSE 'both' END AS presence
+    FROM o FULL OUTER JOIN e ON o.day = e.day
+    """,
+)
+def j_full_outer_daily_reconciliation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Daily order volume vs event volume, FULL OUTER joined on the
+    calendar day — the reconciliation shape that surfaces days present
+    in exactly one system. Both inputs pre-aggregate to |days| rows
+    BEFORE the join (never a fact-fact outer join), so the outer join
+    is calendar-sized at any corpus scale."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .alias("o")
+    )
+    e = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .alias("e")
+    )
+    return o.join(e, F.col("o.day") == F.col("e.day"), "full_outer").select(
+        F.coalesce(F.col("o.day"), F.col("e.day")).alias("day"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).cast("long").alias("n_orders"),
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        F.when(F.col("o.day").isNull(), "events_only")
+        .when(F.col("e.day").isNull(), "orders_only")
+        .otherwise("both")
+        .alias("presence"),
+    )

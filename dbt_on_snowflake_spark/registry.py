@@ -65,7 +65,8 @@ QUERIES: dict[str, RegisteredQuery] = {}
 #   text_token_count_bpe_trained, ann_ivfpq_topk,
 #   corpus_ingest_streaming, multimodal_patch_grid,
 #   corpus_quality_report, w_percentile_standing_orders,
-#   ann_pq_adc_indexed, corpus_pack_efficiency);
+#   ann_pq_adc_indexed, corpus_pack_efficiency,
+#   j_full_outer_daily_reconciliation);
 #   backfill with r6-green veterans.
 #
 # R8_EXPORT DRAFT (apply at round-8 start by renaming to the active set):
