@@ -2902,3 +2902,16 @@ def test_test_command_select_scopes_to_model(tasty, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "src_tb_101_" in out  # full suite covers sources
+
+
+def test_bundled_curation_example_project(spark):
+    """The shipped examples/curation project runs end to end through
+    the normal CLI — the 'switch your curation pipeline to this engine'
+    story as a real artifact, not only a test fixture."""
+    from dbt_on_snowflake_spark.__main__ import main
+
+    rc = main(["run", "--project", "examples/curation", "--target", "excur"])
+    assert rc == 0
+    out = spark.table("excur_lang_token_budget")
+    assert out.count() > 0
+    assert set(out.columns) == {"lang", "n_docs", "n_tokens"}
