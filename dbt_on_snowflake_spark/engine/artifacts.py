@@ -145,6 +145,15 @@ def build_manifest(project: Project) -> dict[str, Any]:
             }
             for name, path in getattr(project, "seeds", {}).items()
         },
+        "snapshots": {
+            name: {
+                "relation": project.relation_for(name),
+                "on": snap.relation,
+                "strategy": snap.strategy,
+                "unique_key": snap.unique_key,
+            }
+            for name, snap in getattr(project, "snapshots", {}).items()
+        },
     }
 
 

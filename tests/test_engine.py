@@ -2639,6 +2639,12 @@ def test_snapshot_command_scd2_lifecycle(spark, tmp_path, capsys):
     assert main(["ls", "--project", root, "--resource-type", "snapshot"]) == 0
     assert "customers_snapshot [check]" in capsys.readouterr().out
 
+    # snapshots are first-class manifest nodes
+    from dbt_on_snowflake_spark.engine.artifacts import build_manifest
+
+    m = build_manifest(Project(root, target="dev"))
+    assert m["snapshots"]["customers_snapshot"]["strategy"] == "check"
+
     assert main(["snapshot", "--project", root]) == 0
     out = capsys.readouterr().out
     assert "success" in out and "customers_snapshot" in out
