@@ -1547,3 +1547,96 @@ def corpus_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" * {L})"
         ).alias("utilization_bp"),
     )
+
+
+TEMP_BUDGET_PCT = 50  # temperature-sampled corpus budget: 50% of tokens
+
+
+@query(
+    "corpus_temperature_sample",
+    driver=False,  # r7-born; rotates into the r8 driver export
+    oracle=f"""
+    WITH c AS (
+        SELECT lang,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+        FROM documents GROUP BY lang
+    ),
+    w AS (
+        SELECT lang, toks,
+               CAST(ROUND(sqrt(toks) * 10000) AS BIGINT) AS w_scaled
+        FROM c
+    ),
+    tot AS (
+        SELECT CAST(SUM(w_scaled) AS BIGINT) AS wsum,
+               CAST(SUM(toks) AS BIGINT) AS tsum
+        FROM w
+    ),
+    rates AS (
+        SELECT w.lang, w.toks,
+               CAST(least(1000000,
+                    ((w.w_scaled * 1000000 // tot.wsum)
+                     * ((tot.tsum * {TEMP_BUDGET_PCT}) // 100))
+                        // w.toks) AS BIGINT) AS accept_ppm
+        FROM w, tot
+    )
+    SELECT d.doc_id, d.lang, r.accept_ppm
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE ('0x' || substring(md5('temp#' || CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+          % 1000000 < r.accept_ppm
+    """,
+)
+def corpus_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE SAMPLING across languages (alpha = 1/2, the
+    mT5/XLM-R multilingual recipe): language selection probability
+    p_l ∝ tokens_l^alpha, flattening the natural distribution so
+    low-resource languages are upsampled relative to their share. Each
+    language's per-doc keep rate = min(1, p_l * budget / tokens_l),
+    realized by the same deterministic md5-bucket filter as the mixture
+    sampler (downsampling formulation; compose corpus_mixture_epochs for
+    the upsampling half).
+
+    Engine-exactness: sqrt is IEEE-754 correctly rounded in both
+    engines, then immediately scaled to int64 (ROUND x 1e4) — every
+    later step (normalization, budget, rates) is integer `div`
+    arithmetic, so the keep-set is bit-identical. Plan posture matches
+    corpus_mixture_sample: one tiny per-lang aggregate broadcast onto a
+    scan-speed filter; the corpus is never shuffled."""
+    d = table(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("toks")
+    )
+    w = c.select(
+        "lang",
+        "toks",
+        F.round(F.sqrt(F.col("toks")) * 10000).cast("long").alias("w_scaled"),
+    )
+    tot = w.agg(
+        F.sum("w_scaled").alias("wsum"), F.sum("toks").alias("tsum")
+    )
+    rates = w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.expr(
+            f"least(1000000L, (((w_scaled * 1000000) div wsum)"
+            f" * ((tsum * {TEMP_BUDGET_PCT}) div 100)) div toks)"
+        )
+        .cast("long")
+        .alias("accept_ppm"),
+    )
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("temp#"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(1_000_000),
+    ).cast("long")
+    return (
+        d.select("doc_id", "lang")
+        .join(F.broadcast(rates), "lang")
+        .filter(bucket < F.col("accept_ppm"))
+        .select("doc_id", "lang", "accept_ppm")
+    )

@@ -66,7 +66,7 @@ QUERIES: dict[str, RegisteredQuery] = {}
 #   corpus_ingest_streaming, multimodal_patch_grid,
 #   corpus_quality_report, w_percentile_standing_orders,
 #   ann_pq_adc_indexed, corpus_pack_efficiency,
-#   j_full_outer_daily_reconciliation);
+#   j_full_outer_daily_reconciliation, corpus_temperature_sample);
 #   backfill with r6-green veterans.
 #
 # R8_EXPORT DRAFT (apply at round-8 start by renaming to the active set):

@@ -25,6 +25,7 @@ _BNLJ_OK = {
     "ann_topk_bruteforce",
     "corpus_mixture_sample",
     "corpus_mixture_sample_bpe",
+    "corpus_temperature_sample",  # 1-row weight-total broadcast
     "text_bigram_coverage",
     "text_levenshtein_pairs",
     "q22_dormant_customers",  # 1-row scalar balance-threshold broadcast
