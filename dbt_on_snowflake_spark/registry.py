@@ -70,11 +70,13 @@ QUERIES: dict[str, RegisteredQuery] = {}
 #   backfill with r6-green veterans.
 #
 # R8_EXPORT DRAFT (apply at round-8 start by renaming to the active set):
-#   41 mandatory rotate-ins = the 6 r5-stale rows + all 35 r7-born
-#   parity-only rows listed above; 9 free slots -> fill with r6-green
-#   family guards (q1_pricing_summary, a1_loyalty_metrics, dedup_exact,
-#   ann_topk_bruteforce, t_events_hourly, text_stats, j1_orders_denorm,
-#   w_topk_orders_per_customer, multimodal_decode) or r8-born queries.
+#   mandatory rotate-ins = the 6 r5-stale rows + every r7-born
+#   parity-only row listed above (37 at session end -> 43 mandatory).
+#   That exceeds one 50-row budget by little: fill the remaining ~7
+#   slots with r6-green family guards (q1_pricing_summary,
+#   a1_loyalty_metrics, dedup_exact, ann_topk_bruteforce,
+#   t_events_hourly, text_stats, j1_orders_denorm) and push any
+#   overflow + r8-born queries to the r9 ledger.
 DRIVER_BUDGET = 50
 
 # The authoritative r7 export set. all_queries() applies it over the
