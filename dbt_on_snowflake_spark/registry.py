@@ -41,103 +41,87 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # ROTATION LEDGER (keep every query driver-green within a 3-round window):
 # - r6 export: the 8 operators born in r5 plus the r6-born BPE trio and
 #   dedup_semantic; 13 r5-green veterans demoted.
-# - r7 export (R7_EXPORT below, overrides per-decorator driver= flags):
-#   all 17 never-driver-checked rows (r6-born parity-only set + the
-#   q6/q10/q14/q15/q16/q19 analytics), all 22 rows last checked in r4,
-#   corpus_pack_sequences (to prove the oracle BIGINT fix at the driver),
-#   w_running_total_events (family guard), and 6 of the 12 r5-checked
-#   rows; 3 slots reserved for r7-born queries.
-# - r8 must rotate IN: the remaining r5-checked rows
-#   (a_unpivot_status_revenue, dedup_ngram_jaccard, text_fingerprint,
-#   text_lang_id, text_levenshtein_pairs, text_repetition) — they hit the
-#   3-round window at r8 — plus the r7-born parity-only rows
-#   (t_events_dedup_wm_streaming, t_events_stream_stream_join,
-#   text_bigram_coverage, q7_volume_shipping, q8_market_share,
-#   q9_product_profit, q11_important_suppliers,
-#   q13_order_count_distribution, q21_waiting_suppliers,
-#   q22_dormant_customers, dedup_cluster_sizes, corpus_dedup_cascade,
-#   corpus_pack_shards_bpe, asof_next_order_after_event,
-#   asof_last_order_within_30d, ann_recall_eval, corpus_shuffle_order,
-#   q12_priority_by_shipmode, ann_pq_codes, ann_pq_adc_topk,
-#   ann_hard_negatives, text_quality_classifier,
-#   w_ntile_customer_value_quartiles, a_grouping_sets_status_priority,
-#   f_datetime_suite, ann_pq_recall_eval, text_bpe_train_merges,
-#   text_token_count_bpe_trained, ann_ivfpq_topk,
-#   corpus_ingest_streaming, multimodal_patch_grid,
-#   corpus_quality_report, w_percentile_standing_orders,
-#   ann_pq_adc_indexed, corpus_pack_efficiency,
-#   j_full_outer_daily_reconciliation, corpus_temperature_sample);
-#   backfill with r6-green veterans.
-#
-# R8_EXPORT DRAFT (apply at round-8 start by renaming to the active set):
-#   mandatory rotate-ins = the 6 r5-stale rows + every r7-born
-#   parity-only row listed above (37 at session end -> 43 mandatory).
-#   That exceeds one 50-row budget by little: fill the remaining ~7
-#   slots with r6-green family guards (q1_pricing_summary,
-#   a1_loyalty_metrics, dedup_exact, ann_topk_bruteforce,
-#   t_events_hourly, text_stats, j1_orders_denorm) and push any
-#   overflow + r8-born queries to the r9 ledger.
+# - r7 export: all 17 never-driver-checked rows, all 22 r4-stale rows,
+#   corpus_pack_sequences (oracle BIGINT fix proof), w_running_total_events
+#   (family guard), 6 of the 12 r5-checked rows, 3 r7-born queries.
+#   Result: CORRECTNESS_r07 50/50 green.
+# - r8 export (R8_EXPORT below, the active set): the 6 remaining r5-stale
+#   rows (they hit the 3-round window) + all 37 r7-born parity-only rows
+#   (never driver-checked: the PQ family, BPE training, TPC-H
+#   q7-q13/q21/q22, stream-stream join, watermarked dedup, temperature
+#   sampling, patch grid, quality classifier/report, percentile standing,
+#   grouping sets, datetime suite, full outer, pack efficiency, ingest
+#   streaming, ...) = 43 mandatory, + 7 r6/r7-green family guards
+#   (q1_pricing_summary, a1_loyalty_metrics, dedup_exact,
+#   ann_topk_bruteforce, t_events_hourly, text_stats, j1_orders_denorm).
+# - r9 must rotate IN: all r8-born queries (tracked in R9_ROTATE_IN below
+#   as they are added), every row last driver-checked in r6
+#   (j2_left_join_enrich, asof/range family, a2/a3/a5 shapes, cube,
+#   pivot, sketches, q2/q4/q17/q18/q20, dedup_minhash_lsh,
+#   dedup_verified_pairs, text_bpe encoder rows, dedup_semantic,
+#   corpus_clean_pipeline, corpus_sample_budget, ...), and the r7-green
+#   rows as window pressure dictates; backfill with guards.
 DRIVER_BUDGET = 50
 
-# The authoritative r7 export set. all_queries() applies it over the
+# Queries born in round 8 — mandatory r9 rotate-ins (never driver-checked).
+R9_ROTATE_IN: set[str] = set()
+
+# The authoritative r8 export set. all_queries() applies it over the
 # per-decorator driver= defaults so a rotation is one list edit here.
-R7_EXPORT = {
-    # never driver-checked (priority 1)
-    "ann_incremental_assign",
-    "ann_quantize_int8",
-    "corpus_chunk_documents",
-    "corpus_mixture_epochs",
-    "corpus_pack_sequences_bpe",
-    "corpus_train_val_split",
-    "dedup_passages",
-    "q10_returned_item_losers",
-    "q14_promo_revenue_share",
-    "q15_top_supplier",
-    "q16_supplier_breadth",
-    "q19_branded_quantity_revenue",
-    "q6_forecast_revenue_delta",
-    "t_event_funnel_streaming",
-    "t_event_transitions",
-    "t_events_rate_anomalies",
-    "text_top_ngrams",
-    # last driver-checked r4 — two rounds demoted (priority 2)
-    "a4_sales_by_nation",
-    "a6_unique_violations",
-    "a_rollup_revenue",
-    "ann_ivf_multiprobe",
-    "ann_ivf_topk",
-    "corpus_sample_stratified",
-    "dedup_embedding_cosine",
-    "dedup_simhash_pairs",
-    "dq_failing_rows",
-    "f_scalar_suite",
-    "j7_anti_orphans",
-    "j_salted_events_enrich",
-    "multimodal_meta",
-    "t_events_dedup_streaming",
-    "t_events_hourly_append",
-    "t_events_hourly_streaming",
-    "t_events_sessions_streaming",
-    "t_events_sliding_streaming",
-    "t_user_retention",
-    "text_contamination",
-    "text_quality",
-    "text_token_count",
-    # r6-red-on-oracle-typing: re-export to land the green row
-    "corpus_pack_sequences",
-    # family guard (driver-budget test requires >= 1 exported w_ row)
-    "w_running_total_events",
-    # born in r7
-    "corpus_pack_shards",
-    "dedup_incremental_pruned",
-    "dedup_source_overlap",
-    # r5-checked fills (the other 6 rotate in r8)
-    "s4_source_passthrough",
-    "p2_projection_rename",
-    "p6_range_filter",
-    "p7_ts_filter",
-    "f_json_extract",
-    "j_semi_active_customers",
+R8_EXPORT = {
+    # r5-stale — hit the 3-round window this round (priority 1)
+    "a_unpivot_status_revenue",
+    "dedup_ngram_jaccard",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_levenshtein_pairs",
+    "text_repetition",
+    # r7-born, never driver-checked (priority 1)
+    "a_grouping_sets_status_priority",
+    "ann_hard_negatives",
+    "ann_ivfpq_topk",
+    "ann_pq_adc_indexed",
+    "ann_pq_adc_topk",
+    "ann_pq_codes",
+    "ann_pq_recall_eval",
+    "ann_recall_eval",
+    "asof_last_order_within_30d",
+    "asof_next_order_after_event",
+    "corpus_dedup_cascade",
+    "corpus_ingest_streaming",
+    "corpus_pack_efficiency",
+    "corpus_pack_shards_bpe",
+    "corpus_quality_report",
+    "corpus_shuffle_order",
+    "corpus_temperature_sample",
+    "dedup_cluster_sizes",
+    "f_datetime_suite",
+    "j_full_outer_daily_reconciliation",
+    "multimodal_patch_grid",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_suppliers",
+    "q12_priority_by_shipmode",
+    "q13_order_count_distribution",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    "t_events_dedup_wm_streaming",
+    "t_events_stream_stream_join",
+    "text_bigram_coverage",
+    "text_bpe_train_merges",
+    "text_quality_classifier",
+    "text_token_count_bpe_trained",
+    "w_ntile_customer_value_quartiles",
+    "w_percentile_standing_orders",
+    # family guards (r6/r7-green veterans)
+    "q1_pricing_summary",
+    "a1_loyalty_metrics",
+    "dedup_exact",
+    "ann_topk_bruteforce",
+    "t_events_hourly",
+    "text_stats",
+    "j1_orders_denorm",
 }
 
 
@@ -162,7 +146,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
 
     # Apply the round's rotation: the export list above is authoritative.
     for n, q in QUERIES.items():
-        q.driver = n in R7_EXPORT
+        q.driver = n in R8_EXPORT
     return QUERIES
 
 

@@ -122,28 +122,51 @@ def test_driver_export_within_budget():
         assert any(n.startswith(fam) for n in exported), fam
 
 
-def test_r7_rotation_promises_kept():
-    """The round-6 verdict's rotation ledger: every never-driver-checked
-    row and every row last checked in r4 must be in the r7 export, plus
-    corpus_pack_sequences (to land the oracle-fix green row). Pin them so
-    a later edit can't silently demote one before the driver sees it."""
-    from dbt_on_snowflake_spark.registry import R7_EXPORT, driver_queries
+def test_r8_rotation_promises_kept():
+    """The round-7 verdict's rotation ledger: the 6 r5-stale rows and all
+    37 r7-born never-driver-checked rows must be in the r8 export. Pin
+    them so a later edit can't silently demote one before the driver sees
+    it. R9_ROTATE_IN accumulates r8-born queries for the next rotation."""
+    from dbt_on_snowflake_spark.registry import (
+        R8_EXPORT,
+        R9_ROTATE_IN,
+        driver_queries,
+    )
 
     exported = set(driver_queries())
-    assert R7_EXPORT <= exported, sorted(R7_EXPORT - exported)
+    assert R8_EXPORT <= exported, sorted(R8_EXPORT - exported)
+    r5_stale = {
+        "a_unpivot_status_revenue", "dedup_ngram_jaccard",
+        "text_fingerprint", "text_lang_id", "text_levenshtein_pairs",
+        "text_repetition",
+    }
+    assert r5_stale <= exported, sorted(r5_stale - exported)
     never_checked = {
-        "ann_incremental_assign", "ann_quantize_int8",
-        "corpus_chunk_documents", "corpus_mixture_epochs",
-        "corpus_pack_sequences_bpe", "corpus_train_val_split",
-        "dedup_passages", "q10_returned_item_losers",
-        "q14_promo_revenue_share", "q15_top_supplier",
-        "q16_supplier_breadth", "q19_branded_quantity_revenue",
-        "q6_forecast_revenue_delta", "t_event_funnel_streaming",
-        "t_event_transitions", "t_events_rate_anomalies",
-        "text_top_ngrams",
+        "a_grouping_sets_status_priority", "ann_hard_negatives",
+        "ann_ivfpq_topk", "ann_pq_adc_indexed", "ann_pq_adc_topk",
+        "ann_pq_codes", "ann_pq_recall_eval", "ann_recall_eval",
+        "asof_last_order_within_30d", "asof_next_order_after_event",
+        "corpus_dedup_cascade", "corpus_ingest_streaming",
+        "corpus_pack_efficiency", "corpus_pack_shards_bpe",
+        "corpus_quality_report", "corpus_shuffle_order",
+        "corpus_temperature_sample", "dedup_cluster_sizes",
+        "f_datetime_suite", "j_full_outer_daily_reconciliation",
+        "multimodal_patch_grid", "q7_volume_shipping", "q8_market_share",
+        "q9_product_profit", "q11_important_suppliers",
+        "q12_priority_by_shipmode", "q13_order_count_distribution",
+        "q21_waiting_suppliers", "q22_dormant_customers",
+        "t_events_dedup_wm_streaming", "t_events_stream_stream_join",
+        "text_bigram_coverage", "text_bpe_train_merges",
+        "text_quality_classifier", "text_token_count_bpe_trained",
+        "w_ntile_customer_value_quartiles", "w_percentile_standing_orders",
     }
     assert never_checked <= exported, sorted(never_checked - exported)
-    assert "corpus_pack_sequences" in exported
+    # r8-born queries register in the ledger for the r9 rotation
+    from dbt_on_snowflake_spark.registry import all_queries
+
+    assert R9_ROTATE_IN <= set(all_queries()), sorted(
+        R9_ROTATE_IN - set(all_queries())
+    )
 
 
 def test_empty_input_parity_sweep(spark, tmp_path):
