@@ -847,10 +847,18 @@ class Project:
             base = group.get("base_path", "")
             for tbl in group.get("tables", []):
                 raw_path = tbl.get("path", os.path.join(base, f"{tbl['name']}.parquet"))
+                expanded = os.path.expandvars(raw_path)
+                if "$" in expanded:
+                    # expandvars leaves unset vars literal; surface a clear
+                    # config error instead of an opaque path-not-found later.
+                    raise ValueError(
+                        f"source {gname}.{tbl['name']}: path {raw_path!r} "
+                        "references an unset environment variable"
+                    )
                 out[(gname, tbl["name"])] = SourceTable(
                     group=gname,
                     name=tbl["name"],
-                    path=os.path.expandvars(raw_path),
+                    path=expanded,
                     format=tbl.get("format", group.get("format", "parquet")),
                     columns={
                         c["name"]: c.get("tests", [])
