@@ -325,11 +325,41 @@ class TestRunner:
             for pname, default in tdef.params:
                 if pname not in subs and default is not None:
                     subs[pname] = default
+
+            def _sql_value(k, v):
+                # model/column_name are identifiers; kwargs are VALUES —
+                # strings must land as quoted SQL literals, not raw
+                # injection (a kwarg `upper: abc` would otherwise parse
+                # as a column reference or not at all)
+                if k in ("model", "column_name"):
+                    return str(v)
+                if isinstance(v, bool):
+                    return "TRUE" if v else "FALSE"
+                if isinstance(v, str):
+                    return "'" + v.replace("'", "''") + "'"
+                return str(v)
+
             for k, v in subs.items():
                 if v is None:
                     continue
                 body = _re.sub(
-                    r"\{\{\s*" + _re.escape(k) + r"\s*\}\}", str(v), body
+                    r"\{\{\s*" + _re.escape(k) + r"\s*\}\}",
+                    _sql_value(k, v).replace("\\", "\\\\"), body,
+                )
+            # a placeholder left unbound (e.g. {{ column_name }} in a
+            # table-level test, or a param with no default and no kwarg)
+            # would reach Spark as literal mustache text — an opaque
+            # parse error. Fail here with the names instead. ref()/
+            # source()/var() calls are render()'s job and excluded.
+            unbound = sorted(
+                set(_re.findall(r"\{\{\s*([A-Za-z_]\w*)\s*\}\}", body))
+            )
+            if unbound:
+                raise ValueError(
+                    f"SQL generic test {test_name!r} on {relation}: "
+                    f"unbound placeholder(s) {', '.join(unbound)} — pass "
+                    "them as test kwargs in schema.yml (column-level "
+                    "placement binds column_name)"
                 )
             from dbt_on_snowflake_spark.engine.compile import render
 
