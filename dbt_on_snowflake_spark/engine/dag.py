@@ -35,6 +35,67 @@ def toposort(project: Project) -> list[str]:
     return list(TopologicalSorter(build_graph(project)).static_order())
 
 
+def snapshot_ref_model(snap) -> str | None:
+    """The upstream model of a ``ref('model')``-backed snapshot, or None
+    for a source-backed one. Determines DAG placement in ``build``:
+    source-backed snapshots run before the model pass, ref-backed ones
+    after it (so they see this run's state, not last run's)."""
+    import re
+
+    m = re.match(r"\s*ref\(\s*['\"]([^'\"]+)['\"]\s*\)\s*$", snap.relation)
+    return m.group(1) if m else None
+
+
+def split_snapshot_atoms(
+    project: Project, selector: str | None
+) -> tuple[str | None, list[str]]:
+    """Partition a dbt-style selector into (model-only selector,
+    snapshot atoms). Snapshots are not model-graph nodes, so ``build``
+    resolves their atoms out-of-band; a ``snap+`` atom's descendant
+    MODELS (direct dependents, with their own +) are folded back into
+    the model selector so downstream consumers rebuild."""
+    snaps = getattr(project, "snapshots", {})
+    if not selector or not snaps:
+        return selector, []
+    keep: list[str] = []
+    snap_atoms: list[str] = []
+    for atom in selector.split(","):
+        atom = atom.strip()
+        if atom.strip("+") in snaps:
+            snap_atoms.append(atom)
+            if atom.endswith("+"):
+                name = atom.strip("+")
+                keep.extend(
+                    f"{m}+"
+                    for m, node in project.models.items()
+                    if name in node.refs
+                )
+        else:
+            keep.append(atom)
+    return (",".join(keep) if keep else None), snap_atoms
+
+
+def select_snapshots(
+    project: Project,
+    selector: str | None,
+    snap_atoms: list[str],
+    snap_exclude_atoms: list[str],
+    selected_models: set[str] | None,
+) -> set[str]:
+    """The snapshots a ``build`` invocation should run: all of them on an
+    unnarrowed build; under a selection, the explicitly named ones plus
+    any snapshot a selected model refs (a required ancestor — the model
+    reads its table). Exclusion atoms remove by literal name."""
+    snaps = set(getattr(project, "snapshots", {}))
+    if selector is None:
+        wanted = snaps
+    else:
+        wanted = {a.strip("+") for a in snap_atoms}
+        for m in selected_models or ():
+            wanted |= {r for r in project.models[m].refs if r in snaps}
+    return wanted - {a.strip("+") for a in snap_exclude_atoms}
+
+
 def ancestors(graph: dict[str, set[str]], name: str) -> set[str]:
     seen: set[str] = set()
     stack = [name]

@@ -331,12 +331,15 @@ class Runner:
             f"ref('model'), got {snap.relation!r}"
         )
 
-    def run_snapshots(self, now=None) -> list[NodeResult]:
-        """dbt snapshot: apply every snapshots.yml node against its
-        current source state, SCD2-merging into the snapshot table
-        through the atomic table format (one full-outer-join shuffle per
-        node — see engine/snapshot.py for the at-scale posture). ``now``
-        is injectable for deterministic tests, mirroring freshness."""
+    def run_snapshots(self, now=None, only=None) -> list[NodeResult]:
+        """dbt snapshot: apply snapshots.yml nodes against their current
+        source state, SCD2-merging into the snapshot table through the
+        atomic table format (one full-outer-join shuffle per node — see
+        engine/snapshot.py for the at-scale posture). ``now`` is
+        injectable for deterministic tests, mirroring freshness.
+        ``only`` (advice r7): restrict to the named snapshots — build
+        scopes snapshots to its selection instead of advancing every
+        SCD2 history on any invocation."""
         from datetime import datetime, timezone
 
         from dbt_on_snowflake_spark.engine.snapshot import (
@@ -347,7 +350,12 @@ class Runner:
         if now is None:
             now = datetime.now(timezone.utc).replace(tzinfo=None)
         out: list[NodeResult] = []
-        for name in sorted(getattr(self.project, "snapshots", {})):
+        names = sorted(
+            getattr(self.project, "snapshots", {})
+            if only is None
+            else only
+        )
+        for name in names:
             snap = self.project.snapshots[name]
             relation = self.project.relation_for(name)
             t0 = time.time()
