@@ -360,6 +360,8 @@ def main(argv: list[str] | None = None) -> int:
             args.event_start = prior_args.get("event_start")
         if args.event_end is None:
             args.event_end = prior_args.get("event_end")
+        if not getattr(args, "empty", False):
+            args.empty = bool(prior_args.get("empty"))
         if cli_vars is None and prior_args.get("vars"):
             cli_vars = prior_args["vars"]
         prior_nodes = [
@@ -445,6 +447,8 @@ def main(argv: list[str] | None = None) -> int:
         # target namespace with the same parallelism
         "target": args.target,
         "threads": getattr(args, "threads", 1),
+        # a retry of `run --empty` must stay a schema-only dry run
+        "empty": getattr(args, "empty", False),
     }
 
     if args.cmd in ("run", "retry"):
@@ -480,7 +484,13 @@ def main(argv: list[str] | None = None) -> int:
         # dbt build: materialize in DAG order, testing each model as soon
         # as it lands; a failed (error-severity) test poisons the node —
         # descendants skip rather than build on bad data
-        from dbt_on_snowflake_spark.engine.dag import select as dag_select
+        from dbt_on_snowflake_spark.engine.dag import (
+            select as dag_select,
+            select_snapshots,
+            snapshot_ref_model,
+            split_snapshot_atoms,
+        )
+        from dbt_on_snowflake_spark.engine.runner import NodeResult
         from dbt_on_snowflake_spark.engine.testing import TestRunner
         from dbt_on_snowflake_spark.engine.unit_tests import run_unit_tests
 
@@ -489,53 +499,124 @@ def main(argv: list[str] | None = None) -> int:
             with open(args.state) as f:
                 state = json.load(f)
 
-        # dbt build runs unit tests up front: they need no materialized
-        # state, so logic bugs surface before anything is built. Scoped
-        # to the selection — an unrelated model's failing unit test must
-        # not fail a selected build.
+        # snapshots are selectable nodes (advice r7): pull their atoms
+        # out of the selector (the model graph doesn't know them), fold
+        # a `snap+`'s dependent models back in, and scope which
+        # snapshots run to the selection — a `build --select
+        # unrelated_model` must not advance every SCD2 history
+        raw_select, snap_atoms = split_snapshot_atoms(project, args.select)
+        raw_exclude, snap_exc_atoms = split_snapshot_atoms(
+            project, args.exclude
+        )
+        snapshot_only = args.select is not None and raw_select is None
+
         sel_models = (
-            set(dag_select(project, args.select, state=state,
-                           exclude=args.exclude))
-            if (args.select or args.exclude)
-            else None
+            set(dag_select(project, raw_select, state=state,
+                           exclude=raw_exclude))
+            if (raw_select or raw_exclude)
+            else (set() if snapshot_only else None)
         )
-        ut_results = run_unit_tests(spark, project, models=sel_models)
-        for u in ut_results:
-            print(f"{u.status:5s} unit {u.name} on {u.model}"
-                  + (f" ({u.message})" if u.message else ""))
-        # dbt semantics: a model whose unit test failed is SKIPPED (with
-        # its descendants) — its logic is provably broken, so it must not
-        # overwrite good data
-        ut_blocked = {
-            u.model: f"unit test {u.name} {u.status}"
-            for u in ut_results
-            if u.status in ("fail", "error")
+        sel_snaps = select_snapshots(
+            project, args.select, snap_atoms, snap_exc_atoms, sel_models
+        )
+        # DAG placement: source-backed snapshots run BEFORE the model
+        # pass (models ref() their tables); ref-backed ones run AFTER it
+        # (they must see this run's model state, not last run's). A
+        # model reading a snapshot that itself snapshots a model would
+        # need mid-pass interleaving — rejected with a clear error.
+        ref_backed = {
+            s: up
+            for s in sel_snaps
+            if (up := snapshot_ref_model(project.snapshots[s])) is not None
         }
-
-        tr = TestRunner(spark, custom=project.package_tests)
-
-        # dbt build includes snapshots: they sit between sources and the
-        # models that ref() them, so they must land before the model pass
-        snap_results = (
-            runner.run_snapshots()
-            if getattr(project, "snapshots", {})
-            else []
+        model_universe = (
+            sel_models if sel_models is not None else set(project.models)
         )
+        for m in sorted(model_universe):
+            for r in project.models[m].refs:
+                if r in ref_backed:
+                    print(
+                        f"build: model {m!r} refs snapshot {r!r}, which "
+                        "itself snapshots a model — build cannot order a "
+                        "model -> snapshot -> model chain in one pass. "
+                        f"Run `snapshot` first, then `build --exclude {r}`.",
+                        file=sys.stderr,
+                    )
+                    return 2
+
+        if snapshot_only:
+            ut_results, results = [], []
+            tr = TestRunner(spark, custom=project.package_tests)
+            pre_snaps = sorted(s for s in sel_snaps if s not in ref_backed)
+            snap_results = (
+                runner.run_snapshots(only=pre_snaps) if pre_snaps else []
+            )
+        else:
+            # dbt build runs unit tests up front: they need no
+            # materialized state, so logic bugs surface before anything
+            # is built. Scoped to the selection — an unrelated model's
+            # failing unit test must not fail a selected build.
+            ut_results = run_unit_tests(spark, project, models=sel_models)
+            for u in ut_results:
+                print(f"{u.status:5s} unit {u.name} on {u.model}"
+                      + (f" ({u.message})" if u.message else ""))
+            # dbt semantics: a model whose unit test failed is SKIPPED
+            # (with its descendants) — its logic is provably broken, so
+            # it must not overwrite good data
+            ut_blocked = {
+                u.model: f"unit test {u.name} {u.status}"
+                for u in ut_results
+                if u.status in ("fail", "error")
+            }
+
+            tr = TestRunner(spark, custom=project.package_tests)
+
+            pre_snaps = sorted(s for s in sel_snaps if s not in ref_backed)
+            snap_results = (
+                runner.run_snapshots(only=pre_snaps) if pre_snaps else []
+            )
+
+            def gate(name: str) -> bool:
+                res = tr.run_model_tests(project, runner, only={name})
+                return all(r.status in ("pass", "warn") for r in res)
+
+            results = runner.run(
+                raw_select, state=state, exclude=raw_exclude,
+                test_hook=gate, blocked=ut_blocked,
+            )
         for r in snap_results:
             print(f"{r.status:8s} snapshot {r.relation} "
                   f"({r.rows if r.rows is not None else '-'} rows)")
-
-        def gate(name: str) -> bool:
-            res = tr.run_model_tests(project, runner, only={name})
-            return all(r.status in ("pass", "warn") for r in res)
-
-        results = runner.run(
-            args.select, state=state, exclude=args.exclude, test_hook=gate,
-            blocked=ut_blocked,
-        )
         for r in results:
             print(f"{r.status:8s} {r.materialization:5s} {r.relation} "
                   f"({r.rows if r.rows is not None else '-'} rows, {r.seconds}s)")
+
+        # ref-backed snapshots: after the model pass. A snapshot whose
+        # upstream model failed this run skips (SCD2 history must not
+        # advance over bad data); an unselected upstream reads its
+        # existing table via the normal ref contract.
+        if ref_backed:
+            by_name = {r.name: r for r in results}
+            runnable, skipped = [], []
+            for s in sorted(ref_backed):
+                up = by_name.get(ref_backed[s])
+                if up is not None and up.status not in ("success", "reused"):
+                    res = NodeResult(
+                        s, "skipped", "snapshot",
+                        project.relation_for(s), None, 0.0,
+                        f"upstream failed: {ref_backed[s]}",
+                    )
+                    runner.results.append(res)
+                    skipped.append(res)
+                else:
+                    runnable.append(s)
+            post = (
+                runner.run_snapshots(only=runnable) if runnable else []
+            ) + skipped
+            for r in post:
+                print(f"{r.status:8s} snapshot {r.relation} "
+                      f"({r.rows if r.rows is not None else '-'} rows)")
+            snap_results += post
         # dbt build runs singular tests after the model pass (they may
         # span several models); skip when the selection failed models —
         # their assertions would error on missing relations anyway
