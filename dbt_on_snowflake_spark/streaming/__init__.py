@@ -697,25 +697,47 @@ def t_events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 INGEST_INDEX_BUCKETS = 16
 
 
-def ingest_probe_fresh(
+def ingest_probe_keep(
     spark: SparkSession, batch_canon: DataFrame, index_table: str
 ) -> DataFrame:
-    """Anti-join the batch's canonical docs against the bucketed md5
-    index: the index scan feeds the join in place (bucketed layout), so
-    the only exchange is the batch side's repartition into the bucket
-    layout — per-batch cost O(|batch|), never O(|index|)."""
-    return batch_canon.repartition(
-        INGEST_INDEX_BUCKETS, "h"
-    ).join(spark.table(index_table), "h", "left_anti")
+    """Probe the batch's canonical docs against the bucketed ``(h,
+    doc_id)`` index and return the rows to KEEP: hashes the index has
+    never seen, plus IMPROVEMENTS — a doc_id strictly smaller than every
+    indexed doc_id for its hash (advice r7: a multi-file source may
+    deliver the global-min doc_id after its hash is indexed; dropping it
+    would silently diverge from min-doc_id canonicalization). The index
+    scan feeds the join in place (bucketed layout) and the follow-up
+    min() groups on the join key, so the only exchange is the batch
+    side's repartition into the bucket layout — per-batch exchange cost
+    O(|batch|), never O(|index|)."""
+    idx = spark.table(index_table).withColumnRenamed("doc_id", "idx_doc_id")
+    cols = batch_canon.columns
+    joined = batch_canon.repartition(INGEST_INDEX_BUCKETS, "h").join(
+        idx, "h", "left"
+    )
+    # one row per batch doc (h is unique within batch_canon); the agg
+    # groups on a superset of the h-partitioning, so no extra exchange
+    return (
+        joined.groupBy(*cols)
+        .agg(F.min("idx_doc_id").alias("idx_min"))
+        .filter(
+            F.col("idx_min").isNull() | (F.col("doc_id") < F.col("idx_min"))
+        )
+        .drop("idx_min")
+    )
 
 
 def make_ingest_handler(
     spark: SparkSession, index_table: str, kept_dir: str
 ):
     """foreachBatch handler of the ingest loop: quality gate ->
-    within-batch min-doc_id canonicalization -> bucketed-index anti-join
-    -> append kept docs + grow the index. Factored so the multi-batch
-    path is testable outside a stream too."""
+    within-batch min-doc_id canonicalization -> bucketed-index probe
+    (unseen hashes + doc_id improvements) -> append kept docs + grow the
+    index. The kept dir stores ``h`` so readers reconcile to the global
+    min doc_id per hash (``ingest_reconcile``); an improvement appends a
+    new (h, doc_id) index row rather than rewriting — the index stays
+    append-only and reads take the min. Factored so the multi-batch path
+    is testable outside a stream too."""
     from pyspark.sql import Window
 
     from dbt_on_snowflake_spark.operators.textops import quality_score
@@ -728,14 +750,14 @@ def make_ingest_handler(
         batch_canon = kept.withColumn(
             "canon", F.min("doc_id").over(w)
         ).filter(F.col("doc_id") == F.col("canon"))
-        fresh = ingest_probe_fresh(
+        keep = ingest_probe_keep(
             spark, batch_canon, index_table
         ).localCheckpoint()  # one probe feeds both writes
-        fresh.select("doc_id", "lang", "source").write.mode("append").parquet(
-            kept_dir
-        )
+        keep.select("doc_id", "lang", "source", "h").write.mode(
+            "append"
+        ).parquet(kept_dir)
         (
-            fresh.select("h")
+            keep.select("h", "doc_id")
             .write.mode("append")
             .format("parquet")
             .bucketBy(INGEST_INDEX_BUCKETS, "h")
@@ -745,6 +767,22 @@ def make_ingest_handler(
         spark.catalog.refreshTable(index_table)
 
     return handle
+
+
+def ingest_reconcile(kept: DataFrame) -> DataFrame:
+    """Collapse the append-only kept set to the canonical doc per hash
+    (global min doc_id) — a superseded first-arrival row loses to the
+    later-arriving smaller doc_id. One shuffle over the kept set (each
+    hash appears once plus rare improvement rows), keyed by md5 so no
+    skew."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("h")
+    return (
+        kept.withColumn("canon", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("canon"))
+        .select("doc_id", "lang", "source")
+    )
 
 
 def _ingest_oracle() -> str:
@@ -776,10 +814,11 @@ def corpus_ingest_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     and grows the index. All cross-batch memory is the durable index
     (no Spark state to bound); at 100 TB the index is the same
     bucketed-table artifact batch dedup maintains, and the quality gate
-    rides the scan. Batches arrive in doc_id order (one ordered file
-    source), so first-arrival-wins == the batch oracle's global
-    min-doc_id canonical — bit-identical kept set, proven by the shared
-    value hash."""
+    rides the scan. Canonicalization is ARRIVAL-ORDER-INDEPENDENT
+    (advice r7): the index stores (h, doc_id) and the probe also keeps
+    later arrivals with a smaller doc_id, so the read-side reconcile
+    yields the global min-doc_id canon no matter how a multi-file
+    source interleaves batches — bit-identical to the batch oracle."""
     import hashlib
     import tempfile
 
@@ -792,11 +831,11 @@ def corpus_ingest_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     fs_delete(spark, kept_dir)
     _drop_managed_table(spark, index_table)
     # the index is the corpus-sized side at 100 TB: BUCKET it by the
-    # probe key so the per-batch anti-join reads it in place (all
+    # probe key so the per-batch probe reads it in place (all
     # exchanges land on the batch side) — same layout contract as the
     # MinHash band index (test_ingest_probe_no_index_shuffle pins it)
     (
-        spark.createDataFrame([], "h string")
+        spark.createDataFrame([], "h string, doc_id long")
         .write.format("parquet")
         .bucketBy(INGEST_INDEX_BUCKETS, "h")
         .sortBy("h")
@@ -815,7 +854,7 @@ def corpus_ingest_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
     q.awaitTermination()
-    return spark.read.parquet(kept_dir)
+    return ingest_reconcile(spark.read.parquet(kept_dir))
 
 
 def _set_ingest_oracle() -> None:

@@ -363,7 +363,7 @@ def test_ingest_multi_batch_cross_dedup(spark, tmp_path):
     kept_dir = str(tmp_path / "kept")
     _drop_managed_table(spark, index_table)
     (
-        spark.createDataFrame([], "h string")
+        spark.createDataFrame([], "h string, doc_id long")
         .write.format("parquet")
         .bucketBy(INGEST_INDEX_BUCKETS, "h")
         .sortBy("h")
@@ -379,3 +379,71 @@ def test_ingest_multi_batch_cross_dedup(spark, tmp_path):
     assert kept == {1, 2, 4}  # 3 deduped against batch 1's t1
     n_idx = spark.table(index_table).count()
     assert n_idx == 3  # one index row per distinct kept text
+
+
+def test_ingest_out_of_order_doc_ids_reconcile_to_min(spark, tmp_path):
+    """advice r7: a multi-file source may deliver a SMALLER doc_id for
+    an already-indexed hash in a later batch. The probe must keep the
+    improvement and the read-side reconcile must yield the global
+    min-doc_id canon — arrival order can't change the kept set."""
+    import os
+
+    from dbt_on_snowflake_spark.operators.dedup import _drop_managed_table
+    from dbt_on_snowflake_spark.operators.textops import quality_score
+    from dbt_on_snowflake_spark.streaming import (
+        INGEST_INDEX_BUCKETS,
+        ingest_reconcile,
+        make_ingest_handler,
+    )
+
+    real = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(quality_score("text") > 0)
+        .select("text")
+        .limit(2)
+        .collect()
+    )
+    t1, t2 = (r.text for r in real)
+    # batch 1 carries doc 10 for t1; batch 2 carries doc 2 for the SAME
+    # text (out-of-order ids across files) plus doc 11 for t2
+    b1 = spark.createDataFrame(
+        [(10, "en", "s1", t1)],
+        "doc_id long, lang string, source string, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(2, "en", "s2", t1), (11, "en", "s1", t2)],
+        "doc_id long, lang string, source string, text string",
+    )
+
+    index_table = "ingest_ooo_idx_t"
+    kept_dir = str(tmp_path / "kept_ooo")
+    _drop_managed_table(spark, index_table)
+    (
+        spark.createDataFrame([], "h string, doc_id long")
+        .write.format("parquet")
+        .bucketBy(INGEST_INDEX_BUCKETS, "h")
+        .sortBy("h")
+        .saveAsTable(index_table)
+    )
+    handle = make_ingest_handler(spark, index_table, kept_dir)
+    handle(b1, 0)
+    handle(b2, 1)
+
+    # raw kept holds both the first arrival (10) and the improvement (2)
+    raw = {r.doc_id for r in spark.read.parquet(kept_dir).collect()}
+    assert raw == {10, 2, 11}
+    # reconcile collapses to the global min per hash
+    out = {
+        (r.doc_id, r.source)
+        for r in ingest_reconcile(spark.read.parquet(kept_dir)).collect()
+    }
+    assert out == {(2, "s2"), (11, "s1")}
+    # a LATER larger doc_id for t1 still dedups against the improved min
+    b3 = spark.createDataFrame(
+        [(5, "en", "s3", t1)],
+        "doc_id long, lang string, source string, text string",
+    )
+    handle(b3, 2)
+    assert {
+        r.doc_id for r in spark.read.parquet(kept_dir).collect()
+    } == {10, 2, 11}
