@@ -551,6 +551,16 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids_table=centroids_table,
         assignments_table=assignments_table,
     )
+    return _semantic_prune(spark, centroids_table, assignments_table)
+
+
+def _semantic_prune(
+    spark: SparkSession, centroids_table: str, assignments_table: str
+) -> DataFrame:
+    """The SERVE path of semantic dedup: within-cluster cosine pruning
+    over an already-persisted IVF index — the join stages only, no
+    index construction (the 100 TB operating mode, where the index is
+    built once and reused across curation runs)."""
     cvec = F.broadcast(spark.table(centroids_table)).alias("c")
     a = spark.table(assignments_table).select("vec_id", "label", "v")
     scored = (
@@ -587,6 +597,50 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d.vec_id").isNull().alias("kept"),
         )
     )
+
+
+@query(
+    "dedup_semantic_served",
+    driver=False,  # shares dedup_semantic's oracle; parity-verified
+    headline=True,  # r8: the serve-path bench twin — dedup_semantic's
+    # headline number conflates index build with dedup; this one reuses
+    # the persisted index so serve-path regressions aren't masked
+    oracle=None,  # set below: shares dedup_semantic's oracle verbatim
+)
+def dedup_semantic_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_semantic`` in its 100 TB operating mode: the IVF index is
+    persisted (built once on first call, under its own job group so
+    bench stage counts show the serve path only) and every subsequent
+    call is just the within-cluster prune — broadcast centroids + one
+    label-blocked self-join over the already-partitioned assignments."""
+    import hashlib
+
+    suffix = hashlib.md5(f"semserved:{sf_dir}".encode()).hexdigest()[:8]
+    centroids_table = f"ann_centroids_{suffix}"
+    assignments_table = f"ann_assignments_{suffix}"
+    if not spark.catalog.tableExists(assignments_table):
+        sc = spark.sparkContext
+        caller_group = sc.getLocalProperty("spark.jobGroup.id")
+        sc.setJobGroup("index-build:dedup_semantic_served", "encode once")
+        try:
+            build_ann_index(
+                spark,
+                _vectors(spark, sf_dir),
+                centroids_table=centroids_table,
+                assignments_table=assignments_table,
+            )
+        finally:
+            sc.setJobGroup(caller_group, "serve")
+    return _semantic_prune(spark, centroids_table, assignments_table)
+
+
+def _set_semantic_served_oracle() -> None:
+    from dbt_on_snowflake_spark.registry import QUERIES
+
+    QUERIES["dedup_semantic_served"].oracle = QUERIES["dedup_semantic"].oracle
+
+
+_set_semantic_served_oracle()
 
 
 # ---------------------------------------------------- int8 quantization
@@ -829,11 +883,11 @@ def _codebook_row(cvec: DataFrame) -> DataFrame:
     )
 
 
-def _pq_encode(corpus: DataFrame, cb_row: DataFrame) -> DataFrame:
-    """(vec_id, bests: array<struct<d,code>>) — per subspace the nearest
-    codebook entry (distance rounded to 4 decimals, label tie-break via
-    lexicographic struct array_min). One broadcast of the 1-row codebook;
-    the corpus is scanned once, never shuffled."""
+def _pq_encode_hof(corpus: DataFrame, cb_row: DataFrame) -> DataFrame:
+    """Catalyst higher-order-function encode kernel: JVM-side and
+    shuffle-free, but the aggregate/zip_with expressions run through the
+    interpreted evaluator (no codegen) — the reference baseline the
+    Arrow kernel is A/B'd against (`ann_pq_adc_topk_hof` in bench)."""
     enc = corpus.crossJoin(F.broadcast(cb_row))
 
     # PySpark infers lambda arity from the signature, so loop variables
@@ -853,6 +907,118 @@ def _pq_encode(corpus: DataFrame, cb_row: DataFrame) -> DataFrame:
         bests.append(F.array_min(F.transform(F.col("cb"), nearest(m, sv))))
     keep = [c for c in corpus.columns if c != "v"]
     return enc.select(*keep, F.array(*bests).alias("bests"))
+
+
+def _pq_encode_arrow(corpus: DataFrame, cb_row: DataFrame) -> DataFrame:
+    """Arrow-batched vectorized encode kernel (SCALING.md seam, built in
+    r8): the same arithmetic as the HOF kernel — sequential-fold dot
+    products (numpy cumsum is a left-to-right scan, bit-identical to the
+    fold), the identity l2sq = aa - 2*ab + bb in the same operation
+    order, half-up rounding on the 1e4-scaled value (DuckDB's ROUND
+    method), ascending-label argmin tie-break — but evaluated in numpy
+    over Arrow record batches instead of the interpreted expression
+    walker. The codebook is collected driver-side: bounded control-plane
+    data (|labels| entries of fixed dim, same payload the HOF path
+    broadcasts) closed over into the UDF. Per-partition cost is one
+    narrow map; no shuffle, no corpus collect."""
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    entries = sorted(
+        (int(ent["label"]), np.asarray(ent["v"], dtype=np.float64))
+        for ent in (cb_row.collect()[0]["cb"] or [])
+    )
+    if not entries:
+        # degenerate empty codebook (empty input): the HOF plan already
+        # yields the right empty/NULL shape — reuse it
+        return _pq_encode_hof(corpus, cb_row)
+    labels = np.array([lab for lab, _ in entries], dtype=np.int64)
+    C = np.stack([v for _, v in entries])  # (L, D)
+    sub = C.shape[1] // PQ_M
+    Bs = [C[:, m * sub:(m + 1) * sub] for m in range(PQ_M)]
+    bbs = [np.cumsum(b * b, axis=1)[:, -1] for b in Bs]
+
+    keep_fields = [f for f in corpus.schema.fields if f.name != "v"]
+    keep_names = [f.name for f in keep_fields]
+    out_schema = StructType(
+        keep_fields
+        + [
+            StructField(
+                "bests",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("d", DoubleType()),
+                            StructField("code", LongType()),
+                        ]
+                    )
+                ),
+            )
+        ]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            out = pdf[keep_names].copy()
+            if len(pdf) == 0:
+                out["bests"] = []
+                yield out
+                continue
+            V = np.stack(pdf["v"].to_numpy())
+            n = V.shape[0]
+            best_code = np.empty((n, PQ_M), dtype=np.int64)
+            best_d = np.empty((n, PQ_M), dtype=np.float64)
+            rows = np.arange(n)
+            for m in range(PQ_M):
+                A = V[:, m * sub:(m + 1) * sub]  # (n, sub)
+                aa = np.cumsum(A * A, axis=1)[:, -1]
+                ab = np.cumsum(
+                    A[:, None, :] * Bs[m][None, :, :], axis=2
+                )[:, :, -1]  # (n, L), sequential per pair
+                d = aa[:, None] - 2 * ab + bbs[m][None, :]
+                d = np.floor(d * 10000.0 + 0.5) / 10000.0 + 0.0
+                idx = np.argmin(d, axis=1)  # first min = lowest label
+                best_code[:, m] = labels[idx]
+                best_d[:, m] = d[rows, idx]
+            out["bests"] = [
+                [
+                    {"d": float(best_d[i, m]), "code": int(best_code[i, m])}
+                    for m in range(PQ_M)
+                ]
+                for i in range(n)
+            ]
+            yield out
+
+    return corpus.mapInPandas(encode, out_schema)
+
+
+def _pq_encode(
+    corpus: DataFrame, cb_row: DataFrame, kernel: str | None = None
+) -> DataFrame:
+    """(vec_id, bests: array<struct<d,code>>) — per subspace the nearest
+    codebook entry (distance rounded to 4 decimals, label tie-break via
+    lexicographic min). One pass over the corpus, never shuffled.
+
+    ``kernel`` selects the evaluator (default from
+    $SPARK_GRAFT_PQ_KERNEL, else 'arrow'): 'arrow' = numpy over Arrow
+    batches (vectorized — the 100 TB encode path); 'hof' = Catalyst
+    higher-order functions (interpreted; kept as the A/B reference).
+    Both produce bit-identical rows (`test_pq_kernels_agree` +  the
+    shared DuckDB oracle on each)."""
+    import os as _os
+
+    kernel = kernel or _os.environ.get("SPARK_GRAFT_PQ_KERNEL", "arrow")
+    if kernel == "arrow":
+        return _pq_encode_arrow(corpus, cb_row)
+    if kernel == "hof":
+        return _pq_encode_hof(corpus, cb_row)
+    raise ValueError(f"unknown PQ kernel {kernel!r}: use 'arrow' or 'hof'")
 
 
 # Shared oracle fragments. list_slice bounds are 1-based inclusive;
@@ -961,7 +1127,9 @@ def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked WHERE rank <= {TOP_K}
     """,
 )
-def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_pq_adc_topk(
+    spark: SparkSession, sf_dir: str, kernel: str | None = None
+) -> DataFrame:
     """ADC top-k over PQ codes: each query dots its subvectors against
     every codebook entry ONCE (the lookup table, scaled to exact int64
     so the 4-term sum is order-free and engine-exact), then every corpus
@@ -973,14 +1141,17 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     |labels| longs); the codes table streams through one narrow
     crossJoin; the only shuffle is the per-query top-k window — the
     same posture as ann_topk_bruteforce. At 100 TB this composes with
-    the IVF probe (restrict codes to probed cells, then ADC)."""
+    the IVF probe (restrict codes to probed cells, then ADC). The
+    encode stage runs the Arrow-vectorized kernel by default (r8;
+    4.8x the HOF kernel at sf0.1 — `ann_pq_adc_topk_hof` keeps the
+    interpreted kernel benched as the A/B reference)."""
     e = _vectors(spark, sf_dir)
     # the codebook feeds BOTH the encode side and the query LUTs, and
     # Spark does not reuse the (tiny) aggregate subtree across them —
     # checkpointing the |labels|-entry result turns two full centroid
     # passes over the corpus into one
     cb_row = _codebook_row(_centroid_vectors(e)).localCheckpoint()
-    codes = _pq_encode(e.select("vec_id", "v"), cb_row)
+    codes = _pq_encode(e.select("vec_id", "v"), cb_row, kernel=kernel)
     def lut_entry(m: int, qsv):
         def entry(c):
             return F.struct(
@@ -1019,6 +1190,29 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+@query(
+    "ann_pq_adc_topk_hof",
+    driver=False,  # kernel A/B twin — verified by the local parity replica
+    headline=True,  # benched beside ann_pq_adc_topk: the r8 kernel A/B
+    oracle=None,  # set below: shares ann_pq_adc_topk's oracle verbatim
+)
+def ann_pq_adc_topk_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ann_pq_adc_topk`` pinned to the interpreted HOF encode kernel:
+    the A/B reference for the Arrow kernel (same oracle, same rows —
+    the kernels differ only in evaluator). Kept in the bench headline
+    so BENCH_r{N} records the measured speedup, not a claim."""
+    return ann_pq_adc_topk(spark, sf_dir, kernel="hof")
+
+
+def _set_pq_hof_oracle() -> None:
+    from dbt_on_snowflake_spark.registry import QUERIES
+
+    QUERIES["ann_pq_adc_topk_hof"].oracle = QUERIES["ann_pq_adc_topk"].oracle
+
+
+_set_pq_hof_oracle()
 
 
 # ------------------------------------------------------ hard-negative mining

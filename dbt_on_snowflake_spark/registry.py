@@ -64,7 +64,10 @@ QUERIES: dict[str, RegisteredQuery] = {}
 DRIVER_BUDGET = 50
 
 # Queries born in round 8 — mandatory r9 rotate-ins (never driver-checked).
-R9_ROTATE_IN: set[str] = set()
+R9_ROTATE_IN: set[str] = {
+    "ann_pq_adc_topk_hof",
+    "dedup_semantic_served",
+}
 
 # The authoritative r8 export set. all_queries() applies it over the
 # per-decorator driver= defaults so a rotation is one list edit here.

@@ -429,3 +429,49 @@ def test_pack_shard_writer_appends_new_shards_only(spark, tmp_path):
     rows = pd.concat([pd.read_parquet(p) for p in parts])
     key = list(zip(rows["pack_id"], rows["offset_in_pack"]))
     assert key == sorted(key)
+
+
+def test_pq_kernels_agree(spark):
+    """The Arrow-vectorized PQ encode kernel (r8, SCALING.md seam) must
+    be row-for-row identical to the interpreted HOF kernel: same
+    sequential-fold arithmetic, same half-up rounding, same
+    ascending-label tie-break. Any divergence here means the bench A/B
+    compares different answers."""
+    from dbt_on_snowflake_spark.operators.similarity import (
+        _centroid_vectors,
+        _codebook_row,
+        _pq_encode,
+        _vectors,
+    )
+
+    e = _vectors(spark, SF_SMOKE)
+    cb = _codebook_row(_centroid_vectors(e)).localCheckpoint()
+
+    def rows(kernel):
+        out = _pq_encode(e.select("vec_id", "v"), cb, kernel=kernel)
+        return sorted(
+            (r.vec_id, tuple((b["d"], b["code"]) for b in r.bests))
+            for r in out.collect()
+        )
+
+    hof, arrow = rows("hof"), rows("arrow")
+    assert len(hof) > 0
+    assert hof == arrow
+
+
+def test_pq_kernel_selection(spark):
+    """kernel dispatch: env default is 'arrow', explicit values win,
+    unknown names are a clear error."""
+    import pytest as _pytest
+
+    from dbt_on_snowflake_spark.operators.similarity import (
+        _centroid_vectors,
+        _codebook_row,
+        _pq_encode,
+        _vectors,
+    )
+
+    e = _vectors(spark, SF_SMOKE)
+    cb = _codebook_row(_centroid_vectors(e))
+    with _pytest.raises(ValueError, match="unknown PQ kernel"):
+        _pq_encode(e.select("vec_id", "v"), cb, kernel="simd")

@@ -33,6 +33,7 @@ _BNLJ_OK = {
     "ann_recall_eval",  # composes ann_topk_bruteforce's capped query side
     "ann_pq_codes",  # 1-row collapsed codebook broadcast
     "ann_pq_adc_topk",  # 1-row codebook + capped query-LUT broadcast
+    "ann_pq_adc_topk_hof",  # kernel A/B twin of ann_pq_adc_topk
     "ann_hard_negatives",  # same capped query side as ann_topk_bruteforce
     "ann_pq_recall_eval",  # composes two capped-broadcast retrievals
     "ann_ivfpq_topk",  # 1-row codebook + capped probe/LUT broadcasts
@@ -175,12 +176,11 @@ def test_empty_input_parity_sweep(spark, tmp_path):
     seeding, and join-shape bugs hide. Schema-preserved empty twins of
     every table; one loop, collected failures.
 
-    Known, documented divergence (excluded): SQL-standard ROLLUP/CUBE
-    on empty input yields the grand-total grouping-set row (COUNT=0 —
-    DuckDB/PostgreSQL do this); Spark's Expand-based implementation
-    yields zero rows. Diverges only when the input scan is literally
-    empty, so it cannot affect real corpora; pinned here so the
-    difference is a decision, not a surprise."""
+    r8: the formerly excluded ROLLUP/CUBE divergence (Spark's Expand
+    emits no grand-total row on an empty scan; SQL-standard engines
+    emit one) is closed by SQL_STANDARD_EMPTY_GROUPING in
+    operators/analytics.py — a_rollup_revenue / a_cube_status_priority
+    run in this sweep like everything else."""
     import duckdb
 
     from dbt_on_snowflake_spark.testdata import TABLES
@@ -198,15 +198,14 @@ def test_empty_input_parity_sweep(spark, tmp_path):
         )
     con.close()
 
-    rollup_divergence = {"a_cube_status_priority", "a_rollup_revenue"}
     skip_heavy = lambda n: (  # noqa: E731 — session-stateful/streaming paths
         "streaming" in n or "incremental" in n or "indexed" in n
-        or n == "dedup_semantic"
+        or n.startswith("dedup_semantic")
     )
     failures = []
     n_run = 0
     for name, q in sorted(_QUERIES.items()):
-        if q.oracle is None or skip_heavy(name) or name in rollup_divergence:
+        if q.oracle is None or skip_heavy(name):
             continue
         try:
             compare(spark, name, q.fn, q.oracle, dst)

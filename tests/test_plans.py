@@ -487,12 +487,14 @@ def test_bigram_coverage_no_doc_shuffle(spark):
 _HEADLINE_MAX_SHUFFLES = {
     "a1_loyalty_metrics": 1,
     "ann_pq_adc_topk": 1,  # rank window only (codebook checkpointed)
+    "ann_pq_adc_topk_hof": 1,  # kernel A/B twin: same plan posture
     "ann_topk_bruteforce": 1,
     "asof_last_order_before_event": 1,
     "corpus_clean_pipeline": 1,
     "dedup_exact": 1,
     "dedup_minhash_lsh": 4,
     "dedup_semantic": 4,
+    "dedup_semantic_served": 4,  # serve path: prune joins only, no build
     "j1_orders_denorm": 0,  # all dims broadcast at this SF
     "q17_small_quantity_revenue": 2,
     "q1_pricing_summary": 1,
@@ -523,22 +525,43 @@ def test_headline_shuffle_counts_pinned(spark, name):
 
 
 def test_pq_encode_corpus_never_shuffled(spark):
-    """ann_pq_codes: corpus rows stream through the broadcast 1-row
-    codebook — the only exchanges are the tiny partial-aggregated
-    centroid rollups (<=|labels|*dim rows cross the wire, independent of
-    corpus size). A corpus-keyed exchange appearing here is the 100x
-    scale regression."""
+    """ann_pq_codes: corpus rows stream through the encode kernel as a
+    narrow map (Arrow default: MapInPandas over the corpus scan; the
+    codebook is a bounded driver-side closure). A corpus-keyed exchange
+    appearing here is the 100x scale regression."""
     plan = plan_of(spark, "ann_pq_codes")
-    assert "BroadcastNestedLoopJoin" in plan  # bounded 1-row build side
+    assert "MapInPandas" in plan  # Arrow kernel is the default
     assert count_shuffles(plan) <= 3
 
 
+def test_pq_encode_hof_kernel_stays_broadcast(spark):
+    """kernel='hof' keeps the broadcast-codebook crossJoin shape — the
+    interpreted A/B reference must not silently pick up a shuffle."""
+    from dbt_on_snowflake_spark.operators.similarity import (
+        _centroid_vectors,
+        _codebook_row,
+        _pq_encode,
+        _vectors,
+    )
+
+    e = _vectors(spark, SF_SMOKE)
+    df = _pq_encode(
+        e.select("vec_id", "v"), _codebook_row(_centroid_vectors(e)),
+        kernel="hof",
+    )
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" in plan  # bounded 1-row build side
+    assert "MapInPandas" not in plan
+
+
 def test_pq_adc_only_ranking_shuffle_touches_scores(spark):
-    """ann_pq_adc_topk: codes and query-LUTs both come off broadcast
-    codebook joins; the per-query rank window is the only exchange over
-    a corpus-sized relation (same posture as ann_topk_bruteforce)."""
+    """ann_pq_adc_topk: codes come off the narrow Arrow encode map and
+    query-LUTs off a broadcast codebook join; the per-query rank window
+    is the only exchange over a corpus-sized relation (same posture as
+    ann_topk_bruteforce)."""
     plan = plan_of(spark, "ann_pq_adc_topk")
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # LUT side
+    assert "MapInPandas" in plan  # Arrow encode kernel
     # the codebook is checkpointed (one centroid pass, shared by encode
     # and LUT sides); only the per-query rank window shuffles
     assert count_shuffles(plan) <= 1
@@ -581,38 +604,43 @@ def test_pq_indexed_no_encode_recompute(spark):
 
 
 def test_ingest_probe_no_index_shuffle(spark):
-    """The streaming ingest's per-batch anti-join reads the bucketed md5
-    index in place: every Exchange in the probe plan sits on the BATCH
-    side — an index-side exchange here means each micro-batch would
-    reshuffle the corpus-sized index at 100 TB."""
+    """The streaming ingest's per-batch probe reads the bucketed (h,
+    doc_id) index in place: every Exchange in the probe plan sits on the
+    BATCH side — an index-side exchange here means each micro-batch
+    would reshuffle the corpus-sized index at 100 TB. The post-join
+    min() groups on a superset of the h-partitioning, so it adds no
+    exchange either."""
     from pyspark.sql import functions as F
 
     from dbt_on_snowflake_spark.operators.dedup import _drop_managed_table
     from dbt_on_snowflake_spark.streaming import (
         INGEST_INDEX_BUCKETS,
-        ingest_probe_fresh,
+        ingest_probe_keep,
     )
 
     _drop_managed_table(spark, "ingest_idx_plan_t")
     (
-        spark.createDataFrame([("aa",)], "h string")
+        spark.createDataFrame([("aa", 7)], "h string, doc_id long")
         .write.format("parquet")
         .bucketBy(INGEST_INDEX_BUCKETS, "h")
         .sortBy("h")
         .saveAsTable("ingest_idx_plan_t")
     )
     batch = spark.createDataFrame(
-        [(1, "x", "s", "bb")], "doc_id long, lang string, source string, h string"
+        [(1, "x", "s", "bb"), (3, "x", "s", "aa")],
+        "doc_id long, lang string, source string, h string",
     )
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        df = ingest_probe_fresh(spark, batch, "ingest_idx_plan_t")
+        df = ingest_probe_keep(spark, batch, "ingest_idx_plan_t")
         plan = explain_str(df)
         # exactly one exchange: the batch repartition into the bucket
         # layout; the index side scans Bucketed: true with no exchange
         assert count_shuffles(plan) == 1
         assert "Bucketed: true" in plan
-        assert df.count() == 1
+        # bb unseen -> kept; aa indexed at doc_id 7, batch brings the
+        # smaller 3 -> kept as an improvement
+        assert {r.doc_id for r in df.collect()} == {1, 3}
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
