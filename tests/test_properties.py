@@ -383,6 +383,91 @@ def test_bpe_trainer_matches_textbook_python(spark):
     assert got == expect
 
 
+def _python_bpe(wf: dict, n: int) -> list:
+    """Textbook sequential Sennrich trainer (same as the inline one in
+    test_bpe_trainer_matches_textbook_python) — the batched trainer's
+    ground truth."""
+    from collections import Counter
+
+    state = {tuple(w): f for w, f in wf.items()}
+    out = []
+    for _ in range(n):
+        pc = Counter()
+        for syms, f in state.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((a, b, c))
+        new_state = {}
+        for syms, f in state.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            new_state[tuple(merged)] = new_state.get(tuple(merged), 0) + f
+        state = new_state
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    wf=st.dictionaries(
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+        st.integers(1, 9),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.integers(1, 8),
+)
+def test_bpe_batched_trainer_property(spark, wf, k):
+    """r8 merge batching: whatever the word table and candidate window,
+    the batched trainer's merges are BIT-IDENTICAL to the sequential
+    textbook trainer — batching only changes how many driver round
+    trips it takes, never the learned model. The tiny 4-letter alphabet
+    maximizes symbol collisions (worst case for the independence
+    check); small k exercises the incomplete-list floor cutoff."""
+    from dbt_on_snowflake_spark.operators.textops import bpe_train_merges
+
+    wf_df = spark.createDataFrame(
+        [(w, f) for w, f in wf.items()], "w string, freq long"
+    )
+    got = bpe_train_merges(wf_df, 6, batch_candidates=k)
+    assert got == _python_bpe(wf, 6)
+
+
+def test_bpe_batching_cuts_passes(spark):
+    """The point of the optimization: on a corpus whose top pairs are
+    symbol-disjoint, several merges land per aggregate pass —
+    merges/pass ratio > 1 (a 32k-vocab production run is ~mean-batch-x
+    fewer sequential driver round-trips). The interference guard keeps
+    batches honest: an interfering word table degrades toward one merge
+    per pass rather than diverging."""
+    from dbt_on_snowflake_spark.operators.textops import bpe_train_merges
+
+    words = {"aabb": 9, "ccdd": 8, "eeff": 7, "gghh": 6, "iijj": 5}
+    wf_df = spark.createDataFrame(
+        [(w, f) for w, f in words.items()], "w string, freq long"
+    )
+    stats: dict = {}
+    got = bpe_train_merges(wf_df, 5, _stats=stats)
+    assert got == _python_bpe(words, 5)
+    assert len(got) == 5
+    assert stats["passes"] < 5  # > 1 merge per pass
+    # sequential degenerate mode still works and reports its pass count
+    stats_seq: dict = {}
+    got_seq = bpe_train_merges(
+        wf_df, 5, batch_candidates=1, _stats=stats_seq
+    )
+    assert got_seq == got
+    assert stats_seq["passes"] >= 5
+
+
 @st.composite
 def scd2_history(draw):
     """A random sequence of source states over a small key space: each
@@ -436,4 +521,71 @@ def test_snapshot_check_strategy_matches_python_scd2(spark, steps):
         for r in snap.collect()
     }
     want = {(k, v, f, t) for k, v, f, t in expect}
+    assert got == want
+
+
+@st.composite
+def scd2_ts_history(draw):
+    """Random source extracts for the TIMESTAMP strategy: per step each
+    live key carries (value, updated_at day). updated_at may move
+    BACKWARD between steps (stale re-extract — must be a no-op even if
+    the value differs) and keys vanish/reappear (hard delete +
+    re-insert)."""
+    n_steps = draw(st.integers(2, 5))
+    steps = []
+    for _ in range(n_steps):
+        keys = draw(st.lists(st.integers(1, 3), unique=True, min_size=0,
+                             max_size=3))
+        steps.append(
+            {k: (draw(st.integers(0, 2)), draw(st.integers(1, 9)))
+             for k in keys}
+        )
+    return steps
+
+
+@settings(max_examples=12, deadline=None)
+@given(scd2_ts_history())
+def test_snapshot_timestamp_strategy_matches_python_scd2(spark, steps):
+    """r7 verdict #7: the timestamp strategy gets the same
+    simulator-backed property coverage the check strategy has. Version
+    clocks come from the DATA (valid_from/valid_to = updated_at; only
+    hard deletes close at the run clock), a strictly-newer updated_at
+    opens a version, and a stale or equal updated_at changes NOTHING —
+    even when the extract's value differs."""
+    from datetime import datetime
+
+    from dbt_on_snowflake_spark.engine.snapshot import snapshot_apply_timestamp
+
+    snap = None
+    expect = []  # [k, val, uat_day, valid_from, valid_to|None]
+    for i, state in enumerate(steps):
+        now = datetime(2026, 2, 1 + i)  # run clock: distinct month
+        src = spark.createDataFrame(
+            [(k, v, datetime(2026, 1, d)) for k, (v, d) in state.items()]
+            or [],
+            "k long, val long, updated_at timestamp",
+        )
+        snap = snapshot_apply_timestamp(
+            spark, src, snap, "k", "updated_at", ["val"], now
+        ).localCheckpoint(eager=True)
+
+        # python simulator step
+        open_by_key = {r[0]: r for r in expect if r[4] is None}
+        for k, r in open_by_key.items():
+            if k not in state:
+                r[4] = now  # hard delete: closed at the run clock
+            elif state[k][1] > r[2]:
+                r[4] = datetime(2026, 1, state[k][1])  # closed by the data
+        open_by_key = {r[0]: r for r in expect if r[4] is None}
+        for k, (v, d) in state.items():
+            if k not in open_by_key:
+                expect.append([k, v, d, datetime(2026, 1, d), None])
+
+    got = {
+        (r.k, r.val, r.dbt_updated_at, r.dbt_valid_from, r.dbt_valid_to)
+        for r in snap.collect()
+    }
+    want = {
+        (k, v, datetime(2026, 1, d), f, t) for k, v, d, f, t in expect
+    }
     assert got == want
