@@ -2757,6 +2757,140 @@ def test_build_includes_snapshots_before_models(spark, tmp_path, capsys):
     assert spark.table("bsnap_live_cities").count() == 2
 
 
+def _snapshot_selection_project(tmp_path, name):
+    """Project with: source-backed snapshot cust_snap, a model reading it
+    (live_cities), an unrelated model (loner), and a ref-backed snapshot
+    over loner (loner_snap)."""
+    data = str(tmp_path / f"{name}_data")
+    os.makedirs(data)
+    pd.DataFrame(
+        [(1, "york"), (2, "leeds")], columns=["cust_id", "city"]
+    ).to_parquet(os.path.join(data, "customers.parquet"), index=False)
+    root = str(tmp_path / name)
+    os.makedirs(f"{root}/models/marts", exist_ok=True)
+    with open(f"{root}/project.yml", "w") as f:
+        f.write(f"name: {name}\nmodels:\n  marts:\n    materialized: table\n")
+    with open(f"{root}/sources.yml", "w") as f:
+        f.write(
+            f"sources:\n  - name: raw\n    base_path: \"{data}\"\n"
+            "    tables:\n      - name: customers\n"
+        )
+    with open(f"{root}/snapshots.yml", "w") as f:
+        f.write(
+            "snapshots:\n"
+            "  - name: cust_snap\n"
+            "    relation: source('raw', 'customers')\n"
+            "    config:\n      unique_key: cust_id\n      strategy: check\n"
+            "  - name: loner_snap\n"
+            "    relation: ref('loner')\n"
+            "    config:\n      unique_key: cust_id\n      strategy: check\n"
+        )
+    with open(f"{root}/models/marts/live_cities.sql", "w") as f:
+        f.write(
+            "SELECT cust_id, city FROM {{ ref('cust_snap') }} "
+            "WHERE dbt_valid_to IS NULL"
+        )
+    with open(f"{root}/models/marts/loner.sql", "w") as f:
+        f.write("SELECT cust_id, upper(city) AS cty "
+                "FROM {{ source('raw', 'customers') }}")
+    return data, root
+
+
+def test_build_scopes_snapshots_to_selection(spark, tmp_path, capsys):
+    """advice r7 (medium): `build --select unrelated_model` must NOT
+    advance SCD2 history — snapshots run only when selected or when a
+    selected model refs them; ref-backed snapshots run AFTER the model
+    pass so they snapshot this run's state."""
+    from dbt_on_snowflake_spark.__main__ import main
+
+    data, root = _snapshot_selection_project(tmp_path, "scopesnap")
+    tgt = ["--project", root, "--target", "ssn"]
+
+    # selected model does not ref any snapshot -> no snapshot runs
+    assert main(["build", *tgt, "--select", "loner"]) == 0
+    out = capsys.readouterr().out
+    assert "cust_snap" not in out
+    assert not spark.catalog.tableExists("ssn_cust_snap")
+    # ...except loner_snap, which refs the SELECTED loner: it is a
+    # descendant-adjacent node but NOT ref'd by loner, so it must not
+    # have run either (only model->snapshot ancestor edges select)
+    assert not spark.catalog.tableExists("ssn_loner_snap")
+
+    # selecting the model that refs cust_snap pulls the snapshot in as
+    # a required ancestor, and it lands BEFORE the model
+    assert main(["build", *tgt, "--select", "live_cities"]) == 0
+    capsys.readouterr()
+    assert spark.table("ssn_cust_snap").count() == 2
+    assert spark.table("ssn_live_cities").count() == 2
+
+    # snapshot-only selection: runs the snapshot, no models
+    pd.DataFrame(
+        [(1, "hull"), (2, "leeds")], columns=["cust_id", "city"]
+    ).to_parquet(os.path.join(data, "customers.parquet"), index=False)
+    assert main(["build", *tgt, "--select", "cust_snap"]) == 0
+    out = capsys.readouterr().out
+    assert "live_cities" not in out and "loner" not in out
+    snap = spark.table("ssn_cust_snap")
+    assert snap.filter("dbt_valid_to IS NOT NULL").count() == 1  # york closed
+
+    # --exclude removes a snapshot from an unnarrowed build
+    assert main(["build", *tgt, "--exclude", "loner_snap,loner"]) == 0
+    capsys.readouterr()
+    assert not spark.catalog.tableExists("ssn_loner_snap")
+
+
+def test_build_ref_backed_snapshot_runs_after_models(spark, tmp_path, capsys):
+    """A ref('model') snapshot in `build` sees THIS run's model state:
+    the snapshot row reflects the fresh build, not last run's table."""
+    from dbt_on_snowflake_spark.__main__ import main
+
+    _, root = _snapshot_selection_project(tmp_path, "postsnap")
+    tgt = ["--project", root, "--target", "psn"]
+
+    assert main(["build", *tgt, "--select", "loner,loner_snap"]) == 0
+    capsys.readouterr()
+    got = {
+        (r.cust_id, r.cty)
+        for r in spark.table("psn_loner_snap")
+        .filter("dbt_valid_to IS NULL").collect()
+    }
+    assert got == {(1, "YORK"), (2, "LEEDS")}  # fresh model output
+
+
+def test_build_ref_backed_snapshot_skips_on_upstream_failure(
+    spark, tmp_path, capsys
+):
+    """The SCD2 history must not advance over a failed upstream model."""
+    from dbt_on_snowflake_spark.__main__ import main
+
+    _, root = _snapshot_selection_project(tmp_path, "failsnap")
+    with open(f"{root}/models/marts/loner.sql", "w") as f:
+        f.write("SELECT no_such FROM {{ source('raw', 'customers') }}")
+    rc = main(["build", "--project", root, "--target", "fsn",
+               "--select", "loner,loner_snap"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "skipped  snapshot fsn_loner_snap" in out
+    assert not spark.catalog.tableExists("fsn_loner_snap")
+
+
+def test_build_rejects_model_reading_ref_backed_snapshot(
+    spark, tmp_path, capsys
+):
+    """A model -> snapshot -> model chain cannot be ordered in one build
+    pass (the middle snapshot must run both after and before a model) —
+    rejected with a clear error instead of silently reading stale SCD2."""
+    from dbt_on_snowflake_spark.__main__ import main
+
+    _, root = _snapshot_selection_project(tmp_path, "chainsnap")
+    with open(f"{root}/models/marts/from_snap.sql", "w") as f:
+        f.write("SELECT * FROM {{ ref('loner_snap') }}")
+    rc = main(["build", "--project", root, "--target", "csn"])
+    err = capsys.readouterr().err
+    assert rc == 2
+    assert "loner_snap" in err and "cannot order" in err
+
+
 def test_run_empty_builds_schema_only(spark, tmp_path, capsys):
     """`run --empty` (dbt 1.8): every relation lands with its full
     schema and ZERO rows — the CI smoke for DDL/contract/ref wiring; a
@@ -2789,6 +2923,45 @@ def test_run_empty_builds_schema_only(spark, tmp_path, capsys):
     assert main(["run", "--project", root, "--target", "emt"]) == 0
     capsys.readouterr()
     assert spark.table("emt_agg").count() == 3
+
+
+def test_retry_replays_empty_flag(spark, tmp_path, capsys):
+    """advice r7: `retry` after `run --empty` must replay as a schema-only
+    dry run — the recorded EFFECTIVE flags include --empty — not silently
+    escalate to a full data run."""
+    from dbt_on_snowflake_spark.__main__ import main
+
+    data = str(tmp_path / "redata")
+    os.makedirs(data)
+    pd.DataFrame({"id": [1, 2], "v": [10, 20]}).to_parquet(
+        os.path.join(data, "t.parquet"), index=False
+    )
+    root = str(tmp_path / "retryempty")
+    os.makedirs(f"{root}/models/core", exist_ok=True)
+    with open(f"{root}/project.yml", "w") as f:
+        f.write("name: retryempty\nmodels:\n  core:\n    materialized: table\n")
+    with open(f"{root}/sources.yml", "w") as f:
+        f.write(
+            f"sources:\n  - name: raw\n    base_path: \"{data}\"\n"
+            "    tables:\n      - name: t\n"
+        )
+    with open(f"{root}/models/core/ok.sql", "w") as f:
+        f.write("SELECT id, v FROM {{ source('raw', 't') }}")
+    with open(f"{root}/models/core/boom.sql", "w") as f:
+        f.write("SELECT no_such_col FROM {{ source('raw', 't') }}")
+
+    assert main(["run", "--project", root, "--target", "rem", "--empty"]) == 1
+    capsys.readouterr()
+    assert spark.table("rem_ok").count() == 0
+
+    # fix the broken model; retry must rebuild it EMPTY (dry-run replay)
+    with open(f"{root}/models/core/boom.sql", "w") as f:
+        f.write("SELECT id AS fixed_id FROM {{ source('raw', 't') }}")
+    assert main(["retry", "--project", root, "--target", "rem"]) == 0
+    capsys.readouterr()
+    assert spark.table("rem_boom").columns == ["fixed_id"]
+    assert spark.table("rem_boom").count() == 0
+    assert spark.table("rem_ok").count() == 0
 
 
 def test_sql_generic_test_blocks(spark, tmp_path, capsys):
@@ -2848,6 +3021,66 @@ def test_sql_generic_test_blocks(spark, tmp_path, capsys):
     results = tr.run_model_tests(project, runner)
     counts = sorted(r.failures for r in results)
     assert counts == [1, 2]
+
+
+def test_sql_generic_test_string_kwargs_and_unbound_placeholders(
+    spark, tmp_path
+):
+    """advice r7: string kwargs must land as quoted SQL literals (not raw
+    identifier injection), and an unbound placeholder — e.g. a table-level
+    test whose body uses {{ column_name }} — must be a clear config error,
+    not an opaque Spark parse failure."""
+    from dbt_on_snowflake_spark.engine.project import Project
+    from dbt_on_snowflake_spark.engine.testing import TestRunner
+
+    data = str(tmp_path / "qdata")
+    os.makedirs(data)
+    pd.DataFrame(
+        {"id": [1, 2, 3], "status": ["ok", "bad", "ok"]}
+    ).to_parquet(os.path.join(data, "t.parquet"), index=False)
+    root = str(tmp_path / "qproj")
+    os.makedirs(f"{root}/models/core", exist_ok=True)
+    os.makedirs(f"{root}/tests/generic", exist_ok=True)
+    with open(f"{root}/project.yml", "w") as f:
+        f.write("name: qproj\nmodels:\n  core:\n    materialized: table\n")
+    with open(f"{root}/sources.yml", "w") as f:
+        f.write(
+            f"sources:\n  - name: raw\n    base_path: \"{data}\"\n"
+            "    tables:\n      - name: t\n"
+        )
+    with open(f"{root}/models/core/vals.sql", "w") as f:
+        f.write("SELECT id, status FROM {{ source('raw', 't') }}")
+    with open(f"{root}/tests/generic/not_value.sql", "w") as f:
+        f.write(
+            "{% test not_value(model, column_name, bad) %}\n"
+            "SELECT * FROM {{ model }} WHERE {{ column_name }} = {{ bad }}\n"
+            "{% endtest %}\n"
+        )
+    with open(f"{root}/models/core/schema.yml", "w") as f:
+        f.write(
+            "models:\n  - name: vals\n    columns:\n"
+            "      - name: status\n        tests:\n"
+            "          - not_value:\n              bad: bad\n"
+        )
+    project = Project(root, target="qsql")
+    runner = Runner(spark, project)
+    runner.run()
+    tr = TestRunner(spark, custom=project.package_tests)
+    results = tr.run_model_tests(project, runner)
+    # string kwarg 'bad' quoted as a literal: exactly one failing row
+    assert [r.failures for r in results] == [1]
+
+    # same test bound at TABLE level: column_name stays unbound -> clear
+    # error naming the placeholder (not a Spark parse error)
+    with open(f"{root}/models/core/schema.yml", "w") as f:
+        f.write(
+            "models:\n  - name: vals\n    tests:\n"
+            "      - not_value:\n          bad: bad\n"
+        )
+    project2 = Project(root, target="qsql")
+    tr2 = TestRunner(spark, custom=project2.package_tests)
+    with pytest.raises(ValueError, match="unbound placeholder.*column_name"):
+        tr2.run_model_tests(project2, runner)
 
 
 def test_singular_data_tests(spark, tmp_path, capsys):
@@ -2910,14 +3143,38 @@ def test_test_command_select_scopes_to_model(tasty, capsys):
     assert "src_tb_101_" in out  # full suite covers sources
 
 
-def test_bundled_curation_example_project(spark):
+def test_bundled_curation_example_project(spark, monkeypatch):
     """The shipped examples/curation project runs end to end through
     the normal CLI — the 'switch your curation pipeline to this engine'
-    story as a real artifact, not only a test fixture."""
+    story as a real artifact, not only a test fixture. The example's
+    data dir comes from $CURATION_DATA_DIR (advice r7: no machine-local
+    absolute paths in shipped configs)."""
     from dbt_on_snowflake_spark.__main__ import main
 
+    monkeypatch.setenv("CURATION_DATA_DIR", "/root/testdata/sf0.001")
     rc = main(["run", "--project", "examples/curation", "--target", "excur"])
     assert rc == 0
     out = spark.table("excur_lang_token_budget")
     assert out.count() > 0
     assert set(out.columns) == {"lang", "n_docs", "n_tokens"}
+
+
+def test_source_path_unset_env_var_is_clear_error(tmp_path, monkeypatch):
+    """An unset env var in a source path must fail at load with a config
+    error naming the source, not an opaque path-not-found at read time."""
+    import pytest
+
+    from dbt_on_snowflake_spark.engine.project import Project
+
+    monkeypatch.delenv("NO_SUCH_CURATION_VAR", raising=False)
+    root = str(tmp_path / "proj")
+    os.makedirs(root)
+    with open(os.path.join(root, "project.yml"), "w") as f:
+        f.write("name: envtest\n")
+    with open(os.path.join(root, "sources.yml"), "w") as f:
+        f.write(
+            "sources:\n  - name: raw\n    base_path: \"$NO_SUCH_CURATION_VAR\"\n"
+            "    tables:\n      - name: documents\n"
+        )
+    with pytest.raises(ValueError, match="raw.documents.*unset environment"):
+        Project(root)
