@@ -554,13 +554,112 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _semantic_prune(spark, centroids_table, assignments_table)
 
 
-def _semantic_prune(
+def _round4_away(x):
+    """numpy half-up-away-from-zero rounding to 4 decimals on the
+    1e4-scaled value — C/DuckDB ROUND semantics, matching the engine's
+    F.round contract on this data (see _pq_encode_arrow)."""
+    import numpy as np
+
+    return np.copysign(np.floor(np.abs(x) * 10000.0 + 0.5), x) / 10000.0 + 0.0
+
+
+def _semantic_prune_arrow(
     spark: SparkSession, centroids_table: str, assignments_table: str
 ) -> DataFrame:
+    """Per-cell vectorized serve path (r8): ONE shuffle (groupBy label)
+    + an applyInPandas kernel that scores and prunes each IVF cell in
+    numpy — replacing the broadcast-join + pair self-join + distinct +
+    join-back pipeline (4 exchanges, interpreted per-pair HOF cosines)
+    with the SemDeDup-canonical per-cluster matrix computation. Same
+    arithmetic contract as the HOF path: sequential-fold dots (cumsum),
+    dot/(na*nb) operation order, away-from-zero half-up rounding,
+    (ccos, vec_id) ordering, drop iff an earlier row's rounded cosine
+    >= SEM_THRESHOLD (`test_semantic_kernels_agree`).
+
+    Memory posture: pairwise cosines are computed in fixed 256x256 row
+    blocks (block x block x dim float64 ~= 33 MB at dim 64), so a cell
+    larger than memory still streams; the centroid table rides into the
+    UDF as a bounded driver-side closure (|cells| x dim — the same
+    payload the HOF path broadcasts)."""
+    import numpy as np
+
+    cents = {
+        int(r.label): np.asarray(r.v, dtype=np.float64)
+        for r in spark.table(centroids_table).collect()
+    }
+    a = spark.table(assignments_table).select("vec_id", "label", "v")
+    label_field = a.schema["label"]
+    out_schema = (
+        f"vec_id long, label {label_field.dataType.simpleString()}, "
+        "ccos double, kept boolean"
+    )
+    thr = float(SEM_THRESHOLD)
+    BLK = 256
+
+    def prune(pdf):
+        import pandas as pd
+
+        V = np.stack(pdf["v"].to_numpy())
+        c = cents[int(pdf["label"].iloc[0])]
+        vv = np.cumsum(V * V, axis=1)[:, -1]
+        norms = np.sqrt(vv)
+        cnorm = np.sqrt(np.cumsum(c * c)[-1])
+        dot_c = np.cumsum(V * c[None, :], axis=1)[:, -1]
+        ccos = _round4_away(dot_c / (norms * cnorm))
+        ids = pdf["vec_id"].to_numpy()
+        order = np.lexsort((ids, ccos))  # (ccos, vec_id) ascending
+        Vo, no = V[order], norms[order]
+        n = len(order)
+        dropped_o = np.zeros(n, dtype=bool)
+        for j0 in range(1, n, BLK):
+            j1 = min(j0 + BLK, n)
+            for i0 in range(0, j1, BLK):
+                i1 = min(i0 + BLK, j1)
+                # sequential-fold pairwise dots for the (i, j) block
+                d = np.cumsum(
+                    Vo[i0:i1, None, :] * Vo[None, j0:j1, :], axis=2
+                )[:, :, -1]
+                cos = _round4_away(
+                    d / (no[i0:i1, None] * no[None, j0:j1])
+                )
+                hit = cos >= thr
+                # only strictly-earlier rows drop a later one
+                ii = np.arange(i0, i1)[:, None]
+                jj = np.arange(j0, j1)[None, :]
+                dropped_o[j0:j1] |= (hit & (ii < jj)).any(axis=0)
+        kept = np.ones(len(ids), dtype=bool)
+        kept[order] = ~dropped_o
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "label": pdf["label"].to_numpy(),
+                "ccos": ccos,
+                "kept": kept,
+            }
+        )
+
+    return a.groupBy("label").applyInPandas(prune, out_schema)
+
+
+def _semantic_prune(
+    spark: SparkSession,
+    centroids_table: str,
+    assignments_table: str,
+    kernel: str | None = None,
+) -> DataFrame:
     """The SERVE path of semantic dedup: within-cluster cosine pruning
-    over an already-persisted IVF index — the join stages only, no
-    index construction (the 100 TB operating mode, where the index is
-    built once and reused across curation runs)."""
+    over an already-persisted IVF index — no index construction (the
+    100 TB operating mode, where the index is built once and reused
+    across curation runs). ``kernel`` (default $SPARK_GRAFT_SEM_KERNEL,
+    else 'arrow') selects the per-cell vectorized applyInPandas kernel
+    or the r7 join pipeline ('hof'); both produce identical rows."""
+    import os as _os
+
+    kernel = kernel or _os.environ.get("SPARK_GRAFT_SEM_KERNEL", "arrow")
+    if kernel == "arrow":
+        return _semantic_prune_arrow(spark, centroids_table, assignments_table)
+    if kernel != "hof":
+        raise ValueError(f"unknown semantic kernel {kernel!r}")
     cvec = F.broadcast(spark.table(centroids_table)).alias("c")
     a = spark.table(assignments_table).select("vec_id", "label", "v")
     scored = (
@@ -1141,10 +1240,13 @@ def ann_pq_adc_topk(
     |labels| longs); the codes table streams through one narrow
     crossJoin; the only shuffle is the per-query top-k window — the
     same posture as ann_topk_bruteforce. At 100 TB this composes with
-    the IVF probe (restrict codes to probed cells, then ADC). The
-    encode stage runs the Arrow-vectorized kernel by default (r8;
-    4.8x the HOF kernel at sf0.1 — `ann_pq_adc_topk_hof` keeps the
-    interpreted kernel benched as the A/B reference)."""
+    the IVF probe (restrict codes to probed cells, then ADC). Both the
+    encode stage and the ADC scoring scan run Arrow-vectorized kernels
+    by default (r8; `ann_pq_adc_topk_hof` keeps the all-interpreted
+    pipeline benched as the A/B reference)."""
+    import os as _os
+
+    kernel = kernel or _os.environ.get("SPARK_GRAFT_PQ_KERNEL", "arrow")
     e = _vectors(spark, sf_dir)
     # the codebook feeds BOTH the encode side and the query LUTs, and
     # Spark does not reuse the (tiny) aggregate subtree across them —
@@ -1172,23 +1274,98 @@ def ann_pq_adc_topk(
         .crossJoin(F.broadcast(cb_row))
         .select(F.col("vec_id").alias("query_id"), F.array(*luts).alias("luts"))
     )
-    score = None
-    for m in range(PQ_M):
-        term = F.element_at(F.col("luts")[m], F.col("bests")[m]["code"])
-        score = term if score is None else score + term
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_dot_scaled").desc(), F.col("neighbor_id").asc()
     )
-    return (
-        codes.crossJoin(F.broadcast(qlut))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            score.alias("approx_dot_scaled"),
+    if kernel == "arrow":
+        scored = _adc_score_arrow(codes, qlut)
+    else:
+        score = None
+        for m in range(PQ_M):
+            term = F.element_at(F.col("luts")[m], F.col("bests")[m]["code"])
+            score = term if score is None else score + term
+        scored = (
+            codes.crossJoin(F.broadcast(qlut))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                score.alias("approx_dot_scaled"),
+            )
         )
-        .withColumn("rank", F.row_number().over(w).cast("long"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
+    )
+
+
+def _adc_score_arrow(codes: DataFrame, qlut: DataFrame) -> DataFrame:
+    """Arrow-vectorized ADC scoring scan (r8): the per-(row, query)
+    ``element_at`` map lookups + integer adds of the interpreted path
+    become one numpy gather-and-sum per Arrow batch. The query LUTs are
+    collected driver-side — bounded by construction at MAX_QUERIES x
+    PQ_M x |labels| int64 (the _QUERY_PRED hard cap; the same payload
+    the interpreted path broadcasts) — and closed over into the UDF.
+    Scores are sums of the SAME int64 LUT entries, so the arithmetic is
+    exact and engine-portable; the per-query top-k window stays in
+    Spark (the plan's only shuffle)."""
+    import numpy as np
+
+    qrows = qlut.collect()  # bounded: <= MAX_QUERIES (see _QUERY_PRED)
+    if not qrows:
+        return codes.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, approx_dot_scaled long"
+        )
+    labels = np.array(
+        sorted(int(k) for k in qrows[0].luts[0].keys()), dtype=np.int64
+    )
+    qids = np.array([r.query_id for r in qrows], dtype=np.int64)
+    # LUT tensor (Q, M, L): gather target for the code matrix
+    lut = np.array(
+        [
+            [[r.luts[m][int(lab)] for lab in labels] for m in range(PQ_M)]
+            for r in qrows
+        ],
+        dtype=np.int64,
+    )
+    nq = len(qids)
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.array([], dtype=np.int64),
+                        "neighbor_id": np.array([], dtype=np.int64),
+                        "approx_dot_scaled": np.array([], dtype=np.int64),
+                    }
+                )
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            code_mat = np.array(
+                [[b["code"] for b in row] for row in pdf["bests"]],
+                dtype=np.int64,
+            )  # (n, M)
+            idx = np.searchsorted(labels, code_mat)  # label -> position
+            n = len(ids)
+            scores = np.zeros((nq, n), dtype=np.int64)
+            for m in range(PQ_M):
+                scores += lut[:, m, :][:, idx[:, m]]
+            out_q = np.repeat(qids, n)
+            out_n = np.tile(ids, nq)
+            mask = out_q != out_n
+            yield pd.DataFrame(
+                {
+                    "query_id": out_q[mask],
+                    "neighbor_id": out_n[mask],
+                    "approx_dot_scaled": scores.reshape(-1)[mask],
+                }
+            )
+
+    return codes.mapInPandas(
+        score, "query_id long, neighbor_id long, approx_dot_scaled long"
     )
 
 

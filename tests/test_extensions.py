@@ -475,3 +475,33 @@ def test_pq_kernel_selection(spark):
     cb = _codebook_row(_centroid_vectors(e))
     with _pytest.raises(ValueError, match="unknown PQ kernel"):
         _pq_encode(e.select("vec_id", "v"), cb, kernel="simd")
+
+
+def test_semantic_kernels_agree(spark):
+    """The r8 per-cell vectorized semantic-prune kernel must be
+    row-for-row identical to the r7 join pipeline — same sequential-fold
+    cosines, rounding, (ccos, vec_id) ordering and drop rule."""
+    import hashlib
+
+    from dbt_on_snowflake_spark.operators.similarity import (
+        _semantic_prune,
+        _vectors,
+        build_ann_index,
+    )
+
+    suffix = hashlib.md5(f"semagree:{SF_SMOKE}".encode()).hexdigest()[:8]
+    ct, at = f"ann_centroids_{suffix}", f"ann_assignments_{suffix}"
+    build_ann_index(
+        spark, _vectors(spark, SF_SMOKE),
+        centroids_table=ct, assignments_table=at,
+    )
+
+    def rows(kernel):
+        return sorted(
+            (r.vec_id, r.label, r.ccos, r.kept)
+            for r in _semantic_prune(spark, ct, at, kernel=kernel).collect()
+        )
+
+    hof, arrow = rows("hof"), rows("arrow")
+    assert len(hof) > 0
+    assert hof == arrow

@@ -493,8 +493,8 @@ _HEADLINE_MAX_SHUFFLES = {
     "corpus_clean_pipeline": 1,
     "dedup_exact": 1,
     "dedup_minhash_lsh": 4,
-    "dedup_semantic": 4,
-    "dedup_semantic_served": 4,  # serve path: prune joins only, no build
+    "dedup_semantic": 4,  # arrow serve kernel: 1 (bound kept for hof)
+    "dedup_semantic_served": 4,  # serve path only, no build (arrow: 1)
     "j1_orders_denorm": 0,  # all dims broadcast at this SF
     "q17_small_quantity_revenue": 2,
     "q1_pricing_summary": 1,
@@ -555,15 +555,25 @@ def test_pq_encode_hof_kernel_stays_broadcast(spark):
 
 
 def test_pq_adc_only_ranking_shuffle_touches_scores(spark):
-    """ann_pq_adc_topk: codes come off the narrow Arrow encode map and
-    query-LUTs off a broadcast codebook join; the per-query rank window
-    is the only exchange over a corpus-sized relation (same posture as
+    """ann_pq_adc_topk (arrow default): codes come off the narrow Arrow
+    encode map and the ADC scoring is a second narrow map (the bounded
+    query LUTs are a driver-side closure); the per-query rank window is
+    the only exchange over a corpus-sized relation (same posture as
     ann_topk_bruteforce)."""
     plan = plan_of(spark, "ann_pq_adc_topk")
-    assert "BroadcastNestedLoopJoin" in plan  # LUT side
-    assert "MapInPandas" in plan  # Arrow encode kernel
+    assert plan.count("MapInPandas") >= 2  # encode + ADC scoring kernels
     # the codebook is checkpointed (one centroid pass, shared by encode
     # and LUT sides); only the per-query rank window shuffles
+    assert count_shuffles(plan) <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_adc_hof_keeps_broadcast_shape(spark):
+    """The all-interpreted A/B twin keeps the broadcast-LUT crossJoin —
+    its plan must not silently pick up a corpus shuffle either."""
+    plan = plan_of(spark, "ann_pq_adc_topk_hof")
+    assert "BroadcastNestedLoopJoin" in plan  # LUT side
+    assert "MapInPandas" not in plan
     assert count_shuffles(plan) <= 1
     assert "CartesianProduct" not in plan
 
@@ -644,3 +654,26 @@ def test_ingest_probe_no_index_shuffle(spark):
         assert {r.doc_id for r in df.collect()} == {1, 3}
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_semantic_serve_arrow_single_shuffle(spark):
+    """The r8 per-cell serve kernel: groupBy(label) is the ONLY exchange
+    — scoring, ordering and pairwise pruning all happen inside the
+    FlatMapGroupsInPandas kernel. The r7 join pipeline needed 4."""
+    import hashlib
+
+    from dbt_on_snowflake_spark.operators.similarity import (
+        _semantic_prune,
+        _vectors,
+        build_ann_index,
+    )
+
+    suffix = hashlib.md5(f"semplan:{SF_SMOKE}".encode()).hexdigest()[:8]
+    ct, at = f"ann_centroids_{suffix}", f"ann_assignments_{suffix}"
+    build_ann_index(
+        spark, _vectors(spark, SF_SMOKE),
+        centroids_table=ct, assignments_table=at,
+    )
+    plan = explain_str(_semantic_prune(spark, ct, at, kernel="arrow"))
+    assert "FlatMapGroupsInPandas" in plan
+    assert count_shuffles(plan) <= 1
