@@ -83,16 +83,124 @@ _ORACLE_TOPK = """
     ),
     headline=True,
 )
-def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_topk_bruteforce(
+    spark: SparkSession, sf_dir: str, kernel: str | None = None
+) -> DataFrame:
     """Exact top-5 cosine neighbors for every 50th vector (bounded at
-    MAX_QUERIES). The query set is broadcast — and hard-bounded, so the
-    build side is O(1) in corpus size; the corpus is scanned once, never
-    shuffled — the only shuffle is the final per-query top-k (tiny)."""
+    MAX_QUERIES). The corpus is scanned once, never shuffled; the only
+    shuffle is the final per-query top-k merge.
+
+    ``kernel`` (default $SPARK_GRAFT_ANN_KERNEL, else 'arrow'): 'arrow'
+    scores each Arrow batch against the bounded query matrix in numpy
+    (sequential-fold cumsum dots, identical rounding) and emits only
+    each batch's LOCAL top-k per query — the classic partial-top-k
+    pattern, so the rank shuffle carries O(partitions x Q x k) rows
+    instead of O(N x Q). 'hof' keeps the broadcast nested-loop join +
+    interpreted per-pair cosine (`test_ann_bruteforce_kernels_agree`
+    pins row equality)."""
+    import os as _os
+
+    kernel = kernel or _os.environ.get("SPARK_GRAFT_ANN_KERNEL", "arrow")
     e = _vectors(spark, sf_dir)
+    if kernel == "arrow":
+        return _topk_window(
+            _bruteforce_score_arrow(e.select("vec_id", "v"),
+                                    e.filter(F.expr(_QUERY_PRED)))
+        )
+    if kernel != "hof":
+        raise ValueError(f"unknown ANN kernel {kernel!r}")
     q = F.broadcast(e.filter(F.expr(_QUERY_PRED))).alias("q")
     c = e.alias("c")
     joined = q.join(c, F.col("q.vec_id") != F.col("c.vec_id"))
     return _topk(joined)
+
+
+def _topk_window(scored: DataFrame) -> DataFrame:
+    """Global per-query top-k over already-scored (query_id, neighbor_id,
+    cosine) rows — the merge step after per-batch partial top-k."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= TOP_K)
+
+
+def _bruteforce_score_arrow(corpus: DataFrame, queries: DataFrame) -> DataFrame:
+    """Arrow-vectorized brute-force scorer with per-batch partial top-k:
+    each Arrow batch computes its cosine block against the bounded query
+    matrix (driver-side closure, hard-capped at MAX_QUERIES by
+    _QUERY_PRED — the same payload the HOF path broadcasts) and emits
+    only its local top-k per query. Arithmetic contract matches the HOF
+    `_cosine`: sequential-fold dots via cumsum, dot/(na*nb) operation
+    order, away-from-zero half-up rounding to 4 decimals. Blocked
+    (256 rows x 64 queries) so elementwise products stay ~8 MB
+    regardless of batch or query-set size."""
+    import numpy as np
+
+    qrows = queries.select("vec_id", "v").collect()  # bounded <= MAX_QUERIES
+    if not qrows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double"
+        )
+    qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    QM = np.stack([np.asarray(r.v, dtype=np.float64) for r in qrows])
+    qnorm = np.sqrt(np.cumsum(QM * QM, axis=1)[:, -1])
+    nq = len(qids)
+    RB, QB = 256, 64
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.array([], dtype=np.int64),
+                        "neighbor_id": np.array([], dtype=np.int64),
+                        "cosine": np.array([], dtype=np.float64),
+                    }
+                )
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            V = np.stack(pdf["v"].to_numpy())
+            n = len(ids)
+            norms = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+            cos = np.empty((nq, n), dtype=np.float64)
+            for q0 in range(0, nq, QB):
+                q1 = min(q0 + QB, nq)
+                for r0 in range(0, n, RB):
+                    r1 = min(r0 + RB, n)
+                    d = np.cumsum(
+                        QM[q0:q1, None, :] * V[None, r0:r1, :], axis=2
+                    )[:, :, -1]
+                    cos[q0:q1, r0:r1] = d / (
+                        qnorm[q0:q1, None] * norms[None, r0:r1]
+                    )
+            cos = np.copysign(
+                np.floor(np.abs(cos) * 10000.0 + 0.5), cos
+            ) / 10000.0 + 0.0
+            # self-pairs can never appear in the output
+            cos[qids[:, None] == ids[None, :]] = -np.inf
+            k = min(TOP_K, n)
+            out_q, out_n, out_c = [], [], []
+            for qi in range(nq):
+                order = np.lexsort((ids, -cos[qi]))[:k]
+                keep = order[np.isfinite(cos[qi][order])]
+                out_q.append(np.full(len(keep), qids[qi], dtype=np.int64))
+                out_n.append(ids[keep])
+                out_c.append(cos[qi][keep])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
+
+    return corpus.mapInPandas(
+        score, "query_id long, neighbor_id long, cosine double"
+    )
 
 
 # Centroid computation — the IVF "training" step: per-label per-dimension

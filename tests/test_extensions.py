@@ -505,3 +505,21 @@ def test_semantic_kernels_agree(spark):
     hof, arrow = rows("hof"), rows("arrow")
     assert len(hof) > 0
     assert hof == arrow
+
+
+def test_ann_bruteforce_kernels_agree(spark):
+    """r8 partial-top-k arrow scorer vs the broadcast-join pipeline:
+    identical row sets — per-batch local top-k must lose nothing the
+    global window would have kept."""
+    from dbt_on_snowflake_spark.operators.similarity import (
+        ann_topk_bruteforce,
+    )
+
+    a = sorted(
+        map(tuple, ann_topk_bruteforce(spark, SF_SMOKE, kernel="arrow").collect())
+    )
+    h = sorted(
+        map(tuple, ann_topk_bruteforce(spark, SF_SMOKE, kernel="hof").collect())
+    )
+    assert len(a) > 0
+    assert a == h

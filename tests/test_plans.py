@@ -79,10 +79,20 @@ def test_topk_is_partial_per_partition(spark):
 
 
 def test_ann_broadcast_query_side(spark):
-    """ANN brute force: the query subset broadcasts; the corpus scan has
-    no shuffle exchange before the join."""
+    """ANN brute force (arrow default): the bounded query matrix is a
+    driver-side closure and each batch emits only its LOCAL top-k per
+    query — the corpus streams through one narrow map, and the only
+    exchange is the tiny partial-top-k merge window. The 'hof' kernel
+    keeps the broadcast join shape."""
+    from dbt_on_snowflake_spark.operators.similarity import (
+        ann_topk_bruteforce,
+    )
+
     plan = plan_of(spark, "ann_topk_bruteforce")
-    assert count_broadcast_joins(plan) >= 1 or "BroadcastNestedLoopJoin" in plan
+    assert "MapInPandas" in plan
+    assert count_shuffles(plan) <= 1
+    hof = explain_str(ann_topk_bruteforce(spark, SF_SMOKE, kernel="hof"))
+    assert count_broadcast_joins(hof) >= 1 or "BroadcastNestedLoopJoin" in hof
 
 
 @pytest.mark.parametrize(
