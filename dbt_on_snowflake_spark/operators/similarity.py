@@ -1272,7 +1272,8 @@ _PQ_CODES_CTE = """
 
 @query(
     "ann_pq_codes",
-    driver=False,  # r7-born; rotates into the r8 driver export
+    driver=False,  # r7-born; in the r8 driver export (R8_EXPORT)
+    headline=True,  # r8: encode-stage A/B anchor (vs ann_pq_codes_hof)
     oracle=f"""
     WITH {_PQ_CODES_CTE}
     SELECT vec_id, CAST(m AS BIGINT) AS m, CAST(code AS BIGINT) AS code,
@@ -1407,16 +1408,26 @@ def ann_pq_adc_topk(
     )
 
 
-def _adc_score_arrow(codes: DataFrame, qlut: DataFrame) -> DataFrame:
+def _adc_score_arrow(
+    codes: DataFrame, qlut: DataFrame, probes: DataFrame | None = None
+) -> DataFrame:
     """Arrow-vectorized ADC scoring scan (r8): the per-(row, query)
     ``element_at`` map lookups + integer adds of the interpreted path
-    become one numpy gather-and-sum per Arrow batch. The query LUTs are
-    collected driver-side — bounded by construction at MAX_QUERIES x
-    PQ_M x |labels| int64 (the _QUERY_PRED hard cap; the same payload
-    the interpreted path broadcasts) — and closed over into the UDF.
-    Scores are sums of the SAME int64 LUT entries, so the arithmetic is
-    exact and engine-portable; the per-query top-k window stays in
-    Spark (the plan's only shuffle)."""
+    become one numpy gather-and-sum per Arrow batch, and each batch
+    emits only its LOCAL top-k per query (partial top-k — the rank
+    shuffle carries O(partitions x Q x k) rows, not O(N x Q)). The
+    query LUTs are collected driver-side — bounded by construction at
+    MAX_QUERIES x PQ_M x |labels| int64 (the _QUERY_PRED hard cap; the
+    same payload the interpreted path broadcasts) — and closed over
+    into the UDF. Scores are sums of the SAME int64 LUT entries, so the
+    arithmetic is exact and engine-portable; the per-query top-k merge
+    window stays in Spark (the plan's only shuffle).
+
+    ``probes`` (IVF+PQ composition): a (query_id, plabel) DataFrame
+    restricting each query to its probed cells — collected too (bounded
+    at Q x N_PROBE) and applied as a membership mask against the
+    batch's ``label`` column, the kernel-side equivalent of the probe
+    join."""
     import numpy as np
 
     qrows = qlut.collect()  # bounded: <= MAX_QUERIES (see _QUERY_PRED)
@@ -1437,19 +1448,32 @@ def _adc_score_arrow(codes: DataFrame, qlut: DataFrame) -> DataFrame:
         dtype=np.int64,
     )
     nq = len(qids)
+    allowed = None
+    if probes is not None:
+        pr: dict[int, list[int]] = {}
+        for r in probes.collect():  # bounded: <= MAX_QUERIES x N_PROBE
+            pr.setdefault(int(r.query_id), []).append(int(r.plabel))
+        allowed = {
+            q: np.array(sorted(v), dtype=np.int64) for q, v in pr.items()
+        }
+
+    def _empty():
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "query_id": np.array([], dtype=np.int64),
+                "neighbor_id": np.array([], dtype=np.int64),
+                "approx_dot_scaled": np.array([], dtype=np.int64),
+            }
+        )
 
     def score(batches):
         import pandas as pd
 
         for pdf in batches:
             if len(pdf) == 0:
-                yield pd.DataFrame(
-                    {
-                        "query_id": np.array([], dtype=np.int64),
-                        "neighbor_id": np.array([], dtype=np.int64),
-                        "approx_dot_scaled": np.array([], dtype=np.int64),
-                    }
-                )
+                yield _empty()
                 continue
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             code_mat = np.array(
@@ -1461,14 +1485,34 @@ def _adc_score_arrow(codes: DataFrame, qlut: DataFrame) -> DataFrame:
             scores = np.zeros((nq, n), dtype=np.int64)
             for m in range(PQ_M):
                 scores += lut[:, m, :][:, idx[:, m]]
-            out_q = np.repeat(qids, n)
-            out_n = np.tile(ids, nq)
-            mask = out_q != out_n
+            valid = qids[:, None] != ids[None, :]
+            if allowed is not None:
+                labs = pdf["label"].to_numpy(dtype=np.int64)
+                for qi in range(nq):
+                    cells = allowed.get(int(qids[qi]))
+                    if cells is None:
+                        valid[qi, :] = False
+                    else:
+                        valid[qi] &= np.isin(labs, cells)
+            k = min(TOP_K, n)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(nq):
+                cand = np.flatnonzero(valid[qi])
+                if len(cand) == 0:
+                    continue
+                sub = scores[qi][cand]
+                order = cand[np.lexsort((ids[cand], -sub))[:k]]
+                out_q.append(np.full(len(order), qids[qi], dtype=np.int64))
+                out_n.append(ids[order])
+                out_s.append(scores[qi][order])
+            if not out_q:
+                yield _empty()
+                continue
             yield pd.DataFrame(
                 {
-                    "query_id": out_q[mask],
-                    "neighbor_id": out_n[mask],
-                    "approx_dot_scaled": scores.reshape(-1)[mask],
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "approx_dot_scaled": np.concatenate(out_s),
                 }
             )
 
@@ -1484,20 +1528,50 @@ def _adc_score_arrow(codes: DataFrame, qlut: DataFrame) -> DataFrame:
     oracle=None,  # set below: shares ann_pq_adc_topk's oracle verbatim
 )
 def ann_pq_adc_topk_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``ann_pq_adc_topk`` pinned to the interpreted HOF encode kernel:
-    the A/B reference for the Arrow kernel (same oracle, same rows —
-    the kernels differ only in evaluator). Kept in the bench headline
-    so BENCH_r{N} records the measured speedup, not a claim."""
+    """``ann_pq_adc_topk`` pinned to the interpreted HOF kernels (encode
+    AND scoring): the A/B reference for the Arrow kernels (same oracle,
+    same rows — the pipelines differ only in evaluator). Kept in the
+    bench headline so BENCH_r{N} records the measured speedup, not a
+    claim."""
     return ann_pq_adc_topk(spark, sf_dir, kernel="hof")
 
 
-def _set_pq_hof_oracle() -> None:
+@query(
+    "ann_pq_codes_hof",
+    driver=False,  # kernel A/B twin — verified by the local parity replica
+    headline=True,  # the ENCODE-STAGE A/B: ann_pq_codes is pure encode,
+    # so this pair isolates the kernel speedup the full-query pair blends
+    # with LUT build + scoring + ranking
+    oracle=None,  # set below: shares ann_pq_codes' oracle verbatim
+)
+def ann_pq_codes_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ann_pq_codes`` pinned to the interpreted HOF encode kernel —
+    with the arrow-default ``ann_pq_codes`` also in the headline, the
+    per-round BENCH json carries the encode-stage speedup directly."""
+    e = _vectors(spark, sf_dir)
+    wide = _pq_encode(
+        e.select("vec_id", "v"),
+        _codebook_row(_centroid_vectors(e)),
+        kernel="hof",
+    )
+    return wide.select(
+        "vec_id", F.posexplode("bests").alias("pos", "b")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("long").alias("m"),
+        F.col("b.code").alias("code"),
+        F.col("b.d").alias("dist"),
+    )
+
+
+def _set_pq_hof_oracles() -> None:
     from dbt_on_snowflake_spark.registry import QUERIES
 
     QUERIES["ann_pq_adc_topk_hof"].oracle = QUERIES["ann_pq_adc_topk"].oracle
+    QUERIES["ann_pq_codes_hof"].oracle = QUERIES["ann_pq_codes"].oracle
 
 
-_set_pq_hof_oracle()
+_set_pq_hof_oracles()
 
 
 # ------------------------------------------------------ hard-negative mining
@@ -1683,14 +1757,21 @@ def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked WHERE rank <= {TOP_K}
     """,
 )
-def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivfpq_topk(
+    spark: SparkSession, sf_dir: str, kernel: str | None = None
+) -> DataFrame:
     """IVF+PQ — the production ANN composition (FAISS's IVFPQ): the
     coarse quantizer restricts each query to its nprobe=2 nearest cells,
     and ADC scores ONLY those cells' codes. Per query the scan cost
     drops from O(N) code rows to O(nprobe * N / cells); with the codes
     table label-partitioned on disk (build_ann_index layout) the probe
     becomes a literal partition prune. Probes + LUTs ride one bounded
-    broadcast; the rank window is again the only corpus-sized shuffle."""
+    broadcast (arrow default: a bounded kernel closure with the probe
+    sets as a membership mask + per-batch partial top-k); the rank
+    window is again the only corpus-sized shuffle."""
+    import os as _os
+
+    kernel = kernel or _os.environ.get("SPARK_GRAFT_PQ_KERNEL", "arrow")
     e = _vectors(spark, sf_dir)
     # cvec feeds the probe ranking AND (via cb_row) the encode + LUT
     # sides — checkpoint the tiny table once instead of three centroid
@@ -1735,26 +1816,32 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.crossJoin(F.broadcast(cb_row))
         .select(F.col("vec_id").alias("query_id"), F.array(*luts).alias("luts"))
     )
-    probe_lut = probes.join(qlut, "query_id")
-
-    score = None
-    for m in range(PQ_M):
-        term = F.element_at(F.col("luts")[m], F.col("bests")[m]["code"])
-        score = term if score is None else score + term
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_dot_scaled").desc(), F.col("neighbor_id").asc()
     )
+    if kernel == "arrow":
+        scored = _adc_score_arrow(
+            codes.select("vec_id", "label", "bests"), qlut, probes=probes
+        )
+    else:
+        probe_lut = probes.join(qlut, "query_id")
+        score = None
+        for m in range(PQ_M):
+            term = F.element_at(F.col("luts")[m], F.col("bests")[m]["code"])
+            score = term if score is None else score + term
+        scored = (
+            codes.join(
+                F.broadcast(probe_lut), F.col("label") == F.col("plabel")
+            )
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                score.alias("approx_dot_scaled"),
+            )
+        )
     return (
-        codes.join(
-            F.broadcast(probe_lut), F.col("label") == F.col("plabel")
-        )
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            score.alias("approx_dot_scaled"),
-        )
-        .withColumn("rank", F.row_number().over(w).cast("long"))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
     )
 
@@ -1833,22 +1920,29 @@ def ann_pq_adc_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(cb_row))
         .select(F.col("vec_id").alias("query_id"), F.array(*luts).alias("luts"))
     )
-    score = None
-    for m in range(PQ_M):
-        term = F.element_at(F.col("luts")[m], F.col("bests")[m]["code"])
-        score = term if score is None else score + term
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_dot_scaled").desc(), F.col("neighbor_id").asc()
     )
-    return (
-        codes.crossJoin(F.broadcast(qlut))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            score.alias("approx_dot_scaled"),
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_PQ_KERNEL", "arrow") == "arrow":
+        scored = _adc_score_arrow(codes, qlut)
+    else:
+        score = None
+        for m in range(PQ_M):
+            term = F.element_at(F.col("luts")[m], F.col("bests")[m]["code"])
+            score = term if score is None else score + term
+        scored = (
+            codes.crossJoin(F.broadcast(qlut))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                score.alias("approx_dot_scaled"),
+            )
         )
-        .withColumn("rank", F.row_number().over(w).cast("long"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
     )
 

@@ -66,6 +66,7 @@ DRIVER_BUDGET = 50
 # Queries born in round 8 — mandatory r9 rotate-ins (never driver-checked).
 R9_ROTATE_IN: set[str] = {
     "ann_pq_adc_topk_hof",
+    "ann_pq_codes_hof",
     "dedup_semantic_served",
 }
 

@@ -32,6 +32,7 @@ _BNLJ_OK = {
     "q11_important_suppliers",  # 1-row global-total-value broadcast
     "ann_recall_eval",  # composes ann_topk_bruteforce's capped query side
     "ann_pq_codes",  # 1-row collapsed codebook broadcast
+    "ann_pq_codes_hof",  # encode-stage A/B twin of ann_pq_codes
     "ann_pq_adc_topk",  # 1-row codebook + capped query-LUT broadcast
     "ann_pq_adc_topk_hof",  # kernel A/B twin of ann_pq_adc_topk
     "ann_hard_negatives",  # same capped query side as ann_topk_bruteforce

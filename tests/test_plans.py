@@ -498,6 +498,8 @@ _HEADLINE_MAX_SHUFFLES = {
     "a1_loyalty_metrics": 1,
     "ann_pq_adc_topk": 1,  # rank window only (codebook checkpointed)
     "ann_pq_adc_topk_hof": 1,  # kernel A/B twin: same plan posture
+    "ann_pq_codes": 3,  # centroid rollup exchanges only (tiny)
+    "ann_pq_codes_hof": 3,  # encode-stage A/B twin
     "ann_topk_bruteforce": 1,
     "asof_last_order_before_event": 1,
     "corpus_clean_pipeline": 1,
@@ -602,11 +604,15 @@ def test_quality_classifier_is_shuffle_free(spark):
     assert "Generate" not in plan  # no explode
 
 
-def test_pq_indexed_no_encode_recompute(spark):
+def test_pq_indexed_no_encode_recompute(spark, monkeypatch):
     """The persisted-index ADC query serves from pq_codebook_/pq_codes_
     tables: no posexplode (centroid training) and no per-corpus-row
     distance argmin in the plan — the only embeddings-parquet scan is
-    the bounded query side."""
+    the bounded query side. Checked on the 'hof' kernel, whose plan
+    carries every stage (the arrow kernel moves the bounded codebook/
+    query-LUT reads to fn-build time, so its RETURNED plan is just the
+    codes scan + scoring map — asserted separately below)."""
+    monkeypatch.setenv("SPARK_GRAFT_PQ_KERNEL", "hof")
     df = Q["ann_pq_adc_indexed"].fn(spark, SF_SMOKE)
     plan = explain_str(df)
     assert "Generate" not in plan  # posexplode = centroid recompute
@@ -621,6 +627,15 @@ def test_pq_indexed_no_encode_recompute(spark):
         assert "vec_id" in s.get("pushedfilters", ""), (
             f"unbounded embeddings scan: {s}"
         )
+
+    # arrow default: the returned plan is codes scan -> scoring map ->
+    # rank window; still no centroid recompute, no embeddings re-read
+    monkeypatch.delenv("SPARK_GRAFT_PQ_KERNEL")
+    plan_a = explain_str(Q["ann_pq_adc_indexed"].fn(spark, SF_SMOKE))
+    assert "Generate" not in plan_a
+    assert "pq_codes_" in plan_a and "MapInPandas" in plan_a
+    assert "embeddings.parquet" not in plan_a
+    assert count_shuffles(plan_a) <= 1
 
 
 def test_ingest_probe_no_index_shuffle(spark):
