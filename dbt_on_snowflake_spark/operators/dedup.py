@@ -536,14 +536,30 @@ COSINE_SQL = (
     WHERE {COSINE_SQL.format(a="a.v", b="b.v")} >= 0.35
     """,
 )
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_cosine(
+    spark: SparkSession, sf_dir: str, kernel: str | None = None
+) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by the coarse `label`
     column (IVF-style: only same-cluster pairs are compared — the
     all-pairs cross join never materializes). At 100 TB the label is a
-    learned/assigned centroid id with ~sqrt(N) clusters."""
+    learned/assigned centroid id with ~sqrt(N) clusters.
+
+    ``kernel`` (default $SPARK_GRAFT_ANN_KERNEL, else 'arrow'): the
+    arrow path computes each cell's pairwise cosines in a per-label
+    applyInPandas numpy kernel (ONE groupBy exchange, blocked 256-row
+    products — same contract as dedup_semantic's serve kernel); 'hof'
+    keeps the label self-join with interpreted per-pair cosines.
+    Row-identical (`test_embedding_pairs_kernels_agree`)."""
+    import os as _os
+
+    kernel = kernel or _os.environ.get("SPARK_GRAFT_ANN_KERNEL", "arrow")
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
+    if kernel == "arrow":
+        return _embedding_pairs_arrow(e)
+    if kernel != "hof":
+        raise ValueError(f"unknown ANN kernel {kernel!r}")
     a, b = e.alias("a"), e.alias("b")
     cos = _cosine("a.v", "b.v")
     return (
@@ -558,6 +574,65 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("vec_b"),
             F.round(cos, 4).alias("cosine"),
         )
+    )
+
+
+def _embedding_pairs_arrow(e: DataFrame, threshold: float = 0.35) -> DataFrame:
+    """Per-label pairwise-cosine kernel: rows sorted by vec_id inside
+    the cell, upper-triangle blocks only, threshold applied to the
+    UNROUNDED cosine (like the DF filter it replaces) and the emitted
+    value rounded half-up-away-from-zero to 4 decimals. Sequential-fold
+    dots via cumsum keep the arithmetic bit-identical to the
+    interpreted `_cosine`."""
+    import numpy as np
+
+    BLK = 256
+
+    def pairs(pdf):
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        V = np.stack(pdf["v"].to_numpy())
+        o = np.argsort(ids)
+        ids, V = ids[o], V[o]
+        n = len(ids)
+        norms = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+        out_a, out_b, out_c = [], [], []
+        for i0 in range(0, n, BLK):
+            i1 = min(i0 + BLK, n)
+            for j0 in range(i0, n, BLK):
+                j1 = min(j0 + BLK, n)
+                d = np.cumsum(
+                    V[i0:i1, None, :] * V[None, j0:j1, :], axis=2
+                )[:, :, -1]
+                cos = d / (norms[i0:i1, None] * norms[None, j0:j1])
+                mask = (cos >= threshold) & (
+                    np.arange(i0, i1)[:, None] < np.arange(j0, j1)[None, :]
+                )
+                ii, jj = np.nonzero(mask)
+                if len(ii):
+                    out_a.append(ids[i0 + ii])
+                    out_b.append(ids[j0 + jj])
+                    r = cos[ii, jj]
+                    out_c.append(np.floor(r * 10000.0 + 0.5) / 10000.0)
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "vec_a": np.array([], dtype=np.int64),
+                    "vec_b": np.array([], dtype=np.int64),
+                    "cosine": np.array([], dtype=np.float64),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(out_a),
+                "vec_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    return e.groupBy("label").applyInPandas(
+        pairs, "vec_a long, vec_b long, cosine double"
     )
 
 

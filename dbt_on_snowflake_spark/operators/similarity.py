@@ -126,16 +126,28 @@ def _topk_window(scored: DataFrame) -> DataFrame:
     ).filter(F.col("rank") <= TOP_K)
 
 
-def _bruteforce_score_arrow(corpus: DataFrame, queries: DataFrame) -> DataFrame:
-    """Arrow-vectorized brute-force scorer with per-batch partial top-k:
-    each Arrow batch computes its cosine block against the bounded query
+def _bruteforce_score_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    probes: DataFrame | None = None,
+    max_cos: float | None = None,
+) -> DataFrame:
+    """Arrow-vectorized cosine scorer with per-batch partial top-k: each
+    Arrow batch computes its cosine block against the bounded query
     matrix (driver-side closure, hard-capped at MAX_QUERIES by
     _QUERY_PRED — the same payload the HOF path broadcasts) and emits
     only its local top-k per query. Arithmetic contract matches the HOF
     `_cosine`: sequential-fold dots via cumsum, dot/(na*nb) operation
     order, away-from-zero half-up rounding to 4 decimals. Blocked
     (256 rows x 64 queries) so elementwise products stay ~8 MB
-    regardless of batch or query-set size."""
+    regardless of batch or query-set size.
+
+    The one kernel serves the whole exact-ANN family:
+    ``probes`` = (query_id, label) restricts each query to its IVF
+    cells (membership mask on the batch's label column — single-probe
+    and multiprobe are just different probe sets); ``max_cos`` drops
+    pairs at/above a band (hard-negative mining's near-duplicate cut,
+    applied to the ROUNDED cosine like the DF filter it replaces)."""
     import numpy as np
 
     qrows = queries.select("vec_id", "v").collect()  # bounded <= MAX_QUERIES
@@ -147,6 +159,14 @@ def _bruteforce_score_arrow(corpus: DataFrame, queries: DataFrame) -> DataFrame:
     QM = np.stack([np.asarray(r.v, dtype=np.float64) for r in qrows])
     qnorm = np.sqrt(np.cumsum(QM * QM, axis=1)[:, -1])
     nq = len(qids)
+    allowed = None
+    if probes is not None:
+        pr: dict[int, list[int]] = {}
+        for r in probes.collect():  # bounded: <= MAX_QUERIES x N_PROBE
+            pr.setdefault(int(r.query_id), []).append(int(r.label))
+        allowed = {
+            q: np.array(sorted(v), dtype=np.int64) for q, v in pr.items()
+        }
     RB, QB = 256, 64
 
     def score(batches):
@@ -182,6 +202,16 @@ def _bruteforce_score_arrow(corpus: DataFrame, queries: DataFrame) -> DataFrame:
             ) / 10000.0 + 0.0
             # self-pairs can never appear in the output
             cos[qids[:, None] == ids[None, :]] = -np.inf
+            if max_cos is not None:
+                cos[cos >= max_cos] = -np.inf
+            if allowed is not None:
+                labs = pdf["label"].to_numpy(dtype=np.int64)
+                for qi in range(nq):
+                    cells = allowed.get(int(qids[qi]))
+                    if cells is None:
+                        cos[qi, :] = -np.inf
+                    else:
+                        cos[qi, ~np.isin(labs, cells)] = -np.inf
             k = min(TOP_K, n)
             out_q, out_n, out_c = [], [], []
             for qi in range(nq):
@@ -330,10 +360,19 @@ def _centroid_vectors(e: DataFrame) -> DataFrame:
     )
 
 
-def _multiprobe_topk(q: DataFrame, cvec: DataFrame, corpus: DataFrame) -> DataFrame:
+def _multiprobe_topk(
+    q: DataFrame,
+    cvec: DataFrame,
+    corpus: DataFrame,
+    kernel: str | None = None,
+) -> DataFrame:
     """nprobe-centroid probe + per-query top-k, shared by the
     recompute-per-query path and the persisted-index path (same inputs ->
-    bit-identical output, so both share one oracle)."""
+    bit-identical output, so both share one oracle). The arrow default
+    feeds the probe sets into the shared scorer as a kernel-side
+    membership mask; 'hof' keeps the probe/corpus join pipeline."""
+    import os as _os
+
     cvec = cvec.alias("c")
     wq = Window.partitionBy("query_id").orderBy(
         F.col("ccos").desc(), F.col("label").asc()
@@ -349,6 +388,13 @@ def _multiprobe_topk(q: DataFrame, cvec: DataFrame, corpus: DataFrame) -> DataFr
         .filter(F.col("crank") <= N_PROBE)
         .select("query_id", "label")
     )
+    kernel = kernel or _os.environ.get("SPARK_GRAFT_ANN_KERNEL", "arrow")
+    if kernel == "arrow":
+        return _topk_window(
+            _bruteforce_score_arrow(
+                corpus.select("vec_id", "label", "v"), q, probes=probes
+            )
+        )
     c = corpus.alias("c")
     joined = (
         probes.join(c, F.col("c.label") == probes.label)
@@ -371,14 +417,32 @@ def _multiprobe_topk(q: DataFrame, cvec: DataFrame, corpus: DataFrame) -> DataFr
         k=TOP_K,
     ),
 )
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivf_topk(
+    spark: SparkSession, sf_dir: str, kernel: str | None = None
+) -> DataFrame:
     """IVF-style ANN: probe only the query's own coarse cluster (label).
     Recall < 1 by design; cost drops from O(N) to O(N / n_clusters) per
     query. At scale: corpus Parquet is partitioned by label, so partition
     pruning turns each probe into a single-partition scan. Query set
-    hard-bounded at MAX_QUERIES (see ann_topk_bruteforce)."""
+    hard-bounded at MAX_QUERIES (see ann_topk_bruteforce). Arrow
+    default: single-probe = the shared scorer with each query's own
+    label as its probe set."""
+    import os as _os
+
+    kernel = kernel or _os.environ.get("SPARK_GRAFT_ANN_KERNEL", "arrow")
     e = _vectors(spark, sf_dir)
-    q = F.broadcast(e.filter(F.expr(_QUERY_PRED))).alias("q")
+    qdf = e.filter(F.expr(_QUERY_PRED))
+    if kernel == "arrow":
+        return _topk_window(
+            _bruteforce_score_arrow(
+                e.select("vec_id", "label", "v"),
+                qdf,
+                probes=qdf.select(
+                    F.col("vec_id").alias("query_id"), "label"
+                ),
+            )
+        )
+    q = F.broadcast(qdf).alias("q")
     c = e.alias("c")
     joined = q.join(
         c,
@@ -1600,15 +1664,28 @@ HARD_NEG_POS_BAND = 0.95  # cosine >= this is a near-duplicate, not a negative
     SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
     """,
 )
-def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_hard_negatives(
+    spark: SparkSession, sf_dir: str, kernel: str | None = None
+) -> DataFrame:
     """Hard-negative mining for contrastive training: per query, the
     top-k most-similar corpus vectors AFTER excluding the near-duplicate
     band (cosine >= 0.95 is a positive/duplicate, not a negative — the
     standard 'filter false negatives' step in dense-retrieval training,
-    cf. DPR/ANCE). Identical plan posture to ann_topk_bruteforce (bounded
-    broadcast query side, corpus scanned once); the band filter runs
-    before the rank window, so excluded positives never enter the sort."""
+    cf. DPR/ANCE). Identical plan posture to ann_topk_bruteforce; the
+    arrow default applies the band cut inside the shared scorer, so
+    excluded positives never enter any sort."""
+    import os as _os
+
+    kernel = kernel or _os.environ.get("SPARK_GRAFT_ANN_KERNEL", "arrow")
     e = _vectors(spark, sf_dir)
+    if kernel == "arrow":
+        return _topk_window(
+            _bruteforce_score_arrow(
+                e.select("vec_id", "v"),
+                e.filter(F.expr(_QUERY_PRED)),
+                max_cos=HARD_NEG_POS_BAND,
+            )
+        )
     q = F.broadcast(e.filter(F.expr(_QUERY_PRED))).alias("q")
     c = e.alias("c")
     cos = F.round(_cosine("q.v", "c.v"), 4) + 0.0

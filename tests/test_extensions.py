@@ -523,3 +523,57 @@ def test_ann_bruteforce_kernels_agree(spark):
     )
     assert len(a) > 0
     assert a == h
+
+
+def test_ann_family_kernels_agree(spark):
+    """Every exact-cosine ANN shape that gained the shared arrow scorer
+    (single-probe IVF, multiprobe, hard negatives) must be row-identical
+    to its join-pipeline twin — probe masks and the near-duplicate band
+    cut included."""
+    from dbt_on_snowflake_spark.operators.similarity import (
+        ann_hard_negatives,
+        ann_ivf_topk,
+    )
+
+    for fn in (ann_ivf_topk, ann_hard_negatives):
+        a = sorted(map(tuple, fn(spark, SF_SMOKE, kernel="arrow").collect()))
+        h = sorted(map(tuple, fn(spark, SF_SMOKE, kernel="hof").collect()))
+        assert len(a) > 0
+        assert a == h, fn.__name__
+
+
+def test_multiprobe_kernels_agree(spark, monkeypatch):
+    """ann_ivf_multiprobe through both kernels (env-selected: the shared
+    _multiprobe_topk serves the recompute and the persisted-index
+    variants, so this pins both)."""
+    from dbt_on_snowflake_spark.registry import all_queries
+
+    Q = all_queries()
+
+    def rows():
+        return sorted(
+            map(tuple, Q["ann_ivf_multiprobe"].fn(spark, SF_SMOKE).collect())
+        )
+
+    monkeypatch.setenv("SPARK_GRAFT_ANN_KERNEL", "arrow")
+    a = rows()
+    monkeypatch.setenv("SPARK_GRAFT_ANN_KERNEL", "hof")
+    h = rows()
+    assert len(a) > 0
+    assert a == h
+
+
+def test_embedding_pairs_kernels_agree(spark):
+    """dedup_embedding_cosine's per-label pair kernel vs the label
+    self-join: identical pair sets and rounded cosines (threshold on the
+    unrounded value, like the DF filter)."""
+    from dbt_on_snowflake_spark.operators.dedup import dedup_embedding_cosine
+
+    a = sorted(
+        map(tuple, dedup_embedding_cosine(spark, SF_SMOKE, kernel="arrow").collect())
+    )
+    h = sorted(
+        map(tuple, dedup_embedding_cosine(spark, SF_SMOKE, kernel="hof").collect())
+    )
+    assert len(a) > 0
+    assert a == h

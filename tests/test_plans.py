@@ -159,13 +159,17 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
-def test_ann_indexed_no_centroid_recompute(spark):
+def test_ann_indexed_no_centroid_recompute(spark, monkeypatch):
     """The index-backed multiprobe query reads centroids + assignments
     from the persisted tables: no posexplode/Generate (the centroid
     'training' shape) anywhere in the plan, and every scan of the
     embeddings parquet is the BOUNDED query side (vec_id predicate pushed
     to the scan) — the corpus pass comes from the label-partitioned
-    assignments table, not a re-read of the raw embeddings."""
+    assignments table, not a re-read of the raw embeddings. Checked on
+    the 'hof' kernel whose plan carries every stage; the arrow default
+    (probe sets + query matrix move to bounded fn-build collects) is
+    asserted separately."""
+    monkeypatch.setenv("SPARK_GRAFT_ANN_KERNEL", "hof")
     df = Q["ann_ivf_multiprobe_indexed"].fn(spark, SF_SMOKE)
     plan = explain_str(df)
     assert "Generate" not in plan  # posexplode = centroid recompute
@@ -180,6 +184,15 @@ def test_ann_indexed_no_centroid_recompute(spark):
         assert "vec_id" in s.get("pushedfilters", ""), (
             f"unbounded embeddings scan: {s}"
         )
+
+    # arrow default: assignments scan -> scoring map -> rank window;
+    # still no centroid recompute, no embeddings re-read in the plan
+    monkeypatch.delenv("SPARK_GRAFT_ANN_KERNEL")
+    plan_a = explain_str(Q["ann_ivf_multiprobe_indexed"].fn(spark, SF_SMOKE))
+    assert "Generate" not in plan_a
+    assert "ann_assignments_" in plan_a and "MapInPandas" in plan_a
+    assert "embeddings.parquet" not in plan_a
+    assert count_shuffles(plan_a) <= 1
 
 
 def test_incremental_index_probe_no_index_shuffle(spark):
