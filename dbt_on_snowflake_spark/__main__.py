@@ -31,9 +31,28 @@ def main(argv: list[str] | None = None) -> int:
     for name in (
         "run", "build", "test", "compile", "ls", "freshness", "seed", "docs",
         "retry", "clone", "run-operation", "show", "vacuum", "compact",
-        "snapshot", "parse", "deps",
+        "snapshot", "parse", "deps", "task",
     ):
         sp = sub.add_parser(name)
+        if name == "task":
+            sp.add_argument(
+                "action", choices=["list", "run", "run-due"],
+                help="list: tasks + next fire; run: force one (--name); "
+                     "run-due: execute every task whose cron matches "
+                     "--now's minute, exactly once per tick",
+            )
+            sp.add_argument(
+                "--name", default=None, dest="task_name",
+                help="task name (required for `run`, optional filter for "
+                     "`run-due`)",
+            )
+            sp.add_argument(
+                "--now", default=None,
+                help="ISO timestamp standing in for the scheduler clock "
+                     "(default: current local time). Deterministic ticks: "
+                     "cron evaluation and the exactly-once journal key both "
+                     "use this value's minute.",
+            )
         if name == "ls":
             sp.add_argument(
                 "--resource-type", default="model", dest="resource_type",
@@ -221,6 +240,58 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{pkg['name']} {ver} sha={pkg['sha'][:12]}")
         print(f"lock: {lock_path}")
         return 0
+
+    if args.cmd == "task":
+        # the reference's Snowflake TASK surface (setup/task.sql:1-6)
+        # minus the daemon: any external cron invokes `task run-due`;
+        # ticks are journaled so retries/overlapping runners can't
+        # double-fire (engine/tasks.py)
+        import shlex
+        from datetime import datetime as _dt
+
+        from dbt_on_snowflake_spark.engine import tasks as _tasks
+
+        now = _dt.fromisoformat(args.now) if args.now else _dt.now()
+        tdefs = _tasks.load_tasks(args.project)
+        if args.action == "list":
+            if not tdefs:
+                print("no tasks declared (tasks.yml)")
+                return 0
+            for t in tdefs:
+                nf = _tasks.next_fire(t.schedule, now)
+                nxt = nf.isoformat(timespec="minutes") if nf else "-"
+                print(f"{t.name:24s} [{t.schedule}] next={nxt} args={t.args!r}")
+            return 0
+
+        def _task_runner(t):
+            argv2 = shlex.split(t.args)
+            if "--project" not in argv2:
+                argv2 += ["--project", args.project]
+            print(f"task {t.name}: {' '.join(argv2)}")
+            return main(argv2)
+
+        if args.action == "run":
+            if not args.task_name:
+                print("task run requires --name", file=sys.stderr)
+                return 2
+            byname = {t.name: t for t in tdefs}
+            if args.task_name not in byname:
+                print(f"unknown task {args.task_name!r} (tasks.yml declares: "
+                      f"{sorted(byname) or 'none'})", file=sys.stderr)
+                return 2
+            rc = _task_runner(byname[args.task_name])
+            _tasks.record_tick(
+                args.project, args.task_name,
+                now.replace(second=0, microsecond=0), rc,
+            )
+            return rc
+
+        results = _tasks.run_due(
+            args.project, now, _task_runner, only=args.task_name
+        )
+        for tname, status in results:
+            print(f"{status:12s} task {tname}")
+        return 1 if any(s.startswith("error") for _, s in results) else 0
 
     if args.cmd == "ls":
         # dbt ls: selection-aware inventory across resource types, with

@@ -3178,3 +3178,114 @@ def test_source_path_unset_env_var_is_clear_error(tmp_path, monkeypatch):
         )
     with pytest.raises(ValueError, match="raw.documents.*unset environment"):
         Project(root)
+
+
+def test_cron_parsing_and_matching():
+    """Cron field semantics: *, steps, ranges, lists, the dom/dow union
+    rule, and Snowflake's `USING CRON ... UTC` wrapper (setup/task.sql)."""
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from dbt_on_snowflake_spark.engine.tasks import (
+        CronError,
+        cron_matches,
+        next_fire,
+        normalize_schedule,
+    )
+
+    # setup/task.sql:2 — 'USING CRON 5 * * * * UTC' = minute 5, hourly
+    s = normalize_schedule("USING CRON 5 * * * * UTC")
+    assert s == "5 * * * *"
+    assert cron_matches(s, datetime(2026, 8, 14, 9, 5))
+    assert not cron_matches(s, datetime(2026, 8, 14, 9, 6))
+    assert next_fire(s, datetime(2026, 8, 14, 9, 5)) == datetime(2026, 8, 14, 10, 5)
+
+    assert cron_matches("*/15 * * * *", datetime(2026, 1, 1, 0, 45))
+    assert not cron_matches("*/15 * * * *", datetime(2026, 1, 1, 0, 50))
+    assert cron_matches("0 9-17 * * *", datetime(2026, 1, 1, 13, 0))
+    assert not cron_matches("0 9-17 * * *", datetime(2026, 1, 1, 8, 0))
+    assert cron_matches("0 0 1,15 * *", datetime(2026, 3, 15, 0, 0))
+    # dow: 2026-08-14 is a Friday (cron dow 5); 7 aliases Sunday
+    assert cron_matches("0 0 * * 5", datetime(2026, 8, 14, 0, 0))
+    assert cron_matches("0 0 * * 7", datetime(2026, 8, 16, 0, 0))
+    # dom/dow union when both restricted: fires on dom OR dow match
+    assert cron_matches("0 0 13 * 5", datetime(2026, 8, 14, 0, 0))  # dow hit
+    assert cron_matches("0 0 13 * 5", datetime(2026, 8, 13, 0, 0))  # dom hit
+    assert not cron_matches("0 0 13 * 5", datetime(2026, 8, 12, 0, 0))
+
+    with _pytest.raises(CronError):
+        normalize_schedule("USING CRON 5 * * *")  # 4 fields
+    with _pytest.raises(CronError):
+        cron_matches("61 * * * *", datetime(2026, 1, 1))
+
+
+def test_task_schedule_lifecycle(spark, tmp_path, capsys):
+    """The reference's Snowflake TASK (setup/task.sql:1-6) as an engine
+    surface: tasks.yml declares the cron + args; `task run-due --now`
+    executes matching tasks through the real CLI exactly once per tick;
+    a retried tick skips; the next matching minute fires again; `task
+    list` reports the next fire time."""
+    from dbt_on_snowflake_spark.__main__ import main
+
+    data = str(tmp_path / "tdata")
+    os.makedirs(data)
+    pd.DataFrame({"id": [1, 2, 3], "v": [10, 20, 30]}).to_parquet(
+        os.path.join(data, "t.parquet"), index=False
+    )
+    root = str(tmp_path / "taskproj")
+    os.makedirs(f"{root}/models/core", exist_ok=True)
+    with open(f"{root}/project.yml", "w") as f:
+        f.write("name: taskproj\nmodels:\n  core:\n    materialized: table\n")
+    with open(f"{root}/sources.yml", "w") as f:
+        f.write(
+            f"sources:\n  - name: raw\n    base_path: \"{data}\"\n"
+            "    tables:\n      - name: t\n"
+        )
+    with open(f"{root}/models/core/agg.sql", "w") as f:
+        f.write("SELECT id, v * 2 AS v2 FROM {{ source('raw', 't') }}")
+    with open(f"{root}/tasks.yml", "w") as f:
+        f.write(
+            "tasks:\n"
+            "  - name: hourly_agg\n"
+            "    schedule: \"USING CRON 5 * * * * UTC\"\n"
+            "    args: \"run --select agg --target tsk\"\n"
+        )
+
+    # off-minute: nothing due
+    rc = main(["task", "run-due", "--project", root,
+               "--now", "2026-08-14T09:04:00"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "not-due" in out
+    assert not spark.catalog.tableExists("tsk_agg")
+
+    # the scheduled minute: task executes through the real CLI
+    rc = main(["task", "run-due", "--project", root,
+               "--now", "2026-08-14T09:05:30"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "success" in out
+    assert spark.table("tsk_agg").count() == 3
+
+    # same tick retried (e.g. overlapping cron runner): skipped
+    rc = main(["task", "run-due", "--project", root,
+               "--now", "2026-08-14T09:05:59"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "already-ran" in out
+
+    # next matching minute fires fresh
+    rc = main(["task", "run-due", "--project", root,
+               "--now", "2026-08-14T10:05:00"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "success" in out
+
+    # list reports the next fire after --now
+    rc = main(["task", "list", "--project", root,
+               "--now", "2026-08-14T10:06:00"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "hourly_agg" in out and "next=2026-08-14T11:05" in out
+
+    # force-run ignores the schedule
+    rc = main(["task", "run", "--project", root, "--name", "hourly_agg",
+               "--now", "2026-08-14T10:07:00"])
+    capsys.readouterr()
+    assert rc == 0
