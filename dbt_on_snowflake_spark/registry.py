@@ -54,13 +54,31 @@ QUERIES: dict[str, RegisteredQuery] = {}
 #   streaming, ...) = 43 mandatory, + 7 r6/r7-green family guards
 #   (q1_pricing_summary, a1_loyalty_metrics, dedup_exact,
 #   ann_topk_bruteforce, t_events_hourly, text_stats, j1_orders_denorm).
-# - r9 must rotate IN: all r8-born queries (tracked in R9_ROTATE_IN below
-#   as they are added), every row last driver-checked in r6
-#   (j2_left_join_enrich, asof/range family, a2/a3/a5 shapes, cube,
-#   pivot, sketches, q2/q4/q17/q18/q20, dedup_minhash_lsh,
-#   dedup_verified_pairs, text_bpe encoder rows, dedup_semantic,
-#   corpus_clean_pipeline, corpus_sample_budget, ...), and the r7-green
-#   rows as window pressure dictates; backfill with guards.
+# - R9_EXPORT DRAFT (apply at round-9 start; arithmetic computed from
+#   CORRECTNESS_r06/r07 vs R8_EXPORT at r8 session end): mandatory
+#   rotate-ins = the 41 rows last driver-checked in r6 — they hit the
+#   3-round window at r9 — (a_approx_sketches, a_cube_status_priority,
+#   a_exact_distinct_median, a_pivot_status_revenue, ann_centroids,
+#   ann_ivf_multiprobe_indexed, asof_last_order_before_event,
+#   corpus_clean_pipeline, corpus_mixture_sample,
+#   corpus_mixture_sample_bpe, corpus_token_budget,
+#   corpus_token_budget_hist, corpus_token_budget_hist_bpe,
+#   dedup_clusters, dedup_containment, dedup_incremental_index,
+#   dedup_incremental_streaming, dedup_minhash_lsh,
+#   dedup_minhash_verified, dedup_semantic, dedup_simhash,
+#   j2_left_join_enrich, multimodal_decode, multimodal_frame_sample,
+#   q2_min_cost_supplier, q3_top_revenue_orders,
+#   q4_late_shipments_by_priority, q5_nation_volume,
+#   q17_small_quantity_revenue, q18_large_volume_orders,
+#   q20_heavy_suppliers, s_setops_segments, t_event_funnel,
+#   t_events_range_join_windows, t_events_sessionize,
+#   t_monthly_revenue, text_pii_redact, text_token_count_bpe,
+#   text_unigram_rarity, text_unigram_rarity_bcast,
+#   w_topk_orders_per_customer) + the 3 r8-born rows in R9_ROTATE_IN
+#   = 44 mandatory; fill the remaining 6 slots with r8-green family
+#   guards (q1_pricing_summary, a1_loyalty_metrics, dedup_exact,
+#   ann_pq_adc_topk, t_events_hourly, f_datetime_suite). The 50
+#   r7-checked rows hit their window at r10.
 DRIVER_BUDGET = 50
 
 # Queries born in round 8 — mandatory r9 rotate-ins (never driver-checked).
