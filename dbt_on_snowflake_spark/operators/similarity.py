@@ -914,6 +914,140 @@ def _set_semantic_served_oracle() -> None:
 _set_semantic_served_oracle()
 
 
+def _semantic_greedy_prune(e: DataFrame, cvec: DataFrame) -> DataFrame:
+    """Per-cell SEQUENTIAL greedy prune (the literal SemDeDup scan):
+    rows ordered by (centroid-cosine ASC, vec_id ASC); a row is kept iff
+    no ALREADY-KEPT earlier row has rounded cosine >= SEM_THRESHOLD with
+    it. Differs from dedup_semantic's one-pass relaxation exactly on
+    similarity chains (a~b, b~c, a!~c: the relaxation drops b AND c, the
+    greedy keeps c because its only similar predecessor b was itself
+    dropped) — `test_semantic_greedy_vs_relaxation_chain` pins the
+    difference. Same arithmetic contract as every cosine kernel here
+    (cumsum sequential folds, dot/(na*nb), half-up rounding).
+
+    The scan is row-at-a-time against the GROWING kept matrix (numpy-
+    vectorized per row): O(|cell| x |kept| x dim) compute, O(|kept| x
+    dim) memory — cells are IVF-sized (~sqrt(N)) by construction, the
+    same bound the pair-join relaxation relies on."""
+    import numpy as np
+
+    cents = {
+        int(r.label): np.asarray(r.v, dtype=np.float64)
+        for r in cvec.collect()  # bounded: |cells| rows
+    }
+    label_field = e.schema["label"]
+    out_schema = (
+        f"vec_id long, label {label_field.dataType.simpleString()}, "
+        "ccos double, kept boolean"
+    )
+    thr = float(SEM_THRESHOLD)
+
+    def prune(pdf):
+        import pandas as pd
+
+        V = np.stack(pdf["v"].to_numpy())
+        c = cents[int(pdf["label"].iloc[0])]
+        vv = np.cumsum(V * V, axis=1)[:, -1]
+        norms = np.sqrt(vv)
+        cnorm = np.sqrt(np.cumsum(c * c)[-1])
+        dot_c = np.cumsum(V * c[None, :], axis=1)[:, -1]
+        ccos = _round4_away(dot_c / (norms * cnorm))
+        ids = pdf["vec_id"].to_numpy()
+        order = np.lexsort((ids, ccos))
+        kept_rows: list[int] = []
+        kept_o = np.zeros(len(order), dtype=bool)
+        for pos, row in enumerate(order):
+            if kept_rows:
+                K = V[kept_rows]
+                d = np.cumsum(K * V[row][None, :], axis=1)[:, -1]
+                cos = _round4_away(d / (norms[kept_rows] * norms[row]))
+                if (cos >= thr).any():
+                    continue
+            kept_rows.append(row)
+            kept_o[pos] = True
+        kept = np.zeros(len(ids), dtype=bool)
+        kept[order] = kept_o
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "label": pdf["label"].to_numpy(),
+                "ccos": ccos,
+                "kept": kept,
+            }
+        )
+
+    return e.select("vec_id", "label", "v").groupBy("label").applyInPandas(
+        prune, out_schema
+    )
+
+
+@query(
+    "dedup_semantic_greedy",
+    driver=False,  # r8-born: rotates into the r9 driver export
+    oracle=f"""
+    WITH RECURSIVE e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    cent AS (
+        SELECT label, dim, ROUND(SUM(val) / COUNT(*), 4) + 0.0 AS cv
+        FROM (
+            SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS dim
+            FROM e
+        )
+        GROUP BY label, dim
+    ),
+    cvec AS (SELECT label, list(cv ORDER BY dim) AS v FROM cent GROUP BY label),
+    scored AS (
+        SELECT e.vec_id, e.label, e.v,
+               ROUND({COSINE_SQL.format(a="e.v", b="c.v")}, 4) + 0.0 AS ccos
+        FROM e JOIN cvec c ON e.label = c.label
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY label ORDER BY ccos ASC, vec_id ASC
+        ) AS rnk
+        FROM scored
+    ),
+    g AS (
+        SELECT label, 0::BIGINT AS rnk, []::BIGINT[] AS kept_ids
+        FROM (SELECT DISTINCT label FROM ranked)
+        UNION ALL
+        SELECT r.label, g.rnk + 1,
+               CASE WHEN EXISTS (
+                    SELECT 1 FROM ranked k
+                    WHERE k.label = r.label
+                      AND list_contains(g.kept_ids, k.vec_id)
+                      AND ROUND({COSINE_SQL.format(a="k.v", b="r.v")}, 4)
+                          >= {SEM_THRESHOLD}
+               ) THEN g.kept_ids
+               ELSE list_append(g.kept_ids, r.vec_id) END
+        FROM g JOIN ranked r ON r.label = g.label AND r.rnk = g.rnk + 1
+    ),
+    final_g AS (
+        SELECT label, kept_ids FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY label ORDER BY rnk DESC
+            ) AS rr FROM g
+        ) WHERE rr = 1
+    )
+    SELECT s.vec_id, s.label, s.ccos,
+           list_contains(f.kept_ids, s.vec_id) AS kept
+    FROM scored s JOIN final_g f ON f.label = s.label
+    """,
+)
+def dedup_semantic_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE-sequential SemDeDup (the paper's greedy scan, not the
+    parallel relaxation): per IVF cell, walk rows most-diverse-first and
+    keep each row unless an already-KEPT predecessor is similar. The
+    inherently sequential keep-set recursion runs inside a per-cell
+    applyInPandas kernel (one groupBy exchange); the DuckDB oracle
+    replays the identical recursion as a recursive CTE over per-cell
+    rank, so the transitive-chain semantics — where greedy and
+    relaxation genuinely differ — are hash-checked across engines."""
+    e = _vectors(spark, sf_dir)
+    return _semantic_greedy_prune(e, _centroid_vectors(e))
+
+
 # ---------------------------------------------------- int8 quantization
 
 QUANT_LEVELS = 127  # symmetric int8 range

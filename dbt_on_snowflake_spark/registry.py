@@ -85,6 +85,8 @@ DRIVER_BUDGET = 50
 R9_ROTATE_IN: set[str] = {
     "ann_pq_adc_topk_hof",
     "ann_pq_codes_hof",
+    "ann_semantic_ingest_streaming",
+    "dedup_semantic_greedy",
     "dedup_semantic_served",
 }
 

@@ -864,3 +864,215 @@ def _set_ingest_oracle() -> None:
 
 
 _set_ingest_oracle()
+
+
+# ------------------------------------- streaming semantic dedup ingest
+
+
+def make_semantic_ingest_handler(
+    spark: SparkSession, kept_table: str, out_dir: str
+):
+    """foreachBatch handler for STREAMING SemDeDup: each micro-batch's
+    vectors run the sequential greedy (vec_id order) against the durable
+    per-cell kept set, newly kept vectors grow the index and land in the
+    output. All heavy work is a per-cell applyInPandas kernel over the
+    UNION of (batch rows) and (index rows for the touched cells only —
+    a partition-pruned read, bounded per batch like
+    dedup_incremental_pruned); the only cross-batch state is the
+    label-partitioned kept table.
+
+    ORDER CONTRACT (advice-r7 discipline, enforced not assumed): greedy
+    dedup is arrival-order-dependent, so the registered oracle models
+    vec_id-order arrival and the handler REJECTS a batch whose min
+    vec_id does not exceed everything already indexed — an out-of-order
+    source fails loudly instead of silently diverging. The watermark
+    initializes from the index max on first batch, so a restarted
+    stream keeps the contract."""
+    import numpy as np
+
+    from dbt_on_snowflake_spark.operators.similarity import (
+        SEM_THRESHOLD,
+        _round4_away,
+    )
+
+    state = {"max_id": None}
+    thr = float(SEM_THRESHOLD)
+
+    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        batch = batch_df.select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+        ).localCheckpoint()
+        bounds = batch.agg(
+            F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi"),
+            F.collect_set("label").alias("labels"),
+        ).collect()[0]  # 1-row control plane
+        if bounds.lo is None:
+            return
+        if state["max_id"] is None:
+            prior = spark.table(kept_table).agg(
+                F.max("vec_id").alias("m")
+            ).collect()[0].m  # once per stream (restart recovery)
+            state["max_id"] = -1 if prior is None else prior
+        if bounds.lo <= state["max_id"]:
+            raise ValueError(
+                f"semantic ingest: batch min vec_id {bounds.lo} <= already-"
+                f"indexed max {state['max_id']} — greedy dedup requires "
+                "vec_id-ordered arrival (the registered oracle's contract)"
+            )
+        state["max_id"] = bounds.hi
+
+        touched = sorted(bounds.labels)  # bounded: <= |cells|
+        prev = (
+            spark.table(kept_table)
+            .where(F.col("label").isin(touched))  # partition-pruned probe
+            .select("vec_id", "label", "v", F.lit(True).alias("is_idx"))
+        )
+        both = batch.select(
+            "vec_id", "label", "v", F.lit(False).alias("is_idx")
+        ).unionByName(prev)
+
+        def greedy(pdf):
+            import pandas as pd
+
+            prev_mask = pdf["is_idx"].to_numpy()
+            V = np.stack(pdf["v"].to_numpy())
+            norms = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+            kept_rows = list(np.flatnonzero(prev_mask))
+            new_rows = np.flatnonzero(~prev_mask)
+            new_order = new_rows[np.argsort(pdf["vec_id"].to_numpy()[new_rows])]
+            out = []
+            for row in new_order:
+                if kept_rows:
+                    K = V[kept_rows]
+                    d = np.cumsum(K * V[row][None, :], axis=1)[:, -1]
+                    cos = _round4_away(
+                        d / (norms[kept_rows] * norms[row])
+                    )
+                    if (cos >= thr).any():
+                        continue
+                kept_rows.append(row)
+                out.append(row)
+            keep = pdf.iloc[out]
+            return pd.DataFrame(
+                {
+                    "vec_id": keep["vec_id"].to_numpy(),
+                    "label": keep["label"].to_numpy(),
+                    "v": keep["v"],
+                }
+            )
+
+        kept_new = both.groupBy("label").applyInPandas(
+            greedy, "vec_id long, label long, v array<double>"
+        ).localCheckpoint()  # one kernel pass feeds both writes
+        (
+            kept_new.repartition("label")
+            .write.mode("append")
+            .partitionBy("label")
+            .format("parquet")
+            .saveAsTable(kept_table)
+        )
+        spark.catalog.refreshTable(kept_table)
+        kept_new.select("vec_id", "label").write.mode("append").parquet(out_dir)
+
+    return handle
+
+
+@query(
+    "ann_semantic_ingest_streaming",
+    oracle=None,  # set right below (shares the greedy recursion shape)
+    driver=False,  # r8-born; rotates into the r9 driver export
+)
+def ann_semantic_ingest_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SemDeDup — the ingest-time semantic gate: embedding
+    micro-batches arrive in vec_id order; each batch greedy-prunes
+    against the durable per-cell kept set (coarse quantizer trained
+    offline = the centroid table; cells = IVF labels) and the kept
+    vectors grow the index. Because greedy is prefix-stable, batch
+    boundaries cannot change the result: the whole stream equals ONE
+    sequential scan — which is exactly what the DuckDB oracle replays
+    as a recursive CTE ranked by vec_id. Out-of-order sources are
+    rejected at the handler (see make_semantic_ingest_handler), so the
+    oracle's order assumption is enforced, not hoped for."""
+    import hashlib
+    import tempfile
+
+    from dbt_on_snowflake_spark.engine.fs import fs_delete
+    from dbt_on_snowflake_spark.operators.dedup import _drop_managed_table
+    suffix = hashlib.md5(f"semingest:{sf_dir}".encode()).hexdigest()[:8]
+    kept_table = f"sem_ingest_kept_{suffix}"
+    out_dir = os.path.join(tempfile.gettempdir(), f"sem_ingest_out_{suffix}")
+    fs_delete(spark, out_dir)
+    _drop_managed_table(spark, kept_table)
+    (
+        spark.createDataFrame([], "vec_id long, label long, v array<double>")
+        .write.partitionBy("label")
+        .format("parquet")
+        .saveAsTable(kept_table)
+    )
+    # cells come pre-assigned (`label`): the coarse quantizer is a
+    # trained offline artifact in this pipeline (build_ann_index's
+    # centroid table would do the assignment for raw vectors)
+    handle = make_semantic_ingest_handler(spark, kept_table, out_dir)
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "embeddings.parquet")
+        .load(sf_dir)
+    )
+    q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select("vec_id", "label")
+
+
+def _semantic_ingest_oracle() -> str:
+    from dbt_on_snowflake_spark.operators.dedup import COSINE_SQL
+    from dbt_on_snowflake_spark.operators.similarity import SEM_THRESHOLD
+
+    return f"""
+    WITH RECURSIVE e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY label ORDER BY vec_id ASC
+        ) AS rnk
+        FROM e
+    ),
+    g AS (
+        SELECT label, 0::BIGINT AS rnk, []::BIGINT[] AS kept_ids
+        FROM (SELECT DISTINCT label FROM ranked)
+        UNION ALL
+        SELECT r.label, g.rnk + 1,
+               CASE WHEN EXISTS (
+                    SELECT 1 FROM ranked k
+                    WHERE k.label = r.label
+                      AND list_contains(g.kept_ids, k.vec_id)
+                      AND ROUND({COSINE_SQL.format(a="k.v", b="r.v")}, 4)
+                          >= {SEM_THRESHOLD}
+               ) THEN g.kept_ids
+               ELSE list_append(g.kept_ids, r.vec_id) END
+        FROM g JOIN ranked r ON r.label = g.label AND r.rnk = g.rnk + 1
+    ),
+    final_g AS (
+        SELECT label, kept_ids FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY label ORDER BY rnk DESC
+            ) AS rr FROM g
+        ) WHERE rr = 1
+    )
+    SELECT e.vec_id, e.label
+    FROM e JOIN final_g f ON f.label = e.label
+    WHERE list_contains(f.kept_ids, e.vec_id)
+    """
+
+
+def _set_semantic_ingest_oracle() -> None:
+    from dbt_on_snowflake_spark.registry import QUERIES
+
+    QUERIES["ann_semantic_ingest_streaming"].oracle = _semantic_ingest_oracle()
+
+
+_set_semantic_ingest_oracle()

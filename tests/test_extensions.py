@@ -577,3 +577,48 @@ def test_embedding_pairs_kernels_agree(spark):
     )
     assert len(a) > 0
     assert a == h
+
+
+def test_semantic_greedy_vs_relaxation_chain(spark):
+    """The transitive-chain case where true-sequential SemDeDup and the
+    parallel one-pass relaxation genuinely differ: unit 2-D vectors at
+    170/0/50/100 degrees (one cell). Scan order by (ccos, vec_id) is
+    d(170), a(0), b(50), c(100); a~b and b~c but a!~c and d is dissimilar
+    to everything. Greedy keeps c (its only similar predecessor b was
+    itself dropped); the relaxation drops c (ANY earlier similar row
+    counts, kept or not). Both are valid dedup contracts — this pins
+    that the engine offers exactly both, with the documented names."""
+    import math
+
+    from dbt_on_snowflake_spark.operators.similarity import (
+        _centroid_vectors,
+        _semantic_greedy_prune,
+        _semantic_prune,
+    )
+
+    def unit(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+
+    rows = [(1, 0, unit(170)), (2, 0, unit(0)), (3, 0, unit(50)),
+            (4, 0, unit(100))]
+    e = spark.createDataFrame(
+        rows, "vec_id long, label long, v array<double>"
+    )
+    cvec = _centroid_vectors(e)
+
+    greedy = {
+        r.vec_id: r.kept for r in _semantic_greedy_prune(e, cvec).collect()
+    }
+    assert greedy == {1: True, 2: True, 3: False, 4: True}
+
+    # the relaxation on the same cell: register as temp views so the
+    # table-serving prune runs unchanged
+    cvec.createOrReplaceTempView("sem_chain_cents")
+    e.createOrReplaceTempView("sem_chain_assign")
+    relax = {
+        r.vec_id: r.kept
+        for r in _semantic_prune(
+            spark, "sem_chain_cents", "sem_chain_assign"
+        ).collect()
+    }
+    assert relax == {1: True, 2: True, 3: False, 4: False}

@@ -447,3 +447,57 @@ def test_ingest_out_of_order_doc_ids_reconcile_to_min(spark, tmp_path):
     assert {
         r.doc_id for r in spark.read.parquet(kept_dir).collect()
     } == {10, 2, 11}
+
+
+def test_semantic_ingest_multi_batch_and_order_enforcement(spark, tmp_path):
+    """Streaming SemDeDup's cross-batch contract: a later batch's vector
+    dedups against the DURABLE kept set grown by earlier batches; new
+    cells open independently; and an out-of-order batch (vec_id <= the
+    indexed max) is REJECTED — the registered oracle's vec_id-order
+    assumption is enforced at the handler, never silently violated
+    (advice-r7 discipline)."""
+    import math
+
+    import pytest as _pytest
+
+    from dbt_on_snowflake_spark.operators.dedup import _drop_managed_table
+    from dbt_on_snowflake_spark.streaming import make_semantic_ingest_handler
+
+    def unit(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+
+    kept_table = "sem_ingest_mb_t"
+    out_dir = str(tmp_path / "sem_out")
+    _drop_managed_table(spark, kept_table)
+    (
+        spark.createDataFrame([], "vec_id long, label long, v array<double>")
+        .write.partitionBy("label")
+        .format("parquet")
+        .saveAsTable(kept_table)
+    )
+    handle = make_semantic_ingest_handler(spark, kept_table, out_dir)
+
+    schema = "vec_id long, label long, embedding array<double>"
+    # batch 1, cell 0: 0deg and 80deg are dissimilar (cos80 < 0.35) ->
+    # both kept
+    b1 = spark.createDataFrame(
+        [(1, 0, unit(0)), (2, 0, unit(80))], schema
+    )
+    # batch 2: 5deg dups batch-1's 0deg vector (cross-batch, via the
+    # index); 170deg is dissimilar to both kept cell-0 rows; cell 1 is
+    # a brand-new cell
+    b2 = spark.createDataFrame(
+        [(3, 0, unit(5)), (4, 0, unit(170)), (5, 1, unit(30))], schema
+    )
+    handle(b1, 0)
+    handle(b2, 1)
+
+    kept = {r.vec_id for r in spark.read.parquet(out_dir).collect()}
+    assert kept == {1, 2, 4, 5}
+    idx = {(r.vec_id, r.label) for r in spark.table(kept_table).collect()}
+    assert idx == {(1, 0), (2, 0), (4, 0), (5, 1)}
+
+    # out-of-order batch: vec_id 2 is already indexed -> loud rejection
+    b3 = spark.createDataFrame([(2, 0, unit(20))], schema)
+    with _pytest.raises(Exception, match="vec_id-ordered arrival"):
+        handle(b3, 2)
