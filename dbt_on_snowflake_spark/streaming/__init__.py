@@ -875,11 +875,15 @@ def make_semantic_ingest_handler(
     """foreachBatch handler for STREAMING SemDeDup: each micro-batch's
     vectors run the sequential greedy (vec_id order) against the durable
     per-cell kept set, newly kept vectors grow the index and land in the
-    output. All heavy work is a per-cell applyInPandas kernel over the
-    UNION of (batch rows) and (index rows for the touched cells only —
-    a partition-pruned read, bounded per batch like
-    dedup_incremental_pruned); the only cross-batch state is the
-    label-partitioned kept table.
+    output. All heavy work is a per-cell COGROUPED applyInPandas kernel
+    — (batch cells) cogrouped with (kept-index cells, restricted to the
+    touched labels). The kept table is BUCKETED by label, so the
+    cogroup's index side arrives label-clustered from disk with no
+    exchange: the only per-batch shuffle is the batch side's
+    repartition into the bucket layout — the same O(|batch|)-exchange
+    contract as the exact-dedup ingest's md5 index
+    (`test_semantic_ingest_no_index_shuffle`). The only cross-batch
+    state is that durable table.
 
     ORDER CONTRACT (advice-r7 discipline, enforced not assumed): greedy
     dedup is arrival-order-dependent, so the registered oracle models
@@ -922,59 +926,92 @@ def make_semantic_ingest_handler(
         state["max_id"] = bounds.hi
 
         touched = sorted(bounds.labels)  # bounded: <= |cells|
-        prev = (
-            spark.table(kept_table)
-            .where(F.col("label").isin(touched))  # partition-pruned probe
-            .select("vec_id", "label", "v", F.lit(True).alias("is_idx"))
-        )
-        both = batch.select(
-            "vec_id", "label", "v", F.lit(False).alias("is_idx")
-        ).unionByName(prev)
-
-        def greedy(pdf):
-            import pandas as pd
-
-            prev_mask = pdf["is_idx"].to_numpy()
-            V = np.stack(pdf["v"].to_numpy())
-            norms = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
-            kept_rows = list(np.flatnonzero(prev_mask))
-            new_rows = np.flatnonzero(~prev_mask)
-            new_order = new_rows[np.argsort(pdf["vec_id"].to_numpy()[new_rows])]
-            out = []
-            for row in new_order:
-                if kept_rows:
-                    K = V[kept_rows]
-                    d = np.cumsum(K * V[row][None, :], axis=1)[:, -1]
-                    cos = _round4_away(
-                        d / (norms[kept_rows] * norms[row])
-                    )
-                    if (cos >= thr).any():
-                        continue
-                kept_rows.append(row)
-                out.append(row)
-            keep = pdf.iloc[out]
-            return pd.DataFrame(
-                {
-                    "vec_id": keep["vec_id"].to_numpy(),
-                    "label": keep["label"].to_numpy(),
-                    "v": keep["v"],
-                }
-            )
-
-        kept_new = both.groupBy("label").applyInPandas(
-            greedy, "vec_id long, label long, v array<double>"
+        kept_new = semantic_ingest_prune(
+            spark, batch, kept_table, touched
         ).localCheckpoint()  # one kernel pass feeds both writes
         (
-            kept_new.repartition("label")
-            .write.mode("append")
-            .partitionBy("label")
+            kept_new.write.mode("append")
             .format("parquet")
+            .bucketBy(SEM_INGEST_BUCKETS, "label")
+            .sortBy("label")
             .saveAsTable(kept_table)
         )
         spark.catalog.refreshTable(kept_table)
         kept_new.select("vec_id", "label").write.mode("append").parquet(out_dir)
 
     return handle
+
+
+SEM_INGEST_BUCKETS = 16
+
+
+def semantic_ingest_prune(
+    spark: SparkSession, batch: DataFrame, kept_table: str, touched: list
+) -> DataFrame:
+    """One batch's greedy prune against the bucketed kept index:
+    cogroup (batch cells) with (index cells for the touched labels);
+    per cell, prev rows seed the kept matrix and new rows scan in
+    vec_id order. Factored so the plan property (no index-side
+    exchange) is pinnable outside a stream."""
+    import numpy as np
+
+    from dbt_on_snowflake_spark.operators.similarity import (
+        SEM_THRESHOLD,
+        _round4_away,
+    )
+
+    thr = float(SEM_THRESHOLD)
+    prev = spark.table(kept_table).where(F.col("label").isin(list(touched)))
+
+    def greedy(new_pdf, prev_pdf):
+        import pandas as pd
+
+        if len(new_pdf) == 0:
+            return pd.DataFrame(
+                {"vec_id": [], "label": [], "v": []}
+            ).astype({"vec_id": "int64", "label": "int64"})
+        V_new = np.stack(new_pdf["v"].to_numpy())
+        order = np.argsort(new_pdf["vec_id"].to_numpy())
+        kept_vecs = (
+            [np.asarray(x, dtype=np.float64) for x in prev_pdf["v"]]
+            if len(prev_pdf)
+            else []
+        )
+        K = np.stack(kept_vecs) if kept_vecs else None
+        knorms = (
+            np.sqrt(np.cumsum(K * K, axis=1)[:, -1])
+            if K is not None
+            else None
+        )
+        nnorms = np.sqrt(np.cumsum(V_new * V_new, axis=1)[:, -1])
+        out = []
+        for row in order:
+            v, nv = V_new[row], nnorms[row]
+            if K is not None and len(K):
+                d = np.cumsum(K * v[None, :], axis=1)[:, -1]
+                cos = _round4_away(d / (knorms * nv))
+                if (cos >= thr).any():
+                    continue
+            K = v[None, :] if K is None else np.vstack([K, v])
+            knorms = (
+                np.array([nv]) if knorms is None
+                else np.append(knorms, nv)
+            )
+            out.append(row)
+        keep = new_pdf.iloc[out]
+        return pd.DataFrame(
+            {
+                "vec_id": keep["vec_id"].to_numpy(),
+                "label": keep["label"].to_numpy(),
+                "v": keep["v"],
+            }
+        )
+
+    return (
+        batch.groupBy("label")
+        .cogroup(prev.groupBy("label"))
+        .applyInPandas(greedy, "vec_id long, label long, v array<double>")
+    )
 
 
 @query(
@@ -1003,10 +1040,13 @@ def ann_semantic_ingest_streaming(spark: SparkSession, sf_dir: str) -> DataFrame
     out_dir = os.path.join(tempfile.gettempdir(), f"sem_ingest_out_{suffix}")
     fs_delete(spark, out_dir)
     _drop_managed_table(spark, kept_table)
+    # BUCKETED by cell so each batch's cogroup reads the index in place
+    # (no index-side exchange — the md5-ingest layout contract)
     (
         spark.createDataFrame([], "vec_id long, label long, v array<double>")
-        .write.partitionBy("label")
-        .format("parquet")
+        .write.format("parquet")
+        .bucketBy(SEM_INGEST_BUCKETS, "label")
+        .sortBy("label")
         .saveAsTable(kept_table)
     )
     # cells come pre-assigned (`label`): the coarse quantizer is a

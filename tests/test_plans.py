@@ -715,3 +715,39 @@ def test_semantic_serve_arrow_single_shuffle(spark):
     plan = explain_str(_semantic_prune(spark, ct, at, kernel="arrow"))
     assert "FlatMapGroupsInPandas" in plan
     assert count_shuffles(plan) <= 1
+
+
+def test_semantic_ingest_no_index_shuffle(spark):
+    """The streaming semantic ingest's per-batch cogroup reads the
+    bucketed kept index in place: every Exchange sits on the BATCH side
+    (its repartition into the bucket layout) — an index-side exchange
+    means each micro-batch reshuffles the corpus-sized kept set at
+    100 TB. Same layout contract as the md5 ingest index."""
+    from dbt_on_snowflake_spark.operators.dedup import _drop_managed_table
+    from dbt_on_snowflake_spark.streaming import (
+        SEM_INGEST_BUCKETS,
+        semantic_ingest_prune,
+    )
+
+    _drop_managed_table(spark, "sem_ingest_plan_t")
+    (
+        spark.createDataFrame(
+            [(7, 0, [1.0, 0.0])], "vec_id long, label long, v array<double>"
+        )
+        .write.format("parquet")
+        .bucketBy(SEM_INGEST_BUCKETS, "label")
+        .sortBy("label")
+        .saveAsTable("sem_ingest_plan_t")
+    )
+    batch = spark.createDataFrame(
+        [(10, 0, [0.0, 1.0]), (11, 1, [1.0, 0.0])],
+        "vec_id long, label long, v array<double>",
+    )
+    df = semantic_ingest_prune(spark, batch, "sem_ingest_plan_t", [0, 1])
+    plan = explain_str(df)
+    # exactly one exchange: the batch repartition into the bucket
+    # layout; the index side scans Bucketed: true with no exchange
+    assert count_shuffles(plan) == 1
+    assert "Bucketed: true" in plan
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert {r.vec_id for r in df.collect()} == {10, 11}

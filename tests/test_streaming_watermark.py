@@ -466,13 +466,16 @@ def test_semantic_ingest_multi_batch_and_order_enforcement(spark, tmp_path):
     def unit(deg):
         return [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
 
+    from dbt_on_snowflake_spark.streaming import SEM_INGEST_BUCKETS
+
     kept_table = "sem_ingest_mb_t"
     out_dir = str(tmp_path / "sem_out")
     _drop_managed_table(spark, kept_table)
     (
         spark.createDataFrame([], "vec_id long, label long, v array<double>")
-        .write.partitionBy("label")
-        .format("parquet")
+        .write.format("parquet")
+        .bucketBy(SEM_INGEST_BUCKETS, "label")
+        .sortBy("label")
         .saveAsTable(kept_table)
     )
     handle = make_semantic_ingest_handler(spark, kept_table, out_dir)
