@@ -285,3 +285,112 @@ def multimodal_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("patch_h"),
         )
     )
+
+
+# -------------------------------------- media -> embedding -> ANN search
+
+MM_EMBED_DIM = 64  # matches the embeddings corpus (testdata dim)
+MM_QUERY_PRED = "doc_id % 100 = 0 AND doc_id < 51200"  # bounded query set
+MM_TOP_K = 3
+
+
+def _fake_media_embedding(dim: int):
+    """Deterministic stand-in for an image/audio embedding model: dim
+    md5-derived components in [-1, 1] with 3 exact decimal digits —
+    the same honest-simulation contract as fake_decode_rgb (no codecs
+    or models in the sandbox), but with REAL plumbing: the projection
+    is a per-row narrow map over the binary payload, replicable in
+    DuckDB hex arithmetic so the whole media->embedding->ANN pipeline
+    stays oracle-checked."""
+    base = F.md5("payload")
+
+    def component(i):
+        h = F.md5(F.concat(base, F.lit("|"), i.cast("string")))
+        word = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+        return (word % 2001 - 1000).cast("double") / 1000.0
+
+    return F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), component)
+
+
+_MM_EMBED_SQL = (
+    "list_transform(range(0, {dim}), i -> "
+    "CAST(CAST(('0x' || substring(md5(md5(text) || '|' || CAST(i AS VARCHAR)), 1, 8))"
+    "::UBIGINT % 2001 AS BIGINT) - 1000 AS DOUBLE) / 1000.0)"
+).format(dim=MM_EMBED_DIM)
+
+
+@query(
+    "multimodal_embed_topk",
+    driver=False,  # r8-born; rotates into the r9 driver export
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id, {_MM_EMBED_SQL} AS qv
+        FROM documents WHERE {MM_QUERY_PRED}
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+        SELECT q.doc_id, e.vec_id AS neighbor_id,
+               ROUND(list_dot_product(q.qv, e.v)
+                     / (sqrt(list_dot_product(q.qv, q.qv))
+                        * sqrt(list_dot_product(e.v, e.v))), 4) + 0.0
+                   AS cosine
+        FROM q CROSS JOIN e
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY cosine DESC, neighbor_id ASC
+        ) AS rank
+        FROM scored
+    )
+    SELECT doc_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {MM_TOP_K}
+    """,
+)
+def multimodal_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEDIA SIMILARITY SEARCH end to end: binary payload -> embedding
+    (deterministic fake projection; a real deployment swaps in a model
+    UDF behind the same array<double> contract) -> exact cosine top-k
+    against the embeddings corpus. The composition is the point: the
+    multimodal plumbing and the ANN stack share one vector interface,
+    so the search side is the SAME per-batch partial-top-k arrow scorer
+    every exact-ANN query uses (bounded query closure, corpus streamed
+    once, the rank merge as the only exchange)."""
+    from dbt_on_snowflake_spark.operators.similarity import (
+        _bruteforce_score_arrow,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    # doc_ids and corpus vec_ids are DIFFERENT id spaces: offset the
+    # query ids out of the corpus range so the scorer's self-pair mask
+    # (built for same-space ANN) can never suppress a coincidental
+    # equal integer — the oracle ranks over ALL corpus rows
+    offset = 1_000_000_000
+    queries = (
+        _with_payload(d)
+        .filter(F.expr(MM_QUERY_PRED))
+        .select(
+            (F.col("doc_id") + offset).alias("vec_id"),
+            _fake_media_embedding(MM_EMBED_DIM).alias("v"),
+        )
+    )
+    corpus = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    scored = _bruteforce_score_arrow(corpus, queries).withColumn(
+        "query_id", F.col("query_id") - offset
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= MM_TOP_K)
+        .select(
+            F.col("query_id").alias("doc_id"),
+            "neighbor_id",
+            "cosine",
+            "rank",
+        )
+    )

@@ -74,10 +74,9 @@ QUERIES: dict[str, RegisteredQuery] = {}
 #   t_events_range_join_windows, t_events_sessionize,
 #   t_monthly_revenue, text_pii_redact, text_token_count_bpe,
 #   text_unigram_rarity, text_unigram_rarity_bcast,
-#   w_topk_orders_per_customer) + the 3 r8-born rows in R9_ROTATE_IN
-#   = 44 mandatory; fill the remaining 6 slots with r8-green family
-#   guards (q1_pricing_summary, a1_loyalty_metrics, dedup_exact,
-#   ann_pq_adc_topk, t_events_hourly, f_datetime_suite). The 50
+#   w_topk_orders_per_customer) + the 6 r8-born rows in R9_ROTATE_IN
+#   = 47 mandatory; fill the remaining 3 slots with r8-green family
+#   guards (q1_pricing_summary, dedup_exact, t_events_hourly). The 50
 #   r7-checked rows hit their window at r10.
 DRIVER_BUDGET = 50
 
@@ -87,6 +86,7 @@ R9_ROTATE_IN: set[str] = {
     "ann_pq_codes_hof",
     "ann_semantic_ingest_streaming",
     "dedup_semantic_greedy",
+    "multimodal_embed_topk",
     "dedup_semantic_served",
 }
 
