@@ -57,7 +57,7 @@ def main(argv: list[str] | None = None) -> int:
             sp.add_argument(
                 "--resource-type", default="model", dest="resource_type",
                 choices=["model", "seed", "source", "exposure", "snapshot",
-                         "all"],
+                         "task", "all"],
                 help="which resource inventory to list",
             )
         if name == "run-operation":
@@ -337,6 +337,11 @@ def main(argv: list[str] | None = None) -> int:
             for name in sorted(getattr(project, "snapshots", {})):
                 s = project.snapshots[name]
                 print(f"snapshot {name} [{s.strategy}] on {s.relation}")
+        if rtype in ("task", "all"):
+            from dbt_on_snowflake_spark.engine.tasks import load_tasks
+
+            for t in load_tasks(args.project):
+                print(f"task {t.name} [{t.schedule}] args={t.args!r}")
         return 0
 
     if args.cmd == "compile":
