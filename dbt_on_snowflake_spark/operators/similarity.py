@@ -925,10 +925,14 @@ def _semantic_greedy_prune(e: DataFrame, cvec: DataFrame) -> DataFrame:
     difference. Same arithmetic contract as every cosine kernel here
     (cumsum sequential folds, dot/(na*nb), half-up rounding).
 
-    The scan is row-at-a-time against the GROWING kept matrix (numpy-
-    vectorized per row): O(|cell| x |kept| x dim) compute, O(|kept| x
-    dim) memory — cells are IVF-sized (~sqrt(N)) by construction, the
-    same bound the pair-join relaxation relies on."""
+    The scan is BLOCK-VECTORIZED: cosine columns for each 256-row block
+    are built in one chunked cumsum pass (the heavy numpy work), and
+    the inherently sequential keep decisions then run over the
+    precomputed block as O(prefix) boolean reductions — no per-row
+    kernel invocations. O(|cell|^2 x dim) compute like the relaxation's
+    pair join, O(|cell| x block) matrix memory — cells are IVF-sized
+    (~sqrt(N)) by construction, the same bound the pair-join relaxation
+    relies on."""
     import numpy as np
 
     cents = {
@@ -941,6 +945,7 @@ def _semantic_greedy_prune(e: DataFrame, cvec: DataFrame) -> DataFrame:
         "ccos double, kept boolean"
     )
     thr = float(SEM_THRESHOLD)
+    BLK = 256
 
     def prune(pdf):
         import pandas as pd
@@ -954,17 +959,26 @@ def _semantic_greedy_prune(e: DataFrame, cvec: DataFrame) -> DataFrame:
         ccos = _round4_away(dot_c / (norms * cnorm))
         ids = pdf["vec_id"].to_numpy()
         order = np.lexsort((ids, ccos))
-        kept_rows: list[int] = []
-        kept_o = np.zeros(len(order), dtype=bool)
-        for pos, row in enumerate(order):
-            if kept_rows:
-                K = V[kept_rows]
-                d = np.cumsum(K * V[row][None, :], axis=1)[:, -1]
-                cos = _round4_away(d / (norms[kept_rows] * norms[row]))
-                if (cos >= thr).any():
-                    continue
-            kept_rows.append(row)
-            kept_o[pos] = True
+        Vo, no = V[order], norms[order]
+        n = len(order)
+        kept_o = np.zeros(n, dtype=bool)
+        for j0 in range(0, n, BLK):
+            j1 = min(j0 + BLK, n)
+            # all-rows x block cosine columns, chunked so the elementwise
+            # product stays ~8 MB whatever the cell size
+            M = np.empty((j1, j1 - j0), dtype=np.float64)
+            for i0 in range(0, j1, BLK):
+                i1 = min(i0 + BLK, j1)
+                d = np.cumsum(
+                    Vo[i0:i1, None, :] * Vo[None, j0:j1, :], axis=2
+                )[:, :, -1]
+                M[i0:i1] = _round4_away(
+                    d / (no[i0:i1, None] * no[None, j0:j1])
+                )
+            for j in range(j0, j1):
+                col = M[:j, j - j0]
+                if not (col[kept_o[:j]] >= thr).any():
+                    kept_o[j] = True
         kept = np.zeros(len(ids), dtype=bool)
         kept[order] = kept_o
         return pd.DataFrame(
