@@ -751,3 +751,13 @@ def test_semantic_ingest_no_index_shuffle(spark):
     assert "Bucketed: true" in plan
     assert "FlatMapCoGroupsInPandas" in plan
     assert {r.vec_id for r in df.collect()} == {10, 11}
+
+
+def test_semantic_greedy_single_shuffle(spark):
+    """dedup_semantic_greedy's returned plan: corpus scan -> one
+    groupBy(label) exchange -> the per-cell greedy kernel (the bounded
+    centroid table rides in as a fn-build closure, not a plan subtree).
+    A second corpus-sized exchange appearing here is the regression."""
+    plan = plan_of(spark, "dedup_semantic_greedy")
+    assert "FlatMapGroupsInPandas" in plan
+    assert count_shuffles(plan) <= 1
