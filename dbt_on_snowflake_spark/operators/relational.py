@@ -22,9 +22,7 @@ from dbt_on_snowflake_spark.functions import (
     dsum,
     dsum_sql,
     revenue_scaled,
-    sorted_set_str,
     sorted_set_str_sql,
-    sum_scaled,
     sum_scaled_sql,
 )
 from dbt_on_snowflake_spark.registry import query
@@ -303,22 +301,39 @@ def j_semi_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
 )
 def a1_loyalty_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # No broadcast hint on customer (SF-growing; AQE decides at runtime).
+    # Two-level aggregation (r8, ~1.35x at sf0.1 and the shape that
+    # scales): lineitem first collapses per ORDER — map-side partial
+    # aggregation eats most of it since lineitem arrives clustered by
+    # orderkey, and the per-order supplier set is bounded by
+    # lines-per-order — THEN the customer rollup works on 4x fewer,
+    # pre-shrunk rows. order_count falls out as a plain COUNT (each
+    # order is one row here), avoiding even the collect_set distinct;
+    # the customer-level supplier set is a bounded
+    # flatten+distinct+sort over per-order sets. No broadcast hint on
+    # customer (SF-growing; AQE decides at runtime).
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     l = table(spark, sf_dir, "lineitem")
+    per_order = l.groupBy("l_orderkey").agg(
+        F.sum(revenue_scaled()).alias("spend_scaled"),
+        F.collect_set("l_suppkey").alias("supps"),
+    )
     return (
-        c.join(o, c.c_custkey == o.o_custkey, "inner")
-        .join(l, o.o_orderkey == l.l_orderkey, "inner")
+        o.join(per_order, o.o_orderkey == per_order.l_orderkey, "inner")
+        .join(c, c.c_custkey == o.o_custkey, "inner")
         .groupBy("c_custkey", "c_name", "c_mktsegment")
         .agg(
-            sum_scaled(revenue_scaled(), "total_spend", 4),
-            # size(collect_set) instead of countDistinct: a distinct agg
-            # alongside other aggregates forces an Expand (row duplication)
-            # + sort-agg fallback — ~10x slower in bench at sf0.1. The set
-            # state is bounded by group cardinality (orders per customer).
-            F.size(F.collect_set("o_orderkey")).cast("long").alias("order_count"),
-            sorted_set_str("l_suppkey", "visited_suppliers"),
+            (F.sum("spend_scaled").cast("double") / 1e4).alias("total_spend"),
+            F.count(F.lit(1)).cast("long").alias("order_count"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.array_distinct(F.flatten(F.collect_list("supps")))
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("visited_suppliers"),
         )
         .select(
             F.col("c_custkey").alias("customer_id"),

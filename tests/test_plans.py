@@ -508,7 +508,10 @@ def test_bigram_coverage_no_doc_shuffle(spark):
 # bench catches one round too late. Bounds are the current counts
 # (explain before AQE; deterministic).
 _HEADLINE_MAX_SHUFFLES = {
-    "a1_loyalty_metrics": 1,
+    "a1_loyalty_metrics": 2,  # r8 two-level agg: per-order partial
+    # (map-side-combined orderkey exchange) + customer rollup — one more
+    # exchange than r7's single-level plan but over 4x fewer, pre-shrunk
+    # rows; measured ~1.35x faster at sf0.1
     "ann_pq_adc_topk": 1,  # rank window only (codebook checkpointed)
     "ann_pq_adc_topk_hof": 1,  # kernel A/B twin: same plan posture
     "ann_pq_codes": 3,  # centroid rollup exchanges only (tiny)
