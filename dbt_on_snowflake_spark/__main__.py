@@ -9,6 +9,7 @@ run --select <model> --target <t> / test``). Idempotent and cron-able
     python -m dbt_on_snowflake_spark compile   --project <dir> [--select S] [--out manifest.json]
     python -m dbt_on_snowflake_spark ls        --project <dir>
     python -m dbt_on_snowflake_spark freshness --project <dir>
+    python -m dbt_on_snowflake_spark task run-due --project <dir> --now <ts>
 
 Artifacts (consumed by a UI/CI, reference README.md:115-127, 163-187):
 ``compile --out`` writes manifest.json (nodes/edges/relations); every
