@@ -554,22 +554,32 @@ def ann_index_append(
       assignments TABLE, still never the raw parquet.
 
     Returns the assignment rows (vec_id, assigned_label, ccos)."""
-    cvec = F.broadcast(spark.table(centroids_table)).alias("c")
-    q = new_e.alias("q")
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("ccos").desc(), F.col("assigned_label").asc()
-    )
-    assigned = (
-        q.crossJoin(cvec)
-        .select(
-            F.col("q.vec_id").alias("vec_id"),
-            F.col("c.label").alias("assigned_label"),
-            (F.round(_cosine("q.v", "c.v"), 4) + 0.0).alias("ccos"),
-            F.col("q.v").alias("v"),
+    import os as _os
+
+    kernel = _os.environ.get("SPARK_GRAFT_ANN_KERNEL", "arrow")
+    if kernel == "arrow":
+        # narrow-map assignment: per batch row, the argmax over the
+        # centroid matrix runs in the Arrow kernel — no batch x
+        # centroids row explosion and NO per-vec_id window shuffle (the
+        # r7 join pipeline exchanged |batch| x |centroids| rows)
+        assigned = _assign_arrow(spark, new_e, centroids_table)
+    else:
+        cvec = F.broadcast(spark.table(centroids_table)).alias("c")
+        q = new_e.alias("q")
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("ccos").desc(), F.col("assigned_label").asc()
         )
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-    )
+        assigned = (
+            q.crossJoin(cvec)
+            .select(
+                F.col("q.vec_id").alias("vec_id"),
+                F.col("c.label").alias("assigned_label"),
+                (F.round(_cosine("q.v", "c.v"), 4) + 0.0).alias("ccos"),
+                F.col("q.v").alias("v"),
+            )
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") == 1)
+        )
     (
         assigned.select(
             "vec_id", F.col("assigned_label").alias("label"), "v"
@@ -583,6 +593,73 @@ def ann_index_append(
         .saveAsTable(assignments_table)
     )
     return assigned.select("vec_id", "assigned_label", "ccos")
+
+
+def _assign_arrow(
+    spark: SparkSession, new_e: DataFrame, centroids_table: str
+) -> DataFrame:
+    """Nearest-centroid assignment as one narrow Arrow map: the bounded
+    centroid table (the same payload the join pipeline broadcasts) rides
+    in as a driver-side closure sorted by label; per batch row the
+    rounded-cosine argmax picks the first maximum — ascending-label
+    tie-break, identical to the window's (ccos DESC, label ASC) rank.
+    Same sequential-fold/rounding contract as every cosine kernel
+    here."""
+    import numpy as np
+
+    cents = sorted(
+        (int(r.label), np.asarray(r.v, dtype=np.float64))
+        for r in spark.table(centroids_table).collect()  # bounded: |cells|
+    )
+    labels = np.array([lab for lab, _ in cents], dtype=np.int64)
+    C = np.stack([v for _, v in cents])
+    cnorms = np.sqrt(np.cumsum(C * C, axis=1)[:, -1])
+    RB = 256
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.array([], dtype=np.int64),
+                        "assigned_label": np.array([], dtype=np.int64),
+                        "ccos": np.array([], dtype=np.float64),
+                        "v": pdf["v"],
+                    }
+                )
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            V = np.stack(pdf["v"].to_numpy())
+            n = len(ids)
+            norms = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+            best_lab = np.empty(n, dtype=np.int64)
+            best_cos = np.empty(n, dtype=np.float64)
+            for r0 in range(0, n, RB):
+                r1 = min(r0 + RB, n)
+                d = np.cumsum(
+                    V[r0:r1, None, :] * C[None, :, :], axis=2
+                )[:, :, -1]
+                cos = _round4_away(
+                    d / (norms[r0:r1, None] * cnorms[None, :])
+                )
+                idx = np.argmax(cos, axis=1)  # first max = lowest label
+                best_lab[r0:r1] = labels[idx]
+                best_cos[r0:r1] = cos[np.arange(r1 - r0), idx]
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "assigned_label": best_lab,
+                    "ccos": best_cos,
+                    "v": pdf["v"],
+                }
+            )
+
+    return new_e.select("vec_id", "v").mapInPandas(
+        assign,
+        "vec_id long, assigned_label long, ccos double, v array<double>",
+    )
 
 
 def refresh_centroids(spark: SparkSession, *, centroids_table: str,

@@ -622,3 +622,24 @@ def test_semantic_greedy_vs_relaxation_chain(spark):
         ).collect()
     }
     assert relax == {1: True, 2: True, 3: False, 4: False}
+
+
+def test_incremental_assign_kernels_agree(spark, monkeypatch):
+    """ann_incremental_assign through the narrow-map arrow assignment vs
+    the broadcast-join + rank-window pipeline: identical assignments
+    (rounded-cosine argmax, ascending-label tie-break)."""
+    from dbt_on_snowflake_spark.registry import all_queries
+
+    Q = all_queries()
+
+    def rows():
+        return sorted(
+            map(tuple, Q["ann_incremental_assign"].fn(spark, SF_SMOKE).collect())
+        )
+
+    monkeypatch.setenv("SPARK_GRAFT_ANN_KERNEL", "arrow")
+    a = rows()
+    monkeypatch.setenv("SPARK_GRAFT_ANN_KERNEL", "hof")
+    h = rows()
+    assert len(a) > 0
+    assert a == h

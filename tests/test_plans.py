@@ -366,22 +366,31 @@ def test_range_join_is_binned_not_nested_loop(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_ann_incremental_no_corpus_repass(spark):
+def test_ann_incremental_no_corpus_repass(spark, monkeypatch):
     """ann_index_append's assignment plan touches ONLY the new batch and
     the persisted centroid table: no posexplode/Generate (centroid
-    recompute), exactly one scan of the embeddings parquet (the batch),
-    and the centroids arrive via BroadcastExchange."""
+    recompute) and exactly one scan of the embeddings parquet (the
+    batch). Arrow default: the assignment is a single narrow MapInPandas
+    with NO exchange at all (the r7 join pipeline exchanged |batch| x
+    |centroids| rows through a per-vec_id rank window — asserted on the
+    'hof' kernel, where centroids still arrive via BroadcastExchange)."""
     from dbt_on_snowflake_spark.plans import scans
 
     df = Q["ann_incremental_assign"].fn(spark, SF_SMOKE)
     plan = explain_str(df)
     assert "Generate" not in plan  # posexplode = centroid recompute
-    assert "ann_centroids_" in plan
+    assert "MapInPandas" in plan
+    assert count_shuffles(plan) == 0  # assignment is a pure narrow map
     emb_scans = [
         s for s in scans(plan) if "embeddings.parquet" in s.get("location", "")
     ]
     assert len(emb_scans) == 1, f"corpus re-read: {len(emb_scans)} scans"
-    assert "BroadcastExchange" in plan
+
+    monkeypatch.setenv("SPARK_GRAFT_ANN_KERNEL", "hof")
+    plan_h = explain_str(Q["ann_incremental_assign"].fn(spark, SF_SMOKE))
+    assert "ann_centroids_" in plan_h
+    assert "BroadcastExchange" in plan_h
+    assert "Generate" not in plan_h
 
 
 def test_q6_pushes_all_predicates_to_scan(spark):
