@@ -665,6 +665,8 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{r.status:8s} snapshot {r.relation} "
                   f"({r.rows if r.rows is not None else '-'} rows)")
         for r in results:
+            if r.materialization == "snapshot":
+                continue  # runner.results carries them; printed above
             print(f"{r.status:8s} {r.materialization:5s} {r.relation} "
                   f"({r.rows if r.rows is not None else '-'} rows, {r.seconds}s)")
 
