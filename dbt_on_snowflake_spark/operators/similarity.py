@@ -611,6 +611,11 @@ def _assign_arrow(
         (int(r.label), np.asarray(r.v, dtype=np.float64))
         for r in spark.table(centroids_table).collect()  # bounded: |cells|
     )
+    if not cents:  # degenerate empty index: nothing to assign against
+        return spark.createDataFrame(
+            [], "vec_id long, assigned_label long, ccos double, "
+                "v array<double>"
+        )
     labels = np.array([lab for lab, _ in cents], dtype=np.int64)
     C = np.stack([v for _, v in cents])
     cnorms = np.sqrt(np.cumsum(C * C, axis=1)[:, -1])
