@@ -287,6 +287,17 @@ def main(argv: list[str] | None = None) -> int:
             )
             return rc
 
+        # run-due --name <typo> must error like `task run` does (advice
+        # r8): silently filtering every task out returns 0 with no
+        # output, so a misspelled cron entry never runs and never
+        # complains
+        if args.task_name is not None and all(
+            t.name != args.task_name for t in tdefs
+        ):
+            print(f"unknown task {args.task_name!r} (tasks.yml declares: "
+                  f"{sorted(t.name for t in tdefs) or 'none'})",
+                  file=sys.stderr)
+            return 2
         results = _tasks.run_due(
             args.project, now, _task_runner, only=args.task_name
         )
@@ -587,11 +598,19 @@ def main(argv: list[str] | None = None) -> int:
         )
         snapshot_only = args.select is not None and raw_select is None
 
+        # snapshot-only selection (advice r8): the selection named ONLY
+        # snapshot atoms, so the model set is empty regardless of any
+        # --exclude — `build --select cust_snap --exclude loner` must not
+        # resolve to "all models minus loner" (which would silently
+        # advance unrelated SCD2 histories via select_snapshots and could
+        # wrongly trip the model->snapshot->model chain check)
         sel_models = (
-            set(dag_select(project, raw_select, state=state,
-                           exclude=raw_exclude))
+            set()
+            if snapshot_only
+            else set(dag_select(project, raw_select, state=state,
+                                exclude=raw_exclude))
             if (raw_select or raw_exclude)
-            else (set() if snapshot_only else None)
+            else None
         )
         sel_snaps = select_snapshots(
             project, args.select, snap_atoms, snap_exc_atoms, sel_models

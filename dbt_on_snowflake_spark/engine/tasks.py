@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from dataclasses import dataclass
 from datetime import datetime, timedelta
 
@@ -81,6 +82,15 @@ def normalize_schedule(raw: str) -> str:
         s = s[len("USING CRON"):].strip()
     parts = s.split()
     if len(parts) == 6:  # trailing timezone word (e.g. UTC)
+        # The 6th token must LOOK like a timezone (advice r8): a
+        # seconds-style 6-field cron like '0 5 * * * *' must error, not
+        # be silently reinterpreted as daily-at-05:00 with tz '*'.
+        if not re.fullmatch(r"[A-Za-z][A-Za-z0-9_/+-]*", parts[5]):
+            raise CronError(
+                f"schedule {raw!r}: 6th token {parts[5]!r} is not a "
+                "timezone name — seconds-resolution crons are not "
+                "supported (use 5 fields, optionally followed by a tz)"
+            )
         parts = parts[:5]
     if len(parts) != 5:
         raise CronError(
@@ -199,20 +209,44 @@ def run_due(
     int`` performs the CLI invocation; returns [(name, status)] for
     reporting. Exactly-once is per-tick, not per-day: the journal key is
     the scheduled minute, so a cron runner retrying within the same
-    minute skips, while the next matching minute fires fresh."""
+    minute skips, while the next matching minute fires fresh.
+
+    Exactly-once holds under genuinely CONCURRENT runners too (advice
+    r8): the journal read is check-then-act, so each due tick is guarded
+    by an O_CREAT|O_EXCL lock file (target/task_locks/<task>_<minute>);
+    the loser of the create race reports the tick as claimed instead of
+    double-firing. Lock files are tick-scoped and never deleted — like
+    journal lines they are the durable claim record, while the journal
+    entry (written by the winner after the run) remains the source of
+    truth for completion."""
     tick = now.replace(second=0, microsecond=0)
     done = completed_ticks(project_root)
     results: list[tuple[str, str]] = []
+    lock_dir = os.path.join(project_root, "target", "task_locks")
     for t in load_tasks(project_root):
         if only is not None and t.name != only:
             continue
         if not cron_matches(t.schedule, tick):
             results.append((t.name, "not-due"))
             continue
-        key = (t.name, tick.isoformat(timespec="minutes"))
+        minute = tick.isoformat(timespec="minutes")
+        key = (t.name, minute)
         if key in done:
             results.append((t.name, "already-ran"))
             continue
+        os.makedirs(lock_dir, exist_ok=True)
+        lock_path = os.path.join(
+            lock_dir, f"{t.name}_{minute.replace(':', '-')}"
+        )
+        try:
+            fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            # another runner claimed this tick between our journal read
+            # and now (or crashed mid-run — surfaced as claimed, never
+            # silently re-fired; `task run` forces a re-run if needed)
+            results.append((t.name, "already-ran"))
+            continue
+        os.close(fd)
         rc = runner(t)
         record_tick(project_root, t.name, tick, rc)
         results.append((t.name, "success" if rc == 0 else f"error rc={rc}"))

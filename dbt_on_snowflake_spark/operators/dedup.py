@@ -499,7 +499,15 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _cosine(a: str, b: str) -> Column:
     """Cosine between two array<double> columns, computed as
-    dot/(norm_a*norm_b) with sequential F.aggregate sums."""
+    dot/(norm_a*norm_b) with sequential F.aggregate sums.
+
+    A zero-norm vector makes the cosine UNDEFINED: the denominator is 0,
+    which ANSI mode turns into a runtime DIVIDE_BY_ZERO error and
+    non-ANSI into NaN — and Spark orders NaN GREATER than any double, so
+    a NaN pair would outrank every real neighbor under DESC (advice r8).
+    Return NULL instead: every threshold comparison (NULL >= t -> NULL)
+    and rank filter then drops the degenerate pair, matching the Arrow
+    kernels' isfinite keep-filters."""
     dot = F.aggregate(
         F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
         F.lit(0.0),
@@ -515,7 +523,8 @@ def _cosine(a: str, b: str) -> Column:
             F.transform(F.col(b), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
         )
     )
-    return dot / (na * nb)
+    denom = na * nb
+    return F.when(denom != F.lit(0.0), dot / denom)
 
 
 COSINE_SQL = (

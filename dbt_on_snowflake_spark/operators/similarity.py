@@ -50,6 +50,12 @@ def _topk(joined: DataFrame) -> DataFrame:
             F.col("c.vec_id").alias("neighbor_id"),
             cos.alias("cosine"),
         )
+        # degenerate zero-norm embeddings make the cosine undefined —
+        # _cosine yields NULL for them (advice r8); DESC NULLS LAST
+        # would still seat them when a query has < k finite candidates,
+        # so drop them outright, matching the Arrow kernel's isfinite
+        # keep-filter so the two kernels stay row-identical on ALL inputs
+        .filter(F.col("cosine").isNotNull())
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
     )
@@ -200,6 +206,11 @@ def _bruteforce_score_arrow(
             cos = np.copysign(
                 np.floor(np.abs(cos) * 10000.0 + 0.5), cos
             ) / 10000.0 + 0.0
+            # zero-norm embeddings produce NaN (0/0): map to -inf
+            # explicitly so the drop is a stated contract (the final
+            # isfinite keep-filter would exclude NaN anyway) and the
+            # HOF twin's ~isnan filter agrees row-for-row (advice r8)
+            cos[np.isnan(cos)] = -np.inf
             # self-pairs can never appear in the output
             cos[qids[:, None] == ids[None, :]] = -np.inf
             if max_cos is not None:

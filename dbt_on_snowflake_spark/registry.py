@@ -54,30 +54,19 @@ QUERIES: dict[str, RegisteredQuery] = {}
 #   streaming, ...) = 43 mandatory, + 7 r6/r7-green family guards
 #   (q1_pricing_summary, a1_loyalty_metrics, dedup_exact,
 #   ann_topk_bruteforce, t_events_hourly, text_stats, j1_orders_denorm).
-# - R9_EXPORT DRAFT (apply at round-9 start; arithmetic computed from
-#   CORRECTNESS_r06/r07 vs R8_EXPORT at r8 session end): mandatory
-#   rotate-ins = the 41 rows last driver-checked in r6 — they hit the
-#   3-round window at r9 — (a_approx_sketches, a_cube_status_priority,
-#   a_exact_distinct_median, a_pivot_status_revenue, ann_centroids,
-#   ann_ivf_multiprobe_indexed, asof_last_order_before_event,
-#   corpus_clean_pipeline, corpus_mixture_sample,
-#   corpus_mixture_sample_bpe, corpus_token_budget,
-#   corpus_token_budget_hist, corpus_token_budget_hist_bpe,
-#   dedup_clusters, dedup_containment, dedup_incremental_index,
-#   dedup_incremental_streaming, dedup_minhash_lsh,
-#   dedup_minhash_verified, dedup_semantic, dedup_simhash,
-#   j2_left_join_enrich, multimodal_decode, multimodal_frame_sample,
-#   q2_min_cost_supplier, q3_top_revenue_orders,
-#   q4_late_shipments_by_priority, q5_nation_volume,
-#   q17_small_quantity_revenue, q18_large_volume_orders,
-#   q20_heavy_suppliers, s_setops_segments, t_event_funnel,
-#   t_events_range_join_windows, t_events_sessionize,
-#   t_monthly_revenue, text_pii_redact, text_token_count_bpe,
-#   text_unigram_rarity, text_unigram_rarity_bcast,
-#   w_topk_orders_per_customer) + the 6 r8-born rows in R9_ROTATE_IN
-#   = 47 mandatory; fill the remaining 3 slots with r8-green family
-#   guards (q1_pricing_summary, dedup_exact, t_events_hourly). The 50
-#   r7-checked rows hit their window at r10.
+# - r9 export (R9_EXPORT below, the active set): the 41 rows last
+#   driver-checked in r6 (they hit the 3-round window at r9) + the 6
+#   r8-born never-driver-checked rows (R9_ROTATE_IN) = 47 mandatory;
+#   the remaining 3 slots are r8-green family guards
+#   (q1_pricing_summary, dedup_exact, t_events_hourly).
+# - R10_EXPORT DRAFT (apply at round-10 start; arithmetic from
+#   CORRECTNESS_r07/r08 vs R9_EXPORT at r9 session end): mandatory
+#   rotate-ins = the 44 rows last driver-checked in r7 — they hit the
+#   3-round window at r10 — (the r7 export minus the 6 rows re-exported
+#   in r8/r9: every name in CORRECTNESS_r07 not in R9_EXPORT and not in
+#   R8_EXPORT-guards) + every r9-born row in R10_ROTATE_IN; fill any
+#   remaining slots with r8/r9-green family guards. The r8-checked rows
+#   hit their window at r11.
 DRIVER_BUDGET = 50
 
 # Queries born in round 8 — mandatory r9 rotate-ins (never driver-checked).
@@ -90,8 +79,68 @@ R9_ROTATE_IN: set[str] = {
     "dedup_semantic_served",
 }
 
-# The authoritative r8 export set. all_queries() applies it over the
+# Queries born in round 9 — mandatory r10 rotate-ins (never driver-checked).
+R10_ROTATE_IN: set[str] = set()
+
+# The authoritative r9 export set. all_queries() applies it over the
 # per-decorator driver= defaults so a rotation is one list edit here.
+R9_EXPORT = {
+    # r6-stale — hit the 3-round window this round (priority 1)
+    "a_approx_sketches",
+    "a_cube_status_priority",
+    "a_exact_distinct_median",
+    "a_pivot_status_revenue",
+    "ann_centroids",
+    "ann_ivf_multiprobe_indexed",
+    "asof_last_order_before_event",
+    "corpus_clean_pipeline",
+    "corpus_mixture_sample",
+    "corpus_mixture_sample_bpe",
+    "corpus_token_budget",
+    "corpus_token_budget_hist",
+    "corpus_token_budget_hist_bpe",
+    "dedup_clusters",
+    "dedup_containment",
+    "dedup_incremental_index",
+    "dedup_incremental_streaming",
+    "dedup_minhash_lsh",
+    "dedup_minhash_verified",
+    "dedup_semantic",
+    "dedup_simhash",
+    "j2_left_join_enrich",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "q2_min_cost_supplier",
+    "q3_top_revenue_orders",
+    "q4_late_shipments_by_priority",
+    "q5_nation_volume",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q20_heavy_suppliers",
+    "s_setops_segments",
+    "t_event_funnel",
+    "t_events_range_join_windows",
+    "t_events_sessionize",
+    "t_monthly_revenue",
+    "text_pii_redact",
+    "text_token_count_bpe",
+    "text_unigram_rarity",
+    "text_unigram_rarity_bcast",
+    "w_topk_orders_per_customer",
+    # r8-born, never driver-checked (priority 1) — R9_ROTATE_IN
+    "ann_pq_adc_topk_hof",
+    "ann_pq_codes_hof",
+    "ann_semantic_ingest_streaming",
+    "dedup_semantic_greedy",
+    "multimodal_embed_topk",
+    "dedup_semantic_served",
+    # family guards (r8-green veterans)
+    "q1_pricing_summary",
+    "dedup_exact",
+    "t_events_hourly",
+}
+
+# The retired r8 export set, kept for the rotation-ledger pinning test.
 R8_EXPORT = {
     # r5-stale — hit the 3-round window this round (priority 1)
     "a_unpivot_status_revenue",
@@ -170,7 +219,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
 
     # Apply the round's rotation: the export list above is authoritative.
     for n, q in QUERIES.items():
-        q.driver = n in R8_EXPORT
+        q.driver = n in R9_EXPORT
     return QUERIES
 
 

@@ -3289,3 +3289,99 @@ def test_task_schedule_lifecycle(spark, tmp_path, capsys):
                "--now", "2026-08-14T10:07:00"])
     capsys.readouterr()
     assert rc == 0
+
+
+def test_build_snapshot_only_select_with_exclude(spark, tmp_path, capsys):
+    """advice r8 (medium): a snapshot-only --select combined with a model
+    --exclude (`build --select cust_snap --exclude loner`) must keep the
+    model set EMPTY — pre-fix it resolved to "all models minus loner",
+    which silently advanced unrelated SCD2 histories via
+    select_snapshots and wrongly rejected the build through the
+    model->snapshot->model chain check."""
+    from dbt_on_snowflake_spark.__main__ import main
+
+    _, root = _snapshot_selection_project(tmp_path, "snexc")
+    # a model reading a ref-backed snapshot: with the inflated pre-fix
+    # model universe this tripped the chain check (rc 2) even though the
+    # selection names only cust_snap
+    with open(f"{root}/models/marts/from_snap.sql", "w") as f:
+        f.write("SELECT * FROM {{ ref('loner_snap') }}")
+    tgt = ["--project", root, "--target", "sxc"]
+
+    rc = main(["build", *tgt, "--select", "cust_snap", "--exclude", "loner"])
+    capsys.readouterr()
+    assert rc == 0
+    assert spark.table("sxc_cust_snap").count() == 2
+    # no model ran, and no unselected snapshot advanced
+    for tbl in ("sxc_live_cities", "sxc_loner", "sxc_from_snap",
+                "sxc_loner_snap"):
+        assert not spark.catalog.tableExists(tbl), tbl
+
+
+def test_six_field_seconds_cron_rejected():
+    """advice r8: a seconds-style 6-field cron ('0 5 * * * *') must
+    error, not be silently reinterpreted as daily-at-05:00 with tz '*' —
+    the 6th token is only stripped when it looks like a timezone."""
+    import pytest as _pytest
+
+    from dbt_on_snowflake_spark.engine.tasks import (
+        CronError,
+        normalize_schedule,
+    )
+
+    with _pytest.raises(CronError):
+        normalize_schedule("0 5 * * * *")
+    with _pytest.raises(CronError):
+        normalize_schedule("USING CRON 0 5 * * * 30")
+    # real timezone spellings still accepted
+    assert normalize_schedule("5 * * * * UTC") == "5 * * * *"
+    assert normalize_schedule("5 * * * * America/New_York") == "5 * * * *"
+    assert normalize_schedule("5 * * * * Etc/GMT+5") == "5 * * * *"
+
+
+def test_run_due_concurrent_runners_cannot_double_fire(tmp_path):
+    """advice r8: exactly-once under genuinely CONCURRENT runners — the
+    journal read is check-then-act, so the per-tick O_CREAT|O_EXCL lock
+    must stop a second runner whose journal read predates the first
+    runner's append (simulated by deleting the journal between calls)."""
+    from datetime import datetime
+
+    from dbt_on_snowflake_spark.engine import tasks as _tasks
+
+    root = str(tmp_path / "raceproj")
+    os.makedirs(root)
+    with open(f"{root}/tasks.yml", "w") as f:
+        f.write("tasks:\n  - name: t1\n"
+                "    schedule: \"5 * * * *\"\n    args: \"run\"\n")
+    fired = []
+
+    def runner(t):
+        fired.append(t.name)
+        return 0
+
+    now = datetime(2026, 8, 14, 9, 5)
+    assert _tasks.run_due(root, now, runner) == [("t1", "success")]
+    # second runner raced: its completed_ticks() snapshot was empty
+    os.remove(os.path.join(root, "target", "task_runs.jsonl"))
+    assert _tasks.run_due(root, now, runner) == [("t1", "already-ran")]
+    assert fired == ["t1"]
+
+
+def test_run_due_unknown_name_errors(tmp_path, capsys):
+    """advice r8: `task run-due --name <typo>` must exit 2 like `task
+    run` does — pre-fix it silently filtered every task out and returned
+    0, so a misspelled cron entry never ran and never complained."""
+    from dbt_on_snowflake_spark.__main__ import main
+
+    root = str(tmp_path / "typoproj")
+    os.makedirs(root)
+    with open(f"{root}/project.yml", "w") as f:
+        f.write("name: typoproj\n")
+    with open(f"{root}/tasks.yml", "w") as f:
+        f.write("tasks:\n  - name: hourly\n"
+                "    schedule: \"5 * * * *\"\n    args: \"run\"\n")
+    rc = main(["task", "run-due", "--project", root, "--name", "hourlyy",
+               "--now", "2026-08-14T09:05:00"])
+    err = capsys.readouterr().err
+    assert rc == 2
+    assert "hourlyy" in err and "hourly" in err

@@ -643,3 +643,53 @@ def test_incremental_assign_kernels_agree(spark, monkeypatch):
     h = rows()
     assert len(a) > 0
     assert a == h
+
+
+def test_ann_bruteforce_kernels_agree_on_zero_norm(spark, tmp_path):
+    """advice r8: a zero-norm embedding yields NaN cosine (0/0). Spark
+    orders NaN GREATER than any double under DESC, so pre-fix the hof
+    window ranked the undefined pair FIRST while the arrow kernel's
+    isfinite filter dropped it. Both kernels must now drop degenerate
+    pairs identically — as zero-norm neighbor AND as zero-norm query."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dbt_on_snowflake_spark.operators.similarity import (
+        ann_topk_bruteforce,
+    )
+
+    rng = np.random.RandomState(7)
+    n, dim = 60, 8
+    vecs = rng.uniform(-1.0, 1.0, size=(n, dim)).astype(np.float32)
+    vecs[3] = 0.0   # zero-norm NEIGHBOR (candidate for query 0)
+    vecs[50] = 0.0  # zero-norm QUERY (vec_id % 50 == 0)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([i % 4 for i in range(n)], pa.int32()),
+        }
+    )
+    sf = str(tmp_path / "zn_sf")
+    os.makedirs(sf)
+    pq.write_table(tbl, os.path.join(sf, "embeddings.parquet"))
+
+    a = sorted(
+        map(tuple, ann_topk_bruteforce(spark, sf, kernel="arrow").collect())
+    )
+    h = sorted(
+        map(tuple, ann_topk_bruteforce(spark, sf, kernel="hof").collect())
+    )
+    assert len(a) > 0
+    assert a == h
+    # the zero-norm neighbor never appears; the zero-norm query emits
+    # no rows at all (every cosine undefined)
+    assert all(r[1] != 3 for r in a)
+    assert all(r[0] != 50 for r in a)
+    assert any(r[0] == 0 for r in a)  # the healthy query still answers

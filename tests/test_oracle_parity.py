@@ -124,50 +124,52 @@ def test_driver_export_within_budget():
         assert any(n.startswith(fam) for n in exported), fam
 
 
-def test_r8_rotation_promises_kept():
-    """The round-7 verdict's rotation ledger: the 6 r5-stale rows and all
-    37 r7-born never-driver-checked rows must be in the r8 export. Pin
-    them so a later edit can't silently demote one before the driver sees
-    it. R9_ROTATE_IN accumulates r8-born queries for the next rotation."""
+def test_r9_rotation_promises_kept():
+    """The rotation ledger's r9 draft, executed: the 41 rows last
+    driver-checked in r6 (3-round window hit) and all 6 r8-born
+    never-driver-checked rows (R9_ROTATE_IN) must be in the r9 export.
+    Pin them so a later edit can't silently demote one before the
+    driver sees it. R10_ROTATE_IN accumulates r9-born queries for the
+    next rotation."""
     from dbt_on_snowflake_spark.registry import (
-        R8_EXPORT,
+        R9_EXPORT,
         R9_ROTATE_IN,
+        R10_ROTATE_IN,
         driver_queries,
     )
 
     exported = set(driver_queries())
-    assert R8_EXPORT <= exported, sorted(R8_EXPORT - exported)
-    r5_stale = {
-        "a_unpivot_status_revenue", "dedup_ngram_jaccard",
-        "text_fingerprint", "text_lang_id", "text_levenshtein_pairs",
-        "text_repetition",
+    assert R9_EXPORT <= exported, sorted(R9_EXPORT - exported)
+    r6_stale = {
+        "a_approx_sketches", "a_cube_status_priority",
+        "a_exact_distinct_median", "a_pivot_status_revenue",
+        "ann_centroids", "ann_ivf_multiprobe_indexed",
+        "asof_last_order_before_event", "corpus_clean_pipeline",
+        "corpus_mixture_sample", "corpus_mixture_sample_bpe",
+        "corpus_token_budget", "corpus_token_budget_hist",
+        "corpus_token_budget_hist_bpe", "dedup_clusters",
+        "dedup_containment", "dedup_incremental_index",
+        "dedup_incremental_streaming", "dedup_minhash_lsh",
+        "dedup_minhash_verified", "dedup_semantic", "dedup_simhash",
+        "j2_left_join_enrich", "multimodal_decode",
+        "multimodal_frame_sample", "q2_min_cost_supplier",
+        "q3_top_revenue_orders", "q4_late_shipments_by_priority",
+        "q5_nation_volume", "q17_small_quantity_revenue",
+        "q18_large_volume_orders", "q20_heavy_suppliers",
+        "s_setops_segments", "t_event_funnel",
+        "t_events_range_join_windows", "t_events_sessionize",
+        "t_monthly_revenue", "text_pii_redact", "text_token_count_bpe",
+        "text_unigram_rarity", "text_unigram_rarity_bcast",
+        "w_topk_orders_per_customer",
     }
-    assert r5_stale <= exported, sorted(r5_stale - exported)
-    never_checked = {
-        "a_grouping_sets_status_priority", "ann_hard_negatives",
-        "ann_ivfpq_topk", "ann_pq_adc_indexed", "ann_pq_adc_topk",
-        "ann_pq_codes", "ann_pq_recall_eval", "ann_recall_eval",
-        "asof_last_order_within_30d", "asof_next_order_after_event",
-        "corpus_dedup_cascade", "corpus_ingest_streaming",
-        "corpus_pack_efficiency", "corpus_pack_shards_bpe",
-        "corpus_quality_report", "corpus_shuffle_order",
-        "corpus_temperature_sample", "dedup_cluster_sizes",
-        "f_datetime_suite", "j_full_outer_daily_reconciliation",
-        "multimodal_patch_grid", "q7_volume_shipping", "q8_market_share",
-        "q9_product_profit", "q11_important_suppliers",
-        "q12_priority_by_shipmode", "q13_order_count_distribution",
-        "q21_waiting_suppliers", "q22_dormant_customers",
-        "t_events_dedup_wm_streaming", "t_events_stream_stream_join",
-        "text_bigram_coverage", "text_bpe_train_merges",
-        "text_quality_classifier", "text_token_count_bpe_trained",
-        "w_ntile_customer_value_quartiles", "w_percentile_standing_orders",
-    }
-    assert never_checked <= exported, sorted(never_checked - exported)
-    # r8-born queries register in the ledger for the r9 rotation
+    assert len(r6_stale) == 41
+    assert r6_stale <= exported, sorted(r6_stale - exported)
+    assert R9_ROTATE_IN <= exported, sorted(R9_ROTATE_IN - exported)
+    # r9-born queries register in the ledger for the r10 rotation
     from dbt_on_snowflake_spark.registry import all_queries
 
-    assert R9_ROTATE_IN <= set(all_queries()), sorted(
-        R9_ROTATE_IN - set(all_queries())
+    assert R10_ROTATE_IN <= set(all_queries()), sorted(
+        R10_ROTATE_IN - set(all_queries())
     )
 
 
