@@ -1641,7 +1641,10 @@ def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ann_pq_adc_topk(
-    spark: SparkSession, sf_dir: str, kernel: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    kernel: str | None = None,
+    k: int = TOP_K,
 ) -> DataFrame:
     """ADC top-k over PQ codes: each query dots its subvectors against
     every codebook entry ONCE (the lookup table, scaled to exact int64
@@ -1692,7 +1695,7 @@ def ann_pq_adc_topk(
         F.col("approx_dot_scaled").desc(), F.col("neighbor_id").asc()
     )
     if kernel == "arrow":
-        scored = _adc_score_arrow(codes, qlut)
+        scored = _adc_score_arrow(codes, qlut, k=k)
     else:
         score = None
         for m in range(PQ_M):
@@ -1709,12 +1712,15 @@ def ann_pq_adc_topk(
         )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOP_K)
+        .filter(F.col("rank") <= k)
     )
 
 
 def _adc_score_arrow(
-    codes: DataFrame, qlut: DataFrame, probes: DataFrame | None = None
+    codes: DataFrame,
+    qlut: DataFrame,
+    probes: DataFrame | None = None,
+    k: int = TOP_K,
 ) -> DataFrame:
     """Arrow-vectorized ADC scoring scan (r8): the per-(row, query)
     ``element_at`` map lookups + integer adds of the interpreted path
@@ -1799,14 +1805,14 @@ def _adc_score_arrow(
                         valid[qi, :] = False
                     else:
                         valid[qi] &= np.isin(labs, cells)
-            k = min(TOP_K, n)
+            kk = min(k, n)
             out_q, out_n, out_s = [], [], []
             for qi in range(nq):
                 cand = np.flatnonzero(valid[qi])
                 if len(cand) == 0:
                     continue
                 sub = scores[qi][cand]
-                order = cand[np.lexsort((ids[cand], -sub))[:k]]
+                order = cand[np.lexsort((ids[cand], -sub))[:kk]]
                 out_q.append(np.full(len(order), qids[qi], dtype=np.int64))
                 out_n.append(ids[order])
                 out_s.append(scores[qi][order])
@@ -1877,6 +1883,106 @@ def _set_pq_hof_oracles() -> None:
 
 
 _set_pq_hof_oracles()
+
+
+# --------------------------------------------------- two-stage PQ serve path
+
+RERANK_SHORTLIST = 4 * TOP_K  # ADC candidates carried into exact rerank
+
+
+@query(
+    "ann_pq_rerank_topk",
+    headline=True,  # r9: the end-to-end PQ SERVE shape (ADC + exact rerank)
+    oracle=f"""
+    WITH {_PQ_CODES_CTE},
+    lut AS (
+        SELECT qv.vec_id AS query_id, ms.m, c.label,
+               CAST(ROUND(list_dot_product({_PQ_SUB_SQL.format(v='qv.v', m='ms.m')},
+                                           {_PQ_SUB_SQL.format(v='c.v', m='ms.m')})
+                          * 10000) AS BIGINT) AS p
+        FROM (SELECT * FROM e WHERE {_QUERY_PRED}) qv
+        CROSS JOIN ms CROSS JOIN cvec c
+    ),
+    adc AS (
+        SELECT l.query_id, cd.vec_id AS neighbor_id,
+               CAST(SUM(l.p) AS BIGINT) AS approx_dot_scaled
+        FROM (SELECT vec_id, m, code FROM pq_codes WHERE rn = 1) cd
+        JOIN lut l ON l.m = cd.m AND l.label = cd.code
+        WHERE cd.vec_id <> l.query_id
+        GROUP BY 1, 2
+    ),
+    shortlist AS (
+        SELECT query_id, neighbor_id
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY approx_dot_scaled DESC, neighbor_id ASC
+            ) AS arank
+            FROM adc
+        ) WHERE arank <= {RERANK_SHORTLIST}
+    ),
+    rr AS (
+        SELECT s.query_id, s.neighbor_id,
+               ROUND({COSINE_SQL.format(a="qe.v", b="ne.v")}, 4) + 0.0
+                   AS cosine
+        FROM shortlist s
+        JOIN e qe ON qe.vec_id = s.query_id
+        JOIN e ne ON ne.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+        ) AS rank
+        FROM rr
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def ann_pq_rerank_topk(
+    spark: SparkSession, sf_dir: str, kernel: str | None = None
+) -> DataFrame:
+    """Two-stage ANN serving — the production PQ pattern (IVFADC +
+    reranking, cf. Jégou et al. 2011 §V): stage 1 scores the WHOLE
+    corpus from its compact PQ codes (ADC — map lookups + integer adds,
+    never touching the floats) and keeps a {RERANK_SHORTLIST}-deep
+    shortlist per query; stage 2 re-scores ONLY the shortlist with exact
+    cosines over the original vectors and keeps the top {TOP_K}. The
+    quantization error PQ introduces is confined to shortlist
+    *selection*; the returned scores and order are exact over it.
+
+    Plan: stage 1 is ann_pq_adc_topk's posture (bounded query-LUT
+    broadcast, one narrow codes scan, partial-top-k rank shuffle at
+    shortlist depth); stage 2 broadcasts the tiny Q x {RERANK_SHORTLIST}
+    shortlist against ONE more corpus scan to gather neighbor vectors
+    (at 100 TB: a broadcast-hash semi-join — a point-lookup serving
+    store would replace this scan, the batch engine does it in one
+    pass), attaches the bounded query vectors the same way, then ranks
+    Q x {RERANK_SHORTLIST} rows. No shuffle ever carries corpus-sized
+    data."""
+    e = _vectors(spark, sf_dir)
+    shortlist = ann_pq_adc_topk(
+        spark, sf_dir, kernel=kernel, k=RERANK_SHORTLIST
+    ).select("query_id", "neighbor_id")
+    q = e.filter(F.expr(_QUERY_PRED)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = (
+        e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+        .join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+    )
+    rr = pairs.select(
+        "query_id",
+        "neighbor_id",
+        (F.round(_cosine("qv", "nv"), 4) + 0.0).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rr.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+    )
 
 
 # ------------------------------------------------------ hard-negative mining
@@ -2244,7 +2350,7 @@ def ann_pq_adc_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
 
     if _os.environ.get("SPARK_GRAFT_PQ_KERNEL", "arrow") == "arrow":
-        scored = _adc_score_arrow(codes, qlut)
+        scored = _adc_score_arrow(codes, qlut, k=k)
     else:
         score = None
         for m in range(PQ_M):
@@ -2261,7 +2367,7 @@ def ann_pq_adc_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOP_K)
+        .filter(F.col("rank") <= k)
     )
 
 

@@ -80,7 +80,9 @@ R9_ROTATE_IN: set[str] = {
 }
 
 # Queries born in round 9 — mandatory r10 rotate-ins (never driver-checked).
-R10_ROTATE_IN: set[str] = set()
+R10_ROTATE_IN: set[str] = {
+    "ann_pq_rerank_topk",
+}
 
 # The authoritative r9 export set. all_queries() applies it over the
 # per-decorator driver= defaults so a rotation is one list edit here.

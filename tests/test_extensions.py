@@ -693,3 +693,42 @@ def test_ann_bruteforce_kernels_agree_on_zero_norm(spark, tmp_path):
     assert all(r[1] != 3 for r in a)
     assert all(r[0] != 50 for r in a)
     assert any(r[0] == 0 for r in a)  # the healthy query still answers
+
+
+def test_pq_rerank_exact_over_shortlist(spark):
+    """Two-stage serve contract: rerank returns EXACTLY the exact-cosine
+    top-k of its own ADC shortlist (quantization error confined to
+    shortlist selection), and its recall@k vs brute force is >= plain
+    ADC top-k's — reranking can only help."""
+    from dbt_on_snowflake_spark.operators.similarity import (
+        RERANK_SHORTLIST,
+        TOP_K,
+        ann_pq_adc_topk,
+        ann_pq_rerank_topk,
+        ann_topk_bruteforce,
+    )
+
+    sf = SF_SMOKE
+    rerank = ann_pq_rerank_topk(spark, sf).collect()
+    short = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_pq_adc_topk(spark, sf, k=RERANK_SHORTLIST).collect()
+    }
+    assert len(rerank) > 0
+    # every reranked pair came from the shortlist, <= k per query
+    assert all((r.query_id, r.neighbor_id) in short for r in rerank)
+    per_q: dict[int, int] = {}
+    for r in rerank:
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    assert all(v <= TOP_K for v in per_q.values())
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_topk_bruteforce(spark, sf).collect()
+    }
+    adc5 = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_pq_adc_topk(spark, sf).collect()
+    }
+    got = {(r.query_id, r.neighbor_id) for r in rerank}
+    assert len(got & exact) >= len(adc5 & exact)

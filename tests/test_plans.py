@@ -524,6 +524,9 @@ _HEADLINE_MAX_SHUFFLES = {
     "ann_pq_adc_topk": 1,  # rank window only (codebook checkpointed)
     "ann_pq_adc_topk_hof": 1,  # kernel A/B twin: same plan posture
     "ann_pq_codes": 3,  # centroid rollup exchanges only (tiny)
+    "ann_pq_rerank_topk": 2,  # shortlist rank + rerank rank; both gather
+    # joins broadcast — no corpus-sized shuffle anywhere
+
     "ann_pq_codes_hof": 3,  # encode-stage A/B twin
     "ann_topk_bruteforce": 1,
     "asof_last_order_before_event": 1,
