@@ -180,17 +180,58 @@ class Runner:
         pre-format tables resolve to their root."""
         return table_format.data_path(self.spark, self._table_path(relation))
 
+    def _current_bucket_meta(self, relation: str) -> tuple[str, int] | None:
+        """(bucket_by col, n buckets) recorded in the relation's CURRENT
+        manifest, or None for unbucketed/legacy tables."""
+        root = self._table_path(relation)
+        v = table_format.current_version(self.spark, root)
+        if v is None:
+            return None
+        m = table_format.read_manifest(self.spark, root, v)
+        if m.get("bucket_by"):
+            return str(m["bucket_by"]), int(m["buckets"])
+        return None
+
     def _register_table(self, relation: str, merge_schema: bool = False) -> None:
         """``merge_schema`` is for insert_overwrite targets, whose
         partitions can carry heterogeneous footers after an
         append_new_columns run — the merged (superset) schema must be the
         view schema. Costs a footer read per file, so it stays off for
-        homogeneous tables."""
+        homogeneous tables.
+
+        A relation whose manifest records a bucket spec registers as a
+        CATALOG bucketed table instead of a temp view: Spark only
+        exploits bucketing (shuffle-free joins/aggs on the bucket key)
+        through catalog metadata. The catalog entry is a derived CACHE of
+        the manifest — rebuilt here from (current data dir, footer
+        schema, manifest bucket spec) on every registration, so a fresh
+        process, a version rollback, or a dropped catalog all recover
+        from the manifest alone."""
+        bucket = self._current_bucket_meta(relation)
+        if bucket is not None:
+            self._register_bucketed(relation, *bucket)
+            return
         reader = self.spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
         reader.parquet(self._data_path(relation)).createOrReplaceTempView(
             relation
+        )
+
+    def _register_bucketed(self, relation: str, col: str, n: int) -> None:
+        dpath = self._data_path(relation)
+        # a temp view from a prior unbucketed materialization would
+        # SHADOW the catalog table in resolution — remove it first
+        self.spark.catalog.dropTempView(relation)
+        self.spark.sql(f"DROP TABLE IF EXISTS `{relation}`")
+        sch = self.spark.read.parquet(dpath).schema
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in sch.fields
+        )
+        self.spark.sql(
+            f"CREATE TABLE `{relation}` ({cols}) USING parquet "
+            f"CLUSTERED BY (`{col}`) SORTED BY (`{col}`) INTO {n} BUCKETS "
+            f"LOCATION '{dpath}'"
         )
 
     def table_exists(self, relation: str) -> bool:
@@ -215,6 +256,53 @@ class Runner:
         table_format.commit(
             self.spark, root, version, data_dir,
             meta={"partition_by": partition_by or [], "rows": rows},
+        )
+        table_format.vacuum(self.spark, root)
+        return rows
+
+    def _write_versioned_bucketed(
+        self, df: DataFrame, relation: str, col: str, n: int
+    ) -> int:
+        """Full-state BUCKETED write through the same atomic commit seam
+        as ``_write_versioned``: Spark's bucketed writer only runs via
+        ``saveAsTable``, so the data lands in the fresh versioned dir
+        through a throwaway EXTERNAL staging name (dropped immediately —
+        metadata only, the files stay), and the manifest create is still
+        the single publish point. The bucket spec is recorded in the
+        manifest; ``_register_table`` re-derives the serving catalog
+        entry from it.
+
+        The ``repartition(n, col)`` matches the writer's own bucket
+        hash, so each task holds exactly one bucket's rows — one file
+        per bucket instead of (tasks x buckets) small files, and the one
+        shuffle HERE is the last time this key ever shuffles: every
+        downstream join/agg on it reads co-located buckets."""
+        root = self._table_path(relation)
+        version, data_dir = table_format.next_txn(self.spark, root)
+        path = posixpath.join(root, data_dir)
+        stage = f"{relation}__bkt_stage"
+        self.spark.sql(f"DROP TABLE IF EXISTS `{stage}`")
+        obs = Observation()
+        (
+            df.observe(obs, F.count(F.lit(1)).alias("rows"))
+            .repartition(n, col)
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(n, col)
+            .sortBy(col)
+            .option("path", path)
+            .saveAsTable(stage)
+        )
+        rows = int(obs.get["rows"])
+        self.spark.sql(f"DROP TABLE `{stage}`")
+        table_format.commit(
+            self.spark, root, version, data_dir,
+            meta={
+                "partition_by": [],
+                "bucket_by": col,
+                "buckets": n,
+                "rows": rows,
+            },
         )
         table_format.vacuum(self.spark, root)
         return rows
@@ -863,12 +951,49 @@ class Runner:
             df.createOrReplaceTempView(relation)
             return None  # views are lazy; no action (dbt also reports 0)
         if mat == "table":
-            rows = self._write_versioned(df, relation, self._partition_cols(node))
+            bucket = self._bucket_spec(node)
+            if bucket is not None:
+                rows = self._write_versioned_bucketed(df, relation, *bucket)
+            else:
+                rows = self._write_versioned(
+                    df, relation, self._partition_cols(node)
+                )
             self._register_table(relation)
             return rows
         if mat == "incremental":
             return self._materialize_incremental(df, relation, node)
         raise ValueError(f"unknown materialization: {mat}")
+
+    def _bucket_spec(self, node: ModelNode | None) -> tuple[str, int] | None:
+        """dbt-style ``bucket_by: <col>`` (+ ``buckets: N``, default 32)
+        model config: the mart is written through Spark's bucketed
+        writer and served as a catalog bucketed table, so every
+        downstream join or aggregation ON THE BUCKET KEY — including
+        across separate runs and separate models bucketed the same way —
+        reads pre-hash-partitioned files and skips its Exchange
+        entirely. At 100 TB that converts the dominant recurring cost of
+        a key-centric mart (re-shuffling it under every consumer) into a
+        one-time layout decision, the same lever as Snowflake clustering
+        keys in the reference's warehouse (SURVEY §1.2)."""
+        if node is None:
+            return None
+        col = str(node.config.get("bucket_by") or "").strip()
+        if not col:
+            return None
+        if "," in col:
+            raise ValueError(
+                f"bucket_by takes a single column, got {col!r}"
+            )
+        n = int(node.config.get("buckets", 32))
+        if n <= 0:
+            raise ValueError(f"buckets must be positive, got {n}")
+        if self._partition_cols(node):
+            raise ValueError(
+                "bucket_by cannot combine with partition_by: partition "
+                "pruning and bucket co-location are different layout "
+                "levers — pick the one the mart's consumers filter/join on"
+            )
+        return col, n
 
     @staticmethod
     def _partition_cols(node: ModelNode | None) -> list[str]:
@@ -993,20 +1118,32 @@ class Runner:
         crash at any point leaves either the old or the new version
         fully served.
 
-        At scale: the anti-join shuffles on the unique key once; with
-        the target bucketed by that key it's shuffle-free; the commit is
-        O(1) metadata regardless of table size."""
+        At scale: the anti-join shuffles on the unique key once — or,
+        with ``bucket_by: <unique_key>`` (r9, implemented below), zero
+        times: the existing side reads as a catalog bucketed scan
+        already hash-partitioned on the key, so only the increment
+        moves. The commit is O(1) metadata regardless of table size."""
         parts = self._partition_cols(node)
+        bucket = self._bucket_spec(node)
         strategy = (node.config.get("incremental_strategy") if node else None) or (
             "merge"
         )
         if strategy == "microbatch":
+            if bucket is not None:
+                raise ValueError(
+                    "bucket_by is not supported with "
+                    "incremental_strategy='microbatch' (its per-period "
+                    "dynamic partition overwrite is a partition layout)"
+                )
             return self._materialize_microbatch(df, relation, node, parts)
         if self.full_refresh or not self.table_exists(relation):
             # full refresh: the model read only sources (is_incremental()
             # was false, {{ this }} never resolved); the versioned write
             # publishes atomically either way
-            rows = self._write_versioned(df, relation, parts)
+            if bucket is not None:
+                rows = self._write_versioned_bucketed(df, relation, *bucket)
+            else:
+                rows = self._write_versioned(df, relation, parts)
             self._register_table(relation)
             return rows
         if strategy == "insert_overwrite":
@@ -1046,7 +1183,15 @@ class Runner:
             self._register_table(relation, merge_schema=True)
             return int(obs.get["rows"])
         unique_key = node.config.get("unique_key") if node else None
-        existing = self.spark.read.parquet(self._data_path(relation))
+        if bucket is not None:
+            # bucketed target: read through the catalog entry so the
+            # existing side arrives pre-hash-partitioned — with
+            # unique_key == bucket key the anti-join never shuffles the
+            # (large) target, only the (small) increment
+            self._register_table(relation)
+            existing = self.spark.table(relation)
+        else:
+            existing = self.spark.read.parquet(self._data_path(relation))
         df, existing = self._apply_on_schema_change(
             df, existing, node, relation, rewrite=True
         )
@@ -1059,7 +1204,10 @@ class Runner:
         # the combined plan READS the current version's files while the
         # write lands in the next version's dir — safe without a staging
         # rename precisely because a committed version's dir is immutable
-        rows = self._write_versioned(combined, relation, parts)
+        if bucket is not None:
+            rows = self._write_versioned_bucketed(combined, relation, *bucket)
+        else:
+            rows = self._write_versioned(combined, relation, parts)
         self._register_table(relation)
         return rows
 
