@@ -121,7 +121,7 @@ def ann_topk_bruteforce(
     return _topk(joined)
 
 
-def _topk_window(scored: DataFrame) -> DataFrame:
+def _topk_window(scored: DataFrame, k: int = TOP_K) -> DataFrame:
     """Global per-query top-k over already-scored (query_id, neighbor_id,
     cosine) rows — the merge step after per-batch partial top-k."""
     w = Window.partitionBy("query_id").orderBy(
@@ -129,7 +129,7 @@ def _topk_window(scored: DataFrame) -> DataFrame:
     )
     return scored.withColumn(
         "rank", F.row_number().over(w).cast("long")
-    ).filter(F.col("rank") <= TOP_K)
+    ).filter(F.col("rank") <= k)
 
 
 def _bruteforce_score_arrow(
@@ -137,6 +137,7 @@ def _bruteforce_score_arrow(
     queries: DataFrame,
     probes: DataFrame | None = None,
     max_cos: float | None = None,
+    k: int = TOP_K,
 ) -> DataFrame:
     """Arrow-vectorized cosine scorer with per-batch partial top-k: each
     Arrow batch computes its cosine block against the bounded query
@@ -223,10 +224,10 @@ def _bruteforce_score_arrow(
                         cos[qi, :] = -np.inf
                     else:
                         cos[qi, ~np.isin(labs, cells)] = -np.inf
-            k = min(TOP_K, n)
+            kk = min(k, n)
             out_q, out_n, out_c = [], [], []
             for qi in range(nq):
-                order = np.lexsort((ids, -cos[qi]))[:k]
+                order = np.lexsort((ids, -cos[qi]))[:kk]
                 keep = order[np.isfinite(cos[qi][order])]
                 out_q.append(np.full(len(keep), qids[qi], dtype=np.int64))
                 out_n.append(ids[keep])
@@ -1885,6 +1886,53 @@ def _set_pq_hof_oracles() -> None:
 _set_pq_hof_oracles()
 
 
+# ------------------------------------------------------ filtered ANN search
+
+# Candidate-side metadata predicate — the "filtered vector search" shape
+# (search only docs matching a filter: a language, a license, a source).
+# Parity label predicate here; any pushdown-able predicate works the same.
+ANN_FILTER_PRED = "label % 2 = 0"
+
+
+@query(
+    "ann_filtered_topk",
+    oracle=_ORACLE_TOPK.format(
+        query_pred=_QUERY_PRED,
+        cosine=COSINE_SQL.format(a="q.v", b="c.v"),
+        block=f"AND c.{ANN_FILTER_PRED}",
+        k=TOP_K,
+    ),
+)
+def ann_filtered_topk(
+    spark: SparkSession, sf_dir: str, kernel: str | None = None
+) -> DataFrame:
+    """Filtered vector search: exact top-k restricted to candidates
+    matching a metadata predicate (PRE-filtering — the filter narrows
+    the scan before any scoring, so the top-k is over the filtered set;
+    post-filtering an unfiltered top-k would under-fill k). The
+    predicate reaches the parquet scan as a pushed filter, so at 100 TB
+    a selective filter skips row groups before a single dot product
+    runs — the same plan posture as ann_topk_bruteforce over a smaller
+    scan."""
+    import os as _os
+
+    kernel = kernel or _os.environ.get("SPARK_GRAFT_ANN_KERNEL", "arrow")
+    e = _vectors(spark, sf_dir)
+    corpus = e.filter(F.expr(ANN_FILTER_PRED))
+    if kernel == "arrow":
+        return _topk_window(
+            _bruteforce_score_arrow(
+                corpus.select("vec_id", "v"), e.filter(F.expr(_QUERY_PRED))
+            )
+        )
+    if kernel != "hof":
+        raise ValueError(f"unknown ANN kernel {kernel!r}")
+    q = F.broadcast(e.filter(F.expr(_QUERY_PRED))).alias("q")
+    c = corpus.alias("c")
+    joined = q.join(c, F.col("q.vec_id") != F.col("c.vec_id"))
+    return _topk(joined)
+
+
 # --------------------------------------------------- two-stage PQ serve path
 
 RERANK_SHORTLIST = 4 * TOP_K  # ADC candidates carried into exact rerank
@@ -1983,6 +2031,174 @@ def ann_pq_rerank_topk(
         rr.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+# ---------------------------------------------------- MMR diversified top-k
+
+
+def _mmr_oracle() -> str:
+    """Chained-CTE DuckDB oracle for the sequential MMR greedy (the
+    textops BPE-trainer precedent: a bounded recursion unrolls to TOP_K
+    materialized step states, each a plain windowed SELECT). All scores
+    are scaled int64 (rel4 / sim4 = round(cos * 10000)) so the
+    argmax-per-step comparison is bit-free on both engines; lambda=0.5
+    makes ranking by rel4 - maxsim4 equivalent to the textbook
+    0.5*rel - 0.5*maxsim."""
+    cos_qc = COSINE_SQL.format(a="q.v", b="c.v")
+    cos_ab = COSINE_SQL.format(a="ea.v", b="eb.v")
+    parts = [
+        f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT * FROM e WHERE {_QUERY_PRED}),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS nid,
+               CAST(ROUND({cos_qc} * 10000, 0) AS BIGINT) AS rel4
+        FROM q JOIN e c ON q.vec_id <> c.vec_id
+    ),
+    shortlist AS (
+        SELECT query_id, nid, rel4 FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY rel4 DESC, nid ASC
+            ) AS rn FROM scored
+        ) WHERE rn <= {RERANK_SHORTLIST}
+    ),
+    pairs AS (
+        SELECT s1.query_id, s1.nid AS a, s2.nid AS b,
+               CAST(ROUND({cos_ab} * 10000, 0) AS BIGINT) AS sim4
+        FROM shortlist s1
+        JOIN shortlist s2
+          ON s1.query_id = s2.query_id AND s1.nid <> s2.nid
+        JOIN e ea ON ea.vec_id = s1.nid
+        JOIN e eb ON eb.vec_id = s2.nid
+    ),
+    p1 AS (
+        SELECT query_id, nid, rel4 AS score4, 1 AS mmr_rank FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY rel4 DESC, nid ASC
+            ) AS rn FROM shortlist
+        ) WHERE rn = 1
+    ),
+    sel1 AS (SELECT query_id, nid FROM p1)"""
+    ]
+    for k in range(2, TOP_K + 1):
+        parts.append(f""",
+    c{k} AS (
+        SELECT s.query_id, s.nid, s.rel4 - MAX(pr.sim4) AS score4
+        FROM shortlist s
+        JOIN pairs pr ON pr.query_id = s.query_id AND pr.a = s.nid
+        JOIN sel{k - 1} sl
+          ON sl.query_id = pr.query_id AND sl.nid = pr.b
+        WHERE NOT EXISTS (
+            SELECT 1 FROM sel{k - 1} x
+            WHERE x.query_id = s.query_id AND x.nid = s.nid
+        )
+        GROUP BY s.query_id, s.nid, s.rel4
+    ),
+    p{k} AS (
+        SELECT query_id, nid, score4, {k} AS mmr_rank FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY score4 DESC, nid ASC
+            ) AS rn FROM c{k}
+        ) WHERE rn = 1
+    ),
+    sel{k} AS (
+        SELECT query_id, nid FROM sel{k - 1}
+        UNION ALL SELECT query_id, nid FROM p{k}
+    )""")
+    picks = "\n        UNION ALL ".join(
+        f"SELECT * FROM p{k}" for k in range(1, TOP_K + 1)
+    )
+    parts.append(f"""
+    SELECT p.query_id, p.nid AS neighbor_id,
+           CAST(p.mmr_rank AS BIGINT) AS mmr_rank,
+           s.rel4 / 10000.0 + 0.0 AS cosine,
+           p.score4 AS score_scaled
+    FROM ({picks}) p
+    JOIN shortlist s ON s.query_id = p.query_id AND s.nid = p.nid""")
+    return "".join(parts)
+
+
+@query("ann_mmr_topk", oracle=_mmr_oracle())
+def ann_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998): a
+    diversified top-k for retrieval-augmented training-data selection —
+    greedily pick the candidate maximizing lambda*rel(q,d) -
+    (1-lambda)*max_{s in S} sim(d,s), so near-duplicate neighbors don't
+    crowd the result. lambda=0.5; scores are scaled int64, ties break
+    to the smallest neighbor_id (deterministic on both engines).
+
+    Plan: the exact shortlist comes from the shared partial-top-k arrow
+    scorer (one corpus scan, rank shuffle at shortlist depth); member
+    vectors are gathered with ONE more broadcast-join corpus scan (same
+    posture as ann_pq_rerank_topk); the inherently sequential greedy
+    then runs per query over its own Q x {RERANK_SHORTLIST} shortlist
+    inside applyInPandas — O(k * shortlist^2) on tiny groups, never on
+    corpus-sized data."""
+    import numpy as np
+    import pandas as pd
+
+    e = _vectors(spark, sf_dir)
+    short = _topk_window(
+        _bruteforce_score_arrow(
+            e.select("vec_id", "v"),
+            e.filter(F.expr(_QUERY_PRED)),
+            k=RERANK_SHORTLIST,
+        ),
+        k=RERANK_SHORTLIST,
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("cosine") * 10000).cast("long").alias("rel4"),
+    )
+    withv = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv")
+    ).join(F.broadcast(short), "neighbor_id")
+
+    out_schema = (
+        "query_id long, neighbor_id long, mmr_rank long, "
+        "cosine double, score_scaled long"
+    )
+
+    def mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+        rel4 = pdf["rel4"].to_numpy(dtype=np.int64)
+        V = np.stack(pdf["nv"].to_numpy()).astype(np.float64)
+        # pairwise cosines with the engine-exact arithmetic contract:
+        # sequential-fold cumsum dots, dot/(na*nb), half-away rounding
+        norms = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+        dots = np.cumsum(V[:, None, :] * V[None, :, :], axis=2)[:, :, -1]
+        cos = dots / (norms[:, None] * norms[None, :])
+        sim4 = np.copysign(
+            np.floor(np.abs(cos) * 10000.0 + 0.5), cos
+        ).astype(np.int64)
+        qid = int(pdf["query_id"].iloc[0])
+        picked: list[int] = []
+        scores_out: list[int] = []
+        remaining = np.ones(n, dtype=bool)
+        for _ in range(min(TOP_K, n)):
+            if not picked:
+                step = rel4.astype(np.int64)
+            else:
+                step = rel4 - sim4[:, picked].max(axis=1)
+            cand = np.flatnonzero(remaining)
+            sub = step[cand]
+            best = int(cand[np.lexsort((ids[cand], -sub))[0]])
+            picked.append(best)
+            scores_out.append(int(step[best]))
+            remaining[best] = False
+        pi = np.array(picked, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "query_id": np.full(len(pi), qid, dtype=np.int64),
+                "neighbor_id": ids[pi],
+                "mmr_rank": np.arange(1, len(pi) + 1, dtype=np.int64),
+                "cosine": rel4[pi] / 10000.0 + 0.0,
+                "score_scaled": np.array(scores_out, dtype=np.int64),
+            }
+        )
+
+    return withv.groupBy("query_id").applyInPandas(mmr, out_schema)
 
 
 # ------------------------------------------------------ hard-negative mining

@@ -82,6 +82,8 @@ R9_ROTATE_IN: set[str] = {
 # Queries born in round 9 — mandatory r10 rotate-ins (never driver-checked).
 R10_ROTATE_IN: set[str] = {
     "ann_pq_rerank_topk",
+    "ann_filtered_topk",
+    "ann_mmr_topk",
 }
 
 # The authoritative r9 export set. all_queries() applies it over the

@@ -732,3 +732,57 @@ def test_pq_rerank_exact_over_shortlist(spark):
     }
     got = {(r.query_id, r.neighbor_id) for r in rerank}
     assert len(got & exact) >= len(adc5 & exact)
+
+
+def test_mmr_diversifies_vs_plain_topk(spark):
+    """MMR contract: rank 1 is the plain relevance argmax, every later
+    pick trades relevance for distance to the already-picked set — so
+    the MMR set's max within-set similarity is never above the plain
+    top-k set's, and is strictly below for at least one query on this
+    data (the operator actually does something)."""
+    import numpy as np
+
+    from dbt_on_snowflake_spark.operators.similarity import (
+        ann_mmr_topk,
+        ann_topk_bruteforce,
+    )
+
+    sf = SF_SMOKE
+    mmr = ann_mmr_topk(spark, sf).collect()
+    plain = ann_topk_bruteforce(spark, sf).collect()
+    assert len(mmr) > 0
+    top1_plain = {r.query_id: r.neighbor_id for r in plain if r.rank == 1}
+    top1_mmr = {r.query_id: r.neighbor_id for r in mmr if r.mmr_rank == 1}
+    assert top1_mmr == top1_plain
+
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    }
+
+    def maxsim(ids):
+        worst = -2.0
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                va, vb = emb[a], emb[b]
+                c = float(
+                    va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+                )
+                worst = max(worst, c)
+        return worst
+
+    by_q_mmr: dict[int, list[int]] = {}
+    by_q_plain: dict[int, list[int]] = {}
+    for r in mmr:
+        by_q_mmr.setdefault(r.query_id, []).append(r.neighbor_id)
+    for r in plain:
+        by_q_plain.setdefault(r.query_id, []).append(r.neighbor_id)
+    strictly_better = 0
+    for q in by_q_mmr:
+        if len(by_q_mmr[q]) < 2 or len(by_q_plain.get(q, [])) < 2:
+            continue
+        m, p = maxsim(by_q_mmr[q]), maxsim(by_q_plain[q])
+        assert m <= p + 1e-9, q
+        if m < p - 1e-9:
+            strictly_better += 1
+    assert strictly_better >= 1
