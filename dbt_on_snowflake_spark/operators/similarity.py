@@ -2521,7 +2521,9 @@ def build_pq_index(
     driver=False,  # r7-born; rotates into the r8 driver export
     oracle=None,  # set below: shares ann_pq_adc_topk's oracle verbatim
 )
-def ann_pq_adc_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_pq_adc_indexed(
+    spark: SparkSession, sf_dir: str, k: int = TOP_K
+) -> DataFrame:
     """``ann_pq_adc_topk`` served from the PERSISTED PQ index: the
     codebook and corpus codes come from build_pq_index's tables — the
     only pass over the embeddings parquet is the bounded query side; no

@@ -9,7 +9,7 @@ same operation order in the DuckDB oracle so doubles match bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dbt_on_snowflake_spark.registry import query
@@ -1166,3 +1166,121 @@ def text_token_count_bpe_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("trained_bpe_tokens"),
     )
+
+
+# ------------------------------------------------------------ BM25 retrieval
+
+# Fixed keyword query for the parity surface; any term list works the
+# same. Okapi BM25 with the Lucene idf form (always positive).
+BM25_TERMS = ("spark", "vector", "merge")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_N = 10
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(string_split(text, ' '), x -> x = '{t}'))"
+        f" AS tf_{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    terms = " + ".join(
+        f"(ln((s.n_docs - s.df_{i} + 0.5) / (s.df_{i} + 0.5) + 1.0)"
+        f" * (d.tf_{i} * ({BM25_K1} + 1.0))"
+        f" / (d.tf_{i} + {BM25_K1}"
+        f" * (1.0 - {BM25_B} + {BM25_B} * d.dl / s.avgdl)))"
+        for i in range(len(BM25_TERMS))
+    )
+    return f"""
+    WITH d AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl, {tf_cols}
+        FROM documents
+    ),
+    s AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+               {df_cols}
+        FROM d
+    ),
+    scored AS (
+        SELECT d.doc_id, ROUND({terms}, 4) + 0.0 AS score
+        FROM d CROSS JOIN s
+    ),
+    ranked AS (
+        SELECT doc_id, score, ROW_NUMBER() OVER (
+            ORDER BY score DESC, doc_id ASC
+        ) AS rank
+        FROM scored
+    )
+    SELECT doc_id, score, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {BM25_TOP_N}
+    """
+
+
+@query("text_bm25_topk", oracle=_bm25_oracle())
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 keyword retrieval: top-N documents for a fixed term
+    query — the lexical half of a hybrid (BM25 + dense) retrieval stack,
+    and the classic relevance score for corpus search. idf uses the
+    Lucene ln(1 + (N - df + .5)/(df + .5)) form; k1=1.2, b=0.75; scores
+    round to 4 decimals with doc_id tie-break so ranking is
+    deterministic across engines.
+
+    Plan: per-doc term frequencies are ``size(filter(tokens, ...))`` —
+    narrow codegen'd array work, NO explode/shuffle of a token table;
+    corpus stats (N, avgdl, per-term df) are ONE tiny aggregate row
+    broadcast back over the scan; the global top-N is
+    TakeOrderedAndProject (per-partition heads + one tiny merge, never
+    a full sort). Two corpus scans, zero corpus-sized shuffles at any
+    scale. The per-term score columns are summed in fixed term order so
+    the float result is bit-identical to the oracle's left-to-right
+    sum."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def tf_col(term: str):
+        # single-arg lambda: a 2-arg lambda would be read as (elem, idx)
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    base = d.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[tf_col(t).alias(f"tf_{i}") for i, t in enumerate(BM25_TERMS)],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("int")).alias(f"df_{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    expr = None
+    for i in range(len(BM25_TERMS)):
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + 0.5)
+            / (F.col(f"df_{i}") + 0.5)
+            + 1.0
+        )
+        tf = F.col(f"tf_{i}")
+        term = idf * (tf * (BM25_K1 + 1.0)) / (
+            tf
+            + BM25_K1
+            * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+        expr = term if expr is None else expr + term
+    scored = scored.select(
+        "doc_id", (F.round(expr, 4) + 0.0).alias("score")
+    )
+    top = scored.orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    ).limit(BM25_TOP_N)
+    # unpartitioned window is BOUNDED: it runs over the limit's
+    # BM25_TOP_N rows, never the corpus
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))

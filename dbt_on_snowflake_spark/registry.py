@@ -84,6 +84,7 @@ R10_ROTATE_IN: set[str] = {
     "ann_pq_rerank_topk",
     "ann_filtered_topk",
     "ann_mmr_topk",
+    "text_bm25_topk",
 }
 
 # The authoritative r9 export set. all_queries() applies it over the
