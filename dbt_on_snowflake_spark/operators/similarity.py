@@ -2033,6 +2033,122 @@ def ann_pq_rerank_topk(
     )
 
 
+# -------------------------------------------------- hybrid retrieval (RRF)
+
+RRF_K = 60  # the standard reciprocal-rank-fusion constant
+RRF_DEPTH = 20  # per-retriever list depth carried into fusion
+HYBRID_TOP_N = 10
+DENSE_QUERY_ID = 0  # "more like doc 0" — the dense half's fixed query
+
+
+def _hybrid_oracle() -> str:
+    from dbt_on_snowflake_spark.operators.textops import bm25_ranked_cte
+
+    cos = COSINE_SQL.format(a="eq.qv", b="e.v")
+    return f"""
+    WITH {bm25_ranked_cte(RRF_DEPTH)},
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    eq AS (
+        SELECT embedding::DOUBLE[] AS qv FROM embeddings
+        WHERE vec_id = {DENSE_QUERY_ID}
+    ),
+    d_scored AS (
+        SELECT e.vec_id AS doc_id, ROUND({cos}, 4) + 0.0 AS cosine
+        FROM e CROSS JOIN eq
+        WHERE e.vec_id <> {DENSE_QUERY_ID}
+    ),
+    d_ranked AS (
+        SELECT doc_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                ORDER BY cosine DESC, doc_id ASC
+            ) AS rank
+            FROM d_scored
+        ) WHERE rank <= {RRF_DEPTH}
+    ),
+    fused AS (
+        SELECT COALESCE(b.doc_id, d.doc_id) AS doc_id,
+               b.rank AS bm25_rank,
+               d.rank AS dense_rank,
+               ROUND(
+                   COALESCE(1.0::DOUBLE / ({RRF_K} + b.rank), 0.0::DOUBLE)
+                   + COALESCE(1.0::DOUBLE / ({RRF_K} + d.rank), 0.0::DOUBLE),
+                   6) + 0.0 AS rrf_score
+        FROM b_ranked b FULL JOIN d_ranked d ON b.doc_id = d.doc_id
+    )
+    SELECT doc_id, bm25_rank, dense_rank, rrf_score,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            ORDER BY rrf_score DESC, doc_id ASC
+        ) AS rank FROM fused
+    ) WHERE rank <= {HYBRID_TOP_N}
+    """
+
+
+@query("retrieval_hybrid_rrf", oracle=_hybrid_oracle())
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with Reciprocal Rank Fusion (Cormack et al.
+    2009): the lexical list (BM25 over documents, fixed terms) and the
+    dense list (exact cosine against doc {DENSE_QUERY_ID}'s embedding)
+    each contribute 1/(60 + rank); lists fuse on doc_id (docs and
+    corpus vectors share the id space), missing membership contributes
+    0. The standard zero-tuning way to combine keyword and semantic
+    search — exactly what a retrieval-augmented curation pipeline runs.
+
+    Plan: each retriever is its own bounded top-DEPTH
+    (TakeOrderedAndProject over one corpus scan — see bm25_topn and the
+    dense twin below); fusion then touches only 2 x DEPTH rows — the
+    full-outer join, RRF arithmetic, and final rank are all on
+    constant-size data, so the whole query stays two corpus scans with
+    no corpus-sized shuffle."""
+    from dbt_on_snowflake_spark.operators.textops import bm25_topn
+
+    b = bm25_topn(spark, sf_dir, RRF_DEPTH).select(
+        "doc_id", F.col("rank").alias("bm25_rank")
+    )
+    e = _vectors(spark, sf_dir)
+    qv = F.broadcast(
+        e.filter(F.col("vec_id") == DENSE_QUERY_ID).select(
+            F.col("v").alias("qv")
+        )
+    )
+    d_scored = (
+        e.filter(F.col("vec_id") != DENSE_QUERY_ID)
+        .crossJoin(qv)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (F.round(_cosine("qv", "v"), 4) + 0.0).alias("cosine"),
+        )
+    )
+    d_top = d_scored.orderBy(
+        F.col("cosine").desc(), F.col("doc_id").asc()
+    ).limit(RRF_DEPTH)
+    # unpartitioned windows here are BOUNDED: they run over the limits'
+    # RRF_DEPTH rows (and the fused <= 2 x RRF_DEPTH rows), never the corpus
+    wd = Window.orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
+    d = d_top.withColumn("rank", F.row_number().over(wd).cast("long")).select(
+        "doc_id", F.col("rank").alias("dense_rank")
+    )
+    fused = b.join(d, "doc_id", "full")
+    rrf = F.round(
+        F.coalesce(
+            F.lit(1.0) / (F.lit(RRF_K) + F.col("bm25_rank")), F.lit(0.0)
+        )
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(RRF_K) + F.col("dense_rank")), F.lit(0.0)
+        ),
+        6,
+    ) + 0.0
+    wf = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+    return (
+        fused.select(
+            "doc_id", "bm25_rank", "dense_rank", rrf.alias("rrf_score")
+        )
+        .withColumn("rank", F.row_number().over(wf).cast("long"))
+        .filter(F.col("rank") <= HYBRID_TOP_N)
+    )
+
+
 # ---------------------------------------------------- MMR diversified top-k
 
 

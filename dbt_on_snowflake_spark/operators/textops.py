@@ -1178,7 +1178,13 @@ BM25_B = 0.75
 BM25_TOP_N = 10
 
 
-def _bm25_oracle() -> str:
+def bm25_ranked_cte(depth: int) -> str:
+    """DuckDB CTE chain ending in ``b_ranked`` = the top-``depth`` BM25
+    ranking (doc_id, score, rank). Every fractional constant is
+    ::DOUBLE-coerced: DuckDB parses bare decimals as DECIMAL and its
+    exact decimal division diverges from Spark's IEEE double division at
+    the ulp level — below the 4dp rounding grain almost always, but
+    "almost" is not a parity contract."""
     tf_cols = ", ".join(
         f"len(list_filter(string_split(text, ' '), x -> x = '{t}'))"
         f" AS tf_{i}"
@@ -1189,56 +1195,51 @@ def _bm25_oracle() -> str:
         for i in range(len(BM25_TERMS))
     )
     terms = " + ".join(
-        f"(ln((s.n_docs - s.df_{i} + 0.5) / (s.df_{i} + 0.5) + 1.0)"
-        f" * (d.tf_{i} * ({BM25_K1} + 1.0))"
-        f" / (d.tf_{i} + {BM25_K1}"
-        f" * (1.0 - {BM25_B} + {BM25_B} * d.dl / s.avgdl)))"
+        f"(ln((s.n_docs - s.df_{i} + 0.5::DOUBLE)"
+        f" / (s.df_{i} + 0.5::DOUBLE) + 1.0::DOUBLE)"
+        f" * (d.tf_{i} * {BM25_K1 + 1.0}::DOUBLE)"
+        f" / (d.tf_{i} + {BM25_K1}::DOUBLE"
+        f" * ({1.0 - BM25_B}::DOUBLE"
+        f" + {BM25_B}::DOUBLE * d.dl / s.avgdl)))"
         for i in range(len(BM25_TERMS))
     )
-    return f"""
-    WITH d AS (
+    return f"""b_d AS (
         SELECT doc_id, len(string_split(text, ' ')) AS dl, {tf_cols}
         FROM documents
     ),
-    s AS (
+    b_s AS (
         SELECT COUNT(*) AS n_docs,
                CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
                {df_cols}
-        FROM d
+        FROM b_d
     ),
-    scored AS (
+    b_scored AS (
         SELECT d.doc_id, ROUND({terms}, 4) + 0.0 AS score
-        FROM d CROSS JOIN s
+        FROM b_d d CROSS JOIN b_s s
     ),
-    ranked AS (
-        SELECT doc_id, score, ROW_NUMBER() OVER (
-            ORDER BY score DESC, doc_id ASC
-        ) AS rank
-        FROM scored
-    )
-    SELECT doc_id, score, CAST(rank AS BIGINT) AS rank
-    FROM ranked WHERE rank <= {BM25_TOP_N}
-    """
+    b_ranked AS (
+        SELECT doc_id, score, CAST(rank AS BIGINT) AS rank FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                ORDER BY score DESC, doc_id ASC
+            ) AS rank
+            FROM b_scored
+        ) WHERE rank <= {depth}
+    )"""
 
 
-@query("text_bm25_topk", oracle=_bm25_oracle())
-def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 keyword retrieval: top-N documents for a fixed term
-    query — the lexical half of a hybrid (BM25 + dense) retrieval stack,
-    and the classic relevance score for corpus search. idf uses the
-    Lucene ln(1 + (N - df + .5)/(df + .5)) form; k1=1.2, b=0.75; scores
-    round to 4 decimals with doc_id tie-break so ranking is
-    deterministic across engines.
+def bm25_topn(spark: SparkSession, sf_dir: str, depth: int) -> DataFrame:
+    """Top-``depth`` BM25 ranking as a DataFrame (doc_id, score, rank) —
+    the shared retrieval stage behind text_bm25_topk and the hybrid RRF
+    fusion.
 
     Plan: per-doc term frequencies are ``size(filter(tokens, ...))`` —
     narrow codegen'd array work, NO explode/shuffle of a token table;
     corpus stats (N, avgdl, per-term df) are ONE tiny aggregate row
     broadcast back over the scan; the global top-N is
-    TakeOrderedAndProject (per-partition heads + one tiny merge, never
-    a full sort). Two corpus scans, zero corpus-sized shuffles at any
-    scale. The per-term score columns are summed in fixed term order so
-    the float result is bit-identical to the oracle's left-to-right
-    sum."""
+    TakeOrderedAndProject (per-partition heads + one tiny merge, never a
+    full sort). Two corpus scans, zero corpus-sized shuffles at any
+    scale. Per-term score columns are summed in fixed term order so the
+    float result is bit-identical to the oracle's left-to-right sum."""
     d = table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
 
@@ -1279,8 +1280,25 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top = scored.orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
-    ).limit(BM25_TOP_N)
+    ).limit(depth)
     # unpartitioned window is BOUNDED: it runs over the limit's
-    # BM25_TOP_N rows, never the corpus
+    # ``depth`` rows, never the corpus
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH {bm25_ranked_cte(BM25_TOP_N)}
+    SELECT doc_id, score, rank FROM b_ranked
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 keyword retrieval: top-N documents for a fixed term
+    query — the lexical half of a hybrid (BM25 + dense) retrieval
+    stack, and the classic relevance score for corpus search. idf uses
+    the Lucene ln(1 + (N - df + .5)/(df + .5)) form; k1=1.2, b=0.75;
+    scores round to 4 decimals with doc_id tie-break so ranking is
+    deterministic across engines. Plan notes: see ``bm25_topn``."""
+    return bm25_topn(spark, sf_dir, BM25_TOP_N)

@@ -85,6 +85,7 @@ R10_ROTATE_IN: set[str] = {
     "ann_filtered_topk",
     "ann_mmr_topk",
     "text_bm25_topk",
+    "retrieval_hybrid_rrf",
 }
 
 # The authoritative r9 export set. all_queries() applies it over the
