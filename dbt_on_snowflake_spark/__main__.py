@@ -916,13 +916,19 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "clone":
-        # dbt clone: copy the STATE manifest's relations into this
-        # target's schema without recomputing them — the CI pattern that
-        # seeds a dev/staging environment from prod artifacts. Table-
-        # backed relations are physically copied (fs_copy; a real table
-        # format would shallow-clone metadata-only); view-materialized
-        # nodes are skipped — they have no storage and recompile for
-        # pennies with `run`.
+        # dbt clone: make the STATE manifest's relations available under
+        # this target's schema without recomputing them — the CI pattern
+        # that seeds a dev/staging environment from prod artifacts.
+        # Table-format sources ZERO-COPY clone (r9): the destination
+        # commits a manifest pointing at the source's current data dir,
+        # and a pin protects that dir from the source's vacuum until the
+        # clone stops referencing it — O(1) metadata at any table size,
+        # the engine-side analogue of the Snowflake `CREATE TABLE ...
+        # CLONE` the reference's dbt workflow leans on. Legacy
+        # (pre-format) tables fall back to a physical copy;
+        # view-materialized nodes are skipped — they have no storage and
+        # recompile for pennies with `run`.
+        from dbt_on_snowflake_spark.engine import table_format as _tf
         from dbt_on_snowflake_spark.engine.dag import select as dag_select
         from dbt_on_snowflake_spark.engine.fs import fs_copy, fs_delete, fs_exists
 
@@ -957,10 +963,15 @@ def main(argv: list[str] | None = None) -> int:
                       f"relation {src_rel})")
                 n_skipped += 1
                 continue
-            fs_delete(spark, dst_path)
-            fs_copy(spark, src_path, dst_path)
+            if _tf.current_version(spark, src_path) is not None:
+                _tf.clone_table(spark, src_path, dst_path)
+                how = "zero-copy"
+            else:
+                fs_delete(spark, dst_path)
+                fs_copy(spark, src_path, dst_path)
+                how = "copied"
             runner._register_table(dst_rel)
-            print(f"cloned  {src_rel} -> {dst_rel}")
+            print(f"cloned  {src_rel} -> {dst_rel} ({how})")
             n_cloned += 1
         print(f"{n_cloned} cloned, {n_skipped} skipped")
         return 0

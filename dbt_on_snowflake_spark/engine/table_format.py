@@ -159,18 +159,118 @@ def commit(
         raise
 
 
+def _pins_dir(root: str) -> str:
+    return posixpath.join(_versions_dir(root), "pins")
+
+
+def pins(spark: SparkSession, root: str) -> dict[str, dict]:
+    """pin_id -> {"data_dir", "holder"} for every live pin on ``root``.
+    A pin keeps its data dir out of vacuum's reach — the reference-
+    tracking half of zero-copy clones."""
+    out: dict[str, dict] = {}
+    for name in fs_list(spark, _pins_dir(root)):
+        if not name.endswith(".json"):
+            continue
+        payload = fs_read(
+            spark, posixpath.join(_pins_dir(root), name)
+        ).decode()
+        out[name[:-5]] = json.loads(payload)
+    return out
+
+
+def pin(
+    spark: SparkSession, root: str, pin_id: str, data_dir: str, holder: str
+) -> None:
+    """Pin ``data_dir`` of ``root`` on behalf of ``holder`` (a clone's
+    table root). Re-pinning the same id replaces the old pin — a fresh
+    clone of a newer version releases its old target implicitly."""
+    path = posixpath.join(_pins_dir(root), f"{pin_id}.json")
+    fs_delete(spark, path)
+    fs_create_atomic(
+        spark, path,
+        json.dumps(
+            {"data_dir": data_dir, "holder": holder}, sort_keys=True
+        ).encode(),
+    )
+
+
+def unpin(spark: SparkSession, root: str, pin_id: str) -> None:
+    fs_delete(spark, posixpath.join(_pins_dir(root), f"{pin_id}.json"))
+
+
+def clone_pin_id(dst_root: str) -> str:
+    """Deterministic pin id per clone target, so re-cloning the same
+    destination replaces its pin instead of leaking one per clone."""
+    import hashlib
+
+    return "clone-" + hashlib.md5(dst_root.encode()).hexdigest()[:16]
+
+
+def clone_table(spark: SparkSession, src_root: str, dst_root: str) -> dict:
+    """ZERO-COPY clone (the table-format analogue of Snowflake's
+    ``CREATE TABLE ... CLONE``, which the reference's dbt workflow gets
+    from its warehouse): the destination gets a new manifest whose
+    data_dir is the SOURCE's current data dir by absolute path — no
+    data movement at any table size. The referenced dir is protected
+    from the source's vacuum by a pin (``_v/pins/``); the pin is
+    released automatically when the clone's own history stops
+    referencing the dir (see ``vacuum``), i.e. after the clone is
+    rebuilt in place and its clone manifest ages out of retention.
+
+    Snapshot isolation: committed data dirs are immutable for
+    full-state writes, so the clone serves a consistent version
+    forever. insert_overwrite/microbatch marts mutate their current dir
+    in place — a clone of one sees subsequent partition overwrites
+    (same caveat as any reader pinned to that dir).
+
+    Returns the manifest committed to ``dst_root``."""
+    v = current_version(spark, src_root)
+    if v is None:
+        raise ValueError(
+            f"{src_root} has no committed table-format version to clone "
+            "(legacy pre-format tables need one versioned write first)"
+        )
+    m = read_manifest(spark, src_root, v)
+    src_dir_abs = posixpath.join(src_root, m["data_dir"])
+    pid = clone_pin_id(dst_root)
+    pin(spark, src_root, pid, m["data_dir"], holder=dst_root)
+    dv, _ = next_txn(spark, dst_root)
+    meta = {
+        k: m[k]
+        for k in ("partition_by", "bucket_by", "buckets", "rows")
+        if k in m
+    }
+    meta["cloned_from"] = src_root
+    meta["clone_pin"] = pid
+    commit(spark, dst_root, dv, src_dir_abs, meta=meta)
+    vacuum(spark, dst_root)
+    return {"version": dv, "data_dir": src_dir_abs, **meta}
+
+
 def vacuum(spark: SparkSession, root: str, keep: int = VACUUM_KEEP) -> list[str]:
     """Delete data dirs no retained manifest references — old versions
     beyond ``keep`` and orphans from crashed writers (single-writer
     engine: an unreferenced ``d-*`` dir cannot be an in-flight commit).
     Also clears legacy root files once a manifest exists (readers have
-    already moved to the pointer). Returns what it deleted."""
+    already moved to the pointer). Returns what it deleted.
+
+    Clone awareness: data dirs named by a live pin survive (another
+    table's manifest serves them); when an expiring manifest of THIS
+    table references a clone (cloned_from/clone_pin meta) and no
+    retained manifest still does, the pin on the source is released —
+    the two rules together make zero-copy clones safe against both
+    sides' retention cycles."""
     vs = list_versions(spark, root)
     if not vs:
         return []
     retained = vs[-keep:] if keep > 0 else vs[-1:]
-    referenced = {
-        read_manifest(spark, root, v)["data_dir"] for v in retained
+    retained_manifests = [read_manifest(spark, root, v) for v in retained]
+    referenced = {m["data_dir"] for m in retained_manifests}
+    referenced |= {p["data_dir"] for p in pins(spark, root).values()}
+    retained_clone_pins = {
+        (m.get("cloned_from"), m.get("clone_pin"))
+        for m in retained_manifests
+        if m.get("clone_pin")
     }
     removed = []
     for name in fs_list(spark, root):
@@ -184,5 +284,9 @@ def vacuum(spark: SparkSession, root: str, keep: int = VACUUM_KEEP) -> list[str]
             removed.append(name)
     for v in vs:
         if v not in retained:
+            m = read_manifest(spark, root, v)
+            key = (m.get("cloned_from"), m.get("clone_pin"))
+            if m.get("clone_pin") and key not in retained_clone_pins:
+                unpin(spark, m["cloned_from"], m["clone_pin"])
             fs_delete(spark, _manifest_path(root, v))
     return removed

@@ -2057,10 +2057,12 @@ def test_model_versions_validation(spark, tmp_path):
 
 
 def test_clone_copies_state_relations_into_target(spark, tmp_path, capsys):
-    """`clone --state prod_manifest --target dev` copies prod's
-    table-backed relations into dev without recomputing; views are
-    skipped (no storage). The clone is physical: editing prod afterwards
-    does not change the dev clone."""
+    """`clone --state prod_manifest --target dev` makes prod's
+    table-backed relations readable in dev without recomputing; views
+    are skipped (no storage). r9: table-format sources clone ZERO-COPY —
+    the dev manifest points at prod's committed (immutable) data dir —
+    so isolation comes from immutability: a later prod REBUILD commits a
+    new prod version while dev keeps serving the cloned one."""
     from dbt_on_snowflake_spark.__main__ import main
 
     root = str(tmp_path / "proj")
@@ -2094,24 +2096,37 @@ def test_clone_copies_state_relations_into_target(spark, tmp_path, capsys):
     assert main(["clone", "--project", root, "--target", "dev",
                  "--state", f"{root}/prod_manifest.json"]) == 0
     out = capsys.readouterr().out
-    assert "cloned  prod_mt -> dev_mt" in out
+    assert "cloned  prod_mt -> dev_mt (zero-copy)" in out
     assert "1 cloned" in out and "skipped" in out
     assert sorted(r.id for r in spark.table("dev_mt").collect()) == [1, 2, 3]
 
-    # physical clone: prod rows added later do not appear in dev (reads
-    # resolve through the table format's manifest pointer)
     from dbt_on_snowflake_spark.engine import table_format as tf
 
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    prod_data = tf.data_path(spark, os.path.join(wh, "prod_mt"))
-    pd.DataFrame({"id": [99]}).to_parquet(
-        os.path.join(prod_data, "extra.parquet"), index=False
+    # ZERO-copy: dev's manifest points at prod's committed dir; no
+    # parquet landed under the dev root
+    dev_root = os.path.join(wh, "dev_mt")
+    assert tf.data_path(spark, dev_root) == tf.data_path(
+        spark, os.path.join(wh, "prod_mt")
     )
-    dev_data = tf.data_path(spark, os.path.join(wh, "dev_mt"))
-    assert sorted(r.id for r in spark.read.parquet(dev_data).collect()) == [1, 2, 3]
-    assert sorted(r.id for r in spark.read.parquet(prod_data).collect()) == [
+    local = [n for n in os.listdir(dev_root) if n.startswith("d-")]
+    assert local == []
+
+    # isolation via immutability: a prod REBUILD commits a new prod
+    # version; dev keeps serving the version it cloned
+    pd.DataFrame({"id": [1, 2, 3, 99]}).to_parquet(
+        os.path.join(data, "t.parquet"), index=False
+    )
+    assert main(["run", "--project", root, "--target", "prod",
+                 "--select", "mt"]) == 0
+    capsys.readouterr()
+    assert sorted(r.id for r in spark.table("prod_mt").collect()) == [
         1, 2, 3, 99,
     ]
+    dev_data = tf.data_path(spark, dev_root)
+    assert sorted(
+        r.id for r in spark.read.parquet(dev_data).collect()
+    ) == [1, 2, 3]
 
 
 def test_run_operation_executes_macro(spark, tmp_path, capsys):

@@ -428,3 +428,70 @@ def test_show_at_version_errors_cleanly(spark, tmp_path, capsys):
     assert main(["show", "--project", root, "--select", "ttc",
                  "--at-version", "99"]) == 2
     assert "retained" in capsys.readouterr().err
+
+
+def test_zero_copy_clone_pins_and_releases(spark, tmp_path):
+    """clone_table commits a manifest pointing at the SOURCE's current
+    data dir (no data movement); the pin keeps that dir alive through
+    the source's vacuum cycles; rebuilding the clone and aging the
+    clone manifest out of retention releases the pin, after which the
+    source's vacuum reclaims the dir."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    _versioned_write(spark, src, _mkdf(spark, [(1, "a"), (2, "a")]))
+    cloned_dir = tf.data_path(spark, src)
+
+    m = tf.clone_table(spark, src, dst)
+    assert m["data_dir"] == cloned_dir
+    assert m["cloned_from"] == src
+    # zero-copy: no parquet landed under dst
+    assert [n for n in os.listdir(dst) if n.startswith("d-")] == []
+    got = {r.v for r in spark.read.parquet(tf.data_path(spark, dst)).collect()}
+    assert got == {"a"}
+    assert tf.pins(spark, src)[m["clone_pin"]]["data_dir"] == "d-000000000001"
+
+    # source advances well past retention: the pinned dir must survive
+    for tag in ("b", "c", "d", "e"):
+        _versioned_write(spark, src, _mkdf(spark, [(1, tag)]))
+        tf.vacuum(spark, src)
+    assert os.path.isdir(cloned_dir)  # pin held it
+    got = {r.v for r in spark.read.parquet(tf.data_path(spark, dst)).collect()}
+    assert got == {"a"}  # clone still serves its snapshot
+    # ...while unpinned old source versions were reclaimed
+    local = [n for n in sorted(os.listdir(src)) if n.startswith("d-")]
+    assert "d-000000000002" not in local and "d-000000000001" in local
+
+    # the clone is rebuilt in place; once its clone manifest ages out of
+    # retention, its vacuum releases the pin
+    for tag in ("x", "y", "z"):
+        _versioned_write(spark, dst, _mkdf(spark, [(9, tag)]))
+        tf.vacuum(spark, dst)
+    assert tf.pins(spark, src) == {}
+    tf.vacuum(spark, src)
+    assert not os.path.isdir(cloned_dir)
+
+
+def test_reclone_replaces_pin(spark, tmp_path):
+    """Re-cloning the same destination from a newer source version
+    repoints the deterministic pin — exactly one pin per destination,
+    tracking the version it actually serves."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    _versioned_write(spark, src, _mkdf(spark, [(1, "a")]))
+    tf.clone_table(spark, src, dst)
+    _versioned_write(spark, src, _mkdf(spark, [(1, "b")]))
+    m2 = tf.clone_table(spark, src, dst)
+    # vacuum of dst may still retain the old clone manifest (retention
+    # window), so the pin tracks the NEWEST clone
+    ps = tf.pins(spark, src)
+    assert list(ps) == [m2["clone_pin"]]
+    assert ps[m2["clone_pin"]]["data_dir"] == "d-000000000002"
+    got = {r.v for r in spark.read.parquet(tf.data_path(spark, dst)).collect()}
+    assert got == {"b"}
+
+
+def test_clone_of_legacy_table_raises(spark, tmp_path):
+    src = str(tmp_path / "legacy")
+    _mkdf(spark, [(1, "a")]).write.mode("overwrite").parquet(src)
+    with pytest.raises(ValueError, match="no committed table-format"):
+        tf.clone_table(spark, src, str(tmp_path / "dst"))
