@@ -59,14 +59,36 @@ QUERIES: dict[str, RegisteredQuery] = {}
 #   r8-born never-driver-checked rows (R9_ROTATE_IN) = 47 mandatory;
 #   the remaining 3 slots are r8-green family guards
 #   (q1_pricing_summary, dedup_exact, t_events_hourly).
-# - R10_EXPORT DRAFT (apply at round-10 start; arithmetic from
-#   CORRECTNESS_r07/r08 vs R9_EXPORT at r9 session end): mandatory
-#   rotate-ins = the 44 rows last driver-checked in r7 — they hit the
-#   3-round window at r10 — (the r7 export minus the 6 rows re-exported
-#   in r8/r9: every name in CORRECTNESS_r07 not in R9_EXPORT and not in
-#   R8_EXPORT-guards) + every r9-born row in R10_ROTATE_IN; fill any
-#   remaining slots with r8/r9-green family guards. The r8-checked rows
-#   hit their window at r11.
+# - R10_EXPORT DRAFT (apply at round-10 start; exact arithmetic
+#   computed at r9 session end: CORRECTNESS_r07 minus CORRECTNESS_r08
+#   minus R9_EXPORT = 50 r7-stale rows, + the 5 r9-born rows in
+#   R10_ROTATE_IN = 55 mandatory > 50 budget, so 5 r7-stale rows slip
+#   to r11). Slip the lowest-risk trivial-relational rows —
+#   s4_source_passthrough, p2_projection_rename, p6_range_filter,
+#   p7_ts_filter, dq_failing_rows — they are single-operator shapes the
+#   local parity replica exercises on every pytest run and their
+#   operator families stay guarded by exported rows. R10_EXPORT =
+#   (a4_sales_by_nation, a6_unique_violations, a_rollup_revenue,
+#   ann_incremental_assign, ann_ivf_multiprobe, ann_ivf_topk,
+#   ann_quantize_int8, corpus_chunk_documents, corpus_mixture_epochs,
+#   corpus_pack_sequences, corpus_pack_sequences_bpe,
+#   corpus_pack_shards, corpus_sample_stratified,
+#   corpus_train_val_split, dedup_embedding_cosine,
+#   dedup_incremental_pruned, dedup_passages, dedup_simhash_pairs,
+#   dedup_source_overlap, f_json_extract, f_scalar_suite,
+#   j7_anti_orphans, j_salted_events_enrich, j_semi_active_customers,
+#   multimodal_meta, q10_returned_item_losers, q14_promo_revenue_share,
+#   q15_top_supplier, q16_supplier_breadth,
+#   q19_branded_quantity_revenue, q6_forecast_revenue_delta,
+#   t_event_funnel_streaming, t_event_transitions,
+#   t_events_dedup_streaming, t_events_hourly_append,
+#   t_events_hourly_streaming, t_events_rate_anomalies,
+#   t_events_sessions_streaming, t_events_sliding_streaming,
+#   t_user_retention, text_contamination, text_quality,
+#   text_token_count, text_top_ngrams, w_running_total_events)
+#   = 45 r7-stale + the 5 R10_ROTATE_IN rows = 50 exactly; no guard
+#   slots this round. r11 then owes the 5 slipped rows + the
+#   r8/r9-checked rows as they age.
 DRIVER_BUDGET = 50
 
 # Queries born in round 8 — mandatory r9 rotate-ins (never driver-checked).
