@@ -1116,3 +1116,57 @@ def _set_semantic_ingest_oracle() -> None:
 
 
 _set_semantic_ingest_oracle()
+
+
+# ------------------------------------------------- top-N per window (rank
+# at read: ranking is not expressible inside a streaming agg, so the
+# stream materializes windowed counts and the rank runs over the SINK —
+# the standard serving split for "trending items" dashboards)
+
+TRENDING_TOP_N = 3
+
+
+@query(
+    "t_events_topn_types_streaming",
+    driver=False,  # r9-born: owed a first driver check in the r10 window
+    oracle=f"""
+    WITH counts AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+               event_type,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT hour_start, event_type, n_events, CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY hour_start
+            ORDER BY n_events DESC, event_type ASC
+        ) AS rk
+        FROM counts
+    ) WHERE rk <= {TRENDING_TOP_N}
+    """,
+)
+def t_events_topn_types_streaming(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Trending event types: top-{TRENDING_TOP_N} per hourly window,
+    computed as a Structured Streaming windowed count (complete mode,
+    availableNow) RANKED AT READ over the materialized result — per-key
+    ranking inside a streaming aggregation isn't expressible, and the
+    sink table is already window-aggregated (|hours| x |event types|
+    rows), so the rank window costs nothing at any corpus scale. The
+    whole pipeline hash-matches the batch oracle."""
+    from pyspark.sql import Window
+
+    s = events_stream(spark, sf_dir)
+    agg = s.groupBy(
+        F.window("ts", "1 hour").start.alias("hour_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    counts = run_to_table(agg, spark, "complete")
+    w = Window.partitionBy("hour_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return counts.withColumn(
+        "rk", F.row_number().over(w).cast("long")
+    ).filter(F.col("rk") <= TRENDING_TOP_N)
