@@ -89,6 +89,13 @@ def main(argv: list[str] | None = None) -> int:
                 help="prior run_results.json (default "
                      "<project>/target/run_results.json)",
             )
+        if name == "compact":
+            sp.add_argument(
+                "--sort-by", default=None, dest="sort_by",
+                help="sort-cluster the rewrite by these columns "
+                     "(comma-separated): range-partitioned files with "
+                     "parquet min/max stats a range filter can skip",
+            )
         sp.add_argument("--project", required=True)
         # default None, not "dev": retry must distinguish "not passed"
         # (restore the prior invocation's target) from an explicit value
@@ -1007,9 +1014,28 @@ def main(argv: list[str] | None = None) -> int:
         # commit lands; vacuum reclaims it later. Accumulated small
         # files are the read-path tax of every incremental/append
         # pipeline; this is the maintenance pass that pays it down.
+        #
+        # `--sort-by col` additionally sort-CLUSTERS the rewrite
+        # (range-repartition + within-file sort): each output file
+        # covers a disjoint range of the column, so parquet min/max
+        # statistics let a range-filtered read skip whole files and row
+        # groups — Z-ORDER's 1-D case, the read-path lever for a column
+        # the mart is filtered on but not partitioned by.
+        #
+        # Skipped by design: BUCKETED tables (their layout is already
+        # exactly one file per bucket, and a blind rewrite would destroy
+        # the bucket file naming the catalog scan relies on) and
+        # ZERO-COPY CLONES (compacting one would silently materialize a
+        # full local copy of the source's data; rebuild the model
+        # instead if that's wanted).
         from dbt_on_snowflake_spark.engine import table_format
         from dbt_on_snowflake_spark.engine.fs import fs_size
 
+        sort_cols = [
+            c.strip()
+            for c in (getattr(args, "sort_by", None) or "").split(",")
+            if c.strip()
+        ]
         target_bytes = 128 * 1024 * 1024
         wh = runner.warehouse
         n_done = 0
@@ -1019,27 +1045,44 @@ def main(argv: list[str] | None = None) -> int:
             if v is None:
                 continue
             manifest = table_format.read_manifest(spark, root, v)
+            if manifest.get("cloned_from"):
+                print(f"skip      {name} (zero-copy clone: compacting "
+                      "would materialize it)")
+                continue
+            if manifest.get("bucket_by"):
+                print(f"skip      {name} (bucketed: one file per bucket "
+                      "by construction)")
+                continue
             dp = _os.path.join(root, manifest["data_dir"])
             df = spark.read.parquet(dp)
             parts = manifest.get("partition_by") or []
+            meta = {"partition_by": parts, "compacted_from": v}
             if parts:
                 # one write task per partition value: each partition
                 # dir compacts to as few files as its data needs
                 df = df.repartition(*parts)
+                if sort_cols:
+                    df = df.sortWithinPartitions(*sort_cols)
+                    meta["sorted_by"] = sort_cols
             else:
                 n_files = max(1, -(-fs_size(spark, dp) // target_bytes))
-                df = df.repartition(n_files)
+                if sort_cols:
+                    df = df.repartitionByRange(
+                        n_files, *sort_cols
+                    ).sortWithinPartitions(*sort_cols)
+                    meta["sorted_by"] = sort_cols
+                else:
+                    df = df.repartition(n_files)
             nv, ddir = table_format.next_txn(spark, root)
             writer = df.write.mode("overwrite")
             if parts:
                 writer = writer.partitionBy(*parts)
             writer.parquet(_os.path.join(root, ddir))
-            table_format.commit(
-                spark, root, nv, ddir,
-                meta={"partition_by": parts, "compacted_from": v},
-            )
+            table_format.commit(spark, root, nv, ddir, meta=meta)
             table_format.vacuum(spark, root)
-            print(f"compacted {name}: v{v} -> v{nv}")
+            print(f"compacted {name}: v{v} -> v{nv}"
+                  + (f" (sorted by {','.join(sort_cols)})" if sort_cols
+                     else ""))
             n_done += 1
         print(f"{n_done} versioned table(s) compacted")
         return 0

@@ -495,3 +495,118 @@ def test_clone_of_legacy_table_raises(spark, tmp_path):
     _mkdf(spark, [(1, "a")]).write.mode("overwrite").parquet(src)
     with pytest.raises(ValueError, match="no committed table-format"):
         tf.clone_table(spark, src, str(tmp_path / "dst"))
+
+
+def test_compact_sort_by_clusters_files(spark, tmp_path, capsys):
+    """`compact --sort-by id` rewrites as range-partitioned, internally
+    sorted files: per-file parquet min/max ranges on the column are
+    DISJOINT, so a range filter can skip whole files — the 1-D Z-ORDER.
+    Rows unchanged; the manifest records the clustering."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from dbt_on_snowflake_spark.__main__ import main
+
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    # shuffled ids so clustering is observable
+    ids = [(i * 37) % 256 for i in range(256)]
+    pd.DataFrame({"id": ids, "v": range(256)}).to_parquet(
+        os.path.join(data, "t.parquet"), index=False
+    )
+    root = str(tmp_path / "proj")
+    os.makedirs(f"{root}/models/models", exist_ok=True)
+    open(f"{root}/project.yml", "w").write(
+        "name: cps\nmodels:\n  models:\n    materialized: table\n"
+    )
+    open(f"{root}/sources.yml", "w").write(
+        f"sources:\n  - name: raw\n    base_path: \"{data}\"\n"
+        "    tables:\n      - name: t\n"
+    )
+    open(f"{root}/models/models/cs.sql", "w").write(
+        "SELECT /*+ REPARTITION(8) */ id, v FROM {{ source('raw', 't') }}"
+    )
+    assert main(["run", "--project", root, "--target", "srt"]) == 0
+    capsys.readouterr()
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    troot = os.path.join(wh, "srt_cs")
+    v1 = tf.current_version(spark, troot)
+
+    assert main(["compact", "--project", root, "--target", "srt",
+                 "--sort-by", "id"]) == 0
+    out = capsys.readouterr().out
+    assert f"compacted srt_cs: v{v1} -> v{v1 + 1} (sorted by id)" in out
+    dp = tf.data_path(spark, troot)
+    ranges = []
+    for f in sorted(glob.glob(os.path.join(dp, "*.parquet"))):
+        md = pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "id"
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    # disjoint per-file ranges: sorted by min, no overlap
+    ranges.sort()
+    for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, ranges
+    got = spark.read.parquet(dp)
+    assert got.count() == 256
+    assert sorted(r.id for r in got.collect()) == sorted(ids)
+    m = tf.read_manifest(spark, troot, v1 + 1)
+    assert m["sorted_by"] == ["id"]
+
+
+def test_compact_skips_bucketed_and_clone_tables(spark, tmp_path, capsys):
+    """compact must not destroy a bucketed table's file-per-bucket
+    layout nor silently materialize a zero-copy clone — both are
+    skipped with a reason, and the bucketed table's zero-exchange
+    property survives the maintenance pass."""
+    from pyspark.sql import functions as F
+
+    from dbt_on_snowflake_spark.__main__ import main
+    from dbt_on_snowflake_spark.plans import count_shuffles, final_plan
+
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    pd.DataFrame({"k": range(32), "v": range(32)}).to_parquet(
+        os.path.join(data, "t.parquet"), index=False
+    )
+    root = str(tmp_path / "proj")
+    os.makedirs(f"{root}/models/models", exist_ok=True)
+    open(f"{root}/project.yml", "w").write(
+        "name: cpb\nmodels:\n  models:\n    materialized: table\n"
+    )
+    open(f"{root}/sources.yml", "w").write(
+        f"sources:\n  - name: raw\n    base_path: \"{data}\"\n"
+        "    tables:\n      - name: t\n"
+    )
+    open(f"{root}/models/models/bk.sql", "w").write(
+        "{{ config(bucket_by='k', buckets=4) }}\n"
+        "SELECT k, v FROM {{ source('raw', 't') }}"
+    )
+    assert main(["run", "--project", root, "--target", "cpb"]) == 0
+    assert main(["compile", "--project", root, "--target", "cpb",
+                 "--out", f"{root}/m.json"]) == 0
+    assert main(["clone", "--project", root, "--target", "cpc",
+                 "--state", f"{root}/m.json"]) == 0
+    capsys.readouterr()
+
+    assert main(["compact", "--project", root, "--target", "cpb"]) == 0
+    out = capsys.readouterr().out
+    assert "skip      cpb_bk (bucketed" in out
+    assert "skip      cpc_bk (zero-copy clone" in out
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        agg = spark.table("cpb_bk").groupBy("k").agg(F.sum("v").alias("s"))
+        assert count_shuffles(final_plan(agg)) == 0
+        assert agg.count() == 32
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
