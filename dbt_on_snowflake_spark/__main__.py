@@ -139,6 +139,15 @@ def main(argv: list[str] | None = None) -> int:
             "--fail-fast", action="store_true", dest="fail_fast",
             help="stop scheduling new nodes after the first failure",
         )
+        if name == "build":
+            sp.add_argument(
+                "--wap", action="store_true",
+                help="write-audit-publish: stage each table/incremental "
+                     "model's new version UNCOMMITTED, run its tests "
+                     "against the staged data, and publish (one atomic "
+                     "manifest commit) only if they pass — a failing "
+                     "audit leaves the previous version serving",
+            )
         sp.add_argument(
             "--event-start", default=None, dest="event_start",
             help="microbatch replay window start (inclusive ISO timestamp)",
@@ -527,6 +536,7 @@ def main(argv: list[str] | None = None) -> int:
         event_end=getattr(args, "event_end", None),
         fail_fast=getattr(args, "fail_fast", False),
         empty=getattr(args, "empty", False),
+        wap=getattr(args, "wap", False),
     )
 
     # the EFFECTIVE flags of this invocation, recorded into run_results
@@ -680,8 +690,18 @@ def main(argv: list[str] | None = None) -> int:
             )
 
             def gate(name: str) -> bool:
+                # under --wap the model's relation currently resolves to
+                # its STAGED (uncommitted) data — the audit runs against
+                # the candidate, and only a green audit publishes it
                 res = tr.run_model_tests(project, runner, only={name})
-                return all(r.status in ("pass", "warn") for r in res)
+                ok = all(r.status in ("pass", "warn") for r in res)
+                if runner.wap:
+                    rel = runner.resolve_staged(name)
+                    if ok:
+                        runner.publish_staged(rel)
+                    else:
+                        runner.discard_staged(rel)
+                return ok
 
             results = runner.run(
                 raw_select, state=state, exclude=raw_exclude,
@@ -1055,6 +1075,14 @@ def main(argv: list[str] | None = None) -> int:
                 continue
             dp = _os.path.join(root, manifest["data_dir"])
             df = spark.read.parquet(dp)
+            if sort_cols and not set(sort_cols) <= set(df.columns):
+                # compact sweeps the whole warehouse; a clustering
+                # column is table-specific, so tables without it keep
+                # their current layout rather than erroring the sweep
+                print(f"skip      {name} (no column "
+                      f"{','.join(sorted(set(sort_cols) - set(df.columns)))}"
+                      " to sort by)")
+                continue
             parts = manifest.get("partition_by") or []
             meta = {"partition_by": parts, "compacted_from": v}
             if parts:

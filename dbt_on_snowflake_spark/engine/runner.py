@@ -119,6 +119,7 @@ class Runner:
         event_end: str | None = None,
         fail_fast: bool = False,
         empty: bool = False,
+        wap: bool = False,
     ):
         self.spark = spark
         self.project = project
@@ -167,6 +168,19 @@ class Runner:
         # ref wiring without moving data. At 100 TB this is the only way
         # to smoke a DAG change in minutes.
         self.empty = empty
+        # Write-Audit-Publish (build --wap): full-state writes STAGE
+        # their new version (data dir written, manifest NOT committed)
+        # and the relation's view is pointed at the staged dir; the
+        # build's per-node test gate then audits the STAGED data and
+        # calls publish_staged / discard_staged — a failing test leaves
+        # the previous committed version serving, untouched. The
+        # manifest-pointer format makes this free: staging is just
+        # deferring the one commit file.
+        self.wap = wap
+        import threading as _threading
+
+        self._staged: dict[str, dict] = {}
+        self._staged_lock = _threading.Lock()
         self._selected: set[str] | None = None
         wh = spark.conf.get("spark.sql.warehouse.dir", "/tmp/spark_warehouse")
         self.warehouse = wh.removeprefix("file:")
@@ -306,6 +320,97 @@ class Runner:
         )
         table_format.vacuum(self.spark, root)
         return rows
+
+    # -- write-audit-publish ----------------------------------------------
+    def _stage_versioned(
+        self,
+        df: DataFrame,
+        relation: str,
+        partition_by: list[str],
+        bucket: tuple[str, int] | None,
+    ) -> int:
+        """WAP stage: write the next version's data dir but DEFER the
+        manifest commit; point the relation's temp view at the STAGED
+        dir so the audit (the build test gate) reads the candidate
+        data. publish_staged lands the one-file commit; discard_staged
+        deletes the dir and re-registers the committed state — either
+        way readers outside this build never see unaudited data."""
+        root = self._table_path(relation)
+        version, data_dir = table_format.next_txn(self.spark, root)
+        path = posixpath.join(root, data_dir)
+        meta: dict = {"partition_by": partition_by or []}
+        if bucket is not None:
+            col, n = bucket
+            stage = f"{relation}__bkt_stage"
+            self.spark.sql(f"DROP TABLE IF EXISTS `{stage}`")
+            obs = Observation()
+            (
+                df.observe(obs, F.count(F.lit(1)).alias("rows"))
+                .repartition(n, col)
+                .write.mode("overwrite")
+                .format("parquet")
+                .bucketBy(n, col)
+                .sortBy(col)
+                .option("path", path)
+                .saveAsTable(stage)
+            )
+            rows = int(obs.get["rows"])
+            self.spark.sql(f"DROP TABLE `{stage}`")
+            meta.update({"partition_by": [], "bucket_by": col, "buckets": n})
+        else:
+            rows = self._write_counted(df, path, partition_by)
+        meta["rows"] = rows
+        # the audit reads the staged candidate through the relation name
+        self.spark.catalog.dropTempView(relation)
+        self.spark.sql(f"DROP TABLE IF EXISTS `{relation}`")
+        self.spark.read.parquet(path).createOrReplaceTempView(relation)
+        with self._staged_lock:
+            self._staged[relation] = {
+                "root": root,
+                "version": version,
+                "data_dir": data_dir,
+                "meta": meta,
+            }
+        return rows
+
+    def publish_staged(self, relation: str) -> None:
+        """Audit passed: the deferred manifest create publishes the
+        staged version (the same single-object atomic commit every
+        write uses), then the relation registers from its manifest."""
+        with self._staged_lock:
+            st = self._staged.pop(relation, None)
+        if st is None:
+            return
+        table_format.commit(
+            self.spark, st["root"], st["version"], st["data_dir"],
+            meta=st["meta"],
+        )
+        table_format.vacuum(self.spark, st["root"])
+        self._register_table(relation)
+
+    def discard_staged(self, relation: str) -> None:
+        """Audit failed: delete the staged dir (never committed — no
+        reader outside this build saw it) and re-register the previous
+        committed state, which has been serving all along."""
+        from dbt_on_snowflake_spark.engine.fs import fs_delete
+
+        with self._staged_lock:
+            st = self._staged.pop(relation, None)
+        if st is None:
+            return
+        fs_delete(
+            self.spark, posixpath.join(st["root"], st["data_dir"])
+        )
+        self.spark.catalog.dropTempView(relation)
+        if self.table_exists(relation):
+            self._register_table(relation)
+
+    def resolve_staged(self, name: str) -> str:
+        """Relation name for a model, for the WAP gate's bookkeeping."""
+        node = self.project.models.get(name)
+        return self.project.relation_for(
+            name, node.config.get("schema") if node else None
+        )
 
     # -- resolution -------------------------------------------------------
     def resolve_ref(self, name: str) -> str:
@@ -828,6 +933,11 @@ class Runner:
                 round(time.perf_counter() - t0, 3), trace=trace,
             )
         except Exception as e:  # noqa: BLE001 — per-node isolation is the point
+            # a WAP stage that landed before a later step failed (e.g. a
+            # post_hook) must not leave the relation's view pointing at
+            # never-to-be-published data
+            if self.wap:
+                self.discard_staged(relation)
             return NodeResult(
                 node.name, "error", mat, relation, None,
                 round(time.perf_counter() - t0, 3), str(e)[:500],
@@ -952,6 +1062,10 @@ class Runner:
             return None  # views are lazy; no action (dbt also reports 0)
         if mat == "table":
             bucket = self._bucket_spec(node)
+            if self.wap:
+                return self._stage_versioned(
+                    df, relation, self._partition_cols(node), bucket
+                )
             if bucket is not None:
                 rows = self._write_versioned_bucketed(df, relation, *bucket)
             else:
@@ -1135,11 +1249,27 @@ class Runner:
                     "incremental_strategy='microbatch' (its per-period "
                     "dynamic partition overwrite is a partition layout)"
                 )
+            if self.wap:
+                raise ValueError(
+                    "--wap is not supported with incremental_strategy="
+                    "'microbatch': its per-period writes mutate the "
+                    "current data dir in place, so there is no staged "
+                    "version to defer"
+                )
             return self._materialize_microbatch(df, relation, node, parts)
+        if strategy == "insert_overwrite" and self.wap:
+            raise ValueError(
+                "--wap is not supported with incremental_strategy="
+                "'insert_overwrite': dynamic partition overwrite mutates "
+                "the current data dir in place, so there is no staged "
+                "version to defer"
+            )
         if self.full_refresh or not self.table_exists(relation):
             # full refresh: the model read only sources (is_incremental()
             # was false, {{ this }} never resolved); the versioned write
             # publishes atomically either way
+            if self.wap:
+                return self._stage_versioned(df, relation, parts, bucket)
             if bucket is not None:
                 rows = self._write_versioned_bucketed(df, relation, *bucket)
             else:
@@ -1204,6 +1334,8 @@ class Runner:
         # the combined plan READS the current version's files while the
         # write lands in the next version's dir — safe without a staging
         # rename precisely because a committed version's dir is immutable
+        if self.wap:
+            return self._stage_versioned(combined, relation, parts, bucket)
         if bucket is not None:
             rows = self._write_versioned_bucketed(combined, relation, *bucket)
         else:

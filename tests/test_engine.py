@@ -2087,6 +2087,16 @@ def test_clone_copies_state_relations_into_target(spark, tmp_path, capsys):
     write(f"{root}/models/views/mv.sql",
           "SELECT id FROM {{ ref('mt') }}")
 
+    # hermetic start: clear any prod_mt/dev_mt leftovers a previous
+    # pytest session left in the shared warehouse (the zero-copy
+    # assertions below inspect the dev root's on-disk layout)
+    import shutil
+
+    wh0 = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for rel in ("prod_mt", "dev_mt"):
+        shutil.rmtree(os.path.join(wh0, rel), ignore_errors=True)
+        spark.catalog.dropTempView(rel)
+
     # build prod + record its manifest
     assert main(["run", "--project", root, "--target", "prod"]) == 0
     assert main(["compile", "--project", root, "--target", "prod",

@@ -610,3 +610,117 @@ def test_compact_skips_bucketed_and_clone_tables(spark, tmp_path, capsys):
         assert agg.count() == 32
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def _wap_project(tmp_path, name, threshold):
+    """A source -> table model with a value-range test whose pass/fail
+    is controlled by the source data vs `threshold`."""
+    data = str(tmp_path / "data")
+    os.makedirs(data, exist_ok=True)
+    pd.DataFrame({"id": [1, 2, 3], "v": [10, 20, 30]}).to_parquet(
+        os.path.join(data, "t.parquet"), index=False
+    )
+    root = str(tmp_path / "proj")
+    os.makedirs(f"{root}/models/models", exist_ok=True)
+    open(f"{root}/project.yml", "w").write(
+        f"name: {name}\nmodels:\n  models:\n    materialized: table\n"
+    )
+    open(f"{root}/sources.yml", "w").write(
+        f"sources:\n  - name: raw\n    base_path: \"{data}\"\n"
+        "    tables:\n      - name: t\n"
+    )
+    open(f"{root}/models/models/mart.sql", "w").write(
+        "SELECT id, v FROM {{ source('raw', 't') }}"
+    )
+    open(f"{root}/models/models/schema.yml", "w").write(
+        "models:\n  - name: mart\n    columns:\n"
+        "      - name: v\n        tests:\n"
+        "          - accepted_range: {min_value: 0, "
+        f"max_value: {threshold}}}\n"
+    )
+    return root, data
+
+
+def test_wap_failing_audit_keeps_previous_version(spark, tmp_path, capsys):
+    """build --wap: a version whose tests fail is NEVER published — the
+    previously committed version keeps serving, the staged dir is
+    deleted, and the node reports failure (descendants would skip)."""
+    from dbt_on_snowflake_spark.__main__ import main
+
+    root, data = _wap_project(tmp_path, "wap1", threshold=100)
+    tgt = ["--project", root, "--target", "wp1"]
+    assert main(["build", "--wap", *tgt]) == 0
+    capsys.readouterr()
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    troot = os.path.join(wh, "wp1_mart")
+    v1 = tf.current_version(spark, troot)
+    assert v1 is not None
+
+    # poison the source: v=999 violates the accepted_range audit
+    pd.DataFrame({"id": [1, 2, 3, 4], "v": [10, 20, 30, 999]}).to_parquet(
+        os.path.join(data, "t.parquet"), index=False
+    )
+    rc = main(["build", "--wap", *tgt])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "fail" in out
+    # NOT published: same committed version, old data still served,
+    # staged dir cleaned up
+    assert tf.current_version(spark, troot) == v1
+    assert sorted(r.v for r in spark.table("wp1_mart").collect()) == [
+        10, 20, 30,
+    ]
+    orphans = [
+        n for n in os.listdir(troot)
+        if n.startswith("d-") and n != tf.read_manifest(
+            spark, troot, v1
+        )["data_dir"]
+    ]
+    assert orphans == []
+
+    # healthy data publishes normally again
+    pd.DataFrame({"id": [1, 2], "v": [50, 60]}).to_parquet(
+        os.path.join(data, "t.parquet"), index=False
+    )
+    assert main(["build", "--wap", *tgt]) == 0
+    capsys.readouterr()
+    assert tf.current_version(spark, troot) == v1 + 1
+    assert sorted(r.v for r in spark.table("wp1_mart").collect()) == [50, 60]
+
+
+def test_wap_audit_reads_staged_candidate(spark, tmp_path, capsys):
+    """The audit must test the STAGED data, not the prior version: a
+    first-ever build (no committed version at all) with a failing test
+    proves the gate saw the candidate — and nothing gets published."""
+    from dbt_on_snowflake_spark.__main__ import main
+
+    root, _ = _wap_project(tmp_path, "wap2", threshold=15)  # 20,30 fail
+    rc = main(["build", "--wap", "--project", root, "--target", "wp2"])
+    out = capsys.readouterr().out
+    assert rc == 1 and "fail" in out
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    troot = os.path.join(wh, "wp2_mart")
+    assert tf.current_version(spark, troot) is None  # never published
+
+
+def test_wap_rejects_in_place_strategies(spark, tmp_path, capsys):
+    """insert_overwrite/microbatch mutate the current dir in place —
+    there is no staged version to defer, so --wap errors clearly."""
+    from dbt_on_snowflake_spark.__main__ import main
+
+    root, data = _wap_project(tmp_path, "wap3", threshold=100)
+    open(f"{root}/models/models/mart.sql", "w").write(
+        "{{ config(materialized='incremental', "
+        "incremental_strategy='insert_overwrite', partition_by='id') }}\n"
+        "SELECT id, v FROM {{ source('raw', 't') }}"
+    )
+    rc = main(["build", "--wap", "--project", root, "--target", "wp3"])
+    capsys.readouterr()
+    assert rc == 1
+    import json
+
+    rr = json.load(open(f"{root}/target/run_results.json"))
+    err = next(
+        r["error"] for r in rr["results"] if r["name"] == "mart"
+    )
+    assert "insert_overwrite" in err and "--wap" in err
