@@ -724,3 +724,99 @@ def test_wap_rejects_in_place_strategies(spark, tmp_path, capsys):
         r["error"] for r in rr["results"] if r["name"] == "mart"
     )
     assert "insert_overwrite" in err and "--wap" in err
+
+
+def test_wap_crash_between_stage_and_publish(spark, tmp_path, capsys):
+    """A build that dies after staging but before the audit/publish
+    (simulated by staging directly and abandoning it) leaves the old
+    version served; the orphan stage is reclaimed by the next vacuum,
+    and a later healthy build publishes normally."""
+    from dbt_on_snowflake_spark.__main__ import main
+    from dbt_on_snowflake_spark.engine.project import Project
+    from dbt_on_snowflake_spark.engine.runner import Runner
+
+    root, data = _wap_project(tmp_path, "wapc", threshold=100)
+    tgt = ["--project", root, "--target", "wpc"]
+    assert main(["build", "--wap", *tgt]) == 0
+    capsys.readouterr()
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    troot = os.path.join(wh, "wpc_mart")
+    v1 = tf.current_version(spark, troot)
+
+    # "crash": stage a new version and abandon the process state
+    runner = Runner(spark, Project(root, target="wpc"), wap=True)
+    runner.load_sources()
+    df = spark.table("src_raw_t").selectExpr("id", "v")
+    runner._stage_versioned(df, "wpc_mart", [], None)
+    staged = [
+        n for n in os.listdir(troot)
+        if n.startswith("d-")
+        and n != tf.read_manifest(spark, troot, v1)["data_dir"]
+    ]
+    assert staged  # the stage landed on disk...
+    assert tf.current_version(spark, troot) == v1  # ...but NOT committed
+
+    # vacuum reclaims the orphan; a fresh healthy build publishes
+    tf.vacuum(spark, troot)
+    assert not os.path.isdir(os.path.join(troot, staged[0]))
+    assert main(["build", "--wap", *tgt]) == 0
+    capsys.readouterr()
+    assert tf.current_version(spark, troot) == v1 + 1
+    assert spark.table("wpc_mart").count() == 3
+
+
+def test_wap_threaded_mixed_outcomes(spark, tmp_path, capsys):
+    """--wap with --threads: a generation with one passing and one
+    failing model publishes exactly the passing one — the staging
+    bookkeeping is per-relation and lock-guarded."""
+    from dbt_on_snowflake_spark.__main__ import main
+
+    root, data = _wap_project(tmp_path, "wapt", threshold=100)
+    # second, independent model whose test always fails on this data
+    open(f"{root}/models/models/bad.sql", "w").write(
+        "SELECT id, v FROM {{ source('raw', 't') }}"
+    )
+    open(f"{root}/models/models/schema.yml", "a").write(
+        "  - name: bad\n    columns:\n      - name: v\n        tests:\n"
+        "          - accepted_range: {min_value: 0, max_value: 5}\n"
+    )
+    rc = main(["build", "--wap", "--threads", "2",
+               "--project", root, "--target", "wpt"])
+    capsys.readouterr()
+    assert rc == 1
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    assert tf.current_version(
+        spark, os.path.join(wh, "wpt_mart")
+    ) is not None  # passing model published
+    assert tf.current_version(
+        spark, os.path.join(wh, "wpt_bad")
+    ) is None  # failing model never published
+
+
+def test_wap_preserves_bucketed_layout(spark, tmp_path, capsys):
+    """--wap + bucket_by: the staged write is the bucketed writer, so a
+    published version still serves as a catalog bucketed table with the
+    zero-exchange property."""
+    from pyspark.sql import functions as F
+
+    from dbt_on_snowflake_spark.__main__ import main
+    from dbt_on_snowflake_spark.plans import count_shuffles, final_plan
+
+    root, data = _wap_project(tmp_path, "wapb", threshold=100)
+    open(f"{root}/models/models/mart.sql", "w").write(
+        "{{ config(bucket_by='id', buckets=4) }}\n"
+        "SELECT id, v FROM {{ source('raw', 't') }}"
+    )
+    assert main(["build", "--wap", "--project", root,
+                 "--target", "wpb"]) == 0
+    capsys.readouterr()
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        agg = spark.table("wpb_mart").groupBy("id").agg(
+            F.sum("v").alias("s")
+        )
+        assert count_shuffles(final_plan(agg)) == 0
+        assert agg.count() == 3
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
