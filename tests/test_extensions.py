@@ -786,3 +786,28 @@ def test_mmr_diversifies_vs_plain_topk(spark):
         if m < p - 1e-9:
             strictly_better += 1
     assert strictly_better >= 1
+
+
+def test_ann_filtered_topk_kernels_agree(spark):
+    """Filtered search through both kernels: the candidate-side metadata
+    predicate must restrict the arrow scorer's scan and the hof join
+    identically — row-identical results, and no neighbor outside the
+    filter."""
+    from dbt_on_snowflake_spark.operators.similarity import (
+        ann_filtered_topk,
+    )
+
+    a = sorted(
+        map(tuple, ann_filtered_topk(spark, SF_SMOKE, kernel="arrow").collect())
+    )
+    h = sorted(
+        map(tuple, ann_filtered_topk(spark, SF_SMOKE, kernel="hof").collect())
+    )
+    assert len(a) > 0
+    assert a == h
+    labels = {
+        r.vec_id: r.label
+        for r in spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .select("vec_id", "label").collect()
+    }
+    assert all(labels[r[1]] % 2 == 0 for r in a)
