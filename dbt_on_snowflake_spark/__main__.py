@@ -692,16 +692,30 @@ def main(argv: list[str] | None = None) -> int:
             def gate(name: str) -> bool:
                 # under --wap the model's relation currently resolves to
                 # its STAGED (uncommitted) data — the audit runs against
-                # the candidate, and only a green audit publishes it
-                res = tr.run_model_tests(project, runner, only={name})
-                ok = all(r.status in ("pass", "warn") for r in res)
-                if runner.wap:
-                    rel = runner.resolve_staged(name)
-                    if ok:
-                        runner.publish_staged(rel)
-                    else:
-                        runner.discard_staged(rel)
-                return ok
+                # the candidate, and only a green audit publishes it.
+                # The gate must stay per-node isolated like model errors:
+                # an exception here (test dispatch, publish commit
+                # conflict) marks THIS node dead instead of aborting the
+                # run with run_results unwritten.
+                try:
+                    res = tr.run_model_tests(project, runner, only={name})
+                    ok = all(r.status in ("pass", "warn") for r in res)
+                    if runner.wap:
+                        rel = runner.resolve_staged(name)
+                        if ok:
+                            runner.publish_staged(rel)
+                        else:
+                            runner.discard_staged(rel)
+                    return ok
+                except Exception as e:  # noqa: BLE001 — node isolation
+                    print(f"error in audit gate for {name}: "
+                          f"{str(e)[:300]}", file=sys.stderr)
+                    if runner.wap:
+                        try:
+                            runner.discard_staged(runner.resolve_staged(name))
+                        except Exception:  # noqa: BLE001
+                            pass
+                    return False
 
             results = runner.run(
                 raw_select, state=state, exclude=raw_exclude,

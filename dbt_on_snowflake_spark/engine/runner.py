@@ -194,18 +194,6 @@ class Runner:
         pre-format tables resolve to their root."""
         return table_format.data_path(self.spark, self._table_path(relation))
 
-    def _current_bucket_meta(self, relation: str) -> tuple[str, int] | None:
-        """(bucket_by col, n buckets) recorded in the relation's CURRENT
-        manifest, or None for unbucketed/legacy tables."""
-        root = self._table_path(relation)
-        v = table_format.current_version(self.spark, root)
-        if v is None:
-            return None
-        m = table_format.read_manifest(self.spark, root, v)
-        if m.get("bucket_by"):
-            return str(m["bucket_by"]), int(m["buckets"])
-        return None
-
     def _register_table(self, relation: str, merge_schema: bool = False) -> None:
         """``merge_schema`` is for insert_overwrite targets, whose
         partitions can carry heterogeneous footers after an
@@ -221,19 +209,34 @@ class Runner:
         schema, manifest bucket spec) on every registration, so a fresh
         process, a version rollback, or a dropped catalog all recover
         from the manifest alone."""
-        bucket = self._current_bucket_meta(relation)
+        # resolve the manifest ONCE: version -> (data dir, bucket spec)
+        # in a single read instead of one read for the bucket probe and
+        # another inside data_path — registration runs per node per run,
+        # so warehouse metadata round-trips here are multiplied
+        root = self._table_path(relation)
+        v = table_format.current_version(self.spark, root)
+        if v is None:
+            dpath = self._data_path(relation)  # legacy pre-format root
+            bucket = None
+        else:
+            m = table_format.read_manifest(self.spark, root, v)
+            dpath = posixpath.join(root, m["data_dir"])
+            bucket = (
+                (str(m["bucket_by"]), int(m["buckets"]))
+                if m.get("bucket_by")
+                else None
+            )
         if bucket is not None:
-            self._register_bucketed(relation, *bucket)
+            self._register_bucketed(relation, dpath, *bucket)
             return
         reader = self.spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
-        reader.parquet(self._data_path(relation)).createOrReplaceTempView(
-            relation
-        )
+        reader.parquet(dpath).createOrReplaceTempView(relation)
 
-    def _register_bucketed(self, relation: str, col: str, n: int) -> None:
-        dpath = self._data_path(relation)
+    def _register_bucketed(
+        self, relation: str, dpath: str, col: str, n: int
+    ) -> None:
         # a temp view from a prior unbucketed materialization would
         # SHADOW the catalog table in resolution — remove it first
         self.spark.catalog.dropTempView(relation)
@@ -274,6 +277,34 @@ class Runner:
         table_format.vacuum(self.spark, root)
         return rows
 
+    def _bucketed_write(
+        self, df: DataFrame, path: str, relation: str, col: str, n: int
+    ) -> int:
+        """The one bucketed write dance (shared by the committing and
+        the WAP-staging paths): Spark's bucketed writer only runs via
+        saveAsTable, so data lands at ``path`` through a throwaway
+        EXTERNAL staging name (dropped immediately — metadata only, the
+        files stay). The ``repartition(n, col)`` matches the writer's
+        own bucket hash, so each task holds exactly one bucket's rows —
+        one file per bucket instead of (tasks x buckets) small files,
+        and that one shuffle is the LAST time this key ever shuffles."""
+        stage = f"{relation}__bkt_stage"
+        self.spark.sql(f"DROP TABLE IF EXISTS `{stage}`")
+        obs = Observation()
+        (
+            df.observe(obs, F.count(F.lit(1)).alias("rows"))
+            .repartition(n, col)
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(n, col)
+            .sortBy(col)
+            .option("path", path)
+            .saveAsTable(stage)
+        )
+        rows = int(obs.get["rows"])
+        self.spark.sql(f"DROP TABLE `{stage}`")
+        return rows
+
     def _write_versioned_bucketed(
         self, df: DataFrame, relation: str, col: str, n: int
     ) -> int:
@@ -294,21 +325,7 @@ class Runner:
         root = self._table_path(relation)
         version, data_dir = table_format.next_txn(self.spark, root)
         path = posixpath.join(root, data_dir)
-        stage = f"{relation}__bkt_stage"
-        self.spark.sql(f"DROP TABLE IF EXISTS `{stage}`")
-        obs = Observation()
-        (
-            df.observe(obs, F.count(F.lit(1)).alias("rows"))
-            .repartition(n, col)
-            .write.mode("overwrite")
-            .format("parquet")
-            .bucketBy(n, col)
-            .sortBy(col)
-            .option("path", path)
-            .saveAsTable(stage)
-        )
-        rows = int(obs.get["rows"])
-        self.spark.sql(f"DROP TABLE `{stage}`")
+        rows = self._bucketed_write(df, path, relation, col, n)
         table_format.commit(
             self.spark, root, version, data_dir,
             meta={
@@ -341,21 +358,7 @@ class Runner:
         meta: dict = {"partition_by": partition_by or []}
         if bucket is not None:
             col, n = bucket
-            stage = f"{relation}__bkt_stage"
-            self.spark.sql(f"DROP TABLE IF EXISTS `{stage}`")
-            obs = Observation()
-            (
-                df.observe(obs, F.count(F.lit(1)).alias("rows"))
-                .repartition(n, col)
-                .write.mode("overwrite")
-                .format("parquet")
-                .bucketBy(n, col)
-                .sortBy(col)
-                .option("path", path)
-                .saveAsTable(stage)
-            )
-            rows = int(obs.get["rows"])
-            self.spark.sql(f"DROP TABLE `{stage}`")
+            rows = self._bucketed_write(df, path, relation, col, n)
             meta.update({"partition_by": [], "bucket_by": col, "buckets": n})
         else:
             rows = self._write_counted(df, path, partition_by)

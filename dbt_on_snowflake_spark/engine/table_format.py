@@ -182,40 +182,52 @@ def pin(
     spark: SparkSession, root: str, pin_id: str, data_dir: str, holder: str
 ) -> None:
     """Pin ``data_dir`` of ``root`` on behalf of ``holder`` (a clone's
-    table root). Re-pinning the same id replaces the old pin — a fresh
-    clone of a newer version releases its old target implicitly."""
+    table root). Pin ids are unique per (holder, holder version), so a
+    pin is only ever CREATED — one atomic PUT, no delete-then-create
+    replacement window during which the dir would be unprotected. A
+    retried clone that recomputes the identical pin tolerates the
+    already-exists collision (same content by construction)."""
     path = posixpath.join(_pins_dir(root), f"{pin_id}.json")
-    fs_delete(spark, path)
-    fs_create_atomic(
-        spark, path,
-        json.dumps(
-            {"data_dir": data_dir, "holder": holder}, sort_keys=True
-        ).encode(),
-    )
+    try:
+        fs_create_atomic(
+            spark, path,
+            json.dumps(
+                {"data_dir": data_dir, "holder": holder}, sort_keys=True
+            ).encode(),
+        )
+    except Exception as e:
+        if "exist" not in str(e).lower():
+            raise
 
 
 def unpin(spark: SparkSession, root: str, pin_id: str) -> None:
     fs_delete(spark, posixpath.join(_pins_dir(root), f"{pin_id}.json"))
 
 
-def clone_pin_id(dst_root: str) -> str:
-    """Deterministic pin id per clone target, so re-cloning the same
-    destination replaces its pin instead of leaking one per clone."""
+def clone_pin_id(dst_root: str, dst_version: int, data_dir: str) -> str:
+    """Deterministic, UNIQUE pin id per (clone target, target version,
+    pinned dir): every clone creates a fresh pin file (atomic create,
+    never replace); the old pin is released when the old clone manifest
+    ages out of the target's retention (see ``vacuum``)."""
     import hashlib
 
-    return "clone-" + hashlib.md5(dst_root.encode()).hexdigest()[:16]
+    h = hashlib.md5(f"{dst_root}|{data_dir}".encode()).hexdigest()[:16]
+    return f"clone-{h}-{dst_version:012d}"
 
 
 def clone_table(spark: SparkSession, src_root: str, dst_root: str) -> dict:
     """ZERO-COPY clone (the table-format analogue of Snowflake's
     ``CREATE TABLE ... CLONE``, which the reference's dbt workflow gets
     from its warehouse): the destination gets a new manifest whose
-    data_dir is the SOURCE's current data dir by absolute path — no
-    data movement at any table size. The referenced dir is protected
-    from the source's vacuum by a pin (``_v/pins/``); the pin is
-    released automatically when the clone's own history stops
-    referencing the dir (see ``vacuum``), i.e. after the clone is
-    rebuilt in place and its clone manifest ages out of retention.
+    data_dir is the current data dir by absolute path — no data
+    movement at any table size. The referenced dir is protected from
+    its OWNER's vacuum by a pin (``_v/pins/`` on the owner root — when
+    the source is itself a clone, the owner is the root the source's
+    manifest records, so clone chains of any depth pin the root that
+    can actually vacuum the dir); the pin is released automatically
+    when the clone's own history stops referencing the dir (see
+    ``vacuum``), i.e. after the clone is rebuilt in place and its clone
+    manifest ages out of retention.
 
     Snapshot isolation: committed data dirs are immutable for
     full-state writes, so the clone serves a consistent version
@@ -231,16 +243,26 @@ def clone_table(spark: SparkSession, src_root: str, dst_root: str) -> dict:
             "(legacy pre-format tables need one versioned write first)"
         )
     m = read_manifest(spark, src_root, v)
-    src_dir_abs = posixpath.join(src_root, m["data_dir"])
-    pid = clone_pin_id(dst_root)
-    pin(spark, src_root, pid, m["data_dir"], holder=dst_root)
+    if m.get("cloned_from"):
+        # the source is itself a clone: its data dir belongs to the
+        # ORIGIN root — pin there, or the origin's vacuum could reclaim
+        # the dir once the intermediate clone stops referencing it
+        owner_root = m["cloned_from"]
+        dir_name = posixpath.basename(m["data_dir"])
+        src_dir_abs = m["data_dir"]
+    else:
+        owner_root = src_root
+        dir_name = m["data_dir"]
+        src_dir_abs = posixpath.join(src_root, m["data_dir"])
     dv, _ = next_txn(spark, dst_root)
+    pid = clone_pin_id(dst_root, dv, dir_name)
+    pin(spark, owner_root, pid, dir_name, holder=dst_root)
     meta = {
         k: m[k]
         for k in ("partition_by", "bucket_by", "buckets", "rows")
         if k in m
     }
-    meta["cloned_from"] = src_root
+    meta["cloned_from"] = owner_root
     meta["clone_pin"] = pid
     commit(spark, dst_root, dv, src_dir_abs, meta=meta)
     vacuum(spark, dst_root)

@@ -215,14 +215,38 @@ def run_due(
     r8): the journal read is check-then-act, so each due tick is guarded
     by an O_CREAT|O_EXCL lock file (target/task_locks/<task>_<minute>);
     the loser of the create race reports the tick as claimed instead of
-    double-firing. Lock files are tick-scoped and never deleted — like
-    journal lines they are the durable claim record, while the journal
-    entry (written by the winner after the run) remains the source of
-    truth for completion."""
+    double-firing. Lock files whose minute has aged past the GC horizon
+    (48 h behind ``now`` — far beyond any plausible concurrent-runner
+    overlap) are garbage-collected on each invocation, so the directory
+    stays bounded for long-lived cron deployments; the journal entry
+    (written by the winner after the run) remains the durable source of
+    truth for completion. A runner that crashes between locking and
+    journaling leaves its tick reported as claimed — `task run --name`
+    is the explicit recovery (the journal shows the minute has no rc
+    entry)."""
     tick = now.replace(second=0, microsecond=0)
     done = completed_ticks(project_root)
     results: list[tuple[str, str]] = []
     lock_dir = os.path.join(project_root, "target", "task_locks")
+    # GC aged lock files (minute encoded in the name; no wall clock —
+    # `now` drives this deterministically like everything else here).
+    # Encoding was minute.replace(':', '-'): restore only the TIME
+    # colon ("...T09-05" -> "...T09:05"); date dashes stay.
+    horizon = tick - timedelta(hours=48)
+    for fname in os.listdir(lock_dir) if os.path.isdir(lock_dir) else []:
+        try:
+            encoded = fname.rsplit("_", 1)[1]  # task names may have _
+            date_part, time_part = encoded.split("T")
+            lock_ts = datetime.fromisoformat(
+                f"{date_part}T{time_part.replace('-', ':')}"
+            )
+        except (IndexError, ValueError):
+            continue
+        if lock_ts < horizon:
+            try:
+                os.remove(os.path.join(lock_dir, fname))
+            except OSError:
+                pass
     for t in load_tasks(project_root):
         if only is not None and t.name != only:
             continue

@@ -1982,7 +1982,7 @@ RERANK_SHORTLIST = 4 * TOP_K  # ADC candidates carried into exact rerank
         SELECT *, ROW_NUMBER() OVER (
             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
         ) AS rank
-        FROM rr
+        FROM rr WHERE NOT isnan(cosine)
     ) WHERE rank <= {TOP_K}
     """,
 )
@@ -2023,7 +2023,10 @@ def ann_pq_rerank_topk(
         "query_id",
         "neighbor_id",
         (F.round(_cosine("qv", "nv"), 4) + 0.0).alias("cosine"),
-    )
+        # zero-norm vectors make the rerank cosine undefined (NULL from
+        # _cosine; NaN in the oracle) — both engines drop the pair, the
+        # same degenerate-input contract as _topk (advice r8)
+    ).filter(F.col("cosine").isNotNull())
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -2062,7 +2065,7 @@ def _hybrid_oracle() -> str:
             SELECT *, ROW_NUMBER() OVER (
                 ORDER BY cosine DESC, doc_id ASC
             ) AS rank
-            FROM d_scored
+            FROM d_scored WHERE NOT isnan(cosine)
         ) WHERE rank <= {RRF_DEPTH}
     ),
     fused AS (
@@ -2120,7 +2123,9 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(_cosine("qv", "v"), 4) + 0.0).alias("cosine"),
         )
     )
-    d_top = d_scored.orderBy(
+    # zero-norm embeddings: undefined cosine (NULL) never enters the
+    # dense list — same contract as the rerank/_topk paths
+    d_top = d_scored.filter(F.col("cosine").isNotNull()).orderBy(
         F.col("cosine").desc(), F.col("doc_id").asc()
     ).limit(RRF_DEPTH)
     # unpartitioned windows here are BOUNDED: they run over the limits'
@@ -2170,6 +2175,7 @@ def _mmr_oracle() -> str:
         SELECT q.vec_id AS query_id, c.vec_id AS nid,
                CAST(ROUND({cos_qc} * 10000, 0) AS BIGINT) AS rel4
         FROM q JOIN e c ON q.vec_id <> c.vec_id
+        WHERE NOT isnan({cos_qc})
     ),
     shortlist AS (
         SELECT query_id, nid, rel4 FROM (

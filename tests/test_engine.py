@@ -3410,3 +3410,35 @@ def test_run_due_unknown_name_errors(tmp_path, capsys):
     err = capsys.readouterr().err
     assert rc == 2
     assert "hourlyy" in err and "hourly" in err
+
+
+def test_run_due_lock_gc(tmp_path):
+    """Tick locks older than the 48 h horizon are garbage-collected on
+    each run_due invocation (driven by --now, no wall clock); recent
+    locks — including the just-claimed tick's — survive."""
+    from datetime import datetime
+
+    from dbt_on_snowflake_spark.engine import tasks as _tasks
+
+    root = str(tmp_path / "gcproj")
+    os.makedirs(f"{root}/target/task_locks", exist_ok=True)
+    with open(f"{root}/tasks.yml", "w") as f:
+        f.write("tasks:\n  - name: my_task\n"
+                "    schedule: \"5 * * * *\"\n    args: \"run\"\n")
+    lock_dir = f"{root}/target/task_locks"
+    old = os.path.join(lock_dir, "my_task_2026-08-01T09-05")
+    recent = os.path.join(lock_dir, "my_task_2026-08-14T08-05")
+    junk = os.path.join(lock_dir, "not-a-lock")
+    for p in (old, recent, junk):
+        open(p, "w").close()
+
+    res = _tasks.run_due(
+        root, datetime(2026, 8, 14, 9, 5), lambda t: 0
+    )
+    assert res == [("my_task", "success")]
+    assert not os.path.exists(old)          # aged out
+    assert os.path.exists(recent)           # within horizon
+    assert os.path.exists(junk)             # unparseable: left alone
+    assert os.path.exists(
+        os.path.join(lock_dir, "my_task_2026-08-14T09-05")
+    )

@@ -811,3 +811,43 @@ def test_ann_filtered_topk_kernels_agree(spark):
         .select("vec_id", "label").collect()
     }
     assert all(labels[r[1]] % 2 == 0 for r in a)
+
+
+def test_rerank_and_hybrid_drop_zero_norm(spark, tmp_path):
+    """Degenerate-input contract for the serve paths: a zero-norm
+    vector may survive ADC shortlisting (PQ scores are finite ints),
+    but its exact rerank cosine is undefined — the pair is dropped, not
+    ranked first, and nothing crashes under ANSI mode."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dbt_on_snowflake_spark.operators.similarity import (
+        ann_pq_rerank_topk,
+    )
+
+    rng = np.random.RandomState(11)
+    n, dim = 60, 8
+    vecs = rng.uniform(-1.0, 1.0, size=(n, dim)).astype(np.float32)
+    vecs[3] = 0.0   # zero-norm candidate
+    vecs[50] = 0.0  # zero-norm query
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([i % 4 for i in range(n)], pa.int32()),
+        }
+    )
+    sf = str(tmp_path / "zn_rr")
+    os.makedirs(sf)
+    pq.write_table(tbl, os.path.join(sf, "embeddings.parquet"))
+
+    rows = ann_pq_rerank_topk(spark, sf).collect()
+    assert len(rows) > 0
+    assert all(r.neighbor_id != 3 for r in rows)
+    assert all(r.query_id != 50 for r in rows)

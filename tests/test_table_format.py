@@ -471,23 +471,66 @@ def test_zero_copy_clone_pins_and_releases(spark, tmp_path):
     assert not os.path.isdir(cloned_dir)
 
 
-def test_reclone_replaces_pin(spark, tmp_path):
+def test_reclone_pins_both_until_old_manifest_expires(spark, tmp_path):
     """Re-cloning the same destination from a newer source version
-    repoints the deterministic pin — exactly one pin per destination,
-    tracking the version it actually serves."""
+    creates a NEW pin (pins are create-only — no delete-then-create
+    window where the served dir is unprotected); the old pin lives
+    until the old clone manifest ages out of the destination's
+    retention, then releases."""
     src = str(tmp_path / "src")
     dst = str(tmp_path / "dst")
     _versioned_write(spark, src, _mkdf(spark, [(1, "a")]))
-    tf.clone_table(spark, src, dst)
+    m1 = tf.clone_table(spark, src, dst)
     _versioned_write(spark, src, _mkdf(spark, [(1, "b")]))
     m2 = tf.clone_table(spark, src, dst)
-    # vacuum of dst may still retain the old clone manifest (retention
-    # window), so the pin tracks the NEWEST clone
+    assert m1["clone_pin"] != m2["clone_pin"]
+    # both clone manifests are within dst's retention -> both pins live
     ps = tf.pins(spark, src)
-    assert list(ps) == [m2["clone_pin"]]
+    assert set(ps) == {m1["clone_pin"], m2["clone_pin"]}
     assert ps[m2["clone_pin"]]["data_dir"] == "d-000000000002"
     got = {r.v for r in spark.read.parquet(tf.data_path(spark, dst)).collect()}
     assert got == {"b"}
+    # dst advances past retention: the v1 clone manifest expires and its
+    # pin releases; the serving v2 pin stays
+    for tag in ("x", "y"):
+        _versioned_write(spark, dst, _mkdf(spark, [(9, tag)]))
+        tf.vacuum(spark, dst)
+    ps = tf.pins(spark, src)
+    assert m1["clone_pin"] not in ps
+
+
+def test_clone_of_clone_pins_origin(spark, tmp_path):
+    """A clone of a clone pins the ORIGIN root (the one whose vacuum
+    could reclaim the dir): after the intermediate clone is rebuilt
+    away and the origin churns versions, the grand-clone still serves
+    its snapshot."""
+    orig = str(tmp_path / "orig")
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    _versioned_write(spark, orig, _mkdf(spark, [(1, "a0")]))
+    origin_dir = tf.data_path(spark, orig)
+    tf.clone_table(spark, orig, a)
+    mb = tf.clone_table(spark, a, b)
+    assert mb["cloned_from"] == orig  # owner, not the intermediate
+    assert mb["data_dir"] == origin_dir
+    # the origin holds pins for BOTH clones
+    holders = {p["holder"] for p in tf.pins(spark, orig).values()}
+    assert holders == {a, b}
+    # intermediate clone rebuilt away + vacuumed past retention: its pin
+    # releases, b's pin remains
+    for tag in ("x", "y", "z"):
+        _versioned_write(spark, a, _mkdf(spark, [(5, tag)]))
+        tf.vacuum(spark, a)
+    holders = {p["holder"] for p in tf.pins(spark, orig).values()}
+    assert holders == {b}
+    # origin churns well past retention: the pinned dir survives and b
+    # still reads its snapshot
+    for tag in ("c", "d", "e"):
+        _versioned_write(spark, orig, _mkdf(spark, [(1, tag)]))
+        tf.vacuum(spark, orig)
+    assert os.path.isdir(origin_dir)
+    got = {r.v for r in spark.read.parquet(tf.data_path(spark, b)).collect()}
+    assert got == {"a0"}
 
 
 def test_clone_of_legacy_table_raises(spark, tmp_path):
