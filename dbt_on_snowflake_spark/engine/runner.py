@@ -309,19 +309,11 @@ class Runner:
         self, df: DataFrame, relation: str, col: str, n: int
     ) -> int:
         """Full-state BUCKETED write through the same atomic commit seam
-        as ``_write_versioned``: Spark's bucketed writer only runs via
-        ``saveAsTable``, so the data lands in the fresh versioned dir
-        through a throwaway EXTERNAL staging name (dropped immediately —
-        metadata only, the files stay), and the manifest create is still
-        the single publish point. The bucket spec is recorded in the
-        manifest; ``_register_table`` re-derives the serving catalog
-        entry from it.
-
-        The ``repartition(n, col)`` matches the writer's own bucket
-        hash, so each task holds exactly one bucket's rows — one file
-        per bucket instead of (tasks x buckets) small files, and the one
-        shuffle HERE is the last time this key ever shuffles: every
-        downstream join/agg on it reads co-located buckets."""
+        as ``_write_versioned`` (the write mechanics live in
+        ``_bucketed_write``, shared with the WAP staging path): the
+        manifest create is still the single publish point, the bucket
+        spec is recorded in the manifest, and ``_register_table``
+        re-derives the serving catalog entry from it."""
         root = self._table_path(relation)
         version, data_dir = table_format.next_txn(self.spark, root)
         path = posixpath.join(root, data_dir)
