@@ -2011,6 +2011,17 @@ def ann_pq_rerank_topk(
     shortlist = ann_pq_adc_topk(
         spark, sf_dir, kernel=kernel, k=RERANK_SHORTLIST
     ).select("query_id", "neighbor_id")
+    return _exact_rerank(e, shortlist)
+
+
+def _exact_rerank(e: DataFrame, shortlist: DataFrame) -> DataFrame:
+    """Stage 2 of two-stage serving, shared by the recompute and the
+    persisted-index variants: broadcast the tiny Q x shortlist-depth
+    pair list against ONE corpus scan to gather neighbor vectors,
+    attach the bounded query vectors the same way, exact-cosine and
+    rank. Zero-norm vectors make the rerank cosine undefined (NULL from
+    _cosine; NaN in the oracle) — both engines drop the pair, the same
+    degenerate-input contract as _topk (advice r8)."""
     q = e.filter(F.expr(_QUERY_PRED)).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
@@ -2023,9 +2034,6 @@ def ann_pq_rerank_topk(
         "query_id",
         "neighbor_id",
         (F.round(_cosine("qv", "nv"), 4) + 0.0).alias("cosine"),
-        # zero-norm vectors make the rerank cosine undefined (NULL from
-        # _cosine; NaN in the oracle) — both engines drop the pair, the
-        # same degenerate-input contract as _topk (advice r8)
     ).filter(F.col("cosine").isNotNull())
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -2034,6 +2042,35 @@ def ann_pq_rerank_topk(
         rr.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+@query(
+    "ann_pq_rerank_indexed",
+    driver=False,  # shares ann_pq_rerank_topk's oracle (set below)
+    oracle=None,
+)
+def ann_pq_rerank_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ann_pq_rerank_topk`` SERVED from the persisted PQ index: the
+    shortlist comes from build_pq_index's codebook/codes tables (no
+    re-encoding — the 100 TB operating mode, where the index is built
+    once per corpus version), then the shared exact-rerank stage
+    re-scores it. Serving from the index must not change a single
+    result row, so it shares the recompute path's oracle verbatim."""
+    shortlist = ann_pq_adc_indexed(
+        spark, sf_dir, k=RERANK_SHORTLIST
+    ).select("query_id", "neighbor_id")
+    return _exact_rerank(_vectors(spark, sf_dir), shortlist)
+
+
+def _set_rerank_indexed_oracle() -> None:
+    from dbt_on_snowflake_spark.registry import QUERIES
+
+    QUERIES["ann_pq_rerank_indexed"].oracle = QUERIES[
+        "ann_pq_rerank_topk"
+    ].oracle
+
+
+_set_rerank_indexed_oracle()
 
 
 # -------------------------------------------------- hybrid retrieval (RRF)

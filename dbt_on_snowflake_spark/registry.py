@@ -61,14 +61,14 @@ QUERIES: dict[str, RegisteredQuery] = {}
 #   (q1_pricing_summary, dedup_exact, t_events_hourly).
 # - R10_EXPORT DRAFT (apply at round-10 start; exact arithmetic
 #   computed at r9 session end: CORRECTNESS_r07 minus CORRECTNESS_r08
-#   minus R9_EXPORT = 50 r7-stale rows, + the 6 r9-born rows in
-#   R10_ROTATE_IN = 56 mandatory > 50 budget, so 6 r7-stale rows slip
+#   minus R9_EXPORT = 50 r7-stale rows, + the 7 r9-born rows in
+#   R10_ROTATE_IN = 57 mandatory > 50 budget, so 7 r7-stale rows slip
 #   to r11). Slip the lowest-risk trivial rows —
 #   s4_source_passthrough, p2_projection_rename, p6_range_filter,
-#   p7_ts_filter, dq_failing_rows, f_scalar_suite — they are
-#   single-operator shapes the local parity replica exercises on every
-#   pytest run and their operator families stay guarded by exported
-#   rows. R10_EXPORT =
+#   p7_ts_filter, dq_failing_rows, f_scalar_suite, f_json_extract —
+#   they are single-operator shapes the local parity replica exercises
+#   on every pytest run and their operator families stay guarded by
+#   exported rows. R10_EXPORT =
 #   (a4_sales_by_nation, a6_unique_violations, a_rollup_revenue,
 #   ann_incremental_assign, ann_ivf_multiprobe, ann_ivf_topk,
 #   ann_quantize_int8, corpus_chunk_documents, corpus_mixture_epochs,
@@ -76,7 +76,7 @@ QUERIES: dict[str, RegisteredQuery] = {}
 #   corpus_pack_shards, corpus_sample_stratified,
 #   corpus_train_val_split, dedup_embedding_cosine,
 #   dedup_incremental_pruned, dedup_passages, dedup_simhash_pairs,
-#   dedup_source_overlap, f_json_extract,
+#   dedup_source_overlap,
 #   j7_anti_orphans, j_salted_events_enrich, j_semi_active_customers,
 #   multimodal_meta, q10_returned_item_losers, q14_promo_revenue_share,
 #   q15_top_supplier, q16_supplier_breadth,
@@ -87,8 +87,8 @@ QUERIES: dict[str, RegisteredQuery] = {}
 #   t_events_sessions_streaming, t_events_sliding_streaming,
 #   t_user_retention, text_contamination, text_quality,
 #   text_token_count, text_top_ngrams, w_running_total_events)
-#   = 44 r7-stale + the 6 R10_ROTATE_IN rows = 50 exactly; no guard
-#   slots this round. r11 then owes the 6 slipped rows + the
+#   = 43 r7-stale + the 7 R10_ROTATE_IN rows = 50 exactly; no guard
+#   slots this round. r11 then owes the 7 slipped rows + the
 #   r8/r9-checked rows as they age.
 DRIVER_BUDGET = 50
 
@@ -110,6 +110,7 @@ R10_ROTATE_IN: set[str] = {
     "text_bm25_topk",
     "retrieval_hybrid_rrf",
     "t_events_topn_types_streaming",
+    "ann_pq_rerank_indexed",
 }
 
 # The authoritative r9 export set. all_queries() applies it over the

@@ -42,6 +42,7 @@ _BNLJ_OK = {
     "ann_pq_rerank_topk",  # stage 1 is ann_pq_adc_topk's capped broadcasts
     "text_bm25_topk",  # 1-row corpus-stats (N/avgdl/df) broadcast
     "retrieval_hybrid_rrf",  # 1-row query-vector + bm25-stats broadcasts
+    "ann_pq_rerank_indexed",  # persisted-index twin of ann_pq_rerank_topk
 }
 
 
