@@ -237,6 +237,27 @@ class Runner:
     def _register_bucketed(
         self, relation: str, dpath: str, col: str, n: int
     ) -> None:
+        # fast path: an existing catalog entry already pointing at this
+        # exact versioned dir needs no rebuild — skipping the
+        # DROP/CREATE and the parquet footer read matters because
+        # registration runs per node per run. A shadowing TEMP VIEW has
+        # no Location row, so it falls through to the rebuild below.
+        try:
+            if self.spark.catalog.tableExists(relation):
+                # DESCRIBE output is bounded table metadata, not data
+                info = {
+                    r.col_name.strip(): (r.data_type or "").strip()
+                    for r in self.spark.sql(
+                        f"DESCRIBE FORMATTED `{relation}`"
+                    ).collect()
+                }
+                loc = info.get("Location", "")
+                if loc.rstrip("/").endswith(dpath.rstrip("/")) and info.get(
+                    "Num Buckets"
+                ) == str(n):
+                    return
+        except Exception:  # noqa: BLE001 — any doubt: rebuild from manifest
+            pass
         # a temp view from a prior unbucketed materialization would
         # SHADOW the catalog table in resolution — remove it first
         self.spark.catalog.dropTempView(relation)
