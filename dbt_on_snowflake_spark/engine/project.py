@@ -401,17 +401,19 @@ class Project:
                     )
                     # dbt python models declare config with dbt.config(...)
                     # parsed statically; same here for ctx.config(...) —
-                    # string-literal kwargs only (materialized,
-                    # token_count, ...), read before the model executes
+                    # string AND integer literal kwargs (materialized,
+                    # token_count, bucket_by, buckets, ...), read before
+                    # the model executes. Without the int capture a
+                    # `ctx.config(bucket_by='k', buckets=8)` silently
+                    # dropped `buckets` and fell back to the default.
                     cfg = {}
                     mcfg = re.search(r"\bctx\.config\(([^)]*)\)", body)
                     if mcfg:
-                        cfg = dict(
-                            re.findall(
-                                r"(\w+)\s*=\s*['\"]([^'\"]*)['\"]",
-                                mcfg.group(1),
-                            )
-                        )
+                        for k, sval, ival in re.findall(
+                            r"(\w+)\s*=\s*(?:['\"]([^'\"]*)['\"]|(\d+))",
+                            mcfg.group(1),
+                        ):
+                            cfg[k] = int(ival) if ival else sval
                     models[name] = ModelNode(
                         name, path, "python", subdir, None, refs, list(srcs),
                         cfg, package=package,

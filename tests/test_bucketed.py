@@ -241,3 +241,48 @@ def test_bucket_by_rejects_partition_by_and_microbatch(spark, tmp_path):
     res2 = runner2.run()
     assert res2[0].status == "error"
     assert "microbatch" in res2[0].error
+
+
+def test_python_model_bucket_config(spark, tmp_path, no_broadcast):
+    """ctx.config integer kwargs reach the engine: a Python model with
+    bucket_by/buckets materializes bucketed (pre-fix the int literal was
+    silently dropped and the default bucket count applied)."""
+    root = str(tmp_path / "proj")
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    pd.DataFrame(
+        {"cust_id": list(range(12)), "amount": [float(i) for i in range(12)]}
+    ).to_parquet(os.path.join(data, "orders.parquet"), index=False)
+    _write(
+        f"{root}/project.yml",
+        "name: pybkt\nmodels:\n  models:\n    materialized: table\n",
+    )
+    _write(
+        f"{root}/sources.yml",
+        f"sources:\n  - name: raw\n    base_path: \"{data}\"\n"
+        "    tables:\n      - name: orders\n",
+    )
+    _write(
+        f"{root}/models/models/pyfact.py",
+        "def model(ctx, spark):\n"
+        "    ctx.config(materialized='table', bucket_by='cust_id',"
+        " buckets=4)\n"
+        "    return ctx.source('raw', 'orders')\n",
+    )
+    project = Project(root, target="pbk")
+    assert project.models["pyfact"].config["buckets"] == 4
+    runner = Runner(spark, project)
+    assert runner.run()[0].status == "success"
+    dpath = runner._data_path("pbk_pyfact")
+    files = [f for f in os.listdir(dpath) if f.endswith(".parquet")]
+    # at most one file per CONFIGURED bucket (an empty bucket emits no
+    # file); bucket ids in the names prove the 4-bucket layout applied
+    assert 0 < len(files) <= 4
+    ids = {int(f.split("_")[1].split(".")[0]) for f in files}
+    assert ids <= {0, 1, 2, 3}
+    agg = spark.table("pbk_pyfact").groupBy("cust_id").agg(
+        F.sum("amount").alias("t")
+    )
+    from dbt_on_snowflake_spark.plans import count_shuffles, final_plan
+
+    assert count_shuffles(final_plan(agg)) == 0
