@@ -42,6 +42,11 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if dict(s.dtypes).get("ts") == "bigint":
         s = s.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif dict(s.dtypes).get("ts") == "timestamp_ntz":
+        # a session WITHOUT nanosAsLong reads TIMESTAMP(NANOS) as NTZ,
+        # which watermarks reject — cast to LTZ (exact under the UTC
+        # session contract, same micros the bigint path produces)
+        s = s.withColumn("ts", F.col("ts").cast("timestamp"))
     return s
 
 
@@ -324,6 +329,9 @@ def t_events_hourly_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if dict(s.dtypes).get("ts") == "bigint":
             s = s.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif dict(s.dtypes).get("ts") == "timestamp_ntz":
+            # no-nanosAsLong session: NTZ -> LTZ (see events_stream)
+            s = s.withColumn("ts", F.col("ts").cast("timestamp"))
         agg = (
             s.withWatermark("ts", _WM_DELAY)
             # group on the window struct itself: projecting .start inside
