@@ -2277,6 +2277,33 @@ def _mmr_oracle() -> str:
     return "".join(parts)
 
 
+def mmr_greedy(ids, rel4, sim4, k):
+    """The sequential MMR selection on SCALED-INT scores (lambda=0.5 =>
+    rank by rel4 - maxsim4; ties to the smallest neighbor id): the pure
+    kernel behind ann_mmr_topk's per-query applyInPandas, exposed so a
+    property test can pit the vectorized selection against an
+    independent textbook implementation over random inputs
+    (tests/test_properties.py)."""
+    import numpy as np
+
+    n = len(ids)
+    picked: list[int] = []
+    scores_out: list[int] = []
+    remaining = np.ones(n, dtype=bool)
+    for _ in range(min(k, n)):
+        if not picked:
+            step = rel4.astype(np.int64)
+        else:
+            step = rel4 - sim4[:, picked].max(axis=1)
+        cand = np.flatnonzero(remaining)
+        sub = step[cand]
+        best = int(cand[np.lexsort((ids[cand], -sub))[0]])
+        picked.append(best)
+        scores_out.append(int(step[best]))
+        remaining[best] = False
+    return picked, scores_out
+
+
 @query("ann_mmr_topk", oracle=_mmr_oracle())
 def ann_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal Marginal Relevance (Carbonell & Goldstein 1998): a
@@ -2319,7 +2346,6 @@ def ann_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def mmr(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
         ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
         rel4 = pdf["rel4"].to_numpy(dtype=np.int64)
         V = np.stack(pdf["nv"].to_numpy()).astype(np.float64)
@@ -2332,20 +2358,7 @@ def ann_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             np.floor(np.abs(cos) * 10000.0 + 0.5), cos
         ).astype(np.int64)
         qid = int(pdf["query_id"].iloc[0])
-        picked: list[int] = []
-        scores_out: list[int] = []
-        remaining = np.ones(n, dtype=bool)
-        for _ in range(min(TOP_K, n)):
-            if not picked:
-                step = rel4.astype(np.int64)
-            else:
-                step = rel4 - sim4[:, picked].max(axis=1)
-            cand = np.flatnonzero(remaining)
-            sub = step[cand]
-            best = int(cand[np.lexsort((ids[cand], -sub))[0]])
-            picked.append(best)
-            scores_out.append(int(step[best]))
-            remaining[best] = False
+        picked, scores_out = mmr_greedy(ids, rel4, sim4, TOP_K)
         pi = np.array(picked, dtype=np.int64)
         return pd.DataFrame(
             {

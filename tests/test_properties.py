@@ -589,3 +589,69 @@ def test_snapshot_timestamp_strategy_matches_python_scd2(spark, steps):
         (k, v, datetime(2026, 1, d), f, t) for k, v, d, f, t in expect
     }
     assert got == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.data(),
+)
+def test_mmr_greedy_matches_textbook(data):
+    """The vectorized MMR selection (lexsort argmax over scaled-int
+    scores) must equal an INDEPENDENT textbook implementation — an
+    explicit python loop taking max(0.5*rel - 0.5*maxsim) with
+    smallest-id tie-break — over random relevances, similarity
+    matrices (including heavy ties and negatives), list sizes and k.
+    No Spark involved: this pins the selection logic itself."""
+    import numpy as np
+
+    from dbt_on_snowflake_spark.operators.similarity import mmr_greedy
+
+    n = data.draw(st.integers(min_value=1, max_value=8))
+    k = data.draw(st.integers(min_value=1, max_value=8))
+    ids = np.array(
+        sorted(
+            data.draw(
+                st.lists(
+                    st.integers(min_value=0, max_value=50),
+                    min_size=n, max_size=n, unique=True,
+                )
+            )
+        ),
+        dtype=np.int64,
+    )
+    # scaled-int scores in the cosine range; coarse grid forces ties
+    rel4 = np.array(
+        [
+            data.draw(st.integers(min_value=-3, max_value=3)) * 5000
+            for _ in range(n)
+        ],
+        dtype=np.int64,
+    )
+    sim4 = np.zeros((n, n), dtype=np.int64)
+    for i in range(n):
+        for j in range(i + 1, n):
+            v = data.draw(st.integers(min_value=-2, max_value=2)) * 5000
+            sim4[i, j] = sim4[j, i] = v
+        sim4[i, i] = 10000
+
+    picked, scores = mmr_greedy(ids, rel4, sim4, k)
+
+    # textbook reference: explicit loop, explicit tie-break
+    sel: list[int] = []
+    ref_scores: list[int] = []
+    remaining = set(range(len(ids)))
+    for _ in range(min(k, len(ids))):
+        best_idx, best_score = None, None
+        for i in sorted(remaining, key=lambda i: ids[i]):
+            if not sel:
+                score = int(rel4[i])
+            else:
+                score = int(rel4[i]) - max(int(sim4[i][j]) for j in sel)
+            if best_score is None or score > best_score:
+                best_idx, best_score = i, score
+        sel.append(best_idx)
+        ref_scores.append(best_score)
+        remaining.discard(best_idx)
+
+    assert picked == sel
+    assert scores == ref_scores
