@@ -655,3 +655,74 @@ def test_mmr_greedy_matches_textbook(data):
 
     assert picked == sel
     assert scores == ref_scores
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_bm25_oracle_matches_textbook(data):
+    """The BM25 CTE (the oracle both engines are pinned to) must equal
+    an independent textbook implementation — explicit python loops over
+    tf/df/idf with the Lucene idf form — on random tiny corpora,
+    including docs with zero matching terms and repeated terms. DuckDB
+    only: the Spark side is pinned to this oracle by the parity
+    replica, so pinning the oracle to the textbook closes the loop."""
+    import math
+
+    import duckdb
+    import pandas as pd
+
+    from dbt_on_snowflake_spark.operators.textops import (
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+        bm25_ranked_cte,
+    )
+
+    vocab = list(BM25_TERMS) + ["alpha", "beta", "gamma"]
+    n_docs = data.draw(st.integers(min_value=1, max_value=6))
+    docs = []
+    for i in range(n_docs):
+        n_tok = data.draw(st.integers(min_value=1, max_value=12))
+        toks = [
+            vocab[data.draw(st.integers(0, len(vocab) - 1))]
+            for _ in range(n_tok)
+        ]
+        docs.append((i, " ".join(toks)))
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    sql = (
+        f"WITH {bm25_ranked_cte(n_docs)} "
+        "SELECT doc_id, score, rank FROM b_ranked"
+    )
+    got = {
+        int(r[0]): (float(r[1]), int(r[2]))
+        for r in con.execute(sql).fetchall()
+    }
+    con.close()
+
+    # textbook reference
+    tok_lists = {i: t.split(" ") for i, t in docs}
+    N = n_docs
+    avgdl = sum(len(t) for t in tok_lists.values()) / N
+    scores = {}
+    for i, toks in tok_lists.items():
+        s = 0.0
+        for term in BM25_TERMS:
+            tf = toks.count(term)
+            df_ = sum(1 for t in tok_lists.values() if term in t)
+            idf = math.log((N - df_ + 0.5) / (df_ + 0.5) + 1.0)
+            s += (
+                idf
+                * (tf * (BM25_K1 + 1.0))
+                / (
+                    tf
+                    + BM25_K1
+                    * (1.0 - BM25_B + BM25_B * len(toks) / avgdl)
+                )
+            )
+        scores[i] = round(s, 4) + 0.0
+    order = sorted(scores, key=lambda i: (-scores[i], i))
+    want = {i: (scores[i], rank + 1) for rank, i in enumerate(order)}
+    assert got == want
