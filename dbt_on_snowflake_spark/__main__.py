@@ -466,6 +466,8 @@ def main(argv: list[str] | None = None) -> int:
             args.event_end = prior_args.get("event_end")
         if not getattr(args, "empty", False):
             args.empty = bool(prior_args.get("empty"))
+        if not getattr(args, "wap", False):
+            args.wap = bool(prior_args.get("wap"))
         if cli_vars is None and prior_args.get("vars"):
             cli_vars = prior_args["vars"]
         prior_nodes = [
@@ -500,6 +502,12 @@ def main(argv: list[str] | None = None) -> int:
             r["name"] for r in prior_nodes
             if r["status"] in ("success", "reused")
         }
+        # under --wap a failed AUDIT discarded the staged data — the
+        # on-disk table is the PREVIOUS (good) version, so reusing it
+        # would re-test old data and go green without ever ingesting
+        # the new data. Those models must REBUILD (stage + re-audit).
+        if prior_args.get("wap"):
+            reuse -= failed_test_models
         hook_failed = any(
             r.get("materialization") == "hook"
             and r.get("status") not in ("success", "reused")
@@ -554,6 +562,10 @@ def main(argv: list[str] | None = None) -> int:
         "threads": getattr(args, "threads", 1),
         # a retry of `run --empty` must stay a schema-only dry run
         "empty": getattr(args, "empty", False),
+        # a retry of `build --wap` must keep write-audit-publish: the
+        # replay's tests rerun, and dropping the flag would publish a
+        # still-failing model's data BEFORE its audit
+        "wap": getattr(args, "wap", False),
     }
 
     if args.cmd in ("run", "retry"):

@@ -863,3 +863,40 @@ def test_wap_preserves_bucketed_layout(spark, tmp_path, capsys):
         assert agg.count() == 3
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_retry_replays_wap_flag(spark, tmp_path, capsys):
+    """A retry of a failed `build --wap` stays write-audit-publish: the
+    replayed model re-stages, its still-failing audit still blocks the
+    publish, and the old version keeps serving — dropping the flag
+    would publish the bad data before its tests."""
+    from dbt_on_snowflake_spark.__main__ import main
+
+    root, data = _wap_project(tmp_path, "wapr", threshold=100)
+    tgt = ["--project", root, "--target", "wpr"]
+    assert main(["build", "--wap", *tgt]) == 0
+    capsys.readouterr()
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    troot = os.path.join(wh, "wpr_mart")
+    v1 = tf.current_version(spark, troot)
+
+    pd.DataFrame({"id": [1], "v": [999.0]}).to_parquet(
+        os.path.join(data, "t.parquet"), index=False
+    )
+    assert main(["build", "--wap", *tgt]) == 1
+    capsys.readouterr()
+    # bare retry (no --wap passed): must replay WITH wap
+    assert main(["retry", "--project", root]) == 1
+    capsys.readouterr()
+    assert tf.current_version(spark, troot) == v1  # still unpublished
+    assert sorted(r.v for r in spark.table("wpr_mart").collect()) == [
+        10, 20, 30,
+    ]
+    # data fixed: the retried build publishes
+    pd.DataFrame({"id": [1], "v": [50.0]}).to_parquet(
+        os.path.join(data, "t.parquet"), index=False
+    )
+    assert main(["retry", "--project", root]) == 0
+    capsys.readouterr()
+    assert tf.current_version(spark, troot) == v1 + 1
+    assert [r.v for r in spark.table("wpr_mart").collect()] == [50.0]
