@@ -900,3 +900,70 @@ def test_retry_replays_wap_flag(spark, tmp_path, capsys):
     capsys.readouterr()
     assert tf.current_version(spark, troot) == v1 + 1
     assert [r.v for r in spark.table("wpr_mart").collect()] == [50.0]
+
+
+def test_compact_sort_by_within_partitions(spark, tmp_path, capsys):
+    """`compact --sort-by` on a PARTITIONED table keeps the partition
+    layout and sorts WITHIN each partition's rewrite — row groups carry
+    ordered min/max for the clustering column inside every partition
+    dir, and values/partitioning are unchanged."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from dbt_on_snowflake_spark.__main__ import main
+
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    ids = [(i * 29) % 128 for i in range(128)]
+    pd.DataFrame(
+        {
+            "id": ids,
+            "status": ["open" if i % 2 else "closed" for i in range(128)],
+        }
+    ).to_parquet(os.path.join(data, "t.parquet"), index=False)
+    root = str(tmp_path / "proj")
+    os.makedirs(f"{root}/models/models", exist_ok=True)
+    open(f"{root}/project.yml", "w").write(
+        "name: cpp\nmodels:\n  models:\n    materialized: table\n"
+    )
+    open(f"{root}/sources.yml", "w").write(
+        f"sources:\n  - name: raw\n    base_path: \"{data}\"\n"
+        "    tables:\n      - name: t\n"
+    )
+    open(f"{root}/models/models/ps.sql", "w").write(
+        "{{ config(materialized='table', partition_by='status') }}\n"
+        "SELECT /*+ REPARTITION(4) */ id, status "
+        "FROM {{ source('raw', 't') }}"
+    )
+    assert main(["run", "--project", root, "--target", "cpp"]) == 0
+    capsys.readouterr()
+    assert main(["compact", "--project", root, "--target", "cpp",
+                 "--sort-by", "id"]) == 0
+    out = capsys.readouterr().out
+    assert "compacted cpp_ps" in out and "sorted by id" in out
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    dp = tf.data_path(spark, os.path.join(wh, "cpp_ps"))
+    part_dirs = sorted(
+        d for d in os.listdir(dp) if d.startswith("status=")
+    )
+    assert part_dirs == ["status=closed", "status=open"]
+    for d in part_dirs:
+        for f in glob.glob(os.path.join(dp, d, "*.parquet")):
+            md = pq.read_metadata(f)
+            rg_ranges = []
+            for rg in range(md.num_row_groups):
+                col = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == "id"
+                )
+                rg_ranges.append(
+                    (col.statistics.min, col.statistics.max)
+                )
+            # within-file sort: row-group ranges are ordered
+            for (lo1, hi1), (lo2, _) in zip(rg_ranges, rg_ranges[1:]):
+                assert hi1 <= lo2
+    got = spark.table("cpp_ps")
+    assert got.count() == 128
+    assert sorted(r.id for r in got.collect()) == sorted(ids)
