@@ -2125,7 +2125,11 @@ def _hybrid_oracle() -> str:
     """
 
 
-@query("retrieval_hybrid_rrf", oracle=_hybrid_oracle())
+@query(
+    "retrieval_hybrid_rrf",
+    headline=True,  # r9: the lexical+dense fusion serve shape
+    oracle=_hybrid_oracle(),
+)
 def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval with Reciprocal Rank Fusion (Cormack et al.
     2009): the lexical list (BM25 over documents, fixed terms) and the
@@ -2304,7 +2308,11 @@ def mmr_greedy(ids, rel4, sim4, k):
     return picked, scores_out
 
 
-@query("ann_mmr_topk", oracle=_mmr_oracle())
+@query(
+    "ann_mmr_topk",
+    headline=True,  # r9: the diversified-serving heavyweight
+    oracle=_mmr_oracle(),
+)
 def ann_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal Marginal Relevance (Carbonell & Goldstein 1998): a
     diversified top-k for retrieval-augmented training-data selection —

@@ -524,8 +524,13 @@ _HEADLINE_MAX_SHUFFLES = {
     "ann_pq_adc_topk": 1,  # rank window only (codebook checkpointed)
     "ann_pq_adc_topk_hof": 1,  # kernel A/B twin: same plan posture
     "ann_pq_codes": 3,  # centroid rollup exchanges only (tiny)
+    "ann_mmr_topk": 2,  # scorer rank + per-query greedy groupBy; the
+    # vector gather joins broadcast
     "ann_pq_rerank_topk": 2,  # shortlist rank + rerank rank; both gather
     # joins broadcast — no corpus-sized shuffle anywhere
+    "retrieval_hybrid_rrf": 1,  # bm25 stats agg; every window/join runs
+    # on bounded top-depth lists (single-partition exchanges are over
+    # <= 2 x RRF_DEPTH rows)
 
     "ann_pq_codes_hof": 3,  # encode-stage A/B twin
     "ann_topk_bruteforce": 1,
