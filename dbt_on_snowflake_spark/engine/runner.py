@@ -392,15 +392,25 @@ class Runner:
     def publish_staged(self, relation: str) -> None:
         """Audit passed: the deferred manifest create publishes the
         staged version (the same single-object atomic commit every
-        write uses), then the relation registers from its manifest."""
+        write uses), then the relation registers from its manifest.
+
+        The staged ledger entry is popped only AFTER the commit
+        succeeds: if commit raises (e.g. a CommitConflict from a
+        concurrent writer), the entry stays so the gate's
+        exception-path discard_staged can still delete the staged dir
+        and re-point the relation at the committed state — otherwise
+        the session would keep serving the never-published staged dir
+        (r9 advice, runner.py:397)."""
         with self._staged_lock:
-            st = self._staged.pop(relation, None)
+            st = self._staged.get(relation)
         if st is None:
             return
         table_format.commit(
             self.spark, st["root"], st["version"], st["data_dir"],
             meta=st["meta"],
         )
+        with self._staged_lock:
+            self._staged.pop(relation, None)
         table_format.vacuum(self.spark, st["root"])
         self._register_table(relation)
 

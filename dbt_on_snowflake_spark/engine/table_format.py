@@ -54,6 +54,7 @@ from pyspark.sql import SparkSession
 from dbt_on_snowflake_spark.engine.fs import (
     fs_create_atomic,
     fs_delete,
+    fs_exists,
     fs_list,
     fs_read,
 )
@@ -196,7 +197,13 @@ def pin(
             ).encode(),
         )
     except Exception as e:
-        if "exist" not in str(e).lower():
+        # Only the benign already-exists collision (an identical retried
+        # clone) is tolerated — and only after verifying the pin file IS
+        # present, so a failure that merely mentions 'exist' (e.g. "path
+        # does not exist") can't silently leave the clone's data dir
+        # unprotected from the source's vacuum (r9 advice,
+        # table_format.py:199).
+        if "exist" not in str(e).lower() or not fs_exists(spark, path):
             raise
 
 

@@ -128,52 +128,56 @@ def test_driver_export_within_budget():
         assert any(n.startswith(fam) for n in exported), fam
 
 
-def test_r9_rotation_promises_kept():
-    """The rotation ledger's r9 draft, executed: the 41 rows last
-    driver-checked in r6 (3-round window hit) and all 6 r8-born
-    never-driver-checked rows (R9_ROTATE_IN) must be in the r9 export.
-    Pin them so a later edit can't silently demote one before the
-    driver sees it. R10_ROTATE_IN accumulates r9-born queries for the
-    next rotation."""
+def test_r10_rotation_promises_kept():
+    """The rotation ledger's r10 draft, executed verbatim: the 43 rows
+    last driver-checked in r7 (3-round window hit; 7 trivial r7-stale
+    rows explicitly slipped to r11 per the ledger) and all 7 r9-born
+    never-driver-checked rows (R10_ROTATE_IN) must be in the r10
+    export. Pin them so a later edit can't silently demote one before
+    the driver sees it. R11_ROTATE_IN accumulates r10-born queries for
+    the next rotation."""
     from dbt_on_snowflake_spark.registry import (
-        R9_EXPORT,
-        R9_ROTATE_IN,
+        R10_EXPORT,
         R10_ROTATE_IN,
+        R11_ROTATE_IN,
         driver_queries,
     )
 
     exported = set(driver_queries())
-    assert R9_EXPORT <= exported, sorted(R9_EXPORT - exported)
-    r6_stale = {
-        "a_approx_sketches", "a_cube_status_priority",
-        "a_exact_distinct_median", "a_pivot_status_revenue",
-        "ann_centroids", "ann_ivf_multiprobe_indexed",
-        "asof_last_order_before_event", "corpus_clean_pipeline",
-        "corpus_mixture_sample", "corpus_mixture_sample_bpe",
-        "corpus_token_budget", "corpus_token_budget_hist",
-        "corpus_token_budget_hist_bpe", "dedup_clusters",
-        "dedup_containment", "dedup_incremental_index",
-        "dedup_incremental_streaming", "dedup_minhash_lsh",
-        "dedup_minhash_verified", "dedup_semantic", "dedup_simhash",
-        "j2_left_join_enrich", "multimodal_decode",
-        "multimodal_frame_sample", "q2_min_cost_supplier",
-        "q3_top_revenue_orders", "q4_late_shipments_by_priority",
-        "q5_nation_volume", "q17_small_quantity_revenue",
-        "q18_large_volume_orders", "q20_heavy_suppliers",
-        "s_setops_segments", "t_event_funnel",
-        "t_events_range_join_windows", "t_events_sessionize",
-        "t_monthly_revenue", "text_pii_redact", "text_token_count_bpe",
-        "text_unigram_rarity", "text_unigram_rarity_bcast",
-        "w_topk_orders_per_customer",
+    assert R10_EXPORT <= exported, sorted(R10_EXPORT - exported)
+    r7_stale = {
+        "a4_sales_by_nation", "a6_unique_violations", "a_rollup_revenue",
+        "ann_incremental_assign", "ann_ivf_multiprobe", "ann_ivf_topk",
+        "ann_quantize_int8", "corpus_chunk_documents",
+        "corpus_mixture_epochs", "corpus_pack_sequences",
+        "corpus_pack_sequences_bpe", "corpus_pack_shards",
+        "corpus_sample_stratified", "corpus_train_val_split",
+        "dedup_embedding_cosine", "dedup_incremental_pruned",
+        "dedup_passages", "dedup_simhash_pairs", "dedup_source_overlap",
+        "j7_anti_orphans", "j_salted_events_enrich",
+        "j_semi_active_customers", "multimodal_meta",
+        "q10_returned_item_losers", "q14_promo_revenue_share",
+        "q15_top_supplier", "q16_supplier_breadth",
+        "q19_branded_quantity_revenue", "q6_forecast_revenue_delta",
+        "t_event_funnel_streaming", "t_event_transitions",
+        "t_events_dedup_streaming", "t_events_hourly_append",
+        "t_events_hourly_streaming", "t_events_rate_anomalies",
+        "t_events_sessions_streaming", "t_events_sliding_streaming",
+        "t_user_retention", "text_contamination", "text_quality",
+        "text_token_count", "text_top_ngrams", "w_running_total_events",
     }
-    assert len(r6_stale) == 41
-    assert r6_stale <= exported, sorted(r6_stale - exported)
-    assert R9_ROTATE_IN <= exported, sorted(R9_ROTATE_IN - exported)
-    # r9-born queries register in the ledger for the r10 rotation
+    assert len(r7_stale) == 43
+    assert r7_stale <= exported, sorted(r7_stale - exported)
+    assert R10_ROTATE_IN <= exported, sorted(R10_ROTATE_IN - exported)
+    # the export is exactly the mandatory set — no guard slack this round
+    assert exported == r7_stale | R10_ROTATE_IN, sorted(
+        exported ^ (r7_stale | R10_ROTATE_IN)
+    )
+    # r10-born queries register in the ledger for the r11 rotation
     from dbt_on_snowflake_spark.registry import all_queries
 
-    assert R10_ROTATE_IN <= set(all_queries()), sorted(
-        R10_ROTATE_IN - set(all_queries())
+    assert R11_ROTATE_IN <= set(all_queries()), sorted(
+        R11_ROTATE_IN - set(all_queries())
     )
 
 
