@@ -368,6 +368,9 @@ class Runner:
         root = self._table_path(relation)
         version, data_dir = table_format.next_txn(self.spark, root)
         path = posixpath.join(root, data_dir)
+        # marked BEFORE any data lands: a concurrent vacuum (tasks.yml
+        # cron) must never see the staged dir as an unreferenced orphan
+        table_format.stage_mark(self.spark, root, data_dir, relation)
         meta: dict = {"partition_by": partition_by or []}
         if bucket is not None:
             col, n = bucket
@@ -411,6 +414,7 @@ class Runner:
         )
         with self._staged_lock:
             self._staged.pop(relation, None)
+        table_format.stage_unmark(self.spark, st["root"], st["data_dir"])
         table_format.vacuum(self.spark, st["root"])
         self._register_table(relation)
 
@@ -427,6 +431,7 @@ class Runner:
         fs_delete(
             self.spark, posixpath.join(st["root"], st["data_dir"])
         )
+        table_format.stage_unmark(self.spark, st["root"], st["data_dir"])
         self.spark.catalog.dropTempView(relation)
         if self.table_exists(relation):
             self._register_table(relation)

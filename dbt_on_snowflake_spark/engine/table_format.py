@@ -211,6 +211,62 @@ def unpin(spark: SparkSession, root: str, pin_id: str) -> None:
     fs_delete(spark, posixpath.join(_pins_dir(root), f"{pin_id}.json"))
 
 
+def _staged_markers_dir(root: str) -> str:
+    return posixpath.join(_versions_dir(root), "staged")
+
+
+def staged_markers(spark: SparkSession, root: str) -> dict[str, dict]:
+    """data_dir name -> marker payload for every live staged marker."""
+    out: dict[str, dict] = {}
+    for name in fs_list(spark, _staged_markers_dir(root)):
+        if not name.endswith(".json"):
+            continue
+        payload = fs_read(
+            spark, posixpath.join(_staged_markers_dir(root), name)
+        ).decode()
+        out[name[:-5]] = json.loads(payload)
+    return out
+
+
+def stage_mark(
+    spark: SparkSession, root: str, data_dir: str, holder: str
+) -> None:
+    """Mark ``data_dir`` as a STAGED (write-audit-publish) candidate so
+    vacuum treats it as a live reference for the whole audit window.
+    Without the marker, vacuum's invariant "an unreferenced d-* dir
+    cannot be an in-flight commit" is false under --wap: the staged dir
+    is exactly that until publish, and a concurrent vacuum/compact
+    (e.g. a tasks.yml cron) would delete staged data mid-audit (r9
+    advice, table_format.py:275). Created BEFORE the staged write
+    begins — there is no window where the dir exists unmarked.
+
+    Crash lifecycle: publish clears the marker after its commit;
+    discard clears it after deleting the dir. A marker leaked by a
+    crash between those steps is healed by vacuum the next time the
+    version number is reused and committed (the marker's dir is then
+    manifest-referenced, so the marker is redundant and dropped); until
+    then it protects at most one orphan dir of one uncommitted version.
+    """
+    path = posixpath.join(_staged_markers_dir(root), f"{data_dir}.json")
+    try:
+        fs_create_atomic(
+            spark, path,
+            json.dumps({"holder": holder}, sort_keys=True).encode(),
+        )
+    except Exception as e:
+        # A retried stage of the same uncommitted version reuses the
+        # data-dir name; the existing marker already protects it. As in
+        # pin(), tolerate only a VERIFIED already-exists collision.
+        if "exist" not in str(e).lower() or not fs_exists(spark, path):
+            raise
+
+
+def stage_unmark(spark: SparkSession, root: str, data_dir: str) -> None:
+    fs_delete(
+        spark, posixpath.join(_staged_markers_dir(root), f"{data_dir}.json")
+    )
+
+
 def clone_pin_id(dst_root: str, dst_version: int, data_dir: str) -> str:
     """Deterministic, UNIQUE pin id per (clone target, target version,
     pinned dir): every clone creates a fresh pin file (atomic create,
@@ -279,7 +335,10 @@ def clone_table(spark: SparkSession, src_root: str, dst_root: str) -> dict:
 def vacuum(spark: SparkSession, root: str, keep: int = VACUUM_KEEP) -> list[str]:
     """Delete data dirs no retained manifest references — old versions
     beyond ``keep`` and orphans from crashed writers (single-writer
-    engine: an unreferenced ``d-*`` dir cannot be an in-flight commit).
+    engine: an unreferenced ``d-*`` dir cannot be an in-flight commit
+    — EXCEPT a write-audit-publish stage, which ``stage_mark`` declares
+    as a live reference for its audit window so a concurrent
+    vacuum/compact cannot reap it).
     Also clears legacy root files once a manifest exists (readers have
     already moved to the pointer). Returns what it deleted.
 
@@ -296,6 +355,17 @@ def vacuum(spark: SparkSession, root: str, keep: int = VACUUM_KEEP) -> list[str]
     retained_manifests = [read_manifest(spark, root, v) for v in retained]
     referenced = {m["data_dir"] for m in retained_manifests}
     referenced |= {p["data_dir"] for p in pins(spark, root).values()}
+    # WAP awareness: staged dirs are in-flight commits for the whole
+    # audit window — live references, NOT crashed-writer orphans. A
+    # marker whose dir a retained manifest now references was published
+    # (or its version number was reused and committed) with a crash
+    # before the unmark: the manifest protects the dir, so the
+    # redundant marker is healed away here.
+    for staged_name in list(staged_markers(spark, root)):
+        if staged_name in referenced:
+            stage_unmark(spark, root, staged_name)
+        else:
+            referenced.add(staged_name)
     retained_clone_pins = {
         (m.get("cloned_from"), m.get("clone_pin"))
         for m in retained_manifests

@@ -70,10 +70,16 @@ _ORACLE_TOPK = """
         FROM q JOIN e c ON q.vec_id <> c.vec_id {block}
     ),
     ranked AS (
+        -- NOT isnan: a zero-norm embedding makes the cosine undefined;
+        -- DuckDB ranks NaN above all finite values under DESC while the
+        -- engine kernels drop undefined cosines, so the guard keeps the
+        -- degenerate-input contract symmetric across every top-k oracle
+        -- instead of depending on the parity data having no zero-norm
+        -- vectors (r9 advice, similarity.py:64)
         SELECT *, ROW_NUMBER() OVER (
             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
         ) AS rank
-        FROM scored
+        FROM scored WHERE NOT isnan(cosine)
     )
     SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
 """

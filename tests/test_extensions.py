@@ -851,3 +851,67 @@ def test_rerank_and_hybrid_drop_zero_norm(spark, tmp_path):
     assert len(rows) > 0
     assert all(r.neighbor_id != 3 for r in rows)
     assert all(r.query_id != 50 for r in rows)
+
+
+def test_oracle_topk_drops_zero_norm(spark, tmp_path):
+    """Oracle-side half of the degenerate-input contract (r9 advice,
+    similarity.py:64): _ORACLE_TOPK's consumers (brute-force and
+    filtered top-k) must agree with the engine on a corpus CONTAINING a
+    zero-norm embedding — DuckDB ranks the NaN cosine above every
+    finite value under DESC, so without the NOT isnan guard the oracle
+    would seat the undefined pair first while the engine drops it."""
+    import os
+
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dbt_on_snowflake_spark.registry import all_queries
+
+    rng = np.random.RandomState(13)
+    n, dim = 60, 8
+    vecs = rng.uniform(-1.0, 1.0, size=(n, dim)).astype(np.float32)
+    vecs[3] = 0.0   # zero-norm neighbor
+    vecs[50] = 0.0  # zero-norm query
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([i % 4 for i in range(n)], pa.int32()),
+        }
+    )
+    sf = str(tmp_path / "zn_oracle")
+    os.makedirs(sf)
+    pq.write_table(tbl, os.path.join(sf, "embeddings.parquet"))
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{os.path.join(sf, 'embeddings.parquet')}')"
+    )
+    qs = all_queries()
+    try:
+        for name in ("ann_topk_bruteforce", "ann_filtered_topk"):
+            q = qs[name]
+            sdf = q.fn(spark, sf)
+            cols = sorted(sdf.columns, key=str.lower)
+            engine = sorted(
+                tuple(r[c] for c in cols) for r in sdf.collect()
+            )
+            odf = con.execute(q.oracle).fetchdf()
+            oracle = sorted(
+                tuple(row)
+                for row in odf[sorted(odf.columns, key=str.lower)]
+                .itertuples(index=False)
+            )
+            assert len(engine) > 0, name
+            assert engine == oracle, name
+            # cols sorted: (cosine, neighbor_id, query_id, rank)
+            assert all(r[1] != 3 for r in engine), name   # neighbor_id
+            assert all(r[2] != 50 for r in engine), name  # query_id
+    finally:
+        con.close()

@@ -772,8 +772,12 @@ def test_wap_rejects_in_place_strategies(spark, tmp_path, capsys):
 def test_wap_crash_between_stage_and_publish(spark, tmp_path, capsys):
     """A build that dies after staging but before the audit/publish
     (simulated by staging directly and abandoning it) leaves the old
-    version served; the orphan stage is reclaimed by the next vacuum,
-    and a later healthy build publishes normally."""
+    version served. The staged dir carries a _v/staged marker from the
+    moment it is allocated, so a concurrent vacuum (e.g. a tasks.yml
+    cron firing mid-audit) must NOT reclaim it (r9 advice,
+    table_format.py:275); the next healthy build of the relation reuses
+    the uncommitted version's dir, publishes, and the post-publish
+    vacuum heals the marker away."""
     from dbt_on_snowflake_spark.__main__ import main
     from dbt_on_snowflake_spark.engine.project import Project
     from dbt_on_snowflake_spark.engine.runner import Runner
@@ -798,14 +802,22 @@ def test_wap_crash_between_stage_and_publish(spark, tmp_path, capsys):
     ]
     assert staged  # the stage landed on disk...
     assert tf.current_version(spark, troot) == v1  # ...but NOT committed
+    assert staged[0] in tf.staged_markers(spark, troot)
 
-    # vacuum reclaims the orphan; a fresh healthy build publishes
-    tf.vacuum(spark, troot)
-    assert not os.path.isdir(os.path.join(troot, staged[0]))
+    # a vacuum racing the audit window leaves the staged dir intact —
+    # this is exactly the window in which it holds unpublished data
+    removed = tf.vacuum(spark, troot)
+    assert staged[0] not in removed
+    assert os.path.isdir(os.path.join(troot, staged[0]))
+
+    # a fresh healthy build reuses the uncommitted version and publishes
     assert main(["build", "--wap", *tgt]) == 0
     capsys.readouterr()
     assert tf.current_version(spark, troot) == v1 + 1
     assert spark.table("wpc_mart").count() == 3
+    # the marker is gone (cleared on publish; vacuum would also heal a
+    # leaked one now that a manifest references the dir)
+    assert tf.staged_markers(spark, troot) == {}
 
 
 def test_wap_threaded_mixed_outcomes(spark, tmp_path, capsys):
@@ -967,3 +979,131 @@ def test_compact_sort_by_within_partitions(spark, tmp_path, capsys):
     got = spark.table("cpp_ps")
     assert got.count() == 128
     assert sorted(r.id for r in got.collect()) == sorted(ids)
+
+
+def test_publish_commit_conflict_keeps_discard_path(spark, tmp_path):
+    """publish_staged must pop the staged ledger entry only AFTER the
+    manifest commit succeeds (r9 advice, runner.py:397): when the
+    commit collides with a concurrent writer, the entry survives so the
+    WAP gate's exception-path discard_staged still deletes the staged
+    dir and re-points the relation at the committed state — instead of
+    the session serving never-published staged data."""
+    from dbt_on_snowflake_spark.engine.project import Project
+    from dbt_on_snowflake_spark.engine.runner import Runner
+
+    root, data = _wap_project(tmp_path, "wapx", threshold=100)
+    runner = Runner(spark, Project(root, target="wpx"), wap=True)
+    runner.load_sources()
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    troot = os.path.join(wh, "wpx_mart")
+
+    df = spark.table("src_raw_t").selectExpr("id", "v")
+    runner._stage_versioned(df, "wpx_mart", [], None)
+    staged_dir = runner._staged["wpx_mart"]["data_dir"]
+
+    # concurrent writer lands the same version first (distinct dir name)
+    _mkdf(spark, [(7, "w")]).write.mode("overwrite").parquet(
+        os.path.join(troot, "d-conflict")
+    )
+    tf.commit(spark, troot, 1, "d-conflict")
+
+    with pytest.raises(tf.CommitConflict):
+        runner.publish_staged("wpx_mart")
+    # ledger entry retained -> the gate's except-path cleanup still works
+    assert "wpx_mart" in runner._staged
+    runner.discard_staged("wpx_mart")
+    assert runner._staged == {}
+    assert not os.path.isdir(os.path.join(troot, staged_dir))
+    assert tf.staged_markers(spark, troot) == {}
+    # the relation serves the concurrently committed state
+    assert {r.v for r in spark.table("wpx_mart").collect()} == {"w"}
+
+
+def test_pin_create_failure_not_swallowed(spark, tmp_path, monkeypatch):
+    """pin() tolerates ONLY a verified already-exists collision (r9
+    advice, table_format.py:199): a create failure whose message merely
+    mentions 'exist' (e.g. "path does not exist") must propagate, not
+    leave the clone's data dir silently unprotected from vacuum."""
+    root = str(tmp_path / "t")
+    _versioned_write(spark, root, _mkdf(spark, [(1, "a")]))
+
+    def boom(spark_, path, data):
+        raise RuntimeError(f"parent path does not exist: {path}")
+
+    monkeypatch.setattr(tf, "fs_create_atomic", boom)
+    with pytest.raises(RuntimeError, match="does not exist"):
+        tf.pin(spark, root, "p1", "d-000000000001", holder="h")
+    monkeypatch.undo()
+
+    # the benign collision (pin file actually present) stays tolerated
+    tf.pin(spark, root, "p1", "d-000000000001", holder="h")
+    tf.pin(spark, root, "p1", "d-000000000001", holder="h")  # retry: no raise
+    assert tf.pins(spark, root)["p1"]["data_dir"] == "d-000000000001"
+
+
+def test_vacuum_heals_leaked_stage_marker(spark, tmp_path):
+    """A marker leaked by a crash between publish-commit and unmark is
+    redundant once a retained manifest references its dir: vacuum drops
+    the marker (heal) while keeping the dir served."""
+    root = str(tmp_path / "t")
+    _versioned_write(spark, root, _mkdf(spark, [(1, "a")]))
+    # simulate the crash: version 2 staged+marked, committed, unmark lost
+    v, ddir = tf.next_txn(spark, root)
+    tf.stage_mark(spark, root, ddir, holder="t")
+    _mkdf(spark, [(1, "b")]).write.mode("overwrite").parquet(
+        os.path.join(root, ddir)
+    )
+    tf.commit(spark, root, v, ddir)
+    assert ddir in tf.staged_markers(spark, root)
+
+    removed = tf.vacuum(spark, root)
+    assert tf.staged_markers(spark, root) == {}  # healed
+    assert ddir not in removed and os.path.isdir(os.path.join(root, ddir))
+    assert {r.v for r in spark.read.parquet(
+        tf.data_path(spark, root)
+    ).collect()} == {"b"}
+
+
+def test_clone_survives_wap_cycles_on_source(spark, tmp_path, capsys):
+    """Clone x WAP composition: a zero-copy clone of a WAP-built mart
+    keeps serving its pinned snapshot through the source's later --wap
+    cycles — a failed audit (stage + discard) and a published rebuild
+    (commit + vacuum) on the source must neither move the clone nor
+    reclaim its pinned dir."""
+    from dbt_on_snowflake_spark.__main__ import main
+
+    root, data = _wap_project(tmp_path, "wapz", threshold=100)
+    tgt = ["--project", root, "--target", "wpz"]
+    assert main(["build", "--wap", *tgt]) == 0
+    capsys.readouterr()
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    troot = os.path.join(wh, "wpz_mart")
+    dst = str(tmp_path / "mart_clone")
+    m = tf.clone_table(spark, troot, dst)
+    pinned_dir = tf.data_path(spark, dst)
+    snapshot = sorted(
+        r.v for r in spark.read.parquet(pinned_dir).collect()
+    )
+    assert snapshot == [10, 20, 30]
+
+    # failed audit on the source: stage + discard, clone untouched
+    pd.DataFrame({"id": [1], "v": [999]}).to_parquet(
+        os.path.join(data, "t.parquet"), index=False
+    )
+    assert main(["build", "--wap", *tgt]) == 1
+    capsys.readouterr()
+    assert m["clone_pin"] in tf.pins(spark, troot)  # pin untouched
+
+    # published rebuilds past retention: the pinned dir must survive
+    for v in (50, 60, 70):
+        pd.DataFrame({"id": [1], "v": [v]}).to_parquet(
+            os.path.join(data, "t.parquet"), index=False
+        )
+        assert main(["build", "--wap", *tgt]) == 0
+        capsys.readouterr()
+    assert os.path.isdir(pinned_dir)
+    got = sorted(r.v for r in spark.read.parquet(pinned_dir).collect())
+    assert got == snapshot  # the clone's snapshot is byte-for-byte alive
+    assert sorted(
+        r.v for r in spark.read.parquet(tf.data_path(spark, dst)).collect()
+    ) == snapshot
