@@ -2156,7 +2156,13 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = bm25_topn(spark, sf_dir, RRF_DEPTH).select(
         "doc_id", F.col("rank").alias("bm25_rank")
     )
-    e = _vectors(spark, sf_dir)
+    return _rrf_fuse(b, _dense_topn(_vectors(spark, sf_dir)))
+
+
+def _dense_topn(e: DataFrame) -> DataFrame:
+    """The fusion's dense retriever: exact-cosine top-RRF_DEPTH against
+    doc {DENSE_QUERY_ID}'s embedding — one bounded corpus scan, shared
+    by the recompute and the indexed-BM25 hybrid twins."""
     qv = F.broadcast(
         e.filter(F.col("vec_id") == DENSE_QUERY_ID).select(
             F.col("v").alias("qv")
@@ -2175,12 +2181,17 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d_top = d_scored.filter(F.col("cosine").isNotNull()).orderBy(
         F.col("cosine").desc(), F.col("doc_id").asc()
     ).limit(RRF_DEPTH)
-    # unpartitioned windows here are BOUNDED: they run over the limits'
-    # RRF_DEPTH rows (and the fused <= 2 x RRF_DEPTH rows), never the corpus
+    # unpartitioned window is BOUNDED: it runs over the limit's
+    # RRF_DEPTH rows, never the corpus
     wd = Window.orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
-    d = d_top.withColumn("rank", F.row_number().over(wd).cast("long")).select(
-        "doc_id", F.col("rank").alias("dense_rank")
-    )
+    return d_top.withColumn(
+        "rank", F.row_number().over(wd).cast("long")
+    ).select("doc_id", F.col("rank").alias("dense_rank"))
+
+
+def _rrf_fuse(b: DataFrame, d: DataFrame) -> DataFrame:
+    """RRF fusion of the two bounded top-DEPTH lists: full-outer join,
+    1/(60+rank) arithmetic, final rank — all on <= 2 x RRF_DEPTH rows."""
     fused = b.join(d, "doc_id", "full")
     rrf = F.round(
         F.coalesce(
@@ -2191,6 +2202,7 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     ) + 0.0
+    # unpartitioned window is BOUNDED: fused holds <= 2 x RRF_DEPTH rows
     wf = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
     return (
         fused.select(
@@ -2199,6 +2211,48 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(wf).cast("long"))
         .filter(F.col("rank") <= HYBRID_TOP_N)
     )
+
+
+@query(
+    "retrieval_hybrid_rrf_indexed",
+    driver=False,  # r10-born: R11_ROTATE_IN; shares the recompute oracle
+    oracle=None,  # set below
+    headline=True,  # benched: serve-vs-scan twin of retrieval_hybrid_rrf
+)
+def retrieval_hybrid_rrf_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``retrieval_hybrid_rrf`` with its lexical half SERVED from the
+    persisted text index (``build_text_index``): the BM25 list comes
+    from term_part-pruned posting lists + the narrow doclen table — no
+    re-tokenizing documents.parquet — closing the r9 gap where every
+    hybrid query paid two full corpus scans. The dense half stays the
+    one bounded embeddings scan (its exact-cosine contract has no
+    approximation-free index form). Serving must not change a single
+    result row: shares the recompute oracle verbatim."""
+    from dbt_on_snowflake_spark.operators.textops import (
+        bm25_topn_indexed,
+        ensure_text_index,
+    )
+
+    # reuse (or first-build) the same persisted index the lexical twin
+    # serves from — one artifact per corpus, shared across queries
+    ensure_text_index(spark, sf_dir)
+    b = bm25_topn_indexed(spark, sf_dir, RRF_DEPTH).select(
+        "doc_id", F.col("rank").alias("bm25_rank")
+    )
+    return _rrf_fuse(b, _dense_topn(_vectors(spark, sf_dir)))
+
+
+def _set_hybrid_indexed_oracle() -> None:
+    from dbt_on_snowflake_spark.registry import QUERIES
+
+    QUERIES["retrieval_hybrid_rrf_indexed"].oracle = QUERIES[
+        "retrieval_hybrid_rrf"
+    ].oracle
+
+
+_set_hybrid_indexed_oracle()
 
 
 # ---------------------------------------------------- MMR diversified top-k

@@ -1227,40 +1227,19 @@ def bm25_ranked_cte(depth: int) -> str:
     )"""
 
 
-def bm25_topn(spark: SparkSession, sf_dir: str, depth: int) -> DataFrame:
-    """Top-``depth`` BM25 ranking as a DataFrame (doc_id, score, rank) —
-    the shared retrieval stage behind text_bm25_topk and the hybrid RRF
-    fusion.
-
-    Plan: per-doc term frequencies are ``size(filter(tokens, ...))`` —
-    narrow codegen'd array work, NO explode/shuffle of a token table;
-    corpus stats (N, avgdl, per-term df) are ONE tiny aggregate row
-    broadcast back over the scan; the global top-N is
-    TakeOrderedAndProject (per-partition heads + one tiny merge, never a
-    full sort). Two corpus scans, zero corpus-sized shuffles at any
-    scale. Per-term score columns are summed in fixed term order so the
-    float result is bit-identical to the oracle's left-to-right sum."""
-    d = table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-
-    def tf_col(term: str):
-        # single-arg lambda: a 2-arg lambda would be read as (elem, idx)
-        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
-
-    base = d.select(
-        "doc_id",
-        F.size(toks).alias("dl"),
-        *[tf_col(t).alias(f"tf_{i}") for i, t in enumerate(BM25_TERMS)],
-    )
-    stats = base.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-        *[
-            F.sum((F.col(f"tf_{i}") > 0).cast("int")).alias(f"df_{i}")
-            for i in range(len(BM25_TERMS))
-        ],
-    )
-    scored = base.crossJoin(F.broadcast(stats))
+def _bm25_score_and_rank(
+    base: DataFrame, stats_row: DataFrame, depth: int
+) -> DataFrame:
+    """The shared BM25 scoring + rank stage: ``base`` is
+    (doc_id, dl, tf_0..tf_{n-1}), ``stats_row`` is ONE row
+    (n_docs, avgdl, df_0..df_{n-1}). Used verbatim by the recompute
+    path (stats aggregated from the scan) and the indexed serve path
+    (stats read from the persisted index), so the float expression —
+    per-term scores summed in fixed term order — is bit-identical in
+    both, and both stay bit-identical to the oracle's left-to-right
+    sum. The global top-N is TakeOrderedAndProject (per-partition heads
+    + one tiny merge, never a full sort)."""
+    scored = base.crossJoin(F.broadcast(stats_row))
     expr = None
     for i in range(len(BM25_TERMS)):
         idf = F.log(
@@ -1287,6 +1266,41 @@ def bm25_topn(spark: SparkSession, sf_dir: str, depth: int) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
+def bm25_topn(spark: SparkSession, sf_dir: str, depth: int) -> DataFrame:
+    """Top-``depth`` BM25 ranking as a DataFrame (doc_id, score, rank) —
+    the shared retrieval stage behind text_bm25_topk and the hybrid RRF
+    fusion.
+
+    Plan: per-doc term frequencies are ``size(filter(tokens, ...))`` —
+    narrow codegen'd array work, NO explode/shuffle of a token table;
+    corpus stats (N, avgdl, per-term df) are ONE tiny aggregate row
+    broadcast back over the scan. Two corpus scans, zero corpus-sized
+    shuffles at any scale — this scan form is also the index-BUILD cost
+    of ``build_text_index``; a served corpus runs
+    ``bm25_topn_indexed`` instead."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def tf_col(term: str):
+        # single-arg lambda: a 2-arg lambda would be read as (elem, idx)
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    base = d.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[tf_col(t).alias(f"tf_{i}") for i, t in enumerate(BM25_TERMS)],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("int")).alias(f"df_{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    return _bm25_score_and_rank(base, stats, depth)
+
+
 @query(
     "text_bm25_topk",
     oracle=f"""
@@ -1302,3 +1316,224 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores round to 4 decimals with doc_id tie-break so ranking is
     deterministic across engines. Plan notes: see ``bm25_topn``."""
     return bm25_topn(spark, sf_dir, BM25_TOP_N)
+
+
+# ------------------------------------------- persisted BM25 (text) index
+
+TEXT_INDEX_N_PARTS = 16  # term_part directory fan-out of the postings
+
+
+def _term_part() -> F.Column:
+    """Directory-partition key for postings: hashing the term into a
+    bounded fan-out (the dedup band-index layout, dedup.py:1141) keeps
+    the directory count fixed at any vocabulary size while a probe for
+    K query terms prunes to <= K of the {TEXT_INDEX_N_PARTS} dirs."""
+    return F.pmod(F.xxhash64("term"), F.lit(TEXT_INDEX_N_PARTS))
+
+
+_TERM_PARTS_CACHE: dict[tuple[str, ...], list[int]] = {}
+
+
+def _term_parts(spark: SparkSession, terms: list[str]) -> list[int]:
+    """The query terms' partition values, computed through the same
+    xxhash64 the build used (the dedup incremental-probe precedent,
+    dedup.py:1220). Bounded collect (<= |terms| rows), cached per term
+    tuple: the hash of a constant term never changes, so serving pays
+    this one-task job once per process, not once per query."""
+    key = tuple(terms)
+    if key not in _TERM_PARTS_CACHE:
+        _TERM_PARTS_CACHE[key] = [
+            r.p
+            for r in spark.createDataFrame(
+                [(t,) for t in terms], "term string"
+            )
+            .select(_term_part().alias("p"))
+            .distinct()
+            .collect()
+        ]
+    return _TERM_PARTS_CACHE[key]
+
+
+def build_text_index(
+    spark: SparkSession,
+    d: DataFrame,
+    *,
+    stats_table: str,
+    postings_table: str,
+    doclen_table: str,
+) -> None:
+    """Persist the lexical serving artifact — the 'index once, query
+    many' counterpart of ``build_ann_index``/``build_pq_index`` that the
+    r9 verdict flagged as missing (SCALING.md conceded every BM25/hybrid
+    query paid two full corpus scans):
+
+    - ``postings``: the inverted index (term, doc_id, tf, dl),
+      PARTITIONED BY term_part so a query for K terms reads <= K
+      partition dirs, never the corpus. dl is denormalized onto each
+      posting (the Lucene norms trick) so scoring needs no doc join.
+    - ``doclen``: (doc_id, dl) — 16 bytes/doc vs KBs of text; the serve
+      path's only corpus-width relation (see ``bm25_topn_indexed``).
+    - ``stats``: ONE row (n_docs, avgdl), computed with the exact
+      expression the recompute path aggregates, so persisted avgdl is
+      the identical double.
+
+    The token explode + (term, doc_id) groupBy here is the one-time
+    index-build shuffle; serving never repeats it."""
+    from dbt_on_snowflake_spark.operators.dedup import _drop_managed_table
+
+    toks = F.split("text", " ")
+    lens = d.select("doc_id", F.size(toks).alias("dl"))
+    _drop_managed_table(spark, doclen_table)
+    lens.write.mode("overwrite").saveAsTable(doclen_table)
+    lens_t = spark.table(doclen_table)
+
+    _drop_managed_table(spark, stats_table)
+    lens_t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    ).write.mode("overwrite").saveAsTable(stats_table)
+
+    postings = (
+        d.select(
+            "doc_id",
+            F.size(toks).alias("dl"),
+            F.explode(toks).alias("term"),
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+        .withColumn("term_part", _term_part())
+    )
+    _drop_managed_table(spark, postings_table)
+    (
+        # same repartition-before-partitionBy discipline as the ANN/PQ
+        # builders: one hash shuffle on the partition key collapses the
+        # (input partitions x dirs) small-file explosion to ~1 file/dir
+        postings.repartition("term_part")
+        .write.mode("overwrite")
+        .partitionBy("term_part")
+        .saveAsTable(postings_table)
+    )
+
+
+def _text_index_tables(sf_dir: str) -> tuple[str, str, str]:
+    import hashlib
+
+    suffix = hashlib.md5(f"text:{sf_dir}".encode()).hexdigest()[:8]
+    return (
+        f"bm25_stats_{suffix}",
+        f"bm25_postings_{suffix}",
+        f"bm25_doclen_{suffix}",
+    )
+
+
+def bm25_topn_indexed(
+    spark: SparkSession, sf_dir: str, depth: int
+) -> DataFrame:
+    """``bm25_topn`` SERVED from the persisted text index: the plan
+    never touches documents.parquet (plan-pinned) — term frequencies
+    come from the postings partitions of the queried terms (a
+    term_part-pruned read proportional to the terms' posting lists, not
+    the corpus), per-term df is a tiny count over those same pruned
+    rows, and n_docs/avgdl is the persisted one-row stats table.
+
+    The one corpus-WIDTH relation in the plan is the (doc_id, dl)
+    doclen table — 2 ints/doc, ~100-1000x narrower than the text — left
+    -joined with the matched docs so zero-match documents still score
+    an exact 0.0: the recompute path ranks ALL docs, and serving from
+    the index must not change a single result row (it shares the
+    recompute oracle verbatim), including on a degenerate corpus where
+    fewer than ``depth`` docs match any term. A Lucene-style match-only
+    serve would drop that join; it is kept for the exactness contract
+    and costs one narrow scan."""
+    stats_t, postings_t, doclen_t = _text_index_tables(sf_dir)
+    terms = list(BM25_TERMS)
+    parts = _term_parts(spark, terms)
+    p = (
+        spark.table(postings_t)
+        .filter(F.col("term_part").isin(parts))
+        .filter(F.col("term").isin(terms))
+    )
+    matches = p.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("term") == t, F.col("tf")))
+            .alias(f"mtf_{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    base = (
+        spark.table(doclen_t)
+        .join(matches, "doc_id", "left")
+        .select(
+            "doc_id",
+            "dl",
+            *[
+                F.coalesce(F.col(f"mtf_{i}"), F.lit(0)).alias(f"tf_{i}")
+                for i in range(len(terms))
+            ],
+        )
+    )
+    dfrow = p.groupBy().agg(
+        *[
+            F.coalesce(
+                F.sum((F.col("term") == t).cast("long")), F.lit(0)
+            ).alias(f"df_{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    stats_row = spark.table(stats_t).crossJoin(F.broadcast(dfrow))
+    return _bm25_score_and_rank(base, stats_row, depth)
+
+
+@query(
+    "text_bm25_topk_indexed",
+    driver=False,  # r10-born: R11_ROTATE_IN; shares the recompute oracle
+    oracle=None,  # set below
+    headline=True,  # benched: the serve-vs-scan gap is the index's value
+)
+def text_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``text_bm25_topk`` served from ``build_text_index``'s persisted
+    tables — the 100 TB operating mode, where the inverted index is
+    built once per corpus version and every query reads posting lists
+    + a narrow doclen table instead of re-tokenizing the text. Serving
+    must not change a single result row, so it shares the recompute
+    path's oracle verbatim (the ``ann_pq_rerank_indexed`` precedent,
+    similarity.py). Index built once on first call (the
+    ``dedup_semantic_served`` convention: under its own job group so
+    bench stage counts show the serve path only); subsequent calls are
+    pure posting-list reads."""
+    ensure_text_index(spark, sf_dir)
+    return bm25_topn_indexed(spark, sf_dir, BM25_TOP_N)
+
+
+def ensure_text_index(spark: SparkSession, sf_dir: str) -> None:
+    """Build the persisted text index for ``sf_dir`` if absent — shared
+    by the lexical and hybrid serve twins so they read ONE artifact per
+    corpus. The build runs under its own job group so bench stage
+    counts show the serve path only (dedup_semantic_served precedent)."""
+    stats_t, postings_t, doclen_t = _text_index_tables(sf_dir)
+    if spark.catalog.tableExists(postings_t):
+        return
+    sc = spark.sparkContext
+    caller_group = sc.getLocalProperty("spark.jobGroup.id")
+    sc.setJobGroup("index-build:text_index", "index once")
+    try:
+        build_text_index(
+            spark,
+            table(spark, sf_dir, "documents"),
+            stats_table=stats_t,
+            postings_table=postings_t,
+            doclen_table=doclen_t,
+        )
+    finally:
+        sc.setJobGroup(caller_group, "serve")
+
+
+def _set_bm25_indexed_oracle() -> None:
+    from dbt_on_snowflake_spark.registry import QUERIES
+
+    QUERIES["text_bm25_topk_indexed"].oracle = QUERIES[
+        "text_bm25_topk"
+    ].oracle
+
+
+_set_bm25_indexed_oracle()

@@ -132,7 +132,10 @@ R10_ROTATE_IN: set[str] = {
 
 # Queries born in round 10 — mandatory r11 rotate-ins (never
 # driver-checked). Keep this current as queries are born.
-R11_ROTATE_IN: set[str] = set()
+R11_ROTATE_IN: set[str] = {
+    "text_bm25_topk_indexed",
+    "retrieval_hybrid_rrf_indexed",
+}
 
 # The authoritative r10 export set: the ledger draft above, verbatim.
 # all_queries() applies it over the per-decorator driver= defaults so a

@@ -43,6 +43,8 @@ _BNLJ_OK = {
     "text_bm25_topk",  # 1-row corpus-stats (N/avgdl/df) broadcast
     "retrieval_hybrid_rrf",  # 1-row query-vector + bm25-stats broadcasts
     "ann_pq_rerank_indexed",  # persisted-index twin of ann_pq_rerank_topk
+    "text_bm25_topk_indexed",  # 1-row persisted-stats x pruned-df broadcast
+    "retrieval_hybrid_rrf_indexed",  # same 1-row stats + query-vector sides
 }
 
 

@@ -531,6 +531,11 @@ _HEADLINE_MAX_SHUFFLES = {
     "retrieval_hybrid_rrf": 1,  # bm25 stats agg; every window/join runs
     # on bounded top-depth lists (single-partition exchanges are over
     # <= 2 x RRF_DEPTH rows)
+    "text_bm25_topk_indexed": 2,  # matched-postings groupBy(doc_id) +
+    # the narrow doclen join — the serve plan never rescans the text
+    # (pinned by test_bm25_indexed_no_corpus_rescan)
+    "retrieval_hybrid_rrf_indexed": 2,  # the indexed lexical half's two
+    # exchanges; dense half + fusion add none (bounded lists)
 
     "ann_pq_codes_hof": 3,  # encode-stage A/B twin
     "ann_topk_bruteforce": 1,
@@ -781,3 +786,24 @@ def test_semantic_greedy_single_shuffle(spark):
     plan = plan_of(spark, "dedup_semantic_greedy")
     assert "FlatMapGroupsInPandas" in plan
     assert count_shuffles(plan) <= 1
+
+
+def test_bm25_indexed_no_corpus_rescan(spark):
+    """The persisted-text-index serve plans never touch
+    documents.parquet: term frequencies come from term_part-pruned
+    posting lists, df from the same pruned rows, n_docs/avgdl from the
+    one-row stats table, and the only corpus-width relation is the
+    narrow (doc_id, dl) doclen table. The hybrid twin additionally
+    keeps its dense half to the one bounded embeddings scan."""
+    plan = plan_of(spark, "text_bm25_topk_indexed")
+    assert "documents.parquet" not in plan  # no text re-scan on serve
+    assert "bm25_postings_" in plan and "bm25_doclen_" in plan
+    assert "bm25_stats_" in plan
+    # the postings read is partition-pruned to the query terms' parts
+    assert "term_part" in plan
+    assert "TakeOrderedAndProject" in plan  # top-N, never a global sort
+
+    hplan = plan_of(spark, "retrieval_hybrid_rrf_indexed")
+    assert "documents.parquet" not in hplan
+    assert "bm25_postings_" in hplan
+    assert "embeddings.parquet" in hplan  # dense half, bounded scan
