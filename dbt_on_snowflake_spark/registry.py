@@ -135,6 +135,8 @@ R10_ROTATE_IN: set[str] = {
 R11_ROTATE_IN: set[str] = {
     "text_bm25_topk_indexed",
     "retrieval_hybrid_rrf_indexed",
+    "ann_filtered_indexed",
+    "retrieval_hybrid_rrf_perquery",
 }
 
 # The authoritative r10 export set: the ledger draft above, verbatim.
