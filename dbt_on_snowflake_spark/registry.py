@@ -137,6 +137,7 @@ R11_ROTATE_IN: set[str] = {
     "retrieval_hybrid_rrf_indexed",
     "ann_filtered_indexed",
     "retrieval_hybrid_rrf_perquery",
+    "t_events_topn_types_update_streaming",
 }
 
 # The authoritative r10 export set: the ledger draft above, verbatim.

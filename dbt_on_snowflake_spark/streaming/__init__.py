@@ -1168,13 +1168,93 @@ def t_events_topn_types_streaming(
     from pyspark.sql import Window
 
     s = events_stream(spark, sf_dir)
-    agg = s.groupBy(
+    counts = run_to_table(_trending_counts(s), spark, "complete")
+    return _rank_trending(counts)
+
+
+def _trending_counts(s: DataFrame) -> DataFrame:
+    return s.groupBy(
         F.window("ts", "1 hour").start.alias("hour_start"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n_events"))
-    counts = run_to_table(agg, spark, "complete")
+
+
+def _rank_trending(counts: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
     w = Window.partitionBy("hour_start").orderBy(
         F.col("n_events").desc(), F.col("event_type").asc()
     )
     return counts.withColumn(
         "rk", F.row_number().over(w).cast("long")
     ).filter(F.col("rk") <= TRENDING_TOP_N)
+
+
+def run_update_log(counts: DataFrame, spark: SparkSession) -> DataFrame:
+    """Drive an update-mode streaming aggregate into a DURABLE
+    append-only key log (foreachBatch -> parquet append) and return the
+    raw log: each micro-batch appends only the keys it changed, so a
+    key updated across batches appears once per update — the
+    merge-on-read sink shape (the Delta/Hudi pattern without the table
+    format). The in-memory sink can't model this: Spark's memory sink
+    compacts update-mode output to the latest batch, hiding exactly the
+    version-log semantics the reader must resolve."""
+    import tempfile
+
+    log = tempfile.mkdtemp(prefix="topn_updatelog_")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(log)
+
+    q = (
+        counts.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not any(
+        n.endswith(".parquet") for n in os.listdir(log)
+    ):  # zero-batch degenerate source: preserve the schema
+        return spark.createDataFrame([], counts.schema)
+    return spark.read.parquet(log)
+
+
+@query(
+    "t_events_topn_types_update_streaming",
+    driver=False,  # r10-born: R11_ROTATE_IN; shares the complete twin's oracle
+    oracle=None,  # set below
+)
+def t_events_topn_types_update_streaming(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SCALE-SAFE form of ``t_events_topn_types_streaming`` (r9
+    verdict "What's wrong" #4): complete mode rewrites the whole sink
+    every trigger, so at a months-long event horizon the per-trigger
+    sink write grows unboundedly. UPDATE mode emits only the keys each
+    micro-batch changed — per-trigger sink IO is O(changed keys) — and
+    the durable sink is a versioned key LOG resolved at read
+    (merge-on-read): the windowed count is monotone per (hour_start,
+    event_type), so a key's current value is MAX over its logged
+    versions — one keyed aggregate at read, then the same rank-at-read
+    as the complete twin. Both variants hash-match the same batch
+    oracle; the multi-batch version-log semantics are pinned by
+    ``test_update_mode_trending_merges_versions``. (A compaction cycle
+    would periodically fold the log — the ``compact`` CLI's job, not
+    the stream's.)"""
+    s = events_stream(spark, sf_dir)
+    raw = run_update_log(_trending_counts(s), spark)
+    merged = raw.groupBy("hour_start", "event_type").agg(
+        F.max("n_events").alias("n_events")
+    )
+    return _rank_trending(merged)
+
+
+def _set_topn_update_oracle() -> None:
+    from dbt_on_snowflake_spark.registry import QUERIES
+
+    QUERIES["t_events_topn_types_update_streaming"].oracle = QUERIES[
+        "t_events_topn_types_streaming"
+    ].oracle
+
+
+_set_topn_update_oracle()

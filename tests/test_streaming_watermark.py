@@ -504,3 +504,84 @@ def test_semantic_ingest_multi_batch_and_order_enforcement(spark, tmp_path):
     b3 = spark.createDataFrame([(2, 0, unit(20))], schema)
     with _pytest.raises(Exception, match="vec_id-ordered arrival"):
         handle(b3, 2)
+
+
+def test_update_mode_trending_merges_versions(spark, tmp_path):
+    """The update-mode trending sink is a versioned key LOG: each
+    micro-batch appends only the keys it changed, so a key counted in
+    several batches appears several times with increasing values.
+    Merge-on-read (MAX per key — windowed counts are monotone) must
+    reconstruct exactly the batch counts, and the ranked result must
+    equal the complete-mode form's. Three files fed one per trigger
+    force genuine cross-batch updates."""
+    from dbt_on_snowflake_spark.streaming import (
+        _rank_trending,
+        _trending_counts,
+        run_update_log,
+    )
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    for i in range(90):
+        rows.append(
+            {
+                "event_id": i,
+                "ts": base + pd.Timedelta(minutes=i),  # spans 2 hours
+                "event_type": ["view", "click", "buy"][i % 3],
+                "user_id": i % 7,
+            }
+        )
+    df = pd.DataFrame(rows)
+    src = str(tmp_path / "ev_src")
+    os.makedirs(src)
+    # interleaved TRIPLES (not % 3 — that would coincide with the
+    # event_type assignment and give each batch a disjoint key set):
+    # every batch touches all (hour, type) keys, forcing real
+    # cross-batch version updates in the log
+    for part in range(3):
+        df[(df.event_id // 3) % 3 == part].to_parquet(
+            os.path.join(src, f"part{part}.parquet"), index=False
+        )
+
+    def fix_ts(d):
+        # pandas writes TIMESTAMP(NANOS): arrives as bigint (or NTZ),
+        # convert exactly like streaming.events_stream does
+        if dict(d.dtypes).get("ts") == "bigint":
+            return d.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if dict(d.dtypes).get("ts") == "timestamp_ntz":
+            return d.withColumn("ts", F.col("ts").cast("timestamp"))
+        return d
+
+    schema = spark.read.parquet(src).schema
+    stream = fix_ts(
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    raw = run_update_log(_trending_counts(stream), spark)
+
+    keys = raw.select("hour_start", "event_type").distinct().count()
+    assert raw.count() > keys  # stale versions really are in the log
+
+    merged = raw.groupBy("hour_start", "event_type").agg(
+        F.max("n_events").alias("n_events")
+    )
+    batch = (
+        fix_ts(spark.read.parquet(src))
+        .groupBy(
+            F.window("ts", "1 hour").start.alias("hour_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    got = {
+        (r.hour_start, r.event_type): r.n_events for r in merged.collect()
+    }
+    want = {
+        (r.hour_start, r.event_type): r.n_events for r in batch.collect()
+    }
+    assert got == want
+    ranked = sorted(map(tuple, _rank_trending(merged).collect()))
+    ranked_batch = sorted(map(tuple, _rank_trending(batch).collect()))
+    assert ranked == ranked_batch and ranked
