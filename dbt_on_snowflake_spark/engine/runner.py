@@ -397,23 +397,28 @@ class Runner:
         staged version (the same single-object atomic commit every
         write uses), then the relation registers from its manifest.
 
-        The staged ledger entry is popped only AFTER the commit
-        succeeds: if commit raises (e.g. a CommitConflict from a
-        concurrent writer), the entry stays so the gate's
-        exception-path discard_staged can still delete the staged dir
-        and re-point the relation at the committed state — otherwise
-        the session would keep serving the never-published staged dir
-        (r9 advice, runner.py:397)."""
+        Ledger discipline (r9 advice runner.py:397 + r10 review): the
+        entry is popped up front so a concurrent discard during the
+        commit is a no-op (it must never delete a dir the commit is
+        about to reference), and RE-INSERTED if the commit raises
+        (e.g. CommitConflict) so the gate's exception-path
+        discard_staged can still delete the staged dir and re-point
+        the relation at the committed state — without the re-insert
+        the session would keep serving the never-published staged
+        dir."""
         with self._staged_lock:
-            st = self._staged.get(relation)
+            st = self._staged.pop(relation, None)
         if st is None:
             return
-        table_format.commit(
-            self.spark, st["root"], st["version"], st["data_dir"],
-            meta=st["meta"],
-        )
-        with self._staged_lock:
-            self._staged.pop(relation, None)
+        try:
+            table_format.commit(
+                self.spark, st["root"], st["version"], st["data_dir"],
+                meta=st["meta"],
+            )
+        except BaseException:
+            with self._staged_lock:
+                self._staged.setdefault(relation, st)
+            raise
         table_format.stage_unmark(self.spark, st["root"], st["data_dir"])
         table_format.vacuum(self.spark, st["root"])
         self._register_table(relation)

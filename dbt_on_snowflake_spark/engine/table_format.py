@@ -216,14 +216,22 @@ def _staged_markers_dir(root: str) -> str:
 
 
 def staged_markers(spark: SparkSession, root: str) -> dict[str, dict]:
-    """data_dir name -> marker payload for every live staged marker."""
+    """data_dir name -> marker payload for every live staged marker.
+    Markers are short-lived (cleared on every publish/discard), so one
+    may legitimately vanish between the listing and the read when a
+    WAP build runs concurrently with a cron vacuum — a vanished marker
+    is simply no longer live and is skipped, not an error."""
     out: dict[str, dict] = {}
     for name in fs_list(spark, _staged_markers_dir(root)):
         if not name.endswith(".json"):
             continue
-        payload = fs_read(
-            spark, posixpath.join(_staged_markers_dir(root), name)
-        ).decode()
+        path = posixpath.join(_staged_markers_dir(root), name)
+        try:
+            payload = fs_read(spark, path).decode()
+        except Exception:
+            if fs_exists(spark, path):
+                raise
+            continue  # unmarked concurrently: not live
         out[name[:-5]] = json.loads(payload)
     return out
 
@@ -375,6 +383,16 @@ def vacuum(spark: SparkSession, root: str, keep: int = VACUUM_KEEP) -> list[str]
     for name in fs_list(spark, root):
         full = posixpath.join(root, name)
         if name.startswith(DATA_PREFIX) and name not in referenced:
+            # TOCTOU guard (r10 review): a stage can begin AFTER the
+            # staged_markers() snapshot above but BEFORE this listing
+            # observed the dir. stage_mark creates the marker before
+            # any data lands, so re-checking the marker at delete time
+            # closes the race: marker present now => in-flight stage.
+            if fs_exists(
+                spark,
+                posixpath.join(_staged_markers_dir(root), f"{name}.json"),
+            ):
+                continue
             fs_delete(spark, full)
             removed.append(name)
         elif name != VERSIONS_DIR and not name.startswith(DATA_PREFIX):

@@ -1963,11 +1963,21 @@ _ORACLE_FILTERED_INDEXED = f"""
     ),
     cvec AS (SELECT label, list(cv ORDER BY dim) AS v FROM cent GROUP BY label),
     qc AS (
+        -- NaN -> NULL + explicit NULLS LAST: a zero-norm centroid (a
+        -- cell whose rounded mean cancels to zero) or zero-norm query
+        -- makes the ranking cosine undefined; DuckDB would rank the
+        -- NaN FIRST under plain DESC while the engine's _cosine yields
+        -- NULL which Spark's DESC ranks last — both engines must seat
+        -- undefined cells at the end of the probe order (r10 review)
         SELECT q.vec_id AS query_id, c.label,
                ROW_NUMBER() OVER (
                    PARTITION BY q.vec_id
-                   ORDER BY ROUND({COSINE_SQL.format(a='q.v', b='c.v')}, 4)
-                            DESC, c.label ASC
+                   ORDER BY (CASE WHEN isnan(
+                                {COSINE_SQL.format(a='q.v', b='c.v')})
+                             THEN NULL
+                             ELSE ROUND(
+                                {COSINE_SQL.format(a='q.v', b='c.v')}, 4)
+                             END) DESC NULLS LAST, c.label ASC
                ) AS crank
         FROM q CROSS JOIN cvec c
     ),
@@ -2077,7 +2087,9 @@ def ann_filtered_indexed(
     product, and each query probes its widened nearest-cell prefix (see
     the widening spec above) so a selective filter cannot under-fill k.
     The per-cell match counts that drive the widening are a tiny
-    index-side aggregate (|cells| rows, broadcast)."""
+    index-side aggregate (|cells| rows, broadcast). Index built once on
+    first call (the dedup_semantic_served convention: tableExists guard
+    + its own job group), serving is pure index reads after that."""
     import hashlib
     import os as _os
 
@@ -2085,12 +2097,19 @@ def ann_filtered_indexed(
     centroids_table = f"ann_centroids_{suffix}"
     assignments_table = f"ann_assignments_{suffix}"
     e = _vectors(spark, sf_dir)
-    build_ann_index(
-        spark,
-        e,
-        centroids_table=centroids_table,
-        assignments_table=assignments_table,
-    )
+    if not spark.catalog.tableExists(assignments_table):
+        sc = spark.sparkContext
+        caller_group = sc.getLocalProperty("spark.jobGroup.id")
+        sc.setJobGroup("index-build:ann_filtered_indexed", "index once")
+        try:
+            build_ann_index(
+                spark,
+                e,
+                centroids_table=centroids_table,
+                assignments_table=assignments_table,
+            )
+        finally:
+            sc.setJobGroup(caller_group, "serve")
     matching = spark.table(assignments_table).filter(
         F.expr(ANN_FILTER_PRED)
     )

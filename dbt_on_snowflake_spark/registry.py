@@ -45,7 +45,8 @@ QUERIES: dict[str, RegisteredQuery] = {}
 #   corpus_pack_sequences (oracle BIGINT fix proof), w_running_total_events
 #   (family guard), 6 of the 12 r5-checked rows, 3 r7-born queries.
 #   Result: CORRECTNESS_r07 50/50 green.
-# - r8 export (R8_EXPORT below, the active set): the 6 remaining r5-stale
+# - r8 export (retired; exact set = CORRECTNESS_r08's keys): the 6
+#   remaining r5-stale
 #   rows (they hit the 3-round window) + all 37 r7-born parity-only rows
 #   (never driver-checked: the PQ family, BPE training, TPC-H
 #   q7-q13/q21/q22, stream-stream join, watermarked dedup, temperature
@@ -54,9 +55,9 @@ QUERIES: dict[str, RegisteredQuery] = {}
 #   streaming, ...) = 43 mandatory, + 7 r6/r7-green family guards
 #   (q1_pricing_summary, a1_loyalty_metrics, dedup_exact,
 #   ann_topk_bruteforce, t_events_hourly, text_stats, j1_orders_denorm).
-# - r9 export (R9_EXPORT below, the active set): the 41 rows last
-#   driver-checked in r6 (they hit the 3-round window at r9) + the 6
-#   r8-born never-driver-checked rows (R9_ROTATE_IN) = 47 mandatory;
+# - r9 export (retired; exact set = CORRECTNESS_r09's keys): the 41
+#   rows last driver-checked in r6 (they hit the 3-round window at r9)
+#   + the 6 r8-born never-driver-checked rows = 47 mandatory;
 #   the remaining 3 slots are r8-green family guards
 #   (q1_pricing_summary, dedup_exact, t_events_hourly).
 # - R10_EXPORT DRAFT (apply at round-10 start; exact arithmetic
@@ -100,24 +101,16 @@ QUERIES: dict[str, RegisteredQuery] = {}
 #   (s4_source_passthrough, p2_projection_rename, p6_range_filter,
 #   p7_ts_filter, dq_failing_rows, f_scalar_suite, f_json_extract)
 #   = 54 mandatory > 50 budget BEFORE any r10-born rows
-#   (R11_ROTATE_IN). The debt is structural at 154+ registered
-#   queries x 50-row budget: the effective window for trivial
-#   single-operator rows is 4 rounds, not 3. At r11, slip the
-#   lowest-risk rows again (the same 7 trivials are covered by the
-#   per-pytest parity replica; prefer slipping them over any
-#   multi-operator row) and prioritize: (1) all R11_ROTATE_IN rows,
-#   (2) the 47 r8-stale rows.
+#   (R11_ROTATE_IN; 5 born this round -> 59 total, so 9 rows slip to
+#   r12). The debt is structural at 159 registered queries x 50-row
+#   budget: the effective window for trivial single-operator rows is
+#   4 rounds, not 3. At r11, prioritize (1) all 5 R11_ROTATE_IN rows,
+#   (2) the 47 r8-stale rows — that is 52 already, so slip the 7
+#   r10-slipped trivials again (every one is a single-operator shape
+#   the per-pytest parity replica re-verifies on each run) plus the 2
+#   lowest-risk r8-stale rows with exported family guards; the slipped
+#   trivials then become mandatory at r12 (4-round window).
 DRIVER_BUDGET = 50
-
-# Queries born in round 8 — mandatory r9 rotate-ins (never driver-checked).
-R9_ROTATE_IN: set[str] = {
-    "ann_pq_adc_topk_hof",
-    "ann_pq_codes_hof",
-    "ann_semantic_ingest_streaming",
-    "dedup_semantic_greedy",
-    "multimodal_embed_topk",
-    "dedup_semantic_served",
-}
 
 # Queries born in round 9 — mandatory r10 rotate-ins (never driver-checked).
 R10_ROTATE_IN: set[str] = {
@@ -196,63 +189,6 @@ R10_EXPORT = {
     "retrieval_hybrid_rrf",
     "t_events_topn_types_streaming",
     "ann_pq_rerank_indexed",
-}
-
-# The retired r9 export set, kept for the rotation-ledger pinning test.
-R9_EXPORT = {
-    # r6-stale — hit the 3-round window this round (priority 1)
-    "a_approx_sketches",
-    "a_cube_status_priority",
-    "a_exact_distinct_median",
-    "a_pivot_status_revenue",
-    "ann_centroids",
-    "ann_ivf_multiprobe_indexed",
-    "asof_last_order_before_event",
-    "corpus_clean_pipeline",
-    "corpus_mixture_sample",
-    "corpus_mixture_sample_bpe",
-    "corpus_token_budget",
-    "corpus_token_budget_hist",
-    "corpus_token_budget_hist_bpe",
-    "dedup_clusters",
-    "dedup_containment",
-    "dedup_incremental_index",
-    "dedup_incremental_streaming",
-    "dedup_minhash_lsh",
-    "dedup_minhash_verified",
-    "dedup_semantic",
-    "dedup_simhash",
-    "j2_left_join_enrich",
-    "multimodal_decode",
-    "multimodal_frame_sample",
-    "q2_min_cost_supplier",
-    "q3_top_revenue_orders",
-    "q4_late_shipments_by_priority",
-    "q5_nation_volume",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_orders",
-    "q20_heavy_suppliers",
-    "s_setops_segments",
-    "t_event_funnel",
-    "t_events_range_join_windows",
-    "t_events_sessionize",
-    "t_monthly_revenue",
-    "text_pii_redact",
-    "text_token_count_bpe",
-    "text_unigram_rarity",
-    "text_unigram_rarity_bcast",
-    "w_topk_orders_per_customer",
-    # r8-born, never driver-checked (priority 1) — R9_ROTATE_IN
-    "ann_pq_adc_topk_hof",
-    "ann_pq_codes_hof",
-    "ann_semantic_ingest_streaming",
-    "dedup_semantic_greedy",
-    "multimodal_embed_topk",
-    "dedup_semantic_served",
-    # family guards (r8-green veterans)
-    "q1_pricing_summary",
-    "dedup_exact",
-    "t_events_hourly",
 }
 
 

@@ -1165,11 +1165,8 @@ def t_events_topn_types_streaming(
     sink table is already window-aggregated (|hours| x |event types|
     rows), so the rank window costs nothing at any corpus scale. The
     whole pipeline hash-matches the batch oracle."""
-    from pyspark.sql import Window
-
     s = events_stream(spark, sf_dir)
-    counts = run_to_table(_trending_counts(s), spark, "complete")
-    return _rank_trending(counts)
+    return _rank_trending(run_to_table(_trending_counts(s), spark, "complete"))
 
 
 def _trending_counts(s: DataFrame) -> DataFrame:
@@ -1189,7 +1186,9 @@ def _rank_trending(counts: DataFrame) -> DataFrame:
     ).filter(F.col("rk") <= TRENDING_TOP_N)
 
 
-def run_update_log(counts: DataFrame, spark: SparkSession) -> DataFrame:
+def run_update_log(
+    counts: DataFrame, spark: SparkSession, tag: str = ""
+) -> DataFrame:
     """Drive an update-mode streaming aggregate into a DURABLE
     append-only key log (foreachBatch -> parquet append) and return the
     raw log: each micro-batch appends only the keys it changed, so a
@@ -1197,10 +1196,26 @@ def run_update_log(counts: DataFrame, spark: SparkSession) -> DataFrame:
     merge-on-read sink shape (the Delta/Hudi pattern without the table
     format). The in-memory sink can't model this: Spark's memory sink
     compacts update-mode output to the latest batch, hiding exactly the
-    version-log semantics the reader must resolve."""
-    import tempfile
+    version-log semantics the reader must resolve.
 
-    log = tempfile.mkdtemp(prefix="topn_updatelog_")
+    The log lives at a DETERMINISTIC per-plan path under the warehouse
+    dir and is replaced on each invocation — repeated bench/parity runs
+    reuse one directory instead of leaking a fresh tempdir per call
+    (r10 review); in production the log is the durable sink itself and
+    a compaction cycle folds it."""
+    import hashlib
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    # tag (e.g. the source dir) keys the log per corpus: the returned
+    # DataFrame is lazy, so a later invocation for a DIFFERENT corpus
+    # must not replace a log a pending read still points at
+    suffix = hashlib.md5(
+        f"{tag}|{counts.schema}".encode()
+    ).hexdigest()[:8]
+    log = os.path.join(wh, f"topn_updatelog_{suffix}")
+    shutil.rmtree(log, ignore_errors=True)
+    os.makedirs(log, exist_ok=True)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(log)
@@ -1242,7 +1257,7 @@ def t_events_topn_types_update_streaming(
     would periodically fold the log — the ``compact`` CLI's job, not
     the stream's.)"""
     s = events_stream(spark, sf_dir)
-    raw = run_update_log(_trending_counts(s), spark)
+    raw = run_update_log(_trending_counts(s), spark, tag=sf_dir)
     merged = raw.groupBy("hour_start", "event_type").agg(
         F.max("n_events").alias("n_events")
     )

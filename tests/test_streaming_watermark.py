@@ -559,7 +559,7 @@ def test_update_mode_trending_merges_versions(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .load(src)
     )
-    raw = run_update_log(_trending_counts(stream), spark)
+    raw = run_update_log(_trending_counts(stream), spark, tag=src)
 
     keys = raw.select("hour_start", "event_type").distinct().count()
     assert raw.count() > keys  # stale versions really are in the log

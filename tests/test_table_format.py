@@ -1107,3 +1107,41 @@ def test_clone_survives_wap_cycles_on_source(spark, tmp_path, capsys):
     assert sorted(
         r.v for r in spark.read.parquet(tf.data_path(spark, dst)).collect()
     ) == snapshot
+
+
+def test_vacuum_rechecks_marker_at_delete_time(spark, tmp_path, monkeypatch):
+    """TOCTOU pin (r10 review): a stage that begins AFTER vacuum's
+    staged-marker snapshot but BEFORE its directory listing must still
+    survive — vacuum re-checks the marker per candidate dir at delete
+    time. Simulated by injecting the stage between the two phases via a
+    patched staged_markers that stages on its way out."""
+    root = str(tmp_path / "t")
+    _versioned_write(spark, root, _mkdf(spark, [(1, "a")]))
+
+    real_markers = tf.staged_markers
+    staged_name = {}
+
+    def markers_then_stage(spark_, root_):
+        out = real_markers(spark_, root_)
+        if not staged_name:  # inject once: stage AFTER the snapshot
+            v, ddir = tf.next_txn(spark_, root_)
+            tf.stage_mark(spark_, root_, ddir, holder="t")
+            _mkdf(spark_, [(1, "b")]).write.mode("overwrite").parquet(
+                os.path.join(root_, ddir)
+            )
+            staged_name["d"] = ddir
+        return out
+
+    monkeypatch.setattr(tf, "staged_markers", markers_then_stage)
+    removed = tf.vacuum(spark, root)
+    monkeypatch.undo()
+
+    ddir = staged_name["d"]
+    assert ddir not in removed
+    assert os.path.isdir(os.path.join(root, ddir))  # stage survived
+    # and the in-flight stage still publishes cleanly
+    tf.commit(spark, root, 2, ddir)
+    tf.stage_unmark(spark, root, ddir)
+    assert {r.v for r in spark.read.parquet(
+        tf.data_path(spark, root)
+    ).collect()} == {"b"}
