@@ -2611,23 +2611,7 @@ def retrieval_hybrid_rrf_perquery(
     <= 2 x DEPTH x |Q| rows."""
     docs = table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-
-    qdocs = docs.filter(F.expr(_QUERY_PRED_DOC))
-    q_first = (
-        qdocs.select(
-            F.col("doc_id").alias("query_id"),
-            F.posexplode(toks).alias("pos", "term"),
-        )
-        .groupBy("query_id", "term")
-        .agg(F.min("pos").alias("p"))
-    )
-    wq = Window.partitionBy("query_id").orderBy("p")
-    qt = (
-        q_first.withColumn("ti", F.row_number().over(wq) - 1)
-        .filter(F.col("ti") < TERMS_PER_QUERY)
-        .select("query_id", "term", "ti")
-    )
-
+    qt = _perquery_terms(docs)
     matched = (
         docs.select(
             "doc_id",
@@ -2638,6 +2622,47 @@ def retrieval_hybrid_rrf_perquery(
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
     )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(F.size(toks)).cast("double") / F.count(F.lit(1))).alias(
+            "avgdl"
+        ),
+    )
+    b = _perquery_lexical(matched, qt, stats)
+    d = _perquery_dense(spark, sf_dir)
+    return _perquery_fuse(b, d)
+
+
+def _perquery_terms(docs: DataFrame) -> DataFrame:
+    """(query_id, term, ti): each query doc's first TERMS_PER_QUERY
+    distinct tokens in first-appearance order — bounded (|Q| x terms)."""
+    toks = F.split("text", " ")
+    q_first = (
+        docs.filter(F.expr(_QUERY_PRED_DOC))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.posexplode(toks).alias("pos", "term"),
+        )
+        .groupBy("query_id", "term")
+        .agg(F.min("pos").alias("p"))
+    )
+    wq = Window.partitionBy("query_id").orderBy("p")
+    return (
+        q_first.withColumn("ti", F.row_number().over(wq) - 1)
+        .filter(F.col("ti") < TERMS_PER_QUERY)
+        .select("query_id", "term", "ti")
+    )
+
+
+def _perquery_lexical(
+    matched: DataFrame, qt: DataFrame, stats: DataFrame
+) -> DataFrame:
+    """Per-query BM25 lists from a (doc_id, term, tf, dl) match
+    relation — shared verbatim by the recompute path (matches from a
+    corpus token scan) and the indexed path (matches from pruned
+    posting lists), so both produce bit-identical scores."""
+    from dbt_on_snowflake_spark.operators.textops import BM25_B, BM25_K1
+
     joined = matched.join(F.broadcast(qt), "term")
     per_qd = joined.groupBy("query_id", "doc_id").agg(
         F.min("dl").alias("dl"),
@@ -2652,14 +2677,6 @@ def retrieval_hybrid_rrf_perquery(
             for i in range(TERMS_PER_QUERY)
         ]
     )
-    stats = docs.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum(F.size(toks)).cast("double") / F.count(F.lit(1))).alias(
-            "avgdl"
-        ),
-    )
-    from dbt_on_snowflake_spark.operators.textops import BM25_B, BM25_K1
-
     scored = per_qd.join(F.broadcast(dfs), "query_id").crossJoin(
         F.broadcast(stats)
     )
@@ -2681,28 +2698,27 @@ def retrieval_hybrid_rrf_perquery(
     wb = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
-    b = (
+    return (
         b_scored.withColumn("rank", F.row_number().over(wb).cast("long"))
         .filter(F.col("rank") <= RRF_DEPTH)
         .select("query_id", "doc_id", F.col("rank").alias("bm25_rank"))
     )
 
+
+def _perquery_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _vectors(spark, sf_dir)
     qdf = e.filter(F.expr(_QUERY_PRED))
-    d = (
-        _topk_window(
-            _bruteforce_score_arrow(
-                e.select("vec_id", "v"), qdf, k=RRF_DEPTH
-            ),
-            k=RRF_DEPTH,
-        )
-        .select(
-            "query_id",
-            F.col("neighbor_id").alias("doc_id"),
-            F.col("rank").alias("dense_rank"),
-        )
+    return _topk_window(
+        _bruteforce_score_arrow(e.select("vec_id", "v"), qdf, k=RRF_DEPTH),
+        k=RRF_DEPTH,
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("dense_rank"),
     )
 
+
+def _perquery_fuse(b: DataFrame, d: DataFrame) -> DataFrame:
     fused = b.join(d, ["query_id", "doc_id"], "full")
     rrf = F.round(
         F.coalesce(
@@ -2726,6 +2742,65 @@ def retrieval_hybrid_rrf_perquery(
     )
 
 
+@query(
+    "retrieval_hybrid_rrf_perquery_indexed",
+    driver=False,  # r10-born: R11_ROTATE_IN; shares the recompute oracle
+    oracle=None,  # set below with the recompute twin's
+)
+def retrieval_hybrid_rrf_perquery_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``retrieval_hybrid_rrf_perquery`` with the lexical half SERVED
+    from the persisted text index — the payoff of a real inverted
+    index: ARBITRARY per-query terms resolve to pruned posting-list
+    reads. The corpus text is never re-tokenized: the only
+    documents.parquet scan is the bounded query-doc side (doc_id
+    predicate pushed to the scan, the ANN indexed-query precedent),
+    term matches come from <= |distinct terms| posting partitions
+    (term_part pruning via the same bounded-collect probe the
+    fixed-term serve uses), tf/dl ride the postings rows, and
+    n_docs/avgdl is the persisted one-row stats table (built with the
+    identical expression, so the double is bit-equal). Because the
+    per-query spec is Lucene match-only, NO corpus-width doclen join
+    is needed — the whole lexical half is index reads + broadcast
+    joins over bounded relations. Shares the recompute oracle
+    verbatim."""
+    from dbt_on_snowflake_spark.operators.textops import (
+        _term_part,
+        _text_index_tables,
+        ensure_text_index,
+    )
+
+    ensure_text_index(spark, sf_dir)
+    stats_t, postings_t, _doclen_t = _text_index_tables(sf_dir)
+    docs = table(spark, sf_dir, "documents")
+    qt = _perquery_terms(docs)
+    terms = qt.select("term").distinct()
+    # bounded collect (<= TERMS_PER_QUERY x |Q| <= 16 part values):
+    # the probe's partition list, dedup.py:1220 precedent
+    parts = [
+        r.p
+        for r in terms.select(_term_part().alias("p")).distinct().collect()
+    ]
+    matched = (
+        spark.table(postings_t)
+        .filter(F.col("term_part").isin(parts))
+        .join(F.broadcast(terms), "term")
+        .select("doc_id", "term", "tf", "dl")
+    )
+    stats = spark.table(stats_t)
+    b = _perquery_lexical(matched, qt, stats)
+    return _perquery_fuse(b, _perquery_dense(spark, sf_dir))
+
+
+def _set_perquery_indexed_oracle() -> None:
+    from dbt_on_snowflake_spark.registry import QUERIES
+
+    QUERIES["retrieval_hybrid_rrf_perquery_indexed"].oracle = QUERIES[
+        "retrieval_hybrid_rrf_perquery"
+    ].oracle
+
+
 def _set_perquery_hybrid_oracle() -> None:
     from dbt_on_snowflake_spark.registry import QUERIES
 
@@ -2735,6 +2810,7 @@ def _set_perquery_hybrid_oracle() -> None:
 
 
 _set_perquery_hybrid_oracle()
+_set_perquery_indexed_oracle()  # after the recompute oracle it shares
 
 
 # ---------------------------------------------------- MMR diversified top-k

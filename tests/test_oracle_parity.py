@@ -46,6 +46,7 @@ _BNLJ_OK = {
     "text_bm25_topk_indexed",  # 1-row persisted-stats x pruned-df broadcast
     "retrieval_hybrid_rrf_indexed",  # same 1-row stats + query-vector sides
     "retrieval_hybrid_rrf_perquery",  # 1-row global-stats broadcast
+    "retrieval_hybrid_rrf_perquery_indexed",  # 1-row persisted-stats side
 }
 
 

@@ -807,3 +807,23 @@ def test_bm25_indexed_no_corpus_rescan(spark):
     assert "documents.parquet" not in hplan
     assert "bm25_postings_" in hplan
     assert "embeddings.parquet" in hplan  # dense half, bounded scan
+
+
+def test_perquery_indexed_no_corpus_text_scan(spark):
+    """The indexed per-query hybrid never re-tokenizes the corpus: every
+    documents.parquet scan in its plan is the BOUNDED query-doc side
+    (doc_id predicate pushed to the scan — the ANN indexed-query
+    precedent), and the term matches come from the bm25_postings_
+    table. The dense half keeps its one embeddings scan."""
+    from dbt_on_snowflake_spark.plans import scans
+
+    plan = plan_of(spark, "retrieval_hybrid_rrf_perquery_indexed")
+    assert "bm25_postings_" in plan and "bm25_stats_" in plan
+    doc_scans = [
+        s for s in scans(plan) if "documents.parquet" in s.get("location", "")
+    ]
+    assert doc_scans, "query-doc side should still read documents.parquet"
+    for s in doc_scans:
+        assert "doc_id" in s.get("pushedfilters", ""), (
+            f"unbounded documents scan: {s}"
+        )
