@@ -1427,7 +1427,10 @@ def _text_index_tables(sf_dir: str) -> tuple[str, str, str]:
 
 
 def bm25_topn_indexed(
-    spark: SparkSession, sf_dir: str, depth: int
+    spark: SparkSession,
+    sf_dir: str,
+    depth: int,
+    tables: tuple[str, str, str] | None = None,
 ) -> DataFrame:
     """``bm25_topn`` SERVED from the persisted text index: the plan
     never touches documents.parquet (plan-pinned) — term frequencies
@@ -1445,7 +1448,7 @@ def bm25_topn_indexed(
     fewer than ``depth`` docs match any term. A Lucene-style match-only
     serve would drop that join; it is kept for the exactness contract
     and costs one narrow scan."""
-    stats_t, postings_t, doclen_t = _text_index_tables(sf_dir)
+    stats_t, postings_t, doclen_t = tables or _text_index_tables(sf_dir)
     terms = list(BM25_TERMS)
     parts = _term_parts(spark, terms)
     p = (
@@ -1537,3 +1540,118 @@ def _set_bm25_indexed_oracle() -> None:
 
 
 _set_bm25_indexed_oracle()
+
+
+# ------------------------------------- incremental text-index maintenance
+
+# Deterministic corpus/new-batch split for the registered query — the
+# ann_index_append convention (similarity.py): every 10th doc arrives
+# "later" and is appended against the index built from the rest.
+_NEW_DOCS_PRED = "doc_id % 10 = 9"
+_BASE_DOCS_PRED = "doc_id % 10 <> 9"
+
+
+def text_index_append(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    *,
+    stats_table: str,
+    postings_table: str,
+    doclen_table: str,
+) -> None:
+    """Append NEW documents to a persisted text index built by
+    ``build_text_index`` — the per-ingest-batch maintenance path,
+    mirroring ``ann_index_append``'s probe-then-grow contract:
+
+    - each new doc's postings land in the term_part-partitioned table
+      via dynamic partition append (clustered on term_part first, so a
+      batch adds ~1 file per touched partition, not |input partitions|
+      x |dirs|); existing partitions' files are untouched — postings
+      are per-doc facts, so append IS the correct merge;
+    - doclen rows append the same way;
+    - the one-row stats table is refreshed from the GROWN doclen table
+      — a narrow (2 ints/doc) scan computing the exact expression the
+      full build uses, so the served avgdl is bit-identical to a
+      from-scratch build. Per-batch cost is O(|batch| tokens) + the
+      narrow stats pass; the corpus text is never re-read."""
+    toks = F.split("text", " ")
+    lens = new_docs.select("doc_id", F.size(toks).alias("dl"))
+    lens.write.mode("append").saveAsTable(doclen_table)
+    (
+        new_docs.select(
+            "doc_id",
+            F.size(toks).alias("dl"),
+            F.explode(toks).alias("term"),
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+        .withColumn("term_part", _term_part())
+        .repartition("term_part")
+        .write.mode("append")
+        .partitionBy("term_part")
+        .saveAsTable(postings_table)
+    )
+    (
+        spark.table(doclen_table)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias(
+                "avgdl"
+            ),
+        )
+        .write.mode("overwrite")
+        .saveAsTable(stats_table)
+    )
+
+
+@query(
+    "text_bm25_topk_incremental",
+    driver=False,  # r10-born: R11_ROTATE_IN; shares the recompute oracle
+    oracle=None,  # set below
+)
+def text_bm25_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``text_bm25_topk`` served from an index grown INCREMENTALLY:
+    built from 90% of the corpus, then the held-out batch appended via
+    ``text_index_append``. Growing the index must converge to exactly
+    the from-scratch state — postings are per-doc facts and the stats
+    refresh recomputes the build's expression over the grown doclens —
+    so this shares the full-corpus recompute oracle verbatim: one
+    query proves build + append + serve end-to-end."""
+    import hashlib
+
+    suffix = hashlib.md5(f"textinc:{sf_dir}".encode()).hexdigest()[:8]
+    tables = (
+        f"bm25_stats_{suffix}",
+        f"bm25_postings_{suffix}",
+        f"bm25_doclen_{suffix}",
+    )
+    stats_t, postings_t, doclen_t = tables
+    d = table(spark, sf_dir, "documents")
+    # rebuilt from scratch each call: append twice would double-count,
+    # and this query IS the build+append verification surface
+    build_text_index(
+        spark,
+        d.filter(F.expr(_BASE_DOCS_PRED)),
+        stats_table=stats_t,
+        postings_table=postings_t,
+        doclen_table=doclen_t,
+    )
+    text_index_append(
+        spark,
+        d.filter(F.expr(_NEW_DOCS_PRED)),
+        stats_table=stats_t,
+        postings_table=postings_t,
+        doclen_table=doclen_t,
+    )
+    return bm25_topn_indexed(spark, sf_dir, BM25_TOP_N, tables=tables)
+
+
+def _set_bm25_incremental_oracle() -> None:
+    from dbt_on_snowflake_spark.registry import QUERIES
+
+    QUERIES["text_bm25_topk_incremental"].oracle = QUERIES[
+        "text_bm25_topk"
+    ].oracle
+
+
+_set_bm25_incremental_oracle()

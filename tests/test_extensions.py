@@ -1005,3 +1005,40 @@ def test_filtered_indexed_matches_unwidened_when_filter_loose(spark):
     assert "Generate" not in plan  # no posexplode = no centroid recompute
     assert "ann_assignments_" in plan
     assert "embeddings.parquet" not in plan  # arrow: queries collected
+
+
+def test_text_index_append_converges_to_rebuild(spark):
+    """Growing the text index must converge to the from-scratch state
+    at the INDEX level, not just the top-N: postings rows, doclen rows,
+    and the refreshed stats row of build(90%) + append(10%) equal a
+    full-corpus build exactly."""
+    from dbt_on_snowflake_spark.operators.textops import (
+        _BASE_DOCS_PRED,
+        _NEW_DOCS_PRED,
+        build_text_index,
+        text_index_append,
+    )
+    from dbt_on_snowflake_spark.testdata import table as t
+
+    d = t(spark, SF_SMOKE, "documents")
+    full = ("ti_f_stats", "ti_f_post", "ti_f_dl")
+    grown = ("ti_g_stats", "ti_g_post", "ti_g_dl")
+    build_text_index(
+        spark, d, stats_table=full[0], postings_table=full[1],
+        doclen_table=full[2],
+    )
+    build_text_index(
+        spark, d.filter(F.expr(_BASE_DOCS_PRED)),
+        stats_table=grown[0], postings_table=grown[1],
+        doclen_table=grown[2],
+    )
+    text_index_append(
+        spark, d.filter(F.expr(_NEW_DOCS_PRED)),
+        stats_table=grown[0], postings_table=grown[1],
+        doclen_table=grown[2],
+    )
+    for f_tbl, g_tbl in zip(full, grown):
+        f_rows = sorted(map(tuple, spark.table(f_tbl).collect()))
+        g_rows = sorted(map(tuple, spark.table(g_tbl).collect()))
+        assert f_rows == g_rows, f_tbl
+    assert len(spark.table(full[0]).collect()) == 1  # the one stats row

@@ -47,6 +47,7 @@ _BNLJ_OK = {
     "retrieval_hybrid_rrf_indexed",  # same 1-row stats + query-vector sides
     "retrieval_hybrid_rrf_perquery",  # 1-row global-stats broadcast
     "retrieval_hybrid_rrf_perquery_indexed",  # 1-row persisted-stats side
+    "text_bm25_topk_incremental",  # 1-row refreshed-stats x pruned-df side
 }
 
 
