@@ -1591,6 +1591,12 @@ def text_index_append(
         .partitionBy("term_part")
         .saveAsTable(postings_table)
     )
+    # under Structured Streaming the appends above ran through the
+    # micro-batch's session CLONE; without a refresh the driving
+    # session's cached file listing makes this stats pass read only the
+    # pre-append doclens (n_docs silently short — caught by the shared
+    # full-corpus oracle when this path first streamed)
+    spark.catalog.refreshTable(doclen_table)
     (
         spark.table(doclen_table)
         .agg(

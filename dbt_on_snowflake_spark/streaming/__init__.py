@@ -512,6 +512,112 @@ def _set_stream_dedup_oracle() -> None:
 _set_stream_dedup_oracle()
 
 
+# ------------------------------- streaming text-index (BM25) maintenance
+
+
+def text_index_stream_ingest(
+    spark: SparkSession,
+    new_docs_stream: DataFrame,
+    tables: tuple[str, str, str],
+) -> None:
+    """Continuous text-index maintenance: each micro-batch of new
+    documents appends its postings/doclens and refreshes the stats row
+    via ``text_index_append`` — the same grow step the batch path runs
+    per ingest. The stream carries NO Spark state (no watermark/agg
+    state to bound): all cross-batch memory lives in the durable
+    index tables, mirroring ``dedup_stream_against_index``'s posture.
+    Per-batch write amplification is the batch's own postings plus the
+    narrow doclen-wide stats pass."""
+    from dbt_on_snowflake_spark.operators.textops import text_index_append
+
+    stats_t, postings_t, doclen_t = tables
+
+    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        text_index_append(
+            spark,
+            batch_df,
+            stats_table=stats_t,
+            postings_table=postings_t,
+            doclen_table=doclen_t,
+        )
+        # appends ran through the micro-batch's session clone; drop the
+        # driving session's cached listings or the next batch's stats
+        # refresh reads stale doclens (dedup_stream_against_index
+        # precedent)
+        for t in tables:
+            spark.catalog.refreshTable(t)
+
+    q = (
+        new_docs_stream.writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+@query(
+    "text_index_ingest_streaming",
+    driver=False,  # r10-born: R11_ROTATE_IN; shares the recompute oracle
+    oracle=None,  # set below
+)
+def text_index_ingest_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-index maintenance executed through Structured Streaming:
+    the corpus (doc_id % 10 <> 9) builds the persisted index; the
+    held-out documents arrive as a STREAM whose micro-batches
+    append-and-refresh via ``text_index_stream_ingest``; the
+    post-ingest serve must hash-match the FULL-corpus recompute oracle
+    — the streaming grow path provably converges to the from-scratch
+    index (multi-batch convergence pinned by
+    ``test_text_index_stream_multi_batch_converges``)."""
+    import hashlib
+
+    from dbt_on_snowflake_spark.operators.textops import (
+        _BASE_DOCS_PRED,
+        _NEW_DOCS_PRED,
+        BM25_TOP_N,
+        bm25_topn_indexed,
+        build_text_index,
+    )
+    from dbt_on_snowflake_spark.testdata import table
+
+    suffix = hashlib.md5(f"textstream:{sf_dir}".encode()).hexdigest()[:8]
+    tables = (
+        f"bm25_stats_{suffix}",
+        f"bm25_postings_{suffix}",
+        f"bm25_doclen_{suffix}",
+    )
+    d = table(spark, sf_dir, "documents")
+    build_text_index(
+        spark,
+        d.filter(F.expr(_BASE_DOCS_PRED)),
+        stats_table=tables[0],
+        postings_table=tables[1],
+        doclen_table=tables[2],
+    )
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+        .filter(F.expr(_NEW_DOCS_PRED))
+    )
+    text_index_stream_ingest(spark, stream, tables)
+    return bm25_topn_indexed(spark, sf_dir, BM25_TOP_N, tables=tables)
+
+
+def _set_text_ingest_oracle() -> None:
+    from dbt_on_snowflake_spark.registry import QUERIES
+
+    QUERIES["text_index_ingest_streaming"].oracle = QUERIES[
+        "text_bm25_topk"
+    ].oracle
+
+
+_set_text_ingest_oracle()
+
+
 # ------------------------------------- custom stateful operator (funnel)
 
 # Batch twin's oracle (analytics.t_event_funnel) — set after registration

@@ -585,3 +585,68 @@ def test_update_mode_trending_merges_versions(spark, tmp_path):
     ranked = sorted(map(tuple, _rank_trending(merged).collect()))
     ranked_batch = sorted(map(tuple, _rank_trending(batch).collect()))
     assert ranked == ranked_batch and ranked
+
+
+def test_text_index_stream_multi_batch_converges(spark, tmp_path):
+    """Streaming text-index maintenance across REAL micro-batch
+    boundaries: the held-out docs arrive in 3 files fed one per
+    trigger, each batch growing the index; the final index must equal a
+    from-scratch full-corpus build row-for-row in all three tables."""
+    from dbt_on_snowflake_spark.operators.textops import (
+        build_text_index,
+    )
+    from dbt_on_snowflake_spark.streaming import text_index_stream_ingest
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(60),
+            "text": [
+                " ".join(f"w{(i * 7 + j) % 13}" for j in range(5 + i % 9))
+                for i in range(60)
+            ],
+            "lang": ["en"] * 60,
+            "source": ["s"] * 60,
+        }
+    )
+    full = ("tis_f_stats", "tis_f_post", "tis_f_dl")
+    grown = ("tis_g_stats", "tis_g_post", "tis_g_dl")
+
+    src_full = str(tmp_path / "docs_full")
+    os.makedirs(src_full)
+    docs.to_parquet(os.path.join(src_full, "documents.parquet"), index=False)
+    fdf = spark.read.parquet(src_full)
+    build_text_index(
+        spark, fdf, stats_table=full[0], postings_table=full[1],
+        doclen_table=full[2],
+    )
+
+    base = docs[docs.doc_id % 2 == 0]
+    held = docs[docs.doc_id % 2 == 1]
+    src_base = str(tmp_path / "docs_base")
+    os.makedirs(src_base)
+    base.to_parquet(os.path.join(src_base, "documents.parquet"), index=False)
+    build_text_index(
+        spark, spark.read.parquet(src_base),
+        stats_table=grown[0], postings_table=grown[1],
+        doclen_table=grown[2],
+    )
+
+    src_stream = str(tmp_path / "docs_stream")
+    os.makedirs(src_stream)
+    for part in range(3):
+        held[held.doc_id % 6 == 2 * part + 1].to_parquet(
+            os.path.join(src_stream, f"p{part}.parquet"), index=False
+        )
+    schema = spark.read.parquet(src_stream).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src_stream)
+    )
+    text_index_stream_ingest(spark, stream, grown)
+
+    for f_tbl, g_tbl in zip(full, grown):
+        f_rows = sorted(map(tuple, spark.table(f_tbl).collect()))
+        g_rows = sorted(map(tuple, spark.table(g_tbl).collect()))
+        assert f_rows == g_rows, f_tbl
