@@ -3337,8 +3337,22 @@ def ann_pq_adc_indexed(
     build_pq_index(
         spark, e, codebook_table=codebook_table, codes_table=codes_table
     )
-    cb_row = _codebook_row(spark.table(codebook_table))
     codes = spark.table(codes_table).select("vec_id", "bests")
+    return _adc_serve(spark, e, codebook_table, codes, k)
+
+
+def _adc_serve(
+    spark: SparkSession,
+    e: DataFrame,
+    codebook_table: str,
+    codes: DataFrame,
+    k: int,
+) -> DataFrame:
+    """ADC top-k over an already-encoded (vec_id, bests) codes relation
+    against the persisted codebook — the serve stage shared by the
+    plain indexed query and the filtered variant (which hands in a
+    partition-pruned codes subset)."""
+    cb_row = _codebook_row(spark.table(codebook_table))
 
     def lut_entry(m: int, qsv):
         def entry(c):
@@ -3385,6 +3399,109 @@ def ann_pq_adc_indexed(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+@query(
+    "ann_filtered_rerank_indexed",
+    driver=False,  # r10-born: R11_ROTATE_IN
+    oracle=None,  # set below (built from the rerank CTEs + the filter)
+)
+def ann_filtered_rerank_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered TWO-STAGE serve over the persisted PQ index — the
+    production shape for "semantic search over docs matching a
+    predicate" at PQ scale: the codes table is PARTITIONED BY coarse
+    label, so the metadata predicate prunes whole code partitions
+    before any ADC lookup; stage 1 ADC-shortlists over the MATCHING
+    codes only (a brute scan of the filtered subset — unlike the IVF
+    probe there is no cell under-fill to widen, every matching
+    candidate is scored); stage 2 exact-reranks the shortlist. Filter
+    semantics match ``ann_filtered_topk`` (pre-filter, top-k over the
+    filtered set); index + rerank semantics match
+    ``ann_pq_rerank_indexed``. Index built once per corpus
+    (tableExists + job-group convention)."""
+    import hashlib
+
+    suffix = hashlib.md5(f"fpq:{sf_dir}".encode()).hexdigest()[:8]
+    codebook_table = f"pq_codebook_{suffix}"
+    codes_table = f"pq_codes_{suffix}"
+    e = _vectors(spark, sf_dir)
+    if not spark.catalog.tableExists(codes_table):
+        sc = spark.sparkContext
+        caller_group = sc.getLocalProperty("spark.jobGroup.id")
+        sc.setJobGroup("index-build:ann_filtered_rerank_indexed", "once")
+        try:
+            build_pq_index(
+                spark, e,
+                codebook_table=codebook_table, codes_table=codes_table,
+            )
+        finally:
+            sc.setJobGroup(caller_group, "serve")
+    codes = (
+        spark.table(codes_table)
+        .filter(F.expr(ANN_FILTER_PRED))  # label partition pruning
+        .select("vec_id", "bests")
+    )
+    shortlist = _adc_serve(
+        spark, e, codebook_table, codes, RERANK_SHORTLIST
+    ).select("query_id", "neighbor_id")
+    return _exact_rerank(e, shortlist)
+
+
+def _set_filtered_rerank_oracle() -> None:
+    from dbt_on_snowflake_spark.registry import QUERIES
+
+    QUERIES["ann_filtered_rerank_indexed"].oracle = f"""
+    WITH {_PQ_CODES_CTE},
+    lut AS (
+        SELECT qv.vec_id AS query_id, ms.m, c.label,
+               CAST(ROUND(list_dot_product({_PQ_SUB_SQL.format(v='qv.v', m='ms.m')},
+                                           {_PQ_SUB_SQL.format(v='c.v', m='ms.m')})
+                          * 10000) AS BIGINT) AS p
+        FROM (SELECT * FROM e WHERE {_QUERY_PRED}) qv
+        CROSS JOIN ms CROSS JOIN cvec c
+    ),
+    adc AS (
+        SELECT l.query_id, cd.vec_id AS neighbor_id,
+               CAST(SUM(l.p) AS BIGINT) AS approx_dot_scaled
+        FROM (
+            -- the filter prunes the CODES, mirroring the engine's
+            -- label-partition-pruned read of the persisted codes table
+            SELECT vec_id, m, code FROM pq_codes
+            WHERE rn = 1 AND {ANN_FILTER_PRED.replace("label", "vlabel")}
+        ) cd
+        JOIN lut l ON l.m = cd.m AND l.label = cd.code
+        WHERE cd.vec_id <> l.query_id
+        GROUP BY 1, 2
+    ),
+    shortlist AS (
+        SELECT query_id, neighbor_id
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY approx_dot_scaled DESC, neighbor_id ASC
+            ) AS arank
+            FROM adc
+        ) WHERE arank <= {RERANK_SHORTLIST}
+    ),
+    rr AS (
+        SELECT s.query_id, s.neighbor_id,
+               ROUND({COSINE_SQL.format(a="qe.v", b="ne.v")}, 4) + 0.0
+                   AS cosine
+        FROM shortlist s
+        JOIN e qe ON qe.vec_id = s.query_id
+        JOIN e ne ON ne.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+        ) AS rank
+        FROM rr WHERE NOT isnan(cosine)
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+_set_filtered_rerank_oracle()
 
 
 def _set_pq_indexed_oracle() -> None:

@@ -101,13 +101,13 @@ QUERIES: dict[str, RegisteredQuery] = {}
 #   (s4_source_passthrough, p2_projection_rename, p6_range_filter,
 #   p7_ts_filter, dq_failing_rows, f_scalar_suite, f_json_extract)
 #   = 54 mandatory > 50 budget BEFORE any r10-born rows
-#   (R11_ROTATE_IN; 8 born this round -> 62 total, so 12 rows slip to
-#   r12). The debt is structural at 162 registered queries x 50-row
+#   (R11_ROTATE_IN; 9 born this round -> 63 total, so 13 rows slip to
+#   r12). The debt is structural at 163 registered queries x 50-row
 #   budget: the effective window for trivial single-operator rows is
-#   4 rounds, not 3. At r11, prioritize (1) all 8 R11_ROTATE_IN rows,
-#   (2) the 47 r8-stale rows — that is 55 already, so slip the 7
+#   4 rounds, not 3. At r11, prioritize (1) all 9 R11_ROTATE_IN rows,
+#   (2) the 47 r8-stale rows — that is 56 already, so slip the 7
 #   r10-slipped trivials again (every one is a single-operator shape
-#   the per-pytest parity replica re-verifies on each run) plus the 5
+#   the per-pytest parity replica re-verifies on each run) plus the 6
 #   lowest-risk r8-stale rows with exported family guards; the slipped
 #   trivials then become mandatory at r12 (4-round window).
 DRIVER_BUDGET = 50
@@ -134,6 +134,7 @@ R11_ROTATE_IN: set[str] = {
     "t_events_topn_types_update_streaming",
     "text_bm25_topk_incremental",
     "text_index_ingest_streaming",
+    "ann_filtered_rerank_indexed",
 }
 
 # The authoritative r10 export set: the ledger draft above, verbatim.

@@ -1042,3 +1042,32 @@ def test_text_index_append_converges_to_rebuild(spark):
         g_rows = sorted(map(tuple, spark.table(g_tbl).collect()))
         assert f_rows == g_rows, f_tbl
     assert len(spark.table(full[0]).collect()) == 1  # the one stats row
+
+
+def test_filtered_rerank_indexed_respects_filter(spark, monkeypatch):
+    """Every neighbor of the filtered two-stage PQ serve matches the
+    candidate predicate, each query's k is filled from the matching
+    set, and both ADC kernel paths agree row-for-row."""
+    from dbt_on_snowflake_spark.operators.similarity import (
+        ANN_FILTER_PRED,
+        TOP_K,
+        ann_filtered_rerank_indexed,
+    )
+
+    rows = ann_filtered_rerank_indexed(spark, SF_SMOKE).collect()
+    assert rows
+    labels = {
+        r.vec_id: r.label
+        for r in spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .select("vec_id", "label").collect()
+    }
+    assert ANN_FILTER_PRED == "label % 2 = 0"  # the parity predicate
+    assert all(labels[r.neighbor_id] % 2 == 0 for r in rows)
+    per_q = {}
+    for r in rows:
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    assert all(n == TOP_K for n in per_q.values())
+
+    monkeypatch.setenv("SPARK_GRAFT_PQ_KERNEL", "hof")
+    hof = ann_filtered_rerank_indexed(spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, hof))

@@ -49,6 +49,7 @@ _BNLJ_OK = {
     "retrieval_hybrid_rrf_perquery_indexed",  # 1-row persisted-stats side
     "text_bm25_topk_incremental",  # 1-row refreshed-stats x pruned-df side
     "text_index_ingest_streaming",  # same indexed-serve 1-row stats side
+    "ann_filtered_rerank_indexed",  # 1-row codebook + capped query-LUT side
 }
 
 
