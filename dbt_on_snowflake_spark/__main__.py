@@ -91,6 +91,16 @@ def main(argv: list[str] | None = None) -> int:
             )
         if name == "compact":
             sp.add_argument(
+                "--indexes", action="store_true", dest="indexes",
+                help="also compact the session's managed INDEX tables "
+                     "(BM25 postings, ANN assignments, PQ codes, ...): "
+                     "per-batch appends leave ~1 file per batch per "
+                     "partition; this rewrites each to one file per "
+                     "partition dir, and folds merge-on-read update "
+                     "LOGS to one row per key via their _merge.json "
+                     "sidecar (engine/index_maintenance.py)",
+            )
+            sp.add_argument(
                 "--sort-by", default=None, dest="sort_by",
                 help="sort-cluster the rewrite by these columns "
                      "(comma-separated): range-partitioned files with "
@@ -1139,6 +1149,28 @@ def main(argv: list[str] | None = None) -> int:
                      else ""))
             n_done += 1
         print(f"{n_done} versioned table(s) compacted")
+        if getattr(args, "indexes", False):
+            from dbt_on_snowflake_spark.engine import index_maintenance
+            from dbt_on_snowflake_spark.engine.fs import fs_delete
+
+            for name, before, after in index_maintenance.compact_index_tables(
+                spark
+            ):
+                print(f"compacted index {name}: {before} -> {after} file(s)")
+            for name, before, after in index_maintenance.fold_update_logs(
+                spark
+            ):
+                print(f"folded log {name}: {before} -> {after} file(s)")
+            # a crashed rewrite from a PRIOR process leaves a
+            # __compacting dir the in-memory catalog no longer knows;
+            # reclaim it (its owner either survived the crash or will
+            # be rebuilt from the corpus by its ensure_* path)
+            for d in sorted(_os.listdir(wh)) if _os.path.isdir(wh) else []:
+                if d.endswith("__compacting") and not spark.catalog.tableExists(
+                    d
+                ):
+                    fs_delete(spark, _os.path.join(wh, d))
+                    print(f"reclaimed orphaned {d}")
         return 0
 
     if args.cmd == "docs":

@@ -72,6 +72,22 @@ def fs_size(spark: SparkSession, path: str) -> int:
     return int(fs.getContentSummary(p).getLength())
 
 
+def fs_count_files(
+    spark: SparkSession, path: str, suffix: str = ".parquet"
+) -> int:
+    """Recursive count of data files under a path; 0 if missing. The
+    small-file metric index compaction is judged by."""
+    fs, p = _fs_path(spark, path)
+    if not fs.exists(p):
+        return 0
+    it = fs.listFiles(p, True)
+    n = 0
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(suffix):
+            n += 1
+    return n
+
+
 def fs_create_atomic(spark: SparkSession, path: str, data: bytes) -> None:
     """Create a NEW file with ``data`` — fails if it already exists
     (overwrite=False), which is the commit-conflict signal for two

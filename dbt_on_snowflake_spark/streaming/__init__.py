@@ -1293,7 +1293,12 @@ def _rank_trending(counts: DataFrame) -> DataFrame:
 
 
 def run_update_log(
-    counts: DataFrame, spark: SparkSession, tag: str = ""
+    counts: DataFrame,
+    spark: SparkSession,
+    tag: str = "",
+    *,
+    keys: list[str] | None = None,
+    merge: dict[str, str] | None = None,
 ) -> DataFrame:
     """Drive an update-mode streaming aggregate into a DURABLE
     append-only key log (foreachBatch -> parquet append) and return the
@@ -1308,8 +1313,13 @@ def run_update_log(
     dir and is replaced on each invocation — repeated bench/parity runs
     reuse one directory instead of leaking a fresh tempdir per call
     (r10 review); in production the log is the durable sink itself and
-    a compaction cycle folds it."""
+    a compaction cycle folds it: pass ``keys`` + ``merge`` (column ->
+    idempotent agg name, e.g. ``{"n_events": "max"}``) and the log
+    self-describes its fold in a ``_merge.json`` sidecar that
+    ``engine/index_maintenance.fold_update_log`` — and the
+    ``compact --indexes`` sweep — resolve without knowing the query."""
     import hashlib
+    import json
     import shutil
 
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
@@ -1322,6 +1332,9 @@ def run_update_log(
     log = os.path.join(wh, f"topn_updatelog_{suffix}")
     shutil.rmtree(log, ignore_errors=True)
     os.makedirs(log, exist_ok=True)
+    if keys and merge:
+        with open(os.path.join(log, "_merge.json"), "w") as fh:
+            json.dump({"keys": keys, "merge": merge}, fh)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(log)
@@ -1359,11 +1372,19 @@ def t_events_topn_types_update_streaming(
     versions — one keyed aggregate at read, then the same rank-at-read
     as the complete twin. Both variants hash-match the same batch
     oracle; the multi-batch version-log semantics are pinned by
-    ``test_update_mode_trending_merges_versions``. (A compaction cycle
-    would periodically fold the log — the ``compact`` CLI's job, not
-    the stream's.)"""
+    ``test_update_mode_trending_merges_versions``. A compaction cycle
+    periodically folds the log — ``compact --indexes`` resolves the
+    ``_merge.json`` sidecar declared here and rewrites the log to one
+    row per key, read-identical by merge idempotence
+    (``test_fold_update_log_preserves_merge_read``)."""
     s = events_stream(spark, sf_dir)
-    raw = run_update_log(_trending_counts(s), spark, tag=sf_dir)
+    raw = run_update_log(
+        _trending_counts(s),
+        spark,
+        tag=sf_dir,
+        keys=["hour_start", "event_type"],
+        merge={"n_events": "max"},
+    )
     merged = raw.groupBy("hour_start", "event_type").agg(
         F.max("n_events").alias("n_events")
     )

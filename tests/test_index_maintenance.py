@@ -1,0 +1,355 @@
+"""Index-table small-file compaction (engine/index_maintenance.py):
+the maintenance pass that pays down the file-per-batch-per-partition
+tax the append/streaming ingest paths accumulate. The contract is
+(1) fewer files — one per partition dir, (2) bit-identical serve
+results, (3) partition pruning survives the rename swap, (4) crashed
+attempts heal, (5) bucketed / already-compact / versioned tables are
+left alone."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from dbt_on_snowflake_spark.engine.fs import fs_count_files
+from dbt_on_snowflake_spark.engine.index_maintenance import (
+    compact_index_table,
+    compact_index_tables,
+    table_location,
+)
+from dbt_on_snowflake_spark.operators.textops import (
+    _BASE_DOCS_PRED,
+    BM25_TOP_N,
+    bm25_topn_indexed,
+    build_text_index,
+    text_index_append,
+)
+from dbt_on_snowflake_spark.testdata import table
+from tests.conftest import SF_SMOKE
+
+_TI = ("cix_stats", "cix_post", "cix_dl")
+
+
+def _grown_text_index(spark):
+    """Build the index from 90% of the corpus, then grow it with three
+    append batches (docs 9/19/29 mod 30) — the shape a streaming ingest
+    leaves behind: ~1 extra file per batch per touched partition."""
+    d = table(spark, SF_SMOKE, "documents")
+    build_text_index(
+        spark,
+        d.filter(F.expr(_BASE_DOCS_PRED)),
+        stats_table=_TI[0],
+        postings_table=_TI[1],
+        doclen_table=_TI[2],
+    )
+    for m in (9, 19, 29):
+        text_index_append(
+            spark,
+            d.filter(F.expr(f"doc_id % 30 = {m}")),
+            stats_table=_TI[0],
+            postings_table=_TI[1],
+            doclen_table=_TI[2],
+        )
+
+
+def test_compact_text_index_preserves_serve(spark):
+    """After 3 append batches the postings table carries multiple files
+    per partition; compaction rewrites to one file per partition dir
+    and the served top-N is row-identical, stats row untouched."""
+    _grown_text_index(spark)
+    before_rows = sorted(
+        map(tuple, bm25_topn_indexed(spark, SF_SMOKE, BM25_TOP_N,
+                                     tables=_TI).collect())
+    )
+    stats_before = spark.table(_TI[0]).collect()
+
+    post_loc = table_location(spark, _TI[1])
+    n_dirs = sum(
+        1 for e in os.listdir(post_loc.removeprefix("file:"))
+        if "=" in e
+    )
+    assert fs_count_files(spark, post_loc) > n_dirs  # the append tax
+
+    res = compact_index_table(spark, _TI[1])
+    assert res is not None
+    files_before, files_after = res
+    assert files_before > files_after == n_dirs  # one file per dir
+
+    # partition pruning survives the rename swap
+    plan = (
+        spark.table(_TI[1]).filter("term_part = 1")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "term_part" in plan
+
+    after_rows = sorted(
+        map(tuple, bm25_topn_indexed(spark, SF_SMOKE, BM25_TOP_N,
+                                     tables=_TI).collect())
+    )
+    assert before_rows == after_rows
+    assert spark.table(_TI[0]).collect() == stats_before
+    # idempotent: a second pass finds nothing to do
+    assert compact_index_table(spark, _TI[1]) is None
+
+
+def test_compact_unpartitioned_and_skips(spark):
+    """Unpartitioned doclen compacts toward the byte-target file count;
+    an already-compact table and a bucketed table are skipped."""
+    from dbt_on_snowflake_spark.operators.dedup import _drop_managed_table
+
+    _grown_text_index(spark)
+    dl_loc = table_location(spark, _TI[2])
+    assert fs_count_files(spark, dl_loc) > 1
+    rows_before = sorted(map(tuple, spark.table(_TI[2]).collect()))
+    res = compact_index_table(spark, _TI[2])
+    assert res is not None and res[1] == 1  # tiny table -> one file
+    assert sorted(map(tuple, spark.table(_TI[2]).collect())) == rows_before
+    assert compact_index_table(spark, _TI[2]) is None  # now compact
+
+    _drop_managed_table(spark, "cix_bucketed")
+    (
+        spark.range(64).selectExpr("id AS k", "id * 2 AS v")
+        .write.bucketBy(4, "k").sortBy("k")
+        .mode("overwrite").saveAsTable("cix_bucketed")
+    )
+    # append a second generation of bucket files: genuinely fragmented,
+    # but a blind rewrite would destroy the bucket-file naming
+    (
+        spark.range(64, 128).selectExpr("id AS k", "id * 2 AS v")
+        .write.bucketBy(4, "k").sortBy("k")
+        .mode("append").saveAsTable("cix_bucketed")
+    )
+    assert compact_index_table(spark, "cix_bucketed") is None
+
+
+def test_compact_heals_crashed_attempt(spark):
+    """A leftover __compacting table (crash between write and swap) and
+    a leftover catalog-less __compacting dir must not wedge the next
+    attempt."""
+    _grown_text_index(spark)
+    # catalog-visible leftover
+    spark.range(3).write.mode("overwrite").saveAsTable(
+        f"{_TI[1]}__compacting"
+    )
+    res = compact_index_table(spark, _TI[1])
+    assert res is not None and res[0] > res[1]
+    assert not spark.catalog.tableExists(f"{_TI[1]}__compacting")
+
+    # dir-only leftover (prior process crashed; in-memory catalog
+    # forgot the tmp table but its managed dir persists)
+    _grown_text_index(spark)
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    orphan = os.path.join(wh, f"{_TI[1]}__compacting")
+    os.makedirs(orphan, exist_ok=True)
+    pd.DataFrame({"x": [1]}).to_parquet(
+        os.path.join(orphan, "junk.parquet"), index=False
+    )
+    res = compact_index_table(spark, _TI[1])
+    assert res is not None and res[0] > res[1]
+    assert not os.path.exists(orphan)
+
+
+def _versioned_log(spark, tmp_path):
+    """A hand-built merge-on-read key log with genuine cross-segment
+    version updates and its _merge.json sidecar — the state
+    run_update_log leaves after three update-mode micro-batches."""
+    import json
+
+    log = str(tmp_path / "updatelog")
+    os.makedirs(log)
+    with open(os.path.join(log, "_merge.json"), "w") as fh:
+        json.dump(
+            {"keys": ["hour_start", "event_type"],
+             "merge": {"n_events": "max"}},
+            fh,
+        )
+    for batch, counts in enumerate([(3, 1), (5, 2), (9, 4)]):
+        pd.DataFrame(
+            {
+                "hour_start": pd.to_datetime(["2024-01-01 00:00:00"] * 2),
+                "event_type": ["view", "click"],
+                "n_events": list(counts),
+            }
+        ).to_parquet(os.path.join(log, f"b{batch}.parquet"), index=False)
+    return log
+
+
+def _merged_read(spark, log):
+    return sorted(
+        map(
+            tuple,
+            spark.read.parquet(log)
+            .groupBy("hour_start", "event_type")
+            .agg(F.max("n_events").alias("n_events"))
+            .collect(),
+        )
+    )
+
+
+def test_fold_update_log_preserves_merge_read(spark, tmp_path):
+    """Folding collapses the log to one row per key without changing
+    the merged read; a crash between the folded append and the segment
+    delete (folded rows coexisting with originals) is invisible to the
+    reader by merge idempotence, and the next pass finishes the job."""
+    import shutil
+
+    from dbt_on_snowflake_spark.engine.index_maintenance import (
+        fold_update_log,
+    )
+
+    log = _versioned_log(spark, tmp_path)
+    before = _merged_read(spark, log)
+    res = fold_update_log(spark, log)
+    assert res == (3, 1)
+    assert _merged_read(spark, log) == before
+    raw = spark.read.parquet(log)
+    assert raw.count() == raw.select("hour_start", "event_type").distinct().count()
+    assert fold_update_log(spark, log) is None  # already folded
+
+    # crash simulation: the fold appended its folded segment but died
+    # before deleting the originals — restore the original segments
+    # NEXT TO the folded one
+    crashed = _versioned_log(spark, tmp_path / "c")
+    assert fold_update_log(spark, crashed) is not None
+    orig = _versioned_log(spark, tmp_path / "orig")
+    for f in os.listdir(orig):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(orig, f), os.path.join(crashed, f))
+    assert _merged_read(spark, crashed) == before  # reader unaffected
+    assert fold_update_log(spark, crashed) is not None  # finishes delete
+    assert _merged_read(spark, crashed) == before
+
+
+def test_fold_refuses_non_idempotent_merge(spark, tmp_path):
+    """A sum-of-deltas log must be refused: folding under the crash
+    protocol (or folding twice) would double-count."""
+    import json
+
+    import pytest as _pytest
+
+    from dbt_on_snowflake_spark.engine.index_maintenance import (
+        fold_update_log,
+    )
+
+    log = _versioned_log(spark, tmp_path)
+    with open(os.path.join(log, "_merge.json"), "w") as fh:
+        json.dump(
+            {"keys": ["hour_start", "event_type"],
+             "merge": {"n_events": "sum"}},
+            fh,
+        )
+    with _pytest.raises(ValueError, match="non-idempotent"):
+        fold_update_log(spark, log)
+
+
+def test_update_streaming_query_declares_foldable_log(spark):
+    """The registered update-mode trending query writes the _merge.json
+    sidecar its docstring promises, and the warehouse sweep folds its
+    log without changing the log's merged read (the log is grown with a
+    duplicated segment first — at smoke scale the single-file source
+    yields one micro-batch, so duplication stands in for cross-batch
+    versions; MAX-merge makes the duplicate invisible by idempotence)."""
+    import glob as _glob
+    import shutil
+
+    from dbt_on_snowflake_spark.engine.index_maintenance import (
+        fold_update_logs,
+    )
+    from dbt_on_snowflake_spark.streaming import (
+        t_events_topn_types_update_streaming,
+    )
+
+    t_events_topn_types_update_streaming(spark, SF_SMOKE).collect()
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    logs = [
+        d
+        for d in os.listdir(wh)
+        if d.startswith("topn_updatelog_")
+        and os.path.exists(os.path.join(wh, d, "_merge.json"))
+    ]
+    assert logs, "the query should leave a self-describing log"
+    pre = {d: _merged_read(spark, os.path.join(wh, d)) for d in logs}
+    for d in logs:
+        seg = _glob.glob(os.path.join(wh, d, "*.parquet"))[0]
+        shutil.copy(seg, os.path.join(wh, d, "dup-segment.parquet"))
+    folded = {n for n, _b, _a in fold_update_logs(spark)}
+    assert set(logs) <= folded
+    for d in logs:
+        assert _merged_read(spark, os.path.join(wh, d)) == pre[d]
+
+
+def test_scheduled_index_compaction_task(spark, tmp_path, capsys):
+    """The maintenance pass is schedulable exactly like the reference's
+    Snowflake TASK surface: a tasks.yml cron entry running `compact
+    --indexes` fires through `task run-due` in the serving session and
+    pays down the fragmented index in place."""
+    from dbt_on_snowflake_spark.__main__ import main
+
+    _grown_text_index(spark)
+    post_loc = table_location(spark, _TI[1])
+    assert fs_count_files(spark, post_loc) > 16  # fragmented
+
+    root = str(tmp_path / "mproj")
+    os.makedirs(f"{root}/models/models", exist_ok=True)
+    open(f"{root}/project.yml", "w").write("name: mproj\n")
+    open(f"{root}/sources.yml", "w").write("sources: []\n")
+    open(f"{root}/tasks.yml", "w").write(
+        "tasks:\n"
+        "  - name: nightly_index_compaction\n"
+        "    schedule: \"USING CRON 30 2 * * * UTC\"\n"
+        "    args: \"compact --indexes --target mnt\"\n"
+    )
+    rc = main(["task", "run-due", "--project", root,
+               "--now", "2026-08-15T02:30:10"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "success" in out
+    assert f"compacted index {_TI[1]}" in out
+    n_dirs = sum(
+        1 for e in os.listdir(post_loc.removeprefix("file:")) if "=" in e
+    )
+    assert fs_count_files(spark, table_location(spark, _TI[1])) == n_dirs
+
+
+def test_compact_indexes_cli_sweeps_and_reclaims(spark, tmp_path, capsys):
+    """`compact --indexes` compacts every fragmented managed index
+    table, leaves versioned model tables to the versioned sweep, and
+    reclaims orphaned __compacting dirs from crashed prior processes."""
+    from dbt_on_snowflake_spark.__main__ import main
+
+    _grown_text_index(spark)
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    orphan = os.path.join(wh, "zz_gone__compacting")
+    os.makedirs(orphan, exist_ok=True)
+
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    pd.DataFrame({"id": range(8)}).to_parquet(
+        os.path.join(data, "t.parquet"), index=False
+    )
+    root = str(tmp_path / "proj")
+    os.makedirs(f"{root}/models/models", exist_ok=True)
+    open(f"{root}/project.yml", "w").write(
+        "name: cixp\nmodels:\n  models:\n    materialized: table\n"
+    )
+    open(f"{root}/sources.yml", "w").write(
+        f"sources:\n  - name: raw\n    base_path: \"{data}\"\n"
+        "    tables:\n      - name: t\n"
+    )
+    open(f"{root}/models/models/m.sql", "w").write(
+        "SELECT id FROM {{ source('raw', 't') }}"
+    )
+    assert main(["run", "--project", root, "--target", "cix"]) == 0
+    capsys.readouterr()
+
+    before = fs_count_files(spark, table_location(spark, _TI[1]))
+    assert main(["compact", "--indexes", "--project", root,
+                 "--target", "cix"]) == 0
+    out = capsys.readouterr().out
+    assert f"compacted index {_TI[1]}: {before} ->" in out
+    assert "reclaimed orphaned zz_gone__compacting" in out
+    assert not os.path.exists(orphan)
+    # the versioned model table went through the versioned sweep, not
+    # the index path
+    assert "compacted index cix_m" not in out
