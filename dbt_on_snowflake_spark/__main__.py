@@ -1151,21 +1151,28 @@ def main(argv: list[str] | None = None) -> int:
         print(f"{n_done} versioned table(s) compacted")
         if getattr(args, "indexes", False):
             from dbt_on_snowflake_spark.engine import index_maintenance
-            from dbt_on_snowflake_spark.engine.fs import fs_delete
+            from dbt_on_snowflake_spark.engine.fs import fs_delete, fs_list
 
-            for name, before, after in index_maintenance.compact_index_tables(
+            t_done, t_skip, t_resumed = index_maintenance.compact_index_tables(
                 spark
-            ):
+            )
+            for name, before, after in t_done:
                 print(f"compacted index {name}: {before} -> {after} file(s)")
-            for name, before, after in index_maintenance.fold_update_logs(
-                spark
-            ):
+            for name in t_resumed:
+                print(f"resumed crashed swap for index {name}")
+            for name, why in t_skip:
+                print(f"skip index {name}: {why}")
+            l_done, l_skip = index_maintenance.fold_update_logs(spark)
+            for name, before, after in l_done:
                 print(f"folded log {name}: {before} -> {after} file(s)")
+            for name, why in l_skip:
+                print(f"skip log {name}: {why}")
             # a crashed rewrite from a PRIOR process leaves a
             # __compacting dir the in-memory catalog no longer knows;
             # reclaim it (its owner either survived the crash or will
-            # be rebuilt from the corpus by its ensure_* path)
-            for d in sorted(_os.listdir(wh)) if _os.path.isdir(wh) else []:
+            # be rebuilt from the corpus by its ensure_* path). fs_list,
+            # not os.listdir: the warehouse may be an object store
+            for d in sorted(fs_list(spark, wh)):
                 if d.endswith("__compacting") and not spark.catalog.tableExists(
                     d
                 ):

@@ -88,6 +88,24 @@ def fs_count_files(
     return n
 
 
+def fs_list_files(
+    spark: SparkSession, path: str, suffix: str = ".parquet"
+) -> list[str]:
+    """Recursive list of data-file paths (full URIs) under a path; []
+    if missing. The compaction snapshot: comparing two listings detects
+    an append racing a rewrite."""
+    fs, p = _fs_path(spark, path)
+    if not fs.exists(p):
+        return []
+    it = fs.listFiles(p, True)
+    out: list[str] = []
+    while it.hasNext():
+        fpath = it.next().getPath()
+        if fpath.getName().endswith(suffix):
+            out.append(fpath.toString())
+    return out
+
+
 def fs_create_atomic(spark: SparkSession, path: str, data: bytes) -> None:
     """Create a NEW file with ``data`` — fails if it already exists
     (overwrite=False), which is the commit-conflict signal for two

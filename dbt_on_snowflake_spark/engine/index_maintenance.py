@@ -18,23 +18,33 @@ counterpart — ``compact --indexes`` runs both.
 Rewrite protocol (managed tables have no manifest to swap, so this is a
 rename swap, not an atomic commit):
 
-1. write the compacted layout to ``<name>__compacting`` (one file per
+1. heal any ``<name>__compacting`` leftover from a crashed attempt;
+2. write the compacted layout to ``<name>__compacting`` (one file per
    partition dir via repartition on the partition columns; ~128 MB
    files for unpartitioned tables);
-2. ``DROP TABLE <name>``; ``ALTER TABLE <name>__compacting RENAME TO
-   <name>`` (the catalog moves the data dir);
-3. ``MSCK REPAIR`` + ``refreshTable`` — the rename leaves per-partition
+3. re-list the source's data files: if an append landed while the
+   compacted snapshot was being written, ABORT (drop the tmp) and let
+   the next sweep retry — the snapshot no longer covers the table;
+4. ``DROP TABLE <name>`` (for an EXTERNAL attached index, also delete
+   the old location the drop leaves behind); ``ALTER TABLE
+   <name>__compacting RENAME TO <name>`` (the catalog moves the dir);
+5. ``MSCK REPAIR`` + ``refreshTable`` — the rename leaves per-partition
    catalog locations and the session's file-listing cache pointing at
    the old path; without both, reads silently return 0 rows.
 
-Crash window: a failure between (2)'s drop and rename loses the table's
+Crash window: a failure between (4)'s drop and rename loses the table's
 catalog entry but not the data (it sits in ``<name>__compacting``). That
 is acceptable for THESE tables only because every index is a derived
 artifact with a rebuild path (``ensure_text_index`` /
-``ensure_ann_index`` / ``build_pq_index`` behind ``tableExists``): the
-next serve rebuilds from the corpus, and the sweep heals the leftover
-``__compacting`` dir. Durable-of-record tables get the versioned
-format's manifest commit instead — never this protocol.
+``ensure_ann_index`` / ``ensure_pq_index`` behind ``tableExists``): the
+next serve rebuilds from the corpus, and step (1) heals the leftover
+dir on the following sweep. The step-(3) recheck shrinks the
+lost-append window from the whole rewrite to the instants between
+recheck and drop — the same TOCTOU posture as ``table_format.vacuum``'s
+delete-time recheck; a genuinely concurrent continuous writer should
+schedule compaction through the same ``tasks.yml`` serialization as its
+ingest. Durable-of-record tables get the versioned format's manifest
+commit instead — never this protocol.
 
 Results are bit-identical by construction: compaction only re-buckets
 rows into fewer files, and every index consumer aggregates or joins
@@ -67,30 +77,48 @@ def _is_bucketed(spark: SparkSession, name: str) -> bool:
     )
 
 
+def _strip_scheme(path: str) -> str:
+    return path.removeprefix("file:")
+
+
 def compact_index_table(
     spark: SparkSession,
     name: str,
     *,
     target_bytes: int = TARGET_FILE_BYTES,
 ) -> tuple[int, int] | None:
-    """Compact one managed index table toward one file per partition dir
-    (or ~``target_bytes`` files when unpartitioned). Returns
+    """Compact one index table toward one file per partition dir (or
+    ~``target_bytes`` files when unpartitioned). Returns
     ``(files_before, files_after)``, or ``None`` when skipped — already
-    compact, or bucketed (a blind rewrite would destroy the bucket-file
+    compact, bucketed (a blind rewrite would destroy the bucket-file
     naming the catalog scan relies on, same skip as the versioned
-    ``compact``)."""
+    ``compact``), or aborted because an append raced the rewrite."""
     from dbt_on_snowflake_spark.engine.fs import (
         fs_count_files,
         fs_delete,
+        fs_exists,
         fs_list,
+        fs_list_files,
         fs_size,
     )
 
     if _is_bucketed(spark, name):
         return None
     loc = table_location(spark, name)
+    tmp = f"{name}__compacting"
+    # heal a crashed prior attempt FIRST — even when this table needs no
+    # rewrite (e.g. it was rebuilt compact from the corpus after a crash
+    # between drop and rename), the stale full-size tmp copy must go:
+    # the catalog may still carry the tmp table (same session or
+    # persistent metastore) or only its directory may remain (the
+    # in-memory catalog forgets tables across sessions but their dirs
+    # persist, and saveAsTable refuses a non-empty managed location)
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    fs_delete(spark, posixpath.join(posixpath.dirname(loc), tmp))
+
     parts = [c.name for c in spark.catalog.listColumns(name) if c.isPartition]
-    before = fs_count_files(spark, loc)
+    snapshot = set(fs_list_files(spark, loc))
+    before = len(snapshot)
     if parts:
         n_dirs = sum(1 for d in fs_list(spark, loc) if "=" in d)
         already = before <= n_dirs
@@ -99,14 +127,6 @@ def compact_index_table(
         already = before <= n_files
     if already:
         return None
-
-    tmp = f"{name}__compacting"
-    # heal a crashed prior attempt: the catalog may still carry the tmp
-    # table (same session) or only its directory may remain (the
-    # in-memory catalog forgets tables across sessions but their dirs
-    # persist, and saveAsTable refuses a non-empty managed location)
-    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
-    fs_delete(spark, posixpath.join(posixpath.dirname(loc), tmp))
 
     df = spark.table(name)
     if parts:
@@ -118,7 +138,19 @@ def compact_index_table(
     else:
         writer = df.repartition(n_files).write.mode("overwrite")
     writer.saveAsTable(tmp)
+    if set(fs_list_files(spark, loc)) != snapshot:
+        # an ingest batch landed while the snapshot was being written;
+        # installing the snapshot would silently drop those rows —
+        # abort and let the next sweep retry over the grown table
+        spark.sql(f"DROP TABLE {tmp}")
+        fs_delete(spark, posixpath.join(posixpath.dirname(loc), tmp))
+        return None
     spark.sql(f"DROP TABLE {name}")
+    if fs_exists(spark, loc):
+        # EXTERNAL attached index (attach_pq_index & co. re-register
+        # persisted dirs in a fresh session): DROP leaves the data dir,
+        # which would collide with the rename target
+        fs_delete(spark, loc)
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {name}")
     if parts:
         # the rename keeps the OLD per-partition locations in the
@@ -204,34 +236,84 @@ def fold_update_log(
     return len(snapshot), after
 
 
-def fold_update_logs(spark: SparkSession) -> list[tuple[str, int, int]]:
+def fold_update_logs(
+    spark: SparkSession,
+) -> tuple[list[tuple[str, int, int]], list[tuple[str, str]]]:
     """Sweep the warehouse for self-describing update logs and fold
-    each; returns ``(dir_name, files_before, files_after)`` per log."""
+    each. Returns ``(folded, skipped)``: per-log ``(dir_name,
+    files_before, files_after)`` and ``(dir_name, reason)`` — one bad
+    log (non-idempotent sidecar, column mismatch, malformed json) is
+    reported and skipped, never allowed to abort the rest of the
+    maintenance sweep (the versioned compact's skip-with-reason
+    posture)."""
     from dbt_on_snowflake_spark.engine.fs import fs_list
 
     wh = spark.conf.get("spark.sql.warehouse.dir")
     done: list[tuple[str, int, int]] = []
+    skipped: list[tuple[str, str]] = []
     for d in fs_list(spark, wh):
-        r = fold_update_log(spark, posixpath.join(wh, d))
+        try:
+            r = fold_update_log(spark, posixpath.join(wh, d))
+        except Exception as exc:  # noqa: BLE001 — sweep must survive
+            skipped.append((d, str(exc)))
+            continue
         if r is not None:
             done.append((d, *r))
-    return done
+    return done, skipped
 
 
 def compact_index_tables(
     spark: SparkSession,
-) -> list[tuple[str, int, int]]:
-    """Sweep every managed (index) table in the current database —
-    versioned-format tables are temp views, never MANAGED catalog
-    entries, so they are excluded by construction. Returns the
-    ``(name, files_before, files_after)`` of each table rewritten."""
+) -> tuple[
+    list[tuple[str, int, int]], list[tuple[str, str]], list[str]
+]:
+    """Sweep the catalog's index tables — MANAGED tables plus EXTERNAL
+    tables whose location sits under the warehouse root (how
+    ``attach_pq_index``/``attach_minhash_index`` re-register persisted
+    index dirs in a fresh session; an external table pointing OUTSIDE
+    the warehouse is someone else's data and is left alone). The
+    versioned-format model tables are temp views, never catalog
+    tables, so they are excluded by construction. Returns ``(done,
+    skipped, resumed)`` — per-table errors are reported, not raised
+    (one broken table must not abort the sweep), and ``resumed`` names
+    tables whose crashed drop-rename swap was completed from the
+    surviving ``__compacting`` state."""
+    wh = _strip_scheme(spark.conf.get("spark.sql.warehouse.dir")).rstrip("/")
     done: list[tuple[str, int, int]] = []
+    skipped: list[tuple[str, str]] = []
+    resumed: list[str] = []
     for t in spark.catalog.listTables():
-        if t.isTemporary or t.tableType != "MANAGED":
+        if t.isTemporary:
             continue
         if t.name.endswith("__compacting"):
-            continue  # crashed leftover; healed by its owner's compact
-        r = compact_index_table(spark, t.name)
+            owner = t.name[: -len("__compacting")]
+            if not spark.catalog.tableExists(owner):
+                # a crash landed between DROP owner and RENAME tmp: the
+                # tmp table IS the complete compacted state — finish
+                # the swap instead of leaving it to a corpus rebuild
+                try:
+                    spark.sql(f"ALTER TABLE {t.name} RENAME TO {owner}")
+                    if any(
+                        c.isPartition
+                        for c in spark.catalog.listColumns(owner)
+                    ):
+                        spark.sql(f"MSCK REPAIR TABLE {owner}")
+                    spark.catalog.refreshTable(owner)
+                    resumed.append(owner)
+                except Exception as exc:  # noqa: BLE001
+                    skipped.append((t.name, str(exc)))
+            continue
+        try:
+            if t.tableType == "EXTERNAL":
+                loc = _strip_scheme(table_location(spark, t.name))
+                if not loc.startswith(wh + "/"):
+                    continue
+            elif t.tableType != "MANAGED":
+                continue
+            r = compact_index_table(spark, t.name)
+        except Exception as exc:  # noqa: BLE001 — sweep must survive
+            skipped.append((t.name, str(exc)))
+            continue
         if r is not None:
             done.append((t.name, *r))
-    return done
+    return done, skipped, resumed

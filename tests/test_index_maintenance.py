@@ -274,8 +274,9 @@ def test_update_streaming_query_declares_foldable_log(spark):
     for d in logs:
         seg = _glob.glob(os.path.join(wh, d, "*.parquet"))[0]
         shutil.copy(seg, os.path.join(wh, d, "dup-segment.parquet"))
-    folded = {n for n, _b, _a in fold_update_logs(spark)}
-    assert set(logs) <= folded
+    done, skipped = fold_update_logs(spark)
+    assert set(logs) <= {n for n, _b, _a in done}
+    assert not skipped
     for d in logs:
         assert _merged_read(spark, os.path.join(wh, d)) == pre[d]
 
@@ -310,6 +311,127 @@ def test_scheduled_index_compaction_task(spark, tmp_path, capsys):
         1 for e in os.listdir(post_loc.removeprefix("file:")) if "=" in e
     )
     assert fs_count_files(spark, table_location(spark, _TI[1])) == n_dirs
+
+
+def test_compact_aborts_when_append_races_rewrite(spark, monkeypatch):
+    """An ingest batch landing while the compacted snapshot is being
+    written must NOT be silently dropped: the post-write re-listing
+    detects the grown table, the rewrite aborts (tmp healed away), and
+    the next sweep retries."""
+    import dbt_on_snowflake_spark.engine.fs as fsmod
+
+    _grown_text_index(spark)
+    post_loc = table_location(spark, _TI[1])
+    before = fs_count_files(spark, post_loc)
+    real = fsmod.fs_list_files
+    calls = {"n": 0}
+
+    def racing(spark_, path, suffix=".parquet"):
+        out = real(spark_, path, suffix)
+        calls["n"] += 1
+        if calls["n"] == 2:  # the post-write recheck sees a new file
+            out = out + [path + "/part-racing-batch.parquet"]
+        return out
+
+    monkeypatch.setattr(fsmod, "fs_list_files", racing)
+    assert compact_index_table(spark, _TI[1]) is None
+    monkeypatch.undo()
+    assert fs_count_files(spark, post_loc) == before  # untouched
+    assert not spark.catalog.tableExists(f"{_TI[1]}__compacting")
+    res = compact_index_table(spark, _TI[1])  # retry succeeds
+    assert res is not None and res[0] == before > res[1]
+
+
+def test_compact_sweep_includes_attached_external_index(spark):
+    """An index re-attached in a fresh session is an EXTERNAL table
+    over a warehouse dir (attach_pq_index's shape) — the sweep must
+    compact it like any managed index rather than silently skipping
+    the exact fragmented tables it exists for."""
+    import shutil
+
+    from dbt_on_snowflake_spark.engine.index_maintenance import (
+        compact_index_tables,
+    )
+    from dbt_on_snowflake_spark.operators.dedup import _drop_managed_table
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    name = "cix_attached"
+    _drop_managed_table(spark, name)
+    loc = os.path.join(wh, name)
+    shutil.rmtree(loc, ignore_errors=True)
+    for i in range(6):  # fragmented external dir
+        spark.range(i * 10, i * 10 + 10).toDF("doc_id").coalesce(
+            1
+        ).write.mode("append").parquet(loc)
+    spark.catalog.createTable(name, path=loc, source="parquet")
+    assert fs_count_files(spark, f"file:{loc}") == 6
+    rows = sorted(r.doc_id for r in spark.table(name).collect())
+
+    done, skipped, _resumed = compact_index_tables(spark)
+    assert name in {n for n, _b, _a in done}, (done, skipped)
+    assert sorted(r.doc_id for r in spark.table(name).collect()) == rows
+    assert fs_count_files(spark, table_location(spark, name)) == 1
+
+
+def test_compact_sweep_resumes_crashed_swap(spark):
+    """A crash between DROP owner and RENAME leaves the complete
+    compacted state in __compacting; the sweep finishes the swap so
+    the index serves again without a corpus rebuild."""
+    from dbt_on_snowflake_spark.engine.index_maintenance import (
+        compact_index_tables,
+    )
+
+    _grown_text_index(spark)
+    rows = sorted(map(tuple, spark.table(_TI[1]).collect()))
+    tmp = f"{_TI[1]}__compacting"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    (
+        spark.table(_TI[1]).repartition("term_part")
+        .write.mode("overwrite").partitionBy("term_part")
+        .saveAsTable(tmp)
+    )
+    spark.sql(f"DROP TABLE {_TI[1]}")  # the crash point
+
+    _done, skipped, resumed = compact_index_tables(spark)
+    assert _TI[1] in resumed, (resumed, skipped)
+    assert spark.catalog.tableExists(_TI[1])
+    assert not spark.catalog.tableExists(tmp)
+    assert sorted(map(tuple, spark.table(_TI[1]).collect())) == rows
+
+
+def test_fold_sweep_skips_bad_log_and_continues(spark, tmp_path):
+    """One malformed or non-idempotent log must not abort the sweep:
+    it lands in `skipped` with a reason while healthy logs still
+    fold."""
+    import json
+    import shutil
+
+    from dbt_on_snowflake_spark.engine.index_maintenance import (
+        fold_update_logs,
+    )
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    good = os.path.join(wh, "cix_log_good")
+    bad = os.path.join(wh, "cix_log_bad")
+    for dst in (good, bad):
+        shutil.rmtree(dst, ignore_errors=True)
+        shutil.copytree(_versioned_log(spark, tmp_path / os.path.basename(dst)), dst)
+    with open(os.path.join(bad, "_merge.json"), "w") as fh:
+        json.dump(
+            {"keys": ["hour_start", "event_type"],
+             "merge": {"n_events": "sum"}},
+            fh,
+        )
+    try:
+        done, skipped = fold_update_logs(spark)
+        assert "cix_log_good" in {n for n, _b, _a in done}
+        assert any(
+            n == "cix_log_bad" and "non-idempotent" in why
+            for n, why in skipped
+        ), skipped
+    finally:
+        shutil.rmtree(good, ignore_errors=True)
+        shutil.rmtree(bad, ignore_errors=True)
 
 
 def test_compact_indexes_cli_sweeps_and_reclaims(spark, tmp_path, capsys):
