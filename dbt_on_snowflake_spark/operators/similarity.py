@@ -571,8 +571,36 @@ def ann_index_append(
       offline job — exposed as ``refresh_centroids`` below, reading the
       assignments TABLE, still never the raw parquet.
 
+    The batch is first made IDEMPOTENT (at-least-once ingest: a stream
+    retry or checkpoint-less restart re-delivers vectors the index
+    already holds): vec_ids already assigned are dropped via a
+    broadcast join streaming only the index's vec_id column plus a
+    broadcast anti-join back onto the batch — the
+    ``text_index_append`` probe shape, no index-side shuffle, and a
+    fully re-delivered batch appends nothing
+    (``test_ann_index_append_replay_is_noop``). The probe reads the
+    index through a FILE-LIST SNAPSHOT (driver-side metadata listing),
+    so the lazily returned assignment rows stay stable when they are
+    re-evaluated after this call's own append lands — a table-name
+    read would re-run the probe against the grown index and filter the
+    batch out of its own result.
+
     Returns the assignment rows (vec_id, assigned_label, ccos)."""
     import os as _os
+
+    from dbt_on_snowflake_spark.engine.fs import fs_list_files
+    from dbt_on_snowflake_spark.engine.index_maintenance import (
+        table_location,
+    )
+
+    snap = fs_list_files(spark, table_location(spark, assignments_table))
+    if snap:
+        dup_ids = (
+            spark.read.parquet(*snap)
+            .select("vec_id")
+            .join(F.broadcast(new_e.select("vec_id")), "vec_id")
+        )
+        new_e = new_e.join(F.broadcast(dup_ids), "vec_id", "left_anti")
 
     kernel = _os.environ.get("SPARK_GRAFT_ANN_KERNEL", "arrow")
     if kernel == "arrow":
@@ -2660,7 +2688,11 @@ def _perquery_lexical(
     """Per-query BM25 lists from a (doc_id, term, tf, dl) match
     relation — shared verbatim by the recompute path (matches from a
     corpus token scan) and the indexed path (matches from pruned
-    posting lists), so both produce bit-identical scores."""
+    posting lists), so both produce bit-identical scores. Every
+    aggregate is duplicate-idempotent (MAX/MIN per doc, df counted
+    over the per-doc collapsed rows), so a posting list carrying
+    exact duplicates from a retried at-least-once ingest batch scores
+    identically to a clean one."""
     from dbt_on_snowflake_spark.operators.textops import BM25_B, BM25_K1
 
     joined = matched.join(F.broadcast(qt), "term")
@@ -2671,9 +2703,9 @@ def _perquery_lexical(
             for i in range(TERMS_PER_QUERY)
         ],
     )
-    dfs = joined.groupBy("query_id").agg(
+    dfs = per_qd.groupBy("query_id").agg(
         *[
-            F.sum((F.col("ti") == i).cast("long")).alias(f"df_{i}")
+            F.count(F.col(f"tf_{i}")).alias(f"df_{i}")
             for i in range(TERMS_PER_QUERY)
         ]
     )

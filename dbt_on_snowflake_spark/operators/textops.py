@@ -1447,7 +1447,17 @@ def bm25_topn_indexed(
     recompute oracle verbatim), including on a degenerate corpus where
     fewer than ``depth`` docs match any term. A Lucene-style match-only
     serve would drop that join; it is kept for the exactness contract
-    and costs one narrow scan."""
+    and costs one narrow scan.
+
+    The read is AT-LEAST-ONCE TOLERANT on the postings side: a crash
+    between ``text_index_append``'s postings and doclen writes leaves
+    postings rows a retried batch appends again as exact duplicates,
+    and every postings aggregate here is duplicate-idempotent — per-doc
+    tf via MAX, df counted over the per-doc collapsed matches (never a
+    raw SUM over posting rows). The doclen spine is duplicate-free by
+    the append's idempotence probe (doclen is written last, as the
+    batch's commit record), so it joins without a dedup pass — the
+    broadcast join streaming it stays shuffle-free."""
     stats_t, postings_t, doclen_t = tables or _text_index_tables(sf_dir)
     terms = list(BM25_TERMS)
     parts = _term_parts(spark, terms)
@@ -1475,12 +1485,10 @@ def bm25_topn_indexed(
             ],
         )
     )
-    dfrow = p.groupBy().agg(
+    dfrow = matches.groupBy().agg(
         *[
-            F.coalesce(
-                F.sum((F.col("term") == t).cast("long")), F.lit(0)
-            ).alias(f"df_{i}")
-            for i, t in enumerate(terms)
+            F.count(F.col(f"mtf_{i}")).alias(f"df_{i}")
+            for i in range(len(terms))
         ]
     )
     stats_row = spark.table(stats_t).crossJoin(F.broadcast(dfrow))
@@ -1563,20 +1571,49 @@ def text_index_append(
     ``build_text_index`` — the per-ingest-batch maintenance path,
     mirroring ``ann_index_append``'s probe-then-grow contract:
 
-    - each new doc's postings land in the term_part-partitioned table
-      via dynamic partition append (clustered on term_part first, so a
-      batch adds ~1 file per touched partition, not |input partitions|
-      x |dirs|); existing partitions' files are untouched — postings
-      are per-doc facts, so append IS the correct merge;
-    - doclen rows append the same way;
+    - the batch is first made IDEMPOTENT: docs already in the doclen
+      table are dropped (a re-delivered at-least-once batch — stream
+      retry, checkpoint-less restart — becomes a no-op). The probe is
+      one broadcast join streaming the narrow doclen table (batch ids
+      broadcast, doclen never shuffled), then a broadcast anti-join of
+      the tiny duplicate-id list back onto the batch;
+    - each surviving doc's postings land in the term_part-partitioned
+      table via dynamic partition append (clustered on term_part
+      first, so a batch adds ~1 file per touched partition, not
+      |input partitions| x |dirs|); existing partitions' files are
+      untouched — postings are per-doc facts, so append IS the correct
+      merge;
+    - doclen rows append AFTER the postings, so doclen doubles as the
+      batch's commit record: a crash between the two writes leaves
+      postings for docs the idempotence probe still treats as new, the
+      retry re-appends them as exact duplicates, and the serve reads
+      collapse those (``bm25_topn_indexed``'s MAX/count-over-matches
+      aggregates). doclen itself stays duplicate-FREE by the probe, so
+      the serve's doclen spine needs no dedup pass;
     - the one-row stats table is refreshed from the GROWN doclen table
       — a narrow (2 ints/doc) scan computing the exact expression the
       full build uses, so the served avgdl is bit-identical to a
       from-scratch build. Per-batch cost is O(|batch| tokens) + the
-      narrow stats pass; the corpus text is never re-read."""
+      narrow probe and stats passes; the corpus text is never
+      re-read."""
+    from dbt_on_snowflake_spark.engine.fs import fs_list_files
+    from dbt_on_snowflake_spark.engine.index_maintenance import (
+        table_location,
+    )
+
+    # the probe reads doclen through a FILE-LIST SNAPSHOT (driver-side
+    # metadata listing): the doclen append below would otherwise be
+    # writing a table its own plan reads, and the snapshot keeps every
+    # re-evaluation of the filtered batch consistent
+    snap = fs_list_files(spark, table_location(spark, doclen_table))
+    if snap:
+        dups = (
+            spark.read.parquet(*snap)
+            .select("doc_id")
+            .join(F.broadcast(new_docs.select("doc_id")), "doc_id")
+        )
+        new_docs = new_docs.join(F.broadcast(dups), "doc_id", "left_anti")
     toks = F.split("text", " ")
-    lens = new_docs.select("doc_id", F.size(toks).alias("dl"))
-    lens.write.mode("append").saveAsTable(doclen_table)
     (
         new_docs.select(
             "doc_id",
@@ -1591,6 +1628,8 @@ def text_index_append(
         .partitionBy("term_part")
         .saveAsTable(postings_table)
     )
+    lens = new_docs.select("doc_id", F.size(toks).alias("dl"))
+    lens.write.mode("append").saveAsTable(doclen_table)
     # under Structured Streaming the appends above ran through the
     # micro-batch's session CLONE; without a refresh the driving
     # session's cached file listing makes this stats pass read only the

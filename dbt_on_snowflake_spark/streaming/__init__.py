@@ -519,15 +519,25 @@ def text_index_stream_ingest(
     spark: SparkSession,
     new_docs_stream: DataFrame,
     tables: tuple[str, str, str],
+    checkpoint_dir: str | None = None,
 ) -> None:
     """Continuous text-index maintenance: each micro-batch of new
     documents appends its postings/doclens and refreshes the stats row
     via ``text_index_append`` — the same grow step the batch path runs
-    per ingest. The stream carries NO Spark state (no watermark/agg
-    state to bound): all cross-batch memory lives in the durable
-    index tables, mirroring ``dedup_stream_against_index``'s posture.
-    Per-batch write amplification is the batch's own postings plus the
-    narrow doclen-wide stats pass."""
+    per ingest. The stream carries NO Spark aggregation state (no
+    watermark/agg state to bound): cross-batch DATA memory lives in
+    the durable index tables, and cross-batch PROGRESS lives in
+    ``checkpoint_dir`` — pass a durable one in production (a
+    checkpoint-less restart re-reads the whole source; the append's
+    idempotence probe then turns every re-read batch into a no-op).
+    foreachBatch is at-least-once even WITH a checkpoint: a crash
+    mid-batch replays that batch, and ``text_index_append`` absorbs
+    the replay — docs whose doclen row (written last, the batch's
+    commit record) landed are dropped by the probe, docs caught
+    between the postings and doclen writes re-append exact-duplicate
+    postings that ``bm25_topn_indexed``'s MAX/count aggregates
+    collapse at read. Per-batch write amplification is the batch's own
+    postings plus the narrow probe and stats passes."""
     from dbt_on_snowflake_spark.operators.textops import text_index_append
 
     stats_t, postings_t, doclen_t = tables
@@ -547,11 +557,12 @@ def text_index_stream_ingest(
         for t in tables:
             spark.catalog.refreshTable(t)
 
-    q = (
-        new_docs_stream.writeStream.foreachBatch(handle)
-        .trigger(availableNow=True)
-        .start()
+    writer = new_docs_stream.writeStream.foreachBatch(handle).trigger(
+        availableNow=True
     )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
     q.awaitTermination()
 
 
@@ -568,8 +579,14 @@ def text_index_ingest_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-ingest serve must hash-match the FULL-corpus recompute oracle
     — the streaming grow path provably converges to the from-scratch
     index (multi-batch convergence pinned by
-    ``test_text_index_stream_multi_batch_converges``)."""
+    ``test_text_index_stream_multi_batch_converges``). The checkpoint
+    is durable and cleared TOGETHER with the index rebuild below —
+    the two are one consistency unit: progress for an index that was
+    just rebuilt from scratch would make the stream skip every
+    held-out doc (restart-resume itself is pinned by
+    ``test_text_index_stream_restart_resumes_from_checkpoint``)."""
     import hashlib
+    import shutil
 
     from dbt_on_snowflake_spark.operators.textops import (
         _BASE_DOCS_PRED,
@@ -603,7 +620,10 @@ def text_index_ingest_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(sf_dir)
         .filter(F.expr(_NEW_DOCS_PRED))
     )
-    text_index_stream_ingest(spark, stream, tables)
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    ckpt = os.path.join(wh, f"_checkpoints/text_ingest_{suffix}")
+    shutil.rmtree(ckpt, ignore_errors=True)  # index was just rebuilt
+    text_index_stream_ingest(spark, stream, tables, checkpoint_dir=ckpt)
     return bm25_topn_indexed(spark, sf_dir, BM25_TOP_N, tables=tables)
 
 

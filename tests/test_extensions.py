@@ -286,6 +286,48 @@ def test_bpe_chain_matches_iterative_encoder(spark):
     assert got == want
 
 
+def test_ann_index_append_replay_is_noop(spark):
+    """At-least-once ingest: re-delivering a batch the index already
+    holds must append nothing — the snapshot probe drops every vec_id
+    already assigned, the table stays row-identical, and the replay's
+    returned assignment set is empty."""
+    import hashlib
+
+    from dbt_on_snowflake_spark.operators.similarity import (
+        _CORPUS_PRED,
+        _NEW_BATCH_PRED,
+        _vectors,
+        ann_index_append,
+        build_ann_index,
+    )
+
+    suffix = hashlib.md5(f"replay:{SF_SMOKE}".encode()).hexdigest()[:8]
+    cent_t = f"ann_centroids_{suffix}"
+    asg_t = f"ann_assignments_{suffix}"
+    e = _vectors(spark, SF_SMOKE)
+    build_ann_index(
+        spark, e.filter(_CORPUS_PRED),
+        centroids_table=cent_t, assignments_table=asg_t,
+    )
+    batch = e.filter(_NEW_BATCH_PRED)
+    first = ann_index_append(
+        spark, batch, centroids_table=cent_t, assignments_table=asg_t
+    ).collect()
+    assert first  # first delivery really assigns
+    state = sorted(
+        (r.vec_id, r.label) for r in
+        spark.table(asg_t).select("vec_id", "label").collect()
+    )
+    replay = ann_index_append(
+        spark, batch, centroids_table=cent_t, assignments_table=asg_t
+    ).collect()
+    assert replay == []
+    assert sorted(
+        (r.vec_id, r.label) for r in
+        spark.table(asg_t).select("vec_id", "label").collect()
+    ) == state
+
+
 def test_ann_index_append_grows_only_new_partition_rows(spark):
     """After ann_incremental_assign: the assignments table holds exactly
     corpus + batch rows; corpus rows keep their original labels; every
@@ -1042,6 +1084,68 @@ def test_text_index_append_converges_to_rebuild(spark):
         g_rows = sorted(map(tuple, spark.table(g_tbl).collect()))
         assert f_rows == g_rows, f_tbl
     assert len(spark.table(full[0]).collect()) == 1  # the one stats row
+
+
+def test_text_index_at_least_once_replay_is_absorbed(spark):
+    """foreachBatch ingest is at-least-once. Two replay shapes must
+    leave the served result identical to a clean single delivery:
+    (a) a fully re-delivered batch (checkpoint-less restart) is made a
+    NO-OP by the idempotence probe — all three index tables stay
+    row-identical; (b) a batch replayed after crashing between the
+    postings and doclen writes re-appends duplicate postings, which
+    the serve's MAX/count aggregates collapse at read."""
+    from dbt_on_snowflake_spark.operators.textops import (
+        _BASE_DOCS_PRED,
+        _NEW_DOCS_PRED,
+        _term_part,
+        BM25_TOP_N,
+        bm25_topn_indexed,
+        build_text_index,
+        text_index_append,
+    )
+    from dbt_on_snowflake_spark.testdata import table as t
+
+    d = t(spark, SF_SMOKE, "documents")
+    ti = ("tal_stats", "tal_post", "tal_dl")
+    build_text_index(
+        spark, d.filter(F.expr(_BASE_DOCS_PRED)),
+        stats_table=ti[0], postings_table=ti[1], doclen_table=ti[2],
+    )
+    batch = d.filter(F.expr(_NEW_DOCS_PRED))
+    text_index_append(
+        spark, batch,
+        stats_table=ti[0], postings_table=ti[1], doclen_table=ti[2],
+    )
+    state = [sorted(map(tuple, spark.table(x).collect())) for x in ti]
+    serve = sorted(map(tuple, bm25_topn_indexed(
+        spark, SF_SMOKE, BM25_TOP_N, tables=ti).collect()))
+
+    # (a) full re-delivery: probe drops every doc, nothing changes
+    text_index_append(
+        spark, batch,
+        stats_table=ti[0], postings_table=ti[1], doclen_table=ti[2],
+    )
+    assert [
+        sorted(map(tuple, spark.table(x).collect())) for x in ti
+    ] == state
+
+    # (b) crash between postings and doclen: duplicate postings land
+    # (replaying exactly what a retried partial batch would re-append)
+    toks = F.split("text", " ")
+    (
+        batch.select(
+            "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("term")
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+        .withColumn("term_part", _term_part())
+        .repartition("term_part")
+        .write.mode("append").partitionBy("term_part").saveAsTable(ti[1])
+    )
+    assert spark.table(ti[1]).count() > len(state[1])  # dups present
+    serve_dup = sorted(map(tuple, bm25_topn_indexed(
+        spark, SF_SMOKE, BM25_TOP_N, tables=ti).collect()))
+    assert serve_dup == serve
 
 
 def test_filtered_rerank_indexed_respects_filter(spark, monkeypatch):

@@ -384,7 +384,13 @@ def test_ann_incremental_no_corpus_repass(spark, monkeypatch):
     emb_scans = [
         s for s in scans(plan) if "embeddings.parquet" in s.get("location", "")
     ]
-    assert len(emb_scans) == 1, f"corpus re-read: {len(emb_scans)} scans"
+    full = [s for s in emb_scans if "embedding" in s.get("readschema", "")]
+    assert len(full) == 1, f"corpus re-read: {len(full)} vector scans"
+    for s in emb_scans:
+        if s not in full:
+            # the idempotence probe's batch-id side: column-pruned to
+            # vec_id only — never a second pass over the vectors
+            assert s.get("readschema") == "struct<vec_id:bigint>", s
 
     monkeypatch.setenv("SPARK_GRAFT_ANN_KERNEL", "hof")
     plan_h = explain_str(Q["ann_incremental_assign"].fn(spark, SF_SMOKE))
@@ -531,11 +537,17 @@ _HEADLINE_MAX_SHUFFLES = {
     "retrieval_hybrid_rrf": 1,  # bm25 stats agg; every window/join runs
     # on bounded top-depth lists (single-partition exchanges are over
     # <= 2 x RRF_DEPTH rows)
-    "text_bm25_topk_indexed": 2,  # matched-postings groupBy(doc_id) +
-    # the narrow doclen join — the serve plan never rescans the text
-    # (pinned by test_bm25_indexed_no_corpus_rescan)
-    "retrieval_hybrid_rrf_indexed": 2,  # the indexed lexical half's two
-    # exchanges; dense half + fusion add none (bounded lists)
+    "text_bm25_topk_indexed": 3,  # matched-postings groupBy(doc_id) +
+    # the narrow doclen join + (r10) the df row aggregated over the
+    # per-doc COLLAPSED matches rather than raw posting rows — the
+    # duplicate-idempotent read that makes a replayed at-least-once
+    # ingest batch invisible; the extra exchange carries only the
+    # pruned matches of the 8 fixed terms. The serve plan still never
+    # rescans the text (pinned by test_bm25_indexed_no_corpus_rescan)
+    "retrieval_hybrid_rrf_indexed": 3,  # the indexed lexical half's
+    # exchanges (incl. the same collapsed-matches df row as
+    # text_bm25_topk_indexed); dense half + fusion add none (bounded
+    # lists)
 
     "ann_pq_codes_hof": 3,  # encode-stage A/B twin
     "ann_topk_bruteforce": 1,

@@ -650,3 +650,75 @@ def test_text_index_stream_multi_batch_converges(spark, tmp_path):
         f_rows = sorted(map(tuple, spark.table(f_tbl).collect()))
         g_rows = sorted(map(tuple, spark.table(g_tbl).collect()))
         assert f_rows == g_rows, f_tbl
+
+
+def test_text_index_stream_restart_resumes_from_checkpoint(spark, tmp_path):
+    """A restarted ingest with a durable checkpoint must NOT reprocess
+    already-ingested source files (a checkpoint-less restart re-appends
+    every doc): the second run leaves the index byte-count-identical,
+    while a file arriving AFTER the restart is still picked up."""
+    from dbt_on_snowflake_spark.engine.index_maintenance import (
+        table_location,
+    )
+    from dbt_on_snowflake_spark.engine.fs import fs_count_files
+    from dbt_on_snowflake_spark.operators.textops import build_text_index
+    from dbt_on_snowflake_spark.streaming import text_index_stream_ingest
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(40),
+            "text": [
+                " ".join(f"w{(i * 5 + j) % 11}" for j in range(4 + i % 7))
+                for i in range(40)
+            ],
+            "lang": ["en"] * 40,
+            "source": ["s"] * 40,
+        }
+    )
+    ti = ("tir_stats", "tir_post", "tir_dl")
+    base = docs[docs.doc_id % 2 == 0]
+    held = docs[docs.doc_id % 2 == 1]
+    src_base = str(tmp_path / "base")
+    os.makedirs(src_base)
+    base.to_parquet(os.path.join(src_base, "documents.parquet"), index=False)
+    build_text_index(
+        spark, spark.read.parquet(src_base),
+        stats_table=ti[0], postings_table=ti[1], doclen_table=ti[2],
+    )
+    src = str(tmp_path / "stream")
+    os.makedirs(src)
+    held[held.doc_id % 4 == 1].to_parquet(
+        os.path.join(src, "p0.parquet"), index=False
+    )
+    schema = spark.read.parquet(src).schema
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", 1)
+            .load(src)
+        )
+        text_index_stream_ingest(
+            spark, stream, ti, checkpoint_dir=str(tmp_path / "ckpt")
+        )
+
+    run()
+    post_loc = table_location(spark, ti[1])
+    files1 = fs_count_files(spark, post_loc)
+    stats1 = spark.table(ti[0]).collect()
+    rows1 = spark.table(ti[2]).count()
+
+    run()  # the restart: checkpoint says p0 is done
+    assert fs_count_files(spark, post_loc) == files1
+    assert spark.table(ti[2]).count() == rows1
+    assert spark.table(ti[0]).collect() == stats1
+
+    # new data after the restart is still ingested
+    held[held.doc_id % 4 == 3].to_parquet(
+        os.path.join(src, "p1.parquet"), index=False
+    )
+    run()
+    assert spark.table(ti[2]).count() == len(base) + len(held)
+    n_docs = spark.table(ti[0]).collect()[0].n_docs
+    assert n_docs == len(docs)
