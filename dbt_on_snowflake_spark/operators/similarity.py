@@ -2295,6 +2295,36 @@ def ann_pq_rerank_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_rerank(_vectors(spark, sf_dir), shortlist)
 
 
+def ensure_pq_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build the persisted PQ index for ``sf_dir`` if absent and return
+    ``(codebook_table, codes_table)`` — ONE encode-once artifact per
+    corpus, shared by the plain ADC serve, the two-stage rerank serve,
+    and the filtered rerank serve (the ``ensure_text_index``
+    convention; previously the filtered path persisted a second
+    byte-identical copy of the codes under its own suffix). The build
+    runs under its own job group so bench stage counts show the serve
+    path only."""
+    import hashlib
+
+    suffix = hashlib.md5(f"pq:{sf_dir}".encode()).hexdigest()[:8]
+    codebook_table = f"pq_codebook_{suffix}"
+    codes_table = f"pq_codes_{suffix}"
+    if not spark.catalog.tableExists(codes_table):
+        sc = spark.sparkContext
+        caller_group = sc.getLocalProperty("spark.jobGroup.id")
+        sc.setJobGroup("index-build:pq_index", "index once")
+        try:
+            build_pq_index(
+                spark,
+                _vectors(spark, sf_dir),
+                codebook_table=codebook_table,
+                codes_table=codes_table,
+            )
+        finally:
+            sc.setJobGroup(caller_group, "serve")
+    return codebook_table, codes_table
+
+
 def _set_rerank_indexed_oracle() -> None:
     from dbt_on_snowflake_spark.registry import QUERIES
 
@@ -3360,15 +3390,8 @@ def ann_pq_adc_indexed(
     re-encoding anywhere (plan-pinned by
     ``test_pq_indexed_no_encode_recompute``). Persisting must not change
     a single result row, so it shares the recompute path's oracle."""
-    import hashlib
-
-    suffix = hashlib.md5(f"pq:{sf_dir}".encode()).hexdigest()[:8]
-    codebook_table = f"pq_codebook_{suffix}"
-    codes_table = f"pq_codes_{suffix}"
+    codebook_table, codes_table = ensure_pq_index(spark, sf_dir)
     e = _vectors(spark, sf_dir)
-    build_pq_index(
-        spark, e, codebook_table=codebook_table, codes_table=codes_table
-    )
     codes = spark.table(codes_table).select("vec_id", "bests")
     return _adc_serve(spark, e, codebook_table, codes, k)
 
@@ -3437,6 +3460,7 @@ def _adc_serve(
     "ann_filtered_rerank_indexed",
     driver=False,  # r10-born: R11_ROTATE_IN
     oracle=None,  # set below (built from the rerank CTEs + the filter)
+    headline=True,  # benched: the filtered two-stage serve flagship
 )
 def ann_filtered_rerank_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered TWO-STAGE serve over the persisted PQ index — the
@@ -3449,25 +3473,12 @@ def ann_filtered_rerank_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate is scored); stage 2 exact-reranks the shortlist. Filter
     semantics match ``ann_filtered_topk`` (pre-filter, top-k over the
     filtered set); index + rerank semantics match
-    ``ann_pq_rerank_indexed``. Index built once per corpus
-    (tableExists + job-group convention)."""
-    import hashlib
-
-    suffix = hashlib.md5(f"fpq:{sf_dir}".encode()).hexdigest()[:8]
-    codebook_table = f"pq_codebook_{suffix}"
-    codes_table = f"pq_codes_{suffix}"
+    ``ann_pq_rerank_indexed``. Reads the SAME encode-once index the
+    unfiltered PQ serves use (``ensure_pq_index``) — a second copy of
+    the codes under a filtered-only suffix would double the encode and
+    the storage for byte-identical content."""
+    codebook_table, codes_table = ensure_pq_index(spark, sf_dir)
     e = _vectors(spark, sf_dir)
-    if not spark.catalog.tableExists(codes_table):
-        sc = spark.sparkContext
-        caller_group = sc.getLocalProperty("spark.jobGroup.id")
-        sc.setJobGroup("index-build:ann_filtered_rerank_indexed", "once")
-        try:
-            build_pq_index(
-                spark, e,
-                codebook_table=codebook_table, codes_table=codes_table,
-            )
-        finally:
-            sc.setJobGroup(caller_group, "serve")
     codes = (
         spark.table(codes_table)
         .filter(F.expr(ANN_FILTER_PRED))  # label partition pruning

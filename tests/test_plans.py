@@ -534,6 +534,9 @@ _HEADLINE_MAX_SHUFFLES = {
     # vector gather joins broadcast
     "ann_pq_rerank_topk": 2,  # shortlist rank + rerank rank; both gather
     # joins broadcast — no corpus-sized shuffle anywhere
+    "ann_filtered_rerank_indexed": 2,  # same two rank exchanges over the
+    # label-partition-pruned codes; the shared PQ index build runs once
+    # under its own job group, off the serve plan
     "retrieval_hybrid_rrf": 1,  # bm25 stats agg; every window/join runs
     # on bounded top-depth lists (single-partition exchanges are over
     # <= 2 x RRF_DEPTH rows)
