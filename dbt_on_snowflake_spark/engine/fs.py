@@ -77,15 +77,7 @@ def fs_count_files(
 ) -> int:
     """Recursive count of data files under a path; 0 if missing. The
     small-file metric index compaction is judged by."""
-    fs, p = _fs_path(spark, path)
-    if not fs.exists(p):
-        return 0
-    it = fs.listFiles(p, True)
-    n = 0
-    while it.hasNext():
-        if it.next().getPath().getName().endswith(suffix):
-            n += 1
-    return n
+    return len(fs_list_files(spark, path, suffix))
 
 
 def fs_list_files(

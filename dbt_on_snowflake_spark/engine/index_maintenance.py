@@ -5,8 +5,10 @@ ANN assignments — ``similarity.build_ann_index``, PQ codes —
 ``similarity.build_pq_index``, the minhash band index — ``dedup``) are
 Spark-managed tables, deliberately OUTSIDE the engine's versioned table
 format: their maintenance path is per-batch ``.mode("append")`` growth
-(``text_index_append``, ``ann_index_append``, streaming ingest via
-``foreachBatch``), and the versioned format publishes whole immutable
+where one exists (``text_index_append`` for postings/doclen,
+``ann_index_append`` for the assignments, streaming ingest via
+``foreachBatch``; PQ codes are encode-once/rebuild, no append path),
+and the versioned format publishes whole immutable
 data dirs — an append there would rewrite the table. The cost of that
 choice is the classic streaming-ingest pathology: every micro-batch adds
 ~1 file per touched partition, so after N batches a K-partition index
@@ -36,7 +38,9 @@ Crash window: a failure between (4)'s drop and rename loses the table's
 catalog entry but not the data (it sits in ``<name>__compacting``). That
 is acceptable for THESE tables only because every index is a derived
 artifact with a rebuild path (``ensure_text_index`` /
-``ensure_ann_index`` / ``ensure_pq_index`` behind ``tableExists``): the
+``ensure_ann_index`` / ``ensure_pq_index``, each probing EVERY table of
+its index family — a crashed swap can drop one table of a multi-table
+index while its siblings survive): the
 next serve rebuilds from the corpus, and step (1) heals the leftover
 dir on the following sweep. The step-(3) recheck shrinks the
 lost-append window from the whole rewrite to the instants between
@@ -97,7 +101,6 @@ def compact_index_table(
         fs_count_files,
         fs_delete,
         fs_exists,
-        fs_list,
         fs_list_files,
         fs_size,
     )
@@ -118,9 +121,23 @@ def compact_index_table(
 
     parts = [c.name for c in spark.catalog.listColumns(name) if c.isPartition]
     snapshot = set(fs_list_files(spark, loc))
+    # refresh AFTER the snapshot, BEFORE the table read: the rewrite
+    # must see at least every file in the snapshot. Without it the read
+    # goes through the session's cached file index, which can be stale
+    # when a DIFFERENT session/process appended since this session last
+    # listed the table — the raw-FS recheck below would then compare
+    # two listings that both contain the new file while the tmp
+    # snapshot silently misses its rows. (Snapshot-then-refresh, not
+    # the reverse: a file landing between the two now triggers a
+    # conservative abort instead of a silent drop.)
+    spark.catalog.refreshTable(name)
     before = len(snapshot)
     if parts:
-        n_dirs = sum(1 for d in fs_list(spark, loc) if "=" in d)
+        # leaf dirs holding the snapshot's files — NOT top-level "key="
+        # entries, which undercount multi-column partition layouts and
+        # would make `already` never true (a full rewrite + non-atomic
+        # swap on every sweep, never converging)
+        n_dirs = len({posixpath.dirname(f) for f in snapshot})
         already = before <= n_dirs
     else:
         n_files = max(1, -(-fs_size(spark, loc) // target_bytes))

@@ -506,6 +506,43 @@ def build_ann_index(
     )
 
 
+def ensure_ann_index(
+    spark: SparkSession,
+    e: DataFrame,
+    *,
+    centroids_table: str,
+    assignments_table: str,
+    job_group: str,
+) -> None:
+    """Build the persisted IVF index if absent — probing BOTH tables of
+    the family, not just the assignments: a crashed compaction swap
+    (index_maintenance.py's drop-to-rename window) can lose the
+    centroid table while the assignments survive, and an
+    assignments-only probe would then skip the rebuild and leave every
+    serve throwing TABLE_OR_VIEW_NOT_FOUND on the centroids until the
+    next maintenance sweep resumes the swap. ``build_ann_index`` writes
+    ``mode("overwrite")``, so a partial rebuild replaces the survivor.
+    Runs under its own job group so bench stage counts show the serve
+    path only (the ``ensure_text_index``/``ensure_pq_index``
+    convention)."""
+    if spark.catalog.tableExists(
+        assignments_table
+    ) and spark.catalog.tableExists(centroids_table):
+        return
+    sc = spark.sparkContext
+    caller_group = sc.getLocalProperty("spark.jobGroup.id")
+    sc.setJobGroup(f"index-build:{job_group}", "index once")
+    try:
+        build_ann_index(
+            spark,
+            e,
+            centroids_table=centroids_table,
+            assignments_table=assignments_table,
+        )
+    finally:
+        sc.setJobGroup(caller_group, "serve")
+
+
 @query(
     "ann_ivf_multiprobe_indexed",
     oracle=_ORACLE_MULTIPROBE,
@@ -1017,19 +1054,13 @@ def dedup_semantic_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix = hashlib.md5(f"semserved:{sf_dir}".encode()).hexdigest()[:8]
     centroids_table = f"ann_centroids_{suffix}"
     assignments_table = f"ann_assignments_{suffix}"
-    if not spark.catalog.tableExists(assignments_table):
-        sc = spark.sparkContext
-        caller_group = sc.getLocalProperty("spark.jobGroup.id")
-        sc.setJobGroup("index-build:dedup_semantic_served", "encode once")
-        try:
-            build_ann_index(
-                spark,
-                _vectors(spark, sf_dir),
-                centroids_table=centroids_table,
-                assignments_table=assignments_table,
-            )
-        finally:
-            sc.setJobGroup(caller_group, "serve")
+    ensure_ann_index(
+        spark,
+        _vectors(spark, sf_dir),
+        centroids_table=centroids_table,
+        assignments_table=assignments_table,
+        job_group="dedup_semantic_served",
+    )
     return _semantic_prune(spark, centroids_table, assignments_table)
 
 
@@ -2125,19 +2156,13 @@ def ann_filtered_indexed(
     centroids_table = f"ann_centroids_{suffix}"
     assignments_table = f"ann_assignments_{suffix}"
     e = _vectors(spark, sf_dir)
-    if not spark.catalog.tableExists(assignments_table):
-        sc = spark.sparkContext
-        caller_group = sc.getLocalProperty("spark.jobGroup.id")
-        sc.setJobGroup("index-build:ann_filtered_indexed", "index once")
-        try:
-            build_ann_index(
-                spark,
-                e,
-                centroids_table=centroids_table,
-                assignments_table=assignments_table,
-            )
-        finally:
-            sc.setJobGroup(caller_group, "serve")
+    ensure_ann_index(
+        spark,
+        e,
+        centroids_table=centroids_table,
+        assignments_table=assignments_table,
+        job_group="ann_filtered_indexed",
+    )
     matching = spark.table(assignments_table).filter(
         F.expr(ANN_FILTER_PRED)
     )
@@ -2301,15 +2326,21 @@ def ensure_pq_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     corpus, shared by the plain ADC serve, the two-stage rerank serve,
     and the filtered rerank serve (the ``ensure_text_index``
     convention; previously the filtered path persisted a second
-    byte-identical copy of the codes under its own suffix). The build
-    runs under its own job group so bench stage counts show the serve
-    path only."""
+    byte-identical copy of the codes under its own suffix). Probes
+    BOTH tables: a crashed compaction swap can drop the codebook while
+    the codes survive, and a codes-only probe would then skip the
+    rebuild and leave every ADC serve broken until the next
+    maintenance sweep. The build runs under its own job group so bench
+    stage counts show the serve path only."""
     import hashlib
 
     suffix = hashlib.md5(f"pq:{sf_dir}".encode()).hexdigest()[:8]
     codebook_table = f"pq_codebook_{suffix}"
     codes_table = f"pq_codes_{suffix}"
-    if not spark.catalog.tableExists(codes_table):
+    if not (
+        spark.catalog.tableExists(codes_table)
+        and spark.catalog.tableExists(codebook_table)
+    ):
         sc = spark.sparkContext
         caller_group = sc.getLocalProperty("spark.jobGroup.id")
         sc.setJobGroup("index-build:pq_index", "index once")
@@ -2826,7 +2857,16 @@ def retrieval_hybrid_rrf_perquery_indexed(
     per-query spec is Lucene match-only, NO corpus-width doclen join
     is needed — the whole lexical half is index reads + broadcast
     joins over bounded relations. Shares the recompute oracle
-    verbatim."""
+    verbatim.
+
+    At-least-once caveat (the price of skipping the doclen gate): in
+    the window between a crash after ``text_index_append``'s postings
+    write and the batch's redelivery, the orphaned docs ARE visible
+    here (as candidates and in per-query df) while n_docs/avgdl
+    excludes them — unlike ``bm25_topn_indexed``, whose doclen spine
+    makes uncommitted postings fully invisible. The window is bounded
+    by the ingest's retry; duplicates from the retry itself are still
+    absorbed (MAX/MIN aggregates)."""
     from dbt_on_snowflake_spark.operators.textops import (
         _term_part,
         _text_index_tables,

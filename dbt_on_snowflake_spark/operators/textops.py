@@ -1453,11 +1453,15 @@ def bm25_topn_indexed(
     between ``text_index_append``'s postings and doclen writes leaves
     postings rows a retried batch appends again as exact duplicates,
     and every postings aggregate here is duplicate-idempotent — per-doc
-    tf via MAX, df counted over the per-doc collapsed matches (never a
-    raw SUM over posting rows). The doclen spine is duplicate-free by
-    the append's idempotence probe (doclen is written last, as the
-    batch's commit record), so it joins without a dedup pass — the
-    broadcast join streaming it stays shuffle-free."""
+    tf via MAX, df counted over the doclen-GATED rows (never a raw SUM
+    over posting rows). Gating df by the doclen spine also makes the
+    orphans themselves invisible: a doc whose postings landed but whose
+    doclen row (written last, the batch's commit record) did not is in
+    neither the result set nor any df count, so the serve reads the
+    exact pre-batch index state until the retry commits — uncommitted
+    postings never skew a served idf. The doclen spine is
+    duplicate-free by the append's idempotence probe, so it joins
+    without a dedup pass."""
     stats_t, postings_t, doclen_t = tables or _text_index_tables(sf_dir)
     terms = list(BM25_TERMS)
     parts = _term_parts(spark, terms)
@@ -1485,9 +1489,20 @@ def bm25_topn_indexed(
             ],
         )
     )
-    dfrow = matches.groupBy().agg(
+    # df over BASE, not over matches: base is gated by the doclen spine
+    # (the append's commit record), so a doc whose postings landed but
+    # whose batch crashed before the doclen write — an orphan awaiting
+    # redelivery — contributes to NEITHER df nor the result rows. A
+    # matches-side count would inflate df with orphans while n_docs /
+    # avgdl (stats) and the ranked rows (doclen left-join) exclude
+    # them, skewing every served idf during the crash-to-retry window.
+    # Costs one extra evaluation of the narrow doclen join in the df
+    # branch; the scalar agg still partial-aggregates map-side.
+    dfrow = base.groupBy().agg(
         *[
-            F.count(F.col(f"mtf_{i}")).alias(f"df_{i}")
+            F.coalesce(
+                F.sum((F.col(f"tf_{i}") > 0).cast("long")), F.lit(0)
+            ).alias(f"df_{i}")
             for i in range(len(terms))
         ]
     )
@@ -1519,10 +1534,20 @@ def text_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ensure_text_index(spark: SparkSession, sf_dir: str) -> None:
     """Build the persisted text index for ``sf_dir`` if absent — shared
     by the lexical and hybrid serve twins so they read ONE artifact per
-    corpus. The build runs under its own job group so bench stage
-    counts show the serve path only (dedup_semantic_served precedent)."""
+    corpus. Probes ALL THREE tables, not just the postings: a crashed
+    compaction swap can drop one table of the family while its siblings
+    survive (index_maintenance.py's crash window), and a postings-only
+    probe would then skip the rebuild and leave every serve throwing
+    TABLE_OR_VIEW_NOT_FOUND on the missing sibling until the next
+    maintenance sweep. The builds all write ``mode("overwrite")``, so a
+    partial rebuild simply replaces the survivors. The build runs under
+    its own job group so bench stage counts show the serve path only
+    (dedup_semantic_served precedent)."""
     stats_t, postings_t, doclen_t = _text_index_tables(sf_dir)
-    if spark.catalog.tableExists(postings_t):
+    if all(
+        spark.catalog.tableExists(t)
+        for t in (stats_t, postings_t, doclen_t)
+    ):
         return
     sc = spark.sparkContext
     caller_group = sc.getLocalProperty("spark.jobGroup.id")

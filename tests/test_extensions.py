@@ -1148,6 +1148,99 @@ def test_text_index_at_least_once_replay_is_absorbed(spark):
     assert serve_dup == serve
 
 
+def test_bm25_serve_ignores_orphaned_postings(spark):
+    """The OTHER half of the crash window: postings for NEW docs landed
+    but the crash hit before their doclen rows — and the retry has not
+    arrived yet. The serve must read the exact pre-batch index state:
+    orphans appear in neither the result rows (doclen spine) nor any
+    df count (df is aggregated over the doclen-gated base, never over
+    raw matches — an orphan-inflated df would skew every served idf
+    while n_docs/avgdl still exclude the orphans)."""
+    from dbt_on_snowflake_spark.operators.textops import (
+        _BASE_DOCS_PRED,
+        _NEW_DOCS_PRED,
+        _term_part,
+        BM25_TOP_N,
+        bm25_topn_indexed,
+        build_text_index,
+    )
+    from dbt_on_snowflake_spark.testdata import table as t
+
+    d = t(spark, SF_SMOKE, "documents")
+    ti = ("torph_stats", "torph_post", "torph_dl")
+    build_text_index(
+        spark, d.filter(F.expr(_BASE_DOCS_PRED)),
+        stats_table=ti[0], postings_table=ti[1], doclen_table=ti[2],
+    )
+    serve0 = sorted(map(tuple, bm25_topn_indexed(
+        spark, SF_SMOKE, BM25_TOP_N, tables=ti).collect()))
+
+    # crash after the postings write, before doclen: orphaned postings
+    toks = F.split("text", " ")
+    (
+        d.filter(F.expr(_NEW_DOCS_PRED))
+        .select(
+            "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("term")
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+        .withColumn("term_part", _term_part())
+        .repartition("term_part")
+        .write.mode("append").partitionBy("term_part").saveAsTable(ti[1])
+    )
+    serve1 = sorted(map(tuple, bm25_topn_indexed(
+        spark, SF_SMOKE, BM25_TOP_N, tables=ti).collect()))
+    assert serve1 == serve0
+
+
+def test_ensure_rebuilds_partial_index_family(spark):
+    """A crashed compaction swap (index_maintenance.py's drop-to-rename
+    window) can lose ONE table of a multi-table index family while its
+    siblings survive. Every ensure_* must probe ALL the family's
+    tables — a single-table probe would skip the rebuild and leave the
+    serves throwing TABLE_OR_VIEW_NOT_FOUND on the missing sibling."""
+    import hashlib
+
+    from dbt_on_snowflake_spark.operators.similarity import (
+        _vectors,
+        ensure_ann_index,
+        ensure_pq_index,
+    )
+    from dbt_on_snowflake_spark.operators.textops import (
+        _text_index_tables,
+        ensure_text_index,
+    )
+
+    # text: three tables; kill the doclen survivor-sibling
+    ensure_text_index(spark, SF_SMOKE)
+    stats_t, post_t, dl_t = _text_index_tables(SF_SMOKE)
+    spark.sql(f"DROP TABLE {dl_t}")
+    ensure_text_index(spark, SF_SMOKE)
+    assert all(
+        spark.catalog.tableExists(x) for x in (stats_t, post_t, dl_t)
+    )
+
+    # pq: codebook + codes; kill the codebook
+    cb_t, cd_t = ensure_pq_index(spark, SF_SMOKE)
+    spark.sql(f"DROP TABLE {cb_t}")
+    ensure_pq_index(spark, SF_SMOKE)
+    assert spark.catalog.tableExists(cb_t)
+    assert spark.catalog.tableExists(cd_t)
+
+    # ann: centroids + assignments; kill the centroids
+    sfx = hashlib.md5(f"erpif:{SF_SMOKE}".encode()).hexdigest()[:8]
+    cent_t, asg_t = f"ann_centroids_{sfx}", f"ann_assignments_{sfx}"
+    e = _vectors(spark, SF_SMOKE)
+    kw = dict(
+        centroids_table=cent_t, assignments_table=asg_t, job_group="t"
+    )
+    ensure_ann_index(spark, e, **kw)
+    spark.sql(f"DROP TABLE {cent_t}")
+    ensure_ann_index(spark, e, **kw)
+    assert spark.catalog.tableExists(cent_t)
+    assert spark.catalog.tableExists(asg_t)
+
+
 def test_filtered_rerank_indexed_respects_filter(spark, monkeypatch):
     """Every neighbor of the filtered two-stage PQ serve matches the
     candidate predicate, each query's k is filled from the matching

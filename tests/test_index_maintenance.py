@@ -373,6 +373,62 @@ def test_compact_sweep_includes_attached_external_index(spark):
     assert fs_count_files(spark, table_location(spark, name)) == 1
 
 
+def test_compact_sees_rows_appended_by_another_session(spark):
+    """Rows appended OUT OF BAND (another session/process writing
+    straight into the table dir — the attach/external-writer posture)
+    are invisible to this session's cached file index. Compaction must
+    refresh the table AFTER taking its snapshot: the raw-FS recheck
+    alone cannot catch the stale read, because both listings contain
+    the new file while the rewritten tmp silently misses its rows."""
+    from dbt_on_snowflake_spark.operators.dedup import _drop_managed_table
+
+    name = "cix_stale_read"
+    _drop_managed_table(spark, name)
+    for i in range(4):  # fragmented enough that `already` is false
+        spark.range(i * 10, i * 10 + 10).toDF("doc_id").coalesce(
+            1
+        ).write.mode("append").saveAsTable(name)
+    assert spark.table(name).count() == 40  # populate the cached index
+    loc = table_location(spark, name)
+    spark.range(1000, 1010).toDF("doc_id").coalesce(1).write.mode(
+        "append"
+    ).parquet(loc)  # the out-of-band append (path API, not the table)
+
+    res = compact_index_table(spark, name)
+    assert res is not None
+    got = sorted(r.doc_id for r in spark.table(name).collect())
+    assert got == sorted([*range(40), *range(1000, 1010)])
+
+
+def test_compact_multicolumn_partitioned_converges(spark):
+    """The already-compact check must count LEAF partition dirs: a
+    table partitioned by two columns has files only in nested leaves,
+    and a top-level "key=" count would under-count them — re-running
+    the full rewrite (and its non-atomic swap window) on every sweep,
+    never converging."""
+    from dbt_on_snowflake_spark.operators.dedup import _drop_managed_table
+
+    name = "cix_two_parts"
+    _drop_managed_table(spark, name)
+    df = spark.range(60).selectExpr(
+        "id % 3 AS a", "id % 2 AS b", "id AS v"
+    )
+    for _ in range(3):  # 3 appends -> >=3 files per (a, b) leaf
+        df.repartition("a", "b").write.mode("append").partitionBy(
+            "a", "b"
+        ).saveAsTable(name)
+    rows = sorted((r.a, r.b, r.v) for r in spark.table(name).collect())
+
+    res = compact_index_table(spark, name)
+    assert res is not None
+    n_leaves = 3 * 2
+    assert res[0] > res[1] == n_leaves  # one file per LEAF dir
+    assert compact_index_table(spark, name) is None  # converged
+    assert sorted(
+        (r.a, r.b, r.v) for r in spark.table(name).collect()
+    ) == rows
+
+
 def test_compact_sweep_resumes_crashed_swap(spark):
     """A crash between DROP owner and RENAME leaves the complete
     compacted state in __compacting; the sweep finishes the swap so
