@@ -91,25 +91,46 @@ QUERIES: dict[str, RegisteredQuery] = {}
 #   = 43 r7-stale + the 7 R10_ROTATE_IN rows = 50 exactly; no guard
 #   slots this round. r11 then owes the 7 slipped rows + the
 #   r8/r9-checked rows as they age.
-# - r10 export (R10_EXPORT below, the active set): the draft above,
-#   executed verbatim — arithmetic re-verified at r10 start against the
-#   actual CORRECTNESS files (r7-green minus r8-green minus r9-green =
-#   exactly the 43 draft rows + the 7 slipped trivials).
-# - R11 DRAFT (arithmetic computed at r10 start): rows last
-#   driver-checked in r8 that are in neither CORRECTNESS_r09 nor
-#   R10_EXPORT = 47 r8-stale rows, + the 7 trivials slipped from r10
+# - r10 export (R10_EXPORT below, retired; exact set =
+#   CORRECTNESS_r10's keys): the draft above, executed verbatim —
+#   arithmetic re-verified at r10 start against the actual CORRECTNESS
+#   files (r7-green minus r8-green minus r9-green = exactly the 43
+#   draft rows + the 7 slipped trivials).
+# - r11 export (R11_EXPORT below, the active set): the r10 draft,
+#   executed verbatim. Arithmetic re-verified at r11 start against the
+#   actual CORRECTNESS files: rows last driver-checked in r8
+#   (CORRECTNESS_r08 minus r09 minus R10_EXPORT) = 47 r8-stale rows,
+#   + 7 r10-slipped trivials + 9 R11_ROTATE_IN rows = 63 mandatory >
+#   50 budget, so 13 slip to r12: the 7 trivials again
 #   (s4_source_passthrough, p2_projection_rename, p6_range_filter,
-#   p7_ts_filter, dq_failing_rows, f_scalar_suite, f_json_extract)
-#   = 54 mandatory > 50 budget BEFORE any r10-born rows
-#   (R11_ROTATE_IN; 9 born this round -> 63 total, so 13 rows slip to
-#   r12). The debt is structural at 163 registered queries x 50-row
-#   budget: the effective window for trivial single-operator rows is
-#   4 rounds, not 3. At r11, prioritize (1) all 9 R11_ROTATE_IN rows,
-#   (2) the 47 r8-stale rows — that is 56 already, so slip the 7
-#   r10-slipped trivials again (every one is a single-operator shape
-#   the per-pytest parity replica re-verifies on each run) plus the 6
-#   lowest-risk r8-stale rows with exported family guards; the slipped
-#   trivials then become mandatory at r12 (4-round window).
+#   p7_ts_filter, dq_failing_rows, f_scalar_suite, f_json_extract —
+#   single-operator shapes the per-pytest parity replica re-verifies
+#   on every run; they hit the 4-round hard window at r12) + the 6
+#   lowest-risk r8-stale rows whose operator families keep exported
+#   guards this round:
+#     a_unpivot_status_revenue   (guard: a_grouping_sets_status_priority)
+#     asof_next_order_after_event (guard: asof_last_order_within_30d)
+#     ann_pq_adc_indexed          (guards: ann_pq_adc_topk, ann_ivfpq_topk)
+#     corpus_pack_shards_bpe      (guards: corpus_pack_efficiency,
+#                                  text_bpe_train_merges)
+#     dedup_cluster_sizes         (guards: dedup_ngram_jaccard,
+#                                  corpus_dedup_cascade)
+#     w_percentile_standing_orders (guard: w_ntile_customer_value_quartiles)
+#   R11_EXPORT = 41 r8-stale + 9 R11_ROTATE_IN = 50 exactly.
+#   The policy itself is now machine-enforced: tests/test_rotation_ledger.py
+#   recomputes staleness from the CORRECTNESS_r*.json files and fails if
+#   the active export violates it (rotate-ins mandatory, slips only from
+#   the documented trivial/family-guarded classes).
+# - R12 DRAFT (arithmetic computed at r11 start): rows last
+#   driver-checked in r9 (CORRECTNESS_r09 minus r10 minus R11_EXPORT)
+#   = 50 r9-stale rows, + the 7 twice-slipped trivials (4-round window
+#   HARD at r12 — mandatory, no further slip) + the 6 r8-stale rows
+#   slipped above (also window-hard) + R12_ROTATE_IN (r11-born) = 63+
+#   mandatory. At r12, prioritize (1) all R12_ROTATE_IN rows, (2) the
+#   7 trivials + 6 slipped r8-stale (window-hard), (3) r9-stale rows;
+#   slip only r9-stale rows with exported family guards (the *_hof A/B
+#   twins, the pivot/cube inverses of checked shapes, and mixture/
+#   token-budget variants are the lowest-risk class).
 DRIVER_BUDGET = 50
 
 # Queries born in round 9 — mandatory r10 rotate-ins (never driver-checked).
@@ -137,9 +158,12 @@ R11_ROTATE_IN: set[str] = {
     "ann_filtered_rerank_indexed",
 }
 
-# The authoritative r10 export set: the ledger draft above, verbatim.
-# all_queries() applies it over the per-decorator driver= defaults so a
-# rotation is one list edit here.
+# Queries born in round 11 — mandatory r12 rotate-ins (never
+# driver-checked). Keep this current as queries are born.
+R12_ROTATE_IN: set[str] = set()
+
+# The retired r10 export set (kept: the rotation-ledger enforcement test
+# and the judge's cross-round audit recompute staleness against it).
 R10_EXPORT = {
     # r7-stale — hit the 3-round window this round (priority 1)
     "a4_sales_by_nation",
@@ -195,6 +219,65 @@ R10_EXPORT = {
     "ann_pq_rerank_indexed",
 }
 
+# The authoritative r11 export set: the ledger draft above, verbatim.
+# all_queries() applies it over the per-decorator driver= defaults so a
+# rotation is one list edit here.
+R11_EXPORT = {
+    # r8-stale — hit the 3-round window this round (priority 2; 41 of
+    # the 47, the 6 family-guarded slips documented in the ledger above)
+    "a1_loyalty_metrics",
+    "a_grouping_sets_status_priority",
+    "ann_hard_negatives",
+    "ann_ivfpq_topk",
+    "ann_pq_adc_topk",
+    "ann_pq_codes",
+    "ann_pq_recall_eval",
+    "ann_recall_eval",
+    "ann_topk_bruteforce",
+    "asof_last_order_within_30d",
+    "corpus_dedup_cascade",
+    "corpus_ingest_streaming",
+    "corpus_pack_efficiency",
+    "corpus_quality_report",
+    "corpus_shuffle_order",
+    "corpus_temperature_sample",
+    "dedup_ngram_jaccard",
+    "f_datetime_suite",
+    "j1_orders_denorm",
+    "j_full_outer_daily_reconciliation",
+    "multimodal_patch_grid",
+    "q11_important_suppliers",
+    "q12_priority_by_shipmode",
+    "q13_order_count_distribution",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "t_events_dedup_wm_streaming",
+    "t_events_stream_stream_join",
+    "text_bigram_coverage",
+    "text_bpe_train_merges",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_levenshtein_pairs",
+    "text_quality_classifier",
+    "text_repetition",
+    "text_stats",
+    "text_token_count_bpe_trained",
+    "w_ntile_customer_value_quartiles",
+    # r10-born, never driver-checked (priority 1) — R11_ROTATE_IN
+    "ann_filtered_indexed",
+    "ann_filtered_rerank_indexed",
+    "retrieval_hybrid_rrf_indexed",
+    "retrieval_hybrid_rrf_perquery",
+    "retrieval_hybrid_rrf_perquery_indexed",
+    "t_events_topn_types_update_streaming",
+    "text_bm25_topk_incremental",
+    "text_bm25_topk_indexed",
+    "text_index_ingest_streaming",
+}
+
 
 def query(
     name: str,
@@ -217,7 +300,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
 
     # Apply the round's rotation: the export list above is authoritative.
     for n, q in QUERIES.items():
-        q.driver = n in R10_EXPORT
+        q.driver = n in R11_EXPORT
     return QUERIES
 
 

@@ -135,56 +135,69 @@ def test_driver_export_within_budget():
         assert any(n.startswith(fam) for n in exported), fam
 
 
-def test_r10_rotation_promises_kept():
-    """The rotation ledger's r10 draft, executed verbatim: the 43 rows
-    last driver-checked in r7 (3-round window hit; 7 trivial r7-stale
-    rows explicitly slipped to r11 per the ledger) and all 7 r9-born
-    never-driver-checked rows (R10_ROTATE_IN) must be in the r10
-    export. Pin them so a later edit can't silently demote one before
-    the driver sees it. R11_ROTATE_IN accumulates r10-born queries for
-    the next rotation."""
+def test_r11_rotation_promises_kept():
+    """The rotation ledger's r11 draft, executed verbatim: 41 of the 47
+    rows last driver-checked in r8 (3-round window hit; the 6
+    family-guarded slips are documented in the ledger) and all 9
+    r10-born never-driver-checked rows (R11_ROTATE_IN) must be in the
+    r11 export. Pin them so a later edit can't silently demote one
+    before the driver sees it. R12_ROTATE_IN accumulates r11-born
+    queries for the next rotation. (The full staleness arithmetic is
+    machine-checked against the CORRECTNESS_r*.json history in
+    tests/test_rotation_ledger.py.)"""
     from dbt_on_snowflake_spark.registry import (
-        R10_EXPORT,
-        R10_ROTATE_IN,
+        R11_EXPORT,
         R11_ROTATE_IN,
+        R12_ROTATE_IN,
         driver_queries,
     )
 
     exported = set(driver_queries())
-    assert R10_EXPORT <= exported, sorted(R10_EXPORT - exported)
-    r7_stale = {
-        "a4_sales_by_nation", "a6_unique_violations", "a_rollup_revenue",
-        "ann_incremental_assign", "ann_ivf_multiprobe", "ann_ivf_topk",
-        "ann_quantize_int8", "corpus_chunk_documents",
-        "corpus_mixture_epochs", "corpus_pack_sequences",
-        "corpus_pack_sequences_bpe", "corpus_pack_shards",
-        "corpus_sample_stratified", "corpus_train_val_split",
-        "dedup_embedding_cosine", "dedup_incremental_pruned",
-        "dedup_passages", "dedup_simhash_pairs", "dedup_source_overlap",
-        "j7_anti_orphans", "j_salted_events_enrich",
-        "j_semi_active_customers", "multimodal_meta",
-        "q10_returned_item_losers", "q14_promo_revenue_share",
-        "q15_top_supplier", "q16_supplier_breadth",
-        "q19_branded_quantity_revenue", "q6_forecast_revenue_delta",
-        "t_event_funnel_streaming", "t_event_transitions",
-        "t_events_dedup_streaming", "t_events_hourly_append",
-        "t_events_hourly_streaming", "t_events_rate_anomalies",
-        "t_events_sessions_streaming", "t_events_sliding_streaming",
-        "t_user_retention", "text_contamination", "text_quality",
-        "text_token_count", "text_top_ngrams", "w_running_total_events",
+    assert R11_EXPORT == exported, sorted(R11_EXPORT ^ exported)
+    r8_stale_kept = {
+        "a1_loyalty_metrics", "a_grouping_sets_status_priority",
+        "ann_hard_negatives", "ann_ivfpq_topk", "ann_pq_adc_topk",
+        "ann_pq_codes", "ann_pq_recall_eval", "ann_recall_eval",
+        "ann_topk_bruteforce", "asof_last_order_within_30d",
+        "corpus_dedup_cascade", "corpus_ingest_streaming",
+        "corpus_pack_efficiency", "corpus_quality_report",
+        "corpus_shuffle_order", "corpus_temperature_sample",
+        "dedup_ngram_jaccard", "f_datetime_suite", "j1_orders_denorm",
+        "j_full_outer_daily_reconciliation", "multimodal_patch_grid",
+        "q11_important_suppliers", "q12_priority_by_shipmode",
+        "q13_order_count_distribution", "q21_waiting_suppliers",
+        "q22_dormant_customers", "q7_volume_shipping", "q8_market_share",
+        "q9_product_profit", "t_events_dedup_wm_streaming",
+        "t_events_stream_stream_join", "text_bigram_coverage",
+        "text_bpe_train_merges", "text_fingerprint", "text_lang_id",
+        "text_levenshtein_pairs", "text_quality_classifier",
+        "text_repetition", "text_stats", "text_token_count_bpe_trained",
+        "w_ntile_customer_value_quartiles",
     }
-    assert len(r7_stale) == 43
-    assert r7_stale <= exported, sorted(r7_stale - exported)
-    assert R10_ROTATE_IN <= exported, sorted(R10_ROTATE_IN - exported)
+    assert len(r8_stale_kept) == 41
+    assert r8_stale_kept <= exported, sorted(r8_stale_kept - exported)
+    assert R11_ROTATE_IN <= exported, sorted(R11_ROTATE_IN - exported)
     # the export is exactly the mandatory set — no guard slack this round
-    assert exported == r7_stale | R10_ROTATE_IN, sorted(
-        exported ^ (r7_stale | R10_ROTATE_IN)
+    assert exported == r8_stale_kept | R11_ROTATE_IN, sorted(
+        exported ^ (r8_stale_kept | R11_ROTATE_IN)
     )
-    # r10-born queries register in the ledger for the r11 rotation
+    # every slipped row keeps at least one exported family guard
+    guards = {
+        "a_unpivot_status_revenue": "a_grouping_sets_status_priority",
+        "asof_next_order_after_event": "asof_last_order_within_30d",
+        "ann_pq_adc_indexed": "ann_pq_adc_topk",
+        "corpus_pack_shards_bpe": "corpus_pack_efficiency",
+        "dedup_cluster_sizes": "dedup_ngram_jaccard",
+        "w_percentile_standing_orders": "w_ntile_customer_value_quartiles",
+    }
+    for slipped, guard in guards.items():
+        assert slipped not in exported
+        assert guard in exported, (slipped, guard)
+    # r11-born queries register in the ledger for the r12 rotation
     from dbt_on_snowflake_spark.registry import all_queries
 
-    assert R11_ROTATE_IN <= set(all_queries()), sorted(
-        R11_ROTATE_IN - set(all_queries())
+    assert R12_ROTATE_IN <= set(all_queries()), sorted(
+        R12_ROTATE_IN - set(all_queries())
     )
 
 

@@ -1,0 +1,207 @@
+"""Machine-enforcement of the driver-export rotation ledger.
+
+The registry keeps every registered query driver-green within a bounded
+staleness window by rotating which 50 queries export each round
+(``registry.py`` ledger comment). Until r10 the obligation arithmetic
+lived only in that comment and the judge recomputed it by hand each
+round (VERDICT r10, Next #3). This test derives the obligations from
+the actual ``CORRECTNESS_r*.json`` history plus the registry and fails
+if the active export set violates the policy:
+
+- **Rotate-ins are mandatory**: every row in the current round's
+  ``R*_ROTATE_IN`` ledger (born last round, never driver-checked) must
+  be exported.
+- **Never-checked rows are accounted**: a registered query that has no
+  CORRECTNESS row ever must be exported now or ledgered for the next
+  round's rotation.
+- **Staleness window**: a row last driver-green in round ``N - 3`` or
+  earlier (N = current round) must be exported, unless it belongs to a
+  documented slip class:
+
+  - *trivial* single-operator shapes (explicit list) may slip to a
+    4-round hard window — the per-pytest parity replica re-verifies
+    them on every run;
+  - *family-guarded* rows may slip exactly one round past the 3-round
+    window if a named same-family guard row is exported this round.
+
+The policy check is applied to the ACTIVE export and, retroactively, to
+the retired R10 export against the r1–r9 history (proving the checker
+agrees with the judge's by-hand audit of r10).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+
+import pytest
+
+from dbt_on_snowflake_spark.registry import (
+    DRIVER_BUDGET,
+    R10_EXPORT,
+    R10_ROTATE_IN,
+    R11_EXPORT,
+    R11_ROTATE_IN,
+    R12_ROTATE_IN,
+    all_queries,
+)
+
+REPO = Path(__file__).resolve().parent.parent
+
+# Documented slip classes (ledger comment, registry.py).
+TRIVIAL_SLIPS = {
+    "s4_source_passthrough",
+    "p2_projection_rename",
+    "p6_range_filter",
+    "p7_ts_filter",
+    "dq_failing_rows",
+    "f_scalar_suite",
+    "f_json_extract",
+}
+# slipped row -> exported same-family guard
+FAMILY_GUARD_SLIPS = {
+    "a_unpivot_status_revenue": "a_grouping_sets_status_priority",
+    "asof_next_order_after_event": "asof_last_order_within_30d",
+    "ann_pq_adc_indexed": "ann_pq_adc_topk",
+    "corpus_pack_shards_bpe": "corpus_pack_efficiency",
+    "dedup_cluster_sizes": "dedup_ngram_jaccard",
+    "w_percentile_standing_orders": "w_ntile_customer_value_quartiles",
+}
+
+
+def correctness_history(upto: int) -> dict[str, int]:
+    """Map query -> last round it was driver-green, from the artifacts."""
+    last: dict[str, int] = {}
+    for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        n = int(re.search(r"r(\d+)", path.name).group(1))
+        if n > upto:
+            continue
+        rows = json.loads(path.read_text())
+        for name, row in rows.items():
+            # a row counts as green only if the driver's compare passed
+            # (hash for oracle-backed rows, rows-only otherwise)
+            ok = row.get("rows_match") and (
+                row.get("hash_match") is not False
+            ) and (row.get("schema_match") is not False)
+            if ok:
+                last[name] = max(last.get(name, 0), n)
+    return last
+
+
+def check_policy(
+    current_round: int,
+    export: set[str],
+    rotate_in: set[str],
+    next_ledger: set[str] | None,
+    registered: set[str] | None,
+) -> list[str]:
+    """Return policy violations (empty == compliant)."""
+    errs: list[str] = []
+    if len(export) > DRIVER_BUDGET:
+        errs.append(f"export over budget: {len(export)} > {DRIVER_BUDGET}")
+    last = correctness_history(current_round - 1)
+
+    # 1. rotate-ins mandatory
+    for q in sorted(rotate_in - export):
+        errs.append(f"rotate-in not exported: {q}")
+
+    # 2. never-checked rows accounted (skippable for retro audits where
+    #    the then-registered set can't be reconstructed)
+    if registered is not None:
+        never = registered - set(last)
+        pool = export | (next_ledger or set())
+        for q in sorted(never - pool):
+            errs.append(f"never-checked and unledgered: {q}")
+
+    # 3. staleness window over every row ever driver-checked
+    for q, n in sorted(last.items()):
+        if registered is not None and q not in registered:
+            continue  # renamed/retired rows
+        if q in export or n > current_round - 3:
+            continue
+        if q in TRIVIAL_SLIPS:
+            if n <= current_round - 5:
+                errs.append(f"trivial slipped past 4-round window: {q} (r{n})")
+        elif q in FAMILY_GUARD_SLIPS:
+            if n <= current_round - 4:
+                errs.append(f"guarded slip past one extra round: {q} (r{n})")
+            elif FAMILY_GUARD_SLIPS[q] not in export:
+                errs.append(f"slipped without exported guard: {q}")
+        else:
+            errs.append(f"stale beyond window, not a slip class: {q} (r{n})")
+    return errs
+
+
+def test_r11_export_satisfies_rotation_policy():
+    registered = set(all_queries())
+    errs = check_policy(
+        current_round=11,
+        export=R11_EXPORT,
+        rotate_in=R11_ROTATE_IN,
+        next_ledger=R12_ROTATE_IN,
+        registered=registered,
+    )
+    assert not errs, "\n".join(errs)
+
+
+def test_r10_export_satisfied_rotation_policy_retroactively():
+    """The checker agrees with the judge's by-hand r10 audit. The
+    then-registered set can't be reconstructed (r10-born rows now
+    registered had no r10 obligation), so the never-checked clause is
+    skipped and staleness is confined to rows checked by r9."""
+    errs = check_policy(
+        current_round=10,
+        export=R10_EXPORT,
+        rotate_in=R10_ROTATE_IN,
+        next_ledger=None,
+        registered=None,
+    )
+    assert not errs, "\n".join(errs)
+
+
+def test_policy_rejects_hand_broken_export():
+    """Dropping a mandatory rotate-in or a stale non-slip row from the
+    export must be flagged (VERDICT r10 Next #3's 'would fail' leg)."""
+    registered = set(all_queries())
+    # drop a rotate-in
+    broken = R11_EXPORT - {"ann_filtered_indexed"}
+    errs = check_policy(11, broken, R11_ROTATE_IN, R12_ROTATE_IN, registered)
+    assert any("rotate-in not exported: ann_filtered_indexed" in e for e in errs)
+    # drop a stale mandatory row (not in any slip class)
+    broken = R11_EXPORT - {"q7_volume_shipping"}
+    errs = check_policy(11, broken, R11_ROTATE_IN, R12_ROTATE_IN, registered)
+    assert any(
+        "stale beyond window, not a slip class: q7_volume_shipping" in e
+        for e in errs
+    )
+    # drop a guard while its slip stays demoted
+    broken = (R11_EXPORT - {"dedup_ngram_jaccard"}) | {"dedup_cluster_sizes"}
+    errs = check_policy(11, broken, R11_ROTATE_IN, R12_ROTATE_IN, registered)
+    assert errs  # the guard row is itself stale-mandatory
+
+
+def test_trivial_slips_become_hard_at_r12():
+    """The 7 twice-slipped trivials hit the 4-round hard window at r12:
+    an r12 export without them must be rejected. (Encodes the R12 draft's
+    'mandatory, no further slip' clause so next round's rotation cannot
+    silently slip them a third time.)"""
+    registered = set(all_queries())
+    r12_export_without_trivials = R11_EXPORT  # any set missing the trivials
+    errs = check_policy(
+        12, r12_export_without_trivials, R12_ROTATE_IN, None, registered
+    )
+    for q in sorted(TRIVIAL_SLIPS):
+        assert any(q in e and "4-round window" in e for e in errs), q
+
+
+@pytest.mark.parametrize("q", sorted(FAMILY_GUARD_SLIPS))
+def test_guard_rows_share_operator_family(q):
+    """Each documented guard actually exercises the slipped row's family
+    (same registered module of origin)."""
+    qs = all_queries()
+    guard = FAMILY_GUARD_SLIPS[q]
+    assert q in qs and guard in qs
+    assert qs[guard].fn.__module__ == qs[q].fn.__module__, (
+        q, qs[q].fn.__module__, guard, qs[guard].fn.__module__,
+    )
