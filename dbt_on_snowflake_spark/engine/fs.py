@@ -98,6 +98,28 @@ def fs_list_files(
     return out
 
 
+def fs_file_stats(
+    spark: SparkSession, path: str, suffix: str = ".parquet"
+) -> list[tuple[str, int, int]]:
+    """Recursive ``(path, size, mtime_ms)`` listing of data files under a
+    path; [] if missing. A change-detection fingerprint source: a corpus
+    regenerated in place at the same path changes size or mtime even
+    when the file set is identical (r10 advice, similarity.py:2323)."""
+    fs, p = _fs_path(spark, path)
+    if not fs.exists(p):
+        return []
+    it = fs.listFiles(p, True)
+    out: list[tuple[str, int, int]] = []
+    while it.hasNext():
+        st = it.next()
+        fpath = st.getPath()
+        if fpath.getName().endswith(suffix):
+            out.append(
+                (fpath.toString(), st.getLen(), st.getModificationTime())
+            )
+    return sorted(out)
+
+
 def fs_create_atomic(spark: SparkSession, path: str, data: bytes) -> None:
     """Create a NEW file with ``data`` — fails if it already exists
     (overwrite=False), which is the commit-conflict signal for two

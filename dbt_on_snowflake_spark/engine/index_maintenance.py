@@ -108,7 +108,19 @@ def compact_index_table(
     if _is_bucketed(spark, name):
         return None
     loc = table_location(spark, name)
-    tmp = f"{name}__compacting"
+    # Qualify the tmp with the OWNER's database (r10 advice,
+    # index_maintenance.py:143): an unqualified tmp for a table in a
+    # non-default database would stage in the CURRENT database's
+    # namespace and heal the wrong directory. The tmp's managed dir is
+    # then a sibling of the owner's dir (`<db location>/<base>__compacting`),
+    # which is what the heal delete below and the dirname-based cleanup
+    # on abort assume.
+    if "." in name:
+        db, base = name.rsplit(".", 1)
+    else:
+        db, base = spark.catalog.currentDatabase(), name
+    tmp_base = f"{base}__compacting"
+    tmp = f"{db}.{tmp_base}"
     # heal a crashed prior attempt FIRST — even when this table needs no
     # rewrite (e.g. it was rebuilt compact from the corpus after a crash
     # between drop and rename), the stale full-size tmp copy must go:
@@ -117,7 +129,7 @@ def compact_index_table(
     # in-memory catalog forgets tables across sessions but their dirs
     # persist, and saveAsTable refuses a non-empty managed location)
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")
-    fs_delete(spark, posixpath.join(posixpath.dirname(loc), tmp))
+    fs_delete(spark, posixpath.join(posixpath.dirname(loc), tmp_base))
 
     parts = [c.name for c in spark.catalog.listColumns(name) if c.isPartition]
     snapshot = set(fs_list_files(spark, loc))
@@ -160,7 +172,7 @@ def compact_index_table(
         # installing the snapshot would silently drop those rows —
         # abort and let the next sweep retry over the grown table
         spark.sql(f"DROP TABLE {tmp}")
-        fs_delete(spark, posixpath.join(posixpath.dirname(loc), tmp))
+        fs_delete(spark, posixpath.join(posixpath.dirname(loc), tmp_base))
         return None
     spark.sql(f"DROP TABLE {name}")
     if fs_exists(spark, loc):
@@ -299,38 +311,47 @@ def compact_index_tables(
     done: list[tuple[str, int, int]] = []
     skipped: list[tuple[str, str]] = []
     resumed: list[str] = []
-    for t in spark.catalog.listTables():
-        if t.isTemporary:
-            continue
-        if t.name.endswith("__compacting"):
-            owner = t.name[: -len("__compacting")]
-            if not spark.catalog.tableExists(owner):
-                # a crash landed between DROP owner and RENAME tmp: the
-                # tmp table IS the complete compacted state — finish
-                # the swap instead of leaving it to a corpus rebuild
-                try:
-                    spark.sql(f"ALTER TABLE {t.name} RENAME TO {owner}")
-                    if any(
-                        c.isPartition
-                        for c in spark.catalog.listColumns(owner)
-                    ):
-                        spark.sql(f"MSCK REPAIR TABLE {owner}")
-                    spark.catalog.refreshTable(owner)
-                    resumed.append(owner)
-                except Exception as exc:  # noqa: BLE001
-                    skipped.append((t.name, str(exc)))
-            continue
-        try:
-            if t.tableType == "EXTERNAL":
-                loc = _strip_scheme(table_location(spark, t.name))
-                if not loc.startswith(wh + "/"):
-                    continue
-            elif t.tableType != "MANAGED":
+    # EVERY database, not just the current one (r10 advice,
+    # index_maintenance.py:143): an index table in a non-default
+    # database gets the same maintenance, with its tmp staged in its
+    # OWN namespace (compact_index_table qualifies it). Names report
+    # bare in the current database, db-qualified elsewhere.
+    current = spark.catalog.currentDatabase()
+    for db in sorted(d.name for d in spark.catalog.listDatabases()):
+        for t in spark.catalog.listTables(db):
+            if t.isTemporary:
                 continue
-            r = compact_index_table(spark, t.name)
-        except Exception as exc:  # noqa: BLE001 — sweep must survive
-            skipped.append((t.name, str(exc)))
-            continue
-        if r is not None:
-            done.append((t.name, *r))
+            qual = t.name if db == current else f"{db}.{t.name}"
+            if t.name.endswith("__compacting"):
+                owner = qual[: -len("__compacting")]
+                if not spark.catalog.tableExists(owner):
+                    # a crash landed between DROP owner and RENAME tmp:
+                    # the tmp table IS the complete compacted state —
+                    # finish the swap instead of leaving it to a corpus
+                    # rebuild
+                    try:
+                        spark.sql(f"ALTER TABLE {qual} RENAME TO {owner}")
+                        if any(
+                            c.isPartition
+                            for c in spark.catalog.listColumns(owner)
+                        ):
+                            spark.sql(f"MSCK REPAIR TABLE {owner}")
+                        spark.catalog.refreshTable(owner)
+                        resumed.append(owner)
+                    except Exception as exc:  # noqa: BLE001
+                        skipped.append((qual, str(exc)))
+                continue
+            try:
+                if t.tableType == "EXTERNAL":
+                    loc = _strip_scheme(table_location(spark, qual))
+                    if not loc.startswith(wh + "/"):
+                        continue
+                elif t.tableType != "MANAGED":
+                    continue
+                r = compact_index_table(spark, qual)
+            except Exception as exc:  # noqa: BLE001 — sweep must survive
+                skipped.append((qual, str(exc)))
+                continue
+            if r is not None:
+                done.append((qual, *r))
     return done, skipped, resumed

@@ -419,7 +419,15 @@ class Runner:
             with self._staged_lock:
                 self._staged.setdefault(relation, st)
             raise
-        table_format.stage_unmark(self.spark, st["root"], st["data_dir"])
+        # Deliberately NO eager stage_unmark here (r10 advice,
+        # runner.py:422): a concurrent cron vacuum that listed manifests
+        # BEFORE this commit re-checks the marker at delete time — if
+        # publish unmarked first, that stale vacuum would see the
+        # just-committed dir as unreferenced AND unmarked and delete
+        # committed data. The marker stays until a vacuum with a fresh
+        # manifest read heals it (the dir is then manifest-referenced,
+        # so the marker is redundant — vacuum's heal path); the
+        # vacuum below normally does exactly that.
         table_format.vacuum(self.spark, st["root"])
         self._register_table(relation)
 

@@ -248,12 +248,16 @@ def stage_mark(
     advice, table_format.py:275). Created BEFORE the staged write
     begins — there is no window where the dir exists unmarked.
 
-    Crash lifecycle: publish clears the marker after its commit;
-    discard clears it after deleting the dir. A marker leaked by a
-    crash between those steps is healed by vacuum the next time the
-    version number is reused and committed (the marker's dir is then
-    manifest-referenced, so the marker is redundant and dropped); until
-    then it protects at most one orphan dir of one uncommitted version.
+    Lifecycle: publish deliberately does NOT clear the marker after its
+    commit — an eager unmark races a concurrent vacuum whose manifest
+    listing predates the commit (its delete-time marker recheck would
+    then see the just-committed dir as unreferenced AND unmarked; r10
+    advice, runner.py:422). The marker is healed by any vacuum whose
+    fresh manifest read references the dir (publish runs one
+    immediately); discard clears it after deleting the dir. A marker
+    leaked by a crash protects at most one orphan dir of one
+    uncommitted version until that version number is reused and
+    committed.
     """
     path = posixpath.join(_staged_markers_dir(root), f"{data_dir}.json")
     try:

@@ -2320,6 +2320,23 @@ def ann_pq_rerank_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_rerank(_vectors(spark, sf_dir), shortlist)
 
 
+def corpus_fingerprint(
+    spark: SparkSession, sf_dir: str, name: str = "embeddings"
+) -> str:
+    """8-hex fingerprint of one corpus table's data files — (path, size,
+    mtime) over the parquet listing, a driver-side metadata call, no
+    Spark job. Build-once index suffixes key on it so a corpus
+    REGENERATED at the same path triggers a rebuild instead of silently
+    serving stale index results (r10 advice, similarity.py:2323)."""
+    import hashlib
+    import os
+
+    from dbt_on_snowflake_spark.engine.fs import fs_file_stats
+
+    stats = fs_file_stats(spark, os.path.join(sf_dir, f"{name}.parquet"))
+    return hashlib.md5(repr(stats).encode()).hexdigest()[:8]
+
+
 def ensure_pq_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Build the persisted PQ index for ``sf_dir`` if absent and return
     ``(codebook_table, codes_table)`` — ONE encode-once artifact per
@@ -2331,10 +2348,17 @@ def ensure_pq_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     the codes survive, and a codes-only probe would then skip the
     rebuild and leave every ADC serve broken until the next
     maintenance sweep. The build runs under its own job group so bench
-    stage counts show the serve path only."""
+    stage counts show the serve path only.
+
+    The suffix keys on a (path, size, mtime) fingerprint of the corpus
+    files, not the path alone: regenerating the corpus at the same path
+    (or under a persistent metastore) changes the fingerprint, so the
+    next serve rebuilds against the new data instead of silently
+    returning stale results (r10 advice, similarity.py:2323)."""
     import hashlib
 
-    suffix = hashlib.md5(f"pq:{sf_dir}".encode()).hexdigest()[:8]
+    fp = corpus_fingerprint(spark, sf_dir)
+    suffix = hashlib.md5(f"pq:{sf_dir}:{fp}".encode()).hexdigest()[:8]
     codebook_table = f"pq_codebook_{suffix}"
     codes_table = f"pq_codes_{suffix}"
     if not (

@@ -586,8 +586,9 @@ def text_index_ingest_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     held-out doc (restart-resume itself is pinned by
     ``test_text_index_stream_restart_resumes_from_checkpoint``)."""
     import hashlib
-    import shutil
+    import posixpath
 
+    from dbt_on_snowflake_spark.engine.fs import fs_delete
     from dbt_on_snowflake_spark.operators.textops import (
         _BASE_DOCS_PRED,
         _NEW_DOCS_PRED,
@@ -620,9 +621,12 @@ def text_index_ingest_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(sf_dir)
         .filter(F.expr(_NEW_DOCS_PRED))
     )
-    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    ckpt = os.path.join(wh, f"_checkpoints/text_ingest_{suffix}")
-    shutil.rmtree(ckpt, ignore_errors=True)  # index was just rebuilt
+    # warehouse paths go through the engine fs helpers, never os/shutil
+    # (r10 advice, streaming/__init__.py:623): the warehouse may be an
+    # object store — same posture as the maintenance sweep
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    ckpt = posixpath.join(wh, f"_checkpoints/text_ingest_{suffix}")
+    fs_delete(spark, ckpt)  # index was just rebuilt
     text_index_stream_ingest(spark, stream, tables, checkpoint_dir=ckpt)
     return bm25_topn_indexed(spark, sf_dir, BM25_TOP_N, tables=tables)
 
@@ -1340,21 +1344,30 @@ def run_update_log(
     ``compact --indexes`` sweep — resolve without knowing the query."""
     import hashlib
     import json
-    import shutil
+    import posixpath
 
-    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    from dbt_on_snowflake_spark.engine.fs import fs_create_atomic, fs_delete, fs_list
+
+    # warehouse paths go through the engine fs helpers, never os/shutil
+    # (r10 advice, streaming/__init__.py:623): the warehouse may be an
+    # object store — same posture as the maintenance sweep that folds
+    # this very log
+    wh = spark.conf.get("spark.sql.warehouse.dir")
     # tag (e.g. the source dir) keys the log per corpus: the returned
     # DataFrame is lazy, so a later invocation for a DIFFERENT corpus
     # must not replace a log a pending read still points at
     suffix = hashlib.md5(
         f"{tag}|{counts.schema}".encode()
     ).hexdigest()[:8]
-    log = os.path.join(wh, f"topn_updatelog_{suffix}")
-    shutil.rmtree(log, ignore_errors=True)
-    os.makedirs(log, exist_ok=True)
+    log = posixpath.join(wh, f"topn_updatelog_{suffix}")
+    fs_delete(spark, log)
     if keys and merge:
-        with open(os.path.join(log, "_merge.json"), "w") as fh:
-            json.dump({"keys": keys, "merge": merge}, fh)
+        # hadoop create() makes the parent dirs; atomic-visible sidecar
+        fs_create_atomic(
+            spark,
+            posixpath.join(log, "_merge.json"),
+            json.dumps({"keys": keys, "merge": merge}).encode(),
+        )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(log)
@@ -1367,7 +1380,7 @@ def run_update_log(
     )
     q.awaitTermination()
     if not any(
-        n.endswith(".parquet") for n in os.listdir(log)
+        n.endswith(".parquet") for n in fs_list(spark, log)
     ):  # zero-batch degenerate source: preserve the schema
         return spark.createDataFrame([], counts.schema)
     return spark.read.parquet(log)

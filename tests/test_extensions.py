@@ -1193,6 +1193,39 @@ def test_bm25_serve_ignores_orphaned_postings(spark):
     assert serve1 == serve0
 
 
+def test_pq_index_refreshes_on_corpus_regeneration(spark, tmp_path):
+    """ensure_pq_index keys its build-once suffix on a (path, size,
+    mtime) fingerprint of the corpus files, not the path alone: a
+    corpus REGENERATED at the same path within a session (or under a
+    persistent metastore) must trigger a rebuild, not silently serve
+    stale codes (r10 advice, similarity.py:2323)."""
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from dbt_on_snowflake_spark.operators.similarity import ensure_pq_index
+
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    src = os.path.join(SF_SMOKE, "embeddings.parquet")
+    shutil.copy(src, os.path.join(corpus, "embeddings.parquet"))
+    cb1, cd1 = ensure_pq_index(spark, corpus)
+    n1 = spark.table(cd1).count()
+    # build-once holds while the corpus is unchanged
+    assert ensure_pq_index(spark, corpus) == (cb1, cd1)
+
+    # regenerate the corpus in place: same path, different content
+    pd.read_parquet(src).head(200).to_parquet(
+        os.path.join(corpus, "embeddings.parquet"), index=False
+    )
+    cb2, cd2 = ensure_pq_index(spark, corpus)
+    assert (cb2, cd2) != (cb1, cd1)  # fingerprint moved -> fresh tables
+    assert spark.table(cd2).count() == 200 != n1
+    for t in (cb1, cd1, cb2, cd2):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_ensure_rebuilds_partial_index_family(spark):
     """A crashed compaction swap (index_maintenance.py's drop-to-rename
     window) can lose ONE table of a multi-table index family while its

@@ -373,6 +373,42 @@ def test_compact_sweep_includes_attached_external_index(spark):
     assert fs_count_files(spark, table_location(spark, name)) == 1
 
 
+def test_compact_index_table_in_nondefault_database(spark):
+    """An index table living in a non-default database must compact
+    with its tmp staged in its OWN namespace and healed from its own
+    directory (r10 advice, index_maintenance.py:143): an unqualified
+    tmp would land in the current database and the heal would clean a
+    path that never existed."""
+    db, name = "cix_db", "cix_db.cix_frag"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(f"DROP TABLE IF EXISTS {name}__compacting")
+    try:
+        for i in range(5):  # fragmented managed table in the other db
+            spark.range(i * 10, i * 10 + 10).toDF("doc_id").withColumn(
+                "part", F.pmod("doc_id", F.lit(2)).cast("int")
+            ).coalesce(1).write.mode("append").partitionBy(
+                "part"
+            ).saveAsTable(name)
+        rows = sorted(r.doc_id for r in spark.table(name).collect())
+        before = fs_count_files(spark, table_location(spark, name))
+        assert before > 2
+
+        done, skipped, _resumed = compact_index_tables(spark)
+        assert name in {n for n, _b, _a in done}, (done, skipped)
+        # tmp cleaned from the OWNER's namespace, not the current db
+        assert not spark.catalog.tableExists(f"{name}__compacting")
+        assert not spark.catalog.tableExists("cix_frag__compacting")
+        assert fs_count_files(spark, table_location(spark, name)) == 2
+        assert sorted(r.doc_id for r in spark.table(name).collect()) == rows
+        # partition pruning survives the swap in the qualified namespace
+        pruned = spark.table(name).filter(F.col("part") == 1)
+        assert pruned.count() == len([r for r in rows if r % 2 == 1])
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
 def test_compact_sees_rows_appended_by_another_session(spark):
     """Rows appended OUT OF BAND (another session/process writing
     straight into the table dir — the attach/external-writer posture)

@@ -506,6 +506,26 @@ def test_semantic_ingest_multi_batch_and_order_enforcement(spark, tmp_path):
         handle(b3, 2)
 
 
+def test_streaming_warehouse_paths_use_fs_helpers():
+    """Warehouse manipulation in the streaming module must go through
+    the engine fs helpers, never os/shutil on a stripped 'file:' path
+    (r10 advice, streaming/__init__.py:623): the warehouse may be an
+    object store — the same posture the maintenance sweep already
+    takes. Pin the code-level invariant: no 'file:'-stripping of the
+    warehouse dir conf remains in the module."""
+    from pathlib import Path
+
+    import dbt_on_snowflake_spark.streaming as streaming
+
+    src = Path(streaming.__file__).read_text()
+    assert 'warehouse.dir").removeprefix' not in src
+    # tempdir staging may use os/shutil; warehouse dirs may not
+    for line in src.splitlines():
+        code = line.split("#", 1)[0]
+        if "warehouse" in code:
+            assert "shutil" not in code and "os.makedirs" not in code, line
+
+
 def test_update_mode_trending_merges_versions(spark, tmp_path):
     """The update-mode trending sink is a versioned key LOG: each
     micro-batch appends only the keys it changed, so a key counted in

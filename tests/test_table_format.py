@@ -815,8 +815,9 @@ def test_wap_crash_between_stage_and_publish(spark, tmp_path, capsys):
     capsys.readouterr()
     assert tf.current_version(spark, troot) == v1 + 1
     assert spark.table("wpc_mart").count() == 3
-    # the marker is gone (cleared on publish; vacuum would also heal a
-    # leaked one now that a manifest references the dir)
+    # the marker is gone — healed by publish's fresh-manifest vacuum
+    # (publish never unmarks eagerly; see
+    # test_publish_leaves_marker_for_stale_concurrent_vacuum)
     assert tf.staged_markers(spark, troot) == {}
 
 
@@ -1062,6 +1063,55 @@ def test_vacuum_heals_leaked_stage_marker(spark, tmp_path):
     assert {r.v for r in spark.read.parquet(
         tf.data_path(spark, root)
     ).collect()} == {"b"}
+
+
+def test_publish_leaves_marker_for_stale_concurrent_vacuum(
+    spark, tmp_path, monkeypatch
+):
+    """publish_staged must NOT unmark eagerly after its commit (r10
+    advice, runner.py:422): a concurrent cron vacuum that listed
+    manifests BEFORE the commit re-checks the stage marker at delete
+    time — with an eager unmark it would see the just-committed dir as
+    unreferenced AND unmarked and delete committed data. The marker
+    must survive publish until a vacuum with a FRESH manifest read
+    heals it."""
+    from dbt_on_snowflake_spark.engine.project import Project
+    from dbt_on_snowflake_spark.engine.runner import Runner
+
+    root, data = _wap_project(tmp_path, "wapv", threshold=100)
+    runner = Runner(spark, Project(root, target="wpv"), wap=True)
+    runner.load_sources()
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    troot = os.path.join(wh, "wpv_mart")
+
+    df = spark.table("src_raw_t").selectExpr("id", "v")
+    runner._stage_versioned(df, "wpv_mart", [], None)
+    staged_dir = runner._staged["wpv_mart"]["data_dir"]
+
+    # the concurrent vacuum's manifest listing happens PRE-commit
+    versions_pre = tf.list_versions(spark, troot)
+
+    # publish with its own heal-vacuum suppressed: the marker must
+    # still be there — publish itself never unmarks
+    monkeypatch.setattr(tf, "vacuum", lambda *a, **k: [])
+    runner.publish_staged("wpv_mart")
+    monkeypatch.undo()
+    assert staged_dir in tf.staged_markers(spark, troot)
+
+    # the stale concurrent vacuum resumes: its retained set predates
+    # the commit, so the new dir is unreferenced — only the marker's
+    # delete-time recheck protects it
+    monkeypatch.setattr(tf, "list_versions", lambda *a, **k: versions_pre)
+    removed = tf.vacuum(spark, troot)
+    monkeypatch.undo()
+    assert staged_dir not in removed
+    assert os.path.isdir(os.path.join(troot, staged_dir))
+
+    # a fresh vacuum heals the now-redundant marker, dir still served
+    tf.vacuum(spark, troot)
+    assert tf.staged_markers(spark, troot) == {}
+    assert os.path.isdir(os.path.join(troot, staged_dir))
+    assert spark.table("wpv_mart").count() > 0
 
 
 def test_clone_survives_wap_cycles_on_source(spark, tmp_path, capsys):
