@@ -5,9 +5,9 @@ ANN assignments — ``similarity.build_ann_index``, PQ codes —
 ``similarity.build_pq_index``, the minhash band index — ``dedup``) are
 Spark-managed tables, deliberately OUTSIDE the engine's versioned table
 format: their maintenance path is per-batch ``.mode("append")`` growth
-where one exists (``text_index_append`` for postings/doclen,
-``ann_index_append`` for the assignments, streaming ingest via
-``foreachBatch``; PQ codes are encode-once/rebuild, no append path),
+(``text_index_append`` for postings/doclen, ``ann_index_append`` for
+the assignments, ``pq_index_append`` for the PQ codes against the
+frozen codebook, streaming ingest via ``foreachBatch``),
 and the versioned format publishes whole immutable
 data dirs — an append there would rewrite the table. The cost of that
 choice is the classic streaming-ingest pathology: every micro-batch adds

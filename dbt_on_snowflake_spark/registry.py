@@ -160,7 +160,9 @@ R11_ROTATE_IN: set[str] = {
 
 # Queries born in round 11 — mandatory r12 rotate-ins (never
 # driver-checked). Keep this current as queries are born.
-R12_ROTATE_IN: set[str] = set()
+R12_ROTATE_IN: set[str] = {
+    "ann_pq_adc_appended",
+}
 
 # The retired r10 export set (kept: the rotation-ledger enforcement test
 # and the judge's cross-round audit recompute staleness against it).

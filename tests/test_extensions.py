@@ -1193,6 +1193,95 @@ def test_bm25_serve_ignores_orphaned_postings(spark):
     assert serve1 == serve0
 
 
+def test_pq_index_append_replay_is_noop(spark):
+    """At-least-once ingest for the PQ codes: re-delivering a batch the
+    index already encodes must append nothing — the snapshot probe
+    drops every vec_id already coded, the codes table stays
+    row-identical, and the replay's returned encode set is empty."""
+    import hashlib
+
+    from dbt_on_snowflake_spark.operators.similarity import (
+        _CORPUS_PRED,
+        _NEW_BATCH_PRED,
+        _vectors,
+        build_pq_index,
+        pq_index_append,
+    )
+
+    suffix = hashlib.md5(f"pqreplay:{SF_SMOKE}".encode()).hexdigest()[:8]
+    cb_t = f"pq_codebook_{suffix}"
+    cd_t = f"pq_codes_{suffix}"
+    e = _vectors(spark, SF_SMOKE)
+    build_pq_index(
+        spark, e.filter(_CORPUS_PRED),
+        codebook_table=cb_t, codes_table=cd_t,
+    )
+    batch = e.filter(_NEW_BATCH_PRED)
+    first = pq_index_append(
+        spark, batch, codebook_table=cb_t, codes_table=cd_t
+    ).collect()
+    assert first  # first delivery really encodes
+    spark.catalog.refreshTable(cd_t)
+    state = sorted(
+        (r.vec_id, r.label) for r in
+        spark.table(cd_t).select("vec_id", "label").collect()
+    )
+    replay = pq_index_append(
+        spark, batch, codebook_table=cb_t, codes_table=cd_t
+    ).collect()
+    assert replay == []
+    spark.catalog.refreshTable(cd_t)
+    assert sorted(
+        (r.vec_id, r.label) for r in
+        spark.table(cd_t).select("vec_id", "label").collect()
+    ) == state
+
+
+def test_pq_index_append_converges_to_rebuild(spark):
+    """Codes are per-row facts of (vector, frozen codebook): the
+    append-grown codes table must equal a from-scratch encode of the
+    FULL corpus against the same codebook, row for row — the
+    encode-once contract the other append paths carry
+    (text_index_append / ann_index_append convergence)."""
+    import hashlib
+
+    from dbt_on_snowflake_spark.operators.similarity import (
+        _CORPUS_PRED,
+        _NEW_BATCH_PRED,
+        _codebook_row,
+        _pq_encode,
+        _vectors,
+        build_pq_index,
+        pq_index_append,
+    )
+
+    suffix = hashlib.md5(f"pqconv:{SF_SMOKE}".encode()).hexdigest()[:8]
+    cb_t = f"pq_codebook_{suffix}"
+    cd_t = f"pq_codes_{suffix}"
+    e = _vectors(spark, SF_SMOKE)
+    build_pq_index(
+        spark, e.filter(_CORPUS_PRED),
+        codebook_table=cb_t, codes_table=cd_t,
+    )
+    pq_index_append(
+        spark, e.filter(_NEW_BATCH_PRED),
+        codebook_table=cb_t, codes_table=cd_t,
+    )
+    spark.catalog.refreshTable(cd_t)
+    grown = sorted(
+        (r.vec_id, tuple((b.d, b.code) for b in r.bests))
+        for r in spark.table(cd_t).select("vec_id", "bests").collect()
+    )
+    rebuilt = sorted(
+        (r.vec_id, tuple((b.d, b.code) for b in r.bests))
+        for r in _pq_encode(
+            e.select("vec_id", "label", "v"),
+            _codebook_row(spark.table(cb_t)),
+        ).collect()
+    )
+    assert grown == rebuilt
+
+
 def test_pq_index_refreshes_on_corpus_regeneration(spark, tmp_path):
     """ensure_pq_index keys its build-once suffix on a (path, size,
     mtime) fingerprint of the corpus files, not the path alone: a

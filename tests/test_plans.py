@@ -691,6 +691,56 @@ def test_pq_indexed_no_encode_recompute(spark, monkeypatch):
     assert count_shuffles(plan_a) <= 1
 
 
+def test_pq_append_no_corpus_reencode(spark, monkeypatch):
+    """pq_index_append must encode ONLY the batch against the persisted
+    frozen codebook: with an in-memory batch, the returned encode plan
+    reads pq_codebook_ and nothing from the corpus parquet, and carries
+    no centroid-training stage — at 100 TB, an embeddings scan or a
+    posexplode here means the append re-encodes the corpus per batch
+    (r10 verdict Missing #2). Checked on the 'hof' kernel whose plan
+    carries every stage, then on the arrow default."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from dbt_on_snowflake_spark.operators.similarity import (
+        _CORPUS_PRED,
+        _vectors,
+        build_pq_index,
+        pq_index_append,
+    )
+
+    suffix = hashlib.md5(f"pqplan:{SF_SMOKE}".encode()).hexdigest()[:8]
+    cb_t = f"pq_codebook_{suffix}"
+    cd_t = f"pq_codes_{suffix}"
+    e = _vectors(spark, SF_SMOKE)
+    build_pq_index(
+        spark, e.filter(_CORPUS_PRED),
+        codebook_table=cb_t, codes_table=cd_t,
+    )
+    # in-memory batch: any embeddings.parquet scan in the append plan
+    # can only be a corpus re-read
+    batch = spark.createDataFrame(
+        [(100009, 0, [0.1] * 64), (100019, 1, [0.2] * 64)],
+        "vec_id long, label long, v array<double>",
+    )
+    monkeypatch.setenv("SPARK_GRAFT_PQ_KERNEL", "hof")
+    plan = explain_str(
+        pq_index_append(spark, batch, codebook_table=cb_t, codes_table=cd_t)
+    )
+    assert "embeddings.parquet" not in plan  # corpus never re-read
+    assert "Generate" not in plan  # posexplode = centroid retraining
+    assert "pq_codebook_" in plan  # the frozen codebook is the encoder
+
+    monkeypatch.delenv("SPARK_GRAFT_PQ_KERNEL")
+    batch2 = batch.withColumn("vec_id", F.col("vec_id") + 1000)
+    plan_a = explain_str(
+        pq_index_append(spark, batch2, codebook_table=cb_t, codes_table=cd_t)
+    )
+    assert "embeddings.parquet" not in plan_a
+    assert "MapInPandas" in plan_a  # arrow encode kernel
+
+
 def test_ingest_probe_no_index_shuffle(spark):
     """The streaming ingest's per-batch probe reads the bucketed (h,
     doc_id) index in place: every Exchange in the probe plan sits on the
