@@ -14,6 +14,8 @@ the top-k row set is deterministic and engine-portable.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -508,7 +510,7 @@ def build_ann_index(
 
 def ensure_ann_index(
     spark: SparkSession,
-    e: DataFrame,
+    e: DataFrame | Callable[[], DataFrame],
     *,
     centroids_table: str,
     assignments_table: str,
@@ -524,7 +526,16 @@ def ensure_ann_index(
     ``mode("overwrite")``, so a partial rebuild replaces the survivor.
     Runs under its own job group so bench stage counts show the serve
     path only (the ``ensure_text_index``/``ensure_pq_index``
-    convention)."""
+    convention).
+
+    ``e`` may be a zero-arg callable producing the corpus DataFrame: a
+    serve path whose steady state never touches the corpus passes a
+    thunk so the ``spark.read.parquet`` footer job (a real 1-task Spark
+    job at DataFrame-construction time, not action time) is paid only
+    when a build actually runs — the r10 eager-argument refactor made
+    every ``dedup_semantic_served`` call schedule that job, the bench's
+    4->5 stage-count anomaly (r10 verdict What's wrong #3; pinned by
+    ``test_semantic_served_steady_state_no_corpus_read``)."""
     if spark.catalog.tableExists(
         assignments_table
     ) and spark.catalog.tableExists(centroids_table):
@@ -535,7 +546,7 @@ def ensure_ann_index(
     try:
         build_ann_index(
             spark,
-            e,
+            e() if callable(e) else e,
             centroids_table=centroids_table,
             assignments_table=assignments_table,
         )
@@ -1054,9 +1065,11 @@ def dedup_semantic_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix = hashlib.md5(f"semserved:{sf_dir}".encode()).hexdigest()[:8]
     centroids_table = f"ann_centroids_{suffix}"
     assignments_table = f"ann_assignments_{suffix}"
+    # thunk, not DataFrame: steady-state serves must not pay the
+    # corpus parquet footer job (stage A/B, r10 verdict Next #2)
     ensure_ann_index(
         spark,
-        _vectors(spark, sf_dir),
+        lambda: _vectors(spark, sf_dir),
         centroids_table=centroids_table,
         assignments_table=assignments_table,
         job_group="dedup_semantic_served",
@@ -2279,15 +2292,25 @@ def ann_pq_rerank_topk(
     return _exact_rerank(e, shortlist)
 
 
-def _exact_rerank(e: DataFrame, shortlist: DataFrame) -> DataFrame:
+def _exact_rerank(
+    e: DataFrame,
+    shortlist: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = TOP_K,
+) -> DataFrame:
     """Stage 2 of two-stage serving, shared by the recompute and the
     persisted-index variants: broadcast the tiny Q x shortlist-depth
     pair list against ONE corpus scan to gather neighbor vectors,
     attach the bounded query vectors the same way, exact-cosine and
     rank. Zero-norm vectors make the rerank cosine undefined (NULL from
     _cosine; NaN in the oracle) — both engines drop the pair, the same
-    degenerate-input contract as _topk (advice r8)."""
-    q = e.filter(F.expr(_QUERY_PRED)).select(
+    degenerate-input contract as _topk (advice r8). ``queries``
+    overrides the query-vector relation — any bounded (vec_id, v), the
+    multimodal twin's payload-derived vectors; defaults to the corpus
+    rows under ``_QUERY_PRED``."""
+    if queries is None:
+        queries = e.filter(F.expr(_QUERY_PRED))
+    q = queries.select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     pairs = (
@@ -2305,7 +2328,7 @@ def _exact_rerank(e: DataFrame, shortlist: DataFrame) -> DataFrame:
     )
     return (
         rr.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOP_K)
+        .filter(F.col("rank") <= k)
     )
 
 
@@ -3603,11 +3626,17 @@ def _adc_serve(
     codebook_table: str,
     codes: DataFrame,
     k: int,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """ADC top-k over an already-encoded (vec_id, bests) codes relation
     against the persisted codebook — the serve stage shared by the
-    plain indexed query and the filtered variant (which hands in a
-    partition-pruned codes subset)."""
+    plain indexed query, the filtered variant (which hands in a
+    partition-pruned codes subset), and the multimodal twin (which
+    hands in payload-derived query vectors via ``queries``: any bounded
+    (vec_id, v) relation; defaults to the corpus rows under
+    ``_QUERY_PRED``)."""
+    if queries is None:
+        queries = e.filter(F.expr(_QUERY_PRED))
     cb_row = _codebook_row(spark.table(codebook_table))
 
     def lut_entry(m: int, qsv):
@@ -3626,7 +3655,7 @@ def _adc_serve(
         qsv = _subvec(F.col("v"), m)
         luts.append(F.map_from_entries(F.transform(F.col("cb"), lut_entry(m, qsv))))
     qlut = (
-        e.filter(F.expr(_QUERY_PRED))
+        queries
         .crossJoin(F.broadcast(cb_row))
         .select(F.col("vec_id").alias("query_id"), F.array(*luts).alias("luts"))
     )

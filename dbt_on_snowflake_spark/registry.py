@@ -162,6 +162,7 @@ R11_ROTATE_IN: set[str] = {
 # driver-checked). Keep this current as queries are born.
 R12_ROTATE_IN: set[str] = {
     "ann_pq_adc_appended",
+    "multimodal_embed_topk_indexed",
 }
 
 # The retired r10 export set (kept: the rotation-ledger enforcement test

@@ -741,6 +741,77 @@ def test_pq_append_no_corpus_reencode(spark, monkeypatch):
     assert "MapInPandas" in plan_a  # arrow encode kernel
 
 
+def test_semantic_served_steady_state_no_corpus_read(spark):
+    """A steady-state dedup_semantic_served call (index already built)
+    must schedule NO job that touches the corpus parquet — not even the
+    spark.read.parquet footer/schema job, a real 1-task Spark job paid
+    at DataFrame-CONSTRUCTION time. The r10 ensure_ann_index refactor
+    passed _vectors(...) eagerly and every serve call scheduled it: the
+    bench's 4->5 stage-count anomaly (r10 verdict What's wrong #3 /
+    Next #2). The corpus argument is a thunk now; pin the job shape so
+    the eager argument can't come back."""
+    fn = Q["dedup_semantic_served"].fn
+    fn(spark, SF_SMOKE).write.format("noop").mode("overwrite").save()  # build
+
+    sc = spark.sparkContext
+    group = "pin:sem_served_steady"
+    sc.setJobGroup(group, "steady-state serve")
+    try:
+        fn(spark, SF_SMOKE).write.format("noop").mode("overwrite").save()
+    finally:
+        sc.setJobGroup(None, None)
+    tracker = sc.statusTracker()
+    stage_names = []
+    for job_id in tracker.getJobIdsForGroup(group):
+        info = tracker.getJobInfo(job_id)
+        for s in info.stageIds if info else []:
+            si = tracker.getStageInfo(s)
+            if si is not None:
+                stage_names.append(si.name)
+    assert stage_names, "serve scheduled no jobs?"
+    offenders = [n for n in stage_names if n.startswith("parquet at")]
+    assert not offenders, (
+        f"steady-state serve scheduled a corpus parquet read: {offenders}"
+    )
+    # serve shape: bounded centroid collect + the pruned pair join +
+    # the sink — 4 stages, the pre-r10 bench fingerprint
+    assert len(stage_names) <= 4, stage_names
+
+
+def test_multimodal_indexed_no_brute_scan(spark, monkeypatch):
+    """multimodal_embed_topk_indexed must SERVE from the persisted PQ
+    index: stage 1 scores pq_codes_, not the embeddings floats (the
+    brute twin's corpus cross-score), and nothing in the plan retrains
+    the codebook or re-encodes the corpus. The embeddings parquet
+    appears exactly once — the rerank's shortlist vector gather
+    (r10 verdict Missing #3). Checked on the 'hof' kernel whose plan
+    carries every stage."""
+    from dbt_on_snowflake_spark.operators.similarity import ensure_pq_index
+
+    ensure_pq_index(spark, SF_SMOKE)  # build outside the measured plan
+    monkeypatch.setenv("SPARK_GRAFT_PQ_KERNEL", "hof")
+    df = Q["multimodal_embed_topk_indexed"].fn(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "pq_codebook_" in plan and "pq_codes_" in plan
+    assert "Generate" not in plan  # posexplode = centroid retraining
+    from dbt_on_snowflake_spark.plans import scans
+
+    emb_scans = [
+        s for s in scans(plan) if "embeddings.parquet" in s.get("location", "")
+    ]
+    assert len(emb_scans) == 1, (
+        f"expected ONLY the rerank gather to read embeddings, got "
+        f"{len(emb_scans)} scans"
+    )
+    # the query side reads documents (payload -> embedding), bounded
+    doc_scans = [
+        s for s in scans(plan) if "documents.parquet" in s.get("location", "")
+    ]
+    assert doc_scans and all(
+        "doc_id" in s.get("pushedfilters", "") for s in doc_scans
+    )
+
+
 def test_ingest_probe_no_index_shuffle(spark):
     """The streaming ingest's per-batch probe reads the bucketed (h,
     doc_id) index in place: every Exchange in the probe plan sits on the
