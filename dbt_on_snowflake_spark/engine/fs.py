@@ -85,17 +85,9 @@ def fs_list_files(
 ) -> list[str]:
     """Recursive list of data-file paths (full URIs) under a path; []
     if missing. The compaction snapshot: comparing two listings detects
-    an append racing a rewrite."""
-    fs, p = _fs_path(spark, path)
-    if not fs.exists(p):
-        return []
-    it = fs.listFiles(p, True)
-    out: list[str] = []
-    while it.hasNext():
-        fpath = it.next().getPath()
-        if fpath.getName().endswith(suffix):
-            out.append(fpath.toString())
-    return out
+    an append racing a rewrite. One traversal shared with
+    fs_file_stats so the snapshot and the fingerprint can't diverge."""
+    return [p for p, _size, _mtime in fs_file_stats(spark, path, suffix)]
 
 
 def fs_file_stats(

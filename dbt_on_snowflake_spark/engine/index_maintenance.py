@@ -85,6 +85,13 @@ def _strip_scheme(path: str) -> str:
     return path.removeprefix("file:")
 
 
+def _database_location(spark: SparkSession, db: str) -> str:
+    for row in spark.sql(f"DESCRIBE DATABASE {db}").collect():
+        if row.info_name in ("Location", "Catalog Location"):
+            return row.info_value
+    raise ValueError(f"no location for database {db}")
+
+
 def compact_index_table(
     spark: SparkSession,
     name: str,
@@ -127,9 +134,15 @@ def compact_index_table(
     # the catalog may still carry the tmp table (same session or
     # persistent metastore) or only its directory may remain (the
     # in-memory catalog forgets tables across sessions but their dirs
-    # persist, and saveAsTable refuses a non-empty managed location)
+    # persist, and saveAsTable refuses a non-empty managed location).
+    # TWO candidate dirs (r11 review): the managed tmp lands under the
+    # owner DATABASE's location, which for an EXTERNAL index attached
+    # at a nested warehouse path is NOT dirname(loc) — healing only the
+    # sibling path would leave saveAsTable failing on every sweep.
+    db_loc = _database_location(spark, db)
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")
-    fs_delete(spark, posixpath.join(posixpath.dirname(loc), tmp_base))
+    for parent in {posixpath.dirname(loc), db_loc}:
+        fs_delete(spark, posixpath.join(parent, tmp_base))
 
     parts = [c.name for c in spark.catalog.listColumns(name) if c.isPartition]
     snapshot = set(fs_list_files(spark, loc))
@@ -172,7 +185,8 @@ def compact_index_table(
         # installing the snapshot would silently drop those rows —
         # abort and let the next sweep retry over the grown table
         spark.sql(f"DROP TABLE {tmp}")
-        fs_delete(spark, posixpath.join(posixpath.dirname(loc), tmp_base))
+        for parent in {posixpath.dirname(loc), db_loc}:
+            fs_delete(spark, posixpath.join(parent, tmp_base))
         return None
     spark.sql(f"DROP TABLE {name}")
     if fs_exists(spark, loc):

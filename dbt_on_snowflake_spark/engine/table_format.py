@@ -397,6 +397,28 @@ def vacuum(spark: SparkSession, root: str, keep: int = VACUUM_KEEP) -> list[str]
                 posixpath.join(_staged_markers_dir(root), f"{name}.json"),
             ):
                 continue
+            # Fresh-manifest recheck (r11 review): this vacuum's
+            # `referenced` set may predate a commit that published this
+            # very dir, and the dir's stage marker may ALREADY have been
+            # healed away by a vacuum that did see the new manifest —
+            # the marker recheck alone cannot save it then. Re-reading
+            # the manifests here closes that race by ordering: an
+            # unmark happens only after a manifest references the dir,
+            # and this read happens after the (absent-)marker check, so
+            # it must observe a manifest set at least as new — a
+            # just-committed dir is always seen referenced. Dirs aged
+            # out of the FRESH retention are still deleted. Cost: one
+            # version listing + <= keep manifest reads per deletion
+            # candidate, and deletions are rare.
+            fresh_vs = list_versions(spark, root)
+            fresh_retained = (
+                fresh_vs[-keep:] if keep > 0 else fresh_vs[-1:]
+            )
+            if any(
+                read_manifest(spark, root, v)["data_dir"] == name
+                for v in fresh_retained
+            ):
+                continue
             fs_delete(spark, full)
             removed.append(name)
         elif name != VERSIONS_DIR and not name.startswith(DATA_PREFIX):

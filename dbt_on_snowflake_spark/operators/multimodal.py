@@ -402,67 +402,33 @@ _MM_OFFSET = 1_000_000_000  # doc_id -> query-id space disjoint from vec_ids
 def _mm_indexed_oracle() -> str:
     """DuckDB expression of the SERVED pipeline: payload embedding ->
     ADC shortlist over the (full-corpus) PQ codes -> exact rerank —
-    ``ann_pq_rerank_topk``'s verified CTE chain with the query-vector
-    CTE swapped for the media projection. The brute twin's oracle can't
-    be shared VERBATIM here: PQ confines quantization error to
-    shortlist selection, so serving from the index legitimately differs
-    from the exact scan — the oracle must express the two-stage serve,
-    as ann_pq_rerank_topk's own oracle does (r10 verdict Missing #3)."""
+    the shared ``_pq_rerank_oracle`` chain with the query CTE swapped
+    for the media projection. The brute twin's oracle can't be shared
+    VERBATIM here: PQ confines quantization error to shortlist
+    selection, so serving from the index legitimately differs from the
+    exact scan — the oracle must express the two-stage serve, as
+    ann_pq_rerank_topk's own oracle does (r10 verdict Missing #3)."""
     from dbt_on_snowflake_spark.operators.similarity import (
         _PQ_CODES_CTE,
-        _PQ_SUB_SQL,
-        COSINE_SQL,
         RERANK_SHORTLIST,
+        _pq_rerank_oracle,
     )
 
-    return f"""
-    WITH {_PQ_CODES_CTE},
+    q_cte = f"""{_PQ_CODES_CTE},
     q AS (
         SELECT doc_id + {_MM_OFFSET} AS vec_id, {_MM_EMBED_SQL} AS v
         FROM documents WHERE {MM_QUERY_PRED}
-    ),
-    lut AS (
-        SELECT qv.vec_id AS query_id, ms.m, c.label,
-               CAST(ROUND(list_dot_product({_PQ_SUB_SQL.format(v='qv.v', m='ms.m')},
-                                           {_PQ_SUB_SQL.format(v='c.v', m='ms.m')})
-                          * 10000) AS BIGINT) AS p
-        FROM q qv CROSS JOIN ms CROSS JOIN cvec c
-    ),
-    adc AS (
-        SELECT l.query_id, cd.vec_id AS neighbor_id,
-               CAST(SUM(l.p) AS BIGINT) AS approx_dot_scaled
-        FROM (SELECT vec_id, m, code FROM pq_codes WHERE rn = 1) cd
-        JOIN lut l ON l.m = cd.m AND l.label = cd.code
-        WHERE cd.vec_id <> l.query_id
-        GROUP BY 1, 2
-    ),
-    shortlist AS (
-        SELECT query_id, neighbor_id
-        FROM (
-            SELECT *, ROW_NUMBER() OVER (
-                PARTITION BY query_id
-                ORDER BY approx_dot_scaled DESC, neighbor_id ASC
-            ) AS arank
-            FROM adc
-        ) WHERE arank <= {RERANK_SHORTLIST}
-    ),
-    rr AS (
-        SELECT s.query_id, s.neighbor_id,
-               ROUND({COSINE_SQL.format(a="qe.v", b="ne.v")}, 4) + 0.0
-                   AS cosine
-        FROM shortlist s
-        JOIN q qe ON qe.vec_id = s.query_id
-        JOIN e ne ON ne.vec_id = s.neighbor_id
+    )"""
+    return _pq_rerank_oracle(
+        codes_cte=q_cte,
+        lut_from="q qv",
+        rr_query_join="JOIN q qe ON qe.vec_id = s.query_id",
+        final_select=(
+            f"query_id - {_MM_OFFSET} AS doc_id, neighbor_id, cosine"
+        ),
+        depth=RERANK_SHORTLIST,
+        k=MM_TOP_K,
     )
-    SELECT query_id - {_MM_OFFSET} AS doc_id, neighbor_id, cosine,
-           CAST(rank AS BIGINT) AS rank
-    FROM (
-        SELECT *, ROW_NUMBER() OVER (
-            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
-        ) AS rank
-        FROM rr WHERE NOT isnan(cosine)
-    ) WHERE rank <= {MM_TOP_K}
-    """
 
 
 @query(

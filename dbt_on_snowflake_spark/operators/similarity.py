@@ -515,6 +515,7 @@ def ensure_ann_index(
     centroids_table: str,
     assignments_table: str,
     job_group: str,
+    gc_suffix: str | None = None,
 ) -> None:
     """Build the persisted IVF index if absent — probing BOTH tables of
     the family, not just the assignments: a crashed compaction swap
@@ -535,15 +536,31 @@ def ensure_ann_index(
     when a build actually runs — the r10 eager-argument refactor made
     every ``dedup_semantic_served`` call schedule that job, the bench's
     4->5 stage-count anomaly (r10 verdict What's wrong #3; pinned by
-    ``test_semantic_served_steady_state_no_corpus_read``)."""
+    ``test_semantic_served_steady_state_no_corpus_read``).
+
+    ``gc_suffix``: when the caller keys its table names on a
+    fingerprinted ``index_suffix``, passing that suffix drops the
+    superseded-fingerprint siblings inside the build branch (the
+    ``ensure_pq_index`` GC posture; r11 review — each corpus
+    regeneration would otherwise leak a full index copy)."""
     if spark.catalog.tableExists(
         assignments_table
     ) and spark.catalog.tableExists(centroids_table):
         return
     sc = spark.sparkContext
     caller_group = sc.getLocalProperty("spark.jobGroup.id")
+    # GC inside the build job group: catalog.listTables schedules real
+    # Spark jobs, and build-time work must not count as serve stages
     sc.setJobGroup(f"index-build:{job_group}", "index once")
     try:
+        if gc_suffix is not None:
+            from dbt_on_snowflake_spark.testdata import (
+                gc_superseded_index_tables,
+            )
+
+            gc_superseded_index_tables(
+                spark, ("ann_centroids_", "ann_assignments_"), gc_suffix
+            )
         build_ann_index(
             spark,
             e() if callable(e) else e,
@@ -1060,9 +1077,11 @@ def dedup_semantic_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench stage counts show the serve path only) and every subsequent
     call is just the within-cluster prune — broadcast centroids + one
     label-blocked self-join over the already-partitioned assignments."""
-    import hashlib
+    from dbt_on_snowflake_spark.testdata import index_suffix
 
-    suffix = hashlib.md5(f"semserved:{sf_dir}".encode()).hexdigest()[:8]
+    # fingerprinted suffix: a regenerated corpus rotates the tables
+    # (rebuild, not stale serve) and the old pair is GC'd at build
+    suffix = index_suffix(spark, sf_dir, "semserved", "embeddings")
     centroids_table = f"ann_centroids_{suffix}"
     assignments_table = f"ann_assignments_{suffix}"
     # thunk, not DataFrame: steady-state serves must not pay the
@@ -1073,6 +1092,7 @@ def dedup_semantic_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids_table=centroids_table,
         assignments_table=assignments_table,
         job_group="dedup_semantic_served",
+        gc_suffix=suffix,
     )
     return _semantic_prune(spark, centroids_table, assignments_table)
 
@@ -1660,6 +1680,98 @@ _PQ_CODES_CTE_FROZEN = _PQ_CODES_CTE_TMPL.format(
     cent_where=f" WHERE {_CORPUS_PRED}", l2sq=_PQ_L2SQ
 )
 
+# One source of truth for the per-query LUT + ADC-scoring CTE pair —
+# every PQ oracle (plain ADC, appended, rerank, filtered, multimodal)
+# composes these instead of hand-copying the chain (r11 review: four
+# drifting copies of the same SQL).
+_PQ_DEFAULT_CODES_SRC = "SELECT vec_id, m, code FROM pq_codes WHERE rn = 1"
+
+
+def _pq_lut_adc_sql(lut_from: str, codes_src: str) -> str:
+    return f"""lut AS (
+        SELECT qv.vec_id AS query_id, ms.m, c.label,
+               CAST(ROUND(list_dot_product({_PQ_SUB_SQL.format(v='qv.v', m='ms.m')},
+                                           {_PQ_SUB_SQL.format(v='c.v', m='ms.m')})
+                          * 10000) AS BIGINT) AS p
+        FROM {lut_from}
+        CROSS JOIN ms CROSS JOIN cvec c
+    ),
+    adc AS (
+        SELECT l.query_id, cd.vec_id AS neighbor_id,
+               CAST(SUM(l.p) AS BIGINT) AS approx_dot_scaled
+        FROM ({codes_src}) cd
+        JOIN lut l ON l.m = cd.m AND l.label = cd.code
+        WHERE cd.vec_id <> l.query_id
+        GROUP BY 1, 2
+    )"""
+
+
+def _pq_adc_topk_oracle(codes_cte: str, k: int) -> str:
+    """ADC top-k tail over the lut/adc chain — shared by
+    ``ann_pq_adc_topk`` (full-corpus codebook) and
+    ``ann_pq_adc_appended`` (frozen codebook)."""
+    return f"""
+    WITH {codes_cte},
+    {_pq_lut_adc_sql(
+        f"(SELECT * FROM e WHERE {_QUERY_PRED}) qv", _PQ_DEFAULT_CODES_SRC
+    )},
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY approx_dot_scaled DESC, neighbor_id ASC
+        ) AS rank
+        FROM adc
+    )
+    SELECT query_id, neighbor_id, approx_dot_scaled,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+def _pq_rerank_oracle(
+    *,
+    codes_cte: str,
+    lut_from: str,
+    codes_src: str = _PQ_DEFAULT_CODES_SRC,
+    rr_query_join: str = "JOIN e qe ON qe.vec_id = s.query_id",
+    final_select: str = "query_id, neighbor_id, cosine",
+    depth: int,
+    k: int,
+) -> str:
+    """The ADC-shortlist + exact-rerank oracle chain shared by
+    ``ann_pq_rerank_topk`` (and its indexed twin), the filtered rerank,
+    and the multimodal indexed serve — parameterized on the query
+    relation, the codes pruning, and the final projection."""
+    return f"""
+    WITH {codes_cte},
+    {_pq_lut_adc_sql(lut_from, codes_src)},
+    shortlist AS (
+        SELECT query_id, neighbor_id
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY approx_dot_scaled DESC, neighbor_id ASC
+            ) AS arank
+            FROM adc
+        ) WHERE arank <= {depth}
+    ),
+    rr AS (
+        SELECT s.query_id, s.neighbor_id,
+               ROUND({COSINE_SQL.format(a="qe.v", b="ne.v")}, 4) + 0.0
+                   AS cosine
+        FROM shortlist s
+        {rr_query_join}
+        JOIN e ne ON ne.vec_id = s.neighbor_id
+    )
+    SELECT {final_select}, CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+        ) AS rank
+        FROM rr WHERE NOT isnan(cosine)
+    ) WHERE rank <= {k}
+    """
+
 
 @query(
     "ann_pq_codes",
@@ -1696,35 +1808,7 @@ def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_pq_adc_topk",
     driver=False,  # r7-born; rotates into the r8 driver export
     headline=True,  # r7: newest heavy shape (2x codebook build + ADC scan)
-    oracle=f"""
-    WITH {_PQ_CODES_CTE},
-    lut AS (
-        SELECT qv.vec_id AS query_id, ms.m, c.label,
-               CAST(ROUND(list_dot_product({_PQ_SUB_SQL.format(v='qv.v', m='ms.m')},
-                                           {_PQ_SUB_SQL.format(v='c.v', m='ms.m')})
-                          * 10000) AS BIGINT) AS p
-        FROM (SELECT * FROM e WHERE {_QUERY_PRED}) qv
-        CROSS JOIN ms CROSS JOIN cvec c
-    ),
-    adc AS (
-        SELECT l.query_id, cd.vec_id AS neighbor_id,
-               CAST(SUM(l.p) AS BIGINT) AS approx_dot_scaled
-        FROM (SELECT vec_id, m, code FROM pq_codes WHERE rn = 1) cd
-        JOIN lut l ON l.m = cd.m AND l.label = cd.code
-        WHERE cd.vec_id <> l.query_id
-        GROUP BY 1, 2
-    ),
-    ranked AS (
-        SELECT *, ROW_NUMBER() OVER (
-            PARTITION BY query_id
-            ORDER BY approx_dot_scaled DESC, neighbor_id ASC
-        ) AS rank
-        FROM adc
-    )
-    SELECT query_id, neighbor_id, approx_dot_scaled,
-           CAST(rank AS BIGINT) AS rank
-    FROM ranked WHERE rank <= {TOP_K}
-    """,
+    oracle=_pq_adc_topk_oracle(_PQ_CODES_CTE, TOP_K),
 )
 def ann_pq_adc_topk(
     spark: SparkSession,
@@ -2169,10 +2253,13 @@ def ann_filtered_indexed(
     index-side aggregate (|cells| rows, broadcast). Index built once on
     first call (the dedup_semantic_served convention: tableExists guard
     + its own job group), serving is pure index reads after that."""
-    import hashlib
     import os as _os
 
-    suffix = hashlib.md5(f"fidx:{sf_dir}".encode()).hexdigest()[:8]
+    from dbt_on_snowflake_spark.testdata import index_suffix
+
+    # fingerprinted suffix: a regenerated corpus rotates the tables
+    # (rebuild, not stale serve) and the old pair is GC'd at build
+    suffix = index_suffix(spark, sf_dir, "fidx", "embeddings")
     centroids_table = f"ann_centroids_{suffix}"
     assignments_table = f"ann_assignments_{suffix}"
     e = _vectors(spark, sf_dir)
@@ -2182,6 +2269,7 @@ def ann_filtered_indexed(
         centroids_table=centroids_table,
         assignments_table=assignments_table,
         job_group="ann_filtered_indexed",
+        gc_suffix=suffix,
     )
     matching = spark.table(assignments_table).filter(
         F.expr(ANN_FILTER_PRED)
@@ -2219,50 +2307,12 @@ RERANK_SHORTLIST = 4 * TOP_K  # ADC candidates carried into exact rerank
 @query(
     "ann_pq_rerank_topk",
     headline=True,  # r9: the end-to-end PQ SERVE shape (ADC + exact rerank)
-    oracle=f"""
-    WITH {_PQ_CODES_CTE},
-    lut AS (
-        SELECT qv.vec_id AS query_id, ms.m, c.label,
-               CAST(ROUND(list_dot_product({_PQ_SUB_SQL.format(v='qv.v', m='ms.m')},
-                                           {_PQ_SUB_SQL.format(v='c.v', m='ms.m')})
-                          * 10000) AS BIGINT) AS p
-        FROM (SELECT * FROM e WHERE {_QUERY_PRED}) qv
-        CROSS JOIN ms CROSS JOIN cvec c
+    oracle=_pq_rerank_oracle(
+        codes_cte=_PQ_CODES_CTE,
+        lut_from=f"(SELECT * FROM e WHERE {_QUERY_PRED}) qv",
+        depth=RERANK_SHORTLIST,
+        k=TOP_K,
     ),
-    adc AS (
-        SELECT l.query_id, cd.vec_id AS neighbor_id,
-               CAST(SUM(l.p) AS BIGINT) AS approx_dot_scaled
-        FROM (SELECT vec_id, m, code FROM pq_codes WHERE rn = 1) cd
-        JOIN lut l ON l.m = cd.m AND l.label = cd.code
-        WHERE cd.vec_id <> l.query_id
-        GROUP BY 1, 2
-    ),
-    shortlist AS (
-        SELECT query_id, neighbor_id
-        FROM (
-            SELECT *, ROW_NUMBER() OVER (
-                PARTITION BY query_id
-                ORDER BY approx_dot_scaled DESC, neighbor_id ASC
-            ) AS arank
-            FROM adc
-        ) WHERE arank <= {RERANK_SHORTLIST}
-    ),
-    rr AS (
-        SELECT s.query_id, s.neighbor_id,
-               ROUND({COSINE_SQL.format(a="qe.v", b="ne.v")}, 4) + 0.0
-                   AS cosine
-        FROM shortlist s
-        JOIN e qe ON qe.vec_id = s.query_id
-        JOIN e ne ON ne.vec_id = s.neighbor_id
-    )
-    SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
-    FROM (
-        SELECT *, ROW_NUMBER() OVER (
-            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
-        ) AS rank
-        FROM rr WHERE NOT isnan(cosine)
-    ) WHERE rank <= {TOP_K}
-    """,
 )
 def ann_pq_rerank_topk(
     spark: SparkSession, sf_dir: str, kernel: str | None = None
@@ -2350,23 +2400,6 @@ def ann_pq_rerank_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_rerank(_vectors(spark, sf_dir), shortlist)
 
 
-def corpus_fingerprint(
-    spark: SparkSession, sf_dir: str, name: str = "embeddings"
-) -> str:
-    """8-hex fingerprint of one corpus table's data files — (path, size,
-    mtime) over the parquet listing, a driver-side metadata call, no
-    Spark job. Build-once index suffixes key on it so a corpus
-    REGENERATED at the same path triggers a rebuild instead of silently
-    serving stale index results (r10 advice, similarity.py:2323)."""
-    import hashlib
-    import os
-
-    from dbt_on_snowflake_spark.engine.fs import fs_file_stats
-
-    stats = fs_file_stats(spark, os.path.join(sf_dir, f"{name}.parquet"))
-    return hashlib.md5(repr(stats).encode()).hexdigest()[:8]
-
-
 def ensure_pq_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Build the persisted PQ index for ``sf_dir`` if absent and return
     ``(codebook_table, codes_table)`` — ONE encode-once artifact per
@@ -2384,11 +2417,14 @@ def ensure_pq_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     files, not the path alone: regenerating the corpus at the same path
     (or under a persistent metastore) changes the fingerprint, so the
     next serve rebuilds against the new data instead of silently
-    returning stale results (r10 advice, similarity.py:2323)."""
-    import hashlib
+    returning stale results (r10 advice, similarity.py:2323); tables of
+    superseded fingerprints are GC'd when the rebuild runs."""
+    from dbt_on_snowflake_spark.testdata import (
+        gc_superseded_index_tables,
+        index_suffix,
+    )
 
-    fp = corpus_fingerprint(spark, sf_dir)
-    suffix = hashlib.md5(f"pq:{sf_dir}:{fp}".encode()).hexdigest()[:8]
+    suffix = index_suffix(spark, sf_dir, "pq", "embeddings")
     codebook_table = f"pq_codebook_{suffix}"
     codes_table = f"pq_codes_{suffix}"
     if not (
@@ -2399,6 +2435,11 @@ def ensure_pq_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         caller_group = sc.getLocalProperty("spark.jobGroup.id")
         sc.setJobGroup("index-build:pq_index", "index once")
         try:
+            # GC inside the build job group: catalog.listTables
+            # schedules real Spark jobs — build work, not serve stages
+            gc_superseded_index_tables(
+                spark, ("pq_codebook_", "pq_codes_"), suffix
+            )
             build_pq_index(
                 spark,
                 _vectors(spark, sf_dir),
@@ -2928,7 +2969,7 @@ def retrieval_hybrid_rrf_perquery_indexed(
     )
 
     ensure_text_index(spark, sf_dir)
-    stats_t, postings_t, _doclen_t = _text_index_tables(sf_dir)
+    stats_t, postings_t, _doclen_t = _text_index_tables(spark, sf_dir)
     docs = table(spark, sf_dir, "documents")
     qt = _perquery_terms(docs)
     terms = qt.select("term").distinct()
@@ -3536,35 +3577,7 @@ def pq_index_append(
 @query(
     "ann_pq_adc_appended",
     driver=False,  # r11-born: R12_ROTATE_IN
-    oracle=f"""
-    WITH {_PQ_CODES_CTE_FROZEN},
-    lut AS (
-        SELECT qv.vec_id AS query_id, ms.m, c.label,
-               CAST(ROUND(list_dot_product({_PQ_SUB_SQL.format(v='qv.v', m='ms.m')},
-                                           {_PQ_SUB_SQL.format(v='c.v', m='ms.m')})
-                          * 10000) AS BIGINT) AS p
-        FROM (SELECT * FROM e WHERE {_QUERY_PRED}) qv
-        CROSS JOIN ms CROSS JOIN cvec c
-    ),
-    adc AS (
-        SELECT l.query_id, cd.vec_id AS neighbor_id,
-               CAST(SUM(l.p) AS BIGINT) AS approx_dot_scaled
-        FROM (SELECT vec_id, m, code FROM pq_codes WHERE rn = 1) cd
-        JOIN lut l ON l.m = cd.m AND l.label = cd.code
-        WHERE cd.vec_id <> l.query_id
-        GROUP BY 1, 2
-    ),
-    ranked AS (
-        SELECT *, ROW_NUMBER() OVER (
-            PARTITION BY query_id
-            ORDER BY approx_dot_scaled DESC, neighbor_id ASC
-        ) AS rank
-        FROM adc
-    )
-    SELECT query_id, neighbor_id, approx_dot_scaled,
-           CAST(rank AS BIGINT) AS rank
-    FROM ranked WHERE rank <= {TOP_K}
-    """,
+    oracle=_pq_adc_topk_oracle(_PQ_CODES_CTE_FROZEN, TOP_K),
 )
 def ann_pq_adc_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered incremental-PQ exercise: build the PQ index from the
@@ -3723,55 +3736,18 @@ def ann_filtered_rerank_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _set_filtered_rerank_oracle() -> None:
     from dbt_on_snowflake_spark.registry import QUERIES
 
-    QUERIES["ann_filtered_rerank_indexed"].oracle = f"""
-    WITH {_PQ_CODES_CTE},
-    lut AS (
-        SELECT qv.vec_id AS query_id, ms.m, c.label,
-               CAST(ROUND(list_dot_product({_PQ_SUB_SQL.format(v='qv.v', m='ms.m')},
-                                           {_PQ_SUB_SQL.format(v='c.v', m='ms.m')})
-                          * 10000) AS BIGINT) AS p
-        FROM (SELECT * FROM e WHERE {_QUERY_PRED}) qv
-        CROSS JOIN ms CROSS JOIN cvec c
-    ),
-    adc AS (
-        SELECT l.query_id, cd.vec_id AS neighbor_id,
-               CAST(SUM(l.p) AS BIGINT) AS approx_dot_scaled
-        FROM (
+    QUERIES["ann_filtered_rerank_indexed"].oracle = _pq_rerank_oracle(
+        codes_cte=_PQ_CODES_CTE,
+        lut_from=f"(SELECT * FROM e WHERE {_QUERY_PRED}) qv",
+        codes_src=f"""
             -- the filter prunes the CODES, mirroring the engine's
             -- label-partition-pruned read of the persisted codes table
             SELECT vec_id, m, code FROM pq_codes
             WHERE rn = 1 AND {ANN_FILTER_PRED.replace("label", "vlabel")}
-        ) cd
-        JOIN lut l ON l.m = cd.m AND l.label = cd.code
-        WHERE cd.vec_id <> l.query_id
-        GROUP BY 1, 2
-    ),
-    shortlist AS (
-        SELECT query_id, neighbor_id
-        FROM (
-            SELECT *, ROW_NUMBER() OVER (
-                PARTITION BY query_id
-                ORDER BY approx_dot_scaled DESC, neighbor_id ASC
-            ) AS arank
-            FROM adc
-        ) WHERE arank <= {RERANK_SHORTLIST}
-    ),
-    rr AS (
-        SELECT s.query_id, s.neighbor_id,
-               ROUND({COSINE_SQL.format(a="qe.v", b="ne.v")}, 4) + 0.0
-                   AS cosine
-        FROM shortlist s
-        JOIN e qe ON qe.vec_id = s.query_id
-        JOIN e ne ON ne.vec_id = s.neighbor_id
+        """,
+        depth=RERANK_SHORTLIST,
+        k=TOP_K,
     )
-    SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
-    FROM (
-        SELECT *, ROW_NUMBER() OVER (
-            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
-        ) AS rank
-        FROM rr WHERE NOT isnan(cosine)
-    ) WHERE rank <= {TOP_K}
-    """
 
 
 _set_filtered_rerank_oracle()

@@ -1415,10 +1415,19 @@ def build_text_index(
     )
 
 
-def _text_index_tables(sf_dir: str) -> tuple[str, str, str]:
-    import hashlib
+def _text_index_tables(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str, str]:
+    """Build-once text-index table names, keyed on a (path, size,
+    mtime) corpus fingerprint like every ensure_* family (r11 review):
+    a regenerated corpus at the same path rotates the suffix so the
+    next serve rebuilds instead of silently reading stale postings;
+    the superseded tables are GC'd when ensure_text_index rebuilds.
+    Deterministic across sessions (same files => same names), so a
+    fresh session re-attaches the same tables."""
+    from dbt_on_snowflake_spark.testdata import index_suffix
 
-    suffix = hashlib.md5(f"text:{sf_dir}".encode()).hexdigest()[:8]
+    suffix = index_suffix(spark, sf_dir, "text", "documents")
     return (
         f"bm25_stats_{suffix}",
         f"bm25_postings_{suffix}",
@@ -1462,7 +1471,9 @@ def bm25_topn_indexed(
     postings never skew a served idf. The doclen spine is
     duplicate-free by the append's idempotence probe, so it joins
     without a dedup pass."""
-    stats_t, postings_t, doclen_t = tables or _text_index_tables(sf_dir)
+    stats_t, postings_t, doclen_t = tables or _text_index_tables(
+        spark, sf_dir
+    )
     terms = list(BM25_TERMS)
     parts = _term_parts(spark, terms)
     p = (
@@ -1543,7 +1554,7 @@ def ensure_text_index(spark: SparkSession, sf_dir: str) -> None:
     partial rebuild simply replaces the survivors. The build runs under
     its own job group so bench stage counts show the serve path only
     (dedup_semantic_served precedent)."""
-    stats_t, postings_t, doclen_t = _text_index_tables(sf_dir)
+    stats_t, postings_t, doclen_t = _text_index_tables(spark, sf_dir)
     if all(
         spark.catalog.tableExists(t)
         for t in (stats_t, postings_t, doclen_t)
@@ -1553,6 +1564,17 @@ def ensure_text_index(spark: SparkSession, sf_dir: str) -> None:
     caller_group = sc.getLocalProperty("spark.jobGroup.id")
     sc.setJobGroup("index-build:text_index", "index once")
     try:
+        # GC inside the build job group: catalog.listTables schedules
+        # real Spark jobs — build work, not serve stages
+        from dbt_on_snowflake_spark.testdata import (
+            gc_superseded_index_tables,
+        )
+
+        gc_superseded_index_tables(
+            spark,
+            ("bm25_stats_", "bm25_postings_", "bm25_doclen_"),
+            stats_t.removeprefix("bm25_stats_"),
+        )
         build_text_index(
             spark,
             table(spark, sf_dir, "documents"),

@@ -80,3 +80,60 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register each table as a temp view (for Spark SQL queries)."""
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def corpus_fingerprint(
+    spark: SparkSession, sf_dir: str, name: str = "embeddings"
+) -> str:
+    """8-hex fingerprint of one corpus table's data files — (path, size,
+    mtime) over the parquet listing, a driver-side metadata call, no
+    Spark job. Build-once index suffixes key on it so a corpus
+    REGENERATED at the same path triggers a rebuild instead of silently
+    serving stale index results (r10 advice, similarity.py:2323).
+
+    Deliberate cost: every index serve pays one metadata LIST here even
+    in the steady state. That is the price of never serving a stale
+    index — a LIST is O(files-in-one-table) round trips against serves
+    that scan data for seconds at the target scale, and the listing
+    stays deterministic across sessions (same files => same suffix, so
+    a fresh session re-attaches the same tables)."""
+    import hashlib
+
+    from dbt_on_snowflake_spark.engine.fs import fs_file_stats
+
+    stats = fs_file_stats(spark, os.path.join(sf_dir, f"{name}.parquet"))
+    return hashlib.md5(repr(stats).encode()).hexdigest()[:8]
+
+
+def index_suffix(
+    spark: SparkSession, sf_dir: str, tag: str, corpus_table: str
+) -> str:
+    """``<path8>_<fp8>`` — the shared build-once index-table suffix:
+    the first half identifies the (tag, corpus path) family so
+    superseded fingerprints are FINDABLE for GC, the second half is the
+    corpus fingerprint so regeneration rotates the suffix."""
+    import hashlib
+
+    path8 = hashlib.md5(f"{tag}:{sf_dir}".encode()).hexdigest()[:8]
+    return f"{path8}_{corpus_fingerprint(spark, sf_dir, corpus_table)}"
+
+
+def gc_superseded_index_tables(
+    spark: SparkSession, prefixes: tuple[str, ...], suffix: str
+) -> list[str]:
+    """Drop index tables of the SAME family (prefix + path8) whose
+    fingerprint differs from the active suffix — each corpus
+    regeneration would otherwise leak a full-size index copy on disk
+    and in the catalog forever (r11 review). Runs inside the ensure_*
+    build branch only (builds are rare); returns what it dropped."""
+    path8 = suffix.split("_", 1)[0]
+    dropped: list[str] = []
+    for t in spark.catalog.listTables():
+        for p in prefixes:
+            if (
+                t.name.startswith(f"{p}{path8}_")
+                and not t.name.endswith(suffix)
+            ):
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+                dropped.append(t.name)
+    return dropped

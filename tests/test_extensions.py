@@ -1311,7 +1311,81 @@ def test_pq_index_refreshes_on_corpus_regeneration(spark, tmp_path):
     cb2, cd2 = ensure_pq_index(spark, corpus)
     assert (cb2, cd2) != (cb1, cd1)  # fingerprint moved -> fresh tables
     assert spark.table(cd2).count() == 200 != n1
-    for t in (cb1, cd1, cb2, cd2):
+    # the superseded fingerprint's tables were GC'd by the rebuild —
+    # without it every regeneration leaks a full index copy (r11 review)
+    assert not spark.catalog.tableExists(cb1)
+    assert not spark.catalog.tableExists(cd1)
+    for t in (cb2, cd2):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_text_and_ann_indexes_refresh_on_corpus_regeneration(
+    spark, tmp_path
+):
+    """The fingerprint keying is a FAMILY-WIDE mechanism, not a PQ
+    special case (r11 review): the BM25 text index and the served-ANN
+    index must also rotate their tables when the corpus regenerates in
+    place, and GC the superseded pair."""
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from dbt_on_snowflake_spark.operators.textops import (
+        _text_index_tables,
+        ensure_text_index,
+    )
+    from dbt_on_snowflake_spark.testdata import index_suffix
+
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    for t in ("documents", "embeddings"):
+        shutil.copy(
+            os.path.join(SF_SMOKE, f"{t}.parquet"),
+            os.path.join(corpus, f"{t}.parquet"),
+        )
+
+    # text family
+    ensure_text_index(spark, corpus)
+    t1 = _text_index_tables(spark, corpus)
+    pd.read_parquet(os.path.join(SF_SMOKE, "documents.parquet")).head(
+        100
+    ).to_parquet(os.path.join(corpus, "documents.parquet"), index=False)
+    t2 = _text_index_tables(spark, corpus)
+    assert t2 != t1  # fingerprint rotated the names
+    ensure_text_index(spark, corpus)  # rebuild + GC
+    assert all(spark.catalog.tableExists(t) for t in t2)
+    assert not any(spark.catalog.tableExists(t) for t in t1)
+    assert spark.table(t2[2]).count() == 100  # doclen covers new corpus
+
+    # served-ANN family (dedup_semantic_served's suffix convention)
+    from dbt_on_snowflake_spark.operators.similarity import (
+        _vectors,
+        ensure_ann_index,
+    )
+
+    s1 = index_suffix(spark, corpus, "semserved", "embeddings")
+    kw1 = dict(
+        centroids_table=f"ann_centroids_{s1}",
+        assignments_table=f"ann_assignments_{s1}",
+        job_group="t", gc_suffix=s1,
+    )
+    ensure_ann_index(spark, _vectors(spark, corpus), **kw1)
+    pd.read_parquet(os.path.join(SF_SMOKE, "embeddings.parquet")).head(
+        150
+    ).to_parquet(os.path.join(corpus, "embeddings.parquet"), index=False)
+    s2 = index_suffix(spark, corpus, "semserved", "embeddings")
+    assert s2 != s1
+    ensure_ann_index(
+        spark, _vectors(spark, corpus),
+        centroids_table=f"ann_centroids_{s2}",
+        assignments_table=f"ann_assignments_{s2}",
+        job_group="t", gc_suffix=s2,
+    )
+    assert spark.table(f"ann_assignments_{s2}").count() == 150
+    assert not spark.catalog.tableExists(f"ann_assignments_{s1}")
+    assert not spark.catalog.tableExists(f"ann_centroids_{s1}")
+    for t in (*t2, f"ann_centroids_{s2}", f"ann_assignments_{s2}"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
@@ -1335,7 +1409,7 @@ def test_ensure_rebuilds_partial_index_family(spark):
 
     # text: three tables; kill the doclen survivor-sibling
     ensure_text_index(spark, SF_SMOKE)
-    stats_t, post_t, dl_t = _text_index_tables(SF_SMOKE)
+    stats_t, post_t, dl_t = _text_index_tables(spark, SF_SMOKE)
     spark.sql(f"DROP TABLE {dl_t}")
     ensure_text_index(spark, SF_SMOKE)
     assert all(

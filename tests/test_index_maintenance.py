@@ -460,6 +460,47 @@ def test_compact_index_table_in_nondefault_database(spark):
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
 
 
+def test_compact_heals_tmp_dir_for_nested_external_index(spark):
+    """An EXTERNAL index attached at a NESTED warehouse path (e.g.
+    <wh>/indexes/<t>) stages its managed tmp under the DATABASE
+    location, not next to the table dir (r11 review): after a crash
+    that leaves only the tmp DIRECTORY (fresh session, in-memory
+    catalog forgot the table), the heal must clean the db-location
+    candidate or saveAsTable fails on the non-empty managed location
+    on every sweep."""
+    import shutil
+
+    from dbt_on_snowflake_spark.operators.dedup import _drop_managed_table
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    name = "cix_nested"
+    _drop_managed_table(spark, name)
+    loc = os.path.join(wh, "indexes", name)
+    shutil.rmtree(os.path.join(wh, "indexes"), ignore_errors=True)
+    for i in range(5):  # fragmented nested external dir
+        spark.range(i * 10, i * 10 + 10).toDF("doc_id").coalesce(
+            1
+        ).write.mode("append").parquet(loc)
+    spark.catalog.createTable(name, path=loc, source="parquet")
+    rows = sorted(r.doc_id for r in spark.table(name).collect())
+
+    # crashed prior attempt: only the tmp DIR remains, under the db
+    # location (where saveAsTable stages) — no catalog entry
+    leftover = os.path.join(wh, f"{name}__compacting")
+    shutil.rmtree(leftover, ignore_errors=True)
+    os.makedirs(leftover)
+    with open(os.path.join(leftover, "junk"), "w") as f:
+        f.write("stale")
+
+    res = compact_index_table(spark, name)
+    assert res is not None, "heal failed: rewrite never ran"
+    assert not os.path.isdir(leftover)  # healed from the db location
+    assert sorted(r.doc_id for r in spark.table(name).collect()) == rows
+    assert fs_count_files(spark, table_location(spark, name)) == 1
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    shutil.rmtree(os.path.join(wh, "indexes"), ignore_errors=True)
+
+
 def test_compact_sees_rows_appended_by_another_session(spark):
     """Rows appended OUT OF BAND (another session/process writing
     straight into the table dir — the attach/external-writer posture)

@@ -1114,6 +1114,60 @@ def test_publish_leaves_marker_for_stale_concurrent_vacuum(
     assert spark.table("wpv_mart").count() > 0
 
 
+def test_stale_vacuum_cannot_reap_committed_dir_after_heal(
+    spark, tmp_path, monkeypatch
+):
+    """r11 review of the r10-advice fix: leaving the marker on publish
+    only protects the window until the first fresh vacuum HEALS it —
+    a stale vacuum (manifest listing pre-commit) that resumes after
+    the heal finds no marker and would reap the just-committed dir.
+    vacuum's delete-time FRESH-manifest recheck must save it: the
+    unmark happens only after a manifest references the dir, and the
+    recheck reads manifests after the absent-marker check, so it
+    always observes that manifest."""
+    from dbt_on_snowflake_spark.engine.project import Project
+    from dbt_on_snowflake_spark.engine.runner import Runner
+
+    root, data = _wap_project(tmp_path, "wapsv", threshold=100)
+    runner = Runner(spark, Project(root, target="wpsv"), wap=True)
+    runner.load_sources()
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    troot = os.path.join(wh, "wpsv_mart")
+
+    df = spark.table("src_raw_t").selectExpr("id", "v")
+    # version 1 exists (else the stale vacuum has no manifests and
+    # returns before its delete loop)
+    runner._stage_versioned(df, "wpsv_mart", [], None)
+    runner.publish_staged("wpsv_mart")
+    # stage + publish version 2 — the dir the stale vacuum must not reap
+    runner._stage_versioned(df, "wpsv_mart", [], None)
+    staged_dir = runner._staged["wpsv_mart"]["data_dir"]
+    versions_pre = tf.list_versions(spark, troot)  # the stale listing
+
+    # publish for real: commits AND heals the marker via its own vacuum
+    runner.publish_staged("wpsv_mart")
+    assert tf.staged_markers(spark, troot) == {}  # healed — no marker left
+
+    # the stale vacuum resumes: its FIRST list_versions returns the
+    # pre-commit listing (its retained set misses the new dir); the
+    # delete-time recheck calls list_versions again, later in time,
+    # and must see the fresh state
+    real_lv = tf.list_versions
+    calls = {"n": 0}
+
+    def stale_then_fresh(spark_, root_):
+        calls["n"] += 1
+        return versions_pre if calls["n"] == 1 else real_lv(spark_, root_)
+
+    monkeypatch.setattr(tf, "list_versions", stale_then_fresh)
+    removed = tf.vacuum(spark, troot)
+    monkeypatch.undo()
+    assert staged_dir not in removed
+    assert os.path.isdir(os.path.join(troot, staged_dir))
+    assert spark.table("wpsv_mart").count() > 0
+    assert calls["n"] >= 2  # the recheck actually ran
+
+
 def test_clone_survives_wap_cycles_on_source(spark, tmp_path, capsys):
     """Clone x WAP composition: a zero-copy clone of a WAP-built mart
     keeps serving its pinned snapshot through the source's later --wap
