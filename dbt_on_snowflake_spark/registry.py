@@ -163,6 +163,7 @@ R11_ROTATE_IN: set[str] = {
 R12_ROTATE_IN: set[str] = {
     "ann_pq_adc_appended",
     "multimodal_embed_topk_indexed",
+    "ann_pq_adc_ingest_streaming",
 }
 
 # The retired r10 export set (kept: the rotation-ledger enforcement test

@@ -631,11 +631,124 @@ def text_index_ingest_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topn_indexed(spark, sf_dir, BM25_TOP_N, tables=tables)
 
 
+def pq_index_stream_ingest(
+    spark: SparkSession,
+    new_vecs_stream: DataFrame,
+    *,
+    codebook_table: str,
+    codes_table: str,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Continuous PQ-codes maintenance — the streaming twin of
+    ``pq_index_append``, completing the index-family matrix (text and
+    ANN both have build/append/streaming/compaction; PQ gained append
+    in r11, this is its stream face): each micro-batch of new vectors
+    encodes against the FROZEN persisted codebook and appends into the
+    label-partitioned codes table. The stream carries NO Spark
+    aggregation state: cross-batch DATA memory lives in the durable
+    codes table, cross-batch PROGRESS in ``checkpoint_dir``.
+    foreachBatch is at-least-once even WITH a checkpoint — a crash
+    mid-batch replays it, and the append's file-list-snapshot probe
+    absorbs the replay (already-coded vec_ids drop; a fully re-read
+    source after a checkpoint-less restart appends nothing)."""
+    from dbt_on_snowflake_spark.operators.similarity import pq_index_append
+
+    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        pq_index_append(
+            spark,
+            batch_df,
+            codebook_table=codebook_table,
+            codes_table=codes_table,
+        )
+        # the append ran through the micro-batch's session clone; drop
+        # the driving session's cached listing or the next batch's
+        # probe reads a stale snapshot (text_index_stream_ingest
+        # precedent)
+        spark.catalog.refreshTable(codes_table)
+
+    writer = new_vecs_stream.writeStream.foreachBatch(handle).trigger(
+        availableNow=True
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()
+
+
+@query(
+    "ann_pq_adc_ingest_streaming",
+    driver=False,  # r11-born: R12_ROTATE_IN; shares the appended oracle
+    oracle=None,  # set below
+)
+def ann_pq_adc_ingest_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-index maintenance executed through Structured Streaming: the
+    corpus slice (vec_id % 10 <> 9) builds the index (codebook frozen
+    there), the held-out vectors arrive as a STREAM whose micro-batches
+    encode-and-append via ``pq_index_stream_ingest``, and the
+    post-ingest ADC serve must hash-match ``ann_pq_adc_appended``'s
+    frozen-codebook oracle — the streaming grow path provably converges
+    to the batch append (and both to a rebuild against the same
+    codebook). The checkpoint is durable and cleared TOGETHER with the
+    index rebuild below — one consistency unit (the
+    text_index_ingest_streaming contract)."""
+    import hashlib
+    import posixpath
+
+    from dbt_on_snowflake_spark.engine.fs import fs_delete
+    from dbt_on_snowflake_spark.operators.similarity import (
+        _CORPUS_PRED,
+        _NEW_BATCH_PRED,
+        TOP_K,
+        _adc_serve,
+        _vectors,
+        build_pq_index,
+    )
+
+    suffix = hashlib.md5(f"pqstream:{sf_dir}".encode()).hexdigest()[:8]
+    cb_t, cd_t = f"pq_codebook_{suffix}", f"pq_codes_{suffix}"
+    e = _vectors(spark, sf_dir)
+    # rebuilt from scratch each call: this query IS the build+stream
+    # verification surface (text_index_ingest_streaming's posture)
+    build_pq_index(
+        spark,
+        e.filter(F.expr(_CORPUS_PRED)),
+        codebook_table=cb_t,
+        codes_table=cd_t,
+    )
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "embeddings.parquet")
+        .load(sf_dir)
+        .filter(F.expr(_NEW_BATCH_PRED))
+        .select(
+            "vec_id",
+            "label",
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+    )
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    ckpt = posixpath.join(wh, f"_checkpoints/pq_ingest_{suffix}")
+    fs_delete(spark, ckpt)  # index was just rebuilt
+    pq_index_stream_ingest(
+        spark, stream, codebook_table=cb_t, codes_table=cd_t,
+        checkpoint_dir=ckpt,
+    )
+    spark.catalog.refreshTable(cd_t)
+    codes = spark.table(cd_t).select("vec_id", "bests")
+    return _adc_serve(spark, e, cb_t, codes, TOP_K)
+
+
 def _set_text_ingest_oracle() -> None:
     from dbt_on_snowflake_spark.registry import QUERIES
 
     QUERIES["text_index_ingest_streaming"].oracle = QUERIES[
         "text_bm25_topk"
+    ].oracle
+    QUERIES["ann_pq_adc_ingest_streaming"].oracle = QUERIES[
+        "ann_pq_adc_appended"
     ].oracle
 
 

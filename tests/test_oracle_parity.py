@@ -41,6 +41,7 @@ _BNLJ_OK = {
     "ann_pq_adc_indexed",  # persisted-codes twin of ann_pq_adc_topk
     "ann_pq_adc_appended",  # same ADC serve over the append-grown codes
     "multimodal_embed_topk_indexed",  # bounded mm-query LUT + codebook sides
+    "ann_pq_adc_ingest_streaming",  # stream-grown twin of ann_pq_adc_appended
     "ann_pq_rerank_topk",  # stage 1 is ann_pq_adc_topk's capped broadcasts
     "text_bm25_topk",  # 1-row corpus-stats (N/avgdl/df) broadcast
     "retrieval_hybrid_rrf",  # 1-row query-vector + bm25-stats broadcasts

@@ -672,6 +672,77 @@ def test_text_index_stream_multi_batch_converges(spark, tmp_path):
         assert f_rows == g_rows, f_tbl
 
 
+def test_pq_index_stream_multi_batch_converges(spark, tmp_path):
+    """Streaming PQ-codes maintenance across REAL micro-batch
+    boundaries: the held-out vectors arrive in 3 files fed one per
+    trigger, each batch encoding against the FROZEN codebook; the final
+    codes table must equal a from-scratch encode of the FULL corpus
+    against that same codebook, row for row (the frozen-codebook
+    convergence contract — the batch-append twin pins the same
+    equality)."""
+    from dbt_on_snowflake_spark.operators.similarity import (
+        _codebook_row,
+        _pq_encode,
+        _vectors,
+        build_pq_index,
+    )
+    from dbt_on_snowflake_spark.streaming import pq_index_stream_ingest
+    from tests.conftest import SF_SMOKE
+
+    emb = pd.read_parquet(os.path.join(SF_SMOKE, "embeddings.parquet"))
+    cb_t, cd_t = "pqs_cb", "pqs_cd"
+    for t in (cb_t, cd_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    src_base = str(tmp_path / "emb_base")
+    os.makedirs(src_base)
+    emb[emb.vec_id % 2 == 0].to_parquet(
+        os.path.join(src_base, "embeddings.parquet"), index=False
+    )
+    build_pq_index(
+        spark, _vectors(spark, src_base),
+        codebook_table=cb_t, codes_table=cd_t,
+    )
+
+    held = emb[emb.vec_id % 2 == 1]
+    src_stream = str(tmp_path / "emb_stream")
+    os.makedirs(src_stream)
+    for part in range(3):
+        held[held.vec_id % 6 == 2 * part + 1].to_parquet(
+            os.path.join(src_stream, f"p{part}.parquet"), index=False
+        )
+    schema = spark.read.parquet(src_stream).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src_stream)
+        .select(
+            "vec_id", "label",
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+    )
+    pq_index_stream_ingest(
+        spark, stream, codebook_table=cb_t, codes_table=cd_t
+    )
+
+    spark.catalog.refreshTable(cd_t)
+    grown = sorted(
+        (r.vec_id, tuple((b.d, b.code) for b in r.bests))
+        for r in spark.table(cd_t).select("vec_id", "bests").collect()
+    )
+    rebuilt = sorted(
+        (r.vec_id, tuple((b.d, b.code) for b in r.bests))
+        for r in _pq_encode(
+            _vectors(spark, SF_SMOKE).select("vec_id", "label", "v"),
+            _codebook_row(spark.table(cb_t)),
+        ).collect()
+    )
+    assert grown == rebuilt
+    for t in (cb_t, cd_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_text_index_stream_restart_resumes_from_checkpoint(spark, tmp_path):
     """A restarted ingest with a durable checkpoint must NOT reprocess
     already-ingested source files (a checkpoint-less restart re-appends
