@@ -397,7 +397,7 @@ def vacuum(spark: SparkSession, root: str, keep: int = VACUUM_KEEP) -> list[str]
                 posixpath.join(_staged_markers_dir(root), f"{name}.json"),
             ):
                 continue
-            # Fresh-manifest recheck (r11 review): this vacuum's
+            # Fresh-reference recheck (r11 review): this vacuum's
             # `referenced` set may predate a commit that published this
             # very dir, and the dir's stage marker may ALREADY have been
             # healed away by a vacuum that did see the new manifest —
@@ -406,10 +406,15 @@ def vacuum(spark: SparkSession, root: str, keep: int = VACUUM_KEEP) -> list[str]
             # unmark happens only after a manifest references the dir,
             # and this read happens after the (absent-)marker check, so
             # it must observe a manifest set at least as new — a
-            # just-committed dir is always seen referenced. Dirs aged
-            # out of the FRESH retention are still deleted. Cost: one
-            # version listing + <= keep manifest reads per deletion
-            # candidate, and deletions are rare.
+            # just-committed dir is always seen referenced. PINS are
+            # re-read too (r11 review, second pass): a clone created
+            # after the pins() snapshot is the same shape — pin first,
+            # then the source ages out of retention; without the fresh
+            # pin read a stale vacuum reaps the clone's only data dir.
+            # Dirs aged out of the FRESH retention and unpinned are
+            # still deleted. Cost: one version listing + <= keep
+            # manifest reads + one pins listing per deletion candidate,
+            # and deletions are rare.
             fresh_vs = list_versions(spark, root)
             fresh_retained = (
                 fresh_vs[-keep:] if keep > 0 else fresh_vs[-1:]
@@ -418,6 +423,10 @@ def vacuum(spark: SparkSession, root: str, keep: int = VACUUM_KEEP) -> list[str]
                 read_manifest(spark, root, v)["data_dir"] == name
                 for v in fresh_retained
             ):
+                continue
+            if name in {
+                p["data_dir"] for p in pins(spark, root).values()
+            }:
                 continue
             fs_delete(spark, full)
             removed.append(name)

@@ -543,32 +543,21 @@ def ensure_ann_index(
     superseded-fingerprint siblings inside the build branch (the
     ``ensure_pq_index`` GC posture; r11 review — each corpus
     regeneration would otherwise leak a full index copy)."""
-    if spark.catalog.tableExists(
-        assignments_table
-    ) and spark.catalog.tableExists(centroids_table):
-        return
-    sc = spark.sparkContext
-    caller_group = sc.getLocalProperty("spark.jobGroup.id")
-    # GC inside the build job group: catalog.listTables schedules real
-    # Spark jobs, and build-time work must not count as serve stages
-    sc.setJobGroup(f"index-build:{job_group}", "index once")
-    try:
-        if gc_suffix is not None:
-            from dbt_on_snowflake_spark.testdata import (
-                gc_superseded_index_tables,
-            )
+    from dbt_on_snowflake_spark.testdata import ensure_index_tables
 
-            gc_superseded_index_tables(
-                spark, ("ann_centroids_", "ann_assignments_"), gc_suffix
-            )
-        build_ann_index(
+    ensure_index_tables(
+        spark,
+        tables=(assignments_table, centroids_table),
+        job_group=job_group,
+        gc_prefixes=("ann_centroids_", "ann_assignments_"),
+        gc_suffix=gc_suffix,
+        build=lambda: build_ann_index(
             spark,
             e() if callable(e) else e,
             centroids_table=centroids_table,
             assignments_table=assignments_table,
-        )
-    finally:
-        sc.setJobGroup(caller_group, "serve")
+        ),
+    )
 
 
 @query(
@@ -2420,34 +2409,26 @@ def ensure_pq_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     returning stale results (r10 advice, similarity.py:2323); tables of
     superseded fingerprints are GC'd when the rebuild runs."""
     from dbt_on_snowflake_spark.testdata import (
-        gc_superseded_index_tables,
+        ensure_index_tables,
         index_suffix,
     )
 
     suffix = index_suffix(spark, sf_dir, "pq", "embeddings")
     codebook_table = f"pq_codebook_{suffix}"
     codes_table = f"pq_codes_{suffix}"
-    if not (
-        spark.catalog.tableExists(codes_table)
-        and spark.catalog.tableExists(codebook_table)
-    ):
-        sc = spark.sparkContext
-        caller_group = sc.getLocalProperty("spark.jobGroup.id")
-        sc.setJobGroup("index-build:pq_index", "index once")
-        try:
-            # GC inside the build job group: catalog.listTables
-            # schedules real Spark jobs — build work, not serve stages
-            gc_superseded_index_tables(
-                spark, ("pq_codebook_", "pq_codes_"), suffix
-            )
-            build_pq_index(
-                spark,
-                _vectors(spark, sf_dir),
-                codebook_table=codebook_table,
-                codes_table=codes_table,
-            )
-        finally:
-            sc.setJobGroup(caller_group, "serve")
+    ensure_index_tables(
+        spark,
+        tables=(codes_table, codebook_table),
+        job_group="pq_index",
+        gc_prefixes=("pq_codebook_", "pq_codes_"),
+        gc_suffix=suffix,
+        build=lambda: build_pq_index(
+            spark,
+            _vectors(spark, sf_dir),
+            codebook_table=codebook_table,
+            codes_table=codes_table,
+        ),
+    )
     return codebook_table, codes_table
 
 
@@ -2619,9 +2600,10 @@ def retrieval_hybrid_rrf_indexed(
     )
 
     # reuse (or first-build) the same persisted index the lexical twin
-    # serves from — one artifact per corpus, shared across queries
-    ensure_text_index(spark, sf_dir)
-    b = bm25_topn_indexed(spark, sf_dir, RRF_DEPTH).select(
+    # serves from — one artifact per corpus, shared across queries;
+    # serve the exact tables ensure probed (fingerprint TOCTOU)
+    tables = ensure_text_index(spark, sf_dir)
+    b = bm25_topn_indexed(spark, sf_dir, RRF_DEPTH, tables=tables).select(
         "doc_id", F.col("rank").alias("bm25_rank")
     )
     return _rrf_fuse(b, _dense_topn(_vectors(spark, sf_dir)))
@@ -2964,12 +2946,10 @@ def retrieval_hybrid_rrf_perquery_indexed(
     absorbed (MAX/MIN aggregates)."""
     from dbt_on_snowflake_spark.operators.textops import (
         _term_part,
-        _text_index_tables,
         ensure_text_index,
     )
 
-    ensure_text_index(spark, sf_dir)
-    stats_t, postings_t, _doclen_t = _text_index_tables(spark, sf_dir)
+    stats_t, postings_t, _doclen_t = ensure_text_index(spark, sf_dir)
     docs = table(spark, sf_dir, "documents")
     qt = _perquery_terms(docs)
     terms = qt.select("term").distinct()

@@ -1538,11 +1538,13 @@ def text_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_semantic_served`` convention: under its own job group so
     bench stage counts show the serve path only); subsequent calls are
     pure posting-list reads."""
-    ensure_text_index(spark, sf_dir)
-    return bm25_topn_indexed(spark, sf_dir, BM25_TOP_N)
+    tables = ensure_text_index(spark, sf_dir)
+    return bm25_topn_indexed(spark, sf_dir, BM25_TOP_N, tables=tables)
 
 
-def ensure_text_index(spark: SparkSession, sf_dir: str) -> None:
+def ensure_text_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str, str]:
     """Build the persisted text index for ``sf_dir`` if absent — shared
     by the lexical and hybrid serve twins so they read ONE artifact per
     corpus. Probes ALL THREE tables, not just the postings: a crashed
@@ -1553,37 +1555,33 @@ def ensure_text_index(spark: SparkSession, sf_dir: str) -> None:
     maintenance sweep. The builds all write ``mode("overwrite")``, so a
     partial rebuild simply replaces the survivors. The build runs under
     its own job group so bench stage counts show the serve path only
-    (dedup_semantic_served precedent)."""
-    stats_t, postings_t, doclen_t = _text_index_tables(spark, sf_dir)
-    if all(
-        spark.catalog.tableExists(t)
-        for t in (stats_t, postings_t, doclen_t)
-    ):
-        return
-    sc = spark.sparkContext
-    caller_group = sc.getLocalProperty("spark.jobGroup.id")
-    sc.setJobGroup("index-build:text_index", "index once")
-    try:
-        # GC inside the build job group: catalog.listTables schedules
-        # real Spark jobs — build work, not serve stages
-        from dbt_on_snowflake_spark.testdata import (
-            gc_superseded_index_tables,
-        )
+    (dedup_semantic_served precedent).
 
-        gc_superseded_index_tables(
-            spark,
-            ("bm25_stats_", "bm25_postings_", "bm25_doclen_"),
-            stats_t.removeprefix("bm25_stats_"),
-        )
-        build_text_index(
+    Returns the (stats, postings, doclen) tuple it probed/built so
+    callers serve EXACTLY those tables (r11 review, second pass): the
+    fingerprinted names can rotate between two listings if the corpus
+    regenerates mid-serve, and a second `_text_index_tables` call would
+    then name never-built tables — besides doubling the per-serve
+    corpus listing."""
+    from dbt_on_snowflake_spark.testdata import ensure_index_tables
+
+    stats_t, postings_t, doclen_t = _text_index_tables(spark, sf_dir)
+    tables = (stats_t, postings_t, doclen_t)
+    ensure_index_tables(
+        spark,
+        tables=tables,
+        job_group="text_index",
+        gc_prefixes=("bm25_stats_", "bm25_postings_", "bm25_doclen_"),
+        gc_suffix=stats_t.removeprefix("bm25_stats_"),
+        build=lambda: build_text_index(
             spark,
             table(spark, sf_dir, "documents"),
             stats_table=stats_t,
             postings_table=postings_t,
             doclen_table=doclen_t,
-        )
-    finally:
-        sc.setJobGroup(caller_group, "serve")
+        ),
+    )
+    return tables
 
 
 def _set_bm25_indexed_oracle() -> None:

@@ -7,6 +7,7 @@ customer supplier part orders lineitem events documents embeddings.
 from __future__ import annotations
 
 import os
+import posixpath
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -118,22 +119,84 @@ def index_suffix(
     return f"{path8}_{corpus_fingerprint(spark, sf_dir, corpus_table)}"
 
 
+def ensure_index_tables(
+    spark: SparkSession,
+    *,
+    tables: tuple[str, ...],
+    job_group: str,
+    build,
+    gc_prefixes: tuple[str, ...] | None = None,
+    gc_suffix: str | None = None,
+) -> None:
+    """The build-once scaffold every persisted index family shares
+    (r11 review: the probe / job-group / GC / build pattern was
+    triplicated across ensure_ann_index / ensure_pq_index /
+    ensure_text_index). Probes EVERY table of the family — a crashed
+    compaction swap can drop one sibling while the others survive, and
+    a partial probe would leave the serves throwing
+    TABLE_OR_VIEW_NOT_FOUND until the next maintenance sweep; the
+    builds all write mode("overwrite"), so a partial rebuild replaces
+    the survivors. GC of superseded-fingerprint siblings and the build
+    itself run under a dedicated job group so bench stage counts show
+    the serve path only (catalog.listTables schedules real Spark
+    jobs)."""
+    if all(spark.catalog.tableExists(t) for t in tables):
+        return
+    sc = spark.sparkContext
+    caller_group = sc.getLocalProperty("spark.jobGroup.id")
+    sc.setJobGroup(f"index-build:{job_group}", "index once")
+    try:
+        if gc_prefixes and gc_suffix:
+            gc_superseded_index_tables(spark, gc_prefixes, gc_suffix)
+        build()
+    finally:
+        sc.setJobGroup(caller_group, "serve")
+
+
 def gc_superseded_index_tables(
     spark: SparkSession, prefixes: tuple[str, ...], suffix: str
 ) -> list[str]:
-    """Drop index tables of the SAME family (prefix + path8) whose
+    """Reclaim index tables of the SAME family (prefix + path8) whose
     fingerprint differs from the active suffix — each corpus
-    regeneration would otherwise leak a full-size index copy on disk
-    and in the catalog forever (r11 review). Runs inside the ensure_*
-    build branch only (builds are rare); returns what it dropped."""
+    regeneration would otherwise leak a full-size index copy forever
+    (r11 review). Two sweeps, because the catalog alone cannot see
+    everything (r11 review, second pass):
+
+    - catalog: DROP matching tables registered in ANY state (managed
+      or re-attached EXTERNAL — for those DROP removes only metadata,
+      the dir falls to the next sweep);
+    - warehouse dirs: a fresh session's in-memory catalog has
+      forgotten a previous session's tables, but their data dirs
+      persist under the warehouse root by table name — delete matching
+      dirs directly (Hadoop FS, object-store correct).
+
+    Pre-fingerprint names (`<prefix><path8>` exactly, no fingerprint
+    half — the r10 scheme, whose path hash equals today's path8) are
+    swept too, so upgrading under a persistent warehouse does not
+    strand the old-format copies. Runs inside the ensure_* build
+    branch only (builds are rare); returns what it reclaimed."""
+    from dbt_on_snowflake_spark.engine.fs import fs_delete, fs_list
+
     path8 = suffix.split("_", 1)[0]
+
+    def superseded(name: str) -> bool:
+        for p in prefixes:
+            if name == f"{p}{path8}" or (
+                name.startswith(f"{p}{path8}_")
+                and not name.endswith(suffix)
+            ):
+                return True
+        return False
+
     dropped: list[str] = []
     for t in spark.catalog.listTables():
-        for p in prefixes:
-            if (
-                t.name.startswith(f"{p}{path8}_")
-                and not t.name.endswith(suffix)
-            ):
-                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
-                dropped.append(t.name)
+        if superseded(t.name):
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+            dropped.append(t.name)
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    for d in fs_list(spark, wh):
+        if superseded(d):
+            fs_delete(spark, posixpath.join(wh, d))
+            if d not in dropped:
+                dropped.append(d)
     return dropped

@@ -1319,6 +1319,40 @@ def test_pq_index_refreshes_on_corpus_regeneration(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_index_gc_reclaims_uncataloged_and_legacy_dirs(spark):
+    """The GC must reclaim DISK, not just catalog entries (r11 review,
+    second pass): a fresh session's in-memory catalog has forgotten a
+    prior session's superseded tables but their warehouse dirs persist;
+    and pre-fingerprint (r10-scheme) names — exactly <prefix><path8>,
+    no fingerprint half — must be swept on upgrade instead of stranded
+    forever. The active pair and other families survive."""
+    import os
+    import shutil
+
+    from dbt_on_snowflake_spark.testdata import gc_superseded_index_tables
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    suffix = "aaaa1111_bbbb2222"
+    dirs = {
+        "pq_codes_aaaa1111_99990000": False,  # superseded fp, uncataloged
+        "pq_codes_aaaa1111": False,  # legacy pre-fingerprint name
+        f"pq_codes_{suffix}": True,  # the active pair
+        "pq_codes_ffff0000_11112222": True,  # another corpus' family
+    }
+    for d in dirs:
+        os.makedirs(os.path.join(wh, d), exist_ok=True)
+        with open(os.path.join(wh, d, "part-0.parquet"), "w") as f:
+            f.write("x")
+    try:
+        reclaimed = gc_superseded_index_tables(spark, ("pq_codes_",), suffix)
+        for d, survives in dirs.items():
+            assert os.path.isdir(os.path.join(wh, d)) == survives, d
+        assert set(reclaimed) == {k for k, v in dirs.items() if not v}
+    finally:
+        for d in dirs:
+            shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
+
+
 def test_text_and_ann_indexes_refresh_on_corpus_regeneration(
     spark, tmp_path
 ):

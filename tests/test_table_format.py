@@ -1168,6 +1168,49 @@ def test_stale_vacuum_cannot_reap_committed_dir_after_heal(
     assert calls["n"] >= 2  # the recheck actually ran
 
 
+def test_stale_vacuum_cannot_reap_freshly_pinned_dir(
+    spark, tmp_path, monkeypatch
+):
+    """Pins are the third reference source the delete-time recheck must
+    re-read (r11 review, second pass): a vacuum whose versions+pins
+    snapshots predate BOTH a commit and a clone pin on that commit's
+    dir — with the dir then aged out of retention by later commits —
+    would otherwise reap the clone's only data dir."""
+    root = str(tmp_path / "t")
+    _versioned_write(spark, root, _mkdf(spark, [(1, "a")]))  # v1
+    versions_pre = tf.list_versions(spark, root)
+
+    # all AFTER the stale vacuum's snapshots: v2 lands, a clone pins
+    # its dir, then two more commits age v2 out of retention (keep=2)
+    _versioned_write(spark, root, _mkdf(spark, [(2, "b")]))  # v2
+    pinned_dir = tf.read_manifest(spark, root, 2)["data_dir"]
+    tf.pin(spark, root, "p-clone", pinned_dir, holder="clone")
+    _versioned_write(spark, root, _mkdf(spark, [(3, "c")]))  # v3
+    _versioned_write(spark, root, _mkdf(spark, [(4, "d")]))  # v4
+
+    real_lv, real_pins = tf.list_versions, tf.pins
+    calls = {"lv": 0, "pins": 0}
+
+    def stale_lv(spark_, root_):
+        calls["lv"] += 1
+        return versions_pre if calls["lv"] == 1 else real_lv(spark_, root_)
+
+    def stale_pins(spark_, root_):
+        calls["pins"] += 1
+        return {} if calls["pins"] == 1 else real_pins(spark_, root_)
+
+    monkeypatch.setattr(tf, "list_versions", stale_lv)
+    monkeypatch.setattr(tf, "pins", stale_pins)
+    removed = tf.vacuum(spark, root)
+    monkeypatch.undo()
+    assert pinned_dir not in removed
+    assert os.path.isdir(os.path.join(root, pinned_dir))
+    assert {r.v for r in spark.read.parquet(
+        os.path.join(root, pinned_dir)
+    ).collect()} == {"b"}
+    assert calls["pins"] >= 2  # the fresh pin recheck actually ran
+
+
 def test_clone_survives_wap_cycles_on_source(spark, tmp_path, capsys):
     """Clone x WAP composition: a zero-copy clone of a WAP-built mart
     keeps serving its pinned snapshot through the source's later --wap
