@@ -121,16 +121,33 @@ QUERIES: dict[str, RegisteredQuery] = {}
 #   recomputes staleness from the CORRECTNESS_r*.json files and fails if
 #   the active export violates it (rotate-ins mandatory, slips only from
 #   the documented trivial/family-guarded classes).
-# - R12 DRAFT (arithmetic computed at r11 start): rows last
-#   driver-checked in r9 (CORRECTNESS_r09 minus r10 minus R11_EXPORT)
-#   = 50 r9-stale rows, + the 7 twice-slipped trivials (4-round window
-#   HARD at r12 — mandatory, no further slip) + the 6 r8-stale rows
-#   slipped above (also window-hard) + R12_ROTATE_IN (r11-born) = 63+
-#   mandatory. At r12, prioritize (1) all R12_ROTATE_IN rows, (2) the
-#   7 trivials + 6 slipped r8-stale (window-hard), (3) r9-stale rows;
-#   slip only r9-stale rows with exported family guards (the *_hof A/B
-#   twins, the pivot/cube inverses of checked shapes, and mixture/
-#   token-budget variants are the lowest-risk class).
+# - R12 DRAFT (exact arithmetic computed at r11 session end): rows
+#   last driver-checked in r9 (CORRECTNESS_r09 minus r10 minus
+#   R11_EXPORT) = 50 r9-stale rows, + the 7 twice-slipped trivials
+#   (4-round window HARD at r12 — mandatory, no further slip:
+#   tests/test_rotation_ledger.py::test_trivial_slips_become_hard_at_r12
+#   enforces it) + the 6 r8-stale rows slipped at r11 (also
+#   window-hard) + the 3 R12_ROTATE_IN rows = 66 mandatory > 50, so
+#   16 r9-stale rows slip to r13. The computed lowest-risk slip list
+#   (A/B twins, inverse/variant shapes of exported rows, each with a
+#   same-module r12-exported guard):
+#     ann_pq_adc_topk_hof, ann_pq_codes_hof   (kernel A/B twins)
+#     text_unigram_rarity_bcast               (broadcast twin)
+#     text_token_count_bpe                    (superseded by _trained)
+#     corpus_mixture_sample, corpus_mixture_sample_bpe,
+#     corpus_token_budget_hist, corpus_token_budget_hist_bpe
+#                                  (variants; corpus_token_budget kept)
+#     a_cube_status_priority                  (rollup twin kept family)
+#     a_pivot_status_revenue     (unpivot twin is window-hard exported)
+#     dedup_semantic_greedy, dedup_minhash_verified, dedup_containment
+#                          (dedup_semantic / dedup_minhash_lsh kept)
+#     multimodal_decode, multimodal_frame_sample
+#                          (multimodal_embed_topk kept + indexed twin)
+#     t_monthly_revenue                       (t_events_hourly kept)
+#   R12_EXPORT = (50 r9-stale - 16 slips) + 7 trivials + 6 r8-slipped
+#   + 3 R12_ROTATE_IN = 50 exactly. When applying: extend
+#   FAMILY_GUARD_SLIPS in tests/test_rotation_ledger.py with the 16
+#   new (slip -> guard) pairs, and rename the promises-kept test.
 DRIVER_BUDGET = 50
 
 # Queries born in round 9 — mandatory r10 rotate-ins (never driver-checked).
