@@ -262,3 +262,50 @@ def test_pq_index_survives_sessions(tmp_path):
     b_res = [tuple(x) for x in b_payload["result"]]
     assert a_res == b_res and len(a_res) == 30
     assert b_payload["n_parts"] == 3  # partition layout recovered
+
+
+def test_fingerprinted_suffix_stable_across_sessions(tmp_path):
+    """The fingerprinted index suffix (r11: testdata.index_suffix keys
+    build-once table names on the corpus (path, size, mtime) listing)
+    must be DETERMINISTIC across JVMs — same files => same names, so a
+    fresh session re-attaches the tables a prior session built instead
+    of rebuilding under a different name; and it must ROTATE when the
+    corpus file changes (the staleness contract the naming exists
+    for)."""
+    import shutil
+
+    from tests.conftest import SF_SMOKE
+
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    shutil.copy(
+        os.path.join(SF_SMOKE, "embeddings.parquet"),
+        os.path.join(corpus, "embeddings.parquet"),
+    )
+    wh = str(tmp_path / "wh_fp")
+    header = (
+        "import sys\n"
+        f"sys.path.insert(0, {REPO!r})\n"
+        "from pyspark.sql import SparkSession\n"
+        "spark = (SparkSession.builder.master('local[2]')\n"
+        f"    .config('spark.sql.warehouse.dir', {wh!r})\n"
+        "    .config('spark.ui.enabled', 'false')\n"
+        "    .getOrCreate())\n"
+        "from dbt_on_snowflake_spark.testdata import index_suffix\n"
+        f"print('SUFFIX ' + index_suffix(spark, {corpus!r}, 'pq', 'embeddings'))\n"
+        "spark.stop()\n"
+    )
+    a = _run(header).split("SUFFIX ", 1)[1].strip().splitlines()[0]
+    b = _run(header).split("SUFFIX ", 1)[1].strip().splitlines()[0]
+    assert a == b  # fresh JVM derives the same table names
+
+    # corpus regenerated in place -> the fingerprint half rotates,
+    # the family (path8) half stays
+    import pandas as pd
+
+    pd.read_parquet(os.path.join(corpus, "embeddings.parquet")).head(
+        100
+    ).to_parquet(os.path.join(corpus, "embeddings.parquet"), index=False)
+    c = _run(header).split("SUFFIX ", 1)[1].strip().splitlines()[0]
+    assert c != a
+    assert c.split("_")[0] == a.split("_")[0]
