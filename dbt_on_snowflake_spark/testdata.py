@@ -188,15 +188,32 @@ def gc_superseded_index_tables(
                 return True
         return False
 
+    from dbt_on_snowflake_spark.engine.index_maintenance import (
+        _database_location,
+    )
+
+    # EVERY database, not just the current one (r11 review, third
+    # pass — the maintenance sweep's posture): a current-db-only
+    # catalog pass combined with a root-level dir sweep could delete a
+    # default-database table's data dir while its catalog entry
+    # survives, and superseded dirs under <db>.db/ would never be
+    # reclaimed. Catalog drops run FIRST so the dir sweep never leaves
+    # a dangling registered table.
     dropped: list[str] = []
-    for t in spark.catalog.listTables():
-        if superseded(t.name):
-            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
-            dropped.append(t.name)
-    wh = spark.conf.get("spark.sql.warehouse.dir")
-    for d in fs_list(spark, wh):
-        if superseded(d):
-            fs_delete(spark, posixpath.join(wh, d))
-            if d not in dropped:
-                dropped.append(d)
+    current = spark.catalog.currentDatabase()
+    dir_roots = {spark.conf.get("spark.sql.warehouse.dir")}
+    for db in sorted(d.name for d in spark.catalog.listDatabases()):
+        dir_roots.add(_database_location(spark, db))
+        for t in spark.catalog.listTables(db):
+            if superseded(t.name):
+                spark.sql(f"DROP TABLE IF EXISTS {db}.{t.name}")
+                dropped.append(
+                    t.name if db == current else f"{db}.{t.name}"
+                )
+    for root in sorted(dir_roots):
+        for d in fs_list(spark, root):
+            if superseded(d):
+                fs_delete(spark, posixpath.join(root, d))
+                if d not in dropped:
+                    dropped.append(d)
     return dropped

@@ -1298,7 +1298,7 @@ def test_pq_index_refreshes_on_corpus_regeneration(spark, tmp_path):
     corpus = str(tmp_path / "corpus")
     os.makedirs(corpus)
     src = os.path.join(SF_SMOKE, "embeddings.parquet")
-    shutil.copy(src, os.path.join(corpus, "embeddings.parquet"))
+    shutil.copyfile(src, os.path.join(corpus, "embeddings.parquet"))
     cb1, cd1 = ensure_pq_index(spark, corpus)
     n1 = spark.table(cd1).count()
     # build-once holds while the corpus is unchanged
@@ -1374,7 +1374,7 @@ def test_text_and_ann_indexes_refresh_on_corpus_regeneration(
     corpus = str(tmp_path / "corpus")
     os.makedirs(corpus)
     for t in ("documents", "embeddings"):
-        shutil.copy(
+        shutil.copyfile(
             os.path.join(SF_SMOKE, f"{t}.parquet"),
             os.path.join(corpus, f"{t}.parquet"),
         )

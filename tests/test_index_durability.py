@@ -278,7 +278,7 @@ def test_fingerprinted_suffix_stable_across_sessions(tmp_path):
 
     corpus = str(tmp_path / "corpus")
     os.makedirs(corpus)
-    shutil.copy(
+    shutil.copyfile(
         os.path.join(SF_SMOKE, "embeddings.parquet"),
         os.path.join(corpus, "embeddings.parquet"),
     )
