@@ -86,6 +86,7 @@ def _strip_scheme(path: str) -> str:
 
 
 def _database_location(spark: SparkSession, db: str) -> str:
+    # bounded collect: DESCRIBE DATABASE returns a handful of info rows
     for row in spark.sql(f"DESCRIBE DATABASE {db}").collect():
         if row.info_name in ("Location", "Catalog Location"):
             return row.info_value
