@@ -190,6 +190,8 @@ def gc_superseded_index_tables(
 
     from dbt_on_snowflake_spark.engine.index_maintenance import (
         _database_location,
+        _strip_scheme,
+        table_location,
     )
 
     # EVERY database, not just the current one (r11 review, third
@@ -198,22 +200,41 @@ def gc_superseded_index_tables(
     # default-database table's data dir while its catalog entry
     # survives, and superseded dirs under <db>.db/ would never be
     # reclaimed. Catalog drops run FIRST so the dir sweep never leaves
-    # a dangling registered table.
+    # a dangling registered table. Same conventions as the
+    # compact_index_tables sweep (r11 review, fourth pass): per-db
+    # error isolation, temp views / catalog views skipped,
+    # backtick-quoted identifiers, foreign EXTERNAL tables (location
+    # outside the warehouse — a name collision, someone else's data)
+    # left alone, and roots deduped on scheme-stripped paths so the
+    # warehouse conf and default's location don't sweep twice.
     dropped: list[str] = []
     current = spark.catalog.currentDatabase()
-    dir_roots = {spark.conf.get("spark.sql.warehouse.dir")}
+    wh_conf = spark.conf.get("spark.sql.warehouse.dir")
+    wh_norm = _strip_scheme(wh_conf).rstrip("/")
+    roots: dict[str, str] = {wh_norm: wh_conf}
     for db in sorted(d.name for d in spark.catalog.listDatabases()):
-        dir_roots.add(_database_location(spark, db))
-        for t in spark.catalog.listTables(db):
-            if superseded(t.name):
-                spark.sql(f"DROP TABLE IF EXISTS {db}.{t.name}")
+        try:  # noqa: SIM105 — one bad db must not abort the build
+            loc = _database_location(spark, f"`{db}`")
+            roots.setdefault(_strip_scheme(loc).rstrip("/"), loc)
+            for t in spark.catalog.listTables(db):
+                if t.isTemporary or not superseded(t.name):
+                    continue
+                if t.tableType not in ("MANAGED", "EXTERNAL"):
+                    continue
+                qual = f"`{db}`.`{t.name}`"
+                if t.tableType == "EXTERNAL":
+                    tloc = _strip_scheme(table_location(spark, qual))
+                    if not tloc.startswith(wh_norm + "/"):
+                        continue
+                spark.sql(f"DROP TABLE IF EXISTS {qual}")
                 dropped.append(
                     t.name if db == current else f"{db}.{t.name}"
                 )
-    for root in sorted(dir_roots):
+        except Exception:  # noqa: BLE001 — sweep must survive
+            continue
+    for root in sorted(roots.values()):
         for d in fs_list(spark, root):
             if superseded(d):
                 fs_delete(spark, posixpath.join(root, d))
-                if d not in dropped:
-                    dropped.append(d)
+                dropped.append(d)
     return dropped

@@ -1343,12 +1343,30 @@ def test_index_gc_reclaims_uncataloged_and_legacy_dirs(spark):
         os.makedirs(os.path.join(wh, d), exist_ok=True)
         with open(os.path.join(wh, d, "part-0.parquet"), "w") as f:
             f.write("x")
+    # a temp view and a FOREIGN external table (location outside the
+    # warehouse — a name collision with someone else's data) that match
+    # the superseded pattern must both survive (r11 review, fourth pass)
+    spark.range(1).createOrReplaceTempView("pq_codes_aaaa1111_77770000")
+    foreign_loc = os.path.join(wh, "..", "foreign_pq")
+    spark.range(3).toDF("doc_id").write.mode("overwrite").parquet(foreign_loc)
+    spark.sql("DROP TABLE IF EXISTS pq_codes_aaaa1111_66660000")
+    spark.catalog.createTable(
+        "pq_codes_aaaa1111_66660000", path=foreign_loc, source="parquet"
+    )
     try:
         reclaimed = gc_superseded_index_tables(spark, ("pq_codes_",), suffix)
         for d, survives in dirs.items():
             assert os.path.isdir(os.path.join(wh, d)) == survives, d
         assert set(reclaimed) == {k for k, v in dirs.items() if not v}
+        assert spark.catalog.tableExists("pq_codes_aaaa1111_66660000")
+        assert spark.table("pq_codes_aaaa1111_66660000").count() == 3
+        assert "pq_codes_aaaa1111_77770000" in [
+            t.name for t in spark.catalog.listTables() if t.isTemporary
+        ]
     finally:
+        spark.catalog.dropTempView("pq_codes_aaaa1111_77770000")
+        spark.sql("DROP TABLE IF EXISTS pq_codes_aaaa1111_66660000")
+        shutil.rmtree(foreign_loc, ignore_errors=True)
         for d in dirs:
             shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
 
