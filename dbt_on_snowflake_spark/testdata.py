@@ -199,42 +199,70 @@ def gc_superseded_index_tables(
     # catalog pass combined with a root-level dir sweep could delete a
     # default-database table's data dir while its catalog entry
     # survives, and superseded dirs under <db>.db/ would never be
-    # reclaimed. Catalog drops run FIRST so the dir sweep never leaves
-    # a dangling registered table. Same conventions as the
-    # compact_index_tables sweep (r11 review, fourth pass): per-db
-    # error isolation, temp views / catalog views skipped,
-    # backtick-quoted identifiers, foreign EXTERNAL tables (location
+    # reclaimed. Conventions + safety (r11 review, fourth/fifth
+    # passes): PER-TABLE error isolation — a failed DROP leaves its
+    # table registered, so its location joins `protected` and the dir
+    # sweep must not delete the data out from under it (a dangling
+    # entry reads 0 rows silently); temp/catalog views skipped;
+    # backtick-quoted identifiers; foreign EXTERNAL tables (location
     # outside the warehouse — a name collision, someone else's data)
-    # left alone, and roots deduped on scheme-stripped paths so the
-    # warehouse conf and default's location don't sweep twice.
+    # left alone; the dir sweep covers ONLY warehouse-controlled roots
+    # (the warehouse itself + database locations under it — a database
+    # created with an outside LOCATION may hold foreign data, so
+    # forgotten superseded dirs there are conservatively left to its
+    # owner); roots and reclaim records deduped.
     dropped: list[str] = []
+    seen: set[str] = set()
+    protected: set[str] = set()  # normalized dirs of still-registered tables
     current = spark.catalog.currentDatabase()
     wh_conf = spark.conf.get("spark.sql.warehouse.dir")
     wh_norm = _strip_scheme(wh_conf).rstrip("/")
     roots: dict[str, str] = {wh_norm: wh_conf}
     for db in sorted(d.name for d in spark.catalog.listDatabases()):
-        try:  # noqa: SIM105 — one bad db must not abort the build
+        try:
             loc = _database_location(spark, f"`{db}`")
-            roots.setdefault(_strip_scheme(loc).rstrip("/"), loc)
-            for t in spark.catalog.listTables(db):
-                if t.isTemporary or not superseded(t.name):
-                    continue
-                if t.tableType not in ("MANAGED", "EXTERNAL"):
-                    continue
-                qual = f"`{db}`.`{t.name}`"
-                if t.tableType == "EXTERNAL":
-                    tloc = _strip_scheme(table_location(spark, qual))
-                    if not tloc.startswith(wh_norm + "/"):
-                        continue
-                spark.sql(f"DROP TABLE IF EXISTS {qual}")
-                dropped.append(
-                    t.name if db == current else f"{db}.{t.name}"
-                )
-        except Exception:  # noqa: BLE001 — sweep must survive
+            tables = list(spark.catalog.listTables(db))
+        except Exception:  # noqa: BLE001 — one bad db must not abort
             continue
-    for root in sorted(roots.values()):
+        loc_norm = _strip_scheme(loc).rstrip("/")
+        if loc_norm == wh_norm or loc_norm.startswith(wh_norm + "/"):
+            roots.setdefault(loc_norm, loc)
+        for t in tables:
+            if t.isTemporary or not superseded(t.name):
+                continue
+            if t.tableType not in ("MANAGED", "EXTERNAL"):
+                continue
+            qual = f"`{db}`.`{t.name}`"
+            try:
+                tloc = _strip_scheme(table_location(spark, qual)).rstrip(
+                    "/"
+                )
+            except Exception:  # noqa: BLE001
+                tloc = None
+            if (
+                t.tableType == "EXTERNAL"
+                and tloc is not None
+                and not tloc.startswith(wh_norm + "/")
+            ):
+                continue
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {qual}")
+            except Exception:  # noqa: BLE001 — still registered:
+                if tloc is not None:  # shield its data from the sweep
+                    protected.add(tloc)
+                continue
+            entry = t.name if db == current else f"{db}.{t.name}"
+            if entry not in seen:
+                seen.add(entry)
+                dropped.append(entry)
+    for root_norm, root in sorted(roots.items()):
         for d in fs_list(spark, root):
-            if superseded(d):
-                fs_delete(spark, posixpath.join(root, d))
+            if not superseded(d):
+                continue
+            if posixpath.join(root_norm, d) in protected:
+                continue
+            fs_delete(spark, posixpath.join(root, d))
+            if d not in seen:
+                seen.add(d)
                 dropped.append(d)
     return dropped

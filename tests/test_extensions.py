@@ -1371,6 +1371,73 @@ def test_index_gc_reclaims_uncataloged_and_legacy_dirs(spark):
             shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
 
 
+def test_index_gc_failed_drop_protects_data_and_dedups(
+    spark, tmp_path, monkeypatch
+):
+    """Two empirically-found GC hazards (r11 review, fifth pass):
+    (1) a transiently-failed DROP leaves the table registered — the dir
+    sweep must then NOT delete its data (a dangling entry would read 0
+    rows silently forever); (2) a re-attached EXTERNAL index under the
+    warehouse is reclaimed by catalog drop + dir sweep — ONE reclaim
+    record, not two. Plus: a superseded-named dir under a database
+    whose LOCATION is outside the warehouse is foreign data and must
+    survive."""
+    import os
+    import shutil
+
+    from dbt_on_snowflake_spark.testdata import gc_superseded_index_tables
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    suffix = "cccc3333_dddd4444"
+
+    # (1) managed superseded table whose DROP fails transiently
+    prot = "pq_codes_cccc3333_00009999"
+    spark.sql(f"DROP TABLE IF EXISTS {prot}")
+    spark.range(7).toDF("doc_id").write.saveAsTable(prot)
+    # (2) re-attached EXTERNAL superseded index under the warehouse
+    ext = "pq_codes_cccc3333_00008888"
+    ext_loc = os.path.join(wh, ext)
+    spark.sql(f"DROP TABLE IF EXISTS {ext}")
+    shutil.rmtree(ext_loc, ignore_errors=True)
+    spark.range(5).toDF("doc_id").write.parquet(ext_loc)
+    spark.catalog.createTable(ext, path=ext_loc, source="parquet")
+    # (3) foreign-location database with a superseded-named dir
+    fdb_loc = str(tmp_path / "foreign_db_loc")
+    spark.sql(f"CREATE DATABASE gcf_db LOCATION '{fdb_loc}'")
+    foreign_dir = os.path.join(fdb_loc, "pq_codes_cccc3333_00007777")
+    os.makedirs(foreign_dir)
+    with open(os.path.join(foreign_dir, "keep.parquet"), "w") as f:
+        f.write("foreign")
+
+    real_sql = spark.sql
+
+    def flaky_sql(q, *a, **k):
+        if prot in q and q.lstrip().startswith("DROP TABLE"):
+            raise RuntimeError("transient metastore error")
+        return real_sql(q, *a, **k)
+
+    monkeypatch.setattr(spark, "sql", flaky_sql)
+    try:
+        reclaimed = gc_superseded_index_tables(spark, ("pq_codes_",), suffix)
+    finally:
+        monkeypatch.undo()
+    try:
+        # (1) the failed drop's table is intact: registered AND readable
+        assert spark.catalog.tableExists(prot)
+        assert spark.table(prot).count() == 7
+        assert prot not in reclaimed
+        # (2) the external reclaim is recorded exactly once, dir gone
+        assert reclaimed.count(ext) == 1
+        assert not spark.catalog.tableExists(ext)
+        assert not os.path.isdir(ext_loc)
+        # (3) foreign-location data untouched
+        assert os.path.isfile(os.path.join(foreign_dir, "keep.parquet"))
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {prot}")
+        spark.sql("DROP DATABASE IF EXISTS gcf_db CASCADE")
+        shutil.rmtree(fdb_loc, ignore_errors=True)
+
+
 def test_text_and_ann_indexes_refresh_on_corpus_regeneration(
     spark, tmp_path
 ):
