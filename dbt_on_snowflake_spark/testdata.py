@@ -190,7 +190,6 @@ def gc_superseded_index_tables(
 
     from dbt_on_snowflake_spark.engine.index_maintenance import (
         _database_location,
-        _strip_scheme,
         table_location,
     )
 
@@ -199,32 +198,44 @@ def gc_superseded_index_tables(
     # catalog pass combined with a root-level dir sweep could delete a
     # default-database table's data dir while its catalog entry
     # survives, and superseded dirs under <db>.db/ would never be
-    # reclaimed. Conventions + safety (r11 review, fourth/fifth
-    # passes): PER-TABLE error isolation — a failed DROP leaves its
-    # table registered, so its location joins `protected` and the dir
-    # sweep must not delete the data out from under it (a dangling
-    # entry reads 0 rows silently); temp/catalog views skipped;
-    # backtick-quoted identifiers; foreign EXTERNAL tables (location
-    # outside the warehouse — a name collision, someone else's data)
-    # left alone; the dir sweep covers ONLY warehouse-controlled roots
-    # (the warehouse itself + database locations under it — a database
-    # created with an outside LOCATION may hold foreign data, so
-    # forgotten superseded dirs there are conservatively left to its
-    # owner); roots and reclaim records deduped.
+    # reclaimed. Safety model (r11 review, fourth-sixth passes):
+    # FAIL CLOSED — the dir sweep runs only when every database's
+    # registrations AND every matched table's location were readable;
+    # any metastore hiccup means some registered table's data could be
+    # mistaken for an orphan dir (a dangling entry silently reads 0
+    # rows forever), so the disk pass is skipped entirely and the next
+    # build retries. A failed DROP leaves its (known) location in
+    # `protected`, honored prefix-aware by the sweep. Temp/catalog
+    # views skipped; identifiers backtick-quoted; foreign EXTERNAL
+    # tables (location outside the warehouse — a name collision,
+    # someone else's data) left alone; the sweep covers ONLY
+    # warehouse-controlled roots (a database created with an outside
+    # LOCATION may hold foreign data, so forgotten superseded dirs
+    # there are conservatively left to its owner). Paths are
+    # scheme+slash normalized ('file:///x' == 'file:/x' == '/x') and
+    # reclaim records are deduped on the normalized path, so a catalog
+    # drop plus its leftover-dir delete is ONE record.
+    import re
+
+    def _norm(p: str) -> str:
+        return re.sub(r"^file:/+", "/", p).rstrip("/")
+
     dropped: list[str] = []
-    seen: set[str] = set()
-    protected: set[str] = set()  # normalized dirs of still-registered tables
+    seen_paths: set[str] = set()
+    protected: set[str] = set()
+    sweep_ok = True
     current = spark.catalog.currentDatabase()
     wh_conf = spark.conf.get("spark.sql.warehouse.dir")
-    wh_norm = _strip_scheme(wh_conf).rstrip("/")
+    wh_norm = _norm(wh_conf)
     roots: dict[str, str] = {wh_norm: wh_conf}
     for db in sorted(d.name for d in spark.catalog.listDatabases()):
         try:
             loc = _database_location(spark, f"`{db}`")
             tables = list(spark.catalog.listTables(db))
-        except Exception:  # noqa: BLE001 — one bad db must not abort
+        except Exception:  # noqa: BLE001 — unknown registrations:
+            sweep_ok = False  # reclaim nothing on disk this run
             continue
-        loc_norm = _strip_scheme(loc).rstrip("/")
+        loc_norm = _norm(loc)
         if loc_norm == wh_norm or loc_norm.startswith(wh_norm + "/"):
             roots.setdefault(loc_norm, loc)
         for t in tables:
@@ -234,35 +245,38 @@ def gc_superseded_index_tables(
                 continue
             qual = f"`{db}`.`{t.name}`"
             try:
-                tloc = _strip_scheme(table_location(spark, qual)).rstrip(
-                    "/"
-                )
-            except Exception:  # noqa: BLE001
-                tloc = None
-            if (
-                t.tableType == "EXTERNAL"
-                and tloc is not None
-                and not tloc.startswith(wh_norm + "/")
+                tloc = _norm(table_location(spark, qual))
+            except Exception:  # noqa: BLE001 — can't locate => can't
+                sweep_ok = False  # protect => no disk pass this run
+                continue
+            if t.tableType == "EXTERNAL" and not tloc.startswith(
+                wh_norm + "/"
             ):
                 continue
             try:
                 spark.sql(f"DROP TABLE IF EXISTS {qual}")
             except Exception:  # noqa: BLE001 — still registered:
-                if tloc is not None:  # shield its data from the sweep
-                    protected.add(tloc)
+                protected.add(tloc)  # shield its data from the sweep
                 continue
-            entry = t.name if db == current else f"{db}.{t.name}"
-            if entry not in seen:
-                seen.add(entry)
-                dropped.append(entry)
+            if tloc not in seen_paths:
+                seen_paths.add(tloc)
+                dropped.append(
+                    t.name if db == current else f"{db}.{t.name}"
+                )
+    if not sweep_ok:
+        return dropped
     for root_norm, root in sorted(roots.items()):
         for d in fs_list(spark, root):
             if not superseded(d):
                 continue
-            if posixpath.join(root_norm, d) in protected:
+            dpath = posixpath.join(root_norm, d)
+            if any(
+                p == dpath or p.startswith(dpath + "/")
+                for p in protected
+            ):
                 continue
             fs_delete(spark, posixpath.join(root, d))
-            if d not in seen:
-                seen.add(d)
+            if dpath not in seen_paths:
+                seen_paths.add(dpath)
                 dropped.append(d)
     return dropped

@@ -1438,6 +1438,45 @@ def test_index_gc_failed_drop_protects_data_and_dedups(
         shutil.rmtree(fdb_loc, ignore_errors=True)
 
 
+def test_index_gc_fails_closed_when_catalog_unreadable(spark, monkeypatch):
+    """If ANY database's registrations cannot be read, the GC must not
+    touch disk at all (r11 review, sixth pass): an unreadable catalog
+    means a registered table's data dir could be mistaken for an
+    orphan — fail closed, retry next build."""
+    import os
+    import shutil
+
+    from dbt_on_snowflake_spark.testdata import gc_superseded_index_tables
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    d = os.path.join(wh, "pq_codes_eeee5555_00001111")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "part-0.parquet"), "w") as f:
+        f.write("x")
+
+    def boom(*a, **k):
+        raise RuntimeError("metastore down")
+
+    monkeypatch.setattr(spark.catalog, "listTables", boom)
+    try:
+        reclaimed = gc_superseded_index_tables(
+            spark, ("pq_codes_",), "eeee5555_ffff6666"
+        )
+    finally:
+        monkeypatch.undo()
+    try:
+        assert reclaimed == []
+        assert os.path.isdir(d)  # nothing reclaimed while blind
+        # with the catalog readable again, the orphan IS reclaimed
+        reclaimed = gc_superseded_index_tables(
+            spark, ("pq_codes_",), "eeee5555_ffff6666"
+        )
+        assert "pq_codes_eeee5555_00001111" in reclaimed
+        assert not os.path.isdir(d)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_text_and_ann_indexes_refresh_on_corpus_regeneration(
     spark, tmp_path
 ):
