@@ -82,7 +82,16 @@ def _is_bucketed(spark: SparkSession, name: str) -> bool:
 
 
 def _strip_scheme(path: str) -> str:
-    return path.removeprefix("file:")
+    """Normalize a local-FS URI for path comparison: drop the file:
+    scheme AND any authority, collapsing the equivalent spellings
+    'file:/x' / 'file:///x' / 'file://localhost/x' to '/x' (r11
+    review: comparing a 'file:///...'-configured warehouse against
+    Hadoop's 'file:/...' rendering silently disabled every
+    under-warehouse check). Non-file schemes (s3a://...) pass through
+    untouched — both comparison sides render consistently there."""
+    import re
+
+    return re.sub(r"^file:(//[^/]*)?", "", path)
 
 
 def _database_location(spark: SparkSession, db: str) -> str:

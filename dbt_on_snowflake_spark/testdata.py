@@ -215,13 +215,16 @@ def gc_superseded_index_tables(
     # scheme+slash normalized ('file:///x' == 'file:/x' == '/x') and
     # reclaim records are deduped on the normalized path, so a catalog
     # drop plus its leftover-dir delete is ONE record.
-    import re
+    from dbt_on_snowflake_spark.engine.index_maintenance import (
+        _strip_scheme,
+    )
 
     def _norm(p: str) -> str:
-        return re.sub(r"^file:/+", "/", p).rstrip("/")
+        return _strip_scheme(p).rstrip("/")
 
     dropped: list[str] = []
     seen_paths: set[str] = set()
+    seen_names: set[str] = set()
     protected: set[str] = set()
     sweep_ok = True
     current = spark.catalog.currentDatabase()
@@ -246,23 +249,35 @@ def gc_superseded_index_tables(
             qual = f"`{db}`.`{t.name}`"
             try:
                 tloc = _norm(table_location(spark, qual))
-            except Exception:  # noqa: BLE001 — can't locate => can't
-                sweep_ok = False  # protect => no disk pass this run
-                continue
-            if t.tableType == "EXTERNAL" and not tloc.startswith(
-                wh_norm + "/"
+            except Exception:  # noqa: BLE001 — location unreadable
+                tloc = None
+            if t.tableType == "EXTERNAL" and (
+                tloc is None or not tloc.startswith(wh_norm + "/")
             ):
+                # foreign (or unverifiable) external: leave the entry;
+                # an unverifiable one could own a dir under our roots
+                if tloc is None:
+                    sweep_ok = False
                 continue
+            # a MANAGED table with an unreadable location is still
+            # droppable — the drop removes its own data, so liveness
+            # survives a persistently pathless entry (r11 review)
             try:
                 spark.sql(f"DROP TABLE IF EXISTS {qual}")
             except Exception:  # noqa: BLE001 — still registered:
-                protected.add(tloc)  # shield its data from the sweep
+                if tloc is None:
+                    sweep_ok = False  # can't protect what we can't find
+                else:
+                    protected.add(tloc)  # shield from the sweep
                 continue
-            if tloc not in seen_paths:
-                seen_paths.add(tloc)
-                dropped.append(
-                    t.name if db == current else f"{db}.{t.name}"
-                )
+            entry = t.name if db == current else f"{db}.{t.name}"
+            if (tloc is None or tloc not in seen_paths) and (
+                entry not in seen_names
+            ):
+                if tloc is not None:
+                    seen_paths.add(tloc)
+                seen_names.add(entry)
+                dropped.append(entry)
     if not sweep_ok:
         return dropped
     for root_norm, root in sorted(roots.items()):
@@ -276,7 +291,8 @@ def gc_superseded_index_tables(
             ):
                 continue
             fs_delete(spark, posixpath.join(root, d))
-            if dpath not in seen_paths:
+            if dpath not in seen_paths and d not in seen_names:
                 seen_paths.add(dpath)
+                seen_names.add(d)
                 dropped.append(d)
     return dropped
