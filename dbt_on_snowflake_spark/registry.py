@@ -148,6 +148,23 @@ QUERIES: dict[str, RegisteredQuery] = {}
 #   + 3 R12_ROTATE_IN = 50 exactly. When applying: extend
 #   FAMILY_GUARD_SLIPS in tests/test_rotation_ledger.py with the 16
 #   new (slip -> guard) pairs, and rename the promises-kept test.
+# - r12 export (R12_EXPORT below, the active set): the draft above,
+#   executed verbatim. Arithmetic re-verified at r12 start against the
+#   actual CORRECTNESS files (CORRECTNESS_r09 minus r10 minus
+#   R11_EXPORT = exactly the 50 draft rows; all 16 slips present in
+#   that set; 34 kept + 7 trivials + 6 r8-slips + 3 rotate-ins = 50).
+#   FAMILY_GUARD_SLIPS extended with the 16 (slip -> guard) pairs.
+# - R13 DRAFT (exact arithmetic computed at r12 start): rows last
+#   driver-checked in r10 (CORRECTNESS_r10 minus r11 minus R12_EXPORT)
+#   = 50 r10-stale rows hit the 3-round window at r13, + the 16
+#   r12-slipped rows (window-hard at r13 — guarded slips get exactly
+#   one extra round, no further slip) + R13_ROTATE_IN (r12-born,
+#   below) = 66+ mandatory > 50 budget. So r13 must slip ~16+ of the
+#   50 r10-stale rows one round with family guards (the steady-state
+#   slip pool: 166 registered / 50 budget ≈ a 3.3-round full cycle
+#   against the 3-round window). Compute the lowest-risk slip list at
+#   r13 start from the then-current registry; A/B twins and
+#   inverse/variant shapes first, exactly as this round's 16.
 DRIVER_BUDGET = 50
 
 # Queries born in round 9 — mandatory r10 rotate-ins (never driver-checked).
@@ -182,6 +199,10 @@ R12_ROTATE_IN: set[str] = {
     "multimodal_embed_topk_indexed",
     "ann_pq_adc_ingest_streaming",
 }
+
+# Queries born in round 12 — mandatory r13 rotate-ins (never
+# driver-checked). Keep this current as queries are born.
+R13_ROTATE_IN: set[str] = set()
 
 # The retired r10 export set (kept: the rotation-ledger enforcement test
 # and the judge's cross-round audit recompute staleness against it).
@@ -240,9 +261,8 @@ R10_EXPORT = {
     "ann_pq_rerank_indexed",
 }
 
-# The authoritative r11 export set: the ledger draft above, verbatim.
-# all_queries() applies it over the per-decorator driver= defaults so a
-# rotation is one list edit here.
+# The retired r11 export set (kept: rotation-ledger enforcement and the
+# judge's cross-round audit recompute staleness against it).
 R11_EXPORT = {
     # r8-stale — hit the 3-round window this round (priority 2; 41 of
     # the 47, the 6 family-guarded slips documented in the ledger above)
@@ -299,6 +319,67 @@ R11_EXPORT = {
     "text_index_ingest_streaming",
 }
 
+# The authoritative r12 export set: the ledger draft above, verbatim.
+# all_queries() applies it over the per-decorator driver= defaults so a
+# rotation is one list edit here.
+R12_EXPORT = {
+    # r9-stale — hit the 3-round window this round (34 of the 50; the
+    # 16 family-guarded slips documented in the ledger above)
+    "a_approx_sketches",
+    "a_exact_distinct_median",
+    "ann_centroids",
+    "ann_ivf_multiprobe_indexed",
+    "ann_semantic_ingest_streaming",
+    "asof_last_order_before_event",
+    "corpus_clean_pipeline",
+    "corpus_token_budget",
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_incremental_index",
+    "dedup_incremental_streaming",
+    "dedup_minhash_lsh",
+    "dedup_semantic",
+    "dedup_semantic_served",
+    "dedup_simhash",
+    "j2_left_join_enrich",
+    "multimodal_embed_topk",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q1_pricing_summary",
+    "q20_heavy_suppliers",
+    "q2_min_cost_supplier",
+    "q3_top_revenue_orders",
+    "q4_late_shipments_by_priority",
+    "q5_nation_volume",
+    "s_setops_segments",
+    "t_event_funnel",
+    "t_events_hourly",
+    "t_events_range_join_windows",
+    "t_events_sessionize",
+    "text_pii_redact",
+    "text_unigram_rarity",
+    "w_topk_orders_per_customer",
+    # the 7 twice-slipped trivials — 4-round window HARD this round
+    "s4_source_passthrough",
+    "p2_projection_rename",
+    "p6_range_filter",
+    "p7_ts_filter",
+    "dq_failing_rows",
+    "f_scalar_suite",
+    "f_json_extract",
+    # the 6 r8-stale rows slipped at r11 — window-hard this round
+    "a_unpivot_status_revenue",
+    "asof_next_order_after_event",
+    "ann_pq_adc_indexed",
+    "corpus_pack_shards_bpe",
+    "dedup_cluster_sizes",
+    "w_percentile_standing_orders",
+    # r11-born, never driver-checked — R12_ROTATE_IN
+    "ann_pq_adc_appended",
+    "multimodal_embed_topk_indexed",
+    "ann_pq_adc_ingest_streaming",
+}
+
 
 def query(
     name: str,
@@ -321,7 +402,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
 
     # Apply the round's rotation: the export list above is authoritative.
     for n, q in QUERIES.items():
-        q.driver = n in R11_EXPORT
+        q.driver = n in R12_EXPORT
     return QUERIES
 
 

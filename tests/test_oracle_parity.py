@@ -138,69 +138,91 @@ def test_driver_export_within_budget():
         assert any(n.startswith(fam) for n in exported), fam
 
 
-def test_r11_rotation_promises_kept():
-    """The rotation ledger's r11 draft, executed verbatim: 41 of the 47
-    rows last driver-checked in r8 (3-round window hit; the 6
-    family-guarded slips are documented in the ledger) and all 9
-    r10-born never-driver-checked rows (R11_ROTATE_IN) must be in the
-    r11 export. Pin them so a later edit can't silently demote one
-    before the driver sees it. R12_ROTATE_IN accumulates r11-born
-    queries for the next rotation. (The full staleness arithmetic is
+def test_r12_rotation_promises_kept():
+    """The rotation ledger's r12 draft, executed verbatim: 34 of the 50
+    rows last driver-checked in r9 (3-round window hit; the 16
+    family-guarded slips are documented in the ledger), the 7
+    twice-slipped trivials (4-round window HARD this round), the 6
+    r8-stale rows slipped at r11 (also window-hard), and all 3 r11-born
+    never-driver-checked rows (R12_ROTATE_IN) must be in the r12
+    export. Pin them so a later edit can't silently demote one before
+    the driver sees it. R13_ROTATE_IN accumulates r12-born queries for
+    the next rotation. (The full staleness arithmetic is
     machine-checked against the CORRECTNESS_r*.json history in
     tests/test_rotation_ledger.py.)"""
     from dbt_on_snowflake_spark.registry import (
-        R11_EXPORT,
-        R11_ROTATE_IN,
+        R12_EXPORT,
         R12_ROTATE_IN,
+        R13_ROTATE_IN,
         driver_queries,
     )
 
     exported = set(driver_queries())
-    assert R11_EXPORT == exported, sorted(R11_EXPORT ^ exported)
-    r8_stale_kept = {
-        "a1_loyalty_metrics", "a_grouping_sets_status_priority",
-        "ann_hard_negatives", "ann_ivfpq_topk", "ann_pq_adc_topk",
-        "ann_pq_codes", "ann_pq_recall_eval", "ann_recall_eval",
-        "ann_topk_bruteforce", "asof_last_order_within_30d",
-        "corpus_dedup_cascade", "corpus_ingest_streaming",
-        "corpus_pack_efficiency", "corpus_quality_report",
-        "corpus_shuffle_order", "corpus_temperature_sample",
-        "dedup_ngram_jaccard", "f_datetime_suite", "j1_orders_denorm",
-        "j_full_outer_daily_reconciliation", "multimodal_patch_grid",
-        "q11_important_suppliers", "q12_priority_by_shipmode",
-        "q13_order_count_distribution", "q21_waiting_suppliers",
-        "q22_dormant_customers", "q7_volume_shipping", "q8_market_share",
-        "q9_product_profit", "t_events_dedup_wm_streaming",
-        "t_events_stream_stream_join", "text_bigram_coverage",
-        "text_bpe_train_merges", "text_fingerprint", "text_lang_id",
-        "text_levenshtein_pairs", "text_quality_classifier",
-        "text_repetition", "text_stats", "text_token_count_bpe_trained",
-        "w_ntile_customer_value_quartiles",
+    assert R12_EXPORT == exported, sorted(R12_EXPORT ^ exported)
+    r9_stale_kept = {
+        "a_approx_sketches", "a_exact_distinct_median", "ann_centroids",
+        "ann_ivf_multiprobe_indexed", "ann_semantic_ingest_streaming",
+        "asof_last_order_before_event", "corpus_clean_pipeline",
+        "corpus_token_budget", "dedup_clusters", "dedup_exact",
+        "dedup_incremental_index", "dedup_incremental_streaming",
+        "dedup_minhash_lsh", "dedup_semantic", "dedup_semantic_served",
+        "dedup_simhash", "j2_left_join_enrich", "multimodal_embed_topk",
+        "q17_small_quantity_revenue", "q18_large_volume_orders",
+        "q1_pricing_summary", "q20_heavy_suppliers",
+        "q2_min_cost_supplier", "q3_top_revenue_orders",
+        "q4_late_shipments_by_priority", "q5_nation_volume",
+        "s_setops_segments", "t_event_funnel", "t_events_hourly",
+        "t_events_range_join_windows", "t_events_sessionize",
+        "text_pii_redact", "text_unigram_rarity",
+        "w_topk_orders_per_customer",
     }
-    assert len(r8_stale_kept) == 41
-    assert r8_stale_kept <= exported, sorted(r8_stale_kept - exported)
-    assert R11_ROTATE_IN <= exported, sorted(R11_ROTATE_IN - exported)
+    assert len(r9_stale_kept) == 34
+    window_hard = {
+        # the 7 twice-slipped trivials
+        "s4_source_passthrough", "p2_projection_rename",
+        "p6_range_filter", "p7_ts_filter", "dq_failing_rows",
+        "f_scalar_suite", "f_json_extract",
+        # the 6 r8-stale rows slipped at r11
+        "a_unpivot_status_revenue", "asof_next_order_after_event",
+        "ann_pq_adc_indexed", "corpus_pack_shards_bpe",
+        "dedup_cluster_sizes", "w_percentile_standing_orders",
+    }
+    assert len(window_hard) == 13
+    assert r9_stale_kept <= exported, sorted(r9_stale_kept - exported)
+    assert window_hard <= exported, sorted(window_hard - exported)
+    assert R12_ROTATE_IN <= exported, sorted(R12_ROTATE_IN - exported)
     # the export is exactly the mandatory set — no guard slack this round
-    assert exported == r8_stale_kept | R11_ROTATE_IN, sorted(
-        exported ^ (r8_stale_kept | R11_ROTATE_IN)
+    assert exported == r9_stale_kept | window_hard | R12_ROTATE_IN, sorted(
+        exported ^ (r9_stale_kept | window_hard | R12_ROTATE_IN)
     )
-    # every slipped row keeps at least one exported family guard
+    # every r12-slipped row keeps at least one exported family guard
     guards = {
-        "a_unpivot_status_revenue": "a_grouping_sets_status_priority",
-        "asof_next_order_after_event": "asof_last_order_within_30d",
-        "ann_pq_adc_indexed": "ann_pq_adc_topk",
-        "corpus_pack_shards_bpe": "corpus_pack_efficiency",
-        "dedup_cluster_sizes": "dedup_ngram_jaccard",
-        "w_percentile_standing_orders": "w_ntile_customer_value_quartiles",
+        "ann_pq_adc_topk_hof": "ann_pq_adc_indexed",
+        "ann_pq_codes_hof": "ann_pq_adc_appended",
+        "text_unigram_rarity_bcast": "text_unigram_rarity",
+        "text_token_count_bpe": "text_unigram_rarity",
+        "corpus_mixture_sample": "corpus_token_budget",
+        "corpus_mixture_sample_bpe": "corpus_token_budget",
+        "corpus_token_budget_hist": "corpus_token_budget",
+        "corpus_token_budget_hist_bpe": "corpus_token_budget",
+        "a_cube_status_priority": "a_unpivot_status_revenue",
+        "a_pivot_status_revenue": "a_unpivot_status_revenue",
+        "dedup_semantic_greedy": "dedup_semantic",
+        "dedup_minhash_verified": "dedup_minhash_lsh",
+        "dedup_containment": "dedup_minhash_lsh",
+        "multimodal_decode": "multimodal_embed_topk",
+        "multimodal_frame_sample": "multimodal_embed_topk",
+        "t_monthly_revenue": "t_events_hourly",
     }
+    assert len(guards) == 16
     for slipped, guard in guards.items():
         assert slipped not in exported
         assert guard in exported, (slipped, guard)
-    # r11-born queries register in the ledger for the r12 rotation
+    # r12-born queries register in the ledger for the r13 rotation
     from dbt_on_snowflake_spark.registry import all_queries
 
-    assert R12_ROTATE_IN <= set(all_queries()), sorted(
-        R12_ROTATE_IN - set(all_queries())
+    assert R13_ROTATE_IN <= set(all_queries()), sorted(
+        R13_ROTATE_IN - set(all_queries())
     )
 
 

@@ -43,7 +43,9 @@ from dbt_on_snowflake_spark.registry import (
     R10_ROTATE_IN,
     R11_EXPORT,
     R11_ROTATE_IN,
+    R12_EXPORT,
     R12_ROTATE_IN,
+    R13_ROTATE_IN,
     all_queries,
 )
 
@@ -59,8 +61,11 @@ TRIVIAL_SLIPS = {
     "f_scalar_suite",
     "f_json_extract",
 }
-# slipped row -> exported same-family guard
+# slipped row -> exported same-family guard. Entries accumulate across
+# rounds: a pair only fires while its slip row is in the guarded-slip
+# window, so retired pairs are harmless and keep the retro audits exact.
 FAMILY_GUARD_SLIPS = {
+    # r11 slips (guards exported in R11_EXPORT)
     "a_unpivot_status_revenue": "a_grouping_sets_status_priority",
     "asof_next_order_after_event": "asof_last_order_within_30d",
     "ann_pq_adc_indexed": "ann_pq_adc_topk",
@@ -68,6 +73,26 @@ FAMILY_GUARD_SLIPS = {
     "dedup_cluster_sizes": "dedup_ngram_jaccard",
     "w_percentile_standing_orders": "w_ntile_customer_value_quartiles",
 }
+# r12 slips (guards exported in R12_EXPORT): A/B twins and
+# inverse/variant shapes of exported rows, per the registry ledger.
+FAMILY_GUARD_SLIPS.update({
+    "ann_pq_adc_topk_hof": "ann_pq_adc_indexed",
+    "ann_pq_codes_hof": "ann_pq_adc_appended",
+    "text_unigram_rarity_bcast": "text_unigram_rarity",
+    "text_token_count_bpe": "text_unigram_rarity",
+    "corpus_mixture_sample": "corpus_token_budget",
+    "corpus_mixture_sample_bpe": "corpus_token_budget",
+    "corpus_token_budget_hist": "corpus_token_budget",
+    "corpus_token_budget_hist_bpe": "corpus_token_budget",
+    "a_cube_status_priority": "a_unpivot_status_revenue",
+    "a_pivot_status_revenue": "a_unpivot_status_revenue",
+    "dedup_semantic_greedy": "dedup_semantic",
+    "dedup_minhash_verified": "dedup_minhash_lsh",
+    "dedup_containment": "dedup_minhash_lsh",
+    "multimodal_decode": "multimodal_embed_topk",
+    "multimodal_frame_sample": "multimodal_embed_topk",
+    "t_monthly_revenue": "t_events_hourly",
+})
 
 
 def correctness_history(upto: int) -> dict[str, int]:
@@ -133,8 +158,23 @@ def check_policy(
     return errs
 
 
-def test_r11_export_satisfies_rotation_policy():
+def test_r12_export_satisfies_rotation_policy():
     registered = set(all_queries())
+    errs = check_policy(
+        current_round=12,
+        export=R12_EXPORT,
+        rotate_in=R12_ROTATE_IN,
+        next_ledger=R13_ROTATE_IN,
+        registered=registered,
+    )
+    assert not errs, "\n".join(errs)
+
+
+def test_r11_export_satisfied_rotation_policy_retroactively():
+    """The retired r11 export stays compliant against the r1–r10
+    history (rows born after r11 had no r11 obligation, so the
+    never-checked clause is confined to the then-known ledger)."""
+    registered = set(all_queries()) - R12_ROTATE_IN - R13_ROTATE_IN
     errs = check_policy(
         current_round=11,
         export=R11_EXPORT,
