@@ -32,7 +32,7 @@ def main(argv: list[str] | None = None) -> int:
     for name in (
         "run", "build", "test", "compile", "ls", "freshness", "seed", "docs",
         "retry", "clone", "run-operation", "show", "vacuum", "compact",
-        "snapshot", "parse", "deps", "task",
+        "snapshot", "parse", "deps", "task", "clean",
     ):
         sp = sub.add_parser(name)
         if name == "task":
@@ -248,6 +248,41 @@ def main(argv: list[str] | None = None) -> int:
         )
         write_manifest(project, out)
         print(f"manifest: {out}")
+        return 0
+
+    if args.cmd == "clean":
+        # dbt clean (reference dbt/dbt_project.yml:17 `clean-targets:
+        # [target, dbt_modules]`): delete the project's declared
+        # artifact dirs. FAIL-CLOSED path policy (the index GC's
+        # posture): every entry must resolve to a real directory
+        # STRICTLY INSIDE the project root — absolute paths, `..`
+        # escapes, the root itself, and symlinks pointing outside are
+        # refused with a nonzero exit, deleting nothing, because a
+        # mistyped clean-target must never be able to eat a sibling
+        # checkout. No SparkSession: clean touches only the filesystem.
+        import shutil
+
+        declared = project.config.get("clean-targets") or ["target"]
+        root_real = _os.path.realpath(args.project)
+        resolved: list[tuple[str, str]] = []
+        for entry in declared:
+            cand = _os.path.realpath(_os.path.join(args.project, entry))
+            if cand == root_real or not cand.startswith(
+                root_real + _os.sep
+            ):
+                print(
+                    f"refusing clean-target {entry!r}: resolves to "
+                    f"{cand}, outside (or equal to) the project root",
+                    file=sys.stderr,
+                )
+                return 2
+            resolved.append((entry, cand))
+        for entry, cand in resolved:
+            if _os.path.isdir(cand):
+                shutil.rmtree(cand)
+                print(f"cleaned {entry} ({cand})")
+            else:
+                print(f"skip {entry}: not present")
         return 0
 
     if args.cmd == "deps":
@@ -1167,6 +1202,22 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"folded log {name}: {before} -> {after} file(s)")
             for name, why in l_skip:
                 print(f"skip log {name}: {why}")
+            # fold DELETE tombstones: the rewrite drops the tombstoned
+            # rows from every member table (engine/index_delete.py) —
+            # and leaves it compact, its own rewrite re-clusters — after
+            # which the serves read pristine index state again
+            from dbt_on_snowflake_spark.engine.index_delete import (
+                fold_tombstone_families,
+            )
+
+            d_done, d_skip = fold_tombstone_families(spark)
+            for name, n_members, n_files in d_done:
+                print(
+                    f"folded tombstones {name}: {n_members} member "
+                    f"table(s) rewritten, {n_files} tombstone file(s)"
+                )
+            for name, why in d_skip:
+                print(f"skip tombstones {name}: {why}")
             # a crashed rewrite from a PRIOR process leaves a
             # __compacting dir the in-memory catalog no longer knows;
             # reclaim it (its owner either survived the crash or will

@@ -1,0 +1,321 @@
+"""DELETE propagation for the persisted serving indexes (tombstones).
+
+Every grown index family (BM25 postings/doclen — ``textops``, IVF
+assignments and PQ codes — ``similarity``, the minhash band index —
+``dedup``) has build / append / streaming-ingest / compaction paths, but
+until r12 was append-ONLY: a document deleted or replaced upstream lived
+in the serving indexes until a full fingerprint-rotation rebuild (r11
+verdict, Next #2). This module adds the deletion-vector counterpart the
+lakehouse formats use (Delta/Iceberg merge-on-read deletes):
+
+- ``index_delete`` appends the deleted ids to a small per-family
+  TOMBSTONE table (created on first delete, with a self-describing
+  ``_tombstones.json`` sidecar naming the family's member tables — the
+  ``fold_update_log`` ``_merge.json`` convention). The delete is O(ids):
+  no index rewrite, no corpus read.
+- Serve paths gate their index reads through ``live_rows`` — a broadcast
+  anti-join against the tombstone ids. When the family has never seen a
+  delete the table does not exist and the gate is an exact no-op (the
+  pristine serve plans are unchanged, plan-pinned); after a delete the
+  serve pays one broadcast anti-join until the next fold. Tombstone
+  volume between folds is bounded by the ingest discipline (delete
+  batches are the same order as append batches), so the broadcast is
+  small by construction — the posture of deletion vectors everywhere.
+- ``fold_tombstones`` (swept by ``compact --indexes`` via
+  ``fold_tombstone_families``) physically drops the tombstoned rows from
+  every member table under the compaction module's heal/snapshot/
+  recheck/drop-rename protocol, refreshes any declared derived stats,
+  and then truncates exactly the tombstone FILES it read. Folding
+  converges bit-exactly to a rebuild-without-those-rows: index rows are
+  per-doc facts, so an anti-join leaves precisely the rows a filtered
+  build would produce (pinned by ``tests/test_index_delete.py``).
+
+Crash/concurrency posture — FAIL CLOSED, the delete-path design rule
+from the r11 GC review: correctness never depends on the fold having
+run. The tombstone append is the delete's only commit record; serves
+anti-join whatever is in the table, and stats that a delete invalidates
+(BM25 n_docs/avgdl) are computed LIVE from the gated rows whenever a
+tombstone table exists, so a crash at ANY point between delete and fold
+leaves every serve exact. The fold truncates tombstones only after
+every member rewrite AND the stats refresh succeeded in the same sweep
+(a partial fold leaves the tombstones in place — re-folding an already
+anti-joined member is a no-op by idempotence); a member rewrite that
+loses a race with a concurrent append aborts (snapshot recheck), again
+leaving the tombstones; and the truncate deletes only the snapshot's
+files, so a delete landing mid-fold survives to the next sweep.
+
+Semantics: a tombstone marks "removed from the serving index ahead of
+the corpus of record" (the GDPR-style propagation order: delete serves
+NOW, rewrite storage at leisure). Ids are immutable identities —
+re-ingesting a tombstoned id is an UPDATE, which the append paths'
+idempotence probes do not express; model updates as delete + fold +
+append, or append under a fresh id. A fingerprint-rotation rebuild
+(``testdata.index_suffix``) starts a new family with no tombstones,
+which is correct exactly because the rebuild reads the NEW corpus.
+"""
+
+from __future__ import annotations
+
+import json
+import posixpath
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SIDECAR = "_tombstones.json"
+
+
+def _sidecar_path(spark: SparkSession, tombstones_table: str) -> str:
+    from dbt_on_snowflake_spark.engine.index_maintenance import (
+        table_location,
+    )
+
+    return posixpath.join(
+        table_location(spark, tombstones_table), SIDECAR
+    )
+
+
+def tombstone_spec(
+    spark: SparkSession, tombstones_table: str
+) -> dict | None:
+    """The family's self-describing sidecar, or None when absent."""
+    from dbt_on_snowflake_spark.engine.fs import fs_exists, fs_read
+
+    p = _sidecar_path(spark, tombstones_table)
+    if not fs_exists(spark, p):
+        return None
+    return json.loads(fs_read(spark, p).decode())
+
+
+def index_delete(
+    spark: SparkSession,
+    ids: DataFrame,
+    *,
+    tombstones_table: str,
+    id_col: str,
+    members: list[dict],
+    refresh: dict | None = None,
+) -> None:
+    """Tombstone ``ids`` (a one-column or wider DataFrame; only
+    ``id_col`` is read) for the index family whose member tables are
+    ``members`` (``[{"table": name, "id_cols": [cols...]}, ...]`` — a
+    member may reference the id under several columns, e.g. a verified
+    -pairs table's doc_a/doc_b). ``refresh`` optionally names a derived
+    one-row stats table the fold must recompute after dropping rows
+    (``{"kind": "bm25_stats", ...}`` — kinds registered in
+    ``_REFRESH_KINDS``; an unknown kind makes the fold skip the family,
+    never truncate it).
+
+    The append is idempotent under at-least-once redelivery: ids
+    already tombstoned are dropped via a broadcast probe through a
+    FILE-LIST SNAPSHOT of the tombstone table (the ``text_index_append``
+    convention — the probe's read stays stable when re-evaluated after
+    this call's own append lands). Ids absent from the index are
+    harmless (the anti-joins and the fold simply match nothing).
+    Cost is O(|ids|) plus the narrow probe — no member table is read
+    or written here; the physical rewrite is the fold's job."""
+    from dbt_on_snowflake_spark.engine.fs import (
+        fs_create_atomic,
+        fs_list_files,
+    )
+    from dbt_on_snowflake_spark.engine.index_maintenance import (
+        table_location,
+    )
+
+    new_ids = ids.select(id_col).distinct()
+    if not spark.catalog.tableExists(tombstones_table):
+        # create the (empty) table first so the sidecar lands in its
+        # dir; the sidecar is written atomically BEFORE any id row, so
+        # a fold can interpret every non-empty tombstone table it sees
+        new_ids.limit(0).write.mode("overwrite").saveAsTable(
+            tombstones_table
+        )
+        spec = {
+            "id_col": id_col,
+            "members": members,
+            "refresh": refresh,
+        }
+        fs_create_atomic(
+            spark,
+            _sidecar_path(spark, tombstones_table),
+            json.dumps(spec, indent=1).encode(),
+        )
+    snap = fs_list_files(
+        spark, table_location(spark, tombstones_table)
+    )
+    if snap:
+        dup = (
+            spark.read.parquet(*snap)
+            .select(id_col)
+            .join(F.broadcast(new_ids), id_col)
+        )
+        new_ids = new_ids.join(F.broadcast(dup), id_col, "left_anti")
+    new_ids.write.mode("append").saveAsTable(tombstones_table)
+    spark.catalog.refreshTable(tombstones_table)
+
+
+def live_rows(
+    spark: SparkSession,
+    df: DataFrame,
+    tombstones_table: str,
+    id_col: str,
+) -> DataFrame:
+    """Gate an index-member relation to its live (non-tombstoned) rows.
+    Exact no-op — same object, same plan — when the family has no
+    tombstone table (the common case: plan pins on the pristine serves
+    hold). Otherwise one broadcast anti-join; tombstone volume between
+    folds is bounded (module docstring), so the broadcast is small."""
+    if not spark.catalog.tableExists(tombstones_table):
+        return df
+    tomb = spark.table(tombstones_table).select(id_col)
+    return df.join(F.broadcast(tomb), id_col, "left_anti")
+
+
+def has_tombstones(spark: SparkSession, tombstones_table: str) -> bool:
+    """Whether the family has ever seen a delete (driver-side catalog
+    probe, no Spark job). Serve paths use this to switch derived stats
+    from the persisted one-row table to a live recompute over the
+    gated rows — the fold refreshes the persisted stats before
+    truncating, so the switch is only ever needed while tombstones can
+    exist."""
+    return spark.catalog.tableExists(tombstones_table)
+
+
+def _refresh_bm25_stats(spark: SparkSession, refresh: dict) -> None:
+    """Recompute the BM25 one-row stats from the (already folded)
+    doclen table with the exact expression ``build_text_index`` uses,
+    so the persisted avgdl is bit-identical to a from-scratch build
+    over the shrunken corpus."""
+    doclen_t, stats_t = refresh["doclen_table"], refresh["stats_table"]
+    spark.catalog.refreshTable(doclen_t)
+    (
+        spark.table(doclen_t)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias(
+                "avgdl"
+            ),
+        )
+        .write.mode("overwrite")
+        .saveAsTable(stats_t)
+    )
+
+
+_REFRESH_KINDS = {"bm25_stats": _refresh_bm25_stats}
+
+
+def fold_tombstones(
+    spark: SparkSession, tombstones_table: str
+) -> tuple[int, int] | None:
+    """Fold one family's tombstones into its member tables: anti-join
+    rewrite each member under the compaction swap protocol, refresh the
+    declared stats, then delete exactly the tombstone files that were
+    read. Returns ``(n_members_rewritten, n_tombstone_files_folded)``;
+    ``None`` when there is nothing to fold. Raises (for the sweep's
+    skip-with-reason report) whenever proceeding could lose a delete —
+    missing/undecodable sidecar, unknown refresh kind, missing member,
+    bucketed member, or a member rewrite aborted by a racing append.
+    In every raise path the tombstone table is left untouched, so the
+    serves stay exact and the next sweep retries."""
+    from dbt_on_snowflake_spark.engine.fs import (
+        fs_delete,
+        fs_list_files,
+    )
+    from dbt_on_snowflake_spark.engine.index_maintenance import (
+        rewrite_index_table,
+        table_location,
+    )
+
+    loc = table_location(spark, tombstones_table)
+    snap = fs_list_files(spark, loc)
+    if not snap:
+        return None
+    spec = tombstone_spec(spark, tombstones_table)
+    if spec is None:
+        raise ValueError(
+            f"{tombstones_table} has no {SIDECAR} sidecar; cannot "
+            "name its member tables — refusing to fold"
+        )
+    refresh = spec.get("refresh")
+    # every fail-closed precondition BEFORE the first rewrite: a fold
+    # that rewrites some members and then discovers it cannot finish
+    # would leave wasted work (though never lost deletes)
+    if refresh is not None and refresh.get("kind") not in _REFRESH_KINDS:
+        raise ValueError(
+            f"{tombstones_table} declares unknown refresh kind "
+            f"{refresh.get('kind')!r}; refusing to fold"
+        )
+    for m in spec["members"]:
+        if not spark.catalog.tableExists(m["table"]):
+            raise ValueError(
+                f"member {m['table']} of {tombstones_table} is "
+                "missing (crashed swap?); refusing to fold until its "
+                "ensure_* path restores it"
+            )
+    # the ids are read through the file-list snapshot so every member's
+    # anti-join sees the SAME id set even if a concurrent delete
+    # appends mid-fold (those new files survive the truncate below)
+    ids = spark.read.parquet(*snap).select(spec["id_col"]).distinct()
+    # localCheckpoint: the id set is re-evaluated once per member
+    # rewrite and is small by the bounded-tombstone posture;
+    # materializing it also drops the plan's dependency on the files
+    # the truncate below deletes
+    ids = ids.localCheckpoint(eager=True)
+    rewritten = 0
+    for m in spec["members"]:
+
+        def drop_tombstoned(df: DataFrame, cols=tuple(m["id_cols"])):
+            for c in cols:
+                df = df.join(
+                    F.broadcast(
+                        ids.withColumnRenamed(spec["id_col"], c)
+                    ),
+                    c,
+                    "left_anti",
+                )
+            return df
+
+        if rewrite_index_table(spark, m["table"], drop_tombstoned) is None:
+            raise ValueError(
+                f"member {m['table']} rewrite aborted (an append "
+                "raced the fold); tombstones retained for the next "
+                "sweep"
+            )
+        rewritten += 1
+    if refresh is not None:
+        _REFRESH_KINDS[refresh["kind"]](spark, refresh)
+    # truncate LAST, and only the snapshot's files: deletes that landed
+    # mid-fold keep their tombstones (and their serve-side anti-join)
+    for f in snap:
+        fs_delete(spark, f)
+    spark.catalog.refreshTable(tombstones_table)
+    return rewritten, len(snap)
+
+
+def fold_tombstone_families(
+    spark: SparkSession,
+) -> tuple[list[tuple[str, int, int]], list[tuple[str, str]]]:
+    """Sweep every database for tombstone tables (``*_tombstones_*``
+    naming, the family helpers' convention) and fold each. Returns
+    ``(folded, skipped)`` — one unfoldable family is reported and
+    skipped, never allowed to abort the rest of the maintenance sweep,
+    and skipping is always SAFE: its tombstones stay in place and its
+    serves stay gated."""
+    done: list[tuple[str, int, int]] = []
+    skipped: list[tuple[str, str]] = []
+    current = spark.catalog.currentDatabase()
+    for db in sorted(d.name for d in spark.catalog.listDatabases()):
+        for t in spark.catalog.listTables(db):
+            if t.isTemporary or "_tombstones_" not in t.name:
+                continue
+            if t.tableType not in ("MANAGED", "EXTERNAL"):
+                continue
+            qual = t.name if db == current else f"{db}.{t.name}"
+            try:
+                r = fold_tombstones(spark, qual)
+            except Exception as exc:  # noqa: BLE001 — sweep must survive
+                skipped.append((qual, str(exc)))
+                continue
+            if r is not None:
+                done.append((qual, *r))
+    return done, skipped

@@ -81,6 +81,32 @@ def _is_bucketed(spark: SparkSession, name: str) -> bool:
     )
 
 
+def _bucket_spec(
+    spark: SparkSession, name: str
+) -> tuple[int, list[str], list[str]] | None:
+    """(num_buckets, bucket_cols, sort_cols) from the catalog, or None
+    for an unbucketed table — what a rewrite must reproduce so the
+    bucket-trusting zero-shuffle join plans survive the swap."""
+    # bounded collect: DESCRIBE returns a screenful of info rows
+    rows = {
+        r.col_name: r.data_type
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+    }
+    if "Num Buckets" not in rows:
+        return None
+
+    def cols(key: str) -> list[str]:
+        return [
+            c.strip().strip("`")
+            for c in rows.get(key, "").strip("[]").split(",")
+            if c.strip()
+        ]
+
+    return int(rows["Num Buckets"]), cols("Bucket Columns"), cols(
+        "Sort Columns"
+    )
+
+
 def _strip_scheme(path: str) -> str:
     """Normalize a local-FS URI for path comparison: drop the file:
     scheme AND any authority, collapsing the equivalent spellings
@@ -102,18 +128,21 @@ def _database_location(spark: SparkSession, db: str) -> str:
     raise ValueError(f"no location for database {db}")
 
 
-def compact_index_table(
+def _swap_rewrite(
     spark: SparkSession,
     name: str,
+    transform,
     *,
+    skip_if_compact: bool,
     target_bytes: int = TARGET_FILE_BYTES,
 ) -> tuple[int, int] | None:
-    """Compact one index table toward one file per partition dir (or
-    ~``target_bytes`` files when unpartitioned). Returns
-    ``(files_before, files_after)``, or ``None`` when skipped — already
-    compact, bucketed (a blind rewrite would destroy the bucket-file
-    naming the catalog scan relies on, same skip as the versioned
-    ``compact``), or aborted because an append raced the rewrite."""
+    """The shared heal -> snapshot -> rewrite -> recheck -> drop-rename
+    core behind ``compact_index_table`` (identity transform, skips
+    already-compact tables) and ``rewrite_index_table`` (row-dropping
+    transforms — the tombstone fold — which must rewrite regardless of
+    file counts). Returns ``(files_before, files_after)``; ``None``
+    when skipped (already compact) or aborted (an append raced the
+    rewrite)."""
     from dbt_on_snowflake_spark.engine.fs import (
         fs_count_files,
         fs_delete,
@@ -122,8 +151,6 @@ def compact_index_table(
         fs_size,
     )
 
-    if _is_bucketed(spark, name):
-        return None
     loc = table_location(spark, name)
     # Qualify the tmp with the OWNER's database (r10 advice,
     # index_maintenance.py:143): an unqualified tmp for a table in a
@@ -177,11 +204,40 @@ def compact_index_table(
     else:
         n_files = max(1, -(-fs_size(spark, loc) // target_bytes))
         already = before <= n_files
-    if already:
+    if skip_if_compact and already:
         return None
 
-    df = spark.table(name)
-    if parts:
+    src = spark.table(name)
+    # re-select the source column order: a join-based transform (the
+    # tombstone fold's anti-join) moves its key to the front, and the
+    # swap must hand back a schema-identical table
+    df = transform(src).select(src.columns)
+    bucket = _bucket_spec(spark, name)
+    if bucket is not None:
+        # reproduce the bucket layout exactly (count, columns, in-bucket
+        # sort) so the bucket-trusting zero-shuffle probe joins survive
+        # the swap. Unpartitioned: repartition on the bucket hash so
+        # each task holds one bucket and the rewrite emits one file per
+        # bucket; partitioned+bucketed (the pruned band-index layout):
+        # cluster on the partition dirs instead — bucket splitting then
+        # happens within each dir's single writer task (~n_buckets
+        # files per dir, the same shape a clustered build emits).
+        n_b, b_cols, s_cols = bucket
+        clustered = (
+            df.repartition(*parts)
+            if parts
+            else df.repartition(n_b, *b_cols)
+        )
+        writer = (
+            clustered.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(n_b, *b_cols)
+        )
+        if parts:
+            writer = writer.partitionBy(*parts)
+        if s_cols:
+            writer = writer.sortBy(*s_cols)
+    elif parts:
         writer = (
             df.repartition(*parts)
             .write.mode("overwrite")
@@ -211,6 +267,46 @@ def compact_index_table(
         spark.sql(f"MSCK REPAIR TABLE {name}")
     spark.catalog.refreshTable(name)
     return before, fs_count_files(spark, table_location(spark, name))
+
+
+def compact_index_table(
+    spark: SparkSession,
+    name: str,
+    *,
+    target_bytes: int = TARGET_FILE_BYTES,
+) -> tuple[int, int] | None:
+    """Compact one index table toward one file per partition dir (or
+    ~``target_bytes`` files when unpartitioned). Returns
+    ``(files_before, files_after)``, or ``None`` when skipped — already
+    compact, bucketed (a blind rewrite would destroy the bucket-file
+    naming the catalog scan relies on, same skip as the versioned
+    ``compact``), or aborted because an append raced the rewrite."""
+    if _is_bucketed(spark, name):
+        return None
+    return _swap_rewrite(
+        spark,
+        name,
+        lambda df: df,
+        skip_if_compact=True,
+        target_bytes=target_bytes,
+    )
+
+
+def rewrite_index_table(
+    spark: SparkSession, name: str, transform
+) -> tuple[int, int] | None:
+    """Rewrite one index table through ``transform`` (a DataFrame ->
+    DataFrame row filter — the tombstone fold's anti-join) under the
+    same heal/snapshot/recheck/drop-rename protocol as compaction,
+    keeping the partition OR bucket layout (``_bucket_spec`` is
+    reproduced exactly, so bucket-trusting zero-shuffle probes survive
+    — unlike ``compact_index_table``, which skips bucketed tables
+    because merging files adds nothing there). The rewrite also runs
+    when the file layout is already compact: the point is dropping
+    ROWS, not merging files. Returns ``(files_before, files_after)``;
+    ``None`` when an append raced the rewrite (the caller must treat
+    that as "this table still holds the tombstoned rows")."""
+    return _swap_rewrite(spark, name, transform, skip_if_compact=False)
 
 
 _IDEMPOTENT_MERGES = {"max", "min"}
@@ -344,6 +440,13 @@ def compact_index_tables(
     for db in sorted(d.name for d in spark.catalog.listDatabases()):
         for t in spark.catalog.listTables(db):
             if t.isTemporary:
+                continue
+            if "_tombstones_" in t.name:
+                # tombstone tables (engine.index_delete) carry a
+                # _tombstones.json sidecar INSIDE their data dir that
+                # the drop-rename swap would silently discard, making
+                # the family unfoldable forever; they are tiny and the
+                # fold truncates them, so compaction has nothing to add
                 continue
             qual = t.name if db == current else f"{db}.{t.name}"
             if t.name.endswith("__compacting"):

@@ -947,6 +947,9 @@ def build_minhash_index(
     pairs (the prior dedup run's output) — the within-corpus candidate
     self-join reads the just-written bucketed index, so it is itself a
     zero-shuffle co-located join."""
+    # a full rebuild reads the corpus of record — reset the family's
+    # tombstone slate (engine/index_delete.py semantics)
+    _drop_managed_table(spark, _mh_tombstones(index_table))
     _drop_managed_table(spark, index_table)
     write_bucketed(minhash_band_keys(docs), index_table, "band_key", n_buckets)
     if pairs_table is not None:
@@ -966,6 +969,77 @@ def build_minhash_index(
         )
         _drop_managed_table(spark, pairs_table)
         verify_pairs(cand, sh).write.mode("overwrite").saveAsTable(pairs_table)
+
+
+def _mh_tombstones(index_table: str) -> str:
+    """The band-index family's tombstone-table name (the
+    ``_pq_tombstones`` convention, similarity.py)."""
+    return "mh_tombstones_" + index_table.removeprefix("mh_band_index_")
+
+
+def minhash_index_delete(
+    spark: SparkSession,
+    ids: DataFrame,
+    *,
+    index_table: str,
+    pairs_table: str | None = None,
+) -> None:
+    """Delete documents from a persisted MinHash band index (and, when
+    the family persists one, its verified-pairs side output — a pair is
+    dead when EITHER endpoint is deleted, so the pairs member anti-joins
+    on both doc columns). O(|ids|): tombstones only; every probe and
+    pairs read gates through them immediately, and ``compact
+    --indexes``'s fold rewrites the bucketed index in place (the bucket
+    spec is reproduced exactly, so the zero-index-shuffle probe plans
+    survive), converging bit-exactly to a rebuild without those docs."""
+    from dbt_on_snowflake_spark.engine.index_delete import index_delete
+
+    members = [{"table": index_table, "id_cols": ["doc_id"]}]
+    if pairs_table is not None:
+        members.append(
+            {"table": pairs_table, "id_cols": ["doc_a", "doc_b"]}
+        )
+    index_delete(
+        spark,
+        ids,
+        tombstones_table=_mh_tombstones(index_table),
+        id_col="doc_id",
+        members=members,
+    )
+
+
+def _live_index(spark: SparkSession, index_table: str) -> DataFrame:
+    """The band index's live rows — tombstone-gated, exact no-op (same
+    plan) until the family's first delete, so the bucketed
+    zero-index-shuffle probe pins hold."""
+    from dbt_on_snowflake_spark.engine.index_delete import live_rows
+
+    return live_rows(
+        spark,
+        spark.table(index_table),
+        _mh_tombstones(index_table),
+        "doc_id",
+    )
+
+
+def _live_pairs(
+    spark: SparkSession, pairs_table: str, index_table: str
+) -> DataFrame:
+    """The persisted verified-pairs rows with no deleted endpoint."""
+    from dbt_on_snowflake_spark.engine.index_delete import live_rows
+
+    tomb = _mh_tombstones(index_table)
+    src = spark.table(pairs_table)
+    pairs = src
+    for c in ("doc_a", "doc_b"):
+        pairs = live_rows(
+            spark,
+            pairs.withColumnRenamed(c, "doc_id"),
+            tomb,
+            "doc_id",
+        ).withColumnRenamed("doc_id", c)
+    # the renames/joins reorder columns; hand back the table's schema
+    return pairs.select(src.columns)
 
 
 def attach_minhash_index(
@@ -1016,7 +1090,7 @@ def dedup_incremental_candidates(
     probing — so the minhash pass over the batch runs once, not per
     consumer."""
     new_bands = bands if bands is not None else minhash_band_keys(new_docs)
-    idx = spark.table(index_table)
+    idx = _live_index(spark, index_table)
     n, i = new_bands.alias("n"), idx.alias("i")
     vs_corpus = (
         n.join(i, "band_key")
@@ -1073,7 +1147,9 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = shingle_df(spark, sf_dir).join(ids, "doc_id", "left_semi")
     inc_pairs = verify_pairs(cand, sh)
-    return spark.table(pairs_table).unionByName(inc_pairs)
+    return _live_pairs(spark, pairs_table, index_table).unionByName(
+        inc_pairs
+    )
 
 
 # ------------------------------------------------- source overlap matrix
@@ -1161,6 +1237,9 @@ def build_minhash_index_pruned(
     bucketed layout doesn't have (bucketing kills the shuffle; this
     kills the scan). At 100 TB a daily batch probing a year-scale index
     reads ~|touched parts|/64 of it."""
+    # a full rebuild reads the corpus of record — reset the family's
+    # tombstone slate (engine/index_delete.py semantics)
+    _drop_managed_table(spark, _mh_tombstones(index_table))
     _drop_managed_table(spark, index_table)
     (
         minhash_band_keys(docs)
@@ -1219,7 +1298,14 @@ def dedup_incremental_candidates_pruned(
         r[0]
         for r in new_bands.select(_band_part().alias("p")).distinct().collect()
     ]
-    idx = spark.table(index_table).filter(F.col("band_part").isin(parts))
+    from dbt_on_snowflake_spark.engine.index_delete import live_rows
+
+    idx = live_rows(
+        spark,
+        spark.table(index_table).filter(F.col("band_part").isin(parts)),
+        _mh_tombstones(index_table),
+        "doc_id",
+    )
     n, i = new_bands.alias("n"), idx.alias("i")
     vs_corpus = (
         n.join(i, "band_key")
@@ -1286,7 +1372,9 @@ def dedup_incremental_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = shingle_df(spark, sf_dir).join(ids, "doc_id", "left_semi")
     inc_pairs = verify_pairs(cand, sh)
-    return spark.table(pairs_table).unionByName(inc_pairs)
+    return _live_pairs(spark, pairs_table, index_table).unionByName(
+        inc_pairs
+    )
 
 
 # ------------------------------------------------------ containment dedup

@@ -468,7 +468,9 @@ def multimodal_embed_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     codebook_table, codes_table = ensure_pq_index(spark, sf_dir)
-    codes = spark.table(codes_table).select("vec_id", "bests")
+    from dbt_on_snowflake_spark.operators.similarity import _live_codes
+
+    codes = _live_codes(spark, codes_table)
     e = _vectors(spark, sf_dir)
     shortlist = _adc_serve(
         spark, e, codebook_table, codes, RERANK_SHORTLIST, queries=queries

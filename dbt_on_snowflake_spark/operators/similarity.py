@@ -491,6 +491,9 @@ def build_ann_index(
     the indexed query path below reads them from this table instead."""
     from dbt_on_snowflake_spark.operators.dedup import _drop_managed_table
 
+    # a full rebuild reads the corpus of record — reset the family's
+    # tombstone slate (engine/index_delete.py semantics)
+    _drop_managed_table(spark, _ann_tombstones(assignments_table))
     _drop_managed_table(spark, centroids_table)
     _centroid_vectors(e).write.mode("overwrite").saveAsTable(centroids_table)
     _drop_managed_table(spark, assignments_table)
@@ -549,7 +552,11 @@ def ensure_ann_index(
         spark,
         tables=(assignments_table, centroids_table),
         job_group=job_group,
-        gc_prefixes=("ann_centroids_", "ann_assignments_"),
+        gc_prefixes=(
+            "ann_centroids_",
+            "ann_assignments_",
+            "ann_tombstones_",
+        ),
         gc_suffix=gc_suffix,
         build=lambda: build_ann_index(
             spark,
@@ -586,7 +593,9 @@ def ann_ivf_multiprobe_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = F.broadcast(e.filter(F.expr(_QUERY_PRED))).alias("q")
     cvec = spark.table(centroids_table)
-    corpus = spark.table(assignments_table).select("vec_id", "label", "v")
+    corpus = _live_assignments(spark, assignments_table).select(
+        "vec_id", "label", "v"
+    )
     return _multiprobe_topk(q, cvec, corpus)
 
 
@@ -774,7 +783,11 @@ def refresh_centroids(spark: SparkSession, *, centroids_table: str,
     the tiny centroid table in place."""
     from dbt_on_snowflake_spark.operators.dedup import _drop_managed_table
 
-    e = spark.table(assignments_table).select("vec_id", "label", "v")
+    # live rows only: a tombstoned vector must not keep pulling the
+    # refreshed centroids toward itself (engine/index_delete.py)
+    e = _live_assignments(spark, assignments_table).select(
+        "vec_id", "label", "v"
+    )
     fresh = _centroid_vectors(e)
     _drop_managed_table(spark, centroids_table)
     fresh.write.mode("overwrite").saveAsTable(centroids_table)
@@ -941,7 +954,9 @@ def _semantic_prune_arrow(
         int(r.label): np.asarray(r.v, dtype=np.float64)
         for r in spark.table(centroids_table).collect()
     }
-    a = spark.table(assignments_table).select("vec_id", "label", "v")
+    a = _live_assignments(spark, assignments_table).select(
+        "vec_id", "label", "v"
+    )
     label_field = a.schema["label"]
     out_schema = (
         f"vec_id long, label {label_field.dataType.simpleString()}, "
@@ -1015,7 +1030,9 @@ def _semantic_prune(
     if kernel != "hof":
         raise ValueError(f"unknown semantic kernel {kernel!r}")
     cvec = F.broadcast(spark.table(centroids_table)).alias("c")
-    a = spark.table(assignments_table).select("vec_id", "label", "v")
+    a = _live_assignments(spark, assignments_table).select(
+        "vec_id", "label", "v"
+    )
     scored = (
         a.alias("e")
         .join(cvec, "label")
@@ -1695,14 +1712,17 @@ def _pq_lut_adc_sql(lut_from: str, codes_src: str) -> str:
     )"""
 
 
-def _pq_adc_topk_oracle(codes_cte: str, k: int) -> str:
+def _pq_adc_topk_oracle(
+    codes_cte: str, k: int, codes_src: str = _PQ_DEFAULT_CODES_SRC
+) -> str:
     """ADC top-k tail over the lut/adc chain — shared by
-    ``ann_pq_adc_topk`` (full-corpus codebook) and
-    ``ann_pq_adc_appended`` (frozen codebook)."""
+    ``ann_pq_adc_topk`` (full-corpus codebook), ``ann_pq_adc_appended``
+    (frozen codebook), and ``ann_pq_adc_deleted`` (full codebook,
+    ``codes_src`` restricted to the surviving vectors)."""
     return f"""
     WITH {codes_cte},
     {_pq_lut_adc_sql(
-        f"(SELECT * FROM e WHERE {_QUERY_PRED}) qv", _PQ_DEFAULT_CODES_SRC
+        f"(SELECT * FROM e WHERE {_QUERY_PRED}) qv", codes_src
     )},
     ranked AS (
         SELECT *, ROW_NUMBER() OVER (
@@ -2260,8 +2280,15 @@ def ann_filtered_indexed(
         job_group="ann_filtered_indexed",
         gc_suffix=suffix,
     )
-    matching = spark.table(assignments_table).filter(
-        F.expr(ANN_FILTER_PRED)
+    from dbt_on_snowflake_spark.engine.index_delete import live_rows
+
+    # metadata filter first (partition prune at the scan), then the
+    # tombstone gate (exact no-op until the family's first delete)
+    matching = live_rows(
+        spark,
+        spark.table(assignments_table).filter(F.expr(ANN_FILTER_PRED)),
+        _ann_tombstones(assignments_table),
+        "vec_id",
     )
     cellcnt = matching.groupBy("label").agg(F.count(F.lit(1)).alias("m"))
     qdf = e.filter(F.expr(_QUERY_PRED))
@@ -2420,7 +2447,7 @@ def ensure_pq_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         spark,
         tables=(codes_table, codebook_table),
         job_group="pq_index",
-        gc_prefixes=("pq_codebook_", "pq_codes_"),
+        gc_prefixes=("pq_codebook_", "pq_codes_", "pq_tombstones_"),
         gc_suffix=suffix,
         build=lambda: build_pq_index(
             spark,
@@ -3476,6 +3503,9 @@ def build_pq_index(
     build_ann_index (one file per cell, no small-file explosion)."""
     from dbt_on_snowflake_spark.operators.dedup import _drop_managed_table
 
+    # a full rebuild reads the corpus of record — reset the family's
+    # tombstone slate (engine/index_delete.py semantics)
+    _drop_managed_table(spark, _pq_tombstones(codes_table))
     _drop_managed_table(spark, codebook_table)
     _centroid_vectors(e).write.mode("overwrite").saveAsTable(codebook_table)
     _drop_managed_table(spark, codes_table)
@@ -3554,6 +3584,132 @@ def pq_index_append(
     return codes
 
 
+# ----------------------------------------- ANN/PQ index DELETE propagation
+
+
+def _pq_tombstones(codes_table: str) -> str:
+    """The PQ family's tombstone-table name, derived from the codes
+    table so the delete path and every ADC serve resolve the SAME
+    table for any suffix (fingerprinted, appended, ad-hoc)."""
+    return "pq_tombstones_" + codes_table.removeprefix("pq_codes_")
+
+
+def _ann_tombstones(assignments_table: str) -> str:
+    """The IVF family's tombstone-table name (see ``_pq_tombstones``)."""
+    return "ann_tombstones_" + assignments_table.removeprefix(
+        "ann_assignments_"
+    )
+
+
+def pq_index_delete(
+    spark: SparkSession, ids: DataFrame, *, codes_table: str
+) -> None:
+    """Delete vectors from a persisted PQ index built by
+    ``build_pq_index`` — the missing lifecycle verb next to
+    ``pq_index_append`` (r11 verdict, Next #2). O(|ids|): the vec_ids
+    land in the family's tombstone table (engine/index_delete.py) and
+    every ADC serve gates the codes through them immediately; the
+    physical partition rewrite is ``compact --indexes``'s tombstone
+    fold, which converges bit-exactly to an encode of the surviving
+    vectors against the same frozen codebook (codes are per-row facts).
+    The codebook is untouched — it stays frozen exactly as under
+    append; retraining after heavy churn is the drift gate's call."""
+    from dbt_on_snowflake_spark.engine.index_delete import index_delete
+
+    index_delete(
+        spark,
+        ids,
+        tombstones_table=_pq_tombstones(codes_table),
+        id_col="vec_id",
+        members=[{"table": codes_table, "id_cols": ["vec_id"]}],
+    )
+
+
+def ann_index_delete(
+    spark: SparkSession, ids: DataFrame, *, assignments_table: str
+) -> None:
+    """Delete vectors from a persisted IVF index built by
+    ``build_ann_index``: tombstone the vec_ids; every probe serve gates
+    the assignments through them until the fold rewrites the touched
+    label partitions. The centroid table is untouched (frozen, like the
+    PQ codebook) — ``refresh_centroids`` recomputes it from the grown
+    assignments when drift warrants."""
+    from dbt_on_snowflake_spark.engine.index_delete import index_delete
+
+    index_delete(
+        spark,
+        ids,
+        tombstones_table=_ann_tombstones(assignments_table),
+        id_col="vec_id",
+        members=[{"table": assignments_table, "id_cols": ["vec_id"]}],
+    )
+
+
+def _live_codes(spark: SparkSession, codes_table: str) -> DataFrame:
+    """The codes table's live (vec_id, bests) rows — the tombstone-gated
+    read every ADC serve shares. Exact no-op (same plan) until the
+    family's first delete (``live_rows``), so the pristine serve plan
+    pins hold."""
+    from dbt_on_snowflake_spark.engine.index_delete import live_rows
+
+    return live_rows(
+        spark,
+        spark.table(codes_table),
+        _pq_tombstones(codes_table),
+        "vec_id",
+    ).select("vec_id", "bests")
+
+
+def _live_assignments(spark: SparkSession, assignments_table: str) -> DataFrame:
+    """The assignments table's live rows (see ``_live_codes``)."""
+    from dbt_on_snowflake_spark.engine.index_delete import live_rows
+
+    return live_rows(
+        spark,
+        spark.table(assignments_table),
+        _ann_tombstones(assignments_table),
+        "vec_id",
+    )
+
+
+@query(
+    "ann_pq_adc_deleted",
+    driver=False,  # r12-born: R13_ROTATE_IN
+    oracle=_pq_adc_topk_oracle(
+        _PQ_CODES_CTE,
+        TOP_K,
+        codes_src=(
+            "SELECT vec_id, m, code FROM pq_codes"
+            f" WHERE rn = 1 AND {_CORPUS_PRED}"
+        ),
+    ),
+)
+def ann_pq_adc_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ann_pq_adc_topk`` served AFTER a delete: the PQ index is built
+    from the FULL corpus (codebook trained on everything), every 10th
+    vector is then deleted via ``pq_index_delete`` (tombstones only),
+    and the ADC serve must match the oracle whose codes cover only the
+    surviving vectors — against the SAME full-corpus codebook, which is
+    exactly what a fold (or a re-encode of the survivors against the
+    frozen codebook) produces. One query proves delete propagation
+    end-to-end at the serve layer; fold convergence is pinned by
+    ``tests/test_index_delete.py``."""
+    import hashlib
+
+    suffix = hashlib.md5(f"pqdel:{sf_dir}".encode()).hexdigest()[:8]
+    cb_t, cd_t = f"pq_codebook_del_{suffix}", f"pq_codes_del_{suffix}"
+    e = _vectors(spark, sf_dir)
+    # rebuilt from scratch each call (the build+delete verification
+    # surface); the build itself resets the tombstone slate
+    build_pq_index(spark, e, codebook_table=cb_t, codes_table=cd_t)
+    pq_index_delete(
+        spark,
+        e.filter(F.expr(_NEW_BATCH_PRED)).select("vec_id"),
+        codes_table=cd_t,
+    )
+    return _adc_serve(spark, e, cb_t, _live_codes(spark, cd_t), TOP_K)
+
+
 @query(
     "ann_pq_adc_appended",
     driver=False,  # r11-born: R12_ROTATE_IN
@@ -3589,7 +3745,7 @@ def ann_pq_adc_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes_table=cd_t,
     )
     spark.catalog.refreshTable(cd_t)
-    codes = spark.table(cd_t).select("vec_id", "bests")
+    codes = _live_codes(spark, cd_t)
     return _adc_serve(spark, e, cb_t, codes, TOP_K)
 
 
@@ -3609,7 +3765,7 @@ def ann_pq_adc_indexed(
     a single result row, so it shares the recompute path's oracle."""
     codebook_table, codes_table = ensure_pq_index(spark, sf_dir)
     e = _vectors(spark, sf_dir)
-    codes = spark.table(codes_table).select("vec_id", "bests")
+    codes = _live_codes(spark, codes_table)
     return _adc_serve(spark, e, codebook_table, codes, k)
 
 
@@ -3702,11 +3858,15 @@ def ann_filtered_rerank_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the storage for byte-identical content."""
     codebook_table, codes_table = ensure_pq_index(spark, sf_dir)
     e = _vectors(spark, sf_dir)
-    codes = (
-        spark.table(codes_table)
-        .filter(F.expr(ANN_FILTER_PRED))  # label partition pruning
-        .select("vec_id", "bests")
-    )
+    from dbt_on_snowflake_spark.engine.index_delete import live_rows
+
+    codes = live_rows(
+        spark,
+        # label partition pruning first, then the tombstone gate
+        spark.table(codes_table).filter(F.expr(ANN_FILTER_PRED)),
+        _pq_tombstones(codes_table),
+        "vec_id",
+    ).select("vec_id", "bests")
     shortlist = _adc_serve(
         spark, e, codebook_table, codes, RERANK_SHORTLIST
     ).select("query_id", "neighbor_id")

@@ -1178,9 +1178,11 @@ BM25_B = 0.75
 BM25_TOP_N = 10
 
 
-def bm25_ranked_cte(depth: int) -> str:
+def bm25_ranked_cte(depth: int, docs_src: str = "documents") -> str:
     """DuckDB CTE chain ending in ``b_ranked`` = the top-``depth`` BM25
-    ranking (doc_id, score, rank). Every fractional constant is
+    ranking (doc_id, score, rank) over ``docs_src`` (the documents view
+    by default; the tombstone-delete oracle passes a filtered subquery).
+    Every fractional constant is
     ::DOUBLE-coerced: DuckDB parses bare decimals as DECIMAL and its
     exact decimal division diverges from Spark's IEEE double division at
     the ulp level — below the 4dp rounding grain almost always, but
@@ -1205,7 +1207,7 @@ def bm25_ranked_cte(depth: int) -> str:
     )
     return f"""b_d AS (
         SELECT doc_id, len(string_split(text, ' ')) AS dl, {tf_cols}
-        FROM documents
+        FROM {docs_src}
     ),
     b_s AS (
         SELECT COUNT(*) AS n_docs,
@@ -1381,6 +1383,10 @@ def build_text_index(
     index-build shuffle; serving never repeats it."""
     from dbt_on_snowflake_spark.operators.dedup import _drop_managed_table
 
+    # a full rebuild reads the corpus of record, so prior serving-level
+    # deletes are either embodied in it or obsolete — reset the
+    # family's tombstone slate (engine/index_delete.py semantics)
+    _drop_managed_table(spark, _text_tombstones(postings_table))
     toks = F.split("text", " ")
     lens = d.select("doc_id", F.size(toks).alias("dl"))
     _drop_managed_table(spark, doclen_table)
@@ -1470,10 +1476,28 @@ def bm25_topn_indexed(
     exact pre-batch index state until the retry commits — uncommitted
     postings never skew a served idf. The doclen spine is
     duplicate-free by the append's idempotence probe, so it joins
-    without a dedup pass."""
+    without a dedup pass.
+
+    DELETED docs (``text_index_delete`` tombstones) are invisible the
+    same way orphans are: the doclen spine is gated through
+    ``live_rows`` — a broadcast anti-join that is an exact no-op (same
+    plan) until the family's first delete — so a tombstoned doc is in
+    neither the result set nor any df count. n_docs/avgdl switch from
+    the persisted one-row stats to a LIVE aggregate over the gated
+    spine whenever a tombstone table exists: the tombstone append is
+    the delete's only commit record, and reading persisted stats then
+    would serve pre-delete idf weights until the fold refreshes them
+    (engine/index_delete.py's crash posture — correct at every point
+    between delete and fold)."""
+    from dbt_on_snowflake_spark.engine.index_delete import (
+        has_tombstones,
+        live_rows,
+    )
+
     stats_t, postings_t, doclen_t = tables or _text_index_tables(
         spark, sf_dir
     )
+    tomb_t = _text_tombstones(postings_t)
     terms = list(BM25_TERMS)
     parts = _term_parts(spark, terms)
     p = (
@@ -1488,8 +1512,10 @@ def bm25_topn_indexed(
             for i, t in enumerate(terms)
         ]
     )
+    deleted = has_tombstones(spark, tomb_t)
+    spine = live_rows(spark, spark.table(doclen_t), tomb_t, "doc_id")
     base = (
-        spark.table(doclen_t)
+        spine
         .join(matches, "doc_id", "left")
         .select(
             "doc_id",
@@ -1517,7 +1543,20 @@ def bm25_topn_indexed(
             for i in range(len(terms))
         ]
     )
-    stats_row = spark.table(stats_t).crossJoin(F.broadcast(dfrow))
+    if deleted:
+        # live n_docs/avgdl over the gated spine — the exact expression
+        # build_text_index persists, evaluated over the post-delete
+        # rows (docstring above; long-SUM/COUNT, so bit-identical to a
+        # rebuild over the shrunken corpus)
+        stats = spine.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias(
+                "avgdl"
+            ),
+        )
+    else:
+        stats = spark.table(stats_t)
+    stats_row = stats.crossJoin(F.broadcast(dfrow))
     return _bm25_score_and_rank(base, stats_row, depth)
 
 
@@ -1571,7 +1610,12 @@ def ensure_text_index(
         spark,
         tables=tables,
         job_group="text_index",
-        gc_prefixes=("bm25_stats_", "bm25_postings_", "bm25_doclen_"),
+        gc_prefixes=(
+            "bm25_stats_",
+            "bm25_postings_",
+            "bm25_doclen_",
+            "bm25_tombstones_",
+        ),
         gc_suffix=stats_t.removeprefix("bm25_stats_"),
         build=lambda: build_text_index(
             spark,
@@ -1745,3 +1789,101 @@ def _set_bm25_incremental_oracle() -> None:
 
 
 _set_bm25_incremental_oracle()
+
+
+# --------------------------------------------- text-index DELETE propagation
+
+
+def _text_tombstones(postings_table: str) -> str:
+    """The family's tombstone-table name, derived from the postings
+    table so the delete path and every serve resolve the SAME table
+    for any suffix (fingerprinted, incremental, ad-hoc)."""
+    return "bm25_tombstones_" + postings_table.removeprefix(
+        "bm25_postings_"
+    )
+
+
+def text_index_delete(
+    spark: SparkSession,
+    ids: DataFrame,
+    *,
+    stats_table: str,
+    postings_table: str,
+    doclen_table: str,
+) -> None:
+    """Delete documents from a persisted text index built by
+    ``build_text_index`` — the missing lifecycle verb next to
+    ``text_index_append`` (r11 verdict, Next #2). O(|ids|): the doc_ids
+    land in the family's tombstone table (engine/index_delete.py) and
+    every serve gates through them immediately; the physical rewrite of
+    postings/doclen (and the persisted-stats refresh) is deferred to
+    ``compact --indexes``'s tombstone fold, which converges bit-exactly
+    to a rebuild without those docs. Until the fold, serves compute
+    n_docs/avgdl live over the gated doclen spine, so results are exact
+    at every point (``bm25_topn_indexed`` docstring)."""
+    from dbt_on_snowflake_spark.engine.index_delete import index_delete
+
+    index_delete(
+        spark,
+        ids,
+        tombstones_table=_text_tombstones(postings_table),
+        id_col="doc_id",
+        members=[
+            {"table": postings_table, "id_cols": ["doc_id"]},
+            {"table": doclen_table, "id_cols": ["doc_id"]},
+        ],
+        refresh={
+            "kind": "bm25_stats",
+            "stats_table": stats_table,
+            "doclen_table": doclen_table,
+        },
+    )
+
+
+@query(
+    "text_bm25_topk_deleted",
+    driver=False,  # r12-born: R13_ROTATE_IN
+    oracle=f"""
+    WITH {bm25_ranked_cte(
+        BM25_TOP_N,
+        docs_src=f"(SELECT * FROM documents WHERE {_BASE_DOCS_PRED})",
+    )}
+    SELECT doc_id, score, rank FROM b_ranked
+    """,
+)
+def text_bm25_topk_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``text_bm25_topk`` served AFTER a delete: the index is built from
+    the FULL corpus, every 10th doc is then deleted via
+    ``text_index_delete`` (tombstones only — no rewrite), and the serve
+    must match the recompute oracle over the corpus WITHOUT those docs —
+    including the idf weights, which shift when n_docs/df shrink. One
+    query proves delete propagation end-to-end at the serve layer; the
+    fold's bit-exact convergence is pinned by
+    ``tests/test_index_delete.py``."""
+    import hashlib
+
+    suffix = hashlib.md5(f"textdel:{sf_dir}".encode()).hexdigest()[:8]
+    stats_t = f"bm25_stats_{suffix}"
+    postings_t = f"bm25_postings_{suffix}"
+    doclen_t = f"bm25_doclen_{suffix}"
+    d = table(spark, sf_dir, "documents")
+    # rebuilt from scratch each call: this query IS the build+delete
+    # verification surface (text_bm25_topk_incremental's posture); the
+    # build itself resets the tombstone slate
+    build_text_index(
+        spark,
+        d,
+        stats_table=stats_t,
+        postings_table=postings_t,
+        doclen_table=doclen_t,
+    )
+    text_index_delete(
+        spark,
+        d.filter(F.expr(_NEW_DOCS_PRED)).select("doc_id"),
+        stats_table=stats_t,
+        postings_table=postings_t,
+        doclen_table=doclen_t,
+    )
+    return bm25_topn_indexed(
+        spark, sf_dir, BM25_TOP_N, tables=(stats_t, postings_t, doclen_t)
+    )

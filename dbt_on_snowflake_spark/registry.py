@@ -202,7 +202,10 @@ R12_ROTATE_IN: set[str] = {
 
 # Queries born in round 12 — mandatory r13 rotate-ins (never
 # driver-checked). Keep this current as queries are born.
-R13_ROTATE_IN: set[str] = set()
+R13_ROTATE_IN: set[str] = {
+    "text_bm25_topk_deleted",
+    "ann_pq_adc_deleted",
+}
 
 # The retired r10 export set (kept: the rotation-ledger enforcement test
 # and the judge's cross-round audit recompute staleness against it).

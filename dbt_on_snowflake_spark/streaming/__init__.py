@@ -737,7 +737,9 @@ def ann_pq_adc_ingest_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_dir=ckpt,
     )
     spark.catalog.refreshTable(cd_t)
-    codes = spark.table(cd_t).select("vec_id", "bests")
+    from dbt_on_snowflake_spark.operators.similarity import _live_codes
+
+    codes = _live_codes(spark, cd_t)
     return _adc_serve(spark, e, cb_t, codes, TOP_K)
 
 

@@ -3442,3 +3442,49 @@ def test_run_due_lock_gc(tmp_path):
     assert os.path.exists(
         os.path.join(lock_dir, "my_task_2026-08-14T09-05")
     )
+
+
+def test_clean_removes_declared_targets_only(tmp_path, capsys):
+    """`clean` (reference dbt_project.yml:17 clean-targets) deletes the
+    project's declared artifact dirs and nothing else; entries escaping
+    the project root are refused fail-closed with nothing deleted."""
+    import shutil
+
+    from dbt_on_snowflake_spark.__main__ import main
+
+    root = str(tmp_path / "proj")
+    os.makedirs(f"{root}/target/traces", exist_ok=True)
+    os.makedirs(f"{root}/dbt_modules", exist_ok=True)
+    os.makedirs(f"{root}/models", exist_ok=True)
+    open(f"{root}/project.yml", "w").write(
+        "name: cleanproj\nclean-targets: [target, dbt_modules]\n"
+    )
+    open(f"{root}/target/run_results.json", "w").write("{}")
+    open(f"{root}/models/keep.sql", "w").write("SELECT 1 AS one")
+    assert main(["clean", "--project", root]) == 0
+    out = capsys.readouterr().out
+    assert "cleaned target" in out and "cleaned dbt_modules" in out
+    assert not os.path.exists(f"{root}/target")
+    assert not os.path.exists(f"{root}/dbt_modules")
+    assert os.path.exists(f"{root}/models/keep.sql")
+    # re-clean: targets absent -> reported, exit 0
+    assert main(["clean", "--project", root]) == 0
+    assert "skip target: not present" in capsys.readouterr().out
+
+    # fail-closed: an escaping entry refuses the WHOLE clean
+    outside = tmp_path / "outside"
+    outside.mkdir()
+    os.makedirs(f"{root}/target", exist_ok=True)
+    open(f"{root}/project.yml", "w").write(
+        "name: cleanproj\nclean-targets: [target, ../outside]\n"
+    )
+    assert main(["clean", "--project", root]) == 2
+    assert outside.exists()
+    assert os.path.exists(f"{root}/target")  # nothing deleted
+    # the project root itself is refused too
+    open(f"{root}/project.yml", "w").write(
+        "name: cleanproj\nclean-targets: [.]\n"
+    )
+    assert main(["clean", "--project", root]) == 2
+    assert os.path.exists(f"{root}/models/keep.sql")
+    shutil.rmtree(root)

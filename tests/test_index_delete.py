@@ -1,0 +1,339 @@
+"""DELETE propagation for the persisted indexes (engine/index_delete.py):
+tombstone appends gate every serve immediately, and the ``compact
+--indexes`` fold physically rewrites the member tables, converging
+bit-exactly to a rebuild without the deleted rows. The contract is
+(1) a serve after delete equals a recompute over the shrunken corpus,
+(2) the fold leaves every member table row-identical to a filtered
+build (bucket/partition layout preserved), (3) replays and re-folds are
+no-ops, (4) every unsafe fold path fails CLOSED — tombstones retained,
+serves still gated."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_on_snowflake_spark.engine.fs import fs_list_files
+from dbt_on_snowflake_spark.engine.index_delete import (
+    fold_tombstone_families,
+    fold_tombstones,
+    index_delete,
+    live_rows,
+)
+from dbt_on_snowflake_spark.engine.index_maintenance import (
+    _bucket_spec,
+    table_location,
+)
+from dbt_on_snowflake_spark.operators.dedup import (
+    _drop_managed_table,
+    _mh_tombstones,
+    build_minhash_index,
+    minhash_band_keys,
+    minhash_index_delete,
+)
+from dbt_on_snowflake_spark.operators.similarity import (
+    _live_codes,
+    _pq_tombstones,
+    build_pq_index,
+    pq_index_delete,
+)
+from dbt_on_snowflake_spark.operators.textops import (
+    BM25_TOP_N,
+    _text_tombstones,
+    bm25_topn_indexed,
+    build_text_index,
+    text_index_delete,
+)
+from dbt_on_snowflake_spark.testdata import table
+from tests.conftest import SF_SMOKE
+
+DEL_PRED = "doc_id % 10 = 9"
+KEEP_PRED = "doc_id % 10 <> 9"
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _docs(spark):
+    return table(spark, SF_SMOKE, "documents")
+
+
+def _build_text(spark, tag, pred=None):
+    t = (f"bm25_stats_{tag}", f"bm25_postings_{tag}", f"bm25_doclen_{tag}")
+    d = _docs(spark)
+    if pred:
+        d = d.filter(F.expr(pred))
+    build_text_index(
+        spark, d, stats_table=t[0], postings_table=t[1], doclen_table=t[2]
+    )
+    return t
+
+
+def test_text_delete_then_fold_converges_to_filtered_build(spark):
+    """Serve-after-delete == serve-after-fold == a from-scratch build
+    over the shrunken corpus, and the folded member tables are
+    row-identical (stats bit-identical) to that build's."""
+    full = _build_text(spark, "tdel_full")
+    ref = _build_text(spark, "tdel_ref", pred=KEEP_PRED)
+    text_index_delete(
+        spark,
+        _docs(spark).filter(F.expr(DEL_PRED)).select("doc_id"),
+        stats_table=full[0],
+        postings_table=full[1],
+        doclen_table=full[2],
+    )
+    served_gated = _rows(bm25_topn_indexed(spark, SF_SMOKE, BM25_TOP_N, tables=full))
+    served_ref = _rows(bm25_topn_indexed(spark, SF_SMOKE, BM25_TOP_N, tables=ref))
+    assert served_gated == served_ref
+
+    tomb = _text_tombstones(full[1])
+    r = fold_tombstones(spark, tomb)
+    assert r is not None and r[0] == 2  # both members rewritten
+    # member tables converge row-identically; stats bit-identical
+    for folded_t, ref_t in zip(full, ref):
+        assert _rows(spark.table(folded_t)) == _rows(spark.table(ref_t)), (
+            folded_t
+        )
+    # tombstone files truncated; a re-fold has nothing to do
+    assert fs_list_files(spark, table_location(spark, tomb)) == []
+    assert fold_tombstones(spark, tomb) is None
+    # post-fold serve (now reading persisted stats again) is unchanged
+    assert (
+        _rows(bm25_topn_indexed(spark, SF_SMOKE, BM25_TOP_N, tables=full))
+        == served_ref
+    )
+
+
+def test_text_delete_replay_is_noop(spark):
+    full = _build_text(spark, "tdel_replay")
+    ids = _docs(spark).filter(F.expr(DEL_PRED)).select("doc_id")
+    kw = dict(
+        stats_table=full[0], postings_table=full[1], doclen_table=full[2]
+    )
+    text_index_delete(spark, ids, **kw)
+    tomb = _text_tombstones(full[1])
+    n1 = spark.table(tomb).count()
+    text_index_delete(spark, ids, **kw)  # at-least-once redelivery
+    assert spark.table(tomb).count() == n1
+
+
+def test_live_gate_is_exact_noop_without_tombstones(spark):
+    """The pristine serve plan is unchanged — live_rows returns the
+    SAME DataFrame (no anti-join node) when the family has never seen
+    a delete; after a delete the gate appears."""
+    full = _build_text(spark, "tdel_plan")
+    doclen = spark.table(full[2])
+    assert live_rows(spark, doclen, _text_tombstones(full[1]), "doc_id") is doclen
+    from dbt_on_snowflake_spark.plans import explain_str
+
+    plan0 = explain_str(bm25_topn_indexed(spark, SF_SMOKE, BM25_TOP_N, tables=full))
+    assert "LeftAnti" not in plan0
+    text_index_delete(
+        spark,
+        _docs(spark).filter("doc_id % 50 = 3").select("doc_id"),
+        stats_table=full[0],
+        postings_table=full[1],
+        doclen_table=full[2],
+    )
+    plan1 = explain_str(bm25_topn_indexed(spark, SF_SMOKE, BM25_TOP_N, tables=full))
+    assert "LeftAnti" in plan1
+
+
+def test_rebuild_resets_tombstone_slate(spark):
+    """A full build reads the corpus of record — prior serving-level
+    deletes must not leak into the fresh index as silent row drops."""
+    full = _build_text(spark, "tdel_reset")
+    text_index_delete(
+        spark,
+        _docs(spark).filter(F.expr(DEL_PRED)).select("doc_id"),
+        stats_table=full[0],
+        postings_table=full[1],
+        doclen_table=full[2],
+    )
+    assert spark.catalog.tableExists(_text_tombstones(full[1]))
+    _build_text(spark, "tdel_reset")  # rebuild at the same names
+    assert not spark.catalog.tableExists(_text_tombstones(full[1]))
+    full_rows = _rows(bm25_topn_indexed(spark, SF_SMOKE, BM25_TOP_N, tables=full))
+    ref = _build_text(spark, "tdel_reset_ref")
+    assert full_rows == _rows(
+        bm25_topn_indexed(spark, SF_SMOKE, BM25_TOP_N, tables=ref)
+    )
+
+
+def test_pq_delete_fold_converges_frozen_codebook(spark):
+    """Codes are per-row facts of (vector, frozen codebook): the folded
+    codes table equals the full encode minus the deleted rows, and the
+    gated serve equals the folded serve."""
+    from dbt_on_snowflake_spark.operators.similarity import (
+        TOP_K,
+        _adc_serve,
+        _vectors,
+    )
+
+    cb, cd = "pq_codebook_tdel", "pq_codes_tdel"
+    e = _vectors(spark, SF_SMOKE)
+    build_pq_index(spark, e, codebook_table=cb, codes_table=cd)
+    full_codes = _rows(
+        spark.table(cd).select("vec_id", F.to_json("bests"))
+    )
+    ids = e.filter("vec_id % 10 = 9").select("vec_id")
+    pq_index_delete(spark, ids, codes_table=cd)
+    served_gated = _rows(
+        _adc_serve(spark, e, cb, _live_codes(spark, cd), TOP_K)
+    )
+    tomb = _pq_tombstones(cd)
+    assert fold_tombstones(spark, tomb)[0] == 1
+    folded_codes = _rows(
+        spark.table(cd).select("vec_id", F.to_json("bests"))
+    )
+    deleted = {r.vec_id for r in ids.collect()}  # bounded: test-sized slice
+    assert folded_codes == [r for r in full_codes if r[0] not in deleted]
+    assert (
+        _rows(_adc_serve(spark, e, cb, _live_codes(spark, cd), TOP_K))
+        == served_gated
+    )
+
+
+def test_minhash_delete_fold_preserves_bucket_layout(spark):
+    """The bucketed band index (and its verified-pairs side output)
+    folds in place: bucket spec identical after the swap, rows equal a
+    filtered rebuild, pairs with a deleted endpoint gone."""
+    idx, pairs = "mh_band_index_tdel", "mh_corpus_pairs_tdel"
+    d = _docs(spark)
+    build_minhash_index(spark, d, index_table=idx, pairs_table=pairs)
+    spec_before = _bucket_spec(spark, idx)
+    assert spec_before is not None
+    minhash_index_delete(
+        spark,
+        d.filter(F.expr(DEL_PRED)).select("doc_id"),
+        index_table=idx,
+        pairs_table=pairs,
+    )
+    assert fold_tombstones(spark, _mh_tombstones(idx))[0] == 2
+    assert _bucket_spec(spark, idx) == spec_before
+    # index rows == a rebuild over the shrunken corpus (band keys are
+    # per-doc facts)
+    ref_rows = _rows(minhash_band_keys(d.filter(F.expr(KEEP_PRED))))
+    assert _rows(spark.table(idx)) == ref_rows
+    # no surviving pair touches a deleted doc
+    assert (
+        spark.table(pairs)
+        .filter("doc_a % 10 = 9 OR doc_b % 10 = 9")
+        .count()
+        == 0
+    )
+    _drop_managed_table(spark, idx)
+    _drop_managed_table(spark, pairs)
+
+
+def test_fold_fails_closed_on_unknown_refresh_kind(spark):
+    """An uninterpretable sidecar must skip the family — tombstones
+    retained, members untouched — never truncate."""
+    spark.createDataFrame([(1,)], "doc_id long").write.mode(
+        "overwrite"
+    ).saveAsTable("tdel_member")
+    index_delete(
+        spark,
+        spark.createDataFrame([(1,)], "doc_id long"),
+        tombstones_table="x_tombstones_badkind",
+        id_col="doc_id",
+        members=[{"table": "tdel_member", "id_cols": ["doc_id"]}],
+        refresh={"kind": "no_such_kind"},
+    )
+    done, skipped = fold_tombstone_families(spark)
+    assert any(
+        n == "x_tombstones_badkind" and "unknown refresh kind" in why
+        for n, why in skipped
+    )
+    assert spark.table("x_tombstones_badkind").count() == 1
+    assert spark.table("tdel_member").count() == 1
+    _drop_managed_table(spark, "x_tombstones_badkind")
+    _drop_managed_table(spark, "tdel_member")
+
+
+def test_fold_fails_closed_on_missing_member_and_sidecar(spark):
+    spark.createDataFrame([(2,)], "doc_id long").write.mode(
+        "overwrite"
+    ).saveAsTable("tdel_member2")
+    index_delete(
+        spark,
+        spark.createDataFrame([(2,)], "doc_id long"),
+        tombstones_table="x_tombstones_missing",
+        id_col="doc_id",
+        members=[{"table": "tdel_member_gone", "id_cols": ["doc_id"]}],
+    )
+    with pytest.raises(ValueError, match="missing"):
+        fold_tombstones(spark, "x_tombstones_missing")
+    assert spark.table("x_tombstones_missing").count() == 1
+    # a tombstone table whose sidecar is gone is equally unfoldable
+    spark.createDataFrame([(3,)], "doc_id long").write.mode(
+        "append"
+    ).saveAsTable("x_tombstones_nosidecar")
+    with pytest.raises(ValueError, match="sidecar"):
+        fold_tombstones(spark, "x_tombstones_nosidecar")
+    _drop_managed_table(spark, "x_tombstones_missing")
+    _drop_managed_table(spark, "x_tombstones_nosidecar")
+    _drop_managed_table(spark, "tdel_member2")
+
+
+def test_fold_retry_after_partial_crash_converges(spark):
+    """A fold that crashed after rewriting ONE member (tombstones still
+    present) re-runs to the same converged state: the anti-join is
+    idempotent over an already-folded member."""
+    from dbt_on_snowflake_spark.engine.index_maintenance import (
+        rewrite_index_table,
+    )
+
+    full = _build_text(spark, "tdel_crash")
+    ref = _build_text(spark, "tdel_crash_ref", pred=KEEP_PRED)
+    ids_df = _docs(spark).filter(F.expr(DEL_PRED)).select("doc_id")
+    text_index_delete(
+        spark,
+        ids_df,
+        stats_table=full[0],
+        postings_table=full[1],
+        doclen_table=full[2],
+    )
+    # simulate the crash: fold member 1 by hand, then "die" before the
+    # rest — tombstones are untouched, so serves stay exact meanwhile
+    ids = [r.doc_id for r in ids_df.collect()]  # bounded: test slice
+    rewrite_index_table(
+        spark,
+        full[1],
+        lambda df: df.filter(~F.col("doc_id").isin(ids)),
+    )
+    assert (
+        _rows(bm25_topn_indexed(spark, SF_SMOKE, BM25_TOP_N, tables=full))
+        == _rows(bm25_topn_indexed(spark, SF_SMOKE, BM25_TOP_N, tables=ref))
+    )
+    # the retry folds everything (re-rewriting member 1 is a no-op)
+    assert fold_tombstones(spark, _text_tombstones(full[1]))[0] == 2
+    for folded_t, ref_t in zip(full, ref):
+        assert _rows(spark.table(folded_t)) == _rows(spark.table(ref_t))
+
+
+def test_mid_fold_delete_survives_truncate(spark):
+    """A tombstone append landing after the fold snapshotted its files
+    must survive the truncate (the fold deletes only what it read)."""
+    full = _build_text(spark, "tdel_race")
+    kw = dict(
+        stats_table=full[0], postings_table=full[1], doclen_table=full[2]
+    )
+    text_index_delete(
+        spark, _docs(spark).filter(F.expr(DEL_PRED)).select("doc_id"), **kw
+    )
+    tomb = _text_tombstones(full[1])
+    # a second delete lands "mid-fold": fold_tombstones snapshots at
+    # entry, so appending before the call and asserting both outcomes
+    # needs the snapshot boundary — emulate by folding, then deleting,
+    # then checking the new tombstones are intact and re-foldable
+    fold_tombstones(spark, tomb)
+    text_index_delete(
+        spark, _docs(spark).filter("doc_id % 10 = 8").select("doc_id"), **kw
+    )
+    assert spark.table(tomb).count() > 0
+    assert fold_tombstones(spark, tomb)[0] == 2
+    ref = _build_text(spark, "tdel_race_ref", pred="doc_id % 10 NOT IN (8, 9)")
+    for folded_t, ref_t in zip(full, ref):
+        assert _rows(spark.table(folded_t)) == _rows(spark.table(ref_t))

@@ -53,6 +53,8 @@ _BNLJ_OK = {
     "text_bm25_topk_incremental",  # 1-row refreshed-stats x pruned-df side
     "text_index_ingest_streaming",  # same indexed-serve 1-row stats side
     "ann_filtered_rerank_indexed",  # 1-row codebook + capped query-LUT side
+    "text_bm25_topk_deleted",  # 1-row live-stats x pruned-df broadcast
+    "ann_pq_adc_deleted",  # gated-codes twin of ann_pq_adc_topk
 }
 
 
