@@ -32,7 +32,7 @@ def main(argv: list[str] | None = None) -> int:
     for name in (
         "run", "build", "test", "compile", "ls", "freshness", "seed", "docs",
         "retry", "clone", "run-operation", "show", "vacuum", "compact",
-        "snapshot", "parse", "deps", "task", "clean",
+        "snapshot", "parse", "deps", "task", "clean", "reindex",
     ):
         sp = sub.add_parser(name)
         if name == "task":
@@ -88,6 +88,20 @@ def main(argv: list[str] | None = None) -> int:
                 "--results", default=None,
                 help="prior run_results.json (default "
                      "<project>/target/run_results.json)",
+            )
+        if name == "reindex":
+            sp.add_argument(
+                "--corpus", required=True,
+                help="corpus directory (the sf_dir the index families "
+                     "were built from) — retraining needs the original "
+                     "vectors, which the index tables don't hold",
+            )
+            sp.add_argument(
+                "--when-drifted", type=float, default=None,
+                dest="when_drifted", metavar="RATIO",
+                help="retrain ONLY when current/baseline mean "
+                     "quantization error exceeds RATIO (e.g. 1.5); "
+                     "omit to report drift without rebuilding",
             )
         if name == "compact":
             sp.add_argument(
@@ -1072,6 +1086,51 @@ def main(argv: list[str] | None = None) -> int:
             print(f"cloned  {src_rel} -> {dst_rel} ({how})")
             n_cloned += 1
         print(f"{n_cloned} cloned, {n_skipped} skipped")
+        return 0
+
+    if args.cmd == "reindex":
+        # codebook drift gate (engine-side `ALTER ... REBUILD`, the
+        # tasks.yml-schedulable retrain decision): the ensure-family PQ
+        # index appends against a FROZEN codebook; this measures how
+        # well that codebook still represents the grown corpus (a
+        # narrow codes-only aggregate — the per-row distances were
+        # recorded at encode time) and retrains it from the corpus
+        # vectors only when the drift ratio crosses --when-drifted.
+        from dbt_on_snowflake_spark.operators.similarity import (
+            DRIFT_REBUILD_RATIO,
+            _vectors,
+            build_pq_index,
+            ensure_pq_index,
+            pq_index_drift,
+            reindex_pq_when_drifted,
+        )
+
+        cb_t, cd_t = ensure_pq_index(spark, args.corpus)
+        if args.when_drifted is None:
+            d = pq_index_drift(spark, codes_table=cd_t)
+            print(
+                f"pq index {cd_t}: drift ratio {d['ratio']:.3f} "
+                f"(current {d['current_mean_qerr']:.4f} / baseline "
+                f"{d['base_mean_qerr']:.4f}, {d['n_rows']} rows; "
+                f"default gate {DRIFT_REBUILD_RATIO})"
+            )
+            return 0
+        d = reindex_pq_when_drifted(
+            spark,
+            codes_table=cd_t,
+            rebuild=lambda: build_pq_index(
+                spark,
+                _vectors(spark, args.corpus),
+                codebook_table=cb_t,
+                codes_table=cd_t,
+            ),
+            threshold=args.when_drifted,
+        )
+        verdict = "RETRAINED" if d["rebuilt"] else "within gate"
+        print(
+            f"pq index {cd_t}: drift ratio {d['ratio']:.3f} vs gate "
+            f"{args.when_drifted} -> {verdict}"
+        )
         return 0
 
     if args.cmd == "vacuum":

@@ -254,6 +254,20 @@ def _swap_rewrite(
         for parent in {posixpath.dirname(loc), db_loc}:
             fs_delete(spark, posixpath.join(parent, tmp_base))
         return None
+    # carry underscore metadata sidecars (e.g. the PQ drift baseline
+    # _qstats.json) into the replacement dir — they are invisible to
+    # table reads, so the rewrite's data is unaffected, but dropping
+    # the old dir would silently discard them
+    from dbt_on_snowflake_spark.engine.fs import fs_copy, fs_list
+
+    tmp_loc = table_location(spark, tmp)
+    for f in fs_list(spark, loc):
+        if f.startswith("_") and f.endswith(".json"):
+            fs_copy(
+                spark,
+                posixpath.join(loc, f),
+                posixpath.join(tmp_loc, f),
+            )
     spark.sql(f"DROP TABLE {name}")
     if fs_exists(spark, loc):
         # EXTERNAL attached index (attach_pq_index & co. re-register

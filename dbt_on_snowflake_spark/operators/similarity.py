@@ -14,6 +14,7 @@ the top-k row set is deterministic and engine-portable.
 
 from __future__ import annotations
 
+import posixpath
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -3519,6 +3520,12 @@ def build_pq_index(
         .partitionBy("label")
         .saveAsTable(codes_table)
     )
+    # record the BUILD-TIME quantization-error baseline next to the
+    # codes (underscore sidecar — invisible to reads, preserved by the
+    # compaction/fold swap): the drift gate compares every later state
+    # of the grown codes against it (``pq_index_drift``). Computed from
+    # the just-written table, a narrow codes-only aggregate.
+    _write_pq_qstats(spark, codes_table)
 
 
 def pq_index_append(
@@ -3582,6 +3589,120 @@ def pq_index_append(
         .saveAsTable(codes_table)
     )
     return codes
+
+
+# ------------------------------------------------ codebook drift gate
+
+_QSTATS = "_qstats.json"
+
+
+def _mean_qerr_col() -> F.Column:
+    """Per-row total quantization error: the sum of the PQ_M per-
+    subspace nearest-centroid distances the encode recorded in
+    ``bests`` — how well the FROZEN codebook represents the row."""
+    return F.aggregate(
+        F.col("bests"), F.lit(0.0), lambda acc, b: acc + b["d"]
+    )
+
+
+def _write_pq_qstats(spark: SparkSession, codes_table: str) -> None:
+    import json as _json
+
+    from dbt_on_snowflake_spark.engine.fs import fs_create_atomic
+    from dbt_on_snowflake_spark.engine.index_maintenance import (
+        table_location,
+    )
+
+    row = (
+        spark.table(codes_table)
+        .agg(
+            F.avg(_mean_qerr_col()).alias("mean_qerr"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .collect()[0]  # bounded: one aggregate row
+    )
+    fs_create_atomic(
+        spark,
+        posixpath.join(table_location(spark, codes_table), _QSTATS),
+        _json.dumps(
+            {"base_mean_qerr": row.mean_qerr, "n_rows": row.n_rows}
+        ).encode(),
+    )
+
+
+def pq_index_drift(spark: SparkSession, *, codes_table: str) -> dict:
+    """The codebook-drift metric for a PQ family (r11 verdict, Next #3):
+    appends encode against the FROZEN build-time codebook forever, and
+    nothing previously ever decided when that stopped being a good
+    idea. The gate is the mean quantization error of the CURRENT live
+    codes over the build-time baseline the sidecar recorded — a pure
+    codes-table aggregate (the d's were computed at encode time), so
+    checking drift costs one narrow scan of the codes, never a pass
+    over the embeddings. In-distribution appends hold the ratio near
+    1.0; a distribution shift the codebook cannot represent drags the
+    new rows' distances (and so the mean) up. Raises when the family
+    has no baseline sidecar — an old-format index rebuilds once to gain
+    one; guessing a baseline could mask real drift (fail closed)."""
+    import json as _json
+
+    from dbt_on_snowflake_spark.engine.fs import fs_exists, fs_read
+    from dbt_on_snowflake_spark.engine.index_maintenance import (
+        table_location,
+    )
+
+    p = posixpath.join(table_location(spark, codes_table), _QSTATS)
+    if not fs_exists(spark, p):
+        raise ValueError(
+            f"{codes_table} has no {_QSTATS} baseline; rebuild via "
+            "build_pq_index to record one"
+        )
+    base = _json.loads(fs_read(spark, p).decode())
+    row = (
+        _live_codes(spark, codes_table)
+        .agg(
+            F.avg(_mean_qerr_col()).alias("mean_qerr"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .collect()[0]  # bounded: one aggregate row
+    )
+    current = row.mean_qerr
+    return {
+        "base_mean_qerr": base["base_mean_qerr"],
+        "current_mean_qerr": current,
+        "ratio": (
+            current / base["base_mean_qerr"]
+            if base["base_mean_qerr"]
+            else float("inf")
+        ),
+        "n_rows": row.n_rows,
+        "base_n_rows": base["n_rows"],
+    }
+
+
+DRIFT_REBUILD_RATIO = 1.5  # default gate: retrain at +50% mean qerr
+
+
+def reindex_pq_when_drifted(
+    spark: SparkSession,
+    *,
+    codes_table: str,
+    rebuild,
+    threshold: float = DRIFT_REBUILD_RATIO,
+) -> dict:
+    """The schedulable retrain decision (``reindex --when-drifted``,
+    runnable from ``tasks.yml``): measure drift, and call ``rebuild``
+    (the caller's ``build_pq_index`` thunk — retraining needs the
+    original vectors, which only the caller can reach) ONLY when the
+    ratio exceeds ``threshold``. An in-distribution append stream never
+    triggers it; a shifted batch does, once, and the rebuild resets the
+    baseline so the gate re-arms (pinned by
+    ``tests/test_drift_gate.py``). Returns the drift record plus what
+    was decided."""
+    drift = pq_index_drift(spark, codes_table=codes_table)
+    if drift["ratio"] > threshold:
+        rebuild()
+        return {**drift, "drifted": True, "rebuilt": True}
+    return {**drift, "drifted": False, "rebuilt": False}
 
 
 # ----------------------------------------- ANN/PQ index DELETE propagation
@@ -3747,6 +3868,78 @@ def ann_pq_adc_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.catalog.refreshTable(cd_t)
     codes = _live_codes(spark, cd_t)
     return _adc_serve(spark, e, cb_t, codes, TOP_K)
+
+
+def ensure_appended_pq_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str]:
+    """Build-once the GROWN PQ state — base build + one
+    ``pq_index_append`` batch against the frozen codebook — behind the
+    shared ensure scaffold (fingerprinted suffix, job-group isolated,
+    superseded-suffix GC). ``ann_pq_adc_appended`` deliberately
+    rebuilds per call (its verification posture, r11 verdict What's
+    wrong #2); THIS is the artifact the steady-state serve twin reads,
+    so the bench finally tracks serving over append-grown codes rather
+    than the rebuild."""
+    from dbt_on_snowflake_spark.testdata import (
+        ensure_index_tables,
+        index_suffix,
+    )
+
+    suffix = index_suffix(spark, sf_dir, "pqapps", "embeddings")
+    cb_t = f"pq_codebook_aps_{suffix}"
+    cd_t = f"pq_codes_aps_{suffix}"
+
+    def build() -> None:
+        e = _vectors(spark, sf_dir)
+        build_pq_index(
+            spark,
+            e.filter(F.expr(_CORPUS_PRED)),
+            codebook_table=cb_t,
+            codes_table=cd_t,
+        )
+        pq_index_append(
+            spark,
+            e.filter(F.expr(_NEW_BATCH_PRED)),
+            codebook_table=cb_t,
+            codes_table=cd_t,
+        )
+        spark.catalog.refreshTable(cd_t)
+
+    ensure_index_tables(
+        spark,
+        tables=(cd_t, cb_t),
+        job_group="pq_appended_index",
+        gc_prefixes=(
+            "pq_codebook_aps_",
+            "pq_codes_aps_",
+            "pq_tombstones_aps_",
+        ),
+        gc_suffix=suffix,
+        build=build,
+    )
+    return cb_t, cd_t
+
+
+@query(
+    "ann_pq_adc_appended_served",
+    driver=False,  # r12-born: R13_ROTATE_IN; shares the frozen oracle
+    oracle=_pq_adc_topk_oracle(_PQ_CODES_CTE_FROZEN, TOP_K),
+    headline=True,  # benched: the steady-state serve over grown codes
+)
+def ann_pq_adc_appended_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ann_pq_adc_appended``'s STEADY-STATE twin (r11 verdict, Next
+    #4): the grown base+append PQ state is built once behind
+    ``ensure_appended_pq_index`` (job-group isolated, the
+    ``dedup_semantic_served`` convention, so bench stage counts show
+    the serve only); every call after the first is a pure ADC read of
+    the label-partitioned codes — the shape a production index serves
+    all day, which the per-call-rebuild verification row can never
+    bench. Shares ``ann_pq_adc_appended``'s frozen-codebook oracle
+    verbatim: growing once and serving many must not change a row."""
+    cb_t, cd_t = ensure_appended_pq_index(spark, sf_dir)
+    e = _vectors(spark, sf_dir)
+    return _adc_serve(spark, e, cb_t, _live_codes(spark, cd_t), TOP_K)
 
 
 @query(

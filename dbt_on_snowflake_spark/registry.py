@@ -205,6 +205,7 @@ R12_ROTATE_IN: set[str] = {
 R13_ROTATE_IN: set[str] = {
     "text_bm25_topk_deleted",
     "ann_pq_adc_deleted",
+    "ann_pq_adc_appended_served",
 }
 
 # The retired r10 export set (kept: the rotation-ledger enforcement test

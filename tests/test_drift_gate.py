@@ -1,0 +1,141 @@
+"""Codebook drift gate (r11 verdict, Next #3): PQ appends encode
+against the FROZEN build-time codebook forever; the gate is what
+finally decides a retrain. Contract: (1) in-distribution appends never
+trip it, (2) a deliberately shifted batch trips it exactly once and the
+rebuild re-arms the baseline, (3) the baseline sidecar survives
+compaction's swap, (4) no baseline -> fail closed (raise, no rebuild),
+(5) the `reindex` CLI reports and gates the ensure-family index."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_on_snowflake_spark.engine.index_maintenance import (
+    compact_index_table,
+)
+from dbt_on_snowflake_spark.operators.similarity import (
+    DRIFT_REBUILD_RATIO,
+    _vectors,
+    build_pq_index,
+    pq_index_append,
+    pq_index_drift,
+    reindex_pq_when_drifted,
+)
+from tests.conftest import SF_SMOKE
+
+BASE_PRED = "vec_id % 10 <> 9"
+HELD_PRED = "vec_id % 10 = 9"
+
+
+def _shifted(e):
+    """A batch the frozen codebook cannot represent: scaled + offset
+    vectors under fresh ids."""
+    return e.filter(F.expr(HELD_PRED)).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        "label",
+        F.transform("v", lambda x: x * 3.0 + 5.0).alias("v"),
+    )
+
+
+def _fresh(spark, tag, pred=BASE_PRED):
+    cb, cd = f"pq_codebook_{tag}", f"pq_codes_{tag}"
+    e = _vectors(spark, SF_SMOKE)
+    build_pq_index(
+        spark, e.filter(F.expr(pred)), codebook_table=cb, codes_table=cd
+    )
+    return e, cb, cd
+
+
+def test_in_distribution_append_stays_within_gate(spark):
+    e, cb, cd = _fresh(spark, "drift_ok")
+    pq_index_append(
+        spark, e.filter(F.expr(HELD_PRED)), codebook_table=cb, codes_table=cd
+    )
+    called = {"n": 0}
+
+    def rebuild():
+        called["n"] += 1
+
+    d = reindex_pq_when_drifted(spark, codes_table=cd, rebuild=rebuild)
+    assert not d["drifted"] and not d["rebuilt"] and called["n"] == 0
+    # held-out tenth of the same distribution: ratio hugs 1.0
+    assert 0.8 < d["ratio"] < DRIFT_REBUILD_RATIO, d["ratio"]
+
+
+def test_shifted_batch_trips_gate_and_rebuild_rearms(spark):
+    e, cb, cd = _fresh(spark, "drift_bad")
+    shifted = _shifted(e)
+    pq_index_append(spark, shifted, codebook_table=cb, codes_table=cd)
+    before = pq_index_drift(spark, codes_table=cd)
+    assert before["ratio"] > DRIFT_REBUILD_RATIO, before["ratio"]
+
+    grown = e.filter(F.expr(BASE_PRED)).unionByName(shifted)
+    d = reindex_pq_when_drifted(
+        spark,
+        codes_table=cd,
+        rebuild=lambda: build_pq_index(
+            spark, grown, codebook_table=cb, codes_table=cd
+        ),
+    )
+    assert d["drifted"] and d["rebuilt"]
+    # the retrained codebook represents the grown corpus: baseline
+    # re-armed, ratio back at exactly 1.0 (current == fresh baseline)
+    after = pq_index_drift(spark, codes_table=cd)
+    assert after["ratio"] == pytest.approx(1.0)
+    assert after["n_rows"] == grown.count()
+    # and the re-armed gate no longer fires
+    d2 = reindex_pq_when_drifted(
+        spark, codes_table=cd, rebuild=lambda: (_ for _ in ()).throw(
+            AssertionError("rebuild must not re-fire")
+        )
+    )
+    assert not d2["drifted"]
+
+
+def test_drift_baseline_survives_compaction_swap(spark):
+    e, cb, cd = _fresh(spark, "drift_cmp")
+    # three appends -> multi-file partitions, so compaction rewrites
+    for m in (9, 19, 29):
+        pq_index_append(
+            spark,
+            e.filter(f"vec_id % 30 = {m}"),
+            codebook_table=cb,
+            codes_table=cd,
+        )
+    base = pq_index_drift(spark, codes_table=cd)
+    assert compact_index_table(spark, cd) is not None
+    after = pq_index_drift(spark, codes_table=cd)
+    assert after == base  # sidecar carried through the drop-rename swap
+
+
+def test_drift_fails_closed_without_baseline(spark):
+    spark.createDataFrame(
+        [(1, [{"d": 0.5, "code": 0}])],
+        "vec_id long, bests array<struct<d:double,code:int>>",
+    ).write.mode("overwrite").saveAsTable("pq_codes_nobase")
+    with pytest.raises(ValueError, match="baseline"):
+        pq_index_drift(spark, codes_table="pq_codes_nobase")
+    spark.sql("DROP TABLE pq_codes_nobase")
+
+
+def test_reindex_cli_reports_and_gates(spark, tmp_path, capsys):
+    import os
+
+    from dbt_on_snowflake_spark.__main__ import main
+
+    root = str(tmp_path / "proj")
+    os.makedirs(f"{root}/models", exist_ok=True)
+    open(f"{root}/project.yml", "w").write("name: reidx\n")
+    assert main(["reindex", "--project", root, "--corpus", SF_SMOKE]) == 0
+    out = capsys.readouterr().out
+    assert "drift ratio" in out
+    # the untouched ensure-family index is its own baseline: never gated
+    assert (
+        main([
+            "reindex", "--project", root, "--corpus", SF_SMOKE,
+            "--when-drifted", "1.5",
+        ])
+        == 0
+    )
+    assert "within gate" in capsys.readouterr().out

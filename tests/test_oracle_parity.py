@@ -55,6 +55,7 @@ _BNLJ_OK = {
     "ann_filtered_rerank_indexed",  # 1-row codebook + capped query-LUT side
     "text_bm25_topk_deleted",  # 1-row live-stats x pruned-df broadcast
     "ann_pq_adc_deleted",  # gated-codes twin of ann_pq_adc_topk
+    "ann_pq_adc_appended_served",  # steady-state twin, same 1-row sides
 }
 
 

@@ -529,6 +529,9 @@ _HEADLINE_MAX_SHUFFLES = {
     # rows; measured ~1.35x faster at sf0.1
     "ann_pq_adc_topk": 1,  # rank window only (codebook checkpointed)
     "ann_pq_adc_topk_hof": 1,  # kernel A/B twin: same plan posture
+    "ann_pq_adc_appended_served": 1,  # steady-state serve over the
+    # ensure-built grown codes: rank window only — the build+append ran
+    # once under its own job group, off the serve plan
     "ann_pq_codes": 3,  # centroid rollup exchanges only (tiny)
     "ann_mmr_topk": 2,  # scorer rank + per-query greedy groupBy; the
     # vector gather joins broadcast
