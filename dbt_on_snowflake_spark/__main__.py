@@ -276,7 +276,21 @@ def main(argv: list[str] | None = None) -> int:
         # checkout. No SparkSession: clean touches only the filesystem.
         import shutil
 
-        declared = project.config.get("clean-targets") or ["target"]
+        declared = project.config.get("clean-targets")
+        if declared is None:
+            declared = ["target"]
+        if not isinstance(declared, list) or not all(
+            isinstance(e, str) for e in declared
+        ):
+            # a scalar (`clean-targets: target`) would iterate as
+            # CHARACTERS and rmtree any single-letter dir that happens
+            # to exist — refuse malformed config outright
+            print(
+                "clean-targets must be a YAML list of paths, got "
+                f"{declared!r}",
+                file=sys.stderr,
+            )
+            return 2
         root_real = _os.path.realpath(args.project)
         resolved: list[tuple[str, str]] = []
         for entry in declared:
@@ -1247,6 +1261,25 @@ def main(argv: list[str] | None = None) -> int:
             from dbt_on_snowflake_spark.engine import index_maintenance
             from dbt_on_snowflake_spark.engine.fs import fs_delete, fs_list
 
+            # fold DELETE tombstones FIRST: the rewrite drops the
+            # tombstoned rows from every member table
+            # (engine/index_delete.py) and leaves it compact — running
+            # it before the compaction sweep lets the sweep's
+            # already-compact check skip those tables instead of
+            # rewriting them a second time; afterwards the serves read
+            # pristine index state again
+            from dbt_on_snowflake_spark.engine.index_delete import (
+                fold_tombstone_families,
+            )
+
+            d_done, d_skip = fold_tombstone_families(spark)
+            for name, n_members, n_files in d_done:
+                print(
+                    f"folded tombstones {name}: {n_members} member "
+                    f"table(s) rewritten, {n_files} tombstone file(s)"
+                )
+            for name, why in d_skip:
+                print(f"skip tombstones {name}: {why}")
             t_done, t_skip, t_resumed = index_maintenance.compact_index_tables(
                 spark
             )
@@ -1261,22 +1294,6 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"folded log {name}: {before} -> {after} file(s)")
             for name, why in l_skip:
                 print(f"skip log {name}: {why}")
-            # fold DELETE tombstones: the rewrite drops the tombstoned
-            # rows from every member table (engine/index_delete.py) —
-            # and leaves it compact, its own rewrite re-clusters — after
-            # which the serves read pristine index state again
-            from dbt_on_snowflake_spark.engine.index_delete import (
-                fold_tombstone_families,
-            )
-
-            d_done, d_skip = fold_tombstone_families(spark)
-            for name, n_members, n_files in d_done:
-                print(
-                    f"folded tombstones {name}: {n_members} member "
-                    f"table(s) rewritten, {n_files} tombstone file(s)"
-                )
-            for name, why in d_skip:
-                print(f"skip tombstones {name}: {why}")
             # a crashed rewrite from a PRIOR process leaves a
             # __compacting dir the in-memory catalog no longer knows;
             # reclaim it (its owner either survived the crash or will

@@ -87,6 +87,44 @@ def tombstone_spec(
     return json.loads(fs_read(spark, p).decode())
 
 
+def _merge_members(
+    old: list[dict] | None, new: list[dict]
+) -> list[dict]:
+    """Union of two member declarations, keyed by table: members only
+    ever ACCRETE (a later delete call that names an additional member —
+    e.g. the minhash pairs side output — must widen the fold's scope;
+    shrinking it could let a fold truncate tombstones some member was
+    never rewritten for). id_cols union preserves first-seen order."""
+    merged: dict[str, list[str]] = {}
+    order: list[str] = []
+    for m in (old or []) + new:
+        t = m["table"]
+        if t not in merged:
+            merged[t] = []
+            order.append(t)
+        for c in m["id_cols"]:
+            if c not in merged[t]:
+                merged[t].append(c)
+    return [{"table": t, "id_cols": merged[t]} for t in order]
+
+
+def _write_sidecar(
+    spark: SparkSession, tombstones_table: str, spec: dict
+) -> None:
+    """(Re)write the sidecar. Delete-then-create, not atomic replace —
+    a crash in the window leaves NO sidecar, which the fold treats as
+    unfoldable (fail closed, tombstones retained) and the next delete
+    call heals by rewriting it."""
+    from dbt_on_snowflake_spark.engine.fs import (
+        fs_create_atomic,
+        fs_delete,
+    )
+
+    p = _sidecar_path(spark, tombstones_table)
+    fs_delete(spark, p)
+    fs_create_atomic(spark, p, json.dumps(spec, indent=1).encode())
+
+
 def index_delete(
     spark: SparkSession,
     ids: DataFrame,
@@ -114,32 +152,38 @@ def index_delete(
     harmless (the anti-joins and the fold simply match nothing).
     Cost is O(|ids|) plus the narrow probe — no member table is read
     or written here; the physical rewrite is the fold's job."""
-    from dbt_on_snowflake_spark.engine.fs import (
-        fs_create_atomic,
-        fs_list_files,
-    )
+    from dbt_on_snowflake_spark.engine.fs import fs_list_files
     from dbt_on_snowflake_spark.engine.index_maintenance import (
         table_location,
     )
 
     new_ids = ids.select(id_col).distinct()
     if not spark.catalog.tableExists(tombstones_table):
-        # create the (empty) table first so the sidecar lands in its
-        # dir; the sidecar is written atomically BEFORE any id row, so
-        # a fold can interpret every non-empty tombstone table it sees
+        # create the (empty) table first so the sidecar lands in its dir
         new_ids.limit(0).write.mode("overwrite").saveAsTable(
             tombstones_table
         )
-        spec = {
-            "id_col": id_col,
-            "members": members,
-            "refresh": refresh,
-        }
-        fs_create_atomic(
-            spark,
-            _sidecar_path(spark, tombstones_table),
-            json.dumps(spec, indent=1).encode(),
+    # the sidecar is (re)written on EVERY delete, BEFORE any id row
+    # lands, merging the member declaration into whatever was recorded
+    # before: this heals a first delete that crashed between table
+    # creation and sidecar write (the retry rewrites it), and a later
+    # call declaring an additional member (e.g. a pairs side output)
+    # widens the fold's scope instead of being silently ignored —
+    # members only ever accrete (r12 review, findings 3/4)
+    old = tombstone_spec(spark, tombstones_table)
+    if old is not None and old["id_col"] != id_col:
+        raise ValueError(
+            f"{tombstones_table} already tombstones {old['id_col']!r}; "
+            f"refusing to mix in {id_col!r}"
         )
+    spec = {
+        "id_col": id_col,
+        "members": _merge_members(old and old["members"], members),
+        "refresh": refresh if refresh is not None else (
+            old and old.get("refresh")
+        ),
+    }
+    _write_sidecar(spark, tombstones_table, spec)
     snap = fs_list_files(
         spark, table_location(spark, tombstones_table)
     )
@@ -236,7 +280,28 @@ def fold_tombstones(
             f"{tombstones_table} has no {SIDECAR} sidecar; cannot "
             "name its member tables — refusing to fold"
         )
+    # the sidecar records BARE member names (the delete ran with the
+    # family's database current); the sweep may run with a different
+    # current database, so resolve every member — and the refresh's
+    # tables — in the TOMBSTONE TABLE's own database. Resolving
+    # against the sweep's current database would either fail on every
+    # sweep ('missing member') or, worse, fold another database's
+    # same-named index with this family's ids (r12 review, finding 1).
+    db_prefix = (
+        tombstones_table.rsplit(".", 1)[0] + "."
+        if "." in tombstones_table
+        else ""
+    )
+
+    def qualify(name: str) -> str:
+        return name if "." in name else db_prefix + name
+
     refresh = spec.get("refresh")
+    if refresh is not None:
+        refresh = {
+            k: (qualify(v) if k.endswith("_table") else v)
+            for k, v in refresh.items()
+        }
     # every fail-closed precondition BEFORE the first rewrite: a fold
     # that rewrites some members and then discovers it cannot finish
     # would leave wasted work (though never lost deletes)
@@ -245,7 +310,11 @@ def fold_tombstones(
             f"{tombstones_table} declares unknown refresh kind "
             f"{refresh.get('kind')!r}; refusing to fold"
         )
-    for m in spec["members"]:
+    members = [
+        {"table": qualify(m["table"]), "id_cols": m["id_cols"]}
+        for m in spec["members"]
+    ]
+    for m in members:
         if not spark.catalog.tableExists(m["table"]):
             raise ValueError(
                 f"member {m['table']} of {tombstones_table} is "
@@ -262,7 +331,7 @@ def fold_tombstones(
     # the truncate below deletes
     ids = ids.localCheckpoint(eager=True)
     rewritten = 0
-    for m in spec["members"]:
+    for m in members:
 
         def drop_tombstoned(df: DataFrame, cols=tuple(m["id_cols"])):
             for c in cols:
@@ -289,6 +358,16 @@ def fold_tombstones(
     for f in snap:
         fs_delete(spark, f)
     spark.catalog.refreshTable(tombstones_table)
+    if not fs_list_files(spark, loc):
+        # fully folded and nothing landed mid-fold: drop the table so
+        # the serves return to their PRISTINE plans — no anti-join, and
+        # the one-row persisted stats (which the refresh above just
+        # made exact) are read again instead of the live recompute
+        # (r12 review, finding 6). A writer genuinely concurrent with
+        # maintenance schedules both through the same tasks.yml
+        # serialization (index_maintenance.py's standing posture); the
+        # next delete recreates table + sidecar from scratch.
+        spark.sql(f"DROP TABLE IF EXISTS {tombstones_table}")
     return rewritten, len(snap)
 
 

@@ -3625,7 +3625,11 @@ def _write_pq_qstats(spark: SparkSession, codes_table: str) -> None:
         spark,
         posixpath.join(table_location(spark, codes_table), _QSTATS),
         _json.dumps(
-            {"base_mean_qerr": row.mean_qerr, "n_rows": row.n_rows}
+            {
+                # avg over an empty build is NULL -> record 0.0
+                "base_mean_qerr": row.mean_qerr or 0.0,
+                "n_rows": row.n_rows,
+            }
         ).encode(),
     )
 
@@ -3665,15 +3669,23 @@ def pq_index_drift(spark: SparkSession, *, codes_table: str) -> dict:
         )
         .collect()[0]  # bounded: one aggregate row
     )
-    current = row.mean_qerr
+    # avg over zero live rows is NULL (everything tombstoned / empty
+    # table): nothing is being served, so there is nothing to retrain —
+    # treat as zero error rather than crashing the scheduled check
+    current = row.mean_qerr if row.mean_qerr is not None else 0.0
+    b = base["base_mean_qerr"] or 0.0
+    if b > 0:
+        ratio = current / b
+    else:
+        # a zero baseline (codebook encodes the build corpus exactly)
+        # must not make the gate fire forever: equal-perfection stays
+        # 1.0 (the rebuild re-records 0.0, so the gate re-arms); any
+        # positive current error from that baseline is genuine drift
+        ratio = 1.0 if current == 0.0 else float("inf")
     return {
-        "base_mean_qerr": base["base_mean_qerr"],
+        "base_mean_qerr": b,
         "current_mean_qerr": current,
-        "ratio": (
-            current / base["base_mean_qerr"]
-            if base["base_mean_qerr"]
-            else float("inf")
-        ),
+        "ratio": ratio,
         "n_rows": row.n_rows,
         "base_n_rows": base["n_rows"],
     }
@@ -3889,6 +3901,15 @@ def ensure_appended_pq_index(
     suffix = index_suffix(spark, sf_dir, "pqapps", "embeddings")
     cb_t = f"pq_codebook_aps_{suffix}"
     cd_t = f"pq_codes_aps_{suffix}"
+    # the grown-state COMMIT MARKER, created LAST in the build and
+    # probed FIRST by ensure: the scaffold's crash model assumes every
+    # build step creates a table, but the append step here GROWS an
+    # existing one — a crash between build_pq_index and pq_index_append
+    # would otherwise leave a complete-looking family that silently
+    # serves base-only codes forever (r12 review, finding 2). With the
+    # marker, that crash leaves the probe failing and the next call
+    # re-runs the whole build (both builders write mode("overwrite")).
+    grown_t = f"pq_grown_aps_{suffix}"
 
     def build() -> None:
         e = _vectors(spark, sf_dir)
@@ -3905,14 +3926,23 @@ def ensure_appended_pq_index(
             codes_table=cd_t,
         )
         spark.catalog.refreshTable(cd_t)
+        from dbt_on_snowflake_spark.operators.dedup import (
+            _drop_managed_table,
+        )
+
+        _drop_managed_table(spark, grown_t)
+        spark.createDataFrame(
+            [(1,)], "grown int"
+        ).write.mode("overwrite").saveAsTable(grown_t)
 
     ensure_index_tables(
         spark,
-        tables=(cd_t, cb_t),
+        tables=(grown_t, cd_t, cb_t),
         job_group="pq_appended_index",
         gc_prefixes=(
             "pq_codebook_aps_",
             "pq_codes_aps_",
+            "pq_grown_aps_",
             "pq_tombstones_aps_",
         ),
         gc_suffix=suffix,

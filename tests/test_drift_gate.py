@@ -139,3 +139,78 @@ def test_reindex_cli_reports_and_gates(spark, tmp_path, capsys):
         == 0
     )
     assert "within gate" in capsys.readouterr().out
+
+
+def test_drift_handles_empty_and_zero_baseline(spark):
+    """Scheduled checks must return decisions, not crash: all-deleted
+    (empty live codes -> NULL avg) reports zero drift, and a perfect
+    0.0 baseline only fires on genuinely positive current error (and
+    the rebuild re-arms instead of firing forever)."""
+    from dbt_on_snowflake_spark.operators.similarity import (
+        pq_index_delete,
+    )
+
+    e, cb, cd = _fresh(spark, "drift_edge")
+    pq_index_delete(
+        spark, e.select("vec_id"), codes_table=cd  # delete EVERYTHING
+    )
+    d = pq_index_drift(spark, codes_table=cd)
+    assert d["n_rows"] == 0 and d["current_mean_qerr"] == 0.0
+    assert d["ratio"] <= 1.0  # never triggers a retrain
+
+    # zero baseline: identical-perfection stays 1.0
+    import json as _json
+
+    from dbt_on_snowflake_spark.engine.fs import (
+        fs_create_atomic,
+        fs_delete,
+    )
+    from dbt_on_snowflake_spark.engine.index_maintenance import (
+        table_location,
+    )
+    from dbt_on_snowflake_spark.operators.similarity import _QSTATS
+
+    import posixpath
+
+    pth = posixpath.join(table_location(spark, cd), _QSTATS)
+    fs_delete(spark, pth)
+    fs_create_atomic(
+        spark,
+        pth,
+        _json.dumps({"base_mean_qerr": 0.0, "n_rows": 0}).encode(),
+    )
+    assert pq_index_drift(spark, codes_table=cd)["ratio"] == 1.0
+
+
+def test_appended_ensure_rebuilds_after_crash_before_append(spark):
+    """ensure_appended_pq_index's commit marker: a crash between the
+    base build and the append leaves the marker absent, so the next
+    call re-runs the WHOLE build instead of serving base-only codes
+    forever (r12 review, finding 2)."""
+    from pyspark.sql import functions as F
+
+    from dbt_on_snowflake_spark.operators.similarity import (
+        _CORPUS_PRED,
+        build_pq_index,
+        ensure_appended_pq_index,
+    )
+    from dbt_on_snowflake_spark.testdata import index_suffix
+
+    suffix = index_suffix(spark, SF_SMOKE, "pqapps", "embeddings")
+    cb_t, cd_t = f"pq_codebook_aps_{suffix}", f"pq_codes_aps_{suffix}"
+    grown_t = f"pq_grown_aps_{suffix}"
+    for t in (cb_t, cd_t, grown_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    # simulate the crashed build: base-only tables exist, no marker
+    e = _vectors(spark, SF_SMOKE)
+    build_pq_index(
+        spark,
+        e.filter(F.expr(_CORPUS_PRED)),
+        codebook_table=cb_t,
+        codes_table=cd_t,
+    )
+    assert spark.table(cd_t).filter(F.expr(HELD_PRED)).count() == 0
+    ensure_appended_pq_index(spark, SF_SMOKE)
+    # the probe caught the missing marker and re-ran build+append
+    assert spark.table(cd_t).filter(F.expr(HELD_PRED)).count() > 0
+    assert spark.catalog.tableExists(grown_t)

@@ -3488,3 +3488,20 @@ def test_clean_removes_declared_targets_only(tmp_path, capsys):
     assert main(["clean", "--project", root]) == 2
     assert os.path.exists(f"{root}/models/keep.sql")
     shutil.rmtree(root)
+
+
+def test_clean_refuses_non_list_targets(tmp_path, capsys):
+    """`clean-targets: target` (a scalar) would iterate as characters
+    and rmtree any single-letter dir — refuse malformed config."""
+    from dbt_on_snowflake_spark.__main__ import main
+
+    root = str(tmp_path / "proj")
+    os.makedirs(f"{root}/t", exist_ok=True)  # the would-be victim
+    os.makedirs(f"{root}/target", exist_ok=True)
+    open(f"{root}/project.yml", "w").write(
+        "name: cleanproj\nclean-targets: target\n"
+    )
+    assert main(["clean", "--project", root]) == 2
+    assert "must be a YAML list" in capsys.readouterr().err
+    assert os.path.exists(f"{root}/t")
+    assert os.path.exists(f"{root}/target")

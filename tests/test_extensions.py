@@ -1304,10 +1304,17 @@ def test_pq_index_refreshes_on_corpus_regeneration(spark, tmp_path):
     # build-once holds while the corpus is unchanged
     assert ensure_pq_index(spark, corpus) == (cb1, cd1)
 
-    # regenerate the corpus in place: same path, different content
+    # regenerate the corpus in place: same path, different content —
+    # and drop the TTL-cached fingerprint so the very next suffix
+    # derivation re-lists (testdata.FP_TTL_S)
     pd.read_parquet(src).head(200).to_parquet(
         os.path.join(corpus, "embeddings.parquet"), index=False
     )
+    from dbt_on_snowflake_spark.testdata import (
+        invalidate_corpus_fingerprints,
+    )
+
+    invalidate_corpus_fingerprints()
     cb2, cd2 = ensure_pq_index(spark, corpus)
     assert (cb2, cd2) != (cb1, cd1)  # fingerprint moved -> fresh tables
     assert spark.table(cd2).count() == 200 != n1

@@ -10,10 +10,11 @@ serves still gated."""
 
 from __future__ import annotations
 
+import posixpath
+
 import pytest
 from pyspark.sql import functions as F
 
-from dbt_on_snowflake_spark.engine.fs import fs_list_files
 from dbt_on_snowflake_spark.engine.index_delete import (
     fold_tombstone_families,
     fold_tombstones,
@@ -95,14 +96,15 @@ def test_text_delete_then_fold_converges_to_filtered_build(spark):
         assert _rows(spark.table(folded_t)) == _rows(spark.table(ref_t)), (
             folded_t
         )
-    # tombstone files truncated; a re-fold has nothing to do
-    assert fs_list_files(spark, table_location(spark, tomb)) == []
-    assert fold_tombstones(spark, tomb) is None
-    # post-fold serve (now reading persisted stats again) is unchanged
-    assert (
-        _rows(bm25_topn_indexed(spark, SF_SMOKE, BM25_TOP_N, tables=full))
-        == served_ref
-    )
+    # fully folded: the tombstone table itself is dropped, so the
+    # serves return to their PRISTINE plans (no anti-join, persisted
+    # one-row stats read again — r12 review, finding 6)
+    assert not spark.catalog.tableExists(tomb)
+    from dbt_on_snowflake_spark.plans import explain_str
+
+    post = bm25_topn_indexed(spark, SF_SMOKE, BM25_TOP_N, tables=full)
+    assert "LeftAnti" not in explain_str(post)
+    assert _rows(post) == served_ref
 
 
 def test_text_delete_replay_is_noop(spark):
@@ -337,3 +339,105 @@ def test_mid_fold_delete_survives_truncate(spark):
     ref = _build_text(spark, "tdel_race_ref", pred="doc_id % 10 NOT IN (8, 9)")
     for folded_t, ref_t in zip(full, ref):
         assert _rows(spark.table(folded_t)) == _rows(spark.table(ref_t))
+
+
+def test_fold_resolves_members_in_the_familys_database(spark):
+    """A family living in a non-current database folds ITS OWN member
+    tables, resolved via the tombstone table's database — never the
+    sweep's current database (r12 review, finding 1: a same-named
+    member in the current db would otherwise be folded with foreign
+    ids, and the family itself would never fold)."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS folddb")
+    # decoy in the CURRENT database with the same member name
+    spark.createDataFrame(
+        [(9, "keep")], "doc_id long, v string"
+    ).write.mode("overwrite").saveAsTable("xdel_member")
+    spark.createDataFrame(
+        [(9, "drop"), (10, "keep")], "doc_id long, v string"
+    ).write.mode("overwrite").saveAsTable("folddb.xdel_member")
+    index_delete(
+        spark,
+        spark.createDataFrame([(9,)], "doc_id long"),
+        tombstones_table="folddb.x_tombstones_db",
+        id_col="doc_id",
+        members=[{"table": "xdel_member", "id_cols": ["doc_id"]}],
+    )
+    done, skipped = fold_tombstone_families(spark)
+    assert any(n == "folddb.x_tombstones_db" for n, *_ in done), (
+        done,
+        skipped,
+    )
+    # the family's member lost its row; the decoy kept its doc_id=9
+    assert _rows(spark.table("folddb.xdel_member")) == [(10, "keep")]
+    assert _rows(spark.table("xdel_member")) == [(9, "keep")]
+    _drop_managed_table(spark, "xdel_member")
+    spark.sql("DROP TABLE IF EXISTS folddb.xdel_member")
+    spark.sql("DROP DATABASE folddb CASCADE")
+
+
+def test_delete_retry_heals_missing_sidecar(spark):
+    """A first delete that crashed between table creation and sidecar
+    write leaves an uninterpretable family; the RETRY must rewrite the
+    sidecar (it is re-merged on every call), after which the fold
+    works (r12 review, finding 3)."""
+    from dbt_on_snowflake_spark.engine.fs import fs_delete
+    from dbt_on_snowflake_spark.engine.index_delete import (
+        SIDECAR,
+        tombstone_spec,
+    )
+
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, v string"
+    ).write.mode("overwrite").saveAsTable("heal_member")
+    ids = spark.createDataFrame([(1,)], "doc_id long")
+    kw = dict(
+        tombstones_table="x_tombstones_heal",
+        id_col="doc_id",
+        members=[{"table": "heal_member", "id_cols": ["doc_id"]}],
+    )
+    index_delete(spark, ids, **kw)
+    # simulate the crash aftermath: sidecar gone, table + ids remain
+    fs_delete(
+        spark,
+        posixpath.join(
+            table_location(spark, "x_tombstones_heal"), SIDECAR
+        ),
+    )
+    with pytest.raises(ValueError, match="sidecar"):
+        fold_tombstones(spark, "x_tombstones_heal")
+    index_delete(spark, ids, **kw)  # the redelivered delete heals it
+    assert tombstone_spec(spark, "x_tombstones_heal") is not None
+    assert fold_tombstones(spark, "x_tombstones_heal")[0] == 1
+    assert _rows(spark.table("heal_member")) == [(2, "b")]
+    _drop_managed_table(spark, "heal_member")
+
+
+def test_later_delete_widens_member_set(spark):
+    """Member declarations ACCRETE across delete calls (r12 review,
+    finding 4): a second minhash delete that also names the pairs side
+    output must make the fold rewrite the pairs too — the first call's
+    narrower declaration cannot pin the family's scope."""
+    idx, pairs = "mh_band_index_widen", "mh_corpus_pairs_widen"
+    d = _docs(spark)
+    build_minhash_index(spark, d, index_table=idx, pairs_table=pairs)
+    minhash_index_delete(
+        spark,
+        d.filter("doc_id % 20 = 9").select("doc_id"),
+        index_table=idx,  # pairs_table NOT declared here
+    )
+    minhash_index_delete(
+        spark,
+        d.filter("doc_id % 20 = 19").select("doc_id"),
+        index_table=idx,
+        pairs_table=pairs,  # widened on the second call
+    )
+    assert fold_tombstones(spark, _mh_tombstones(idx))[0] == 2
+    assert (
+        spark.table(pairs)
+        .filter("doc_a % 10 = 9 OR doc_b % 10 = 9")
+        .count()
+        == 0
+    )
+    assert spark.table(idx).filter("doc_id % 10 = 9").count() == 0
+    _drop_managed_table(spark, idx)
+    _drop_managed_table(spark, pairs)
