@@ -1289,6 +1289,22 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"resumed crashed swap for index {name}")
             for name, why in t_skip:
                 print(f"skip index {name}: {why}")
+            if d_skip:
+                # a family can be skipped because its member was lost
+                # to a crashed drop-rename swap; the compaction sweep's
+                # resume step above just restored such members, so one
+                # retry converges in THIS sweep instead of the next
+                # (r12 review pass 2) — families already folded (or
+                # still unfoldable) are cheap no-ops/skips here
+                r_done, r_skip = fold_tombstone_families(spark)
+                for name, n_members, n_files in r_done:
+                    print(
+                        f"folded tombstones {name} (retry after swap "
+                        f"resume): {n_members} member table(s) "
+                        f"rewritten, {n_files} tombstone file(s)"
+                    )
+                for name, why in r_skip:
+                    print(f"skip tombstones {name}: {why}")
             l_done, l_skip = index_maintenance.fold_update_logs(spark)
             for name, before, after in l_done:
                 print(f"folded log {name}: {before} -> {after} file(s)")

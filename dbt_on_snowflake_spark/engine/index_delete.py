@@ -183,7 +183,12 @@ def index_delete(
             old and old.get("refresh")
         ),
     }
-    _write_sidecar(spark, tombstones_table, spec)
+    if spec != old:
+        # rewrite ONLY when the declaration actually changed: the
+        # delete-then-create window briefly leaves no sidecar, and the
+        # steady-state redelivery case must not keep re-opening it
+        # (r12 review pass 2) — an unchanged spec is the common path
+        _write_sidecar(spark, tombstones_table, spec)
     snap = fs_list_files(
         spark, table_location(spark, tombstones_table)
     )
@@ -368,6 +373,15 @@ def fold_tombstones(
         # serialization (index_maintenance.py's standing posture); the
         # next delete recreates table + sidecar from scratch.
         spark.sql(f"DROP TABLE IF EXISTS {tombstones_table}")
+        from dbt_on_snowflake_spark.engine.fs import fs_exists
+
+        if fs_exists(spark, loc):
+            # a re-attached EXTERNAL tombstone table: DROP removed only
+            # the catalog entry, leaving the dir (and the stale
+            # sidecar) — the next delete's saveAsTable would refuse the
+            # non-empty managed location and wedge the family (r12
+            # review pass 2). We just verified no data files remain.
+            fs_delete(spark, loc)
     return rewritten, len(snap)
 
 

@@ -994,6 +994,18 @@ def minhash_index_delete(
     survive), converging bit-exactly to a rebuild without those docs."""
     from dbt_on_snowflake_spark.engine.index_delete import index_delete
 
+    if pairs_table is None:
+        # auto-include the family's CONVENTIONAL pairs sibling when it
+        # exists: the fold's drop-when-empty resets the sidecar, so a
+        # later delete that omitted pairs_table would otherwise narrow
+        # the member set and strand dead pairs un-rewritten (r12
+        # review pass 2) — the declaration must not depend on which
+        # call pattern happened to run last
+        sibling = "mh_corpus_pairs_" + index_table.removeprefix(
+            "mh_band_index_"
+        )
+        if spark.catalog.tableExists(sibling):
+            pairs_table = sibling
     members = [{"table": index_table, "id_cols": ["doc_id"]}]
     if pairs_table is not None:
         members.append(

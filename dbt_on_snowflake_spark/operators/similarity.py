@@ -3912,6 +3912,15 @@ def ensure_appended_pq_index(
     grown_t = f"pq_grown_aps_{suffix}"
 
     def build() -> None:
+        from dbt_on_snowflake_spark.operators.dedup import (
+            _drop_managed_table,
+        )
+
+        # invalidate the marker FIRST: a rebuild triggered by a missing
+        # SIBLING (crashed swap) that crashes mid-build must not leave
+        # a stale marker satisfying the probe over base-only codes
+        # (r12 review pass 2)
+        _drop_managed_table(spark, grown_t)
         e = _vectors(spark, sf_dir)
         build_pq_index(
             spark,
@@ -3926,11 +3935,6 @@ def ensure_appended_pq_index(
             codes_table=cd_t,
         )
         spark.catalog.refreshTable(cd_t)
-        from dbt_on_snowflake_spark.operators.dedup import (
-            _drop_managed_table,
-        )
-
-        _drop_managed_table(spark, grown_t)
         spark.createDataFrame(
             [(1,)], "grown int"
         ).write.mode("overwrite").saveAsTable(grown_t)

@@ -441,3 +441,36 @@ def test_later_delete_widens_member_set(spark):
     assert spark.table(idx).filter("doc_id % 10 = 9").count() == 0
     _drop_managed_table(spark, idx)
     _drop_managed_table(spark, pairs)
+
+
+def test_narrower_later_delete_still_covers_pairs(spark):
+    """After a full fold DROPS the tombstone table (sidecar included),
+    a later delete that omits pairs_table must still scrub the pairs:
+    minhash_index_delete auto-includes the conventional pairs sibling
+    whenever it exists (r12 review pass 2)."""
+    idx, pairs = "mh_band_index_narrow", "mh_corpus_pairs_narrow"
+    d = _docs(spark)
+    build_minhash_index(spark, d, index_table=idx, pairs_table=pairs)
+    minhash_index_delete(
+        spark,
+        d.filter("doc_id % 20 = 9").select("doc_id"),
+        index_table=idx,
+        pairs_table=pairs,
+    )
+    assert fold_tombstones(spark, _mh_tombstones(idx))[0] == 2
+    assert not spark.catalog.tableExists(_mh_tombstones(idx))
+    # the narrower call pattern after the reset
+    minhash_index_delete(
+        spark,
+        d.filter("doc_id % 20 = 19").select("doc_id"),
+        index_table=idx,  # pairs_table omitted
+    )
+    assert fold_tombstones(spark, _mh_tombstones(idx))[0] == 2
+    assert (
+        spark.table(pairs)
+        .filter("doc_a % 20 = 19 OR doc_b % 20 = 19")
+        .count()
+        == 0
+    )
+    _drop_managed_table(spark, idx)
+    _drop_managed_table(spark, pairs)
