@@ -1289,13 +1289,14 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"resumed crashed swap for index {name}")
             for name, why in t_skip:
                 print(f"skip index {name}: {why}")
-            if d_skip:
+            if d_skip and t_resumed:
                 # a family can be skipped because its member was lost
-                # to a crashed drop-rename swap; the compaction sweep's
-                # resume step above just restored such members, so one
-                # retry converges in THIS sweep instead of the next
-                # (r12 review pass 2) — families already folded (or
-                # still unfoldable) are cheap no-ops/skips here
+                # to a crashed drop-rename swap; when the compaction
+                # sweep's resume step above actually restored such a
+                # member (t_resumed non-empty), one retry converges in
+                # THIS sweep instead of the next (r12 review pass 2).
+                # Without a resume, the skip reasons cannot have
+                # changed — re-sweeping would only duplicate them.
                 r_done, r_skip = fold_tombstone_families(spark)
                 for name, n_members, n_files in r_done:
                     print(

@@ -144,6 +144,16 @@ def index_delete(
     ``_REFRESH_KINDS``; an unknown kind makes the fold skip the family,
     never truncate it).
 
+    CONTRACT: ``members`` must be the family's COMPLETE member set on
+    every call. Declarations accrete across calls while the tombstone
+    table lives, but a full fold DROPS the table (sidecar included), so
+    a later narrower call would re-declare a narrower family and the
+    omitted member would never be rewritten for the new ids. Family
+    delete helpers therefore derive their full member set themselves
+    (``minhash_index_delete`` auto-includes the conventional pairs
+    sibling); a caller using NON-conventional member names must pass
+    them all, every time.
+
     The append is idempotent under at-least-once redelivery: ids
     already tombstoned are dropped via a broadcast probe through a
     FILE-LIST SNAPSHOT of the tombstone table (the ``text_index_append``
@@ -159,7 +169,28 @@ def index_delete(
 
     new_ids = ids.select(id_col).distinct()
     if not spark.catalog.tableExists(tombstones_table):
-        # create the (empty) table first so the sidecar lands in its dir
+        # heal a stale catalog-less dir first — a fold that crashed
+        # between its DROP and its leftover-dir delete, or a previous
+        # session's external attach, leaves the managed location
+        # non-empty and CREATE would refuse it forever (r12 review
+        # pass 3); then create the (empty) table so the sidecar lands
+        # in its dir
+        from dbt_on_snowflake_spark.engine.fs import fs_delete
+        from dbt_on_snowflake_spark.engine.index_maintenance import (
+            _database_location,
+        )
+
+        if "." in tombstones_table:
+            db, base = tombstones_table.rsplit(".", 1)
+        else:
+            db = spark.catalog.currentDatabase()
+            base = tombstones_table
+        fs_delete(
+            spark,
+            posixpath.join(
+                _database_location(spark, f"`{db}`"), base.lower()
+            ),
+        )
         new_ids.limit(0).write.mode("overwrite").saveAsTable(
             tombstones_table
         )
@@ -374,13 +405,27 @@ def fold_tombstones(
         # next delete recreates table + sidecar from scratch.
         spark.sql(f"DROP TABLE IF EXISTS {tombstones_table}")
         from dbt_on_snowflake_spark.engine.fs import fs_exists
+        from dbt_on_snowflake_spark.engine.index_maintenance import (
+            _strip_scheme,
+        )
 
-        if fs_exists(spark, loc):
+        wh = _strip_scheme(
+            spark.conf.get("spark.sql.warehouse.dir")
+        ).rstrip("/")
+        if fs_exists(spark, loc) and _strip_scheme(loc).rstrip(
+            "/"
+        ).startswith(wh + "/"):
             # a re-attached EXTERNAL tombstone table: DROP removed only
             # the catalog entry, leaving the dir (and the stale
             # sidecar) — the next delete's saveAsTable would refuse the
             # non-empty managed location and wedge the family (r12
-            # review pass 2). We just verified no data files remain.
+            # review pass 2). We just verified no data files remain,
+            # and the under-warehouse guard (pass 3; the maintenance
+            # sweep's standing convention) keeps a table attached at a
+            # FOREIGN location — someone else's dir, possibly holding
+            # non-parquet content — out of reach: there the leftover
+            # catalog-less dir wedges nothing, since a fresh delete
+            # creates its managed dir under the warehouse.
             fs_delete(spark, loc)
     return rewritten, len(snap)
 
