@@ -1289,14 +1289,19 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"resumed crashed swap for index {name}")
             for name, why in t_skip:
                 print(f"skip index {name}: {why}")
-            if d_skip and t_resumed:
+            retryable = t_resumed or any(
+                "raced the fold" in why for _, why in d_skip
+            )
+            if d_skip and retryable:
                 # a family can be skipped because its member was lost
-                # to a crashed drop-rename swap; when the compaction
-                # sweep's resume step above actually restored such a
-                # member (t_resumed non-empty), one retry converges in
-                # THIS sweep instead of the next (r12 review pass 2).
-                # Without a resume, the skip reasons cannot have
-                # changed — re-sweeping would only duplicate them.
+                # to a crashed drop-rename swap (healed by the resume
+                # step above) or because an ingest batch raced the
+                # member rewrite (finished by now): in both cases one
+                # retry converges in THIS sweep instead of the next
+                # (r12 review passes 2/4). Other skip reasons (missing
+                # sidecar, unknown refresh kind, missing member with
+                # nothing resumed) cannot have changed — re-sweeping
+                # would only duplicate their report lines.
                 r_done, r_skip = fold_tombstone_families(spark)
                 for name, n_members, n_files in r_done:
                     print(

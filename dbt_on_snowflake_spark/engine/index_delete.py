@@ -169,15 +169,28 @@ def index_delete(
 
     new_ids = ids.select(id_col).distinct()
     if not spark.catalog.tableExists(tombstones_table):
-        # heal a stale catalog-less dir first — a fold that crashed
-        # between its DROP and its leftover-dir delete, or a previous
-        # session's external attach, leaves the managed location
-        # non-empty and CREATE would refuse it forever (r12 review
-        # pass 3); then create the (empty) table so the sidecar lands
-        # in its dir
-        from dbt_on_snowflake_spark.engine.fs import fs_delete
+        # a catalog-less dir may exist at the managed location — a
+        # previous SESSION's tombstones (the in-memory catalog forgets
+        # tables, their files persist), or the sidecar-only leftover of
+        # a fold that crashed between DROP and its dir delete. Every
+        # branch is fail-closed (r12 review passes 3/4):
+        # - live tombstone files present -> RE-ATTACH the table over
+        #   the dir (ids + accreted sidecar preserved; deleting them
+        #   would resurrect the prior session's deletes);
+        # - files-free leftover under a warehouse-controlled root ->
+        #   delete it (CREATE refuses non-empty managed locations);
+        # - anything under a FOREIGN location (a database created with
+        #   an outside LOCATION — may hold someone else's data, the
+        #   index-GC convention) -> touch nothing; if the dir is
+        #   non-empty the CREATE below fails loudly, never silently.
+        from dbt_on_snowflake_spark.engine.fs import (
+            fs_delete,
+            fs_exists,
+            fs_list_files,
+        )
         from dbt_on_snowflake_spark.engine.index_maintenance import (
             _database_location,
+            _strip_scheme,
         )
 
         if "." in tombstones_table:
@@ -185,15 +198,24 @@ def index_delete(
         else:
             db = spark.catalog.currentDatabase()
             base = tombstones_table
-        fs_delete(
-            spark,
-            posixpath.join(
-                _database_location(spark, f"`{db}`"), base.lower()
-            ),
+        stale = posixpath.join(
+            _database_location(spark, f"`{db}`"), base.lower()
         )
-        new_ids.limit(0).write.mode("overwrite").saveAsTable(
-            tombstones_table
-        )
+        wh = _strip_scheme(
+            spark.conf.get("spark.sql.warehouse.dir")
+        ).rstrip("/")
+        under_wh = _strip_scheme(stale).rstrip("/").startswith(wh + "/")
+        if fs_exists(spark, stale) and under_wh:
+            if fs_list_files(spark, stale):
+                spark.catalog.createTable(
+                    tombstones_table, path=stale, source="parquet"
+                )
+            else:
+                fs_delete(spark, stale)
+        if not spark.catalog.tableExists(tombstones_table):
+            new_ids.limit(0).write.mode("overwrite").saveAsTable(
+                tombstones_table
+            )
     # the sidecar is (re)written on EVERY delete, BEFORE any id row
     # lands, merging the member declaration into whatever was recorded
     # before: this heals a first delete that crashed between table
@@ -423,9 +445,11 @@ def fold_tombstones(
             # and the under-warehouse guard (pass 3; the maintenance
             # sweep's standing convention) keeps a table attached at a
             # FOREIGN location — someone else's dir, possibly holding
-            # non-parquet content — out of reach: there the leftover
-            # catalog-less dir wedges nothing, since a fresh delete
-            # creates its managed dir under the warehouse.
+            # non-parquet content — out of reach. A leftover dir in a
+            # foreign-LOCATION database can still collide with a later
+            # CREATE; index_delete's create path handles that loudly
+            # (it refuses to touch foreign dirs too, so the CREATE
+            # error surfaces instead of a silent delete).
             fs_delete(spark, loc)
     return rewritten, len(snap)
 

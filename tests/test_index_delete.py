@@ -474,3 +474,115 @@ def test_narrower_later_delete_still_covers_pairs(spark):
     )
     _drop_managed_table(spark, idx)
     _drop_managed_table(spark, pairs)
+
+
+def test_create_path_reattaches_previous_sessions_tombstones(spark, tmp_path):
+    """A catalog-less tombstone dir holding LIVE ids (a previous
+    session's deletes — the in-memory catalog forgot the table, the
+    files persist) must be RE-ATTACHED by the next delete, never
+    deleted: wiping it would resurrect the prior session's deletes
+    (r12 review pass 4)."""
+    import os
+
+    from dbt_on_snowflake_spark.engine.index_delete import tombstone_spec
+
+    name = "x_tombstones_prevsess"
+    spark.createDataFrame(
+        [(5, "a"), (6, "b"), (7, "c")], "doc_id long, v string"
+    ).write.mode("overwrite").saveAsTable("prevsess_member")
+    kw = dict(
+        tombstones_table=name,
+        id_col="doc_id",
+        members=[{"table": "prevsess_member", "id_cols": ["doc_id"]}],
+    )
+    index_delete(spark, spark.createDataFrame([(5,)], "doc_id long"), **kw)
+    loc = table_location(spark, name)
+    # simulate the session boundary: forget the catalog entry but keep
+    # the files (a managed DROP would delete them, so move them aside)
+    import shutil
+
+    stash = str(tmp_path / "stash")
+    local = loc.removeprefix("file:")
+    shutil.copytree(local, stash)
+    spark.sql(f"DROP TABLE {name}")
+    shutil.copytree(stash, local)
+    assert not spark.catalog.tableExists(name)
+
+    # the next session's delete re-attaches and ACCRETES
+    index_delete(spark, spark.createDataFrame([(6,)], "doc_id long"), **kw)
+    got = {r.doc_id for r in spark.table(name).collect()}
+    assert got == {5, 6}  # the prior session's id 5 survived
+    assert tombstone_spec(spark, name) is not None
+    assert fold_tombstones(spark, name)[0] == 1
+    assert _rows(spark.table("prevsess_member")) == [(7, "c")]
+    _drop_managed_table(spark, "prevsess_member")
+
+
+def test_create_path_heals_filesfree_leftover_dir(spark):
+    """The sidecar-only leftover of a fold that crashed between DROP
+    and its dir delete is cleared so CREATE succeeds (no wedge), while
+    holding zero data files (nothing to lose)."""
+    import json as _json
+    import posixpath as pp
+
+    from dbt_on_snowflake_spark.engine.fs import (
+        fs_create_atomic,
+        fs_exists,
+    )
+    from dbt_on_snowflake_spark.engine.index_delete import SIDECAR
+
+    name = "x_tombstones_leftover"
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    fs_create_atomic(
+        spark,
+        pp.join(wh, name, SIDECAR),
+        _json.dumps({"id_col": "doc_id", "members": []}).encode(),
+    )
+    assert fs_exists(spark, pp.join(wh, name))
+    spark.createDataFrame([(1, "a")], "doc_id long, v string").write.mode(
+        "overwrite"
+    ).saveAsTable("leftover_member")
+    index_delete(
+        spark,
+        spark.createDataFrame([(1,)], "doc_id long"),
+        tombstones_table=name,
+        id_col="doc_id",
+        members=[{"table": "leftover_member", "id_cols": ["doc_id"]}],
+    )
+    assert spark.table(name).count() == 1
+    assert fold_tombstones(spark, name)[0] == 1
+    _drop_managed_table(spark, "leftover_member")
+
+
+def test_create_path_leaves_foreign_location_dirs_alone(spark, tmp_path):
+    """A database created with an OUTSIDE location may hold someone
+    else's data (the index-GC convention): the create-path heal must
+    not touch a colliding dir there — the CREATE fails loudly
+    instead of a silent recursive delete (r12 review pass 4)."""
+    import os
+
+    import pytest as _pytest
+
+    floc = str(tmp_path / "foreigndb")
+    spark.sql(f"CREATE DATABASE foreigndb LOCATION '{floc}'")
+    try:
+        victim = os.path.join(floc, "x_tombstones_foreign")
+        os.makedirs(victim)
+        open(os.path.join(victim, "precious.txt"), "w").write("keep me")
+        spark.createDataFrame(
+            [(1, "a")], "doc_id long, v string"
+        ).write.mode("overwrite").saveAsTable("foreign_member")
+        with _pytest.raises(Exception):
+            index_delete(
+                spark,
+                spark.createDataFrame([(1,)], "doc_id long"),
+                tombstones_table="foreigndb.x_tombstones_foreign",
+                id_col="doc_id",
+                members=[
+                    {"table": "foreign_member", "id_cols": ["doc_id"]}
+                ],
+            )
+        assert os.path.exists(os.path.join(victim, "precious.txt"))
+        _drop_managed_table(spark, "foreign_member")
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS foreigndb CASCADE")
