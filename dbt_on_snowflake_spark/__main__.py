@@ -1289,8 +1289,12 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"resumed crashed swap for index {name}")
             for name, why in t_skip:
                 print(f"skip index {name}: {why}")
+            from dbt_on_snowflake_spark.engine.index_delete import (
+                RACED_FOLD,
+            )
+
             retryable = t_resumed or any(
-                "raced the fold" in why for _, why in d_skip
+                RACED_FOLD in why for _, why in d_skip
             )
             if d_skip and retryable:
                 # a family can be skipped because its member was lost
@@ -1305,8 +1309,8 @@ def main(argv: list[str] | None = None) -> int:
                 r_done, r_skip = fold_tombstone_families(spark)
                 for name, n_members, n_files in r_done:
                     print(
-                        f"folded tombstones {name} (retry after swap "
-                        f"resume): {n_members} member table(s) "
+                        f"folded tombstones {name} (maintenance "
+                        f"retry): {n_members} member table(s) "
                         f"rewritten, {n_files} tombstone file(s)"
                     )
                 for name, why in r_skip:

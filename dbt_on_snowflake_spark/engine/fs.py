@@ -93,22 +93,40 @@ def fs_list_files(
 def fs_file_stats(
     spark: SparkSession, path: str, suffix: str = ".parquet"
 ) -> list[tuple[str, int, int]]:
-    """Recursive ``(path, size, mtime_ms)`` listing of data files under a
-    path; [] if missing. A change-detection fingerprint source: a corpus
-    regenerated in place at the same path changes size or mtime even
-    when the file set is identical (r10 advice, similarity.py:2323)."""
+    """Recursive ``(path, size, mtime_ms)`` listing of COMMITTED data
+    files under a path; [] if missing. A change-detection fingerprint
+    source: a corpus regenerated in place at the same path changes size
+    or mtime even when the file set is identical (r10 advice,
+    similarity.py:2323).
+
+    Files under hidden path segments (``_temporary/**`` staging from a
+    crashed write, ``.``-prefixed) are EXCLUDED — Spark's own read-path
+    convention. This matters beyond hygiene (r12 review pass 5): the
+    append/delete idempotence probes read these listings as explicit
+    leaf paths, which BYPASSES Spark's hidden-dir filtering, so an
+    uncommitted staged file would otherwise count as 'already ingested'
+    and silently drop a retried batch the serving reads never see."""
     fs, p = _fs_path(spark, path)
     if not fs.exists(p):
         return []
+    # qualify the root the same way listFiles qualifies results, or the
+    # segment arithmetic below misaligns on bare (scheme-less) inputs
+    p = fs.makeQualified(p)
+    base_depth = len(p.toString().rstrip("/").split("/"))
     it = fs.listFiles(p, True)
     out: list[tuple[str, int, int]] = []
     while it.hasNext():
         st = it.next()
         fpath = st.getPath()
+        full = fpath.toString()
+        # any path segment BELOW the listing root starting with _ or .
+        # marks uncommitted/metadata content (the final segment too:
+        # _SUCCESS, ._COPYING_ renditions carry no committed rows)
+        segs = full.rstrip("/").split("/")[base_depth:]
+        if any(s.startswith(("_", ".")) for s in segs):
+            continue
         if fpath.getName().endswith(suffix):
-            out.append(
-                (fpath.toString(), st.getLen(), st.getModificationTime())
-            )
+            out.append((full, st.getLen(), st.getModificationTime()))
     return sorted(out)
 
 

@@ -64,6 +64,12 @@ from pyspark.sql import functions as F
 
 SIDECAR = "_tombstones.json"
 
+# marker embedded in the fold's ingest-race abort message; the
+# maintenance sweep keys its same-sweep retry on it (a dedicated
+# constant, not a prose substring, so a rewording can't silently
+# disable the retry)
+RACED_FOLD = "an append raced the fold"
+
 
 def _sidecar_path(spark: SparkSession, tombstones_table: str) -> str:
     from dbt_on_snowflake_spark.engine.index_maintenance import (
@@ -183,14 +189,10 @@ def index_delete(
         #   an outside LOCATION — may hold someone else's data, the
         #   index-GC convention) -> touch nothing; if the dir is
         #   non-empty the CREATE below fails loudly, never silently.
-        from dbt_on_snowflake_spark.engine.fs import (
-            fs_delete,
-            fs_exists,
-            fs_list_files,
-        )
+        from dbt_on_snowflake_spark.engine.fs import fs_delete, fs_exists
         from dbt_on_snowflake_spark.engine.index_maintenance import (
             _database_location,
-            _strip_scheme,
+            _under_warehouse,
         )
 
         if "." in tombstones_table:
@@ -201,11 +203,7 @@ def index_delete(
         stale = posixpath.join(
             _database_location(spark, f"`{db}`"), base.lower()
         )
-        wh = _strip_scheme(
-            spark.conf.get("spark.sql.warehouse.dir")
-        ).rstrip("/")
-        under_wh = _strip_scheme(stale).rstrip("/").startswith(wh + "/")
-        if fs_exists(spark, stale) and under_wh:
+        if fs_exists(spark, stale) and _under_warehouse(spark, stale):
             if fs_list_files(spark, stale):
                 spark.catalog.createTable(
                     tombstones_table, path=stale, source="parquet"
@@ -404,8 +402,8 @@ def fold_tombstones(
 
         if rewrite_index_table(spark, m["table"], drop_tombstoned) is None:
             raise ValueError(
-                f"member {m['table']} rewrite aborted (an append "
-                "raced the fold); tombstones retained for the next "
+                f"member {m['table']} rewrite aborted "
+                f"({RACED_FOLD}); tombstones retained for the next "
                 "sweep"
             )
         rewritten += 1
@@ -428,15 +426,10 @@ def fold_tombstones(
         spark.sql(f"DROP TABLE IF EXISTS {tombstones_table}")
         from dbt_on_snowflake_spark.engine.fs import fs_exists
         from dbt_on_snowflake_spark.engine.index_maintenance import (
-            _strip_scheme,
+            _under_warehouse,
         )
 
-        wh = _strip_scheme(
-            spark.conf.get("spark.sql.warehouse.dir")
-        ).rstrip("/")
-        if fs_exists(spark, loc) and _strip_scheme(loc).rstrip(
-            "/"
-        ).startswith(wh + "/"):
+        if fs_exists(spark, loc) and _under_warehouse(spark, loc):
             # a re-attached EXTERNAL tombstone table: DROP removed only
             # the catalog entry, leaving the dir (and the stale
             # sidecar) — the next delete's saveAsTable would refuse the

@@ -120,6 +120,19 @@ def _strip_scheme(path: str) -> str:
     return re.sub(r"^file:(//[^/]*)?", "", path)
 
 
+def _under_warehouse(spark: SparkSession, path: str) -> bool:
+    """Whether ``path`` sits under the session warehouse root — THE
+    shared guard for every cleanup that may delete a directory (the
+    foreign-location convention: a dir outside the warehouse is someone
+    else's data). One helper, not per-site copies: the r11 review found
+    a silent divergence in exactly this comparison (file:/// vs file:/
+    rendering), and a normalization fix must land everywhere at once."""
+    wh = _strip_scheme(spark.conf.get("spark.sql.warehouse.dir")).rstrip(
+        "/"
+    )
+    return _strip_scheme(path).rstrip("/").startswith(wh + "/")
+
+
 def _database_location(spark: SparkSession, db: str) -> str:
     # bounded collect: DESCRIBE DATABASE returns a handful of info rows
     for row in spark.sql(f"DESCRIBE DATABASE {db}").collect():
@@ -441,7 +454,6 @@ def compact_index_tables(
     (one broken table must not abort the sweep), and ``resumed`` names
     tables whose crashed drop-rename swap was completed from the
     surviving ``__compacting`` state."""
-    wh = _strip_scheme(spark.conf.get("spark.sql.warehouse.dir")).rstrip("/")
     done: list[tuple[str, int, int]] = []
     skipped: list[tuple[str, str]] = []
     resumed: list[str] = []
@@ -484,8 +496,9 @@ def compact_index_tables(
                 continue
             try:
                 if t.tableType == "EXTERNAL":
-                    loc = _strip_scheme(table_location(spark, qual))
-                    if not loc.startswith(wh + "/"):
+                    if not _under_warehouse(
+                        spark, table_location(spark, qual)
+                    ):
                         continue
                 elif t.tableType != "MANAGED":
                     continue
