@@ -81,31 +81,46 @@ def fs_count_files(
 
 
 def fs_list_files(
-    spark: SparkSession, path: str, suffix: str = ".parquet"
+    spark: SparkSession,
+    path: str,
+    suffix: str = ".parquet",
+    committed_only: bool = True,
 ) -> list[str]:
     """Recursive list of data-file paths (full URIs) under a path; []
-    if missing. The compaction snapshot: comparing two listings detects
-    an append racing a rewrite. One traversal shared with
-    fs_file_stats so the snapshot and the fingerprint can't diverge."""
-    return [p for p, _size, _mtime in fs_file_stats(spark, path, suffix)]
+    if missing. See ``fs_file_stats`` for the ``committed_only``
+    contract — race/emptiness GUARDS pass False, read PROBES keep the
+    default. One traversal shared with fs_file_stats so a snapshot and
+    the fingerprint can't diverge."""
+    return [
+        p
+        for p, _size, _mtime in fs_file_stats(
+            spark, path, suffix, committed_only
+        )
+    ]
 
 
 def fs_file_stats(
-    spark: SparkSession, path: str, suffix: str = ".parquet"
+    spark: SparkSession,
+    path: str,
+    suffix: str = ".parquet",
+    committed_only: bool = True,
 ) -> list[tuple[str, int, int]]:
-    """Recursive ``(path, size, mtime_ms)`` listing of COMMITTED data
-    files under a path; [] if missing. A change-detection fingerprint
-    source: a corpus regenerated in place at the same path changes size
-    or mtime even when the file set is identical (r10 advice,
-    similarity.py:2323).
+    """Recursive ``(path, size, mtime_ms)`` listing of data files under
+    a path; [] if missing. A change-detection fingerprint source: a
+    corpus regenerated in place at the same path changes size or mtime
+    even when the file set is identical (r10 advice, similarity.py:2323).
 
-    Files under hidden path segments (``_temporary/**`` staging from a
-    crashed write, ``.``-prefixed) are EXCLUDED — Spark's own read-path
-    convention. This matters beyond hygiene (r12 review pass 5): the
-    append/delete idempotence probes read these listings as explicit
-    leaf paths, which BYPASSES Spark's hidden-dir filtering, so an
-    uncommitted staged file would otherwise count as 'already ingested'
-    and silently drop a retried batch the serving reads never see."""
+    ``committed_only`` (default): files under hidden path segments
+    (``_temporary/**`` staging, ``.``-prefixed) are EXCLUDED — Spark's
+    own read-path convention. The append/delete idempotence PROBES need
+    this (r12 review pass 5): they read the listing as explicit leaf
+    paths, bypassing Spark's hidden-dir filtering, so an uncommitted
+    staged file would count a retried batch as already-ingested and
+    silently drop it. Race/emptiness GUARDS pass ``False`` (r12 review
+    pass 6): the compaction snapshot-recheck and the fold's
+    drop-when-empty decision must SEE an in-flight staged write, or
+    they treat a concurrently-growing table as quiescent and destroy
+    the racing batch's commit."""
     fs, p = _fs_path(spark, path)
     if not fs.exists(p):
         return []
@@ -123,7 +138,9 @@ def fs_file_stats(
         # marks uncommitted/metadata content (the final segment too:
         # _SUCCESS, ._COPYING_ renditions carry no committed rows)
         segs = full.rstrip("/").split("/")[base_depth:]
-        if any(s.startswith(("_", ".")) for s in segs):
+        if committed_only and any(
+            s.startswith(("_", ".")) for s in segs
+        ):
             continue
         if fpath.getName().endswith(suffix):
             out.append((full, st.getLen(), st.getModificationTime()))

@@ -205,8 +205,21 @@ def index_delete(
         )
         if fs_exists(spark, stale) and _under_warehouse(spark, stale):
             if fs_list_files(spark, stale):
+                # committed tombstones -> re-attach over the dir
                 spark.catalog.createTable(
                     tombstones_table, path=stale, source="parquet"
+                )
+            elif fs_list_files(spark, stale, committed_only=False):
+                # only STAGED files: another session's delete is
+                # in flight (or a crashed write's staging remains) —
+                # deleting would destroy a commit landing in the
+                # window, and re-attach would fail schema inference;
+                # fail loudly and let the retry land after the other
+                # writer commits (r12 review pass 6)
+                raise ValueError(
+                    f"{stale} holds only in-flight/abandoned staged "
+                    "files; retry after the concurrent delete commits "
+                    "or clean the staging dir"
                 )
             else:
                 fs_delete(spark, stale)
@@ -414,8 +427,10 @@ def fold_tombstones(
     for f in snap:
         fs_delete(spark, f)
     spark.catalog.refreshTable(tombstones_table)
-    if not fs_list_files(spark, loc):
-        # fully folded and nothing landed mid-fold: drop the table so
+    if not fs_list_files(spark, loc, committed_only=False):
+        # fully folded and NOTHING — not even an in-flight staged
+        # concurrent delete (committed_only=False, r12 review pass 6) —
+        # landed mid-fold: drop the table so
         # the serves return to their PRISTINE plans — no anti-join, and
         # the one-row persisted stats (which the refresh above just
         # made exact) are read again instead of the live recompute

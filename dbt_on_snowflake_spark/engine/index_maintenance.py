@@ -195,7 +195,12 @@ def _swap_rewrite(
         fs_delete(spark, posixpath.join(parent, tmp_base))
 
     parts = [c.name for c in spark.catalog.listColumns(name) if c.isPartition]
-    snapshot = set(fs_list_files(spark, loc))
+    # committed_only=False: the snapshot/recheck pair is the append-RACE
+    # guard — an in-flight staged write must be visible here or a batch
+    # committing between recheck and drop is silently destroyed (r12
+    # review pass 6); it also keeps the already-compact arithmetic
+    # consistent with fs_size, which counts staging bytes
+    snapshot = set(fs_list_files(spark, loc, committed_only=False))
     # refresh AFTER the snapshot, BEFORE the table read: the rewrite
     # must see at least every file in the snapshot. Without it the read
     # goes through the session's cached file index, which can be stale
@@ -259,7 +264,7 @@ def _swap_rewrite(
     else:
         writer = df.repartition(n_files).write.mode("overwrite")
     writer.saveAsTable(tmp)
-    if set(fs_list_files(spark, loc)) != snapshot:
+    if set(fs_list_files(spark, loc, committed_only=False)) != snapshot:
         # an ingest batch landed while the snapshot was being written;
         # installing the snapshot would silently drop those rows —
         # abort and let the next sweep retry over the grown table

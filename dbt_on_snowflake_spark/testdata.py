@@ -249,6 +249,7 @@ def gc_superseded_index_tables(
     # drop plus its leftover-dir delete is ONE record.
     from dbt_on_snowflake_spark.engine.index_maintenance import (
         _strip_scheme,
+        _under_warehouse,
     )
 
     def _norm(p: str) -> str:
@@ -284,7 +285,7 @@ def gc_superseded_index_tables(
             except Exception:  # noqa: BLE001 — location unreadable
                 tloc = None
             if t.tableType == "EXTERNAL" and (
-                tloc is None or not tloc.startswith(wh_norm + "/")
+                tloc is None or not _under_warehouse(spark, tloc)
             ):
                 # foreign (or unverifiable) external: leave the entry;
                 # an unverifiable one could own a dir under our roots

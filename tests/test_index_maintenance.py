@@ -326,8 +326,8 @@ def test_compact_aborts_when_append_races_rewrite(spark, monkeypatch):
     real = fsmod.fs_list_files
     calls = {"n": 0}
 
-    def racing(spark_, path, suffix=".parquet"):
-        out = real(spark_, path, suffix)
+    def racing(spark_, path, suffix=".parquet", committed_only=True):
+        out = real(spark_, path, suffix, committed_only)
         calls["n"] += 1
         if calls["n"] == 2:  # the post-write recheck sees a new file
             out = out + [path + "/part-racing-batch.parquet"]
