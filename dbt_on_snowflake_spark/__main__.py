@@ -1315,6 +1315,13 @@ def main(argv: list[str] | None = None) -> int:
                     )
                 for name, why in r_skip:
                     print(f"skip tombstones {name}: {why}")
+            # reclaim day-old _temporary staging from crashed writers:
+            # abandoned staging blocks the fold's return-to-pristine
+            # drop and wedges a first-delete retry (both fail closed on
+            # staged files); live slow writers are safe behind the age
+            # gate (engine/index_maintenance.reclaim_abandoned_staging)
+            for d in index_maintenance.reclaim_abandoned_staging(spark):
+                print(f"reclaimed abandoned staging {d}")
             l_done, l_skip = index_maintenance.fold_update_logs(spark)
             for name, before, after in l_done:
                 print(f"folded log {name}: {before} -> {after} file(s)")

@@ -121,6 +121,22 @@ def fs_file_stats(
     drop-when-empty decision must SEE an in-flight staged write, or
     they treat a concurrently-growing table as quiescent and destroy
     the racing batch's commit."""
+    out = [
+        (full, size, mtime)
+        for full, size, mtime, hidden in _file_entries(spark, path, suffix)
+        if not (committed_only and hidden)
+    ]
+    return sorted(out)
+
+
+def _file_entries(
+    spark: SparkSession, path: str, suffix: str
+) -> list[tuple[str, int, int, bool]]:
+    """One recursive traversal yielding ``(path, size, mtime_ms,
+    hidden)`` — the shared walk behind ``fs_file_stats`` and
+    ``fs_list_files_split`` so call sites needing both the committed
+    and the staged view pay ONE listing (a LIST per call on object
+    stores)."""
     fs, p = _fs_path(spark, path)
     if not fs.exists(p):
         return []
@@ -129,22 +145,33 @@ def fs_file_stats(
     p = fs.makeQualified(p)
     base_depth = len(p.toString().rstrip("/").split("/"))
     it = fs.listFiles(p, True)
-    out: list[tuple[str, int, int]] = []
+    out: list[tuple[str, int, int, bool]] = []
     while it.hasNext():
         st = it.next()
         fpath = st.getPath()
         full = fpath.toString()
+        if not fpath.getName().endswith(suffix):
+            continue
         # any path segment BELOW the listing root starting with _ or .
         # marks uncommitted/metadata content (the final segment too:
         # _SUCCESS, ._COPYING_ renditions carry no committed rows)
         segs = full.rstrip("/").split("/")[base_depth:]
-        if committed_only and any(
-            s.startswith(("_", ".")) for s in segs
-        ):
-            continue
-        if fpath.getName().endswith(suffix):
-            out.append((full, st.getLen(), st.getModificationTime()))
-    return sorted(out)
+        hidden = any(s.startswith(("_", ".")) for s in segs)
+        out.append((full, st.getLen(), st.getModificationTime(), hidden))
+    return out
+
+
+def fs_list_files_split(
+    spark: SparkSession, path: str, suffix: str = ".parquet"
+) -> tuple[list[str], list[str]]:
+    """``(committed, staged)`` data-file paths in ONE traversal — for
+    the triage sites that must distinguish committed rows from
+    in-flight ``_temporary`` staging without paying two LISTs."""
+    committed: list[str] = []
+    staged: list[str] = []
+    for full, _size, _mtime, hidden in _file_entries(spark, path, suffix):
+        (staged if hidden else committed).append(full)
+    return sorted(committed), sorted(staged)
 
 
 def fs_create_atomic(spark: SparkSession, path: str, data: bytes) -> None:

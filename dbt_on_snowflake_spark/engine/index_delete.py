@@ -204,12 +204,19 @@ def index_delete(
             _database_location(spark, f"`{db}`"), base.lower()
         )
         if fs_exists(spark, stale) and _under_warehouse(spark, stale):
-            if fs_list_files(spark, stale):
+            from dbt_on_snowflake_spark.engine.fs import (
+                fs_list_files_split,
+            )
+
+            stale_committed, stale_staged = fs_list_files_split(
+                spark, stale  # one traversal for the whole triage
+            )
+            if stale_committed:
                 # committed tombstones -> re-attach over the dir
                 spark.catalog.createTable(
                     tombstones_table, path=stale, source="parquet"
                 )
-            elif fs_list_files(spark, stale, committed_only=False):
+            elif stale_staged:
                 # only STAGED files: another session's delete is
                 # in flight (or a crashed write's staging remains) —
                 # deleting would destroy a commit landing in the
@@ -219,7 +226,8 @@ def index_delete(
                 raise ValueError(
                     f"{stale} holds only in-flight/abandoned staged "
                     "files; retry after the concurrent delete commits "
-                    "or clean the staging dir"
+                    "(a crashed writer's staging is reclaimed by "
+                    "`compact --indexes`'s age-based staging sweep)"
                 )
             else:
                 fs_delete(spark, stale)

@@ -161,6 +161,7 @@ def _swap_rewrite(
         fs_delete,
         fs_exists,
         fs_list_files,
+        fs_list_files_split,
         fs_size,
     )
 
@@ -195,12 +196,16 @@ def _swap_rewrite(
         fs_delete(spark, posixpath.join(parent, tmp_base))
 
     parts = [c.name for c in spark.catalog.listColumns(name) if c.isPartition]
-    # committed_only=False: the snapshot/recheck pair is the append-RACE
-    # guard — an in-flight staged write must be visible here or a batch
-    # committing between recheck and drop is silently destroyed (r12
-    # review pass 6); it also keeps the already-compact arithmetic
-    # consistent with fs_size, which counts staging bytes
-    snapshot = set(fs_list_files(spark, loc, committed_only=False))
+    # ONE traversal, two views (r12 review passes 6/7): the RACE guard
+    # (snapshot/recheck equality) covers committed AND staged files —
+    # an in-flight staged write must be visible or a batch committing
+    # between recheck and drop is silently destroyed — while the
+    # already-compact arithmetic and the files_before metric count the
+    # COMMITTED subset only, so an in-flight writer's staging can't
+    # force a futile rewrite of an already-compact table (the skip is
+    # also what tolerates that writer: no drop, its commit lands)
+    committed, staged = fs_list_files_split(spark, loc)
+    snapshot = set(committed) | set(staged)
     # refresh AFTER the snapshot, BEFORE the table read: the rewrite
     # must see at least every file in the snapshot. Without it the read
     # goes through the session's cached file index, which can be stale
@@ -211,13 +216,13 @@ def _swap_rewrite(
     # the reverse: a file landing between the two now triggers a
     # conservative abort instead of a silent drop.)
     spark.catalog.refreshTable(name)
-    before = len(snapshot)
+    before = len(committed)
     if parts:
-        # leaf dirs holding the snapshot's files — NOT top-level "key="
+        # leaf dirs holding the committed files — NOT top-level "key="
         # entries, which undercount multi-column partition layouts and
         # would make `already` never true (a full rewrite + non-atomic
         # swap on every sweep, never converging)
-        n_dirs = len({posixpath.dirname(f) for f in snapshot})
+        n_dirs = len({posixpath.dirname(f) for f in committed})
         already = before <= n_dirs
     else:
         n_files = max(1, -(-fs_size(spark, loc) // target_bytes))
@@ -264,7 +269,8 @@ def _swap_rewrite(
     else:
         writer = df.repartition(n_files).write.mode("overwrite")
     writer.saveAsTable(tmp)
-    if set(fs_list_files(spark, loc, committed_only=False)) != snapshot:
+    rc_committed, rc_staged = fs_list_files_split(spark, loc)
+    if set(rc_committed) | set(rc_staged) != snapshot:
         # an ingest batch landed while the snapshot was being written;
         # installing the snapshot would silently drop those rows —
         # abort and let the next sweep retry over the grown table
@@ -441,6 +447,50 @@ def fold_update_logs(
         if r is not None:
             done.append((d, *r))
     return done, skipped
+
+
+STAGING_MIN_AGE_MS = 24 * 3600 * 1000  # reclaim staging older than a day
+
+
+def reclaim_abandoned_staging(
+    spark: SparkSession, *, min_age_ms: int = STAGING_MIN_AGE_MS
+) -> list[str]:
+    """Delete ``_temporary`` staging dirs under warehouse table dirs
+    whose every file is older than ``min_age_ms`` — the leftovers of
+    writers that crashed mid-job (FileOutputCommitter never cleaned
+    up). Abandoned staging is not just waste: it blocks the tombstone
+    fold's return-to-pristine drop and wedges a first-delete retry
+    (both fail CLOSED on staged files by design — r12 review passes
+    6/7), so maintenance must eventually reclaim it. The age gate is
+    what keeps a LIVE slow writer safe: its staged files carry recent
+    mtimes. An empty staging dir (files already promoted or never
+    written) is reclaimed regardless — there is nothing to age.
+    Returns the reclaimed dirs."""
+    import time
+
+    from dbt_on_snowflake_spark.engine.fs import (
+        _file_entries,
+        fs_delete,
+        fs_list,
+    )
+
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    now_ms = int(time.time() * 1000)
+    reclaimed: list[str] = []
+    for d in sorted(fs_list(spark, wh)):
+        tmp = posixpath.join(wh, d, "_temporary")
+        entries = _file_entries(spark, tmp, "")  # every file, any suffix
+        if entries and any(
+            now_ms - mtime < min_age_ms for _f, _s, mtime, _h in entries
+        ):
+            continue  # a recent file => possibly live writer
+        from dbt_on_snowflake_spark.engine.fs import fs_exists
+
+        if not fs_exists(spark, tmp):
+            continue
+        fs_delete(spark, tmp)
+        reclaimed.append(posixpath.join(d, "_temporary"))
+    return reclaimed
 
 
 def compact_index_tables(

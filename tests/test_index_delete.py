@@ -586,3 +586,79 @@ def test_create_path_leaves_foreign_location_dirs_alone(spark, tmp_path):
         _drop_managed_table(spark, "foreign_member")
     finally:
         spark.sql("DROP DATABASE IF EXISTS foreigndb CASCADE")
+
+
+def _stage_file(spark, table_dir: str, name: str = "part-staged.parquet"):
+    """Plant an uncommitted staged parquet under <dir>/_temporary —
+    what a crashed/in-flight FileOutputCommitter write leaves."""
+    import pandas as pd
+
+    local = table_dir.removeprefix("file:")
+    staged_dir = f"{local}/_temporary/0"
+    import os
+
+    os.makedirs(staged_dir, exist_ok=True)
+    pd.DataFrame({"doc_id": [999_999]}).to_parquet(
+        f"{staged_dir}/{name}", index=False
+    )
+    return f"{staged_dir}/{name}"
+
+
+def test_fold_keeps_tombstone_table_while_staging_present(spark):
+    """The drop-when-empty decision must SEE an in-flight staged
+    delete: the fold rewrites and truncates, but the table survives so
+    the racing writer's commit keeps its gate (r12 review pass 6)."""
+    full = _build_text(spark, "tdel_staged")
+    kw = dict(
+        stats_table=full[0], postings_table=full[1], doclen_table=full[2]
+    )
+    text_index_delete(
+        spark, _docs(spark).filter(F.expr(DEL_PRED)).select("doc_id"), **kw
+    )
+    tomb = _text_tombstones(full[1])
+    staged = _stage_file(spark, table_location(spark, tomb))
+    assert fold_tombstones(spark, tomb)[0] == 2
+    assert spark.catalog.tableExists(tomb)  # NOT dropped
+    # clear the staging; the next fold has no committed files -> no-op,
+    # and the table still stands until a fold observes true emptiness
+    import os
+
+    os.remove(staged)
+    assert fold_tombstones(spark, tomb) is None
+
+
+def test_heal_raises_on_staged_only_dir_and_reclaim_unblocks(spark):
+    """A catalog-less tombstone dir holding ONLY staged files fails
+    the delete loudly (deleting could destroy a commit landing in the
+    window; re-attach can't infer a schema) — and the maintenance
+    sweep's age-gated staging reclaim unblocks it (r12 review pass 7)."""
+    import os
+
+    from dbt_on_snowflake_spark.engine.index_maintenance import (
+        reclaim_abandoned_staging,
+    )
+
+    name = "x_tombstones_stagedonly"
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    _stage_file(spark, os.path.join(wh, name))
+    spark.createDataFrame([(1, "a")], "doc_id long, v string").write.mode(
+        "overwrite"
+    ).saveAsTable("stagedonly_member")
+    kw = dict(
+        tombstones_table=name,
+        id_col="doc_id",
+        members=[{"table": "stagedonly_member", "id_cols": ["doc_id"]}],
+    )
+    ids = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="staged"):
+        index_delete(spark, ids, **kw)
+    # a RECENT staged file is protected by the age gate...
+    assert f"{name}/_temporary" not in reclaim_abandoned_staging(spark)
+    # ...but abandoned staging (age floor 0 models day-old mtimes)
+    # is reclaimed, unblocking the delete
+    reclaimed = reclaim_abandoned_staging(spark, min_age_ms=0)
+    assert f"{name}/_temporary" in reclaimed
+    index_delete(spark, ids, **kw)
+    assert spark.table(name).count() == 1
+    _drop_managed_table(spark, "stagedonly_member")
+    _drop_managed_table(spark, name)

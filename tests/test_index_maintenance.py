@@ -323,17 +323,17 @@ def test_compact_aborts_when_append_races_rewrite(spark, monkeypatch):
     _grown_text_index(spark)
     post_loc = table_location(spark, _TI[1])
     before = fs_count_files(spark, post_loc)
-    real = fsmod.fs_list_files
+    real = fsmod.fs_list_files_split
     calls = {"n": 0}
 
-    def racing(spark_, path, suffix=".parquet", committed_only=True):
-        out = real(spark_, path, suffix, committed_only)
+    def racing(spark_, path, suffix=".parquet"):
+        committed, staged = real(spark_, path, suffix)
         calls["n"] += 1
         if calls["n"] == 2:  # the post-write recheck sees a new file
-            out = out + [path + "/part-racing-batch.parquet"]
-        return out
+            committed = committed + [path + "/part-racing-batch.parquet"]
+        return committed, staged
 
-    monkeypatch.setattr(fsmod, "fs_list_files", racing)
+    monkeypatch.setattr(fsmod, "fs_list_files_split", racing)
     assert compact_index_table(spark, _TI[1]) is None
     monkeypatch.undo()
     assert fs_count_files(spark, post_loc) == before  # untouched
@@ -627,18 +627,18 @@ def test_scheduled_compaction_between_streaming_ingest_batches(
     post_loc = table_location(spark, names[1])
     files_before = fs_count_files(spark, post_loc)
     rows_before = sorted(map(tuple, spark.table(names[1]).collect()))
-    real = fsmod.fs_list_files
+    real = fsmod.fs_list_files_split
     per_path: dict = {}
 
     def racing(spark_, path, suffix=".parquet"):
-        out = real(spark_, path, suffix)
+        committed, staged = real(spark_, path, suffix)
         if path == post_loc:
             per_path[path] = per_path.get(path, 0) + 1
             if per_path[path] == 2:  # the recheck sees the new file
-                out = out + [path + "/part-racing-batch.parquet"]
-        return out
+                committed = committed + [path + "/part-racing-batch.parquet"]
+        return committed, staged
 
-    monkeypatch.setattr(fsmod, "fs_list_files", racing)
+    monkeypatch.setattr(fsmod, "fs_list_files_split", racing)
     rc = main(["task", "run-due", "--project", root,
                "--now", "2026-08-15T00:05:10"])
     monkeypatch.undo()
@@ -756,3 +756,28 @@ def test_compact_indexes_cli_sweeps_and_reclaims(spark, tmp_path, capsys):
     # the versioned model table went through the versioned sweep, not
     # the index path
     assert "compacted index cix_m" not in out
+
+
+def test_compact_skips_already_compact_despite_staging(spark):
+    """An in-flight writer's staged files must not force a rewrite of
+    an already-compact table (the skip is also what protects that
+    writer's commit from the swap's DROP — r12 review pass 7), while
+    the race guard still sees staged files during a real rewrite."""
+    import pandas as pd
+
+    from dbt_on_snowflake_spark.operators.dedup import _drop_managed_table
+
+    _drop_managed_table(spark, "cix_staged")
+    spark.range(16).selectExpr("id AS k").coalesce(1).write.mode(
+        "overwrite"
+    ).saveAsTable("cix_staged")
+    loc = table_location(spark, "cix_staged").removeprefix("file:")
+    assert fs_count_files(spark, loc) == 1  # compact already
+    os.makedirs(f"{loc}/_temporary/0", exist_ok=True)
+    pd.DataFrame({"k": [99]}).to_parquet(
+        f"{loc}/_temporary/0/part-staged.parquet", index=False
+    )
+    # committed-subset arithmetic: still judged already-compact
+    assert compact_index_table(spark, "cix_staged") is None
+    assert os.path.exists(f"{loc}/_temporary/0/part-staged.parquet")
+    _drop_managed_table(spark, "cix_staged")
