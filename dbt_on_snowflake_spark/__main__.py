@@ -1261,7 +1261,20 @@ def main(argv: list[str] | None = None) -> int:
             from dbt_on_snowflake_spark.engine import index_maintenance
             from dbt_on_snowflake_spark.engine.fs import fs_delete, fs_list
 
-            # fold DELETE tombstones FIRST: the rewrite drops the
+            # reclaim day-old _temporary/.spark-staging leftovers from
+            # crashed writers FIRST: abandoned staging blocks the
+            # fold's return-to-pristine drop and wedges a first-delete
+            # retry (both fail closed on staged files); live slow
+            # writers are safe behind the age gate
+            # (engine/index_maintenance.reclaim_abandoned_staging)
+            s_done, s_skip = index_maintenance.reclaim_abandoned_staging(
+                spark
+            )
+            for d in s_done:
+                print(f"reclaimed abandoned staging {d}")
+            for d, why in s_skip:
+                print(f"skip staging under {d}: {why}")
+            # fold DELETE tombstones next: the rewrite drops the
             # tombstoned rows from every member table
             # (engine/index_delete.py) and leaves it compact — running
             # it before the compaction sweep lets the sweep's
@@ -1315,13 +1328,6 @@ def main(argv: list[str] | None = None) -> int:
                     )
                 for name, why in r_skip:
                     print(f"skip tombstones {name}: {why}")
-            # reclaim day-old _temporary staging from crashed writers:
-            # abandoned staging blocks the fold's return-to-pristine
-            # drop and wedges a first-delete retry (both fail closed on
-            # staged files); live slow writers are safe behind the age
-            # gate (engine/index_maintenance.reclaim_abandoned_staging)
-            for d in index_maintenance.reclaim_abandoned_staging(spark):
-                print(f"reclaimed abandoned staging {d}")
             l_done, l_skip = index_maintenance.fold_update_logs(spark)
             for name, before, after in l_done:
                 print(f"folded log {name}: {before} -> {after} file(s)")

@@ -64,6 +64,14 @@ def fs_read(spark: SparkSession, path: str) -> bytes:
         stream.close()
 
 
+def fs_mtime(spark: SparkSession, path: str) -> int | None:
+    """Modification time (ms) of a path itself; None if missing."""
+    fs, p = _fs_path(spark, path)
+    if not fs.exists(p):
+        return None
+    return int(fs.getFileStatus(p).getModificationTime())
+
+
 def fs_size(spark: SparkSession, path: str) -> int:
     """Total bytes under a path (getContentSummary); 0 if missing."""
     fs, p = _fs_path(spark, path)

@@ -350,6 +350,11 @@ def fold_tombstones(
     loc = table_location(spark, tombstones_table)
     snap = fs_list_files(spark, loc)
     if not snap:
+        # nothing to fold — but an empty table left standing by a
+        # staging-blocked drop (r12 review pass 8) must still return
+        # to pristine once the staging clears (the CLI reclaims
+        # abandoned staging BEFORE this sweep)
+        _drop_when_fully_empty(spark, tombstones_table, loc)
         return None
     spec = tombstone_spec(spark, tombstones_table)
     if spec is None:
@@ -435,39 +440,47 @@ def fold_tombstones(
     for f in snap:
         fs_delete(spark, f)
     spark.catalog.refreshTable(tombstones_table)
-    if not fs_list_files(spark, loc, committed_only=False):
-        # fully folded and NOTHING — not even an in-flight staged
-        # concurrent delete (committed_only=False, r12 review pass 6) —
-        # landed mid-fold: drop the table so
-        # the serves return to their PRISTINE plans — no anti-join, and
-        # the one-row persisted stats (which the refresh above just
-        # made exact) are read again instead of the live recompute
-        # (r12 review, finding 6). A writer genuinely concurrent with
-        # maintenance schedules both through the same tasks.yml
-        # serialization (index_maintenance.py's standing posture); the
-        # next delete recreates table + sidecar from scratch.
-        spark.sql(f"DROP TABLE IF EXISTS {tombstones_table}")
-        from dbt_on_snowflake_spark.engine.fs import fs_exists
-        from dbt_on_snowflake_spark.engine.index_maintenance import (
-            _under_warehouse,
-        )
-
-        if fs_exists(spark, loc) and _under_warehouse(spark, loc):
-            # a re-attached EXTERNAL tombstone table: DROP removed only
-            # the catalog entry, leaving the dir (and the stale
-            # sidecar) — the next delete's saveAsTable would refuse the
-            # non-empty managed location and wedge the family (r12
-            # review pass 2). We just verified no data files remain,
-            # and the under-warehouse guard (pass 3; the maintenance
-            # sweep's standing convention) keeps a table attached at a
-            # FOREIGN location — someone else's dir, possibly holding
-            # non-parquet content — out of reach. A leftover dir in a
-            # foreign-LOCATION database can still collide with a later
-            # CREATE; index_delete's create path handles that loudly
-            # (it refuses to touch foreign dirs too, so the CREATE
-            # error surfaces instead of a silent delete).
-            fs_delete(spark, loc)
+    _drop_when_fully_empty(spark, tombstones_table, loc)
     return rewritten, len(snap)
+
+
+def _drop_when_fully_empty(
+    spark: SparkSession, tombstones_table: str, loc: str
+) -> None:
+    """Drop a tombstone table holding NO files — not even an in-flight
+    staged concurrent delete (committed_only=False, r12 review pass
+    6) — so the serves return to their PRISTINE plans: no anti-join,
+    and the one-row persisted stats (which the fold's refresh made
+    exact) are read again instead of the live recompute (r12 review,
+    finding 6). A writer genuinely concurrent with maintenance
+    schedules both through the same tasks.yml serialization
+    (index_maintenance.py's standing posture); the next delete
+    recreates table + sidecar from scratch."""
+    from dbt_on_snowflake_spark.engine.fs import fs_exists, fs_list_files
+    from dbt_on_snowflake_spark.engine.index_maintenance import (
+        _under_warehouse,
+    )
+
+    if fs_list_files(spark, loc, committed_only=False):
+        return
+    spark.sql(f"DROP TABLE IF EXISTS {tombstones_table}")
+    if fs_exists(spark, loc) and _under_warehouse(spark, loc):
+        # a re-attached EXTERNAL tombstone table: DROP removed only
+        # the catalog entry, leaving the dir (and the stale
+        # sidecar) — the next delete's saveAsTable would refuse the
+        # non-empty managed location and wedge the family (r12
+        # review pass 2). We just verified no data files remain,
+        # and the under-warehouse guard (pass 3; the maintenance
+        # sweep's standing convention) keeps a table attached at a
+        # FOREIGN location — someone else's dir, possibly holding
+        # non-parquet content — out of reach. A leftover dir in a
+        # foreign-LOCATION database can still collide with a later
+        # CREATE; index_delete's create path handles that loudly
+        # (it refuses to touch foreign dirs too, so the CREATE
+        # error surfaces instead of a silent delete).
+        from dbt_on_snowflake_spark.engine.fs import fs_delete
+
+        fs_delete(spark, loc)
 
 
 def fold_tombstone_families(

@@ -157,12 +157,10 @@ def _swap_rewrite(
     when skipped (already compact) or aborted (an append raced the
     rewrite)."""
     from dbt_on_snowflake_spark.engine.fs import (
+        _file_entries,
         fs_count_files,
         fs_delete,
         fs_exists,
-        fs_list_files,
-        fs_list_files_split,
-        fs_size,
     )
 
     loc = table_location(spark, name)
@@ -204,8 +202,10 @@ def _swap_rewrite(
     # COMMITTED subset only, so an in-flight writer's staging can't
     # force a futile rewrite of an already-compact table (the skip is
     # also what tolerates that writer: no drop, its commit lands)
-    committed, staged = fs_list_files_split(spark, loc)
-    snapshot = set(committed) | set(staged)
+    entries = _file_entries(spark, loc, ".parquet")
+    committed = sorted(f for f, _s, _m, h in entries if not h)
+    committed_bytes = sum(sz for _f, sz, _m, h in entries if not h)
+    snapshot = {f for f, _s, _m, _h in entries}
     # refresh AFTER the snapshot, BEFORE the table read: the rewrite
     # must see at least every file in the snapshot. Without it the read
     # goes through the session's cached file index, which can be stale
@@ -225,7 +225,10 @@ def _swap_rewrite(
         n_dirs = len({posixpath.dirname(f) for f in committed})
         already = before <= n_dirs
     else:
-        n_files = max(1, -(-fs_size(spark, loc) // target_bytes))
+        # committed bytes, from the same traversal: fs_size would count
+        # staging bytes, inflating the threshold (and the rewrite's
+        # file count) whenever a crashed writer's staging lingers
+        n_files = max(1, -(-committed_bytes // target_bytes))
         already = before <= n_files
     if skip_if_compact and already:
         return None
@@ -269,8 +272,8 @@ def _swap_rewrite(
     else:
         writer = df.repartition(n_files).write.mode("overwrite")
     writer.saveAsTable(tmp)
-    rc_committed, rc_staged = fs_list_files_split(spark, loc)
-    if set(rc_committed) | set(rc_staged) != snapshot:
+    recheck = {f for f, _s, _m, _h in _file_entries(spark, loc, ".parquet")}
+    if recheck != snapshot:
         # an ingest batch landed while the snapshot was being written;
         # installing the snapshot would silently drop those rows —
         # abort and let the next sweep retry over the grown table
@@ -452,45 +455,77 @@ def fold_update_logs(
 STAGING_MIN_AGE_MS = 24 * 3600 * 1000  # reclaim staging older than a day
 
 
+# staging dir names writers leave behind on a crash: parquet/FOC
+# (_temporary), dynamic-partition-overwrite (.spark-staging-<uuid>),
+# Hive-style (.hive-staging*). ONLY these prefixes are ever reclaimed —
+# the metadata sidecars this repo itself plants (_tombstones.json,
+# _qstats.json, _merge.json, _v/) are files/dirs the sweep must never
+# touch, and an unknown hidden name is conservatively someone else's.
+_STAGING_PREFIXES = ("_temporary", ".spark-staging", ".hive-staging")
+
+
 def reclaim_abandoned_staging(
     spark: SparkSession, *, min_age_ms: int = STAGING_MIN_AGE_MS
-) -> list[str]:
-    """Delete ``_temporary`` staging dirs under warehouse table dirs
-    whose every file is older than ``min_age_ms`` — the leftovers of
-    writers that crashed mid-job (FileOutputCommitter never cleaned
-    up). Abandoned staging is not just waste: it blocks the tombstone
-    fold's return-to-pristine drop and wedges a first-delete retry
-    (both fail CLOSED on staged files by design — r12 review passes
-    6/7), so maintenance must eventually reclaim it. The age gate is
-    what keeps a LIVE slow writer safe: its staged files carry recent
-    mtimes. An empty staging dir (files already promoted or never
-    written) is reclaimed regardless — there is nothing to age.
-    Returns the reclaimed dirs."""
+) -> tuple[list[str], list[tuple[str, str]]]:
+    """Delete abandoned staging dirs (``_STAGING_PREFIXES``) under
+    warehouse table dirs — including tables of non-default databases
+    (``<wh>/<db>.db/<table>/``) — when every file inside is older than
+    ``min_age_ms`` (the leftovers of writers that crashed mid-job;
+    FileOutputCommitter never cleaned up). Abandoned staging is not
+    just waste: it blocks the tombstone fold's return-to-pristine drop
+    and wedges a first-delete retry (both fail CLOSED on staged files
+    by design — r12 review passes 6/7), so maintenance must eventually
+    reclaim it. The age gate keeps a LIVE slow writer safe: its staged
+    files carry recent mtimes, and an EMPTY staging dir (a writer's
+    setupJob that has not emitted files yet) is aged by the dir's own
+    mtime, closing the create-to-first-file window. Per-dir errors are
+    reported, never allowed to abort the sweep. Returns
+    ``(reclaimed, skipped)``."""
     import time
 
     from dbt_on_snowflake_spark.engine.fs import (
         _file_entries,
         fs_delete,
         fs_list,
+        fs_mtime,
     )
 
     wh = spark.conf.get("spark.sql.warehouse.dir")
     now_ms = int(time.time() * 1000)
     reclaimed: list[str] = []
-    for d in sorted(fs_list(spark, wh)):
-        tmp = posixpath.join(wh, d, "_temporary")
-        entries = _file_entries(spark, tmp, "")  # every file, any suffix
-        if entries and any(
-            now_ms - mtime < min_age_ms for _f, _s, mtime, _h in entries
-        ):
-            continue  # a recent file => possibly live writer
-        from dbt_on_snowflake_spark.engine.fs import fs_exists
+    skipped: list[tuple[str, str]] = []
 
-        if not fs_exists(spark, tmp):
-            continue
-        fs_delete(spark, tmp)
-        reclaimed.append(posixpath.join(d, "_temporary"))
-    return reclaimed
+    def table_dirs():
+        for d in sorted(fs_list(spark, wh)):
+            if d.endswith(".db"):  # a database dir: tables one level in
+                for t in sorted(fs_list(spark, posixpath.join(wh, d))):
+                    yield posixpath.join(d, t)
+            else:
+                yield d
+
+    for tdir in table_dirs():
+        try:
+            for child in sorted(fs_list(spark, posixpath.join(wh, tdir))):
+                if not child.startswith(_STAGING_PREFIXES):
+                    continue
+                tmp = posixpath.join(wh, tdir, child)
+                # every file, any suffix
+                entries = _file_entries(spark, tmp, "")
+                if entries:
+                    fresh = any(
+                        now_ms - mtime < min_age_ms
+                        for _f, _s, mtime, _h in entries
+                    )
+                else:
+                    dm = fs_mtime(spark, tmp)
+                    fresh = dm is not None and now_ms - dm < min_age_ms
+                if fresh:
+                    continue  # possibly a live writer — leave it
+                fs_delete(spark, tmp)
+                reclaimed.append(posixpath.join(tdir, child))
+        except Exception as exc:  # noqa: BLE001 — sweep must survive
+            skipped.append((tdir, str(exc)))
+    return reclaimed, skipped
 
 
 def compact_index_tables(

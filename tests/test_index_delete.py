@@ -616,15 +616,18 @@ def test_fold_keeps_tombstone_table_while_staging_present(spark):
         spark, _docs(spark).filter(F.expr(DEL_PRED)).select("doc_id"), **kw
     )
     tomb = _text_tombstones(full[1])
-    staged = _stage_file(spark, table_location(spark, tomb))
+    tomb_loc = table_location(spark, tomb)
+    staged = _stage_file(spark, tomb_loc)
     assert fold_tombstones(spark, tomb)[0] == 2
     assert spark.catalog.tableExists(tomb)  # NOT dropped
-    # clear the staging; the next fold has no committed files -> no-op,
-    # and the table still stands until a fold observes true emptiness
+    # clear the staging (what the maintenance reclaim does); the next
+    # fold has nothing to rewrite but observes true emptiness and
+    # returns the family to pristine (r12 review pass 8)
     import os
 
     os.remove(staged)
     assert fold_tombstones(spark, tomb) is None
+    assert not spark.catalog.tableExists(tomb)
 
 
 def test_heal_raises_on_staged_only_dir_and_reclaim_unblocks(spark):
@@ -653,10 +656,11 @@ def test_heal_raises_on_staged_only_dir_and_reclaim_unblocks(spark):
     with pytest.raises(ValueError, match="staged"):
         index_delete(spark, ids, **kw)
     # a RECENT staged file is protected by the age gate...
-    assert f"{name}/_temporary" not in reclaim_abandoned_staging(spark)
+    fresh_reclaimed, _ = reclaim_abandoned_staging(spark)
+    assert f"{name}/_temporary" not in fresh_reclaimed
     # ...but abandoned staging (age floor 0 models day-old mtimes)
     # is reclaimed, unblocking the delete
-    reclaimed = reclaim_abandoned_staging(spark, min_age_ms=0)
+    reclaimed, _ = reclaim_abandoned_staging(spark, min_age_ms=0)
     assert f"{name}/_temporary" in reclaimed
     index_delete(spark, ids, **kw)
     assert spark.table(name).count() == 1

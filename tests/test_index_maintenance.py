@@ -323,17 +323,19 @@ def test_compact_aborts_when_append_races_rewrite(spark, monkeypatch):
     _grown_text_index(spark)
     post_loc = table_location(spark, _TI[1])
     before = fs_count_files(spark, post_loc)
-    real = fsmod.fs_list_files_split
+    real = fsmod._file_entries
     calls = {"n": 0}
 
-    def racing(spark_, path, suffix=".parquet"):
-        committed, staged = real(spark_, path, suffix)
+    def racing(spark_, path, suffix):
+        out = real(spark_, path, suffix)
         calls["n"] += 1
         if calls["n"] == 2:  # the post-write recheck sees a new file
-            committed = committed + [path + "/part-racing-batch.parquet"]
-        return committed, staged
+            out = out + [
+                (path + "/part-racing-batch.parquet", 1, 0, False)
+            ]
+        return out
 
-    monkeypatch.setattr(fsmod, "fs_list_files_split", racing)
+    monkeypatch.setattr(fsmod, "_file_entries", racing)
     assert compact_index_table(spark, _TI[1]) is None
     monkeypatch.undo()
     assert fs_count_files(spark, post_loc) == before  # untouched
@@ -627,18 +629,20 @@ def test_scheduled_compaction_between_streaming_ingest_batches(
     post_loc = table_location(spark, names[1])
     files_before = fs_count_files(spark, post_loc)
     rows_before = sorted(map(tuple, spark.table(names[1]).collect()))
-    real = fsmod.fs_list_files_split
+    real = fsmod._file_entries
     per_path: dict = {}
 
-    def racing(spark_, path, suffix=".parquet"):
-        committed, staged = real(spark_, path, suffix)
+    def racing(spark_, path, suffix):
+        out = real(spark_, path, suffix)
         if path == post_loc:
             per_path[path] = per_path.get(path, 0) + 1
             if per_path[path] == 2:  # the recheck sees the new file
-                committed = committed + [path + "/part-racing-batch.parquet"]
-        return committed, staged
+                out = out + [
+                    (path + "/part-racing-batch.parquet", 1, 0, False)
+                ]
+        return out
 
-    monkeypatch.setattr(fsmod, "fs_list_files_split", racing)
+    monkeypatch.setattr(fsmod, "_file_entries", racing)
     rc = main(["task", "run-due", "--project", root,
                "--now", "2026-08-15T00:05:10"])
     monkeypatch.undo()
