@@ -456,12 +456,31 @@ def _drop_when_fully_empty(
     schedules both through the same tasks.yml serialization
     (index_maintenance.py's standing posture); the next delete
     recreates table + sidecar from scratch."""
-    from dbt_on_snowflake_spark.engine.fs import fs_exists, fs_list_files
+    from dbt_on_snowflake_spark.engine.fs import (
+        fs_delete,
+        fs_exists,
+        fs_list,
+    )
     from dbt_on_snowflake_spark.engine.index_maintenance import (
         _under_warehouse,
     )
 
-    if fs_list_files(spark, loc, committed_only=False):
+    # emptiness by TOP-LEVEL CHILDREN, not a parquet-suffixed listing
+    # (r12 review pass 9: a suffix-filtered check was blind to
+    # non-parquet in-flight content). Row-free metadata the writers
+    # themselves leave — `_SUCCESS`, local-FS `.crc` checksums — and
+    # this repo's own `_*.json` sidecars are ignorable; ANYTHING else
+    # (a staging dir, an extensionless task file, a `._COPYING_`
+    # rendition) keeps the table standing until the staging reclaim or
+    # a later fold observes true emptiness.
+    def _residual(c: str) -> bool:
+        return not (
+            c == "_SUCCESS"
+            or (c.startswith("_") and c.endswith(".json"))
+            or (c.startswith(".") and c.endswith(".crc"))
+        )
+
+    if any(_residual(c) for c in fs_list(spark, loc)):
         return
     spark.sql(f"DROP TABLE IF EXISTS {tombstones_table}")
     if fs_exists(spark, loc) and _under_warehouse(spark, loc):
@@ -478,8 +497,6 @@ def _drop_when_fully_empty(
         # CREATE; index_delete's create path handles that loudly
         # (it refuses to touch foreign dirs too, so the CREATE
         # error surfaces instead of a silent delete).
-        from dbt_on_snowflake_spark.engine.fs import fs_delete
-
         fs_delete(spark, loc)
 
 

@@ -455,13 +455,20 @@ def fold_update_logs(
 STAGING_MIN_AGE_MS = 24 * 3600 * 1000  # reclaim staging older than a day
 
 
-# staging dir names writers leave behind on a crash: parquet/FOC
-# (_temporary), dynamic-partition-overwrite (.spark-staging-<uuid>),
-# Hive-style (.hive-staging*). ONLY these prefixes are ever reclaimed —
-# the metadata sidecars this repo itself plants (_tombstones.json,
+# staging names writers leave behind on a crash: parquet/FOC creates
+# exactly `_temporary`; dynamic-partition-overwrite and Hive-style
+# writers append UUIDs (.spark-staging-<uuid>, .hive-staging_...), so
+# those two match by prefix. ONLY these are ever reclaimed — the
+# metadata sidecars this repo itself plants (_tombstones.json,
 # _qstats.json, _merge.json, _v/) are files/dirs the sweep must never
-# touch, and an unknown hidden name is conservatively someone else's.
-_STAGING_PREFIXES = ("_temporary", ".spark-staging", ".hive-staging")
+# touch, and an unknown hidden name (even `_temporary_keep`) is
+# conservatively someone else's.
+_STAGING_EXACT = ("_temporary",)
+_STAGING_PREFIXES = (".spark-staging", ".hive-staging")
+
+
+def _is_staging_name(child: str) -> bool:
+    return child in _STAGING_EXACT or child.startswith(_STAGING_PREFIXES)
 
 
 def reclaim_abandoned_staging(
@@ -495,20 +502,51 @@ def reclaim_abandoned_staging(
     reclaimed: list[str] = []
     skipped: list[tuple[str, str]] = []
 
-    def table_dirs():
-        for d in sorted(fs_list(spark, wh)):
-            if d.endswith(".db"):  # a database dir: tables one level in
-                for t in sorted(fs_list(spark, posixpath.join(wh, d))):
-                    yield posixpath.join(d, t)
-            else:
-                yield d
+    # table-dir roots: the warehouse itself, every `<db>.db` child, AND
+    # every catalog database whose LOCATION sits under the warehouse at
+    # a non-`.db` path (CREATE DATABASE ... LOCATION '<wh>/custom' —
+    # its tables live one level below a dir the name heuristic alone
+    # would treat as a table). Listing errors are reported per root,
+    # never allowed to abort the sweep (skip-with-reason convention).
+    roots: list[str] = [wh]
+    try:
+        for db in sorted(d.name for d in spark.catalog.listDatabases()):
+            loc = _database_location(spark, f"`{db}`")
+            if _under_warehouse(spark, loc):
+                roots.append(loc)
+    except Exception as exc:  # noqa: BLE001 — catalog hiccup:
+        skipped.append(("<catalog>", str(exc)))  # wh root still swept
 
-    for tdir in table_dirs():
+    tdirs: list[tuple[str, str]] = []  # (root, relative table dir)
+    seen: set[str] = set()
+    for root in roots:
         try:
-            for child in sorted(fs_list(spark, posixpath.join(wh, tdir))):
-                if not child.startswith(_STAGING_PREFIXES):
+            children = sorted(fs_list(spark, root))
+        except Exception as exc:  # noqa: BLE001 — sweep must survive
+            skipped.append((root, str(exc)))
+            continue
+        for d in children:
+            if d.endswith(".db"):  # a database dir: tables one level in
+                try:
+                    subs = sorted(fs_list(spark, posixpath.join(root, d)))
+                except Exception as exc:  # noqa: BLE001
+                    skipped.append((d, str(exc)))
                     continue
-                tmp = posixpath.join(wh, tdir, child)
+                entries_ = [posixpath.join(d, t) for t in subs]
+            else:
+                entries_ = [d]
+            for t in entries_:
+                full = posixpath.join(root, t)
+                if full not in seen:
+                    seen.add(full)
+                    tdirs.append((root, t))
+
+    for root, tdir in tdirs:
+        try:
+            for child in sorted(fs_list(spark, posixpath.join(root, tdir))):
+                if not _is_staging_name(child):
+                    continue
+                tmp = posixpath.join(root, tdir, child)
                 # every file, any suffix
                 entries = _file_entries(spark, tmp, "")
                 if entries:
@@ -518,7 +556,9 @@ def reclaim_abandoned_staging(
                     )
                 else:
                     dm = fs_mtime(spark, tmp)
-                    fresh = dm is not None and now_ms - dm < min_age_ms
+                    if dm is None:
+                        continue  # vanished (live writer's job commit)
+                    fresh = now_ms - dm < min_age_ms
                 if fresh:
                     continue  # possibly a live writer — leave it
                 fs_delete(spark, tmp)

@@ -617,15 +617,18 @@ def test_fold_keeps_tombstone_table_while_staging_present(spark):
     )
     tomb = _text_tombstones(full[1])
     tomb_loc = table_location(spark, tomb)
-    staged = _stage_file(spark, tomb_loc)
+    _stage_file(spark, tomb_loc)
     assert fold_tombstones(spark, tomb)[0] == 2
     assert spark.catalog.tableExists(tomb)  # NOT dropped
-    # clear the staging (what the maintenance reclaim does); the next
+    # the maintenance reclaim clears the (abandoned) staging; the next
     # fold has nothing to rewrite but observes true emptiness and
-    # returns the family to pristine (r12 review pass 8)
-    import os
+    # returns the family to pristine (r12 review passes 8/9)
+    from dbt_on_snowflake_spark.engine.index_maintenance import (
+        reclaim_abandoned_staging,
+    )
 
-    os.remove(staged)
+    reclaimed, _ = reclaim_abandoned_staging(spark, min_age_ms=0)
+    assert any(r.endswith("_temporary") for r in reclaimed)
     assert fold_tombstones(spark, tomb) is None
     assert not spark.catalog.tableExists(tomb)
 
