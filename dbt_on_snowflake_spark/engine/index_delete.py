@@ -447,15 +447,18 @@ def fold_tombstones(
 def _drop_when_fully_empty(
     spark: SparkSession, tombstones_table: str, loc: str
 ) -> None:
-    """Drop a tombstone table holding NO files — not even an in-flight
-    staged concurrent delete (committed_only=False, r12 review pass
-    6) — so the serves return to their PRISTINE plans: no anti-join,
-    and the one-row persisted stats (which the fold's refresh made
-    exact) are read again instead of the live recompute (r12 review,
-    finding 6). A writer genuinely concurrent with maintenance
-    schedules both through the same tasks.yml serialization
-    (index_maintenance.py's standing posture); the next delete
-    recreates table + sidecar from scratch."""
+    """Drop a tombstone table whose dir holds nothing beyond row-free
+    write markers and this repo's metadata sidecars (the top-level
+    children test below — stricter than any suffix-filtered listing:
+    an in-flight staged concurrent delete, an extensionless task file,
+    or a ``._COPYING_`` rendition all keep the table standing), so the
+    serves return to their PRISTINE plans: no anti-join, and the
+    one-row persisted stats (which the fold's refresh made exact) are
+    read again instead of the live recompute (r12 review, finding 6).
+    A writer genuinely concurrent with maintenance schedules both
+    through the same tasks.yml serialization (index_maintenance.py's
+    standing posture); the next delete recreates table + sidecar from
+    scratch."""
     from dbt_on_snowflake_spark.engine.fs import (
         fs_delete,
         fs_exists,

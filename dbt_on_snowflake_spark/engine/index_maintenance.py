@@ -508,14 +508,25 @@ def reclaim_abandoned_staging(
     # its tables live one level below a dir the name heuristic alone
     # would treat as a table). Listing errors are reported per root,
     # never allowed to abort the sweep (skip-with-reason convention).
+    wh_norm = _strip_scheme(wh).rstrip("/")
     roots: list[str] = [wh]
     try:
-        for db in sorted(d.name for d in spark.catalog.listDatabases()):
-            loc = _database_location(spark, f"`{db}`")
-            if _under_warehouse(spark, loc):
-                roots.append(loc)
+        db_names = sorted(d.name for d in spark.catalog.listDatabases())
     except Exception as exc:  # noqa: BLE001 — catalog hiccup:
         skipped.append(("<catalog>", str(exc)))  # wh root still swept
+        db_names = []
+    for db in db_names:
+        try:
+            loc = _database_location(spark, f"`{db}`")
+        except Exception as exc:  # noqa: BLE001 — one bad db entry
+            skipped.append((db, str(exc)))  # must not drop the rest
+            continue
+        loc_norm = _strip_scheme(loc).rstrip("/")
+        parent, _, base = loc_norm.rpartition("/")
+        if parent == wh_norm and base.endswith(".db"):
+            continue  # default layout: the wh root's .db pass covers it
+        if _under_warehouse(spark, loc):
+            roots.append(loc)
 
     tdirs: list[tuple[str, str]] = []  # (root, relative table dir)
     seen: set[str] = set()
@@ -526,17 +537,23 @@ def reclaim_abandoned_staging(
             skipped.append((root, str(exc)))
             continue
         for d in children:
-            if d.endswith(".db"):  # a database dir: tables one level in
+            # the `<db>.db` expansion applies only under the WAREHOUSE
+            # root — under a custom-LOCATION database root a child
+            # named `*.db` is just a table dir (r12 review pass 10)
+            if root is wh and d.endswith(".db"):
                 try:
                     subs = sorted(fs_list(spark, posixpath.join(root, d)))
                 except Exception as exc:  # noqa: BLE001
-                    skipped.append((d, str(exc)))
+                    skipped.append((posixpath.join(root, d), str(exc)))
                     continue
                 entries_ = [posixpath.join(d, t) for t in subs]
             else:
                 entries_ = [d]
             for t in entries_:
-                full = posixpath.join(root, t)
+                # normalized dedup: the conf and DESCRIBE renderings of
+                # the same path can differ (file:/// vs file:/ — the
+                # r11 normalization lesson) and must collapse here
+                full = _strip_scheme(posixpath.join(root, t)).rstrip("/")
                 if full not in seen:
                     seen.add(full)
                     tdirs.append((root, t))

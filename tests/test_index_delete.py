@@ -628,7 +628,7 @@ def test_fold_keeps_tombstone_table_while_staging_present(spark):
     )
 
     reclaimed, _ = reclaim_abandoned_staging(spark, min_age_ms=0)
-    assert any(r.endswith("_temporary") for r in reclaimed)
+    assert f"{tomb}/_temporary" in reclaimed  # THIS table's staging
     assert fold_tombstones(spark, tomb) is None
     assert not spark.catalog.tableExists(tomb)
 
