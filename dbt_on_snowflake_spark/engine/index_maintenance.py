@@ -508,8 +508,16 @@ def reclaim_abandoned_staging(
     # its tables live one level below a dir the name heuristic alone
     # would treat as a table). Listing errors are reported per root,
     # never allowed to abort the sweep (skip-with-reason convention).
-    wh_norm = _strip_scheme(wh).rstrip("/")
-    roots: list[str] = [wh]
+    def _norm(p: str) -> str:
+        return _strip_scheme(p).rstrip("/")
+
+    # roots: the warehouse itself plus EVERY catalog database located
+    # under it — default-layout `<db>.db` locations included, so their
+    # staging is still swept on a run where the warehouse-root listing
+    # itself fails (per-root independence); the normalized `expanded`
+    # set below just skips re-listing a db dir the wh pass already
+    # covered (r12 review passes 10/11)
+    roots: list[tuple[str, bool]] = [(wh, True)]  # (path, is_wh_root)
     try:
         db_names = sorted(d.name for d in spark.catalog.listDatabases())
     except Exception as exc:  # noqa: BLE001 — catalog hiccup:
@@ -521,16 +529,15 @@ def reclaim_abandoned_staging(
         except Exception as exc:  # noqa: BLE001 — one bad db entry
             skipped.append((db, str(exc)))  # must not drop the rest
             continue
-        loc_norm = _strip_scheme(loc).rstrip("/")
-        parent, _, base = loc_norm.rpartition("/")
-        if parent == wh_norm and base.endswith(".db"):
-            continue  # default layout: the wh root's .db pass covers it
         if _under_warehouse(spark, loc):
-            roots.append(loc)
+            roots.append((loc, False))
 
     tdirs: list[tuple[str, str]] = []  # (root, relative table dir)
     seen: set[str] = set()
-    for root in roots:
+    expanded: set[str] = set()  # db dirs the wh pass already listed
+    for root, is_wh_root in roots:
+        if not is_wh_root and _norm(root) in expanded:
+            continue  # covered by the wh pass — skip the repeat LIST
         try:
             children = sorted(fs_list(spark, root))
         except Exception as exc:  # noqa: BLE001 — sweep must survive
@@ -540,12 +547,13 @@ def reclaim_abandoned_staging(
             # the `<db>.db` expansion applies only under the WAREHOUSE
             # root — under a custom-LOCATION database root a child
             # named `*.db` is just a table dir (r12 review pass 10)
-            if root is wh and d.endswith(".db"):
+            if is_wh_root and d.endswith(".db"):
                 try:
                     subs = sorted(fs_list(spark, posixpath.join(root, d)))
                 except Exception as exc:  # noqa: BLE001
                     skipped.append((posixpath.join(root, d), str(exc)))
                     continue
+                expanded.add(_norm(posixpath.join(root, d)))
                 entries_ = [posixpath.join(d, t) for t in subs]
             else:
                 entries_ = [d]
@@ -553,7 +561,7 @@ def reclaim_abandoned_staging(
                 # normalized dedup: the conf and DESCRIBE renderings of
                 # the same path can differ (file:/// vs file:/ — the
                 # r11 normalization lesson) and must collapse here
-                full = _strip_scheme(posixpath.join(root, t)).rstrip("/")
+                full = _norm(posixpath.join(root, t))
                 if full not in seen:
                     seen.add(full)
                     tdirs.append((root, t))

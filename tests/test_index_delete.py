@@ -669,3 +669,28 @@ def test_heal_raises_on_staged_only_dir_and_reclaim_unblocks(spark):
     assert spark.table(name).count() == 1
     _drop_managed_table(spark, "stagedonly_member")
     _drop_managed_table(spark, name)
+
+
+def test_reclaim_covers_custom_location_database(spark, tmp_path):
+    """A database created with an explicit under-warehouse LOCATION is
+    swept too, and a table dir NAMED `*.db` under it is treated as a
+    table (not expanded as a database) — its staging is reclaimed at
+    the right depth (r12 review passes 10/11)."""
+    import os
+
+    from dbt_on_snowflake_spark.engine.index_maintenance import (
+        reclaim_abandoned_staging,
+    )
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    floc = os.path.join(wh, "customloc")
+    spark.sql(f"CREATE DATABASE customdb LOCATION '{floc}'")
+    try:
+        # a table dir whose NAME ends in .db, holding abandoned staging
+        tdir = os.path.join(floc, "events.db")
+        _stage_file(spark, tdir)
+        reclaimed, _ = reclaim_abandoned_staging(spark, min_age_ms=0)
+        assert "events.db/_temporary" in reclaimed
+        assert not os.path.exists(os.path.join(tdir, "_temporary"))
+    finally:
+        spark.sql("DROP DATABASE customdb CASCADE")
