@@ -58,7 +58,7 @@ def main(argv: list[str] | None = None) -> int:
             sp.add_argument(
                 "--resource-type", default="model", dest="resource_type",
                 choices=["model", "seed", "source", "exposure", "snapshot",
-                         "task", "all"],
+                         "task", "analysis", "all"],
                 help="which resource inventory to list",
             )
         if name == "run-operation":
@@ -443,6 +443,9 @@ def main(argv: list[str] | None = None) -> int:
 
             for t in load_tasks(args.project):
                 print(f"task {t.name} [{t.schedule}] args={t.args!r}")
+        if rtype in ("analysis", "all"):
+            for name in sorted(getattr(project, "analyses", {})):
+                print(f"analysis {name}")
         return 0
 
     if args.cmd == "compile":
@@ -481,6 +484,27 @@ def main(argv: list[str] | None = None) -> int:
                     )
                 )
             print()
+        # dbt ANALYSES (reference dbt_project.yml:9 analysis-paths):
+        # compiled with full ref()/source() resolution, written as
+        # artifacts, NEVER materialized — compile is their whole
+        # lifecycle. Only on an unselected compile (dbt parity: a
+        # --select narrowed to models doesn't emit analyses).
+        if project.analyses and not args.select:
+            adir = _os.path.join(
+                args.project, "target", "compiled", "analyses"
+            )
+            _os.makedirs(adir, exist_ok=True)
+            for aname in sorted(project.analyses):
+                compiled = render(
+                    project.analyses[aname],
+                    resolve_ref,
+                    resolve_source,
+                    variables=resolved_vars,
+                )
+                out_path = _os.path.join(adir, f"{aname}.sql")
+                with open(out_path, "w") as f:
+                    f.write(compiled)
+                print(f"-- analysis: {aname} -> {out_path}")
         if args.out:
             from dbt_on_snowflake_spark.engine.artifacts import write_manifest
 

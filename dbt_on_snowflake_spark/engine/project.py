@@ -161,6 +161,7 @@ class Project:
         self.seeds = self._discover_seeds()
         self.snapshots = self._load_snapshots()
         self.selectors = self._load_selectors()
+        self.analyses = self._discover_analyses()
         # ref() resolves seeds before models, so a shared name would
         # silently shadow the model — reject at discovery, mirroring the
         # duplicate-model guard
@@ -354,6 +355,37 @@ class Project:
         return f"{schema}_{model}"
 
     # -- discovery --------------------------------------------------------
+    def _discover_analyses(self) -> dict[str, str]:
+        """dbt ANALYSES (reference ``dbt/dbt_project.yml:9``
+        ``analysis-paths: [analysis]``): SQL files that are Jinja-
+        compiled with full ref()/source() resolution but NEVER
+        materialized — ad-hoc investigation queries versioned next to
+        the models. Discovered from every dir in ``analysis-paths``
+        (default ``[analyses]``, dbt's default); ``compile`` writes
+        their resolved SQL under ``target/compiled/analyses/``. A name
+        collision among analyses is an error (the model-discovery
+        posture); models and analyses live in separate namespaces
+        (analyses are not ref()-able)."""
+        paths = self.config.get("analysis-paths") or ["analyses"]
+        out: dict[str, str] = {}
+        for p in paths:
+            adir = p if os.path.isabs(p) else os.path.join(self.root, p)
+            if not os.path.isdir(adir):
+                continue
+            for dirpath, _dirs, files in os.walk(adir):
+                for fn in sorted(files):
+                    name, ext = os.path.splitext(fn)
+                    if ext != ".sql":
+                        continue
+                    if name in out:
+                        raise ValueError(
+                            f"duplicate analysis name {name!r} under "
+                            f"{paths}"
+                        )
+                    with open(os.path.join(dirpath, fn)) as f:
+                        out[name] = f.read()
+        return out
+
     def _discover_models(self) -> dict[str, ModelNode]:
         models: dict[str, ModelNode] = {}
         for package, mdir in [

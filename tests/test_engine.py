@@ -3505,3 +3505,47 @@ def test_clean_refuses_non_list_targets(tmp_path, capsys):
     assert "must be a YAML list" in capsys.readouterr().err
     assert os.path.exists(f"{root}/t")
     assert os.path.exists(f"{root}/target")
+
+
+def test_analyses_compile_but_never_materialize(tmp_path, capsys):
+    """dbt analyses (reference dbt_project.yml:9 analysis-paths):
+    Jinja-compiled with full ref()/source() resolution into
+    target/compiled/analyses/, listable, and NEVER materialized — the
+    compile path touches no SparkSession."""
+    from dbt_on_snowflake_spark.__main__ import main
+
+    root = str(tmp_path / "proj")
+    os.makedirs(f"{root}/models/models", exist_ok=True)
+    os.makedirs(f"{root}/analysis", exist_ok=True)
+    open(f"{root}/project.yml", "w").write(
+        # the reference's non-default dir name, honored via config
+        "name: anproj\nanalysis-paths: [analysis]\n"
+        "models:\n  models:\n    materialized: table\n"
+    )
+    open(f"{root}/sources.yml", "w").write(
+        "sources:\n  - name: raw\n    base_path: \"/tmp\"\n"
+        "    tables:\n      - name: t\n"
+    )
+    open(f"{root}/models/models/m.sql", "w").write(
+        "SELECT 1 AS one FROM {{ source('raw', 't') }}"
+    )
+    open(f"{root}/analysis/revenue_probe.sql", "w").write(
+        "SELECT COUNT(*) AS n FROM {{ ref('m') }} -- ad hoc"
+    )
+    assert main(["compile", "--project", root]) == 0
+    out = capsys.readouterr().out
+    assert "analysis: revenue_probe" in out
+    compiled = open(
+        f"{root}/target/compiled/analyses/revenue_probe.sql"
+    ).read()
+    assert "{{" not in compiled and "dev_m" in compiled  # resolved
+    # listable, and part of `all`
+    assert main(["ls", "--project", root,
+                 "--resource-type", "analysis"]) == 0
+    assert "analysis revenue_probe" in capsys.readouterr().out
+    # a model-narrowed compile does not emit analyses (dbt parity)
+    import shutil
+
+    shutil.rmtree(f"{root}/target/compiled")
+    assert main(["compile", "--project", root, "--select", "m"]) == 0
+    assert not os.path.exists(f"{root}/target/compiled/analyses")
