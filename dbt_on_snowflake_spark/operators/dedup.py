@@ -1124,6 +1124,52 @@ def dedup_incremental_candidates(
     return vs_corpus.union(vs_new).distinct()
 
 
+@query(
+    "dedup_minhash_deleted",
+    driver=False,  # r12-born: R13_ROTATE_IN
+    # the oracle is the batch verified-pairs pipeline over the corpus
+    # WITHOUT the deleted docs, expressed by shadowing the documents
+    # view with a filtered CTE (main.documents = the registered view;
+    # a bare self-reference is a circular-CTE error in DuckDB)
+    oracle=_MINHASH_VERIFIED_ORACLE.replace(
+        "WITH ",
+        "WITH documents AS ("
+        "SELECT * FROM main.documents WHERE doc_id % 10 <> 9),\n    ",
+        1,
+    ),
+)
+def dedup_minhash_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted verified-pairs state served AFTER a delete: the
+    band index + pairs side output are built from the FULL corpus,
+    every 10th doc is then deleted via ``minhash_index_delete``
+    (tombstones only — no rewrite), and the gated pairs read must match
+    the batch verified-pairs pipeline over the corpus WITHOUT those
+    docs. That equality is exact by construction — band keys and
+    pairwise Jaccard are per-doc/per-pair facts, so dropping every pair
+    with a deleted endpoint IS the filtered recompute — and this query
+    proves the delete propagates through BOTH members (index and
+    pairs). Fold convergence for the family is pinned by
+    ``tests/test_index_delete.py``."""
+    import hashlib
+
+    suffix = hashlib.md5(f"mhdel:{sf_dir}".encode()).hexdigest()[:8]
+    index_table = f"mh_band_index_{suffix}"
+    pairs_table = f"mh_corpus_pairs_{suffix}"
+    d = fan_out_scan(spark, table(spark, sf_dir, "documents"))
+    # rebuilt from scratch each call (the build+delete verification
+    # surface); the build itself resets the tombstone slate
+    build_minhash_index(
+        spark, d, index_table=index_table, pairs_table=pairs_table
+    )
+    minhash_index_delete(
+        spark,
+        d.filter("doc_id % 10 = 9").select("doc_id"),
+        index_table=index_table,
+        pairs_table=pairs_table,
+    )
+    return _live_pairs(spark, pairs_table, index_table)
+
+
 @query("dedup_incremental_index", oracle=_MINHASH_VERIFIED_ORACLE)
 def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental corpus dedup, end to end: the documents table is

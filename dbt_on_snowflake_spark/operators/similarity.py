@@ -3843,6 +3843,54 @@ def ann_pq_adc_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _adc_serve(spark, e, cb_t, _live_codes(spark, cd_t), TOP_K)
 
 
+# the multiprobe oracle with the CORPUS side restricted to the
+# surviving vectors — centroids stay trained on the full corpus (the
+# frozen-at-build posture, like the PQ codebook) and the query side is
+# untouched (queries are external lookups, and _QUERY_PRED's
+# stride-multiples never intersect the deleted tenth)
+_ORACLE_MULTIPROBE_DELETED = _ORACLE_MULTIPROBE.replace(
+    "JOIN e c ON c.label = p.label",
+    f"JOIN (SELECT * FROM e WHERE {_CORPUS_PRED}) c"
+    " ON c.label = p.label",
+)
+assert _ORACLE_MULTIPROBE_DELETED != _ORACLE_MULTIPROBE
+
+
+@query(
+    "ann_ivf_multiprobe_deleted",
+    driver=False,  # r12-born: R13_ROTATE_IN
+    oracle=_ORACLE_MULTIPROBE_DELETED,
+)
+def ann_ivf_multiprobe_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ann_ivf_multiprobe`` served AFTER a delete: the IVF index is
+    built from the FULL corpus (centroids frozen from everything),
+    every 10th vector is then deleted via ``ann_index_delete``
+    (tombstones only), and the probe serve over the gated assignments
+    must match the oracle whose corpus side covers only the survivors.
+    Completes the driver-checkable delete matrix: every index family
+    (BM25, PQ, IVF, minhash) now has a registered delete-then-serve
+    proof; fold convergence is pinned by
+    ``tests/test_index_delete.py``."""
+    import hashlib
+
+    suffix = hashlib.md5(f"ivfdel:{sf_dir}".encode()).hexdigest()[:8]
+    cb = f"ann_centroids_{suffix}"
+    asg = f"ann_assignments_{suffix}"
+    e = _vectors(spark, sf_dir)
+    # rebuilt from scratch each call (the build+delete verification
+    # surface); the build itself resets the tombstone slate
+    build_ann_index(spark, e, centroids_table=cb, assignments_table=asg)
+    ann_index_delete(
+        spark,
+        e.filter(F.expr(_NEW_BATCH_PRED)).select("vec_id"),
+        assignments_table=asg,
+    )
+    q = F.broadcast(e.filter(F.expr(_QUERY_PRED))).alias("q")
+    cvec = spark.table(cb)
+    corpus = _live_assignments(spark, asg).select("vec_id", "label", "v")
+    return _multiprobe_topk(q, cvec, corpus)
+
+
 @query(
     "ann_pq_adc_appended",
     driver=False,  # r11-born: R12_ROTATE_IN

@@ -205,6 +205,8 @@ R12_ROTATE_IN: set[str] = {
 R13_ROTATE_IN: set[str] = {
     "text_bm25_topk_deleted",
     "ann_pq_adc_deleted",
+    "dedup_minhash_deleted",
+    "ann_ivf_multiprobe_deleted",
     "ann_pq_adc_appended_served",
 }
 
