@@ -154,17 +154,53 @@ QUERIES: dict[str, RegisteredQuery] = {}
 #   R11_EXPORT = exactly the 50 draft rows; all 16 slips present in
 #   that set; 34 kept + 7 trivials + 6 r8-slips + 3 rotate-ins = 50).
 #   FAMILY_GUARD_SLIPS extended with the 16 (slip -> guard) pairs.
-# - R13 DRAFT (exact arithmetic computed at r12 start): rows last
+# - R13 DRAFT (exact arithmetic computed at r12 session end,
+#   module-validated against the live registry): rows last
 #   driver-checked in r10 (CORRECTNESS_r10 minus r11 minus R12_EXPORT)
 #   = 50 r10-stale rows hit the 3-round window at r13, + the 16
 #   r12-slipped rows (window-hard at r13 — guarded slips get exactly
-#   one extra round, no further slip) + R13_ROTATE_IN (r12-born,
-#   below) = 66+ mandatory > 50 budget. So r13 must slip ~16+ of the
-#   50 r10-stale rows one round with family guards (the steady-state
-#   slip pool: 166 registered / 50 budget ≈ a 3.3-round full cycle
-#   against the 3-round window). Compute the lowest-risk slip list at
-#   r13 start from the then-current registry; A/B twins and
-#   inverse/variant shapes first, exactly as this round's 16.
+#   one extra round, no further slip) + the 5 R13_ROTATE_IN rows = 71
+#   mandatory > 50 budget, so 21 r10-stale rows slip to r14 with
+#   family guards (the steady-state slip pool: 171 registered / 50
+#   budget ≈ a 3.4-round full cycle against the 3-round window). The
+#   computed lowest-risk slip list, each with a same-module
+#   r13-exported guard (variant/indexed/streaming twins of kept or
+#   window-hard rows; extend FAMILY_GUARD_SLIPS with these pairs and
+#   retarget the policy + promises tests when applying):
+#     ann_ivf_multiprobe -> ann_ivf_topk
+#     ann_incremental_assign -> ann_ivf_topk
+#     ann_pq_rerank_indexed -> ann_pq_rerank_topk (shares its oracle)
+#     ann_quantize_int8 -> ann_pq_rerank_topk
+#     ann_filtered_topk -> ann_mmr_topk
+#     corpus_pack_sequences_bpe -> corpus_pack_sequences
+#     corpus_mixture_epochs -> corpus_sample_stratified
+#     corpus_train_val_split -> corpus_sample_stratified
+#     t_events_hourly_append -> t_events_hourly_streaming
+#     t_events_sliding_streaming -> t_events_sessions_streaming
+#     t_event_funnel_streaming -> t_events_sessions_streaming
+#     t_events_dedup_streaming -> t_events_topn_types_streaming
+#     t_events_rate_anomalies -> t_monthly_revenue
+#     t_user_retention -> t_event_transitions
+#     dedup_simhash_pairs -> dedup_source_overlap
+#     dedup_embedding_cosine -> dedup_source_overlap
+#     dedup_passages -> dedup_source_overlap
+#     dedup_incremental_pruned -> dedup_minhash_deleted
+#     text_token_count -> text_quality
+#     text_top_ngrams -> text_quality
+#     a_rollup_revenue -> a_cube_status_priority
+#   R13_EXPORT = 29 kept r10-stale (a4_sales_by_nation,
+#   a6_unique_violations, ann_ivf_topk, ann_mmr_topk,
+#   ann_pq_rerank_topk, corpus_chunk_documents, corpus_pack_sequences,
+#   corpus_pack_shards, corpus_sample_stratified, dedup_source_overlap,
+#   j7_anti_orphans, j_salted_events_enrich, j_semi_active_customers,
+#   multimodal_meta, q10_returned_item_losers, q14_promo_revenue_share,
+#   q15_top_supplier, q16_supplier_breadth, q19_branded_quantity_revenue,
+#   q6_forecast_revenue_delta, retrieval_hybrid_rrf, t_event_transitions,
+#   t_events_hourly_streaming, t_events_sessions_streaming,
+#   t_events_topn_types_streaming, text_bm25_topk, text_contamination,
+#   text_quality, w_running_total_events) + the 16 window-hard r12
+#   slips + the 5 R13_ROTATE_IN rows = 50 exactly. Re-verify against
+#   the actual CORRECTNESS_r12 file at r13 start before applying.
 DRIVER_BUDGET = 50
 
 # Queries born in round 9 — mandatory r10 rotate-ins (never driver-checked).
