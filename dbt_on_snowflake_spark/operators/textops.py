@@ -1841,6 +1841,69 @@ def text_index_delete(
 
 
 @query(
+    "text_bm25_topk_updated",
+    driver=False,  # r12-born: R13_ROTATE_IN
+    oracle=f"""
+    WITH {bm25_ranked_cte(
+        BM25_TOP_N,
+        docs_src=(
+            "(SELECT doc_id, text FROM documents"
+            f" WHERE {_BASE_DOCS_PRED}"
+            " UNION ALL"
+            " SELECT doc_id + 10000000 AS doc_id,"
+            " text || ' updated' AS text"
+            f" FROM documents WHERE {_NEW_DOCS_PRED})"
+        ),
+    )}
+    SELECT doc_id, score, rank FROM b_ranked
+    """,
+)
+def text_bm25_topk_updated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented UPDATE lifecycle, end to end
+    (engine/index_delete.py semantics: ids are immutable identities, so
+    an update = DELETE the old id + FOLD + APPEND the new content under
+    a fresh id): the index is built from the full corpus, every 10th
+    doc is deleted and physically folded out (tombstone table dropped —
+    the serve below reads pristine, gate-free state), then the modified
+    content re-ingests under fresh ids via ``text_index_append``. The
+    oracle is the recompute over exactly that corpus: the survivors
+    UNION the re-ingested rows — so one driver row proves
+    delete + fold + re-append compose into a correct update, including
+    the idf shifts from both halves."""
+    import hashlib
+
+    from dbt_on_snowflake_spark.engine.index_delete import (
+        fold_tombstones,
+    )
+
+    suffix = hashlib.md5(f"textupd:{sf_dir}".encode()).hexdigest()[:8]
+    stats_t = f"bm25_stats_{suffix}"
+    postings_t = f"bm25_postings_{suffix}"
+    doclen_t = f"bm25_doclen_{suffix}"
+    kw = dict(
+        stats_table=stats_t,
+        postings_table=postings_t,
+        doclen_table=doclen_t,
+    )
+    d = table(spark, sf_dir, "documents")
+    # rebuilt from scratch each call (the lifecycle verification
+    # surface); the build itself resets the tombstone slate
+    build_text_index(spark, d, **kw)
+    text_index_delete(
+        spark, d.filter(F.expr(_NEW_DOCS_PRED)).select("doc_id"), **kw
+    )
+    fold_tombstones(spark, _text_tombstones(postings_t))
+    updated = d.filter(F.expr(_NEW_DOCS_PRED)).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" updated")).alias("text"),
+    )
+    text_index_append(spark, updated, **kw)
+    return bm25_topn_indexed(
+        spark, sf_dir, BM25_TOP_N, tables=(stats_t, postings_t, doclen_t)
+    )
+
+
+@query(
     "text_bm25_topk_deleted",
     driver=False,  # r12-born: R13_ROTATE_IN
     oracle=f"""

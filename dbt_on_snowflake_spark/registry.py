@@ -159,8 +159,8 @@ QUERIES: dict[str, RegisteredQuery] = {}
 #   driver-checked in r10 (CORRECTNESS_r10 minus r11 minus R12_EXPORT)
 #   = 50 r10-stale rows hit the 3-round window at r13, + the 16
 #   r12-slipped rows (window-hard at r13 — guarded slips get exactly
-#   one extra round, no further slip) + the 5 R13_ROTATE_IN rows = 71
-#   mandatory > 50 budget, so 21 r10-stale rows slip to r14 with
+#   one extra round, no further slip) + the 6 R13_ROTATE_IN rows = 72
+#   mandatory > 50 budget, so 22 r10-stale rows slip to r14 with
 #   family guards (the steady-state slip pool: 171 registered / 50
 #   budget ≈ a 3.4-round full cycle against the 3-round window). The
 #   computed lowest-risk slip list, each with a same-module
@@ -188,18 +188,19 @@ QUERIES: dict[str, RegisteredQuery] = {}
 #     text_token_count -> text_quality
 #     text_top_ngrams -> text_quality
 #     a_rollup_revenue -> a_cube_status_priority
-#   R13_EXPORT = 29 kept r10-stale (a4_sales_by_nation,
+#     j_semi_active_customers -> j7_anti_orphans (semi/anti mirrors)
+#   R13_EXPORT = 28 kept r10-stale (a4_sales_by_nation,
 #   a6_unique_violations, ann_ivf_topk, ann_mmr_topk,
 #   ann_pq_rerank_topk, corpus_chunk_documents, corpus_pack_sequences,
 #   corpus_pack_shards, corpus_sample_stratified, dedup_source_overlap,
-#   j7_anti_orphans, j_salted_events_enrich, j_semi_active_customers,
+#   j7_anti_orphans, j_salted_events_enrich,
 #   multimodal_meta, q10_returned_item_losers, q14_promo_revenue_share,
 #   q15_top_supplier, q16_supplier_breadth, q19_branded_quantity_revenue,
 #   q6_forecast_revenue_delta, retrieval_hybrid_rrf, t_event_transitions,
 #   t_events_hourly_streaming, t_events_sessions_streaming,
 #   t_events_topn_types_streaming, text_bm25_topk, text_contamination,
 #   text_quality, w_running_total_events) + the 16 window-hard r12
-#   slips + the 5 R13_ROTATE_IN rows = 50 exactly. Re-verify against
+#   slips + the 6 R13_ROTATE_IN rows = 50 exactly. Re-verify against
 #   the actual CORRECTNESS_r12 file at r13 start before applying.
 DRIVER_BUDGET = 50
 
@@ -240,6 +241,7 @@ R12_ROTATE_IN: set[str] = {
 # driver-checked). Keep this current as queries are born.
 R13_ROTATE_IN: set[str] = {
     "text_bm25_topk_deleted",
+    "text_bm25_topk_updated",
     "ann_pq_adc_deleted",
     "dedup_minhash_deleted",
     "ann_ivf_multiprobe_deleted",

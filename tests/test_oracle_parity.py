@@ -54,6 +54,7 @@ _BNLJ_OK = {
     "text_index_ingest_streaming",  # same indexed-serve 1-row stats side
     "ann_filtered_rerank_indexed",  # 1-row codebook + capped query-LUT side
     "text_bm25_topk_deleted",  # 1-row live-stats x pruned-df broadcast
+    "text_bm25_topk_updated",  # same 1-row stats x pruned-df sides
     "ann_pq_adc_deleted",  # gated-codes twin of ann_pq_adc_topk
     "ann_pq_adc_appended_served",  # steady-state twin, same 1-row sides
 }
