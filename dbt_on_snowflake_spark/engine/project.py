@@ -366,7 +366,19 @@ class Project:
         collision among analyses is an error (the model-discovery
         posture); models and analyses live in separate namespaces
         (analyses are not ref()-able)."""
-        paths = self.config.get("analysis-paths") or ["analyses"]
+        paths = self.config.get("analysis-paths")
+        if paths is None:
+            paths = ["analyses"]
+        if not isinstance(paths, list) or not all(
+            isinstance(p, str) for p in paths
+        ):
+            # a scalar (`analysis-paths: analysis`) would iterate as
+            # CHARACTERS and silently discover nothing — refuse
+            # malformed config outright (the clean-targets posture)
+            raise ValueError(
+                f"analysis-paths must be a YAML list of paths, got "
+                f"{paths!r}"
+            )
         out: dict[str, str] = {}
         for p in paths:
             adir = p if os.path.isabs(p) else os.path.join(self.root, p)
@@ -383,7 +395,10 @@ class Project:
                             f"{paths}"
                         )
                     with open(os.path.join(dirpath, fn)) as f:
-                        out[name] = f.read()
+                        # project macros expand exactly as in models
+                        # (discovery-time, so compile's render() only
+                        # resolves ref/source/vars)
+                        out[name] = expand_macros(f.read(), self.macros)
         return out
 
     def _discover_models(self) -> dict[str, ModelNode]:

@@ -161,7 +161,7 @@ QUERIES: dict[str, RegisteredQuery] = {}
 #   r12-slipped rows (window-hard at r13 — guarded slips get exactly
 #   one extra round, no further slip) + the 6 R13_ROTATE_IN rows = 72
 #   mandatory > 50 budget, so 22 r10-stale rows slip to r14 with
-#   family guards (the steady-state slip pool: 171 registered / 50
+#   family guards (the steady-state slip pool: 172 registered / 50
 #   budget ≈ a 3.4-round full cycle against the 3-round window). The
 #   computed lowest-risk slip list, each with a same-module
 #   r13-exported guard (variant/indexed/streaming twins of kept or

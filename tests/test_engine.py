@@ -3529,8 +3529,13 @@ def test_analyses_compile_but_never_materialize(tmp_path, capsys):
     open(f"{root}/models/models/m.sql", "w").write(
         "SELECT 1 AS one FROM {{ source('raw', 't') }}"
     )
+    os.makedirs(f"{root}/macros", exist_ok=True)
+    open(f"{root}/macros/helpers.sql", "w").write(
+        "{% macro pct(a, b) %}100.0 * {{ a }} / {{ b }}{% endmacro %}"
+    )
     open(f"{root}/analysis/revenue_probe.sql", "w").write(
-        "SELECT COUNT(*) AS n FROM {{ ref('m') }} -- ad hoc"
+        "SELECT {{ pct(3, 4) }} AS p, COUNT(*) AS n "
+        "FROM {{ ref('m') }} -- ad hoc"
     )
     assert main(["compile", "--project", root]) == 0
     out = capsys.readouterr().out
@@ -3538,7 +3543,10 @@ def test_analyses_compile_but_never_materialize(tmp_path, capsys):
     compiled = open(
         f"{root}/target/compiled/analyses/revenue_probe.sql"
     ).read()
-    assert "{{" not in compiled and "dev_m" in compiled  # resolved
+    # fully resolved: project MACROS expand like in models, refs
+    # resolve to relations, no Jinja survives
+    assert "{{" not in compiled and "dev_m" in compiled
+    assert "100.0 * 3 / 4" in compiled
     # listable, and part of `all`
     assert main(["ls", "--project", root,
                  "--resource-type", "analysis"]) == 0
@@ -3549,3 +3557,12 @@ def test_analyses_compile_but_never_materialize(tmp_path, capsys):
     shutil.rmtree(f"{root}/target/compiled")
     assert main(["compile", "--project", root, "--select", "m"]) == 0
     assert not os.path.exists(f"{root}/target/compiled/analyses")
+    # a scalar analysis-paths would iterate as characters and silently
+    # discover nothing — refused at project load (clean-targets posture)
+    import pytest as _pytest
+
+    open(f"{root}/project.yml", "w").write(
+        "name: anproj\nanalysis-paths: analysis\n"
+    )
+    with _pytest.raises(ValueError, match="YAML list"):
+        main(["parse", "--project", root])
