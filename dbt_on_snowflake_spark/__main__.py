@@ -496,7 +496,7 @@ def main(argv: list[str] | None = None) -> int:
             _os.makedirs(adir, exist_ok=True)
             for aname in sorted(project.analyses):
                 compiled = render(
-                    project.analyses[aname],
+                    project.compile_analysis(aname),
                     resolve_ref,
                     resolve_source,
                     variables=resolved_vars,

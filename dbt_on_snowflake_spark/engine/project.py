@@ -366,6 +366,8 @@ class Project:
         collision among analyses is an error (the model-discovery
         posture); models and analyses live in separate namespaces
         (analyses are not ref()-able)."""
+        # an EXPLICIT empty list means "no analysis dirs" (dbt
+        # semantics); only an absent key falls back to the default
         paths = self.config.get("analysis-paths")
         if paths is None:
             paths = ["analyses"]
@@ -395,11 +397,19 @@ class Project:
                             f"{paths}"
                         )
                     with open(os.path.join(dirpath, fn)) as f:
-                        # project macros expand exactly as in models
-                        # (discovery-time, so compile's render() only
-                        # resolves ref/source/vars)
-                        out[name] = expand_macros(f.read(), self.macros)
+                        # stored RAW: macro expansion happens at
+                        # compile time (compile_analysis below), so a
+                        # malformed macro call in an ad-hoc analysis
+                        # fails `compile` — never `run`/`test`/`clean`
+                        # (r12 review: project load must not couple
+                        # model commands to scratch SQL)
+                        out[name] = f.read()
         return out
+
+    def compile_analysis(self, name: str) -> str:
+        """The analysis body with project macros expanded — the
+        compile command renders ref()/source()/vars over this."""
+        return expand_macros(self.analyses[name], self.macros)
 
     def _discover_models(self) -> dict[str, ModelNode]:
         models: dict[str, ModelNode] = {}

@@ -3557,6 +3557,18 @@ def test_analyses_compile_but_never_materialize(tmp_path, capsys):
     shutil.rmtree(f"{root}/target/compiled")
     assert main(["compile", "--project", root, "--select", "m"]) == 0
     assert not os.path.exists(f"{root}/target/compiled/analyses")
+    # a MALFORMED macro call in scratch SQL fails compile only — model
+    # commands must not be blocked by an ad-hoc analysis (expansion is
+    # compile-time, not load-time)
+    open(f"{root}/analysis/broken.sql", "w").write(
+        "SELECT {{ pct(1) }}"  # missing argument
+    )
+    assert main(["ls", "--project", root]) == 0  # load still fine
+    import pytest as _pytest2
+
+    with _pytest2.raises(Exception):
+        main(["compile", "--project", root])
+    os.remove(f"{root}/analysis/broken.sql")
     # a scalar analysis-paths would iterate as characters and silently
     # discover nothing — refused at project load (clean-targets posture)
     import pytest as _pytest
