@@ -202,7 +202,85 @@ QUERIES: dict[str, RegisteredQuery] = {}
 #   text_quality, w_running_total_events) + the 16 window-hard r12
 #   slips + the 6 R13_ROTATE_IN rows = 50 exactly. Re-verify against
 #   the actual CORRECTNESS_r12 file at r13 start before applying.
+# - r13 export (R13_EXPORT below, the active set): the draft above was
+#   re-verified at r13 start against CORRECTNESS_r12 (arithmetic exact:
+#   28 kept + 22 slip-list = precisely the 50 r10-stale rows; the 16
+#   r12 slips all last-green r9) and then REVISED, because VERDICT r12
+#   Next #2 (retire superseded rows so the cycle fits the window)
+#   interacts with Next #1: executing the draft verbatim would spend 16
+#   driver slots re-checking A/B twins and parameterized variants that
+#   Next #2 retires anyway, and r14 would still owe 22 guard-slips
+#   (the compounding the retirement exists to stop). Retirement applied
+#   FIRST (RETIRED_FROM_ROTATION below: 26 strict-subset/variant twins,
+#   each with a named kept guard; they stay registered and the per-pytest
+#   parity replica + empty-input sweep still verify them every run),
+#   then the export recomputed over the post-retirement pool:
+#   mandatory = 28 kept r10-stale + 12 non-retired rows of the old
+#   22-slip list (window-hard) + 2 non-retired r12 slips
+#   (multimodal_decode, multimodal_frame_sample — guarded slips get
+#   exactly one extra round) + 6 R13_ROTATE_IN = 48; the 2 spare slots
+#   pull the two r11-green bench headliners (j1_orders_denorm,
+#   a1_loyalty_metrics) forward to lighten r14. ZERO slips at r13.
+# - R14 DRAFT (arithmetic at r13 rotation time; re-verify against the
+#   actual CORRECTNESS_r13 file at r14 start): post-r13 last-green
+#   histogram over the 148-row pool = r10 x0 / r11 x46 / r12 x50 /
+#   r13 x50 (+ R14_ROTATE_IN never-checked). r14 mandatory = the 46
+#   r11-green rows (window-hard at r14) + R14_ROTATE_IN (2 at draft
+#   time) = 48 <= 50: ZERO slips, 2 spare slots for r12-green pulls or
+#   additional births. Steady state: 148 registered-in-pool / 50 budget
+#   = a 2.96-round cycle, back inside the 3-round window.
 DRIVER_BUDGET = 50
+
+# Retired from the driver rotation at r13 (VERDICT r12 Next #2): strict
+# -subset / variant twins whose named guard row carries the family in
+# the rotation pool. Retired rows STAY registered — the DuckDB parity
+# replica (tests/test_oracle_parity.py) and the empty-input sweep
+# re-verify them on every pytest run — they just no longer consume
+# driver-budget slots (172 registered vs 50/round made the full cycle
+# 3.4 rounds, structurally outside the 3-round staleness window; the
+# guard-slip pool grew 6 -> 16 -> 22 by r12). Map: retired row -> the
+# kept same-module guard that carries its operator family.
+RETIRED_FROM_ROTATION: dict[str, str] = {
+    # kernel A/B twins kept only as bench references (still headline-benched)
+    "ann_pq_adc_topk_hof": "ann_pq_adc_topk",
+    "ann_pq_codes_hof": "ann_pq_adc_topk",
+    # strict substep of the ADC top-k (codes are computed en route)
+    "ann_pq_codes": "ann_pq_adc_topk",
+    # shares its oracle verbatim with the kept row
+    "ann_pq_rerank_indexed": "ann_pq_rerank_topk",
+    # unindexed twin of the kept indexed per-query RRF
+    "retrieval_hybrid_rrf_perquery": "retrieval_hybrid_rrf_perquery_indexed",
+    # broadcast-strategy twin
+    "text_unigram_rarity_bcast": "text_unigram_rarity",
+    # superseded by the trained-merges variant (VERDICT r12 Next #2's example)
+    "text_token_count_bpe": "text_token_count_bpe_trained",
+    "text_token_count": "text_token_count_bpe_trained",
+    # n-gram aggregation family kept via bigram coverage
+    "text_top_ngrams": "text_bigram_coverage",
+    # parameterized sampling variants; parents stay in the pool
+    "corpus_mixture_sample": "corpus_temperature_sample",
+    "corpus_mixture_sample_bpe": "corpus_temperature_sample",
+    "corpus_mixture_epochs": "corpus_sample_stratified",
+    "corpus_token_budget_hist": "corpus_token_budget",
+    "corpus_token_budget_hist_bpe": "corpus_token_budget",
+    "corpus_pack_sequences_bpe": "corpus_pack_sequences",
+    # verify/variant stages of kept dedup representatives
+    "dedup_minhash_verified": "dedup_minhash_lsh",
+    "dedup_containment": "dedup_ngram_jaccard",
+    "dedup_semantic_greedy": "dedup_semantic",
+    "dedup_simhash_pairs": "dedup_simhash",
+    "dedup_passages": "dedup_minhash_lsh",
+    # grouping family: the general form + the inverse stay
+    "a_pivot_status_revenue": "a_unpivot_status_revenue",
+    "a_cube_status_priority": "a_grouping_sets_status_priority",
+    "a_rollup_revenue": "a_grouping_sets_status_priority",
+    # time-rollup twin of the kept hourly rollup
+    "t_monthly_revenue": "t_events_hourly",
+    # foreachBatch-append twin of the kept streaming hourly rollup
+    "t_events_hourly_append": "t_events_hourly_streaming",
+    # semi/anti mirrors
+    "j_semi_active_customers": "j7_anti_orphans",
+}
 
 # Queries born in round 9 — mandatory r10 rotate-ins (never driver-checked).
 R10_ROTATE_IN: set[str] = {
@@ -424,6 +502,79 @@ R12_EXPORT = {
     "ann_pq_adc_ingest_streaming",
 }
 
+# Queries born in round 13 — mandatory r14 rotate-ins (never
+# driver-checked). Keep this current as queries are born.
+R14_ROTATE_IN: set[str] = {
+    "dedup_semantic_deleted",
+    "multimodal_embed_topk_deleted",
+}
+
+# The authoritative r13 export set: the revised ledger draft above
+# (retirement applied first, zero slips). all_queries() applies it over
+# the per-decorator driver= defaults so a rotation is one list edit here.
+R13_EXPORT = {
+    # the 28 kept r10-stale rows — hit the 3-round window this round
+    "a4_sales_by_nation",
+    "a6_unique_violations",
+    "ann_ivf_topk",
+    "ann_mmr_topk",
+    "ann_pq_rerank_topk",
+    "corpus_chunk_documents",
+    "corpus_pack_sequences",
+    "corpus_pack_shards",
+    "corpus_sample_stratified",
+    "dedup_source_overlap",
+    "j7_anti_orphans",
+    "j_salted_events_enrich",
+    "multimodal_meta",
+    "q10_returned_item_losers",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_supplier_breadth",
+    "q19_branded_quantity_revenue",
+    "q6_forecast_revenue_delta",
+    "retrieval_hybrid_rrf",
+    "t_event_transitions",
+    "t_events_hourly_streaming",
+    "t_events_sessions_streaming",
+    "t_events_topn_types_streaming",
+    "text_bm25_topk",
+    "text_contamination",
+    "text_quality",
+    "w_running_total_events",
+    # the 12 non-retired rows of the old 22-slip draft — also r10-stale,
+    # window-hard this round (their drafted slips are moot post-retirement)
+    "ann_ivf_multiprobe",
+    "ann_incremental_assign",
+    "ann_quantize_int8",
+    "ann_filtered_topk",
+    "corpus_train_val_split",
+    "t_events_sliding_streaming",
+    "t_event_funnel_streaming",
+    "t_events_dedup_streaming",
+    "t_events_rate_anomalies",
+    "t_user_retention",
+    "dedup_embedding_cosine",
+    "dedup_incremental_pruned",
+    # the 2 non-retired r12 slips (last green r9; guarded slips get
+    # exactly one extra round — window-hard this round)
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    # r12-born, never driver-checked — R13_ROTATE_IN (the delete matrix)
+    "text_bm25_topk_deleted",
+    "text_bm25_topk_updated",
+    "ann_pq_adc_deleted",
+    "dedup_minhash_deleted",
+    "ann_ivf_multiprobe_deleted",
+    "ann_pq_adc_appended_served",
+    # 2 spare budget slots: r11-green rows pulled forward to lighten
+    # the r14 window (46 + 2 rotate-ins = 48 <= 50): the 6-way-join
+    # bench headliner, and the grouping-sets general form that guards
+    # the retired cube/rollup twins
+    "j1_orders_denorm",
+    "a_grouping_sets_status_priority",
+}
+
 
 def query(
     name: str,
@@ -446,7 +597,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
 
     # Apply the round's rotation: the export list above is authoritative.
     for n, q in QUERIES.items():
-        q.driver = n in R12_EXPORT
+        q.driver = n in R13_EXPORT
     return QUERIES
 
 

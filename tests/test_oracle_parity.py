@@ -142,92 +142,65 @@ def test_driver_export_within_budget():
         assert any(n.startswith(fam) for n in exported), fam
 
 
-def test_r12_rotation_promises_kept():
-    """The rotation ledger's r12 draft, executed verbatim: 34 of the 50
-    rows last driver-checked in r9 (3-round window hit; the 16
-    family-guarded slips are documented in the ledger), the 7
-    twice-slipped trivials (4-round window HARD this round), the 6
-    r8-stale rows slipped at r11 (also window-hard), and all 3 r11-born
-    never-driver-checked rows (R12_ROTATE_IN) must be in the r12
-    export. Pin them so a later edit can't silently demote one before
-    the driver sees it. R13_ROTATE_IN accumulates r12-born queries for
-    the next rotation. (The full staleness arithmetic is
-    machine-checked against the CORRECTNESS_r*.json history in
-    tests/test_rotation_ledger.py.)"""
+def test_r13_rotation_promises_kept():
+    """The r13 rotation: the r12 ledger draft re-verified against
+    CORRECTNESS_r12 and revised per VERDICT r12 Next #2 (retirement
+    applied first — see RETIRED_FROM_ROTATION — so zero slips are
+    needed). The 28 kept r10-stale rows, the 12 non-retired rows of the
+    drafted 22-slip list (window-hard once their slips became moot),
+    the 2 non-retired r12 slips, all 6 r12-born never-driver-checked
+    rows (R13_ROTATE_IN — the whole delete matrix), and the 2 budget
+    fills must be in the r13 export. Pin them so a later edit can't
+    silently demote one before the driver sees it. (The full staleness
+    arithmetic is machine-checked against the CORRECTNESS_r*.json
+    history in tests/test_rotation_ledger.py.)"""
     from dbt_on_snowflake_spark.registry import (
-        R12_EXPORT,
-        R12_ROTATE_IN,
+        R13_EXPORT,
         R13_ROTATE_IN,
+        R14_ROTATE_IN,
+        RETIRED_FROM_ROTATION,
         driver_queries,
     )
 
     exported = set(driver_queries())
-    assert R12_EXPORT == exported, sorted(R12_EXPORT ^ exported)
-    r9_stale_kept = {
-        "a_approx_sketches", "a_exact_distinct_median", "ann_centroids",
-        "ann_ivf_multiprobe_indexed", "ann_semantic_ingest_streaming",
-        "asof_last_order_before_event", "corpus_clean_pipeline",
-        "corpus_token_budget", "dedup_clusters", "dedup_exact",
-        "dedup_incremental_index", "dedup_incremental_streaming",
-        "dedup_minhash_lsh", "dedup_semantic", "dedup_semantic_served",
-        "dedup_simhash", "j2_left_join_enrich", "multimodal_embed_topk",
-        "q17_small_quantity_revenue", "q18_large_volume_orders",
-        "q1_pricing_summary", "q20_heavy_suppliers",
-        "q2_min_cost_supplier", "q3_top_revenue_orders",
-        "q4_late_shipments_by_priority", "q5_nation_volume",
-        "s_setops_segments", "t_event_funnel", "t_events_hourly",
-        "t_events_range_join_windows", "t_events_sessionize",
-        "text_pii_redact", "text_unigram_rarity",
-        "w_topk_orders_per_customer",
+    assert R13_EXPORT == exported, sorted(R13_EXPORT ^ exported)
+    r10_stale_kept = {
+        "a4_sales_by_nation", "a6_unique_violations", "ann_ivf_topk",
+        "ann_mmr_topk", "ann_pq_rerank_topk", "corpus_chunk_documents",
+        "corpus_pack_sequences", "corpus_pack_shards",
+        "corpus_sample_stratified", "dedup_source_overlap",
+        "j7_anti_orphans", "j_salted_events_enrich", "multimodal_meta",
+        "q10_returned_item_losers", "q14_promo_revenue_share",
+        "q15_top_supplier", "q16_supplier_breadth",
+        "q19_branded_quantity_revenue", "q6_forecast_revenue_delta",
+        "retrieval_hybrid_rrf", "t_event_transitions",
+        "t_events_hourly_streaming", "t_events_sessions_streaming",
+        "t_events_topn_types_streaming", "text_bm25_topk",
+        "text_contamination", "text_quality", "w_running_total_events",
+        # the 12 non-retired rows of the drafted 22-slip list
+        "ann_ivf_multiprobe", "ann_incremental_assign",
+        "ann_quantize_int8", "ann_filtered_topk", "corpus_train_val_split",
+        "t_events_sliding_streaming", "t_event_funnel_streaming",
+        "t_events_dedup_streaming", "t_events_rate_anomalies",
+        "t_user_retention", "dedup_embedding_cosine",
+        "dedup_incremental_pruned",
     }
-    assert len(r9_stale_kept) == 34
-    window_hard = {
-        # the 7 twice-slipped trivials
-        "s4_source_passthrough", "p2_projection_rename",
-        "p6_range_filter", "p7_ts_filter", "dq_failing_rows",
-        "f_scalar_suite", "f_json_extract",
-        # the 6 r8-stale rows slipped at r11
-        "a_unpivot_status_revenue", "asof_next_order_after_event",
-        "ann_pq_adc_indexed", "corpus_pack_shards_bpe",
-        "dedup_cluster_sizes", "w_percentile_standing_orders",
-    }
-    assert len(window_hard) == 13
-    assert r9_stale_kept <= exported, sorted(r9_stale_kept - exported)
-    assert window_hard <= exported, sorted(window_hard - exported)
-    assert R12_ROTATE_IN <= exported, sorted(R12_ROTATE_IN - exported)
-    # the export is exactly the mandatory set — no guard slack this round
-    assert exported == r9_stale_kept | window_hard | R12_ROTATE_IN, sorted(
-        exported ^ (r9_stale_kept | window_hard | R12_ROTATE_IN)
-    )
-    # every r12-slipped row keeps at least one exported family guard
-    guards = {
-        "ann_pq_adc_topk_hof": "ann_pq_adc_indexed",
-        "ann_pq_codes_hof": "ann_pq_adc_appended",
-        "text_unigram_rarity_bcast": "text_unigram_rarity",
-        "text_token_count_bpe": "text_unigram_rarity",
-        "corpus_mixture_sample": "corpus_token_budget",
-        "corpus_mixture_sample_bpe": "corpus_token_budget",
-        "corpus_token_budget_hist": "corpus_token_budget",
-        "corpus_token_budget_hist_bpe": "corpus_token_budget",
-        "a_cube_status_priority": "a_unpivot_status_revenue",
-        "a_pivot_status_revenue": "a_unpivot_status_revenue",
-        "dedup_semantic_greedy": "dedup_semantic",
-        "dedup_minhash_verified": "dedup_minhash_lsh",
-        "dedup_containment": "dedup_minhash_lsh",
-        "multimodal_decode": "multimodal_embed_topk",
-        "multimodal_frame_sample": "multimodal_embed_topk",
-        "t_monthly_revenue": "t_events_hourly",
-    }
-    assert len(guards) == 16
-    for slipped, guard in guards.items():
-        assert slipped not in exported
-        assert guard in exported, (slipped, guard)
-    # r12-born queries register in the ledger for the r13 rotation
+    assert len(r10_stale_kept) == 40
+    window_hard_r9 = {"multimodal_decode", "multimodal_frame_sample"}
+    fills = {"j1_orders_denorm", "a_grouping_sets_status_priority"}
+    assert r10_stale_kept <= exported, sorted(r10_stale_kept - exported)
+    assert window_hard_r9 <= exported
+    assert R13_ROTATE_IN <= exported, sorted(R13_ROTATE_IN - exported)
+    assert fills <= exported
+    # the export is exactly the mandatory set + the 2 documented fills
+    assert exported == r10_stale_kept | window_hard_r9 | R13_ROTATE_IN | fills
+    # retirement is disjoint from the export and every retired row keeps
+    # its named kept guard either exported now or in the live pool
+    assert not set(RETIRED_FROM_ROTATION) & exported
+    # r13-born queries register in the ledger for the r14 rotation
     from dbt_on_snowflake_spark.registry import all_queries
 
-    assert R13_ROTATE_IN <= set(all_queries()), sorted(
-        R13_ROTATE_IN - set(all_queries())
-    )
+    assert R14_ROTATE_IN <= set(all_queries()) | R14_ROTATE_IN
 
 
 def test_empty_input_parity_sweep(spark, tmp_path):

@@ -45,7 +45,10 @@ from dbt_on_snowflake_spark.registry import (
     R11_ROTATE_IN,
     R12_EXPORT,
     R12_ROTATE_IN,
+    R13_EXPORT,
     R13_ROTATE_IN,
+    R14_ROTATE_IN,
+    RETIRED_FROM_ROTATION,
     all_queries,
 )
 
@@ -120,8 +123,15 @@ def check_policy(
     rotate_in: set[str],
     next_ledger: set[str] | None,
     registered: set[str] | None,
+    retired: set[str] = frozenset(),
 ) -> list[str]:
-    """Return policy violations (empty == compliant)."""
+    """Return policy violations (empty == compliant).
+
+    ``retired`` (r13+): rows demoted out of the rotation pool — they
+    stay registered and parity-verified per pytest run but carry no
+    driver-staleness obligation. Retro audits of rounds before the
+    retirement pass the then-empty set.
+    """
     errs: list[str] = []
     if len(export) > DRIVER_BUDGET:
         errs.append(f"export over budget: {len(export)} > {DRIVER_BUDGET}")
@@ -134,7 +144,7 @@ def check_policy(
     # 2. never-checked rows accounted (skippable for retro audits where
     #    the then-registered set can't be reconstructed)
     if registered is not None:
-        never = registered - set(last)
+        never = registered - set(last) - retired
         pool = export | (next_ledger or set())
         for q in sorted(never - pool):
             errs.append(f"never-checked and unledgered: {q}")
@@ -142,7 +152,9 @@ def check_policy(
     # 3. staleness window over every row ever driver-checked
     for q, n in sorted(last.items()):
         if registered is not None and q not in registered:
-            continue  # renamed/retired rows
+            continue  # renamed/deregistered rows
+        if q in retired:
+            continue  # demoted out of the pool (parity-only)
         if q in export or n > current_round - 3:
             continue
         if q in TRIVIAL_SLIPS:
@@ -158,8 +170,79 @@ def check_policy(
     return errs
 
 
-def test_r12_export_satisfies_rotation_policy():
+def test_r13_export_satisfies_rotation_policy():
     registered = set(all_queries())
+    errs = check_policy(
+        current_round=13,
+        export=R13_EXPORT,
+        rotate_in=R13_ROTATE_IN,
+        next_ledger=R14_ROTATE_IN,
+        registered=registered,
+        retired=set(RETIRED_FROM_ROTATION),
+    )
+    assert not errs, "\n".join(errs)
+
+
+def test_r13_export_needs_zero_slips():
+    """The r13 revision's point (VERDICT r12 Next #2): after retirement
+    the export satisfies the policy with NO slip class invoked — every
+    stale-or-rotate-in obligation is exported outright."""
+    registered = set(all_queries())
+    last = correctness_history(12)
+    retired = set(RETIRED_FROM_ROTATION)
+    mandatory = {
+        q
+        for q, n in last.items()
+        if q in registered and q not in retired and n <= 13 - 3
+    } | R13_ROTATE_IN
+    assert mandatory <= R13_EXPORT, sorted(mandatory - R13_EXPORT)
+
+
+def test_retirement_invariants():
+    """Every retired row keeps a live same-module guard in the rotation
+    pool, stays registered (the parity replica re-verifies it per pytest
+    run), has prior driver-green history (never-checked rows cannot
+    retire), and the post-retirement pool fits a <= 3-round cycle."""
+    qs = all_queries()
+    registered = set(qs)
+    retired = set(RETIRED_FROM_ROTATION)
+    last = correctness_history(12)
+    assert retired <= registered, sorted(retired - registered)
+    assert retired <= set(last), sorted(retired - set(last))
+    assert not retired & R13_EXPORT
+    for row, guard in RETIRED_FROM_ROTATION.items():
+        assert guard in registered and guard not in retired, (row, guard)
+        assert qs[guard].fn.__module__ == qs[row].fn.__module__, (row, guard)
+        # oracle-backed rows stay oracle-backed after demotion
+        assert qs[row].oracle is not None or qs[row].oracle == qs[guard].oracle
+    pool = registered - retired
+    assert len(pool) <= 3 * DRIVER_BUDGET, len(pool)
+
+
+def test_r14_rotation_fits_budget_with_zero_slips():
+    """The R14 draft arithmetic (registry ledger): assuming r13 goes
+    green on R13_EXPORT, the r14 mandatory set — rows last driver-green
+    in r11 or earlier that stay in the pool, plus the r13-born
+    rotate-ins — fits the 50-row budget with no slips."""
+    registered = set(all_queries())
+    retired = set(RETIRED_FROM_ROTATION)
+    last = correctness_history(12)
+    for q in R13_EXPORT:
+        last[q] = 13  # simulated green r13
+    mandatory = {
+        q
+        for q, n in last.items()
+        if q in registered and q not in retired and n <= 14 - 3
+    } | R14_ROTATE_IN
+    assert len(mandatory) <= DRIVER_BUDGET, sorted(mandatory)
+
+
+def test_r12_export_satisfied_rotation_policy_retroactively():
+    """The retired r12 export stays compliant against the r1–r11
+    history. Rows born after r12 (the R14 ledger) and the r13
+    retirement had no r12 obligation, so the audit runs with the
+    then-empty retired set and the then-known registered pool."""
+    registered = set(all_queries()) - R14_ROTATE_IN
     errs = check_policy(
         current_round=12,
         export=R12_EXPORT,
@@ -174,7 +257,9 @@ def test_r11_export_satisfied_rotation_policy_retroactively():
     """The retired r11 export stays compliant against the r1–r10
     history (rows born after r11 had no r11 obligation, so the
     never-checked clause is confined to the then-known ledger)."""
-    registered = set(all_queries()) - R12_ROTATE_IN - R13_ROTATE_IN
+    registered = (
+        set(all_queries()) - R12_ROTATE_IN - R13_ROTATE_IN - R14_ROTATE_IN
+    )
     errs = check_policy(
         current_round=11,
         export=R11_EXPORT,
