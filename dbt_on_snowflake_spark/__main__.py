@@ -103,6 +103,13 @@ def main(argv: list[str] | None = None) -> int:
                      "quantization error exceeds RATIO (e.g. 1.5); "
                      "omit to report drift without rebuilding",
             )
+            sp.add_argument(
+                "--codes-table", default=None, dest="codes_table",
+                help="gate ONE named pq_codes_* family; default sweeps "
+                     "every pq_codes_* table in the warehouse — "
+                     "including the append-grown and streaming-ingest "
+                     "families, the indexes that actually drift",
+            )
         if name == "compact":
             sp.add_argument(
                 "--indexes", action="store_true", dest="indexes",
@@ -278,7 +285,10 @@ def main(argv: list[str] | None = None) -> int:
 
         declared = project.config.get("clean-targets")
         if declared is None:
-            declared = ["target"]
+            # dbt's documented default when the key is absent (r12
+            # advice #3; the reference declares its own list, so parity
+            # there never exercises this branch)
+            declared = ["target", "dbt_packages"]
         if not isinstance(declared, list) or not all(
             isinstance(e, str) for e in declared
         ):
@@ -1136,40 +1146,70 @@ def main(argv: list[str] | None = None) -> int:
         # vectors only when the drift ratio crosses --when-drifted.
         from dbt_on_snowflake_spark.operators.similarity import (
             DRIFT_REBUILD_RATIO,
-            _vectors,
-            build_pq_index,
             ensure_pq_index,
             pq_index_drift,
             reindex_pq_when_drifted,
+            retrain_pq_family,
         )
 
-        cb_t, cd_t = ensure_pq_index(spark, args.corpus)
-        if args.when_drifted is None:
-            d = pq_index_drift(spark, codes_table=cd_t)
-            print(
-                f"pq index {cd_t}: drift ratio {d['ratio']:.3f} "
-                f"(current {d['current_mean_qerr']:.4f} / baseline "
-                f"{d['base_mean_qerr']:.4f}, {d['n_rows']} rows; "
-                f"default gate {DRIFT_REBUILD_RATIO})"
+        if args.codes_table is not None:
+            families = [args.codes_table]
+        else:
+            # (re)secure the ensure base family (a fresh warehouse
+            # gains its baseline), then sweep EVERY pq_codes_* family
+            # the catalog knows: the ensure base, the append-grown
+            # aps family, the streaming-ingest family, ad-hoc builds —
+            # the growers are the indexes that actually drift, and the
+            # old base-family-only gate never reached them (r12 advice
+            # #2)
+            ensure_pq_index(spark, args.corpus)
+            families = sorted(
+                t.name
+                for t in spark.catalog.listTables()
+                if t.name.startswith("pq_codes_")
             )
-            return 0
-        d = reindex_pq_when_drifted(
-            spark,
-            codes_table=cd_t,
-            rebuild=lambda: build_pq_index(
-                spark,
-                _vectors(spark, args.corpus),
-                codebook_table=cb_t,
-                codes_table=cd_t,
-            ),
-            threshold=args.when_drifted,
-        )
-        verdict = "RETRAINED" if d["rebuilt"] else "within gate"
-        print(
-            f"pq index {cd_t}: drift ratio {d['ratio']:.3f} vs gate "
-            f"{args.when_drifted} -> {verdict}"
-        )
-        return 0
+        skipped = 0
+        for cd_t in families:
+            if args.when_drifted is None:
+                # report mode: per-family drift, never rebuilds; a
+                # baseline-less family is reported, not an error
+                try:
+                    d = pq_index_drift(spark, codes_table=cd_t)
+                except ValueError as exc:
+                    print(f"pq index {cd_t}: no drift baseline ({exc})")
+                    continue
+                print(
+                    f"pq index {cd_t}: drift ratio {d['ratio']:.3f} "
+                    f"(current {d['current_mean_qerr']:.4f} / baseline "
+                    f"{d['base_mean_qerr']:.4f}, {d['n_rows']} rows; "
+                    f"default gate {DRIFT_REBUILD_RATIO})"
+                )
+                continue
+            # gate mode: a family the gate CANNOT cover (no baseline,
+            # or live ids outside the corpus embeddings) is skipped
+            # loudly with a nonzero exit — a scheduled gate that
+            # silently skipped a drifting index must alarm (fail
+            # closed), while the remaining families still get gated
+            # in the same sweep
+            try:
+                d = reindex_pq_when_drifted(
+                    spark,
+                    codes_table=cd_t,
+                    rebuild=lambda cd=cd_t: retrain_pq_family(
+                        spark, args.corpus, codes_table=cd
+                    ),
+                    threshold=args.when_drifted,
+                )
+            except ValueError as exc:
+                skipped += 1
+                print(f"pq index {cd_t}: SKIPPED — {exc}", file=sys.stderr)
+                continue
+            verdict = "RETRAINED" if d["rebuilt"] else "within gate"
+            print(
+                f"pq index {cd_t}: drift ratio {d['ratio']:.3f} vs gate "
+                f"{args.when_drifted} -> {verdict}"
+            )
+        return 2 if skipped else 0
 
     if args.cmd == "vacuum":
         # reclaim table-format storage across the warehouse: old

@@ -81,6 +81,86 @@ def _sidecar_path(spark: SparkSession, tombstones_table: str) -> str:
     )
 
 
+def derive_tombstones_name(table: str, *, strip: str, prefix: str) -> str:
+    """Derive a family's tombstone-table name from a member table,
+    preserving any database qualifier: ``db.pq_codes_x`` ->
+    ``db.pq_tombstones_x``. A naive ``removeprefix`` on the qualified
+    name is a no-op, and the naive concatenation
+    ``pq_tombstones_db.pq_codes_x`` parses as table ``pq_codes_x`` in
+    database ``pq_tombstones_db`` — the delete would fail loudly there,
+    but the gated serves would silently read UNGATED (r12 advice #4)."""
+    db, dot, base = table.rpartition(".")
+    return f"{db}{dot}{prefix}{base.removeprefix(strip)}"
+
+
+def _managed_location(spark: SparkSession, table: str) -> str:
+    """The path a managed table named ``table`` would live at, resolved
+    through its (possibly implicit) database's location — the catalog
+    cannot answer this for a table it has no entry for."""
+    from dbt_on_snowflake_spark.engine.index_maintenance import (
+        _database_location,
+    )
+
+    if "." in table:
+        db, base = table.rsplit(".", 1)
+    else:
+        db = spark.catalog.currentDatabase()
+        base = table
+    return posixpath.join(
+        _database_location(spark, f"`{db}`"), base.lower()
+    )
+
+
+def reattach_tombstones(
+    spark: SparkSession, tombstones_table: str
+) -> bool:
+    """Re-attach a PRIOR session's persisted tombstone table, if any.
+
+    The ``attach_*`` index helpers restore persisted index tables into
+    a fresh in-memory catalog — but ``live_rows``/``has_tombstones``
+    key on ``catalog.tableExists``, so without this the re-attached
+    index would serve UNGATED and silently resurrect the prior
+    session's deletes (and read pre-delete BM25 stats) until a later
+    ``index_delete`` call happened to re-attach the dir (r12 advice
+    #1). Every ``attach_*`` helper therefore calls this for its
+    family's tombstone table. Triage mirrors ``index_delete``'s
+    fail-closed branches, restricted to read-side semantics:
+
+    - committed tombstone files at the family's managed location ->
+      re-attach the table over the dir (the serve gate sees them);
+    - staged-only or empty dir -> attach nothing: no COMMITTED delete
+      exists, so the ungated serve reflects the committed state (an
+      in-flight delete becomes visible the moment it commits and a
+      later attach/delete runs — commit-ordered cross-session
+      visibility, the lakehouse read contract). Unlike the delete
+      path's triage this never deletes the empty leftover and never
+      raises on staged-only: a reader must not destroy or block on
+      another session's in-flight write;
+    - foreign (non-warehouse) locations are never touched.
+
+    Returns True when the table is attached (pre-existing or now)."""
+    if spark.catalog.tableExists(tombstones_table):
+        return True
+    from dbt_on_snowflake_spark.engine.fs import (
+        fs_exists,
+        fs_list_files_split,
+    )
+    from dbt_on_snowflake_spark.engine.index_maintenance import (
+        _under_warehouse,
+    )
+
+    loc = _managed_location(spark, tombstones_table)
+    if not fs_exists(spark, loc) or not _under_warehouse(spark, loc):
+        return False
+    committed, _staged = fs_list_files_split(spark, loc)
+    if not committed:
+        return False
+    spark.catalog.createTable(
+        tombstones_table, path=loc, source="parquet"
+    )
+    return True
+
+
 def tombstone_spec(
     spark: SparkSession, tombstones_table: str
 ) -> dict | None:
@@ -191,18 +271,10 @@ def index_delete(
         #   non-empty the CREATE below fails loudly, never silently.
         from dbt_on_snowflake_spark.engine.fs import fs_delete, fs_exists
         from dbt_on_snowflake_spark.engine.index_maintenance import (
-            _database_location,
             _under_warehouse,
         )
 
-        if "." in tombstones_table:
-            db, base = tombstones_table.rsplit(".", 1)
-        else:
-            db = spark.catalog.currentDatabase()
-            base = tombstones_table
-        stale = posixpath.join(
-            _database_location(spark, f"`{db}`"), base.lower()
-        )
+        stale = _managed_location(spark, tombstones_table)
         if fs_exists(spark, stale) and _under_warehouse(spark, stale):
             from dbt_on_snowflake_spark.engine.fs import (
                 fs_list_files_split,

@@ -973,8 +973,15 @@ def build_minhash_index(
 
 def _mh_tombstones(index_table: str) -> str:
     """The band-index family's tombstone-table name (the
-    ``_pq_tombstones`` convention, similarity.py)."""
-    return "mh_tombstones_" + index_table.removeprefix("mh_band_index_")
+    ``_pq_tombstones`` convention, similarity.py) — database
+    qualifiers preserved."""
+    from dbt_on_snowflake_spark.engine.index_delete import (
+        derive_tombstones_name,
+    )
+
+    return derive_tombstones_name(
+        index_table, strip="mh_band_index_", prefix="mh_tombstones_"
+    )
 
 
 def minhash_index_delete(
@@ -1001,8 +1008,12 @@ def minhash_index_delete(
         # the member set and strand dead pairs un-rewritten (r12
         # review pass 2) — the declaration must not depend on which
         # call pattern happened to run last
-        sibling = "mh_corpus_pairs_" + index_table.removeprefix(
-            "mh_band_index_"
+        from dbt_on_snowflake_spark.engine.index_delete import (
+            derive_tombstones_name,
+        )
+
+        sibling = derive_tombstones_name(  # db-qualifier-preserving
+            index_table, strip="mh_band_index_", prefix="mh_corpus_pairs_"
         )
         if spark.catalog.tableExists(sibling):
             pairs_table = sibling
@@ -1064,9 +1075,17 @@ def attach_minhash_index(
     over the existing location restores the layout contract, so probes
     in the new session still join the index in place with zero index-
     side shuffle. With a persistent metastore (Hive/Delta/Iceberg — the
-    100 TB deployment) the catalog survives and this is a no-op."""
+    100 TB deployment) the catalog survives and this is a no-op. The
+    family's persisted tombstone table (if a prior session deleted from
+    this index) re-attaches alongside, or probes in the fresh session
+    would serve tombstoned docs ungated (r12 advice #1)."""
     import posixpath
 
+    from dbt_on_snowflake_spark.engine.index_delete import (
+        reattach_tombstones,
+    )
+
+    reattach_tombstones(spark, _mh_tombstones(index_table))
     if spark.catalog.tableExists(index_table):
         return
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
@@ -1322,9 +1341,16 @@ def attach_minhash_index_pruned(
     DDL over the existing location, then ``MSCK REPAIR`` to register the
     on-disk ``band_part=N`` partition directories with the fresh
     catalog — without it the attached table reads as empty. With a
-    persistent metastore this is a no-op."""
+    persistent metastore this is a no-op. The family's persisted
+    tombstone table re-attaches alongside (r12 advice #1, same as
+    ``attach_minhash_index``)."""
     import posixpath
 
+    from dbt_on_snowflake_spark.engine.index_delete import (
+        reattach_tombstones,
+    )
+
+    reattach_tombstones(spark, _mh_tombstones(index_table))
     if spark.catalog.tableExists(index_table):
         return
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")

@@ -3717,20 +3717,98 @@ def reindex_pq_when_drifted(
     return {**drift, "drifted": False, "rebuilt": False}
 
 
+def retrain_pq_family(
+    spark: SparkSession, sf_dir: str, *, codes_table: str
+) -> None:
+    """The generic retrain for ANY pq_codes_* family — the rebuild
+    thunk ``reindex`` hands to ``reindex_pq_when_drifted`` when the
+    family wasn't built by ``ensure_pq_index`` (the append-grown
+    ``pq_codes_aps_*`` family, the streaming-ingest family, ad-hoc
+    builds — exactly the indexes that accumulate drift, r12 advice #2).
+    Trains a fresh codebook over the vectors the family CURRENTLY
+    serves: the corpus embeddings semi-joined to the family's live
+    vec_ids, so append-grown rows are in the training set and
+    tombstoned rows are not (the rebuild also resets the tombstone
+    slate, which is correct for the same reason). The codebook table
+    follows the family convention (``pq_codes_X`` -> ``pq_codebook_X``,
+    database qualifiers preserved).
+
+    FAIL CLOSED: raises when any live vec_id is missing from the
+    corpus embeddings — retraining on the intersection would silently
+    shrink the index (a family encoded from a different vector source
+    must retrain through its own build path)."""
+    from dbt_on_snowflake_spark.engine.index_delete import (
+        derive_tombstones_name,
+    )
+
+    codebook_table = derive_tombstones_name(
+        codes_table, strip="pq_codes_", prefix="pq_codebook_"
+    )
+    e = _vectors(spark, sf_dir)
+    live = _live_codes(spark, codes_table).select("vec_id")
+    # one narrow anti-join count, no broadcast hint: both sides grow
+    # with the index at 100 TB, so the coverage probe must shuffle-join
+    # (AQE picks the strategy) rather than materialize either side
+    n_missing = live.join(
+        e.select("vec_id"), "vec_id", "left_anti"
+    ).count()
+    if n_missing:
+        raise ValueError(
+            f"{codes_table}: {n_missing} live vec_ids are not in the "
+            f"corpus embeddings at {sf_dir}; refusing to retrain on a "
+            "subset — rebuild this family through its own build path"
+        )
+    # MATERIALIZE the live ids before the rebuild: build_pq_index drops
+    # the codes table it is about to overwrite, and a lazy plan reading
+    # that same table would fail at write time. A narrow ids-only
+    # staging table (not a collect — the id set grows with the index)
+    from dbt_on_snowflake_spark.operators.dedup import (
+        _drop_managed_table,
+    )
+
+    staging = derive_tombstones_name(
+        codes_table, strip="pq_codes_", prefix="pq_retrain_ids_"
+    )
+    _drop_managed_table(spark, staging)
+    live.write.saveAsTable(staging)
+    try:
+        build_pq_index(
+            spark,
+            e.join(spark.table(staging), "vec_id"),
+            codebook_table=codebook_table,
+            codes_table=codes_table,
+        )
+    finally:
+        _drop_managed_table(spark, staging)
+
+
 # ----------------------------------------- ANN/PQ index DELETE propagation
 
 
 def _pq_tombstones(codes_table: str) -> str:
     """The PQ family's tombstone-table name, derived from the codes
     table so the delete path and every ADC serve resolve the SAME
-    table for any suffix (fingerprinted, appended, ad-hoc)."""
-    return "pq_tombstones_" + codes_table.removeprefix("pq_codes_")
+    table for any suffix (fingerprinted, appended, ad-hoc) — database
+    qualifiers preserved (``derive_tombstones_name``)."""
+    from dbt_on_snowflake_spark.engine.index_delete import (
+        derive_tombstones_name,
+    )
+
+    return derive_tombstones_name(
+        codes_table, strip="pq_codes_", prefix="pq_tombstones_"
+    )
 
 
 def _ann_tombstones(assignments_table: str) -> str:
     """The IVF family's tombstone-table name (see ``_pq_tombstones``)."""
-    return "ann_tombstones_" + assignments_table.removeprefix(
-        "ann_assignments_"
+    from dbt_on_snowflake_spark.engine.index_delete import (
+        derive_tombstones_name,
+    )
+
+    return derive_tombstones_name(
+        assignments_table,
+        strip="ann_assignments_",
+        prefix="ann_tombstones_",
     )
 
 
@@ -4185,9 +4263,18 @@ def attach_pq_index(
     persist). External-table DDL over the existing locations + partition
     recovery restores the label-partitioned codes layout, so IVF+PQ
     probes still prune partitions. With a persistent metastore this is
-    a no-op, same contract as attach_minhash_index."""
+    a no-op, same contract as attach_minhash_index. The family's
+    persisted tombstone table (if a prior session deleted from this
+    index) re-attaches alongside — without it the fresh session's ADC
+    serves would bypass the ``live_rows`` gate and resurrect deleted
+    vectors (r12 advice #1)."""
     import posixpath
 
+    from dbt_on_snowflake_spark.engine.index_delete import (
+        reattach_tombstones,
+    )
+
+    reattach_tombstones(spark, _pq_tombstones(codes_table))
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     if not spark.catalog.tableExists(codebook_table):
         spark.catalog.createTable(

@@ -1797,9 +1797,14 @@ _set_bm25_incremental_oracle()
 def _text_tombstones(postings_table: str) -> str:
     """The family's tombstone-table name, derived from the postings
     table so the delete path and every serve resolve the SAME table
-    for any suffix (fingerprinted, incremental, ad-hoc)."""
-    return "bm25_tombstones_" + postings_table.removeprefix(
-        "bm25_postings_"
+    for any suffix (fingerprinted, incremental, ad-hoc) — database
+    qualifiers preserved (``derive_tombstones_name``)."""
+    from dbt_on_snowflake_spark.engine.index_delete import (
+        derive_tombstones_name,
+    )
+
+    return derive_tombstones_name(
+        postings_table, strip="bm25_postings_", prefix="bm25_tombstones_"
     )
 
 

@@ -4,7 +4,10 @@ finally decides a retrain. Contract: (1) in-distribution appends never
 trip it, (2) a deliberately shifted batch trips it exactly once and the
 rebuild re-arms the baseline, (3) the baseline sidecar survives
 compaction's swap, (4) no baseline -> fail closed (raise, no rebuild),
-(5) the `reindex` CLI reports and gates the ensure-family index."""
+(5) the `reindex` CLI sweeps every pq_codes_* family (report mode) and
+gates any named family — including append-grown ones — retraining via
+the generic retrain_pq_family, which fails closed on families whose
+vectors the corpus cannot cover."""
 
 from __future__ import annotations
 
@@ -119,26 +122,111 @@ def test_drift_fails_closed_without_baseline(spark):
     spark.sql("DROP TABLE pq_codes_nobase")
 
 
-def test_reindex_cli_reports_and_gates(spark, tmp_path, capsys):
+def _proj(tmp_path):
     import os
-
-    from dbt_on_snowflake_spark.__main__ import main
 
     root = str(tmp_path / "proj")
     os.makedirs(f"{root}/models", exist_ok=True)
     open(f"{root}/project.yml", "w").write("name: reidx\n")
+    return root
+
+
+def test_reindex_cli_reports_and_gates(spark, tmp_path, capsys):
+    from dbt_on_snowflake_spark.__main__ import main
+    from dbt_on_snowflake_spark.operators.similarity import (
+        ensure_pq_index,
+    )
+
+    root = _proj(tmp_path)
+    # report mode sweeps every pq_codes_* family in the warehouse
+    # (exit 0 even when some family has no baseline — it is a report,
+    # not a gate)
     assert main(["reindex", "--project", root, "--corpus", SF_SMOKE]) == 0
     out = capsys.readouterr().out
-    assert "drift ratio" in out
-    # the untouched ensure-family index is its own baseline: never gated
+    _, cd_t = ensure_pq_index(spark, SF_SMOKE)
+    assert f"pq index {cd_t}: drift ratio" in out
+    # the untouched ensure-family index is its own baseline: never
+    # gated (pinned by name so other tests' families can't interfere)
     assert (
         main([
             "reindex", "--project", root, "--corpus", SF_SMOKE,
-            "--when-drifted", "1.5",
+            "--when-drifted", "1.5", "--codes-table", cd_t,
         ])
         == 0
     )
     assert "within gate" in capsys.readouterr().out
+
+
+def test_reindex_cli_gates_named_grown_family(spark, tmp_path, capsys):
+    """--codes-table reaches families the ensure path never built — the
+    append-grown/streaming growers, exactly the indexes that accumulate
+    drift (r12 advice #2). Force a retrain (threshold 0) and the
+    generic ``retrain_pq_family`` re-arms the family's baseline from
+    the vectors it currently serves."""
+    from dbt_on_snowflake_spark.__main__ import main
+
+    e, cb, cd = _fresh(spark, "drift_cli_grown")
+    pq_index_append(
+        spark,
+        e.filter(F.expr(HELD_PRED)),
+        codebook_table=cb,
+        codes_table=cd,
+    )
+    root = _proj(tmp_path)
+    assert (
+        main([
+            "reindex", "--project", root, "--corpus", SF_SMOKE,
+            "--when-drifted", "0.0", "--codes-table", cd,
+        ])
+        == 0
+    )
+    assert "RETRAINED" in capsys.readouterr().out
+    after = pq_index_drift(spark, codes_table=cd)
+    assert after["ratio"] == pytest.approx(1.0)
+    assert after["n_rows"] == e.count()
+
+
+def test_reindex_cli_skips_ungateable_family_fail_closed(
+    spark, tmp_path, capsys
+):
+    """Gate mode exits nonzero when the named family cannot be gated
+    (no baseline sidecar): a scheduled gate that silently skipped a
+    drifting index must alarm."""
+    from dbt_on_snowflake_spark.__main__ import main
+    from dbt_on_snowflake_spark.operators.dedup import (
+        _drop_managed_table,
+    )
+
+    spark.createDataFrame(
+        [(1,)], "vec_id long"
+    ).write.mode("overwrite").saveAsTable("pq_codes_nobase")
+    try:
+        root = _proj(tmp_path)
+        assert (
+            main([
+                "reindex", "--project", root, "--corpus", SF_SMOKE,
+                "--when-drifted", "1.5", "--codes-table",
+                "pq_codes_nobase",
+            ])
+            == 2
+        )
+        assert "SKIPPED" in capsys.readouterr().err
+    finally:
+        _drop_managed_table(spark, "pq_codes_nobase")
+
+
+def test_retrain_refuses_out_of_corpus_families(spark):
+    """``retrain_pq_family`` fails closed when live vec_ids are not
+    covered by the corpus embeddings — retraining on the intersection
+    would silently shrink the index."""
+    from dbt_on_snowflake_spark.operators.similarity import (
+        retrain_pq_family,
+    )
+
+    e, cb, cd = _fresh(spark, "drift_foreign")
+    pq_index_append(spark, _shifted(e), codebook_table=cb, codes_table=cd)
+    with pytest.raises(ValueError, match="not in the corpus"):
+        retrain_pq_family(spark, SF_SMOKE, codes_table=cd)
 
 
 def test_drift_handles_empty_and_zero_baseline(spark):

@@ -3487,6 +3487,17 @@ def test_clean_removes_declared_targets_only(tmp_path, capsys):
     )
     assert main(["clean", "--project", root]) == 2
     assert os.path.exists(f"{root}/models/keep.sql")
+
+    # key absent -> dbt's documented default [target, dbt_packages]
+    # (r12 advice #3)
+    os.makedirs(f"{root}/dbt_packages", exist_ok=True)
+    os.makedirs(f"{root}/target", exist_ok=True)
+    open(f"{root}/project.yml", "w").write("name: cleanproj\n")
+    assert main(["clean", "--project", root]) == 0
+    out = capsys.readouterr().out
+    assert "cleaned target" in out and "cleaned dbt_packages" in out
+    assert not os.path.exists(f"{root}/dbt_packages")
+    assert os.path.exists(f"{root}/models/keep.sql")
     shutil.rmtree(root)
 
 

@@ -694,3 +694,204 @@ def test_reclaim_covers_custom_location_database(spark, tmp_path):
         assert not os.path.exists(os.path.join(tdir, "_temporary"))
     finally:
         spark.sql("DROP DATABASE customdb CASCADE")
+
+
+def test_derive_tombstones_name_preserves_db_qualifier():
+    """Database-qualified index tables must derive database-qualified
+    tombstone (and pairs-sibling) names: naive prefix surgery on
+    'db.pq_codes_x' yields 'pq_tombstones_db.pq_codes_x', which parses
+    as table pq_codes_x in database pq_tombstones_db — the delete would
+    fail loudly there, but gated serves would silently read UNGATED
+    (r12 advice #4)."""
+    from dbt_on_snowflake_spark.operators.dedup import _mh_tombstones
+    from dbt_on_snowflake_spark.operators.similarity import (
+        _ann_tombstones,
+    )
+    from dbt_on_snowflake_spark.operators.textops import _text_tombstones
+
+    assert _pq_tombstones("pq_codes_x") == "pq_tombstones_x"
+    assert _pq_tombstones("db.pq_codes_x") == "db.pq_tombstones_x"
+    assert _ann_tombstones("db.ann_assignments_y") == "db.ann_tombstones_y"
+    assert _mh_tombstones("db.mh_band_index_z") == "db.mh_tombstones_z"
+    assert (
+        _text_tombstones("db.bm25_postings_w") == "db.bm25_tombstones_w"
+    )
+
+
+def test_qualified_family_delete_and_gate_roundtrip(spark):
+    """End-to-end over a database-qualified minhash family: the delete
+    resolves the tombstone table inside the family's database and the
+    gated probe read excludes the doc (the r12-advice #4 failure mode
+    was exactly this pair diverging)."""
+    from dbt_on_snowflake_spark.operators.dedup import _live_index
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS tombq")
+    try:
+        docs = spark.createDataFrame(
+            [
+                (1, " ".join(f"w{i}" for i in range(30))),
+                (2, " ".join(f"z{i}" for i in range(30))),
+            ],
+            "doc_id long, text string",
+        )
+        build_minhash_index(
+            spark, docs, index_table="tombq.mh_band_index_q"
+        )
+        minhash_index_delete(
+            spark,
+            spark.createDataFrame([(1,)], "doc_id long"),
+            index_table="tombq.mh_band_index_q",
+        )
+        assert spark.catalog.tableExists("tombq.mh_tombstones_q")
+        live = {
+            r.doc_id
+            for r in _live_index(spark, "tombq.mh_band_index_q")
+            .select("doc_id")
+            .distinct()
+            .collect()
+        }
+        assert live == {2}
+    finally:
+        spark.sql("DROP DATABASE tombq CASCADE")
+
+
+def test_reattach_tombstones_triage(spark, tmp_path):
+    """``reattach_tombstones`` (the attach_* hook): re-attaches over a
+    committed catalog-less tombstone dir, and attaches NOTHING for
+    staged-only or empty dirs (no committed delete exists — and a
+    reader must neither destroy nor block on another session's
+    in-flight write)."""
+    import os
+    import shutil
+
+    from dbt_on_snowflake_spark.engine.index_delete import (
+        reattach_tombstones,
+    )
+
+    name = "x_tombstones_reattach"
+    spark.createDataFrame(
+        [(5, "a")], "doc_id long, v string"
+    ).write.mode("overwrite").saveAsTable("reattach_member")
+    index_delete(
+        spark,
+        spark.createDataFrame([(5,)], "doc_id long"),
+        tombstones_table=name,
+        id_col="doc_id",
+        members=[{"table": "reattach_member", "id_cols": ["doc_id"]}],
+    )
+    # already attached -> True, no-op
+    assert reattach_tombstones(spark, name) is True
+
+    # simulate the session boundary (files survive, catalog forgets)
+    loc = table_location(spark, name).removeprefix("file:")
+    stash = str(tmp_path / "stash")
+    shutil.copytree(loc, stash)
+    spark.sql(f"DROP TABLE {name}")
+    shutil.copytree(stash, loc)
+    assert not spark.catalog.tableExists(name)
+    assert reattach_tombstones(spark, name) is True
+    assert {r.doc_id for r in spark.table(name).collect()} == {5}
+    spark.sql(f"DROP TABLE {name}")
+
+    # staged-only dir: in-flight delete, not committed -> no attach
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    sdir = os.path.join(wh, "x_tombstones_staged", "_temporary", "0")
+    os.makedirs(sdir, exist_ok=True)
+    with open(os.path.join(sdir, "part-0"), "w") as f:
+        f.write("x")
+    assert reattach_tombstones(spark, "x_tombstones_staged") is False
+    assert not spark.catalog.tableExists("x_tombstones_staged")
+    # the dir is left for the writer (a reader never reclaims)
+    assert os.path.exists(sdir)
+    shutil.rmtree(os.path.join(wh, "x_tombstones_staged"))
+
+    # absent dir -> False
+    assert reattach_tombstones(spark, "x_tombstones_never") is False
+    _drop_managed_table(spark, "reattach_member")
+    _drop_managed_table(spark, name)
+
+
+def test_attach_helpers_restore_delete_gate(spark, tmp_path):
+    """attach_minhash_index / attach_pq_index in a fresh catalog must
+    re-attach the family's persisted tombstones, or the re-attached
+    index serves UNGATED and resurrects deleted rows (r12 advice #1,
+    medium). Session boundary simulated as in
+    test_create_path_reattaches_previous_sessions_tombstones; the
+    genuine two-JVM proof is tests/test_index_durability.py."""
+    import shutil
+
+    from dbt_on_snowflake_spark.operators.dedup import (
+        _live_index,
+        attach_minhash_index,
+    )
+    from dbt_on_snowflake_spark.operators.similarity import (
+        attach_pq_index,
+    )
+
+    def forget(table):
+        loc = table_location(spark, table).removeprefix("file:")
+        stash = str(tmp_path / table)
+        shutil.copytree(loc, stash)
+        spark.sql(f"DROP TABLE {table}")
+        shutil.copytree(stash, loc)
+        assert not spark.catalog.tableExists(table)
+
+    # minhash family
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(30))),
+            (2, " ".join(f"z{i}" for i in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    build_minhash_index(spark, docs, index_table="mh_band_index_att")
+    minhash_index_delete(
+        spark,
+        spark.createDataFrame([(1,)], "doc_id long"),
+        index_table="mh_band_index_att",
+    )
+    for t in ("mh_band_index_att", "mh_tombstones_att"):
+        forget(t)
+    attach_minhash_index(spark, "mh_band_index_att")
+    assert spark.catalog.tableExists("mh_tombstones_att")
+    live = {
+        r.doc_id
+        for r in _live_index(spark, "mh_band_index_att")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert live == {2}
+    _drop_managed_table(spark, "mh_tombstones_att")
+    _drop_managed_table(spark, "mh_band_index_att")
+
+    # PQ family
+    from dbt_on_snowflake_spark.operators.similarity import _vectors
+
+    vecs = _vectors(spark, SF_SMOKE)
+    build_pq_index(
+        spark,
+        vecs,
+        codebook_table="pq_codebook_att",
+        codes_table="pq_codes_att",
+    )
+    pq_index_delete(
+        spark,
+        spark.createDataFrame([(3,)], "vec_id long"),
+        codes_table="pq_codes_att",
+    )
+    for t in ("pq_codebook_att", "pq_codes_att", "pq_tombstones_att"):
+        forget(t)
+    attach_pq_index(
+        spark,
+        codebook_table="pq_codebook_att",
+        codes_table="pq_codes_att",
+    )
+    assert spark.catalog.tableExists("pq_tombstones_att")
+    live = {
+        r.vec_id for r in _live_codes(spark, "pq_codes_att").collect()
+    }
+    everyone = {r.vec_id for r in vecs.select("vec_id").collect()}
+    assert live == everyone - {3}
+    for t in ("pq_tombstones_att", "pq_codebook_att", "pq_codes_att"):
+        _drop_managed_table(spark, t)

@@ -309,3 +309,87 @@ def test_fingerprinted_suffix_stable_across_sessions(tmp_path):
     c = _run(header).split("SUFFIX ", 1)[1].strip().splitlines()[0]
     assert c != a
     assert c.split("_")[0] == a.split("_")[0]
+
+
+_SESSION_A_DELETED = """
+import sys
+sys.path.insert(0, {repo!r})
+import pandas as pd
+from pyspark.sql import SparkSession
+spark = (
+    SparkSession.builder.master("local[2]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.warehouse.dir", {wh!r})
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+from dbt_on_snowflake_spark.operators.dedup import (
+    build_minhash_index, minhash_index_delete,
+)
+corpus = pd.DataFrame({{
+    "doc_id": [1, 2, 3],
+    "text": [" ".join(f"w{{i}}" for i in range(30)),
+             " ".join(f"z{{i}}" for i in range(30)),
+             " ".join(f"w{{i}}" for i in range(30)) + " extra"],
+}})
+build_minhash_index(
+    spark, spark.createDataFrame(corpus), index_table="mh_durable_del"
+)
+minhash_index_delete(
+    spark,
+    spark.createDataFrame(pd.DataFrame({{"doc_id": [1]}})),
+    index_table="mh_durable_del",
+)
+spark.stop()
+print("A_DONE")
+"""
+
+_SESSION_B_DELETED = """
+import json, sys
+sys.path.insert(0, {repo!r})
+import pandas as pd
+from pyspark.sql import SparkSession
+spark = (
+    SparkSession.builder.master("local[2]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.warehouse.dir", {wh!r})
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+from dbt_on_snowflake_spark.operators.dedup import (
+    attach_minhash_index, dedup_incremental_candidates,
+)
+assert not spark.catalog.tableExists("mh_durable_del")
+assert not spark.catalog.tableExists("mh_tombstones_mh_durable_del")
+attach_minhash_index(spark, "mh_durable_del")
+# probe with a near-dup of BOTH doc 1 (deleted) and doc 3 (live)
+batch = spark.createDataFrame(pd.DataFrame({{
+    "doc_id": [10],
+    "text": [" ".join(f"w{{i}}" for i in range(30)) + " tail"],
+}}))
+cand = dedup_incremental_candidates(spark, batch, "mh_durable_del")
+pairs = sorted((r.doc_a, r.doc_b) for r in cand.collect())
+print("B_RESULT " + json.dumps({{
+    "pairs": pairs,
+    "tombstones_attached":
+        spark.catalog.tableExists("mh_tombstones_mh_durable_del"),
+}}))
+spark.stop()
+"""
+
+
+def test_deleted_docs_stay_deleted_across_sessions(tmp_path):
+    """The r12-advice #1 (medium) regression: session A deletes doc 1
+    from a persisted index; session B (fresh JVM, empty catalog)
+    re-attaches via attach_minhash_index and probes. Without the
+    tombstone re-attach the probe would resurrect doc 1 — the gate must
+    hold purely from the on-disk artifact."""
+    wh = str(tmp_path / "warehouse")
+    a = _run(_SESSION_A_DELETED.format(repo=REPO, wh=wh))
+    assert "A_DONE" in a
+    b = _run(_SESSION_B_DELETED.format(repo=REPO, wh=wh))
+    line = next(l for l in b.splitlines() if l.startswith("B_RESULT "))
+    res = json.loads(line.removeprefix("B_RESULT "))
+    assert res["tombstones_attached"] is True
+    # doc 3 (the live near-dup) is found; deleted doc 1 is NOT
+    assert [tuple(p) for p in res["pairs"]] == [(3, 10)]
