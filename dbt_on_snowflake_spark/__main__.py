@@ -105,8 +105,9 @@ def main(argv: list[str] | None = None) -> int:
             )
             sp.add_argument(
                 "--codes-table", default=None, dest="codes_table",
-                help="gate ONE named pq_codes_* family; default sweeps "
-                     "every pq_codes_* table in the warehouse — "
+                help="gate ONE named family (a pq_codes_* codes table "
+                     "or an ann_assignments_* IVF table); default "
+                     "sweeps every such table in the warehouse — "
                      "including the append-grown and streaming-ingest "
                      "families, the indexes that actually drift",
             )
@@ -364,7 +365,10 @@ def main(argv: list[str] | None = None) -> int:
             return 0
 
         def _task_runner(t):
-            argv2 = shlex.split(t.args)
+            # env vars expand in task args exactly like sources.yml
+            # base_path, so a shipped tasks.yml can say
+            # `--corpus $CURATION_DATA_DIR` (examples/curation)
+            argv2 = shlex.split(_os.path.expandvars(t.args))
             if "--project" not in argv2:
                 argv2 += ["--project", args.project]
             print(f"task {t.name}: {' '.join(argv2)}")
@@ -1146,8 +1150,10 @@ def main(argv: list[str] | None = None) -> int:
         # vectors only when the drift ratio crosses --when-drifted.
         from dbt_on_snowflake_spark.operators.similarity import (
             DRIFT_REBUILD_RATIO,
+            ann_index_drift,
             ensure_pq_index,
             pq_index_drift,
+            reindex_ann_when_drifted,
             reindex_pq_when_drifted,
             retrain_pq_family,
         )
@@ -1156,33 +1162,45 @@ def main(argv: list[str] | None = None) -> int:
             families = [args.codes_table]
         else:
             # (re)secure the ensure base family (a fresh warehouse
-            # gains its baseline), then sweep EVERY pq_codes_* family
-            # the catalog knows: the ensure base, the append-grown
-            # aps family, the streaming-ingest family, ad-hoc builds —
-            # the growers are the indexes that actually drift, and the
-            # old base-family-only gate never reached them (r12 advice
-            # #2)
+            # gains its baseline), then sweep EVERY pq_codes_* AND
+            # ann_assignments_* family the catalog knows: the ensure
+            # bases, the append-grown aps family, the streaming-ingest
+            # families, ad-hoc builds — the growers are the indexes
+            # that actually drift, and the old base-family-only gate
+            # never reached them (r12 advice #2; IVF added per r12
+            # verdict Next #6)
             ensure_pq_index(spark, args.corpus)
             families = sorted(
                 t.name
                 for t in spark.catalog.listTables()
-                if t.name.startswith("pq_codes_")
+                if t.name.startswith(("pq_codes_", "ann_assignments_"))
             )
         skipped = 0
-        for cd_t in families:
+        for fam in families:
+            is_ivf = fam.rsplit(".", 1)[-1].startswith("ann_assignments_")
+            kind = "ivf" if is_ivf else "pq"
             if args.when_drifted is None:
                 # report mode: per-family drift, never rebuilds; a
                 # baseline-less family is reported, not an error
                 try:
-                    d = pq_index_drift(spark, codes_table=cd_t)
+                    if is_ivf:
+                        d = ann_index_drift(spark, assignments_table=fam)
+                        cur, base = (
+                            d["current_mean_cdist"], d["base_mean_cdist"]
+                        )
+                    else:
+                        d = pq_index_drift(spark, codes_table=fam)
+                        cur, base = (
+                            d["current_mean_qerr"], d["base_mean_qerr"]
+                        )
                 except ValueError as exc:
-                    print(f"pq index {cd_t}: no drift baseline ({exc})")
+                    print(f"{kind} index {fam}: no drift baseline ({exc})")
                     continue
                 print(
-                    f"pq index {cd_t}: drift ratio {d['ratio']:.3f} "
-                    f"(current {d['current_mean_qerr']:.4f} / baseline "
-                    f"{d['base_mean_qerr']:.4f}, {d['n_rows']} rows; "
-                    f"default gate {DRIFT_REBUILD_RATIO})"
+                    f"{kind} index {fam}: drift ratio {d['ratio']:.3f} "
+                    f"(current {cur:.4f} / baseline {base:.4f}, "
+                    f"{d['n_rows']} rows; default gate "
+                    f"{DRIFT_REBUILD_RATIO})"
                 )
                 continue
             # gate mode: a family the gate CANNOT cover (no baseline,
@@ -1192,22 +1210,31 @@ def main(argv: list[str] | None = None) -> int:
             # closed), while the remaining families still get gated
             # in the same sweep
             try:
-                d = reindex_pq_when_drifted(
-                    spark,
-                    codes_table=cd_t,
-                    rebuild=lambda cd=cd_t: retrain_pq_family(
-                        spark, args.corpus, codes_table=cd
-                    ),
-                    threshold=args.when_drifted,
-                )
+                if is_ivf:
+                    # the IVF retrain is refresh_centroids from the
+                    # grown live assignments (re-arms the baseline)
+                    d = reindex_ann_when_drifted(
+                        spark,
+                        assignments_table=fam,
+                        threshold=args.when_drifted,
+                    )
+                else:
+                    d = reindex_pq_when_drifted(
+                        spark,
+                        codes_table=fam,
+                        rebuild=lambda cd=fam: retrain_pq_family(
+                            spark, args.corpus, codes_table=cd
+                        ),
+                        threshold=args.when_drifted,
+                    )
             except ValueError as exc:
                 skipped += 1
-                print(f"pq index {cd_t}: SKIPPED — {exc}", file=sys.stderr)
+                print(f"{kind} index {fam}: SKIPPED — {exc}", file=sys.stderr)
                 continue
             verdict = "RETRAINED" if d["rebuilt"] else "within gate"
             print(
-                f"pq index {cd_t}: drift ratio {d['ratio']:.3f} vs gate "
-                f"{args.when_drifted} -> {verdict}"
+                f"{kind} index {fam}: drift ratio {d['ratio']:.3f} vs "
+                f"gate {args.when_drifted} -> {verdict}"
             )
         return 2 if skipped else 0
 

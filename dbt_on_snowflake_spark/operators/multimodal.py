@@ -491,3 +491,110 @@ def _set_mm_indexed_oracle() -> None:
 
 
 _set_mm_indexed_oracle()
+
+
+def _mm_deleted_oracle() -> str:
+    """``_mm_indexed_oracle`` with the codes side restricted to the
+    surviving vectors (codebook still trained on the full corpus — the
+    frozen-at-build posture): what a fold, or a re-encode of the
+    survivors against the frozen codebook, produces."""
+    from dbt_on_snowflake_spark.operators.similarity import (
+        _CORPUS_PRED,
+        _PQ_CODES_CTE,
+        RERANK_SHORTLIST,
+        _pq_rerank_oracle,
+    )
+
+    q_cte = f"""{_PQ_CODES_CTE},
+    q AS (
+        SELECT doc_id + {_MM_OFFSET} AS vec_id, {_MM_EMBED_SQL} AS v
+        FROM documents WHERE {MM_QUERY_PRED}
+    )"""
+    return _pq_rerank_oracle(
+        codes_cte=q_cte,
+        lut_from="q qv",
+        codes_src=(
+            "SELECT vec_id, m, code FROM pq_codes"
+            f" WHERE rn = 1 AND {_CORPUS_PRED}"
+        ),
+        rr_query_join="JOIN q qe ON qe.vec_id = s.query_id",
+        final_select=(
+            f"query_id - {_MM_OFFSET} AS doc_id, neighbor_id, cosine"
+        ),
+        depth=RERANK_SHORTLIST,
+        k=MM_TOP_K,
+    )
+
+
+@query(
+    "multimodal_embed_topk_deleted",
+    driver=False,  # r13-born: R14_ROTATE_IN
+    oracle=None,  # set below (composed from the verified CTE fragments)
+)
+def multimodal_embed_topk_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``multimodal_embed_topk_indexed`` served AFTER a delete (r12
+    verdict, Next #5 — the multimodal serve inherits the PQ gate via
+    the shared ``_live_codes`` path, but no registered row proved it
+    end-to-end): the PQ index is built from the FULL corpus, every 10th
+    corpus vector is deleted via ``pq_index_delete`` (tombstones only),
+    and the payload-derived queries' ADC shortlist must draw only from
+    the surviving codes — the exact rerank then can't resurrect a
+    deleted neighbor because the shortlist never contains one. Oracle:
+    the shared two-stage rerank chain with the codes CTE restricted to
+    survivors against the same full-corpus codebook. Rebuilt from
+    scratch each call (the ``ann_pq_adc_deleted`` verification
+    posture); the steady-state multimodal serve cost is
+    ``multimodal_embed_topk_indexed``'s."""
+    import hashlib
+
+    from dbt_on_snowflake_spark.operators.similarity import (
+        _NEW_BATCH_PRED,
+        RERANK_SHORTLIST,
+        _adc_serve,
+        _exact_rerank,
+        _live_codes,
+        _vectors,
+        build_pq_index,
+        pq_index_delete,
+    )
+
+    suffix = hashlib.md5(f"mmdel:{sf_dir}".encode()).hexdigest()[:8]
+    cb_t = f"pq_codebook_mmdel_{suffix}"
+    cd_t = f"pq_codes_mmdel_{suffix}"
+    d = table(spark, sf_dir, "documents")
+    queries = (
+        _with_payload(d)
+        .filter(F.expr(MM_QUERY_PRED))
+        .select(
+            (F.col("doc_id") + _MM_OFFSET).alias("vec_id"),
+            _fake_media_embedding(MM_EMBED_DIM).alias("v"),
+        )
+    )
+    e = _vectors(spark, sf_dir)
+    # the build resets the family's tombstone slate (builder contract)
+    build_pq_index(spark, e, codebook_table=cb_t, codes_table=cd_t)
+    pq_index_delete(
+        spark,
+        e.filter(F.expr(_NEW_BATCH_PRED)).select("vec_id"),
+        codes_table=cd_t,
+    )
+    shortlist = _adc_serve(
+        spark, e, cb_t, _live_codes(spark, cd_t), RERANK_SHORTLIST,
+        queries=queries,
+    ).select("query_id", "neighbor_id")
+    rr = _exact_rerank(e, shortlist, queries=queries, k=MM_TOP_K)
+    return rr.select(
+        (F.col("query_id") - _MM_OFFSET).alias("doc_id"),
+        "neighbor_id",
+        "cosine",
+        "rank",
+    )
+
+
+def _set_mm_deleted_oracle() -> None:
+    from dbt_on_snowflake_spark.registry import QUERIES
+
+    QUERIES["multimodal_embed_topk_deleted"].oracle = _mm_deleted_oracle()
+
+
+_set_mm_deleted_oracle()

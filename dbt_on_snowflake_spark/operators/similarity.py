@@ -510,6 +510,15 @@ def build_ann_index(
         .partitionBy("label")
         .saveAsTable(assignments_table)
     )
+    # record the BUILD-TIME centroid-distance baseline next to the
+    # assignments: the IVF drift gate (``ann_index_drift``) compares
+    # every later state of the grown assignments against it, the
+    # ``_write_pq_qstats`` convention
+    _write_ann_cstats(
+        spark,
+        centroids_table=centroids_table,
+        assignments_table=assignments_table,
+    )
 
 
 def ensure_ann_index(
@@ -792,6 +801,14 @@ def refresh_centroids(spark: SparkSession, *, centroids_table: str,
     fresh = _centroid_vectors(e)
     _drop_managed_table(spark, centroids_table)
     fresh.write.mode("overwrite").saveAsTable(centroids_table)
+    # the refresh is the IVF family's retrain: re-record the drift
+    # baseline against the fresh centroids so the gate re-arms
+    # (``ann_index_drift``/``reindex_ann_when_drifted``)
+    _write_ann_cstats(
+        spark,
+        centroids_table=centroids_table,
+        assignments_table=assignments_table,
+    )
 
 
 @query(
@@ -1111,6 +1128,66 @@ def _set_semantic_served_oracle() -> None:
 
 
 _set_semantic_served_oracle()
+
+
+def _semantic_deleted_oracle() -> str:
+    """``dedup_semantic``'s oracle with the PRUNE side restricted to
+    the surviving vectors while the centroid CTE stays over the FULL
+    corpus — exactly the frozen-at-build posture the engine serves
+    (centroids are the IVF codebook; a delete never retrains them,
+    the drift gate decides that)."""
+    from dbt_on_snowflake_spark.registry import QUERIES
+
+    base = QUERIES["dedup_semantic"].oracle
+    needle = "FROM e JOIN cvec c ON e.label = c.label"
+    out = base.replace(
+        needle,
+        f"FROM (SELECT * FROM e WHERE {_CORPUS_PRED}) e "
+        "JOIN cvec c ON e.label = c.label",
+    )
+    assert out != base
+    return out
+
+
+@query(
+    "dedup_semantic_deleted",
+    driver=False,  # r13-born: R14_ROTATE_IN
+    oracle=_semantic_deleted_oracle(),
+)
+def dedup_semantic_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_semantic`` served AFTER a delete (r12 verdict, Next #5 —
+    the semantic serve path had no registered delete proof): the IVF
+    index is built from the FULL corpus (centroids frozen from
+    everything), every 10th vector is then deleted via
+    ``ann_index_delete`` (tombstones only, no rewrite), and the
+    within-cluster prune over the gated assignments must match the
+    oracle that recomputes the dedup over ONLY the surviving vectors —
+    against the same full-corpus centroids. Deleted vectors must
+    disappear from the output AND stop suppressing near-duplicate
+    survivors they previously outranked (the resurrection-adjacent
+    failure mode a row-filter alone would miss). Rebuilt from scratch
+    each call — the build+delete verification posture of
+    ``ann_pq_adc_deleted``; the steady-state serve cost is benched by
+    ``dedup_semantic_served``."""
+    import hashlib
+
+    suffix = hashlib.md5(f"semdel:{sf_dir}".encode()).hexdigest()[:8]
+    centroids_table = f"ann_centroids_semdel_{suffix}"
+    assignments_table = f"ann_assignments_semdel_{suffix}"
+    e = _vectors(spark, sf_dir)
+    # the build resets the family's tombstone slate (builder contract)
+    build_ann_index(
+        spark,
+        e,
+        centroids_table=centroids_table,
+        assignments_table=assignments_table,
+    )
+    ann_index_delete(
+        spark,
+        e.filter(F.expr(_NEW_BATCH_PRED)).select("vec_id"),
+        assignments_table=assignments_table,
+    )
+    return _semantic_prune(spark, centroids_table, assignments_table)
 
 
 def _semantic_greedy_prune(e: DataFrame, cvec: DataFrame) -> DataFrame:
@@ -3780,6 +3857,179 @@ def retrain_pq_family(
         )
     finally:
         _drop_managed_table(spark, staging)
+
+
+# ------------------------------------------- IVF centroid drift gate
+
+_CSTATS = "_cstats.json"
+
+
+def _ann_centroids_for(assignments_table: str) -> str:
+    """The family's centroid-table name (qualifier-preserving)."""
+    from dbt_on_snowflake_spark.engine.index_delete import (
+        derive_tombstones_name,
+    )
+
+    return derive_tombstones_name(
+        assignments_table,
+        strip="ann_assignments_",
+        prefix="ann_centroids_",
+    )
+
+
+def _mean_cdist_row(spark: SparkSession, assignments, centroids_table: str):
+    """mean SQUARED L2 DISPLACEMENT ``|v - centroid[label]|^2`` over
+    the given assignment rows against the FROZEN centroid table, plus
+    the row count — the exact IVF analog of the PQ gate's mean
+    quantization error (which is also a squared distance to the
+    assigned sub-centroids). Squared distance, NOT cosine: the
+    synthetic-embedding corpora sit near-orthogonal to their centroids
+    (mean 1-cos ~ 0.85 of a 2.0 ceiling), so an angular metric has no
+    headroom and a wildly shifted batch barely moves it, while the
+    displacement explodes with any scale/offset shift. One narrow scan
+    of the assignments x the broadcast (tiny) centroid table; the
+    corpus embeddings are never read (the assignments carry their
+    vectors)."""
+    cvec = F.broadcast(spark.table(centroids_table)).alias("c")
+    dist2 = F.aggregate(
+        F.zip_with("a.v", "c.v", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    return (
+        assignments.alias("a")
+        .join(cvec, "label")
+        .agg(
+            F.avg(dist2).alias("mean_cdist"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .collect()[0]  # bounded: one aggregate row
+    )
+
+
+def _write_ann_cstats(
+    spark: SparkSession, *, centroids_table: str, assignments_table: str
+) -> None:
+    """Record the family's centroid-distance baseline sidecar next to
+    the assignments (the ``_write_pq_qstats`` convention — underscore
+    file, invisible to reads, preserved by the compaction/fold swap).
+    Delete-then-create: ``refresh_centroids`` re-records over a LIVING
+    table dir, unlike the PQ build which always writes a fresh one.
+    Runs under its own job group: several bench-headline queries build
+    their IVF family INLINE (``dedup_semantic``), and the baseline agg
+    must not drift their pinned stage fingerprints (the
+    ``ensure_index_tables`` isolation convention)."""
+    import json as _json
+
+    from dbt_on_snowflake_spark.engine.fs import (
+        fs_create_atomic,
+        fs_delete,
+    )
+    from dbt_on_snowflake_spark.engine.index_maintenance import (
+        table_location,
+    )
+
+    sc = spark.sparkContext
+    caller_group = sc.getLocalProperty("spark.jobGroup.id")
+    sc.setJobGroup("index-build:ann_cstats", "drift baseline")
+    try:
+        row = _mean_cdist_row(
+            spark,
+            spark.table(assignments_table).select("label", "v"),
+            centroids_table,
+        )
+        p = posixpath.join(
+            table_location(spark, assignments_table), _CSTATS
+        )
+        fs_delete(spark, p)
+        fs_create_atomic(
+            spark,
+            p,
+            _json.dumps(
+                {
+                    # avg over an empty build is NULL -> record 0.0
+                    "base_mean_cdist": row.mean_cdist or 0.0,
+                    "n_rows": row.n_rows,
+                }
+            ).encode(),
+        )
+    finally:
+        sc.setJobGroup(caller_group, "serve")
+
+
+def ann_index_drift(
+    spark: SparkSession, *, assignments_table: str
+) -> dict:
+    """The centroid-drift metric for an IVF family (r12 verdict, Next
+    #6): ``ann_index_append`` assigns against the FROZEN build-time
+    centroids forever, ``refresh_centroids`` exists, and nothing
+    previously ever decided when to call it — the same frozen-reference
+    risk the PQ codebook gate closed in r12. The gate is the mean
+    centroid distance (1 - cosine to the assigned centroid) of the
+    CURRENT live assignments over the build/refresh-time baseline the
+    sidecar recorded. In-distribution appends hold the ratio near 1.0;
+    a distribution shift the centroids no longer represent drags the
+    new rows' distances (and so the mean) up. Raises when the family
+    has no baseline sidecar — an old-format index rebuilds (or
+    refreshes) once to gain one; guessing a baseline could mask real
+    drift (fail closed, the ``pq_index_drift`` contract)."""
+    import json as _json
+
+    from dbt_on_snowflake_spark.engine.fs import fs_exists, fs_read
+    from dbt_on_snowflake_spark.engine.index_maintenance import (
+        table_location,
+    )
+
+    p = posixpath.join(table_location(spark, assignments_table), _CSTATS)
+    if not fs_exists(spark, p):
+        raise ValueError(
+            f"{assignments_table} has no {_CSTATS} baseline; rebuild "
+            "via build_ann_index (or refresh_centroids) to record one"
+        )
+    base = _json.loads(fs_read(spark, p).decode())
+    row = _mean_cdist_row(
+        spark,
+        _live_assignments(spark, assignments_table).select("label", "v"),
+        _ann_centroids_for(assignments_table),
+    )
+    current = row.mean_cdist if row.mean_cdist is not None else 0.0
+    b = base["base_mean_cdist"] or 0.0
+    if b > 0:
+        ratio = current / b
+    else:
+        ratio = 1.0 if current == 0.0 else float("inf")
+    return {
+        "base_mean_cdist": b,
+        "current_mean_cdist": current,
+        "ratio": ratio,
+        "n_rows": row.n_rows,
+        "base_n_rows": base["n_rows"],
+    }
+
+
+def reindex_ann_when_drifted(
+    spark: SparkSession,
+    *,
+    assignments_table: str,
+    threshold: float = DRIFT_REBUILD_RATIO,
+) -> dict:
+    """The schedulable IVF retrain decision (``reindex --when-drifted``
+    sweeps these families alongside the PQ ones): when the drift ratio
+    crosses ``threshold``, run ``refresh_centroids`` — the family's
+    retrain, recomputing per-label means from the grown LIVE
+    assignments — and re-record the baseline so the gate re-arms. An
+    in-distribution append stream never triggers it; a shifted batch
+    does, once (``tests/test_drift_gate.py``)."""
+    drift = ann_index_drift(spark, assignments_table=assignments_table)
+    if drift["ratio"] > threshold:
+        centroids_table = _ann_centroids_for(assignments_table)
+        refresh_centroids(
+            spark,
+            centroids_table=centroids_table,
+            assignments_table=assignments_table,
+        )
+        return {**drift, "drifted": True, "rebuilt": True}
+    return {**drift, "drifted": False, "rebuilt": False}
 
 
 # ----------------------------------------- ANN/PQ index DELETE propagation

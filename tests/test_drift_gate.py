@@ -302,3 +302,117 @@ def test_appended_ensure_rebuilds_after_crash_before_append(spark):
     # the probe caught the missing marker and re-ran build+append
     assert spark.table(cd_t).filter(F.expr(HELD_PRED)).count() > 0
     assert spark.catalog.tableExists(grown_t)
+
+
+# ---------------------------------------------- IVF centroid drift gate
+
+
+def _fresh_ivf(spark, tag, pred=BASE_PRED):
+    from dbt_on_snowflake_spark.operators.similarity import build_ann_index
+
+    ct, at = f"ann_centroids_{tag}", f"ann_assignments_{tag}"
+    e = _vectors(spark, SF_SMOKE)
+    build_ann_index(
+        spark,
+        e.filter(F.expr(pred)),
+        centroids_table=ct,
+        assignments_table=at,
+    )
+    return e, ct, at
+
+
+def test_ivf_in_distribution_append_stays_within_gate(spark):
+    """r12 verdict Next #6: `refresh_centroids` existed but nothing
+    decided to call it — the IVF twin of the PQ codebook gate. An
+    in-distribution append must not trip it."""
+    from dbt_on_snowflake_spark.operators.similarity import (
+        ann_index_append,
+        reindex_ann_when_drifted,
+    )
+
+    e, ct, at = _fresh_ivf(spark, "ivfdrift_ok")
+    ann_index_append(
+        spark, e.filter(F.expr(HELD_PRED)),
+        centroids_table=ct, assignments_table=at,
+    )
+    d = reindex_ann_when_drifted(spark, assignments_table=at)
+    assert not d["drifted"] and not d["rebuilt"]
+    assert d["ratio"] < DRIFT_REBUILD_RATIO
+
+
+def test_ivf_shifted_batch_trips_gate_and_refresh_rearms(spark):
+    """A batch the frozen centroids cannot represent trips the gate
+    exactly once; the refresh (the IVF retrain: per-label means over
+    the grown LIVE assignments) re-records the baseline so the gate
+    re-arms at ratio 1.0."""
+    from dbt_on_snowflake_spark.operators.similarity import (
+        ann_index_append,
+        ann_index_drift,
+        reindex_ann_when_drifted,
+    )
+
+    e, ct, at = _fresh_ivf(spark, "ivfdrift_bad")
+    ann_index_append(
+        spark, _shifted(e), centroids_table=ct, assignments_table=at
+    )
+    before = ann_index_drift(spark, assignments_table=at)
+    assert before["ratio"] > DRIFT_REBUILD_RATIO, before["ratio"]
+    d = reindex_ann_when_drifted(spark, assignments_table=at)
+    assert d["drifted"] and d["rebuilt"]
+    after = ann_index_drift(spark, assignments_table=at)
+    assert after["ratio"] == pytest.approx(1.0)
+    assert after["n_rows"] == after["base_n_rows"]
+    d2 = reindex_ann_when_drifted(spark, assignments_table=at)
+    assert not d2["drifted"] and not d2["rebuilt"]
+
+
+def test_ivf_drift_fails_closed_without_baseline(spark):
+    """An assignments table with no _cstats sidecar (old-format build)
+    raises instead of guessing a baseline — the pq_index_drift
+    contract."""
+    import posixpath
+
+    from dbt_on_snowflake_spark.engine.fs import fs_delete
+    from dbt_on_snowflake_spark.engine.index_maintenance import (
+        table_location,
+    )
+    from dbt_on_snowflake_spark.operators.similarity import (
+        ann_index_drift,
+    )
+
+    _e, _ct, at = _fresh_ivf(spark, "ivfdrift_nobase")
+    fs_delete(
+        spark, posixpath.join(table_location(spark, at), "_cstats.json")
+    )
+    with pytest.raises(ValueError, match="no _cstats.json baseline"):
+        ann_index_drift(spark, assignments_table=at)
+
+
+def test_reindex_cli_gates_ivf_family(spark, tmp_path, capsys):
+    """The reindex CLI reaches IVF families by name and through the
+    sweep: gate mode refreshes a drifted family's centroids and
+    re-arms; the report sweep lists it."""
+    from dbt_on_snowflake_spark.__main__ import main
+    from dbt_on_snowflake_spark.operators.similarity import (
+        ann_index_append,
+        ann_index_drift,
+    )
+
+    e, ct, at = _fresh_ivf(spark, "ivfdrift_cli")
+    ann_index_append(
+        spark, _shifted(e), centroids_table=ct, assignments_table=at
+    )
+    root = _proj(tmp_path)
+    assert (
+        main([
+            "reindex", "--project", root, "--corpus", SF_SMOKE,
+            "--when-drifted", "1.5", "--codes-table", at,
+        ])
+        == 0
+    )
+    assert f"ivf index {at}" in capsys.readouterr().out
+    after = ann_index_drift(spark, assignments_table=at)
+    assert after["ratio"] == pytest.approx(1.0)
+    # the report sweep lists the family too
+    assert main(["reindex", "--project", root, "--corpus", SF_SMOKE]) == 0
+    assert f"ivf index {at}: drift ratio" in capsys.readouterr().out

@@ -3316,6 +3316,32 @@ def test_task_schedule_lifecycle(spark, tmp_path, capsys):
     assert rc == 0
 
 
+def test_task_args_expand_env_vars(tmp_path, capsys, monkeypatch):
+    """Task args expand env vars like sources.yml base_path does, so
+    the shipped examples/curation/tasks.yml can say
+    `--corpus $CURATION_DATA_DIR` (r12 verdict Next #4 wiring)."""
+    from dbt_on_snowflake_spark.__main__ import main
+
+    root = str(tmp_path / "envproj")
+    os.makedirs(f"{root}/models", exist_ok=True)
+    open(f"{root}/project.yml", "w").write("name: envproj\n")
+    open(f"{root}/sources.yml", "w").write("sources: []\n")
+    open(f"{root}/tasks.yml", "w").write(
+        "tasks:\n"
+        "  - name: listish\n"
+        "    schedule: \"USING CRON 0 1 * * * UTC\"\n"
+        "    args: \"ls --out $TASK_OUT\"\n"
+    )
+    dest = str(tmp_path / "expanded_listing.json")
+    monkeypatch.setenv("TASK_OUT", dest)
+    rc = main(["task", "run", "--project", root, "--name", "listish",
+               "--now", "2026-08-14T01:00:00"])
+    out = capsys.readouterr().out
+    # the expanded path reached the CLI (echoed in the task line)
+    assert rc == 0 and f"--out {dest}" in out
+    # force-run ignores the schedule (the --now minute is not 01:00)
+
+
 def test_build_snapshot_only_select_with_exclude(spark, tmp_path, capsys):
     """advice r8 (medium): a snapshot-only --select combined with a model
     --exclude (`build --select cust_snap --exclude loner`) must keep the

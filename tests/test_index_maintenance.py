@@ -785,3 +785,72 @@ def test_compact_skips_already_compact_despite_staging(spark):
     assert compact_index_table(spark, "cix_staged") is None
     assert os.path.exists(f"{loc}/_temporary/0/part-staged.parquet")
     _drop_managed_table(spark, "cix_staged")
+
+
+def test_shipped_maintenance_task_restores_pristine_serve_plan(
+    spark, tmp_path, capsys
+):
+    """The r12 watch item (verdict Next #4): a family's first delete
+    adds a broadcast anti-join gate to every serve until the tombstones
+    are folded, and the fold is only swept by `compact --indexes` — so
+    the curation example now SHIPS a tasks.yml default wiring that
+    sweep into the scheduler. This composes the lifecycle through the
+    shipped file verbatim: delete -> gated serve (LeftAnti in the plan)
+    -> one scheduled tick -> fold ran, tombstone table dropped, and the
+    serve plan RETURNS to the pristine no-gate shape with identical
+    rows."""
+    import shutil
+
+    from dbt_on_snowflake_spark.__main__ import main
+    from dbt_on_snowflake_spark.operators.textops import (
+        BM25_TOP_N,
+        _text_tombstones,
+        bm25_topn_indexed,
+        text_index_delete,
+    )
+    from dbt_on_snowflake_spark.plans import explain_str
+
+    names = ("tships_stats", "tships_post", "tships_dl")
+    d = table(spark, SF_SMOKE, "documents")
+    build_text_index(
+        spark, d,
+        stats_table=names[0], postings_table=names[1],
+        doclen_table=names[2],
+    )
+    pristine = bm25_topn_indexed(spark, SF_SMOKE, BM25_TOP_N, tables=names)
+    assert "LeftAnti" not in explain_str(pristine)
+
+    text_index_delete(
+        spark,
+        d.filter("doc_id % 20 = 3").select("doc_id"),
+        stats_table=names[0], postings_table=names[1],
+        doclen_table=names[2],
+    )
+    gated = bm25_topn_indexed(spark, SF_SMOKE, BM25_TOP_N, tables=names)
+    assert "LeftAnti" in explain_str(gated)  # paying the gate
+    served_gated = sorted(map(tuple, gated.collect()))
+    tomb = _text_tombstones(names[1])
+    assert spark.catalog.tableExists(tomb)
+
+    # the shipped default, verbatim
+    root = str(tmp_path / "shipproj")
+    os.makedirs(f"{root}/models", exist_ok=True)
+    open(f"{root}/project.yml", "w").write("name: shipproj\n")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    shutil.copy(
+        os.path.join(repo, "examples", "curation", "tasks.yml"),
+        os.path.join(root, "tasks.yml"),
+    )
+    rc = main(["task", "run-due", "--project", root,
+               "--now", "2026-08-15T02:30:10"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "nightly_index_maintenance" in out and "success" in out
+    assert f"folded tombstones {tomb}" in out
+
+    # pristine restored: tombstone table gone, no gate in the plan,
+    # rows unchanged (the fold is a physical no-op on the serve)
+    assert not spark.catalog.tableExists(tomb)
+    post = bm25_topn_indexed(spark, SF_SMOKE, BM25_TOP_N, tables=names)
+    assert "LeftAnti" not in explain_str(post)
+    assert sorted(map(tuple, post.collect())) == served_gated

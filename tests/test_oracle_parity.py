@@ -57,6 +57,7 @@ _BNLJ_OK = {
     "text_bm25_topk_updated",  # same 1-row stats x pruned-df sides
     "ann_pq_adc_deleted",  # gated-codes twin of ann_pq_adc_topk
     "ann_pq_adc_appended_served",  # steady-state twin, same 1-row sides
+    "multimodal_embed_topk_deleted",  # gated-codes twin of the mm indexed serve
 }
 
 
@@ -200,7 +201,9 @@ def test_r13_rotation_promises_kept():
     # r13-born queries register in the ledger for the r14 rotation
     from dbt_on_snowflake_spark.registry import all_queries
 
-    assert R14_ROTATE_IN <= set(all_queries()) | R14_ROTATE_IN
+    assert R14_ROTATE_IN <= set(all_queries()), sorted(
+        R14_ROTATE_IN - set(all_queries())
+    )
 
 
 def test_empty_input_parity_sweep(spark, tmp_path):
