@@ -1170,12 +1170,26 @@ def main(argv: list[str] | None = None) -> int:
             # never reached them (r12 advice #2; IVF added per r12
             # verdict Next #6)
             ensure_pq_index(spark, args.corpus)
-            families = sorted(
-                t.name
-                for t in spark.catalog.listTables()
-                if t.name.startswith(("pq_codes_", "ann_assignments_"))
-            )
+            # every database, not just the current one: qualified
+            # families (db.pq_codes_x) are first-class in the delete
+            # path, so the gate must reach them too (r13 review,
+            # finding 3). Names outside the current database are
+            # qualified so the drift helpers resolve them.
+            current = spark.catalog.currentDatabase()
+            families = []
+            for db in spark.catalog.listDatabases():
+                for t in spark.catalog.listTables(db.name):
+                    if not t.name.startswith(
+                        ("pq_codes_", "ann_assignments_")
+                    ):
+                        continue
+                    families.append(
+                        t.name if db.name == current
+                        else f"{db.name}.{t.name}"
+                    )
+            families = sorted(families)
         skipped = 0
+        from pyspark.errors import AnalysisException
         for fam in families:
             is_ivf = fam.rsplit(".", 1)[-1].startswith("ann_assignments_")
             kind = "ivf" if is_ivf else "pq"
@@ -1195,6 +1209,11 @@ def main(argv: list[str] | None = None) -> int:
                         )
                 except ValueError as exc:
                     print(f"{kind} index {fam}: no drift baseline ({exc})")
+                    continue
+                except AnalysisException as exc:
+                    # e.g. a crashed swap dropped the centroid sibling:
+                    # report, keep sweeping (r13 review, finding 5)
+                    print(f"{kind} index {fam}: unreadable ({exc})")
                     continue
                 print(
                     f"{kind} index {fam}: drift ratio {d['ratio']:.3f} "
@@ -1227,7 +1246,11 @@ def main(argv: list[str] | None = None) -> int:
                         ),
                         threshold=args.when_drifted,
                     )
-            except ValueError as exc:
+            except (ValueError, AnalysisException) as exc:
+                # AnalysisException: a missing centroid sibling (crashed
+                # compaction swap) or a typo'd --codes-table must take
+                # the loud SKIPPED path, not abort the sweep with the
+                # remaining families ungated (r13 review, finding 5)
                 skipped += 1
                 print(f"{kind} index {fam}: SKIPPED — {exc}", file=sys.stderr)
                 continue

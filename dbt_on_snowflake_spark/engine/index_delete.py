@@ -135,8 +135,16 @@ def reattach_tombstones(
       visibility, the lakehouse read contract). Unlike the delete
       path's triage this never deletes the empty leftover and never
       raises on staged-only: a reader must not destroy or block on
-      another session's in-flight write;
-    - foreign (non-warehouse) locations are never touched.
+      another session's in-flight write.
+
+    No ``_under_warehouse`` gate, deliberately (r13 review, finding
+    4): that guard protects DELETION from reaching dirs the engine
+    does not own, but this path only ever ATTACHES read-only — and a
+    family living in a custom-LOCATION database keeps its tombstones
+    at that database's managed location, where skipping the attach
+    would serve deleted rows silently. Attaching over an unexpected
+    same-named dir only over-gates (hides rows until investigated) —
+    the fail-closed direction for delete propagation.
 
     Returns True when the table is attached (pre-existing or now)."""
     if spark.catalog.tableExists(tombstones_table):
@@ -145,12 +153,9 @@ def reattach_tombstones(
         fs_exists,
         fs_list_files_split,
     )
-    from dbt_on_snowflake_spark.engine.index_maintenance import (
-        _under_warehouse,
-    )
 
     loc = _managed_location(spark, tombstones_table)
-    if not fs_exists(spark, loc) or not _under_warehouse(spark, loc):
+    if not fs_exists(spark, loc):
         return False
     committed, _staged = fs_list_files_split(spark, loc)
     if not committed:

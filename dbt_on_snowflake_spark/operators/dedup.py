@@ -917,14 +917,21 @@ def _drop_managed_table(spark: SparkSession, name: str) -> None:
     sessions but their parquet directories persist, and CREATE TABLE
     refuses a non-empty managed location). Deletion goes through the
     Hadoop FS API (engine/fs.py), so the same cleanup works when the
-    warehouse dir is an object store, not just local disk."""
-    import posixpath
-
+    warehouse dir is an object store, not just local disk. The stale
+    dir resolves through the table's (possibly implicit) DATABASE
+    location — a naive ``wh/<name>`` join on a qualified name targets
+    the wrong path (``wh/'db.t'`` instead of ``wh/db.db/t``), leaving
+    the prior generation's dir alive; for a tombstone table that dir
+    would then be RE-ATTACHED by the next attach/delete triage,
+    resurrecting pre-rebuild deletes onto a freshly rebuilt index
+    (r13 review, finding 2)."""
     from dbt_on_snowflake_spark.engine.fs import fs_delete
+    from dbt_on_snowflake_spark.engine.index_delete import (
+        _managed_location,
+    )
 
     spark.sql(f"DROP TABLE IF EXISTS {name}")
-    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    fs_delete(spark, posixpath.join(wh, name.lower()))
+    fs_delete(spark, _managed_location(spark, name))
 
 
 def build_minhash_index(

@@ -482,6 +482,7 @@ def build_ann_index(
     *,
     centroids_table: str,
     assignments_table: str,
+    record_baseline: bool = True,
 ) -> None:
     """Persist the IVF index: the tiny centroid table (label, v) and the
     corpus assignments (vec_id, label, v) PARTITIONED BY label, so a
@@ -513,12 +514,19 @@ def build_ann_index(
     # record the BUILD-TIME centroid-distance baseline next to the
     # assignments: the IVF drift gate (``ann_index_drift``) compares
     # every later state of the grown assignments against it, the
-    # ``_write_pq_qstats`` convention
-    _write_ann_cstats(
-        spark,
-        centroids_table=centroids_table,
-        assignments_table=assignments_table,
-    )
+    # ``_write_pq_qstats`` convention. Callers that rebuild a THROWAWAY
+    # family from scratch per call (the verification-surface queries)
+    # pass record_baseline=False: nothing ever appends to those
+    # families, the next call overwrites them, and the extra
+    # assignments-x-centroids aggregate would be pure headline-bench
+    # wall-clock (r13 review, finding 8). Persisted families (the
+    # ensure_ann_index build-once path) always record one.
+    if record_baseline:
+        _write_ann_cstats(
+            spark,
+            centroids_table=centroids_table,
+            assignments_table=assignments_table,
+        )
 
 
 def ensure_ann_index(
@@ -600,6 +608,7 @@ def ann_ivf_multiprobe_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         e,
         centroids_table=centroids_table,
         assignments_table=assignments_table,
+        record_baseline=False,  # throwaway per-call family
     )
     q = F.broadcast(e.filter(F.expr(_QUERY_PRED))).alias("q")
     cvec = spark.table(centroids_table)
@@ -857,6 +866,7 @@ def ann_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.expr(_CORPUS_PRED)),
         centroids_table=centroids_table,
         assignments_table=assignments_table,
+        record_baseline=False,  # throwaway per-call family
     )
     return ann_index_append(
         spark,
@@ -935,6 +945,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         e,
         centroids_table=centroids_table,
         assignments_table=assignments_table,
+        record_baseline=False,  # throwaway per-call family
     )
     return _semantic_prune(spark, centroids_table, assignments_table)
 
@@ -1181,6 +1192,7 @@ def dedup_semantic_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
         e,
         centroids_table=centroids_table,
         assignments_table=assignments_table,
+        record_baseline=False,  # throwaway per-call family
     )
     ann_index_delete(
         spark,
@@ -3933,9 +3945,18 @@ def _write_ann_cstats(
     caller_group = sc.getLocalProperty("spark.jobGroup.id")
     sc.setJobGroup("index-build:ann_cstats", "drift baseline")
     try:
+        # LIVE rows only: the drift check measures live rows and the
+        # refresh trains on live rows, so a baseline recorded over a
+        # tombstone-carrying family must use the same population or
+        # every post-refresh ratio starts off-calibrated (masking real
+        # drift, or retraining on every sweep — r13 review, finding 1).
+        # On a fresh build the slate is clean and this is the full
+        # table, gate-free.
         row = _mean_cdist_row(
             spark,
-            spark.table(assignments_table).select("label", "v"),
+            _live_assignments(spark, assignments_table).select(
+                "label", "v"
+            ),
             centroids_table,
         )
         p = posixpath.join(
@@ -3965,9 +3986,10 @@ def ann_index_drift(
     centroids forever, ``refresh_centroids`` exists, and nothing
     previously ever decided when to call it — the same frozen-reference
     risk the PQ codebook gate closed in r12. The gate is the mean
-    centroid distance (1 - cosine to the assigned centroid) of the
-    CURRENT live assignments over the build/refresh-time baseline the
-    sidecar recorded. In-distribution appends hold the ratio near 1.0;
+    SQUARED L2 DISPLACEMENT to the assigned centroid (the PQ gate's
+    own metric family — see ``_mean_cdist_row`` for why not cosine) of
+    the CURRENT live assignments over the build/refresh-time baseline
+    the sidecar recorded. In-distribution appends hold the ratio near 1.0;
     a distribution shift the centroids no longer represent drags the
     new rows' distances (and so the mean) up. Raises when the family
     has no baseline sidecar — an old-format index rebuilds (or
@@ -4207,7 +4229,10 @@ def ann_ivf_multiprobe_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _vectors(spark, sf_dir)
     # rebuilt from scratch each call (the build+delete verification
     # surface); the build itself resets the tombstone slate
-    build_ann_index(spark, e, centroids_table=cb, assignments_table=asg)
+    build_ann_index(
+        spark, e, centroids_table=cb, assignments_table=asg,
+        record_baseline=False,  # throwaway per-call family
+    )
     ann_index_delete(
         spark,
         e.filter(F.expr(_NEW_BATCH_PRED)).select("vec_id"),

@@ -416,3 +416,34 @@ def test_reindex_cli_gates_ivf_family(spark, tmp_path, capsys):
     # the report sweep lists the family too
     assert main(["reindex", "--project", root, "--corpus", SF_SMOKE]) == 0
     assert f"ivf index {at}: drift ratio" in capsys.readouterr().out
+
+
+def test_ivf_refresh_baseline_ignores_tombstoned_rows(spark):
+    """r13 review, finding 1: the baseline must be recorded over the
+    LIVE rows — the same population the drift check measures and the
+    refresh trains on. With tombstones present, a full-table baseline
+    would leave every post-refresh ratio off 1.0 (masking drift or
+    retraining on every sweep)."""
+    from dbt_on_snowflake_spark.operators.similarity import (
+        ann_index_append,
+        ann_index_delete,
+        ann_index_drift,
+        refresh_centroids,
+    )
+
+    e, ct, at = _fresh_ivf(spark, "ivfdrift_tomb")
+    ann_index_append(
+        spark, _shifted(e), centroids_table=ct, assignments_table=at
+    )
+    # tombstone the shifted rows WITHOUT folding: dead rows still sit
+    # in the table, far from any refreshed centroid
+    ann_index_delete(
+        spark,
+        _shifted(e).select("vec_id"),
+        assignments_table=at,
+    )
+    refresh_centroids(spark, centroids_table=ct, assignments_table=at)
+    after = ann_index_drift(spark, assignments_table=at)
+    assert after["ratio"] == pytest.approx(1.0)
+    # and base_n_rows counts live rows only
+    assert after["n_rows"] == after["base_n_rows"]

@@ -895,3 +895,109 @@ def test_attach_helpers_restore_delete_gate(spark, tmp_path):
     assert live == everyone - {3}
     for t in ("pq_tombstones_att", "pq_codebook_att", "pq_codes_att"):
         _drop_managed_table(spark, t)
+
+
+def test_qualified_family_rebuild_resets_tombstone_dir(spark):
+    """r13 review, finding 2: for a database-qualified family the
+    builder's slate reset must delete the tombstone DIR at the
+    database's location (wh/<db>.db/<table>), not wh/'db.table' — a
+    survivor would be re-attached by the next attach/delete triage and
+    resurrect pre-rebuild deletes onto the fresh index."""
+    import os
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS tombr")
+    try:
+        docs = spark.createDataFrame(
+            [
+                (1, " ".join(f"w{i}" for i in range(30))),
+                (2, " ".join(f"z{i}" for i in range(30))),
+            ],
+            "doc_id long, text string",
+        )
+        build_minhash_index(
+            spark, docs, index_table="tombr.mh_band_index_r"
+        )
+        minhash_index_delete(
+            spark,
+            spark.createDataFrame([(1,)], "doc_id long"),
+            index_table="tombr.mh_band_index_r",
+        )
+        tomb_loc = table_location(
+            spark, "tombr.mh_tombstones_r"
+        ).removeprefix("file:")
+        assert os.path.exists(tomb_loc)
+        # full rebuild: slate reset must remove table AND dir
+        build_minhash_index(
+            spark, docs, index_table="tombr.mh_band_index_r"
+        )
+        assert not spark.catalog.tableExists("tombr.mh_tombstones_r")
+        assert not os.path.exists(tomb_loc)
+        # doc 1 serves again (the rebuild read the corpus of record)
+        from dbt_on_snowflake_spark.operators.dedup import _live_index
+
+        live = {
+            r.doc_id
+            for r in _live_index(spark, "tombr.mh_band_index_r")
+            .select("doc_id")
+            .distinct()
+            .collect()
+        }
+        assert live == {1, 2}
+    finally:
+        spark.sql("DROP DATABASE tombr CASCADE")
+
+
+def test_reattach_tombstones_covers_custom_location_database(
+    spark, tmp_path
+):
+    """r13 review, finding 4: a family in a custom-LOCATION database
+    keeps its tombstones at that database's managed location; the
+    read-side re-attach must cover it (the _under_warehouse guard
+    protects deletion, not attachment) or fresh-session serves of that
+    family resurrect deleted docs silently."""
+    import os
+    import shutil
+
+    from dbt_on_snowflake_spark.engine.index_delete import (
+        reattach_tombstones,
+    )
+    from dbt_on_snowflake_spark.operators.dedup import _live_index
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    floc = os.path.join(wh, "tombcustomloc")
+    spark.sql(f"CREATE DATABASE tombc LOCATION '{floc}'")
+    try:
+        docs = spark.createDataFrame(
+            [
+                (1, " ".join(f"w{i}" for i in range(30))),
+                (2, " ".join(f"z{i}" for i in range(30))),
+            ],
+            "doc_id long, text string",
+        )
+        build_minhash_index(
+            spark, docs, index_table="tombc.mh_band_index_c"
+        )
+        minhash_index_delete(
+            spark,
+            spark.createDataFrame([(1,)], "doc_id long"),
+            index_table="tombc.mh_band_index_c",
+        )
+        loc = table_location(
+            spark, "tombc.mh_tombstones_c"
+        ).removeprefix("file:")
+        stash = str(tmp_path / "stash")
+        shutil.copytree(loc, stash)
+        spark.sql("DROP TABLE tombc.mh_tombstones_c")
+        shutil.copytree(stash, loc)
+        assert not spark.catalog.tableExists("tombc.mh_tombstones_c")
+        assert reattach_tombstones(spark, "tombc.mh_tombstones_c")
+        live = {
+            r.doc_id
+            for r in _live_index(spark, "tombc.mh_band_index_c")
+            .select("doc_id")
+            .distinct()
+            .collect()
+        }
+        assert live == {2}
+    finally:
+        spark.sql("DROP DATABASE tombc CASCADE")
