@@ -1179,6 +1179,13 @@ def main(argv: list[str] | None = None) -> int:
             families = []
             for db in spark.catalog.listDatabases():
                 for t in spark.catalog.listTables(db.name):
+                    # listTables returns session TEMP VIEWS for every
+                    # database (database=None, once per db) — a
+                    # same-prefixed view would enter the sweep as an
+                    # unresolvable 'db.view' entry (r13 review pass 2,
+                    # finding 3)
+                    if t.isTemporary or t.database != db.name:
+                        continue
                     if not t.name.startswith(
                         ("pq_codes_", "ann_assignments_")
                     ):

@@ -139,12 +139,15 @@ def reattach_tombstones(
 
     No ``_under_warehouse`` gate, deliberately (r13 review, finding
     4): that guard protects DELETION from reaching dirs the engine
-    does not own, but this path only ever ATTACHES read-only — and a
-    family living in a custom-LOCATION database keeps its tombstones
-    at that database's managed location, where skipping the attach
-    would serve deleted rows silently. Attaching over an unexpected
-    same-named dir only over-gates (hides rows until investigated) —
-    the fail-closed direction for delete propagation.
+    does not own, but a family living in a custom-LOCATION database
+    keeps its tombstones at that database's managed location, where
+    skipping the attach would serve deleted rows silently. What DOES
+    gate adoption is the ``_tombstones.json`` sidecar (r13 review
+    pass 2, finding 5): ``index_delete`` writes it before any id row
+    lands, so genuine committed tombstones ALWAYS carry one, while a
+    foreign same-named parquet dir essentially never does — without
+    this check an attach would let later delete/fold calls write into
+    and truncate a directory the engine does not own.
 
     Returns True when the table is attached (pre-existing or now)."""
     if spark.catalog.tableExists(tombstones_table):
@@ -159,6 +162,10 @@ def reattach_tombstones(
         return False
     committed, _staged = fs_list_files_split(spark, loc)
     if not committed:
+        return False
+    if not fs_exists(spark, posixpath.join(loc, SIDECAR)):
+        # committed parquet but no self-describing sidecar: not
+        # tombstone state this engine wrote — refuse to adopt
         return False
     spark.catalog.createTable(
         tombstones_table, path=loc, source="parquet"

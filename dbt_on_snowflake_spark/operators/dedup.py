@@ -929,9 +929,22 @@ def _drop_managed_table(spark: SparkSession, name: str) -> None:
     from dbt_on_snowflake_spark.engine.index_delete import (
         _managed_location,
     )
+    from dbt_on_snowflake_spark.engine.index_maintenance import (
+        _under_warehouse,
+    )
 
     spark.sql(f"DROP TABLE IF EXISTS {name}")
-    fs_delete(spark, _managed_location(spark, name))
+    # the catalog-less-leftover sweep respects the shared deletion
+    # guard: a FOREIGN location (a database created with an outside
+    # LOCATION) may hold someone else's data under this name — leave
+    # it; the next CREATE then fails loudly on a non-empty managed
+    # location instead of us silently destroying the dir (the
+    # index_delete triage convention; r13 review pass 2, finding 1).
+    # DROP TABLE above already removed the dir for any table the
+    # catalog actually knew, wherever it lived.
+    loc = _managed_location(spark, name)
+    if _under_warehouse(spark, loc):
+        fs_delete(spark, loc)
 
 
 def build_minhash_index(
@@ -1086,17 +1099,18 @@ def attach_minhash_index(
     family's persisted tombstone table (if a prior session deleted from
     this index) re-attaches alongside, or probes in the fresh session
     would serve tombstoned docs ungated (r12 advice #1)."""
-    import posixpath
-
     from dbt_on_snowflake_spark.engine.index_delete import (
+        _managed_location,
         reattach_tombstones,
     )
 
     reattach_tombstones(spark, _mh_tombstones(index_table))
     if spark.catalog.tableExists(index_table):
         return
-    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    loc = posixpath.join(wh, index_table.lower())
+    # resolve through the table's database, not a naive wh/<name> join
+    # (mis-targets qualified/custom-LOCATION families — r13 review
+    # pass 2, finding 4)
+    loc = _managed_location(spark, index_table)
     spark.sql(
         f"CREATE TABLE {index_table} (doc_id BIGINT, band_key STRING) "
         f"USING parquet CLUSTERED BY (band_key) SORTED BY (band_key) "
@@ -1351,17 +1365,15 @@ def attach_minhash_index_pruned(
     persistent metastore this is a no-op. The family's persisted
     tombstone table re-attaches alongside (r12 advice #1, same as
     ``attach_minhash_index``)."""
-    import posixpath
-
     from dbt_on_snowflake_spark.engine.index_delete import (
+        _managed_location,
         reattach_tombstones,
     )
 
     reattach_tombstones(spark, _mh_tombstones(index_table))
     if spark.catalog.tableExists(index_table):
         return
-    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    loc = posixpath.join(wh, index_table.lower())
+    loc = _managed_location(spark, index_table)  # db-aware (finding 4)
     spark.sql(
         f"CREATE TABLE {index_table} "
         f"(doc_id BIGINT, band_key STRING, band_part BIGINT) "

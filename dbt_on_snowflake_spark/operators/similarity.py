@@ -482,7 +482,6 @@ def build_ann_index(
     *,
     centroids_table: str,
     assignments_table: str,
-    record_baseline: bool = True,
 ) -> None:
     """Persist the IVF index: the tiny centroid table (label, v) and the
     corpus assignments (vec_id, label, v) PARTITIONED BY label, so a
@@ -512,21 +511,22 @@ def build_ann_index(
         .saveAsTable(assignments_table)
     )
     # record the BUILD-TIME centroid-distance baseline next to the
-    # assignments: the IVF drift gate (``ann_index_drift``) compares
-    # every later state of the grown assignments against it, the
-    # ``_write_pq_qstats`` convention. Callers that rebuild a THROWAWAY
-    # family from scratch per call (the verification-surface queries)
-    # pass record_baseline=False: nothing ever appends to those
-    # families, the next call overwrites them, and the extra
-    # assignments-x-centroids aggregate would be pure headline-bench
-    # wall-clock (r13 review, finding 8). Persisted families (the
-    # ensure_ann_index build-once path) always record one.
-    if record_baseline:
-        _write_ann_cstats(
-            spark,
-            centroids_table=centroids_table,
-            assignments_table=assignments_table,
-        )
+    # assignments, UNCONDITIONALLY: the IVF drift gate
+    # (``ann_index_drift``) compares every later state of the grown
+    # assignments against it (the ``_write_pq_qstats`` convention), and
+    # every build leaves a catalog-visible ann_assignments_* table the
+    # scheduled ``reindex --when-drifted`` sweep will find — a
+    # baseline-less family would make every sweep exit nonzero with no
+    # operator remedy (r13 review pass 2, finding 2; pass 1's
+    # skip-for-throwaway-builds optimization created exactly that).
+    # The agg runs under its own job group, so inline-build bench
+    # stage fingerprints are unaffected; the wall-clock cost is one
+    # narrow assignments x broadcast-centroids aggregate.
+    _write_ann_cstats(
+        spark,
+        centroids_table=centroids_table,
+        assignments_table=assignments_table,
+    )
 
 
 def ensure_ann_index(
@@ -608,7 +608,6 @@ def ann_ivf_multiprobe_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         e,
         centroids_table=centroids_table,
         assignments_table=assignments_table,
-        record_baseline=False,  # throwaway per-call family
     )
     q = F.broadcast(e.filter(F.expr(_QUERY_PRED))).alias("q")
     cvec = spark.table(centroids_table)
@@ -866,7 +865,6 @@ def ann_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.expr(_CORPUS_PRED)),
         centroids_table=centroids_table,
         assignments_table=assignments_table,
-        record_baseline=False,  # throwaway per-call family
     )
     return ann_index_append(
         spark,
@@ -945,7 +943,6 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         e,
         centroids_table=centroids_table,
         assignments_table=assignments_table,
-        record_baseline=False,  # throwaway per-call family
     )
     return _semantic_prune(spark, centroids_table, assignments_table)
 
@@ -1192,7 +1189,6 @@ def dedup_semantic_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
         e,
         centroids_table=centroids_table,
         assignments_table=assignments_table,
-        record_baseline=False,  # throwaway per-call family
     )
     ann_index_delete(
         spark,
@@ -4229,10 +4225,7 @@ def ann_ivf_multiprobe_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _vectors(spark, sf_dir)
     # rebuilt from scratch each call (the build+delete verification
     # surface); the build itself resets the tombstone slate
-    build_ann_index(
-        spark, e, centroids_table=cb, assignments_table=asg,
-        record_baseline=False,  # throwaway per-call family
-    )
+    build_ann_index(spark, e, centroids_table=cb, assignments_table=asg)
     ann_index_delete(
         spark,
         e.filter(F.expr(_NEW_BATCH_PRED)).select("vec_id"),
@@ -4543,24 +4536,25 @@ def attach_pq_index(
     index) re-attaches alongside — without it the fresh session's ADC
     serves would bypass the ``live_rows`` gate and resurrect deleted
     vectors (r12 advice #1)."""
-    import posixpath
-
     from dbt_on_snowflake_spark.engine.index_delete import (
+        _managed_location,
         reattach_tombstones,
     )
 
     reattach_tombstones(spark, _pq_tombstones(codes_table))
-    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    # locations resolve through the table's (possibly implicit)
+    # database — the naive wh/<name> join mis-targets qualified or
+    # custom-LOCATION families (r13 review pass 2, finding 4)
     if not spark.catalog.tableExists(codebook_table):
         spark.catalog.createTable(
             codebook_table,
-            path=posixpath.join(wh, codebook_table.lower()),
+            path=_managed_location(spark, codebook_table),
             source="parquet",
         )
     if not spark.catalog.tableExists(codes_table):
         spark.catalog.createTable(
             codes_table,
-            path=posixpath.join(wh, codes_table.lower()),
+            path=_managed_location(spark, codes_table),
             source="parquet",
         )
         spark.catalog.recoverPartitions(codes_table)

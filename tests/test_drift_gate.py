@@ -418,6 +418,25 @@ def test_reindex_cli_gates_ivf_family(spark, tmp_path, capsys):
     assert f"ivf index {at}: drift ratio" in capsys.readouterr().out
 
 
+def test_reindex_sweep_ignores_temp_views(spark, tmp_path, capsys):
+    """r13 review pass 2, finding 3: listTables returns session temp
+    views for every database; a same-prefixed view must not enter the
+    sweep as an unresolvable db-qualified entry."""
+    from dbt_on_snowflake_spark.__main__ import main
+
+    spark.range(1).createOrReplaceTempView("pq_codes_tempview")
+    try:
+        root = _proj(tmp_path)
+        assert (
+            main(["reindex", "--project", root, "--corpus", SF_SMOKE])
+            == 0
+        )
+        out = capsys.readouterr().out
+        assert "pq_codes_tempview" not in out
+    finally:
+        spark.catalog.dropTempView("pq_codes_tempview")
+
+
 def test_ivf_refresh_baseline_ignores_tombstoned_rows(spark):
     """r13 review, finding 1: the baseline must be recorded over the
     LIVE rows — the same population the drift check measures and the

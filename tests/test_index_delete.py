@@ -1001,3 +1001,100 @@ def test_reattach_tombstones_covers_custom_location_database(
         assert live == {2}
     finally:
         spark.sql("DROP DATABASE tombc CASCADE")
+
+
+def test_drop_managed_table_leaves_foreign_location_dirs(spark, tmp_path):
+    """r13 review pass 2, finding 1: the slate reset's catalog-less
+    leftover sweep must respect the shared deletion guard — a database
+    created with an outside LOCATION may hold someone else's data
+    under the derived name; leave it (the next CREATE fails loudly on
+    the non-empty location instead)."""
+    import os
+
+    floc = str(tmp_path / "foreign_loc")
+    os.makedirs(floc)
+    spark.sql(f"CREATE DATABASE tombf LOCATION '{floc}'")
+    try:
+        alien = os.path.join(floc, "mh_tombstones_f")
+        os.makedirs(alien)
+        open(os.path.join(alien, "somebody-elses.parquet"), "w").write("x")
+        _drop_managed_table(spark, "tombf.mh_tombstones_f")
+        assert os.path.exists(
+            os.path.join(alien, "somebody-elses.parquet")
+        )
+    finally:
+        spark.sql("DROP DATABASE tombf CASCADE")
+        import shutil
+
+        shutil.rmtree(floc, ignore_errors=True)
+
+
+def test_reattach_refuses_sidecarless_foreign_dir(spark, tmp_path):
+    """r13 review pass 2, finding 5: committed parquet at the derived
+    tombstone location WITHOUT the _tombstones.json sidecar is not
+    state this engine wrote (index_delete writes the sidecar before
+    any id row lands) — adopting it would let later delete/fold calls
+    write into and truncate a foreign directory."""
+    import os
+
+    from dbt_on_snowflake_spark.engine.index_delete import (
+        reattach_tombstones,
+    )
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    alien = os.path.join(wh, "x_tombstones_alien")
+    spark.createDataFrame(
+        [(1,)], "doc_id long"
+    ).write.mode("overwrite").parquet(alien)
+    spark.sql("DROP TABLE IF EXISTS x_tombstones_alien")
+    try:
+        assert (
+            reattach_tombstones(spark, "x_tombstones_alien") is False
+        )
+        assert not spark.catalog.tableExists("x_tombstones_alien")
+    finally:
+        import shutil
+
+        shutil.rmtree(alien, ignore_errors=True)
+
+
+def test_attach_resolves_qualified_index_locations(spark, tmp_path):
+    """r13 review pass 2, finding 4: attach_minhash_index on a
+    database-qualified family must re-attach over the REAL dir
+    (wh/<db>.db/<table>), not the naive wh/'db.table' join — the
+    latter silently serves an empty index."""
+    import shutil
+
+    from dbt_on_snowflake_spark.operators.dedup import (
+        attach_minhash_index,
+    )
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS tombq2")
+    try:
+        docs = spark.createDataFrame(
+            [
+                (1, " ".join(f"w{i}" for i in range(30))),
+                (2, " ".join(f"z{i}" for i in range(30))),
+            ],
+            "doc_id long, text string",
+        )
+        build_minhash_index(
+            spark, docs, index_table="tombq2.mh_band_index_q2"
+        )
+        loc = table_location(
+            spark, "tombq2.mh_band_index_q2"
+        ).removeprefix("file:")
+        stash = str(tmp_path / "stash_q2")
+        shutil.copytree(loc, stash)
+        spark.sql("DROP TABLE tombq2.mh_band_index_q2")
+        shutil.copytree(stash, loc)
+        attach_minhash_index(spark, "tombq2.mh_band_index_q2")
+        n = (
+            spark.table("tombq2.mh_band_index_q2")
+            .select("doc_id")
+            .distinct()
+            .count()
+        )
+        assert n == 2  # not an empty table over a nonexistent dir
+    finally:
+        spark.sql("DROP DATABASE tombq2 CASCADE")
