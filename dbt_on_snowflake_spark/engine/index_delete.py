@@ -112,7 +112,7 @@ def _managed_location(spark: SparkSession, table: str) -> str:
 
 
 def reattach_tombstones(
-    spark: SparkSession, tombstones_table: str
+    spark: SparkSession, tombstones_table: str, id_col: str | None = None
 ) -> bool:
     """Re-attach a PRIOR session's persisted tombstone table, if any.
 
@@ -141,13 +141,25 @@ def reattach_tombstones(
     4): that guard protects DELETION from reaching dirs the engine
     does not own, but a family living in a custom-LOCATION database
     keeps its tombstones at that database's managed location, where
-    skipping the attach would serve deleted rows silently. What DOES
-    gate adoption is the ``_tombstones.json`` sidecar (r13 review
-    pass 2, finding 5): ``index_delete`` writes it before any id row
-    lands, so genuine committed tombstones ALWAYS carry one, while a
-    foreign same-named parquet dir essentially never does — without
-    this check an attach would let later delete/fold calls write into
-    and truncate a directory the engine does not own.
+    skipping the attach would serve deleted rows silently. What gates
+    adoption instead (r13 review pass 2 finding 5 x pass 3 finding 1):
+
+    - the ``_tombstones.json`` sidecar, the engine's ownership proof
+      (``index_delete`` writes it before any id row lands); else
+    - the committed parquet's schema being EXACTLY the family's one
+      ``id_col`` column — the shape only tombstone state has. This
+      fallback exists because ``_write_sidecar`` is delete-then-create
+      (a rewrite that crashes in the window leaves committed ids with
+      NO sidecar), and refusing those would resurrect the prior
+      session's deletes — breaking the module's 'crash at ANY point
+      leaves every serve exact' contract. Adoption only ever
+      over-gates (fail-closed for delete propagation), and the next
+      ``index_delete`` heals the sidecar, as documented there.
+
+    A dir matching neither is refused: attaching a foreign same-named
+    dir would let later delete/fold calls write into and truncate a
+    directory the engine does not own. Callers that cannot name the
+    family's id column omit ``id_col`` and get sidecar-only adoption.
 
     Returns True when the table is attached (pre-existing or now)."""
     if spark.catalog.tableExists(tombstones_table):
@@ -164,9 +176,10 @@ def reattach_tombstones(
     if not committed:
         return False
     if not fs_exists(spark, posixpath.join(loc, SIDECAR)):
-        # committed parquet but no self-describing sidecar: not
-        # tombstone state this engine wrote — refuse to adopt
-        return False
+        if id_col is None:
+            return False
+        if spark.read.parquet(*committed).columns != [id_col]:
+            return False
     spark.catalog.createTable(
         tombstones_table, path=loc, source="parquet"
     )

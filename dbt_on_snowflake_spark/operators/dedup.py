@@ -931,17 +931,28 @@ def _drop_managed_table(spark: SparkSession, name: str) -> None:
     )
     from dbt_on_snowflake_spark.engine.index_maintenance import (
         _under_warehouse,
+        table_location,
     )
 
-    spark.sql(f"DROP TABLE IF EXISTS {name}")
-    # the catalog-less-leftover sweep respects the shared deletion
-    # guard: a FOREIGN location (a database created with an outside
-    # LOCATION) may hold someone else's data under this name — leave
-    # it; the next CREATE then fails loudly on a non-empty managed
-    # location instead of us silently destroying the dir (the
-    # index_delete triage convention; r13 review pass 2, finding 1).
-    # DROP TABLE above already removed the dir for any table the
-    # catalog actually knew, wherever it lived.
+    if spark.catalog.tableExists(name):
+        # a table the catalog KNOWS is the engine's to reset, wherever
+        # it lives: the attach paths re-register persisted families as
+        # EXTERNAL tables (createTable(path=...) / CREATE ... LOCATION),
+        # whose dirs a plain DROP leaves behind — without this, a
+        # rebuild of an attached custom-LOCATION family wedges forever
+        # on 'managed location already exists' (r13 review pass 3,
+        # finding 2). Resolve the REAL location before dropping.
+        loc = table_location(spark, name)
+        spark.sql(f"DROP TABLE {name}")
+        fs_delete(spark, loc)
+        return
+    # catalog-LESS leftover (a prior session's files): the sweep
+    # respects the shared deletion guard — a FOREIGN location (a
+    # database created with an outside LOCATION) may hold someone
+    # else's data under this name; leave it, and the next CREATE fails
+    # loudly on the non-empty location instead of us silently
+    # destroying the dir (the index_delete triage convention; r13
+    # review pass 2, finding 1).
     loc = _managed_location(spark, name)
     if _under_warehouse(spark, loc):
         fs_delete(spark, loc)
@@ -1104,7 +1115,7 @@ def attach_minhash_index(
         reattach_tombstones,
     )
 
-    reattach_tombstones(spark, _mh_tombstones(index_table))
+    reattach_tombstones(spark, _mh_tombstones(index_table), id_col="doc_id")
     if spark.catalog.tableExists(index_table):
         return
     # resolve through the table's database, not a naive wh/<name> join
@@ -1370,7 +1381,7 @@ def attach_minhash_index_pruned(
         reattach_tombstones,
     )
 
-    reattach_tombstones(spark, _mh_tombstones(index_table))
+    reattach_tombstones(spark, _mh_tombstones(index_table), id_col="doc_id")
     if spark.catalog.tableExists(index_table):
         return
     loc = _managed_location(spark, index_table)  # db-aware (finding 4)

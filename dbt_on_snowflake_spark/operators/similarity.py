@@ -4541,7 +4541,7 @@ def attach_pq_index(
         reattach_tombstones,
     )
 
-    reattach_tombstones(spark, _pq_tombstones(codes_table))
+    reattach_tombstones(spark, _pq_tombstones(codes_table), id_col="vec_id")
     # locations resolve through the table's (possibly implicit)
     # database — the naive wh/<name> join mis-targets qualified or
     # custom-LOCATION families (r13 review pass 2, finding 4)

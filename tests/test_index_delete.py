@@ -1098,3 +1098,122 @@ def test_attach_resolves_qualified_index_locations(spark, tmp_path):
         assert n == 2  # not an empty table over a nonexistent dir
     finally:
         spark.sql("DROP DATABASE tombq2 CASCADE")
+
+
+def test_reattach_adopts_sidecarless_ids_by_schema(spark, tmp_path):
+    """r13 review pass 3, finding 1: _write_sidecar is delete-then-
+    create, so a rewrite crash leaves committed tombstone ids with NO
+    sidecar. The attach path must still adopt them (schema fallback:
+    exactly the family's id column) or a fresh session serves ungated
+    and resurrects the deletes; the next delete call heals the
+    sidecar, per index_delete's documented retry contract."""
+    import os
+    import shutil
+
+    from dbt_on_snowflake_spark.engine.index_delete import (
+        tombstone_spec,
+    )
+    from dbt_on_snowflake_spark.operators.dedup import (
+        _live_index,
+        attach_minhash_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(30))),
+            (2, " ".join(f"z{i}" for i in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    build_minhash_index(spark, docs, index_table="mh_band_index_scw")
+    minhash_index_delete(
+        spark,
+        spark.createDataFrame([(1,)], "doc_id long"),
+        index_table="mh_band_index_scw",
+    )
+    tomb = "mh_tombstones_scw"
+    tomb_loc = table_location(spark, tomb).removeprefix("file:")
+    # the crash window: committed ids, sidecar gone mid-rewrite
+    os.remove(os.path.join(tomb_loc, "_tombstones.json"))
+    # session boundary
+    for t in ("mh_band_index_scw", tomb):
+        loc = table_location(spark, t).removeprefix("file:")
+        stash = str(tmp_path / t)
+        shutil.copytree(loc, stash)
+        spark.sql(f"DROP TABLE {t}")
+        shutil.copytree(stash, loc)
+    attach_minhash_index(spark, "mh_band_index_scw")
+    assert spark.catalog.tableExists(tomb)  # adopted via schema
+    live = {
+        r.doc_id
+        for r in _live_index(spark, "mh_band_index_scw")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert live == {2}  # the gate held across the crash window
+    # the next delete heals the sidecar
+    minhash_index_delete(
+        spark,
+        spark.createDataFrame([(2,)], "doc_id long"),
+        index_table="mh_band_index_scw",
+    )
+    assert tombstone_spec(spark, tomb) is not None
+    _drop_managed_table(spark, tomb)
+    _drop_managed_table(spark, "mh_band_index_scw")
+
+
+def test_rebuild_after_attach_in_custom_location_database(spark, tmp_path):
+    """r13 review pass 3, finding 2: the attach paths re-register
+    persisted families as EXTERNAL tables, whose dirs a plain DROP
+    leaves behind — a rebuild of an attached custom-LOCATION family
+    must still reset the slate (resolve the real location before
+    dropping) instead of wedging on 'location already exists'."""
+    import os
+    import shutil
+
+    from dbt_on_snowflake_spark.operators.dedup import (
+        _live_index,
+        attach_minhash_index,
+    )
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    floc = os.path.join(wh, "tombrebuildloc")
+    spark.sql(f"CREATE DATABASE tombrb LOCATION '{floc}'")
+    try:
+        docs = spark.createDataFrame(
+            [
+                (1, " ".join(f"w{i}" for i in range(30))),
+                (2, " ".join(f"z{i}" for i in range(30))),
+            ],
+            "doc_id long, text string",
+        )
+        name = "tombrb.mh_band_index_rb"
+        build_minhash_index(spark, docs, index_table=name)
+        minhash_index_delete(
+            spark,
+            spark.createDataFrame([(1,)], "doc_id long"),
+            index_table=name,
+        )
+        # session boundary, then re-attach (EXTERNAL tables now)
+        for t in (name, "tombrb.mh_tombstones_rb"):
+            loc = table_location(spark, t).removeprefix("file:")
+            stash = str(tmp_path / t.replace(".", "_"))
+            shutil.copytree(loc, stash)
+            spark.sql(f"DROP TABLE {t}")
+            shutil.copytree(stash, loc)
+        attach_minhash_index(spark, name)
+        assert spark.catalog.tableExists("tombrb.mh_tombstones_rb")
+        # the rebuild must succeed AND reset the tombstone slate
+        build_minhash_index(spark, docs, index_table=name)
+        assert not spark.catalog.tableExists("tombrb.mh_tombstones_rb")
+        live = {
+            r.doc_id
+            for r in _live_index(spark, name)
+            .select("doc_id")
+            .distinct()
+            .collect()
+        }
+        assert live == {1, 2}  # rebuilt from the corpus of record
+    finally:
+        spark.sql("DROP DATABASE tombrb CASCADE")
