@@ -111,6 +111,28 @@ def _managed_location(spark: SparkSession, table: str) -> str:
     )
 
 
+def engine_owned_dir(spark: SparkSession, loc: str) -> bool:
+    """Whether ``loc`` carries PROOF the engine wrote it: inside the
+    warehouse namespace, or holding one of the engine's self-describing
+    index sidecars (the tombstone spec, the PQ ``_qstats.json`` drift
+    baseline, the IVF ``_cstats.json`` baseline). THE gate for any
+    cleanup that recursively deletes a directory at a location the
+    operator supplied (custom-LOCATION databases can share dirs with
+    other tooling; a name collision must never be destroyable — r13
+    review pass 4, finding 1)."""
+    from dbt_on_snowflake_spark.engine.fs import fs_exists
+    from dbt_on_snowflake_spark.engine.index_maintenance import (
+        _under_warehouse,
+    )
+
+    if _under_warehouse(spark, loc):
+        return True
+    return any(
+        fs_exists(spark, posixpath.join(loc, s))
+        for s in (SIDECAR, "_qstats.json", "_cstats.json")
+    )
+
+
 def reattach_tombstones(
     spark: SparkSession, tombstones_table: str, id_col: str | None = None
 ) -> bool:
@@ -176,9 +198,30 @@ def reattach_tombstones(
     if not committed:
         return False
     if not fs_exists(spark, posixpath.join(loc, SIDECAR)):
-        if id_col is None:
+        from dbt_on_snowflake_spark.engine.index_maintenance import (
+            _under_warehouse,
+        )
+
+        if id_col is None or not _under_warehouse(spark, loc):
+            # no sidecar at a FOREIGN location: the crash-window heal
+            # is not the only explanation there (an outside-LOCATION
+            # database may share its dir with other tooling, where a
+            # one-column id export is a plausible name collision), so
+            # the weaker schema proof is accepted only inside the
+            # warehouse namespace the engine owns (r13 review pass 4,
+            # finding 2). Residual: an outside-warehouse family whose
+            # sidecar rewrite crashed serves ungated until the next
+            # index_delete heals it — documented trade against
+            # adopting foreign data.
             return False
-        if spark.read.parquet(*committed).columns != [id_col]:
+        try:
+            cols = spark.read.parquet(*committed).columns
+        except Exception:
+            # an unreadable committed *.parquet is 'matches neither':
+            # refuse to adopt, never crash the attach (r13 review
+            # pass 4, finding 4)
+            return False
+        if cols != [id_col]:
             return False
     spark.catalog.createTable(
         tombstones_table, path=loc, source="parquet"

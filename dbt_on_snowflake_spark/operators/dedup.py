@@ -934,25 +934,40 @@ def _drop_managed_table(spark: SparkSession, name: str) -> None:
         table_location,
     )
 
+    from dbt_on_snowflake_spark.engine.index_delete import (
+        engine_owned_dir,
+    )
+
+    loc = None
     if spark.catalog.tableExists(name):
-        # a table the catalog KNOWS is the engine's to reset, wherever
-        # it lives: the attach paths re-register persisted families as
-        # EXTERNAL tables (createTable(path=...) / CREATE ... LOCATION),
-        # whose dirs a plain DROP leaves behind — without this, a
-        # rebuild of an attached custom-LOCATION family wedges forever
-        # on 'managed location already exists' (r13 review pass 3,
-        # finding 2). Resolve the REAL location before dropping.
-        loc = table_location(spark, name)
-        spark.sql(f"DROP TABLE {name}")
-        fs_delete(spark, loc)
+        # resolve the REAL location before dropping: the attach paths
+        # re-register persisted families as EXTERNAL tables
+        # (createTable(path=...) / CREATE ... LOCATION), whose dirs a
+        # plain DROP leaves behind, wedging rebuilds of attached
+        # families on 'location already exists' (r13 review pass 3,
+        # finding 2). A temp view shadowing the name has no location —
+        # fall through to the old managed-location sweep (r13 review
+        # pass 4, finding 5).
+        try:
+            loc = table_location(spark, name)
+        except ValueError:
+            loc = None
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    if loc is not None:
+        # delete only dirs the engine can PROVE it owns — inside the
+        # warehouse, or carrying an engine sidecar. A cataloged
+        # EXTERNAL table can sit over a foreign dir that merely
+        # collides on name inside a shared custom-LOCATION database;
+        # destroying it is worse than the rebuild failing loudly on
+        # the non-empty location (r13 review pass 4, finding 1 — the
+        # remedy for that loud failure is deleting the dir by hand or
+        # keeping engine families under warehouse-managed databases).
+        if engine_owned_dir(spark, loc):
+            fs_delete(spark, loc)
         return
-    # catalog-LESS leftover (a prior session's files): the sweep
-    # respects the shared deletion guard — a FOREIGN location (a
-    # database created with an outside LOCATION) may hold someone
-    # else's data under this name; leave it, and the next CREATE fails
-    # loudly on the non-empty location instead of us silently
-    # destroying the dir (the index_delete triage convention; r13
-    # review pass 2, finding 1).
+    # catalog-LESS leftover (a prior session's files): same guard, via
+    # the conventional location (the index_delete triage convention;
+    # r13 review pass 2, finding 1)
     loc = _managed_location(spark, name)
     if _under_warehouse(spark, loc):
         fs_delete(spark, loc)

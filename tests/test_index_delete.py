@@ -1217,3 +1217,131 @@ def test_rebuild_after_attach_in_custom_location_database(spark, tmp_path):
         assert live == {1, 2}  # rebuilt from the corpus of record
     finally:
         spark.sql("DROP DATABASE tombrb CASCADE")
+
+
+def test_drop_owned_external_dirs_only(spark, tmp_path):
+    """r13 review pass 4, finding 1: a cataloged EXTERNAL table over a
+    FOREIGN dir (outside the warehouse, no engine sidecar) must not be
+    recursively deleted by the slate reset — only dirs the engine can
+    prove it owns are. The engine-owned case (a sidecar-carrying
+    tombstone dir outside the warehouse) IS reset."""
+    import os
+
+    from dbt_on_snowflake_spark.operators.dedup import (
+        attach_minhash_index,
+    )
+
+    floc = str(tmp_path / "shared_loc")
+    os.makedirs(floc)
+    spark.sql(f"CREATE DATABASE tombext LOCATION '{floc}'")
+    try:
+        # foreign dir that merely collides on the derived name
+        alien = os.path.join(floc, "mh_band_index_e")
+        os.makedirs(alien)
+        open(os.path.join(alien, "not-ours.txt"), "w").write("x")
+        spark.sql(
+            "CREATE TABLE tombext.mh_band_index_e (doc_id BIGINT, "
+            f"band_key STRING) USING parquet LOCATION '{alien}'"
+        )
+        _drop_managed_table(spark, "tombext.mh_band_index_e")
+        assert os.path.exists(os.path.join(alien, "not-ours.txt"))
+
+        # engine-owned: a tombstone dir (sidecar) attached externally
+        docs = spark.createDataFrame(
+            [(1, " ".join(f"w{i}" for i in range(30)))],
+            "doc_id long, text string",
+        )
+        # build under the default db (managed), then move the
+        # tombstone dir into the external database and attach it there
+        build_minhash_index(spark, docs, index_table="mh_band_index_mv")
+        minhash_index_delete(
+            spark,
+            spark.createDataFrame([(1,)], "doc_id long"),
+            index_table="mh_band_index_mv",
+        )
+        src = table_location(
+            spark, "mh_tombstones_mv"
+        ).removeprefix("file:")
+        import shutil
+
+        dst = os.path.join(floc, "mh_tombstones_e")
+        shutil.copytree(src, dst)
+        spark.sql(
+            "CREATE TABLE tombext.mh_tombstones_e (doc_id BIGINT) "
+            f"USING parquet LOCATION '{dst}'"
+        )
+        _drop_managed_table(spark, "tombext.mh_tombstones_e")
+        assert not os.path.exists(dst)  # sidecar proved ownership
+        _drop_managed_table(spark, "mh_tombstones_mv")
+        _drop_managed_table(spark, "mh_band_index_mv")
+    finally:
+        spark.sql("DROP DATABASE tombext CASCADE")
+
+
+def test_drop_tolerates_temp_view_shadow(spark):
+    """r13 review pass 4, finding 5: a temp view shadowing the family
+    name must not crash the slate reset (no location entry); the old
+    managed-location sweep behavior applies."""
+    spark.range(3).createOrReplaceTempView("mh_band_index_shadow")
+    try:
+        _drop_managed_table(spark, "mh_band_index_shadow")
+    finally:
+        spark.catalog.dropTempView("mh_band_index_shadow")
+
+
+def test_reattach_schema_fallback_is_warehouse_only(spark, tmp_path):
+    """r13 review pass 4, finding 2: the sidecar-less schema fallback
+    applies only inside the warehouse namespace — at a foreign
+    location a one-column parquet is a plausible name collision, so
+    the attach refuses (documented residual: an outside-warehouse
+    crash-window family serves ungated until the next delete heals
+    it)."""
+    import os
+
+    from dbt_on_snowflake_spark.engine.index_delete import (
+        reattach_tombstones,
+    )
+
+    floc = str(tmp_path / "foreign_sf")
+    os.makedirs(floc)
+    spark.sql(f"CREATE DATABASE tombsf LOCATION '{floc}'")
+    try:
+        spark.createDataFrame(
+            [(5,)], "doc_id long"
+        ).write.parquet(os.path.join(floc, "mh_tombstones_sf"))
+        assert (
+            reattach_tombstones(
+                spark, "tombsf.mh_tombstones_sf", id_col="doc_id"
+            )
+            is False
+        )
+        assert not spark.catalog.tableExists("tombsf.mh_tombstones_sf")
+    finally:
+        spark.sql("DROP DATABASE tombsf CASCADE")
+
+
+def test_reattach_refuses_unreadable_parquet(spark):
+    """r13 review pass 4, finding 4: a committed file named *.parquet
+    that is not valid parquet makes the schema fallback REFUSE (return
+    False), never crash the attach."""
+    import os
+    import shutil
+
+    from dbt_on_snowflake_spark.engine.index_delete import (
+        reattach_tombstones,
+    )
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    bad = os.path.join(wh, "x_tombstones_garbled")
+    os.makedirs(bad, exist_ok=True)
+    open(os.path.join(bad, "part-0.parquet"), "w").write("not parquet")
+    try:
+        assert (
+            reattach_tombstones(
+                spark, "x_tombstones_garbled", id_col="doc_id"
+            )
+            is False
+        )
+        assert not spark.catalog.tableExists("x_tombstones_garbled")
+    finally:
+        shutil.rmtree(bad, ignore_errors=True)
