@@ -111,15 +111,22 @@ def _managed_location(spark: SparkSession, table: str) -> str:
     )
 
 
+# ownership marker the index builders plant in every persisted index
+# dir that has no self-describing sidecar of its own — the compaction
+# swap carries _*.json sidecars, so it survives rewrites
+ENGINE_MARK = "_spark_graft_index.json"
+
+
 def engine_owned_dir(spark: SparkSession, loc: str) -> bool:
     """Whether ``loc`` carries PROOF the engine wrote it: inside the
     warehouse namespace, or holding one of the engine's self-describing
-    index sidecars (the tombstone spec, the PQ ``_qstats.json`` drift
-    baseline, the IVF ``_cstats.json`` baseline). THE gate for any
-    cleanup that recursively deletes a directory at a location the
-    operator supplied (custom-LOCATION databases can share dirs with
-    other tooling; a name collision must never be destroyable — r13
-    review pass 4, finding 1)."""
+    sidecars (the tombstone spec, the PQ ``_qstats.json`` drift
+    baseline, the IVF ``_cstats.json`` baseline, the update-log
+    ``_merge.json``, or the explicit ``ENGINE_MARK`` every other index
+    builder plants). THE gate for any cleanup that recursively deletes
+    a directory at a location the operator supplied (custom-LOCATION
+    databases can share dirs with other tooling; a name collision must
+    never be destroyable — r13 review pass 4, finding 1)."""
     from dbt_on_snowflake_spark.engine.fs import fs_exists
     from dbt_on_snowflake_spark.engine.index_maintenance import (
         _under_warehouse,
@@ -129,7 +136,38 @@ def engine_owned_dir(spark: SparkSession, loc: str) -> bool:
         return True
     return any(
         fs_exists(spark, posixpath.join(loc, s))
-        for s in (SIDECAR, "_qstats.json", "_cstats.json")
+        for s in (
+            SIDECAR,
+            "_qstats.json",
+            "_cstats.json",
+            "_merge.json",
+            ENGINE_MARK,
+        )
+    )
+
+
+def mark_engine_dir(spark: SparkSession, table: str) -> None:
+    """Plant the ownership marker in ``table``'s dir. Index builders
+    call this for every persisted table that carries no
+    self-describing sidecar of its own (band/pairs indexes, BM25
+    stats/postings/doclen, centroid and codebook tables), so
+    ``engine_owned_dir`` can prove ownership outside the warehouse
+    namespace and a rebuild of an attached custom-LOCATION family can
+    reset its slate instead of wedging on 'location already exists'
+    (r13 review pass 5, finding 3). Delete-then-create; a crash in the
+    window only loses the marker, which fails toward NOT deleting."""
+    from dbt_on_snowflake_spark.engine.fs import (
+        fs_create_atomic,
+        fs_delete,
+    )
+    from dbt_on_snowflake_spark.engine.index_maintenance import (
+        table_location,
+    )
+
+    p = posixpath.join(table_location(spark, table), ENGINE_MARK)
+    fs_delete(spark, p)
+    fs_create_atomic(
+        spark, p, b'{"owner": "dbt_on_snowflake_spark"}\n'
     )
 
 
@@ -159,24 +197,26 @@ def reattach_tombstones(
       raises on staged-only: a reader must not destroy or block on
       another session's in-flight write.
 
-    No ``_under_warehouse`` gate, deliberately (r13 review, finding
-    4): that guard protects DELETION from reaching dirs the engine
-    does not own, but a family living in a custom-LOCATION database
-    keeps its tombstones at that database's managed location, where
-    skipping the attach would serve deleted rows silently. What gates
-    adoption instead (r13 review pass 2 finding 5 x pass 3 finding 1):
+    What gates adoption (r13 review passes 2-5):
 
     - the ``_tombstones.json`` sidecar, the engine's ownership proof
-      (``index_delete`` writes it before any id row lands); else
-    - the committed parquet's schema being EXACTLY the family's one
-      ``id_col`` column — the shape only tombstone state has. This
-      fallback exists because ``_write_sidecar`` is delete-then-create
-      (a rewrite that crashes in the window leaves committed ids with
-      NO sidecar), and refusing those would resurrect the prior
-      session's deletes — breaking the module's 'crash at ANY point
-      leaves every serve exact' contract. Adoption only ever
-      over-gates (fail-closed for delete propagation), and the next
-      ``index_delete`` heals the sidecar, as documented there.
+      (``index_delete`` writes it before any id row lands) — accepted
+      at ANY location, including a custom-LOCATION database's dir
+      (that is where an outside-warehouse family keeps its tombstones,
+      and skipping the attach there would serve deleted rows
+      silently); else
+    - INSIDE the warehouse namespace only: the committed parquet's
+      schema being EXACTLY the family's one ``id_col`` column — the
+      shape only tombstone state has. This fallback exists because
+      ``_write_sidecar`` is delete-then-create (a rewrite that crashes
+      in the window leaves committed ids with NO sidecar), and
+      refusing those would resurrect the prior session's deletes —
+      breaking the module's 'crash at ANY point leaves every serve
+      exact' contract. The next ``index_delete`` heals the sidecar.
+      At a FOREIGN location the weaker schema proof is NOT accepted
+      (a one-column id export is a plausible name collision in a
+      shared dir); the residual outside-warehouse crash-window
+      resurrect is the documented trade.
 
     A dir matching neither is refused: attaching a foreign same-named
     dir would let later delete/fold calls write into and truncate a
@@ -214,14 +254,14 @@ def reattach_tombstones(
             # index_delete heals it — documented trade against
             # adopting foreign data.
             return False
-        try:
-            cols = spark.read.parquet(*committed).columns
-        except Exception:
-            # an unreadable committed *.parquet is 'matches neither':
-            # refuse to adopt, never crash the attach (r13 review
-            # pass 4, finding 4)
-            return False
-        if cols != [id_col]:
+        # inside the warehouse this is ENGINE state: an unreadable
+        # committed file is corruption or a transient I/O failure, and
+        # both must surface loudly — silently refusing would attach
+        # nothing and serve the index ungated, resurrecting the
+        # deletes (r13 review pass 5, finding 1; the foreign-garbage
+        # worry is already excluded by the warehouse-only restriction
+        # above, so there is no refuse-don't-crash case left here)
+        if spark.read.parquet(*committed).columns != [id_col]:
             return False
     spark.catalog.createTable(
         tombstones_table, path=loc, source="parquet"

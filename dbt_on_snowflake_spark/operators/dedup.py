@@ -928,16 +928,21 @@ def _drop_managed_table(spark: SparkSession, name: str) -> None:
     from dbt_on_snowflake_spark.engine.fs import fs_delete
     from dbt_on_snowflake_spark.engine.index_delete import (
         _managed_location,
+        engine_owned_dir,
     )
     from dbt_on_snowflake_spark.engine.index_maintenance import (
         _under_warehouse,
         table_location,
     )
 
-    from dbt_on_snowflake_spark.engine.index_delete import (
-        engine_owned_dir,
-    )
-
+    if "." not in name:
+        # a temp view shadowing the family name resolves FIRST in
+        # DESCRIBE and DROP alike: remove it up front so the REAL
+        # table (if any) is what gets located and dropped — otherwise
+        # the view is dropped, the table stays cataloged, and the
+        # fall-through sweep destroys the live table's dir out from
+        # under it (r13 review pass 5, finding 2)
+        spark.catalog.dropTempView(name)
     loc = None
     if spark.catalog.tableExists(name):
         # resolve the REAL location before dropping: the attach paths
@@ -945,13 +950,11 @@ def _drop_managed_table(spark: SparkSession, name: str) -> None:
         # (createTable(path=...) / CREATE ... LOCATION), whose dirs a
         # plain DROP leaves behind, wedging rebuilds of attached
         # families on 'location already exists' (r13 review pass 3,
-        # finding 2). A temp view shadowing the name has no location —
-        # fall through to the old managed-location sweep (r13 review
-        # pass 4, finding 5).
+        # finding 2)
         try:
             loc = table_location(spark, name)
         except ValueError:
-            loc = None
+            loc = None  # defensive: no location entry
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     if loc is not None:
         # delete only dirs the engine can PROVE it owns — inside the
@@ -995,9 +998,14 @@ def build_minhash_index(
     zero-shuffle co-located join."""
     # a full rebuild reads the corpus of record — reset the family's
     # tombstone slate (engine/index_delete.py semantics)
+    from dbt_on_snowflake_spark.engine.index_delete import (
+        mark_engine_dir,
+    )
+
     _drop_managed_table(spark, _mh_tombstones(index_table))
     _drop_managed_table(spark, index_table)
     write_bucketed(minhash_band_keys(docs), index_table, "band_key", n_buckets)
+    mark_engine_dir(spark, index_table)  # ownership proof (pass 5 #3)
     if pairs_table is not None:
         idx = spark.table(index_table)
         a, b = idx.alias("a"), idx.alias("b")
@@ -1015,6 +1023,7 @@ def build_minhash_index(
         )
         _drop_managed_table(spark, pairs_table)
         verify_pairs(cand, sh).write.mode("overwrite").saveAsTable(pairs_table)
+        mark_engine_dir(spark, pairs_table)
 
 
 def _mh_tombstones(index_table: str) -> str:
@@ -1363,6 +1372,10 @@ def build_minhash_index_pruned(
     reads ~|touched parts|/64 of it."""
     # a full rebuild reads the corpus of record — reset the family's
     # tombstone slate (engine/index_delete.py semantics)
+    from dbt_on_snowflake_spark.engine.index_delete import (
+        mark_engine_dir,
+    )
+
     _drop_managed_table(spark, _mh_tombstones(index_table))
     _drop_managed_table(spark, index_table)
     (
@@ -1375,6 +1388,7 @@ def build_minhash_index_pruned(
         .sortBy("band_key")
         .saveAsTable(index_table)
     )
+    mark_engine_dir(spark, index_table)  # ownership proof (pass 5 #3)
 
 
 def attach_minhash_index_pruned(

@@ -494,9 +494,14 @@ def build_ann_index(
 
     # a full rebuild reads the corpus of record — reset the family's
     # tombstone slate (engine/index_delete.py semantics)
+    from dbt_on_snowflake_spark.engine.index_delete import (
+        mark_engine_dir,
+    )
+
     _drop_managed_table(spark, _ann_tombstones(assignments_table))
     _drop_managed_table(spark, centroids_table)
     _centroid_vectors(e).write.mode("overwrite").saveAsTable(centroids_table)
+    mark_engine_dir(spark, centroids_table)  # ownership proof (pass 5 #3)
     _drop_managed_table(spark, assignments_table)
     (
         # cluster by the partition column before the partitioned write:
@@ -806,9 +811,14 @@ def refresh_centroids(spark: SparkSession, *, centroids_table: str,
     e = _live_assignments(spark, assignments_table).select(
         "vec_id", "label", "v"
     )
+    from dbt_on_snowflake_spark.engine.index_delete import (
+        mark_engine_dir,
+    )
+
     fresh = _centroid_vectors(e)
     _drop_managed_table(spark, centroids_table)
     fresh.write.mode("overwrite").saveAsTable(centroids_table)
+    mark_engine_dir(spark, centroids_table)
     # the refresh is the IVF family's retrain: re-record the drift
     # baseline against the fresh centroids so the gate re-arms
     # (``ann_index_drift``/``reindex_ann_when_drifted``)
@@ -3591,9 +3601,14 @@ def build_pq_index(
 
     # a full rebuild reads the corpus of record — reset the family's
     # tombstone slate (engine/index_delete.py semantics)
+    from dbt_on_snowflake_spark.engine.index_delete import (
+        mark_engine_dir,
+    )
+
     _drop_managed_table(spark, _pq_tombstones(codes_table))
     _drop_managed_table(spark, codebook_table)
     _centroid_vectors(e).write.mode("overwrite").saveAsTable(codebook_table)
+    mark_engine_dir(spark, codebook_table)  # ownership proof (pass 5 #3)
     _drop_managed_table(spark, codes_table)
     codes = _pq_encode(
         e.select("vec_id", "label", "v"),
@@ -4332,6 +4347,11 @@ def ensure_appended_pq_index(
         spark.createDataFrame(
             [(1,)], "grown int"
         ).write.mode("overwrite").saveAsTable(grown_t)
+        from dbt_on_snowflake_spark.engine.index_delete import (
+            mark_engine_dir,
+        )
+
+        mark_engine_dir(spark, grown_t)
 
     ensure_index_tables(
         spark,

@@ -1389,8 +1389,13 @@ def build_text_index(
     _drop_managed_table(spark, _text_tombstones(postings_table))
     toks = F.split("text", " ")
     lens = d.select("doc_id", F.size(toks).alias("dl"))
+    from dbt_on_snowflake_spark.engine.index_delete import (
+        mark_engine_dir,
+    )
+
     _drop_managed_table(spark, doclen_table)
     lens.write.mode("overwrite").saveAsTable(doclen_table)
+    mark_engine_dir(spark, doclen_table)  # ownership proof (pass 5 #3)
     lens_t = spark.table(doclen_table)
 
     _drop_managed_table(spark, stats_table)
@@ -1398,6 +1403,7 @@ def build_text_index(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     ).write.mode("overwrite").saveAsTable(stats_table)
+    mark_engine_dir(spark, stats_table)
 
     postings = (
         d.select(
@@ -1419,6 +1425,7 @@ def build_text_index(
         .partitionBy("term_part")
         .saveAsTable(postings_table)
     )
+    mark_engine_dir(spark, postings_table)
 
 
 def _text_index_tables(

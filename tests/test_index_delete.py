@@ -1177,8 +1177,10 @@ def test_rebuild_after_attach_in_custom_location_database(spark, tmp_path):
         attach_minhash_index,
     )
 
-    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    floc = os.path.join(wh, "tombrebuildloc")
+    # OUTSIDE the warehouse: this is the wedge scenario — under the
+    # warehouse root the ownership gate passes trivially (r13 review
+    # pass 5 noted the earlier placement under wh pinned nothing)
+    floc = str(tmp_path / "tombrebuildloc")
     spark.sql(f"CREATE DATABASE tombrb LOCATION '{floc}'")
     try:
         docs = spark.createDataFrame(
@@ -1226,10 +1228,6 @@ def test_drop_owned_external_dirs_only(spark, tmp_path):
     prove it owns are. The engine-owned case (a sidecar-carrying
     tombstone dir outside the warehouse) IS reset."""
     import os
-
-    from dbt_on_snowflake_spark.operators.dedup import (
-        attach_minhash_index,
-    )
 
     floc = str(tmp_path / "shared_loc")
     os.makedirs(floc)
@@ -1279,14 +1277,32 @@ def test_drop_owned_external_dirs_only(spark, tmp_path):
 
 
 def test_drop_tolerates_temp_view_shadow(spark):
-    """r13 review pass 4, finding 5: a temp view shadowing the family
-    name must not crash the slate reset (no location entry); the old
-    managed-location sweep behavior applies."""
+    """r13 review pass 4 finding 5 + pass 5 finding 2: a temp view
+    shadowing the family name must not crash the slate reset, and a
+    REAL table behind the shadow must be the thing that gets dropped
+    (view-first resolution would otherwise leave the table cataloged
+    while the sweep destroys its dir)."""
+    import os
+
     spark.range(3).createOrReplaceTempView("mh_band_index_shadow")
-    try:
-        _drop_managed_table(spark, "mh_band_index_shadow")
-    finally:
-        spark.catalog.dropTempView("mh_band_index_shadow")
+    _drop_managed_table(spark, "mh_band_index_shadow")
+    # the shadow itself is consumed by the reset (old DROP semantics)
+    assert not any(
+        v.name == "mh_band_index_shadow"
+        for v in spark.catalog.listTables()
+    )
+
+    # shadowed REAL table: both view and table go, dir included
+    spark.createDataFrame([(1,)], "doc_id long").write.mode(
+        "overwrite"
+    ).saveAsTable("mh_band_index_shadow")
+    loc = table_location(
+        spark, "mh_band_index_shadow"
+    ).removeprefix("file:")
+    spark.range(3).createOrReplaceTempView("mh_band_index_shadow")
+    _drop_managed_table(spark, "mh_band_index_shadow")
+    assert not spark.catalog.tableExists("mh_band_index_shadow")
+    assert not os.path.exists(loc)
 
 
 def test_reattach_schema_fallback_is_warehouse_only(spark, tmp_path):
@@ -1320,10 +1336,14 @@ def test_reattach_schema_fallback_is_warehouse_only(spark, tmp_path):
         spark.sql("DROP DATABASE tombsf CASCADE")
 
 
-def test_reattach_refuses_unreadable_parquet(spark):
-    """r13 review pass 4, finding 4: a committed file named *.parquet
-    that is not valid parquet makes the schema fallback REFUSE (return
-    False), never crash the attach."""
+def test_reattach_raises_on_unreadable_warehouse_state(spark):
+    """r13 review pass 5, finding 1: inside the warehouse an
+    unreadable committed *.parquet at a tombstone path is corrupt
+    ENGINE state (or a transient I/O failure) — the attach must fail
+    LOUDLY, because silently refusing would serve the index ungated
+    and resurrect the deletes. (The foreign-garbage refuse case is
+    handled by the warehouse-only restriction on the schema fallback —
+    test_reattach_schema_fallback_is_warehouse_only.)"""
     import os
     import shutil
 
@@ -1336,12 +1356,10 @@ def test_reattach_refuses_unreadable_parquet(spark):
     os.makedirs(bad, exist_ok=True)
     open(os.path.join(bad, "part-0.parquet"), "w").write("not parquet")
     try:
-        assert (
+        with pytest.raises(Exception):
             reattach_tombstones(
                 spark, "x_tombstones_garbled", id_col="doc_id"
             )
-            is False
-        )
         assert not spark.catalog.tableExists("x_tombstones_garbled")
     finally:
         shutil.rmtree(bad, ignore_errors=True)
