@@ -127,22 +127,26 @@ def engine_owned_dir(spark: SparkSession, loc: str) -> bool:
     a directory at a location the operator supplied (custom-LOCATION
     databases can share dirs with other tooling; a name collision must
     never be destroyable — r13 review pass 4, finding 1)."""
-    from dbt_on_snowflake_spark.engine.fs import fs_exists
+    from dbt_on_snowflake_spark.engine.fs import fs_list
     from dbt_on_snowflake_spark.engine.index_maintenance import (
         _under_warehouse,
     )
 
     if _under_warehouse(spark, loc):
         return True
-    return any(
-        fs_exists(spark, posixpath.join(loc, s))
-        for s in (
+    # ONE child listing answers all proof-file probes (each fs_exists
+    # is a driver-side round-trip on an object store — r13 review
+    # pass 6, finding 5); fs_list returns [] for a missing dir
+    names = set(fs_list(spark, loc))
+    return bool(
+        names
+        & {
             SIDECAR,
             "_qstats.json",
             "_cstats.json",
             "_merge.json",
             ENGINE_MARK,
-        )
+        }
     )
 
 
@@ -500,6 +504,11 @@ def _refresh_bm25_stats(spark: SparkSession, refresh: dict) -> None:
         .write.mode("overwrite")
         .saveAsTable(stats_t)
     )
+    # the overwrite recreates the dir: re-plant the ownership marker
+    # or the first fold strips the builders' proof (r13 review pass 6,
+    # finding 2; member tables keep theirs via the _*.json-carrying
+    # swap, this one-row rewrite bypasses the swap)
+    mark_engine_dir(spark, stats_t)
 
 
 _REFRESH_KINDS = {"bm25_stats": _refresh_bm25_stats}

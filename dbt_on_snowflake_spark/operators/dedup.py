@@ -931,7 +931,6 @@ def _drop_managed_table(spark: SparkSession, name: str) -> None:
         engine_owned_dir,
     )
     from dbt_on_snowflake_spark.engine.index_maintenance import (
-        _under_warehouse,
         table_location,
     )
 
@@ -968,11 +967,15 @@ def _drop_managed_table(spark: SparkSession, name: str) -> None:
         if engine_owned_dir(spark, loc):
             fs_delete(spark, loc)
         return
-    # catalog-LESS leftover (a prior session's files): same guard, via
-    # the conventional location (the index_delete triage convention;
-    # r13 review pass 2, finding 1)
+    # catalog-LESS leftover (a prior session's files): same ownership
+    # proof as the cataloged branch — _under_warehouse OR an engine
+    # sidecar/marker in the dir, so a marked family in a
+    # custom-LOCATION database rebuilds cleanly even without an attach
+    # first (r13 review pass 6, finding 1); an unproven foreign dir is
+    # left for the next CREATE to fail loudly on (the index_delete
+    # triage convention; r13 review pass 2, finding 1)
     loc = _managed_location(spark, name)
-    if _under_warehouse(spark, loc):
+    if engine_owned_dir(spark, loc):
         fs_delete(spark, loc)
 
 
@@ -1503,10 +1506,15 @@ def dedup_incremental_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_corpus = corpus.select(
         "doc_id", F.explode(word_shingles(F.col("text"))).alias("sh")
     )
+    from dbt_on_snowflake_spark.engine.index_delete import (
+        mark_engine_dir,
+    )
+
     _drop_managed_table(spark, pairs_table)
     verify_pairs(cand0, sh_corpus).write.mode("overwrite").saveAsTable(
         pairs_table
     )
+    mark_engine_dir(spark, pairs_table)  # ownership proof (pass 6 #3)
     cand = dedup_incremental_candidates_pruned(spark, batch, index_table)
     ids = (
         cand.select(F.col("doc_a").alias("doc_id"))

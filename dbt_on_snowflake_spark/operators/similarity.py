@@ -3869,8 +3869,15 @@ def retrain_pq_family(
     staging = derive_tombstones_name(
         codes_table, strip="pq_codes_", prefix="pq_retrain_ids_"
     )
+    from dbt_on_snowflake_spark.engine.index_delete import (
+        mark_engine_dir,
+    )
+
     _drop_managed_table(spark, staging)
     live.write.saveAsTable(staging)
+    # marked so a crash before the finally-drop leaves a dir the NEXT
+    # retrain can prove it owns and clear (r13 review pass 6, finding 4)
+    mark_engine_dir(spark, staging)
     try:
         build_pq_index(
             spark,

@@ -1094,6 +1094,9 @@ def corpus_ingest_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sortBy("h")
         .saveAsTable(index_table)
     )
+    from dbt_on_snowflake_spark.engine.index_delete import mark_engine_dir
+
+    mark_engine_dir(spark, index_table)  # ownership proof (pass 6 #4)
 
     handle = make_ingest_handler(spark, index_table, kept_dir)
 
@@ -1302,6 +1305,9 @@ def ann_semantic_ingest_streaming(spark: SparkSession, sf_dir: str) -> DataFrame
         .sortBy("label")
         .saveAsTable(kept_table)
     )
+    from dbt_on_snowflake_spark.engine.index_delete import mark_engine_dir
+
+    mark_engine_dir(spark, kept_table)  # ownership proof (pass 6 #4)
     # cells come pre-assigned (`label`): the coarse quantizer is a
     # trained offline artifact in this pipeline (build_ann_index's
     # centroid table would do the assignment for raw vectors)
