@@ -1743,6 +1743,13 @@ def text_index_append(
         .write.mode("overwrite")
         .saveAsTable(stats_table)
     )
+    # the overwrite recreates the dir: re-plant the ownership marker
+    # (the _refresh_bm25_stats convention — r13 review pass 7)
+    from dbt_on_snowflake_spark.engine.index_delete import (
+        mark_engine_dir,
+    )
+
+    mark_engine_dir(spark, stats_table)
 
 
 @query(

@@ -1363,3 +1363,131 @@ def test_reattach_raises_on_unreadable_warehouse_state(spark):
         assert not spark.catalog.tableExists("x_tombstones_garbled")
     finally:
         shutil.rmtree(bad, ignore_errors=True)
+
+
+def test_ownership_marker_rollout_is_complete(spark):
+    """r13 review passes 5-7: every persisted index dir must carry an
+    ownership proof (its own sidecar or ENGINE_MARK) so rebuilds of
+    custom-LOCATION families can reset their slate. Pins the rollout
+    per family AND across the operations that rewrite dirs (append's
+    stats overwrite, the fold's stats refresh) — the two spots a
+    marker was silently stripped during review."""
+    import posixpath
+
+    from dbt_on_snowflake_spark.engine.fs import fs_list
+    from dbt_on_snowflake_spark.engine.index_delete import ENGINE_MARK
+    from dbt_on_snowflake_spark.operators.textops import (
+        build_text_index,
+        text_index_append,
+        text_index_delete,
+    )
+
+    PROOFS = {
+        ENGINE_MARK,
+        "_tombstones.json",
+        "_qstats.json",
+        "_cstats.json",
+    }
+
+    def proof(table):
+        loc = table_location(spark, table)
+        assert set(fs_list(spark, loc)) & PROOFS, table
+
+    d = _docs(spark)
+    # minhash family (index + tombstones)
+    build_minhash_index(spark, d, index_table="mh_band_index_mk")
+    minhash_index_delete(
+        spark,
+        spark.createDataFrame([(1,)], "doc_id long"),
+        index_table="mh_band_index_mk",
+    )
+    for t in ("mh_band_index_mk", "mh_tombstones_mk"):
+        proof(t)
+        _drop_managed_table(spark, t)
+
+    # text family through build -> append -> delete -> fold: the stats
+    # dir is OVERWRITTEN twice (append refresh, fold refresh) and must
+    # keep its proof both times
+    names = ("bm25_stats_mk", "bm25_postings_mk", "bm25_doclen_mk")
+    kw = dict(
+        stats_table=names[0], postings_table=names[1],
+        doclen_table=names[2],
+    )
+    from dbt_on_snowflake_spark.operators.textops import _text_tombstones
+
+    build_text_index(spark, d.filter(F.expr(KEEP_PRED)), **kw)
+    for t in names:
+        proof(t)
+    text_index_append(spark, d.filter(F.expr(DEL_PRED)), **kw)
+    proof(names[0])  # append's stats overwrite re-marked (pass 7)
+    text_index_delete(
+        spark,
+        d.filter(F.expr(DEL_PRED)).select("doc_id"),
+        **kw,
+    )
+    assert fold_tombstones(spark, _text_tombstones(names[1]))
+    proof(names[0])  # fold's stats refresh re-marked (pass 6 #2)
+    for t in names:
+        proof(t)
+        _drop_managed_table(spark, t)
+
+    # PQ + IVF families (codes/assignments carry their own baselines,
+    # codebook/centroids the marker)
+    from dbt_on_snowflake_spark.operators.similarity import _vectors
+
+    e = _vectors(spark, SF_SMOKE)
+    build_pq_index(
+        spark, e, codebook_table="pq_codebook_mk", codes_table="pq_codes_mk"
+    )
+    for t in ("pq_codebook_mk", "pq_codes_mk"):
+        proof(t)
+        _drop_managed_table(spark, t)
+    from dbt_on_snowflake_spark.operators.similarity import (
+        build_ann_index,
+    )
+
+    build_ann_index(
+        spark,
+        e,
+        centroids_table="ann_centroids_mk",
+        assignments_table="ann_assignments_mk",
+    )
+    for t in ("ann_centroids_mk", "ann_assignments_mk"):
+        proof(t)
+        _drop_managed_table(spark, t)
+
+
+def test_marked_leftover_rebuilds_without_attach(spark, tmp_path):
+    """r13 review pass 6, finding 1: a MARKED family in a custom-
+    LOCATION database must rebuild across sessions WITHOUT an attach
+    first — the catalog-less fall-through proves ownership via the
+    marker and clears the leftover dirs."""
+    import os
+    import shutil
+
+    floc = str(tmp_path / "tombmarkloc")
+    spark.sql(f"CREATE DATABASE tombmk LOCATION '{floc}'")
+    try:
+        docs = spark.createDataFrame(
+            [
+                (1, " ".join(f"w{i}" for i in range(30))),
+                (2, " ".join(f"z{i}" for i in range(30))),
+            ],
+            "doc_id long, text string",
+        )
+        name = "tombmk.mh_band_index_mkl"
+        build_minhash_index(spark, docs, index_table=name)
+        # session boundary WITHOUT re-attach: files survive, catalog
+        # forgets
+        loc = table_location(spark, name).removeprefix("file:")
+        stash = str(tmp_path / "stash_mkl")
+        shutil.copytree(loc, stash)
+        spark.sql(f"DROP TABLE {name}")
+        shutil.copytree(stash, loc)
+        assert not spark.catalog.tableExists(name)
+        assert os.path.exists(os.path.join(loc, "_spark_graft_index.json"))
+        # the rebuild clears the marked leftover and succeeds
+        build_minhash_index(spark, docs, index_table=name)
+        assert spark.table(name).select("doc_id").distinct().count() == 2
+    finally:
+        spark.sql("DROP DATABASE tombmk CASCADE")
