@@ -1726,30 +1726,20 @@ def text_index_append(
     )
     lens = new_docs.select("doc_id", F.size(toks).alias("dl"))
     lens.write.mode("append").saveAsTable(doclen_table)
-    # under Structured Streaming the appends above ran through the
-    # micro-batch's session CLONE; without a refresh the driving
-    # session's cached file listing makes this stats pass read only the
-    # pre-append doclens (n_docs silently short — caught by the shared
-    # full-corpus oracle when this path first streamed)
-    spark.catalog.refreshTable(doclen_table)
-    (
-        spark.table(doclen_table)
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias(
-                "avgdl"
-            ),
-        )
-        .write.mode("overwrite")
-        .saveAsTable(stats_table)
-    )
-    # the overwrite recreates the dir: re-plant the ownership marker
-    # (the _refresh_bm25_stats convention — r13 review pass 7)
+    # refresh + recompute through the fold's OWN stats helper — one
+    # source of truth for the bit-identical avgdl expression and the
+    # ownership re-mark (r13 review pass 8; it also handles the
+    # Structured Streaming session-CLONE staleness: the appends above
+    # ran in the micro-batch's clone, and without the refresh this
+    # stats pass would read only the pre-append doclens)
     from dbt_on_snowflake_spark.engine.index_delete import (
-        mark_engine_dir,
+        _refresh_bm25_stats,
     )
 
-    mark_engine_dir(spark, stats_table)
+    _refresh_bm25_stats(
+        spark,
+        {"doclen_table": doclen_table, "stats_table": stats_table},
+    )
 
 
 @query(

@@ -1372,14 +1372,10 @@ def test_ownership_marker_rollout_is_complete(spark):
     per family AND across the operations that rewrite dirs (append's
     stats overwrite, the fold's stats refresh) — the two spots a
     marker was silently stripped during review."""
-    import posixpath
-
     from dbt_on_snowflake_spark.engine.fs import fs_list
     from dbt_on_snowflake_spark.engine.index_delete import ENGINE_MARK
     from dbt_on_snowflake_spark.operators.textops import (
-        build_text_index,
         text_index_append,
-        text_index_delete,
     )
 
     PROOFS = {
@@ -1413,8 +1409,6 @@ def test_ownership_marker_rollout_is_complete(spark):
         stats_table=names[0], postings_table=names[1],
         doclen_table=names[2],
     )
-    from dbt_on_snowflake_spark.operators.textops import _text_tombstones
-
     build_text_index(spark, d.filter(F.expr(KEEP_PRED)), **kw)
     for t in names:
         proof(t)
