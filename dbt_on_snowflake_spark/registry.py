@@ -221,14 +221,41 @@ QUERIES: dict[str, RegisteredQuery] = {}
 #   exactly one extra round) + 6 R13_ROTATE_IN = 48; the 2 spare slots
 #   pull the two r11-green bench headliners (j1_orders_denorm,
 #   a1_loyalty_metrics) forward to lighten r14. ZERO slips at r13.
-# - R14 DRAFT (arithmetic at r13 rotation time; re-verify against the
-#   actual CORRECTNESS_r13 file at r14 start): post-r13 last-green
-#   histogram over the 148-row pool = r10 x0 / r11 x46 / r12 x50 /
-#   r13 x50 (+ R14_ROTATE_IN never-checked). r14 mandatory = the 46
-#   r11-green rows (window-hard at r14) + R14_ROTATE_IN (2 at draft
-#   time) = 48 <= 50: ZERO slips, 2 spare slots for r12-green pulls or
-#   additional births. Steady state: 148 registered-in-pool / 50 budget
-#   = a 2.96-round cycle, back inside the 3-round window.
+# - R14 DRAFT (exact list computed at r13 session end; re-verify
+#   against the actual CORRECTNESS_r13 file at r14 start): post-r13
+#   last-green histogram over the 148-row pool = r11 x46 / r12 x50 /
+#   r13 x50 + 2 never-checked (R14_ROTATE_IN). r14 mandatory = the 46
+#   r11-green rows (window-hard at r14) + the 2 R14_ROTATE_IN rows
+#   = 48 <= 50: ZERO slips (machine-checked by tests/
+#   test_rotation_ledger.py::test_r14_rotation_fits_budget_with_zero_
+#   slips). R14_EXPORT = the 46 r11-green rows (a1_loyalty_metrics,
+#   ann_filtered_indexed, ann_filtered_rerank_indexed,
+#   ann_hard_negatives, ann_ivfpq_topk, ann_pq_adc_topk,
+#   ann_pq_recall_eval, ann_recall_eval, ann_topk_bruteforce,
+#   asof_last_order_within_30d, corpus_dedup_cascade,
+#   corpus_ingest_streaming, corpus_pack_efficiency,
+#   corpus_quality_report, corpus_shuffle_order,
+#   corpus_temperature_sample, dedup_ngram_jaccard, f_datetime_suite,
+#   j_full_outer_daily_reconciliation, multimodal_patch_grid,
+#   q11_important_suppliers, q12_priority_by_shipmode,
+#   q13_order_count_distribution, q21_waiting_suppliers,
+#   q22_dormant_customers, q7_volume_shipping, q8_market_share,
+#   q9_product_profit, retrieval_hybrid_rrf_indexed,
+#   retrieval_hybrid_rrf_perquery_indexed, t_events_dedup_wm_streaming,
+#   t_events_stream_stream_join, t_events_topn_types_update_streaming,
+#   text_bigram_coverage, text_bm25_topk_incremental,
+#   text_bm25_topk_indexed, text_bpe_train_merges, text_fingerprint,
+#   text_index_ingest_streaming, text_lang_id, text_levenshtein_pairs,
+#   text_quality_classifier, text_repetition, text_stats,
+#   text_token_count_bpe_trained, w_ntile_customer_value_quartiles)
+#   + dedup_semantic_deleted + multimodal_embed_topk_deleted
+#   (R14_ROTATE_IN) + 2 fills from the r12-greens — the draft picks
+#   the twice-window-pressured trivials s4_source_passthrough and
+#   p2_projection_rename to lighten the r15 trivial block = 50
+#   exactly. Keep R15_ROTATE_IN current as r14 queries are born; r15
+#   then owes the remaining 48 r12-greens + births (2 spare slots at
+#   this draft's arithmetic). Steady state: 148 registered-in-pool /
+#   50 budget = a 2.96-round cycle, back inside the 3-round window.
 DRIVER_BUDGET = 50
 
 # Retired from the driver rotation at r13 (VERDICT r12 Next #2): strict
