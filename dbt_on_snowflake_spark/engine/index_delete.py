@@ -487,10 +487,17 @@ def has_tombstones(spark: SparkSession, tombstones_table: str) -> bool:
 
 
 def _refresh_bm25_stats(spark: SparkSession, refresh: dict) -> None:
-    """Recompute the BM25 one-row stats from the (already folded)
-    doclen table with the exact expression ``build_text_index`` uses,
-    so the persisted avgdl is bit-identical to a from-scratch build
-    over the shrunken corpus."""
+    """Recompute the BM25 one-row stats from the CURRENT doclen table
+    with the exact expression ``build_text_index`` uses — the shared
+    single source for both call contexts: the fold (doclen already
+    anti-join-rewritten, so the persisted avgdl is bit-identical to a
+    from-scratch build over the shrunken corpus) and
+    ``text_index_append`` (doclen just grown, after the session-clone
+    ``refreshTable``). While un-folded tombstones exist the serves
+    ignore this table anyway and compute stats LIVE over the gated
+    rows (``has_tombstones``), so a post-append refresh never persists
+    pre-gate stats into a serve. Re-plants the ownership marker the
+    overwrite strips."""
     doclen_t, stats_t = refresh["doclen_table"], refresh["stats_table"]
     spark.catalog.refreshTable(doclen_t)
     (

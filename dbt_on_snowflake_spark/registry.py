@@ -219,8 +219,11 @@ QUERIES: dict[str, RegisteredQuery] = {}
 #   22-slip list (window-hard) + 2 non-retired r12 slips
 #   (multimodal_decode, multimodal_frame_sample — guarded slips get
 #   exactly one extra round) + 6 R13_ROTATE_IN = 48; the 2 spare slots
-#   pull the two r11-green bench headliners (j1_orders_denorm,
-#   a1_loyalty_metrics) forward to lighten r14. ZERO slips at r13.
+#   pull two r11-green rows forward to lighten r14: j1_orders_denorm
+#   (the 6-way-join bench headliner) and a_grouping_sets_status_
+#   priority (the general form guarding the retired cube/rollup
+#   twins; it also restores the a_* family's exported representative).
+#   ZERO slips at r13.
 # - R14 DRAFT (exact list computed at r13 session end; re-verify
 #   against the actual CORRECTNESS_r13 file at r14 start): post-r13
 #   last-green histogram over the 148-row pool = r11 x46 / r12 x50 /
