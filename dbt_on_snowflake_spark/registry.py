@@ -259,6 +259,43 @@ QUERIES: dict[str, RegisteredQuery] = {}
 #   then owes the remaining 48 r12-greens + births (2 spare slots at
 #   this draft's arithmetic). Steady state: 148 registered-in-pool /
 #   50 budget = a 2.96-round cycle, back inside the 3-round window.
+# - r14 export (R14_EXPORT below, the active set): the draft above was
+#   re-verified at r14 start against the actual CORRECTNESS_r13 file
+#   (50/50 green, key set == R13_EXPORT exactly; post-r13 last-green
+#   histogram over the 148-row pool recomputed as r11 x46 / r12 x50 /
+#   r13 x50 + the 2 never-checked R14_ROTATE_IN rows) and executed
+#   VERBATIM: the 46 window-hard r11-green rows + the 2 R14_ROTATE_IN
+#   rows (first-ever driver checks for the r13-born delete-serve
+#   twins) + the 2 drafted fills (s4_source_passthrough,
+#   p2_projection_rename) = 50 exactly, ZERO slips.
+# - R15 DRAFT (computed at r14 start; re-verify against the actual
+#   CORRECTNESS_r14 file at r15 start): assuming r14 goes green on
+#   R14_EXPORT, the post-r14 histogram is r12 x48 / r13 x50 / r14 x50
+#   (+ any r14 births). r15 mandatory = the 48 r12-green rows
+#   (window-hard at r15): a_approx_sketches, a_exact_distinct_median,
+#   a_unpivot_status_revenue, ann_centroids,
+#   ann_ivf_multiprobe_indexed, ann_pq_adc_appended,
+#   ann_pq_adc_indexed, ann_pq_adc_ingest_streaming,
+#   ann_semantic_ingest_streaming, asof_last_order_before_event,
+#   asof_next_order_after_event, corpus_clean_pipeline,
+#   corpus_pack_shards_bpe, corpus_token_budget, dedup_cluster_sizes,
+#   dedup_clusters, dedup_exact, dedup_incremental_index,
+#   dedup_incremental_streaming, dedup_minhash_lsh, dedup_semantic,
+#   dedup_semantic_served, dedup_simhash, dq_failing_rows,
+#   f_json_extract, f_scalar_suite, j2_left_join_enrich,
+#   multimodal_embed_topk, multimodal_embed_topk_indexed,
+#   p6_range_filter, p7_ts_filter, q17_small_quantity_revenue,
+#   q18_large_volume_orders, q1_pricing_summary, q20_heavy_suppliers,
+#   q2_min_cost_supplier, q3_top_revenue_orders,
+#   q4_late_shipments_by_priority, q5_nation_volume,
+#   s_setops_segments, t_event_funnel, t_events_hourly,
+#   t_events_range_join_windows, t_events_sessionize, text_pii_redact,
+#   text_unigram_rarity, w_percentile_standing_orders,
+#   w_topk_orders_per_customer — plus R15_ROTATE_IN (r14 births).
+#   48 + |R15_ROTATE_IN| <= 50 leaves 2 spare slots: every r14 birth
+#   must either take one of the 2 slots (add to R15_ROTATE_IN when
+#   born) or be paired with a same-module retirement
+#   (RETIRED_FROM_ROTATION), per VERDICT r13 Next #5.
 DRIVER_BUDGET = 50
 
 # Retired from the driver rotation at r13 (VERDICT r12 Next #2): strict
@@ -605,6 +642,74 @@ R13_EXPORT = {
     "a_grouping_sets_status_priority",
 }
 
+# Queries born in round 14 — mandatory r15 rotate-ins (never
+# driver-checked). Keep this current as queries are born; at most 2
+# fit the r15 draft's spare slots — further births need a paired
+# retirement (see the R15 DRAFT ledger entry above).
+R15_ROTATE_IN: set[str] = set()
+
+# The authoritative r14 export set: the r13 ledger draft, re-verified
+# against CORRECTNESS_r13 at r14 start and executed verbatim (zero
+# slips). all_queries() applies it over the per-decorator driver=
+# defaults so a rotation is one list edit here.
+R14_EXPORT = {
+    # the 46 r11-green rows — window-hard this round
+    "a1_loyalty_metrics",
+    "ann_filtered_indexed",
+    "ann_filtered_rerank_indexed",
+    "ann_hard_negatives",
+    "ann_ivfpq_topk",
+    "ann_pq_adc_topk",
+    "ann_pq_recall_eval",
+    "ann_recall_eval",
+    "ann_topk_bruteforce",
+    "asof_last_order_within_30d",
+    "corpus_dedup_cascade",
+    "corpus_ingest_streaming",
+    "corpus_pack_efficiency",
+    "corpus_quality_report",
+    "corpus_shuffle_order",
+    "corpus_temperature_sample",
+    "dedup_ngram_jaccard",
+    "f_datetime_suite",
+    "j_full_outer_daily_reconciliation",
+    "multimodal_patch_grid",
+    "q11_important_suppliers",
+    "q12_priority_by_shipmode",
+    "q13_order_count_distribution",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "retrieval_hybrid_rrf_indexed",
+    "retrieval_hybrid_rrf_perquery_indexed",
+    "t_events_dedup_wm_streaming",
+    "t_events_stream_stream_join",
+    "t_events_topn_types_update_streaming",
+    "text_bigram_coverage",
+    "text_bm25_topk_incremental",
+    "text_bm25_topk_indexed",
+    "text_bpe_train_merges",
+    "text_fingerprint",
+    "text_index_ingest_streaming",
+    "text_lang_id",
+    "text_levenshtein_pairs",
+    "text_quality_classifier",
+    "text_repetition",
+    "text_stats",
+    "text_token_count_bpe_trained",
+    "w_ntile_customer_value_quartiles",
+    # r13-born, never driver-checked — R14_ROTATE_IN (the delete-serve
+    # twins' first-ever driver rows)
+    "dedup_semantic_deleted",
+    "multimodal_embed_topk_deleted",
+    # the 2 drafted fills from the r12-greens: the twice-window-
+    # pressured trivials, pulled forward to lighten the r15 block
+    "s4_source_passthrough",
+    "p2_projection_rename",
+}
+
 
 def query(
     name: str,
@@ -627,7 +732,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
 
     # Apply the round's rotation: the export list above is authoritative.
     for n, q in QUERIES.items():
-        q.driver = n in R13_EXPORT
+        q.driver = n in R14_EXPORT
     return QUERIES
 
 

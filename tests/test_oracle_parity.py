@@ -143,66 +143,47 @@ def test_driver_export_within_budget():
         assert any(n.startswith(fam) for n in exported), fam
 
 
-def test_r13_rotation_promises_kept():
-    """The r13 rotation: the r12 ledger draft re-verified against
-    CORRECTNESS_r12 and revised per VERDICT r12 Next #2 (retirement
-    applied first — see RETIRED_FROM_ROTATION — so zero slips are
-    needed). The 28 kept r10-stale rows, the 12 non-retired rows of the
-    drafted 22-slip list (window-hard once their slips became moot),
-    the 2 non-retired r12 slips, all 6 r12-born never-driver-checked
-    rows (R13_ROTATE_IN — the whole delete matrix), and the 2 budget
-    fills must be in the r13 export. Pin them so a later edit can't
+def test_r14_rotation_promises_kept():
+    """The r14 rotation: the r13 ledger draft re-verified against
+    CORRECTNESS_r13 (50/50 green, key set == R13_EXPORT exactly) and
+    executed verbatim — the 46 window-hard r11-green rows, both
+    r13-born never-driver-checked rows (R14_ROTATE_IN: the
+    delete-serve twins' first driver checks), and the 2 drafted
+    trivial fills = 50, zero slips. Pin them so a later edit can't
     silently demote one before the driver sees it. (The full staleness
     arithmetic is machine-checked against the CORRECTNESS_r*.json
     history in tests/test_rotation_ledger.py.)"""
     from dbt_on_snowflake_spark.registry import (
+        R11_EXPORT,
+        R12_EXPORT,
         R13_EXPORT,
-        R13_ROTATE_IN,
+        R14_EXPORT,
         R14_ROTATE_IN,
+        R15_ROTATE_IN,
         RETIRED_FROM_ROTATION,
         driver_queries,
     )
 
     exported = set(driver_queries())
-    assert R13_EXPORT == exported, sorted(R13_EXPORT ^ exported)
-    r10_stale_kept = {
-        "a4_sales_by_nation", "a6_unique_violations", "ann_ivf_topk",
-        "ann_mmr_topk", "ann_pq_rerank_topk", "corpus_chunk_documents",
-        "corpus_pack_sequences", "corpus_pack_shards",
-        "corpus_sample_stratified", "dedup_source_overlap",
-        "j7_anti_orphans", "j_salted_events_enrich", "multimodal_meta",
-        "q10_returned_item_losers", "q14_promo_revenue_share",
-        "q15_top_supplier", "q16_supplier_breadth",
-        "q19_branded_quantity_revenue", "q6_forecast_revenue_delta",
-        "retrieval_hybrid_rrf", "t_event_transitions",
-        "t_events_hourly_streaming", "t_events_sessions_streaming",
-        "t_events_topn_types_streaming", "text_bm25_topk",
-        "text_contamination", "text_quality", "w_running_total_events",
-        # the 12 non-retired rows of the drafted 22-slip list
-        "ann_ivf_multiprobe", "ann_incremental_assign",
-        "ann_quantize_int8", "ann_filtered_topk", "corpus_train_val_split",
-        "t_events_sliding_streaming", "t_event_funnel_streaming",
-        "t_events_dedup_streaming", "t_events_rate_anomalies",
-        "t_user_retention", "dedup_embedding_cosine",
-        "dedup_incremental_pruned",
-    }
-    assert len(r10_stale_kept) == 40
-    window_hard_r9 = {"multimodal_decode", "multimodal_frame_sample"}
-    fills = {"j1_orders_denorm", "a_grouping_sets_status_priority"}
-    assert r10_stale_kept <= exported, sorted(r10_stale_kept - exported)
-    assert window_hard_r9 <= exported
-    assert R13_ROTATE_IN <= exported, sorted(R13_ROTATE_IN - exported)
+    assert R14_EXPORT == exported, sorted(R14_EXPORT ^ exported)
+    # the 46 window-hard rows: last green r11 = exported at r11, not
+    # re-exported (hence not re-greened) at r12 or r13, not retired
+    retired = set(RETIRED_FROM_ROTATION)
+    r11_green = (R11_EXPORT - retired) - R12_EXPORT - R13_EXPORT
+    assert len(r11_green) == 46, len(r11_green)
+    fills = {"s4_source_passthrough", "p2_projection_rename"}
+    assert r11_green <= exported, sorted(r11_green - exported)
+    assert R14_ROTATE_IN <= exported, sorted(R14_ROTATE_IN - exported)
     assert fills <= exported
     # the export is exactly the mandatory set + the 2 documented fills
-    assert exported == r10_stale_kept | window_hard_r9 | R13_ROTATE_IN | fills
-    # retirement is disjoint from the export and every retired row keeps
-    # its named kept guard either exported now or in the live pool
-    assert not set(RETIRED_FROM_ROTATION) & exported
-    # r13-born queries register in the ledger for the r14 rotation
+    assert exported == r11_green | R14_ROTATE_IN | fills
+    # retirement is disjoint from the export
+    assert not retired & exported
+    # r14-born queries register in the ledger for the r15 rotation
     from dbt_on_snowflake_spark.registry import all_queries
 
-    assert R14_ROTATE_IN <= set(all_queries()), sorted(
-        R14_ROTATE_IN - set(all_queries())
+    assert R15_ROTATE_IN <= set(all_queries()), sorted(
+        R15_ROTATE_IN - set(all_queries())
     )
 
 

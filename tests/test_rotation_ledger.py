@@ -47,7 +47,9 @@ from dbt_on_snowflake_spark.registry import (
     R12_ROTATE_IN,
     R13_EXPORT,
     R13_ROTATE_IN,
+    R14_EXPORT,
     R14_ROTATE_IN,
+    R15_ROTATE_IN,
     RETIRED_FROM_ROTATION,
     all_queries,
 )
@@ -170,8 +172,39 @@ def check_policy(
     return errs
 
 
-def test_r13_export_satisfies_rotation_policy():
+def test_r14_export_satisfies_rotation_policy():
     registered = set(all_queries())
+    errs = check_policy(
+        current_round=14,
+        export=R14_EXPORT,
+        rotate_in=R14_ROTATE_IN,
+        next_ledger=R15_ROTATE_IN,
+        registered=registered,
+        retired=set(RETIRED_FROM_ROTATION),
+    )
+    assert not errs, "\n".join(errs)
+
+
+def test_r14_export_needs_zero_slips():
+    """The r14 export, computed against the REAL CORRECTNESS_r13 file,
+    satisfies the policy with NO slip class invoked — every
+    stale-or-rotate-in obligation is exported outright."""
+    registered = set(all_queries())
+    last = correctness_history(13)
+    retired = set(RETIRED_FROM_ROTATION)
+    mandatory = {
+        q
+        for q, n in last.items()
+        if q in registered and q not in retired and n <= 14 - 3
+    } | R14_ROTATE_IN
+    assert mandatory <= R14_EXPORT, sorted(mandatory - R14_EXPORT)
+
+
+def test_r13_export_satisfied_rotation_policy_retroactively():
+    """The retired r13 export stays compliant against the r1–r12
+    history (rows born in r14 — the R15 ledger — had no r13
+    obligation)."""
+    registered = set(all_queries()) - R15_ROTATE_IN
     errs = check_policy(
         current_round=13,
         export=R13_EXPORT,
@@ -181,21 +214,6 @@ def test_r13_export_satisfies_rotation_policy():
         retired=set(RETIRED_FROM_ROTATION),
     )
     assert not errs, "\n".join(errs)
-
-
-def test_r13_export_needs_zero_slips():
-    """The r13 revision's point (VERDICT r12 Next #2): after retirement
-    the export satisfies the policy with NO slip class invoked — every
-    stale-or-rotate-in obligation is exported outright."""
-    registered = set(all_queries())
-    last = correctness_history(12)
-    retired = set(RETIRED_FROM_ROTATION)
-    mandatory = {
-        q
-        for q, n in last.items()
-        if q in registered and q not in retired and n <= 13 - 3
-    } | R13_ROTATE_IN
-    assert mandatory <= R13_EXPORT, sorted(mandatory - R13_EXPORT)
 
 
 def test_retirement_invariants():
@@ -209,7 +227,7 @@ def test_retirement_invariants():
     last = correctness_history(12)
     assert retired <= registered, sorted(retired - registered)
     assert retired <= set(last), sorted(retired - set(last))
-    assert not retired & R13_EXPORT
+    assert not retired & R14_EXPORT
     for row, guard in RETIRED_FROM_ROTATION.items():
         assert guard in registered and guard not in retired, (row, guard)
         assert qs[guard].fn.__module__ == qs[row].fn.__module__, (row, guard)
@@ -221,21 +239,23 @@ def test_retirement_invariants():
     assert len(pool) <= 3 * DRIVER_BUDGET, len(pool)
 
 
-def test_r14_rotation_fits_budget_with_zero_slips():
-    """The R14 draft arithmetic (registry ledger): assuming r13 goes
-    green on R13_EXPORT, the r14 mandatory set — rows last driver-green
-    in r11 or earlier that stay in the pool, plus the r13-born
-    rotate-ins — fits the 50-row budget with no slips."""
+def test_r15_rotation_fits_budget():
+    """The R15 draft arithmetic (registry ledger): assuming r14 goes
+    green on R14_EXPORT, the r15 mandatory set — rows last driver-green
+    in r12 or earlier that stay in the pool, plus the r14-born
+    rotate-ins — fits the 50-row budget. Every r14 birth must either
+    take one of the spare slots (R15_ROTATE_IN) or pair with a
+    retirement; this test is the machine check on that budget."""
     registered = set(all_queries())
     retired = set(RETIRED_FROM_ROTATION)
-    last = correctness_history(12)
-    for q in R13_EXPORT:
-        last[q] = 13  # simulated green r13
+    last = correctness_history(13)
+    for q in R14_EXPORT:
+        last[q] = 14  # simulated green r14
     mandatory = {
         q
         for q, n in last.items()
-        if q in registered and q not in retired and n <= 14 - 3
-    } | R14_ROTATE_IN
+        if q in registered and q not in retired and n <= 15 - 3
+    } | R15_ROTATE_IN
     assert len(mandatory) <= DRIVER_BUDGET, sorted(mandatory)
 
 
