@@ -196,6 +196,60 @@ def fs_create_atomic(spark: SparkSession, path: str, data: bytes) -> None:
         stream.close()
 
 
+# suffix of the staging name fs_replace_atomic publishes through; a
+# reader that may observe a mid-replace crash goes through
+# fs_read_replaceable instead of fs_read
+REPLACE_NEW_SUFFIX = ".new"
+
+
+def fs_replace_atomic(spark: SparkSession, path: str, data: bytes) -> None:
+    """Replace ``path``'s contents so that a crash at ANY point leaves
+    a complete copy readable via ``fs_read_replaceable`` — the
+    crash-window-free rewrite for single-file metadata sidecars (a bare
+    delete-then-create leaves NO file between the two calls; r13
+    verdict Next #4). Protocol (all steps driver-side, sequential):
+
+    1. heal a prior writer's crash: a ``<path>.new`` with no canonical
+       ``path`` is COMPLETE by construction (the canonical is only ever
+       deleted in step 4, strictly after the ``.new`` create+close of
+       step 3 finished) — rename it into place before replacing it; a
+       ``.new`` alongside a live canonical is a superseded or partial
+       leftover of a crash during step 3 — delete it;
+    2. (now no ``.new`` exists)
+    3. write the new contents to ``<path>.new`` (create+close — the
+       file becomes visible only complete: HDFS create+close is
+       atomic, S3A close() issues the single PUT);
+    4. delete the canonical;
+    5. rename ``<path>.new`` -> ``path`` (source is complete, dest is
+       absent — the rename cannot half-apply).
+
+    Readers that never race a replace (the canonical is written once
+    at build time) may keep plain ``fs_read``; anything reattaching or
+    proving state across sessions must use ``fs_read_replaceable``."""
+    path_new = path + REPLACE_NEW_SUFFIX
+    if fs_exists(spark, path_new):
+        if not fs_exists(spark, path):
+            fs_rename(spark, path_new, path)
+        else:
+            fs_delete(spark, path_new)
+    fs_create_atomic(spark, path_new, data)
+    fs_delete(spark, path)
+    fs_rename(spark, path_new, path)
+
+
+def fs_read_replaceable(spark: SparkSession, path: str) -> bytes | None:
+    """Read a file maintained by ``fs_replace_atomic``: the canonical
+    ``path`` when present, else the ``<path>.new`` a writer that
+    crashed between delete and rename left behind (complete by the
+    protocol's step ordering), else None. Never raises on absence."""
+    if fs_exists(spark, path):
+        return fs_read(spark, path)
+    path_new = path + REPLACE_NEW_SUFFIX
+    if fs_exists(spark, path_new):
+        return fs_read(spark, path_new)
+    return None
+
+
 def fs_copy(spark: SparkSession, src: str, dst: str) -> None:
     """Recursive copy (FileUtil.copy) — `clone`'s physical fallback when
     the warehouse has no zero-copy clone primitive. On Delta/Iceberg the

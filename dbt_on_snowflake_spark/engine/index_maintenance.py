@@ -284,12 +284,15 @@ def _swap_rewrite(
     # carry underscore metadata sidecars (e.g. the PQ drift baseline
     # _qstats.json) into the replacement dir — they are invisible to
     # table reads, so the rewrite's data is unaffected, but dropping
-    # the old dir would silently discard them
+    # the old dir would silently discard them. `.json.new` twins come
+    # too: when a crashed fs_replace_atomic left one with no canonical,
+    # the twin IS the sidecar (complete by the replace protocol) and
+    # dropping it would lose the baseline/spec the same way
     from dbt_on_snowflake_spark.engine.fs import fs_copy, fs_list
 
     tmp_loc = table_location(spark, tmp)
     for f in fs_list(spark, loc):
-        if f.startswith("_") and f.endswith(".json"):
+        if f.startswith("_") and f.endswith((".json", ".json.new")):
             fs_copy(
                 spark,
                 posixpath.join(loc, f),

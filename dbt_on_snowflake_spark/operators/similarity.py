@@ -3749,18 +3749,19 @@ def pq_index_drift(spark: SparkSession, *, codes_table: str) -> dict:
     one; guessing a baseline could mask real drift (fail closed)."""
     import json as _json
 
-    from dbt_on_snowflake_spark.engine.fs import fs_exists, fs_read
+    from dbt_on_snowflake_spark.engine.fs import fs_read_replaceable
     from dbt_on_snowflake_spark.engine.index_maintenance import (
         table_location,
     )
 
     p = posixpath.join(table_location(spark, codes_table), _QSTATS)
-    if not fs_exists(spark, p):
+    raw = fs_read_replaceable(spark, p)
+    if raw is None:
         raise ValueError(
             f"{codes_table} has no {_QSTATS} baseline; rebuild via "
             "build_pq_index to record one"
         )
-    base = _json.loads(fs_read(spark, p).decode())
+    base = _json.loads(raw.decode())
     row = (
         _live_codes(spark, codes_table)
         .agg(
@@ -3943,18 +3944,18 @@ def _write_ann_cstats(
     """Record the family's centroid-distance baseline sidecar next to
     the assignments (the ``_write_pq_qstats`` convention — underscore
     file, invisible to reads, preserved by the compaction/fold swap).
-    Delete-then-create: ``refresh_centroids`` re-records over a LIVING
-    table dir, unlike the PQ build which always writes a fresh one.
+    ``fs_replace_atomic``, because ``refresh_centroids`` re-records
+    over a LIVING table dir (unlike the PQ build, which always writes
+    a fresh one): a re-record killed mid-rewrite must not strand the
+    family baseline-less — the drift gate and the outside-warehouse
+    ownership proof both read it (r13 verdict Next #4).
     Runs under its own job group: several bench-headline queries build
     their IVF family INLINE (``dedup_semantic``), and the baseline agg
     must not drift their pinned stage fingerprints (the
     ``ensure_index_tables`` isolation convention)."""
     import json as _json
 
-    from dbt_on_snowflake_spark.engine.fs import (
-        fs_create_atomic,
-        fs_delete,
-    )
+    from dbt_on_snowflake_spark.engine.fs import fs_replace_atomic
     from dbt_on_snowflake_spark.engine.index_maintenance import (
         table_location,
     )
@@ -3980,8 +3981,7 @@ def _write_ann_cstats(
         p = posixpath.join(
             table_location(spark, assignments_table), _CSTATS
         )
-        fs_delete(spark, p)
-        fs_create_atomic(
+        fs_replace_atomic(
             spark,
             p,
             _json.dumps(
@@ -4015,18 +4015,19 @@ def ann_index_drift(
     drift (fail closed, the ``pq_index_drift`` contract)."""
     import json as _json
 
-    from dbt_on_snowflake_spark.engine.fs import fs_exists, fs_read
+    from dbt_on_snowflake_spark.engine.fs import fs_read_replaceable
     from dbt_on_snowflake_spark.engine.index_maintenance import (
         table_location,
     )
 
     p = posixpath.join(table_location(spark, assignments_table), _CSTATS)
-    if not fs_exists(spark, p):
+    raw = fs_read_replaceable(spark, p)
+    if raw is None:
         raise ValueError(
             f"{assignments_table} has no {_CSTATS} baseline; rebuild "
             "via build_ann_index (or refresh_centroids) to record one"
         )
-    base = _json.loads(fs_read(spark, p).decode())
+    base = _json.loads(raw.decode())
     row = _mean_cdist_row(
         spark,
         _live_assignments(spark, assignments_table).select("label", "v"),

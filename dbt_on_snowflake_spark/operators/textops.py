@@ -1959,3 +1959,109 @@ def text_bm25_topk_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topn_indexed(
         spark, sf_dir, BM25_TOP_N, tables=(stats_t, postings_t, doclen_t)
     )
+
+
+def ensure_deleted_text_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str, str]:
+    """Build-once the GATED text-index state — full-corpus build + one
+    un-folded ``text_index_delete`` batch — behind the shared ensure
+    scaffold (fingerprinted suffix, job-group isolated, superseded-
+    suffix GC): the steady-state artifact ``text_bm25_topk_deleted_
+    served`` benches. A commit MARKER table is created LAST and probed
+    FIRST (the ``ensure_appended_pq_index`` convention): the delete
+    step grows no probe-able table of its own (tombstones are a side
+    table), so a crash between build and delete would otherwise leave
+    a complete-looking family serving UNGATED — the marker makes that
+    crash re-run the whole build."""
+    from dbt_on_snowflake_spark.testdata import (
+        ensure_index_tables,
+        index_suffix,
+    )
+
+    suffix = index_suffix(spark, sf_dir, "textdls", "documents")
+    stats_t = f"bm25_stats_dls_{suffix}"
+    postings_t = f"bm25_postings_dls_{suffix}"
+    doclen_t = f"bm25_doclen_dls_{suffix}"
+    marker_t = f"bm25_delgate_dls_{suffix}"
+
+    def build() -> None:
+        from dbt_on_snowflake_spark.engine.index_delete import (
+            mark_engine_dir,
+        )
+        from dbt_on_snowflake_spark.operators.dedup import (
+            _drop_managed_table,
+        )
+
+        # invalidate the marker FIRST: a rebuild that crashes mid-way
+        # must not leave a stale marker satisfying the probe over an
+        # ungated family (the ensure_appended_pq_index crash model)
+        _drop_managed_table(spark, marker_t)
+        d = table(spark, sf_dir, "documents")
+        build_text_index(
+            spark,
+            d,
+            stats_table=stats_t,
+            postings_table=postings_t,
+            doclen_table=doclen_t,
+        )
+        text_index_delete(
+            spark,
+            d.filter(F.expr(_NEW_DOCS_PRED)).select("doc_id"),
+            stats_table=stats_t,
+            postings_table=postings_t,
+            doclen_table=doclen_t,
+        )
+        spark.createDataFrame(
+            [(1,)], "gated int"
+        ).write.mode("overwrite").saveAsTable(marker_t)
+        mark_engine_dir(spark, marker_t)
+
+    ensure_index_tables(
+        spark,
+        tables=(marker_t, stats_t, postings_t, doclen_t),
+        job_group="text_deleted_index",
+        gc_prefixes=(
+            "bm25_stats_dls_",
+            "bm25_postings_dls_",
+            "bm25_doclen_dls_",
+            "bm25_delgate_dls_",
+            "bm25_tombstones_dls_",
+        ),
+        gc_suffix=suffix,
+        build=build,
+    )
+    return stats_t, postings_t, doclen_t
+
+
+@query(
+    "text_bm25_topk_deleted_served",
+    driver=False,  # r14-born: R15_ROTATE_IN
+    oracle=f"""
+    WITH {bm25_ranked_cte(
+        BM25_TOP_N,
+        docs_src=f"(SELECT * FROM documents WHERE {_BASE_DOCS_PRED})",
+    )}
+    SELECT doc_id, score, rank FROM b_ranked
+    """,
+    headline=True,  # benched: what the delete gate COSTS a serve —
+    # paired with the pristine twin text_bm25_topk_indexed, the delta
+    # is the broadcast anti-join + the live n_docs/avgdl recompute the
+    # nightly fold exists to remove (r13 verdict Next #3)
+)
+def text_bm25_topk_deleted_served(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``text_bm25_topk_deleted``'s STEADY-STATE twin: the gated index
+    (full build + un-folded delete batch) is built once behind
+    ``ensure_deleted_text_index``; every call after the first is a
+    pure GATED serve — broadcast anti-join on the tombstones plus the
+    live-stats recompute (the most expensive gate variant: BM25 idf
+    shifts when n_docs/df shrink). Same oracle as the per-call-rebuild
+    verification row: serving the gate many times must not change a
+    row. The bench pairs this with ``text_bm25_topk_indexed`` (the
+    pristine serve) so BENCH_r14+ records the gate's cost — the
+    quantity the shipped nightly fold (examples/curation/tasks.yml)
+    exists to reclaim."""
+    tables = ensure_deleted_text_index(spark, sf_dir)
+    return bm25_topn_indexed(spark, sf_dir, BM25_TOP_N, tables=tables)

@@ -264,16 +264,24 @@ QUERIES: dict[str, RegisteredQuery] = {}
 #   (50/50 green, key set == R13_EXPORT exactly; post-r13 last-green
 #   histogram over the 148-row pool recomputed as r11 x46 / r12 x50 /
 #   r13 x50 + the 2 never-checked R14_ROTATE_IN rows) and executed
-#   VERBATIM: the 46 window-hard r11-green rows + the 2 R14_ROTATE_IN
-#   rows (first-ever driver checks for the r13-born delete-serve
-#   twins) + the 2 drafted fills (s4_source_passthrough,
-#   p2_projection_rename) = 50 exactly, ZERO slips.
+#   with ONE documented fill swap: the 46 window-hard r11-green rows +
+#   the 2 R14_ROTATE_IN rows (first-ever driver checks for the
+#   r13-born delete-serve twins) + 2 fills = 50 exactly, ZERO slips.
+#   Fill deviation: the draft's p2_projection_rename is replaced by
+#   a_unpivot_status_revenue — the drafted fill pair left the export
+#   with no a_* family representative (the family-coverage invariant
+#   test_driver_export_within_budget enforces; the draft was computed
+#   before r13's fills moved a_grouping_sets_status_priority out of
+#   the r14 pool), and a_unpivot is r12-green + r15-mandatory, so
+#   pulling it forward lightens r15 exactly like the trivial it
+#   replaces (p2 slides back into the r15 mandatory block — same 48
+#   count, and p2 is a TRIVIAL_SLIPS member with window room to r16).
 # - R15 DRAFT (computed at r14 start; re-verify against the actual
 #   CORRECTNESS_r14 file at r15 start): assuming r14 goes green on
 #   R14_EXPORT, the post-r14 histogram is r12 x48 / r13 x50 / r14 x50
 #   (+ any r14 births). r15 mandatory = the 48 r12-green rows
 #   (window-hard at r15): a_approx_sketches, a_exact_distinct_median,
-#   a_unpivot_status_revenue, ann_centroids,
+#   p2_projection_rename (trivial, also window-OK to r16), ann_centroids,
 #   ann_ivf_multiprobe_indexed, ann_pq_adc_appended,
 #   ann_pq_adc_indexed, ann_pq_adc_ingest_streaming,
 #   ann_semantic_ingest_streaming, asof_last_order_before_event,
@@ -646,7 +654,11 @@ R13_EXPORT = {
 # driver-checked). Keep this current as queries are born; at most 2
 # fit the r15 draft's spare slots — further births need a paired
 # retirement (see the R15 DRAFT ledger entry above).
-R15_ROTATE_IN: set[str] = set()
+R15_ROTATE_IN: set[str] = {
+    # the gated-serve bench headline (r13 verdict Next #3) — takes the
+    # first of the 2 spare r15 slots
+    "text_bm25_topk_deleted_served",
+}
 
 # The authoritative r14 export set: the r13 ledger draft, re-verified
 # against CORRECTNESS_r13 at r14 start and executed verbatim (zero
@@ -704,10 +716,13 @@ R14_EXPORT = {
     # twins' first-ever driver rows)
     "dedup_semantic_deleted",
     "multimodal_embed_topk_deleted",
-    # the 2 drafted fills from the r12-greens: the twice-window-
-    # pressured trivials, pulled forward to lighten the r15 block
+    # the 2 fills from the r12-greens: the twice-window-pressured
+    # trivial s4, plus a_unpivot_status_revenue (drafted: p2 — swapped
+    # to keep an a_* family representative exported, see the ledger
+    # deviation note above; both fills are r15-mandatory rows pulled
+    # forward, so the r15 block is lightened either way)
     "s4_source_passthrough",
-    "p2_projection_rename",
+    "a_unpivot_status_revenue",
 }
 
 

@@ -1309,9 +1309,10 @@ def test_reattach_schema_fallback_is_warehouse_only(spark, tmp_path):
     """r13 review pass 4, finding 2: the sidecar-less schema fallback
     applies only inside the warehouse namespace — at a foreign
     location a one-column parquet is a plausible name collision, so
-    the attach refuses (documented residual: an outside-warehouse
-    crash-window family serves ungated until the next delete heals
-    it)."""
+    the attach refuses. (No crash window needs the fallback there
+    anymore: _write_sidecar replaces via fs_replace_atomic, so a real
+    family always presents the canonical sidecar or its complete .new
+    twin — test_reattach_survives_sidecar_crash_at_foreign_location.)"""
     import os
 
     from dbt_on_snowflake_spark.engine.index_delete import (
@@ -1485,3 +1486,211 @@ def test_marked_leftover_rebuilds_without_attach(spark, tmp_path):
         assert spark.table(name).select("doc_id").distinct().count() == 2
     finally:
         spark.sql("DROP DATABASE tombmk CASCADE")
+
+
+def test_fs_replace_atomic_crash_windows(spark, tmp_path):
+    """fs_replace_atomic (r13 verdict Next #4): every crash point of
+    the create-new -> delete-old -> rename protocol leaves a complete
+    copy readable via fs_read_replaceable, and the next writer heals
+    the leftovers."""
+    import os
+
+    from dbt_on_snowflake_spark.engine.fs import (
+        fs_read_replaceable,
+        fs_replace_atomic,
+    )
+
+    p = str(tmp_path / "spec.json")
+    fs_replace_atomic(spark, p, b"v1")
+    assert fs_read_replaceable(spark, p) == b"v1"
+    assert not os.path.exists(p + ".new")
+
+    # crash during the .new create: partial twin alongside a live
+    # canonical -> reader uses the canonical; next writer replaces
+    open(p + ".new", "w").write("torn")
+    assert fs_read_replaceable(spark, p) == b"v1"
+    fs_replace_atomic(spark, p, b"v2")
+    assert fs_read_replaceable(spark, p) == b"v2"
+    assert not os.path.exists(p + ".new")
+
+    # crash between delete and rename: canonical gone, .new complete
+    # (it only ever vanishes AFTER the create+close finished) ->
+    # reader resolves the twin; the next writer heals then replaces
+    os.rename(p, p + ".new")
+    assert fs_read_replaceable(spark, p) == b"v2"
+    fs_replace_atomic(spark, p, b"v3")
+    assert fs_read_replaceable(spark, p) == b"v3"
+    assert os.path.exists(p) and not os.path.exists(p + ".new")
+
+
+def test_reattach_survives_sidecar_crash_at_foreign_location(
+    spark, tmp_path
+):
+    """r13 verdict Next #4's Done criterion: a family in a FOREIGN
+    (outside-warehouse custom-LOCATION) database whose sidecar rewrite
+    was killed between delete and rename must still re-attach in a
+    fresh session — the complete `.new` twin fs_replace_atomic leaves
+    is the proof — so the delete gate holds where the old
+    delete-then-create protocol served resurrected deletes (the
+    deleted :249 residual trade)."""
+    import os
+    import shutil
+
+    from dbt_on_snowflake_spark.engine.index_delete import (
+        reattach_tombstones,
+    )
+    from dbt_on_snowflake_spark.operators.dedup import _live_index
+
+    floc = str(tmp_path / "foreign_cw")
+    os.makedirs(floc)
+    spark.sql(f"CREATE DATABASE tombcw LOCATION '{floc}'")
+    try:
+        docs = spark.createDataFrame(
+            [
+                (1, " ".join(f"w{i}" for i in range(30))),
+                (2, " ".join(f"z{i}" for i in range(30))),
+            ],
+            "doc_id long, text string",
+        )
+        build_minhash_index(
+            spark, docs, index_table="tombcw.mh_band_index_cw"
+        )
+        minhash_index_delete(
+            spark,
+            spark.createDataFrame([(1,)], "doc_id long"),
+            index_table="tombcw.mh_band_index_cw",
+        )
+        tomb_loc = table_location(
+            spark, "tombcw.mh_tombstones_cw"
+        ).removeprefix("file:")
+        # kill between delete-old and rename: canonical gone, the
+        # complete .new twin still present
+        os.rename(
+            os.path.join(tomb_loc, "_tombstones.json"),
+            os.path.join(tomb_loc, "_tombstones.json.new"),
+        )
+        # session boundary: catalog forgets, files persist
+        for t in ("tombcw.mh_band_index_cw", "tombcw.mh_tombstones_cw"):
+            loc = table_location(spark, t).removeprefix("file:")
+            stash = str(tmp_path / t.replace(".", "_"))
+            shutil.copytree(loc, stash)
+            spark.sql(f"DROP TABLE {t}")
+            shutil.copytree(stash, loc)
+        from dbt_on_snowflake_spark.operators.dedup import (
+            attach_minhash_index,
+        )
+
+        attach_minhash_index(spark, "tombcw.mh_band_index_cw")
+        assert spark.catalog.tableExists("tombcw.mh_tombstones_cw")
+        # the direct hook agrees (idempotent on the attached table)
+        assert reattach_tombstones(spark, "tombcw.mh_tombstones_cw")
+        live = {
+            r.doc_id
+            for r in _live_index(spark, "tombcw.mh_band_index_cw")
+            .select("doc_id")
+            .distinct()
+            .collect()
+        }
+        assert live == {2}  # the gate held across the crash window
+        # the next delete replaces the sidecar and clears the twin
+        minhash_index_delete(
+            spark,
+            spark.createDataFrame([(2,)], "doc_id long"),
+            index_table="tombcw.mh_band_index_cw",
+        )
+        assert os.path.exists(os.path.join(tomb_loc, "_tombstones.json"))
+        assert not os.path.exists(
+            os.path.join(tomb_loc, "_tombstones.json.new")
+        )
+    finally:
+        spark.sql("DROP DATABASE tombcw CASCADE")
+
+
+def test_fold_resolves_sidecar_crash_twin(spark):
+    """A fold arriving after a mid-rewrite crash (canonical sidecar
+    gone, complete .new twin present) must still fold — refusing would
+    wedge the family on 'no sidecar' until an unrelated delete healed
+    it."""
+    import os
+
+    stats, postings, doclen = _build_text(spark, "cwfold")
+    text_index_delete(
+        spark,
+        _docs(spark).filter(F.expr(DEL_PRED)).select("doc_id"),
+        stats_table=stats,
+        postings_table=postings,
+        doclen_table=doclen,
+    )
+    tomb = _text_tombstones(postings)
+    tomb_loc = table_location(spark, tomb).removeprefix("file:")
+    os.rename(
+        os.path.join(tomb_loc, "_tombstones.json"),
+        os.path.join(tomb_loc, "_tombstones.json.new"),
+    )
+    assert fold_tombstones(spark, tomb) is not None
+    # folded members match a from-scratch filtered build
+    s2, p2, d2 = _build_text(spark, "cwfold_ref", pred=KEEP_PRED)
+    assert _rows(
+        spark.table(postings).orderBy("term", "doc_id")
+    ) == _rows(spark.table(p2).orderBy("term", "doc_id"))
+    for t in (stats, postings, doclen, s2, p2, d2, tomb):
+        _drop_managed_table(spark, t)
+
+
+def test_engine_owned_dir_validates_content_outside_warehouse(
+    spark, tmp_path
+):
+    """r13 advice #1: outside the warehouse, the mere PRESENCE of a
+    generically-named file (_merge.json, _qstats.json, _cstats.json)
+    is not ownership — other tooling sharing a custom-LOCATION
+    database dir could plausibly write those names. The gate must
+    parse each candidate and require the engine writer's key
+    signature, failing toward NOT deleting on any mismatch."""
+    import json as _json
+    import os
+
+    from dbt_on_snowflake_spark.engine.index_delete import (
+        ENGINE_MARK,
+        engine_owned_dir,
+    )
+
+    d = str(tmp_path / "shared")
+    os.makedirs(d)
+    assert not engine_owned_dir(spark, d)  # empty
+
+    # name collisions without the writer's signature: NOT proof
+    open(os.path.join(d, "_merge.json"), "w").write(
+        _json.dumps({"tool": "someone-else", "v": 3})
+    )
+    open(os.path.join(d, "_qstats.json"), "w").write("not json {")
+    open(os.path.join(d, "_cstats.json"), "w").write(
+        _json.dumps(["a", "list"])
+    )
+    open(os.path.join(d, ENGINE_MARK), "w").write(
+        _json.dumps({"owner": "other-engine"})
+    )
+    assert not engine_owned_dir(spark, d)
+
+    # the real signatures ARE proof — each alone suffices
+    for name, body in [
+        ("_merge.json", {"keys": ["k"], "merge": {"n": "sum"}}),
+        ("_qstats.json", {"base_mean_qerr": 0.1, "n_rows": 10}),
+        ("_cstats.json", {"base_mean_cdist": 0.2, "n_rows": 10}),
+        (ENGINE_MARK, {"owner": "dbt_on_snowflake_spark"}),
+        (
+            "_tombstones.json",
+            {"id_col": "doc_id", "members": [], "refresh": None},
+        ),
+    ]:
+        d2 = str(tmp_path / f"own_{name.strip('_').split('.')[0]}")
+        os.makedirs(d2)
+        open(os.path.join(d2, name), "w").write(_json.dumps(body))
+        assert engine_owned_dir(spark, d2), name
+
+    # a .new twin from a crashed replace proves ownership the same way
+    d3 = str(tmp_path / "own_twin")
+    os.makedirs(d3)
+    open(os.path.join(d3, ENGINE_MARK + ".new"), "w").write(
+        _json.dumps({"owner": "dbt_on_snowflake_spark"})
+    )
+    assert engine_owned_dir(spark, d3)

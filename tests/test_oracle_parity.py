@@ -54,6 +54,7 @@ _BNLJ_OK = {
     "text_index_ingest_streaming",  # same indexed-serve 1-row stats side
     "ann_filtered_rerank_indexed",  # 1-row codebook + capped query-LUT side
     "text_bm25_topk_deleted",  # 1-row live-stats x pruned-df broadcast
+    "text_bm25_topk_deleted_served",  # steady-state twin, same 1-row sides
     "text_bm25_topk_updated",  # same 1-row stats x pruned-df sides
     "ann_pq_adc_deleted",  # gated-codes twin of ann_pq_adc_topk
     "ann_pq_adc_appended_served",  # steady-state twin, same 1-row sides
@@ -146,10 +147,12 @@ def test_driver_export_within_budget():
 def test_r14_rotation_promises_kept():
     """The r14 rotation: the r13 ledger draft re-verified against
     CORRECTNESS_r13 (50/50 green, key set == R13_EXPORT exactly) and
-    executed verbatim — the 46 window-hard r11-green rows, both
-    r13-born never-driver-checked rows (R14_ROTATE_IN: the
-    delete-serve twins' first driver checks), and the 2 drafted
-    trivial fills = 50, zero slips. Pin them so a later edit can't
+    executed with one documented fill swap (registry ledger: p2 ->
+    a_unpivot_status_revenue, keeping an a_* family representative
+    exported) — the 46 window-hard r11-green rows, both r13-born
+    never-driver-checked rows (R14_ROTATE_IN: the delete-serve twins'
+    first driver checks), and 2 fills = 50, zero slips. Pin them so a
+    later edit can't
     silently demote one before the driver sees it. (The full staleness
     arithmetic is machine-checked against the CORRECTNESS_r*.json
     history in tests/test_rotation_ledger.py.)"""
@@ -171,7 +174,7 @@ def test_r14_rotation_promises_kept():
     retired = set(RETIRED_FROM_ROTATION)
     r11_green = (R11_EXPORT - retired) - R12_EXPORT - R13_EXPORT
     assert len(r11_green) == 46, len(r11_green)
-    fills = {"s4_source_passthrough", "p2_projection_rename"}
+    fills = {"s4_source_passthrough", "a_unpivot_status_revenue"}
     assert r11_green <= exported, sorted(r11_green - exported)
     assert R14_ROTATE_IN <= exported, sorted(R14_ROTATE_IN - exported)
     assert fills <= exported

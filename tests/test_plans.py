@@ -554,6 +554,12 @@ _HEADLINE_MAX_SHUFFLES = {
     # exchanges (incl. the same collapsed-matches df row as
     # text_bm25_topk_indexed); dense half + fusion add none (bounded
     # lists)
+    "text_bm25_topk_deleted_served": 4,  # the GATED twin of
+    # text_bm25_topk_indexed (pinned at 3): the tombstone anti-joins
+    # stay broadcast (no exchange), and the one extra shuffle is the
+    # live n_docs/avgdl recompute over the gated doclen — exactly the
+    # cost the nightly fold reclaims; the r14 bench records the pair's
+    # delta (r13 verdict Next #3)
 
     "ann_pq_codes_hof": 3,  # encode-stage A/B twin
     "ann_topk_bruteforce": 1,

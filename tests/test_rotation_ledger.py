@@ -261,10 +261,10 @@ def test_r15_rotation_fits_budget():
 
 def test_r12_export_satisfied_rotation_policy_retroactively():
     """The retired r12 export stays compliant against the r1–r11
-    history. Rows born after r12 (the R14 ledger) and the r13
+    history. Rows born after r12 (the R14/R15 ledgers) and the r13
     retirement had no r12 obligation, so the audit runs with the
     then-empty retired set and the then-known registered pool."""
-    registered = set(all_queries()) - R14_ROTATE_IN
+    registered = set(all_queries()) - R14_ROTATE_IN - R15_ROTATE_IN
     errs = check_policy(
         current_round=12,
         export=R12_EXPORT,
@@ -280,7 +280,11 @@ def test_r11_export_satisfied_rotation_policy_retroactively():
     history (rows born after r11 had no r11 obligation, so the
     never-checked clause is confined to the then-known ledger)."""
     registered = (
-        set(all_queries()) - R12_ROTATE_IN - R13_ROTATE_IN - R14_ROTATE_IN
+        set(all_queries())
+        - R12_ROTATE_IN
+        - R13_ROTATE_IN
+        - R14_ROTATE_IN
+        - R15_ROTATE_IN
     )
     errs = check_policy(
         current_round=11,
