@@ -1195,6 +1195,32 @@ def main(argv: list[str] | None = None) -> int:
                         else f"{db.name}.{t.name}"
                     )
             families = sorted(families)
+        # --select / --exclude narrow the sweep: comma-separated
+        # fnmatch patterns matched against the qualified AND the bare
+        # family name. A scheduled gate-mode sweep exits 2 on any
+        # ungateable family (fail closed), but some families are
+        # legitimately ungateable forever — ephemeral verification
+        # leftovers (pq_codes_semdel_*/pq_codes_mmdel_*), families
+        # built from a different corpus than --corpus — and a cron
+        # that alarms perpetually with no in-band remedy signals
+        # nothing (r13 advice #3). The shipped weekly task
+        # (examples/curation/tasks.yml) carves the known ephemeral
+        # suffixes out with --exclude.
+        import fnmatch
+
+        def _fam_match(fam: str, patterns: list[str]) -> bool:
+            base = fam.rsplit(".", 1)[-1]
+            return any(
+                fnmatch.fnmatch(fam, p) or fnmatch.fnmatch(base, p)
+                for p in patterns
+            )
+
+        if args.select:
+            pats = [p.strip() for p in args.select.split(",") if p.strip()]
+            families = [f for f in families if _fam_match(f, pats)]
+        if args.exclude:
+            pats = [p.strip() for p in args.exclude.split(",") if p.strip()]
+            families = [f for f in families if not _fam_match(f, pats)]
         skipped = 0
         from pyspark.errors import AnalysisException
         for fam in families:

@@ -925,7 +925,7 @@ def _drop_managed_table(spark: SparkSession, name: str) -> None:
     would then be RE-ATTACHED by the next attach/delete triage,
     resurrecting pre-rebuild deletes onto a freshly rebuilt index
     (r13 review, finding 2)."""
-    from dbt_on_snowflake_spark.engine.fs import fs_delete
+    from dbt_on_snowflake_spark.engine.fs import fs_delete, fs_exists
     from dbt_on_snowflake_spark.engine.index_delete import (
         _managed_location,
         engine_owned_dir,
@@ -936,11 +936,30 @@ def _drop_managed_table(spark: SparkSession, name: str) -> None:
 
     if "." not in name:
         # a temp view shadowing the family name resolves FIRST in
-        # DESCRIBE and DROP alike: remove it up front so the REAL
-        # table (if any) is what gets located and dropped — otherwise
-        # the view is dropped, the table stays cataloged, and the
-        # fall-through sweep destroys the live table's dir out from
-        # under it (r13 review pass 5, finding 2)
+        # DESCRIBE and DROP alike: it must be removed up front so the
+        # REAL table (if any) is what gets located and dropped —
+        # otherwise the view is dropped, the table stays cataloged,
+        # and the fall-through sweep destroys the live table's dir out
+        # from under it (r13 review pass 5, finding 2). But ONLY when
+        # something real is being shadowed: a cataloged table at the
+        # session-database-qualified name (qualification bypasses view
+        # resolution) or an EXISTING engine-owned dir at the managed
+        # location. A same-named user view over a name no index family
+        # occupies is session state this rebuild has no claim on (r13
+        # advice #2) — and with nothing cataloged and no owned dir
+        # there is nothing to drop or delete either, so return without
+        # touching it (an unproven foreign dir is likewise left for
+        # the next CREATE to fail loudly on — the index_delete triage
+        # convention).
+        if not spark.catalog.tableExists(
+            f"{spark.catalog.currentDatabase()}.{name}"
+        ):
+            stale = _managed_location(spark, name)
+            if not (
+                fs_exists(spark, stale)
+                and engine_owned_dir(spark, stale)
+            ):
+                return
         spark.catalog.dropTempView(name)
     loc = None
     if spark.catalog.tableExists(name):

@@ -215,6 +215,44 @@ def test_reindex_cli_skips_ungateable_family_fail_closed(
         _drop_managed_table(spark, "pq_codes_nobase")
 
 
+def test_reindex_cli_exclude_carves_out_ephemeral_families(
+    spark, tmp_path, capsys
+):
+    """r13 advice #3: gate mode fails closed (exit 2) on ungateable
+    families, but some are legitimately ungateable forever (ephemeral
+    verification leftovers, foreign-corpus families) — --exclude /
+    --select (comma-separated fnmatch over qualified and bare names)
+    carve them out so the scheduled sweep's alarm signals only
+    actionable gaps. The same baseline-less family that alarms by name
+    passes silently when excluded, and a --select that matches nothing
+    gates nothing."""
+    from dbt_on_snowflake_spark.__main__ import main
+    from dbt_on_snowflake_spark.operators.dedup import (
+        _drop_managed_table,
+    )
+
+    spark.createDataFrame(
+        [(1,)], "vec_id long"
+    ).write.mode("overwrite").saveAsTable("pq_codes_semdel_r14x")
+    try:
+        root = _proj(tmp_path)
+        base = [
+            "reindex", "--project", root, "--corpus", SF_SMOKE,
+            "--when-drifted", "1.5",
+            "--codes-table", "pq_codes_semdel_r14x",
+        ]
+        assert main(base) == 2  # alarms un-excluded (fail closed)
+        assert "SKIPPED" in capsys.readouterr().err
+        assert (
+            main(base + ["--exclude", "pq_codes_semdel_*,pq_codes_mmdel_*"])
+            == 0
+        )
+        assert "SKIPPED" not in capsys.readouterr().err
+        assert main(base + ["--select", "no_such_family_*"]) == 0
+    finally:
+        _drop_managed_table(spark, "pq_codes_semdel_r14x")
+
+
 def test_retrain_refuses_out_of_corpus_families(spark):
     """``retrain_pq_family`` fails closed when live vec_ids are not
     covered by the corpus embeddings — retraining on the intersection

@@ -1029,6 +1029,34 @@ def test_drop_managed_table_leaves_foreign_location_dirs(spark, tmp_path):
         shutil.rmtree(floc, ignore_errors=True)
 
 
+def test_drop_managed_table_spares_unrelated_temp_view(spark):
+    """r13 advice #2: a user temp view over a name NO index family
+    occupies (no cataloged table at the qualified name, no engine-owned
+    dir) is session state the rebuild has no claim on —
+    ``_drop_managed_table`` must leave it. When the view DOES shadow a
+    cataloged table it is still removed so the real table (not the
+    view) is what gets located and dropped (r13 review pass 5,
+    finding 2)."""
+    spark.range(3).createOrReplaceTempView("free_name_r14adv2")
+    try:
+        _drop_managed_table(spark, "free_name_r14adv2")
+        assert spark.catalog.tableExists("free_name_r14adv2"), (
+            "unrelated temp view destroyed by a no-op slate reset"
+        )
+    finally:
+        spark.catalog.dropTempView("free_name_r14adv2")
+
+    spark.createDataFrame([(1,)], "a long").write.mode(
+        "overwrite"
+    ).saveAsTable("shadowed_tbl_r14adv2")
+    spark.range(3).createOrReplaceTempView("shadowed_tbl_r14adv2")
+    _drop_managed_table(spark, "shadowed_tbl_r14adv2")
+    assert not spark.catalog.tableExists("shadowed_tbl_r14adv2"), (
+        "shadowing view must be dropped WITH the real table so the "
+        "slate reset reaches the cataloged entry"
+    )
+
+
 def test_reattach_refuses_sidecarless_foreign_dir(spark, tmp_path):
     """r13 review pass 2, finding 5: committed parquet at the derived
     tombstone location WITHOUT the _tombstones.json sidecar is not

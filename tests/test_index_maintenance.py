@@ -854,3 +854,93 @@ def test_shipped_maintenance_task_restores_pristine_serve_plan(
     post = bm25_topn_indexed(spark, SF_SMOKE, BM25_TOP_N, tables=names)
     assert "LeftAnti" not in explain_str(post)
     assert sorted(map(tuple, post.collect())) == served_gated
+
+
+def test_shipped_maintenance_restores_pristine_pq_and_ivf_serves(
+    spark, tmp_path, capsys
+):
+    """r13 verdict Next #7: the BM25 lifecycle above proves
+    delete -> scheduled tick -> fold -> pristine through the shipped
+    tasks.yml, but the PQ and IVF fold paths differ (codes vs
+    assignment members), so compose the SAME lifecycle over one family
+    of each — a single nightly tick folds BOTH, the tombstone tables
+    drop, and each serve returns to the gate-free plan with rows
+    identical to the gated serve (the fold is a physical no-op on the
+    serve result)."""
+    import shutil
+
+    from dbt_on_snowflake_spark.__main__ import main
+    from dbt_on_snowflake_spark.operators.similarity import (
+        _NEW_BATCH_PRED,
+        _QUERY_PRED,
+        TOP_K,
+        _adc_serve,
+        _ann_tombstones,
+        _live_assignments,
+        _live_codes,
+        _multiprobe_topk,
+        _pq_tombstones,
+        _vectors,
+        ann_index_delete,
+        build_ann_index,
+        build_pq_index,
+        pq_index_delete,
+    )
+    from dbt_on_snowflake_spark.plans import explain_str
+
+    e = _vectors(spark, SF_SMOKE)
+    cb_t, cd_t = "pq_codebook_tships2", "pq_codes_tships2"
+    build_pq_index(spark, e, codebook_table=cb_t, codes_table=cd_t)
+    ivf_cb, ivf_asg = "ann_centroids_tships2", "ann_assignments_tships2"
+    build_ann_index(
+        spark, e, centroids_table=ivf_cb, assignments_table=ivf_asg
+    )
+
+    def pq_serve():
+        return _adc_serve(spark, e, cb_t, _live_codes(spark, cd_t), TOP_K)
+
+    def ivf_serve():
+        q = F.broadcast(e.filter(F.expr(_QUERY_PRED))).alias("q")
+        corpus = _live_assignments(spark, ivf_asg).select(
+            "vec_id", "label", "v"
+        )
+        return _multiprobe_topk(q, spark.table(ivf_cb), corpus)
+
+    assert "LeftAnti" not in explain_str(pq_serve())
+    assert "LeftAnti" not in explain_str(ivf_serve())
+
+    ids = e.filter(F.expr(_NEW_BATCH_PRED)).select("vec_id")
+    pq_index_delete(spark, ids, codes_table=cd_t)
+    ann_index_delete(spark, ids, assignments_table=ivf_asg)
+    gated_pq, gated_ivf = pq_serve(), ivf_serve()
+    assert "LeftAnti" in explain_str(gated_pq)  # paying the gate
+    assert "LeftAnti" in explain_str(gated_ivf)
+    rows_pq = sorted(map(tuple, gated_pq.collect()))
+    rows_ivf = sorted(map(tuple, gated_ivf.collect()))
+    tombs = (_pq_tombstones(cd_t), _ann_tombstones(ivf_asg))
+    assert all(spark.catalog.tableExists(t) for t in tombs)
+
+    # the shipped default, verbatim — a fresh project journal, so the
+    # nightly tick fires for this test regardless of the BM25 run above
+    root = str(tmp_path / "shipproj2")
+    os.makedirs(f"{root}/models", exist_ok=True)
+    open(f"{root}/project.yml", "w").write("name: shipproj2\n")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    shutil.copy(
+        os.path.join(repo, "examples", "curation", "tasks.yml"),
+        os.path.join(root, "tasks.yml"),
+    )
+    rc = main(["task", "run-due", "--project", root,
+               "--now", "2026-08-15T02:30:40"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "nightly_index_maintenance" in out and "success" in out
+    for t in tombs:
+        assert f"folded tombstones {t}" in out
+        assert not spark.catalog.tableExists(t)
+
+    post_pq, post_ivf = pq_serve(), ivf_serve()
+    assert "LeftAnti" not in explain_str(post_pq)
+    assert "LeftAnti" not in explain_str(post_ivf)
+    assert sorted(map(tuple, post_pq.collect())) == rows_pq
+    assert sorted(map(tuple, post_ivf.collect())) == rows_ivf
