@@ -1,0 +1,211 @@
+"""Synthetic corpus scale-up: derive an N-x copy of a testdata sf dir
+by unioning key-shifted copies of the SF-growing tables (r13 verdict
+Next #6 — the empirical probe behind SCALING.md's 100x posture
+arguments).
+
+Design choices mirror how a real corpus grows, so a probe over the
+derived dir measures the engine, not an artifact of the derivation:
+
+- Fact tables grow, the catalog doesn't: lineitem/orders/customer/
+  documents/embeddings get ``factor`` key-shifted copies; region/
+  nation/part/supplier are copied verbatim (10x more orders over the
+  same parts and suppliers — the broadcast-stability case the probe
+  exists to check).
+- Foreign keys stay consistent: each copy i shifts o_orderkey and
+  l_orderkey by the same ``i * (max_orderkey + 1)``, and o_custkey with
+  c_custkey likewise, so join hit-rates and fan-outs are exactly the
+  base dir's at every copy.
+- Document copies must NOT be near-dups of each other: a naive 10x
+  text copy makes every doc a 10-way near-dup cluster, which inflates
+  LSH candidate pairs quadratically — a property of the synthetic
+  data, not of any real 10x corpus. Each copy instead rotates two
+  disjoint character classes (vowels x 'rstln', 25 distinct bijections
+  — injective, so WITHIN-copy near-dup structure is preserved exactly
+  while cross-copy shingle overlap collapses to ~0). Verified-pair
+  output therefore scales linearly: factor x the base pairs.
+- Embedding copies get a tiny per-copy additive offset (i * 1e-3):
+  distances and label structure are essentially unchanged, but exact
+  ties across copies (another synthetic-only artifact) are broken.
+
+Everything is declarative DataFrame work — the only driver-side values
+are the per-table 1-row max-key aggregates. The write is a plain
+parquet mirror of the testdata layout (``<table>.parquet`` dirs), so
+every ``queries()`` entry runs against the derived dir unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import posixpath
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# tables copied verbatim: fixed-cardinality dims plus the catalog
+# tables that a growing order stream keeps referencing
+VERBATIM_TABLES = ("region", "nation", "part", "supplier")
+
+_VOWELS = "aeiou"
+_CONSONANTS = "rstln"
+
+MARKER = "_scale_probe.json"
+
+
+def _rot(s: str, k: int) -> str:
+    k %= len(s)
+    return s[k:] + s[:k]
+
+
+def _copy_translation(i: int) -> tuple[str, str]:
+    """Bijective per-copy character remap: vowels rotated by i%5,
+    'rstln' by (i//5)%5 — 25 distinct maps, copy 0 is the identity."""
+    src = _VOWELS + _VOWELS.upper() + _CONSONANTS + _CONSONANTS.upper()
+    v = _rot(_VOWELS, i % 5)
+    c = _rot(_CONSONANTS, (i // 5) % 5)
+    dst = v + v.upper() + c + c.upper()
+    return src, dst
+
+
+def _max_plus_one(df: DataFrame, col: str) -> int:
+    # 1-row aggregate: the key-domain stride for the shifted copies
+    row = df.agg(F.max(F.col(col)).alias("m")).collect()[0]
+    return int(row["m"]) + 1
+
+
+def _copies(df: DataFrame, factor: int, transform) -> DataFrame:
+    out = None
+    for i in range(factor):
+        c = transform(df, i)
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+def derive_scaled_dir(
+    spark: SparkSession,
+    base_dir: str,
+    out_dir: str,
+    factor: int = 10,
+) -> str:
+    """Write a ``factor``-x derivation of ``base_dir`` to ``out_dir``
+    (idempotent: a marker records (base, factor); a matching existing
+    derivation is reused, a mismatched one is rebuilt)."""
+    if factor < 1 or factor > 25:
+        raise ValueError("factor must be in [1, 25] (25 distinct text remaps)")
+    marker = os.path.join(out_dir, MARKER)
+    # version bumps when the derivation recipe changes (tables covered,
+    # remap scheme) — a cached dir from an older recipe is rebuilt
+    want = {
+        "base_dir": os.path.abspath(base_dir),
+        "factor": factor,
+        "version": 2,
+    }
+    if os.path.exists(marker):
+        try:
+            have = json.load(open(marker))
+        except (OSError, json.JSONDecodeError):
+            have = None
+        if have == want:
+            return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    def rd(name: str) -> DataFrame:
+        return spark.read.parquet(
+            posixpath.join(base_dir, f"{name}.parquet")
+        )
+
+    def wr(df: DataFrame, name: str) -> None:
+        df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{name}.parquet")
+        )
+
+    for t in VERBATIM_TABLES:
+        wr(rd(t), t)
+
+    cust, orders, li = rd("customer"), rd("orders"), rd("lineitem")
+    off_c = _max_plus_one(cust, "c_custkey")
+    off_o = _max_plus_one(orders, "o_orderkey")
+
+    wr(
+        _copies(
+            cust, factor,
+            lambda df, i: df.withColumn(
+                "c_custkey", F.col("c_custkey") + F.lit(i * off_c)
+            ),
+        ),
+        "customer",
+    )
+    wr(
+        _copies(
+            orders, factor,
+            lambda df, i: df.withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(i * off_o)
+            ).withColumn(
+                "o_custkey", F.col("o_custkey") + F.lit(i * off_c)
+            ),
+        ),
+        "orders",
+    )
+    wr(
+        _copies(
+            li, factor,
+            lambda df, i: df.withColumn(
+                "l_orderkey", F.col("l_orderkey") + F.lit(i * off_o)
+            ),
+        ),
+        "lineitem",
+    )
+
+    docs = rd("documents")
+    off_d = _max_plus_one(docs, "doc_id")
+
+    def doc_copy(df: DataFrame, i: int) -> DataFrame:
+        src, dst = _copy_translation(i)
+        return df.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(i * off_d)
+        ).withColumn("text", F.translate(F.col("text"), src, dst))
+
+    wr(_copies(docs, factor, doc_copy), "documents")
+
+    # events: read through testdata.table (the TIMESTAMP(NANOS) ->
+    # micros conversion), shift event_id by its own stride and user_id
+    # by the CUSTOMER stride — user_id references c_custkey, so copy i
+    # events enrich against copy i customers with exactly the base
+    # dir's hit-rate. The time range is untouched: a 10x corpus is 10x
+    # event density over the same window, so time-bucketed aggregates
+    # keep their group count and grow their per-group values.
+    from dbt_on_snowflake_spark.testdata import table as _table
+
+    ev = _table(spark, base_dir, "events")
+    off_e = _max_plus_one(ev, "event_id")
+    wr(
+        _copies(
+            ev, factor,
+            lambda df, i: df.withColumn(
+                "event_id", F.col("event_id") + F.lit(i * off_e)
+            ).withColumn(
+                "user_id", F.col("user_id") + F.lit(i * off_c)
+            ),
+        ),
+        "events",
+    )
+
+    emb = rd("embeddings")
+    off_v = _max_plus_one(emb, "vec_id")
+
+    def emb_copy(df: DataFrame, i: int) -> DataFrame:
+        return df.withColumn(
+            "vec_id", F.col("vec_id") + F.lit(i * off_v)
+        ).withColumn(
+            "embedding",
+            F.transform(
+                F.col("embedding"),
+                lambda x: (x + F.lit(float(i) * 1e-3)).cast("float"),
+            ),
+        )
+
+    wr(_copies(emb, factor, emb_copy), "embeddings")
+
+    with open(marker, "w") as f:
+        json.dump(want, f)
+    return out_dir

@@ -1,0 +1,126 @@
+"""Empirical 10x scale probe (r13 verdict Next #6): derive a 10x
+key-shifted copy of $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1
+-> sf-equivalent 1.0) with dbt_on_snowflake_spark.scale, run the top
+headline queries at BOTH scales, and print ONE JSON line:
+
+  {"factor": 10, "queries": {name: {"base_sec": .., "scaled_sec": ..,
+   "ratio": .., "stages_base": .., "stages_scaled": ..}}, ...}
+
+What the numbers mean: SCALING.md argues each headliner's plan
+survives a 100x scale-up; this measures the first decade of that claim
+on real executions — wall-time should grow ~linearly with the data
+(ratio ~ factor, minus fixed overheads), and the stage counts must not
+drift (a broadcast flip to SMJ on a fixed dim, a skew stall, or a plan
+degeneration shows up as extra stages before it shows up as a
+wall-time cliff). The scaled dir is cached under .scratch/ (gitignored)
+keyed on (base, factor).
+
+Timing protocol matches bench.py: noop sink, warm pass under a job
+group (stage counts), then interleaved min-of-2 timing rounds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dbt_on_snowflake_spark.registry import all_queries
+from dbt_on_snowflake_spark.scale import derive_scaled_dir
+from dbt_on_snowflake_spark.session import get_spark
+
+# the five headliners the r13 verdict names — the 6-way join, the
+# two-level agg, banded LSH, the PQ ADC serve, the BM25 index serve —
+# plus the event-time bucketing headliner (10x density over the same
+# window: group count constant, per-group values 10x)
+PROBE_QUERIES = (
+    "j1_orders_denorm",
+    "a1_loyalty_metrics",
+    "dedup_minhash_lsh",
+    "ann_pq_adc_topk",
+    "text_bm25_topk_indexed",
+    "t_events_hourly",
+)
+
+
+def main() -> None:
+    base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
+    sf = base.rstrip("/").rsplit("sf", 1)[-1]
+    out = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".scratch",
+        f"scale{factor}_sf{sf}",
+    )
+    spark = get_spark("scale_probe")
+    sc = spark.sparkContext
+    t0 = time.perf_counter()
+    derive_scaled_dir(spark, base, out, factor=factor)
+    derive_sec = round(time.perf_counter() - t0, 3)
+
+    qs = all_queries()
+    tracker = sc.statusTracker()
+
+    def run(name: str, sf_dir: str) -> None:
+        qs[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    # warm + stage counts per (query, scale)
+    stages: dict[tuple[str, str], int] = {}
+    for name in PROBE_QUERIES:
+        for tag, d in (("base", base), ("scaled", out)):
+            group = f"probe:{name}:{tag}"
+            sc.setJobGroup(group, group)
+            try:
+                run(name, d)
+            finally:
+                sc.setJobGroup(None, None)
+            n = 0
+            for job_id in tracker.getJobIdsForGroup(group):
+                info = tracker.getJobInfo(job_id)
+                if info is not None:
+                    n += len(info.stageIds)
+            stages[(name, tag)] = n
+
+    runs: dict[tuple[str, str], list[float]] = {
+        (n, t): [] for n in PROBE_QUERIES for t in ("base", "scaled")
+    }
+    for _ in range(2):
+        for name in PROBE_QUERIES:
+            for tag, d in (("base", base), ("scaled", out)):
+                s = time.perf_counter()
+                run(name, d)
+                runs[(name, tag)].append(
+                    round(time.perf_counter() - s, 3)
+                )
+
+    queries = {}
+    for name in PROBE_QUERIES:
+        b = min(runs[(name, "base")])
+        s = min(runs[(name, "scaled")])
+        queries[name] = {
+            "base_sec": b,
+            "scaled_sec": s,
+            "ratio": round(s / b, 2) if b > 0 else None,
+            "stages_base": stages[(name, "base")],
+            "stages_scaled": stages[(name, "scaled")],
+        }
+    print(
+        json.dumps(
+            {
+                "metric": "scale_probe",
+                "factor": factor,
+                "sf": sf,
+                "derive_sec": derive_sec,
+                "queries": queries,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
