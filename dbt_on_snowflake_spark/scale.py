@@ -23,9 +23,12 @@ derived dir measures the engine, not an artifact of the derivation:
   — injective, so WITHIN-copy near-dup structure is preserved exactly
   while cross-copy shingle overlap collapses to ~0). Verified-pair
   output therefore scales linearly: factor x the base pairs.
-- Embedding copies get a tiny per-copy additive offset (i * 1e-3):
-  distances and label structure are essentially unchanged, but exact
-  ties across copies (another synthetic-only artifact) are broken.
+- Embedding copies get a per-copy cyclic dimension rotation: an
+  orthogonal transform, so within-copy geometry (distances, clusters,
+  quantization error) is exactly the base dir's while cross-copy
+  cosines collapse to ~0 — a 10x corpus of genuinely new vectors, not
+  10-way near-exact ties. Recall@k measured over the scaled dir is
+  therefore a real 10x-distractor measurement.
 
 Everything is declarative DataFrame work — the only driver-side values
 are the per-table 1-row max-key aggregates. The write is a plain
@@ -98,7 +101,7 @@ def derive_scaled_dir(
     want = {
         "base_dir": os.path.abspath(base_dir),
         "factor": factor,
-        "version": 2,
+        "version": 3,
     }
     if os.path.exists(marker):
         try:
@@ -192,15 +195,39 @@ def derive_scaled_dir(
 
     emb = rd("embeddings")
     off_v = _max_plus_one(emb, "vec_id")
+    off_l = _max_plus_one(emb, "label")
+    # dimension count: one bounded driver-side row (the copies need a
+    # literal rotation length; testdata vectors are fixed-width)
+    dim = len(emb.select("embedding").first()["embedding"])
 
     def emb_copy(df: DataFrame, i: int) -> DataFrame:
-        return df.withColumn(
+        # per-copy cyclic DIMENSION rotation — the vector-space analog
+        # of the document character remap: an orthogonal transform, so
+        # every within-copy distance/cosine (and thus the copy's
+        # cluster geometry, kNN structure, and quantization-error
+        # profile) is EXACTLY the base dir's, while cross-copy cosines
+        # collapse to ~0 for high-dim vectors (a vector and its
+        # rotation are near-orthogonal). A naive verbatim/offset copy
+        # instead makes every vector a 10-way near-exact tie, which
+        # floods any top-k with synthetic duplicates.
+        # labels shift with the copy too: a rotated copy's clusters
+        # live elsewhere in the space, so reusing the base label ids
+        # would make each label a 10-way dispersed pseudo-cluster (a
+        # derivation artifact); distinct per-copy labels are how a real
+        # 10x corpus grows — same cluster geometry, 10x more clusters
+        k = i % dim
+        df = df.withColumn(
             "vec_id", F.col("vec_id") + F.lit(i * off_v)
         ).withColumn(
+            "label", (F.col("label") + F.lit(i * off_l)).cast("int")
+        )
+        if k == 0:
+            return df
+        return df.withColumn(
             "embedding",
-            F.transform(
-                F.col("embedding"),
-                lambda x: (x + F.lit(float(i) * 1e-3)).cast("float"),
+            F.concat(
+                F.slice(F.col("embedding"), k + 1, dim - k),
+                F.slice(F.col("embedding"), 1, k),
             ),
         )
 

@@ -98,6 +98,18 @@ def main() -> None:
                     round(time.perf_counter() - s, 3)
                 )
 
+    # quality at scale: mean PQ recall@k against brute force, base vs
+    # 10x. The derivation's per-copy dimension rotation makes the extra
+    # vectors genuinely new directions (not near-exact ties), so this
+    # measures real 10x-distractor pressure on the quantized index.
+    from pyspark.sql import functions as F
+
+    recall = {}
+    for tag, d in (("base", base), ("scaled", out)):
+        df = qs["ann_pq_recall_eval"].fn(spark, d)
+        row = df.agg(F.avg("recall_at_k").alias("r")).collect()[0]
+        recall[tag] = round(float(row["r"]), 4)
+
     queries = {}
     for name in PROBE_QUERIES:
         b = min(runs[(name, "base")])
@@ -117,6 +129,7 @@ def main() -> None:
                 "sf": sf,
                 "derive_sec": derive_sec,
                 "queries": queries,
+                "pq_recall_at_k": recall,
             }
         )
     )

@@ -1,0 +1,154 @@
+"""ANN RECALL quality gates on clusterABLE data (r14).
+
+Why this exists: the testdata embeddings are ISOTROPIC — measured
+within-label mean cosine ~0.005 vs cross-label ~-0.003 at sf0.1 — so
+on that data recall is information-theoretically capped for any
+sublinear scheme: probing a fraction f of meaningless cells finds ~f
+of the true neighbors (measured: multiprobe 0.26 with 2/10 labels
+probed ~ the 0.2 scan fraction), and the label-mean PQ codebook has no
+structure to compress. The scale probe records those absolute numbers
+honestly (scale_probe.py `pq_recall_at_k`); THIS test proves the same
+index machinery delivers high recall the moment the corpus actually
+has cluster structure, and that the quality levers order correctly —
+so the probe's low numbers are attributable to the data, not the
+engine.
+
+Corpus here: 10 well-separated Gaussian clusters (centroid sigma 1,
+noise sigma 0.2, dim 64 — deterministic seed), queries at fresh ids
+near each centroid. Contracts:
+  (1) IVF multiprobe (exact scoring within probed cells) recalls
+      >= 0.9 of the true top-k;
+  (2) exact rerank over a PQ/ADC shortlist strictly improves on raw
+      ADC top-k, and clears the shortlist-bound floor;
+  (3) raw ADC's known granularity limit is pinned AS a limit: the
+      label-mean codebook gives every same-label vector identical
+      codes, so its top-k within a cluster is id-ordered — recall far
+      below the rerank path (the reason the rerank/multiprobe serves
+      exist as the quality paths).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dbt_on_snowflake_spark.operators.similarity import (
+    TOP_K,
+    _adc_serve,
+    _bruteforce_score_arrow,
+    _centroid_vectors,
+    _live_codes,
+    _multiprobe_topk,
+    _topk_window,
+    build_pq_index,
+)
+
+N_LABELS = 10
+PER_LABEL = 30
+DIM = 64
+SHORTLIST = 25
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    rng = np.random.RandomState(7)
+    cents = rng.normal(0, 1.0, size=(N_LABELS, DIM))
+    rows = []
+    vid = 0
+    for lab in range(N_LABELS):
+        for _ in range(PER_LABEL):
+            v = cents[lab] + rng.normal(0, 0.2, size=DIM)
+            rows.append((vid, lab, [float(x) for x in v]))
+            vid += 1
+    e = spark.createDataFrame(
+        rows, "vec_id long, label int, v array<double>"
+    ).cache()
+    qrows = [
+        (10_000 + lab, lab,
+         [float(x) for x in cents[lab] + rng.normal(0, 0.2, size=DIM)])
+        for lab in range(N_LABELS)
+    ]
+    q = spark.createDataFrame(
+        qrows, "vec_id long, label int, v array<double>"
+    ).cache()
+    truth = _topk_window(_bruteforce_score_arrow(e, q)).select(
+        "query_id", "neighbor_id"
+    )
+    return e, q, truth
+
+
+def _recall(found, truth) -> float:
+    hits = truth.join(found, ["query_id", "neighbor_id"]).count()
+    return hits / truth.count()
+
+
+def test_multiprobe_recall_high_on_clustered_corpus(spark, clustered):
+    e, q, truth = clustered
+    found = _multiprobe_topk(
+        F.broadcast(q).alias("q"), _centroid_vectors(e), e
+    ).select("query_id", "neighbor_id")
+    assert _recall(found, truth) >= 0.9
+
+
+def test_rerank_beats_raw_adc_and_clears_floor(spark, clustered):
+    e, q, truth = clustered
+    cb_t, cd_t = "pq_codebook_quality_r14", "pq_codes_quality_r14"
+    build_pq_index(spark, e, codebook_table=cb_t, codes_table=cd_t)
+    codes = _live_codes(spark, cd_t)
+    adc5 = _adc_serve(spark, e, cb_t, codes, TOP_K, queries=q).select(
+        "query_id", "neighbor_id"
+    )
+    shortlist = _adc_serve(
+        spark, e, cb_t, codes, SHORTLIST, queries=q
+    ).select("query_id", "neighbor_id")
+    # exact rerank of the shortlist — the ann_pq_rerank_topk serve
+    # shape (gather joins stay broadcast-sized: |queries| x SHORTLIST)
+    gathered = (
+        shortlist.join(
+            e.select(F.col("vec_id").alias("neighbor_id"),
+                     F.col("v").alias("cv")),
+            "neighbor_id",
+        )
+        .join(
+            F.broadcast(
+                q.select(F.col("vec_id").alias("query_id"),
+                         F.col("v").alias("qv"))
+            ),
+            "query_id",
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.zip_with(c, c, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = gathered.select(
+        "query_id", "neighbor_id",
+        (dot / (norm(F.col("qv")) * norm(F.col("cv")))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    rerank5 = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    r_adc, r_rr = _recall(adc5, truth), _recall(rerank5, truth)
+    # (3) the granularity limit IS the limit: same-label codes tie, so
+    # raw ADC top-k within a cluster is id-ordered
+    assert r_adc < 0.5
+    # (2) exact rerank recovers most of what the SHORTLIST can carry
+    # (the true top-k live in the query's cluster of PER_LABEL vectors;
+    # an id-ordered shortlist of SHORTLIST of them carries ~5/6)
+    assert r_rr >= 0.6
+    assert r_rr > r_adc
