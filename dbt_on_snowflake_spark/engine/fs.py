@@ -201,6 +201,14 @@ def fs_create_atomic(spark: SparkSession, path: str, data: bytes) -> None:
 # fs_read_replaceable instead of fs_read
 REPLACE_NEW_SUFFIX = ".new"
 
+# a `.new` alongside a live canonical that is OLDER than this is a
+# crashed writer's step-3 leftover (safe to heal away); a YOUNGER one
+# is plausibly a CONCURRENT writer mid-protocol — deleting its
+# complete `.new` while it deletes the canonical would strand the path
+# with NEITHER file, the exact window the protocol exists to remove
+# (r14 review, finding 1) — so the heal raises contention instead
+REPLACE_STALE_MS = 10 * 60 * 1000
+
 
 def fs_replace_atomic(spark: SparkSession, path: str, data: bytes) -> None:
     """Replace ``path``'s contents so that a crash at ANY point leaves
@@ -213,41 +221,106 @@ def fs_replace_atomic(spark: SparkSession, path: str, data: bytes) -> None:
        ``path`` is COMPLETE by construction (the canonical is only ever
        deleted in step 4, strictly after the ``.new`` create+close of
        step 3 finished) — rename it into place before replacing it; a
-       ``.new`` alongside a live canonical is a superseded or partial
-       leftover of a crash during step 3 — delete it;
+       ``.new`` alongside a live canonical is EITHER a crashed step-3
+       leftover (healed: deleted — but only once it is older than
+       ``REPLACE_STALE_MS``) OR a concurrent writer mid-protocol —
+       raise contention rather than strand that writer's path with
+       neither file (r14 review, finding 1);
     2. (now no ``.new`` exists)
     3. write the new contents to ``<path>.new`` (create+close — the
        file becomes visible only complete: HDFS create+close is
-       atomic, S3A close() issues the single PUT);
+       atomic, S3A close() issues the single PUT); a create that fails
+       because ``.new`` appeared since step 1 is the same concurrent
+       writer — contention, not corruption;
     4. delete the canonical;
     5. rename ``<path>.new`` -> ``path`` (source is complete, dest is
        absent — the rename cannot half-apply).
 
+    One writer per path at a time is the supported regime (these are
+    maintenance-path metadata rewrites); a detected concurrent writer
+    fails LOUDLY with OSError and the caller retries after the other
+    commit lands — crashed leftovers age past the stale gate and heal.
+
     Readers that never race a replace (the canonical is written once
     at build time) may keep plain ``fs_read``; anything reattaching or
     proving state across sessions must use ``fs_read_replaceable``."""
+    import time
+
     path_new = path + REPLACE_NEW_SUFFIX
     if fs_exists(spark, path_new):
         if not fs_exists(spark, path):
             fs_rename(spark, path_new, path)
         else:
+            mtime = fs_mtime(spark, path_new)
+            if (
+                mtime is not None
+                and time.time() * 1000 - mtime < REPLACE_STALE_MS
+            ):
+                raise OSError(
+                    f"concurrent rewrite in progress: {path_new} is "
+                    "younger than the stale gate; retry after the "
+                    "other writer commits"
+                )
             fs_delete(spark, path_new)
-    fs_create_atomic(spark, path_new, data)
+    try:
+        fs_create_atomic(spark, path_new, data)
+    except Exception as exc:  # noqa: BLE001 — classify, then re-raise
+        if "exist" in str(exc).lower():
+            raise OSError(
+                f"concurrent rewrite in progress: {path_new} appeared "
+                "after the heal step; retry after the other writer "
+                "commits"
+            ) from exc
+        raise
     fs_delete(spark, path)
     fs_rename(spark, path_new, path)
 
 
 def fs_read_replaceable(spark: SparkSession, path: str) -> bytes | None:
+    """Read a file maintained by ``fs_replace_atomic`` (see
+    ``fs_read_replaceable_ex``)."""
+    return fs_read_replaceable_ex(spark, path)[0]
+
+
+def _vanished(exc: Exception) -> bool:
+    """True when an fs_read failure is the file disappearing between
+    the existence probe and the read — the signature of racing a
+    concurrent ``fs_replace_atomic`` — rather than a real IO error
+    (permissions, corruption) that must propagate."""
+    s = str(exc)
+    return "FileNotFound" in s or "does not exist" in s
+
+
+def fs_read_replaceable_ex(
+    spark: SparkSession, path: str
+) -> tuple[bytes | None, bool]:
     """Read a file maintained by ``fs_replace_atomic``: the canonical
     ``path`` when present, else the ``<path>.new`` a writer that
     crashed between delete and rename left behind (complete by the
-    protocol's step ordering), else None. Never raises on absence."""
-    if fs_exists(spark, path):
-        return fs_read(spark, path)
+    protocol's step ordering), else None. Returns ``(contents,
+    read_from_canonical)`` so callers that rewrite-on-missing-canonical
+    need no second existence round-trip (r14 review, finding 5).
+
+    Never raises on absence, INCLUDING mid-race absence: a concurrent
+    replace can delete the canonical between the probe and the read
+    (caught and retried) or hold the one (delete -> rename) instant
+    where neither name is visible (re-probed) — bounded attempts, then
+    None only if the file is truly gone (r14 review, finding 2)."""
+    import time
+
     path_new = path + REPLACE_NEW_SUFFIX
-    if fs_exists(spark, path_new):
-        return fs_read(spark, path_new)
-    return None
+    for attempt in range(3):
+        for p, canonical in ((path, True), (path_new, False)):
+            if not fs_exists(spark, p):
+                continue
+            try:
+                return fs_read(spark, p), canonical
+            except Exception as exc:  # noqa: BLE001 — classify below
+                if not _vanished(exc):
+                    raise
+        if attempt < 2:
+            time.sleep(0.05 * (attempt + 1))
+    return None, False
 
 
 def fs_copy(spark: SparkSession, src: str, dst: str) -> None:

@@ -320,12 +320,25 @@ def tombstone_spec(
     Reads through ``fs_read_replaceable`` so a rewrite that crashed
     between delete and rename still resolves (the ``.new`` twin is
     complete by the replace protocol)."""
-    from dbt_on_snowflake_spark.engine.fs import fs_read_replaceable
+    return _tombstone_spec_ex(spark, tombstones_table)[0]
 
-    raw = fs_read_replaceable(
+
+def _tombstone_spec_ex(
+    spark: SparkSession, tombstones_table: str
+) -> tuple[dict | None, bool]:
+    """``(spec, read_from_canonical)`` — the delete hot path needs to
+    know whether the CANONICAL file satisfied the read (a ``.new``-only
+    read means a crashed replace to heal by rewriting) without paying
+    a second existence round-trip (r14 review, finding 5)."""
+    from dbt_on_snowflake_spark.engine.fs import fs_read_replaceable_ex
+
+    raw, canonical = fs_read_replaceable_ex(
         spark, _sidecar_path(spark, tombstones_table)
     )
-    return None if raw is None else json.loads(raw.decode())
+    return (
+        None if raw is None else json.loads(raw.decode()),
+        canonical,
+    )
 
 
 def _merge_members(
@@ -467,7 +480,7 @@ def index_delete(
     # call declaring an additional member (e.g. a pairs side output)
     # widens the fold's scope instead of being silently ignored —
     # members only ever accrete (r12 review, findings 3/4)
-    old = tombstone_spec(spark, tombstones_table)
+    old, old_canonical = _tombstone_spec_ex(spark, tombstones_table)
     if old is not None and old["id_col"] != id_col:
         raise ValueError(
             f"{tombstones_table} already tombstones {old['id_col']!r}; "
@@ -480,17 +493,14 @@ def index_delete(
             old and old.get("refresh")
         ),
     }
-    from dbt_on_snowflake_spark.engine.fs import fs_exists
-
-    if spec != old or not fs_exists(
-        spark, _sidecar_path(spark, tombstones_table)
-    ):
+    if spec != old or not old_canonical:
         # rewrite when the declaration changed — or when the CANONICAL
-        # file is absent (tombstone_spec read a crashed replace's
-        # complete `.new` twin transparently; this renames it back
-        # into place via fs_replace_atomic's heal step). The
+        # file did not satisfy the read (the spec came from a crashed
+        # replace's complete `.new` twin, or is absent entirely; the
+        # rewrite renames/recreates it via fs_replace_atomic). The
         # steady-state redelivery case (unchanged spec, canonical
-        # present) stays write-free (r12 review pass 2).
+        # present) stays write-free (r12 review pass 2) — and pays no
+        # second existence round-trip (r14 review, finding 5).
         _write_sidecar(spark, tombstones_table, spec)
     snap = fs_list_files(
         spark, table_location(spark, tombstones_table)

@@ -959,6 +959,22 @@ def _drop_managed_table(spark: SparkSession, name: str) -> None:
                 fs_exists(spark, stale)
                 and engine_owned_dir(spark, stale)
             ):
+                if spark.catalog.tableExists(name):
+                    # only a temp view answers the unqualified probe
+                    # when the qualified name has no table: it shadows
+                    # nothing real, so this reset must not destroy it —
+                    # but the caller is about to CREATE a table under
+                    # this name, which the surviving view would shadow
+                    # on every later unqualified read (silently serving
+                    # the view's rows as the index). Fail loudly
+                    # instead of either silent outcome (r14 review,
+                    # finding 3).
+                    raise ValueError(
+                        f"temp view {name!r} shadows the index family "
+                        "name and no cataloged table or engine-owned "
+                        "dir exists behind it; drop the view or pick "
+                        "another family name"
+                    )
                 return
         spark.catalog.dropTempView(name)
     loc = None

@@ -1030,21 +1030,29 @@ def test_drop_managed_table_leaves_foreign_location_dirs(spark, tmp_path):
 
 
 def test_drop_managed_table_spares_unrelated_temp_view(spark):
-    """r13 advice #2: a user temp view over a name NO index family
-    occupies (no cataloged table at the qualified name, no engine-owned
-    dir) is session state the rebuild has no claim on —
-    ``_drop_managed_table`` must leave it. When the view DOES shadow a
-    cataloged table it is still removed so the real table (not the
-    view) is what gets located and dropped (r13 review pass 5,
-    finding 2)."""
+    """r13 advice #2 + r14 review finding 3: a user temp view over a
+    name NO index family occupies (no cataloged table at the qualified
+    name, no engine-owned dir) is session state the rebuild has no
+    claim on — ``_drop_managed_table`` must not destroy it. But the
+    caller is about to build a table the view would then shadow on
+    every later read, so the reset fails LOUDLY (view intact) rather
+    than silently dropping it or letting a build serve the view's
+    rows. When the view DOES shadow a cataloged table it is still
+    removed so the real table (not the view) is what gets located and
+    dropped (r13 review pass 5, finding 2). Names with nothing behind
+    them at all stay a quiet no-op."""
     spark.range(3).createOrReplaceTempView("free_name_r14adv2")
     try:
-        _drop_managed_table(spark, "free_name_r14adv2")
+        with pytest.raises(ValueError, match="shadows the index family"):
+            _drop_managed_table(spark, "free_name_r14adv2")
         assert spark.catalog.tableExists("free_name_r14adv2"), (
             "unrelated temp view destroyed by a no-op slate reset"
         )
     finally:
         spark.catalog.dropTempView("free_name_r14adv2")
+
+    # nothing behind the name at all: quiet no-op
+    _drop_managed_table(spark, "free_name_r14adv2_absent")
 
     spark.createDataFrame([(1,)], "a long").write.mode(
         "overwrite"
@@ -1305,20 +1313,24 @@ def test_drop_owned_external_dirs_only(spark, tmp_path):
 
 
 def test_drop_tolerates_temp_view_shadow(spark):
-    """r13 review pass 4 finding 5 + pass 5 finding 2: a temp view
-    shadowing the family name must not crash the slate reset, and a
-    REAL table behind the shadow must be the thing that gets dropped
-    (view-first resolution would otherwise leave the table cataloged
-    while the sweep destroys its dir)."""
+    """r13 review pass 4 finding 5 + pass 5 finding 2, amended by r13
+    advice #2 / r14 review finding 3: a temp view shadowing a name with
+    NOTHING real behind it is no longer silently consumed — the reset
+    fails loudly with the view intact (building under the name would
+    otherwise serve the view's rows); a REAL table behind the shadow
+    must still be the thing that gets dropped (view-first resolution
+    would otherwise leave the table cataloged while the sweep destroys
+    its dir)."""
     import os
 
     spark.range(3).createOrReplaceTempView("mh_band_index_shadow")
-    _drop_managed_table(spark, "mh_band_index_shadow")
-    # the shadow itself is consumed by the reset (old DROP semantics)
-    assert not any(
+    with pytest.raises(ValueError, match="shadows the index family"):
+        _drop_managed_table(spark, "mh_band_index_shadow")
+    assert any(
         v.name == "mh_band_index_shadow"
         for v in spark.catalog.listTables()
     )
+    spark.catalog.dropTempView("mh_band_index_shadow")
 
     # shadowed REAL table: both view and table go, dir included
     spark.createDataFrame([(1,)], "doc_id long").write.mode(
@@ -1534,9 +1546,21 @@ def test_fs_replace_atomic_crash_windows(spark, tmp_path):
     assert not os.path.exists(p + ".new")
 
     # crash during the .new create: partial twin alongside a live
-    # canonical -> reader uses the canonical; next writer replaces
+    # canonical -> reader uses the canonical. A FRESH twin is
+    # indistinguishable from a CONCURRENT writer mid-protocol, so the
+    # next writer raises contention instead of deleting it out from
+    # under that writer (r14 review, finding 1); once it ages past the
+    # stale gate it is provably a crash leftover and heals away.
     open(p + ".new", "w").write("torn")
     assert fs_read_replaceable(spark, p) == b"v1"
+    with pytest.raises(OSError, match="concurrent rewrite"):
+        fs_replace_atomic(spark, p, b"v2")
+    assert fs_read_replaceable(spark, p) == b"v1"  # nothing stranded
+    from dbt_on_snowflake_spark.engine.fs import REPLACE_STALE_MS
+
+    old_ts = (os.path.getmtime(p + ".new") * 1000 - REPLACE_STALE_MS
+              - 60_000) / 1000
+    os.utime(p + ".new", (old_ts, old_ts))
     fs_replace_atomic(spark, p, b"v2")
     assert fs_read_replaceable(spark, p) == b"v2"
     assert not os.path.exists(p + ".new")
