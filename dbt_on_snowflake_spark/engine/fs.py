@@ -227,10 +227,11 @@ def fs_replace_atomic(spark: SparkSession, path: str, data: bytes) -> None:
        raise contention rather than strand that writer's path with
        neither file (r14 review, finding 1);
     2. (now no ``.new`` exists)
-    3. write the new contents to ``<path>.new`` (create+close — the
-       file becomes visible only complete: HDFS create+close is
-       atomic, S3A close() issues the single PUT); a create that fails
-       because ``.new`` appeared since step 1 is the same concurrent
+    3. write the new contents to ``<path>.new.tmp`` (never read by
+       anyone), then rename to ``<path>.new`` — so a VISIBLE ``.new``
+       is complete even for the first-ever write of the path (HDFS and
+       local filesystems expose a file mid-create); a rename that
+       fails because ``.new`` appeared since step 1 is a concurrent
        writer — contention, not corruption;
     4. delete the canonical;
     5. rename ``<path>.new`` -> ``path`` (source is complete, dest is
@@ -247,6 +248,7 @@ def fs_replace_atomic(spark: SparkSession, path: str, data: bytes) -> None:
     import time
 
     path_new = path + REPLACE_NEW_SUFFIX
+    path_tmp = path_new + ".tmp"
     if fs_exists(spark, path_new):
         if not fs_exists(spark, path):
             fs_rename(spark, path_new, path)
@@ -262,16 +264,28 @@ def fs_replace_atomic(spark: SparkSession, path: str, data: bytes) -> None:
                     "other writer commits"
                 )
             fs_delete(spark, path_new)
+    # step 3 in two sub-steps so a VISIBLE `.new` is always complete,
+    # even for the FIRST-ever write of a path (HDFS/local expose a file
+    # mid-create; a torn first `.new` with no canonical would otherwise
+    # read back as 'complete' garbage — r14 review pass 2, finding 1):
+    # write the bytes to a `.new.tmp` nobody ever reads, then rename.
+    # A stale `.tmp` is a crashed writer's — never read, safe to clear;
+    # clearing a CONCURRENT writer's fresh `.tmp` only fails that
+    # writer's rename loudly (its canonical is untouched — contention,
+    # not stranding).
+    if fs_exists(spark, path_tmp):
+        fs_delete(spark, path_tmp)
+    fs_create_atomic(spark, path_tmp, data)
     try:
-        fs_create_atomic(spark, path_new, data)
-    except Exception as exc:  # noqa: BLE001 — classify, then re-raise
-        if "exist" in str(exc).lower():
+        fs_rename(spark, path_tmp, path_new)
+    except OSError as exc:
+        if fs_exists(spark, path_new):
             raise OSError(
                 f"concurrent rewrite in progress: {path_new} appeared "
                 "after the heal step; retry after the other writer "
                 "commits"
             ) from exc
-        raise
+        raise  # a real rename failure (missing parent, IO error)
     fs_delete(spark, path)
     fs_rename(spark, path_new, path)
 

@@ -283,7 +283,26 @@ def reattach_tombstones(
         return False
     from dbt_on_snowflake_spark.engine.fs import fs_read_replaceable
 
-    if fs_read_replaceable(spark, posixpath.join(loc, SIDECAR)) is None:
+    raw = fs_read_replaceable(spark, posixpath.join(loc, SIDECAR))
+    if raw is not None:
+        # CONTENT-validate before adopting, exactly like
+        # engine_owned_dir (r13 advice #1): a foreign tool sharing a
+        # custom-LOCATION dir could have written its own generically
+        # named `_tombstones.json` — name presence alone must not let
+        # later delete/fold calls write into and truncate a dir the
+        # engine does not own, nor crash on spec['id_col'] (r14 review
+        # pass 2, finding 2). An unparseable/foreign sidecar demotes
+        # to the no-sidecar triage below.
+        try:
+            spec = json.loads(raw.decode())
+        except (UnicodeDecodeError, json.JSONDecodeError):
+            spec = None
+        if not (
+            isinstance(spec, dict)
+            and _OWNERSHIP_PROOF_KEYS[SIDECAR] <= set(spec)
+        ):
+            raw = None
+    if raw is None:
         from dbt_on_snowflake_spark.engine.index_maintenance import (
             _under_warehouse,
         )

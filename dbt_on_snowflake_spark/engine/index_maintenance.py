@@ -284,20 +284,37 @@ def _swap_rewrite(
     # carry underscore metadata sidecars (e.g. the PQ drift baseline
     # _qstats.json) into the replacement dir — they are invisible to
     # table reads, so the rewrite's data is unaffected, but dropping
-    # the old dir would silently discard them. `.json.new` twins come
-    # too: when a crashed fs_replace_atomic left one with no canonical,
-    # the twin IS the sidecar (complete by the replace protocol) and
-    # dropping it would lose the baseline/spec the same way
-    from dbt_on_snowflake_spark.engine.fs import fs_copy, fs_list
+    # the old dir would silently discard them. A `.json.new` twin
+    # comes ONLY when its canonical is absent (a crashed
+    # fs_replace_atomic between delete and rename — the twin IS the
+    # sidecar, complete by the replace protocol, and dropping it would
+    # lose the baseline/spec). A twin ALONGSIDE a live canonical is a
+    # superseded crash leftover: carrying it would give it a fresh
+    # mtime (FileUtil.copy does not preserve timestamps) and re-arm
+    # the REPLACE_STALE_MS contention gate on every sweep, spuriously
+    # blocking the next sidecar rewrite for 10 minutes after each
+    # nightly compaction (r14 review pass 2, finding 3).
+    from dbt_on_snowflake_spark.engine.fs import (
+        REPLACE_NEW_SUFFIX,
+        fs_copy,
+        fs_list,
+    )
 
     tmp_loc = table_location(spark, tmp)
-    for f in fs_list(spark, loc):
-        if f.startswith("_") and f.endswith((".json", ".json.new")):
-            fs_copy(
-                spark,
-                posixpath.join(loc, f),
-                posixpath.join(tmp_loc, f),
-            )
+    names = set(fs_list(spark, loc))
+    for f in sorted(names):
+        if not (f.startswith("_") and f.endswith((".json", ".json.new"))):
+            continue
+        if (
+            f.endswith(REPLACE_NEW_SUFFIX)
+            and f.removesuffix(REPLACE_NEW_SUFFIX) in names
+        ):
+            continue  # superseded twin; the canonical travels instead
+        fs_copy(
+            spark,
+            posixpath.join(loc, f),
+            posixpath.join(tmp_loc, f),
+        )
     spark.sql(f"DROP TABLE {name}")
     if fs_exists(spark, loc):
         # EXTERNAL attached index (attach_pq_index & co. re-register

@@ -934,6 +934,12 @@ def _drop_managed_table(spark: SparkSession, name: str) -> None:
         table_location,
     )
 
+    # the shadow guard's (location, existing-and-owned) verdict — the
+    # catalog-less fall-through at the end reuses it instead of paying
+    # the fs_list + sidecar-read round-trips twice on the same path
+    # (r14 review pass 2, finding 5)
+    guard_loc: str | None = None
+    guard_owned: bool | None = None
     if "." not in name:
         # a temp view shadowing the family name resolves FIRST in
         # DESCRIBE and DROP alike: it must be removed up front so the
@@ -954,11 +960,11 @@ def _drop_managed_table(spark: SparkSession, name: str) -> None:
         if not spark.catalog.tableExists(
             f"{spark.catalog.currentDatabase()}.{name}"
         ):
-            stale = _managed_location(spark, name)
-            if not (
-                fs_exists(spark, stale)
-                and engine_owned_dir(spark, stale)
-            ):
+            guard_loc = _managed_location(spark, name)
+            guard_owned = fs_exists(spark, guard_loc) and engine_owned_dir(
+                spark, guard_loc
+            )
+            if not guard_owned:
                 if spark.catalog.tableExists(name):
                     # only a temp view answers the unqualified probe
                     # when the qualified name has no table: it shadows
@@ -1009,8 +1015,17 @@ def _drop_managed_table(spark: SparkSession, name: str) -> None:
     # first (r13 review pass 6, finding 1); an unproven foreign dir is
     # left for the next CREATE to fail loudly on (the index_delete
     # triage convention; r13 review pass 2, finding 1)
-    loc = _managed_location(spark, name)
-    if engine_owned_dir(spark, loc):
+    # fs_delete on a missing path is a no-op, so the guard's combined
+    # (exists AND owned) verdict is exactly this branch's gate
+    loc = guard_loc if guard_loc is not None else _managed_location(
+        spark, name
+    )
+    owned = (
+        guard_owned
+        if guard_owned is not None
+        else engine_owned_dir(spark, loc)
+    )
+    if owned:
         fs_delete(spark, loc)
 
 

@@ -1094,6 +1094,43 @@ def test_reattach_refuses_sidecarless_foreign_dir(spark, tmp_path):
         shutil.rmtree(alien, ignore_errors=True)
 
 
+def test_reattach_refuses_foreign_name_colliding_sidecar(spark, tmp_path):
+    """r14 review pass 2, finding 2: a foreign tool sharing a
+    custom-LOCATION dir can write its OWN generically named
+    `_tombstones.json` — name presence alone must not adopt the dir
+    (the same content-signature rule engine_owned_dir applies, r13
+    advice #1). An unparseable or key-mismatched sidecar demotes to
+    the no-sidecar triage: refused at a foreign location."""
+    import os
+
+    from dbt_on_snowflake_spark.engine.index_delete import (
+        reattach_tombstones,
+    )
+
+    floc = str(tmp_path / "foreign_sc")
+    os.makedirs(floc)
+    spark.sql(f"CREATE DATABASE tombfsc LOCATION '{floc}'")
+    try:
+        alien = os.path.join(floc, "x_tombstones_collide")
+        spark.createDataFrame(
+            [(1,)], "doc_id long"
+        ).write.mode("overwrite").parquet(alien)
+        for body in (b"not json at all", b'{"their_key": 1}'):
+            open(os.path.join(alien, "_tombstones.json"), "wb").write(body)
+            assert (
+                reattach_tombstones(spark, "tombfsc.x_tombstones_collide")
+                is False
+            )
+            assert not spark.catalog.tableExists(
+                "tombfsc.x_tombstones_collide"
+            )
+    finally:
+        spark.sql("DROP DATABASE tombfsc CASCADE")
+        import shutil
+
+        shutil.rmtree(floc, ignore_errors=True)
+
+
 def test_attach_resolves_qualified_index_locations(spark, tmp_path):
     """r13 review pass 2, finding 4: attach_minhash_index on a
     database-qualified family must re-attach over the REAL dir
@@ -1573,6 +1610,18 @@ def test_fs_replace_atomic_crash_windows(spark, tmp_path):
     fs_replace_atomic(spark, p, b"v3")
     assert fs_read_replaceable(spark, p) == b"v3"
     assert os.path.exists(p) and not os.path.exists(p + ".new")
+
+    # crash mid-create of the FIRST-ever write: the bytes go to a
+    # `.new.tmp` nobody reads, so no torn `.new` can ever be visible
+    # (r14 review pass 2, finding 1) — the reader sees nothing, and
+    # the next writer clears the leftover and succeeds
+    p2 = str(tmp_path / "first.json")
+    open(p2 + ".new.tmp", "w").write("torn-first-write")
+    assert fs_read_replaceable(spark, p2) is None
+    fs_replace_atomic(spark, p2, b"w1")
+    assert fs_read_replaceable(spark, p2) == b"w1"
+    assert not os.path.exists(p2 + ".new.tmp")
+    assert not os.path.exists(p2 + ".new")
 
 
 def test_reattach_survives_sidecar_crash_at_foreign_location(
