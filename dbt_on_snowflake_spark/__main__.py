@@ -132,11 +132,28 @@ def main(argv: list[str] | None = None) -> int:
         # default None, not "dev": retry must distinguish "not passed"
         # (restore the prior invocation's target) from an explicit value
         sp.add_argument("--target", default=None)
-        sp.add_argument("--select", default=None)
-        sp.add_argument(
-            "--exclude", default=None,
-            help="selector atoms to subtract from the selection",
-        )
+        if name == "reindex":
+            # reindex repurposes the shared pair as family filters —
+            # the help must say so (r14 review pass 3, finding 7)
+            sp.add_argument(
+                "--select", default=None,
+                help="comma-separated fnmatch patterns over index "
+                     "family names (qualified or bare): sweep ONLY "
+                     "matching families",
+            )
+            sp.add_argument(
+                "--exclude", default=None,
+                help="comma-separated fnmatch patterns over index "
+                     "family names to SKIP (e.g. ephemeral "
+                     "verification families a scheduled gate should "
+                     "not alarm on)",
+            )
+        else:
+            sp.add_argument("--select", default=None)
+            sp.add_argument(
+                "--exclude", default=None,
+                help="selector atoms to subtract from the selection",
+            )
         sp.add_argument(
             "--selector", default=None, dest="selector_name",
             help="named selection from selectors.yml (mutually exclusive "

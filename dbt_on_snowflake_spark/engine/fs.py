@@ -269,13 +269,34 @@ def fs_replace_atomic(spark: SparkSession, path: str, data: bytes) -> None:
     # mid-create; a torn first `.new` with no canonical would otherwise
     # read back as 'complete' garbage — r14 review pass 2, finding 1):
     # write the bytes to a `.new.tmp` nobody ever reads, then rename.
-    # A stale `.tmp` is a crashed writer's — never read, safe to clear;
-    # clearing a CONCURRENT writer's fresh `.tmp` only fails that
-    # writer's rename loudly (its canonical is untouched — contention,
-    # not stranding).
+    # The tmp is claimed with an EXCLUSIVE create — never a blind
+    # delete-then-create, which would let writer B destroy writer A's
+    # staged bytes and then have A rename B's bytes into place while
+    # reporting success to A (silent lost update — r14 review pass 3,
+    # finding 1). A FRESH existing tmp is a concurrent writer (loud
+    # contention); a STALE one is a crashed writer's leftover (cleared,
+    # then claimed).
     if fs_exists(spark, path_tmp):
+        mtime = fs_mtime(spark, path_tmp)
+        if (
+            mtime is not None
+            and time.time() * 1000 - mtime < REPLACE_STALE_MS
+        ):
+            raise OSError(
+                f"concurrent rewrite in progress: {path_tmp} is "
+                "younger than the stale gate; retry after the other "
+                "writer commits"
+            )
         fs_delete(spark, path_tmp)
-    fs_create_atomic(spark, path_tmp, data)
+    try:
+        fs_create_atomic(spark, path_tmp, data)
+    except Exception as exc:  # noqa: BLE001 — classify, then re-raise
+        if fs_exists(spark, path_tmp):
+            raise OSError(
+                f"concurrent rewrite in progress: {path_tmp} was "
+                "claimed by another writer; retry after it commits"
+            ) from exc
+        raise
     try:
         fs_rename(spark, path_tmp, path_new)
     except OSError as exc:

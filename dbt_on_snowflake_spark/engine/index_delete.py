@@ -202,9 +202,11 @@ def mark_engine_dir(spark: SparkSession, table: str) -> None:
     reset its slate instead of wedging on 'location already exists'
     (r13 review pass 5, finding 3). ``fs_replace_atomic``: no crash
     point leaves the dir marker-less (r13 verdict Next #4), so the
-    ownership proof — which the content-validating
-    ``engine_owned_dir`` reads via ``fs_read_replaceable`` — survives
-    a mid-rewrite kill."""
+    ownership proof survives a mid-rewrite kill —
+    ``engine_owned_dir`` enumerates both the canonical and the
+    ``.new`` twin itself (one listing, plain ``fs_read`` per
+    candidate, any read failure = not-proof, which fails toward NOT
+    deleting)."""
     from dbt_on_snowflake_spark.engine.fs import fs_replace_atomic
     from dbt_on_snowflake_spark.engine.index_maintenance import (
         table_location,
@@ -751,9 +753,17 @@ def _drop_when_fully_empty(
     def _residual(c: str) -> bool:
         return not (
             c == "_SUCCESS"
-            # this repo's `_*.json` sidecars and the `.json.new` twin
-            # a crashed fs_replace_atomic leaves behind
-            or (c.startswith("_") and c.endswith((".json", ".json.new")))
+            # this repo's `_*.json` sidecars, the `.json.new` twin a
+            # crashed fs_replace_atomic leaves between its delete and
+            # rename, and the never-read `.json.new.tmp` staging a
+            # crash inside its step 3 leaves (r14 review pass 3,
+            # finding 2 — an unchanged-spec redelivery never rewrites,
+            # so the .tmp could otherwise gate the pristine drop
+            # forever)
+            or (
+                c.startswith("_")
+                and c.endswith((".json", ".json.new", ".json.new.tmp"))
+            )
             or (c.startswith(".") and c.endswith(".crc"))
         )
 

@@ -110,6 +110,13 @@ def derive_scaled_dir(
             have = None
         if have == want:
             return out_dir
+        # recipe/base mismatch: remove the stale marker BEFORE touching
+        # any table so a crash mid-rebuild leaves a dir nobody adopts
+        # (a surviving old marker would hand a half-rewritten mix to a
+        # process still requesting the old recipe — r14 review pass 3,
+        # finding 3); the fresh marker lands only after every table is
+        # rewritten
+        os.remove(marker)
     os.makedirs(out_dir, exist_ok=True)
 
     def rd(name: str) -> DataFrame:

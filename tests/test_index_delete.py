@@ -1618,6 +1618,16 @@ def test_fs_replace_atomic_crash_windows(spark, tmp_path):
     p2 = str(tmp_path / "first.json")
     open(p2 + ".new.tmp", "w").write("torn-first-write")
     assert fs_read_replaceable(spark, p2) is None
+    # a FRESH tmp is indistinguishable from a concurrent writer's
+    # exclusive claim (deleting it would hand that writer's rename
+    # another writer's bytes — r14 review pass 3, finding 1) ...
+    with pytest.raises(OSError, match="concurrent rewrite"):
+        fs_replace_atomic(spark, p2, b"w1")
+    # ... and once stale it is provably a crash leftover: cleared,
+    # claimed, and the write goes through
+    old2 = (os.path.getmtime(p2 + ".new.tmp") * 1000 - REPLACE_STALE_MS
+            - 60_000) / 1000
+    os.utime(p2 + ".new.tmp", (old2, old2))
     fs_replace_atomic(spark, p2, b"w1")
     assert fs_read_replaceable(spark, p2) == b"w1"
     assert not os.path.exists(p2 + ".new.tmp")

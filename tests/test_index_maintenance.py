@@ -888,6 +888,10 @@ def test_shipped_maintenance_restores_pristine_pq_and_ivf_serves(
     )
     from dbt_on_snowflake_spark.plans import explain_str
 
+    from dbt_on_snowflake_spark.operators.dedup import (
+        _drop_managed_table,
+    )
+
     e = _vectors(spark, SF_SMOKE)
     cb_t, cd_t = "pq_codebook_tships2", "pq_codes_tships2"
     build_pq_index(spark, e, codebook_table=cb_t, codes_table=cd_t)
@@ -896,51 +900,59 @@ def test_shipped_maintenance_restores_pristine_pq_and_ivf_serves(
         spark, e, centroids_table=ivf_cb, assignments_table=ivf_asg
     )
 
-    def pq_serve():
-        return _adc_serve(spark, e, cb_t, _live_codes(spark, cd_t), TOP_K)
+    try:
+        def pq_serve():
+            return _adc_serve(spark, e, cb_t, _live_codes(spark, cd_t), TOP_K)
 
-    def ivf_serve():
-        q = F.broadcast(e.filter(F.expr(_QUERY_PRED))).alias("q")
-        corpus = _live_assignments(spark, ivf_asg).select(
-            "vec_id", "label", "v"
+        def ivf_serve():
+            q = F.broadcast(e.filter(F.expr(_QUERY_PRED))).alias("q")
+            corpus = _live_assignments(spark, ivf_asg).select(
+                "vec_id", "label", "v"
+            )
+            return _multiprobe_topk(q, spark.table(ivf_cb), corpus)
+
+        assert "LeftAnti" not in explain_str(pq_serve())
+        assert "LeftAnti" not in explain_str(ivf_serve())
+
+        ids = e.filter(F.expr(_NEW_BATCH_PRED)).select("vec_id")
+        pq_index_delete(spark, ids, codes_table=cd_t)
+        ann_index_delete(spark, ids, assignments_table=ivf_asg)
+        gated_pq, gated_ivf = pq_serve(), ivf_serve()
+        assert "LeftAnti" in explain_str(gated_pq)  # paying the gate
+        assert "LeftAnti" in explain_str(gated_ivf)
+        rows_pq = sorted(map(tuple, gated_pq.collect()))
+        rows_ivf = sorted(map(tuple, gated_ivf.collect()))
+        tombs = (_pq_tombstones(cd_t), _ann_tombstones(ivf_asg))
+        assert all(spark.catalog.tableExists(t) for t in tombs)
+
+        # the shipped default, verbatim — a fresh project journal, so the
+        # nightly tick fires for this test regardless of the BM25 run above
+        root = str(tmp_path / "shipproj2")
+        os.makedirs(f"{root}/models", exist_ok=True)
+        open(f"{root}/project.yml", "w").write("name: shipproj2\n")
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        shutil.copy(
+            os.path.join(repo, "examples", "curation", "tasks.yml"),
+            os.path.join(root, "tasks.yml"),
         )
-        return _multiprobe_topk(q, spark.table(ivf_cb), corpus)
+        rc = main(["task", "run-due", "--project", root,
+                   "--now", "2026-08-15T02:30:40"])
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "nightly_index_maintenance" in out and "success" in out
+        for t in tombs:
+            assert f"folded tombstones {t}" in out
+            assert not spark.catalog.tableExists(t)
 
-    assert "LeftAnti" not in explain_str(pq_serve())
-    assert "LeftAnti" not in explain_str(ivf_serve())
+        post_pq, post_ivf = pq_serve(), ivf_serve()
+        assert "LeftAnti" not in explain_str(post_pq)
+        assert "LeftAnti" not in explain_str(post_ivf)
+        assert sorted(map(tuple, post_pq.collect())) == rows_pq
+        assert sorted(map(tuple, post_ivf.collect())) == rows_ivf
+    finally:
+        # foreign-vs-catalog sweep hygiene: a leaked pq_codes_*/
+        # ann_assignments_* family flips later full-catalog gate
+        # sweeps order-dependently (r14 review pass 3, finding 4)
+        for t in (cd_t, cb_t, ivf_asg, ivf_cb):
+            _drop_managed_table(spark, t)
 
-    ids = e.filter(F.expr(_NEW_BATCH_PRED)).select("vec_id")
-    pq_index_delete(spark, ids, codes_table=cd_t)
-    ann_index_delete(spark, ids, assignments_table=ivf_asg)
-    gated_pq, gated_ivf = pq_serve(), ivf_serve()
-    assert "LeftAnti" in explain_str(gated_pq)  # paying the gate
-    assert "LeftAnti" in explain_str(gated_ivf)
-    rows_pq = sorted(map(tuple, gated_pq.collect()))
-    rows_ivf = sorted(map(tuple, gated_ivf.collect()))
-    tombs = (_pq_tombstones(cd_t), _ann_tombstones(ivf_asg))
-    assert all(spark.catalog.tableExists(t) for t in tombs)
-
-    # the shipped default, verbatim — a fresh project journal, so the
-    # nightly tick fires for this test regardless of the BM25 run above
-    root = str(tmp_path / "shipproj2")
-    os.makedirs(f"{root}/models", exist_ok=True)
-    open(f"{root}/project.yml", "w").write("name: shipproj2\n")
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    shutil.copy(
-        os.path.join(repo, "examples", "curation", "tasks.yml"),
-        os.path.join(root, "tasks.yml"),
-    )
-    rc = main(["task", "run-due", "--project", root,
-               "--now", "2026-08-15T02:30:40"])
-    out = capsys.readouterr().out
-    assert rc == 0
-    assert "nightly_index_maintenance" in out and "success" in out
-    for t in tombs:
-        assert f"folded tombstones {t}" in out
-        assert not spark.catalog.tableExists(t)
-
-    post_pq, post_ivf = pq_serve(), ivf_serve()
-    assert "LeftAnti" not in explain_str(post_pq)
-    assert "LeftAnti" not in explain_str(post_ivf)
-    assert sorted(map(tuple, post_pq.collect())) == rows_pq
-    assert sorted(map(tuple, post_ivf.collect())) == rows_ivf
