@@ -1217,12 +1217,12 @@ def main(argv: list[str] | None = None) -> int:
         # family name. A scheduled gate-mode sweep exits 2 on any
         # ungateable family (fail closed), but some families are
         # legitimately ungateable forever — ephemeral verification
-        # leftovers (pq_codes_semdel_*/pq_codes_mmdel_*), families
-        # built from a different corpus than --corpus — and a cron
-        # that alarms perpetually with no in-band remedy signals
-        # nothing (r13 advice #3). The shipped weekly task
-        # (examples/curation/tasks.yml) carves the known ephemeral
-        # suffixes out with --exclude.
+        # leftovers (ann_assignments_semdel_*, pq_codes_mmdel_*,
+        # pq_codes_del_*), families built from a different corpus than
+        # --corpus — and a cron that alarms perpetually with no
+        # in-band remedy signals nothing (r13 advice #3). The shipped
+        # weekly task (examples/curation/tasks.yml) carves the known
+        # ephemeral suffixes out with --exclude.
         import fnmatch
 
         def _fam_match(fam: str, patterns: list[str]) -> bool:

@@ -200,13 +200,30 @@ def fs_create_atomic(spark: SparkSession, path: str, data: bytes) -> None:
 # reader that may observe a mid-replace crash goes through
 # fs_read_replaceable instead of fs_read
 REPLACE_NEW_SUFFIX = ".new"
+# the exclusive write-staging name (step 3's first half) — never read
+REPLACE_TMP_SUFFIX = REPLACE_NEW_SUFFIX + ".tmp"
+
+
+def is_replace_artifact(name: str) -> bool:
+    """Whether ``name`` is one of the replace protocol's staging names
+    (the ``.new`` twin or the never-read ``.new.tmp`` claim) — the one
+    place the suffixes are spelled, so crash-leftover tolerance in
+    cleanup gates (e.g. the tombstone pristine drop) cannot drift from
+    the protocol (r14 review pass 4, finding 6)."""
+    return name.endswith((REPLACE_NEW_SUFFIX, REPLACE_TMP_SUFFIX))
 
 # a `.new` alongside a live canonical that is OLDER than this is a
 # crashed writer's step-3 leftover (safe to heal away); a YOUNGER one
 # is plausibly a CONCURRENT writer mid-protocol — deleting its
 # complete `.new` while it deletes the canonical would strand the path
 # with NEITHER file, the exact window the protocol exists to remove
-# (r14 review, finding 1) — so the heal raises contention instead
+# (r14 review, finding 1) — so the heal raises contention instead.
+# The gate compares the DRIVER's wall clock to the STORE's mtime, so
+# it assumes driver/store clocks agree within minutes (the same model
+# as the 48h staging reclaim and every mtime-based GC here; NTP-synced
+# deployments are orders of magnitude inside the 10-minute margin).
+# A driver running >10 min AHEAD of the store could misread a live
+# writer's .new as stale — keep the gate generous rather than tight.
 REPLACE_STALE_MS = 10 * 60 * 1000
 
 
@@ -248,7 +265,7 @@ def fs_replace_atomic(spark: SparkSession, path: str, data: bytes) -> None:
     import time
 
     path_new = path + REPLACE_NEW_SUFFIX
-    path_tmp = path_new + ".tmp"
+    path_tmp = path + REPLACE_TMP_SUFFIX
     if fs_exists(spark, path_new):
         if not fs_exists(spark, path):
             fs_rename(spark, path_new, path)
@@ -291,11 +308,19 @@ def fs_replace_atomic(spark: SparkSession, path: str, data: bytes) -> None:
     try:
         fs_create_atomic(spark, path_tmp, data)
     except Exception as exc:  # noqa: BLE001 — classify, then re-raise
-        if fs_exists(spark, path_tmp):
+        if "alreadyexists" in str(exc).lower().replace(" ", ""):
+            # the exclusive create was REFUSED: another writer claimed
+            # the tmp between our heal and our create — contention
             raise OSError(
                 f"concurrent rewrite in progress: {path_tmp} was "
                 "claimed by another writer; retry after it commits"
             ) from exc
+        # the create OPENED then the write/close failed (disk full,
+        # transient IO): the partial tmp is OURS — clear it so the
+        # path is not wedged behind the stale gate for 10 minutes
+        # after the condition clears, and surface the real error
+        # (r14 review pass 4, finding 1)
+        fs_delete(spark, path_tmp)
         raise
     try:
         fs_rename(spark, path_tmp, path_new)
@@ -340,11 +365,20 @@ def fs_read_replaceable_ex(
     replace can delete the canonical between the probe and the read
     (caught and retried) or hold the one (delete -> rename) instant
     where neither name is visible (re-probed) — bounded attempts, then
-    None only if the file is truly gone (r14 review, finding 2)."""
+    None only if the file is truly gone (r14 review, finding 2).
+
+    The common TRULY-ABSENT case (drift sweeps over baseline-less
+    families, sidecar-less dir triage) stays cheap: when nothing
+    exists and no read raced, one immediate canonical re-probe covers
+    the delete->rename instant and the call returns after 3 existence
+    round-trips with no sleeps; the retry-with-backoff loop engages
+    only when a read actually observed a file vanish (r14 review
+    pass 4, finding 5)."""
     import time
 
     path_new = path + REPLACE_NEW_SUFFIX
     for attempt in range(3):
+        raced = False
         for p, canonical in ((path, True), (path_new, False)):
             if not fs_exists(spark, p):
                 continue
@@ -353,6 +387,20 @@ def fs_read_replaceable_ex(
             except Exception as exc:  # noqa: BLE001 — classify below
                 if not _vanished(exc):
                     raise
+                raced = True
+        if not raced:
+            # neither name existed: either truly absent, or we probed
+            # inside a replace's delete->rename instant — one canonical
+            # re-probe resolves which without taxing the absent case
+            if fs_exists(spark, path):
+                try:
+                    return fs_read(spark, path), True
+                except Exception as exc:  # noqa: BLE001
+                    if not _vanished(exc):
+                        raise
+                    raced = True
+            if not raced:
+                return None, False
         if attempt < 2:
             time.sleep(0.05 * (attempt + 1))
     return None, False

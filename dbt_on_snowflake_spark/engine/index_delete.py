@@ -177,19 +177,32 @@ def engine_owned_dir(spark: SparkSession, loc: str) -> bool:
     ]
     for name, canonical in candidates:
         try:
-            spec = json.loads(
-                fs_read(spark, posixpath.join(loc, name)).decode()
-            )
+            raw = fs_read(spark, posixpath.join(loc, name))
         except Exception:  # noqa: BLE001 — unreadable/torn file != proof
             continue
-        if not isinstance(spec, dict):
-            continue
-        if not _OWNERSHIP_PROOF_KEYS[canonical] <= set(spec):
-            continue
-        if canonical == ENGINE_MARK and spec.get("owner") != ENGINE_OWNER:
-            continue
-        return True
+        if _content_proves(canonical, raw):
+            return True
     return False
+
+
+def _content_proves(canonical: str, raw: bytes) -> bool:
+    """Whether sidecar BYTES carry ``canonical``'s writer signature —
+    the one content-proof implementation shared by ``engine_owned_dir``
+    and ``reattach_tombstones`` so the two ownership gates cannot
+    diverge when a writer's key set evolves (r14 review pass 4,
+    finding 7). Every failure mode — undecodable, non-JSON, non-dict,
+    missing keys, foreign ENGINE_MARK owner — is not-proof."""
+    try:
+        spec = json.loads(raw.decode())
+    except Exception:  # noqa: BLE001 — torn/foreign bytes != proof
+        return False
+    if not isinstance(spec, dict):
+        return False
+    if not _OWNERSHIP_PROOF_KEYS[canonical] <= set(spec):
+        return False
+    if canonical == ENGINE_MARK and spec.get("owner") != ENGINE_OWNER:
+        return False
+    return True
 
 
 def mark_engine_dir(spark: SparkSession, table: str) -> None:
@@ -286,24 +299,17 @@ def reattach_tombstones(
     from dbt_on_snowflake_spark.engine.fs import fs_read_replaceable
 
     raw = fs_read_replaceable(spark, posixpath.join(loc, SIDECAR))
-    if raw is not None:
+    if raw is not None and not _content_proves(SIDECAR, raw):
         # CONTENT-validate before adopting, exactly like
-        # engine_owned_dir (r13 advice #1): a foreign tool sharing a
-        # custom-LOCATION dir could have written its own generically
-        # named `_tombstones.json` — name presence alone must not let
-        # later delete/fold calls write into and truncate a dir the
-        # engine does not own, nor crash on spec['id_col'] (r14 review
-        # pass 2, finding 2). An unparseable/foreign sidecar demotes
-        # to the no-sidecar triage below.
-        try:
-            spec = json.loads(raw.decode())
-        except (UnicodeDecodeError, json.JSONDecodeError):
-            spec = None
-        if not (
-            isinstance(spec, dict)
-            and _OWNERSHIP_PROOF_KEYS[SIDECAR] <= set(spec)
-        ):
-            raw = None
+        # engine_owned_dir (r13 advice #1, same shared helper): a
+        # foreign tool sharing a custom-LOCATION dir could have
+        # written its own generically named `_tombstones.json` — name
+        # presence alone must not let later delete/fold calls write
+        # into and truncate a dir the engine does not own, nor crash
+        # on spec['id_col'] (r14 review pass 2, finding 2). An
+        # unparseable/foreign sidecar demotes to the no-sidecar triage
+        # below.
+        raw = None
     if raw is None:
         from dbt_on_snowflake_spark.engine.index_maintenance import (
             _under_warehouse,
@@ -750,19 +756,21 @@ def _drop_when_fully_empty(
     # (a staging dir, an extensionless task file, a `._COPYING_`
     # rendition) keeps the table standing until the staging reclaim or
     # a later fold observes true emptiness.
+    from dbt_on_snowflake_spark.engine.fs import is_replace_artifact
+
     def _residual(c: str) -> bool:
         return not (
             c == "_SUCCESS"
-            # this repo's `_*.json` sidecars, the `.json.new` twin a
-            # crashed fs_replace_atomic leaves between its delete and
-            # rename, and the never-read `.json.new.tmp` staging a
-            # crash inside its step 3 leaves (r14 review pass 3,
-            # finding 2 — an unchanged-spec redelivery never rewrites,
-            # so the .tmp could otherwise gate the pristine drop
-            # forever)
+            # this repo's `_*.json` sidecars plus the replace
+            # protocol's crash leftovers — the `.json.new` twin and
+            # the never-read `.json.new.tmp` staging (r14 review
+            # pass 3, finding 2: an unchanged-spec redelivery never
+            # rewrites, so a leftover could otherwise gate the
+            # pristine drop forever); the suffixes live in fs.py so
+            # this gate cannot drift from the protocol
             or (
                 c.startswith("_")
-                and c.endswith((".json", ".json.new", ".json.new.tmp"))
+                and (c.endswith(".json") or is_replace_artifact(c))
             )
             or (c.startswith(".") and c.endswith(".crc"))
         )

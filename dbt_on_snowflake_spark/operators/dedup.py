@@ -958,7 +958,9 @@ def _drop_managed_table(spark: SparkSession, name: str) -> None:
         # the next CREATE to fail loudly on — the index_delete triage
         # convention).
         if not spark.catalog.tableExists(
-            f"{spark.catalog.currentDatabase()}.{name}"
+            # backtick-quoted like _managed_location's resolution: a
+            # custom db name needing quoting must not crash the probe
+            f"`{spark.catalog.currentDatabase()}`.`{name}`"
         ):
             guard_loc = _managed_location(spark, name)
             guard_owned = fs_exists(spark, guard_loc) and engine_owned_dir(
