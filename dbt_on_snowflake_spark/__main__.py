@@ -1296,11 +1296,16 @@ def main(argv: list[str] | None = None) -> int:
                         ),
                         threshold=args.when_drifted,
                     )
-            except (ValueError, AnalysisException) as exc:
+            except (ValueError, OSError, AnalysisException) as exc:
                 # AnalysisException: a missing centroid sibling (crashed
                 # compaction swap) or a typo'd --codes-table must take
                 # the loud SKIPPED path, not abort the sweep with the
-                # remaining families ungated (r13 review, finding 5)
+                # remaining families ungated (r13 review, finding 5).
+                # OSError: fs_replace_atomic's contention/stale gates
+                # (a retrain racing another writer's sidecar rewrite,
+                # or a minutes-old crash leftover) — same rule: skip
+                # THIS family loudly, keep gating the rest (r14 review
+                # pass 5, finding 1)
                 skipped += 1
                 print(f"{kind} index {fam}: SKIPPED — {exc}", file=sys.stderr)
                 continue

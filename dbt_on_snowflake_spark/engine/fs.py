@@ -322,10 +322,27 @@ def fs_replace_atomic(spark: SparkSession, path: str, data: bytes) -> None:
         # (r14 review pass 4, finding 1)
         fs_delete(spark, path_tmp)
         raise
+    # re-check `.new` absence AFTER winning the tmp claim: POSIX/local
+    # rename silently REPLACES an existing destination (only HDFS
+    # returns false), so relying on the rename to refuse would let a
+    # competitor's just-renamed `.new` be overwritten — that competitor
+    # then deletes the canonical and fails its own final rename,
+    # stranding the path with NEITHER file (r14 review pass 5,
+    # finding 2). The check is race-free, not merely narrowed: the tmp
+    # is an exclusive token, so any competing `.new` was renamed from a
+    # tmp that existed BEFORE ours was created — its rename
+    # happened-before our create succeeded, and is visible here.
+    if fs_exists(spark, path_new):
+        fs_delete(spark, path_tmp)  # release our claim
+        raise OSError(
+            f"concurrent rewrite in progress: {path_new} appeared "
+            "after the heal step; retry after the other writer "
+            "commits"
+        )
     try:
         fs_rename(spark, path_tmp, path_new)
     except OSError as exc:
-        if fs_exists(spark, path_new):
+        if fs_exists(spark, path_new):  # HDFS dest-exists refusal
             raise OSError(
                 f"concurrent rewrite in progress: {path_new} appeared "
                 "after the heal step; retry after the other writer "
