@@ -342,6 +342,11 @@ def fs_replace_atomic(spark: SparkSession, path: str, data: bytes) -> None:
     try:
         fs_rename(spark, path_tmp, path_new)
     except OSError as exc:
+        # release our claim on EVERY failure path — a leaked fresh tmp
+        # would trip the stale gate's contention check on each retry
+        # for 10 minutes with no other writer in sight (r14 review
+        # pass 6, finding 1)
+        fs_delete(spark, path_tmp)
         if fs_exists(spark, path_new):  # HDFS dest-exists refusal
             raise OSError(
                 f"concurrent rewrite in progress: {path_new} appeared "

@@ -362,10 +362,17 @@ def _tombstone_spec_ex(
     raw, canonical = fs_read_replaceable_ex(
         spark, _sidecar_path(spark, tombstones_table)
     )
-    return (
-        None if raw is None else json.loads(raw.decode()),
-        canonical,
-    )
+    if raw is None:
+        return None, False
+    try:
+        return json.loads(raw.decode()), canonical
+    except (UnicodeDecodeError, json.JSONDecodeError):
+        # a torn sidecar (pre-atomic-protocol writer killed mid-create)
+        # must DEMOTE, not crash: (None, False) routes index_delete
+        # into its rewrite-heal and fold_tombstones into its loud
+        # fail-closed refusal, the same triage reattach_tombstones
+        # applies via _content_proves (r14 review pass 6, finding 2)
+        return None, False
 
 
 def _merge_members(
