@@ -234,15 +234,20 @@ def fs_replace_atomic(spark: SparkSession, path: str, data: bytes) -> None:
     delete-then-create leaves NO file between the two calls; r13
     verdict Next #4). Protocol (all steps driver-side, sequential):
 
-    1. heal a prior writer's crash: a ``<path>.new`` with no canonical
-       ``path`` is COMPLETE by construction (the canonical is only ever
-       deleted in step 4, strictly after the ``.new`` create+close of
-       step 3 finished) — rename it into place before replacing it; a
-       ``.new`` alongside a live canonical is EITHER a crashed step-3
-       leftover (healed: deleted — but only once it is older than
-       ``REPLACE_STALE_MS``) OR a concurrent writer mid-protocol —
-       raise contention rather than strand that writer's path with
-       neither file (r14 review, finding 1);
+    1. heal a prior writer's crash — but only once the leftover is
+       provably ABANDONED (older than ``REPLACE_STALE_MS``): a
+       ``<path>.new`` with no canonical ``path`` is COMPLETE by
+       construction (the canonical is only ever deleted in step 4,
+       strictly after step 3 finished) and is renamed into place
+       before replacing; one alongside a live canonical is a
+       superseded step-3 leftover and is deleted. A FRESH ``.new`` in
+       EITHER state is indistinguishable from a concurrent writer
+       mid-protocol, so the heal raises contention instead — promoting
+       or deleting a live writer's twin under it is how a path ends up
+       with NEITHER file (r14 review, finding 1 + pass 7, finding 1).
+       The cost: a crashed write's immediate retry waits out the stale
+       gate; readers lose nothing meanwhile (``fs_read_replaceable``
+       serves the complete twin);
     2. (now no ``.new`` exists)
     3. write the new contents to ``<path>.new.tmp`` (never read by
        anyone), then rename to ``<path>.new`` — so a VISIBLE ``.new``
@@ -268,6 +273,24 @@ def fs_replace_atomic(spark: SparkSession, path: str, data: bytes) -> None:
     path_tmp = path + REPLACE_TMP_SUFFIX
     if fs_exists(spark, path_new):
         if not fs_exists(spark, path):
+            # canonical absent + `.new` present: EITHER a crashed
+            # writer between its steps 4-5 (heal: promote) OR a live
+            # writer in that same instant (its own promote is
+            # milliseconds away — healing under it would let both
+            # writers proceed and strand the path with neither file,
+            # r14 review pass 7, finding 1). The same stale gate
+            # distinguishes them; readers are unaffected either way
+            # (fs_read_replaceable serves the complete `.new`).
+            mtime = fs_mtime(spark, path_new)
+            if (
+                mtime is not None
+                and time.time() * 1000 - mtime < REPLACE_STALE_MS
+            ):
+                raise OSError(
+                    f"concurrent rewrite in progress: {path_new} is "
+                    "younger than the stale gate; retry after the "
+                    "other writer commits"
+                )
             fs_rename(spark, path_new, path)
         else:
             mtime = fs_mtime(spark, path_new)
@@ -341,7 +364,8 @@ def fs_replace_atomic(spark: SparkSession, path: str, data: bytes) -> None:
         )
     try:
         fs_rename(spark, path_tmp, path_new)
-    except OSError as exc:
+    except Exception as exc:  # noqa: BLE001 — Py4JJavaError too, not
+        # just the returns-false OSError (r14 review pass 7, finding 3)
         # release our claim on EVERY failure path — a leaked fresh tmp
         # would trip the stale gate's contention check on each retry
         # for 10 minutes with no other writer in sight (r14 review

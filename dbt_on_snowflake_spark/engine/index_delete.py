@@ -362,17 +362,18 @@ def _tombstone_spec_ex(
     raw, canonical = fs_read_replaceable_ex(
         spark, _sidecar_path(spark, tombstones_table)
     )
-    if raw is None:
-        return None, False
-    try:
-        return json.loads(raw.decode()), canonical
-    except (UnicodeDecodeError, json.JSONDecodeError):
+    if raw is None or not _content_proves(SIDECAR, raw):
         # a torn sidecar (pre-atomic-protocol writer killed mid-create)
-        # must DEMOTE, not crash: (None, False) routes index_delete
-        # into its rewrite-heal and fold_tombstones into its loud
-        # fail-closed refusal, the same triage reattach_tombstones
-        # applies via _content_proves (r14 review pass 6, finding 2)
+        # or a foreign/shape-invalid one (valid JSON but not a dict,
+        # or missing the writer's key signature — the r13 advice #1
+        # threat) must DEMOTE, not crash downstream on
+        # old['id_col']/spec.get(...): (None, False) routes
+        # index_delete into its rewrite-heal and fold_tombstones into
+        # its loud fail-closed refusal — the SAME _content_proves
+        # triage reattach_tombstones applies (r14 review pass 6
+        # finding 2 + pass 7 finding 2)
         return None, False
+    return json.loads(raw.decode()), canonical
 
 
 def _merge_members(

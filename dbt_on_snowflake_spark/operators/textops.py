@@ -2019,7 +2019,21 @@ def ensure_deleted_text_index(
 
     ensure_index_tables(
         spark,
-        tables=(marker_t, stats_t, postings_t, doclen_t),
+        # the TOMBSTONE table is probed too: the shipped nightly
+        # maintenance (`compact --indexes`) folds every tombstone
+        # family in the catalog, including this one — without the
+        # probe, a persistent-warehouse deployment would serve the
+        # pristine plan forever after the first nightly tick while the
+        # bench silently recorded a zero gate delta (r14 review pass
+        # 7, finding 4); with it, a folded family re-arms by re-running
+        # the build+delete
+        tables=(
+            marker_t,
+            _text_tombstones(postings_t),
+            stats_t,
+            postings_t,
+            doclen_t,
+        ),
         job_group="text_deleted_index",
         gc_prefixes=(
             "bm25_stats_dls_",

@@ -1604,9 +1604,18 @@ def test_fs_replace_atomic_crash_windows(spark, tmp_path):
 
     # crash between delete and rename: canonical gone, .new complete
     # (it only ever vanishes AFTER the create+close finished) ->
-    # reader resolves the twin; the next writer heals then replaces
+    # reader resolves the twin immediately. A writer, though, cannot
+    # distinguish a FRESH orphan twin from a live writer milliseconds
+    # from promoting it (r14 review pass 7, finding 1) — contention
+    # until the stale gate proves it abandoned, then heal + replace.
     os.rename(p, p + ".new")
     assert fs_read_replaceable(spark, p) == b"v2"
+    with pytest.raises(OSError, match="concurrent rewrite"):
+        fs_replace_atomic(spark, p, b"v3")
+    assert fs_read_replaceable(spark, p) == b"v2"  # twin untouched
+    old3 = (os.path.getmtime(p + ".new") * 1000 - REPLACE_STALE_MS
+            - 60_000) / 1000
+    os.utime(p + ".new", (old3, old3))
     fs_replace_atomic(spark, p, b"v3")
     assert fs_read_replaceable(spark, p) == b"v3"
     assert os.path.exists(p) and not os.path.exists(p + ".new")
@@ -1703,16 +1712,30 @@ def test_reattach_survives_sidecar_crash_at_foreign_location(
             .collect()
         }
         assert live == {2}  # the gate held across the crash window
-        # the next delete replaces the sidecar and clears the twin
+        # a write retry while the twin is FRESH is indistinguishable
+        # from a live concurrent writer: loud contention, gate intact
+        # (r14 review pass 7, finding 1)
+        with pytest.raises(OSError, match="concurrent rewrite"):
+            minhash_index_delete(
+                spark,
+                spark.createDataFrame([(2,)], "doc_id long"),
+                index_table="tombcw.mh_band_index_cw",
+            )
+        # past the stale gate the twin is provably abandoned: the next
+        # delete heals it into place, replaces the sidecar, clears it
+        from dbt_on_snowflake_spark.engine.fs import REPLACE_STALE_MS
+
+        twin = os.path.join(tomb_loc, "_tombstones.json.new")
+        ts = (os.path.getmtime(twin) * 1000 - REPLACE_STALE_MS
+              - 60_000) / 1000
+        os.utime(twin, (ts, ts))
         minhash_index_delete(
             spark,
             spark.createDataFrame([(2,)], "doc_id long"),
             index_table="tombcw.mh_band_index_cw",
         )
         assert os.path.exists(os.path.join(tomb_loc, "_tombstones.json"))
-        assert not os.path.exists(
-            os.path.join(tomb_loc, "_tombstones.json.new")
-        )
+        assert not os.path.exists(twin)
     finally:
         spark.sql("DROP DATABASE tombcw CASCADE")
 
