@@ -227,6 +227,29 @@ def is_replace_artifact(name: str) -> bool:
 REPLACE_STALE_MS = 10 * 60 * 1000
 
 
+def _claim_blocked(spark: SparkSession, p: str) -> bool:
+    """Whether a replace-protocol artifact at ``p`` must be treated as
+    a LIVE concurrent writer's: younger than ``REPLACE_STALE_MS``, or
+    vanished between the caller's existence probe and the mtime read
+    (a writer just moved it — r14 review pass 8, finding 3). One gate
+    shared by all three heal/claim sites so the freshness contract
+    cannot desynchronize between them (pass 8, finding 5)."""
+    import time
+
+    mtime = fs_mtime(spark, p)
+    if mtime is None:
+        return True
+    return time.time() * 1000 - mtime < REPLACE_STALE_MS
+
+
+def _raise_contention(p: str) -> None:
+    raise OSError(
+        f"concurrent rewrite in progress: {p} is fresh (or just "
+        "moved) — retry after the other writer commits, or after the "
+        "stale gate if that writer crashed"
+    )
+
+
 def fs_replace_atomic(spark: SparkSession, path: str, data: bytes) -> None:
     """Replace ``path``'s contents so that a crash at ANY point leaves
     a complete copy readable via ``fs_read_replaceable`` — the
@@ -264,11 +287,20 @@ def fs_replace_atomic(spark: SparkSession, path: str, data: bytes) -> None:
     fails LOUDLY with OSError and the caller retries after the other
     commit lands — crashed leftovers age past the stale gate and heal.
 
+    Store-capability boundary (r14 review pass 8, finding 1): the
+    exclusive tmp claim is ATOMIC on HDFS and local filesystems
+    (create-if-absent is a namespace operation). On S3A,
+    ``create(overwrite=false)`` is HEAD-then-PUT, so two writers
+    racing within that window can both believe they won — there the
+    loud-contention guarantee degrades to best-effort and the
+    single-writer regime (tasks.yml serializes all scheduled
+    maintenance through one runner) is the operative protection;
+    CRASH safety — the property this protocol exists for — is
+    unaffected, since S3 PUT visibility is all-or-nothing.
+
     Readers that never race a replace (the canonical is written once
     at build time) may keep plain ``fs_read``; anything reattaching or
     proving state across sessions must use ``fs_read_replaceable``."""
-    import time
-
     path_new = path + REPLACE_NEW_SUFFIX
     path_tmp = path + REPLACE_TMP_SUFFIX
     if fs_exists(spark, path_new):
@@ -281,28 +313,12 @@ def fs_replace_atomic(spark: SparkSession, path: str, data: bytes) -> None:
             # r14 review pass 7, finding 1). The same stale gate
             # distinguishes them; readers are unaffected either way
             # (fs_read_replaceable serves the complete `.new`).
-            mtime = fs_mtime(spark, path_new)
-            if (
-                mtime is not None
-                and time.time() * 1000 - mtime < REPLACE_STALE_MS
-            ):
-                raise OSError(
-                    f"concurrent rewrite in progress: {path_new} is "
-                    "younger than the stale gate; retry after the "
-                    "other writer commits"
-                )
+            if _claim_blocked(spark, path_new):
+                _raise_contention(path_new)
             fs_rename(spark, path_new, path)
         else:
-            mtime = fs_mtime(spark, path_new)
-            if (
-                mtime is not None
-                and time.time() * 1000 - mtime < REPLACE_STALE_MS
-            ):
-                raise OSError(
-                    f"concurrent rewrite in progress: {path_new} is "
-                    "younger than the stale gate; retry after the "
-                    "other writer commits"
-                )
+            if _claim_blocked(spark, path_new):
+                _raise_contention(path_new)
             fs_delete(spark, path_new)
     # step 3 in two sub-steps so a VISIBLE `.new` is always complete,
     # even for the FIRST-ever write of a path (HDFS/local expose a file
@@ -317,16 +333,8 @@ def fs_replace_atomic(spark: SparkSession, path: str, data: bytes) -> None:
     # contention); a STALE one is a crashed writer's leftover (cleared,
     # then claimed).
     if fs_exists(spark, path_tmp):
-        mtime = fs_mtime(spark, path_tmp)
-        if (
-            mtime is not None
-            and time.time() * 1000 - mtime < REPLACE_STALE_MS
-        ):
-            raise OSError(
-                f"concurrent rewrite in progress: {path_tmp} is "
-                "younger than the stale gate; retry after the other "
-                "writer commits"
-            )
+        if _claim_blocked(spark, path_tmp):
+            _raise_contention(path_tmp)
         fs_delete(spark, path_tmp)
     try:
         fs_create_atomic(spark, path_tmp, data)

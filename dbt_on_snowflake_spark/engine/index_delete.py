@@ -180,29 +180,31 @@ def engine_owned_dir(spark: SparkSession, loc: str) -> bool:
             raw = fs_read(spark, posixpath.join(loc, name))
         except Exception:  # noqa: BLE001 — unreadable/torn file != proof
             continue
-        if _content_proves(canonical, raw):
+        if _content_proves(canonical, raw) is not None:
             return True
     return False
 
 
-def _content_proves(canonical: str, raw: bytes) -> bool:
-    """Whether sidecar BYTES carry ``canonical``'s writer signature —
-    the one content-proof implementation shared by ``engine_owned_dir``
-    and ``reattach_tombstones`` so the two ownership gates cannot
-    diverge when a writer's key set evolves (r14 review pass 4,
-    finding 7). Every failure mode — undecodable, non-JSON, non-dict,
-    missing keys, foreign ENGINE_MARK owner — is not-proof."""
+def _content_proves(canonical: str, raw: bytes) -> dict | None:
+    """The parsed spec when sidecar BYTES carry ``canonical``'s writer
+    signature, else None — the one content-proof implementation shared
+    by ``engine_owned_dir``, ``reattach_tombstones`` and
+    ``_tombstone_spec_ex`` so the ownership gates cannot diverge when
+    a writer's key set evolves (r14 review pass 4, finding 7), and so
+    a proving caller reuses the parse instead of decoding twice (pass
+    8, finding 4). Every failure mode — undecodable, non-JSON,
+    non-dict, missing keys, foreign ENGINE_MARK owner — is None."""
     try:
         spec = json.loads(raw.decode())
     except Exception:  # noqa: BLE001 — torn/foreign bytes != proof
-        return False
+        return None
     if not isinstance(spec, dict):
-        return False
+        return None
     if not _OWNERSHIP_PROOF_KEYS[canonical] <= set(spec):
-        return False
+        return None
     if canonical == ENGINE_MARK and spec.get("owner") != ENGINE_OWNER:
-        return False
-    return True
+        return None
+    return spec
 
 
 def mark_engine_dir(spark: SparkSession, table: str) -> None:
@@ -299,7 +301,7 @@ def reattach_tombstones(
     from dbt_on_snowflake_spark.engine.fs import fs_read_replaceable
 
     raw = fs_read_replaceable(spark, posixpath.join(loc, SIDECAR))
-    if raw is not None and not _content_proves(SIDECAR, raw):
+    if raw is not None and _content_proves(SIDECAR, raw) is None:
         # CONTENT-validate before adopting, exactly like
         # engine_owned_dir (r13 advice #1, same shared helper): a
         # foreign tool sharing a custom-LOCATION dir could have
@@ -362,7 +364,8 @@ def _tombstone_spec_ex(
     raw, canonical = fs_read_replaceable_ex(
         spark, _sidecar_path(spark, tombstones_table)
     )
-    if raw is None or not _content_proves(SIDECAR, raw):
+    spec = None if raw is None else _content_proves(SIDECAR, raw)
+    if spec is None:
         # a torn sidecar (pre-atomic-protocol writer killed mid-create)
         # or a foreign/shape-invalid one (valid JSON but not a dict,
         # or missing the writer's key signature — the r13 advice #1
@@ -373,7 +376,7 @@ def _tombstone_spec_ex(
         # triage reattach_tombstones applies (r14 review pass 6
         # finding 2 + pass 7 finding 2)
         return None, False
-    return json.loads(raw.decode()), canonical
+    return spec, canonical
 
 
 def _merge_members(

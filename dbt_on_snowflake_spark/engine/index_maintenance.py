@@ -305,15 +305,22 @@ def _swap_rewrite(
     for f in sorted(names):
         if not (f.startswith("_") and f.endswith((".json", ".json.new"))):
             continue
-        if (
-            f.endswith(REPLACE_NEW_SUFFIX)
-            and f.removesuffix(REPLACE_NEW_SUFFIX) in names
-        ):
-            continue  # superseded twin; the canonical travels instead
+        dest = f
+        if f.endswith(REPLACE_NEW_SUFFIX):
+            if f.removesuffix(REPLACE_NEW_SUFFIX) in names:
+                continue  # superseded twin; the canonical travels
+            # orphan twin (canonical absent): complete by the replace
+            # protocol, so HEAL it to the canonical name at carry time
+            # — copying it under the .new name would give it a fresh
+            # mtime (FileUtil.copy drops timestamps) and re-arm the
+            # REPLACE_STALE_MS contention gate for 10 minutes after
+            # every sweep, even for a days-old crash (r14 review
+            # pass 8, finding 2)
+            dest = f.removesuffix(REPLACE_NEW_SUFFIX)
         fs_copy(
             spark,
             posixpath.join(loc, f),
-            posixpath.join(tmp_loc, f),
+            posixpath.join(tmp_loc, dest),
         )
     spark.sql(f"DROP TABLE {name}")
     if fs_exists(spark, loc):

@@ -205,7 +205,13 @@ def derive_scaled_dir(
     off_l = _max_plus_one(emb, "label")
     # dimension count: one bounded driver-side row (the copies need a
     # literal rotation length; testdata vectors are fixed-width)
-    dim = len(emb.select("embedding").first()["embedding"])
+    first = emb.select("embedding").first()
+    if first is None:
+        raise ValueError(
+            f"embeddings table at {base_dir} is empty — nothing to "
+            "derive a scaled copy from"
+        )
+    dim = len(first["embedding"])
 
     def emb_copy(df: DataFrame, i: int) -> DataFrame:
         # per-copy cyclic DIMENSION rotation — the vector-space analog
