@@ -243,6 +243,17 @@ def main(argv: list[str] | None = None) -> int:
     project = Project(args.project, target=args.target)
 
     if getattr(args, "selector_name", None):
+        if args.cmd == "reindex":
+            # reindex's --select is an index-FAMILY fnmatch filter,
+            # not a node selector: expanding --selector into it would
+            # fnmatch families against the literal 'selector:<name>',
+            # match nothing, and exit 0 with ZERO families gated — a
+            # drift gate reporting green while checking nothing (r14
+            # review pass 9, finding 3)
+            print("--selector does not apply to reindex (its --select/"
+                  "--exclude are index-family fnmatch filters)",
+                  file=sys.stderr)
+            return 2
         if args.select:
             print("--selector and --select are mutually exclusive",
                   file=sys.stderr)

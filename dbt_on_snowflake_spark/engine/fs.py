@@ -65,11 +65,21 @@ def fs_read(spark: SparkSession, path: str) -> bytes:
 
 
 def fs_mtime(spark: SparkSession, path: str) -> int | None:
-    """Modification time (ms) of a path itself; None if missing."""
+    """Modification time (ms) of a path itself; None if missing —
+    including a path that vanishes between the existence probe and the
+    status read (a concurrent rename mid-flight), which would
+    otherwise escape as a Py4JJavaError through callers whose
+    documented contract is OSError (r14 review pass 9, finding 1)."""
     fs, p = _fs_path(spark, path)
     if not fs.exists(p):
         return None
-    return int(fs.getFileStatus(p).getModificationTime())
+    try:
+        return int(fs.getFileStatus(p).getModificationTime())
+    except Exception as exc:  # noqa: BLE001 — classify below
+        s = str(exc)
+        if "FileNotFound" in s or "does not exist" in s:
+            return None
+        raise
 
 
 def fs_size(spark: SparkSession, path: str) -> int:
@@ -204,13 +214,20 @@ REPLACE_NEW_SUFFIX = ".new"
 REPLACE_TMP_SUFFIX = REPLACE_NEW_SUFFIX + ".tmp"
 
 
-def is_replace_artifact(name: str) -> bool:
+def is_replace_artifact(name: str, base_suffix: str = "") -> bool:
     """Whether ``name`` is one of the replace protocol's staging names
     (the ``.new`` twin or the never-read ``.new.tmp`` claim) — the one
     place the suffixes are spelled, so crash-leftover tolerance in
     cleanup gates (e.g. the tombstone pristine drop) cannot drift from
-    the protocol (r14 review pass 4, finding 6)."""
-    return name.endswith((REPLACE_NEW_SUFFIX, REPLACE_TMP_SUFFIX))
+    the protocol (r14 review pass 4, finding 6). ``base_suffix``
+    restricts the match to artifacts OF files with that suffix
+    (e.g. ".json"): a deletion gate must not treat a foreign
+    ``_export.csv.new`` as an ignorable protocol leftover (pass 9,
+    finding 6)."""
+    return name.endswith((
+        base_suffix + REPLACE_NEW_SUFFIX,
+        base_suffix + REPLACE_TMP_SUFFIX,
+    ))
 
 # a `.new` alongside a live canonical that is OLDER than this is a
 # crashed writer's step-3 leftover (safe to heal away); a YOUNGER one
@@ -339,7 +356,15 @@ def fs_replace_atomic(spark: SparkSession, path: str, data: bytes) -> None:
     try:
         fs_create_atomic(spark, path_tmp, data)
     except Exception as exc:  # noqa: BLE001 — classify, then re-raise
-        if "alreadyexists" in str(exc).lower().replace(" ", ""):
+        refused = str(exc).lower().replace(" ", "")
+        if (
+            "alreadyexists" in refused
+            # HDFS lease conflict: another writer has the tmp OPEN —
+            # also a refusal; misreading it as our own partial write
+            # would delete the WINNER's live claim (r14 review pass 9,
+            # finding 2)
+            or "alreadybeingcreated" in refused
+        ):
             # the exclusive create was REFUSED: another writer claimed
             # the tmp between our heal and our create — contention
             raise OSError(

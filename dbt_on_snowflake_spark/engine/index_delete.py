@@ -781,7 +781,13 @@ def _drop_when_fully_empty(
             # this gate cannot drift from the protocol
             or (
                 c.startswith("_")
-                and (c.endswith(".json") or is_replace_artifact(c))
+                and (
+                    c.endswith(".json")
+                    # only .json-based protocol leftovers: a foreign
+                    # `_export.csv.new` must keep blocking the drop
+                    # (r14 review pass 9, finding 6)
+                    or is_replace_artifact(c, base_suffix=".json")
+                )
             )
             or (c.startswith(".") and c.endswith(".crc"))
         )

@@ -19,10 +19,12 @@ derived dir measures the engine, not an artifact of the derivation:
   text copy makes every doc a 10-way near-dup cluster, which inflates
   LSH candidate pairs quadratically — a property of the synthetic
   data, not of any real 10x corpus. Each copy instead rotates two
-  disjoint character classes (vowels x 'rstln', 25 distinct bijections
-  — injective, so WITHIN-copy near-dup structure is preserved exactly
-  while cross-copy shingle overlap collapses to ~0). Verified-pair
-  output therefore scales linearly: factor x the base pairs.
+  disjoint character classes (5 vowels by i%5, 19 consonants by i%19
+  — injective, so WITHIN-copy near-dup structure is preserved exactly,
+  and for factor <= 19 every copy PAIR differs in the 19-letter
+  rotation, collapsing cross-copy shingle overlap to ~0 for any
+  alphabetic text). Verified-pair output therefore scales linearly:
+  factor x the base pairs.
 - Embedding copies get a per-copy cyclic dimension rotation: an
   orthogonal transform, so within-copy geometry (distances, clusters,
   quantization error) is exactly the base dir's while cross-copy
@@ -50,7 +52,13 @@ from pyspark.sql import functions as F
 VERBATIM_TABLES = ("region", "nation", "part", "supplier")
 
 _VOWELS = "aeiou"
-_CONSONANTS = "rstln"
+# 19 consonants (all but x and y — a PRIME class size): copies rotate
+# a class covering most English characters, and every cross-copy pair
+# within factor <= 19 differs in THIS rotation (i%19 collides only at
+# stride 19), not merely in the 5-vowel one (r14 review pass 9, finding 5: with two 5-letter
+# classes, copies i and i+5 shared the vowel map and rstln-poor text
+# survived near-identically across them)
+_CONSONANTS = "bcdfghjklmnpqrstvwz"
 
 MARKER = "_scale_probe.json"
 
@@ -61,11 +69,17 @@ def _rot(s: str, k: int) -> str:
 
 
 def _copy_translation(i: int) -> tuple[str, str]:
-    """Bijective per-copy character remap: vowels rotated by i%5,
-    'rstln' by (i//5)%5 — 25 distinct maps, copy 0 is the identity."""
+    """Bijective per-copy character remap: vowels rotated by i%5 and
+    the 19-consonant class by i%19 — copy 0 is the identity, and for
+    any factor <= 19 every PAIR of copies differs in the 19-letter
+    rotation, so any shingle containing one of those consonants
+    changes between every pair of copies. Boundary (documented, not
+    hidden): text with NO alphabetic characters at all (digit-only
+    shingles) is invariant under any character-class rotation — such
+    content is decorrelated only by its alphabetic context."""
     src = _VOWELS + _VOWELS.upper() + _CONSONANTS + _CONSONANTS.upper()
     v = _rot(_VOWELS, i % 5)
-    c = _rot(_CONSONANTS, (i // 5) % 5)
+    c = _rot(_CONSONANTS, i % 19)
     dst = v + v.upper() + c + c.upper()
     return src, dst
 
@@ -73,6 +87,11 @@ def _copy_translation(i: int) -> tuple[str, str]:
 def _max_plus_one(df: DataFrame, col: str) -> int:
     # 1-row aggregate: the key-domain stride for the shifted copies
     row = df.agg(F.max(F.col(col)).alias("m")).collect()[0]
+    if row["m"] is None:
+        raise ValueError(
+            f"cannot derive a key stride: column {col!r} has no rows "
+            "— the base table is empty"
+        )
     return int(row["m"]) + 1
 
 
@@ -93,15 +112,19 @@ def derive_scaled_dir(
     """Write a ``factor``-x derivation of ``base_dir`` to ``out_dir``
     (idempotent: a marker records (base, factor); a matching existing
     derivation is reused, a mismatched one is rebuilt)."""
-    if factor < 1 or factor > 25:
-        raise ValueError("factor must be in [1, 25] (25 distinct text remaps)")
+    if factor < 1 or factor > 19:
+        raise ValueError(
+            "factor must be in [1, 19]: beyond 19 copies the "
+            "consonant rotation repeats and copy pairs i, i+19 would "
+            "differ only in the 5-vowel map"
+        )
     marker = os.path.join(out_dir, MARKER)
     # version bumps when the derivation recipe changes (tables covered,
     # remap scheme) — a cached dir from an older recipe is rebuilt
     want = {
         "base_dir": os.path.abspath(base_dir),
         "factor": factor,
-        "version": 3,
+        "version": 4,
     }
     if os.path.exists(marker):
         try:
