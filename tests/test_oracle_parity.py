@@ -144,49 +144,53 @@ def test_driver_export_within_budget():
         assert any(n.startswith(fam) for n in exported), fam
 
 
-def test_r14_rotation_promises_kept():
-    """The r14 rotation: the r13 ledger draft re-verified against
-    CORRECTNESS_r13 (50/50 green, key set == R13_EXPORT exactly) and
-    executed with one documented fill swap (registry ledger: p2 ->
-    a_unpivot_status_revenue, keeping an a_* family representative
-    exported) — the 46 window-hard r11-green rows, both r13-born
-    never-driver-checked rows (R14_ROTATE_IN: the delete-serve twins'
-    first driver checks), and 2 fills = 50, zero slips. Pin them so a
-    later edit can't
+def test_r15_rotation_promises_kept():
+    """The r15 rotation: the R15 draft re-verified against
+    CORRECTNESS_r14 (50/50 green, key set == R14_EXPORT exactly) and
+    executed retirement-first (registry ledger: 6 more twins demoted,
+    3 of them from the mandatory block) with the 4 freed slots going to
+    evidence-reset rows — the 45 window-hard r12-green rows, the
+    r14-born gated-serve headliner's first driver row (R15_ROTATE_IN),
+    and the 4 resets = 50, zero slips. Pin them so a later edit can't
     silently demote one before the driver sees it. (The full staleness
     arithmetic is machine-checked against the CORRECTNESS_r*.json
     history in tests/test_rotation_ledger.py.)"""
     from dbt_on_snowflake_spark.registry import (
-        R11_EXPORT,
         R12_EXPORT,
         R13_EXPORT,
         R14_EXPORT,
-        R14_ROTATE_IN,
+        R15_EXPORT,
         R15_ROTATE_IN,
+        R16_ROTATE_IN,
         RETIRED_FROM_ROTATION,
         driver_queries,
     )
 
     exported = set(driver_queries())
-    assert R14_EXPORT == exported, sorted(R14_EXPORT ^ exported)
-    # the 46 window-hard rows: last green r11 = exported at r11, not
-    # re-exported (hence not re-greened) at r12 or r13, not retired
+    assert R15_EXPORT == exported, sorted(R15_EXPORT ^ exported)
+    # the 45 window-hard rows: last green r12 = exported at r12, not
+    # re-exported (hence not re-greened) at r13 or r14, not retired
     retired = set(RETIRED_FROM_ROTATION)
-    r11_green = (R11_EXPORT - retired) - R12_EXPORT - R13_EXPORT
-    assert len(r11_green) == 46, len(r11_green)
-    fills = {"s4_source_passthrough", "a_unpivot_status_revenue"}
-    assert r11_green <= exported, sorted(r11_green - exported)
-    assert R14_ROTATE_IN <= exported, sorted(R14_ROTATE_IN - exported)
-    assert fills <= exported
-    # the export is exactly the mandatory set + the 2 documented fills
-    assert exported == r11_green | R14_ROTATE_IN | fills
+    r12_green = (R12_EXPORT - retired) - R13_EXPORT - R14_EXPORT
+    assert len(r12_green) == 45, len(r12_green)
+    resets = {
+        "q9_product_profit",
+        "q22_dormant_customers",
+        "ann_pq_adc_topk",
+        "ann_pq_recall_eval",
+    }
+    assert r12_green <= exported, sorted(r12_green - exported)
+    assert R15_ROTATE_IN <= exported, sorted(R15_ROTATE_IN - exported)
+    assert resets <= exported
+    # the export is exactly the mandatory set + the 4 documented resets
+    assert exported == r12_green | R15_ROTATE_IN | resets
     # retirement is disjoint from the export
     assert not retired & exported
-    # r14-born queries register in the ledger for the r15 rotation
+    # r15-born queries register in the ledger for the r16 rotation
     from dbt_on_snowflake_spark.registry import all_queries
 
-    assert R15_ROTATE_IN <= set(all_queries()), sorted(
-        R15_ROTATE_IN - set(all_queries())
+    assert R16_ROTATE_IN <= set(all_queries()), sorted(
+        R16_ROTATE_IN - set(all_queries())
     )
 
 

@@ -49,10 +49,25 @@ from dbt_on_snowflake_spark.registry import (
     R13_ROTATE_IN,
     R14_EXPORT,
     R14_ROTATE_IN,
+    R15_EXPORT,
     R15_ROTATE_IN,
+    R16_ROTATE_IN,
     RETIRED_FROM_ROTATION,
     all_queries,
 )
+
+# Rows retired at r15 (registry RETIRED_FROM_ROTATION r15 block). The
+# retroactive audits of r13/r14 pass the then-active retired set so a
+# later retirement cannot mask an obligation that existed at the time.
+R15_RETIREMENTS = {
+    "asof_next_order_after_event",
+    "asof_last_order_before_event",
+    "retrieval_hybrid_rrf",
+    "ann_filtered_topk",
+    "ann_ivf_multiprobe_indexed",
+    "t_events_sliding_streaming",
+}
+R13_ERA_RETIRED = set(RETIRED_FROM_ROTATION) - R15_RETIREMENTS
 
 REPO = Path(__file__).resolve().parent.parent
 
@@ -172,46 +187,77 @@ def check_policy(
     return errs
 
 
-def test_r14_export_satisfies_rotation_policy():
+def test_r15_export_satisfies_rotation_policy():
     registered = set(all_queries())
     errs = check_policy(
-        current_round=14,
-        export=R14_EXPORT,
-        rotate_in=R14_ROTATE_IN,
-        next_ledger=R15_ROTATE_IN,
+        current_round=15,
+        export=R15_EXPORT,
+        rotate_in=R15_ROTATE_IN,
+        next_ledger=R16_ROTATE_IN,
         registered=registered,
         retired=set(RETIRED_FROM_ROTATION),
     )
     assert not errs, "\n".join(errs)
 
 
-def test_r14_export_needs_zero_slips():
-    """The r14 export, computed against the REAL CORRECTNESS_r13 file,
+def test_r15_export_needs_zero_slips():
+    """The r15 export, computed against the REAL CORRECTNESS_r14 file,
     satisfies the policy with NO slip class invoked — every
-    stale-or-rotate-in obligation is exported outright."""
+    stale-or-rotate-in obligation is exported outright (the r15
+    retirement, not a slip, paid for the evidence-reset rows)."""
     registered = set(all_queries())
-    last = correctness_history(13)
+    last = correctness_history(14)
     retired = set(RETIRED_FROM_ROTATION)
     mandatory = {
         q
         for q, n in last.items()
-        if q in registered and q not in retired and n <= 14 - 3
-    } | R14_ROTATE_IN
-    assert mandatory <= R14_EXPORT, sorted(mandatory - R14_EXPORT)
+        if q in registered and q not in retired and n <= 15 - 3
+    } | R15_ROTATE_IN
+    assert mandatory <= R15_EXPORT, sorted(mandatory - R15_EXPORT)
+
+
+def test_r15_export_carries_evidence_resets():
+    """The four rows whose semantics r15's work changes (q9/q22
+    constant retune, PQ Lloyd codebooks) are re-exported even though
+    their r14 rows were green — prior hashes no longer evidence the
+    current query (registry ledger, r15 entry)."""
+    for q in (
+        "q9_product_profit",
+        "q22_dormant_customers",
+        "ann_pq_adc_topk",
+        "ann_pq_recall_eval",
+    ):
+        assert q in R15_EXPORT, q
+
+
+def test_r14_export_satisfied_rotation_policy_retroactively():
+    """The retired r14 export stays compliant against the r1–r13
+    history, audited with the r13-era retired set (a later retirement
+    must not mask an obligation that existed at r14)."""
+    registered = set(all_queries()) - R16_ROTATE_IN
+    errs = check_policy(
+        current_round=14,
+        export=R14_EXPORT,
+        rotate_in=R14_ROTATE_IN,
+        next_ledger=R15_ROTATE_IN,
+        registered=registered,
+        retired=R13_ERA_RETIRED,
+    )
+    assert not errs, "\n".join(errs)
 
 
 def test_r13_export_satisfied_rotation_policy_retroactively():
     """The retired r13 export stays compliant against the r1–r12
     history (rows born in r14 — the R15 ledger — had no r13
     obligation)."""
-    registered = set(all_queries()) - R15_ROTATE_IN
+    registered = set(all_queries()) - R15_ROTATE_IN - R16_ROTATE_IN
     errs = check_policy(
         current_round=13,
         export=R13_EXPORT,
         rotate_in=R13_ROTATE_IN,
         next_ledger=R14_ROTATE_IN,
         registered=registered,
-        retired=set(RETIRED_FROM_ROTATION),
+        retired=R13_ERA_RETIRED,
     )
     assert not errs, "\n".join(errs)
 
@@ -224,10 +270,10 @@ def test_retirement_invariants():
     qs = all_queries()
     registered = set(qs)
     retired = set(RETIRED_FROM_ROTATION)
-    last = correctness_history(12)
+    last = correctness_history(14)
     assert retired <= registered, sorted(retired - registered)
     assert retired <= set(last), sorted(retired - set(last))
-    assert not retired & R14_EXPORT
+    assert not retired & R15_EXPORT
     for row, guard in RETIRED_FROM_ROTATION.items():
         assert guard in registered and guard not in retired, (row, guard)
         assert qs[guard].fn.__module__ == qs[row].fn.__module__, (row, guard)
@@ -236,27 +282,31 @@ def test_retirement_invariants():
         # its driver slot
         assert qs[row].oracle is not None, row
     pool = registered - retired
+    # the structural bound is a <= 3-round full cycle; r15 additionally
+    # bought >= 3 slots of per-round slack (VERDICT r14 Next #4)
     assert len(pool) <= 3 * DRIVER_BUDGET, len(pool)
+    assert len(pool) <= 145, len(pool)
 
 
-def test_r15_rotation_fits_budget():
-    """The R15 draft arithmetic (registry ledger): assuming r14 goes
-    green on R14_EXPORT, the r15 mandatory set — rows last driver-green
-    in r12 or earlier that stay in the pool, plus the r14-born
-    rotate-ins — fits the 50-row budget. Every r14 birth must either
-    take one of the spare slots (R15_ROTATE_IN) or pair with a
-    retirement; this test is the machine check on that budget."""
+def test_r16_rotation_fits_budget():
+    """The R16 draft arithmetic (registry ledger): assuming r15 goes
+    green on R15_EXPORT, the r16 mandatory set — rows last driver-green
+    in r13 or earlier that stay in the pool, plus the r15-born
+    rotate-ins — fits the 50-row budget with >= 3 spare slots. Every
+    r15 birth must either take a spare slot (add it to R16_ROTATE_IN
+    when born) or pair with a retirement; this test is the machine
+    check on that budget."""
     registered = set(all_queries())
     retired = set(RETIRED_FROM_ROTATION)
-    last = correctness_history(13)
-    for q in R14_EXPORT:
-        last[q] = 14  # simulated green r14
+    last = correctness_history(14)
+    for q in R15_EXPORT:
+        last[q] = 15  # simulated green r15
     mandatory = {
         q
         for q, n in last.items()
-        if q in registered and q not in retired and n <= 15 - 3
-    } | R15_ROTATE_IN
-    assert len(mandatory) <= DRIVER_BUDGET, sorted(mandatory)
+        if q in registered and q not in retired and n <= 16 - 3
+    } | R16_ROTATE_IN
+    assert len(mandatory) <= DRIVER_BUDGET - 3, sorted(mandatory)
 
 
 def test_r12_export_satisfied_rotation_policy_retroactively():
