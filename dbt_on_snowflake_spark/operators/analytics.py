@@ -1576,7 +1576,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
     JOIN nation n ON n.n_nationkey = s.s_nationkey
     JOIN orders o ON o.o_orderkey = l.l_orderkey
-    WHERE p.p_name LIKE '%5%'
+    WHERE p.p_name LIKE '%ring%'
     GROUP BY n.n_name, EXTRACT(year FROM o.o_orderdate)
     """,
 )
@@ -1585,9 +1585,16 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim before it joins (broadcast after the filter at this SF; at 100x
     the size gate decides), profit is computed in exact scale-4 integers
     (revenue minus retail cost) and aggregated by supplier nation and
-    order year — one shuffle, no Expand."""
+    order year — one shuffle, no Expand.
+
+    The name pattern is '%ring%' (~12% of this testdata's two-word part
+    names): TPC-H's canonical '%green%' transliterated to a token the
+    generator actually emits. The original '%5%' matched zero parts, so
+    every prior green row proved only empty-set agreement (VERDICT r14
+    Next #3); the constant is retuned in query AND oracle together and
+    the parity replica now asserts nonzero rows at SF_SMOKE."""
     l = table(spark, sf_dir, "lineitem")
-    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%5%"))
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%ring%"))
     s = table(spark, sf_dir, "supplier")
     n = F.broadcast(table(spark, sf_dir, "nation"))
     o = table(spark, sf_dir, "orders")
@@ -1730,6 +1737,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE c.c_acctbal > (SELECT avg_bal FROM thresh)
       AND NOT EXISTS (
           SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2000-01-01'
       )
     GROUP BY n.n_name
     """,
@@ -1740,7 +1748,15 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     average so the comparison boundary is engine-identical), a NOT
     EXISTS decorrelated into a left-anti join on custkey, and a final
     nation rollup. The threshold is a 1-row broadcast; the anti-join is
-    the only customer-sized shuffle."""
+    the only customer-sized shuffle (the date filter on orders pushes
+    to the scan, shrinking the anti-join's build side).
+
+    "Dormant" is time-scoped — no orders on/after 2000-01-01 (the
+    generator gives every customer at least one order ever, so TPC-H's
+    literal "no orders at all" selects the empty set at every SF and
+    the row's hash proved only empty-set agreement, VERDICT r14
+    Next #3); the cutoff is retuned in query AND oracle together and
+    the parity replica now asserts nonzero rows at SF_SMOKE."""
     c = table(spark, sf_dir, "customer")
     thresh = (
         c.filter(F.col("c_acctbal") > 0.0)
@@ -1752,7 +1768,9 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_bal")
         )
     )
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
     n = F.broadcast(table(spark, sf_dir, "nation"))
     rich = c.crossJoin(F.broadcast(thresh)).filter(
         F.col("c_acctbal") > F.col("avg_bal")

@@ -106,7 +106,9 @@ def _key(row: tuple) -> str:
     return repr(row)
 
 
-def compare(spark, name: str, fn, oracle_sql: str, sf_dir: str) -> None:
+def compare(spark, name: str, fn, oracle_sql: str, sf_dir: str) -> int:
+    """Hash-compare a Spark query against its DuckDB oracle; returns the
+    (matching) row count so callers can assert nonzero evidence."""
     sdf = fn(spark, sf_dir)
     spark_cols, srows = _rows_from_arrow(sdf.toArrow())
 
@@ -132,3 +134,4 @@ def compare(spark, name: str, fn, oracle_sql: str, sf_dir: str) -> None:
         f"{name}: {len(mismatches)}/{len(srows)} value mismatches; first 3: "
         + "; ".join(f"spark={a} duck={b}" for _, a, b in mismatches[:3])
     )
+    return len(srows)

@@ -74,6 +74,24 @@ def _assert_scale_safe_joins(name: str, df) -> None:
         )
 
 
+# Queries allowed to return ZERO rows at SF_SMOKE. An empty result
+# hash-matches trivially — it proves only empty-set agreement, which is
+# how q9/q22 sat "green" for seven rounds while their joins were never
+# value-exercised (VERDICT r14 Next #3). Every other query must produce
+# rows; additions here need a written reason.
+_EMPTY_OK = {
+    # RI anti-join over FK-consistent testdata: zero orphans IS the
+    # expected semantics (a passing relationships test). The anti-join
+    # finding real orphans on corrupted input is separately proven by
+    # tests/test_engine.py::test_builtin_generic_tests (count == 3).
+    "j7_anti_orphans",
+    # nonzero where the driver checks it (8 rows at sf0.01,
+    # CORRECTNESS_r14) — the high-revenue shipping filter just selects
+    # nothing from the 60x smaller sf0.001 sample.
+    "q7_volume_shipping",
+}
+
+
 @pytest.mark.parametrize("name", sorted(_QUERIES))
 def test_oracle_parity(spark, name):
     q = _QUERIES[name]
@@ -81,9 +99,15 @@ def test_oracle_parity(spark, name):
     _assert_scale_safe_joins(name, df)
     if q.oracle is None:
         assert df.columns  # rows-only check: runs and has a stable schema
-        df.count()
+        n = df.count()
     else:
-        compare(spark, name, lambda *_: df, q.oracle, SF_SMOKE)
+        n = compare(spark, name, lambda *_: df, q.oracle, SF_SMOKE)
+    if name not in _EMPTY_OK:
+        assert n > 0, (
+            f"{name}: empty result at SF_SMOKE — the hash proves only "
+            "empty-set agreement; retune the query's constants to this "
+            "testdata or allowlist it in _EMPTY_OK with a reason"
+        )
 
 
 def test_arrow_dtype_tagging_catches_uncast_hugeint(spark):
