@@ -244,26 +244,35 @@ def is_replace_artifact(name: str, base_suffix: str = "") -> bool:
 REPLACE_STALE_MS = 10 * 60 * 1000
 
 
-def _claim_blocked(spark: SparkSession, p: str) -> bool:
-    """Whether a replace-protocol artifact at ``p`` must be treated as
-    a LIVE concurrent writer's: younger than ``REPLACE_STALE_MS``, or
-    vanished between the caller's existence probe and the mtime read
-    (a writer just moved it — r14 review pass 8, finding 3). One gate
-    shared by all three heal/claim sites so the freshness contract
-    cannot desynchronize between them (pass 8, finding 5)."""
+def _claim_blocked(spark: SparkSession, p: str) -> int | None:
+    """How long (ms) a replace-protocol artifact at ``p`` must still be
+    treated as a LIVE concurrent writer's: the remaining stale-gate
+    wait when it is younger than ``REPLACE_STALE_MS``, the full gate
+    when it vanished between the caller's existence probe and the
+    mtime read (a writer just moved it — r14 review pass 8, finding 3),
+    ``None`` when it is provably abandoned. One gate shared by all
+    three heal/claim sites so the freshness contract cannot
+    desynchronize between them (pass 8, finding 5)."""
     import time
 
     mtime = fs_mtime(spark, p)
     if mtime is None:
-        return True
-    return time.time() * 1000 - mtime < REPLACE_STALE_MS
+        return REPLACE_STALE_MS
+    left = REPLACE_STALE_MS - (time.time() * 1000 - mtime)
+    return int(left) if left > 0 else None
 
 
-def _raise_contention(p: str) -> None:
+def _raise_contention(p: str, remaining_ms: int) -> None:
+    # surface the wait: after a crash, a retry within the stale gate
+    # raises this for up to REPLACE_STALE_MS where pre-r14 code
+    # self-healed immediately — intentional (healing a LIVE writer's
+    # twin strands the path with neither file), test-pinned, and
+    # documented operator-facing in README.md §maintenance (r14 advice
+    # #4: the horizon must not live only in this module)
     raise OSError(
         f"concurrent rewrite in progress: {p} is fresh (or just "
-        "moved) — retry after the other writer commits, or after the "
-        "stale gate if that writer crashed"
+        "moved) — retry after the other writer commits; if that writer "
+        f"crashed, the stale gate clears in <= {remaining_ms / 1000:.0f} s"
     )
 
 
@@ -304,16 +313,19 @@ def fs_replace_atomic(spark: SparkSession, path: str, data: bytes) -> None:
     fails LOUDLY with OSError and the caller retries after the other
     commit lands — crashed leftovers age past the stale gate and heal.
 
-    Store-capability boundary (r14 review pass 8, finding 1): the
-    exclusive tmp claim is ATOMIC on HDFS and local filesystems
-    (create-if-absent is a namespace operation). On S3A,
-    ``create(overwrite=false)`` is HEAD-then-PUT, so two writers
-    racing within that window can both believe they won — there the
-    loud-contention guarantee degrades to best-effort and the
+    Store-capability boundary (r14 review pass 8, finding 1; tier
+    corrected per r14 advice #3): the exclusive tmp claim is ATOMIC on
+    HDFS (create-if-absent is a namespace operation under the
+    namenode's lock). On S3A, ``create(overwrite=false)`` is
+    HEAD-then-PUT, and on LOCAL filesystems Hadoop's
+    RawLocalFileSystem is an exists-check-then-create (no O_EXCL) —
+    both tiers let two writers racing within that window believe they
+    won, so the loud-contention guarantee there is best-effort and the
     single-writer regime (tasks.yml serializes all scheduled
     maintenance through one runner) is the operative protection;
     CRASH safety — the property this protocol exists for — is
-    unaffected, since S3 PUT visibility is all-or-nothing.
+    unaffected on every tier (a torn tmp is never read; visibility of
+    the rename/PUT is all-or-nothing).
 
     Readers that never race a replace (the canonical is written once
     at build time) may keep plain ``fs_read``; anything reattaching or
@@ -330,12 +342,14 @@ def fs_replace_atomic(spark: SparkSession, path: str, data: bytes) -> None:
             # r14 review pass 7, finding 1). The same stale gate
             # distinguishes them; readers are unaffected either way
             # (fs_read_replaceable serves the complete `.new`).
-            if _claim_blocked(spark, path_new):
-                _raise_contention(path_new)
+            left = _claim_blocked(spark, path_new)
+            if left is not None:
+                _raise_contention(path_new, left)
             fs_rename(spark, path_new, path)
         else:
-            if _claim_blocked(spark, path_new):
-                _raise_contention(path_new)
+            left = _claim_blocked(spark, path_new)
+            if left is not None:
+                _raise_contention(path_new, left)
             fs_delete(spark, path_new)
     # step 3 in two sub-steps so a VISIBLE `.new` is always complete,
     # even for the FIRST-ever write of a path (HDFS/local expose a file
@@ -350,20 +364,30 @@ def fs_replace_atomic(spark: SparkSession, path: str, data: bytes) -> None:
     # contention); a STALE one is a crashed writer's leftover (cleared,
     # then claimed).
     if fs_exists(spark, path_tmp):
-        if _claim_blocked(spark, path_tmp):
-            _raise_contention(path_tmp)
+        left = _claim_blocked(spark, path_tmp)
+        if left is not None:
+            _raise_contention(path_tmp, left)
         fs_delete(spark, path_tmp)
     try:
         fs_create_atomic(spark, path_tmp, data)
     except Exception as exc:  # noqa: BLE001 — classify, then re-raise
-        refused = str(exc).lower().replace(" ", "")
+        # classify by the JAVA EXCEPTION CLASS first — message
+        # substrings are brittle across Hadoop FS implementations, and
+        # a create-refusal whose message doesn't match would take the
+        # 'partial write is ours' branch and delete a competing
+        # writer's live claim (r14 advice #2); the substring check
+        # stays as the fallback for wrappers that lose the cause class
         if (
-            "alreadyexists" in refused
-            # HDFS lease conflict: another writer has the tmp OPEN —
-            # also a refusal; misreading it as our own partial write
-            # would delete the WINNER's live claim (r14 review pass 9,
-            # finding 2)
-            or "alreadybeingcreated" in refused
+            _java_exc_is(
+                exc, "FileAlreadyExistsException",
+                # HDFS lease conflict: another writer has the tmp
+                # OPEN — also a refusal; misreading it as our own
+                # partial write would delete the WINNER's live claim
+                # (r14 review pass 9, finding 2)
+                "AlreadyBeingCreatedException",
+            )
+            or "alreadyexists" in (m := str(exc).lower().replace(" ", ""))
+            or "alreadybeingcreated" in m
         ):
             # the exclusive create was REFUSED: another writer claimed
             # the tmp between our heal and our create — contention
@@ -421,11 +445,39 @@ def fs_read_replaceable(spark: SparkSession, path: str) -> bytes | None:
     return fs_read_replaceable_ex(spark, path)[0]
 
 
+def _java_exc_is(exc: Exception, *class_names: str) -> bool:
+    """Whether a Py4J-wrapped failure's JAVA exception class (or any
+    class in its cause chain) is one of ``class_names`` (simple names).
+    Message-substring classification is brittle across Hadoop FS
+    implementations (r14 advice #2) — the class name is the contract
+    the FS API actually documents; callers keep a substring fallback
+    for wrappers that lose the cause."""
+    je = getattr(exc, "java_exception", None)
+    seen = 0
+    while je is not None and seen < 8:  # bounded cause-chain walk
+        try:
+            name = je.getClass().getName()
+        except Exception:  # noqa: BLE001 — a dead gateway: no class info
+            return False
+        if name.rsplit(".", 1)[-1] in class_names:
+            return True
+        try:
+            je = je.getCause()
+        except Exception:  # noqa: BLE001
+            return False
+        seen += 1
+    return False
+
+
 def _vanished(exc: Exception) -> bool:
     """True when an fs_read failure is the file disappearing between
     the existence probe and the read — the signature of racing a
     concurrent ``fs_replace_atomic`` — rather than a real IO error
-    (permissions, corruption) that must propagate."""
+    (permissions, corruption) that must propagate. Classified by the
+    Java exception class first (r14 advice #2), message substring as
+    the fallback."""
+    if _java_exc_is(exc, "FileNotFoundException", "PathNotFoundException"):
+        return True
     s = str(exc)
     return "FileNotFound" in s or "does not exist" in s
 

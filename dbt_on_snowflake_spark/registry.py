@@ -347,7 +347,10 @@ DRIVER_BUDGET = 50
 # guard-slip pool grew 6 -> 16 -> 22 by r12). Map: retired row -> the
 # kept same-module guard that carries its operator family.
 RETIRED_FROM_ROTATION: dict[str, str] = {
-    # kernel A/B twins kept only as bench references (still headline-benched)
+    # kernel A/B twins kept as parity-verified references (left the
+    # bench headline at r15: the Lloyd codebook's K is ~6x larger and
+    # the interpreted evaluator is linear in entries — SCALING.md
+    # records the r15 A/B measurement)
     "ann_pq_adc_topk_hof": "ann_pq_adc_topk",
     "ann_pq_codes_hof": "ann_pq_adc_topk",
     # strict substep of the ADC top-k (codes are computed en route)

@@ -45,6 +45,92 @@ PROBE_QUERIES = (
     "t_events_hourly",
 )
 
+# Index BUILDS probed at 10x (r14 verdict Next #6): the serve paths
+# above are where queries spend time, but build is where a 100 TB
+# deployment actually spends its shuffles — the one-time token explode
+# + (term, doc) groupBy, the bucketed band-index write, the
+# label-partitioned assignment/codes writes. Each runs end-to-end into
+# throwaway probe tables at both scales.
+PROBE_BUILDERS = (
+    "build_pq_index",
+    "build_ann_index",
+    "build_text_index",
+    "build_minhash_index",
+)
+
+
+def run_builder(spark, name: str, sf_dir: str, tag: str) -> list[str]:
+    """Run one index builder end-to-end into throwaway probe tables;
+    returns the table names so the caller can drop them between
+    timing rounds."""
+    from dbt_on_snowflake_spark.testdata import table
+
+    sfx = f"probe_{tag}"
+    if name == "build_pq_index":
+        from dbt_on_snowflake_spark.operators.similarity import (
+            _vectors,
+            build_pq_index,
+        )
+
+        t = [f"pq_codebook_{sfx}", f"pq_codes_{sfx}"]
+        build_pq_index(
+            spark,
+            _vectors(spark, sf_dir),
+            codebook_table=t[0],
+            codes_table=t[1],
+        )
+        return t
+    if name == "build_ann_index":
+        from dbt_on_snowflake_spark.operators.similarity import (
+            _vectors,
+            build_ann_index,
+        )
+
+        t = [f"ann_centroids_{sfx}", f"ann_assignments_{sfx}"]
+        build_ann_index(
+            spark,
+            _vectors(spark, sf_dir),
+            centroids_table=t[0],
+            assignments_table=t[1],
+        )
+        return t
+    if name == "build_text_index":
+        from dbt_on_snowflake_spark.operators.textops import (
+            build_text_index,
+        )
+
+        t = [f"bm25_stats_{sfx}", f"bm25_postings_{sfx}", f"bm25_doclen_{sfx}"]
+        build_text_index(
+            spark,
+            table(spark, sf_dir, "documents"),
+            stats_table=t[0],
+            postings_table=t[1],
+            doclen_table=t[2],
+        )
+        return t
+    if name == "build_minhash_index":
+        from dbt_on_snowflake_spark.operators.dedup import (
+            build_minhash_index,
+        )
+        from dbt_on_snowflake_spark.testdata import fan_out_scan
+
+        t = [f"mh_band_index_{sfx}", f"mh_corpus_pairs_{sfx}"]
+        build_minhash_index(
+            spark,
+            fan_out_scan(spark, table(spark, sf_dir, "documents")),
+            index_table=t[0],
+            pairs_table=t[1],
+        )
+        return t
+    raise ValueError(name)
+
+
+def _drop_all(spark, tables: list[str]) -> None:
+    from dbt_on_snowflake_spark.operators.dedup import _drop_managed_table
+
+    for t in tables:
+        _drop_managed_table(spark, t)
+
 
 def main() -> None:
     base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -110,6 +196,38 @@ def main() -> None:
         row = df.agg(F.avg("recall_at_k").alias("r")).collect()[0]
         recall[tag] = round(float(row["r"]), 4)
 
+    # index BUILDS at both scales: warm pass for stage counts (the
+    # tables are dropped between passes so every run is a full
+    # from-scratch build), then min-of-2 timing
+    b_stages: dict[tuple[str, str], int] = {}
+    b_runs: dict[tuple[str, str], list[float]] = {
+        (n, t): [] for n in PROBE_BUILDERS for t in ("base", "scaled")
+    }
+    for name in PROBE_BUILDERS:
+        for tag, d in (("base", base), ("scaled", out)):
+            group = f"probe-build:{name}:{tag}"
+            sc.setJobGroup(group, group)
+            try:
+                made = run_builder(spark, name, d, tag)
+            finally:
+                sc.setJobGroup(None, None)
+            n = 0
+            for job_id in tracker.getJobIdsForGroup(group):
+                info = tracker.getJobInfo(job_id)
+                if info is not None:
+                    n += len(info.stageIds)
+            b_stages[(name, tag)] = n
+            _drop_all(spark, made)
+    for _ in range(2):
+        for name in PROBE_BUILDERS:
+            for tag, d in (("base", base), ("scaled", out)):
+                s = time.perf_counter()
+                made = run_builder(spark, name, d, tag)
+                b_runs[(name, tag)].append(
+                    round(time.perf_counter() - s, 3)
+                )
+                _drop_all(spark, made)
+
     queries = {}
     for name in PROBE_QUERIES:
         b = min(runs[(name, "base")])
@@ -121,6 +239,17 @@ def main() -> None:
             "stages_base": stages[(name, "base")],
             "stages_scaled": stages[(name, "scaled")],
         }
+    builders = {}
+    for name in PROBE_BUILDERS:
+        b = min(b_runs[(name, "base")])
+        s = min(b_runs[(name, "scaled")])
+        builders[name] = {
+            "base_sec": b,
+            "scaled_sec": s,
+            "ratio": round(s / b, 2) if b > 0 else None,
+            "stages_base": b_stages[(name, "base")],
+            "stages_scaled": b_stages[(name, "scaled")],
+        }
     print(
         json.dumps(
             {
@@ -129,6 +258,7 @@ def main() -> None:
                 "sf": sf,
                 "derive_sec": derive_sec,
                 "queries": queries,
+                "builders": builders,
                 "pq_recall_at_k": recall,
             }
         )

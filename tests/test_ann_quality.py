@@ -1,17 +1,16 @@
-"""ANN RECALL quality gates on clusterABLE data (r14).
+"""ANN RECALL quality gates on clusterABLE data (r14; Lloyd gates r15).
 
 Why this exists: the testdata embeddings are ISOTROPIC — measured
 within-label mean cosine ~0.005 vs cross-label ~-0.003 at sf0.1 — so
 on that data recall is information-theoretically capped for any
 sublinear scheme: probing a fraction f of meaningless cells finds ~f
 of the true neighbors (measured: multiprobe 0.26 with 2/10 labels
-probed ~ the 0.2 scan fraction), and the label-mean PQ codebook has no
-structure to compress. The scale probe records those absolute numbers
-honestly (scale_probe.py `pq_recall_at_k`); THIS test proves the same
-index machinery delivers high recall the moment the corpus actually
-has cluster structure, and that the quality levers order correctly —
-so the probe's low numbers are attributable to the data, not the
-engine.
+probed ~ the 0.2 scan fraction). The scale probe records those
+absolute numbers honestly (scale_probe.py `pq_recall_at_k`); THIS test
+proves the same index machinery delivers high recall the moment the
+corpus actually has cluster structure, and that the quality levers
+order correctly — so the probe's low numbers are attributable to the
+data, not the engine.
 
 Corpus here: 10 well-separated Gaussian clusters (centroid sigma 1,
 noise sigma 0.2, dim 64 — deterministic seed), queries at fresh ids
@@ -20,11 +19,17 @@ near each centroid. Contracts:
       >= 0.9 of the true top-k;
   (2) exact rerank over a PQ/ADC shortlist strictly improves on raw
       ADC top-k, and clears the shortlist-bound floor;
-  (3) raw ADC's known granularity limit is pinned AS a limit: the
-      label-mean codebook gives every same-label vector identical
-      codes, so its top-k within a cluster is id-ordered — recall far
-      below the rerank path (the reason the rerank/multiprobe serves
-      exist as the quality paths).
+  (3) raw ADC clears a WITHIN-CELL-RESOLUTION floor the r7-r14
+      label-mean codebook could not (VERDICT r14 Next #1): against the
+      exact DOT-product ranking — the metric an inner-product ADC
+      actually approximates — the Lloyd codebook (K = |labels| +
+      PQ_LLOYD_EXTRA in-subspace k-means entries) recalls 0.40 where
+      per-label means recalled 0.12 (same-label vectors shared codes,
+      so within a cluster the top-k was id-ordered). Against the
+      COSINE truth it reaches 0.30 — at the 0.32 ceiling EXACT dot
+      scoring gets on this corpus, i.e. the remaining gap is the
+      dot-vs-cosine metric mismatch, which is precisely what the exact
+      rerank serve exists to close.
 """
 
 from __future__ import annotations
@@ -103,7 +108,7 @@ def test_rerank_beats_raw_adc_and_clears_floor(spark, clustered):
         codes = _live_codes(spark, cd_t)
         adc5 = _adc_serve(
             spark, e, cb_t, codes, TOP_K, queries=q
-        ).select("query_id", "neighbor_id")
+        ).select("query_id", "neighbor_id").cache()
         shortlist = _adc_serve(
             spark, e, cb_t, codes, SHORTLIST, queries=q
         ).select("query_id", "neighbor_id")
@@ -147,13 +152,35 @@ def test_rerank_beats_raw_adc_and_clears_floor(spark, clustered):
             "query_id", "neighbor_id"
         )
         r_adc, r_rr = _recall(adc5, truth), _recall(rerank5, truth)
-        # (3) the granularity limit IS the limit: same-label codes tie,
-        # so raw ADC top-k within a cluster is id-ordered
-        assert r_adc < 0.5
+        # (3a) within-cell resolution vs the metric ADC approximates:
+        # exact-dot truth. The label-mean codebook scored 0.12 here
+        # (same-label vectors shared codes); the Lloyd codebook
+        # measured 0.40 — gate with margin.
+        import pandas as pd  # noqa: F401 (np already imported)
+
+        E = np.stack(
+            [np.asarray(r["v"]) for r in e.orderBy("vec_id").collect()]
+        )
+        eids = np.array(
+            [r["vec_id"] for r in e.orderBy("vec_id").collect()]
+        )
+        dot_rows = []
+        for r in q.collect():
+            qd = np.round(np.asarray(r["v"]) @ E.T * 10000)
+            order = np.argsort(-qd, kind="stable")[:TOP_K]
+            dot_rows += [(r["vec_id"], int(eids[i])) for i in order]
+        dot_truth = spark.createDataFrame(
+            dot_rows, "query_id long, neighbor_id long"
+        )
+        assert _recall(adc5, dot_truth) >= 0.35
+        # (3b) vs the cosine truth, raw ADC sits at the exact-dot
+        # ceiling (~0.32 on this corpus — the dot/cosine metric gap,
+        # NOT quantization, is what remains); gate above the old
+        # codebook's granularity limit and below the ceiling
+        assert 0.25 <= r_adc < 0.5
         # (2) exact rerank recovers most of what the SHORTLIST can
-        # carry (the true top-k live in the query's cluster of
-        # PER_LABEL vectors; an id-ordered shortlist of SHORTLIST of
-        # them carries ~5/6)
+        # carry — the cosine-exact stage closes the metric gap raw
+        # ADC cannot
         assert r_rr >= 0.6
         assert r_rr > r_adc
     finally:

@@ -224,8 +224,11 @@ def test_reindex_cli_exclude_carves_out_ephemeral_families(
     --select (comma-separated fnmatch over qualified and bare names)
     carve them out so the scheduled sweep's alarm signals only
     actionable gaps. The same baseline-less family that alarms by name
-    passes silently when excluded, and a --select that matches nothing
-    gates nothing."""
+    passes silently when excluded. A --select that matches ZERO
+    families is the 'gate reports green while checking nothing' hazard
+    (r14 advice #1) — gate mode alarms (exit 2), report mode warns on
+    stderr — so a typo'd pattern in the weekly cron cannot silently
+    disable the drift gate."""
     from dbt_on_snowflake_spark.__main__ import main
     from dbt_on_snowflake_spark.operators.dedup import (
         _drop_managed_table,
@@ -248,7 +251,17 @@ def test_reindex_cli_exclude_carves_out_ephemeral_families(
             == 0
         )
         assert "SKIPPED" not in capsys.readouterr().err
-        assert main(base + ["--select", "no_such_family_*"]) == 0
+        # gate mode + zero-match select: alarm, with the pattern named
+        assert main(base + ["--select", "no_such_family_*"]) == 2
+        assert "matched zero" in capsys.readouterr().err
+        # report mode (no --when-drifted): warn on stderr, exit 0
+        report = [
+            "reindex", "--project", root, "--corpus", SF_SMOKE,
+            "--codes-table", "pq_codes_semdel_r14x",
+            "--select", "no_such_family_*",
+        ]
+        assert main(report) == 0
+        assert "matched zero" in capsys.readouterr().err
     finally:
         _drop_managed_table(spark, "pq_codes_semdel_r14x")
 

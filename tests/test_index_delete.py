@@ -1590,7 +1590,9 @@ def test_fs_replace_atomic_crash_windows(spark, tmp_path):
     # stale gate it is provably a crash leftover and heals away.
     open(p + ".new", "w").write("torn")
     assert fs_read_replaceable(spark, p) == b"v1"
-    with pytest.raises(OSError, match="concurrent rewrite"):
+    # the contention error names the remaining stale-gate wait so an
+    # operator retrying a crashed run knows the horizon (r14 advice #4)
+    with pytest.raises(OSError, match=r"concurrent rewrite.*clears in <= \d+ s"):
         fs_replace_atomic(spark, p, b"v2")
     assert fs_read_replaceable(spark, p) == b"v1"  # nothing stranded
     from dbt_on_snowflake_spark.engine.fs import REPLACE_STALE_MS
@@ -1641,6 +1643,58 @@ def test_fs_replace_atomic_crash_windows(spark, tmp_path):
     assert fs_read_replaceable(spark, p2) == b"w1"
     assert not os.path.exists(p2 + ".new.tmp")
     assert not os.path.exists(p2 + ".new")
+
+
+def test_fs_exception_classified_by_java_class_not_message():
+    """r14 advice #2: a create-refusal must be recognized by the JAVA
+    exception class even when the message text carries none of the
+    known substrings — otherwise the 'partial write is ours' branch
+    deletes a competing writer's live tmp claim. The cause chain is
+    walked (Hadoop often wraps the refusal in a RemoteException /
+    IOException), and the vanish classifier gets the same treatment."""
+    from dbt_on_snowflake_spark.engine.fs import _java_exc_is, _vanished
+
+    class _JE:
+        def __init__(self, name, cause=None):
+            self._n, self._c = name, cause
+
+        def getClass(self):
+            outer = self
+
+            class _C:
+                def getName(self):
+                    return outer._n
+
+            return _C()
+
+        def getCause(self):
+            return self._c
+
+    class _Wrapped(Exception):
+        def __init__(self, je):
+            # message deliberately carries NO recognizable substring
+            super().__init__("remote store refused the operation")
+            self.java_exception = je
+
+    direct = _Wrapped(_JE("org.apache.hadoop.fs.FileAlreadyExistsException"))
+    assert _java_exc_is(direct, "FileAlreadyExistsException")
+    wrapped = _Wrapped(
+        _JE(
+            "java.io.IOException",
+            _JE(
+                "org.apache.hadoop.hdfs.protocol."
+                "AlreadyBeingCreatedException"
+            ),
+        )
+    )
+    assert _java_exc_is(
+        wrapped, "FileAlreadyExistsException", "AlreadyBeingCreatedException"
+    )
+    assert not _java_exc_is(wrapped, "FileNotFoundException")
+    # plain python exceptions (no gateway object) classify as False
+    assert not _java_exc_is(ValueError("x"), "FileAlreadyExistsException")
+    # the vanish classifier accepts the class even with an opaque message
+    assert _vanished(_Wrapped(_JE("java.io.FileNotFoundException")))
 
 
 def test_reattach_survives_sidecar_crash_at_foreign_location(

@@ -528,7 +528,6 @@ _HEADLINE_MAX_SHUFFLES = {
     # exchange than r7's single-level plan but over 4x fewer, pre-shrunk
     # rows; measured ~1.35x faster at sf0.1
     "ann_pq_adc_topk": 1,  # rank window only (codebook checkpointed)
-    "ann_pq_adc_topk_hof": 1,  # kernel A/B twin: same plan posture
     "ann_pq_adc_appended_served": 1,  # steady-state serve over the
     # ensure-built grown codes: rank window only — the build+append ran
     # once under its own job group, off the serve plan
@@ -561,8 +560,10 @@ _HEADLINE_MAX_SHUFFLES = {
     # cost the nightly fold reclaims; the r14 bench records the pair's
     # delta (r13 verdict Next #3)
 
-    "ann_pq_codes_hof": 3,  # encode-stage A/B twin
     "ann_topk_bruteforce": 1,
+    # (the _hof A/B twins left the headline at r15 — the Lloyd
+    # codebook's larger K reads as a regression on the interpreted
+    # evaluator; SCALING.md records the r15 A/B measurement)
     "asof_last_order_before_event": 1,
     "corpus_clean_pipeline": 1,
     "dedup_exact": 1,

@@ -127,6 +127,45 @@ def test_scaled_topk_serves_run_with_bounded_output(spark, scaled_dir):
     assert _rows(spark, "text_bm25_topk_indexed", scaled_dir) == base_n
 
 
+@pytest.mark.parametrize("name", sorted(__import__("scale_probe").PROBE_BUILDERS))
+def test_scaled_builders_keep_stage_counts(spark, scaled_dir, name):
+    """Index BUILDS probed at 10x (r14 verdict Next #6): build is where
+    a 100 TB deployment actually spends its shuffles — the token
+    explode + (term, doc) groupBy, the bucketed band-index write, the
+    label-partitioned assignment/codes writes. Pin that each builder's
+    SHUFFLE DEPTH holds exactly at 10x: a broadcast flip, an extra
+    exchange before a write, or a plan degeneration under the bigger
+    input shows up here before it shows up as a wall-time cliff at the
+    next decade. Pinned as (total stages - total jobs) — the number of
+    stage BOUNDARIES, i.e. exchanges — because the raw job count
+    legitimately grows with the file count: a 10x dir crosses Spark's
+    parallel-partition-discovery threshold and adds 1-stage
+    file-LISTING jobs, which are scan bookkeeping, not plan shape."""
+    from scale_probe import _drop_all, run_builder
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    depth = {}
+    for tag, d in (("base", SF_SMOKE), ("scaled", scaled_dir)):
+        group = f"test-build:{name}:{tag}"
+        sc.setJobGroup(group, group)
+        try:
+            made = run_builder(spark, name, d, f"t{tag}")
+        finally:
+            sc.setJobGroup(None, None)
+        jobs = stages = 0
+        for job_id in tracker.getJobIdsForGroup(group):
+            info = tracker.getJobInfo(job_id)
+            if info is not None:
+                jobs += 1
+                stages += len(info.stageIds)
+        depth[tag] = stages - jobs
+        _drop_all(spark, made)
+    assert depth["scaled"] == depth["base"], (
+        f"{name}: build shuffle depth drifted at 10x — {depth}"
+    )
+
+
 def test_scaled_event_density_keeps_group_count(spark, scaled_dir):
     """The derived events table is 10x DENSITY over the SAME time
     window (timestamps untouched), so the hourly bucketing headliner
