@@ -1243,27 +1243,31 @@ def main(argv: list[str] | None = None) -> int:
                 for p in patterns
             )
 
+        had_any = bool(families)
         if args.select:
             pats = [p.strip() for p in args.select.split(",") if p.strip()]
             families = [f for f in families if _fam_match(f, pats)]
-            if not families:
-                # a --select that matches NOTHING is the same 'gate
-                # reports green while checking nothing' hazard the
-                # --selector validation blocks: a typo'd pattern in the
-                # weekly cron would silently disable the drift gate
-                # (r14 advice #1). Gate mode alarms (nonzero exit);
-                # report mode warns on stderr.
-                msg = (
-                    f"reindex: --select {args.select!r} matched zero "
-                    "index families — a misspelled pattern gates nothing"
-                )
-                if args.when_drifted is not None:
-                    print(msg, file=sys.stderr)
-                    return 2
-                print(f"warning: {msg}", file=sys.stderr)
         if args.exclude:
             pats = [p.strip() for p in args.exclude.split(",") if p.strip()]
             families = [f for f in families if not _fam_match(f, pats)]
+        if had_any and (args.select or args.exclude) and not families:
+            # filters that leave NOTHING to sweep are the 'gate reports
+            # green while checking nothing' hazard the --selector
+            # validation blocks: a typo'd --select, or an over-broad
+            # --exclude eating everything --select kept, would silently
+            # disable the weekly drift gate (r14 advice #1; the
+            # post-both-filters placement is review finding 1 of the
+            # r15 pass). Gate mode alarms (nonzero exit); report mode
+            # warns on stderr.
+            msg = (
+                f"reindex: --select {args.select!r} / --exclude "
+                f"{args.exclude!r} filtered the sweep to zero index "
+                "families — a misspelled pattern gates nothing"
+            )
+            if args.when_drifted is not None:
+                print(msg, file=sys.stderr)
+                return 2
+            print(f"warning: {msg}", file=sys.stderr)
         skipped = 0
         from pyspark.errors import AnalysisException
         for fam in families:

@@ -1634,6 +1634,19 @@ def _round4_signed(x):
     return np.copysign(np.floor(np.abs(x) * 10000.0 + 0.5), x) / 10000.0 + 0.0
 
 
+def _seq_fold_dot(A, B):
+    """(n, d) x (K, d) -> (n, K) dot products accumulated left-to-right
+    over the d dims — bit-identical to list_dot_product's sequential
+    fold / the HOF ``F.aggregate``, without materializing an (n, K, d)
+    prefix tensor. ONE definition shared by the Lloyd trainer and the
+    Arrow encode kernel so the fold convention cannot diverge (r15
+    review finding 4)."""
+    acc = A[:, 0][:, None] * B[None, :, 0]
+    for j in range(1, A.shape[1]):
+        acc = acc + A[:, j][:, None] * B[None, :, j]
+    return acc
+
+
 def _pq_train(e: DataFrame) -> list[tuple[int, list[float]]]:
     """Train the PQ codebook: K = |labels| + PQ_LLOYD_EXTRA full-dim
     entries whose m-th subvector slice is the m-th subspace's
@@ -1679,23 +1692,13 @@ def _pq_train(e: DataFrame) -> list[tuple[int, list[float]]]:
     C = np.stack(cb)  # (K, D)
     K, D = C.shape
     sub = D // PQ_M
-
-    def _seq_dot(X, Y):
-        # left-to-right accumulation over the sub dims — bit-identical
-        # to list_dot_product's sequential fold, without materializing
-        # an (n, K, sub) prefix tensor
-        acc = X[:, 0][:, None] * Y[None, :, 0]
-        for j in range(1, X.shape[1]):
-            acc = acc + X[:, j][:, None] * Y[None, :, j]
-        return acc
-
     for m in range(PQ_M):
         lo, hi = m * sub, (m + 1) * sub
         B = C[:, lo:hi].copy()  # (K, sub)
         A = S[:, lo:hi]  # (n, sub)
         aa = np.cumsum(A * A, axis=1)[:, -1]
         for _ in range(PQ_LLOYD_ITERS):
-            ab = _seq_dot(A, B)
+            ab = _seq_fold_dot(A, B)
             bb = np.cumsum(B * B, axis=1)[:, -1]
             d = aa[:, None] - 2 * ab + bb[None, :]
             d = np.floor(d * 10000.0 + 0.5) / 10000.0  # nonneg round
@@ -1736,24 +1739,23 @@ def _pq_cb_row(e: DataFrame) -> DataFrame:
     return _entries_cb_row(e.sparkSession, _pq_train(e))
 
 
-def _qlut_local(queries: DataFrame, entries) -> DataFrame:
+def _qlut_rows(queries: DataFrame, entries) -> list[tuple[int, list[dict]]]:
     """The per-query ADC lookup tables, computed driver-side from the
     trained/persisted codebook ``entries`` and the BOUNDED query
     relation — |queries| x PQ_M x K int64, the same payload the
-    interpreted expression path broadcasts, materialized as a local
-    relation so the serve plan carries no per-entry interpreted fold
-    (at K = |labels| + PQ_LLOYD_EXTRA the HOF LUT build became the
-    serve's dominant cost). Arithmetic mirrors the expression path AND
-    the oracle: sequential in-order dot over each subspace, then
-    round-half-away-from-zero on dot*10000 (F.round(x) / DuckDB
-    ROUND(x)) cast to int64."""
+    interpreted expression path broadcasts, returned as the plain
+    (query_id, luts) payload ``_adc_score_arrow`` closes over directly
+    (no DataFrame roundtrip — the data never needs to leave the driver;
+    r15 review finding 5). At K = |labels| + PQ_LLOYD_EXTRA the HOF LUT
+    build had become the serve's dominant cost. Arithmetic mirrors the
+    expression path AND the oracle: sequential in-order dot over each
+    subspace, then round-half-away-from-zero on dot*10000
+    (F.round(x) / DuckDB ROUND(x)) cast to int64."""
     import numpy as np
 
-    spark = queries.sparkSession
-    schema = "query_id long, luts array<map<bigint,bigint>>"
     qrows = queries.select("vec_id", "v").collect()  # bounded (callers)
     if not qrows or not entries:
-        return spark.createDataFrame([], schema)
+        return []
     labels = [int(k) for k, _ in entries]
     C = np.stack([np.asarray(v, dtype=np.float64) for _, v in entries])
     sub = C.shape[1] // PQ_M
@@ -1771,7 +1773,36 @@ def _qlut_local(queries: DataFrame, entries) -> DataFrame:
             ).astype(np.int64)
             luts.append(dict(zip(labels, (int(x) for x in p))))
         out.append((int(r["vec_id"]), luts))
-    return spark.createDataFrame(out, schema)
+    return out
+
+
+def _qlut_expr(queries: DataFrame, cb_row: DataFrame) -> DataFrame:
+    """The per-query LUT relation built with Catalyst HOF expressions —
+    the INTERPRETED path's LUT builder (the arrow path computes the
+    same payload driver-side in ``_qlut_rows``). One definition shared
+    by every interpreted serve so the rounding convention cannot
+    diverge across them (r15 review finding 4)."""
+
+    def lut_entry(m: int, qsv):
+        def entry(c):
+            return F.struct(
+                c["label"].alias("k"),
+                F.round(_dot_col(qsv, _subvec(c["v"], m)) * 10000)
+                .cast("long")
+                .alias("p"),
+            )
+
+        return entry
+
+    luts = []
+    for m in range(1, PQ_M + 1):
+        qsv = _subvec(F.col("v"), m)
+        luts.append(
+            F.map_from_entries(F.transform(F.col("cb"), lut_entry(m, qsv)))
+        )
+    return queries.crossJoin(F.broadcast(cb_row)).select(
+        F.col("vec_id").alias("query_id"), F.array(*luts).alias("luts")
+    )
 
 
 def _pq_encode_hof(corpus: DataFrame, cb_row: DataFrame) -> DataFrame:
@@ -1835,14 +1866,6 @@ def _pq_encode_arrow(corpus: DataFrame, cb_row: DataFrame) -> DataFrame:
     Bs = [C[:, m * sub:(m + 1) * sub] for m in range(PQ_M)]
     bbs = [np.cumsum(b * b, axis=1)[:, -1] for b in Bs]
 
-    def _seq_ab(A, B):
-        # left-to-right accumulation over the sub dims — bit-identical
-        # to the fold/cumsum order without materializing (n, L, sub)
-        acc = A[:, 0][:, None] * B[None, :, 0]
-        for j in range(1, A.shape[1]):
-            acc = acc + A[:, j][:, None] * B[None, :, j]
-        return acc
-
     keep_fields = [f for f in corpus.schema.fields if f.name != "v"]
     keep_names = [f.name for f in keep_fields]
     out_schema = StructType(
@@ -1877,7 +1900,7 @@ def _pq_encode_arrow(corpus: DataFrame, cb_row: DataFrame) -> DataFrame:
             for m in range(PQ_M):
                 A = V[:, m * sub:(m + 1) * sub]  # (n, sub)
                 aa = np.cumsum(A * A, axis=1)[:, -1]
-                ab = _seq_ab(A, Bs[m])  # (n, L), sequential per pair
+                ab = _seq_fold_dot(A, Bs[m])  # (n, L), sequential
                 d = aa[:, None] - 2 * ab + bbs[m][None, :]
                 d = np.floor(d * 10000.0 + 0.5) / 10000.0 + 0.0
                 idx = np.argmin(d, axis=1)  # first min = lowest label
@@ -2244,33 +2267,10 @@ def ann_pq_adc_topk(
     )
     if kernel == "arrow":
         scored = _adc_score_arrow(
-            codes, _qlut_local(e.filter(F.expr(_QUERY_PRED)), entries), k=k
+            codes, _qlut_rows(e.filter(F.expr(_QUERY_PRED)), entries), k=k
         )
     else:
-        def lut_entry(m: int, qsv):
-            def entry(c):
-                return F.struct(
-                    c["label"].alias("k"),
-                    F.round(_dot_col(qsv, _subvec(c["v"], m)) * 10000)
-                    .cast("long")
-                    .alias("p"),
-                )
-
-            return entry
-
-        luts = []
-        for m in range(1, PQ_M + 1):
-            qsv = _subvec(F.col("v"), m)
-            luts.append(
-                F.map_from_entries(F.transform(F.col("cb"), lut_entry(m, qsv)))
-            )
-        qlut = (
-            e.filter(F.expr(_QUERY_PRED))
-            .crossJoin(F.broadcast(cb_row))
-            .select(
-                F.col("vec_id").alias("query_id"), F.array(*luts).alias("luts")
-            )
-        )
+        qlut = _qlut_expr(e.filter(F.expr(_QUERY_PRED)), cb_row)
         score = None
         for m in range(PQ_M):
             term = F.element_at(F.col("luts")[m], F.col("bests")[m]["code"])
@@ -2292,7 +2292,7 @@ def ann_pq_adc_topk(
 
 def _adc_score_arrow(
     codes: DataFrame,
-    qlut: DataFrame,
+    qlut: DataFrame | list,
     probes: DataFrame | None = None,
     k: int = TOP_K,
 ) -> DataFrame:
@@ -2315,20 +2315,26 @@ def _adc_score_arrow(
     join."""
     import numpy as np
 
-    qrows = qlut.collect()  # bounded: <= MAX_QUERIES (see _QUERY_PRED)
-    if not qrows:
+    if isinstance(qlut, DataFrame):
+        # interpreted-path relation handed in: collect the bounded rows
+        # (<= MAX_QUERIES, see _QUERY_PRED)
+        pairs = [(r.query_id, r.luts) for r in qlut.collect()]
+    else:
+        # the driver-side _qlut_rows payload, used directly
+        pairs = qlut
+    if not pairs:
         return codes.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, approx_dot_scaled long"
         )
     labels = np.array(
-        sorted(int(k) for k in qrows[0].luts[0].keys()), dtype=np.int64
+        sorted(int(k) for k in pairs[0][1][0].keys()), dtype=np.int64
     )
-    qids = np.array([r.query_id for r in qrows], dtype=np.int64)
+    qids = np.array([q for q, _ in pairs], dtype=np.int64)
     # LUT tensor (Q, M, L): gather target for the code matrix
     lut = np.array(
         [
-            [[r.luts[m][int(lab)] for lab in labels] for m in range(PQ_M)]
-            for r in qrows
+            [[lu[m][int(lab)] for lab in labels] for m in range(PQ_M)]
+            for _, lu in pairs
         ],
         dtype=np.int64,
     )
@@ -3813,8 +3819,9 @@ def ann_ivfpq_topk(
     # the coarse quantizer (probe ranking) stays the per-label IVF
     # centroids — cells ARE the label partitions; the PQ codebook that
     # feeds the encode + LUT sides is the Lloyd-trained one (r15, a
-    # 1-row local relation)
-    cvec = _centroid_vectors(e).localCheckpoint()
+    # 1-row local relation). cvec has a single consumer now (the probe
+    # crossJoin), so nothing to checkpoint (r15 review finding 6).
+    cvec = _centroid_vectors(e)
     entries = _pq_train(e)
     cb_row = _entries_cb_row(spark, entries)
     codes = _pq_encode(e.select("vec_id", "label", "v"), cb_row)
@@ -3842,33 +3849,11 @@ def ann_ivfpq_topk(
     if kernel == "arrow":
         scored = _adc_score_arrow(
             codes.select("vec_id", "label", "bests"),
-            _qlut_local(q, entries),
+            _qlut_rows(q, entries),
             probes=probes,
         )
     else:
-        def lut_entry(m: int, qsv):
-            def entry(c):
-                return F.struct(
-                    c["label"].alias("k"),
-                    F.round(_dot_col(qsv, _subvec(c["v"], m)) * 10000)
-                    .cast("long")
-                    .alias("p"),
-                )
-
-            return entry
-
-        luts = []
-        for m in range(1, PQ_M + 1):
-            qsv = _subvec(F.col("v"), m)
-            luts.append(
-                F.map_from_entries(F.transform(F.col("cb"), lut_entry(m, qsv)))
-            )
-        qlut = (
-            q.crossJoin(F.broadcast(cb_row))
-            .select(
-                F.col("vec_id").alias("query_id"), F.array(*luts).alias("luts")
-            )
-        )
+        qlut = _qlut_expr(q, cb_row)
         probe_lut = probes.join(qlut, "query_id")
         score = None
         for m in range(PQ_M):
@@ -4093,11 +4078,16 @@ def pq_index_drift(spark: SparkSession, *, codes_table: str) -> dict:
     if b > 0:
         ratio = current / b
     else:
-        # a zero baseline (codebook encodes the build corpus exactly)
-        # must not make the gate fire forever: equal-perfection stays
-        # 1.0 (the rebuild re-records 0.0, so the gate re-arms); any
-        # positive current error from that baseline is genuine drift
-        ratio = 1.0 if current == 0.0 else float("inf")
+        # a zero baseline (codebook encodes the build corpus exactly —
+        # or its true mean sat below the 6-decimal sidecar grain and
+        # rounded to 0.0) must not make the gate fire forever:
+        # current error within the SAME grain is equal-perfection (a
+        # sub-grain baseline with sub-grain current must not return
+        # inf — r15 review finding 3); error above the grain from a
+        # zero baseline is genuine drift. Sub-grain drift is immaterial
+        # by construction: the per-row d's are 1e-4-rounded, so 1e-6
+        # absolute mean error carries no retrain signal.
+        ratio = 1.0 if current <= 1e-6 else float("inf")
     return {
         "base_mean_qerr": b,
         "current_mean_qerr": current,
@@ -4766,34 +4756,9 @@ def _adc_serve(
             (int(r["label"]), list(r["v"]))
             for r in spark.table(codebook_table).collect()
         )
-        scored = _adc_score_arrow(codes, _qlut_local(queries, entries), k=k)
+        scored = _adc_score_arrow(codes, _qlut_rows(queries, entries), k=k)
     else:
-        cb_row = _codebook_row(spark.table(codebook_table))
-
-        def lut_entry(m: int, qsv):
-            def entry(c):
-                return F.struct(
-                    c["label"].alias("k"),
-                    F.round(_dot_col(qsv, _subvec(c["v"], m)) * 10000)
-                    .cast("long")
-                    .alias("p"),
-                )
-
-            return entry
-
-        luts = []
-        for m in range(1, PQ_M + 1):
-            qsv = _subvec(F.col("v"), m)
-            luts.append(
-                F.map_from_entries(F.transform(F.col("cb"), lut_entry(m, qsv)))
-            )
-        qlut = (
-            queries
-            .crossJoin(F.broadcast(cb_row))
-            .select(
-                F.col("vec_id").alias("query_id"), F.array(*luts).alias("luts")
-            )
-        )
+        qlut = _qlut_expr(queries, _codebook_row(spark.table(codebook_table)))
         score = None
         for m in range(PQ_M):
             term = F.element_at(F.col("luts")[m], F.col("bests")[m]["code"])

@@ -775,8 +775,9 @@ R14_EXPORT = {
 
 
 # Queries born in round 15 — mandatory r16 rotate-ins (never
-# driver-checked). Keep this current as queries are born; 2 spare
-# slots fit the R16 draft — further births need a paired retirement.
+# driver-checked). Keep this current as queries are born; 3 spare
+# slots fit the R16 draft (47 window-hard r13 rows) — further births
+# need a paired retirement.
 R16_ROTATE_IN: set[str] = set()
 
 # The authoritative r15 export set: the R15 draft, re-verified against

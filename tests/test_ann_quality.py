@@ -156,14 +156,9 @@ def test_rerank_beats_raw_adc_and_clears_floor(spark, clustered):
         # exact-dot truth. The label-mean codebook scored 0.12 here
         # (same-label vectors shared codes); the Lloyd codebook
         # measured 0.40 — gate with margin.
-        import pandas as pd  # noqa: F401 (np already imported)
-
-        E = np.stack(
-            [np.asarray(r["v"]) for r in e.orderBy("vec_id").collect()]
-        )
-        eids = np.array(
-            [r["vec_id"] for r in e.orderBy("vec_id").collect()]
-        )
+        erows = e.orderBy("vec_id").collect()
+        E = np.stack([np.asarray(r["v"]) for r in erows])
+        eids = np.array([r["vec_id"] for r in erows])
         dot_rows = []
         for r in q.collect():
             qd = np.round(np.asarray(r["v"]) @ E.T * 10000)

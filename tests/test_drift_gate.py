@@ -246,14 +246,45 @@ def test_reindex_cli_exclude_carves_out_ephemeral_families(
         ]
         assert main(base) == 2  # alarms un-excluded (fail closed)
         assert "SKIPPED" in capsys.readouterr().err
+        # the realistic cron carve-out: the sweep holds the ephemeral
+        # AND a gateable family; --exclude removes the ephemeral, the
+        # real family is still checked -> green with no SKIPPED alarm.
+        # (The sweep is narrowed with --select rather than running the
+        # full catalog so families other tests leave behind cannot flip
+        # this order-dependently.)
+        from dbt_on_snowflake_spark.operators.similarity import (
+            ensure_pq_index,
+        )
+
+        _, real_cd = ensure_pq_index(spark, SF_SMOKE)
+        carved = [
+            "reindex", "--project", root, "--corpus", SF_SMOKE,
+            "--when-drifted", "1.5",
+            "--select", f"{real_cd},pq_codes_semdel_*",
+            "--exclude", "pq_codes_semdel_*,pq_codes_mmdel_*",
+        ]
+        assert main(carved) == 0
+        err = capsys.readouterr().err
+        assert "SKIPPED" not in err and "zero index families" not in err
+        # excluding the ONLY family the invocation named is a
+        # contradictory command — the sweep would check nothing, so
+        # gate mode alarms rather than reporting green (r15 review
+        # finding 1 applies to --exclude too)
         assert (
             main(base + ["--exclude", "pq_codes_semdel_*,pq_codes_mmdel_*"])
-            == 0
+            == 2
         )
-        assert "SKIPPED" not in capsys.readouterr().err
+        assert "zero index families" in capsys.readouterr().err
         # gate mode + zero-match select: alarm, with the pattern named
         assert main(base + ["--select", "no_such_family_*"]) == 2
-        assert "matched zero" in capsys.readouterr().err
+        assert "zero index families" in capsys.readouterr().err
+        # the guard runs AFTER both filters (r15 review finding 1): an
+        # --exclude that eats everything --select kept must also alarm
+        assert (
+            main(base + ["--select", "pq_codes_*", "--exclude", "pq_*"])
+            == 2
+        )
+        assert "zero index families" in capsys.readouterr().err
         # report mode (no --when-drifted): warn on stderr, exit 0
         report = [
             "reindex", "--project", root, "--corpus", SF_SMOKE,
@@ -261,7 +292,7 @@ def test_reindex_cli_exclude_carves_out_ephemeral_families(
             "--select", "no_such_family_*",
         ]
         assert main(report) == 0
-        assert "matched zero" in capsys.readouterr().err
+        assert "zero index families" in capsys.readouterr().err
     finally:
         _drop_managed_table(spark, "pq_codes_semdel_r14x")
 

@@ -301,12 +301,18 @@ def test_r16_rotation_fits_budget():
     last = correctness_history(14)
     for q in R15_EXPORT:
         last[q] = 15  # simulated green r15
-    mandatory = {
+    stale = {
         q
         for q, n in last.items()
         if q in registered and q not in retired and n <= 16 - 3
-    } | R16_ROTATE_IN
-    assert len(mandatory) <= DRIVER_BUDGET - 3, sorted(mandatory)
+    }
+    mandatory = stale | R16_ROTATE_IN
+    # two separate claims (r15 review finding 2): the STALE block alone
+    # leaves >= 3 spare slots (the headroom the r15 retirement bought),
+    # and the full mandatory set — births included, which the spare
+    # slots exist to absorb — still fits the budget.
+    assert len(stale) <= DRIVER_BUDGET - 3, sorted(stale)
+    assert len(mandatory) <= DRIVER_BUDGET, sorted(mandatory)
 
 
 def test_r12_export_satisfied_rotation_policy_retroactively():
