@@ -1580,6 +1580,12 @@ PQ_M = 4  # subspaces
 # closes. K stays bounded control-plane data (64 x 64 doubles).
 PQ_LLOYD_EXTRA = 54
 PQ_LLOYD_ITERS = 4  # fixed iteration count (determinism + bounded SQL)
+# Codebook-algorithm version, folded into every persisted PQ family's
+# index_suffix fingerprint: bump on ANY change to the training
+# algorithm or its constants so a persistent warehouse rotates (and
+# GCs) its pre-change tables instead of serving codes every updated
+# oracle no longer matches (r15 review finding 1).
+PQ_CODEBOOK_ALGO = "lloyd1"
 # Training-sample cap: the lowest-vec_id prefix — deterministic,
 # oracle-mirrorable (ORDER BY vec_id LIMIT cap), and a TakeOrdered
 # (map-side partial top-k, no sort shuffle) at 100 TB. Covers the full
@@ -1625,10 +1631,20 @@ def _codebook_row(cvec: DataFrame) -> DataFrame:
 
 
 def _round4_signed(x):
-    """numpy mirror of DuckDB ROUND(x, 4) / Spark F.round(x, 4) on
-    signed values: round-half-away-from-zero (the distance kernels'
-    floor(x*1e4+0.5) trick is half-up, correct only for nonnegatives).
-    ``+ 0.0`` normalizes -0.0 exactly like the SQL side's ``+ 0.0``."""
+    """numpy mirror of DuckDB ROUND(x, 4) on signed values:
+    round-half-away-from-zero on the BINARY double (the distance
+    kernels' floor(x*1e4+0.5) trick is half-up, correct only for
+    nonnegatives). ``+ 0.0`` normalizes -0.0 exactly like the SQL
+    side's ``+ 0.0``.
+
+    NOT a mirror of Spark F.round: that goes through
+    BigDecimal.valueOf's shortest-DECIMAL-string repr and disagrees on
+    decimal-boundary doubles (F.round(0.00015, 4) -> 0.0002 while this
+    and DuckDB yield 0.0001, the binary value being below the
+    boundary). PQ training must therefore stay on the numpy/DuckDB
+    pair — do NOT refactor it into a Spark-side aggregate on the
+    strength of an assumed F.round equivalence (r15 review pass 2,
+    finding 3)."""
     import numpy as np
 
     return np.copysign(np.floor(np.abs(x) * 10000.0 + 0.5), x) / 10000.0 + 0.0
@@ -2841,7 +2857,9 @@ def ensure_pq_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         index_suffix,
     )
 
-    suffix = index_suffix(spark, sf_dir, "pq", "embeddings")
+    suffix = index_suffix(
+        spark, sf_dir, "pq", "embeddings", algo=PQ_CODEBOOK_ALGO
+    )
     codebook_table = f"pq_codebook_{suffix}"
     codes_table = f"pq_codes_{suffix}"
     ensure_index_tables(
@@ -4346,7 +4364,11 @@ def ann_index_drift(
     if b > 0:
         ratio = current / b
     else:
-        ratio = 1.0 if current == 0.0 else float("inf")
+        # same grain guard as pq_index_drift: a sub-grain true baseline
+        # rounds to 0.0 in the sidecar, and a later sub-grain current
+        # must read as equal-perfection, not ratio=inf firing the
+        # refresh forever (r15 review pass 2, finding 2)
+        ratio = 1.0 if current <= 1e-6 else float("inf")
     return {
         "base_mean_cdist": b,
         "current_mean_cdist": current,
@@ -4623,7 +4645,9 @@ def ensure_appended_pq_index(
         index_suffix,
     )
 
-    suffix = index_suffix(spark, sf_dir, "pqapps", "embeddings")
+    suffix = index_suffix(
+        spark, sf_dir, "pqapps", "embeddings", algo=PQ_CODEBOOK_ALGO
+    )
     cb_t = f"pq_codebook_aps_{suffix}"
     cd_t = f"pq_codes_aps_{suffix}"
     # the grown-state COMMIT MARKER, created LAST in the build and

@@ -139,16 +139,32 @@ def corpus_fingerprint(
 
 
 def index_suffix(
-    spark: SparkSession, sf_dir: str, tag: str, corpus_table: str
+    spark: SparkSession,
+    sf_dir: str,
+    tag: str,
+    corpus_table: str,
+    algo: str = "",
 ) -> str:
     """``<path8>_<fp8>`` — the shared build-once index-table suffix:
     the first half identifies the (tag, corpus path) family so
     superseded fingerprints are FINDABLE for GC, the second half is the
-    corpus fingerprint so regeneration rotates the suffix."""
+    corpus fingerprint so regeneration rotates the suffix.
+
+    ``algo``: an algorithm-version token folded into the FINGERPRINT
+    half (the family half must stay stable so the GC sweep can find
+    old-version tables). Bump it when the BUILD ALGORITHM changes — a
+    persistent warehouse would otherwise keep serving a pre-change
+    index forever, since the tableExists probe passes and the drift
+    gate compares the family against its own self-consistent baseline
+    (r15 review finding 1: the Lloyd codebook upgrade would have left
+    pre-r15 label-mean codes serving under every updated oracle)."""
     import hashlib
 
     path8 = hashlib.md5(f"{tag}:{sf_dir}".encode()).hexdigest()[:8]
-    return f"{path8}_{corpus_fingerprint(spark, sf_dir, corpus_table)}"
+    fp = corpus_fingerprint(spark, sf_dir, corpus_table)
+    if algo:
+        fp = hashlib.md5(f"{fp}:{algo}".encode()).hexdigest()[:8]
+    return f"{path8}_{fp}"
 
 
 def ensure_index_tables(

@@ -361,12 +361,15 @@ def test_appended_ensure_rebuilds_after_crash_before_append(spark):
 
     from dbt_on_snowflake_spark.operators.similarity import (
         _CORPUS_PRED,
+        PQ_CODEBOOK_ALGO,
         build_pq_index,
         ensure_appended_pq_index,
     )
     from dbt_on_snowflake_spark.testdata import index_suffix
 
-    suffix = index_suffix(spark, SF_SMOKE, "pqapps", "embeddings")
+    suffix = index_suffix(
+        spark, SF_SMOKE, "pqapps", "embeddings", algo=PQ_CODEBOOK_ALGO
+    )
     cb_t, cd_t = f"pq_codebook_aps_{suffix}", f"pq_codes_aps_{suffix}"
     grown_t = f"pq_grown_aps_{suffix}"
     for t in (cb_t, cd_t, grown_t):

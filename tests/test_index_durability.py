@@ -311,6 +311,29 @@ def test_fingerprinted_suffix_stable_across_sessions(tmp_path):
     assert c.split("_")[0] == a.split("_")[0]
 
 
+def test_index_suffix_algo_token_rotates_fingerprint_half(spark):
+    """An ``algo`` version bump rotates the FINGERPRINT half while the
+    family half stays — so a persistent warehouse's pre-change tables
+    become superseded siblings the build-time GC sweep reclaims,
+    instead of a tableExists hit serving an index built by the OLD
+    algorithm under oracles that model the new one (r15 review
+    finding 1: the Lloyd codebook upgrade vs a pre-r15 warehouse)."""
+    from dbt_on_snowflake_spark.testdata import index_suffix
+    from tests.conftest import SF_SMOKE
+
+    plain = index_suffix(spark, SF_SMOKE, "pq", "embeddings")
+    v1 = index_suffix(spark, SF_SMOKE, "pq", "embeddings", algo="lloyd1")
+    v2 = index_suffix(spark, SF_SMOKE, "pq", "embeddings", algo="lloyd2")
+    assert len({plain, v1, v2}) == 3
+    assert (
+        plain.split("_")[0] == v1.split("_")[0] == v2.split("_")[0]
+    )
+    # deterministic per (corpus, algo)
+    assert v1 == index_suffix(
+        spark, SF_SMOKE, "pq", "embeddings", algo="lloyd1"
+    )
+
+
 _SESSION_A_DELETED = """
 import sys
 sys.path.insert(0, {repo!r})
