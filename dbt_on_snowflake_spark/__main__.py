@@ -1198,6 +1198,19 @@ def main(argv: list[str] | None = None) -> int:
             # never reached them (r12 advice #2; IVF added per r12
             # verdict Next #6)
             ensure_pq_index(spark, args.corpus)
+            # ... and the append-grown family: its ensure is a cheap
+            # tableExists probe in steady state, and running it here
+            # (a) GCs a superseded-fingerprint aps family left by an
+            # algo/corpus rotation — otherwise the sweep below would
+            # gate, and possibly full-retrain, a dead index no serve
+            # path can resolve anymore (r15 review pass 3, finding 2) —
+            # and (b) guarantees the aps family the sweep gates is the
+            # live one
+            from dbt_on_snowflake_spark.operators.similarity import (
+                ensure_appended_pq_index,
+            )
+
+            ensure_appended_pq_index(spark, args.corpus)
             # every database, not just the current one: qualified
             # families (db.pq_codes_x) are first-class in the delete
             # path, so the gate must reach them too (r13 review,

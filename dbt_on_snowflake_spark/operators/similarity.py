@@ -1580,12 +1580,6 @@ PQ_M = 4  # subspaces
 # closes. K stays bounded control-plane data (64 x 64 doubles).
 PQ_LLOYD_EXTRA = 54
 PQ_LLOYD_ITERS = 4  # fixed iteration count (determinism + bounded SQL)
-# Codebook-algorithm version, folded into every persisted PQ family's
-# index_suffix fingerprint: bump on ANY change to the training
-# algorithm or its constants so a persistent warehouse rotates (and
-# GCs) its pre-change tables instead of serving codes every updated
-# oracle no longer matches (r15 review finding 1).
-PQ_CODEBOOK_ALGO = "lloyd1"
 # Training-sample cap: the lowest-vec_id prefix — deterministic,
 # oracle-mirrorable (ORDER BY vec_id LIMIT cap), and a TakeOrdered
 # (map-side partial top-k, no sort shuffle) at 100 TB. Covers the full
@@ -1593,6 +1587,17 @@ PQ_CODEBOOK_ALGO = "lloyd1"
 # training on a bounded sample is the standard posture (FAISS trains
 # IVFPQ codebooks on ~1e5-1e6 sampled vectors, not the corpus).
 PQ_TRAIN_CAP = 4096
+# Codebook-algorithm version, folded into every persisted PQ family's
+# index_suffix fingerprint: bump the NAME on any change to the training
+# ALGORITHM so a persistent warehouse rotates (and GCs) its pre-change
+# tables instead of serving codes every updated oracle no longer
+# matches (r15 review finding 1). The training CONSTANTS are folded in
+# mechanically (r15 review pass 3, finding 1) — retuning
+# PQ_LLOYD_EXTRA/ITERS/TRAIN_CAP/PQ_M rotates the fingerprint without
+# anyone remembering to bump anything.
+PQ_CODEBOOK_ALGO = (
+    f"lloyd1:{PQ_M}:{PQ_LLOYD_EXTRA}:{PQ_LLOYD_ITERS}:{PQ_TRAIN_CAP}"
+)
 
 
 def _dot_col(a, b):
