@@ -1176,9 +1176,13 @@ def main(argv: list[str] | None = None) -> int:
         # narrow codes-only aggregate — the per-row distances were
         # recorded at encode time) and retrains it from the corpus
         # vectors only when the drift ratio crosses --when-drifted.
+        from pyspark.errors import AnalysisException
+
         from dbt_on_snowflake_spark.operators.similarity import (
             DRIFT_REBUILD_RATIO,
+            PQ_CODEBOOK_ALGO,
             ann_index_drift,
+            ensure_appended_pq_index,
             ensure_pq_index,
             pq_index_drift,
             reindex_ann_when_drifted,
@@ -1186,31 +1190,88 @@ def main(argv: list[str] | None = None) -> int:
             retrain_pq_family,
         )
 
+        # --select / --exclude narrow the sweep: comma-separated
+        # fnmatch patterns matched against the qualified AND the bare
+        # family name. A scheduled gate-mode sweep exits 2 on any
+        # ungateable family (fail closed), but some families are
+        # legitimately ungateable forever — ephemeral verification
+        # leftovers (ann_assignments_semdel_*, pq_codes_mmdel_*,
+        # pq_codes_del_*), families built from a different corpus than
+        # --corpus — and a cron that alarms perpetually with no
+        # in-band remedy signals nothing (r13 advice #3). The shipped
+        # weekly task (examples/curation/tasks.yml) carves the known
+        # ephemeral suffixes out with --exclude. Parsed up front: the
+        # ensure builds below honor them too.
+        import fnmatch
+
+        def _fam_match(fam: str, patterns: list[str]) -> bool:
+            base = fam.rsplit(".", 1)[-1]
+            return any(
+                fnmatch.fnmatch(fam, p) or fnmatch.fnmatch(base, p)
+                for p in patterns
+            )
+
+        sel_pats = (
+            [p.strip() for p in args.select.split(",") if p.strip()]
+            if args.select
+            else None
+        )
+        exc_pats = (
+            [p.strip() for p in args.exclude.split(",") if p.strip()]
+            if args.exclude
+            else None
+        )
+
+        def _kept(fam: str) -> bool:
+            if sel_pats is not None and not _fam_match(fam, sel_pats):
+                return False
+            return not (exc_pats and _fam_match(fam, exc_pats))
+
+        skipped = 0
         if args.codes_table is not None:
             families = [args.codes_table]
         else:
             # (re)secure the ensure base family (a fresh warehouse
-            # gains its baseline), then sweep EVERY pq_codes_* AND
+            # gains its baseline) AND the append-grown aps family
+            # (steady state: a tableExists probe; after an algo/corpus
+            # rotation: the build GCs the superseded family the sweep
+            # would otherwise gate — and possibly full-retrain — though
+            # no serve path can resolve it anymore, r15 review pass 3,
+            # finding 2), then sweep EVERY pq_codes_* AND
             # ann_assignments_* family the catalog knows: the ensure
-            # bases, the append-grown aps family, the streaming-ingest
-            # families, ad-hoc builds — the growers are the indexes
-            # that actually drift, and the old base-family-only gate
-            # never reached them (r12 advice #2; IVF added per r12
-            # verdict Next #6)
-            ensure_pq_index(spark, args.corpus)
-            # ... and the append-grown family: its ensure is a cheap
-            # tableExists probe in steady state, and running it here
-            # (a) GCs a superseded-fingerprint aps family left by an
-            # algo/corpus rotation — otherwise the sweep below would
-            # gate, and possibly full-retrain, a dead index no serve
-            # path can resolve anymore (r15 review pass 3, finding 2) —
-            # and (b) guarantees the aps family the sweep gates is the
-            # live one
-            from dbt_on_snowflake_spark.operators.similarity import (
-                ensure_appended_pq_index,
-            )
+            # bases, the aps family, the streaming-ingest families,
+            # ad-hoc builds — the growers are the indexes that actually
+            # drift, and the old base-family-only gate never reached
+            # them (r12 advice #2; IVF added per r12 verdict Next #6).
+            # Skipped when the invocation's filters discard the family
+            # anyway (an IVF-only --select must not pay two full PQ
+            # builds), and a FAILED ensure takes the loud SKIPPED path
+            # in gate mode rather than aborting the sweep with every
+            # other family ungated (r15 review pass 4, findings 1-2).
+            from dbt_on_snowflake_spark.testdata import index_suffix
 
-            ensure_appended_pq_index(spark, args.corpus)
+            for ensure, tag, prefix in (
+                (ensure_pq_index, "pq", "pq_codes_"),
+                (ensure_appended_pq_index, "pqapps", "pq_codes_aps_"),
+            ):
+                name = prefix + index_suffix(
+                    spark, args.corpus, tag, "embeddings",
+                    algo=PQ_CODEBOOK_ALGO,
+                )
+                if not _kept(name):
+                    continue
+                try:
+                    ensure(spark, args.corpus)
+                except (ValueError, OSError, AnalysisException) as exc:
+                    # the family may now be absent from the catalog —
+                    # silently proceeding would leave it ungated while
+                    # the sweep reports green
+                    print(
+                        f"pq ensure {name}: SKIPPED — {exc}",
+                        file=sys.stderr,
+                    )
+                    if args.when_drifted is not None:
+                        skipped += 1
             # every database, not just the current one: qualified
             # families (db.pq_codes_x) are first-class in the delete
             # path, so the gate must reach them too (r13 review,
@@ -1236,34 +1297,12 @@ def main(argv: list[str] | None = None) -> int:
                         else f"{db.name}.{t.name}"
                     )
             families = sorted(families)
-        # --select / --exclude narrow the sweep: comma-separated
-        # fnmatch patterns matched against the qualified AND the bare
-        # family name. A scheduled gate-mode sweep exits 2 on any
-        # ungateable family (fail closed), but some families are
-        # legitimately ungateable forever — ephemeral verification
-        # leftovers (ann_assignments_semdel_*, pq_codes_mmdel_*,
-        # pq_codes_del_*), families built from a different corpus than
-        # --corpus — and a cron that alarms perpetually with no
-        # in-band remedy signals nothing (r13 advice #3). The shipped
-        # weekly task (examples/curation/tasks.yml) carves the known
-        # ephemeral suffixes out with --exclude.
-        import fnmatch
-
-        def _fam_match(fam: str, patterns: list[str]) -> bool:
-            base = fam.rsplit(".", 1)[-1]
-            return any(
-                fnmatch.fnmatch(fam, p) or fnmatch.fnmatch(base, p)
-                for p in patterns
-            )
-
         had_any = bool(families)
-        if args.select:
-            pats = [p.strip() for p in args.select.split(",") if p.strip()]
-            families = [f for f in families if _fam_match(f, pats)]
-        if args.exclude:
-            pats = [p.strip() for p in args.exclude.split(",") if p.strip()]
-            families = [f for f in families if not _fam_match(f, pats)]
-        if had_any and (args.select or args.exclude) and not families:
+        if sel_pats is not None:
+            families = [f for f in families if _fam_match(f, sel_pats)]
+        if exc_pats:
+            families = [f for f in families if not _fam_match(f, exc_pats)]
+        if had_any and (sel_pats is not None or exc_pats) and not families:
             # filters that leave NOTHING to sweep are the 'gate reports
             # green while checking nothing' hazard the --selector
             # validation blocks: a typo'd --select, or an over-broad
@@ -1281,8 +1320,6 @@ def main(argv: list[str] | None = None) -> int:
                 print(msg, file=sys.stderr)
                 return 2
             print(f"warning: {msg}", file=sys.stderr)
-        skipped = 0
-        from pyspark.errors import AnalysisException
         for fam in families:
             is_ivf = fam.rsplit(".", 1)[-1].startswith("ann_assignments_")
             kind = "ivf" if is_ivf else "pq"
