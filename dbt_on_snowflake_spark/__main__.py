@@ -1180,10 +1180,8 @@ def main(argv: list[str] | None = None) -> int:
 
         from dbt_on_snowflake_spark.operators.similarity import (
             DRIFT_REBUILD_RATIO,
-            PQ_CODEBOOK_ALGO,
             ann_index_drift,
-            ensure_appended_pq_index,
-            ensure_pq_index,
+            pq_ensure_families,
             pq_index_drift,
             reindex_ann_when_drifted,
             reindex_pq_when_drifted,
@@ -1245,72 +1243,77 @@ def main(argv: list[str] | None = None) -> int:
             # them (r12 advice #2; IVF added per r12 verdict Next #6).
             # Skipped when the invocation's filters discard the family
             # anyway (an IVF-only --select must not pay two full PQ
-            # builds), and a FAILED ensure takes the loud SKIPPED path
-            # in gate mode rather than aborting the sweep with every
-            # other family ungated (r15 review pass 4, findings 1-2).
-            from dbt_on_snowflake_spark.testdata import index_suffix
+            # builds) — relevance checks BOTH the live name and the
+            # fingerprint-independent family stem against the current
+            # catalog, so a filter naming a superseded generation still
+            # runs the ensure whose build-time GC reclaims it (r15
+            # review pass 5, finding 2) — and a FAILED ensure takes the
+            # loud SKIPPED path in gate mode rather than aborting the
+            # sweep with every other family ungated (pass 4/5: broad
+            # except — a distributed build fails with Py4JJavaError,
+            # not the gate loop's driver-side tuple).
+            current = spark.catalog.currentDatabase()
 
-            for ensure, tag, prefix in (
-                (ensure_pq_index, "pq", "pq_codes_"),
-                (ensure_appended_pq_index, "pqapps", "pq_codes_aps_"),
-            ):
-                name = prefix + index_suffix(
-                    spark, args.corpus, tag, "embeddings",
-                    algo=PQ_CODEBOOK_ALGO,
+            def _list_families() -> list[str]:
+                out = []
+                for db in spark.catalog.listDatabases():
+                    for t in spark.catalog.listTables(db.name):
+                        # listTables returns session TEMP VIEWS for
+                        # every database (database=None, once per db) —
+                        # a same-prefixed view would enter the sweep as
+                        # an unresolvable 'db.view' entry (r13 review
+                        # pass 2, finding 3)
+                        if t.isTemporary or t.database != db.name:
+                            continue
+                        if not t.name.startswith(
+                            ("pq_codes_", "ann_assignments_")
+                        ):
+                            continue
+                        out.append(
+                            t.name if db.name == current
+                            else f"{db.name}.{t.name}"
+                        )
+                return sorted(out)
+
+            pre_listed = _list_families()
+            for ensure, name, stem in pq_ensure_families(spark, args.corpus):
+                relevant = _kept(name) or any(
+                    _kept(f) and f.rsplit(".", 1)[-1].startswith(stem)
+                    for f in pre_listed
                 )
-                if not _kept(name):
+                if not relevant:
                     continue
                 try:
                     ensure(spark, args.corpus)
-                except (ValueError, OSError, AnalysisException) as exc:
-                    # the family may now be absent from the catalog —
-                    # silently proceeding would leave it ungated while
-                    # the sweep reports green
+                except Exception as exc:  # noqa: BLE001 — isolate the
+                    # sweep: the family may now be absent from the
+                    # catalog, and silently proceeding would leave it
+                    # ungated while the sweep reports green
                     print(
                         f"pq ensure {name}: SKIPPED — {exc}",
                         file=sys.stderr,
                     )
                     if args.when_drifted is not None:
                         skipped += 1
-            # every database, not just the current one: qualified
-            # families (db.pq_codes_x) are first-class in the delete
-            # path, so the gate must reach them too (r13 review,
-            # finding 3). Names outside the current database are
-            # qualified so the drift helpers resolve them.
-            current = spark.catalog.currentDatabase()
-            families = []
-            for db in spark.catalog.listDatabases():
-                for t in spark.catalog.listTables(db.name):
-                    # listTables returns session TEMP VIEWS for every
-                    # database (database=None, once per db) — a
-                    # same-prefixed view would enter the sweep as an
-                    # unresolvable 'db.view' entry (r13 review pass 2,
-                    # finding 3)
-                    if t.isTemporary or t.database != db.name:
-                        continue
-                    if not t.name.startswith(
-                        ("pq_codes_", "ann_assignments_")
-                    ):
-                        continue
-                    families.append(
-                        t.name if db.name == current
-                        else f"{db.name}.{t.name}"
-                    )
-            families = sorted(families)
-        had_any = bool(families)
+            # the authoritative post-ensure listing, every database
+            # (qualified families are first-class in the delete path,
+            # so the gate must reach them too — r13 review, finding 3)
+            families = _list_families()
         if sel_pats is not None:
             families = [f for f in families if _fam_match(f, sel_pats)]
         if exc_pats:
             families = [f for f in families if not _fam_match(f, exc_pats)]
-        if had_any and (sel_pats is not None or exc_pats) and not families:
+        if (sel_pats is not None or exc_pats) and not families:
             # filters that leave NOTHING to sweep are the 'gate reports
             # green while checking nothing' hazard the --selector
             # validation blocks: a typo'd --select, or an over-broad
             # --exclude eating everything --select kept, would silently
             # disable the weekly drift gate (r14 advice #1; the
             # post-both-filters placement is review finding 1 of the
-            # r15 pass). Gate mode alarms (nonzero exit); report mode
-            # warns on stderr.
+            # r15 pass, and the alarm fires on a fresh EMPTY catalog
+            # too — a typo'd selector that also skipped the ensures
+            # must not read as green, pass 5 finding 1). Gate mode
+            # alarms (nonzero exit); report mode warns on stderr.
             msg = (
                 f"reindex: --select {args.select!r} / --exclude "
                 f"{args.exclude!r} filtered the sweep to zero index "

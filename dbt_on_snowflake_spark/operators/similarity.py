@@ -2838,6 +2838,36 @@ def ann_pq_rerank_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_rerank(_vectors(spark, sf_dir), shortlist)
 
 
+def _pq_family_suffix(spark: SparkSession, sf_dir: str, tag: str) -> str:
+    """The persisted PQ families' index-table suffix — corpus
+    fingerprint x codebook-algorithm token (see PQ_CODEBOOK_ALGO)."""
+    from dbt_on_snowflake_spark.testdata import index_suffix
+
+    return index_suffix(
+        spark, sf_dir, tag, "embeddings", algo=PQ_CODEBOOK_ALGO
+    )
+
+
+def pq_ensure_families(spark: SparkSession, sf_dir: str):
+    """``(ensure_fn, codes_table, family_stem)`` for each persisted PQ
+    family the reindex sweep secures — the ONE place their naming is
+    spelled, shared by the ensures themselves and the sweep's
+    filter-relevance prediction so the two cannot drift (r15 review
+    pass 5, finding 4). ``family_stem`` is the fingerprint-independent
+    ``<prefix><path8>`` half: a sweep filter that names ANY
+    fingerprint generation of the family (e.g. a superseded one left
+    by an algo/corpus rotation) makes the ensure relevant, because the
+    ensure's build-time GC is what reclaims that dead generation."""
+    out = []
+    for ensure, tag, prefix in (
+        (ensure_pq_index, "pq", "pq_codes_"),
+        (ensure_appended_pq_index, "pqapps", "pq_codes_aps_"),
+    ):
+        sfx = _pq_family_suffix(spark, sf_dir, tag)
+        out.append((ensure, f"{prefix}{sfx}", f"{prefix}{sfx.split('_', 1)[0]}"))
+    return out
+
+
 def ensure_pq_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Build the persisted PQ index for ``sf_dir`` if absent and return
     ``(codebook_table, codes_table)`` — ONE encode-once artifact per
@@ -2862,9 +2892,7 @@ def ensure_pq_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         index_suffix,
     )
 
-    suffix = index_suffix(
-        spark, sf_dir, "pq", "embeddings", algo=PQ_CODEBOOK_ALGO
-    )
+    suffix = _pq_family_suffix(spark, sf_dir, "pq")
     codebook_table = f"pq_codebook_{suffix}"
     codes_table = f"pq_codes_{suffix}"
     ensure_index_tables(
@@ -4650,9 +4678,7 @@ def ensure_appended_pq_index(
         index_suffix,
     )
 
-    suffix = index_suffix(
-        spark, sf_dir, "pqapps", "embeddings", algo=PQ_CODEBOOK_ALGO
-    )
+    suffix = _pq_family_suffix(spark, sf_dir, "pqapps")
     cb_t = f"pq_codebook_aps_{suffix}"
     cd_t = f"pq_codes_aps_{suffix}"
     # the grown-state COMMIT MARKER, created LAST in the build and
