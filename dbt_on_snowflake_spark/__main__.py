@@ -1275,7 +1275,14 @@ def main(argv: list[str] | None = None) -> int:
                         )
                 return sorted(out)
 
-            pre_listed = _list_families()
+            # the pre-ensure listing only informs filter relevance —
+            # skip the (Spark-job-scheduling) catalog enumeration on
+            # unfiltered sweeps, where _kept is constant-True
+            pre_listed = (
+                _list_families()
+                if sel_pats is not None or exc_pats
+                else []
+            )
             for ensure, name, stem in pq_ensure_families(spark, args.corpus):
                 relevant = _kept(name) or any(
                     _kept(f) and f.rsplit(".", 1)[-1].startswith(stem)

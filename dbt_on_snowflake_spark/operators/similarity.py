@@ -2859,12 +2859,14 @@ def pq_ensure_families(spark: SparkSession, sf_dir: str):
     by an algo/corpus rotation) makes the ensure relevant, because the
     ensure's build-time GC is what reclaims that dead generation."""
     out = []
+    from dbt_on_snowflake_spark.testdata import family_half
+
     for ensure, tag, prefix in (
         (ensure_pq_index, "pq", "pq_codes_"),
         (ensure_appended_pq_index, "pqapps", "pq_codes_aps_"),
     ):
         sfx = _pq_family_suffix(spark, sf_dir, tag)
-        out.append((ensure, f"{prefix}{sfx}", f"{prefix}{sfx.split('_', 1)[0]}"))
+        out.append((ensure, f"{prefix}{sfx}", f"{prefix}{family_half(sfx)}"))
     return out
 
 
@@ -2887,10 +2889,7 @@ def ensure_pq_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     next serve rebuilds against the new data instead of silently
     returning stale results (r10 advice, similarity.py:2323); tables of
     superseded fingerprints are GC'd when the rebuild runs."""
-    from dbt_on_snowflake_spark.testdata import (
-        ensure_index_tables,
-        index_suffix,
-    )
+    from dbt_on_snowflake_spark.testdata import ensure_index_tables
 
     suffix = _pq_family_suffix(spark, sf_dir, "pq")
     codebook_table = f"pq_codebook_{suffix}"
@@ -4673,10 +4672,7 @@ def ensure_appended_pq_index(
     wrong #2); THIS is the artifact the steady-state serve twin reads,
     so the bench finally tracks serving over append-grown codes rather
     than the rebuild."""
-    from dbt_on_snowflake_spark.testdata import (
-        ensure_index_tables,
-        index_suffix,
-    )
+    from dbt_on_snowflake_spark.testdata import ensure_index_tables
 
     suffix = _pq_family_suffix(spark, sf_dir, "pqapps")
     cb_t = f"pq_codebook_aps_{suffix}"

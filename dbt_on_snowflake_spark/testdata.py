@@ -201,6 +201,15 @@ def ensure_index_tables(
         sc.setJobGroup(caller_group, "serve")
 
 
+def family_half(suffix: str) -> str:
+    """The fingerprint-independent family half (``path8``) of an
+    ``index_suffix`` value — the ONE place the ``<path8>_<fp8>`` format
+    is split, shared by the GC's superseded-match and the reindex
+    sweep's filter-relevance stem so the two cannot diverge if the
+    suffix format ever grows a component."""
+    return suffix.split("_", 1)[0]
+
+
 def gc_superseded_index_tables(
     spark: SparkSession, prefixes: tuple[str, ...], suffix: str
 ) -> list[str]:
@@ -225,7 +234,7 @@ def gc_superseded_index_tables(
     branch only (builds are rare); returns what it reclaimed."""
     from dbt_on_snowflake_spark.engine.fs import fs_delete, fs_list
 
-    path8 = suffix.split("_", 1)[0]
+    path8 = family_half(suffix)
 
     def superseded(name: str) -> bool:
         for p in prefixes:
