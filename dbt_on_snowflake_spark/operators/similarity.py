@@ -2314,7 +2314,7 @@ def ann_pq_adc_topk(
 def _adc_score_arrow(
     codes: DataFrame,
     qlut: DataFrame | list,
-    probes: DataFrame | None = None,
+    probes: DataFrame | list | None = None,
     k: int = TOP_K,
 ) -> DataFrame:
     """Arrow-vectorized ADC scoring scan (r8): the per-(row, query)
@@ -2362,9 +2362,16 @@ def _adc_score_arrow(
     nq = len(qids)
     allowed = None
     if probes is not None:
+        # DataFrame (collected; bounded <= MAX_QUERIES x N_PROBE) or an
+        # already-collected list of (query_id, plabel) pairs
+        prows = (
+            [(int(r.query_id), int(r.plabel)) for r in probes.collect()]
+            if isinstance(probes, DataFrame)
+            else probes
+        )
         pr: dict[int, list[int]] = {}
-        for r in probes.collect():  # bounded: <= MAX_QUERIES x N_PROBE
-            pr.setdefault(int(r.query_id), []).append(int(r.plabel))
+        for qid, lab in prows:
+            pr.setdefault(int(qid), []).append(int(lab))
         allowed = {
             q: np.array(sorted(v), dtype=np.int64) for q, v in pr.items()
         }
@@ -3924,6 +3931,125 @@ def ann_ivfpq_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+@query(
+    "ann_ivfpq_indexed",
+    driver=False,  # r15-born: R16_ROTATE_IN (first driver row due r16)
+    oracle=None,  # set below: shares ann_ivfpq_topk's oracle verbatim
+)
+def ann_ivfpq_indexed(
+    spark: SparkSession, sf_dir: str, kernel: str | None = None
+) -> DataFrame:
+    """``ann_ivfpq_topk`` served from PERSISTED artifacts — the
+    production IVFPQ read path (what FAISS serves from a loaded index):
+    the coarse-quantizer centroids come from the ensure-built IVF
+    family (shared with the filtered serves — same corpus, same label
+    cells; steady state is a tableExists probe) and the PQ codes from
+    ``ensure_pq_index``'s encode-once, LABEL-PARTITIONED codes table,
+    so the per-query scan is a LITERAL partition prune: the codes scan
+    is restricted to the union of probed cells before the kernel runs
+    (a pushed-down partition filter on the bounded collected probe
+    set), and per-query cell masks apply inside the kernel. The only
+    pass over the embeddings parquet is the bounded query side — no
+    re-encode, no centroid recompute (plan-pinned by
+    ``test_ivfpq_indexed_prunes_to_probed_cells``). Shares the inline
+    twin's oracle verbatim: the codebook/centroid derivations are
+    deterministic, so serving persisted must not change a row.
+
+    At 100 TB this is THE sublinear ANN serve: per query it reads
+    O(nprobe / cells) of a 128x-compressed corpus — partition-pruned
+    disk reads, bounded broadcast state, one top-k exchange."""
+    import os as _os
+
+    kernel = kernel or _os.environ.get("SPARK_GRAFT_PQ_KERNEL", "arrow")
+    cb_t, cd_t = ensure_pq_index(spark, sf_dir)
+    from dbt_on_snowflake_spark.testdata import index_suffix
+
+    suffix = index_suffix(spark, sf_dir, "fidx", "embeddings")
+    centroids_table = f"ann_centroids_{suffix}"
+    ensure_ann_index(
+        spark,
+        lambda: _vectors(spark, sf_dir),
+        centroids_table=centroids_table,
+        assignments_table=f"ann_assignments_{suffix}",
+        job_group="ann_ivfpq_indexed",
+        gc_suffix=suffix,
+    )
+    e = _vectors(spark, sf_dir)
+    q = e.filter(F.expr(_QUERY_PRED))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("clabel").asc()
+    )
+    probes = (
+        q.alias("q")
+        .crossJoin(F.broadcast(spark.table(centroids_table).alias("c")))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.label").alias("clabel"),
+            F.round(_cosine("q.v", "c.v"), 4).alias("ccos"),
+        )
+        .withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= N_PROBE)
+        .select("query_id", F.col("clabel").alias("plabel"))
+    )
+    # bounded: <= MAX_QUERIES x N_PROBE rows — collected once, feeding
+    # BOTH the partition-prune filter and the kernel's per-query masks
+    probe_rows = [
+        (int(r.query_id), int(r.plabel)) for r in probes.collect()
+    ]
+    cells = sorted({lab for _, lab in probe_rows})
+    # the label-CARRYING tombstone-gated read (_live_codes projects the
+    # partition column away for the full-scan serves; the prune needs it)
+    from dbt_on_snowflake_spark.engine.index_delete import live_rows
+
+    pruned = live_rows(
+        spark, spark.table(cd_t), _pq_tombstones(cd_t), "vec_id"
+    ).filter(F.col("label").isin(cells))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dot_scaled").desc(), F.col("neighbor_id").asc()
+    )
+    if kernel == "arrow":
+        entries = sorted(
+            (int(r["label"]), list(r["v"]))
+            for r in spark.table(cb_t).collect()  # bounded: K rows
+        )
+        scored = _adc_score_arrow(
+            pruned.select("vec_id", "label", "bests"),
+            _qlut_rows(q, entries),
+            probes=probe_rows,
+        )
+    else:
+        qlut = _qlut_expr(q, _codebook_row(spark.table(cb_t)))
+        probe_lut = probes.join(qlut, "query_id")
+        score = None
+        for m in range(PQ_M):
+            term = F.element_at(F.col("luts")[m], F.col("bests")[m]["code"])
+            score = term if score is None else score + term
+        scored = (
+            pruned.join(
+                F.broadcast(probe_lut), F.col("label") == F.col("plabel")
+            )
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                score.alias("approx_dot_scaled"),
+            )
+        )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+def _set_ivfpq_indexed_oracle() -> None:
+    from dbt_on_snowflake_spark.registry import QUERIES
+
+    QUERIES["ann_ivfpq_indexed"].oracle = QUERIES["ann_ivfpq_topk"].oracle
+
+
+_set_ivfpq_indexed_oracle()
 
 
 def build_pq_index(

@@ -778,7 +778,11 @@ R14_EXPORT = {
 # driver-checked). Keep this current as queries are born; 3 spare
 # slots fit the R16 draft (47 window-hard r13 rows) — further births
 # need a paired retirement.
-R16_ROTATE_IN: set[str] = set()
+R16_ROTATE_IN: set[str] = {
+    # the persisted IVF+PQ serve (partition-pruned ADC over the
+    # label-partitioned codes) — takes the first of the 3 spare slots
+    "ann_ivfpq_indexed",
+}
 
 # The authoritative r15 export set: the R15 draft, re-verified against
 # CORRECTNESS_r14 at r15 start and executed with the documented

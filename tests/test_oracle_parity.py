@@ -38,6 +38,8 @@ _BNLJ_OK = {
     "ann_hard_negatives",  # same capped query side as ann_topk_bruteforce
     "ann_pq_recall_eval",  # composes two capped-broadcast retrievals
     "ann_ivfpq_topk",  # 1-row codebook + capped probe/LUT broadcasts
+    "ann_ivfpq_indexed",  # persisted twin: tiny centroid table + the
+    # same capped probe/LUT sides; the codes scan is partition-pruned
     "ann_pq_adc_indexed",  # persisted-codes twin of ann_pq_adc_topk
     "ann_pq_adc_appended",  # same ADC serve over the append-grown codes
     "multimodal_embed_topk_indexed",  # bounded mm-query LUT + codebook sides

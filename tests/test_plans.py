@@ -701,6 +701,28 @@ def test_pq_indexed_no_encode_recompute(spark, monkeypatch):
     assert count_shuffles(plan_a) <= 1
 
 
+def test_ivfpq_indexed_prunes_to_probed_cells(spark):
+    """The persisted IVFPQ serve's codes read must be a LITERAL
+    partition prune: the returned (arrow) plan scans the
+    label-partitioned pq_codes_ table with a label partition filter —
+    the union of the probed cells — and never re-reads the embeddings
+    parquet or retrains centroids (the probes/LUTs were collected at
+    fn-build time from the persisted centroid/codebook tables). At
+    100 TB this is the property that makes the serve sublinear: per
+    query it reads O(nprobe / cells) of the compressed corpus."""
+    df = Q["ann_ivfpq_indexed"].fn(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "pq_codes_" in plan and "MapInPandas" in plan
+    assert "embeddings.parquet" not in plan  # no corpus re-read
+    assert "Generate" not in plan  # no centroid/codebook retraining
+    # the partition filter on the probed-cell union reached the scan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "label" in m.group(1), plan[:2000]
+    assert count_shuffles(plan) <= 1  # rank window only
+
+
 def test_pq_append_no_corpus_reencode(spark, monkeypatch):
     """pq_index_append must encode ONLY the batch against the persisted
     frozen codebook: with an in-memory batch, the returned encode plan

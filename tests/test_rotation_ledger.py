@@ -320,7 +320,9 @@ def test_r12_export_satisfied_rotation_policy_retroactively():
     history. Rows born after r12 (the R14/R15 ledgers) and the r13
     retirement had no r12 obligation, so the audit runs with the
     then-empty retired set and the then-known registered pool."""
-    registered = set(all_queries()) - R14_ROTATE_IN - R15_ROTATE_IN
+    registered = (
+        set(all_queries()) - R14_ROTATE_IN - R15_ROTATE_IN - R16_ROTATE_IN
+    )
     errs = check_policy(
         current_round=12,
         export=R12_EXPORT,
@@ -341,6 +343,7 @@ def test_r11_export_satisfied_rotation_policy_retroactively():
         - R13_ROTATE_IN
         - R14_ROTATE_IN
         - R15_ROTATE_IN
+        - R16_ROTATE_IN
     )
     errs = check_policy(
         current_round=11,
