@@ -3883,11 +3883,37 @@ def ann_ivfpq_topk(
     cb_row = _entries_cb_row(spark, entries)
     codes = _pq_encode(e.select("vec_id", "label", "v"), cb_row)
     q = e.filter(F.expr(_QUERY_PRED))
+    probes = _ivf_probes(q, cvec)
 
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dot_scaled").desc(), F.col("neighbor_id").asc()
+    )
+    if kernel == "arrow":
+        scored = _adc_score_arrow(
+            codes.select("vec_id", "label", "bests"),
+            _qlut_rows(q, entries),
+            probes=probes,
+        )
+    else:
+        scored = _ivfpq_hof_scored(
+            codes, probes.join(_qlut_expr(q, cb_row), "query_id")
+        )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+def _ivf_probes(q: DataFrame, cvec: DataFrame) -> DataFrame:
+    """(query_id, plabel): rank the coarse-quantizer cells per query by
+    rounded cosine and keep the nprobe nearest — ONE definition of the
+    probe rounding/tie-break shared by the inline and persisted IVFPQ
+    twins, which share an oracle verbatim and must stay bit-identical
+    (r15 review pass 7, finding 1)."""
     wq = Window.partitionBy("query_id").orderBy(
         F.col("ccos").desc(), F.col("clabel").asc()
     )
-    probes = (
+    return (
         q.alias("q")
         .crossJoin(F.broadcast(cvec.alias("c")))
         .select(
@@ -3900,36 +3926,33 @@ def ann_ivfpq_topk(
         .select("query_id", F.col("clabel").alias("plabel"))
     )
 
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("approx_dot_scaled").desc(), F.col("neighbor_id").asc()
-    )
-    if kernel == "arrow":
-        scored = _adc_score_arrow(
-            codes.select("vec_id", "label", "bests"),
-            _qlut_rows(q, entries),
-            probes=probes,
-        )
-    else:
-        qlut = _qlut_expr(q, cb_row)
-        probe_lut = probes.join(qlut, "query_id")
-        score = None
-        for m in range(PQ_M):
-            term = F.element_at(F.col("luts")[m], F.col("bests")[m]["code"])
-            score = term if score is None else score + term
-        scored = (
-            codes.join(
-                F.broadcast(probe_lut), F.col("label") == F.col("plabel")
-            )
-            .filter(F.col("vec_id") != F.col("query_id"))
-            .select(
-                "query_id",
-                F.col("vec_id").alias("neighbor_id"),
-                score.alias("approx_dot_scaled"),
-            )
-        )
+
+def _ivfpq_hof_scored(codes: DataFrame, probe_lut: DataFrame) -> DataFrame:
+    """The interpreted IVFPQ scoring join — codes x the broadcast
+    (probe, LUT) relation, per-subspace map lookups summed — shared by
+    both twins (same bit-identity requirement as ``_ivf_probes``)."""
+    score = None
+    for m in range(PQ_M):
+        term = F.element_at(F.col("luts")[m], F.col("bests")[m]["code"])
+        score = term if score is None else score + term
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOP_K)
+        codes.join(F.broadcast(probe_lut), F.col("label") == F.col("plabel"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            score.alias("approx_dot_scaled"),
+        )
+    )
+
+
+def _collect_codebook_entries(spark: SparkSession, codebook_table: str):
+    """The persisted codebook as the sorted (label, vector) entries
+    list the driver-side LUT builder consumes — bounded control-plane
+    data (K = |labels| + PQ_LLOYD_EXTRA rows)."""
+    return sorted(
+        (int(r["label"]), list(r["v"]))
+        for r in spark.table(codebook_table).collect()
     )
 
 
@@ -3964,37 +3987,50 @@ def ann_ivfpq_indexed(
 
     kernel = kernel or _os.environ.get("SPARK_GRAFT_PQ_KERNEL", "arrow")
     cb_t, cd_t = ensure_pq_index(spark, sf_dir)
-    from dbt_on_snowflake_spark.testdata import index_suffix
+    # the coarse quantizer persists as a CENTROIDS-ONLY family: the
+    # serve reads only the |labels|-row table, so building (and
+    # duplicating on disk) a corpus-sized assignments copy just to
+    # obtain it would be exactly the 100 TB waste this serve exists to
+    # avoid (r15 review pass 7, finding 2). One aggregate pass at
+    # build, a tableExists probe after; no drift gate needed — the
+    # centroids are frozen label means of a fingerprinted corpus, and
+    # the codes side carries the family's drift gate already.
+    from dbt_on_snowflake_spark.testdata import (
+        ensure_index_tables,
+        index_suffix,
+    )
 
-    suffix = index_suffix(spark, sf_dir, "fidx", "embeddings")
+    suffix = index_suffix(spark, sf_dir, "ivfpqc", "embeddings")
     centroids_table = f"ann_centroids_{suffix}"
-    ensure_ann_index(
+
+    def _build_centroids() -> None:
+        from dbt_on_snowflake_spark.engine.index_delete import (
+            mark_engine_dir,
+        )
+        from dbt_on_snowflake_spark.operators.dedup import (
+            _drop_managed_table,
+        )
+
+        _drop_managed_table(spark, centroids_table)
+        _centroid_vectors(_vectors(spark, sf_dir)).write.mode(
+            "overwrite"
+        ).saveAsTable(centroids_table)
+        mark_engine_dir(spark, centroids_table)
+
+    ensure_index_tables(
         spark,
-        lambda: _vectors(spark, sf_dir),
-        centroids_table=centroids_table,
-        assignments_table=f"ann_assignments_{suffix}",
+        tables=(centroids_table,),
         job_group="ann_ivfpq_indexed",
+        gc_prefixes=("ann_centroids_",),
         gc_suffix=suffix,
+        build=_build_centroids,
     )
     e = _vectors(spark, sf_dir)
     q = e.filter(F.expr(_QUERY_PRED))
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("ccos").desc(), F.col("clabel").asc()
-    )
-    probes = (
-        q.alias("q")
-        .crossJoin(F.broadcast(spark.table(centroids_table).alias("c")))
-        .select(
-            F.col("q.vec_id").alias("query_id"),
-            F.col("c.label").alias("clabel"),
-            F.round(_cosine("q.v", "c.v"), 4).alias("ccos"),
-        )
-        .withColumn("crank", F.row_number().over(wq))
-        .filter(F.col("crank") <= N_PROBE)
-        .select("query_id", F.col("clabel").alias("plabel"))
-    )
+    probes = _ivf_probes(q, spark.table(centroids_table))
     # bounded: <= MAX_QUERIES x N_PROBE rows — collected once, feeding
-    # BOTH the partition-prune filter and the kernel's per-query masks
+    # the partition-prune filter, the arrow kernel's per-query masks,
+    # AND the interpreted branch's probe relation (no lineage re-run)
     probe_rows = [
         (int(r.query_id), int(r.plabel)) for r in probes.collect()
     ]
@@ -4010,33 +4046,17 @@ def ann_ivfpq_indexed(
         F.col("approx_dot_scaled").desc(), F.col("neighbor_id").asc()
     )
     if kernel == "arrow":
-        entries = sorted(
-            (int(r["label"]), list(r["v"]))
-            for r in spark.table(cb_t).collect()  # bounded: K rows
-        )
         scored = _adc_score_arrow(
             pruned.select("vec_id", "label", "bests"),
-            _qlut_rows(q, entries),
+            _qlut_rows(q, _collect_codebook_entries(spark, cb_t)),
             probes=probe_rows,
         )
     else:
         qlut = _qlut_expr(q, _codebook_row(spark.table(cb_t)))
-        probe_lut = probes.join(qlut, "query_id")
-        score = None
-        for m in range(PQ_M):
-            term = F.element_at(F.col("luts")[m], F.col("bests")[m]["code"])
-            score = term if score is None else score + term
-        scored = (
-            pruned.join(
-                F.broadcast(probe_lut), F.col("label") == F.col("plabel")
-            )
-            .filter(F.col("vec_id") != F.col("query_id"))
-            .select(
-                "query_id",
-                F.col("vec_id").alias("neighbor_id"),
-                score.alias("approx_dot_scaled"),
-            )
-        )
+        probe_lut = spark.createDataFrame(
+            probe_rows, "query_id long, plabel long"
+        ).join(qlut, "query_id")
+        scored = _ivfpq_hof_scored(pruned, probe_lut)
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
@@ -4926,14 +4946,13 @@ def _adc_serve(
     import os as _os
 
     if _os.environ.get("SPARK_GRAFT_PQ_KERNEL", "arrow") == "arrow":
-        # the persisted codebook is bounded control-plane data (K =
-        # |labels| + PQ_LLOYD_EXTRA rows) — collect it and build the
-        # query LUTs driver-side (no per-entry interpreted fold)
-        entries = sorted(
-            (int(r["label"]), list(r["v"]))
-            for r in spark.table(codebook_table).collect()
+        # the persisted codebook is bounded control-plane data — build
+        # the query LUTs driver-side (no per-entry interpreted fold)
+        scored = _adc_score_arrow(
+            codes,
+            _qlut_rows(queries, _collect_codebook_entries(spark, codebook_table)),
+            k=k,
         )
-        scored = _adc_score_arrow(codes, _qlut_rows(queries, entries), k=k)
     else:
         qlut = _qlut_expr(queries, _codebook_row(spark.table(codebook_table)))
         score = None
