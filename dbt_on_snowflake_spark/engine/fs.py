@@ -269,10 +269,16 @@ def _raise_contention(p: str, remaining_ms: int) -> None:
     # twin strands the path with neither file), test-pinned, and
     # documented operator-facing in README.md §maintenance (r14 advice
     # #4: the horizon must not live only in this module)
+    import math
+
+    # ceil, floored at 1: with <1s of gate left a truncating render
+    # would tell the operator "clears in <= 0 s" while the call still
+    # raises (r15 advice #3)
     raise OSError(
         f"concurrent rewrite in progress: {p} is fresh (or just "
         "moved) — retry after the other writer commits; if that writer "
-        f"crashed, the stale gate clears in <= {remaining_ms / 1000:.0f} s"
+        "crashed, the stale gate clears in <= "
+        f"{max(1, math.ceil(remaining_ms / 1000))} s"
     )
 
 

@@ -4282,7 +4282,12 @@ def pq_index_drift(spark: SparkSession, *, codes_table: str) -> dict:
         # inf — r15 review finding 3); error above the grain from a
         # zero baseline is genuine drift. Sub-grain drift is immaterial
         # by construction: the per-row d's are 1e-4-rounded, so 1e-6
-        # absolute mean error carries no retrain signal.
+        # absolute mean error carries no retrain signal. The bound is
+        # INTENTIONALLY inclusive (r15 advice #2): 1e-6 is the sidecar
+        # grain itself — a current mean landing exactly there is
+        # indistinguishable from the rounding of a sub-grain truth, so
+        # the gate swallows that one grain step and fires only strictly
+        # above it (>= 2e-6 after the 6-decimal sidecar rounding).
         ratio = 1.0 if current <= 1e-6 else float("inf")
     return {
         "base_mean_qerr": b,
@@ -4545,7 +4550,10 @@ def ann_index_drift(
         # same grain guard as pq_index_drift: a sub-grain true baseline
         # rounds to 0.0 in the sidecar, and a later sub-grain current
         # must read as equal-perfection, not ratio=inf firing the
-        # refresh forever (r15 review pass 2, finding 2)
+        # refresh forever (r15 review pass 2, finding 2). Inclusive on
+        # purpose (r15 advice #2): exactly-at-grain 1e-6 is within the
+        # sidecar's own rounding of a sub-grain truth — the gate fires
+        # strictly above the grain only.
         ratio = 1.0 if current <= 1e-6 else float("inf")
     return {
         "base_mean_cdist": b,

@@ -59,20 +59,38 @@ PROBE_BUILDERS = (
 )
 
 
+def probe_tables(name: str, tag: str) -> list[str]:
+    """The throwaway table names ``run_builder`` writes for (builder,
+    tag) — known BEFORE the build so a failed run can still be cleaned
+    in a finally (r15 advice #4: a mid-probe crash between build and
+    drop leaked pq_codes_probe_* into the warehouse, where the reindex
+    sweep later alarms on it as a baseline-less family)."""
+    sfx = f"probe_{tag}"
+    return {
+        "build_pq_index": [f"pq_codebook_{sfx}", f"pq_codes_{sfx}"],
+        "build_ann_index": [f"ann_centroids_{sfx}", f"ann_assignments_{sfx}"],
+        "build_text_index": [
+            f"bm25_stats_{sfx}", f"bm25_postings_{sfx}", f"bm25_doclen_{sfx}"
+        ],
+        "build_minhash_index": [
+            f"mh_band_index_{sfx}", f"mh_corpus_pairs_{sfx}"
+        ],
+    }[name]
+
+
 def run_builder(spark, name: str, sf_dir: str, tag: str) -> list[str]:
     """Run one index builder end-to-end into throwaway probe tables;
     returns the table names so the caller can drop them between
     timing rounds."""
     from dbt_on_snowflake_spark.testdata import table
 
-    sfx = f"probe_{tag}"
+    t = probe_tables(name, tag)
     if name == "build_pq_index":
         from dbt_on_snowflake_spark.operators.similarity import (
             _vectors,
             build_pq_index,
         )
 
-        t = [f"pq_codebook_{sfx}", f"pq_codes_{sfx}"]
         build_pq_index(
             spark,
             _vectors(spark, sf_dir),
@@ -86,7 +104,6 @@ def run_builder(spark, name: str, sf_dir: str, tag: str) -> list[str]:
             build_ann_index,
         )
 
-        t = [f"ann_centroids_{sfx}", f"ann_assignments_{sfx}"]
         build_ann_index(
             spark,
             _vectors(spark, sf_dir),
@@ -99,7 +116,6 @@ def run_builder(spark, name: str, sf_dir: str, tag: str) -> list[str]:
             build_text_index,
         )
 
-        t = [f"bm25_stats_{sfx}", f"bm25_postings_{sfx}", f"bm25_doclen_{sfx}"]
         build_text_index(
             spark,
             table(spark, sf_dir, "documents"),
@@ -114,7 +130,6 @@ def run_builder(spark, name: str, sf_dir: str, tag: str) -> list[str]:
         )
         from dbt_on_snowflake_spark.testdata import fan_out_scan
 
-        t = [f"mh_band_index_{sfx}", f"mh_corpus_pairs_{sfx}"]
         build_minhash_index(
             spark,
             fan_out_scan(spark, table(spark, sf_dir, "documents")),
@@ -203,30 +218,38 @@ def main() -> None:
     b_runs: dict[tuple[str, str], list[float]] = {
         (n, t): [] for n in PROBE_BUILDERS for t in ("base", "scaled")
     }
+    # every build is try/finally-dropped by its PRE-computed table list
+    # (r15 advice #4): a failed build mid-probe must not leak
+    # pq_codes_probe_* / ann_assignments_probe_* into the warehouse
+    # where the reindex sweep alarms on them as baseline-less families
     for name in PROBE_BUILDERS:
         for tag, d in (("base", base), ("scaled", out)):
             group = f"probe-build:{name}:{tag}"
-            sc.setJobGroup(group, group)
             try:
-                made = run_builder(spark, name, d, tag)
+                sc.setJobGroup(group, group)
+                try:
+                    run_builder(spark, name, d, tag)
+                finally:
+                    sc.setJobGroup(None, None)
+                n = 0
+                for job_id in tracker.getJobIdsForGroup(group):
+                    info = tracker.getJobInfo(job_id)
+                    if info is not None:
+                        n += len(info.stageIds)
+                b_stages[(name, tag)] = n
             finally:
-                sc.setJobGroup(None, None)
-            n = 0
-            for job_id in tracker.getJobIdsForGroup(group):
-                info = tracker.getJobInfo(job_id)
-                if info is not None:
-                    n += len(info.stageIds)
-            b_stages[(name, tag)] = n
-            _drop_all(spark, made)
+                _drop_all(spark, probe_tables(name, tag))
     for _ in range(2):
         for name in PROBE_BUILDERS:
             for tag, d in (("base", base), ("scaled", out)):
                 s = time.perf_counter()
-                made = run_builder(spark, name, d, tag)
-                b_runs[(name, tag)].append(
-                    round(time.perf_counter() - s, 3)
-                )
-                _drop_all(spark, made)
+                try:
+                    run_builder(spark, name, d, tag)
+                    b_runs[(name, tag)].append(
+                        round(time.perf_counter() - s, 3)
+                    )
+                finally:
+                    _drop_all(spark, probe_tables(name, tag))
 
     queries = {}
     for name in PROBE_QUERIES:
