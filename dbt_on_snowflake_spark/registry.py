@@ -403,6 +403,16 @@ RETIRED_FROM_ROTATION: dict[str, str] = {
     "ann_ivf_multiprobe_indexed": "ann_ivf_multiprobe",
     # sliding-window twin of the kept session-window streaming rollup
     "t_events_sliding_streaming": "t_events_sessions_streaming",
+    # --- retired at r16 (VERDICT r15 Next #3: pool 144 vs the 145 hard
+    # cap = one birth of headroom; buy slack before the trained-coarse
+    # work births rows) ---
+    # nprobe=1 strict special case of the kept nprobe=2 multiprobe
+    # (same probe ranking, same cell scan, block = own label only)
+    "ann_ivf_topk": "ann_ivf_multiprobe",
+    # unindexed recompute twins of kept indexed/gated serves (the r15
+    # retrieval_hybrid_rrf / ann_filtered_topk retirement pattern)
+    "text_bm25_topk": "text_bm25_topk_indexed",
+    "text_bm25_topk_deleted": "text_bm25_topk_deleted_served",
 }
 
 # Queries born in round 9 — mandatory r10 rotate-ins (never driver-checked).
@@ -784,7 +794,97 @@ R16_ROTATE_IN: set[str] = {
     "ann_ivfpq_indexed",
 }
 
-# The authoritative r15 export set: the R15 draft, re-verified against
+# Queries born in round 16 — mandatory r17 rotate-ins (never
+# driver-checked). Keep this current as queries are born.
+R17_ROTATE_IN: set[str] = set()
+
+# The authoritative r16 export set: the R16 draft above, re-verified at
+# r16 start against the actual CORRECTNESS_r15 file (50/50 green, key
+# set == R15_EXPORT exactly, zero zero-row rows; post-r15 histogram
+# over the then-144 pool = r13 x47 / r14 x46 / r15 x50 + 1
+# never-checked) and executed with the r15 playbook:
+# - retirement FIRST (VERDICT r15 Next #3): three more strict-variant
+#   twins demoted (RETIRED_FROM_ROTATION r16 block), all three sitting
+#   in the 47-row window-hard block, shrinking it to 44 and the pool
+#   to 141 (4 slots of per-round slack against the 145 cap);
+# - R16_ROTATE_IN: ann_ivfpq_indexed's first-ever driver row;
+# - EVIDENCE RESET (the r15 precedent): ann_ivfpq_topk — this round
+#   Lloyd-trains the IVF COARSE quantizer (VERDICT r15 Next #2), so
+#   the IVFPQ pair now probes trained cells instead of ingest labels
+#   and every prior green row evidences a retired semantics. The
+#   indexed twin shares the updated oracle and is the rotate-in above.
+# - the 4 remaining slots pull r14-green rows forward to lighten the
+#   r17 window (R14_EXPORT minus the 4 r15 evidence resets = 46
+#   r14-green rows window-hard at r17; the reset + 4 pulls cut that
+#   to 41): a1_loyalty_metrics (the expensive two-level agg bench
+#   headliner), ann_recall_eval + ann_topk_bruteforce (the recall
+#   eval's two legs, untouched by the coarse work — their reset is
+#   NOT needed: both rank on exact vectors, no coarse probe), and
+#   asof_last_order_within_30d (the asof family's sole pool row).
+# R16_EXPORT = 44 window-hard + 1 rotate-in + 1 evidence reset +
+# 4 pull-forwards = 50 exactly, zero slips.
+R16_EXPORT = {
+    # the 44 window-hard r13-green rows (47 minus the three r16-retired
+    # twins ann_ivf_topk / text_bm25_topk / text_bm25_topk_deleted)
+    "a4_sales_by_nation",
+    "a6_unique_violations",
+    "a_grouping_sets_status_priority",
+    "ann_incremental_assign",
+    "ann_ivf_multiprobe",
+    "ann_ivf_multiprobe_deleted",
+    "ann_mmr_topk",
+    "ann_pq_adc_appended_served",
+    "ann_pq_adc_deleted",
+    "ann_pq_rerank_topk",
+    "ann_quantize_int8",
+    "corpus_chunk_documents",
+    "corpus_pack_sequences",
+    "corpus_pack_shards",
+    "corpus_sample_stratified",
+    "corpus_train_val_split",
+    "dedup_embedding_cosine",
+    "dedup_incremental_pruned",
+    "dedup_minhash_deleted",
+    "dedup_source_overlap",
+    "j1_orders_denorm",
+    "j7_anti_orphans",
+    "j_salted_events_enrich",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "multimodal_meta",
+    "q10_returned_item_losers",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_supplier_breadth",
+    "q19_branded_quantity_revenue",
+    "q6_forecast_revenue_delta",
+    "t_event_funnel_streaming",
+    "t_event_transitions",
+    "t_events_dedup_streaming",
+    "t_events_hourly_streaming",
+    "t_events_rate_anomalies",
+    "t_events_sessions_streaming",
+    "t_events_topn_types_streaming",
+    "t_user_retention",
+    "text_bm25_topk_updated",
+    "text_contamination",
+    "text_quality",
+    "w_running_total_events",
+    # r15-born, never driver-checked — R16_ROTATE_IN (the persisted
+    # IVFPQ serve's first driver row, now over TRAINED coarse cells)
+    "ann_ivfpq_indexed",
+    # evidence reset: the inline IVFPQ twin's coarse quantizer is now
+    # Lloyd-trained (VERDICT r15 Next #2) — prior greens evidence the
+    # label-cell semantics this round retires
+    "ann_ivfpq_topk",
+    # the 4 pull-forwards from the r14-green block (ledger note above)
+    "a1_loyalty_metrics",
+    "ann_recall_eval",
+    "ann_topk_bruteforce",
+    "asof_last_order_within_30d",
+}
+
+# The retired r15 export set: the R15 draft, re-verified against
 # CORRECTNESS_r14 at r15 start and executed with the documented
 # retirement-first + evidence-reset deviations (ledger above).
 # all_queries() applies it over the per-decorator driver= defaults so a
@@ -872,7 +972,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
 
     # Apply the round's rotation: the export list above is authoritative.
     for n, q in QUERIES.items():
-        q.driver = n in R15_EXPORT
+        q.driver = n in R16_EXPORT
     return QUERIES
 
 

@@ -170,53 +170,55 @@ def test_driver_export_within_budget():
         assert any(n.startswith(fam) for n in exported), fam
 
 
-def test_r15_rotation_promises_kept():
-    """The r15 rotation: the R15 draft re-verified against
-    CORRECTNESS_r14 (50/50 green, key set == R14_EXPORT exactly) and
-    executed retirement-first (registry ledger: 6 more twins demoted,
-    3 of them from the mandatory block) with the 4 freed slots going to
-    evidence-reset rows — the 45 window-hard r12-green rows, the
-    r14-born gated-serve headliner's first driver row (R15_ROTATE_IN),
-    and the 4 resets = 50, zero slips. Pin them so a later edit can't
-    silently demote one before the driver sees it. (The full staleness
-    arithmetic is machine-checked against the CORRECTNESS_r*.json
-    history in tests/test_rotation_ledger.py.)"""
+def test_r16_rotation_promises_kept():
+    """The r16 rotation: the R16 draft re-verified against
+    CORRECTNESS_r15 (50/50 green, key set == R15_EXPORT exactly, zero
+    zero-row rows) and executed retirement-first (registry ledger: 3
+    more twins demoted, all 3 from the mandatory block) — the 44
+    window-hard r13-green rows, the persisted IVFPQ serve's first
+    driver row (R16_ROTATE_IN), the inline IVFPQ twin's trained-coarse
+    evidence reset, and 4 r14-green pull-forwards = 50, zero slips.
+    Pin them so a later edit can't silently demote one before the
+    driver sees it. (The full staleness arithmetic is machine-checked
+    against the CORRECTNESS_r*.json history in
+    tests/test_rotation_ledger.py.)"""
     from dbt_on_snowflake_spark.registry import (
-        R12_EXPORT,
         R13_EXPORT,
         R14_EXPORT,
         R15_EXPORT,
-        R15_ROTATE_IN,
+        R16_EXPORT,
         R16_ROTATE_IN,
+        R17_ROTATE_IN,
         RETIRED_FROM_ROTATION,
         driver_queries,
     )
 
     exported = set(driver_queries())
-    assert R15_EXPORT == exported, sorted(R15_EXPORT ^ exported)
-    # the 45 window-hard rows: last green r12 = exported at r12, not
-    # re-exported (hence not re-greened) at r13 or r14, not retired
+    assert R16_EXPORT == exported, sorted(R16_EXPORT ^ exported)
+    # the 44 window-hard rows: last green r13 = exported at r13, not
+    # re-exported (hence not re-greened) at r14 or r15, not retired
     retired = set(RETIRED_FROM_ROTATION)
-    r12_green = (R12_EXPORT - retired) - R13_EXPORT - R14_EXPORT
-    assert len(r12_green) == 45, len(r12_green)
-    resets = {
-        "q9_product_profit",
-        "q22_dormant_customers",
-        "ann_pq_adc_topk",
-        "ann_pq_recall_eval",
+    r13_green = (R13_EXPORT - retired) - R14_EXPORT - R15_EXPORT
+    assert len(r13_green) == 44, len(r13_green)
+    resets = {"ann_ivfpq_topk"}
+    pulls = {
+        "a1_loyalty_metrics",
+        "ann_recall_eval",
+        "ann_topk_bruteforce",
+        "asof_last_order_within_30d",
     }
-    assert r12_green <= exported, sorted(r12_green - exported)
-    assert R15_ROTATE_IN <= exported, sorted(R15_ROTATE_IN - exported)
-    assert resets <= exported
-    # the export is exactly the mandatory set + the 4 documented resets
-    assert exported == r12_green | R15_ROTATE_IN | resets
+    assert r13_green <= exported, sorted(r13_green - exported)
+    assert R16_ROTATE_IN <= exported, sorted(R16_ROTATE_IN - exported)
+    assert resets <= exported and pulls <= exported
+    # the export is exactly the mandatory set + the documented extras
+    assert exported == r13_green | R16_ROTATE_IN | resets | pulls
     # retirement is disjoint from the export
     assert not retired & exported
-    # r15-born queries register in the ledger for the r16 rotation
+    # r16-born queries register in the ledger for the r17 rotation
     from dbt_on_snowflake_spark.registry import all_queries
 
-    assert R16_ROTATE_IN <= set(all_queries()), sorted(
-        R16_ROTATE_IN - set(all_queries())
+    assert R17_ROTATE_IN <= set(all_queries()), sorted(
+        R17_ROTATE_IN - set(all_queries())
     )
 
 

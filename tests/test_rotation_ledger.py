@@ -51,14 +51,17 @@ from dbt_on_snowflake_spark.registry import (
     R14_ROTATE_IN,
     R15_EXPORT,
     R15_ROTATE_IN,
+    R16_EXPORT,
     R16_ROTATE_IN,
+    R17_ROTATE_IN,
     RETIRED_FROM_ROTATION,
     all_queries,
 )
 
-# Rows retired at r15 (registry RETIRED_FROM_ROTATION r15 block). The
-# retroactive audits of r13/r14 pass the then-active retired set so a
-# later retirement cannot mask an obligation that existed at the time.
+# Rows retired at r15 / r16 (registry RETIRED_FROM_ROTATION blocks).
+# The retroactive audits of earlier rounds pass the then-active retired
+# set so a later retirement cannot mask an obligation that existed at
+# the time.
 R15_RETIREMENTS = {
     "asof_next_order_after_event",
     "asof_last_order_before_event",
@@ -67,7 +70,13 @@ R15_RETIREMENTS = {
     "ann_ivf_multiprobe_indexed",
     "t_events_sliding_streaming",
 }
-R13_ERA_RETIRED = set(RETIRED_FROM_ROTATION) - R15_RETIREMENTS
+R16_RETIREMENTS = {
+    "ann_ivf_topk",
+    "text_bm25_topk",
+    "text_bm25_topk_deleted",
+}
+R15_ERA_RETIRED = set(RETIRED_FROM_ROTATION) - R16_RETIREMENTS
+R13_ERA_RETIRED = R15_ERA_RETIRED - R15_RETIREMENTS
 
 REPO = Path(__file__).resolve().parent.parent
 
@@ -187,15 +196,55 @@ def check_policy(
     return errs
 
 
-def test_r15_export_satisfies_rotation_policy():
+def test_r16_export_satisfies_rotation_policy():
     registered = set(all_queries())
+    errs = check_policy(
+        current_round=16,
+        export=R16_EXPORT,
+        rotate_in=R16_ROTATE_IN,
+        next_ledger=R17_ROTATE_IN,
+        registered=registered,
+        retired=set(RETIRED_FROM_ROTATION),
+    )
+    assert not errs, "\n".join(errs)
+
+
+def test_r16_export_needs_zero_slips():
+    """The r16 export, computed against the REAL CORRECTNESS_r15 file,
+    satisfies the policy with NO slip class invoked — every
+    stale-or-rotate-in obligation is exported outright (the r16
+    retirement paid for the evidence reset and the 4 pull-forwards)."""
+    registered = set(all_queries())
+    last = correctness_history(15)
+    retired = set(RETIRED_FROM_ROTATION)
+    mandatory = {
+        q
+        for q, n in last.items()
+        if q in registered and q not in retired and n <= 16 - 3
+    } | R16_ROTATE_IN
+    assert mandatory <= R16_EXPORT, sorted(mandatory - R16_EXPORT)
+
+
+def test_r16_export_carries_evidence_reset():
+    """The inline IVFPQ twin — whose coarse quantizer r16 Lloyd-trains,
+    changing every row of both IVFPQ serves — is re-exported even
+    though its r14 row was green: prior hashes evidence the retired
+    label-cell semantics (registry ledger, r16 entry). The indexed twin
+    is the r16 rotate-in, so both trained-cell serves get fresh driver
+    rows this round."""
+    assert "ann_ivfpq_topk" in R16_EXPORT
+    assert "ann_ivfpq_indexed" in R16_EXPORT
+
+
+def test_r15_export_satisfied_rotation_policy_retroactively():
+    registered = set(all_queries()) - R17_ROTATE_IN
     errs = check_policy(
         current_round=15,
         export=R15_EXPORT,
         rotate_in=R15_ROTATE_IN,
         next_ledger=R16_ROTATE_IN,
         registered=registered,
-        retired=set(RETIRED_FROM_ROTATION),
+        retired=R15_ERA_RETIRED,
     )
     assert not errs, "\n".join(errs)
 
@@ -207,7 +256,7 @@ def test_r15_export_needs_zero_slips():
     retirement, not a slip, paid for the evidence-reset rows)."""
     registered = set(all_queries())
     last = correctness_history(14)
-    retired = set(RETIRED_FROM_ROTATION)
+    retired = R15_ERA_RETIRED
     mandatory = {
         q
         for q, n in last.items()
@@ -270,10 +319,10 @@ def test_retirement_invariants():
     qs = all_queries()
     registered = set(qs)
     retired = set(RETIRED_FROM_ROTATION)
-    last = correctness_history(14)
+    last = correctness_history(15)
     assert retired <= registered, sorted(retired - registered)
     assert retired <= set(last), sorted(retired - set(last))
-    assert not retired & R15_EXPORT
+    assert not retired & R16_EXPORT
     for row, guard in RETIRED_FROM_ROTATION.items():
         assert guard in registered and guard not in retired, (row, guard)
         assert qs[guard].fn.__module__ == qs[row].fn.__module__, (row, guard)
@@ -311,6 +360,29 @@ def test_r16_rotation_fits_budget():
     # leaves >= 3 spare slots (the headroom the r15 retirement bought),
     # and the full mandatory set — births included, which the spare
     # slots exist to absorb — still fits the budget.
+    assert len(stale) <= DRIVER_BUDGET - 3, sorted(stale)
+    assert len(mandatory) <= DRIVER_BUDGET, sorted(mandatory)
+
+
+def test_r17_rotation_fits_budget():
+    """The R17 draft arithmetic (registry ledger): assuming r16 goes
+    green on R16_EXPORT, the r17 mandatory set — rows last driver-green
+    in r14 or earlier that stay in the pool, plus the r16-born
+    rotate-ins — fits the 50-row budget with >= 3 spare slots (the r16
+    evidence reset + 4 pull-forwards bought the r17 window down from 46
+    rows to 41). Every r16 birth must take a spare slot (add it to
+    R17_ROTATE_IN when born) or pair with a retirement."""
+    registered = set(all_queries())
+    retired = set(RETIRED_FROM_ROTATION)
+    last = correctness_history(15)
+    for q in R16_EXPORT:
+        last[q] = 16  # simulated green r16
+    stale = {
+        q
+        for q, n in last.items()
+        if q in registered and q not in retired and n <= 17 - 3
+    }
+    mandatory = stale | R17_ROTATE_IN
     assert len(stale) <= DRIVER_BUDGET - 3, sorted(stale)
     assert len(mandatory) <= DRIVER_BUDGET, sorted(mandatory)
 
