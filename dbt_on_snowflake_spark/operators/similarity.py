@@ -1599,6 +1599,22 @@ PQ_CODEBOOK_ALGO = (
     f"lloyd1:{PQ_M}:{PQ_LLOYD_EXTRA}:{PQ_LLOYD_ITERS}:{PQ_TRAIN_CAP}"
 )
 
+# IVF COARSE quantizer (r16, VERDICT r15 Next #2): full-dim Lloyd cells
+# via the SAME shared trainer (n_sub=1). Cells = |labels| + EXTRA —
+# more cells than ingest labels, so nprobe=2 probes a SMALLER corpus
+# fraction (2/16 vs 2/10 on the testdata) while trained boundaries
+# track the actual cluster structure (the scrambled-label gate in
+# tests/test_ann_quality.py is the proof the ingest-label quantizer
+# could never pass). Iterations match the PQ trainer's bounded-SQL
+# unroll.
+COARSE_EXTRA = 6
+COARSE_ITERS = 4
+# Folded into the IVFPQ family's index_suffix (constants mechanically,
+# like PQ_CODEBOOK_ALGO): any algo/constant change rotates the
+# persisted cells/codebook/codes generation instead of serving
+# pre-change artifacts under updated oracles.
+IVFPQ_ALGO = f"ivfpq1:{COARSE_EXTRA}:{COARSE_ITERS}:{PQ_CODEBOOK_ALGO}"
+
 
 def _dot_col(a, b):
     """Sequential-fold dot product of two array<double> Columns — the
@@ -1668,12 +1684,50 @@ def _seq_fold_dot(A, B):
     return acc
 
 
-def _pq_train(e: DataFrame) -> list[tuple[int, list[float]]]:
-    """Train the PQ codebook: K = |labels| + PQ_LLOYD_EXTRA full-dim
-    entries whose m-th subvector slice is the m-th subspace's
-    Lloyd-refined centroid. ``label`` is the opaque entry id 0..K-1
-    (entries 0..L-1 seed from the per-label sample means in label
-    order; L..K-1 from the strided sample — Forgy init).
+def _round4_mean_checked(x):
+    """``_round4_signed`` for TRAINED centroid means, with the r15
+    advice #1 guard: numpy accumulates the per-dim sums pairwise while
+    DuckDB's SUM accumulates in scan order, so a mean landing exactly
+    on a 4th-decimal rounding boundary could round DIFFERENTLY between
+    the engines — and the divergence then amplifies through the Lloyd
+    iterations into wholesale parity failure. Chasing bit-identical
+    accumulation order is not possible (DuckDB's group-aggregate scan
+    order is not defined), so instead assert every mean sits farther
+    from its rounding boundary than any accumulation-order discrepancy
+    can reach: the worst-case pairwise-vs-sequential gap on the
+    1e4-scaled value is ~n_terms * eps * |scaled| ~= 3e-9 at
+    PQ_TRAIN_CAP=4096 terms and |mean| <= O(1); the 1e-7 gate leaves
+    ~30x margin while firing spuriously with probability ~2e-7 per
+    value. A fire means THIS corpus genuinely cannot be trained
+    engine-deterministically at 4 decimals — loud beats silent."""
+    import numpy as np
+
+    scaled = np.abs(np.asarray(x, dtype=np.float64)) * 10000.0 + 0.5
+    dist = np.abs(scaled - np.rint(scaled))
+    if np.any(dist < 1e-7):
+        raise AssertionError(
+            "Lloyd centroid mean within 1e-7 of a 4th-decimal rounding "
+            "boundary: cross-engine accumulation order could flip the "
+            "rounded codebook (r15 advice #1) — retune the training "
+            "constants for this corpus"
+        )
+    return _round4_signed(x)
+
+
+def _lloyd_train(
+    e: DataFrame,
+    *,
+    n_sub: int = PQ_M,
+    extra: int = PQ_LLOYD_EXTRA,
+    iters: int = PQ_LLOYD_ITERS,
+) -> list[tuple[int, list[float]]]:
+    """Seeded-deterministic Lloyd k-means over ``n_sub`` equal
+    contiguous subspaces — ONE trainer shared by the PQ codebook
+    (n_sub=PQ_M: per-subspace entries, r15) and the IVF COARSE
+    quantizer (n_sub=1: full-dim cells, r16 — VERDICT r15 Next #2).
+    K = |labels| + ``extra`` entries; ``label`` is the opaque entry id
+    0..K-1 (entries 0..L-1 seed from the per-label sample means in
+    label order; L..K-1 from the strided sample — Forgy init).
 
     Runs driver-side on BOUNDED control-plane data — ONE Spark job: the
     training sample is <= PQ_TRAIN_CAP rows x D doubles (~2 MB at cap),
@@ -1682,11 +1736,11 @@ def _pq_train(e: DataFrame) -> list[tuple[int, list[float]]]:
     the SAME sample (training is sample-scoped end to end; at every
     test SF the cap covers the whole corpus, so the values equal
     full-corpus means bit-for-bit). The arithmetic mirrors the oracle's
-    CTEs (_pq_lloyd_sql) step for step: sequential-fold dot products
+    CTEs (_lloyd_sql) step for step: sequential-fold dot products
     (an in-order accumulation loop), distances rounded half-up to 4
     decimals, argmin with lowest-entry tie-break, per-dim means rounded
-    to 4 (half-away-from-zero, signed), empty clusters carrying the
-    previous entry forward."""
+    to 4 (half-away-from-zero, signed, boundary-guarded — r15 advice
+    #1), empty clusters carrying the previous entry forward."""
     import numpy as np
 
     samp_rows = sorted(
@@ -1703,22 +1757,22 @@ def _pq_train(e: DataFrame) -> list[tuple[int, list[float]]]:
     labs = np.array([int(r["label"]) for r in samp_rows])
     n = S.shape[0]
     cb = [
-        _round4_signed(S[labs == lab].mean(axis=0))
+        _round4_mean_checked(S[labs == lab].mean(axis=0))
         for lab in sorted(set(labs.tolist()))
     ]
-    for j in range(PQ_LLOYD_EXTRA):
+    for j in range(extra):
         # strided Forgy seeds: sample rank (j * n) // EXTRA, 0-based —
         # the oracle's s.rn = (j * n) // EXTRA + 1 (1-based)
-        cb.append(S[(j * n) // PQ_LLOYD_EXTRA])
+        cb.append(S[(j * n) // extra])
     C = np.stack(cb)  # (K, D)
     K, D = C.shape
-    sub = D // PQ_M
-    for m in range(PQ_M):
+    sub = D // n_sub
+    for m in range(n_sub):
         lo, hi = m * sub, (m + 1) * sub
         B = C[:, lo:hi].copy()  # (K, sub)
         A = S[:, lo:hi]  # (n, sub)
         aa = np.cumsum(A * A, axis=1)[:, -1]
-        for _ in range(PQ_LLOYD_ITERS):
+        for _ in range(iters):
             ab = _seq_fold_dot(A, B)
             bb = np.cumsum(B * B, axis=1)[:, -1]
             d = aa[:, None] - 2 * ab + bb[None, :]
@@ -1727,10 +1781,30 @@ def _pq_train(e: DataFrame) -> list[tuple[int, list[float]]]:
             for k in range(K):
                 mask = assign == k
                 if mask.any():
-                    B[k] = _round4_signed(A[mask].sum(axis=0) / mask.sum())
+                    B[k] = _round4_mean_checked(
+                        A[mask].sum(axis=0) / mask.sum()
+                    )
                 # else: carry the previous entry (oracle's COALESCE)
         C[:, lo:hi] = B
     return [(k, [float(x) for x in C[k]]) for k in range(K)]
+
+
+def _pq_train(e: DataFrame) -> list[tuple[int, list[float]]]:
+    """The PQ codebook: K = |labels| + PQ_LLOYD_EXTRA full-dim entries
+    whose m-th subvector slice is the m-th subspace's Lloyd-refined
+    centroid (the shared trainer at its PQ defaults)."""
+    return _lloyd_train(e)
+
+
+def _coarse_train(e: DataFrame) -> list[tuple[int, list[float]]]:
+    """The IVF COARSE quantizer: K = |labels| + COARSE_EXTRA full-dim
+    Lloyd-trained CELL centroids (n_sub=1 — one 'subspace' spanning the
+    whole vector). Until r15 the coarse cells were frozen ingest-label
+    means, making IVFPQ a label-partition prune; training the cells is
+    what makes it a true IVF on data whose labels don't track the
+    actual cluster structure (VERDICT r15 Next #2; FAISS trains its
+    IVF coarse quantizer the same way, on a bounded sample)."""
+    return _lloyd_train(e, n_sub=1, extra=COARSE_EXTRA, iters=COARSE_ITERS)
 
 
 _PQ_CB_SCHEMA = "label long, v array<double>"
@@ -1962,6 +2036,62 @@ def _pq_encode(
     raise ValueError(f"unknown PQ kernel {kernel!r}: use 'arrow' or 'hof'")
 
 
+def _assign_cells(corpus: DataFrame, entries) -> DataFrame:
+    """(vec_id, label, v): each corpus vector re-labeled with its
+    nearest TRAINED coarse cell — the IVF list assignment (replaces the
+    ingest label as the cell key for the IVFPQ pair, r16). ``entries``
+    is the driver-side ``_coarse_train`` output (bounded: K cells x D
+    doubles), closed over into an Arrow kernel; the pass is one narrow
+    map over the corpus, no shuffle — the same linear-scan posture as
+    the PQ encode it feeds.
+
+    Arithmetic mirrors the oracle's ``casg`` CTE bit for bit (the
+    ``_pq_encode_arrow`` discipline): squared L2 via the aa - 2ab + bb
+    identity with sequential-fold dots, half-up rounding on the
+    1e4-scaled value, argmin with lowest-cell tie-break (cells are
+    sorted, so numpy's first-min IS the lowest cell)."""
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    cells = sorted((int(k), np.asarray(v, dtype=np.float64)) for k, v in entries)
+    if not cells:
+        # degenerate empty quantizer (empty training input => empty
+        # corpus): no cell exists to assign — the oracle's casg CTE is
+        # empty too
+        return corpus.sparkSession.createDataFrame(
+            [], "vec_id long, label long, v array<double>"
+        )
+    labels = np.array([k for k, _ in cells], dtype=np.int64)
+    C = np.stack([v for _, v in cells])  # (K, D)
+    bb = np.cumsum(C * C, axis=1)[:, -1]
+
+    keep_fields = [f for f in corpus.schema.fields if f.name != "label"]
+    out_schema = StructType(
+        [StructField("label", LongType())] + keep_fields
+    )
+    names = [f.name for f in keep_fields]
+
+    def assign(batches):
+        for pdf in batches:
+            out = pdf[names].copy()
+            if len(pdf) == 0:
+                out.insert(0, "label", np.array([], dtype=np.int64))
+                yield out
+                continue
+            V = np.stack(pdf["v"].to_numpy())
+            aa = np.cumsum(V * V, axis=1)[:, -1]
+            ab = _seq_fold_dot(V, C)  # (n, K), sequential fold
+            d = aa[:, None] - 2 * ab + bb[None, :]
+            d = np.floor(d * 10000.0 + 0.5) / 10000.0  # nonneg round
+            idx = np.argmin(d, axis=1)  # first min = lowest cell
+            out.insert(0, "label", labels[idx])
+            yield out
+
+    return corpus.mapInPandas(assign, out_schema).select(
+        "vec_id", "label", "v"
+    )
+
+
 # Shared oracle fragments. list_slice bounds are 1-based inclusive;
 # len(v)//PQ_M is the subspace width.
 _PQ_SUB_SQL = "list_slice({v}, ({m} - 1) * (len({v}) // 4) + 1, {m} * (len({v}) // 4))"
@@ -1970,19 +2100,40 @@ _PQ_L2SQ_SQL = (
     " + list_dot_product({b}, {b}))"
 )
 
-def _pq_lloyd_sql(cent_where: str) -> str:
-    """The Lloyd-training CTE chain ending in ``pqcb(label, v)`` — the
-    oracle mirror of ``_pq_codebook_vectors``, unrolled to
-    PQ_LLOYD_ITERS fixed iterations (recursive CTEs can't carry the
-    list-typed state portably; a generated chain keeps every step a
-    plain aggregate DuckDB and the reader can inspect). Training is
-    sample-scoped end to end — seeds (per-label means + strided Forgy)
-    and assignments all come from the bounded ``pqsamp`` prefix;
-    ``cent_where`` restricts the sample for the frozen-codebook
-    variant. Consumes only ``ms`` from the surrounding CTE."""
+_SUB_SQL_N = (
+    "list_slice({v}, ({m} - 1) * (len({v}) // {n}) + 1,"
+    " {m} * (len({v}) // {n}))"
+)
+
+
+def _lloyd_sql(
+    cent_where: str,
+    *,
+    prefix: str = "pq",
+    n_sub: int = PQ_M,
+    extra: int = PQ_LLOYD_EXTRA,
+    iters: int = PQ_LLOYD_ITERS,
+) -> str:
+    """The Lloyd-training CTE chain ending in ``{prefix}cb(label, v)``
+    — the oracle mirror of ``_lloyd_train``, unrolled to ``iters``
+    fixed iterations (recursive CTEs can't carry the list-typed state
+    portably; a generated chain keeps every step a plain aggregate
+    DuckDB and the reader can inspect). ONE generator for both trained
+    quantizers (r16): the PQ codebook (prefix='pq', n_sub=PQ_M) and
+    the full-dim IVF coarse cells (prefix='cc', n_sub=1) — distinct
+    prefixes let both chains coexist in a single oracle query.
+    Training is sample-scoped end to end — seeds (per-label means +
+    strided Forgy) and assignments all come from the bounded
+    ``{prefix}samp`` prefix; ``cent_where`` restricts the sample for
+    the frozen-codebook variant. Self-contained: emits its own
+    ``{prefix}ms`` subspace relation."""
+    p = prefix
+    sub = _SUB_SQL_N
     asg_l2 = _PQ_L2SQ_SQL.format(a="t.sv", b="c.sv")
+    ms_list = ", ".join(str(m) for m in range(1, n_sub + 1))
     parts = [
-        f"""pqsamp AS (
+        f"""{p}ms AS (SELECT unnest([{ms_list}]) AS m),
+    {p}samp AS (
         SELECT vec_id, label, v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
         FROM (
             SELECT vec_id, label, embedding::DOUBLE[] AS v
@@ -1990,18 +2141,19 @@ def _pq_lloyd_sql(cent_where: str) -> str:
             ORDER BY vec_id LIMIT {PQ_TRAIN_CAP}
         )
     ),
-    pqn AS (SELECT COUNT(*) AS n FROM pqsamp),
-    pqsub AS (
-        SELECT s.vec_id, ms.m, {_PQ_SUB_SQL.format(v="s.v", m="ms.m")} AS sv
-        FROM pqsamp s CROSS JOIN ms
+    {p}n AS (SELECT COUNT(*) AS n FROM {p}samp),
+    {p}sub AS (
+        SELECT s.vec_id, {p}ms.m,
+               {sub.format(v="s.v", m=f"{p}ms.m", n=n_sub)} AS sv
+        FROM {p}samp s CROSS JOIN {p}ms
     ),
-    pqlab AS (
+    {p}lab AS (
         SELECT label,
                CAST(ROW_NUMBER() OVER (ORDER BY label) - 1 AS BIGINT) AS entry
-        FROM (SELECT DISTINCT label FROM pqsamp)
+        FROM (SELECT DISTINCT label FROM {p}samp)
     ),
-    pqnl AS (SELECT COUNT(*) AS l FROM pqlab),
-    pqcvec AS (
+    {p}nl AS (SELECT COUNT(*) AS l FROM {p}lab),
+    {p}cvec AS (
         -- per-label SAMPLE means (training is sample-scoped end to
         -- end; the cap covers the whole corpus at every test SF, so
         -- these equal the pre-r15 full-corpus means bit-for-bit)
@@ -2010,67 +2162,87 @@ def _pq_lloyd_sql(cent_where: str) -> str:
             FROM (
                 SELECT label, unnest(v) AS val,
                        generate_subscripts(v, 1) AS dim
-                FROM pqsamp
+                FROM {p}samp
             )
             GROUP BY label, dim
         ) GROUP BY label
     ),
-    pqcb0 AS (
+    {p}cb0 AS (
         -- entries 0..L-1: the per-label means (the pre-r15 codebook,
         -- now Lloyd's seed)
-        SELECT pl.entry, ms.m,
-               {_PQ_SUB_SQL.format(v="c.v", m="ms.m")} AS sv
-        FROM pqcvec c JOIN pqlab pl ON pl.label = c.label CROSS JOIN ms
+        SELECT pl.entry, {p}ms.m,
+               {sub.format(v="c.v", m=f"{p}ms.m", n=n_sub)} AS sv
+        FROM {p}cvec c JOIN {p}lab pl ON pl.label = c.label
+        CROSS JOIN {p}ms
         UNION ALL
         -- entries L..K-1: strided Forgy seeds off the sample
-        SELECT nl.l + js.j AS entry, ms.m,
-               {_PQ_SUB_SQL.format(v="s.v", m="ms.m")} AS sv
-        FROM (SELECT unnest(generate_series(0, {PQ_LLOYD_EXTRA - 1})) AS j) js
-        CROSS JOIN pqnl nl
-        CROSS JOIN pqn n
-        JOIN pqsamp s ON s.rn = (js.j * n.n) // {PQ_LLOYD_EXTRA} + 1
-        CROSS JOIN ms
+        SELECT nl.l + js.j AS entry, {p}ms.m,
+               {sub.format(v="s.v", m=f"{p}ms.m", n=n_sub)} AS sv
+        FROM (SELECT unnest(generate_series(0, {extra - 1})) AS j) js
+        CROSS JOIN {p}nl nl
+        CROSS JOIN {p}n n
+        JOIN {p}samp s ON s.rn = (js.j * n.n) // {extra} + 1
+        CROSS JOIN {p}ms
     )"""
     ]
-    for i in range(1, PQ_LLOYD_ITERS + 1):
-        prev = f"pqcb{i - 1}"
+    for i in range(1, iters + 1):
+        prev = f"{p}cb{i - 1}"
         parts.append(
-            f"""pqasg{i} AS (
+            f"""{p}asg{i} AS (
         SELECT vec_id, m, sv, entry FROM (
             SELECT t.vec_id, t.m, t.sv, c.entry,
                    ROW_NUMBER() OVER (
                        PARTITION BY t.vec_id, t.m
                        ORDER BY ROUND({asg_l2}, 4) ASC, c.entry ASC
                    ) AS arn
-            FROM pqsub t JOIN {prev} c ON c.m = t.m
+            FROM {p}sub t JOIN {prev} c ON c.m = t.m
         ) WHERE arn = 1
     ),
-    pqnew{i} AS (
+    {p}new{i} AS (
         SELECT entry, m, list(cv ORDER BY dim) AS sv FROM (
             SELECT entry, m, dim,
                    ROUND(SUM(val) / COUNT(*), 4) + 0.0 AS cv
             FROM (
                 SELECT entry, m, unnest(sv) AS val,
                        generate_subscripts(sv, 1) AS dim
-                FROM pqasg{i}
+                FROM {p}asg{i}
             )
             GROUP BY entry, m, dim
         ) GROUP BY entry, m
     ),
-    pqcb{i} AS (
+    {p}cb{i} AS (
         -- empty clusters carry the previous entry forward
         SELECT c.entry, c.m, COALESCE(nw.sv, c.sv) AS sv
         FROM {prev} c
-        LEFT JOIN pqnew{i} nw ON nw.entry = c.entry AND nw.m = c.m
+        LEFT JOIN {p}new{i} nw ON nw.entry = c.entry AND nw.m = c.m
     )"""
         )
     parts.append(
-        f"""pqcb AS (
+        f"""{p}cb AS (
         SELECT entry AS label, flatten(list(sv ORDER BY m)) AS v
-        FROM pqcb{PQ_LLOYD_ITERS} GROUP BY entry
+        FROM {p}cb{iters} GROUP BY entry
     )"""
     )
     return ",\n    ".join(parts)
+
+
+def _pq_lloyd_sql(cent_where: str) -> str:
+    """The PQ-codebook chain (``pqcb``) at the shared generator's PQ
+    defaults — kept as the name every PQ oracle composes."""
+    return _lloyd_sql(cent_where)
+
+
+def _coarse_lloyd_sql(cent_where: str = "") -> str:
+    """The IVF coarse-cell chain (``cccb(label, v)``): full-dim Lloyd,
+    K = |labels| + COARSE_EXTRA — the oracle mirror of
+    ``_coarse_train``."""
+    return _lloyd_sql(
+        cent_where,
+        prefix="cc",
+        n_sub=1,
+        extra=COARSE_EXTRA,
+        iters=COARSE_ITERS,
+    )
 
 
 _PQ_CODES_CTE_TMPL = """
@@ -2856,24 +3028,42 @@ def _pq_family_suffix(spark: SparkSession, sf_dir: str, tag: str) -> str:
 
 
 def pq_ensure_families(spark: SparkSession, sf_dir: str):
-    """``(ensure_fn, codes_table, family_stem)`` for each persisted PQ
-    family the reindex sweep secures — the ONE place their naming is
-    spelled, shared by the ensures themselves and the sweep's
+    """``(ensure_fn, codes_table, family_stem, retrain)`` for each
+    persisted PQ family the reindex sweep secures — the ONE place their
+    naming is spelled, shared by the ensures themselves and the sweep's
     filter-relevance prediction so the two cannot drift (r15 review
     pass 5, finding 4). ``family_stem`` is the fingerprint-independent
     ``<prefix><path8>`` half: a sweep filter that names ANY
     fingerprint generation of the family (e.g. a superseded one left
     by an algo/corpus rotation) makes the ensure relevant, because the
-    ensure's build-time GC is what reclaims that dead generation."""
+    ensure's build-time GC is what reclaims that dead generation.
+    ``retrain`` (r16): the family's OWN drift-triggered rebuild thunk,
+    or None for the generic ``retrain_pq_family`` — the IVFPQ family's
+    codes are partitioned by TRAINED cell, so the generic label-
+    partitioned rebuild would silently corrupt its layout."""
     out = []
-    from dbt_on_snowflake_spark.testdata import family_half
+    from dbt_on_snowflake_spark.testdata import family_half, index_suffix
 
     for ensure, tag, prefix in (
         (ensure_pq_index, "pq", "pq_codes_"),
         (ensure_appended_pq_index, "pqapps", "pq_codes_aps_"),
     ):
         sfx = _pq_family_suffix(spark, sf_dir, tag)
-        out.append((ensure, f"{prefix}{sfx}", f"{prefix}{family_half(sfx)}"))
+        out.append(
+            (ensure, f"{prefix}{sfx}", f"{prefix}{family_half(sfx)}", None)
+        )
+    ivp_sfx = index_suffix(
+        spark, sf_dir, "ivfpq", "embeddings", algo=IVFPQ_ALGO
+    )
+    ivp_codes = f"pq_codes_ivp_{ivp_sfx}"
+    out.append(
+        (
+            ensure_ivfpq_index,
+            ivp_codes,
+            f"pq_codes_ivp_{family_half(ivp_sfx)}",
+            lambda: retrain_ivfpq_family(spark, sf_dir, codes_table=ivp_codes),
+        )
+    )
     return out
 
 
@@ -3814,9 +4004,25 @@ def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ann_ivfpq_topk",
-    driver=False,  # r7-born; rotates into the r8 driver export
+    driver=False,  # r16 EVIDENCE RESET: exported via R16_EXPORT (the
+    # coarse quantizer is Lloyd-trained this round — prior driver
+    # greens evidence the retired label-cell semantics)
     oracle=f"""
     WITH {_PQ_CODES_CTE},
+    {_coarse_lloyd_sql()},
+    casg AS (
+        -- IVF list assignment: each corpus vector's nearest TRAINED
+        -- cell (rounded L2, lowest-cell tie-break — _assign_cells)
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.label AS cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY ROUND({_PQ_L2SQ_SQL.format(a="e.v", b="c.v")},
+                                      4) ASC, c.label ASC
+                   ) AS arn
+            FROM e CROSS JOIN cccb c
+        ) WHERE arn = 1
+    ),
     q AS (SELECT * FROM e WHERE {_QUERY_PRED}),
     qc AS (
         SELECT q.vec_id AS query_id, c.label,
@@ -3825,7 +4031,7 @@ def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ORDER BY ROUND({COSINE_SQL.format(a="q.v", b="c.v")}, 4)
                             DESC, c.label ASC
                ) AS crank
-        FROM q CROSS JOIN cvec c
+        FROM q CROSS JOIN cccb c
     ),
     probes AS (SELECT query_id, label FROM qc WHERE crank <= {N_PROBE}),
     lut AS (
@@ -3838,8 +4044,9 @@ def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     adc AS (
         SELECT l.query_id, cd.vec_id AS neighbor_id,
                CAST(SUM(l.p) AS BIGINT) AS approx_dot_scaled
-        FROM (SELECT vec_id, vlabel, m, code FROM pq_codes WHERE rn = 1) cd
-        JOIN probes pr ON pr.label = cd.vlabel
+        FROM (SELECT vec_id, m, code FROM pq_codes WHERE rn = 1) cd
+        JOIN casg a ON a.vec_id = cd.vec_id
+        JOIN probes pr ON pr.label = a.cell
         JOIN lut l ON l.query_id = pr.query_id
                   AND l.m = cd.m AND l.label = cd.code
         WHERE cd.vec_id <> l.query_id
@@ -3864,24 +4071,34 @@ def ann_ivfpq_topk(
     coarse quantizer restricts each query to its nprobe=2 nearest cells,
     and ADC scores ONLY those cells' codes. Per query the scan cost
     drops from O(N) code rows to O(nprobe * N / cells); with the codes
-    table label-partitioned on disk (build_ann_index layout) the probe
+    table cell-partitioned on disk (build_ivfpq_index layout) the probe
     becomes a literal partition prune. Probes + LUTs ride one bounded
     broadcast (arrow default: a bounded kernel closure with the probe
     sets as a membership mask + per-batch partial top-k); the rank
-    window is again the only corpus-sized shuffle."""
+    window is again the only corpus-sized shuffle.
+
+    r16 (VERDICT r15 Next #2): the coarse quantizer is now the
+    Lloyd-TRAINED full-dim cell set (``_coarse_train`` — K = |labels| +
+    COARSE_EXTRA), not the frozen ingest-label means: corpus vectors
+    are re-assigned to their nearest trained cell (``_assign_cells``)
+    and queries probe trained cells, which is what makes this a true
+    IVF on data whose labels don't track the cluster structure (the
+    scrambled-label gate in tests/test_ann_quality.py). The PQ codebook
+    side is unchanged (r15's in-subspace Lloyd)."""
     import os as _os
 
     kernel = kernel or _os.environ.get("SPARK_GRAFT_PQ_KERNEL", "arrow")
     e = _vectors(spark, sf_dir)
-    # the coarse quantizer (probe ranking) stays the per-label IVF
-    # centroids — cells ARE the label partitions; the PQ codebook that
-    # feeds the encode + LUT sides is the Lloyd-trained one (r15, a
-    # 1-row local relation). cvec has a single consumer now (the probe
-    # crossJoin), so nothing to checkpoint (r15 review finding 6).
-    cvec = _centroid_vectors(e)
+    # BOTH quantizers train driver-side on the bounded sample: the
+    # coarse cells (full-dim Lloyd) and the PQ codebook (in-subspace
+    # Lloyd) — each a local relation downstream.
+    coarse = _coarse_train(e)
+    cvec = spark.createDataFrame(coarse, _PQ_CB_SCHEMA)
     entries = _pq_train(e)
     cb_row = _entries_cb_row(spark, entries)
-    codes = _pq_encode(e.select("vec_id", "label", "v"), cb_row)
+    codes = _pq_encode(
+        _assign_cells(e.select("vec_id", "label", "v"), coarse), cb_row
+    )
     q = e.filter(F.expr(_QUERY_PRED))
     probes = _ivf_probes(q, cvec)
 
@@ -3956,78 +4173,106 @@ def _collect_codebook_entries(spark: SparkSession, codebook_table: str):
     )
 
 
+def ensure_ivfpq_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str, str]:
+    """Build the persisted IVFPQ family for ``sf_dir`` if absent and
+    return ``(cells_table, codebook_table, codes_table)`` — the three
+    artifacts a loaded FAISS IVFPQ index holds: the trained coarse
+    CELLS (K full-dim centroids, bounded), the trained PQ codebook
+    (bounded), and the encoded corpus codes PARTITIONED BY trained
+    cell. Its own family — NOT ensure_pq_index's flat codes: the flat
+    PQ index (IndexPQ) and the inverted-list index (IndexIVFPQ) are
+    different on-disk layouts serving different read paths, and
+    reusing the flat family would force every ivfpq ensure to also
+    build an index it never reads. Suffix keys on the corpus
+    fingerprint x IVFPQ_ALGO so algo/constant changes rotate (and GC)
+    the pre-change generation (r15 review finding 1)."""
+    import hashlib
+
+    from dbt_on_snowflake_spark.testdata import (
+        ensure_index_tables,
+        gc_superseded_index_tables,
+        index_suffix,
+    )
+
+    sfx = index_suffix(spark, sf_dir, "ivfpq", "embeddings", algo=IVFPQ_ALGO)
+    cells_table = f"ivf_cells_{sfx}"
+    codebook_table = f"pq_codebook_ivp_{sfx}"
+    codes_table = f"pq_codes_ivp_{sfx}"
+
+    def _build() -> None:
+        # reclaim the RETIRED pre-r16 'ivfpqc' centroids-only family
+        # (the serve's coarse quantizer was a ONE-table frozen
+        # label-mean centroid list before the cells were trained): its
+        # path8 keys on the old tag, so the regular suffix GC above
+        # can never reach it — sweep the whole family with a
+        # fingerprint no real table carries
+        dead8 = hashlib.md5(f"ivfpqc:{sf_dir}".encode()).hexdigest()[:8]
+        gc_superseded_index_tables(
+            spark, ("ann_centroids_",), f"{dead8}_dead"
+        )
+        build_ivfpq_index(
+            spark,
+            _vectors(spark, sf_dir),
+            cells_table=cells_table,
+            codebook_table=codebook_table,
+            codes_table=codes_table,
+        )
+
+    ensure_index_tables(
+        spark,
+        tables=(codes_table, codebook_table, cells_table),
+        job_group="ivfpq_index",
+        gc_prefixes=(
+            "ivf_cells_",
+            "pq_codebook_ivp_",
+            "pq_codes_ivp_",
+            "pq_tombstones_ivp_",
+        ),
+        gc_suffix=sfx,
+        build=_build,
+    )
+    return cells_table, codebook_table, codes_table
+
+
 @query(
     "ann_ivfpq_indexed",
     driver=False,  # r15-born: R16_ROTATE_IN (first driver row due r16)
     oracle=None,  # set below: shares ann_ivfpq_topk's oracle verbatim
+    headline=True,  # r16 (VERDICT r15 Next #6): the partition-pruned
+    # serve is the flagship 100 TB ANN path — tracked round-over-round
+    # beside the linear ann_pq_adc_topk it supersedes at scale
 )
 def ann_ivfpq_indexed(
     spark: SparkSession, sf_dir: str, kernel: str | None = None
 ) -> DataFrame:
     """``ann_ivfpq_topk`` served from PERSISTED artifacts — the
     production IVFPQ read path (what FAISS serves from a loaded index):
-    the coarse-quantizer centroids come from the ensure-built IVF
-    family (shared with the filtered serves — same corpus, same label
-    cells; steady state is a tableExists probe) and the PQ codes from
-    ``ensure_pq_index``'s encode-once, LABEL-PARTITIONED codes table,
-    so the per-query scan is a LITERAL partition prune: the codes scan
-    is restricted to the union of probed cells before the kernel runs
-    (a pushed-down partition filter on the bounded collected probe
-    set), and per-query cell masks apply inside the kernel. The only
-    pass over the embeddings parquet is the bounded query side — no
-    re-encode, no centroid recompute (plan-pinned by
+    trained coarse cells, trained PQ codebook, and CELL-PARTITIONED
+    codes from ``ensure_ivfpq_index`` (steady state is a tableExists
+    probe), so the per-query scan is a LITERAL partition prune: the
+    codes scan is restricted to the union of probed cells before the
+    kernel runs (a pushed-down partition filter on the bounded
+    collected probe set), and per-query cell masks apply inside the
+    kernel. The only pass over the embeddings parquet is the bounded
+    query side — no re-encode, no retraining (plan-pinned by
     ``test_ivfpq_indexed_prunes_to_probed_cells``). Shares the inline
-    twin's oracle verbatim: the codebook/centroid derivations are
-    deterministic, so serving persisted must not change a row.
+    twin's oracle verbatim: both quantizer trainings are
+    sample-deterministic, so serving persisted must not change a row.
 
     At 100 TB this is THE sublinear ANN serve: per query it reads
     O(nprobe / cells) of a 128x-compressed corpus — partition-pruned
-    disk reads, bounded broadcast state, one top-k exchange."""
+    disk reads, bounded broadcast state, one top-k exchange. r16: the
+    cells are Lloyd-TRAINED (VERDICT r15 Next #2), so the prune now
+    follows the data's own cluster structure, not the ingest labels."""
     import os as _os
 
     kernel = kernel or _os.environ.get("SPARK_GRAFT_PQ_KERNEL", "arrow")
-    cb_t, cd_t = ensure_pq_index(spark, sf_dir)
-    # the coarse quantizer persists as a CENTROIDS-ONLY family: the
-    # serve reads only the |labels|-row table, so building (and
-    # duplicating on disk) a corpus-sized assignments copy just to
-    # obtain it would be exactly the 100 TB waste this serve exists to
-    # avoid (r15 review pass 7, finding 2). One aggregate pass at
-    # build, a tableExists probe after; no drift gate needed — the
-    # centroids are frozen label means of a fingerprinted corpus, and
-    # the codes side carries the family's drift gate already.
-    from dbt_on_snowflake_spark.testdata import (
-        ensure_index_tables,
-        index_suffix,
-    )
-
-    suffix = index_suffix(spark, sf_dir, "ivfpqc", "embeddings")
-    centroids_table = f"ann_centroids_{suffix}"
-
-    def _build_centroids() -> None:
-        from dbt_on_snowflake_spark.engine.index_delete import (
-            mark_engine_dir,
-        )
-        from dbt_on_snowflake_spark.operators.dedup import (
-            _drop_managed_table,
-        )
-
-        _drop_managed_table(spark, centroids_table)
-        _centroid_vectors(_vectors(spark, sf_dir)).write.mode(
-            "overwrite"
-        ).saveAsTable(centroids_table)
-        mark_engine_dir(spark, centroids_table)
-
-    ensure_index_tables(
-        spark,
-        tables=(centroids_table,),
-        job_group="ann_ivfpq_indexed",
-        gc_prefixes=("ann_centroids_",),
-        gc_suffix=suffix,
-        build=_build_centroids,
-    )
+    cells_t, cb_t, cd_t = ensure_ivfpq_index(spark, sf_dir)
     e = _vectors(spark, sf_dir)
     q = e.filter(F.expr(_QUERY_PRED))
-    probes = _ivf_probes(q, spark.table(centroids_table))
+    probes = _ivf_probes(q, spark.table(cells_t))
     # bounded: <= MAX_QUERIES x N_PROBE rows — collected once, feeding
     # the partition-prune filter, the arrow kernel's per-query masks,
     # AND the interpreted branch's probe relation (no lineage re-run)
@@ -4113,6 +4358,54 @@ def build_pq_index(
     # compaction/fold swap): the drift gate compares every later state
     # of the grown codes against it (``pq_index_drift``). Computed from
     # the just-written table, a narrow codes-only aggregate.
+    _write_pq_qstats(spark, codes_table)
+
+
+def build_ivfpq_index(
+    spark: SparkSession,
+    e: DataFrame,
+    *,
+    cells_table: str,
+    codebook_table: str,
+    codes_table: str,
+) -> None:
+    """Persist the IVFPQ serving artifact (r16): the trained coarse
+    CELLS (``_coarse_train`` — K full-dim Lloyd centroids), the trained
+    PQ codebook, and the corpus codes PARTITIONED BY TRAINED CELL —
+    each vector re-assigned to its nearest cell (``_assign_cells``)
+    before the encode, so the serve's nprobe prune is a literal
+    partition filter over the data's own cluster structure. Build cost
+    is two bounded driver-side trainings + ONE linear corpus pass
+    (assignment and encode are chained narrow Arrow maps in the same
+    stage); same repartition-before-partitionBy small-file discipline
+    and tombstone/qstats slate reset as ``build_pq_index``."""
+    from dbt_on_snowflake_spark.engine.index_delete import mark_engine_dir
+    from dbt_on_snowflake_spark.operators.dedup import _drop_managed_table
+
+    _drop_managed_table(spark, _pq_tombstones(codes_table))
+    coarse = _coarse_train(e)
+    _drop_managed_table(spark, cells_table)
+    spark.createDataFrame(coarse, _PQ_CB_SCHEMA).write.mode(
+        "overwrite"
+    ).saveAsTable(cells_table)
+    mark_engine_dir(spark, cells_table)
+    entries = _pq_train(e)
+    _drop_managed_table(spark, codebook_table)
+    spark.createDataFrame(entries, _PQ_CB_SCHEMA).write.mode(
+        "overwrite"
+    ).saveAsTable(codebook_table)
+    mark_engine_dir(spark, codebook_table)
+    _drop_managed_table(spark, codes_table)
+    codes = _pq_encode(
+        _assign_cells(e.select("vec_id", "label", "v"), coarse),
+        _entries_cb_row(spark, entries),
+    )
+    (
+        codes.repartition("label")
+        .write.mode("overwrite")
+        .partitionBy("label")
+        .saveAsTable(codes_table)
+    )
     _write_pq_qstats(spark, codes_table)
 
 
@@ -4325,7 +4618,7 @@ def reindex_pq_when_drifted(
 
 
 def retrain_pq_family(
-    spark: SparkSession, sf_dir: str, *, codes_table: str
+    spark: SparkSession, sf_dir: str, *, codes_table: str, build=None
 ) -> None:
     """The generic retrain for ANY pq_codes_* family — the rebuild
     thunk ``reindex`` hands to ``reindex_pq_when_drifted`` when the
@@ -4343,7 +4636,13 @@ def retrain_pq_family(
     FAIL CLOSED: raises when any live vec_id is missing from the
     corpus embeddings — retraining on the intersection would silently
     shrink the index (a family encoded from a different vector source
-    must retrain through its own build path)."""
+    must retrain through its own build path).
+
+    ``build`` (r16): a one-arg thunk (the live-vector DataFrame)
+    overriding the default ``build_pq_index`` rebuild — families with
+    their own on-disk layout (the cell-partitioned IVFPQ codes) reuse
+    the coverage probe / staging discipline here while rebuilding
+    through their own builder (``retrain_ivfpq_family``)."""
     from dbt_on_snowflake_spark.engine.index_delete import (
         derive_tombstones_name,
     )
@@ -4386,14 +4685,52 @@ def retrain_pq_family(
     # retrain can prove it owns and clear (r13 review pass 6, finding 4)
     mark_engine_dir(spark, staging)
     try:
-        build_pq_index(
-            spark,
-            e.join(spark.table(staging), "vec_id"),
-            codebook_table=codebook_table,
-            codes_table=codes_table,
-        )
+        live_e = e.join(spark.table(staging), "vec_id")
+        if build is not None:
+            build(live_e)
+        else:
+            build_pq_index(
+                spark,
+                live_e,
+                codebook_table=codebook_table,
+                codes_table=codes_table,
+            )
     finally:
         _drop_managed_table(spark, staging)
+
+
+def retrain_ivfpq_family(
+    spark: SparkSession, sf_dir: str, *, codes_table: str
+) -> None:
+    """The IVFPQ family's drift-triggered rebuild (r16): the generic
+    retrain's coverage-probe/staging discipline, rebuilding through
+    ``build_ivfpq_index`` so BOTH quantizers retrain and the codes
+    come back cell-partitioned — the generic ``build_pq_index`` path
+    would silently re-partition them by ingest label. Sibling names
+    follow the family convention (``pq_codes_ivp_X`` ->
+    ``pq_codebook_ivp_X`` / ``ivf_cells_X``)."""
+    from dbt_on_snowflake_spark.engine.index_delete import (
+        derive_tombstones_name,
+    )
+
+    cells_table = derive_tombstones_name(
+        codes_table, strip="pq_codes_ivp_", prefix="ivf_cells_"
+    )
+    codebook_table = derive_tombstones_name(
+        codes_table, strip="pq_codes_", prefix="pq_codebook_"
+    )
+    retrain_pq_family(
+        spark,
+        sf_dir,
+        codes_table=codes_table,
+        build=lambda live_e: build_ivfpq_index(
+            spark,
+            live_e,
+            cells_table=cells_table,
+            codebook_table=codebook_table,
+            codes_table=codes_table,
+        ),
+    )
 
 
 # ------------------------------------------- IVF centroid drift gate

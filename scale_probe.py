@@ -43,6 +43,10 @@ PROBE_QUERIES = (
     "ann_pq_adc_topk",
     "text_bm25_topk_indexed",
     "t_events_hourly",
+    # r16 (VERDICT r15 Next #4): the partition-pruned persisted IVFPQ
+    # serve — the flagship sublinear 100 TB path; its pruned-read
+    # fraction is additionally measured below (ivfpq_prune)
+    "ann_ivfpq_indexed",
 )
 
 # Index BUILDS probed at 10x (r14 verdict Next #6): the serve paths
@@ -211,6 +215,58 @@ def main() -> None:
         row = df.agg(F.avg("recall_at_k").alias("r")).collect()[0]
         recall[tag] = round(float(row["r"]), 4)
 
+    # sublinearity of the persisted IVFPQ serve, made quantitative
+    # (r15 verdict Next #4): the plan pin proves the probed-cell union
+    # reaches the scan as a partition filter; THIS measures how much of
+    # the cell-partitioned codes a serve actually reads. Two numbers:
+    # the scan-level fraction (the partition filter is the UNION across
+    # the query batch — on isotropic data it saturates as queries
+    # spread) and the mean PER-QUERY fraction (the kernel's per-query
+    # cell masks — the O(nprobe/cells) scaling claim). Both should hold
+    # or shrink at 10x, never grow toward 1.0.
+    from collections import Counter
+
+    from dbt_on_snowflake_spark.operators.similarity import (
+        _QUERY_PRED,
+        _ivf_probes,
+        _vectors,
+        ensure_ivfpq_index,
+    )
+
+    ivfpq_prune = {}
+    for tag, d in (("base", base), ("scaled", out)):
+        cells_t, _, cd_t = ensure_ivfpq_index(spark, d)
+        e = _vectors(spark, d)
+        probes: dict[int, list[int]] = {}
+        for r in _ivf_probes(
+            e.filter(F.expr(_QUERY_PRED)), spark.table(cells_t)
+        ).collect():
+            probes.setdefault(int(r.query_id), []).append(int(r.plabel))
+        per_cell = Counter(
+            {
+                int(r["label"]): int(r["n"])
+                for r in spark.table(cd_t)
+                .groupBy("label")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+        )
+        total = sum(per_cell.values())
+        union = {c for cells in probes.values() for c in cells}
+        union_rows = sum(per_cell.get(c, 0) for c in union)
+        per_q = [
+            sum(per_cell.get(c, 0) for c in cells) / total
+            for cells in probes.values()
+        ] if total else []
+        ivfpq_prune[tag] = {
+            "cells_probed_union": len(union),
+            "cells_total": spark.table(cells_t).count(),
+            "scan_read_frac": round(union_rows / total, 4) if total else None,
+            "mean_query_read_frac": (
+                round(sum(per_q) / len(per_q), 4) if per_q else None
+            ),
+        }
+
     # index BUILDS at both scales: warm pass for stage counts (the
     # tables are dropped between passes so every run is a full
     # from-scratch build), then min-of-2 timing
@@ -283,6 +339,7 @@ def main() -> None:
                 "queries": queries,
                 "builders": builders,
                 "pq_recall_at_k": recall,
+                "ivfpq_prune": ivfpq_prune,
             }
         )
     )

@@ -16,7 +16,11 @@ Corpus here: 10 well-separated Gaussian clusters (centroid sigma 1,
 noise sigma 0.2, dim 64 — deterministic seed), queries at fresh ids
 near each centroid. Contracts:
   (1) IVF multiprobe (exact scoring within probed cells) recalls
-      >= 0.9 of the true top-k;
+      >= 0.9 of the true top-k — and, r16, the TRAINED-cell equivalent:
+      with ingest labels scrambled to carry zero cluster information,
+      the Lloyd-trained full-dim cells still recall >= 0.9 where the
+      label-mean quantizer collapses to the ~0.2 probed-fraction floor
+      (the gate VERDICT r15 Next #2 asked for);
   (2) exact rerank over a PQ/ADC shortlist strictly improves on raw
       ADC top-k, and clears the shortlist-bound floor;
   (3) raw ADC clears a WITHIN-CELL-RESOLUTION floor the r7-r14
@@ -41,10 +45,13 @@ from pyspark.sql import functions as F
 from dbt_on_snowflake_spark.operators.similarity import (
     TOP_K,
     _adc_serve,
+    _assign_cells,
     _bruteforce_score_arrow,
     _centroid_vectors,
+    _coarse_train,
     _live_codes,
     _multiprobe_topk,
+    _PQ_CB_SCHEMA,
     _topk_window,
     build_pq_index,
 )
@@ -94,6 +101,51 @@ def test_multiprobe_recall_high_on_clustered_corpus(spark, clustered):
         F.broadcast(q).alias("q"), _centroid_vectors(e), e
     ).select("query_id", "neighbor_id")
     assert _recall(found, truth) >= 0.9
+
+
+def test_trained_coarse_recovers_cells_from_scrambled_labels(
+    spark, clustered
+):
+    """The r16 trained-cell gate (VERDICT r15 Next #2): with ingest
+    labels SCRAMBLED (round-robin — carrying zero cluster information),
+    the label-mean coarse quantizer collapses to the probed-fraction
+    floor (every 'cell' is a uniform mixture of all clusters, so
+    probing 2 of 10 cells finds ~20% of the true neighbors), while the
+    Lloyd-TRAINED full-dim cells recover the actual cluster structure
+    and multiprobe recall stays >= 0.9 — the property that makes the
+    IVFPQ pair a true IVF rather than a label-partition prune. Same
+    exact-scoring multiprobe shape for both quantizers; only the cells
+    and the corpus cell-assignment differ."""
+    e, q, truth = clustered
+    scrambled = e.withColumn(
+        "label", (F.col("vec_id") % N_LABELS).cast("int")
+    ).cache()
+    # ingest-label cells on the scrambled corpus: the pre-r16 quantizer
+    found_lab = _multiprobe_topk(
+        F.broadcast(q).alias("q"), _centroid_vectors(scrambled), scrambled
+    ).select("query_id", "neighbor_id")
+    r_label = _recall(found_lab, truth)
+    # trained cells: full-dim Lloyd (seeded from the same scrambled
+    # labels — the seeds are uninformative mixtures; the ITERATIONS do
+    # the work), corpus re-assigned to its nearest trained cell
+    coarse = _coarse_train(scrambled)
+    cvec = spark.createDataFrame(coarse, _PQ_CB_SCHEMA)
+    assigned = _assign_cells(
+        scrambled.select("vec_id", "label", "v"), coarse
+    ).cache()
+    found_tr = _multiprobe_topk(
+        F.broadcast(q).alias("q"), cvec, assigned
+    ).select("query_id", "neighbor_id")
+    r_trained = _recall(found_tr, truth)
+    assert r_label <= 0.5, r_label  # the label quantizer is blind here
+    assert r_trained >= 0.9, r_trained
+    # the trained assignment is also BALANCED enough to prune: no
+    # trained cell holds more than half the corpus (a degenerate
+    # one-cell solution would pass recall while destroying the prune)
+    biggest = (
+        assigned.groupBy("label").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert biggest <= N_LABELS * PER_LABEL / 2, biggest
 
 
 def test_rerank_beats_raw_adc_and_clears_floor(spark, clustered):

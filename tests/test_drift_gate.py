@@ -311,6 +311,82 @@ def test_retrain_refuses_out_of_corpus_families(spark):
         retrain_pq_family(spark, SF_SMOKE, codes_table=cd)
 
 
+def test_ivfpq_retrain_rebuilds_cell_partitioned(spark):
+    """The IVFPQ family's drift-triggered rebuild must go through its
+    OWN builder (r16): codes come back partitioned by TRAINED Lloyd
+    cell with both quantizers retrained and the baseline re-armed —
+    the generic ``retrain_pq_family`` default would silently
+    re-partition them by ingest label, corrupting the serve's
+    partition prune."""
+    from dbt_on_snowflake_spark.operators.dedup import _drop_managed_table
+    from dbt_on_snowflake_spark.operators.similarity import (
+        COARSE_EXTRA,
+        _assign_cells,
+        _coarse_train,
+        build_ivfpq_index,
+        retrain_ivfpq_family,
+    )
+
+    cells_t = "ivf_cells_tivpdrift"
+    cb_t = "pq_codebook_ivp_tivpdrift"
+    cd_t = "pq_codes_ivp_tivpdrift"
+    e = _vectors(spark, SF_SMOKE).filter(F.expr(BASE_PRED))
+    try:
+        build_ivfpq_index(
+            spark,
+            e,
+            cells_table=cells_t,
+            codebook_table=cb_t,
+            codes_table=cd_t,
+        )
+        before = sorted(
+            map(tuple, spark.table(cd_t).select("vec_id", "label").collect())
+        )
+        retrain_ivfpq_family(spark, SF_SMOKE, codes_table=cd_t)
+        # deterministic training over the same live vectors: the
+        # rebuild reproduces the build bit-for-bit...
+        after = sorted(
+            map(tuple, spark.table(cd_t).select("vec_id", "label").collect())
+        )
+        assert after == before
+        # ...and the label column IS the trained-cell assignment, not
+        # the ingest label (the generic rebuild's layout)
+        coarse = _coarse_train(e)
+        expect = sorted(
+            (int(r.vec_id), int(r.label))
+            for r in _assign_cells(
+                e.select("vec_id", "label", "v"), coarse
+            ).collect()
+        )
+        assert after == expect
+        n_labels = e.select("label").distinct().count()
+        assert spark.table(cells_t).count() == n_labels + COARSE_EXTRA
+        # the baseline re-armed: a fresh gate reads ratio 1.0
+        assert pq_index_drift(spark, codes_table=cd_t)["ratio"] == (
+            pytest.approx(1.0)
+        )
+    finally:
+        for t in (cd_t, cb_t, cells_t):
+            _drop_managed_table(spark, t)
+
+
+def test_pq_ensure_families_routes_ivfpq_retrain(spark):
+    """The reindex sweep's family registry: exactly the IVFPQ family
+    carries its own retrain thunk (cell-partitioned layout); the flat
+    and appended families take the generic label-partitioned
+    retrain."""
+    from dbt_on_snowflake_spark.operators.similarity import (
+        pq_ensure_families,
+    )
+
+    fams = pq_ensure_families(spark, SF_SMOKE)
+    ivp = [f for f in fams if f[1].startswith("pq_codes_ivp_")]
+    assert len(ivp) == 1 and callable(ivp[0][3])
+    assert all(
+        f[3] is None for f in fams if not f[1].startswith("pq_codes_ivp_")
+    )
+
+
 def test_drift_handles_empty_and_zero_baseline(spark):
     """Scheduled checks must return decisions, not crash: all-deleted
     (empty live codes -> NULL avg) reports zero drift, and a perfect

@@ -531,6 +531,10 @@ _HEADLINE_MAX_SHUFFLES = {
     "ann_pq_adc_appended_served": 1,  # steady-state serve over the
     # ensure-built grown codes: rank window only — the build+append ran
     # once under its own job group, off the serve plan
+    "ann_ivfpq_indexed": 1,  # r16 headline promotion (VERDICT r15 Next
+    # #6): the partition-pruned persisted serve — rank window only; the
+    # probed-cell prune is a pushed-down partition filter, not an
+    # exchange (pinned by test_ivfpq_indexed_prunes_to_probed_cells)
     "ann_pq_codes": 3,  # centroid rollup exchanges only (tiny)
     "ann_mmr_topk": 2,  # scorer rank + per-query greedy groupBy; the
     # vector gather joins broadcast
@@ -704,15 +708,17 @@ def test_pq_indexed_no_encode_recompute(spark, monkeypatch):
 def test_ivfpq_indexed_prunes_to_probed_cells(spark):
     """The persisted IVFPQ serve's codes read must be a LITERAL
     partition prune: the returned (arrow) plan scans the
-    label-partitioned pq_codes_ table with a label partition filter —
-    the union of the probed cells — and never re-reads the embeddings
-    parquet or retrains centroids (the probes/LUTs were collected at
-    fn-build time from the persisted centroid/codebook tables). At
-    100 TB this is the property that makes the serve sublinear: per
-    query it reads O(nprobe / cells) of the compressed corpus."""
+    CELL-partitioned pq_codes_ivp_ table (r16: its own family — codes
+    partitioned by TRAINED Lloyd cell, not ingest label) with a label
+    partition filter — the union of the probed cells — and never
+    re-reads the embeddings parquet or retrains either quantizer (the
+    probes/LUTs were collected at fn-build time from the persisted
+    cells/codebook tables). At 100 TB this is the property that makes
+    the serve sublinear: per query it reads O(nprobe / cells) of the
+    compressed corpus."""
     df = Q["ann_ivfpq_indexed"].fn(spark, SF_SMOKE)
     plan = explain_str(df)
-    assert "pq_codes_" in plan and "MapInPandas" in plan
+    assert "pq_codes_ivp_" in plan and "MapInPandas" in plan
     assert "embeddings.parquet" not in plan  # no corpus re-read
     assert "Generate" not in plan  # no centroid/codebook retraining
     # the partition filter on the probed-cell union reached the scan
