@@ -1185,7 +1185,7 @@ def main(argv: list[str] | None = None) -> int:
             pq_index_drift,
             reindex_ann_when_drifted,
             reindex_pq_when_drifted,
-            retrain_pq_family,
+            retrain_any_pq_family,
         )
 
         # --select / --exclude narrow the sweep: comma-separated
@@ -1226,17 +1226,6 @@ def main(argv: list[str] | None = None) -> int:
             return not (exc_pats and _fam_match(fam, exc_pats))
 
         skipped = 0
-        # bare codes-table name -> the family's OWN rebuild thunk (r16:
-        # the IVFPQ codes are partitioned by TRAINED cell, so the
-        # generic label-partitioned retrain below would corrupt their
-        # layout). Computed up front — name derivation only, no builds —
-        # so an explicit --codes-table naming the family routes to its
-        # own rebuild too.
-        family_retrains: dict = {
-            name: retrain
-            for _, name, _, retrain in pq_ensure_families(spark, args.corpus)
-            if retrain is not None
-        }
         if args.codes_table is not None:
             families = [args.codes_table]
         else:
@@ -1294,9 +1283,7 @@ def main(argv: list[str] | None = None) -> int:
                 if sel_pats is not None or exc_pats
                 else []
             )
-            for ensure, name, stem, _retrain in pq_ensure_families(
-                spark, args.corpus
-            ):
+            for ensure, name, stem in pq_ensure_families(spark, args.corpus):
                 relevant = _kept(name) or any(
                     _kept(f) and f.rsplit(".", 1)[-1].startswith(stem)
                     for f in pre_listed
@@ -1394,11 +1381,12 @@ def main(argv: list[str] | None = None) -> int:
                     d = reindex_pq_when_drifted(
                         spark,
                         codes_table=fam,
-                        rebuild=family_retrains.get(
-                            fam.rsplit(".", 1)[-1],
-                            lambda cd=fam: retrain_pq_family(
-                                spark, args.corpus, codes_table=cd
-                            ),
+                        # convention-routed: pq_codes_ivp_* families
+                        # (qualified or stale-generation included)
+                        # rebuild through their own cell-partitioned
+                        # builder, everything else generically
+                        rebuild=lambda cd=fam: retrain_any_pq_family(
+                            spark, args.corpus, codes_table=cd
                         ),
                         threshold=args.when_drifted,
                     )

@@ -1714,8 +1714,39 @@ def _round4_mean_checked(x):
     return _round4_signed(x)
 
 
+def _train_sample(e: DataFrame) -> list:
+    """The ONE bounded training-sample collect both quantizer trainers
+    share — <= PQ_TRAIN_CAP rows x D doubles (~2 MB at cap) via
+    TakeOrdered (map-side partial top-k, no sort shuffle), independent
+    of corpus size. Callers that train BOTH the coarse cells and the
+    PQ codebook (the IVFPQ pair) collect once and hand the rows to
+    ``_lloyd_train_rows`` twice instead of paying two identical Spark
+    jobs (r16 review finding 3)."""
+    return sorted(
+        e.select("vec_id", "label", "v")
+        .orderBy("vec_id")
+        .limit(PQ_TRAIN_CAP)
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+
+
 def _lloyd_train(
     e: DataFrame,
+    *,
+    n_sub: int = PQ_M,
+    extra: int = PQ_LLOYD_EXTRA,
+    iters: int = PQ_LLOYD_ITERS,
+) -> list[tuple[int, list[float]]]:
+    """``_lloyd_train_rows`` over a fresh ``_train_sample`` collect —
+    the single-quantizer entry point."""
+    return _lloyd_train_rows(
+        _train_sample(e), n_sub=n_sub, extra=extra, iters=iters
+    )
+
+
+def _lloyd_train_rows(
+    samp_rows: list,
     *,
     n_sub: int = PQ_M,
     extra: int = PQ_LLOYD_EXTRA,
@@ -1729,28 +1760,18 @@ def _lloyd_train(
     0..K-1 (entries 0..L-1 seed from the per-label sample means in
     label order; L..K-1 from the strided sample — Forgy init).
 
-    Runs driver-side on BOUNDED control-plane data — ONE Spark job: the
-    training sample is <= PQ_TRAIN_CAP rows x D doubles (~2 MB at cap),
-    collected via TakeOrdered (map-side partial top-k, no sort
-    shuffle), independent of corpus size. Seed means are computed from
-    the SAME sample (training is sample-scoped end to end; at every
-    test SF the cap covers the whole corpus, so the values equal
-    full-corpus means bit-for-bit). The arithmetic mirrors the oracle's
-    CTEs (_lloyd_sql) step for step: sequential-fold dot products
-    (an in-order accumulation loop), distances rounded half-up to 4
-    decimals, argmin with lowest-entry tie-break, per-dim means rounded
-    to 4 (half-away-from-zero, signed, boundary-guarded — r15 advice
-    #1), empty clusters carrying the previous entry forward."""
+    Runs driver-side on the BOUNDED ``_train_sample`` rows. Seed means
+    are computed from the SAME sample (training is sample-scoped end
+    to end; at every test SF the cap covers the whole corpus, so the
+    values equal full-corpus means bit-for-bit). The arithmetic
+    mirrors the oracle's CTEs (_lloyd_sql) step for step:
+    sequential-fold dot products (an in-order accumulation loop),
+    distances rounded half-up to 4 decimals, argmin with lowest-entry
+    tie-break, per-dim means rounded to 4 (half-away-from-zero,
+    signed, boundary-guarded — r15 advice #1), empty clusters carrying
+    the previous entry forward."""
     import numpy as np
 
-    samp_rows = sorted(
-        # bounded: <= PQ_TRAIN_CAP rows (TakeOrdered, no sort shuffle)
-        e.select("vec_id", "label", "v")
-        .orderBy("vec_id")
-        .limit(PQ_TRAIN_CAP)
-        .collect(),
-        key=lambda r: r["vec_id"],
-    )
     if not samp_rows:
         return []
     S = np.stack([np.asarray(r["v"], dtype=np.float64) for r in samp_rows])
@@ -1796,15 +1817,23 @@ def _pq_train(e: DataFrame) -> list[tuple[int, list[float]]]:
     return _lloyd_train(e)
 
 
+def _coarse_train_rows(samp_rows: list) -> list[tuple[int, list[float]]]:
+    """The IVF COARSE quantizer from an already-collected sample:
+    K = |labels| + COARSE_EXTRA full-dim Lloyd-trained CELL centroids
+    (n_sub=1 — one 'subspace' spanning the whole vector). Until r15
+    the coarse cells were frozen ingest-label means, making IVFPQ a
+    label-partition prune; training the cells is what makes it a true
+    IVF on data whose labels don't track the actual cluster structure
+    (VERDICT r15 Next #2; FAISS trains its IVF coarse quantizer the
+    same way, on a bounded sample)."""
+    return _lloyd_train_rows(
+        samp_rows, n_sub=1, extra=COARSE_EXTRA, iters=COARSE_ITERS
+    )
+
+
 def _coarse_train(e: DataFrame) -> list[tuple[int, list[float]]]:
-    """The IVF COARSE quantizer: K = |labels| + COARSE_EXTRA full-dim
-    Lloyd-trained CELL centroids (n_sub=1 — one 'subspace' spanning the
-    whole vector). Until r15 the coarse cells were frozen ingest-label
-    means, making IVFPQ a label-partition prune; training the cells is
-    what makes it a true IVF on data whose labels don't track the
-    actual cluster structure (VERDICT r15 Next #2; FAISS trains its
-    IVF coarse quantizer the same way, on a bounded sample)."""
-    return _lloyd_train(e, n_sub=1, extra=COARSE_EXTRA, iters=COARSE_ITERS)
+    """``_coarse_train_rows`` over a fresh sample collect."""
+    return _coarse_train_rows(_train_sample(e))
 
 
 _PQ_CB_SCHEMA = "label long, v array<double>"
@@ -3028,19 +3057,20 @@ def _pq_family_suffix(spark: SparkSession, sf_dir: str, tag: str) -> str:
 
 
 def pq_ensure_families(spark: SparkSession, sf_dir: str):
-    """``(ensure_fn, codes_table, family_stem, retrain)`` for each
-    persisted PQ family the reindex sweep secures — the ONE place their
-    naming is spelled, shared by the ensures themselves and the sweep's
+    """``(ensure_fn, codes_table, family_stem)`` for each persisted PQ
+    family the reindex sweep secures — the ONE place their naming is
+    spelled, shared by the ensures themselves and the sweep's
     filter-relevance prediction so the two cannot drift (r15 review
     pass 5, finding 4). ``family_stem`` is the fingerprint-independent
     ``<prefix><path8>`` half: a sweep filter that names ANY
     fingerprint generation of the family (e.g. a superseded one left
     by an algo/corpus rotation) makes the ensure relevant, because the
     ensure's build-time GC is what reclaims that dead generation.
-    ``retrain`` (r16): the family's OWN drift-triggered rebuild thunk,
-    or None for the generic ``retrain_pq_family`` — the IVFPQ family's
-    codes are partitioned by TRAINED cell, so the generic label-
-    partitioned rebuild would silently corrupt its layout."""
+    (Drift-retrain ROUTING is deliberately not carried here: it keys
+    on the family naming convention — ``retrain_any_pq_family`` — so a
+    db-qualified or superseded-generation ``pq_codes_ivp_*`` family
+    still rebuilds through the cell-partitioned builder, r16 review
+    finding 1.)"""
     out = []
     from dbt_on_snowflake_spark.testdata import family_half, index_suffix
 
@@ -3049,19 +3079,15 @@ def pq_ensure_families(spark: SparkSession, sf_dir: str):
         (ensure_appended_pq_index, "pqapps", "pq_codes_aps_"),
     ):
         sfx = _pq_family_suffix(spark, sf_dir, tag)
-        out.append(
-            (ensure, f"{prefix}{sfx}", f"{prefix}{family_half(sfx)}", None)
-        )
+        out.append((ensure, f"{prefix}{sfx}", f"{prefix}{family_half(sfx)}"))
     ivp_sfx = index_suffix(
         spark, sf_dir, "ivfpq", "embeddings", algo=IVFPQ_ALGO
     )
-    ivp_codes = f"pq_codes_ivp_{ivp_sfx}"
     out.append(
         (
             ensure_ivfpq_index,
-            ivp_codes,
+            f"pq_codes_ivp_{ivp_sfx}",
             f"pq_codes_ivp_{family_half(ivp_sfx)}",
-            lambda: retrain_ivfpq_family(spark, sf_dir, codes_table=ivp_codes),
         )
     )
     return out
@@ -4089,12 +4115,14 @@ def ann_ivfpq_topk(
 
     kernel = kernel or _os.environ.get("SPARK_GRAFT_PQ_KERNEL", "arrow")
     e = _vectors(spark, sf_dir)
-    # BOTH quantizers train driver-side on the bounded sample: the
-    # coarse cells (full-dim Lloyd) and the PQ codebook (in-subspace
-    # Lloyd) — each a local relation downstream.
-    coarse = _coarse_train(e)
+    # BOTH quantizers train driver-side on ONE bounded sample collect
+    # (r16 review finding 3): the coarse cells (full-dim Lloyd) and
+    # the PQ codebook (in-subspace Lloyd) — each a local relation
+    # downstream.
+    samp = _train_sample(e)
+    coarse = _coarse_train_rows(samp)
     cvec = spark.createDataFrame(coarse, _PQ_CB_SCHEMA)
-    entries = _pq_train(e)
+    entries = _lloyd_train_rows(samp)
     cb_row = _entries_cb_row(spark, entries)
     codes = _pq_encode(
         _assign_cells(e.select("vec_id", "label", "v"), coarse), cb_row
@@ -4383,13 +4411,14 @@ def build_ivfpq_index(
     from dbt_on_snowflake_spark.operators.dedup import _drop_managed_table
 
     _drop_managed_table(spark, _pq_tombstones(codes_table))
-    coarse = _coarse_train(e)
+    samp = _train_sample(e)  # ONE collect feeds both trainers
+    coarse = _coarse_train_rows(samp)
     _drop_managed_table(spark, cells_table)
     spark.createDataFrame(coarse, _PQ_CB_SCHEMA).write.mode(
         "overwrite"
     ).saveAsTable(cells_table)
     mark_engine_dir(spark, cells_table)
-    entries = _pq_train(e)
+    entries = _lloyd_train_rows(samp)
     _drop_managed_table(spark, codebook_table)
     spark.createDataFrame(entries, _PQ_CB_SCHEMA).write.mode(
         "overwrite"
@@ -4731,6 +4760,25 @@ def retrain_ivfpq_family(
             codes_table=codes_table,
         ),
     )
+
+
+def retrain_any_pq_family(
+    spark: SparkSession, sf_dir: str, *, codes_table: str
+) -> None:
+    """Route a drift-triggered rebuild to the family's OWN builder by
+    its naming CONVENTION — the one dispatch the reindex sweep uses
+    (r16 review finding 1): ``pq_codes_ivp_*`` (any database
+    qualifier, any fingerprint generation — a superseded family a
+    failed GC left behind, or an explicit ``--codes-table``) rebuilds
+    cell-partitioned via ``retrain_ivfpq_family``; every other
+    ``pq_codes_*`` family takes the generic label-partitioned
+    retrain. An exact-name map would silently hand a qualified or
+    stale-generation ivp family to the generic rebuild, corrupting
+    its partition layout."""
+    if codes_table.rsplit(".", 1)[-1].startswith("pq_codes_ivp_"):
+        retrain_ivfpq_family(spark, sf_dir, codes_table=codes_table)
+    else:
+        retrain_pq_family(spark, sf_dir, codes_table=codes_table)
 
 
 # ------------------------------------------- IVF centroid drift gate

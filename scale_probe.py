@@ -151,6 +151,84 @@ def _drop_all(spark, tables: list[str]) -> None:
         _drop_managed_table(spark, t)
 
 
+def drop_ivfpq_family(spark, sf_dir: str) -> None:
+    """Drop the persisted IVFPQ family keyed on ``sf_dir`` — the probe
+    must not leave an index over the throwaway SCALED corpus in the
+    shared warehouse (r16 review finding 2): the reindex sweep gates
+    every pq_codes_* family, and one whose corpus lives in a
+    regenerable .scratch dir would alarm (or fail-closed retrain)
+    every scheduled sweep after the scratch rotates."""
+    from dbt_on_snowflake_spark.operators.similarity import IVFPQ_ALGO
+    from dbt_on_snowflake_spark.testdata import index_suffix
+
+    sfx = index_suffix(spark, sf_dir, "ivfpq", "embeddings", algo=IVFPQ_ALGO)
+    _drop_all(
+        spark,
+        [
+            f"ivf_cells_{sfx}",
+            f"pq_codebook_ivp_{sfx}",
+            f"pq_codes_ivp_{sfx}",
+            f"pq_tombstones_ivp_{sfx}",
+        ],
+    )
+
+
+def ivfpq_read_fractions(spark, cells_table: str, codes_table: str,
+                         sf_dir: str) -> dict:
+    """The IVFPQ serve's measured read fractions — ONE definition
+    shared by the probe's ivfpq_prune record and the 10x pytest pin
+    (r16 review finding 5): per query, which trained cells it probes
+    and what fraction of the cell-partitioned codes those cells hold
+    (the O(nprobe/cells) claim); plus the scan-level fraction of the
+    probed-cell UNION (the partition filter a batched serve pushes
+    down)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from dbt_on_snowflake_spark.operators.similarity import (
+        _QUERY_PRED,
+        _ivf_probes,
+        _vectors,
+    )
+
+    probes: dict[int, list[int]] = {}
+    for r in _ivf_probes(
+        _vectors(spark, sf_dir).filter(F.expr(_QUERY_PRED)),
+        spark.table(cells_table),
+    ).collect():
+        probes.setdefault(int(r.query_id), []).append(int(r.plabel))
+    per_cell = Counter(
+        {
+            int(r["label"]): int(r["n"])
+            for r in spark.table(codes_table)
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    )
+    total = sum(per_cell.values())
+    union = {c for cells in probes.values() for c in cells}
+    per_q = (
+        [
+            sum(per_cell.get(c, 0) for c in cells) / total
+            for cells in probes.values()
+        ]
+        if total
+        else []
+    )
+    return {
+        "cells_probed_union": len(union),
+        "cells_total": spark.table(cells_table).count(),
+        "scan_read_frac": (
+            round(sum(per_cell.get(c, 0) for c in union) / total, 4)
+            if total
+            else None
+        ),
+        "per_query_read_fracs": per_q,
+    }
+
+
 def main() -> None:
     base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
@@ -161,11 +239,23 @@ def main() -> None:
         f"scale{factor}_sf{sf}",
     )
     spark = get_spark("scale_probe")
-    sc = spark.sparkContext
     t0 = time.perf_counter()
     derive_scaled_dir(spark, base, out, factor=factor)
     derive_sec = round(time.perf_counter() - t0, 3)
+    try:
+        _probe(spark, base, out, factor, sf, derive_sec)
+    finally:
+        # the scaled corpus is a regenerable .scratch cache: the
+        # ann_ivfpq_indexed runs (and the prune measurement) ensure-
+        # build a persisted IVFPQ family keyed on it — drop it so the
+        # reindex sweep never gates an index over throwaway data
+        # (r16 review finding 2; the base-dir family serves the real
+        # corpus and stays)
+        drop_ivfpq_family(spark, out)
 
+
+def _probe(spark, base, out, factor, sf, derive_sec) -> None:
+    sc = spark.sparkContext
     qs = all_queries()
     tracker = sc.statusTracker()
 
@@ -224,48 +314,19 @@ def main() -> None:
     # spread) and the mean PER-QUERY fraction (the kernel's per-query
     # cell masks — the O(nprobe/cells) scaling claim). Both should hold
     # or shrink at 10x, never grow toward 1.0.
-    from collections import Counter
-
     from dbt_on_snowflake_spark.operators.similarity import (
-        _QUERY_PRED,
-        _ivf_probes,
-        _vectors,
         ensure_ivfpq_index,
     )
 
     ivfpq_prune = {}
     for tag, d in (("base", base), ("scaled", out)):
         cells_t, _, cd_t = ensure_ivfpq_index(spark, d)
-        e = _vectors(spark, d)
-        probes: dict[int, list[int]] = {}
-        for r in _ivf_probes(
-            e.filter(F.expr(_QUERY_PRED)), spark.table(cells_t)
-        ).collect():
-            probes.setdefault(int(r.query_id), []).append(int(r.plabel))
-        per_cell = Counter(
-            {
-                int(r["label"]): int(r["n"])
-                for r in spark.table(cd_t)
-                .groupBy("label")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            }
+        m = ivfpq_read_fractions(spark, cells_t, cd_t, d)
+        per_q = m.pop("per_query_read_fracs")
+        m["mean_query_read_frac"] = (
+            round(sum(per_q) / len(per_q), 4) if per_q else None
         )
-        total = sum(per_cell.values())
-        union = {c for cells in probes.values() for c in cells}
-        union_rows = sum(per_cell.get(c, 0) for c in union)
-        per_q = [
-            sum(per_cell.get(c, 0) for c in cells) / total
-            for cells in probes.values()
-        ] if total else []
-        ivfpq_prune[tag] = {
-            "cells_probed_union": len(union),
-            "cells_total": spark.table(cells_t).count(),
-            "scan_read_frac": round(union_rows / total, 4) if total else None,
-            "mean_query_read_frac": (
-                round(sum(per_q) / len(per_q), 4) if per_q else None
-            ),
-        }
+        ivfpq_prune[tag] = m
 
     # index BUILDS at both scales: warm pass for stage counts (the
     # tables are dropped between passes so every run is a full

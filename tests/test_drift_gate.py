@@ -370,21 +370,40 @@ def test_ivfpq_retrain_rebuilds_cell_partitioned(spark):
             _drop_managed_table(spark, t)
 
 
-def test_pq_ensure_families_routes_ivfpq_retrain(spark):
-    """The reindex sweep's family registry: exactly the IVFPQ family
-    carries its own retrain thunk (cell-partitioned layout); the flat
-    and appended families take the generic label-partitioned
-    retrain."""
-    from dbt_on_snowflake_spark.operators.similarity import (
-        pq_ensure_families,
-    )
+def test_retrain_routing_is_convention_based(spark, monkeypatch):
+    """The sweep's drift rebuild dispatches on the family NAMING
+    CONVENTION, not an exact current-fingerprint name map (r16 review
+    finding 1): a db-QUALIFIED ivp family and a STALE-generation ivp
+    name must both route to the cell-partitioned builder — an exact
+    map would hand them to the generic label-partitioned retrain,
+    silently corrupting the layout — while plain pq_codes_* names
+    stay generic. Routed-to targets are stubbed: this pins dispatch,
+    the layout contract itself is pinned by
+    test_ivfpq_retrain_rebuilds_cell_partitioned."""
+    from dbt_on_snowflake_spark.operators import similarity as sim
 
-    fams = pq_ensure_families(spark, SF_SMOKE)
-    ivp = [f for f in fams if f[1].startswith("pq_codes_ivp_")]
-    assert len(ivp) == 1 and callable(ivp[0][3])
-    assert all(
-        f[3] is None for f in fams if not f[1].startswith("pq_codes_ivp_")
+    calls = []
+    monkeypatch.setattr(
+        sim, "retrain_ivfpq_family",
+        lambda spark, sf, codes_table: calls.append(("ivp", codes_table)),
     )
+    monkeypatch.setattr(
+        sim, "retrain_pq_family",
+        lambda spark, sf, codes_table: calls.append(("generic", codes_table)),
+    )
+    for fam in (
+        "otherdb.pq_codes_ivp_deadbeef_00000001",  # qualified
+        "pq_codes_ivp_deadbeef_00000002",  # stale generation
+        "pq_codes_aps_deadbeef_00000003",  # appended family: generic
+        "pq_codes_adhoc",  # ad-hoc build: generic
+    ):
+        sim.retrain_any_pq_family(spark, SF_SMOKE, codes_table=fam)
+    assert [kind for kind, _ in calls] == [
+        "ivp", "ivp", "generic", "generic"
+    ], calls
+    # and the sweep registry still names the ivp family for ensures
+    fams = sim.pq_ensure_families(spark, SF_SMOKE)
+    assert sum(f[1].startswith("pq_codes_ivp_") for f in fams) == 1
 
 
 def test_drift_handles_empty_and_zero_baseline(spark):

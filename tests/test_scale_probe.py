@@ -29,7 +29,14 @@ Q = all_queries()
 @pytest.fixture(scope="module")
 def scaled_dir(spark, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("scale10") / "sf10x")
-    return derive_scaled_dir(spark, SF_SMOKE, out, factor=FACTOR)
+    yield derive_scaled_dir(spark, SF_SMOKE, out, factor=FACTOR)
+    # several tests here run ann_ivfpq_indexed against this throwaway
+    # corpus, ensure-building a persisted IVFPQ family keyed on it —
+    # drop it so later reindex-sweep tests never gate a family whose
+    # corpus is a deleted pytest tmp dir (r16 review finding 2)
+    from scale_probe import drop_ivfpq_family
+
+    drop_ivfpq_family(spark, out)
 
 
 @pytest.mark.parametrize("name", PROBE_QUERIES)
@@ -177,57 +184,37 @@ def test_scaled_ivfpq_serve_stays_pruned(spark, scaled_dir):
     claim (the scan-level partition filter is the UNION across the
     query batch, which on this isotropic corpus legitimately saturates
     as queries spread over cells; scale_probe.py records both)."""
-    from collections import Counter
-
-    from pyspark.sql import functions as F
-
     from dbt_on_snowflake_spark.operators.similarity import (
         COARSE_EXTRA,
-        _QUERY_PRED,
-        _ivf_probes,
+        PQ_TRAIN_CAP,
         _vectors,
         ensure_ivfpq_index,
     )
-
-    from dbt_on_snowflake_spark.operators.similarity import PQ_TRAIN_CAP
+    from scale_probe import ivfpq_read_fractions
 
     for tag, d in (("base", SF_SMOKE), ("scaled", scaled_dir)):
         cells_t, _, cd_t = ensure_ivfpq_index(spark, d)
-        e = _vectors(spark, d)
         # K = |labels in the BOUNDED training sample| + COARSE_EXTRA:
         # at 10x the cap binds (the sample stays the lowest-vec_id
         # PQ_TRAIN_CAP prefix), so the cell count is corpus-size
         # independent by construction — it tracks the sample's label
         # diversity, never the corpus row count
         n_samp_labels = (
-            e.orderBy("vec_id")
+            _vectors(spark, d)
+            .orderBy("vec_id")
             .limit(PQ_TRAIN_CAP)
             .select("label")
             .distinct()
             .count()
         )
-        n_cells = spark.table(cells_t).count()
-        assert n_cells == n_samp_labels + COARSE_EXTRA, (tag, n_cells)
-        probes: dict[int, list[int]] = {}
-        for r in _ivf_probes(
-            e.filter(F.expr(_QUERY_PRED)), spark.table(cells_t)
-        ).collect():
-            probes.setdefault(int(r.query_id), []).append(int(r.plabel))
-        assert probes, tag
-        per_cell = Counter(
-            {
-                int(r["label"]): int(r["n"])
-                for r in spark.table(cd_t)
-                .groupBy("label")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            }
+        # the probe's OWN measurement (shared helper — the shipped
+        # ivfpq_prune record and this pin cannot diverge)
+        m = ivfpq_read_fractions(spark, cells_t, cd_t, d)
+        assert m["cells_total"] == n_samp_labels + COARSE_EXTRA, (
+            tag, m["cells_total"],
         )
-        total = sum(per_cell.values())
-        worst = max(
-            sum(per_cell.get(c, 0) for c in cells) / total
-            for cells in probes.values()
-        )
+        assert m["per_query_read_fracs"], tag
+        worst = max(m["per_query_read_fracs"])
         # every query's nprobe cells hold well under half the codes —
         # the per-query read is a genuine prune, not a rescan
         assert worst < 0.5, (tag, worst)
