@@ -798,6 +798,23 @@ R16_ROTATE_IN: set[str] = {
 # driver-checked). Keep this current as queries are born.
 R17_ROTATE_IN: set[str] = set()
 
+# R17 DRAFT (computed at r16 session end; re-verify against the actual
+# CORRECTNESS_r16 file at r17 start): assuming r16 goes green on
+# R16_EXPORT, the post-r16 histogram over the 141-row pool is
+# r14 x41 / r15 x50 / r16 x50. r17 mandatory = the 41 r14-green rows
+# (R14_EXPORT's 50 minus the 4 r15 evidence resets, minus the r16
+# reset ann_ivfpq_topk and the 4 r16 pull-forwards — all re-greened
+# since) plus R17_ROTATE_IN births: 41 + births <= 50, NINE spare
+# slots (machine-checked by test_r17_rotation_fits_budget). NOTE for
+# the r17 planner: if r17 Lloyd-trains the remaining label-mean ANN
+# assignment family (build_ann_index / multiprobe — the natural next
+# lift after the r16 IVFPQ coarse work), the touched rows
+# (ann_ivf_multiprobe, ann_centroids, ann_incremental_assign,
+# dedup_semantic*, multimodal_embed_topk*, ann_filtered_*, the ANN
+# streaming ingests) need EVIDENCE RESETS — several are r15/r16-green,
+# so the nine spare slots are what makes that change affordable
+# without retirements.
+
 # The authoritative r16 export set: the R16 draft above, re-verified at
 # r16 start against the actual CORRECTNESS_r15 file (50/50 green, key
 # set == R15_EXPORT exactly, zero zero-row rows; post-r15 histogram

@@ -148,6 +148,62 @@ def test_trained_coarse_recovers_cells_from_scrambled_labels(
     assert biggest <= N_LABELS * PER_LABEL / 2, biggest
 
 
+def test_ivfpq_probe_keeps_adc_recall_on_clustered_corpus(
+    spark, clustered
+):
+    """IVF's promise, end to end (r16): on clusterABLE data,
+    restricting ADC to each query's nprobe TRAINED cells loses no
+    recall vs scanning every code — the true neighbors live in the
+    probed cells — while reading ~13% of the corpus (measured: both
+    sit at 0.30 vs the cosine truth, the exact-dot ceiling's
+    neighborhood per the r15 gates; the probe is free lunch, not a
+    recall trade). This is the composed trained-coarse + Lloyd-PQ
+    serve shape (`ann_ivfpq_topk`) on data where probing is supposed
+    to work."""
+    from pyspark.sql import Window
+
+    from dbt_on_snowflake_spark.operators.similarity import (
+        _adc_score_arrow,
+        _coarse_train_rows,
+        _entries_cb_row,
+        _ivf_probes,
+        _lloyd_train_rows,
+        _pq_encode,
+        _qlut_rows,
+        _train_sample,
+    )
+
+    e, q, truth = clustered
+    samp = _train_sample(e)
+    coarse = _coarse_train_rows(samp)
+    entries = _lloyd_train_rows(samp)
+    codes = _pq_encode(
+        _assign_cells(e.select("vec_id", "label", "v"), coarse),
+        _entries_cb_row(spark, entries),
+    ).cache()
+    probes = _ivf_probes(q, spark.createDataFrame(coarse, _PQ_CB_SCHEMA))
+    qluts = _qlut_rows(q, entries)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dot_scaled").desc(), F.col("neighbor_id").asc()
+    )
+
+    def top5(scored):
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    codes3 = codes.select("vec_id", "label", "bests")
+    r_ivfpq = _recall(top5(_adc_score_arrow(codes3, qluts, probes=probes)), truth)
+    r_full = _recall(top5(_adc_score_arrow(codes3, qluts)), truth)
+    # probing must not cost recall on clustered data (one-hit slack:
+    # 1/|truth| = 0.02) and must clear the old-codebook granularity
+    # floor outright
+    assert r_ivfpq >= r_full - 0.02, (r_ivfpq, r_full)
+    assert r_ivfpq >= 0.25, r_ivfpq
+
+
 def test_rerank_beats_raw_adc_and_clears_floor(spark, clustered):
     from dbt_on_snowflake_spark.operators.dedup import (
         _drop_managed_table,

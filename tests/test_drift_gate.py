@@ -370,6 +370,77 @@ def test_ivfpq_retrain_rebuilds_cell_partitioned(spark):
             _drop_managed_table(spark, t)
 
 
+def test_reindex_cli_gate_retrains_ivp_family_cell_partitioned(
+    spark, tmp_path, capsys
+):
+    """End-to-end CLI composition of the r16 routing: a DRIFTED
+    pq_codes_ivp_* family named via --codes-table (an ad-hoc name the
+    ensure registry does NOT know — the exact case an exact-name map
+    mis-routed) must retrain through the cell-partitioned builder,
+    re-arm its baseline, and exit 0. Drift is forced by shrinking the
+    qstats baseline sidecar under the table (the gate then reads
+    ratio 10 > 1.5)."""
+    import json
+    import posixpath
+
+    from dbt_on_snowflake_spark.__main__ import main
+    from dbt_on_snowflake_spark.engine.fs import (
+        fs_read_replaceable,
+        fs_replace_atomic,
+    )
+    from dbt_on_snowflake_spark.engine.index_maintenance import (
+        table_location,
+    )
+    from dbt_on_snowflake_spark.operators.dedup import _drop_managed_table
+    from dbt_on_snowflake_spark.operators.similarity import (
+        _assign_cells,
+        _coarse_train,
+        build_ivfpq_index,
+        pq_index_drift,
+    )
+
+    cells_t = "ivf_cells_tcligate"
+    cb_t = "pq_codebook_ivp_tcligate"
+    cd_t = "pq_codes_ivp_tcligate"
+    e = _vectors(spark, SF_SMOKE).filter(F.expr(BASE_PRED))
+    try:
+        build_ivfpq_index(
+            spark, e,
+            cells_table=cells_t, codebook_table=cb_t, codes_table=cd_t,
+        )
+        p = posixpath.join(table_location(spark, cd_t), "_qstats.json")
+        base = json.loads(fs_read_replaceable(spark, p).decode())
+        base["base_mean_qerr"] = base["base_mean_qerr"] / 10.0
+        fs_replace_atomic(spark, p, json.dumps(base).encode())
+        assert pq_index_drift(spark, codes_table=cd_t)["ratio"] > 1.5
+
+        rc = main([
+            "reindex", "--project", _proj(tmp_path), "--corpus", SF_SMOKE,
+            "--codes-table", cd_t, "--when-drifted", "1.5",
+        ])
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "RETRAINED" in out, out
+        # rebuilt through the family's OWN builder: codes re-labeled
+        # by the trained-cell assignment, baseline re-armed
+        got = sorted(
+            map(tuple, spark.table(cd_t).select("vec_id", "label").collect())
+        )
+        expect = sorted(
+            (int(r.vec_id), int(r.label))
+            for r in _assign_cells(
+                e.select("vec_id", "label", "v"), _coarse_train(e)
+            ).collect()
+        )
+        assert got == expect
+        assert pq_index_drift(spark, codes_table=cd_t)["ratio"] == (
+            pytest.approx(1.0)
+        )
+    finally:
+        for t in (cd_t, cb_t, cells_t):
+            _drop_managed_table(spark, t)
+
+
 def test_retrain_routing_is_convention_based(spark, monkeypatch):
     """The sweep's drift rebuild dispatches on the family NAMING
     CONVENTION, not an exact current-fingerprint name map (r16 review
