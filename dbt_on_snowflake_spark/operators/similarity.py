@@ -3080,16 +3080,14 @@ def pq_ensure_families(spark: SparkSession, sf_dir: str):
     ):
         sfx = _pq_family_suffix(spark, sf_dir, tag)
         out.append((ensure, f"{prefix}{sfx}", f"{prefix}{family_half(sfx)}"))
-    ivp_sfx = index_suffix(
-        spark, sf_dir, "ivfpq", "embeddings", algo=IVFPQ_ALGO
-    )
-    out.append(
-        (
-            ensure_ivfpq_index,
-            f"pq_codes_ivp_{ivp_sfx}",
-            f"pq_codes_ivp_{family_half(ivp_sfx)}",
+    for ensure, tag, prefix in (
+        (ensure_ivfpq_index, "ivfpq", "pq_codes_ivp_"),
+        (ensure_appended_ivfpq_index, "ivfpqaps", "pq_codes_ivp_aps_"),
+    ):
+        sfx = index_suffix(
+            spark, sf_dir, tag, "embeddings", algo=IVFPQ_ALGO
         )
-    )
+        out.append((ensure, f"{prefix}{sfx}", f"{prefix}{family_half(sfx)}"))
     return out
 
 
@@ -4028,14 +4026,17 @@ def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ann_ivfpq_topk",
-    driver=False,  # r16 EVIDENCE RESET: exported via R16_EXPORT (the
-    # coarse quantizer is Lloyd-trained this round — prior driver
-    # greens evidence the retired label-cell semantics)
-    oracle=f"""
-    WITH {_PQ_CODES_CTE},
-    {_coarse_lloyd_sql()},
+def _ivfpq_oracle(codes_cte: str, coarse_where: str = "") -> str:
+    """The trained-coarse IVFPQ oracle (r16), parameterized like the
+    flat-ADC pair: ``codes_cte`` is the PQ codes chain (the plain
+    ``_PQ_CODES_CTE`` or the frozen-codebook append variant) and
+    ``coarse_where`` restricts the coarse training sample the same way
+    (frozen cells for the append family). The coarse chain, the
+    ``casg`` cell assignment, probes, LUT and ADC are identical across
+    variants — one definition, two instantiations."""
+    return f"""
+    WITH {codes_cte},
+    {_coarse_lloyd_sql(coarse_where)},
     casg AS (
         -- IVF list assignment: each corpus vector's nearest TRAINED
         -- cell (rounded L2, lowest-cell tie-break — _assign_cells)
@@ -4088,7 +4089,15 @@ def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT query_id, neighbor_id, approx_dot_scaled,
            CAST(rank AS BIGINT) AS rank
     FROM ranked WHERE rank <= {TOP_K}
-    """,
+    """
+
+
+@query(
+    "ann_ivfpq_topk",
+    driver=False,  # r16 EVIDENCE RESET: exported via R16_EXPORT (the
+    # coarse quantizer is Lloyd-trained this round — prior driver
+    # greens evidence the retired label-cell semantics)
+    oracle=_ivfpq_oracle(_PQ_CODES_CTE),
 )
 def ann_ivfpq_topk(
     spark: SparkSession, sf_dir: str, kernel: str | None = None
@@ -4264,40 +4273,21 @@ def ensure_ivfpq_index(
     return cells_table, codebook_table, codes_table
 
 
-@query(
-    "ann_ivfpq_indexed",
-    driver=False,  # r15-born: R16_ROTATE_IN (first driver row due r16)
-    oracle=None,  # set below: shares ann_ivfpq_topk's oracle verbatim
-    headline=True,  # r16 (VERDICT r15 Next #6): the partition-pruned
-    # serve is the flagship 100 TB ANN path — tracked round-over-round
-    # beside the linear ann_pq_adc_topk it supersedes at scale
-)
-def ann_ivfpq_indexed(
-    spark: SparkSession, sf_dir: str, kernel: str | None = None
+def _ivfpq_serve(
+    spark: SparkSession,
+    sf_dir: str,
+    cells_t: str,
+    cb_t: str,
+    cd_t: str,
+    kernel: str | None = None,
 ) -> DataFrame:
-    """``ann_ivfpq_topk`` served from PERSISTED artifacts — the
-    production IVFPQ read path (what FAISS serves from a loaded index):
-    trained coarse cells, trained PQ codebook, and CELL-PARTITIONED
-    codes from ``ensure_ivfpq_index`` (steady state is a tableExists
-    probe), so the per-query scan is a LITERAL partition prune: the
-    codes scan is restricted to the union of probed cells before the
-    kernel runs (a pushed-down partition filter on the bounded
-    collected probe set), and per-query cell masks apply inside the
-    kernel. The only pass over the embeddings parquet is the bounded
-    query side — no re-encode, no retraining (plan-pinned by
-    ``test_ivfpq_indexed_prunes_to_probed_cells``). Shares the inline
-    twin's oracle verbatim: both quantizer trainings are
-    sample-deterministic, so serving persisted must not change a row.
-
-    At 100 TB this is THE sublinear ANN serve: per query it reads
-    O(nprobe / cells) of a 128x-compressed corpus — partition-pruned
-    disk reads, bounded broadcast state, one top-k exchange. r16: the
-    cells are Lloyd-TRAINED (VERDICT r15 Next #2), so the prune now
-    follows the data's own cluster structure, not the ingest labels."""
+    """The persisted-IVFPQ read path over an already-ensured family —
+    shared by the build-once serve and the append-grown serve (one
+    definition of the probe/prune/score pipeline, the
+    ``_adc_serve`` convention)."""
     import os as _os
 
     kernel = kernel or _os.environ.get("SPARK_GRAFT_PQ_KERNEL", "arrow")
-    cells_t, cb_t, cd_t = ensure_ivfpq_index(spark, sf_dir)
     e = _vectors(spark, sf_dir)
     q = e.filter(F.expr(_QUERY_PRED))
     probes = _ivf_probes(q, spark.table(cells_t))
@@ -4334,6 +4324,40 @@ def ann_ivfpq_indexed(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+@query(
+    "ann_ivfpq_indexed",
+    driver=False,  # r15-born: R16_ROTATE_IN (first driver row due r16)
+    oracle=None,  # set below: shares ann_ivfpq_topk's oracle verbatim
+    headline=True,  # r16 (VERDICT r15 Next #6): the partition-pruned
+    # serve is the flagship 100 TB ANN path — tracked round-over-round
+    # beside the linear ann_pq_adc_topk it supersedes at scale
+)
+def ann_ivfpq_indexed(
+    spark: SparkSession, sf_dir: str, kernel: str | None = None
+) -> DataFrame:
+    """``ann_ivfpq_topk`` served from PERSISTED artifacts — the
+    production IVFPQ read path (what FAISS serves from a loaded index):
+    trained coarse cells, trained PQ codebook, and CELL-PARTITIONED
+    codes from ``ensure_ivfpq_index`` (steady state is a tableExists
+    probe), so the per-query scan is a LITERAL partition prune: the
+    codes scan is restricted to the union of probed cells before the
+    kernel runs (a pushed-down partition filter on the bounded
+    collected probe set), and per-query cell masks apply inside the
+    kernel. The only pass over the embeddings parquet is the bounded
+    query side — no re-encode, no retraining (plan-pinned by
+    ``test_ivfpq_indexed_prunes_to_probed_cells``). Shares the inline
+    twin's oracle verbatim: both quantizer trainings are
+    sample-deterministic, so serving persisted must not change a row.
+
+    At 100 TB this is THE sublinear ANN serve: per query it reads
+    O(nprobe / cells) of a 128x-compressed corpus — partition-pruned
+    disk reads, bounded broadcast state, one top-k exchange. r16: the
+    cells are Lloyd-TRAINED (VERDICT r15 Next #2), so the prune now
+    follows the data's own cluster structure, not the ingest labels."""
+    cells_t, cb_t, cd_t = ensure_ivfpq_index(spark, sf_dir)
+    return _ivfpq_serve(spark, sf_dir, cells_t, cb_t, cd_t, kernel)
 
 
 def _set_ivfpq_indexed_oracle() -> None:
@@ -4436,6 +4460,67 @@ def build_ivfpq_index(
         .saveAsTable(codes_table)
     )
     _write_pq_qstats(spark, codes_table)
+
+
+def ivfpq_index_append(
+    spark: SparkSession,
+    new_e: DataFrame,
+    *,
+    cells_table: str,
+    codebook_table: str,
+    codes_table: str,
+) -> DataFrame:
+    """Append NEW vectors to a persisted IVFPQ index built by
+    ``build_ivfpq_index`` — the family's production ingest path (r16):
+    at 100 TB a new batch must NOT force a full-corpus re-encode OR a
+    quantizer retrain. Same probe-then-grow contract as
+    ``pq_index_append`` with BOTH quantizers frozen:
+
+    - idempotence first (at-least-once ingest): already-encoded
+      vec_ids are dropped via the codes table's FILE-LIST SNAPSHOT +
+      broadcast anti-join — a fully re-delivered batch appends nothing;
+    - the batch is assigned to its nearest FROZEN trained cell
+      (``_assign_cells`` over the persisted cells table — bounded,
+      collected once) and encoded against the FROZEN persisted
+      codebook; per-batch cost is O(|batch| x (cells + PQ_M x K)),
+      independent of corpus size, corpus never re-read;
+    - the (vec_id, cell, bests) rows land in the CELL-partitioned
+      codes table via dynamic partition append, clustered on the cell
+      first (the small-file discipline).
+
+    Cell assignment and codes are per-row facts of (vector, frozen
+    quantizers), so append converges BIT-EXACTLY to a rebuild against
+    the same frozen pair; retraining is the separate offline job
+    (``retrain_ivfpq_family``). Returns the encoded rows."""
+    from dbt_on_snowflake_spark.engine.fs import fs_list_files
+    from dbt_on_snowflake_spark.engine.index_maintenance import (
+        table_location,
+    )
+
+    snap = fs_list_files(spark, table_location(spark, codes_table))
+    if snap:
+        dup_ids = (
+            spark.read.parquet(*snap)
+            .select("vec_id")
+            .join(F.broadcast(new_e.select("vec_id")), "vec_id")
+        )
+        new_e = new_e.join(F.broadcast(dup_ids), "vec_id", "left_anti")
+    # bounded: K cells x D doubles — the frozen coarse quantizer
+    frozen_cells = [
+        (int(r["label"]), list(r["v"]))
+        for r in spark.table(cells_table).collect()
+    ]
+    codes = _pq_encode(
+        _assign_cells(new_e.select("vec_id", "label", "v"), frozen_cells),
+        _codebook_row(spark.table(codebook_table)),
+    )
+    (
+        codes.repartition("label")
+        .write.mode("append")
+        .partitionBy("label")
+        .saveAsTable(codes_table)
+    )
+    return codes
 
 
 def pq_index_append(
@@ -5294,6 +5379,105 @@ def ann_pq_adc_appended_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb_t, cd_t = ensure_appended_pq_index(spark, sf_dir)
     e = _vectors(spark, sf_dir)
     return _adc_serve(spark, e, cb_t, _live_codes(spark, cd_t), TOP_K)
+
+
+def ensure_appended_ivfpq_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str, str]:
+    """Build-once the GROWN IVFPQ state — base ``build_ivfpq_index``
+    over the corpus slice + one ``ivfpq_index_append`` batch against
+    the FROZEN quantizer pair — behind the shared ensure scaffold.
+    Same crash model as ``ensure_appended_pq_index``: the append step
+    GROWS an existing table, so a commit MARKER created last and
+    probed first keeps a crash between build and append from leaving a
+    complete-looking family serving base-only codes forever. Family
+    names stay inside the ``pq_codes_ivp_`` convention so the reindex
+    sweep's drift retrain routes to the cell-partitioned builder
+    (``retrain_any_pq_family``)."""
+    from dbt_on_snowflake_spark.testdata import (
+        ensure_index_tables,
+        index_suffix,
+    )
+
+    suffix = index_suffix(
+        spark, sf_dir, "ivfpqaps", "embeddings", algo=IVFPQ_ALGO
+    )
+    cells_t = f"ivf_cells_aps_{suffix}"
+    cb_t = f"pq_codebook_ivp_aps_{suffix}"
+    cd_t = f"pq_codes_ivp_aps_{suffix}"
+    grown_t = f"ivp_grown_aps_{suffix}"
+
+    def build() -> None:
+        from dbt_on_snowflake_spark.engine.index_delete import (
+            mark_engine_dir,
+        )
+        from dbt_on_snowflake_spark.operators.dedup import (
+            _drop_managed_table,
+        )
+
+        # invalidate the marker FIRST (the aps-family crash model)
+        _drop_managed_table(spark, grown_t)
+        e = _vectors(spark, sf_dir)
+        build_ivfpq_index(
+            spark,
+            e.filter(F.expr(_CORPUS_PRED)),
+            cells_table=cells_t,
+            codebook_table=cb_t,
+            codes_table=cd_t,
+        )
+        ivfpq_index_append(
+            spark,
+            e.filter(F.expr(_NEW_BATCH_PRED)),
+            cells_table=cells_t,
+            codebook_table=cb_t,
+            codes_table=cd_t,
+        )
+        spark.catalog.refreshTable(cd_t)
+        spark.createDataFrame(
+            [(1,)], "grown int"
+        ).write.mode("overwrite").saveAsTable(grown_t)
+        mark_engine_dir(spark, grown_t)
+
+    ensure_index_tables(
+        spark,
+        tables=(grown_t, cd_t, cb_t, cells_t),
+        job_group="ivfpq_appended_index",
+        gc_prefixes=(
+            "ivf_cells_aps_",
+            "pq_codebook_ivp_aps_",
+            "pq_codes_ivp_aps_",
+            "pq_tombstones_ivp_aps_",
+            "ivp_grown_aps_",
+        ),
+        gc_suffix=suffix,
+        build=build,
+    )
+    return cells_t, cb_t, cd_t
+
+
+@query(
+    "ann_ivfpq_appended_served",
+    driver=False,  # r16-born: R17_ROTATE_IN (first driver row due r17)
+    oracle=_ivfpq_oracle(
+        _PQ_CODES_CTE_FROZEN, f" WHERE {_CORPUS_PRED}"
+    ),
+)
+def ann_ivfpq_appended_served(
+    spark: SparkSession, sf_dir: str, kernel: str | None = None
+) -> DataFrame:
+    """The IVFPQ serve over an APPEND-GROWN family (r16): base build
+    from the corpus slice, the held-out batch appended against the
+    FROZEN trained cells + FROZEN PQ codebook (``ivfpq_index_append``),
+    then the steady-state partition-pruned serve over the grown,
+    cell-partitioned codes — build + append + serve proven by one
+    oracle whose BOTH quantizer chains train on the base slice only
+    while codes/assignment cover every vector (the
+    ``ann_pq_adc_appended`` frozen-CTE convention, now for the
+    inverted-list family). At 100 TB this is the ingest-while-serving
+    posture: new batches land as per-cell appends, no re-encode, no
+    retrain, the serve's prune unchanged."""
+    cells_t, cb_t, cd_t = ensure_appended_ivfpq_index(spark, sf_dir)
+    return _ivfpq_serve(spark, sf_dir, cells_t, cb_t, cd_t, kernel)
 
 
 @query(

@@ -796,7 +796,12 @@ R16_ROTATE_IN: set[str] = {
 
 # Queries born in round 16 — mandatory r17 rotate-ins (never
 # driver-checked). Keep this current as queries are born.
-R17_ROTATE_IN: set[str] = set()
+R17_ROTATE_IN: set[str] = {
+    # the append-grown IVFPQ serve (frozen trained cells + frozen PQ
+    # codebook, per-cell dynamic-partition appends) — takes the first
+    # of the nine spare r17 slots
+    "ann_ivfpq_appended_served",
+}
 
 # R17 DRAFT (computed at r16 session end; re-verify against the actual
 # CORRECTNESS_r16 file at r17 start): assuming r16 goes green on

@@ -472,9 +472,12 @@ def test_retrain_routing_is_convention_based(spark, monkeypatch):
     assert [kind for kind, _ in calls] == [
         "ivp", "ivp", "generic", "generic"
     ], calls
-    # and the sweep registry still names the ivp family for ensures
+    # and the sweep registry names BOTH cell-partitioned families
+    # (the build-once ivp family and the append-grown ivp_aps one —
+    # the aps name deliberately stays inside the routing prefix so its
+    # drift retrain also rebuilds cell-partitioned)
     fams = sim.pq_ensure_families(spark, SF_SMOKE)
-    assert sum(f[1].startswith("pq_codes_ivp_") for f in fams) == 1
+    assert sum(f[1].startswith("pq_codes_ivp_") for f in fams) == 2
 
 
 def test_drift_handles_empty_and_zero_baseline(spark):

@@ -1282,6 +1282,190 @@ def test_pq_index_append_converges_to_rebuild(spark):
     assert grown == rebuilt
 
 
+def _fresh_ivfpq(spark, tag):
+    from dbt_on_snowflake_spark.operators.similarity import (
+        _CORPUS_PRED,
+        _vectors,
+        build_ivfpq_index,
+    )
+
+    cells_t = f"ivf_cells_{tag}"
+    cb_t = f"pq_codebook_ivp_{tag}"
+    cd_t = f"pq_codes_ivp_{tag}"
+    e = _vectors(spark, SF_SMOKE)
+    build_ivfpq_index(
+        spark, e.filter(_CORPUS_PRED),
+        cells_table=cells_t, codebook_table=cb_t, codes_table=cd_t,
+    )
+    return e, cells_t, cb_t, cd_t
+
+
+def _drop_ivfpq(spark, *tables):
+    from dbt_on_snowflake_spark.operators.dedup import _drop_managed_table
+
+    for t in tables:
+        _drop_managed_table(spark, t)
+
+
+def test_ivfpq_index_append_replay_is_noop(spark):
+    """At-least-once ingest for the IVFPQ codes (r16): re-delivering a
+    batch the index already encodes must append nothing — the snapshot
+    probe drops every vec_id already coded, the cell-partitioned codes
+    stay row-identical, and the replay's returned encode set is
+    empty."""
+    from dbt_on_snowflake_spark.operators.similarity import (
+        _NEW_BATCH_PRED,
+        ivfpq_index_append,
+    )
+
+    e, cells_t, cb_t, cd_t = _fresh_ivfpq(spark, "ivpreplay")
+    try:
+        batch = e.filter(_NEW_BATCH_PRED)
+        first = ivfpq_index_append(
+            spark, batch,
+            cells_table=cells_t, codebook_table=cb_t, codes_table=cd_t,
+        ).collect()
+        assert first  # first delivery really encodes
+        spark.catalog.refreshTable(cd_t)
+        state = sorted(
+            (r.vec_id, r.label) for r in
+            spark.table(cd_t).select("vec_id", "label").collect()
+        )
+        replay = ivfpq_index_append(
+            spark, batch,
+            cells_table=cells_t, codebook_table=cb_t, codes_table=cd_t,
+        ).collect()
+        assert replay == []
+        spark.catalog.refreshTable(cd_t)
+        assert sorted(
+            (r.vec_id, r.label) for r in
+            spark.table(cd_t).select("vec_id", "label").collect()
+        ) == state
+    finally:
+        _drop_ivfpq(spark, cd_t, cb_t, cells_t)
+
+
+def test_ivfpq_index_append_converges_to_frozen_encode(spark):
+    """Cell assignment and codes are per-row facts of (vector, FROZEN
+    quantizer pair): the append-grown codes table must equal a
+    from-scratch assign+encode of the FULL corpus against the same
+    persisted cells and codebook, row for row — including the
+    partition column (the appended rows landed in their frozen-cell
+    partitions)."""
+    from dbt_on_snowflake_spark.operators.similarity import (
+        _NEW_BATCH_PRED,
+        _assign_cells,
+        _codebook_row,
+        _pq_encode,
+        ivfpq_index_append,
+    )
+
+    e, cells_t, cb_t, cd_t = _fresh_ivfpq(spark, "ivpconv")
+    try:
+        ivfpq_index_append(
+            spark, e.filter(_NEW_BATCH_PRED),
+            cells_table=cells_t, codebook_table=cb_t, codes_table=cd_t,
+        )
+        spark.catalog.refreshTable(cd_t)
+        grown = sorted(
+            (r.vec_id, r.label, tuple((b.d, b.code) for b in r.bests))
+            for r in spark.table(cd_t)
+            .select("vec_id", "label", "bests")
+            .collect()
+        )
+        frozen_cells = [
+            (int(r["label"]), list(r["v"]))
+            for r in spark.table(cells_t).collect()
+        ]
+        rebuilt = sorted(
+            (r.vec_id, r.label, tuple((b.d, b.code) for b in r.bests))
+            for r in _pq_encode(
+                _assign_cells(e.select("vec_id", "label", "v"), frozen_cells),
+                _codebook_row(spark.table(cb_t)),
+            ).collect()
+        )
+        assert grown == rebuilt
+    finally:
+        _drop_ivfpq(spark, cd_t, cb_t, cells_t)
+
+
+def test_ivfpq_append_no_corpus_reencode_or_retrain(spark, monkeypatch):
+    """ivfpq_index_append must assign+encode ONLY the batch against
+    the persisted FROZEN quantizers: with an in-memory batch, the
+    returned plan reads pq_codebook_ivp_ (hof encode) and nothing from
+    the corpus parquet, with no training stage — at 100 TB an
+    embeddings scan or a posexplode here means the append retrains or
+    re-encodes per batch."""
+    from pyspark.sql import functions as F
+
+    from dbt_on_snowflake_spark.operators.similarity import (
+        ivfpq_index_append,
+    )
+    from dbt_on_snowflake_spark.plans import explain_str
+
+    e, cells_t, cb_t, cd_t = _fresh_ivfpq(spark, "ivpplan")
+    try:
+        batch = spark.createDataFrame(
+            [(100009, 0, [0.1] * 64), (100019, 1, [0.2] * 64)],
+            "vec_id long, label long, v array<double>",
+        )
+        monkeypatch.setenv("SPARK_GRAFT_PQ_KERNEL", "hof")
+        plan = explain_str(
+            ivfpq_index_append(
+                spark, batch,
+                cells_table=cells_t, codebook_table=cb_t, codes_table=cd_t,
+            )
+        )
+        assert "embeddings.parquet" not in plan  # corpus never re-read
+        assert "Generate" not in plan  # posexplode = quantizer retrain
+        assert "pq_codebook_ivp_" in plan  # the frozen codebook encodes
+        monkeypatch.delenv("SPARK_GRAFT_PQ_KERNEL")
+        batch2 = batch.withColumn("vec_id", F.col("vec_id") + 1000)
+        plan_a = explain_str(
+            ivfpq_index_append(
+                spark, batch2,
+                cells_table=cells_t, codebook_table=cb_t, codes_table=cd_t,
+            )
+        )
+        assert "embeddings.parquet" not in plan_a
+        assert "MapInPandas" in plan_a  # arrow assign+encode kernels
+    finally:
+        _drop_ivfpq(spark, cd_t, cb_t, cells_t)
+
+
+def test_ivfpq_delete_gates_the_pruned_serve(spark):
+    """The IVFPQ family composes with the shared tombstone machinery:
+    deleting ids via ``pq_index_delete`` flips the partition-pruned
+    serve to the gated read (LeftAnti present) and no deleted vector
+    is ever returned as a neighbor — the delete matrix's PQ semantics
+    carried over to the cell-partitioned family."""
+    from dbt_on_snowflake_spark.operators.similarity import (
+        _NEW_BATCH_PRED,
+        _ivfpq_serve,
+        ivfpq_index_append,
+        pq_index_delete,
+    )
+    from dbt_on_snowflake_spark.plans import explain_str
+
+    e, cells_t, cb_t, cd_t = _fresh_ivfpq(spark, "ivpdel")
+    try:
+        ivfpq_index_append(
+            spark, e.filter(_NEW_BATCH_PRED),
+            cells_table=cells_t, codebook_table=cb_t, codes_table=cd_t,
+        )
+        spark.catalog.refreshTable(cd_t)
+        deleted = e.filter(_NEW_BATCH_PRED).select("vec_id")
+        pq_index_delete(spark, deleted, codes_table=cd_t)
+        served = _ivfpq_serve(spark, SF_SMOKE, cells_t, cb_t, cd_t)
+        assert "LeftAnti" in explain_str(served)  # paying the gate
+        dead = {r.vec_id for r in deleted.collect()}
+        got = {r.neighbor_id for r in served.collect()}
+        assert served.count() > 0
+        assert not dead & got, sorted(dead & got)
+    finally:
+        _drop_ivfpq(spark, cd_t, cb_t, cells_t)
+
+
 def test_pq_index_refreshes_on_corpus_regeneration(spark, tmp_path):
     """ensure_pq_index keys its build-once suffix on a (path, size,
     mtime) fingerprint of the corpus files, not the path alone: a

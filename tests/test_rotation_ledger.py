@@ -283,7 +283,7 @@ def test_r14_export_satisfied_rotation_policy_retroactively():
     """The retired r14 export stays compliant against the r1–r13
     history, audited with the r13-era retired set (a later retirement
     must not mask an obligation that existed at r14)."""
-    registered = set(all_queries()) - R16_ROTATE_IN
+    registered = set(all_queries()) - R16_ROTATE_IN - R17_ROTATE_IN
     errs = check_policy(
         current_round=14,
         export=R14_EXPORT,
@@ -299,7 +299,9 @@ def test_r13_export_satisfied_rotation_policy_retroactively():
     """The retired r13 export stays compliant against the r1–r12
     history (rows born in r14 — the R15 ledger — had no r13
     obligation)."""
-    registered = set(all_queries()) - R15_ROTATE_IN - R16_ROTATE_IN
+    registered = (
+        set(all_queries()) - R15_ROTATE_IN - R16_ROTATE_IN - R17_ROTATE_IN
+    )
     errs = check_policy(
         current_round=13,
         export=R13_EXPORT,
@@ -393,7 +395,11 @@ def test_r12_export_satisfied_rotation_policy_retroactively():
     retirement had no r12 obligation, so the audit runs with the
     then-empty retired set and the then-known registered pool."""
     registered = (
-        set(all_queries()) - R14_ROTATE_IN - R15_ROTATE_IN - R16_ROTATE_IN
+        set(all_queries())
+        - R14_ROTATE_IN
+        - R15_ROTATE_IN
+        - R16_ROTATE_IN
+        - R17_ROTATE_IN
     )
     errs = check_policy(
         current_round=12,
@@ -416,6 +422,7 @@ def test_r11_export_satisfied_rotation_policy_retroactively():
         - R14_ROTATE_IN
         - R15_ROTATE_IN
         - R16_ROTATE_IN
+        - R17_ROTATE_IN
     )
     errs = check_policy(
         current_round=11,
