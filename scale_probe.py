@@ -152,25 +152,27 @@ def _drop_all(spark, tables: list[str]) -> None:
 
 
 def drop_ivfpq_family(spark, sf_dir: str) -> None:
-    """Drop the persisted IVFPQ family keyed on ``sf_dir`` — the probe
-    must not leave an index over the throwaway SCALED corpus in the
-    shared warehouse (r16 review finding 2): the reindex sweep gates
-    every pq_codes_* family, and one whose corpus lives in a
+    """Drop the persisted IVFPQ families keyed on ``sf_dir`` — the
+    probe must not leave an index over the throwaway SCALED corpus in
+    the shared warehouse (r16 review finding 2): the reindex sweep
+    gates every pq_codes_* family, and one whose corpus lives in a
     regenerable .scratch dir would alarm (or fail-closed retrain)
-    every scheduled sweep after the scratch rotates."""
+    every scheduled sweep after the scratch rotates. Covers BOTH
+    cell-partitioned families (build-once 'ivfpq' and append-grown
+    'ivfpqaps') so promoting the appended serve into the probe can't
+    re-open the leak (r16 review pass 2, finding 3)."""
     from dbt_on_snowflake_spark.operators.similarity import IVFPQ_ALGO
     from dbt_on_snowflake_spark.testdata import index_suffix
 
-    sfx = index_suffix(spark, sf_dir, "ivfpq", "embeddings", algo=IVFPQ_ALGO)
-    _drop_all(
-        spark,
-        [
-            f"ivf_cells_{sfx}",
-            f"pq_codebook_ivp_{sfx}",
-            f"pq_codes_ivp_{sfx}",
-            f"pq_tombstones_ivp_{sfx}",
-        ],
-    )
+    for tag, names in (
+        ("ivfpq", ("ivf_cells_{s}", "pq_codebook_ivp_{s}",
+                   "pq_codes_ivp_{s}", "pq_tombstones_ivp_{s}")),
+        ("ivfpqaps", ("ivf_cells_aps_{s}", "pq_codebook_ivp_aps_{s}",
+                      "pq_codes_ivp_aps_{s}", "pq_tombstones_ivp_aps_{s}",
+                      "ivp_grown_aps_{s}")),
+    ):
+        sfx = index_suffix(spark, sf_dir, tag, "embeddings", algo=IVFPQ_ALGO)
+        _drop_all(spark, [n.format(s=sfx) for n in names])
 
 
 def ivfpq_read_fractions(spark, cells_table: str, codes_table: str,
@@ -250,8 +252,14 @@ def main() -> None:
         # build a persisted IVFPQ family keyed on it — drop it so the
         # reindex sweep never gates an index over throwaway data
         # (r16 review finding 2; the base-dir family serves the real
-        # corpus and stays)
-        drop_ivfpq_family(spark, out)
+        # corpus and stays). Best-effort: a dead session or unreadable
+        # scratch must not mask _probe's own traceback (pass 2,
+        # finding 4).
+        try:
+            drop_ivfpq_family(spark, out)
+        except Exception as exc:  # noqa: BLE001 — cleanup only
+            print(f"warning: ivfpq probe-family cleanup failed: {exc}",
+                  file=sys.stderr)
 
 
 def _probe(spark, base, out, factor, sf, derive_sec) -> None:
