@@ -803,6 +803,12 @@ R17_ROTATE_IN: set[str] = {
     "ann_ivfpq_appended_served",
 }
 
+# Queries born in round 17 — mandatory r18 rotate-ins. r17 births NO
+# new queries (the trained-coarse wiring re-keys existing rows and
+# evidences through their resets), so this stays empty unless late-r17
+# work births one.
+R18_ROTATE_IN: set[str] = set()
+
 # R17 DRAFT (computed at r16 session end; re-verify against the actual
 # CORRECTNESS_r16 file at r17 start): assuming r16 goes green on
 # R16_EXPORT, the post-r16 histogram over the 141-row pool is
@@ -906,6 +912,103 @@ R16_EXPORT = {
     "asof_last_order_within_30d",
 }
 
+# The authoritative r17 export set: the R17 draft above, re-verified at
+# r17 start against the actual CORRECTNESS_r16 file (50/50 green, key
+# set == R16_EXPORT exactly, zero zero-row rows; post-r16 histogram
+# over the 142-row pool recomputed as r14 x41 / r15 x50 / r16 x50 + 1
+# never-checked = ann_ivfpq_appended_served) and executed with the
+# r15/r16 playbook:
+# - the 41 window-hard r14-green rows (R14_EXPORT minus the r15/r16
+#   evidence resets and pull-forwards, all re-greened since) are
+#   exported outright — zero slips;
+# - R17_ROTATE_IN: ann_ivfpq_appended_served's first-ever driver row
+#   (the r16 ledger executed exactly);
+# - EVIDENCE RESETS x5 (the r15/r16 precedent): this round wires the
+#   Lloyd-TRAINED coarse quantizer into the PLAIN IVF family (VERDICT
+#   r16 Next #2 option (a) — build_ann_index / ann_index_append /
+#   the multiprobe serves now assign and probe trained cells via
+#   _assign_cells, not frozen ingest-label means), so every prior
+#   green row of the re-keyed serves evidences retired semantics:
+#   ann_ivf_multiprobe (r16-green), ann_ivf_multiprobe_deleted (r16),
+#   ann_incremental_assign (r16), ann_centroids (r15 — now the
+#   trained-cell exposure), ann_recall_eval (r16 — its IVF leg rides
+#   the re-keyed multiprobe). The dedup_semantic* family and
+#   ann_semantic_ingest_streaming stay on ingest-label BLOCKING by
+#   documented contract (VERDICT r16 Next #2 option (b) for dedup:
+#   blocking is a deterministic partition contract where cells arrive
+#   pre-assigned; the oracle mirrors the blocking) — no resets there.
+#   multimodal_embed_topk*, retrieval_hybrid_rrf*, ann_hard_negatives
+#   and the flat-PQ ADC family ride brute-force or PQ codes, never the
+#   coarse cells — no resets (verified rider-by-rider this session).
+# - the 3 remaining slots pull r15-green rows forward to lighten the
+#   r18 window (50 r15-green rows would otherwise all be window-hard
+#   at r18 — over the 47-row stale bound; the resets + pulls cut r18
+#   to 46): dedup_semantic + dedup_semantic_served (the two bench
+#   watch items — fresh driver rows pin that the label-blocking
+#   contract left their results unchanged) and dedup_exact (the
+#   exact-dedup bench headliner).
+# R17_EXPORT = 41 window-hard + 1 rotate-in + 5 evidence resets +
+# 3 pull-forwards = 50 exactly, zero slips.
+R17_EXPORT = {
+    # the 41 window-hard r14-green rows
+    "a_unpivot_status_revenue",
+    "ann_filtered_indexed",
+    "ann_filtered_rerank_indexed",
+    "ann_hard_negatives",
+    "corpus_dedup_cascade",
+    "corpus_ingest_streaming",
+    "corpus_pack_efficiency",
+    "corpus_quality_report",
+    "corpus_shuffle_order",
+    "corpus_temperature_sample",
+    "dedup_ngram_jaccard",
+    "dedup_semantic_deleted",
+    "f_datetime_suite",
+    "j_full_outer_daily_reconciliation",
+    "multimodal_embed_topk_deleted",
+    "multimodal_patch_grid",
+    "q11_important_suppliers",
+    "q12_priority_by_shipmode",
+    "q13_order_count_distribution",
+    "q21_waiting_suppliers",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "retrieval_hybrid_rrf_indexed",
+    "retrieval_hybrid_rrf_perquery_indexed",
+    "s4_source_passthrough",
+    "t_events_dedup_wm_streaming",
+    "t_events_stream_stream_join",
+    "t_events_topn_types_update_streaming",
+    "text_bigram_coverage",
+    "text_bm25_topk_incremental",
+    "text_bm25_topk_indexed",
+    "text_bpe_train_merges",
+    "text_fingerprint",
+    "text_index_ingest_streaming",
+    "text_lang_id",
+    "text_levenshtein_pairs",
+    "text_quality_classifier",
+    "text_repetition",
+    "text_stats",
+    "text_token_count_bpe_trained",
+    "w_ntile_customer_value_quartiles",
+    # r16-born, never driver-checked — R17_ROTATE_IN (the append-grown
+    # IVFPQ serve's first driver row)
+    "ann_ivfpq_appended_served",
+    # evidence resets: the plain-IVF family probes Lloyd-TRAINED cells
+    # this round (ledger note above) — prior greens evidence the
+    # retired label-mean semantics
+    "ann_ivf_multiprobe",
+    "ann_ivf_multiprobe_deleted",
+    "ann_incremental_assign",
+    "ann_centroids",
+    "ann_recall_eval",
+    # the 3 pull-forwards from the r15-green block (ledger note above)
+    "dedup_semantic",
+    "dedup_semantic_served",
+    "dedup_exact",
+}
+
 # The retired r15 export set: the R15 draft, re-verified against
 # CORRECTNESS_r14 at r15 start and executed with the documented
 # retirement-first + evidence-reset deviations (ledger above).
@@ -994,7 +1097,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
 
     # Apply the round's rotation: the export list above is authoritative.
     for n, q in QUERIES.items():
-        q.driver = n in R16_EXPORT
+        q.driver = n in R17_EXPORT
     return QUERIES
 
 

@@ -170,55 +170,55 @@ def test_driver_export_within_budget():
         assert any(n.startswith(fam) for n in exported), fam
 
 
-def test_r16_rotation_promises_kept():
-    """The r16 rotation: the R16 draft re-verified against
-    CORRECTNESS_r15 (50/50 green, key set == R15_EXPORT exactly, zero
-    zero-row rows) and executed retirement-first (registry ledger: 3
-    more twins demoted, all 3 from the mandatory block) — the 44
-    window-hard r13-green rows, the persisted IVFPQ serve's first
-    driver row (R16_ROTATE_IN), the inline IVFPQ twin's trained-coarse
-    evidence reset, and 4 r14-green pull-forwards = 50, zero slips.
-    Pin them so a later edit can't silently demote one before the
-    driver sees it. (The full staleness arithmetic is machine-checked
-    against the CORRECTNESS_r*.json history in
+def test_r17_rotation_promises_kept():
+    """The r17 rotation: the R17 draft re-verified against
+    CORRECTNESS_r16 (50/50 green, key set == R16_EXPORT exactly, zero
+    zero-row rows) — the 41 window-hard r14-green rows, the
+    append-grown IVFPQ serve's first driver row (R17_ROTATE_IN), the 5
+    trained-coarse evidence resets (the plain-IVF family is re-keyed
+    to Lloyd cells this round), and 3 r15-green pull-forwards = 50,
+    zero slips. Pin them so a later edit can't silently demote one
+    before the driver sees it. (The full staleness arithmetic is
+    machine-checked against the CORRECTNESS_r*.json history in
     tests/test_rotation_ledger.py.)"""
     from dbt_on_snowflake_spark.registry import (
-        R13_EXPORT,
         R14_EXPORT,
         R15_EXPORT,
         R16_EXPORT,
-        R16_ROTATE_IN,
+        R17_EXPORT,
         R17_ROTATE_IN,
+        R18_ROTATE_IN,
         RETIRED_FROM_ROTATION,
         driver_queries,
     )
 
     exported = set(driver_queries())
-    assert R16_EXPORT == exported, sorted(R16_EXPORT ^ exported)
-    # the 44 window-hard rows: last green r13 = exported at r13, not
-    # re-exported (hence not re-greened) at r14 or r15, not retired
+    assert R17_EXPORT == exported, sorted(R17_EXPORT ^ exported)
+    # the 41 window-hard rows: last green r14 = exported at r14, not
+    # re-exported (hence not re-greened) at r15 or r16, not retired
     retired = set(RETIRED_FROM_ROTATION)
-    r13_green = (R13_EXPORT - retired) - R14_EXPORT - R15_EXPORT
-    assert len(r13_green) == 44, len(r13_green)
-    resets = {"ann_ivfpq_topk"}
-    pulls = {
-        "a1_loyalty_metrics",
+    r14_green = (R14_EXPORT - retired) - R15_EXPORT - R16_EXPORT
+    assert len(r14_green) == 41, len(r14_green)
+    resets = {
+        "ann_ivf_multiprobe",
+        "ann_ivf_multiprobe_deleted",
+        "ann_incremental_assign",
+        "ann_centroids",
         "ann_recall_eval",
-        "ann_topk_bruteforce",
-        "asof_last_order_within_30d",
     }
-    assert r13_green <= exported, sorted(r13_green - exported)
-    assert R16_ROTATE_IN <= exported, sorted(R16_ROTATE_IN - exported)
+    pulls = {"dedup_semantic", "dedup_semantic_served", "dedup_exact"}
+    assert r14_green <= exported, sorted(r14_green - exported)
+    assert R17_ROTATE_IN <= exported, sorted(R17_ROTATE_IN - exported)
     assert resets <= exported and pulls <= exported
     # the export is exactly the mandatory set + the documented extras
-    assert exported == r13_green | R16_ROTATE_IN | resets | pulls
+    assert exported == r14_green | R17_ROTATE_IN | resets | pulls
     # retirement is disjoint from the export
     assert not retired & exported
-    # r16-born queries register in the ledger for the r17 rotation
+    # r17-born queries (none yet) register in the ledger for r18
     from dbt_on_snowflake_spark.registry import all_queries
 
-    assert R17_ROTATE_IN <= set(all_queries()), sorted(
-        R17_ROTATE_IN - set(all_queries())
+    assert R18_ROTATE_IN <= set(all_queries()), sorted(
+        R18_ROTATE_IN - set(all_queries())
     )
 
 

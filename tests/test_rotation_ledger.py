@@ -53,7 +53,9 @@ from dbt_on_snowflake_spark.registry import (
     R15_ROTATE_IN,
     R16_EXPORT,
     R16_ROTATE_IN,
+    R17_EXPORT,
     R17_ROTATE_IN,
+    R18_ROTATE_IN,
     RETIRED_FROM_ROTATION,
     all_queries,
 )
@@ -196,8 +198,53 @@ def check_policy(
     return errs
 
 
-def test_r16_export_satisfies_rotation_policy():
+def test_r17_export_satisfies_rotation_policy():
     registered = set(all_queries())
+    errs = check_policy(
+        current_round=17,
+        export=R17_EXPORT,
+        rotate_in=R17_ROTATE_IN,
+        next_ledger=R18_ROTATE_IN,
+        registered=registered,
+        retired=set(RETIRED_FROM_ROTATION),
+    )
+    assert not errs, "\n".join(errs)
+
+
+def test_r17_export_needs_zero_slips():
+    """The r17 export, computed against the REAL CORRECTNESS_r16 file,
+    satisfies the policy with NO slip class invoked — every
+    stale-or-rotate-in obligation is exported outright (the r16
+    pull-forwards cut the r17 window-hard block to 41 rows)."""
+    registered = set(all_queries())
+    last = correctness_history(16)
+    retired = set(RETIRED_FROM_ROTATION)
+    mandatory = {
+        q
+        for q, n in last.items()
+        if q in registered and q not in retired and n <= 17 - 3
+    } | R17_ROTATE_IN
+    assert mandatory <= R17_EXPORT, sorted(mandatory - R17_EXPORT)
+
+
+def test_r17_export_carries_evidence_resets():
+    """The five rows whose semantics r17's trained-coarse wiring
+    changes — the plain-IVF family now assigns and probes Lloyd-trained
+    cells (registry ledger, r17 entry) — are re-exported even though
+    their r15/r16 rows were green: prior hashes evidence the retired
+    label-mean semantics."""
+    for q in (
+        "ann_ivf_multiprobe",
+        "ann_ivf_multiprobe_deleted",
+        "ann_incremental_assign",
+        "ann_centroids",
+        "ann_recall_eval",
+    ):
+        assert q in R17_EXPORT, q
+
+
+def test_r16_export_satisfied_rotation_policy_retroactively():
+    registered = set(all_queries()) - R18_ROTATE_IN
     errs = check_policy(
         current_round=16,
         export=R16_EXPORT,
@@ -362,6 +409,29 @@ def test_r16_rotation_fits_budget():
     # leaves >= 3 spare slots (the headroom the r15 retirement bought),
     # and the full mandatory set — births included, which the spare
     # slots exist to absorb — still fits the budget.
+    assert len(stale) <= DRIVER_BUDGET - 3, sorted(stale)
+    assert len(mandatory) <= DRIVER_BUDGET, sorted(mandatory)
+
+
+def test_r18_rotation_fits_budget():
+    """The R18 draft arithmetic: assuming r17 goes green on R17_EXPORT,
+    the r18 mandatory set — rows last driver-green in r15 or earlier
+    that stay in the pool, plus any r17-born rotate-ins — fits the
+    50-row budget with >= 3 spare slots (the r17 resets + 3
+    pull-forwards cut the otherwise-50-row r15-green block to 46).
+    Every r17 birth must take a spare slot (add it to R18_ROTATE_IN
+    when born) or pair with a retirement."""
+    registered = set(all_queries())
+    retired = set(RETIRED_FROM_ROTATION)
+    last = correctness_history(16)
+    for q in R17_EXPORT:
+        last[q] = 17  # simulated green r17
+    stale = {
+        q
+        for q, n in last.items()
+        if q in registered and q not in retired and n <= 18 - 3
+    }
+    mandatory = stale | R18_ROTATE_IN
     assert len(stale) <= DRIVER_BUDGET - 3, sorted(stale)
     assert len(mandatory) <= DRIVER_BUDGET, sorted(mandatory)
 
