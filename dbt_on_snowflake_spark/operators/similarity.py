@@ -254,40 +254,34 @@ def _bruteforce_score_arrow(
     )
 
 
-# Centroid computation — the IVF "training" step: per-label per-dimension
-# mean. posexplode/generate_subscripts align the two engines; means are
-# rounded to 4 decimals (float sums are order-dependent; at 4 decimals
-# the residual is far below the rounding grain for 64-dim sums).
+# The IVF "training" output exposure — since r17 the TRAINED coarse
+# quantizer (VERDICT r16 Next #2): the Lloyd cell coordinates plus how
+# many corpus vectors assign to each cell. Both engines derive the cell
+# values through the mirrored sample-scoped Lloyd chains, so the floats
+# are bit-identical by construction; +0.0 collapses IEEE -0.0.
 @query(
     "ann_centroids",
-    oracle="""
-    SELECT label,
-           CAST(dim - 1 AS BIGINT) AS dim,
-           ROUND(SUM(val) / COUNT(*), 4) + 0.0 AS centroid_val,
-           COUNT(*) AS n_vectors
-    FROM (
-        SELECT label,
-               unnest(embedding::DOUBLE[]) AS val,
-               generate_subscripts(embedding, 1) AS dim
-        FROM embeddings
-    )
-    GROUP BY label, dim
-    """,
+    oracle=None,  # set post-hoc: _set_trained_ivf_oracles()
 )
 def ann_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "embeddings").select(
-        "label", F.col("embedding").cast("array<double>").alias("v")
+    e = _vectors(spark, sf_dir)
+    coarse = _coarse_train(e)
+    cells = spark.createDataFrame(coarse, _PQ_CB_SCHEMA)
+    counts = (
+        _assign_cells(e.select("vec_id", "label", "v"), coarse)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
     return (
-        e.select("label", F.posexplode("v").alias("dim", "val"))
-        .groupBy("label", F.col("dim").cast("long").alias("dim"))
-        .agg(
-            # +0.0 collapses IEEE -0.0 to +0.0 (engines disagree on the
-            # sign of zero after rounding; value-hashes then diverge)
-            (F.round(F.sum("val") / F.count(F.lit(1)), 4) + 0.0).alias(
-                "centroid_val"
+        cells.select("label", F.posexplode("v").alias("dim", "val"))
+        .join(F.broadcast(counts), "label", "left")
+        .select(
+            "label",
+            F.col("dim").cast("long").alias("dim"),
+            (F.col("val") + F.lit(0.0)).alias("centroid_val"),
+            F.coalesce("n_vectors", F.lit(0)).cast("long").alias(
+                "n_vectors"
             ),
-            F.count(F.lit(1)).alias("n_vectors"),
         )
     )
 
@@ -295,74 +289,46 @@ def ann_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_PROBE = 2  # multiprobe: the 2 nearest centroids per query
 
 
-# Multiprobe oracle — shared with the index-backed twin below: the
+# Multiprobe oracle — shared with the index-backed twin below (the
 # persisted centroids/assignments must reproduce the recompute-per-query
-# plan's results exactly.
-_ORACLE_MULTIPROBE = f"""
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-    q AS (SELECT * FROM e WHERE {{query_pred}}),
-    cent AS (
-        SELECT label, dim, ROUND(SUM(val) / COUNT(*), 4) + 0.0 AS cv
-        FROM (
-            SELECT label,
-                   unnest(embedding::DOUBLE[]) AS val,
-                   generate_subscripts(embedding, 1) AS dim
-            FROM embeddings
-        )
-        GROUP BY label, dim
-    ),
-    cvec AS (SELECT label, list(cv ORDER BY dim) AS v FROM cent GROUP BY label),
-    qc AS (
-        SELECT q.vec_id AS query_id, c.label,
-               ROW_NUMBER() OVER (
-                   PARTITION BY q.vec_id
-                   ORDER BY ROUND({{cos_qc}}, 4) DESC, c.label ASC
-               ) AS crank
-        FROM q CROSS JOIN cvec c
-    ),
-    probes AS (SELECT query_id, label FROM qc WHERE crank <= {{nprobe}}),
-    scored AS (
-        SELECT p.query_id, c.vec_id AS neighbor_id,
-               ROUND({{cos_qe}}, 4) + 0.0 AS cosine
-        FROM probes p
-        JOIN e c ON c.label = p.label
-        JOIN q ON q.vec_id = p.query_id AND q.vec_id <> c.vec_id
-    ),
-    ranked AS (
-        SELECT *, ROW_NUMBER() OVER (
-            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
-        ) AS rank
-        FROM scored
-    )
-    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {{k}}
-    """.format(
-        query_pred=_QUERY_PRED,
-        cos_qc=COSINE_SQL.format(a="q.v", b="c.v"),
-        cos_qe=COSINE_SQL.format(a="q.v", b="c.v"),
-        nprobe=N_PROBE,
-        k=TOP_K,
-    )
+# plan's results exactly). Since r17 the probe cells are Lloyd-TRAINED
+# (the IVFPQ family's quantizer), so the oracle composes the cc Lloyd
+# chain + the casg assignment CTE — those generators live with the PQ
+# oracle machinery below; the oracle strings are attached post-hoc by
+# ``_set_trained_ivf_oracles()`` at the bottom of this module (the
+# ``_set_filtered_rerank_oracle`` convention).
 
 
 @query(
     "ann_ivf_multiprobe",
     driver=False,  # r5 rotation: r3+r4 driver-green veteran, parity-checked locally
-    oracle=_ORACLE_MULTIPROBE,
+    oracle=None,  # set post-hoc: _set_trained_ivf_oracles()
 )
 def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF with nprobe=2: rank centroids per query by cosine (on the
-    ROUNDED centroid values — exactly the `ann_centroids` output, so the
-    probe choice is engine-identical) and scan the 2 nearest inverted
-    lists instead of only the home cluster. Recovers most of the recall
-    single-probe loses on queries near a cluster boundary, at 2x probe
-    cost — still O(nprobe * N / n_clusters) per query, never O(N).
+    """IVF with nprobe=2 over TRAINED cells (r17, VERDICT r16 Next #2):
+    train the coarse quantizer on the bounded sample (``_coarse_train``
+    — the same Lloyd cells the IVFPQ pair probes), re-assign each
+    corpus vector to its nearest trained cell (``_assign_cells``, one
+    narrow Arrow map), rank cells per query by cosine on the trained
+    centroid values, and scan the 2 nearest inverted lists instead of
+    only the home cluster — still O(nprobe * N / n_clusters) per
+    query, never O(N), but now with cells that track the actual
+    cluster structure instead of the ingest label (the scrambled-label
+    gate in tests/test_ann_quality.py shows label cells collapsing to
+    the random-scan recall floor on data whose labels carry no cluster
+    information).
 
-    At scale the centroid table is tiny (n_clusters rows) and broadcast;
-    the probe join prunes to nprobe partitions of the label-partitioned
-    corpus."""
+    At scale the cell table is tiny (K rows, corpus-size-independent —
+    K follows sample label diversity) and broadcast; training is ONE
+    bounded TakeOrdered collect (~2 MB); the assignment pass is a
+    shuffle-free linear map; the probe join prunes to nprobe cells of
+    the cell-keyed corpus."""
     e = _vectors(spark, sf_dir)
+    coarse = _coarse_train(e)
+    cvec = spark.createDataFrame(coarse, _PQ_CB_SCHEMA)
+    corpus = _assign_cells(e.select("vec_id", "label", "v"), coarse)
     q = F.broadcast(e.filter(F.expr(_QUERY_PRED))).alias("q")
-    return _multiprobe_topk(q, _centroid_vectors(e), e)
+    return _multiprobe_topk(q, cvec, corpus)
 
 
 def _centroid_vectors(e: DataFrame) -> DataFrame:
@@ -386,12 +352,15 @@ def _multiprobe_topk(
     cvec: DataFrame,
     corpus: DataFrame,
     kernel: str | None = None,
+    nprobe: int = N_PROBE,
 ) -> DataFrame:
     """nprobe-centroid probe + per-query top-k, shared by the
-    recompute-per-query path and the persisted-index path (same inputs ->
-    bit-identical output, so both share one oracle). The arrow default
-    feeds the probe sets into the shared scorer as a kernel-side
-    membership mask; 'hof' keeps the probe/corpus join pipeline."""
+    recompute-per-query path, the persisted-index path (same inputs ->
+    bit-identical output, so both share one oracle), and the
+    single-probe special case (``ann_ivf_topk``: nprobe=1, same probe
+    ranking). The arrow default feeds the probe sets into the shared
+    scorer as a kernel-side membership mask; 'hof' keeps the
+    probe/corpus join pipeline."""
     import os as _os
 
     cvec = cvec.alias("c")
@@ -406,7 +375,7 @@ def _multiprobe_topk(
             F.round(_cosine("q.v", "c.v"), 4).alias("ccos"),
         )
         .withColumn("crank", F.row_number().over(wq))
-        .filter(F.col("crank") <= N_PROBE)
+        .filter(F.col("crank") <= nprobe)
         .select("query_id", "label")
     )
     kernel = kernel or _os.environ.get("SPARK_GRAFT_ANN_KERNEL", "arrow")
@@ -431,46 +400,24 @@ def _multiprobe_topk(
 @query(
     "ann_ivf_topk",
     driver=False,  # r5 rotation: r3+r4 driver-green veteran, parity-checked locally
-    oracle=_ORACLE_TOPK.format(
-        query_pred=_QUERY_PRED,
-        cosine=COSINE_SQL.format(a="q.v", b="c.v"),
-        block="AND q.label = c.label",
-        k=TOP_K,
-    ),
+    oracle=None,  # set post-hoc: _set_trained_ivf_oracles()
 )
 def ann_ivf_topk(
     spark: SparkSession, sf_dir: str, kernel: str | None = None
 ) -> DataFrame:
-    """IVF-style ANN: probe only the query's own coarse cluster (label).
-    Recall < 1 by design; cost drops from O(N) to O(N / n_clusters) per
-    query. At scale: corpus Parquet is partitioned by label, so partition
-    pruning turns each probe into a single-partition scan. Query set
-    hard-bounded at MAX_QUERIES (see ann_topk_bruteforce). Arrow
-    default: single-probe = the shared scorer with each query's own
-    label as its probe set."""
-    import os as _os
-
-    kernel = kernel or _os.environ.get("SPARK_GRAFT_ANN_KERNEL", "arrow")
+    """IVF-style ANN, single probe: the strict nprobe=1 special case of
+    ``ann_ivf_multiprobe`` (same trained cells, same probe ranking —
+    the retirement contract in the registry ledger). Each query scans
+    only its nearest trained cell's inverted list: recall < 1 by
+    design; cost drops from O(N) to O(N / n_clusters) per query. At
+    scale the cell-keyed corpus is partitioned by cell, so the single
+    probe is a single-partition scan."""
     e = _vectors(spark, sf_dir)
-    qdf = e.filter(F.expr(_QUERY_PRED))
-    if kernel == "arrow":
-        return _topk_window(
-            _bruteforce_score_arrow(
-                e.select("vec_id", "label", "v"),
-                qdf,
-                probes=qdf.select(
-                    F.col("vec_id").alias("query_id"), "label"
-                ),
-            )
-        )
-    q = F.broadcast(qdf).alias("q")
-    c = e.alias("c")
-    joined = q.join(
-        c,
-        (F.col("q.vec_id") != F.col("c.vec_id"))
-        & (F.col("q.label") == F.col("c.label")),
-    )
-    return _topk(joined)
+    coarse = _coarse_train(e)
+    cvec = spark.createDataFrame(coarse, _PQ_CB_SCHEMA)
+    corpus = _assign_cells(e.select("vec_id", "label", "v"), coarse)
+    q = F.broadcast(e.filter(F.expr(_QUERY_PRED))).alias("q")
+    return _multiprobe_topk(q, cvec, corpus, kernel=kernel, nprobe=1)
 
 
 # ------------------------------------------------------ persisted IVF index
@@ -482,14 +429,38 @@ def build_ann_index(
     *,
     centroids_table: str,
     assignments_table: str,
+    quantizer: str = "trained",
 ) -> None:
     """Persist the IVF index: the tiny centroid table (label, v) and the
-    corpus assignments (vec_id, label, v) PARTITIONED BY label, so a
-    probe join prunes to the probed inverted lists instead of scanning
-    the corpus. This is the 'train once, query many' artifact a real ANN
-    service keeps — round-4 verdict flagged that the centroids were
-    recomputed on every query (a full second pass over the embeddings);
-    the indexed query path below reads them from this table instead."""
+    corpus assignments PARTITIONED BY label, so a probe join prunes to
+    the probed inverted lists instead of scanning the corpus. This is
+    the 'train once, query many' artifact a real ANN service keeps —
+    round-4 verdict flagged that the centroids were recomputed on every
+    query (a full second pass over the embeddings); the indexed query
+    path below reads them from this table instead.
+
+    ``quantizer`` (r17, VERDICT r16 Next #2) picks the coarse cells:
+
+    - ``"trained"`` (default — every recall-critical ANN serve): cells
+      are the Lloyd-trained full-dim centroids (``_coarse_train``, the
+      IVFPQ family's quantizer — sample-bounded driver-side training,
+      FAISS posture) and each corpus vector is re-assigned to its
+      nearest trained cell by ``_assign_cells``. The partition column
+      ``label`` IS the trained cell id; the ingest label is preserved
+      as the ``vlabel`` metadata column (the filtered serve's
+      predicate attribute). This is what makes the multiprobe serves
+      true IVF on data whose ingest labels don't track the cluster
+      structure — the scrambled-label gate in
+      ``tests/test_ann_quality.py`` shows label-mean cells collapsing
+      to the random-scan recall floor exactly there.
+    - ``"label"`` (the dedup_semantic family): cells = the ingest
+      label, centroids = per-label means — a deterministic BLOCKING
+      contract, not a recall claim: SemDeDup-style dedup compares
+      within blocks whose key arrives pre-assigned from upstream (at
+      100 TB, a learned/assigned centroid id — exactly
+      ``ann_semantic_ingest_streaming``'s documented ingest shape),
+      and the oracle mirrors the same blocking. Serves that rank by
+      similarity never use this quantizer."""
     from dbt_on_snowflake_spark.operators.dedup import _drop_managed_table
 
     # a full rebuild reads the corpus of record — reset the family's
@@ -498,9 +469,23 @@ def build_ann_index(
         mark_engine_dir,
     )
 
+    if quantizer == "trained":
+        coarse = _coarse_train(e)
+        cvec = spark.createDataFrame(coarse, _PQ_CB_SCHEMA)
+        assigned = _assign_cells(
+            e.select(
+                "vec_id", F.col("label").alias("vlabel"), "v"
+            ),
+            coarse,
+        )
+    elif quantizer == "label":
+        cvec = _centroid_vectors(e)
+        assigned = e
+    else:
+        raise ValueError(f"unknown ANN quantizer {quantizer!r}")
     _drop_managed_table(spark, _ann_tombstones(assignments_table))
     _drop_managed_table(spark, centroids_table)
-    _centroid_vectors(e).write.mode("overwrite").saveAsTable(centroids_table)
+    cvec.write.mode("overwrite").saveAsTable(centroids_table)
     mark_engine_dir(spark, centroids_table)  # ownership proof (pass 5 #3)
     _drop_managed_table(spark, assignments_table)
     (
@@ -510,7 +495,7 @@ def build_ann_index(
         # scale that is millions of KB files and a metadata-bound read
         # path); one hash shuffle on label collapses it to ~1 file per
         # inverted list, which is also the read unit a probe prunes to
-        e.repartition("label")
+        assigned.repartition("label")
         .write.mode("overwrite")
         .partitionBy("label")
         .saveAsTable(assignments_table)
@@ -542,6 +527,7 @@ def ensure_ann_index(
     assignments_table: str,
     job_group: str,
     gc_suffix: str | None = None,
+    quantizer: str = "trained",
 ) -> None:
     """Build the persisted IVF index if absent — probing BOTH tables of
     the family, not just the assignments: a crashed compaction swap
@@ -586,17 +572,18 @@ def ensure_ann_index(
             e() if callable(e) else e,
             centroids_table=centroids_table,
             assignments_table=assignments_table,
+            quantizer=quantizer,
         ),
     )
 
 
 @query(
     "ann_ivf_multiprobe_indexed",
-    oracle=_ORACLE_MULTIPROBE,
+    oracle=None,  # set post-hoc: _set_trained_ivf_oracles()
 )
 def ann_ivf_multiprobe_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``ann_ivf_multiprobe`` served from the PERSISTED index: centroids
-    and label-partitioned assignments are read from saved tables — the
+    """``ann_ivf_multiprobe`` served from the PERSISTED index: trained
+    cells and cell-partitioned assignments are read from saved tables — the
     query plan's only pass over the embeddings parquet is the (bounded,
     broadcast) query-vector filter; no centroid recomputation anywhere
     (plan-pinned by ``test_ann_indexed_no_centroid_recompute``). Shares
@@ -674,19 +661,24 @@ def ann_index_append(
     embedding store runs per ingest batch, mirroring
     ``dedup_incremental_candidates``'s probe-then-grow contract:
 
-    - assignment = nearest EXISTING centroid by (rounded) cosine, label
-      tie-break — the tiny persisted centroid table is broadcast onto a
-      narrow map over the batch; the corpus embeddings are NEVER re-read
-      and the centroids are NEVER recomputed (plan-pinned by
-      ``test_ann_incremental_no_corpus_repass``);
-    - the new (vec_id, label, v) rows land in the label-partitioned
-      assignments table via dynamic partition append — only the probed
-      partitions gain files, existing partitions are untouched;
-    - per-batch cost is O(|batch| x n_centroids), independent of corpus
-      size. Centroid REFRESH (recomputing means from the grown
-      assignments table, then reassigning) is a separate periodic
-      offline job — exposed as ``refresh_centroids`` below, reading the
-      assignments TABLE, still never the raw parquet.
+    - assignment = nearest FROZEN trained cell by rounded squared L2,
+      lowest-cell tie-break — the SAME ``_assign_cells`` convention the
+      build uses (r17: the append and the build share one assignment
+      kernel, so an append converges bit-exactly to a rebuild against
+      the same frozen cells — the ``ivfpq_index_append`` contract).
+      The bounded persisted cell table rides in as a driver-side
+      closure onto one narrow Arrow map over the batch; the corpus
+      embeddings are NEVER re-read and the cells are NEVER retrained
+      (plan-pinned by ``test_ann_incremental_no_corpus_repass``);
+    - the new (vec_id, label, vlabel, v) rows land in the
+      cell-partitioned assignments table via dynamic partition append —
+      only the probed partitions gain files, existing partitions are
+      untouched;
+    - per-batch cost is O(|batch| x n_cells), independent of corpus
+      size. Cell REFRESH (recomputing means from the grown assignments
+      table) is a separate periodic offline job — exposed as
+      ``refresh_centroids`` below, reading the assignments TABLE,
+      still never the raw parquet.
 
     The batch is first made IDEMPOTENT (at-least-once ingest: a stream
     retry or checkpoint-less restart re-delivers vectors the index
@@ -702,39 +694,28 @@ def ann_index_append(
     read would re-run the probe against the grown index and filter the
     batch out of its own result.
 
-    Returns the assignment rows (vec_id, assigned_label, ccos)."""
-    import os as _os
-
+    Requires a TRAINED-quantizer family (the only kind with an append
+    lifecycle; label-blocked dedup families never append — their block
+    key arrives pre-assigned). Returns the assignment rows
+    (vec_id, assigned_label, l2sq)."""
+    if "vlabel" not in spark.table(assignments_table).columns:
+        raise ValueError(
+            f"{assignments_table} is a label-quantizer (blocking) family;"
+            " ann_index_append requires a trained-cell index"
+        )
     new_e = _drop_already_indexed(spark, new_e, assignments_table)
 
-    kernel = _os.environ.get("SPARK_GRAFT_ANN_KERNEL", "arrow")
-    if kernel == "arrow":
-        # narrow-map assignment: per batch row, the argmax over the
-        # centroid matrix runs in the Arrow kernel — no batch x
-        # centroids row explosion and NO per-vec_id window shuffle (the
-        # r7 join pipeline exchanged |batch| x |centroids| rows)
-        assigned = _assign_arrow(spark, new_e, centroids_table)
-    else:
-        cvec = F.broadcast(spark.table(centroids_table)).alias("c")
-        q = new_e.alias("q")
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("ccos").desc(), F.col("assigned_label").asc()
-        )
-        assigned = (
-            q.crossJoin(cvec)
-            .select(
-                F.col("q.vec_id").alias("vec_id"),
-                F.col("c.label").alias("assigned_label"),
-                (F.round(_cosine("q.v", "c.v"), 4) + 0.0).alias("ccos"),
-                F.col("q.v").alias("v"),
-            )
-            .withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") == 1)
-        )
+    frozen_cells = [
+        (int(r.label), list(r.v))
+        for r in spark.table(centroids_table).collect()  # bounded: K x D
+    ]
+    assigned = _assign_cells(
+        new_e.select("vec_id", F.col("label").alias("vlabel"), "v"),
+        frozen_cells,
+        with_dist=True,
+    )
     (
-        assigned.select(
-            "vec_id", F.col("assigned_label").alias("label"), "v"
-        )
+        assigned.select("vec_id", "label", "vlabel", "v")
         # cluster by label before the partitioned append (see
         # build_ann_index): per-batch appends otherwise compound the
         # small-file count by |input partitions| x |labels| every batch
@@ -743,86 +724,28 @@ def ann_index_append(
         .partitionBy("label")
         .saveAsTable(assignments_table)
     )
-    return assigned.select("vec_id", "assigned_label", "ccos")
-
-
-def _assign_arrow(
-    spark: SparkSession, new_e: DataFrame, centroids_table: str
-) -> DataFrame:
-    """Nearest-centroid assignment as one narrow Arrow map: the bounded
-    centroid table (the same payload the join pipeline broadcasts) rides
-    in as a driver-side closure sorted by label; per batch row the
-    rounded-cosine argmax picks the first maximum — ascending-label
-    tie-break, identical to the window's (ccos DESC, label ASC) rank.
-    Same sequential-fold/rounding contract as every cosine kernel
-    here."""
-    import numpy as np
-
-    cents = sorted(
-        (int(r.label), np.asarray(r.v, dtype=np.float64))
-        for r in spark.table(centroids_table).collect()  # bounded: |cells|
-    )
-    if not cents:  # degenerate empty index: nothing to assign against
-        return spark.createDataFrame(
-            [], "vec_id long, assigned_label long, ccos double, "
-                "v array<double>"
-        )
-    labels = np.array([lab for lab, _ in cents], dtype=np.int64)
-    C = np.stack([v for _, v in cents])
-    cnorms = np.sqrt(np.cumsum(C * C, axis=1)[:, -1])
-    RB = 256
-
-    def assign(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            if len(pdf) == 0:
-                yield pd.DataFrame(
-                    {
-                        "vec_id": np.array([], dtype=np.int64),
-                        "assigned_label": np.array([], dtype=np.int64),
-                        "ccos": np.array([], dtype=np.float64),
-                        "v": pdf["v"],
-                    }
-                )
-                continue
-            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            V = np.stack(pdf["v"].to_numpy())
-            n = len(ids)
-            norms = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
-            best_lab = np.empty(n, dtype=np.int64)
-            best_cos = np.empty(n, dtype=np.float64)
-            for r0 in range(0, n, RB):
-                r1 = min(r0 + RB, n)
-                d = np.cumsum(
-                    V[r0:r1, None, :] * C[None, :, :], axis=2
-                )[:, :, -1]
-                cos = _round4_away(
-                    d / (norms[r0:r1, None] * cnorms[None, :])
-                )
-                idx = np.argmax(cos, axis=1)  # first max = lowest label
-                best_lab[r0:r1] = labels[idx]
-                best_cos[r0:r1] = cos[np.arange(r1 - r0), idx]
-            yield pd.DataFrame(
-                {
-                    "vec_id": ids,
-                    "assigned_label": best_lab,
-                    "ccos": best_cos,
-                    "v": pdf["v"],
-                }
-            )
-
-    return new_e.select("vec_id", "v").mapInPandas(
-        assign,
-        "vec_id long, assigned_label long, ccos double, v array<double>",
+    return assigned.select(
+        "vec_id",
+        F.col("label").alias("assigned_label"),
+        F.col("d").alias("l2sq"),
     )
 
 
 def refresh_centroids(spark: SparkSession, *, centroids_table: str,
                       assignments_table: str) -> None:
     """Periodic centroid refresh from the GROWN assignments table (never
-    the raw embeddings parquet): recompute per-label means and overwrite
-    the tiny centroid table in place."""
+    the raw embeddings parquet): recompute per-cell means of the LIVE
+    assignments and overwrite the tiny centroid table in place.
+
+    Semantics per quantizer: for a label-blocked family the block key
+    is fixed, so this is simply the up-to-date per-label mean. For a
+    TRAINED family it is one Lloyd half-step — cells recenter on their
+    current population, assignments keep their cell ids (vectors are
+    NOT reassigned; the cell-partitioned layout is a physical fact,
+    rewriting it is a rebuild). Probes then rank the recentered cells
+    — the same refresh-without-reassign posture as the IVFPQ family's
+    drift retrain (COVERAGE.md, aps ledger entry); a full retrain +
+    re-layout is ``build_ann_index`` over the corpus of record."""
     from dbt_on_snowflake_spark.operators.dedup import _drop_managed_table
 
     # live rows only: a tombstoned vector must not keep pulling the
@@ -851,38 +774,19 @@ def refresh_centroids(spark: SparkSession, *, centroids_table: str,
 @query(
     "ann_incremental_assign",
     driver=False,  # born r6: parity-checked; rotate into the r7 export
-    oracle=f"""
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-    corpus AS (SELECT * FROM e WHERE {_CORPUS_PRED}),
-    newb AS (SELECT * FROM e WHERE {_NEW_BATCH_PRED}),
-    cent AS (
-        SELECT label, dim, ROUND(SUM(val) / COUNT(*), 4) + 0.0 AS cv
-        FROM (
-            SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS dim
-            FROM corpus
-        )
-        GROUP BY label, dim
-    ),
-    cvec AS (SELECT label, list(cv ORDER BY dim) AS v FROM cent GROUP BY label),
-    scored AS (
-        SELECT n.vec_id, c.label AS assigned_label,
-               ROUND({COSINE_SQL.format(a="n.v", b="c.v")}, 4) + 0.0 AS ccos,
-               ROW_NUMBER() OVER (
-                   PARTITION BY n.vec_id
-                   ORDER BY ROUND({COSINE_SQL.format(a="n.v", b="c.v")}, 4) DESC,
-                            c.label ASC
-               ) AS rnk
-        FROM newb n CROSS JOIN cvec c
-    )
-    SELECT vec_id, assigned_label, ccos FROM scored WHERE rnk = 1
-    """,
+    oracle=None,  # set post-hoc: _set_trained_ivf_oracles() — the cc
+    # Lloyd chain trained on the corpus slice (frozen cells) + the casg
+    # nearest-cell assignment over the held-out batch
 )
 def ann_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered incremental-append exercise: build the IVF index from
-    the corpus slice (vec_id %% 10 != 9), then append the held-out batch
-    via ``ann_index_append``. The returned assignments are oracle-checked
-    against DuckDB's nearest-centroid recompute; the append itself is
-    verified by ``test_ann_index_append_grows_only_new_partition_rows``."""
+    the corpus slice (vec_id %% 10 != 9) — training the coarse cells on
+    that slice's bounded sample — then append the held-out batch via
+    ``ann_index_append`` against the FROZEN trained cells. The returned
+    (vec_id, assigned_label, l2sq) assignments are oracle-checked
+    against DuckDB's mirrored Lloyd chain + nearest-cell recompute; the
+    append itself is verified by
+    ``test_ann_index_append_grows_only_new_partition_rows``."""
     import hashlib
 
     suffix = hashlib.md5(f"incr:{sf_dir}".encode()).hexdigest()[:8]
@@ -967,11 +871,19 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids_table = f"ann_centroids_{suffix}"
     assignments_table = f"ann_assignments_{suffix}"
     e = _vectors(spark, sf_dir)
+    # label quantizer BY CONTRACT (r17, VERDICT r16 Next #2 option (b)
+    # for dedup): SemDeDup blocking compares within pre-assigned cells
+    # — at 100 TB the block key is a learned/assigned centroid id
+    # arriving with the ingest (ann_semantic_ingest_streaming's shape);
+    # the oracle mirrors the same blocking, so this is a deterministic
+    # partition contract, not a recall claim. Similarity-ranking serves
+    # use the TRAINED quantizer (build_ann_index's default).
     build_ann_index(
         spark,
         e,
         centroids_table=centroids_table,
         assignments_table=assignments_table,
+        quantizer="label",
     )
     return _semantic_prune(spark, centroids_table, assignments_table)
 
@@ -1154,6 +1066,7 @@ def dedup_semantic_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         assignments_table=assignments_table,
         job_group="dedup_semantic_served",
         gc_suffix=suffix,
+        quantizer="label",  # blocking contract (see dedup_semantic)
     )
     return _semantic_prune(spark, centroids_table, assignments_table)
 
@@ -1218,6 +1131,7 @@ def dedup_semantic_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
         e,
         centroids_table=centroids_table,
         assignments_table=assignments_table,
+        quantizer="label",  # blocking contract (see dedup_semantic)
     )
     ann_index_delete(
         spark,
@@ -1464,68 +1378,9 @@ def ann_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ann_recall_eval",
     driver=False,  # born r7: parity-checked; rotate into the r8 export
-    oracle=f"""
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-    q AS (SELECT * FROM e WHERE {_QUERY_PRED}),
-    bscored AS (
-        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               ROUND({COSINE_SQL.format(a="q.v", b="c.v")}, 4) + 0.0 AS cosine
-        FROM q JOIN e c ON q.vec_id <> c.vec_id
-    ),
-    brute AS (
-        SELECT query_id, neighbor_id FROM (
-            SELECT *, ROW_NUMBER() OVER (
-                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
-            ) AS rank FROM bscored
-        ) WHERE rank <= {TOP_K}
-    ),
-    cent AS (
-        SELECT label, dim, ROUND(SUM(val) / COUNT(*), 4) + 0.0 AS cv
-        FROM (
-            SELECT label,
-                   unnest(embedding::DOUBLE[]) AS val,
-                   generate_subscripts(embedding, 1) AS dim
-            FROM embeddings
-        )
-        GROUP BY label, dim
-    ),
-    cvec AS (SELECT label, list(cv ORDER BY dim) AS v FROM cent GROUP BY label),
-    qc AS (
-        SELECT q.vec_id AS query_id, c.label,
-               ROW_NUMBER() OVER (
-                   PARTITION BY q.vec_id
-                   ORDER BY ROUND({COSINE_SQL.format(a="q.v", b="c.v")}, 4)
-                            DESC, c.label ASC
-               ) AS crank
-        FROM q CROSS JOIN cvec c
-    ),
-    probes AS (SELECT query_id, label FROM qc WHERE crank <= {N_PROBE}),
-    iscored AS (
-        SELECT p.query_id, c.vec_id AS neighbor_id,
-               ROUND({COSINE_SQL.format(a="q.v", b="c.v")}, 4) + 0.0 AS cosine
-        FROM probes p
-        JOIN e c ON c.label = p.label
-        JOIN q ON q.vec_id = p.query_id AND q.vec_id <> c.vec_id
-    ),
-    ivf AS (
-        SELECT query_id, neighbor_id FROM (
-            SELECT *, ROW_NUMBER() OVER (
-                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
-            ) AS rank FROM iscored
-        ) WHERE rank <= {TOP_K}
-    ),
-    hits AS (
-        SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
-        FROM brute b JOIN ivf i
-          ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
-        GROUP BY b.query_id
-    )
-    SELECT q.vec_id AS query_id,
-           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
-           ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {TOP_K}, 4) + 0.0
-               AS recall_at_k
-    FROM q LEFT JOIN hits h ON h.query_id = q.vec_id
-    """,
+    oracle=None,  # set post-hoc: _set_trained_ivf_oracles() — the IVF
+    # leg now rides the trained-cell multiprobe (r17), so the oracle
+    # composes the cc Lloyd chain + casg into the recall comparison
 )
 def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RECALL@K EVALUATION of the IVF multiprobe index against exact
@@ -1633,6 +1488,13 @@ COARSE_ITERS = 4
 # persisted cells/codebook/codes generation instead of serving
 # pre-change artifacts under updated oracles.
 IVFPQ_ALGO = f"ivfpq1:{COARSE_EXTRA}:{COARSE_ITERS}:{PQ_CODEBOOK_ALGO}"
+
+# Algorithm token for the plain-IVF trained-cell families (r17, the
+# index_suffix contract): bump when the coarse quantizer or its
+# constants change, so a persistent warehouse rotates (and GCs) the
+# pre-change generation instead of serving stale cells under updated
+# oracles — the exact failure mode the IVFPQ token closed at r15.
+ANN_ALGO = f"annivf1:{COARSE_EXTRA}:{COARSE_ITERS}"
 
 
 def _dot_col(a, b):
@@ -2084,14 +1946,21 @@ def _pq_encode(
     raise ValueError(f"unknown PQ kernel {kernel!r}: use 'arrow' or 'hof'")
 
 
-def _assign_cells(corpus: DataFrame, entries) -> DataFrame:
-    """(vec_id, label, v): each corpus vector re-labeled with its
-    nearest TRAINED coarse cell — the IVF list assignment (replaces the
-    ingest label as the cell key for the IVFPQ pair, r16). ``entries``
-    is the driver-side ``_coarse_train`` output (bounded: K cells x D
-    doubles), closed over into an Arrow kernel; the pass is one narrow
-    map over the corpus, no shuffle — the same linear-scan posture as
-    the PQ encode it feeds.
+def _assign_cells(
+    corpus: DataFrame, entries, *, with_dist: bool = False
+) -> DataFrame:
+    """(vec_id, label, *passthrough): each corpus vector re-labeled with
+    its nearest TRAINED coarse cell — the IVF list assignment (replaces
+    the ingest label as the cell key for BOTH trained-cell families:
+    the IVFPQ pair since r16, the plain IVF family since r17).
+    ``entries`` is the driver-side ``_coarse_train`` output (bounded:
+    K cells x D doubles), closed over into an Arrow kernel; the pass is
+    one narrow map over the corpus, no shuffle — the same linear-scan
+    posture as the PQ encode it feeds. Non-``label`` input columns
+    (``vlabel``, the preserved ingest label, for the metadata-filtered
+    serve) pass through untouched; ``with_dist`` appends the rounded
+    squared L2 to the winning cell as ``d`` (the append lifecycle's
+    reportable assignment score).
 
     Arithmetic mirrors the oracle's ``casg`` CTE bit for bit (the
     ``_pq_encode_arrow`` discipline): squared L2 via the aa - 2ab + bb
@@ -2099,31 +1968,46 @@ def _assign_cells(corpus: DataFrame, entries) -> DataFrame:
     1e4-scaled value, argmin with lowest-cell tie-break (cells are
     sorted, so numpy's first-min IS the lowest cell)."""
     import numpy as np
-    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
 
+    keep_fields = [f for f in corpus.schema.fields if f.name != "label"]
+    names = [f.name for f in keep_fields]
+    out_cols = ["vec_id", "label"] + [n for n in names if n != "vec_id"]
+    if with_dist:
+        out_cols.append("d")
     cells = sorted((int(k), np.asarray(v, dtype=np.float64)) for k, v in entries)
     if not cells:
         # degenerate empty quantizer (empty training input => empty
         # corpus): no cell exists to assign — the oracle's casg CTE is
         # empty too
-        return corpus.sparkSession.createDataFrame(
-            [], "vec_id long, label long, v array<double>"
+        ddl = StructType(
+            [StructField("label", LongType())]
+            + keep_fields
+            + ([StructField("d", DoubleType())] if with_dist else [])
         )
+        return corpus.sparkSession.createDataFrame([], ddl).select(*out_cols)
     labels = np.array([k for k, _ in cells], dtype=np.int64)
     C = np.stack([v for _, v in cells])  # (K, D)
     bb = np.cumsum(C * C, axis=1)[:, -1]
 
-    keep_fields = [f for f in corpus.schema.fields if f.name != "label"]
     out_schema = StructType(
-        [StructField("label", LongType())] + keep_fields
+        [StructField("label", LongType())]
+        + keep_fields
+        + ([StructField("d", DoubleType())] if with_dist else [])
     )
-    names = [f.name for f in keep_fields]
 
     def assign(batches):
         for pdf in batches:
             out = pdf[names].copy()
             if len(pdf) == 0:
                 out.insert(0, "label", np.array([], dtype=np.int64))
+                if with_dist:
+                    out["d"] = np.array([], dtype=np.float64)
                 yield out
                 continue
             V = np.stack(pdf["v"].to_numpy())
@@ -2133,11 +2017,11 @@ def _assign_cells(corpus: DataFrame, entries) -> DataFrame:
             d = np.floor(d * 10000.0 + 0.5) / 10000.0  # nonneg round
             idx = np.argmin(d, axis=1)  # first min = lowest cell
             out.insert(0, "label", labels[idx])
+            if with_dist:
+                out["d"] = d[np.arange(len(idx)), idx] + 0.0
             yield out
 
-    return corpus.mapInPandas(assign, out_schema).select(
-        "vec_id", "label", "v"
-    )
+    return corpus.mapInPandas(assign, out_schema).select(*out_cols)
 
 
 # Shared oracle fragments. list_slice bounds are 1-based inclusive;
@@ -2291,6 +2175,23 @@ def _coarse_lloyd_sql(cent_where: str = "") -> str:
         extra=COARSE_EXTRA,
         iters=COARSE_ITERS,
     )
+
+
+# The IVF list-assignment CTE every trained-cell oracle composes after
+# the cc chain: each corpus vector's nearest TRAINED cell (rounded L2,
+# lowest-cell tie-break — the ``_assign_cells`` mirror). ONE definition
+# shared by the IVFPQ pair (r16) and the plain-IVF family (r17).
+_CASG_SQL = f"""casg AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.label AS cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY ROUND({{l2}},
+                                      4) ASC, c.label ASC
+                   ) AS arn
+            FROM e CROSS JOIN cccb c
+        ) WHERE arn = 1
+    )""".format(l2=_PQ_L2SQ_SQL.format(a="e.v", b="c.v"))
 
 
 _PQ_CODES_CTE_TMPL = """
@@ -2719,6 +2620,10 @@ _set_pq_hof_oracles()
 # (search only docs matching a filter: a language, a license, a source).
 # Parity label predicate here; any pushdown-able predicate works the same.
 ANN_FILTER_PRED = "label % 2 = 0"
+# The same metadata predicate against a trained-cell assignments table,
+# where the ingest label survives as the ``vlabel`` column (the
+# partition key ``label`` is the trained cell id there).
+_ANN_FILTER_PRED_VLABEL = "vlabel % 2 = 0"
 
 
 @query(
@@ -2762,89 +2667,16 @@ def ann_filtered_topk(
 
 # Filtered search over the PERSISTED IVF index, with deterministic
 # probe widening: probe the smallest prefix of each query's
-# centroid-cosine ranking whose cells cumulatively hold >= k
+# cell-cosine ranking whose TRAINED cells cumulatively hold >= k
 # filter-matching vectors (all cells if the corpus has fewer), floored
 # at N_PROBE. A fixed nprobe under a selective filter UNDER-FILLS k —
 # the classic filtered-ANN failure; widening by the index's own
 # per-cell match counts fixes it without ever scanning a non-probed
 # cell. The spec is pure arithmetic over (Q x cells) rows, so the
-# oracle expresses it exactly.
-_ORACLE_FILTERED_INDEXED = f"""
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-    q AS (SELECT * FROM e WHERE {_QUERY_PRED}),
-    cent AS (
-        SELECT label, dim, ROUND(SUM(val) / COUNT(*), 4) + 0.0 AS cv
-        FROM (
-            SELECT label,
-                   unnest(embedding::DOUBLE[]) AS val,
-                   generate_subscripts(embedding, 1) AS dim
-            FROM embeddings
-        )
-        GROUP BY label, dim
-    ),
-    cvec AS (SELECT label, list(cv ORDER BY dim) AS v FROM cent GROUP BY label),
-    qc AS (
-        -- NaN -> NULL + explicit NULLS LAST: a zero-norm centroid (a
-        -- cell whose rounded mean cancels to zero) or zero-norm query
-        -- makes the ranking cosine undefined; DuckDB would rank the
-        -- NaN FIRST under plain DESC while the engine's _cosine yields
-        -- NULL which Spark's DESC ranks last — both engines must seat
-        -- undefined cells at the end of the probe order (r10 review)
-        SELECT q.vec_id AS query_id, c.label,
-               ROW_NUMBER() OVER (
-                   PARTITION BY q.vec_id
-                   ORDER BY (CASE WHEN isnan(
-                                {COSINE_SQL.format(a='q.v', b='c.v')})
-                             THEN NULL
-                             ELSE ROUND(
-                                {COSINE_SQL.format(a='q.v', b='c.v')}, 4)
-                             END) DESC NULLS LAST, c.label ASC
-               ) AS crank
-        FROM q CROSS JOIN cvec c
-    ),
-    cellcnt AS (
-        SELECT label, COUNT(*) AS m FROM e WHERE {{filter}} GROUP BY label
-    ),
-    cum AS (
-        SELECT qc.query_id, qc.label, qc.crank,
-               SUM(COALESCE(cc.m, 0)) OVER (
-                   PARTITION BY qc.query_id ORDER BY qc.crank
-               ) AS cm
-        FROM qc LEFT JOIN cellcnt cc ON cc.label = qc.label
-    ),
-    need AS (
-        SELECT query_id,
-               GREATEST(
-                   COALESCE(
-                       MIN(CASE WHEN cm >= {TOP_K} THEN crank END),
-                       MAX(crank)
-                   ),
-                   {N_PROBE}
-               ) AS width
-        FROM cum GROUP BY query_id
-    ),
-    probes AS (
-        SELECT cum.query_id, cum.label
-        FROM cum JOIN need ON need.query_id = cum.query_id
-        WHERE cum.crank <= need.width
-    ),
-    scored AS (
-        SELECT p.query_id, c.vec_id AS neighbor_id,
-               ROUND({COSINE_SQL.format(a='q.v', b='c.v')}, 4) + 0.0
-                   AS cosine
-        FROM probes p
-        JOIN e c ON c.label = p.label AND {{filter_c}}
-        JOIN q ON q.vec_id = p.query_id AND q.vec_id <> c.vec_id
-    ),
-    ranked AS (
-        SELECT *, ROW_NUMBER() OVER (
-            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
-        ) AS rank
-        FROM scored WHERE NOT isnan(cosine)
-    )
-    SELECT query_id, neighbor_id, cosine, rank FROM ranked
-    WHERE rank <= {TOP_K}
-""".format(filter=ANN_FILTER_PRED, filter_c=f"c.{ANN_FILTER_PRED}")
+# oracle expresses it exactly — built post-hoc by
+# ``_set_trained_ivf_oracles()`` from the cc Lloyd chain + casg (the
+# filter predicate applies to the INGEST label, preserved as the
+# ``vlabel`` metadata column in the assignments table).
 
 
 def _widened_probes(
@@ -2895,7 +2727,7 @@ def _widened_probes(
 @query(
     "ann_filtered_indexed",
     driver=False,  # r10-born: R11_ROTATE_IN
-    oracle=_ORACLE_FILTERED_INDEXED,
+    oracle=None,  # set post-hoc: _set_trained_ivf_oracles()
 )
 def ann_filtered_indexed(
     spark: SparkSession, sf_dir: str, kernel: str | None = None
@@ -2917,7 +2749,7 @@ def ann_filtered_indexed(
 
     # fingerprinted suffix: a regenerated corpus rotates the tables
     # (rebuild, not stale serve) and the old pair is GC'd at build
-    suffix = index_suffix(spark, sf_dir, "fidx", "embeddings")
+    suffix = index_suffix(spark, sf_dir, "fidx", "embeddings", algo=ANN_ALGO)
     centroids_table = f"ann_centroids_{suffix}"
     assignments_table = f"ann_assignments_{suffix}"
     e = _vectors(spark, sf_dir)
@@ -2935,7 +2767,13 @@ def ann_filtered_indexed(
     # tombstone gate (exact no-op until the family's first delete)
     matching = live_rows(
         spark,
-        spark.table(assignments_table).filter(F.expr(ANN_FILTER_PRED)),
+        # the metadata predicate applies to the INGEST label (vlabel);
+        # the partition key is the trained cell, so the filter is a
+        # row-group predicate pushed to the scan, and the probe prune
+        # stays a partition prune on the cell key
+        spark.table(assignments_table).filter(
+            F.expr(_ANN_FILTER_PRED_VLABEL)
+        ),
         _ann_tombstones(assignments_table),
         "vec_id",
     )
@@ -4056,19 +3894,7 @@ def _ivfpq_oracle(codes_cte: str, coarse_where: str = "") -> str:
     return f"""
     WITH {codes_cte},
     {_coarse_lloyd_sql(coarse_where)},
-    casg AS (
-        -- IVF list assignment: each corpus vector's nearest TRAINED
-        -- cell (rounded L2, lowest-cell tie-break — _assign_cells)
-        SELECT vec_id, cell FROM (
-            SELECT e.vec_id, c.label AS cell,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY ROUND({_PQ_L2SQ_SQL.format(a="e.v", b="c.v")},
-                                      4) ASC, c.label ASC
-                   ) AS arn
-            FROM e CROSS JOIN cccb c
-        ) WHERE arn = 1
-    ),
+    {_CASG_SQL},
     q AS (SELECT * FROM e WHERE {_QUERY_PRED}),
     qc AS (
         SELECT q.vec_id AS query_id, c.label,
@@ -5194,22 +5020,18 @@ def ann_pq_adc_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # the multiprobe oracle with the CORPUS side restricted to the
-# surviving vectors — centroids stay trained on the full corpus (the
+# surviving vectors — cells stay trained on the full corpus (the
 # frozen-at-build posture, like the PQ codebook) and the query side is
 # untouched (queries are external lookups, and _QUERY_PRED's
-# stride-multiples never intersect the deleted tenth)
-_ORACLE_MULTIPROBE_DELETED = _ORACLE_MULTIPROBE.replace(
-    "JOIN e c ON c.label = p.label",
-    f"JOIN (SELECT * FROM e WHERE {_CORPUS_PRED}) c"
-    " ON c.label = p.label",
-)
-assert _ORACLE_MULTIPROBE_DELETED != _ORACLE_MULTIPROBE
+# stride-multiples never intersect the deleted tenth); built post-hoc
+# by ``_set_trained_ivf_oracles()`` via _oracle_multiprobe's
+# corpus_pred parameter.
 
 
 @query(
     "ann_ivf_multiprobe_deleted",
     driver=False,  # r12-born: R13_ROTATE_IN
-    oracle=_ORACLE_MULTIPROBE_DELETED,
+    oracle=None,  # set post-hoc: _set_trained_ivf_oracles()
 )
 def ann_ivf_multiprobe_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``ann_ivf_multiprobe`` served AFTER a delete: the IVF index is
@@ -5662,3 +5484,261 @@ def attach_pq_index(
             source="parquet",
         )
         spark.catalog.recoverPartitions(codes_table)
+
+
+# -------------------------------------- trained-cell plain-IVF oracles
+#
+# The r17 re-key (VERDICT r16 Next #2): every plain-IVF serve probes
+# the Lloyd-TRAINED coarse cells, so their oracles compose the cc
+# Lloyd chain + the shared casg assignment CTE. Attached post-hoc (the
+# ``_set_filtered_rerank_oracle`` convention) because the registered
+# queries are defined above the oracle machinery.
+
+
+def _oracle_multiprobe(nprobe: int, corpus_pred: str | None = None) -> str:
+    """The trained-cell IVF probe oracle: nprobe nearest trained cells
+    per query (rounded cosine DESC, cell ASC), exact cosine over the
+    probed cells' assigned vectors. ``corpus_pred`` restricts the
+    SCORED corpus side (the delete-serve twin: survivors only) while
+    the cells stay trained on the full corpus — the frozen-at-build
+    posture. Shared verbatim by the inline and persisted twins
+    (persisting the index must not change a single result row) and, at
+    nprobe=1, by the retired single-probe special case."""
+    corpus_src = (
+        "e"
+        if corpus_pred is None
+        else f"(SELECT * FROM e WHERE {corpus_pred})"
+    )
+    cos = COSINE_SQL.format(a="q.v", b="c.v")
+    return f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    {_coarse_lloyd_sql()},
+    {_CASG_SQL},
+    q AS (SELECT * FROM e WHERE {_QUERY_PRED}),
+    qc AS (
+        SELECT q.vec_id AS query_id, c.label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND({cos}, 4) DESC, c.label ASC
+               ) AS crank
+        FROM q CROSS JOIN cccb c
+    ),
+    probes AS (SELECT query_id, label FROM qc WHERE crank <= {nprobe}),
+    scored AS (
+        SELECT p.query_id, c.vec_id AS neighbor_id,
+               ROUND({cos}, 4) + 0.0 AS cosine
+        FROM probes p
+        JOIN casg a ON a.cell = p.label
+        JOIN {corpus_src} c ON c.vec_id = a.vec_id
+        JOIN q ON q.vec_id = p.query_id AND q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+        ) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
+def _oracle_incremental_assign() -> str:
+    """``ann_incremental_assign``'s oracle: cells Lloyd-trained on the
+    CORPUS slice's bounded sample (the frozen quantizer the build
+    persisted), the held-out batch assigned to its nearest frozen cell
+    by rounded squared L2 with lowest-cell tie-break — the
+    ``_assign_cells`` arithmetic CTE-for-CTE."""
+    l2 = _PQ_L2SQ_SQL.format(a="n.v", b="c.v")
+    return f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    newb AS (SELECT * FROM e WHERE {_NEW_BATCH_PRED}),
+    {_coarse_lloyd_sql(f" WHERE {_CORPUS_PRED}")}
+    SELECT vec_id, assigned_label, l2sq FROM (
+        SELECT n.vec_id, c.label AS assigned_label,
+               ROUND({l2}, 4) + 0.0 AS l2sq,
+               ROW_NUMBER() OVER (
+                   PARTITION BY n.vec_id
+                   ORDER BY ROUND({l2}, 4) ASC, c.label ASC
+               ) AS rnk
+        FROM newb n CROSS JOIN cccb c
+    ) WHERE rnk = 1
+    """
+
+
+def _oracle_centroids() -> str:
+    """``ann_centroids``'s oracle: the trained cell coordinates
+    (bit-identical across engines through the mirrored Lloyd chains)
+    plus the per-cell assigned-vector counts from casg; cells with no
+    assigned vectors report 0."""
+    return f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    {_coarse_lloyd_sql()},
+    {_CASG_SQL},
+    cellcnt AS (SELECT cell, COUNT(*) AS n FROM casg GROUP BY cell)
+    SELECT c.label,
+           CAST(c.dim - 1 AS BIGINT) AS dim,
+           c.val + 0.0 AS centroid_val,
+           CAST(COALESCE(cc.n, 0) AS BIGINT) AS n_vectors
+    FROM (
+        SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS dim
+        FROM cccb
+    ) c
+    LEFT JOIN cellcnt cc ON cc.cell = c.label
+    """
+
+
+def _oracle_recall_eval() -> str:
+    """``ann_recall_eval``'s oracle: exact brute-force top-k vs the
+    trained-cell multiprobe top-k, overlap counted per query."""
+    cos = COSINE_SQL.format(a="q.v", b="c.v")
+    return f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    {_coarse_lloyd_sql()},
+    {_CASG_SQL},
+    q AS (SELECT * FROM e WHERE {_QUERY_PRED}),
+    bscored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND({cos}, 4) + 0.0 AS cosine
+        FROM q JOIN e c ON q.vec_id <> c.vec_id
+    ),
+    brute AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+            ) AS rank FROM bscored
+        ) WHERE rank <= {TOP_K}
+    ),
+    qc AS (
+        SELECT q.vec_id AS query_id, c.label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND({cos}, 4) DESC, c.label ASC
+               ) AS crank
+        FROM q CROSS JOIN cccb c
+    ),
+    probes AS (SELECT query_id, label FROM qc WHERE crank <= {N_PROBE}),
+    iscored AS (
+        SELECT p.query_id, c.vec_id AS neighbor_id,
+               ROUND({cos}, 4) + 0.0 AS cosine
+        FROM probes p
+        JOIN casg a ON a.cell = p.label
+        JOIN e c ON c.vec_id = a.vec_id
+        JOIN q ON q.vec_id = p.query_id AND q.vec_id <> c.vec_id
+    ),
+    ivf AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+            ) AS rank FROM iscored
+        ) WHERE rank <= {TOP_K}
+    ),
+    hits AS (
+        SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM brute b JOIN ivf i
+          ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+        GROUP BY b.query_id
+    )
+    SELECT q.vec_id AS query_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {TOP_K}, 4) + 0.0
+               AS recall_at_k
+    FROM q LEFT JOIN hits h ON h.query_id = q.vec_id
+    """
+
+
+def _oracle_filtered_indexed() -> str:
+    """``ann_filtered_indexed``'s oracle: the deterministic probe
+    widening over TRAINED cells — per-cell counts of filter-matching
+    vectors (the filter applies to the INGEST label; cells come from
+    casg), the smallest probe prefix whose cells cumulatively hold
+    >= k matches, floored at N_PROBE; exact cosine over the probed
+    matching vectors."""
+    cos = COSINE_SQL.format(a="q.v", b="c.v")
+    return f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    {_coarse_lloyd_sql()},
+    {_CASG_SQL},
+    q AS (SELECT * FROM e WHERE {_QUERY_PRED}),
+    qc AS (
+        -- NaN -> NULL + explicit NULLS LAST: a zero-norm cell or
+        -- zero-norm query makes the ranking cosine undefined; DuckDB
+        -- would rank the NaN FIRST under plain DESC while the
+        -- engine's _cosine yields NULL which Spark's DESC ranks last
+        -- — both engines must seat undefined cells at the end of the
+        -- probe order (r10 review)
+        SELECT q.vec_id AS query_id, c.label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY (CASE WHEN isnan({cos})
+                             THEN NULL
+                             ELSE ROUND({cos}, 4)
+                             END) DESC NULLS LAST, c.label ASC
+               ) AS crank
+        FROM q CROSS JOIN cccb c
+    ),
+    cellcnt AS (
+        SELECT a.cell AS label, COUNT(*) AS m
+        FROM e JOIN casg a ON a.vec_id = e.vec_id
+        WHERE e.{ANN_FILTER_PRED} GROUP BY a.cell
+    ),
+    cum AS (
+        SELECT qc.query_id, qc.label, qc.crank,
+               SUM(COALESCE(cc.m, 0)) OVER (
+                   PARTITION BY qc.query_id ORDER BY qc.crank
+               ) AS cm
+        FROM qc LEFT JOIN cellcnt cc ON cc.label = qc.label
+    ),
+    need AS (
+        SELECT query_id,
+               GREATEST(
+                   COALESCE(
+                       MIN(CASE WHEN cm >= {TOP_K} THEN crank END),
+                       MAX(crank)
+                   ),
+                   {N_PROBE}
+               ) AS width
+        FROM cum GROUP BY query_id
+    ),
+    probes AS (
+        SELECT cum.query_id, cum.label
+        FROM cum JOIN need ON need.query_id = cum.query_id
+        WHERE cum.crank <= need.width
+    ),
+    scored AS (
+        SELECT p.query_id, c.vec_id AS neighbor_id,
+               ROUND({cos}, 4) + 0.0 AS cosine
+        FROM probes p
+        JOIN casg a ON a.cell = p.label
+        JOIN e c ON c.vec_id = a.vec_id AND c.{ANN_FILTER_PRED}
+        JOIN q ON q.vec_id = p.query_id AND q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+        ) AS rank
+        FROM scored WHERE NOT isnan(cosine)
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked
+    WHERE rank <= {TOP_K}
+    """
+
+
+def _set_trained_ivf_oracles() -> None:
+    from dbt_on_snowflake_spark.registry import QUERIES
+
+    mp = _oracle_multiprobe(N_PROBE)
+    QUERIES["ann_ivf_multiprobe"].oracle = mp
+    # persisting the index must not change a single result row —
+    # shared verbatim
+    QUERIES["ann_ivf_multiprobe_indexed"].oracle = mp
+    QUERIES["ann_ivf_topk"].oracle = _oracle_multiprobe(1)
+    deleted = _oracle_multiprobe(N_PROBE, corpus_pred=_CORPUS_PRED)
+    assert deleted != mp
+    QUERIES["ann_ivf_multiprobe_deleted"].oracle = deleted
+    QUERIES["ann_incremental_assign"].oracle = _oracle_incremental_assign()
+    QUERIES["ann_centroids"].oracle = _oracle_centroids()
+    QUERIES["ann_recall_eval"].oracle = _oracle_recall_eval()
+    QUERIES["ann_filtered_indexed"].oracle = _oracle_filtered_indexed()
+
+
+_set_trained_ivf_oracles()

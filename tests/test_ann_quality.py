@@ -148,6 +148,48 @@ def test_trained_coarse_recovers_cells_from_scrambled_labels(
     assert biggest <= N_LABELS * PER_LABEL / 2, biggest
 
 
+def test_persisted_ivf_index_serves_trained_cells_from_scrambled_labels(
+    spark, clustered
+):
+    """The r17 wiring gate (VERDICT r16 Next #2): the PERSISTED plain-
+    IVF family — ``build_ann_index``'s default quantizer, the exact
+    path ``ann_ivf_multiprobe_indexed``/``_deleted`` serve — trains
+    and persists Lloyd cells, so a multiprobe serve straight off the
+    saved tables recalls >= 0.9 on the scrambled-label corpus where
+    the pre-r17 label-mean index sat at the probed-fraction floor
+    (previous test). Also pins the persisted layout: the partition key
+    ``label`` is the trained cell id, the ingest label survives as
+    ``vlabel``."""
+    from dbt_on_snowflake_spark.operators.similarity import build_ann_index
+
+    e, q, truth = clustered
+    scrambled = e.withColumn(
+        "label", (F.col("vec_id") % N_LABELS).cast("int")
+    )
+    cb, asg = "annq_scr_centroids", "annq_scr_assignments"
+    build_ann_index(
+        spark, scrambled, centroids_table=cb, assignments_table=asg
+    )
+    try:
+        cols = spark.table(asg).columns
+        assert "vlabel" in cols, cols
+        vl = (
+            spark.table(asg)
+            .filter(F.col("vlabel") != F.col("vec_id") % N_LABELS)
+            .count()
+        )
+        assert vl == 0  # ingest labels preserved verbatim
+        found = _multiprobe_topk(
+            F.broadcast(q).alias("q"),
+            spark.table(cb),
+            spark.table(asg).select("vec_id", "label", "v"),
+        ).select("query_id", "neighbor_id")
+        assert _recall(found, truth) >= 0.9
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {cb}")
+        spark.sql(f"DROP TABLE IF EXISTS {asg}")
+
+
 def test_ivfpq_probe_keeps_adc_recall_on_clustered_corpus(
     spark, clustered
 ):

@@ -330,15 +330,18 @@ def test_ann_index_append_replay_is_noop(spark):
 
 def test_ann_index_append_grows_only_new_partition_rows(spark):
     """After ann_incremental_assign: the assignments table holds exactly
-    corpus + batch rows; corpus rows keep their original labels; every
-    batch row is stored under its nearest-existing-centroid label (the
-    oracle-checked assignment) — the incremental path loses nothing and
-    rewrites nothing."""
+    corpus + batch rows; corpus rows sit under their nearest TRAINED
+    cell (r17 — the build's ``_assign_cells`` re-key, recomputable
+    against the persisted frozen cells); every batch row is stored
+    under its oracle-checked frozen-cell assignment; and the ingest
+    label survives as ``vlabel`` on every row — the incremental path
+    loses nothing and rewrites nothing."""
     import hashlib
 
     from dbt_on_snowflake_spark.operators.similarity import (
         _CORPUS_PRED,
         _NEW_BATCH_PRED,
+        _assign_cells,
         _vectors,
     )
     from dbt_on_snowflake_spark.registry import all_queries
@@ -350,17 +353,32 @@ def test_ann_index_append_grows_only_new_partition_rows(spark):
         .collect()
     }
     suffix = hashlib.md5(f"incr:{SF_SMOKE}".encode()).hexdigest()[:8]
-    idx = {
-        r.vec_id: r.label
-        for r in spark.table(f"ann_assignments_{suffix}")
-        .select("vec_id", "label")
+    rows = (
+        spark.table(f"ann_assignments_{suffix}")
+        .select("vec_id", "label", "vlabel")
         .collect()
-    }
+    )
+    idx = {r.vec_id: r.label for r in rows}
+    vlab = {r.vec_id: r.vlabel for r in rows}
     e = _vectors(spark, SF_SMOKE)
     corpus = {r.vec_id: r.label for r in e.filter(_CORPUS_PRED).collect()}
     batch_ids = {r.vec_id for r in e.filter(_NEW_BATCH_PRED).collect()}
     assert set(idx) == set(corpus) | batch_ids
-    assert all(idx[v] == lab for v, lab in corpus.items())
+    # corpus rows: stored under the nearest frozen trained cell
+    frozen = [
+        (int(r.label), list(r.v))
+        for r in spark.table(f"ann_centroids_{suffix}").collect()
+    ]
+    expected = {
+        r.vec_id: r.label
+        for r in _assign_cells(
+            e.filter(_CORPUS_PRED).select("vec_id", "label", "v"), frozen
+        ).collect()
+    }
+    assert all(idx[v] == cell for v, cell in expected.items())
+    # ingest labels preserved as vlabel on every row
+    ingest = {r.vec_id: r.label for r in e.collect()}
+    assert all(vlab[v] == ingest[v] for v in idx)
     assert assigned.keys() == batch_ids
     assert all(idx[v] == assigned[v] for v in batch_ids)
 

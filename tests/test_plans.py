@@ -366,14 +366,16 @@ def test_range_join_is_binned_not_nested_loop(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_ann_incremental_no_corpus_repass(spark, monkeypatch):
-    """ann_index_append's assignment plan touches ONLY the new batch and
-    the persisted centroid table: no posexplode/Generate (centroid
-    recompute) and exactly one scan of the embeddings parquet (the
-    batch). Arrow default: the assignment is a single narrow MapInPandas
-    with NO exchange at all (the r7 join pipeline exchanged |batch| x
-    |centroids| rows through a per-vec_id rank window — asserted on the
-    'hof' kernel, where centroids still arrive via BroadcastExchange)."""
+def test_ann_incremental_no_corpus_repass(spark):
+    """ann_index_append's assignment plan touches ONLY the new batch:
+    no posexplode/Generate (cell recompute or retrain) and exactly one
+    scan of the embeddings parquet (the batch). The assignment is a
+    single narrow ``_assign_cells`` MapInPandas with NO exchange at all
+    — the frozen persisted cells ride in as a bounded driver-side
+    closure (K x D doubles), the SAME kernel the build uses (r17: one
+    assignment convention, so append converges bit-exactly to a
+    rebuild; the r7 join pipeline exchanged |batch| x |centroids| rows
+    through a per-vec_id rank window)."""
     from dbt_on_snowflake_spark.plans import scans
 
     df = Q["ann_incremental_assign"].fn(spark, SF_SMOKE)
@@ -392,11 +394,10 @@ def test_ann_incremental_no_corpus_repass(spark, monkeypatch):
             # vec_id only — never a second pass over the vectors
             assert s.get("readschema") == "struct<vec_id:bigint>", s
 
-    monkeypatch.setenv("SPARK_GRAFT_ANN_KERNEL", "hof")
-    plan_h = explain_str(Q["ann_incremental_assign"].fn(spark, SF_SMOKE))
-    assert "ann_centroids_" in plan_h
-    assert "BroadcastExchange" in plan_h
-    assert "Generate" not in plan_h
+    # the frozen cells arrive as a driver-side closure, never a plan
+    # node: no centroid-table scan, no broadcast, no Lloyd retrain in
+    # the serve plan
+    assert "ann_centroids_" not in plan
 
 
 def test_q6_pushes_all_predicates_to_scan(spark):
