@@ -175,6 +175,122 @@ def drop_ivfpq_family(spark, sf_dir: str) -> None:
         _drop_all(spark, [n.format(s=sfx) for n in names])
 
 
+# The append probe's FIXED batch size: the base corpus's lowest
+# vec_ids. The scale derivation key-shifts the extra copies' ids past
+# the base id domain, so a cutoff measured on the BASE corpus selects
+# the IDENTICAL rows at every scale — which is the point: append cost
+# must track the (constant) batch, not the corpus.
+APPEND_BATCH = 512
+
+
+def append_batch_pred(spark, base_dir: str) -> str:
+    """The batch predicate, derived from the BASE corpus: the
+    APPEND_BATCH smallest vec_ids, capped at HALF the corpus so the
+    family is always built over a real remainder (the smoke dir's 500
+    rows would otherwise all land in the batch and train an empty
+    quantizer). Copies' shifted ids all exceed the base maximum, so
+    the same predicate picks the same rows at any scale."""
+    from dbt_on_snowflake_spark.operators.similarity import _vectors
+
+    e = _vectors(spark, base_dir).select("vec_id")
+    n = min(APPEND_BATCH, max(e.count() // 2, 1))
+    ids = e.orderBy("vec_id").limit(n).collect()
+    return f"vec_id <= {int(ids[-1].vec_id)}"
+
+
+def ivfpq_append_tables(tag: str) -> list[str]:
+    return [
+        f"ivp_cells_apbe_{tag}",
+        f"pq_codebook_apbe_{tag}",
+        f"pq_codes_apbe_{tag}",
+        f"pq_tombstones_apbe_{tag}",
+    ]
+
+
+def ivfpq_append_measure(spark, sf_dir: str, tag: str, pred: str,
+                         rounds: int = 2) -> dict:
+    """Measured O(|batch|) append (r17, VERDICT r16 Next #4): build a
+    throwaway IVFPQ family over corpus-minus-batch, then time
+    ``ivfpq_index_append`` of the FIXED batch (``pred`` — derive it
+    once from the BASE corpus with ``append_batch_pred``).
+    The family is rebuilt between timing rounds so every timed append
+    is a real first delivery — a replay would no-op through the
+    idempotence probe and time nothing. Also records the grown
+    family's serve read fractions (the appended rows must not degrade
+    the prune). Returns min-of-``rounds`` wall, first-round stage
+    count, batch size, and the grown-serve fractions; the probe tables
+    are dropped on every exit path (the r15 advice #4 discipline)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from dbt_on_snowflake_spark.operators.similarity import (
+        _vectors,
+        build_ivfpq_index,
+        ivfpq_index_append,
+    )
+
+    t = ivfpq_append_tables(tag)
+    e = _vectors(spark, sf_dir)
+    batch = e.filter(F.expr(pred))
+    rest = e.filter(~F.expr(pred))
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    walls: list[float] = []
+    stages = None
+    batch_rows = batch.count()  # untimed: the fixed batch's size
+    try:
+        for i in range(rounds):
+            build_ivfpq_index(
+                spark,
+                rest,
+                cells_table=t[0],
+                codebook_table=t[1],
+                codes_table=t[2],
+            )
+            group = f"probe-append:ivfpq:{tag}:{i}"
+            sc.setJobGroup(group, group)
+            s = _time.perf_counter()
+            try:
+                ivfpq_index_append(
+                    spark,
+                    batch,
+                    cells_table=t[0],
+                    codebook_table=t[1],
+                    codes_table=t[2],
+                )
+            finally:
+                sc.setJobGroup(None, None)
+            walls.append(round(_time.perf_counter() - s, 3))
+            if stages is None:
+                stages = jobs = 0
+                for job_id in tracker.getJobIdsForGroup(group):
+                    info = tracker.getJobInfo(job_id)
+                    if info is not None:
+                        jobs += 1
+                        stages += len(info.stageIds)
+                # exchanges = stages - jobs (the builders-pin metric):
+                # the raw job count grows with the file count (1-stage
+                # file-LISTING jobs past the parallel-discovery
+                # threshold) — scan bookkeeping, not plan shape
+                shuffle_depth = stages - jobs
+        grown = ivfpq_read_fractions(spark, t[0], t[2], sf_dir)
+        per_q = grown.pop("per_query_read_fracs")
+        grown["mean_query_read_frac"] = (
+            round(sum(per_q) / len(per_q), 4) if per_q else None
+        )
+        return {
+            "append_sec": min(walls),
+            "runs": walls,
+            "stages": stages,
+            "shuffle_depth": shuffle_depth,
+            "batch_rows": batch_rows,
+            "grown_serve": grown,
+        }
+    finally:
+        _drop_all(spark, t)
+
+
 def ivfpq_read_fractions(spark, cells_table: str, codes_table: str,
                          sf_dir: str) -> dict:
     """The IVFPQ serve's measured read fractions — ONE definition
@@ -336,6 +452,22 @@ def _probe(spark, base, out, factor, sf, derive_sec) -> None:
         )
         ivfpq_prune[tag] = m
 
+    # the production ingest path at scale (r17, VERDICT r16 Next #4):
+    # a FIXED 512-vector batch appended to a family built over
+    # corpus-minus-batch at both scales — O(|batch|) means the wall
+    # ratio sits near 1.0 while the builders above sit near the data
+    # factor; the grown family's read fractions prove the appended
+    # rows keep the prune intact.
+    ivfpq_append = {}
+    bpred = append_batch_pred(spark, base)
+    for tag, d in (("base", base), ("scaled", out)):
+        ivfpq_append[tag] = ivfpq_append_measure(spark, d, tag, bpred)
+    ab, asld = (
+        ivfpq_append["base"]["append_sec"],
+        ivfpq_append["scaled"]["append_sec"],
+    )
+    ivfpq_append["ratio"] = round(asld / ab, 2) if ab > 0 else None
+
     # index BUILDS at both scales: warm pass for stage counts (the
     # tables are dropped between passes so every run is a full
     # from-scratch build), then min-of-2 timing
@@ -409,6 +541,7 @@ def _probe(spark, base, out, factor, sf, derive_sec) -> None:
                 "builders": builders,
                 "pq_recall_at_k": recall,
                 "ivfpq_prune": ivfpq_prune,
+                "ivfpq_append": ivfpq_append,
             }
         )
     )

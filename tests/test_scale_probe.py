@@ -220,6 +220,34 @@ def test_scaled_ivfpq_serve_stays_pruned(spark, scaled_dir):
         assert worst < 0.5, (tag, worst)
 
 
+def test_scaled_ivfpq_append_is_batch_bound(spark, scaled_dir):
+    """The IVFPQ ingest path's O(|batch|) claim, pinned structurally at
+    10x (r17, VERDICT r16 Next #4; the wall-clock leg ships in the
+    probe's ivfpq_append record): via the probe's OWN helper —
+    (a) the FIXED batch predicate selects the identical rows at both
+    scales (the derivation shifts copy ids past the base range);
+    (b) the append keeps the SAME shuffle depth (stages - jobs, the
+    builders-pin metric — raw job counts grow with file-listing
+    bookkeeping) at 10x: its plan touches the batch and the bounded
+    frozen quantizers, never the corpus, so scale cannot add an
+    exchange; (c) the grown family's per-query read fraction stays a
+    genuine prune after the append."""
+    from scale_probe import append_batch_pred, ivfpq_append_measure
+
+    pred = append_batch_pred(spark, SF_SMOKE)
+    m = {
+        tag: ivfpq_append_measure(spark, d, f"t10_{tag}", pred, rounds=1)
+        for tag, d in (("base", SF_SMOKE), ("scaled", scaled_dir))
+    }
+    assert m["base"]["batch_rows"] == m["scaled"]["batch_rows"] > 0
+    assert m["base"]["shuffle_depth"] == m["scaled"]["shuffle_depth"], (
+        m["base"], m["scaled"],
+    )
+    for tag in ("base", "scaled"):
+        fr = m[tag]["grown_serve"]["mean_query_read_frac"]
+        assert fr is not None and fr < 0.5, (tag, fr)
+
+
 def test_scaled_event_density_keeps_group_count(spark, scaled_dir):
     """The derived events table is 10x DENSITY over the SAME time
     window (timestamps untouched), so the hourly bucketing headliner
