@@ -809,6 +809,35 @@ R17_ROTATE_IN: set[str] = {
 # work births one.
 R18_ROTATE_IN: set[str] = set()
 
+# R18 DRAFT (computed at r17 session end; re-verify against the actual
+# CORRECTNESS_r17 file at r18 start): assuming r17 goes green on
+# R17_EXPORT, the post-r17 histogram over the 142-row pool is
+# r15 x46 / r16 x46 / r17 x50. r18 mandatory = the 46 r15-green rows
+# (R15_EXPORT's 50 minus ann_centroids — the r17 evidence reset — and
+# the 3 r17 pull-forwards dedup_semantic / dedup_semantic_served /
+# dedup_exact, all re-greened at r17) + R18_ROTATE_IN births:
+# 46 + births <= 50, FOUR spare slots (machine-checked by
+# test_r18_rotation_fits_budget). Use the spare slots on r16-green
+# pull-forwards to lighten r19 (46 r16-green rows window-hard there)
+# unless r18 work births rows or forces resets. Exact 46: the
+# remaining R15_EXPORT block — a_approx_sketches,
+# a_exact_distinct_median, ann_pq_adc_appended, ann_pq_adc_indexed,
+# ann_pq_adc_ingest_streaming, ann_pq_adc_topk, ann_pq_recall_eval,
+# ann_semantic_ingest_streaming, corpus_clean_pipeline,
+# corpus_pack_shards_bpe, corpus_token_budget, dedup_cluster_sizes,
+# dedup_clusters, dedup_incremental_index, dedup_incremental_streaming,
+# dedup_minhash_lsh, dedup_simhash, dq_failing_rows, f_json_extract,
+# f_scalar_suite, j2_left_join_enrich, multimodal_embed_topk,
+# multimodal_embed_topk_indexed, p2_projection_rename, p6_range_filter,
+# p7_ts_filter, q17_small_quantity_revenue, q18_large_volume_orders,
+# q1_pricing_summary, q20_heavy_suppliers, q22_dormant_customers,
+# q2_min_cost_supplier, q3_top_revenue_orders,
+# q4_late_shipments_by_priority, q5_nation_volume, q9_product_profit,
+# s_setops_segments, t_event_funnel, t_events_hourly,
+# t_events_range_join_windows, t_events_sessionize,
+# text_bm25_topk_deleted_served, text_pii_redact, text_unigram_rarity,
+# w_percentile_standing_orders, w_topk_orders_per_customer.
+
 # R17 DRAFT (computed at r16 session end; re-verify against the actual
 # CORRECTNESS_r16 file at r17 start): assuming r16 goes green on
 # R16_EXPORT, the post-r16 histogram over the 141-row pool is
