@@ -20,7 +20,7 @@ BENCH JSON even when wall-clock noise isn't trustworthy.
 Noise-protocol rule (r17, VERDICT r16 Next #6): `dedup_semantic_served`
 is a 4-stage persisted serve whose driver-window readings have run
 1.7-1.8 s for three consecutive rounds while same-HEAD quiet runs sit
-at 0.43-0.53 s — its driver number is NOISE-DOMINATED by construction
+at 0.43-0.56 s — its driver number is NOISE-DOMINATED by construction
 (sub-second serve, multi-second co-tenancy spikes). Its authoritative
 cross-round record is the min-of-5 quiet reading in BENCH_SELF_r{N}
 (SCALING.md noise table carries the per-round column); judge/driver

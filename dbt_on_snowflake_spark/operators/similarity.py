@@ -2622,8 +2622,11 @@ _set_pq_hof_oracles()
 ANN_FILTER_PRED = "label % 2 = 0"
 # The same metadata predicate against a trained-cell assignments table,
 # where the ingest label survives as the ``vlabel`` column (the
-# partition key ``label`` is the trained cell id there).
-_ANN_FILTER_PRED_VLABEL = "vlabel % 2 = 0"
+# partition key ``label`` is the trained cell id there). DERIVED, not
+# hand-copied (r17 review finding 2): an edit to ANN_FILTER_PRED must
+# reach the indexed serve and its oracle in lockstep.
+_ANN_FILTER_PRED_VLABEL = f"v{ANN_FILTER_PRED}"
+assert _ANN_FILTER_PRED_VLABEL.startswith("vlabel ")
 
 
 @query(

@@ -816,8 +816,10 @@ R18_ROTATE_IN: set[str] = set()
 # (R15_EXPORT's 50 minus ann_centroids — the r17 evidence reset — and
 # the 3 r17 pull-forwards dedup_semantic / dedup_semantic_served /
 # dedup_exact, all re-greened at r17) + R18_ROTATE_IN births:
-# 46 + births <= 50, FOUR spare slots (machine-checked by
-# test_r18_rotation_fits_budget). Use the spare slots on r16-green
+# 46 + births <= 50: FOUR spare slots by this draft's arithmetic
+# (test_r18_rotation_fits_budget machine-enforces the weaker >= 3-spare
+# floor — r17 review finding 3: don't read the cited check as
+# guaranteeing the 4th slot). Use the spare slots on r16-green
 # pull-forwards to lighten r19 (46 r16-green rows window-hard there)
 # unless r18 work births rows or forces resets. Exact 46: the
 # remaining R15_EXPORT block — a_approx_sketches,

@@ -199,11 +199,18 @@ def append_batch_pred(spark, base_dir: str) -> str:
 
 
 def ivfpq_append_tables(tag: str) -> list[str]:
+    """Throwaway append-probe family names INSIDE the ``pq_codes_ivp_``
+    convention (r17 review finding 1): a hard crash between build and
+    the finally-drop leaves the family in the warehouse, where the
+    reindex sweep's ``retrain_any_pq_family`` routes by name — a
+    non-conforming ``pq_codes_apbe_*`` would take the flat
+    label-partitioned rebuild and corrupt the cell-partitioned layout
+    (the exact mis-route r16 review finding 1 closed)."""
     return [
-        f"ivp_cells_apbe_{tag}",
-        f"pq_codebook_apbe_{tag}",
-        f"pq_codes_apbe_{tag}",
-        f"pq_tombstones_apbe_{tag}",
+        f"ivf_cells_apbe_{tag}",
+        f"pq_codebook_ivp_apbe_{tag}",
+        f"pq_codes_ivp_apbe_{tag}",
+        f"pq_tombstones_ivp_apbe_{tag}",
     ]
 
 
