@@ -286,6 +286,48 @@ def test_bpe_chain_matches_iterative_encoder(spark):
     assert got == want
 
 
+def test_ann_index_append_refuses_label_blocking_family(spark):
+    """The append lifecycle belongs to TRAINED-cell families only (r17
+    posture): a label-blocked dedup family's block key arrives
+    pre-assigned, so appending by nearest-cell assignment would invent
+    keys the contract says come from upstream. The guard detects the
+    family kind by its persisted schema (no vlabel column) and fails
+    loudly before any write."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from dbt_on_snowflake_spark.operators.similarity import (
+        _NEW_BATCH_PRED,
+        _vectors,
+        ann_index_append,
+        build_ann_index,
+    )
+
+    suffix = hashlib.md5(f"labguard:{SF_SMOKE}".encode()).hexdigest()[:8]
+    cent_t = f"ann_centroids_{suffix}"
+    asg_t = f"ann_assignments_{suffix}"
+    e = _vectors(spark, SF_SMOKE)
+    build_ann_index(
+        spark, e,
+        centroids_table=cent_t, assignments_table=asg_t,
+        quantizer="label",
+    )
+    try:
+        before = spark.table(asg_t).count()
+        with _pytest.raises(ValueError, match="label-quantizer"):
+            ann_index_append(
+                spark,
+                e.filter(_NEW_BATCH_PRED),
+                centroids_table=cent_t,
+                assignments_table=asg_t,
+            )
+        assert spark.table(asg_t).count() == before  # nothing written
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {cent_t}")
+        spark.sql(f"DROP TABLE IF EXISTS {asg_t}")
+
+
 def test_ann_index_append_replay_is_noop(spark):
     """At-least-once ingest: re-delivering a batch the index already
     holds must append nothing — the snapshot probe drops every vec_id
