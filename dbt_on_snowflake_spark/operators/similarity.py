@@ -265,12 +265,9 @@ def _bruteforce_score_arrow(
 )
 def ann_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _vectors(spark, sf_dir)
-    coarse = _coarse_train(e)
-    cells = spark.createDataFrame(coarse, _PQ_CB_SCHEMA)
-    counts = (
-        _assign_cells(e.select("vec_id", "label", "v"), coarse)
-        .groupBy("label")
-        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    _, cells, assigned = _trained_cells_and_corpus(spark, e)
+    counts = assigned.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors")
     )
     return (
         cells.select("label", F.posexplode("v").alias("dim", "val"))
@@ -324,9 +321,7 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-free linear map; the probe join prunes to nprobe cells of
     the cell-keyed corpus."""
     e = _vectors(spark, sf_dir)
-    coarse = _coarse_train(e)
-    cvec = spark.createDataFrame(coarse, _PQ_CB_SCHEMA)
-    corpus = _assign_cells(e.select("vec_id", "label", "v"), coarse)
+    _, cvec, corpus = _trained_cells_and_corpus(spark, e)
     q = F.broadcast(e.filter(F.expr(_QUERY_PRED))).alias("q")
     return _multiprobe_topk(q, cvec, corpus)
 
@@ -413,9 +408,7 @@ def ann_ivf_topk(
     scale the cell-keyed corpus is partitioned by cell, so the single
     probe is a single-partition scan."""
     e = _vectors(spark, sf_dir)
-    coarse = _coarse_train(e)
-    cvec = spark.createDataFrame(coarse, _PQ_CB_SCHEMA)
-    corpus = _assign_cells(e.select("vec_id", "label", "v"), coarse)
+    _, cvec, corpus = _trained_cells_and_corpus(spark, e)
     q = F.broadcast(e.filter(F.expr(_QUERY_PRED))).alias("q")
     return _multiprobe_topk(q, cvec, corpus, kernel=kernel, nprobe=1)
 
@@ -470,13 +463,8 @@ def build_ann_index(
     )
 
     if quantizer == "trained":
-        coarse = _coarse_train(e)
-        cvec = spark.createDataFrame(coarse, _PQ_CB_SCHEMA)
-        assigned = _assign_cells(
-            e.select(
-                "vec_id", F.col("label").alias("vlabel"), "v"
-            ),
-            coarse,
+        _, cvec, assigned = _trained_cells_and_corpus(
+            spark, e, keep_vlabel=True
         )
     elif quantizer == "label":
         cvec = _centroid_vectors(e)
@@ -1715,6 +1703,26 @@ def _coarse_train_rows(samp_rows: list) -> list[tuple[int, list[float]]]:
 def _coarse_train(e: DataFrame) -> list[tuple[int, list[float]]]:
     """``_coarse_train_rows`` over a fresh sample collect."""
     return _coarse_train_rows(_train_sample(e))
+
+
+def _trained_cells_and_corpus(
+    spark: SparkSession, e: DataFrame, *, keep_vlabel: bool = False
+):
+    """The trained-cell setup every plain-IVF path shares (r17 review
+    pass 2, finding 2 — it existed as four inline copies): train the
+    coarse cells on the bounded sample, materialize them as the
+    broadcastable (label, v) relation, and re-key the corpus to its
+    nearest cell. ``keep_vlabel`` preserves the ingest label as the
+    ``vlabel`` passthrough column (the persisted build's metadata
+    contract). Returns (coarse_entries, cells_df, assigned_corpus)."""
+    coarse = _coarse_train(e)
+    cvec = spark.createDataFrame(coarse, _PQ_CB_SCHEMA)
+    src = (
+        e.select("vec_id", F.col("label").alias("vlabel"), "v")
+        if keep_vlabel
+        else e.select("vec_id", "label", "v")
+    )
+    return coarse, cvec, _assign_cells(src, coarse)
 
 
 _PQ_CB_SCHEMA = "label long, v array<double>"
@@ -5519,10 +5527,20 @@ def _oracle_multiprobe(nprobe: int, corpus_pred: str | None = None) -> str:
     {_CASG_SQL},
     q AS (SELECT * FROM e WHERE {_QUERY_PRED}),
     qc AS (
+        -- NaN -> NULL + NULLS LAST: a zero-norm trained cell (a Lloyd
+        -- mean cancelling to zero) or zero-norm query makes the
+        -- ranking cosine undefined; DuckDB ranks NaN FIRST under plain
+        -- DESC while the engine's _cosine yields NULL which Spark's
+        -- DESC ranks last — seat undefined cells at the end of the
+        -- probe order in both engines (the r10 filtered-serve guard,
+        -- applied consistently; r17 review pass 2, finding 1)
         SELECT q.vec_id AS query_id, c.label,
                ROW_NUMBER() OVER (
                    PARTITION BY q.vec_id
-                   ORDER BY ROUND({cos}, 4) DESC, c.label ASC
+                   ORDER BY (CASE WHEN isnan({cos})
+                             THEN NULL
+                             ELSE ROUND({cos}, 4)
+                             END) DESC NULLS LAST, c.label ASC
                ) AS crank
         FROM q CROSS JOIN cccb c
     ),
@@ -5612,10 +5630,20 @@ def _oracle_recall_eval() -> str:
         ) WHERE rank <= {TOP_K}
     ),
     qc AS (
+        -- NaN -> NULL + NULLS LAST: a zero-norm trained cell (a Lloyd
+        -- mean cancelling to zero) or zero-norm query makes the
+        -- ranking cosine undefined; DuckDB ranks NaN FIRST under plain
+        -- DESC while the engine's _cosine yields NULL which Spark's
+        -- DESC ranks last — seat undefined cells at the end of the
+        -- probe order in both engines (the r10 filtered-serve guard,
+        -- applied consistently; r17 review pass 2, finding 1)
         SELECT q.vec_id AS query_id, c.label,
                ROW_NUMBER() OVER (
                    PARTITION BY q.vec_id
-                   ORDER BY ROUND({cos}, 4) DESC, c.label ASC
+                   ORDER BY (CASE WHEN isnan({cos})
+                             THEN NULL
+                             ELSE ROUND({cos}, 4)
+                             END) DESC NULLS LAST, c.label ASC
                ) AS crank
         FROM q CROSS JOIN cccb c
     ),

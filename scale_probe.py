@@ -195,6 +195,10 @@ def append_batch_pred(spark, base_dir: str) -> str:
     e = _vectors(spark, base_dir).select("vec_id")
     n = min(APPEND_BATCH, max(e.count() // 2, 1))
     ids = e.orderBy("vec_id").limit(n).collect()
+    if not ids:
+        raise ValueError(
+            f"append probe: {base_dir} has an empty embeddings corpus"
+        )
     return f"vec_id <= {int(ids[-1].vec_id)}"
 
 
