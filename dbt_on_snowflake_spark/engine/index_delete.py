@@ -125,7 +125,7 @@ ENGINE_MARK_BODY = json.dumps({"owner": ENGINE_OWNER}).encode() + b"\n"
 # (r13 advice #1) — so the gate parses each candidate and requires
 # the writer's full key signature (ENGINE_MARK additionally pins the
 # owner VALUE). Keys per writer: the tombstone spec (`_write_sidecar`),
-# the PQ drift baseline (`_write_pq_qstats`), the IVF drift baseline
+# the PQ drift baseline (`_observe_qerr`+`_write_qstats_sidecar`), the IVF drift baseline
 # (`_write_ann_cstats`), the update-log merge spec
 # (`run_update_log`'s sidecar).
 _OWNERSHIP_PROOF_KEYS: dict[str, set[str]] = {

@@ -24,6 +24,8 @@ partitions must be sized to it (docs × ~tokens rows), and hot shingles
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -70,7 +72,11 @@ def shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan_out_scan: shingling + hashing is the CPU-dense stage; on the
     single-row-group local files the scan is 1 partition and would
     serialize it onto one core (identity on a real cluster scan)."""
-    d = fan_out_scan(spark, table(spark, sf_dir, "documents"))
+    d = fan_out_scan(
+        spark,
+        table(spark, sf_dir, "documents"),
+        key_path=os.path.join(sf_dir, "documents.parquet"),
+    )
     return d.select("doc_id", F.explode(word_shingles(F.col("text"))).alias("sh"))
 
 
@@ -1285,7 +1291,11 @@ def dedup_minhash_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix = hashlib.md5(f"mhdel:{sf_dir}".encode()).hexdigest()[:8]
     index_table = f"mh_band_index_{suffix}"
     pairs_table = f"mh_corpus_pairs_{suffix}"
-    d = fan_out_scan(spark, table(spark, sf_dir, "documents"))
+    d = fan_out_scan(
+        spark,
+        table(spark, sf_dir, "documents"),
+        key_path=os.path.join(sf_dir, "documents.parquet"),
+    )
     # rebuilt from scratch each call (the build+delete verification
     # surface); the build itself resets the tombstone slate
     build_minhash_index(
@@ -1321,7 +1331,11 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     index_table = f"mh_band_index_{suffix}"
     pairs_table = f"mh_corpus_pairs_{suffix}"
-    d = fan_out_scan(spark, table(spark, sf_dir, "documents"))
+    d = fan_out_scan(
+        spark,
+        table(spark, sf_dir, "documents"),
+        key_path=os.path.join(sf_dir, "documents.parquet"),
+    )
     corpus = d.filter(F.col("doc_id") % 5 != 0)
     batch = d.filter(F.col("doc_id") % 5 == 0)
     build_minhash_index(
@@ -1538,7 +1552,11 @@ def dedup_incremental_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     index_table = f"mh_band_index_pp_{suffix}"
     pairs_table = f"mh_corpus_pairs_pp_{suffix}"
-    d = fan_out_scan(spark, table(spark, sf_dir, "documents"))
+    d = fan_out_scan(
+        spark,
+        table(spark, sf_dir, "documents"),
+        key_path=os.path.join(sf_dir, "documents.parquet"),
+    )
     corpus = d.filter(F.col("doc_id") % 5 != 0)
     batch = d.filter(F.col("doc_id") % 5 == 0)
     build_minhash_index_pruned(spark, corpus, index_table=index_table)

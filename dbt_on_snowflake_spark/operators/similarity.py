@@ -476,6 +476,50 @@ def build_ann_index(
     cvec.write.mode("overwrite").saveAsTable(centroids_table)
     mark_engine_dir(spark, centroids_table)  # ownership proof (pass 5 #3)
     _drop_managed_table(spark, assignments_table)
+    # The BUILD-TIME centroid-distance baseline (the IVF drift gate's
+    # reference — ``ann_index_drift``) is recorded UNCONDITIONALLY:
+    # every build leaves a catalog-visible ann_assignments_* table the
+    # scheduled ``reindex --when-drifted`` sweep will find — a
+    # baseline-less family would make every sweep exit nonzero with no
+    # operator remedy (r13 review pass 2, finding 2). Since r17 the
+    # baseline aggregate is FOLDED INTO the assignments write itself
+    # via ``observe`` (CollectMetrics): the displacement column rides
+    # the write plan (a broadcast join against the tiny just-written
+    # centroid table, dropped before the sink) and the rounded mean
+    # falls out of the same pass — the separate post-write
+    # ``_mean_cdist_row`` scan of the full assignments (one whole extra
+    # corpus pass per build; guide §1.2 "don't compute things you throw
+    # away") is gone. Arithmetic is the exact ``_mean_cdist_row``
+    # expression — zip_with squared-diff sequential fold, avg rounded
+    # to 6 — so the sidecar value matches a recompute bit for bit; the
+    # LEFT join + count of matched rows reproduces the inner-join
+    # population without being able to drop (or duplicate) written
+    # rows.
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    acols = [F.col(f"a.{c}") for c in assigned.columns]
+    cfrozen = F.broadcast(spark.table(centroids_table)).alias("c")
+    dist2 = F.aggregate(
+        F.zip_with("a.v", "c.v", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    observed = (
+        assigned.alias("a")
+        .join(cfrozen, F.col("a.label") == F.col("c.label"), "left")
+        .select(
+            *acols,
+            dist2.alias("_cdist2"),
+            F.col("c.label").alias("_matched"),
+        )
+        .observe(
+            obs,
+            (F.round(F.avg("_cdist2"), 6) + 0.0).alias("mean_cdist"),
+            F.count("_matched").alias("n_rows"),
+        )
+        .drop("_cdist2", "_matched")
+    )
     (
         # cluster by the partition column before the partitioned write:
         # unclustered partitionBy emits |input partitions| x |labels|
@@ -483,27 +527,14 @@ def build_ann_index(
         # scale that is millions of KB files and a metadata-bound read
         # path); one hash shuffle on label collapses it to ~1 file per
         # inverted list, which is also the read unit a probe prunes to
-        assigned.repartition("label")
+        observed.repartition("label")
         .write.mode("overwrite")
         .partitionBy("label")
         .saveAsTable(assignments_table)
     )
-    # record the BUILD-TIME centroid-distance baseline next to the
-    # assignments, UNCONDITIONALLY: the IVF drift gate
-    # (``ann_index_drift``) compares every later state of the grown
-    # assignments against it (the ``_write_pq_qstats`` convention), and
-    # every build leaves a catalog-visible ann_assignments_* table the
-    # scheduled ``reindex --when-drifted`` sweep will find — a
-    # baseline-less family would make every sweep exit nonzero with no
-    # operator remedy (r13 review pass 2, finding 2; pass 1's
-    # skip-for-throwaway-builds optimization created exactly that).
-    # The agg runs under its own job group, so inline-build bench
-    # stage fingerprints are unaffected; the wall-clock cost is one
-    # narrow assignments x broadcast-centroids aggregate.
-    _write_ann_cstats(
-        spark,
-        centroids_table=centroids_table,
-        assignments_table=assignments_table,
+    m = obs.get
+    _write_cstats_sidecar(
+        spark, assignments_table, m["mean_cdist"], m["n_rows"]
     )
 
 
@@ -4255,18 +4286,20 @@ def build_pq_index(
         e.select("vec_id", "label", "v"),
         _codebook_row(spark.table(codebook_table)),
     )
+    # the BUILD-TIME quantization-error baseline (underscore sidecar —
+    # invisible to reads, preserved by the compaction/fold swap; the
+    # drift gate compares every later state of the grown codes against
+    # it, ``pq_index_drift``) rides the write pass via observe instead
+    # of a separate post-write scan (r17)
+    observed, obs = _observe_qerr(codes)
     (
-        codes.repartition("label")
+        observed.repartition("label")
         .write.mode("overwrite")
         .partitionBy("label")
         .saveAsTable(codes_table)
     )
-    # record the BUILD-TIME quantization-error baseline next to the
-    # codes (underscore sidecar — invisible to reads, preserved by the
-    # compaction/fold swap): the drift gate compares every later state
-    # of the grown codes against it (``pq_index_drift``). Computed from
-    # the just-written table, a narrow codes-only aggregate.
-    _write_pq_qstats(spark, codes_table)
+    m = obs.get
+    _write_qstats_sidecar(spark, codes_table, m["mean_qerr"], m["n_rows"])
 
 
 def build_ivfpq_index(
@@ -4309,13 +4342,16 @@ def build_ivfpq_index(
         _assign_cells(e.select("vec_id", "label", "v"), coarse),
         _entries_cb_row(spark, entries),
     )
+    # baseline rides the write pass (see build_pq_index / _observe_qerr)
+    observed, obs = _observe_qerr(codes)
     (
-        codes.repartition("label")
+        observed.repartition("label")
         .write.mode("overwrite")
         .partitionBy("label")
         .saveAsTable(codes_table)
     )
-    _write_pq_qstats(spark, codes_table)
+    m = obs.get
+    _write_qstats_sidecar(spark, codes_table, m["mean_qerr"], m["n_rows"])
 
 
 def ivfpq_index_append(
@@ -4432,7 +4468,36 @@ def _mean_qerr_col() -> F.Column:
     )
 
 
-def _write_pq_qstats(spark: SparkSession, codes_table: str) -> None:
+def _observe_qerr(codes: DataFrame):
+    """Attach the build-time quantization-error baseline aggregate to
+    the codes write plan via ``observe`` (CollectMetrics): the mean
+    falls out of the write pass itself instead of a separate post-write
+    scan of the just-written table (one fewer codes pass per build —
+    r17; guide §1.2 "don't compute things you throw away"). Rounded to
+    6 decimals: a double AVG is order-dependent in its last ulps, and a
+    compaction/fold legitimately reorders the rows it rewrites — the
+    drift RATIO must compare equal across such rewrites (gate grain is
+    ~1.5x; ulp noise is ~1e-16 relative). Returns ``(observed_df,
+    observation)``; read ``observation.get`` only after the write."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    return (
+        codes.observe(
+            obs,
+            (F.round(F.avg(_mean_qerr_col()), 6) + 0.0).alias("mean_qerr"),
+            F.count(F.lit(1)).alias("n_rows"),
+        ),
+        obs,
+    )
+
+
+def _write_qstats_sidecar(
+    spark: SparkSession,
+    codes_table: str,
+    mean_qerr: float | None,
+    n_rows: int,
+) -> None:
     import json as _json
 
     from dbt_on_snowflake_spark.engine.fs import fs_create_atomic
@@ -4440,27 +4505,14 @@ def _write_pq_qstats(spark: SparkSession, codes_table: str) -> None:
         table_location,
     )
 
-    row = (
-        spark.table(codes_table)
-        .agg(
-            # rounded to 6 decimals: a double AVG is order-dependent in
-            # its last ulps, and a compaction/fold legitimately reorders
-            # the rows it rewrites — the drift RATIO must compare equal
-            # across such rewrites (gate grain is ~1.5x; ulp noise is
-            # ~1e-16 relative)
-            (F.round(F.avg(_mean_qerr_col()), 6) + 0.0).alias("mean_qerr"),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
-        .collect()[0]  # bounded: one aggregate row
-    )
     fs_create_atomic(
         spark,
         posixpath.join(table_location(spark, codes_table), _QSTATS),
         _json.dumps(
             {
                 # avg over an empty build is NULL -> record 0.0
-                "base_mean_qerr": row.mean_qerr or 0.0,
-                "n_rows": row.n_rows,
+                "base_mean_qerr": mean_qerr or 0.0,
+                "n_rows": n_rows,
             }
         ).encode(),
     )
@@ -4739,7 +4791,7 @@ def _mean_cdist_row(spark: SparkSession, assignments, centroids_table: str):
         assignments.alias("a")
         .join(cvec, "label")
         .agg(
-            # 6-decimal rounding, the _write_pq_qstats convention: a
+            # 6-decimal rounding, the qstats sidecar convention: a
             # double AVG is order-dependent in its last ulps and a
             # compaction legitimately reorders the rows it rewrites
             (F.round(F.avg(dist2), 6) + 0.0).alias("mean_cdist"),
@@ -4749,21 +4801,21 @@ def _mean_cdist_row(spark: SparkSession, assignments, centroids_table: str):
     )
 
 
-def _write_ann_cstats(
-    spark: SparkSession, *, centroids_table: str, assignments_table: str
+def _write_cstats_sidecar(
+    spark: SparkSession,
+    assignments_table: str,
+    mean_cdist: float | None,
+    n_rows: int,
 ) -> None:
-    """Record the family's centroid-distance baseline sidecar next to
-    the assignments (the ``_write_pq_qstats`` convention — underscore
-    file, invisible to reads, preserved by the compaction/fold swap).
-    ``fs_replace_atomic``, because ``refresh_centroids`` re-records
-    over a LIVING table dir (unlike the PQ build, which always writes
-    a fresh one): a re-record killed mid-rewrite must not strand the
-    family baseline-less — the drift gate and the outside-warehouse
-    ownership proof both read it (r13 verdict Next #4).
-    Runs under its own job group: several bench-headline queries build
-    their IVF family INLINE (``dedup_semantic``), and the baseline agg
-    must not drift their pinned stage fingerprints (the
-    ``ensure_index_tables`` isolation convention)."""
+    """Write the centroid-distance baseline sidecar next to the
+    assignments (the qstats convention — underscore file, invisible to
+    reads, preserved by the compaction/fold swap) from already-computed
+    values. ``fs_replace_atomic``, because ``refresh_centroids``
+    re-records over a LIVING table dir (unlike the PQ build, which
+    always writes a fresh one): a re-record killed mid-rewrite must not
+    strand the family baseline-less — the drift gate and the
+    outside-warehouse ownership proof both read it (r13 verdict
+    Next #4)."""
     import json as _json
 
     from dbt_on_snowflake_spark.engine.fs import fs_replace_atomic
@@ -4771,6 +4823,31 @@ def _write_ann_cstats(
         table_location,
     )
 
+    fs_replace_atomic(
+        spark,
+        posixpath.join(table_location(spark, assignments_table), _CSTATS),
+        _json.dumps(
+            {
+                # avg over an empty build is NULL -> record 0.0
+                "base_mean_cdist": mean_cdist or 0.0,
+                "n_rows": n_rows,
+            }
+        ).encode(),
+    )
+
+
+def _write_ann_cstats(
+    spark: SparkSession, *, centroids_table: str, assignments_table: str
+) -> None:
+    """Recompute and record the centroid-distance baseline over the
+    CURRENT table state — the ``refresh_centroids`` path, which
+    re-records over a living (possibly tombstone-carrying, possibly
+    append-grown) family; a fresh ``build_ann_index`` instead folds the
+    same aggregate into its assignments write via ``observe`` (one
+    fewer corpus pass — r17).
+    Runs under its own job group: the refresh can be invoked next to
+    serve paths whose bench stage fingerprints must not drift (the
+    ``ensure_index_tables`` isolation convention)."""
     sc = spark.sparkContext
     caller_group = sc.getLocalProperty("spark.jobGroup.id")
     sc.setJobGroup("index-build:ann_cstats", "drift baseline")
@@ -4780,8 +4857,6 @@ def _write_ann_cstats(
         # tombstone-carrying family must use the same population or
         # every post-refresh ratio starts off-calibrated (masking real
         # drift, or retraining on every sweep — r13 review, finding 1).
-        # On a fresh build the slate is clean and this is the full
-        # table, gate-free.
         row = _mean_cdist_row(
             spark,
             _live_assignments(spark, assignments_table).select(
@@ -4789,19 +4864,8 @@ def _write_ann_cstats(
             ),
             centroids_table,
         )
-        p = posixpath.join(
-            table_location(spark, assignments_table), _CSTATS
-        )
-        fs_replace_atomic(
-            spark,
-            p,
-            _json.dumps(
-                {
-                    # avg over an empty build is NULL -> record 0.0
-                    "base_mean_cdist": row.mean_cdist or 0.0,
-                    "n_rows": row.n_rows,
-                }
-            ).encode(),
+        _write_cstats_sidecar(
+            spark, assignments_table, row.mean_cdist, row.n_rows
         )
     finally:
         sc.setJobGroup(caller_group, "serve")

@@ -472,7 +472,11 @@ def dedup_incremental_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand_dir = os.path.join(tempfile.gettempdir(), f"mh_stream_cand_{suffix}")
     fs_delete(spark, cand_dir)  # Hadoop FS: object-store-safe cleanup
 
-    d = fan_out_scan(spark, table(spark, sf_dir, "documents"))
+    d = fan_out_scan(
+        spark,
+        table(spark, sf_dir, "documents"),
+        key_path=os.path.join(sf_dir, "documents.parquet"),
+    )
     build_minhash_index(
         spark,
         d.filter(F.col("doc_id") % 5 != 0),

@@ -27,14 +27,54 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# Inferred-SCHEMA cache: path -> (file stats, schema-affecting confs,
+# StructType). Schema inference is metadata, not data — but every bare
+# ``spark.read.parquet`` construction runs a real 1-task footer-read job
+# (~0.1 s locally; one object-store GET per query at scale), and the
+# bench constructs each table DataFrame on every run of every query.
+# Passing the cached schema via ``.schema(...)`` skips exactly that job
+# and nothing else: an explicit schema equal to the inferred one is
+# semantically identical (guide §1.2 — don't recompute what is already
+# known). Keyed on the file's (path, size, mtime) stats so an
+# in-session corpus regeneration re-infers immediately (no TTL), plus
+# the two confs that change what a given parquet file infers AS
+# (nanosAsLong, inferTimestampNTZ) — sessions that could not set them
+# (CANNOT_MODIFY_CONFIG) must not be served another session's reading.
+# One entry per (path, confs): replaced in place on regeneration.
+_SCHEMA_CACHE: dict[tuple, tuple] = {}
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    from dbt_on_snowflake_spark.engine.fs import fs_file_stats
+
+    try:
+        stats = repr(fs_file_stats(spark, path))
+        confs = (
+            spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false"),
+            spark.conf.get(
+                "spark.sql.parquet.inferTimestampNTZ.enabled", "true"
+            ),
+        )
+    except Exception:
+        return spark.read.parquet(path)
+    hit = _SCHEMA_CACHE.get((path, confs))
+    if hit is not None and hit[0] == stats:
+        return spark.read.schema(hit[1]).parquet(path)
+    df = spark.read.parquet(path)
+    _SCHEMA_CACHE[(path, confs)] = (stats, df.schema)
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. Column pruning + predicate pushdown reach
-    the parquet scan because this is a plain declarative read.
+    the parquet scan because this is a plain declarative read (an
+    explicit schema only skips footer inference; pushdown/pruning are
+    unchanged).
 
     events.ts is parquet TIMESTAMP(NANOS), which Spark reads as a long
     (``spark.sql.legacy.parquet.nanosAsLong``); convert to a microsecond
     timestamp exactly like DuckDB does (integer truncation)."""
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = _read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
@@ -58,7 +98,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def fan_out_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+# fan_out_scan's split-count probe (df.rdd.getNumPartitions) forces a
+# full plan->RDD translation per call (~0.1 s of driver time at bench
+# granularity, guide §1.2). The count is a pure function of (file
+# listing, maxPartitionBytes, cores), so callers that read a known
+# parquet path pass it as ``key_path`` and the probe is memoized on the
+# same change-detection stats the schema cache uses — a regenerated
+# file re-probes immediately.
+_FANOUT_CACHE: dict[tuple, int] = {}
+
+
+def fan_out_scan(
+    spark: SparkSession, df: DataFrame, key_path: str | None = None
+) -> DataFrame:
     """Round-robin repartition a scan ONLY when it has fewer splits than
     cores. The local testdata parquet files are single-row-group, so the
     scan yields one partition and every narrow transform downstream
@@ -68,8 +120,24 @@ def fan_out_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
     shuffle of raw rows) is untouched. Used by CPU-dense per-row
     operators (minhash/jaccard shingling) where map-side work dominates
     the row volume."""
-    n = df.rdd.getNumPartitions()
     p = spark.sparkContext.defaultParallelism
+    key = None
+    if key_path is not None:
+        from dbt_on_snowflake_spark.engine.fs import fs_file_stats
+
+        try:
+            key = (
+                repr(fs_file_stats(spark, key_path)),
+                spark.conf.get("spark.sql.files.maxPartitionBytes", ""),
+                p,
+            )
+        except Exception:
+            key = None
+    n = _FANOUT_CACHE.get(key) if key is not None else None
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if key is not None:
+            _FANOUT_CACHE[key] = n
     return df.repartition(p) if n < p else df
 
 
