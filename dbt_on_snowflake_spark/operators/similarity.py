@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from dbt_on_snowflake_spark.operators.dedup import COSINE_SQL, _cosine
 from dbt_on_snowflake_spark.registry import query
+from dbt_on_snowflake_spark.testdata import local_df as _local_df
 from dbt_on_snowflake_spark.testdata import table
 
 TOP_K = 5
@@ -1631,6 +1632,35 @@ def _train_sample(e: DataFrame) -> list:
     )
 
 
+def _sample_and_query_rows(e: DataFrame) -> tuple[list, list]:
+    """The TWO bounded driver-side collects every recompute-per-run PQ
+    serve needs — the training sample (``_train_sample``'s TakeOrdered
+    contract, <= PQ_TRAIN_CAP rows) and the ``_QUERY_PRED`` query rows
+    (hard-capped by the predicate) — as ONE Spark job: a tagged union
+    rides both bounded legs through a single scheduling round instead
+    of two back-to-back collects (~0.2 s of pure job overhead each at
+    bench granularity; guide §5 driver round-trips). Row content of
+    each half is exactly what the separate collects produced: the
+    sample is re-sorted by vec_id driver-side, the query rows keep
+    their collect order (consumers are per-query independent)."""
+    s = (
+        e.select("vec_id", "label", "v")
+        .orderBy("vec_id")
+        .limit(PQ_TRAIN_CAP)
+        .withColumn("_is_q", F.lit(False))
+    )
+    q = (
+        e.filter(F.expr(_QUERY_PRED))
+        .select("vec_id", "label", "v")
+        .withColumn("_is_q", F.lit(True))
+    )
+    rows = s.unionByName(q).collect()
+    samp = sorted(
+        (r for r in rows if not r["_is_q"]), key=lambda r: r["vec_id"]
+    )
+    return samp, [r for r in rows if r["_is_q"]]
+
+
 def _lloyd_train(
     e: DataFrame,
     *,
@@ -1747,7 +1777,7 @@ def _trained_cells_and_corpus(
     ``vlabel`` passthrough column (the persisted build's metadata
     contract). Returns (coarse_entries, cells_df, assigned_corpus)."""
     coarse = _coarse_train(e)
-    cvec = spark.createDataFrame(coarse, _PQ_CB_SCHEMA)
+    cvec = _local_df(spark, coarse, _PQ_CB_SCHEMA)
     src = (
         e.select("vec_id", F.col("label").alias("vlabel"), "v")
         if keep_vlabel
@@ -1759,11 +1789,13 @@ def _trained_cells_and_corpus(
 _PQ_CB_SCHEMA = "label long, v array<double>"
 
 
+
+
 def _pq_codebook_vectors(e: DataFrame) -> DataFrame:
     """The trained PQ codebook as a K-row (label, v) DataFrame — the
     persistable form ``build_pq_index`` writes; downstream it is
     consumed exactly like the old per-label-mean codebook."""
-    return e.sparkSession.createDataFrame(_pq_train(e), _PQ_CB_SCHEMA)
+    return _local_df(e.sparkSession, _pq_train(e), _PQ_CB_SCHEMA)
 
 
 def _entries_cb_row(spark: SparkSession, entries) -> DataFrame:
@@ -1772,8 +1804,10 @@ def _entries_cb_row(spark: SparkSession, entries) -> DataFrame:
     aggregate job, nothing to checkpoint, bit-identical to
     ``_codebook_row`` over the same rows."""
     payload = [{"label": int(k), "v": list(v)} for k, v in entries]
-    return spark.createDataFrame(
-        [(payload,)], "cb array<struct<label: long, v: array<double>>>"
+    return _local_df(
+        spark,
+        [(payload,)],
+        "cb array<struct<label: long, v: array<double>>>",
     )
 
 
@@ -1783,7 +1817,9 @@ def _pq_cb_row(e: DataFrame) -> DataFrame:
     return _entries_cb_row(e.sparkSession, _pq_train(e))
 
 
-def _qlut_rows(queries: DataFrame, entries) -> list[tuple[int, list[dict]]]:
+def _qlut_rows(
+    queries: DataFrame | list, entries
+) -> list[tuple[int, list[dict]]]:
     """The per-query ADC lookup tables, computed driver-side from the
     trained/persisted codebook ``entries`` and the BOUNDED query
     relation — |queries| x PQ_M x K int64, the same payload the
@@ -1797,7 +1833,10 @@ def _qlut_rows(queries: DataFrame, entries) -> list[tuple[int, list[dict]]]:
     (F.round(x) / DuckDB ROUND(x)) cast to int64."""
     import numpy as np
 
-    qrows = queries.select("vec_id", "v").collect()  # bounded (callers)
+    if isinstance(queries, list):
+        qrows = queries  # pre-collected (the _sample_and_query_rows job)
+    else:
+        qrows = queries.select("vec_id", "v").collect()  # bounded (callers)
     if not qrows or not entries:
         return []
     labels = [int(k) for k, _ in entries]
@@ -2439,17 +2478,20 @@ def ann_pq_adc_topk(
     e = _vectors(spark, sf_dir)
     # the codebook feeds BOTH the encode side and the query LUTs; the
     # Lloyd trainer hands its entries over as local relations — nothing
-    # to checkpoint, both consumers reuse the same in-memory rows
-    entries = _pq_train(e)
+    # to checkpoint, both consumers reuse the same in-memory rows. The
+    # training sample and the (arrow path's) query rows ride ONE
+    # collect job (_sample_and_query_rows — the non-default hof branch
+    # carries the bounded query rows unused rather than keeping a
+    # second collect shape alive).
+    samp, qrows = _sample_and_query_rows(e)
+    entries = _lloyd_train_rows(samp)
     cb_row = _entries_cb_row(spark, entries)
     codes = _pq_encode(e.select("vec_id", "v"), cb_row, kernel=kernel)
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_dot_scaled").desc(), F.col("neighbor_id").asc()
     )
     if kernel == "arrow":
-        scored = _adc_score_arrow(
-            codes, _qlut_rows(e.filter(F.expr(_QUERY_PRED)), entries), k=k
-        )
+        scored = _adc_score_arrow(codes, _qlut_rows(qrows, entries), k=k)
     else:
         qlut = _qlut_expr(e.filter(F.expr(_QUERY_PRED)), cb_row)
         score = None
@@ -4014,10 +4056,12 @@ def ann_ivfpq_topk(
     # BOTH quantizers train driver-side on ONE bounded sample collect
     # (r16 review finding 3): the coarse cells (full-dim Lloyd) and
     # the PQ codebook (in-subspace Lloyd) — each a local relation
-    # downstream.
-    samp = _train_sample(e)
+    # downstream. The query rows for the arrow path's LUTs ride the
+    # same collect job (_sample_and_query_rows); the probe ranking
+    # stays plan-side over the query RELATION.
+    samp, qrows = _sample_and_query_rows(e)
     coarse = _coarse_train_rows(samp)
-    cvec = spark.createDataFrame(coarse, _PQ_CB_SCHEMA)
+    cvec = _local_df(spark, coarse, _PQ_CB_SCHEMA)
     entries = _lloyd_train_rows(samp)
     cb_row = _entries_cb_row(spark, entries)
     codes = _pq_encode(
@@ -4032,7 +4076,7 @@ def ann_ivfpq_topk(
     if kernel == "arrow":
         scored = _adc_score_arrow(
             codes.select("vec_id", "label", "bests"),
-            _qlut_rows(q, entries),
+            _qlut_rows(qrows, entries),
             probes=probes,
         )
     else:
@@ -4095,6 +4139,32 @@ def _collect_codebook_entries(spark: SparkSession, codebook_table: str):
         (int(r["label"]), list(r["v"]))
         for r in spark.table(codebook_table).collect()
     )
+
+
+def _cb_and_query_rows(
+    spark: SparkSession, codebook_table: str, queries: DataFrame
+) -> tuple[list, list]:
+    """The persisted-serve pair of bounded driver-side collects — the
+    codebook entries (``_collect_codebook_entries``'s contract) and the
+    query rows — as ONE Spark job via a tagged union (guide §5 driver
+    round-trips: each extra collect is a full scheduling round at serve
+    granularity). Content of each half is identical to the two separate
+    collects; entries are sorted driver-side exactly as before."""
+    cb_leg = spark.table(codebook_table).select(
+        F.col("label").cast("long").alias("vec_id"),
+        F.col("v").cast("array<double>").alias("v"),
+        F.lit(False).alias("_is_q"),
+    )
+    q_leg = queries.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("v").cast("array<double>").alias("v"),
+        F.lit(True).alias("_is_q"),
+    )
+    rows = cb_leg.unionByName(q_leg).collect()
+    entries = sorted(
+        (int(r["vec_id"]), list(r["v"])) for r in rows if not r["_is_q"]
+    )
+    return entries, [r for r in rows if r["_is_q"]]
 
 
 def ensure_ivfpq_index(
@@ -4180,10 +4250,45 @@ def _ivfpq_serve(
     probes = _ivf_probes(q, spark.table(cells_t))
     # bounded: <= MAX_QUERIES x N_PROBE rows — collected once, feeding
     # the partition-prune filter, the arrow kernel's per-query masks,
-    # AND the interpreted branch's probe relation (no lineage re-run)
-    probe_rows = [
-        (int(r.query_id), int(r.plabel)) for r in probes.collect()
-    ]
+    # AND the interpreted branch's probe relation (no lineage re-run).
+    # Arrow path: the probe pairs, the codebook entries, and the query
+    # rows are ALL bounded driver-side relations — one tagged-union
+    # collect replaces three back-to-back jobs (guide §5 driver
+    # round-trips); each leg's content is exactly what its separate
+    # collect produced.
+    if kernel == "arrow":
+        probe_leg = probes.select(
+            F.col("query_id").cast("long").alias("vec_id"),
+            F.col("plabel").cast("long").alias("plabel"),
+            F.lit(None).cast("array<double>").alias("v"),
+            F.lit(0).alias("_leg"),
+        )
+        cb_leg = spark.table(cb_t).select(
+            F.col("label").cast("long").alias("vec_id"),
+            F.lit(None).cast("long").alias("plabel"),
+            F.col("v").cast("array<double>").alias("v"),
+            F.lit(1).alias("_leg"),
+        )
+        q_leg = q.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.lit(None).cast("long").alias("plabel"),
+            F.col("v").cast("array<double>").alias("v"),
+            F.lit(2).alias("_leg"),
+        )
+        rows = probe_leg.unionByName(cb_leg).unionByName(q_leg).collect()
+        probe_rows = [
+            (int(r["vec_id"]), int(r["plabel"]))
+            for r in rows
+            if r["_leg"] == 0
+        ]
+        entries = sorted(
+            (int(r["vec_id"]), list(r["v"])) for r in rows if r["_leg"] == 1
+        )
+        qrows = [r for r in rows if r["_leg"] == 2]
+    else:
+        probe_rows = [
+            (int(r.query_id), int(r.plabel)) for r in probes.collect()
+        ]
     cells = sorted({lab for _, lab in probe_rows})
     # the label-CARRYING tombstone-gated read (_live_codes projects the
     # partition column away for the full-scan serves; the prune needs it)
@@ -4198,7 +4303,7 @@ def _ivfpq_serve(
     if kernel == "arrow":
         scored = _adc_score_arrow(
             pruned.select("vec_id", "label", "bests"),
-            _qlut_rows(q, _collect_codebook_entries(spark, cb_t)),
+            _qlut_rows(qrows, entries),
             probes=probe_rows,
         )
     else:
@@ -4327,13 +4432,13 @@ def build_ivfpq_index(
     samp = _train_sample(e)  # ONE collect feeds both trainers
     coarse = _coarse_train_rows(samp)
     _drop_managed_table(spark, cells_table)
-    spark.createDataFrame(coarse, _PQ_CB_SCHEMA).write.mode(
+    _local_df(spark, coarse, _PQ_CB_SCHEMA).write.mode(
         "overwrite"
     ).saveAsTable(cells_table)
     mark_engine_dir(spark, cells_table)
     entries = _lloyd_train_rows(samp)
     _drop_managed_table(spark, codebook_table)
-    spark.createDataFrame(entries, _PQ_CB_SCHEMA).write.mode(
+    _local_df(spark, entries, _PQ_CB_SCHEMA).write.mode(
         "overwrite"
     ).saveAsTable(codebook_table)
     mark_engine_dir(spark, codebook_table)
@@ -5430,12 +5535,10 @@ def _adc_serve(
 
     if _os.environ.get("SPARK_GRAFT_PQ_KERNEL", "arrow") == "arrow":
         # the persisted codebook is bounded control-plane data — build
-        # the query LUTs driver-side (no per-entry interpreted fold)
-        scored = _adc_score_arrow(
-            codes,
-            _qlut_rows(queries, _collect_codebook_entries(spark, codebook_table)),
-            k=k,
-        )
+        # the query LUTs driver-side (no per-entry interpreted fold);
+        # codebook + query rows ride one collect (_cb_and_query_rows)
+        entries, qrows = _cb_and_query_rows(spark, codebook_table, queries)
+        scored = _adc_score_arrow(codes, _qlut_rows(qrows, entries), k=k)
     else:
         qlut = _qlut_expr(queries, _codebook_row(spark.table(codebook_table)))
         score = None

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dbt_on_snowflake_spark.registry import query
-from dbt_on_snowflake_spark.testdata import table
+from dbt_on_snowflake_spark.testdata import local_df, table
 
 # ------------------------------------------------------------- text stats
 
@@ -1094,7 +1094,10 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     merges = bpe_train_merges(words, BPE_TRAIN_MERGES)
-    return spark.createDataFrame(
+    # single-slice local relation: the 8-row model as 1 task / 1 file,
+    # not defaultParallelism empty slices (testdata.local_df)
+    return local_df(
+        spark,
         [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
         "rank long, left_sym string, right_sym string, pair_count long",
     )
@@ -2012,9 +2015,9 @@ def ensure_deleted_text_index(
             postings_table=postings_t,
             doclen_table=doclen_t,
         )
-        spark.createDataFrame(
-            [(1,)], "gated int"
-        ).write.mode("overwrite").saveAsTable(marker_t)
+        local_df(spark, [(1,)], "gated int").write.mode(
+            "overwrite"
+        ).saveAsTable(marker_t)
         mark_engine_dir(spark, marker_t)
 
     ensure_index_tables(

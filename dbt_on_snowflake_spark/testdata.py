@@ -108,6 +108,21 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _FANOUT_CACHE: dict[tuple, int] = {}
 
 
+def local_df(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """Bounded control-plane rows (trained cells/codebook entries, BPE
+    merge tables — K rows of model-sized data) as a SINGLE-slice local
+    DataFrame. The default ``createDataFrame(list)`` parallelizes even
+    a 16-row list over ``defaultParallelism`` slices, so every write of
+    a tiny cells/codebook table emitted ~32 near-empty files and every
+    broadcast/collect of one paid ~32 tasks / ~32 footer reads; one
+    slice -> one task and one file (guide §6 file layout; measured
+    0.76 s -> 0.33 s per tiny saveAsTable locally). Row content and
+    order are unchanged — identical rows, identical schema."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
+
+
 def fan_out_scan(
     spark: SparkSession, df: DataFrame, key_path: str | None = None
 ) -> DataFrame:
