@@ -503,6 +503,39 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------- embedding cosine dedup
 
 
+def _cosine_dot(a: str, b: str) -> Column:
+    """The dot-product leg of ``_cosine``: sequential F.aggregate fold
+    over zip_with products — the exact sub-expression ``_cosine``
+    always built, exposed so callers can stage it separately."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cosine_norm(c: str) -> Column:
+    """The norm leg of ``_cosine``: sqrt of the sequential sum of
+    squares — the exact na/nb sub-expression ``_cosine`` always built,
+    exposed so callers can stage norms as columns ONCE instead of
+    letting a pushed ``isnotnull(cosine)`` filter re-evaluate the whole
+    cosine inside a join condition (guide §4.4-shaped duplication)."""
+    return F.sqrt(
+        F.aggregate(
+            F.transform(F.col(c), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def _cosine_from(dot: Column, na: Column, nb: Column) -> Column:
+    """``_cosine``'s combine step over pre-staged legs: NULL when the
+    norm product is 0 (undefined cosine), else dot/(na*nb) — the same
+    expression tree ``_cosine`` builds, so staged callers stay
+    bit-identical to inline ones."""
+    denom = na * nb
+    return F.when(denom != F.lit(0.0), dot / denom)
+
+
 def _cosine(a: str, b: str) -> Column:
     """Cosine between two array<double> columns, computed as
     dot/(norm_a*norm_b) with sequential F.aggregate sums.
@@ -514,23 +547,7 @@ def _cosine(a: str, b: str) -> Column:
     Return NULL instead: every threshold comparison (NULL >= t -> NULL)
     and rank filter then drops the degenerate pair, matching the Arrow
     kernels' isfinite keep-filters."""
-    dot = F.aggregate(
-        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    na = F.sqrt(
-        F.aggregate(
-            F.transform(F.col(a), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-        )
-    )
-    nb = F.sqrt(
-        F.aggregate(
-            F.transform(F.col(b), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-        )
-    )
-    denom = na * nb
-    return F.when(denom != F.lit(0.0), dot / denom)
+    return _cosine_from(_cosine_dot(a, b), _cosine_norm(a), _cosine_norm(b))
 
 
 COSINE_SQL = (

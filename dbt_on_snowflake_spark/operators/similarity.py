@@ -20,7 +20,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dbt_on_snowflake_spark.operators.dedup import COSINE_SQL, _cosine
+from dbt_on_snowflake_spark.operators.dedup import (
+    COSINE_SQL,
+    _cosine,
+    _cosine_dot,
+    _cosine_from,
+    _cosine_norm,
+)
 from dbt_on_snowflake_spark.registry import query
 from dbt_on_snowflake_spark.testdata import local_df as _local_df
 from dbt_on_snowflake_spark.testdata import table
@@ -44,22 +50,41 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _topk(joined: DataFrame) -> DataFrame:
-    cos = F.round(_cosine("q.v", "c.v"), 4) + 0.0  # collapse -0.0
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
+    # degenerate zero-norm embeddings make the cosine undefined —
+    # NULL (advice r8); DESC NULLS LAST would still seat them when a
+    # query has < k finite candidates, so drop them outright, matching
+    # the Arrow kernel's isfinite keep-filter so the two kernels stay
+    # row-identical on ALL inputs. The drop filters on the STAGED norm
+    # product, not isnotnull(cosine): the pushed isnotnull re-evaluates
+    # the entire cosine inside the join condition (guide §4.4-shaped
+    # duplication); staged legs keep the arithmetic bit-identical
+    # (_cosine_from is _cosine's own combine step).
     return (
         joined.select(
             F.col("q.vec_id").alias("query_id"),
             F.col("c.vec_id").alias("neighbor_id"),
-            cos.alias("cosine"),
+            F.col("q.v").alias("qv"),
+            F.col("c.v").alias("cv"),
+            _cosine_norm("q.v").alias("qn"),
+            _cosine_norm("c.v").alias("cn"),
         )
-        # degenerate zero-norm embeddings make the cosine undefined —
-        # _cosine yields NULL for them (advice r8); DESC NULLS LAST
-        # would still seat them when a query has < k finite candidates,
-        # so drop them outright, matching the Arrow kernel's isfinite
-        # keep-filter so the two kernels stay row-identical on ALL inputs
-        .filter(F.col("cosine").isNotNull())
+        .filter((F.col("qn") * F.col("cn")) != F.lit(0.0))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.round(
+                    _cosine_from(
+                        _cosine_dot("qv", "cv"), F.col("qn"), F.col("cn")
+                    ),
+                    4,
+                )
+                + 0.0  # collapse -0.0
+            ).alias("cosine"),
+        )
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
     )
@@ -2947,19 +2972,36 @@ def _exact_rerank(
     rows under ``_QUERY_PRED``."""
     if queries is None:
         queries = e.filter(F.expr(_QUERY_PRED))
+    # norms STAGED as columns (q-side once per bounded broadcast row,
+    # neighbor side once per joined row): a pushed isnotnull(cosine)
+    # filter re-evaluates the whole cosine inside the broadcast-join
+    # condition (plans/r17/ann_pq_rerank_topk_before op 24/25 — the
+    # join condition is evaluated per probed row, outside codegen);
+    # the staged filter costs one multiply and the cosine is built
+    # once from the staged legs, bit-identically (_cosine_from)
     q = queries.select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        _cosine_norm("v").alias("qn"),
     )
     pairs = (
         e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
         .join(F.broadcast(shortlist), "neighbor_id")
         .join(F.broadcast(q), "query_id")
+        .withColumn("vn", _cosine_norm("nv"))
+        .filter((F.col("qn") * F.col("vn")) != F.lit(0.0))
     )
     rr = pairs.select(
         "query_id",
         "neighbor_id",
-        (F.round(_cosine("qv", "nv"), 4) + 0.0).alias("cosine"),
-    ).filter(F.col("cosine").isNotNull())
+        (
+            F.round(
+                _cosine_from(_cosine_dot("qv", "nv"), F.col("qn"), F.col("vn")),
+                4,
+            )
+            + 0.0
+        ).alias("cosine"),
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -3167,22 +3209,40 @@ def _dense_topn(e: DataFrame) -> DataFrame:
     """The fusion's dense retriever: exact-cosine top-RRF_DEPTH against
     doc {DENSE_QUERY_ID}'s embedding — one bounded corpus scan, shared
     by the recompute and the indexed-BM25 hybrid twins."""
+    # norms STAGED as columns (q-side once per broadcast build, corpus
+    # side once per row): filtering the undefined-cosine rows on
+    # isnotnull(cosine) instead pushes the ENTIRE cosine expression into
+    # the BroadcastNestedLoopJoin condition, evaluating the fold
+    # pipeline twice per corpus row (plans/r17/..._before op 41/42);
+    # the staged filter costs one multiply and the cosine is built once
+    # from the staged legs — bit-identical arithmetic (_cosine_from is
+    # _cosine's own combine step over its own sub-expressions)
     qv = F.broadcast(
         e.filter(F.col("vec_id") == DENSE_QUERY_ID).select(
-            F.col("v").alias("qv")
+            F.col("v").alias("qv"), _cosine_norm("v").alias("qn")
         )
     )
     d_scored = (
         e.filter(F.col("vec_id") != DENSE_QUERY_ID)
+        .select("vec_id", "v", _cosine_norm("v").alias("vn"))
         .crossJoin(qv)
+        # zero-norm embeddings: undefined cosine (NULL) never enters
+        # the dense list — same contract as the rerank/_topk paths
+        .filter((F.col("qn") * F.col("vn")) != F.lit(0.0))
         .select(
             F.col("vec_id").alias("doc_id"),
-            (F.round(_cosine("qv", "v"), 4) + 0.0).alias("cosine"),
+            (
+                F.round(
+                    _cosine_from(
+                        _cosine_dot("qv", "v"), F.col("qn"), F.col("vn")
+                    ),
+                    4,
+                )
+                + 0.0
+            ).alias("cosine"),
         )
     )
-    # zero-norm embeddings: undefined cosine (NULL) never enters the
-    # dense list — same contract as the rerank/_topk paths
-    d_top = d_scored.filter(F.col("cosine").isNotNull()).orderBy(
+    d_top = d_scored.orderBy(
         F.col("cosine").desc(), F.col("doc_id").asc()
     ).limit(RRF_DEPTH)
     # unpartitioned window is BOUNDED: it runs over the limit's
