@@ -811,7 +811,19 @@ def write_pack_shards(
         .partitionBy("lang", "shard_id")
         .parquet(path)
     )
-    return int(obs.get["rows"])
+    # empty-build fallback: a zero-task write posts no metrics row
+    # (testdata.observed_row) — re-count the written shards (an empty
+    # dynamic overwrite may leave no readable dir at all: 0 rows)
+    from dbt_on_snowflake_spark.testdata import observed_row
+
+    def _recount() -> dict:
+        try:
+            n = packed.sparkSession.read.parquet(path).count()
+        except Exception:
+            n = 0
+        return {"rows": n}
+
+    return int(observed_row(obs, _recount)["rows"])
 
 
 # ------------------------------- tokenizer-faithful twins (frozen BPE)

@@ -29,6 +29,7 @@ from dbt_on_snowflake_spark.operators.dedup import (
 )
 from dbt_on_snowflake_spark.registry import query
 from dbt_on_snowflake_spark.testdata import local_df as _local_df
+from dbt_on_snowflake_spark.testdata import observed_row as _observed_row
 from dbt_on_snowflake_spark.testdata import table
 
 TOP_K = 5
@@ -558,7 +559,15 @@ def build_ann_index(
         .partitionBy("label")
         .saveAsTable(assignments_table)
     )
-    m = obs.get
+    # empty-build fallback: a zero-task write posts no metrics row
+    # (testdata.observed_row) — re-derive over the (empty) table, the
+    # pre-fold recompute semantics
+    m = _observed_row(
+        obs,
+        lambda: _mean_cdist_row(
+            spark, spark.table(assignments_table), centroids_table
+        ),
+    )
     _write_cstats_sidecar(
         spark, assignments_table, m["mean_cdist"], m["n_rows"]
     )
@@ -4463,7 +4472,7 @@ def build_pq_index(
         .partitionBy("label")
         .saveAsTable(codes_table)
     )
-    m = obs.get
+    m = _observed_row(obs, lambda: _qerr_row(spark, codes_table))
     _write_qstats_sidecar(spark, codes_table, m["mean_qerr"], m["n_rows"])
 
 
@@ -4515,7 +4524,7 @@ def build_ivfpq_index(
         .partitionBy("label")
         .saveAsTable(codes_table)
     )
-    m = obs.get
+    m = _observed_row(obs, lambda: _qerr_row(spark, codes_table))
     _write_qstats_sidecar(spark, codes_table, m["mean_qerr"], m["n_rows"])
 
 
@@ -4654,6 +4663,22 @@ def _observe_qerr(codes: DataFrame):
             F.count(F.lit(1)).alias("n_rows"),
         ),
         obs,
+    )
+
+
+def _qerr_row(spark: SparkSession, codes_table: str):
+    """The quantization-error baseline re-derived from the written
+    codes table — ``_observe_qerr``'s aggregate as a standalone job,
+    the empty-build fallback (testdata.observed_row): a zero-task
+    write posts no metrics row, and the table is empty exactly then,
+    so this scan is free."""
+    return (
+        spark.table(codes_table)
+        .agg(
+            (F.round(F.avg(_mean_qerr_col()), 6) + 0.0).alias("mean_qerr"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .collect()[0]
     )
 
 

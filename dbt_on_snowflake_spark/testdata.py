@@ -123,6 +123,22 @@ def local_df(spark: SparkSession, rows, schema: str) -> DataFrame:
     )
 
 
+def observed_row(obs, recompute):
+    """The CollectMetrics row of a completed write action, or
+    ``recompute()`` when the observation never materialized: a write
+    over an EMPTY relation can schedule zero tasks, so no task posts
+    metrics and ``Observation.get`` dies on the missing row (a JVM-side
+    assertion) — the degenerate-corpus case the empty-input parity
+    sweep exercises. The fallback re-derives the same aggregate from
+    the just-written table, which is empty exactly when this path
+    triggers, so the extra job scans nothing; real builds never take
+    it."""
+    try:
+        return obs.get
+    except Exception:
+        return recompute()
+
+
 def fan_out_scan(
     spark: SparkSession, df: DataFrame, key_path: str | None = None
 ) -> DataFrame:
