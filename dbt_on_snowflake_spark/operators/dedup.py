@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dbt_on_snowflake_spark.registry import query
@@ -100,14 +100,41 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Deterministic (unlike dropDuplicates, which keeps an arbitrary row).
     At scale the groupBy key is md5(text) — a uniform 128-bit key, so the
-    shuffle is skew-free even when documents themselves are hot."""
+    shuffle is skew-free even when documents themselves are hot.
+
+    MIN(lang) is computed over a NUMERIC rank of the bounded lang
+    domain, not the string: a string-buffered declarative MIN demotes
+    the whole aggregate to SortAggregate (string buffers are not
+    UnsafeRow-mutable), which at corpus scale is a full sort of every
+    row by the 32-char hash key on BOTH sides of the shuffle. Ranking
+    the distinct langs (a narrow column scan + a tiny broadcast; the
+    domain is language codes, bounded by construction) keeps every
+    buffer numeric, so both aggregate levels stay HashAggregate. Spark
+    orders strings bytewise in Window.orderBy exactly as MIN(string)
+    does, so min(rank) maps back to the identical lang."""
     d = table(spark, sf_dir, "documents")
+    langs = d.select("lang").distinct()
+    wl = Window.orderBy("lang")
+    ranked = F.broadcast(
+        langs.withColumn("_lr", F.row_number().over(wl))
+    )
     return (
-        d.groupBy(F.md5("text").alias("content_hash"))
+        # LEFT joins: a NULL lang must stay in its hash group (COUNT
+        # includes it, MIN skips it — and an all-NULL group yields
+        # lang NULL), exactly the string-MIN semantics
+        d.join(ranked, "lang", "left")
+        .groupBy(F.md5("text").alias("content_hash"))
         .agg(
             F.min("doc_id").alias("keep_doc_id"),
             F.count(F.lit(1)).alias("n_copies"),
-            F.min("lang").alias("lang"),
+            F.min("_lr").alias("_min_lr"),
+        )
+        .join(
+            ranked.select(
+                F.col("_lr").alias("_min_lr"), F.col("lang")
+            ),
+            "_min_lr",
+            "left",
         )
         .select("keep_doc_id", "n_copies", "lang", "content_hash")
     )
