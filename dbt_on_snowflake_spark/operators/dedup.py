@@ -106,17 +106,28 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain, not the string: a string-buffered declarative MIN demotes
     the whole aggregate to SortAggregate (string buffers are not
     UnsafeRow-mutable), which at corpus scale is a full sort of every
-    row by the 32-char hash key on BOTH sides of the shuffle. Ranking
-    the distinct langs (a narrow column scan + a tiny broadcast; the
-    domain is language codes, bounded by construction) keeps every
-    buffer numeric, so both aggregate levels stay HashAggregate. Spark
-    orders strings bytewise in Window.orderBy exactly as MIN(string)
-    does, so min(rank) maps back to the identical lang."""
+    row by the 32-char hash key on BOTH sides of the shuffle. The
+    distinct langs (language codes — bounded by construction) are
+    collected once driver-side from a narrow column scan and ranked in
+    Python — ``sorted`` on str is code-point order, which is exactly
+    UTF-8 byte order, i.e. Spark's and DuckDB's MIN(string)
+    comparison — then broadcast as a single-slice local dict, so the
+    rank attach and the map-back add zero exchanges and every
+    aggregation buffer stays numeric (both levels HashAggregate)."""
+    from dbt_on_snowflake_spark.testdata import local_df
+
     d = table(spark, sf_dir, "documents")
-    langs = d.select("lang").distinct()
-    wl = Window.orderBy("lang")
+    vals = sorted(
+        r[0]
+        for r in d.select("lang").distinct().collect()
+        if r[0] is not None
+    )
     ranked = F.broadcast(
-        langs.withColumn("_lr", F.row_number().over(wl))
+        local_df(
+            spark,
+            [(v, i + 1) for i, v in enumerate(vals)],
+            "lang string, _lr int",
+        )
     )
     return (
         # LEFT joins: a NULL lang must stay in its hash group (COUNT
@@ -1385,13 +1396,26 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_minhash_index(
         spark, corpus, index_table=index_table, pairs_table=pairs_table
     )
-    cand = dedup_incremental_candidates(spark, batch, index_table)
+    # localCheckpoint the BOUNDED intermediates (batch band keys,
+    # candidate pairs, candidate-doc shingles): each is referenced 2-3
+    # times downstream, and without the lineage cut every reference
+    # re-runs the whole shingle->minhash subtree — the uncut plan is
+    # 400+ operators with the signature pipeline inlined ~9x and the
+    # documents scan repeated per reference (guide §3.3 "materialising
+    # an intermediate truncates the plan", §5 localCheckpoint). All
+    # three are O(|batch|)-bounded, never corpus-sized.
+    bands = minhash_band_keys(batch).localCheckpoint()
+    cand = dedup_incremental_candidates(
+        spark, None, index_table, bands=bands
+    ).localCheckpoint()
     ids = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh = shingle_df(spark, sf_dir).join(ids, "doc_id", "left_semi")
+    sh = shingle_df(spark, sf_dir).join(
+        ids, "doc_id", "left_semi"
+    ).localCheckpoint()
     inc_pairs = verify_pairs(cand, sh)
     return _live_pairs(spark, pairs_table, index_table).unionByName(
         inc_pairs
@@ -1539,8 +1563,10 @@ def attach_minhash_index_pruned(
 
 def dedup_incremental_candidates_pruned(
     spark: SparkSession,
-    new_docs: DataFrame,
+    new_docs: DataFrame | None,
     index_table: str,
+    *,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """``dedup_incremental_candidates`` with the partition-pruned index
     layout: the batch's distinct band_part values (<= INDEX_N_PARTS ints
@@ -1548,8 +1574,13 @@ def dedup_incremental_candidates_pruned(
     IN filter on the index scan, so only the touched index partitions
     are read. Candidate output is IDENTICAL to the unpruned probe:
     every batch key's band_part is in the filter, so no corpus row that
-    could match is skipped (the driver-checked oracle is the proof)."""
-    new_bands = minhash_band_keys(new_docs)
+    could match is skipped (the driver-checked oracle is the proof).
+
+    ``bands``: precomputed (ideally checkpointed) ``minhash_band_keys``
+    output — the probe references it three times (parts collect,
+    corpus probe, batch self-join), so an uncut lineage re-minhashes
+    the batch per reference (the unpruned twin's contract)."""
+    new_bands = bands if bands is not None else minhash_band_keys(new_docs)
     parts = [
         r[0]
         for r in new_bands.select(_band_part().alias("p")).distinct().collect()
@@ -1629,13 +1660,20 @@ def dedup_incremental_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs_table
     )
     mark_engine_dir(spark, pairs_table)  # ownership proof (pass 6 #3)
-    cand = dedup_incremental_candidates_pruned(spark, batch, index_table)
+    # same bounded-intermediate lineage cuts as dedup_incremental_index
+    # (batch bands / candidate pairs / candidate-doc shingles)
+    bands = minhash_band_keys(batch).localCheckpoint()
+    cand = dedup_incremental_candidates_pruned(
+        spark, None, index_table, bands=bands
+    ).localCheckpoint()
     ids = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh = shingle_df(spark, sf_dir).join(ids, "doc_id", "left_semi")
+    sh = shingle_df(spark, sf_dir).join(
+        ids, "doc_id", "left_semi"
+    ).localCheckpoint()
     inc_pairs = verify_pairs(cand, sh)
     return _live_pairs(spark, pairs_table, index_table).unionByName(
         inc_pairs

@@ -1545,28 +1545,33 @@ def bm25_topn_indexed(
     # them, skewing every served idf during the crash-to-retry window.
     # Costs one extra evaluation of the narrow doclen join in the df
     # branch; the scalar agg still partial-aggregates map-side.
-    dfrow = base.groupBy().agg(
-        *[
-            F.coalesce(
-                F.sum((F.col(f"tf_{i}") > 0).cast("long")), F.lit(0)
-            ).alias(f"df_{i}")
-            for i in range(len(terms))
-        ]
-    )
+    df_aggs = [
+        F.coalesce(
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")), F.lit(0)
+        ).alias(f"df_{i}")
+        for i in range(len(terms))
+    ]
     if deleted:
         # live n_docs/avgdl over the gated spine — the exact expression
         # build_text_index persists, evaluated over the post-delete
         # rows (docstring above; long-SUM/COUNT, so bit-identical to a
-        # rebuild over the shrunken corpus)
-        stats = spine.agg(
+        # rebuild over the shrunken corpus). They RIDE the df aggregate
+        # (r17): base has exactly one row per live spine row (matches
+        # is per-doc unique, the join is a left), so COUNT/SUM(dl) over
+        # base equal the spine aggregates bit for bit and one pass
+        # yields stats AND df — instead of a second spine scan plus a
+        # second postings aggregate subtree for the separate stats job.
+        stats_row = base.groupBy().agg(
             F.count(F.lit(1)).alias("n_docs"),
             (F.sum("dl").cast("double") / F.count(F.lit(1))).alias(
                 "avgdl"
             ),
+            *df_aggs,
         )
     else:
-        stats = spark.table(stats_t)
-    stats_row = stats.crossJoin(F.broadcast(dfrow))
+        stats_row = spark.table(stats_t).crossJoin(
+            F.broadcast(base.groupBy().agg(*df_aggs))
+        )
     return _bm25_score_and_rank(base, stats_row, depth)
 
 

@@ -558,12 +558,14 @@ _HEADLINE_MAX_SHUFFLES = {
     # exchanges (incl. the same collapsed-matches df row as
     # text_bm25_topk_indexed); dense half + fusion add none (bounded
     # lists)
-    "text_bm25_topk_deleted_served": 4,  # the GATED twin of
+    "text_bm25_topk_deleted_served": 3,  # the GATED twin of
     # text_bm25_topk_indexed (pinned at 3): the tombstone anti-joins
-    # stay broadcast (no exchange), and the one extra shuffle is the
-    # live n_docs/avgdl recompute over the gated doclen — exactly the
-    # cost the nightly fold reclaims; the r14 bench records the pair's
-    # delta (r13 verdict Next #3)
+    # stay broadcast (no exchange), and since r17 the live
+    # n_docs/avgdl recompute RIDES the df aggregate (one row per live
+    # spine row, so COUNT/SUM(dl) over base == the spine aggregates
+    # bit for bit) — the deleted serve now pins at the undeleted
+    # twin's count; the r14 bench records the pair's delta (r13
+    # verdict Next #3)
 
     "ann_topk_bruteforce": 1,
     # (the _hof A/B twins left the headline at r15 — the Lloyd
@@ -571,7 +573,12 @@ _HEADLINE_MAX_SHUFFLES = {
     # evaluator; SCALING.md records the r15 A/B measurement)
     "asof_last_order_before_event": 1,
     "corpus_clean_pipeline": 1,
-    "dedup_exact": 1,
+    "dedup_exact": 1,  # r17: MIN(lang) rides a NUMERIC rank of the
+    # driver-collected bounded lang domain (single-slice local dict,
+    # zero extra exchanges) so both aggregate levels stay
+    # HashAggregate — the string MIN demoted the whole corpus
+    # aggregate to SortAggregate (a full sort by the md5 key on both
+    # sides of the shuffle at scale)
     "dedup_minhash_lsh": 4,
     "dedup_semantic": 4,  # arrow serve kernel: 1 (bound kept for hof)
     "dedup_semantic_served": 4,  # serve path only, no build (arrow: 1)
