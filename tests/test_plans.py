@@ -573,12 +573,11 @@ _HEADLINE_MAX_SHUFFLES = {
     # evaluator; SCALING.md records the r15 A/B measurement)
     "asof_last_order_before_event": 1,
     "corpus_clean_pipeline": 1,
-    "dedup_exact": 1,  # r17: MIN(lang) rides a NUMERIC rank of the
-    # driver-collected bounded lang domain (single-slice local dict,
-    # zero extra exchanges) so both aggregate levels stay
-    # HashAggregate — the string MIN demoted the whole corpus
-    # aggregate to SortAggregate (a full sort by the md5 key on both
-    # sides of the shuffle at scale)
+    "dedup_exact": 1,  # r17 note: MIN(lang) keeps both aggregate
+    # levels SortAggregate (string buffer); the numeric-rank dict
+    # rewrites that restore HashAggregate measured 2.5x SLOWER at
+    # sf0.1 (fixed dict-job cost vs a scale-dependent sort penalty) —
+    # see dedup_exact's docstring for the numbers
     "dedup_minhash_lsh": 4,
     "dedup_semantic": 4,  # arrow serve kernel: 1 (bound kept for hof)
     "dedup_semantic_served": 4,  # serve path only, no build (arrow: 1)
