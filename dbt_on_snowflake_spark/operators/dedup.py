@@ -360,8 +360,23 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the candidate pairs (semi-join of the shingle index against the
     candidate set) — this is the shape that scales to 100 TB, where exact
     all-pairs Jaccard is impossible and LSH alone has false positives."""
-    sh = shingle_df(spark, sf_dir)
-    cand = dedup_minhash_lsh(spark, sf_dir)  # (doc_a, doc_b)
+    # bounded-intermediate lineage cuts (the dedup_incremental_index
+    # recipe, r17): cand is referenced 3x downstream (two id unions +
+    # the verification join) — uncut, every reference re-ran the whole
+    # LSH bands self-join; and the shingle relation is semi-join
+    # PRUNED to candidate docs before its own 3 references, so the
+    # exact-Jaccard stage scans candidate documents, not the corpus
+    # (identical semantics: verify_pairs only ever reads shingles of
+    # docs appearing in cand).
+    cand = dedup_minhash_lsh(spark, sf_dir).localCheckpoint()
+    ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = shingle_df(spark, sf_dir).join(
+        ids, "doc_id", "left_semi"
+    ).localCheckpoint()
     return verify_pairs(cand, sh)
 
 

@@ -3510,7 +3510,13 @@ def retrieval_hybrid_rrf_perquery(
 
 def _perquery_terms(docs: DataFrame) -> DataFrame:
     """(query_id, term, ti): each query doc's first TERMS_PER_QUERY
-    distinct tokens in first-appearance order — bounded (|Q| x terms)."""
+    distinct tokens in first-appearance order — bounded (|Q| x terms).
+
+    localCheckpointed: both hybrid twins reference the relation 2-3
+    times (distinct-term probe, part collect, the ti join), and the
+    uncut lineage re-ran the query-doc explode+agg+window per
+    reference (the r17 incremental-dedup recipe — guide §3.3/§5;
+    bounded rows, so the materialization is tiny)."""
     toks = F.split("text", " ")
     q_first = (
         docs.filter(F.expr(_QUERY_PRED_DOC))
@@ -3526,6 +3532,7 @@ def _perquery_terms(docs: DataFrame) -> DataFrame:
         q_first.withColumn("ti", F.row_number().over(wq) - 1)
         .filter(F.col("ti") < TERMS_PER_QUERY)
         .select("query_id", "term", "ti")
+        .localCheckpoint()
     )
 
 
@@ -3550,15 +3557,21 @@ def _perquery_lexical(
             for i in range(TERMS_PER_QUERY)
         ],
     )
-    dfs = per_qd.groupBy("query_id").agg(
+    # per-query df as a WINDOW over per_qd, not a groupBy + broadcast
+    # join-back (r17): the join-back referenced per_qd twice, re-running
+    # the whole corpus-token match subtree for the aggregate; the
+    # window's partitionBy(query_id) is the SAME key the rank window
+    # below shuffles on, so both ride one exchange (guide §2.4) and
+    # the match subtree is evaluated once. COUNT over the partition
+    # equals the grouped COUNT bit-for-bit (exact integers).
+    wdf = Window.partitionBy("query_id")
+    scored = per_qd.select(
+        "*",
         *[
-            F.count(F.col(f"tf_{i}")).alias(f"df_{i}")
+            F.count(F.col(f"tf_{i}")).over(wdf).alias(f"df_{i}")
             for i in range(TERMS_PER_QUERY)
-        ]
-    )
-    scored = per_qd.join(F.broadcast(dfs), "query_id").crossJoin(
-        F.broadcast(stats)
-    )
+        ],
+    ).crossJoin(F.broadcast(stats))
     expr = None
     for i in range(TERMS_PER_QUERY):
         df_i = F.coalesce(F.col(f"df_{i}"), F.lit(0))

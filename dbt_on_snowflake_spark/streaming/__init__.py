@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from dbt_on_snowflake_spark.functions import dsum, dsum_sql
 from dbt_on_snowflake_spark.registry import query
+from dbt_on_snowflake_spark.testdata import parquet_schema
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -31,7 +32,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     TIMESTAMP(NANOS) arrives as long and is converted like the batch
     loader)."""
     path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
+    schema = parquet_schema(spark, path)  # cached footer (testdata)
     # the file-stream source requires a directory: stream the sf dir with a
     # glob filter selecting just the events file
     s = (
@@ -484,7 +485,7 @@ def dedup_incremental_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs_table=pairs_table,
     )
     path = os.path.join(sf_dir, "documents.parquet")
-    schema = spark.read.parquet(path).schema
+    schema = parquet_schema(spark, path)  # cached footer (testdata)
     stream = (
         spark.readStream.schema(schema)
         .format("parquet")
@@ -494,13 +495,19 @@ def dedup_incremental_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dedup_stream_against_index(spark, stream, index_table, cand_dir)
 
-    cand = spark.read.parquet(cand_dir).distinct()
+    # bounded-intermediate lineage cuts (the dedup_incremental_index
+    # recipe): cand's distinct and the candidate-doc shingle relation
+    # are each referenced 3x downstream — uncut, every reference
+    # re-ran the distinct shuffle / the full corpus shingle explode
+    cand = spark.read.parquet(cand_dir).distinct().localCheckpoint()
     ids = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh = shingle_df(spark, sf_dir).join(ids, "doc_id", "left_semi")
+    sh = shingle_df(spark, sf_dir).join(
+        ids, "doc_id", "left_semi"
+    ).localCheckpoint()
     return spark.table(pairs_table).unionByName(verify_pairs(cand, sh))
 
 
@@ -617,7 +624,7 @@ def text_index_ingest_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         doclen_table=tables[2],
     )
     path = os.path.join(sf_dir, "documents.parquet")
-    schema = spark.read.parquet(path).schema
+    schema = parquet_schema(spark, path)  # cached footer (testdata)
     stream = (
         spark.readStream.schema(schema)
         .format("parquet")
@@ -720,7 +727,7 @@ def ann_pq_adc_ingest_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes_table=cd_t,
     )
     path = os.path.join(sf_dir, "embeddings.parquet")
-    schema = spark.read.parquet(path).schema
+    schema = parquet_schema(spark, path)  # cached footer (testdata)
     stream = (
         spark.readStream.schema(schema)
         .format("parquet")
@@ -1105,7 +1112,7 @@ def corpus_ingest_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     handle = make_ingest_handler(spark, index_table, kept_dir)
 
     path = os.path.join(sf_dir, "documents.parquet")
-    schema = spark.read.parquet(path).schema
+    schema = parquet_schema(spark, path)  # cached footer (testdata)
     stream = (
         spark.readStream.schema(schema)
         .format("parquet")
@@ -1318,7 +1325,7 @@ def ann_semantic_ingest_streaming(spark: SparkSession, sf_dir: str) -> DataFrame
     handle = make_semantic_ingest_handler(spark, kept_table, out_dir)
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    schema = spark.read.parquet(path).schema
+    schema = parquet_schema(spark, path)  # cached footer (testdata)
     stream = (
         spark.readStream.schema(schema)
         .format("parquet")

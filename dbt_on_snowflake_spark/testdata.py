@@ -65,6 +65,15 @@ def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+def parquet_schema(spark: SparkSession, path: str):
+    """The RAW inferred schema of a parquet path through the schema
+    cache — for readStream schema peeks, which otherwise run the same
+    1-task footer job per call that ``_read_parquet`` exists to skip
+    (streaming sources require an explicit schema, so every streaming
+    query paid it)."""
+    return _read_parquet(spark, path).schema
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. Column pruning + predicate pushdown reach
     the parquet scan because this is a plain declarative read (an
