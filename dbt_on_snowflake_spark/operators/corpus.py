@@ -812,18 +812,14 @@ def write_pack_shards(
         .parquet(path)
     )
     # empty-build fallback: a zero-task write posts no metrics row
-    # (testdata.observed_row) — re-count the written shards (an empty
-    # dynamic overwrite may leave no readable dir at all: 0 rows)
+    # (testdata.observed_row), and zero tasks wrote exactly zero rows —
+    # return 0 directly. Re-counting the PATH here would be wrong under
+    # dynamic partition overwrite: earlier batches' partitions survive
+    # by design, so a path count reports their rows as this call's
+    # (review pass r17 #1).
     from dbt_on_snowflake_spark.testdata import observed_row
 
-    def _recount() -> dict:
-        try:
-            n = packed.sparkSession.read.parquet(path).count()
-        except Exception:
-            n = 0
-        return {"rows": n}
-
-    return int(observed_row(obs, _recount)["rows"])
+    return int(observed_row(obs, lambda: {"rows": 0})["rows"])
 
 
 # ------------------------------- tokenizer-faithful twins (frozen BPE)

@@ -57,12 +57,16 @@ def _topk(joined: DataFrame) -> DataFrame:
     # degenerate zero-norm embeddings make the cosine undefined —
     # NULL (advice r8); DESC NULLS LAST would still seat them when a
     # query has < k finite candidates, so drop them outright, matching
-    # the Arrow kernel's isfinite keep-filter so the two kernels stay
-    # row-identical on ALL inputs. The drop filters on the STAGED norm
-    # product, not isnotnull(cosine): the pushed isnotnull re-evaluates
-    # the entire cosine inside the join condition (guide §4.4-shaped
-    # duplication); staged legs keep the arithmetic bit-identical
-    # (_cosine_from is _cosine's own combine step).
+    # the Arrow kernel's isfinite keep-filter. The drop filters on the
+    # STAGED norm product, not isnotnull(cosine): the pushed isnotnull
+    # re-evaluates the entire cosine inside the join condition (guide
+    # §4.4-shaped duplication); staged legs keep the arithmetic
+    # bit-identical (_cosine_from is _cosine's own combine step). The
+    # norm-product test covers every well-formed fixed-dim input; an
+    # array with NULL elements or mismatched dims could yield a NULL
+    # dot past it, but that input is outside the data contract on both
+    # kernels (np.stack in the Arrow kernel rejects ragged arrays
+    # outright) and every oracle assumes fixed dims (review r17 #2).
     return (
         joined.select(
             F.col("q.vec_id").alias("query_id"),

@@ -141,10 +141,21 @@ def observed_row(obs, recompute):
     sweep exercises. The fallback re-derives the same aggregate from
     the just-written table, which is empty exactly when this path
     triggers, so the extra job scans nothing; real builds never take
-    it."""
+    it. Any OTHER obs.get failure (py4j hiccup, listener loss) also
+    lands here by necessity — it is logged so a recompute-heavy
+    fallback on a non-empty build is visible, not silent (review pass
+    r17 #3)."""
     try:
         return obs.get
-    except Exception:
+    except Exception as ex:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "observe metrics unavailable (%s: %s) — falling back to a "
+            "table recompute (expected only for zero-task/empty writes)",
+            type(ex).__name__,
+            ex,
+        )
         return recompute()
 
 

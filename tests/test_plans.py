@@ -1014,7 +1014,13 @@ def test_perquery_indexed_no_corpus_text_scan(spark):
         )
     if not doc_scans:
         # the checkpointed bounded query-terms relation stands in for
-        # the doc_id-pushed scan
-        assert "ExistingRDD" in plan, (
-            "no documents scan and no checkpointed query-terms relation"
-        )
+        # the doc_id-pushed scan — pin THE relation, not just any
+        # checkpointed RDD: its ExistingRDD node outputs exactly
+        # (query_id, term, ti) (review pass r17 #5)
+        import re
+
+        assert re.search(
+            r"Scan ExistingRDD\s*\nOutput \[3\]: "
+            r"\[query_id#\d+L, term#\d+, ti#\d+\]",
+            plan,
+        ), "no documents scan and no checkpointed query-terms relation"
