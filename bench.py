@@ -1,7 +1,7 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+JSON line on STDOUT: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "stages": [...], "cpu_s": [...], "sf": ...}.
 
 Execution uses the noop sink — full distributed execution of every plan,
 no driver-side collect.
@@ -12,10 +12,33 @@ sandbox VM shows multi-x contention spikes lasting seconds; back-to-back
 triples let one spike poison all three of a query's runs (r5's q17
 triple 5.2/4.2/4.8 vs 1.1 on quiet hardware), while round-robin spreads
 a spike across different queries' single runs — exactly what min-of-3
-is meant to absorb. Per-run arrays are emitted in interleaved order, and
-each query also reports its Spark STAGE count (captured via job groups +
-statusTracker during the warm pass) so plan drift is visible in the
-BENCH JSON even when wall-clock noise isn't trustworthy.
+is meant to absorb.
+
+Output format (r18 measurement-bug fix, VERDICT r17 "What's wrong" #2):
+the r16/r17 records embedded the per-run arrays and per-query stage
+dicts INSIDE the stdout line, which grew past the driver's bounded tail
+capture and cut the line's FRONT — BENCH_r16 became unparseable and the
+automated round-over-round comparison was lost. The timing loop, query
+set, env contract and min-of-3 numbers are UNCHANGED; only the
+serialization moved:
+
+- STDOUT carries exactly one compact JSON line (~1.3 KB for 26 queries —
+  always complete inside a 2 KB tail). ``stages`` and ``cpu_s`` are
+  arrays ALIGNED WITH sorted(queries) — i.e. stages[i]/cpu_s[i] belong
+  to sorted(queries.keys())[i] — kept inline because the stage count is
+  the noise-free plan fingerprint that was decisive in the r17 verdict,
+  and executor CPU time is the only noise-stable wall proxy on this VM
+  (same-HEAD wall swings 1.38x same-day; CPU does not — r17 session-2
+  audit). ``cpu_s`` is min-of-3 of the summed ``executorCpuTime`` over
+  each timed run's job-group stages (VERDICT r17 Next #9).
+- STDERR carries one JSON detail line with the full per-run arrays
+  (``runs``, interleaved order), the by-name dicts for stages/cpu, and
+  the per-run CPU readings — everything the old oversized stdout line
+  held, and more, for the BENCH_SELF_r{N} records.
+
+Stage counts are captured via job groups + statusTracker during the warm
+pass (JIT + file listing + ensure_* index builds run there, under the
+builders' OWN job groups, so serve-path-only counts are preserved).
 
 Noise-protocol rule (r17, VERDICT r16 Next #6): `dedup_semantic_served`
 is a 4-stage persisted serve whose driver-window readings have run
@@ -40,6 +63,24 @@ from dbt_on_snowflake_spark.registry import all_queries
 from dbt_on_snowflake_spark.session import get_spark
 
 
+def _group_cpu_ns(sc, tracker, store, group: str) -> int:
+    """Summed executorCpuTime (ns) over every stage of a job group.
+    Read immediately after the run so statusStore retention (default
+    1000 stages) cannot evict early queries' stages; skipped/reused AQE
+    stages without a live attempt are simply not counted."""
+    total = 0
+    for job_id in tracker.getJobIdsForGroup(group):
+        info = tracker.getJobInfo(job_id)
+        if info is None:
+            continue
+        for sid in info.stageIds:
+            try:
+                total += store.lastStageAttempt(sid).executorCpuTime()
+            except Exception:
+                pass  # stage skipped (AQE reuse) or evicted
+    return total
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -54,6 +95,7 @@ def main() -> None:
     # noise-free plan-shape fingerprint recorded alongside the timings.
     stages: dict[str, int] = {}
     tracker = sc.statusTracker()
+    store = sc._jsc.sc().statusStore()
     for name in names:
         sc.setJobGroup(f"bench:{name}", f"warm {name}")
         try:
@@ -68,17 +110,40 @@ def main() -> None:
                 n_stages += len(info.stageIds)
         stages[name] = n_stages
 
-    # 3 interleaved timing rounds.
+    # 3 interleaved timing rounds; each run under its own job group so
+    # its executor-CPU total can be read back per run.
     runs: dict[str, list[float]] = {n: [] for n in names}
-    for _ in range(3):
+    cpu_runs: dict[str, list[float]] = {n: [] for n in names}
+    for r in range(3):
         for name in names:
+            group = f"bench:{name}:t{r}"
+            sc.setJobGroup(group, f"time {name} run {r}")
             t0 = time.perf_counter()
-            df = headline[name].fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
+            try:
+                df = headline[name].fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+            finally:
+                sc.setJobGroup(None, None)
             runs[name].append(round(time.perf_counter() - t0, 3))
+            cpu_runs[name].append(
+                round(_group_cpu_ns(sc, tracker, store, group) / 1e9, 3)
+            )
 
     timings = {n: min(r) for n, r in runs.items()}
+    cpu = {n: min(r) for n, r in cpu_runs.items()}
     total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "runs": runs,
+                "run_order": "interleaved",
+                "stages_by_name": stages,
+                "cpu_s_by_name": cpu,
+                "cpu_runs": cpu_runs,
+            }
+        ),
+        file=sys.stderr,
+    )
     print(
         json.dumps(
             {
@@ -86,9 +151,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "runs": runs,
-                "run_order": "interleaved",
-                "stages": stages,
+                # aligned with sorted(queries) — see module docstring
+                "stages": [stages[n] for n in names],
+                "cpu_s": [cpu[n] for n in names],
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
