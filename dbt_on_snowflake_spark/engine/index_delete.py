@@ -592,7 +592,18 @@ def _refresh_bm25_stats(spark: SparkSession, refresh: dict) -> None:
     ignore this table anyway and compute stats LIVE over the gated
     rows (``has_tombstones``), so a post-append refresh never persists
     pre-gate stats into a serve. Re-plants the ownership marker the
-    overwrite strips."""
+    overwrite strips.
+
+    When the refresh declares the family's persisted per-term df table
+    (r18, ``_text_df_table`` — the fold path; ``text_index_append``
+    maintains df incrementally and does NOT declare it), df is rebuilt
+    wholesale from the rewritten postings: doclen-semi-joined (orphan
+    postings of a crashed append stay out, exactly as a from-scratch
+    build over the live corpus would leave them out) and
+    (term, doc_id)-deduplicated (redelivery duplicates collapse), so
+    the rebuilt df is bit-identical to a rebuild without the deleted
+    docs. A pending crashed append's df rows are overwritten away; its
+    redelivery re-merges them (the bkey probe sees them gone)."""
     doclen_t, stats_t = refresh["doclen_table"], refresh["stats_table"]
     spark.catalog.refreshTable(doclen_t)
     (
@@ -611,6 +622,44 @@ def _refresh_bm25_stats(spark: SparkSession, refresh: dict) -> None:
     # finding 2; member tables keep theirs via the _*.json-carrying
     # swap, this one-row rewrite bypasses the swap)
     mark_engine_dir(spark, stats_t)
+    df_t = refresh.get("df_table")
+    postings_t = refresh.get("postings_table")
+    if df_t and postings_t:
+        from dbt_on_snowflake_spark.operators.dedup import (
+            _drop_managed_table,
+        )
+        from dbt_on_snowflake_spark.operators.textops import _term_part
+
+        spark.catalog.refreshTable(postings_t)
+        rebuilt = (
+            spark.table(postings_t)
+            .select("term", "doc_id")
+            .join(
+                spark.table(doclen_t).select("doc_id"),
+                "doc_id",
+                "left_semi",
+            )
+            .distinct()
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .select(
+                "term",
+                "df",
+                F.lit(0).cast("long").alias("gen"),
+                F.lit("fold").alias("bkey"),
+                _term_part().alias("term_part"),
+            )
+            .repartition("term_part")
+        )
+        # same drop-then-overwrite discipline as build_text_index's
+        # partitioned writes; the rebuild plan was constructed above,
+        # BEFORE the drop, and reads only postings/doclen — never df
+        _drop_managed_table(spark, df_t)
+        rebuilt.write.mode("overwrite").partitionBy(
+            "term_part"
+        ).saveAsTable(df_t)
+        mark_engine_dir(spark, df_t)
+        spark.catalog.refreshTable(df_t)
 
 
 _REFRESH_KINDS = {"bm25_stats": _refresh_bm25_stats}

@@ -1336,6 +1336,47 @@ def _term_part() -> F.Column:
     return F.pmod(F.xxhash64("term"), F.lit(TEXT_INDEX_N_PARTS))
 
 
+def _text_df_table(postings_table: str) -> str:
+    """The family's persisted per-term df table name, derived from the
+    postings table exactly like ``_text_tombstones`` — so the build,
+    the append's merge, the fold's rebuild and every serve resolve the
+    SAME table for any suffix (fingerprinted, incremental, ad-hoc).
+
+    Schema: (term, df, gen, bkey) partitioned by term_part — the
+    Lucene-style per-term document frequency, persisted so the pristine
+    serve reads idf inputs from <= K pruned partition dirs instead of
+    re-counting df over the doclen-spine/postings join (r18: that
+    second corpus-width pass was every pristine serve's biggest
+    remaining cost; VERDICT r17 Next #3).
+
+    - ``df``: number of docs containing ``term`` contributed by one
+      write (the full corpus for build/fold rows, one ingest batch for
+      append rows). A serve SUMs the contributions per term — exact,
+      because batches are doc-disjoint (the append's idempotence probe)
+      and build/fold rows are written with mode("overwrite").
+    - ``bkey``: the writing batch's content fingerprint — the append's
+      at-least-once dedup key (a redelivered batch's df merge is
+      skipped when its bkey already landed, the same way redelivered
+      doclen rows are dropped by the doclen probe).
+    - ``gen``: the validity gate — the committed doclen row count the
+      batch observed at append time plus the batch size; 0 for
+      build/fold rows. A serve accepts a row only when
+      gen <= stats.n_docs, so df rows of a batch whose doclen commit
+      record has NOT landed yet (a crash between the df merge and the
+      doclen write) are invisible, preserving the family's exactness
+      posture: uncommitted postings never skew a served idf. The gate
+      assumes appends are sequential per family with redelivery-before
+      -next-batch (the Structured Streaming micro-batch contract this
+      family is maintained under)."""
+    from dbt_on_snowflake_spark.engine.index_delete import (
+        derive_tombstones_name,
+    )
+
+    return derive_tombstones_name(
+        postings_table, strip="bm25_postings_", prefix="bm25_df_"
+    )
+
+
 _TERM_PARTS_CACHE: dict[tuple[str, ...], list[int]] = {}
 
 
@@ -1381,6 +1422,10 @@ def build_text_index(
     - ``stats``: ONE row (n_docs, avgdl), computed with the exact
       expression the recompute path aggregates, so persisted avgdl is
       the identical double.
+    - ``df`` (r18): per-term document frequency (``_text_df_table``
+      docstring) aggregated from the just-written postings — one
+      narrow postings-table pass at build time buys every pristine
+      serve out of re-counting df over the spine/postings join.
 
     The token explode + (term, doc_id) groupBy here is the one-time
     index-build shuffle; serving never repeats it."""
@@ -1430,6 +1475,29 @@ def build_text_index(
     )
     mark_engine_dir(spark, postings_table)
 
+    # per-term df, aggregated from the just-written postings (unique
+    # (term, doc_id) rows by the groupBy above, so count == df). gen=0:
+    # build rows are valid at every committed state (_text_df_table)
+    df_table = _text_df_table(postings_table)
+    _drop_managed_table(spark, df_table)
+    (
+        spark.table(postings_table)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select(
+            "term",
+            "df",
+            F.lit(0).cast("long").alias("gen"),
+            F.lit("build").alias("bkey"),
+            _term_part().alias("term_part"),
+        )
+        .repartition("term_part")
+        .write.mode("overwrite")
+        .partitionBy("term_part")
+        .saveAsTable(df_table)
+    )
+    mark_engine_dir(spark, df_table)
+
 
 def _text_index_tables(
     spark: SparkSession, sf_dir: str
@@ -1461,8 +1529,10 @@ def bm25_topn_indexed(
     never touches documents.parquet (plan-pinned) — term frequencies
     come from the postings partitions of the queried terms (a
     term_part-pruned read proportional to the terms' posting lists, not
-    the corpus), per-term df is a tiny count over those same pruned
-    rows, and n_docs/avgdl is the persisted one-row stats table.
+    the corpus), per-term df from the equally-pruned persisted df table
+    (r18 — previously a second evaluation of the whole spine/postings
+    join subtree per serve), and n_docs/avgdl is the persisted one-row
+    stats table.
 
     The one corpus-WIDTH relation in the plan is the (doc_id, dl)
     doclen table — 2 ints/doc, ~100-1000x narrower than the text — left
@@ -1477,28 +1547,30 @@ def bm25_topn_indexed(
     The read is AT-LEAST-ONCE TOLERANT on the postings side: a crash
     between ``text_index_append``'s postings and doclen writes leaves
     postings rows a retried batch appends again as exact duplicates,
-    and every postings aggregate here is duplicate-idempotent — per-doc
-    tf via MAX, df counted over the doclen-GATED rows (never a raw SUM
-    over posting rows). Gating df by the doclen spine also makes the
-    orphans themselves invisible: a doc whose postings landed but whose
-    doclen row (written last, the batch's commit record) did not is in
-    neither the result set nor any df count, so the serve reads the
-    exact pre-batch index state until the retry commits — uncommitted
-    postings never skew a served idf. The doclen spine is
-    duplicate-free by the append's idempotence probe, so it joins
-    without a dedup pass.
+    and the postings aggregate here is duplicate-idempotent (per-doc
+    tf via MAX). Orphans — docs whose postings landed but whose doclen
+    row (written last, the batch's commit record) did not — are
+    invisible: the result rows are doclen-spine-gated (left join from
+    the spine), and df (r18) is read from the persisted df table,
+    which only carries a batch's contribution once its ``gen`` gate is
+    satisfied by the committed stats row (``_text_df_table``). So the
+    serve reads the exact pre-batch index state until the retry
+    commits — uncommitted postings never skew a served idf. The doclen
+    spine is duplicate-free by the append's idempotence probe, so it
+    joins without a dedup pass; the df table is redelivery-deduplicated
+    by the append's bkey probe, so its per-term SUM is exact.
 
     DELETED docs (``text_index_delete`` tombstones) are invisible the
     same way orphans are: the doclen spine is gated through
     ``live_rows`` — a broadcast anti-join that is an exact no-op (same
     plan) until the family's first delete — so a tombstoned doc is in
-    neither the result set nor any df count. n_docs/avgdl switch from
-    the persisted one-row stats to a LIVE aggregate over the gated
-    spine whenever a tombstone table exists: the tombstone append is
-    the delete's only commit record, and reading persisted stats then
-    would serve pre-delete idf weights until the fold refreshes them
-    (engine/index_delete.py's crash posture — correct at every point
-    between delete and fold)."""
+    neither the result set nor any df count. n_docs/avgdl AND df
+    switch from the persisted tables to a LIVE aggregate over the
+    gated rows whenever a tombstone table exists: the tombstone append
+    is the delete's only commit record, and reading persisted stats
+    then would serve pre-delete idf weights until the fold refreshes
+    them (engine/index_delete.py's crash posture — correct at every
+    point between delete and fold)."""
     from dbt_on_snowflake_spark.engine.index_delete import (
         has_tombstones,
         live_rows,
@@ -1536,42 +1608,68 @@ def bm25_topn_indexed(
             ],
         )
     )
-    # df over BASE, not over matches: base is gated by the doclen spine
-    # (the append's commit record), so a doc whose postings landed but
-    # whose batch crashed before the doclen write — an orphan awaiting
-    # redelivery — contributes to NEITHER df nor the result rows. A
-    # matches-side count would inflate df with orphans while n_docs /
-    # avgdl (stats) and the ranked rows (doclen left-join) exclude
-    # them, skewing every served idf during the crash-to-retry window.
-    # Costs one extra evaluation of the narrow doclen join in the df
-    # branch; the scalar agg still partial-aggregates map-side.
-    df_aggs = [
-        F.coalesce(
-            F.sum((F.col(f"tf_{i}") > 0).cast("long")), F.lit(0)
-        ).alias(f"df_{i}")
-        for i in range(len(terms))
-    ]
     if deleted:
-        # live n_docs/avgdl over the gated spine — the exact expression
-        # build_text_index persists, evaluated over the post-delete
-        # rows (docstring above; long-SUM/COUNT, so bit-identical to a
-        # rebuild over the shrunken corpus). They RIDE the df aggregate
-        # (r17): base has exactly one row per live spine row (matches
-        # is per-doc unique, the join is a left), so COUNT/SUM(dl) over
-        # base equal the spine aggregates bit for bit and one pass
-        # yields stats AND df — instead of a second spine scan plus a
-        # second postings aggregate subtree for the separate stats job.
+        # while tombstones exist, EVERY stat is computed live over the
+        # gated base (the persisted df/stats still count the deleted
+        # docs until the fold rewrites them). df over BASE, not over
+        # matches: base is gated by the doclen spine (the append's
+        # commit record), so a doc whose postings landed but whose
+        # batch crashed before the doclen write — an orphan awaiting
+        # redelivery — contributes to NEITHER df nor the result rows.
+        # n_docs/avgdl RIDE the same aggregate (r17): base has exactly
+        # one row per live spine row (matches is per-doc unique, the
+        # join is a left), so COUNT/SUM(dl) over base equal the spine
+        # aggregates bit for bit and one pass yields stats AND df —
+        # the exact expressions build_text_index persists, evaluated
+        # over the post-delete rows (long-SUM/COUNT, so bit-identical
+        # to a rebuild over the shrunken corpus).
         stats_row = base.groupBy().agg(
             F.count(F.lit(1)).alias("n_docs"),
             (F.sum("dl").cast("double") / F.count(F.lit(1))).alias(
                 "avgdl"
             ),
-            *df_aggs,
+            *[
+                F.coalesce(
+                    F.sum((F.col(f"tf_{i}") > 0).cast("long")), F.lit(0)
+                ).alias(f"df_{i}")
+                for i in range(len(terms))
+            ],
         )
     else:
-        stats_row = spark.table(stats_t).crossJoin(
-            F.broadcast(base.groupBy().agg(*df_aggs))
+        # pristine serve (r18): per-term df comes from the PERSISTED
+        # df table — <= K pruned partition dirs summed per term —
+        # instead of a second evaluation of the spine/postings join
+        # subtree (which re-scanned the corpus-width doclen table and
+        # the pruned postings once more per serve). SUM of the
+        # build/append contributions is exact: batches are
+        # doc-disjoint (append's idempotence probe) and redeliveries
+        # are bkey-deduplicated. The gen <= n_docs gate keeps df rows
+        # of a batch whose doclen commit has not landed invisible, so
+        # uncommitted postings still never skew a served idf
+        # (_text_df_table docstring).
+        df_t = _text_df_table(postings_t)
+        gate = F.broadcast(
+            spark.table(stats_t).select(
+                F.col("n_docs").alias("_gate_n")
+            )
         )
+        dfr = (
+            spark.table(df_t)
+            .filter(F.col("term_part").isin(parts))
+            .filter(F.col("term").isin(terms))
+            .crossJoin(gate)
+            .filter(F.col("gen") <= F.col("_gate_n"))
+        )
+        df_row = dfr.groupBy().agg(
+            *[
+                F.coalesce(
+                    F.sum(F.when(F.col("term") == t, F.col("df"))),
+                    F.lit(0),
+                ).alias(f"df_{i}")
+                for i, t in enumerate(terms)
+            ]
+        )
+        stats_row = spark.table(stats_t).crossJoin(F.broadcast(df_row))
     return _bm25_score_and_rank(base, stats_row, depth)
 
 
@@ -1623,12 +1721,17 @@ def ensure_text_index(
     tables = (stats_t, postings_t, doclen_t)
     ensure_index_tables(
         spark,
-        tables=tables,
+        # the probe covers the df sibling too (same crashed-swap
+        # posture; also rebuilds a pre-r18 family that predates the
+        # persisted df table), but the returned tuple stays the
+        # 3-name serve surface — df is derived from the postings name
+        tables=tables + (_text_df_table(postings_t),),
         job_group="text_index",
         gc_prefixes=(
             "bm25_stats_",
             "bm25_postings_",
             "bm25_doclen_",
+            "bm25_df_",
             "bm25_tombstones_",
         ),
         gc_suffix=stats_t.removeprefix("bm25_stats_"),
@@ -1663,6 +1766,27 @@ _NEW_DOCS_PRED = "doc_id % 10 = 9"
 _BASE_DOCS_PRED = "doc_id % 10 <> 9"
 
 
+def _batch_fingerprint(new_docs: DataFrame) -> tuple[int, str]:
+    """(size, content key) of an append batch — ONE bounded job: the
+    size feeds the gen stamp and the empty-batch short-circuit, the key
+    is the df merge's at-least-once dedup token. Order-free (bit_xor
+    never overflows, and batches are doc-unique by the doclen contract
+    so xor cannot cancel a pair) and deterministic across redeliveries
+    of the same surviving doc set."""
+    import hashlib
+
+    fp = new_docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("mn"),
+        F.max("doc_id").alias("mx"),
+        F.expr("bit_xor(xxhash64(doc_id))").alias("xh"),
+    ).first()
+    bkey = hashlib.md5(
+        f"{fp['n']}:{fp['mn']}:{fp['mx']}:{fp['xh']}".encode()
+    ).hexdigest()
+    return int(fp["n"]), bkey
+
+
 def text_index_append(
     spark: SparkSession,
     new_docs: DataFrame,
@@ -1687,6 +1811,16 @@ def text_index_append(
       |input partitions| x |dirs|); existing partitions' files are
       untouched — postings are per-doc facts, so append IS the correct
       merge;
+    - the batch's per-term df contributions merge into the persisted
+      df table (r18, ``_text_df_table``) BETWEEN the postings and
+      doclen writes: the merge is idempotent under at-least-once
+      redelivery (``bkey``, the batch's content fingerprint — a retry
+      whose df rows already landed skips the write, keeping the
+      serve's SUM-of-contributions exact) and invisible until
+      committed (``gen``, stamped as observed-stats-n_docs + batch
+      size: the serve only accepts rows once the doclen commit +
+      stats refresh raise n_docs to gen, so a crash between the df
+      merge and the doclen write never skews a served idf);
     - doclen rows append AFTER the postings, so doclen doubles as the
       batch's commit record: a crash between the two writes leaves
       postings for docs the idempotence probe still treats as new, the
@@ -1698,8 +1832,11 @@ def text_index_append(
       — a narrow (2 ints/doc) scan computing the exact expression the
       full build uses, so the served avgdl is bit-identical to a
       from-scratch build. Per-batch cost is O(|batch| tokens) + the
-      narrow probe and stats passes; the corpus text is never
-      re-read."""
+      narrow probe, df-merge and stats passes; the corpus text is
+      never re-read. An all-duplicate redelivery skips the three
+      appends entirely (r18 — the empty writes scheduled real jobs)
+      and still re-runs the stats refresh, which heals a crash
+      between a prior doclen commit and its refresh."""
     from dbt_on_snowflake_spark.engine.fs import fs_list_files
     from dbt_on_snowflake_spark.engine.index_maintenance import (
         table_location,
@@ -1717,23 +1854,62 @@ def text_index_append(
             .join(F.broadcast(new_docs.select("doc_id")), "doc_id")
         )
         new_docs = new_docs.join(F.broadcast(dups), "doc_id", "left_anti")
-    toks = F.split("text", " ")
-    (
-        new_docs.select(
-            "doc_id",
-            F.size(toks).alias("dl"),
-            F.explode(toks).alias("term"),
+    n_batch, bkey = _batch_fingerprint(new_docs)
+    if n_batch > 0:
+        toks = F.split("text", " ")
+        (
+            new_docs.select(
+                "doc_id",
+                F.size(toks).alias("dl"),
+                F.explode(toks).alias("term"),
+            )
+            .groupBy("term", "doc_id")
+            .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+            .withColumn("term_part", _term_part())
+            .repartition("term_part")
+            .write.mode("append")
+            .partitionBy("term_part")
+            .saveAsTable(postings_table)
         )
-        .groupBy("term", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
-        .withColumn("term_part", _term_part())
-        .repartition("term_part")
-        .write.mode("append")
-        .partitionBy("term_part")
-        .saveAsTable(postings_table)
-    )
-    lens = new_docs.select("doc_id", F.size(toks).alias("dl"))
-    lens.write.mode("append").saveAsTable(doclen_table)
+        # df merge (order: postings -> df -> doclen). gen = the stats
+        # row's committed n_docs + batch size: <= the post-commit
+        # n_docs (so the rows turn valid exactly at commit), > the
+        # pre-commit n_docs (so they are invisible while pending).
+        # Reading the 1-row stats table is O(1); a stale stats row (a
+        # prior append crashed before its refresh) only LOWERS gen,
+        # which stays correct on both sides of the inequality.
+        df_table = _text_df_table(postings_table)
+        spark.catalog.refreshTable(stats_table)  # micro-batch clones
+        n_pre = spark.table(stats_table).first()["n_docs"]
+        dfsnap = fs_list_files(spark, table_location(spark, df_table))
+        landed = bool(dfsnap) and not (
+            spark.read.parquet(*dfsnap)
+            .filter(F.col("bkey") == bkey)
+            .isEmpty()
+        )
+        if not landed:
+            (
+                new_docs.select(
+                    "doc_id", F.explode(F.split("text", " ")).alias("term")
+                )
+                .groupBy("term", "doc_id")
+                .count()
+                .groupBy("term")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .select(
+                    "term",
+                    "df",
+                    F.lit(int(n_pre) + n_batch).cast("long").alias("gen"),
+                    F.lit(bkey).alias("bkey"),
+                    _term_part().alias("term_part"),
+                )
+                .repartition("term_part")
+                .write.mode("append")
+                .partitionBy("term_part")
+                .saveAsTable(df_table)
+            )
+        lens = new_docs.select("doc_id", F.size(toks).alias("dl"))
+        lens.write.mode("append").saveAsTable(doclen_table)
     # refresh + recompute through the fold's OWN stats helper — one
     # source of truth for the bit-identical avgdl expression and the
     # ownership re-mark (r13 review pass 8; it also handles the
@@ -1853,6 +2029,13 @@ def text_index_delete(
             "kind": "bm25_stats",
             "stats_table": stats_table,
             "doclen_table": doclen_table,
+            # the fold rebuilds the persisted per-term df from the
+            # rewritten postings/doclen (r18, _text_df_table): df is a
+            # per-TERM derived stat, so the per-id member anti-join
+            # cannot rewrite it — declaring it here routes it through
+            # the refresh step instead
+            "df_table": _text_df_table(postings_table),
+            "postings_table": postings_table,
         },
     )
 
@@ -2041,12 +2224,14 @@ def ensure_deleted_text_index(
             stats_t,
             postings_t,
             doclen_t,
+            _text_df_table(postings_t),
         ),
         job_group="text_deleted_index",
         gc_prefixes=(
             "bm25_stats_dls_",
             "bm25_postings_dls_",
             "bm25_doclen_dls_",
+            "bm25_df_dls_",
             "bm25_delgate_dls_",
             "bm25_tombstones_dls_",
         ),

@@ -549,7 +549,10 @@ def text_index_stream_ingest(
     postings that ``bm25_topn_indexed``'s MAX/count aggregates
     collapse at read. Per-batch write amplification is the batch's own
     postings plus the narrow probe and stats passes."""
-    from dbt_on_snowflake_spark.operators.textops import text_index_append
+    from dbt_on_snowflake_spark.operators.textops import (
+        _text_df_table,
+        text_index_append,
+    )
 
     stats_t, postings_t, doclen_t = tables
 
@@ -564,8 +567,9 @@ def text_index_stream_ingest(
         # appends ran through the micro-batch's session clone; drop the
         # driving session's cached listings or the next batch's stats
         # refresh reads stale doclens (dedup_stream_against_index
-        # precedent)
-        for t in tables:
+        # precedent). The derived per-term df table (r18) is part of
+        # the family and needs the same refresh.
+        for t in tables + (_text_df_table(postings_t),):
             spark.catalog.refreshTable(t)
 
     writer = new_docs_stream.writeStream.foreachBatch(handle).trigger(

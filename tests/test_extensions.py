@@ -1122,6 +1122,8 @@ def test_text_index_append_converges_to_rebuild(spark):
     )
     from dbt_on_snowflake_spark.testdata import table as t
 
+    from dbt_on_snowflake_spark.operators.textops import _text_df_table
+
     d = t(spark, SF_SMOKE, "documents")
     full = ("ti_f_stats", "ti_f_post", "ti_f_dl")
     grown = ("ti_g_stats", "ti_g_post", "ti_g_dl")
@@ -1144,6 +1146,15 @@ def test_text_index_append_converges_to_rebuild(spark):
         g_rows = sorted(map(tuple, spark.table(g_tbl).collect()))
         assert f_rows == g_rows, f_tbl
     assert len(spark.table(full[0]).collect()) == 1  # the one stats row
+    # the persisted per-term df (r18) converges as SUM-of-contributions:
+    # the grown table holds build rows + one batch's delta rows, whose
+    # per-term sums equal the full build's single-contribution rows
+    f_df = sorted(map(tuple, spark.table(_text_df_table(full[1]))
+                      .select("term", "df").collect()))
+    g_df = sorted(map(tuple, spark.table(_text_df_table(grown[1]))
+                      .groupBy("term").agg(F.sum("df").alias("df"))
+                      .collect()))
+    assert f_df == g_df
 
 
 def test_text_index_at_least_once_replay_is_absorbed(spark):
@@ -1213,9 +1224,10 @@ def test_bm25_serve_ignores_orphaned_postings(spark):
     but the crash hit before their doclen rows — and the retry has not
     arrived yet. The serve must read the exact pre-batch index state:
     orphans appear in neither the result rows (doclen spine) nor any
-    df count (df is aggregated over the doclen-gated base, never over
-    raw matches — an orphan-inflated df would skew every served idf
-    while n_docs/avgdl still exclude the orphans)."""
+    df count (r18: df comes from the persisted df table, which the
+    crashed append never merged into — an orphan-inflated df would
+    skew every served idf while n_docs/avgdl still exclude the
+    orphans)."""
     from dbt_on_snowflake_spark.operators.textops import (
         _BASE_DOCS_PRED,
         _NEW_DOCS_PRED,
@@ -1251,6 +1263,147 @@ def test_bm25_serve_ignores_orphaned_postings(spark):
     serve1 = sorted(map(tuple, bm25_topn_indexed(
         spark, SF_SMOKE, BM25_TOP_N, tables=ti).collect()))
     assert serve1 == serve0
+
+
+def test_text_index_df_merge_gated_and_idempotent(spark):
+    """The persisted per-term df's crash window (r18, _text_df_table):
+    a crash AFTER the df merge but BEFORE the doclen commit leaves df
+    rows whose gen exceeds the committed stats n_docs — the serve must
+    keep reading the exact pre-batch state (the gen gate hides them);
+    the batch's REDELIVERY must skip the already-landed df rows (bkey
+    probe) so the committed per-term SUM counts the batch exactly
+    once and the grown index serves identically to a from-scratch
+    rebuild."""
+    from dbt_on_snowflake_spark.operators.textops import (
+        _BASE_DOCS_PRED,
+        _NEW_DOCS_PRED,
+        _batch_fingerprint,
+        _term_part,
+        _text_df_table,
+        BM25_TOP_N,
+        bm25_topn_indexed,
+        build_text_index,
+        text_index_append,
+    )
+    from dbt_on_snowflake_spark.testdata import table as t
+
+    d = t(spark, SF_SMOKE, "documents")
+    full = ("tdfg_f_stats", "tdfg_f_post", "tdfg_f_dl")
+    gr = ("tdfg_g_stats", "tdfg_g_post", "tdfg_g_dl")
+    build_text_index(
+        spark, d, stats_table=full[0], postings_table=full[1],
+        doclen_table=full[2],
+    )
+    build_text_index(
+        spark, d.filter(F.expr(_BASE_DOCS_PRED)),
+        stats_table=gr[0], postings_table=gr[1], doclen_table=gr[2],
+    )
+    serve0 = sorted(map(tuple, bm25_topn_indexed(
+        spark, SF_SMOKE, BM25_TOP_N, tables=gr).collect()))
+
+    # replicate the append's first TWO writes (postings + df merge)
+    # with the exact gen/bkey stamps, then "crash" before doclen
+    batch = d.filter(F.expr(_NEW_DOCS_PRED))
+    n_b, bkey = _batch_fingerprint(batch)
+    toks = F.split("text", " ")
+    (
+        batch.select(
+            "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("term")
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+        .withColumn("term_part", _term_part())
+        .repartition("term_part")
+        .write.mode("append").partitionBy("term_part").saveAsTable(gr[1])
+    )
+    n_pre = spark.table(gr[0]).first()["n_docs"]
+    df_t = _text_df_table(gr[1])
+    (
+        batch.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("term", "doc_id").count()
+        .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        .select(
+            "term", "df",
+            F.lit(int(n_pre) + n_b).cast("long").alias("gen"),
+            F.lit(bkey).alias("bkey"),
+            _term_part().alias("term_part"),
+        )
+        .repartition("term_part")
+        .write.mode("append").partitionBy("term_part").saveAsTable(df_t)
+    )
+    # pending df rows are INVISIBLE: gen > committed stats.n_docs
+    serve_pending = sorted(map(tuple, bm25_topn_indexed(
+        spark, SF_SMOKE, BM25_TOP_N, tables=gr).collect()))
+    assert serve_pending == serve0
+
+    # redelivery: doclen probe re-admits the docs, df probe must SKIP
+    # the already-landed rows — the per-term SUM counts the batch once
+    rows_pending = spark.table(df_t).count()
+    text_index_append(
+        spark, batch,
+        stats_table=gr[0], postings_table=gr[1], doclen_table=gr[2],
+    )
+    assert spark.table(df_t).count() == rows_pending  # no second merge
+    f_df = sorted(map(tuple, spark.table(_text_df_table(full[1]))
+                      .select("term", "df").collect()))
+    g_df = sorted(map(tuple, spark.table(df_t)
+                      .groupBy("term").agg(F.sum("df").alias("df"))
+                      .collect()))
+    assert f_df == g_df
+    serve_after = sorted(map(tuple, bm25_topn_indexed(
+        spark, SF_SMOKE, BM25_TOP_N, tables=gr).collect()))
+    serve_full = sorted(map(tuple, bm25_topn_indexed(
+        spark, SF_SMOKE, BM25_TOP_N, tables=full).collect()))
+    assert serve_after == serve_full
+
+
+def test_text_index_fold_rebuilds_df(spark):
+    """fold_tombstones must rebuild the persisted per-term df from the
+    rewritten postings/doclen (r18): post-fold df rows equal a fresh
+    build over the surviving docs (same term/df pairs, gen=0 fold
+    rows), and the pristine post-fold serve matches the rebuild's."""
+    from dbt_on_snowflake_spark.engine.index_delete import (
+        fold_tombstones,
+    )
+    from dbt_on_snowflake_spark.operators.textops import (
+        _NEW_DOCS_PRED,
+        _text_df_table,
+        _text_tombstones,
+        BM25_TOP_N,
+        bm25_topn_indexed,
+        build_text_index,
+        text_index_delete,
+    )
+    from dbt_on_snowflake_spark.testdata import table as t
+
+    d = t(spark, SF_SMOKE, "documents")
+    full = ("tdffold_stats", "tdffold_post", "tdffold_dl")
+    ref = ("tdffoldr_stats", "tdffoldr_post", "tdffoldr_dl")
+    kw = dict(
+        stats_table=full[0], postings_table=full[1], doclen_table=full[2]
+    )
+    build_text_index(spark, d, **kw)
+    build_text_index(
+        spark, d.filter(f"NOT ({_NEW_DOCS_PRED})"),
+        stats_table=ref[0], postings_table=ref[1], doclen_table=ref[2],
+    )
+    text_index_delete(
+        spark, d.filter(F.expr(_NEW_DOCS_PRED)).select("doc_id"), **kw
+    )
+    fold_tombstones(spark, _text_tombstones(full[1]))
+    assert not spark.catalog.tableExists(_text_tombstones(full[1]))
+    folded = sorted(map(tuple, spark.table(_text_df_table(full[1]))
+                        .select("term", "df", "gen", "bkey").collect()))
+    fresh = sorted(map(tuple, spark.table(_text_df_table(ref[1]))
+                       .select("term", "df").collect()))
+    assert [(tm, df) for tm, df, _, _ in folded] == fresh
+    assert all(g == 0 and b == "fold" for _, _, g, b in folded)
+    assert (
+        sorted(map(tuple, bm25_topn_indexed(
+            spark, SF_SMOKE, BM25_TOP_N, tables=full).collect()))
+        == sorted(map(tuple, bm25_topn_indexed(
+            spark, SF_SMOKE, BM25_TOP_N, tables=ref).collect()))
+    )
 
 
 def test_pq_index_append_replay_is_noop(spark):

@@ -980,6 +980,14 @@ def test_bm25_indexed_no_corpus_rescan(spark):
     assert "documents.parquet" not in plan  # no text re-scan on serve
     assert "bm25_postings_" in plan and "bm25_doclen_" in plan
     assert "bm25_stats_" in plan
+    # r18: df comes from the persisted per-term df table, and the
+    # corpus-width spine/postings join is evaluated ONCE — the pre-r18
+    # plan re-ran it a second time just to count df
+    assert "bm25_df_" in plan
+    # formatted plans print each operator twice (tree + details), so
+    # ONE scan per relation == 2 occurrences
+    assert plan.count("Scan parquet spark_catalog.default.bm25_doclen_") == 2
+    assert plan.count("Scan parquet spark_catalog.default.bm25_postings_") == 2
     # the postings read is partition-pruned to the query terms' parts
     assert "term_part" in plan
     assert "TakeOrderedAndProject" in plan  # top-N, never a global sort
