@@ -55,7 +55,9 @@ from dbt_on_snowflake_spark.registry import (
     R16_ROTATE_IN,
     R17_EXPORT,
     R17_ROTATE_IN,
+    R18_EXPORT,
     R18_ROTATE_IN,
+    R19_ROTATE_IN,
     RETIRED_FROM_ROTATION,
     all_queries,
 )
@@ -196,6 +198,73 @@ def check_policy(
         else:
             errs.append(f"stale beyond window, not a slip class: {q} (r{n})")
     return errs
+
+
+def test_r18_export_satisfies_rotation_policy():
+    registered = set(all_queries())
+    errs = check_policy(
+        current_round=18,
+        export=R18_EXPORT,
+        rotate_in=R18_ROTATE_IN,
+        next_ledger=R19_ROTATE_IN,
+        registered=registered,
+        retired=set(RETIRED_FROM_ROTATION),
+    )
+    assert not errs, "\n".join(errs)
+
+
+def test_r18_export_needs_zero_slips():
+    """The r18 export, computed against the REAL CORRECTNESS_r17 file,
+    satisfies the policy with NO slip class invoked — every
+    stale-or-rotate-in obligation is exported outright (the r17
+    resets + pull-forwards cut the r18 window-hard block to 46)."""
+    registered = set(all_queries())
+    last = correctness_history(17)
+    retired = set(RETIRED_FROM_ROTATION)
+    mandatory = {
+        q
+        for q, n in last.items()
+        if q in registered and q not in retired and n <= 18 - 3
+    } | R18_ROTATE_IN
+    assert mandatory <= R18_EXPORT, sorted(mandatory - R18_EXPORT)
+
+
+def test_r18_export_carries_bm25_regreens():
+    """The five non-retired bm25 serve rows are r18-exported: the r18
+    persisted per-term df statistic changed the serve/append/fold
+    internals (results provably unchanged — shared recompute oracles),
+    and fresh driver rows pin that (registry ledger, r18 entry;
+    VERDICT r17 Next #3)."""
+    for q in (
+        "text_bm25_topk_indexed",
+        "text_bm25_topk_incremental",
+        "text_bm25_topk_updated",
+        "text_bm25_topk_deleted_served",
+        "text_index_ingest_streaming",
+    ):
+        assert q in R18_EXPORT, q
+
+
+def test_r19_rotation_fits_budget():
+    """The R19 draft arithmetic (registry ledger): assuming r18 goes
+    green on R18_EXPORT, the r19 mandatory set — rows last driver-green
+    in r16 or earlier that stay in the pool, plus any r18-born
+    rotate-ins — fits the 50-row budget with >= 3 spare slots. Every
+    r18 birth must take a spare slot (add it to R19_ROTATE_IN when
+    born) or pair with a retirement."""
+    registered = set(all_queries())
+    retired = set(RETIRED_FROM_ROTATION)
+    last = correctness_history(17)
+    for q in R18_EXPORT:
+        last[q] = 18  # simulated green r18
+    stale = {
+        q
+        for q, n in last.items()
+        if q in registered and q not in retired and n <= 19 - 3
+    }
+    mandatory = stale | R19_ROTATE_IN
+    assert len(stale) <= DRIVER_BUDGET - 3, sorted(stale)
+    assert len(mandatory) <= DRIVER_BUDGET, sorted(mandatory)
 
 
 def test_r17_export_satisfies_rotation_policy():
