@@ -603,7 +603,12 @@ def _refresh_bm25_stats(spark: SparkSession, refresh: dict) -> None:
     (term, doc_id)-deduplicated (redelivery duplicates collapse), so
     the rebuilt df is bit-identical to a rebuild without the deleted
     docs. A pending crashed append's df rows are overwritten away; its
-    redelivery re-merges them (the bkey probe sees them gone)."""
+    redelivery re-merges them (the bkey probe sees them gone). Crash
+    safety: this runs BEFORE the fold truncates the tombstones, so a
+    crash anywhere inside it (including between the df drop and its
+    rewrite) leaves the tombstones standing — every serve stays on the
+    LIVE-stats branch, never reading the missing/partial df table, and
+    the next sweep retries the fold."""
     doclen_t, stats_t = refresh["doclen_table"], refresh["stats_table"]
     spark.catalog.refreshTable(doclen_t)
     (

@@ -1653,12 +1653,20 @@ def bm25_topn_indexed(
                 F.col("n_docs").alias("_gate_n")
             )
         )
+        # coalesce(1): the pruned df read is VOCABULARY-bounded (<= K
+        # partition dirs for K fixed terms — never corpus-bounded), so
+        # a single task is the right shape for this statistics read;
+        # it also makes the global aggregate exchange-free (the input
+        # already satisfies SinglePartition), keeping the serve's
+        # stage count at its pre-r18 level. At extreme vocabularies
+        # the per-dir size is controlled by TEXT_INDEX_N_PARTS.
         dfr = (
             spark.table(df_t)
             .filter(F.col("term_part").isin(parts))
             .filter(F.col("term").isin(terms))
             .crossJoin(gate)
             .filter(F.col("gen") <= F.col("_gate_n"))
+            .coalesce(1)
         )
         df_row = dfr.groupBy().agg(
             *[

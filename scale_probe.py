@@ -47,6 +47,14 @@ PROBE_QUERIES = (
     # serve — the flagship sublinear 100 TB path; its pruned-read
     # fraction is additionally measured below (ivfpq_prune)
     "ann_ivfpq_indexed",
+    # r18 (VERDICT r17 Next #6): the two r17 lineage-cut paths whose
+    # checkpoint sizes were O(|batch|)/O(|Q|) by argument only — the
+    # incremental dedup probe (batch fixed by _NEW_DOCS_PRED, so its
+    # wall should track the batch + the pruned index read, not the
+    # corpus) and the per-query hybrid serve (bounded query set; its
+    # lexical half reads pruned postings)
+    "dedup_incremental_index",
+    "retrieval_hybrid_rrf_perquery_indexed",
 )
 
 # Index BUILDS probed at 10x (r14 verdict Next #6): the serve paths
@@ -74,7 +82,11 @@ def probe_tables(name: str, tag: str) -> list[str]:
         "build_pq_index": [f"pq_codebook_{sfx}", f"pq_codes_{sfx}"],
         "build_ann_index": [f"ann_centroids_{sfx}", f"ann_assignments_{sfx}"],
         "build_text_index": [
-            f"bm25_stats_{sfx}", f"bm25_postings_{sfx}", f"bm25_doclen_{sfx}"
+            # bm25_df_: the r18 persisted per-term df sibling the build
+            # now writes — without it here a mid-probe crash would leak
+            # it past the finally-drop (the r15 advice #4 class)
+            f"bm25_stats_{sfx}", f"bm25_postings_{sfx}",
+            f"bm25_doclen_{sfx}", f"bm25_df_{sfx}",
         ],
         "build_minhash_index": [
             f"mh_band_index_{sfx}", f"mh_corpus_pairs_{sfx}"

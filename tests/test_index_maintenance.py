@@ -11,6 +11,19 @@ from __future__ import annotations
 import os
 
 import pandas as pd
+import pytest
+
+# r18 verify-window budget (VERDICT r17 Next #1): the two scheduler
+# COMPOSITION tests below re-run machinery that stays unit-tested in
+# the default suite (the crash/race/swap pieces each have their own
+# test in this file); the compositions run with
+# SPARK_GRAFT_FULL_PARITY=1 — the same flag as the full oracle-parity
+# replica — which the builder runs before shipping a round.
+full_suite_only = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_FULL_PARITY") != "1",
+    reason="scheduler-composition test; set SPARK_GRAFT_FULL_PARITY=1",
+)
+
 from pyspark.sql import functions as F
 
 from dbt_on_snowflake_spark.engine.fs import fs_count_files
@@ -281,6 +294,7 @@ def test_update_streaming_query_declares_foldable_log(spark):
         assert _merged_read(spark, os.path.join(wh, d)) == pre[d]
 
 
+@full_suite_only
 def test_scheduled_index_compaction_task(spark, tmp_path, capsys):
     """The maintenance pass is schedulable exactly like the reference's
     Snowflake TASK surface: a tasks.yml cron entry running `compact
@@ -585,6 +599,7 @@ def test_compact_sweep_resumes_crashed_swap(spark):
     assert sorted(map(tuple, spark.table(_TI[1]).collect())) == rows
 
 
+@full_suite_only
 def test_scheduled_compaction_between_streaming_ingest_batches(
     spark, tmp_path, capsys, monkeypatch
 ):

@@ -1,16 +1,51 @@
 """Every registered query with an oracle must hash-match DuckDB — this is a
 local replica of the driver's t2 correctness gate (sf0.001 for speed; the
-driver runs sf0.01)."""
+driver runs sf0.01).
+
+SHARDING (r18, VERDICT r17 Next #1 — the full suite outran the driver's
+verify window, reporting tests_ok=false on a suite with zero failures):
+by default the replica runs a BOUNDED parametrization — every
+driver-EXPORTED query (the exact mirror of this round's gate) plus a
+rotating sample of the rest, seeded by ``registry.ACTIVE_EXPORT_ROUND``
+so successive rounds verify different extra slices. Set
+``SPARK_GRAFT_FULL_PARITY=1`` for the full 177-query replica (the
+builder runs that before shipping a round; this round's full-registry
+run is logged in OPTIMIZATION_r18.md). The non-parametrized harness
+tests below always run."""
 
 from __future__ import annotations
 
+import hashlib
+import os
+
 import pytest
 
-from dbt_on_snowflake_spark.registry import all_queries
+from dbt_on_snowflake_spark.registry import ACTIVE_EXPORT_ROUND, all_queries
 from tests.conftest import SF_SMOKE
 from tests.oracle_harness import compare
 
 _QUERIES = all_queries()
+
+FULL_PARITY = os.environ.get("SPARK_GRAFT_FULL_PARITY") == "1"
+# sized so the default suite fits the driver's verify window with the
+# machine's documented 1.3-1.4x wall swings as margin (timings in
+# OPTIMIZATION_r18.md); the full registry cycles through the samples in
+# ~3 rounds on top of the per-round 50-row driver export
+PARITY_SAMPLE = 40
+
+
+def _parity_names() -> list[str]:
+    if FULL_PARITY:
+        return sorted(_QUERIES)
+    exported = {n for n, q in _QUERIES.items() if q.driver}
+    rest = sorted(set(_QUERIES) - exported)
+    ranked = sorted(
+        rest,
+        key=lambda n: hashlib.md5(
+            f"r{ACTIVE_EXPORT_ROUND}:{n}".encode()
+        ).hexdigest(),
+    )
+    return sorted(exported | set(ranked[:PARITY_SAMPLE]))
 
 # Queries whose BroadcastNestedLoopJoin is a BOUNDED broadcast side by
 # construction (a 1-row collapsed vocabulary, a capped query-vector set,
@@ -94,7 +129,7 @@ _EMPTY_OK = {
 }
 
 
-@pytest.mark.parametrize("name", sorted(_QUERIES))
+@pytest.mark.parametrize("name", _parity_names())
 def test_oracle_parity(spark, name):
     q = _QUERIES[name]
     df = q.fn(spark, SF_SMOKE)
@@ -170,55 +205,51 @@ def test_driver_export_within_budget():
         assert any(n.startswith(fam) for n in exported), fam
 
 
-def test_r17_rotation_promises_kept():
-    """The r17 rotation: the R17 draft re-verified against
-    CORRECTNESS_r16 (50/50 green, key set == R16_EXPORT exactly, zero
-    zero-row rows) — the 41 window-hard r14-green rows, the
-    append-grown IVFPQ serve's first driver row (R17_ROTATE_IN), the 5
-    trained-coarse evidence resets (the plain-IVF family is re-keyed
-    to Lloyd cells this round), and 3 r15-green pull-forwards = 50,
-    zero slips. Pin them so a later edit can't silently demote one
-    before the driver sees it. (The full staleness arithmetic is
-    machine-checked against the CORRECTNESS_r*.json history in
-    tests/test_rotation_ledger.py.)"""
+def test_r18_rotation_promises_kept():
+    """The r18 rotation: the R18 draft re-verified against
+    CORRECTNESS_r17 (50/50 green, key set == R17_EXPORT exactly) — the
+    46 window-hard r15-green rows plus the 4 bm25 evidence re-greens
+    for the persisted per-term df change (registry ledger, r18 entry)
+    = 50, zero slips, no rotate-ins (r17 birthed no queries). Pin them
+    so a later edit can't silently demote one before the driver sees
+    it. (The full staleness arithmetic is machine-checked against the
+    CORRECTNESS_r*.json history in tests/test_rotation_ledger.py.)"""
     from dbt_on_snowflake_spark.registry import (
-        R14_EXPORT,
         R15_EXPORT,
         R16_EXPORT,
         R17_EXPORT,
-        R17_ROTATE_IN,
+        R18_EXPORT,
         R18_ROTATE_IN,
+        R19_ROTATE_IN,
         RETIRED_FROM_ROTATION,
         driver_queries,
     )
 
     exported = set(driver_queries())
-    assert R17_EXPORT == exported, sorted(R17_EXPORT ^ exported)
-    # the 41 window-hard rows: last green r14 = exported at r14, not
-    # re-exported (hence not re-greened) at r15 or r16, not retired
+    assert R18_EXPORT == exported, sorted(R18_EXPORT ^ exported)
+    # the 46 window-hard rows: last green r15 = exported at r15, not
+    # re-exported (hence not re-greened) at r16 or r17, not retired
     retired = set(RETIRED_FROM_ROTATION)
-    r14_green = (R14_EXPORT - retired) - R15_EXPORT - R16_EXPORT
-    assert len(r14_green) == 41, len(r14_green)
-    resets = {
-        "ann_ivf_multiprobe",
-        "ann_ivf_multiprobe_deleted",
-        "ann_incremental_assign",
-        "ann_centroids",
-        "ann_recall_eval",
+    r15_green = (R15_EXPORT - retired) - R16_EXPORT - R17_EXPORT
+    assert len(r15_green) == 46, len(r15_green)
+    regreens = {
+        "text_bm25_topk_indexed",
+        "text_bm25_topk_incremental",
+        "text_bm25_topk_updated",
+        "text_index_ingest_streaming",
     }
-    pulls = {"dedup_semantic", "dedup_semantic_served", "dedup_exact"}
-    assert r14_green <= exported, sorted(r14_green - exported)
-    assert R17_ROTATE_IN <= exported, sorted(R17_ROTATE_IN - exported)
-    assert resets <= exported and pulls <= exported
+    assert r15_green <= exported, sorted(r15_green - exported)
+    assert R18_ROTATE_IN <= exported, sorted(R18_ROTATE_IN - exported)
+    assert regreens <= exported
     # the export is exactly the mandatory set + the documented extras
-    assert exported == r14_green | R17_ROTATE_IN | resets | pulls
+    assert exported == r15_green | R18_ROTATE_IN | regreens
     # retirement is disjoint from the export
     assert not retired & exported
-    # r17-born queries (none yet) register in the ledger for r18
+    # r18-born queries (none) register in the ledger for r19
     from dbt_on_snowflake_spark.registry import all_queries
 
-    assert R18_ROTATE_IN <= set(all_queries()), sorted(
-        R18_ROTATE_IN - set(all_queries())
+    assert R19_ROTATE_IN <= set(all_queries()), sorted(
+        R19_ROTATE_IN - set(all_queries())
     )
 
 
@@ -256,7 +287,9 @@ def test_empty_input_parity_sweep(spark, tmp_path):
     )
     failures = []
     n_run = 0
-    for name, q in sorted(_QUERIES.items()):
+    names = _parity_names()  # same default/full shard as the replica
+    for name in names:
+        q = _QUERIES[name]
         if q.oracle is None or skip_heavy(name):
             continue
         try:
@@ -265,4 +298,5 @@ def test_empty_input_parity_sweep(spark, tmp_path):
         except Exception as e:  # noqa: BLE001
             failures.append(f"{name}: {str(e).splitlines()[0][:160]}")
     assert not failures, "\n".join(failures)
-    assert n_run > 100  # the sweep actually covered the registry
+    # the sweep actually covered its shard (full registry: >100)
+    assert n_run > (100 if FULL_PARITY else 40)

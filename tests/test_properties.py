@@ -6,6 +6,19 @@ from __future__ import annotations
 import pandas as pd
 from hypothesis import given, settings, strategies as st
 
+import os
+
+import pytest
+
+# r18 verify-window budget (VERDICT r17 Next #1): the two SCD2
+# simulator PROPERTY suites below are the heavyweight randomized twins
+# of tests/test_snapshot.py's always-on unit coverage; they run with
+# SPARK_GRAFT_FULL_PARITY=1 (the builder's pre-ship full suite).
+full_suite_only = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_FULL_PARITY") != "1",
+    reason="randomized property twin; set SPARK_GRAFT_FULL_PARITY=1",
+)
+
 from dbt_on_snowflake_spark.operators.asof import asof_join
 
 
@@ -482,6 +495,7 @@ def scd2_history(draw):
     return steps
 
 
+@full_suite_only
 @settings(max_examples=10, deadline=None)
 @given(scd2_history())
 def test_snapshot_check_strategy_matches_python_scd2(spark, steps):
@@ -543,6 +557,7 @@ def scd2_ts_history(draw):
     return steps
 
 
+@full_suite_only
 @settings(max_examples=12, deadline=None)
 @given(scd2_ts_history())
 def test_snapshot_timestamp_strategy_matches_python_scd2(spark, steps):

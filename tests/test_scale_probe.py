@@ -25,6 +25,25 @@ FACTOR = 10
 
 Q = all_queries()
 
+# Shuffle budgets for the NON-headline probe queries (r18, VERDICT r17
+# Next #6 — the r17 lineage-cut paths join the probe): headline budgets
+# live in tests/test_plans.py (_HEADLINE_MAX_SHUFFLES is asserted to
+# cover exactly the headline set, so these two cannot go there).
+# Measured at sf0.001 on the r18 tree:
+# - dedup_incremental_index: 3 — the batch band-keys groupBy, the
+#   batch-vs-index probe's bounded exchange, and the verify tail's
+#   candidate groupBy; all O(|batch|) after the r17 localCheckpoint
+#   cuts (the index side is the zero-shuffle bucketed read, pinned by
+#   test_incremental_index_probe_no_index_shuffle).
+# - retrieval_hybrid_rrf_perquery_indexed: 7 — the per-query lexical
+#   window + rank exchanges over the pruned postings matches and the
+#   bounded dense-half rank/fusion exchanges; every one is keyed by
+#   query_id or bounded by TERMS_PER_QUERY x |Q| (the r17 #8b shape).
+_PROBE_EXTRA_MAX_SHUFFLES = {
+    "dedup_incremental_index": 3,
+    "retrieval_hybrid_rrf_perquery_indexed": 7,
+}
+
 
 @pytest.fixture(scope="module")
 def scaled_dir(spark, tmp_path_factory):
@@ -46,7 +65,7 @@ def test_scaled_plan_keeps_pinned_shuffle_budget(spark, scaled_dir, name):
     to raise (e.g. a fixed dim falling out of broadcast)."""
     plan = explain_str(Q[name].fn(spark, scaled_dir))
     n = count_shuffles(plan)
-    bound = _HEADLINE_MAX_SHUFFLES[name]
+    bound = {**_HEADLINE_MAX_SHUFFLES, **_PROBE_EXTRA_MAX_SHUFFLES}[name]
     assert n <= bound, (
         f"{name}@10x: {n} shuffles (sf pin {bound}) — the plan "
         "degenerated under scale-up"
